@@ -1,0 +1,674 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Graft
+import graft.functions.{KeyFieldSpec, TextFunctions}
+import graft.operators._
+
+/** One registry entry per implemented operator from SURVEY.md §2 (+ the
+  * LLM-pipeline extensions). `run` is the Spark-native implementation;
+  * `oracle` is semantically-identical DuckDB SQL over the same parquet
+  * tables for the driver's hash-match gate.
+  *
+  * Determinism rules applied throughout (so hash-compare is meaningful):
+  * - double SUMs go through decimal(20,6) (exact, order-independent);
+  * - derived doubles (ratios, stddev, similarities) are rounded to 6 dp;
+  * - every query has a total ORDER BY;
+  * - row_number outputs are cast to long to match DuckDB's BIGINT.
+  */
+final case class QuerySpec(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.table(s, dir, name)
+
+  import AggOps.{avgExact, sumExact}
+
+  // ---------------------------------------------------------------- core agg
+
+  private val q1Agg = QuerySpec(
+    "q1_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumExact(col("l_quantity")).as("sum_qty"),
+          sumExact(col("l_extendedprice")).as("sum_base_price"),
+          sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("sum_charge"),
+          avgExact(col("l_quantity")).as("avg_qty"),
+          avgExact(col("l_extendedprice")).as("avg_price"),
+          avgExact(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)/COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE)/COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  private val qWordcount = QuerySpec(
+    "q_wordcount",
+    (s, dir) => MapOps.wordCount(t(s, dir, "documents"), "text").orderBy("word"),
+    Some("""SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+      WHERE word <> '' GROUP BY word ORDER BY word"""))
+
+  private val qGrep = QuerySpec(
+    "q_grep",
+    (s, dir) => MapOps.grep(t(s, dir, "documents"), "text", "sc[a-z]+"),
+    Some("""SELECT "match", COUNT(*) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(text, 'sc[a-z]+')) AS "match" FROM documents) t
+      GROUP BY "match" ORDER BY cnt DESC, "match""""))
+
+  private val qInverse = QuerySpec(
+    "q_inverse",
+    (s, dir) =>
+      MapOps.inverse(t(s, dir, "events").select(col("event_id"), col("event_type")))
+        .orderBy("v"),
+    Some("SELECT event_type AS k, event_id AS v FROM events ORDER BY v"))
+
+  private val qFieldsel = QuerySpec(
+    "q_fieldsel",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 6)
+      MapOps.fieldSelect(docs, col("text"), "2,0:1,3-5", " ", carry = Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      f[3] || ' ' || f[1] AS key,
+      f[2] || ' ' || array_to_string(f[4:6], ' ') AS value
+      FROM (SELECT doc_id, string_split(text, ' ') AS f FROM documents) t
+      WHERE len(f) >= 6 ORDER BY doc_id"""))
+
+  private val qMultiAgg = QuerySpec(
+    "q_multi_agg",
+    (s, dir) =>
+      {
+        val aggs = AggOps.descriptorAggs(col("value")) ++ Seq(
+          AggOps.uniqCapped(col("user_id"), 50).as("uniq_users_capped"),
+          countDistinct(col("user_id")).as("uniq_users"))
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy("event_type")
+      },
+    Some("""SELECT event_type,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+      MIN(value) AS min_value, MAX(value) AS max_value, COUNT(*) AS cnt,
+      LEAST(COUNT(DISTINCT user_id), 50) AS uniq_users_capped,
+      COUNT(DISTINCT user_id) AS uniq_users
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  private val qHistogram = QuerySpec(
+    "q_histogram",
+    (s, dir) =>
+      AggOps.valueHistogram(t(s, dir, "events"), col("event_type"), col("user_id"))
+        .orderBy("key"),
+    Some("""SELECT key, COUNT(*) AS n_distinct, MIN(freq) AS min_freq,
+      ROUND(quantile_cont(freq, 0.5), 6) AS median_freq,
+      MAX(freq) AS max_freq,
+      ROUND(CAST(SUM(freq) AS DOUBLE)/COUNT(*), 6) AS mean_freq,
+      ROUND(stddev_pop(freq), 6) AS stddev_freq
+      FROM (SELECT event_type AS key, user_id, COUNT(*) AS freq
+            FROM events GROUP BY 1, 2) t
+      GROUP BY key ORDER BY key"""))
+
+  private val qWordstats = QuerySpec(
+    "q_wordstats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          (sum(length(col("word"))).cast("double") / count(lit(1))).as("avg_len"),
+          round(expr("percentile(length(word), 0.5)"), 6).as("median_len"),
+          round(stddev_pop(length(col("word"))), 6).as("stddev_len")),
+    Some("""SELECT COUNT(*) AS n_words,
+      CAST(SUM(LEN(word)) AS DOUBLE)/COUNT(*) AS avg_len,
+      ROUND(quantile_cont(LEN(word), 0.5), 6) AS median_len,
+      ROUND(stddev_pop(LEN(word)), 6) AS stddev_len
+      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+      WHERE word <> ''"""))
+
+  // --------------------------------------------- secondary sort / windowing
+
+  // (l_orderkey, l_linenumber) is NOT unique in the synthetic data — the
+  // within-group order needs the full tuple as tiebreak to be deterministic.
+  private val qSecondarySort = QuerySpec(
+    "q_secondary_sort",
+    (s, dir) =>
+      GroupOps.withGroupOrder(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
+        Seq(col("l_orderkey")),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))) { w =>
+        Seq("run_qty" -> sum(col("l_quantity").cast("decimal(20,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      }.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity"""))
+
+  private val qWindowTopk = QuerySpec(
+    "q_window_topk",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  private val qSessionize = QuerySpec(
+    "q_sessionize",
+    (s, dir) =>
+      GroupOps.sessionize(t(s, dir, "events"), col("user_id"), col("ts"),
+          col("event_id"), 1800000000L)
+        .groupBy("user_id")
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      FROM (SELECT user_id,
+              CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+                   THEN 1 ELSE 0 END AS ns
+            FROM (SELECT user_id, ts, LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM events) t) g
+      GROUP BY user_id ORDER BY user_id"""))
+
+  private val qTumblingWindow = QuerySpec(
+    "q_tumbling_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"))
+        .orderBy("hour", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+      event_type, COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  private val qRollup = QuerySpec(
+    "q_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sumExact(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS cnt,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"""))
+
+  // ------------------------------------------------------------------ joins
+
+  private val qJoinRevenue = QuerySpec(
+    "q_join_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+      COUNT(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  private val qJoinOuter = QuerySpec(
+    "q_join_outer",
+    (s, dir) => {
+      val cAgg = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sAgg = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      JoinOps.outerJoin(Seq(cAgg, sAgg), "nationkey")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT COALESCE(a.k, b.k) AS nationkey,
+      COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) a
+      FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp
+                       FROM supplier GROUP BY 1) b ON a.k = b.k
+      ORDER BY nationkey"""))
+
+  private val qJoinOverride = QuerySpec(
+    "q_join_override",
+    (s, dir) => {
+      val a = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(round(avgExact(col("c_acctbal")), 6).as("val"))
+      val b = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(round(avgExact(col("s_acctbal")), 6).as("val"))
+      JoinOps.overrideJoin(Seq(a, b), "nationkey", "val").orderBy("nationkey")
+    },
+    Some("""SELECT COALESCE(a.k, b.k) AS nationkey, COALESCE(b.val, a.val) AS val
+      FROM (SELECT c_nationkey AS k,
+              ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)/COUNT(*), 6) AS val
+            FROM customer GROUP BY 1) a
+      FULL OUTER JOIN
+           (SELECT s_nationkey AS k,
+              ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(20,6))) AS DOUBLE)/COUNT(*), 6) AS val
+            FROM supplier GROUP BY 1) b ON a.k = b.k
+      ORDER BY nationkey"""))
+
+  private val qJoinSemi = QuerySpec(
+    "q_join_semi",
+    (s, dir) =>
+      JoinOps.semiJoin(
+        t(s, dir, "customer").select(col("c_custkey").as("key"), col("c_name")),
+        t(s, dir, "orders").select(col("o_custkey").as("key")), "key")
+        .orderBy("key"),
+    Some("""SELECT c_custkey AS key, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY key"""))
+
+  private val qJoinAnti = QuerySpec(
+    "q_join_anti",
+    (s, dir) =>
+      JoinOps.antiJoin(
+        t(s, dir, "customer").select(col("c_custkey").as("key"), col("c_name")),
+        t(s, dir, "orders").select(col("o_custkey").as("key")), "key")
+        .orderBy("key"),
+    Some("""SELECT c_custkey AS key, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY key"""))
+
+  private val qTaggedJoin = QuerySpec(
+    "q_tagged_join",
+    (s, dir) =>
+      JoinOps.taggedJoin(
+        t(s, dir, "orders").select(col("o_orderkey").as("key"), col("o_totalprice")),
+        t(s, dir, "lineitem").select(col("l_orderkey").as("key"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+        "key",
+        leftOrder = Seq(col("o_totalprice")),
+        rightOrder = Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity")),
+        maxPerGroup = 2)
+        .orderBy("key", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
+    Some("""SELECT o_orderkey AS key, o_totalprice, l_linenumber, l_partkey,
+        l_suppkey, l_quantity
+      FROM orders JOIN (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+            ROW_NUMBER() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+          FROM lineitem) x WHERE rn <= 2) l
+      ON o_orderkey = l_orderkey
+      ORDER BY key, l_linenumber, l_partkey, l_suppkey, l_quantity"""))
+
+  // ------------------------------------------------- sort / top-k / sampling
+
+  private val qSortTotal = QuerySpec(
+    "q_sort_total",
+    (s, dir) =>
+      SortOps.globalRowNumber(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .orderBy("rn"),
+    Some("""SELECT o_orderkey, o_totalprice,
+      ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders ORDER BY rn"""))
+
+  private val qTopk = QuerySpec(
+    "q_topk",
+    (s, dir) =>
+      SortOps.topK(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 100)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+        .orderBy("rn"),
+    Some("""SELECT o_orderkey, o_totalprice,
+      ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  private val qKeyfieldSort = QuerySpec(
+    "q_keyfield_sort",
+    (s, dir) =>
+      SortOps.globalRowNumber(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        KeyFieldSpec.orderColumnsNamed(
+          Seq(col("event_type"), col("value"), col("event_id")), "-k1,1 -k2,2nr -k3,3n"))
+        .orderBy("rn"),
+    Some("""SELECT event_id, event_type, "value",
+      ROW_NUMBER() OVER (ORDER BY event_type, "value" DESC, event_id) AS rn
+      FROM events ORDER BY rn"""))
+
+  private val qSampleMod = QuerySpec(
+    "q_sample_mod",
+    (s, dir) =>
+      SortOps.modSample(
+        t(s, dir, "events").select("event_id", "user_id", "event_type"),
+        col("event_id"), 100)
+        .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, event_type FROM events
+      WHERE event_id % 100 = 0 ORDER BY event_id"""))
+
+  private val qSampleMd5 = QuerySpec(
+    "q_sample_md5",
+    (s, dir) =>
+      SortOps.md5Sample(t(s, dir, "documents").select("doc_id", "text"),
+          col("text"), "0")
+        .select("doc_id")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id FROM documents
+      WHERE substr(md5(text), 1, 1) = '0' ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- set ops
+
+  private val qUnionTagged = QuerySpec(
+    "q_union_tagged",
+    (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"), lit("cust").as("src"))
+        .unionByName(
+          t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"), lit("supp").as("src")))
+        .groupBy("nationkey", "src")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("nationkey", "src"),
+    Some("""SELECT nationkey, src, COUNT(*) AS cnt FROM (
+        SELECT c_nationkey AS nationkey, 'cust' AS src FROM customer
+        UNION ALL SELECT s_nationkey, 'supp' FROM supplier) t
+      GROUP BY nationkey, src ORDER BY nationkey, src"""))
+
+  private val qIntersect = QuerySpec(
+    "q_intersect",
+    (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"""))
+
+  private val qExcept = QuerySpec(
+    "q_except",
+    (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey"""))
+
+  // ------------------------------------------------------------ pipe (UDF)
+
+  private val qPipeWc = QuerySpec(
+    "q_pipe_wc",
+    (s, dir) => {
+      val lines = PipeOps.pipeMap(
+        t(s, dir, "documents").select("text"),
+        Seq("/bin/sh", "-c", "tr -s ' ' '\\n'"))
+      lines.filter(col("line") =!= "")
+        .groupBy(col("line").as("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    },
+    Some("""SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+      WHERE word <> '' GROUP BY word ORDER BY word"""))
+
+  // ----------------------------------------------------- LLM pipeline: dedup
+
+  private val qDedupExact = QuerySpec(
+    "q_dedup_exact",
+    (s, dir) =>
+      DedupOps.exactDedup(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("content_hash"),
+    Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      COUNT(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash"""))
+
+  private val qDedupMinhash = QuerySpec(
+    "q_dedup_minhash",
+    (s, dir) =>
+      DedupOps.minhashLsh(t(s, dir, "documents"), col("doc_id"), col("text"),
+          shingleSize = 5, bands = 4, rowsPerBand = 2, minJaccard = 0.2)
+        .orderBy("a", "b"),
+    Some("""WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(toks) - 4),
+            i -> array_to_string(toks[i:i+4], ' '))) AS shingles
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents) t
+        WHERE len(toks) >= 5),
+      sigs AS (
+        SELECT doc_id, shingles,
+          list_min(list_transform(shingles, s -> substr(md5('0:' || s), 1, 16))) AS mh0,
+          list_min(list_transform(shingles, s -> substr(md5('1:' || s), 1, 16))) AS mh1,
+          list_min(list_transform(shingles, s -> substr(md5('2:' || s), 1, 16))) AS mh2,
+          list_min(list_transform(shingles, s -> substr(md5('3:' || s), 1, 16))) AS mh3,
+          list_min(list_transform(shingles, s -> substr(md5('4:' || s), 1, 16))) AS mh4,
+          list_min(list_transform(shingles, s -> substr(md5('5:' || s), 1, 16))) AS mh5,
+          list_min(list_transform(shingles, s -> substr(md5('6:' || s), 1, 16))) AS mh6,
+          list_min(list_transform(shingles, s -> substr(md5('7:' || s), 1, 16))) AS mh7
+        FROM docs),
+      banded AS (
+        SELECT doc_id, shingles, b,
+          CASE b WHEN 0 THEN mh0 || '|' || mh1 WHEN 1 THEN mh2 || '|' || mh3
+                 WHEN 2 THEN mh4 || '|' || mh5 ELSE mh6 || '|' || mh7 END AS key
+        FROM sigs, range(4) r(b)),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+          AND x.doc_id < y.doc_id)
+      SELECT a, b, jaccard FROM (
+        SELECT p.a, p.b,
+          ROUND(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE) /
+                len(list_distinct(list_concat(da.shingles, db.shingles))), 6) AS jaccard
+        FROM pairs p JOIN docs da ON p.a = da.doc_id
+                     JOIN docs db ON p.b = db.doc_id) v
+      WHERE jaccard >= 0.2 ORDER BY a, b"""))
+
+  private val qSimhash = QuerySpec(
+    "q_simhash",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .filter(size(TextFunctions.tokens(col("text"))) > 0)
+        .select(col("doc_id"), DedupOps.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+    Some("""WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+          x -> x <> '')) AS w
+        FROM documents),
+      contrib AS (
+        SELECT doc_id, p,
+          SUM(CASE WHEN CAST(floor(
+              (strpos('0123456789abcdef',
+                      substr(md5(w), CAST(floor(p/4) AS INT) + 1, 1)) - 1)
+              / pow(2, 3 - (p % 4))) AS BIGINT) % 2 = 1
+            THEN 1 ELSE -1 END) AS sgn
+        FROM words, range(64) r(p) GROUP BY doc_id, p)
+      SELECT doc_id,
+        string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+      FROM contrib GROUP BY doc_id ORDER BY doc_id"""))
+
+  private val qNgramJaccard = QuerySpec(
+    "q_ngram_jaccard",
+    (s, dir) =>
+      DedupOps.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+          shingleSize = 5, maxBucket = 50, minJaccard = 0.2)
+        .orderBy("a", "b"),
+    Some("""WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(toks) - 4),
+            i -> array_to_string(toks[i:i+4], ' '))) AS shingles
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents) t
+        WHERE len(toks) >= 5),
+      posting AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+      rare AS (SELECT sh FROM posting GROUP BY sh HAVING COUNT(*) <= 50),
+      pruned AS (SELECT p.doc_id, p.sh FROM posting p JOIN rare r ON p.sh = r.sh),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM pruned x JOIN pruned y ON x.sh = y.sh AND x.doc_id < y.doc_id)
+      SELECT a, b, jaccard FROM (
+        SELECT p.a, p.b,
+          ROUND(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE) /
+                len(list_distinct(list_concat(da.shingles, db.shingles))), 6) AS jaccard
+        FROM pairs p JOIN docs da ON p.a = da.doc_id
+                     JOIN docs db ON p.b = db.doc_id) v
+      WHERE jaccard >= 0.2 ORDER BY a, b"""))
+
+  private val qFingerprint = QuerySpec(
+    "q_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+            c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  private val qTextQuality = QuerySpec(
+    "q_text_quality",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextFunctions.avgTokenLength(col("text")), 6).as("avg_token_len"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
+          TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      len(toks) AS n_tokens,
+      ROUND(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks,
+        x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stop_ratio,
+      ROUND(CASE WHEN len(nospace) > 0 THEN CAST(len(regexp_replace(nospace,
+        '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / CAST(len(nospace) AS DOUBLE)
+        ELSE 0.0 END, 6) AS punct_ratio,
+      ROUND(CASE WHEN len(toks) > 0 THEN
+        CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS avg_token_len,
+      ROUND(greatest(least(
+        least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+        least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks,
+          x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.5 -
+        (CASE WHEN len(nospace) > 0 THEN CAST(len(regexp_replace(nospace,
+          '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / CAST(len(nospace) AS DOUBLE)
+          ELSE 0.0 END), 1.0), 0.0), 6) AS quality,
+      CASE WHEN (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks,
+        x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) > 0.02
+        THEN 'en' ELSE 'unk' END AS lang_pred
+      FROM (SELECT doc_id,
+              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+              regexp_replace(text, '\s+', '', 'g') AS nospace
+            FROM documents) t
+      ORDER BY doc_id"""))
+
+  // ------------------------------------------------ LLM pipeline: similarity
+
+  private val qAnnCosine = QuerySpec(
+    "q_ann_cosine",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("nbr_id"), col("sim"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings),
+      scored AS (
+        SELECT query_id, nbr_id,
+          ROUND(list_dot_product(qvec, cvec) /
+            (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))),
+            6) AS sim
+        FROM q, c WHERE nbr_id <> query_id)
+      SELECT query_id, nbr_id, sim, "rank" FROM (
+        SELECT query_id, nbr_id, sim, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS "rank"
+        FROM scored) t
+      WHERE "rank" <= 5 ORDER BY query_id, "rank""""))
+
+  // --------------------------------------------- multimodal binary plumbing
+
+  private val qMultimodalMeta = QuerySpec(
+    "q_multimodal_meta",
+    (s, dir) =>
+      MultimodalOps.binaryMeta(
+        MultimodalOps.withBinaryPayload(t(s, dir, "documents"), "text"), "payload")
+        .select(col("doc_id"), col("n_bytes"), col("content_hash"),
+          (col("n_chars") === length(col("text")).cast("long")).as("len_matches"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS content_hash, n_chars = len(text) AS len_matches
+      FROM documents ORDER BY doc_id"""))
+
+  // ----------------------------------------------------------------- export
+
+  val all: Seq[QuerySpec] = Seq(
+    q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
+    qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
+    qRollup, qJoinRevenue, qJoinOuter, qJoinOverride, qJoinSemi, qJoinAnti,
+    qTaggedJoin, qSortTotal, qTopk, qKeyfieldSort, qSampleMod, qSampleMd5,
+    qUnionTagged, qIntersect, qExcept, qPipeWc, qDedupExact, qDedupMinhash,
+    qSimhash, qNgramJaccard, qFingerprint, qTextQuality, qAnnCosine,
+    qMultimodalMeta)
+}

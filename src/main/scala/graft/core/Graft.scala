@@ -1,0 +1,96 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + IO facade for the graft engine.
+  *
+  * Capability parity: the reference's job setup + FileInputFormat/OutputFormat
+  * surface (reference: hadoop-mapreduce-client-core .../lib/input/FileInputFormat.java:66,
+  * .../lib/output/TextOutputFormat.java:44). Spark-first: `spark.read`/`df.write`
+  * carry splits, codecs, committers, small-file packing natively.
+  *
+  * Scale notes: AQE on (skew joins, dynamic coalesce); shuffle partitions sized
+  * for local[32] here but overridable — on a real cluster set ~2-3x total cores.
+  */
+object Graft {
+
+  def session(
+      appName: String = "graft",
+      master: String = "local[32]",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Load one of the driver-generated tables from a scale-factor dir.
+    *
+    * The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; read it as raw nanos
+    * (spark.sql.legacy.parquet.nanosAsLong) and convert with integer
+    * division — a double division would lose precision above 2^53 ns. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** Generic source facade covering the reference's input formats (SURVEY §2.2):
+    * text lines, tab-separated KV text, parquet (canonical binary KV), fixed-length
+    * binary via binaryFile. Compression is transparent as in the reference.
+    */
+  def source(
+      spark: SparkSession,
+      path: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): DataFrame =
+    format match {
+      case "text"    => spark.read.options(options).text(path)
+      case "kvtext"  => // KeyValueTextInputFormat parity: sep-split key/value lines
+        spark.read
+          .option("sep", options.getOrElse("sep", "\t"))
+          .schema("key STRING, value STRING")
+          .csv(path)
+      case "parquet" => spark.read.options(options).parquet(path)
+      case "csv"     => spark.read.options(options).csv(path)
+      case "json"    => spark.read.options(options).json(path)
+      case "binary"  => spark.read.options(options).format("binaryFile").load(path)
+      case other     => spark.read.options(options).format(other).load(path)
+    }
+
+  /** Sink facade covering SURVEY §2.3: text KV lines, parquet, partitioned
+    * multi-output (MultipleOutputs parity via partitionBy), noop (NullOutputFormat).
+    */
+  def sink(
+      df: DataFrame,
+      path: String,
+      format: String = "parquet",
+      mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): Unit = {
+    val w0 = df.write.mode(mode).options(options)
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    format match {
+      case "text"    => w.text(path)
+      case "kvtext"  => w.option("sep", options.getOrElse("sep", "\t")).csv(path)
+      case "parquet" => w.parquet(path)
+      case "csv"     => w.csv(path)
+      case "noop"    => df.write.mode("overwrite").format("noop").save()
+      case other     => w.format(other).save(path)
+    }
+  }
+}

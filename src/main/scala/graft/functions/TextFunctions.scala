@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline surface:
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting,
+  * and portable (engine-independent) hashing used by dedup/minhash.
+  *
+  * All pure `Column` expressions (codegen'd, no UDFs) so they push into
+  * whole-stage codegen and scale linearly with no driver involvement.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty strings dropped (Mapper-tokenizer parity with
+    * the reference's TokenCounterMapper, reference: hadoop-mapreduce-client-core
+    * .../lib/map/TokenCounterMapper.java:35). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Fraction of tokens that are stopwords (english heuristic). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isin(stopwords: _*))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of non-space characters that are not alphanumeric. */
+  def punctRatio(text: Column): Column = {
+    val noSpace = regexp_replace(text, "\\s+", "")
+    val punct = regexp_replace(noSpace, "[a-zA-Z0-9]", "")
+    when(length(noSpace) > 0, length(punct).cast("double") / length(noSpace).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def avgTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Simple composite quality score in [0,1]: rewards mid-length docs and
+    * stopword presence, penalizes punctuation soup. Deterministic arithmetic
+    * only, so it is oracle-checkable. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = punctRatio(text)
+    greatest(least(lenScore * 0.5 + stopScore * 0.5 - punctPenalty, lit(1.0)), lit(0.0))
+  }
+
+  /** n-gram-heuristic language ID: english iff stopword evidence. The driver
+    * corpus is synthetic so this is a deterministic classifier surface, not a
+    * model. */
+  def langIdHeuristic(text: Column): Column =
+    when(stopwordRatio(text) > 0.02, lit("en")).otherwise(lit("unk"))
+
+  /** Rolling polynomial (Rabin-Karp-style) document fingerprint:
+    * fold over characters, acc = (acc * 31 + codepoint) mod 1e9+7.
+    * Same fold is expressible in ANSI SQL (list_reduce), keeping it
+    * oracle-checkable; distributes trivially (per-row expression). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
+
+  /** Character k-shingles of the token-normalized text (word n-grams joined by
+    * a single space), the unit for MinHash/Jaccard dedup. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Portable 64-bit-ish hash: first 16 hex chars of md5(seed ':' value).
+    * Fixed-width lowercase hex compares lexicographically == numerically, so
+    * `min` over these strings is a valid minhash; md5 is identical across
+    * engines (unlike murmur/xxhash variants). */
+  def portableHash(value: Column, seed: Int): Column =
+    substring(md5(concat(lit(seed.toString), lit(":"), value)), 1, 16)
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation operators (SURVEY §2.6): the reference's ValueAggregator
+  * framework re-expressed as `groupBy(...).agg(...)` column sets. Partial
+  * (map-side) aggregation is automatic via Catalyst's partial/final
+  * HashAggregate split — the reference's combiner for free.
+  *
+  * Numeric policy for oracle parity: double inputs are cast to
+  * decimal(20,6) before SUM (exact, order-independent), then the total is
+  * cast back to double. Floating-point sums of shuffled partials are NOT
+  * deterministic across engines; exact decimal accumulation is.
+  */
+object AggOps {
+
+  private val Dec = DecimalType(20, 6)
+
+  /** Exact, order-independent sum of a double column, returned as double. */
+  def sumExact(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Mean via exact sum / count (both engines do the same double division). */
+  def avgExact(c: Column): Column = sumExact(c) / count(c)
+
+  /** The reference's aggregator-descriptor set
+    * (LongValueSum/DoubleValueSum/Max/Min/StringValueMax/Min, reference:
+    * hadoop-mapreduce-client-core .../lib/aggregate/ValueAggregatorBaseDescriptor.java:39-53)
+    * as one multi-aggregate: one pass, many aggregates — same shape as
+    * ValueAggregatorJob (reference: .../lib/aggregate/ValueAggregatorJob.java:85). */
+  def descriptorAggs(value: Column): Seq[Column] = Seq(
+    sumExact(value).as("sum_value"),
+    min(value).as("min_value"),
+    max(value).as("max_value"),
+    count(lit(1)).as("cnt"))
+
+  /** UniqValueCount parity: distinct count capped at `cap` (the reference
+    * truncates its item set at maxNumItems, reference:
+    * .../lib/aggregate/UniqValueCount.java:35). Exact count then cap —
+    * identical result, no unbounded set held per group. At 100TB swap in
+    * approx_count_distinct via [[uniqApprox]]. */
+  def uniqCapped(c: Column, cap: Int): Column =
+    least(countDistinct(c), lit(cap.toLong))
+
+  /** HLL variant for the same surface at scale. */
+  def uniqApprox(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
+
+  /** ValueHistogram parity, compositional form: per-key statistics over the
+    * frequencies of distinct values (reference:
+    * .../lib/aggregate/ValueHistogram.java:38). Two-level aggregation —
+    * both levels get map-side partials, memory stays bounded per task, and
+    * the whole thing is one shuffle on (key, value) + one on key: the
+    * scalable formulation of the reference's in-reducer TreeMap. */
+  def valueHistogram(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val freqs = df
+      .groupBy(key.as("key"), value.as("value"))
+      .agg(count(lit(1)).as("freq"))
+    freqs
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        min("freq").as("min_freq"),
+        round(expr("percentile(freq, 0.5)"), 6).as("median_freq"),
+        max("freq").as("max_freq"),
+        round(sum("freq").cast("double") / count(lit(1)), 6).as("mean_freq"),
+        round(stddev_pop("freq"), 6).as("stddev_freq"))
+  }
+}

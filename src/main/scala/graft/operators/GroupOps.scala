@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Grouping-with-order operators (SURVEY §2.6 secondary sort, §2.7 windows).
+  *
+  * The reference's secondary-sort machinery — composite key, partition by
+  * prefix, sort by full key, group by prefix (reference:
+  * hadoop-mapreduce-examples .../examples/SecondarySort.java:51, partitioner
+  * :133, grouping comparator :145; group-boundary detection
+  * hadoop-mapreduce-client-core .../task/ReduceContextImpl.java:131-152) —
+  * maps to window functions when the per-group logic is expressible, and to
+  * sorted-group iteration otherwise.
+  */
+object GroupOps {
+
+  /** Window formulation of secondary sort: per-group running aggregates over
+    * the within-group order. One shuffle on the group key; rows stream
+    * through the window operator in sorted order — same dataflow as the
+    * reference's sorted reduce. */
+  def withGroupOrder(df: DataFrame, groupBy: Seq[Column], orderBy: Seq[Column])(
+      cols: (org.apache.spark.sql.expressions.WindowSpec => Seq[(String, Column)])): DataFrame = {
+    val w = Window.partitionBy(groupBy: _*).orderBy(orderBy: _*)
+    cols(w).foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+  }
+
+  /** Sorted-group iteration for non-SQL per-group state machines: the
+    * grouping-comparator contract (values of one group arrive ordered by the
+    * secondary key; the group is re-iterable, = MarkableIterator parity,
+    * reference: .../mapreduce/MarkableIterator.java:34). The group is
+    * materialized as a Seq — per-group size must be bounded, exactly the
+    * assumption the reference's BackupStore made when groups were re-read. */
+  def sortedGroups[K, T](
+      df: DataFrame,
+      groupCols: Seq[Column],
+      sortCols: Seq[Column])(
+      process: (Row, Seq[Row]) => Iterator[Row],
+      outSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df
+      .repartition(groupCols: _*)
+      .sortWithinPartitions(groupCols ++ sortCols: _*)
+    val keyIdx = groupCols.map(c => parted.columns.indexOf(c.toString))
+    val out = parted.rdd.mapPartitions { rows =>
+      // run-length group detection over the locally sorted stream — the
+      // reference's nextKeyIsSame loop
+      new Iterator[Iterator[Row]] {
+        private val buf: scala.collection.BufferedIterator[Row] = rows.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): Iterator[Row] = {
+          val head = buf.head
+          val key = keyIdx.map(head.get)
+          val group = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (buf.hasNext && keyIdx.map(buf.head.get) == key)
+            group += buf.next()
+          process(head, group.toSeq)
+        }
+      }.flatten
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** Sessionization over an ordered stream per key: new session when the gap
+    * to the previous event exceeds `gapMicros`. The hand-coded MR reducer
+    * pattern (§2.7) as two window functions — no state machine needed. */
+  def sessionize(
+      df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+      gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tieBreak)
+    val prev = lag(unix_micros(ts), 1).over(w)
+    val newSess = when(prev.isNull || (unix_micros(ts) - prev) > gapMicros, 1L).otherwise(0L)
+    df.withColumn("session_id", sum(newSess).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join operators (SURVEY §2.5). The reference's entire map-side
+  * CompositeInputFormat subsystem (sorted-merge over co-partitioned inputs,
+  * reference: hadoop-mapreduce-client-core .../lib/join/CompositeInputFormat.java:56)
+  * and reduce-side datajoin package collapse into Catalyst join selection:
+  * SortMergeJoin for large-large, BroadcastHashJoin for small dims (the
+  * reference's DistributedCache idiom), with AQE skew handling.
+  */
+object JoinOps {
+
+  /** N-way inner equi-join on a shared key (InnerJoinRecordReader parity,
+    * reference: .../lib/join/InnerJoinRecordReader.java:34). Duplicate keys
+    * produce the cross-product of matches, exactly as the reference's
+    * reset-able value iterators did. */
+  def innerJoin(dfs: Seq[DataFrame], key: String): DataFrame =
+    dfs.reduce((a, b) => a.join(b, Seq(key), "inner"))
+
+  /** N-way full-outer equi-join (OuterJoinRecordReader parity: emit when ANY
+    * source has the key; absent slots -> null. Reference:
+    * .../lib/join/OuterJoinRecordReader.java:34). */
+  def outerJoin(dfs: Seq[DataFrame], key: String): DataFrame =
+    dfs.reduce((a, b) => a.join(b, Seq(key), "full_outer"))
+
+  /** Override join (OverrideRecordReader parity: per key, keep the value from
+    * the RIGHTMOST source that has it. Reference:
+    * .../lib/join/OverrideRecordReader.java:42). Inputs are (key, value)
+    * DataFrames; later elements of `dfs` win. Implemented as a full-outer
+    * chain + coalesce(right, left) — one shuffle per source, no skew on the
+    * value side. */
+  def overrideJoin(dfs: Seq[DataFrame], key: String, value: String): DataFrame =
+    dfs.reduce { (a, b) =>
+      a.withColumnRenamed(value, "_l")
+        .join(b.withColumnRenamed(value, "_r"), Seq(key), "full_outer")
+        .select(col(key), coalesce(col("_r"), col("_l")).as(value))
+    }
+
+  /** Broadcast (map-side hash) join: the reference's DistributedCache +
+    * in-memory HashMap idiom (reference: .../filecache/DistributedCache.java:134). */
+  def broadcastJoin(large: DataFrame, small: DataFrame, key: String,
+      joinType: String = "inner"): DataFrame =
+    large.join(broadcast(small), Seq(key), joinType)
+
+  /** Reduce-side tagged join (hadoop-datajoin parity): per key, the
+    * cross-product of the two sides, with each side's per-key group capped at
+    * `maxPerGroup` rows (reference: hadoop-tools/hadoop-datajoin
+    * .../DataJoinReducerBase.java:47, cap maxNumOfValuesPerGroup :51).
+    * The cap is applied with a deterministic per-side ordering BEFORE the
+    * join — a window per side, so the cross-product (the skew risk at 100TB)
+    * is bounded by cap² per key. */
+  def taggedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftOrder: Seq[Column], rightOrder: Seq[Column],
+      maxPerGroup: Int): DataFrame = {
+    def cap(df: DataFrame, order: Seq[Column]): DataFrame =
+      df.withColumn("_rn", row_number().over(
+          Window.partitionBy(col(key)).orderBy(order: _*)))
+        .filter(col("_rn") <= maxPerGroup)
+        .drop("_rn")
+    cap(left, leftOrder).join(cap(right, rightOrder), Seq(key), "inner")
+  }
+
+  /** Semi/anti join surface (free in Spark; absent in the reference — SURVEY
+    * §2.5 flags these as engine surface we expose anyway). */
+  def semiJoin(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.join(b, Seq(key), "left_semi")
+
+  def antiJoin(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.join(b, Seq(key), "left_anti")
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.FieldSelection
+
+/** Projection / filter / scalar transform operators (SURVEY §2.4).
+  * Pure `DataFrame => DataFrame` functions; all codegen'd expressions. */
+object MapOps {
+
+  /** InverseMapper parity: (k, v) -> (v, k). Reference:
+    * hadoop-mapreduce-client-core .../lib/map/InverseMapper.java:30. */
+  def inverse(df: DataFrame, k: String = "k", v: String = "v"): DataFrame = {
+    val Seq(c1, c2) = df.columns.toSeq.take(2)
+    df.select(col(c2).as(k), col(c1).as(v))
+  }
+
+  /** RegexMapper/Grep parity: emit one row per regex match in `textCol`,
+    * counted. Reference: .../lib/map/RegexMapper.java:36 and
+    * hadoop-mapreduce-examples .../examples/Grep.java:59-93 (count job +
+    * descending-sort job fused into one plan here — Catalyst handles the
+    * two-MR-job pipeline as a single shuffle + sort). */
+  def grep(df: DataFrame, textCol: String, pattern: String): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol), lit(pattern), lit(0))).as("match"))
+      .groupBy("match")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("match"))
+
+  /** TokenCounterMapper + IntSumReducer = WordCount. Reference:
+    * hadoop-mapreduce-examples .../examples/WordCount.java:34. */
+  def wordCount(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** FieldSelectionMapper parity: cut-style projection with the reference's
+    * spec grammar (see [[graft.functions.FieldSelection]]). Emits key/value
+    * string columns plus any carried columns. */
+  def fieldSelect(
+      df: DataFrame,
+      lineCol: Column,
+      spec: String,
+      sep: String = "\t",
+      carry: Seq[String] = Nil): DataFrame = {
+    val (k, v) = FieldSelection.select(lineCol, spec, sep)
+    df.select(carry.map(col) :+ k.as("key") :+ v.as("value"): _*)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns with
+  * typed metadata, plus a feature-extraction operator shaped like a real
+  * decode pipeline (batch-iterator over partitions, fixed-size float
+  * features). The actual image/audio decode is STUBBED — this container has
+  * no codec libraries — with a deterministic byte-derived fake, but the
+  * Spark-side contract (schema, partitioning, per-partition batching) is the
+  * real one a decoder would plug into.
+  */
+object MultimodalOps {
+
+  /** Attach a binary payload column (here: utf-8 bytes of a text column; in
+    * production: the raw media bytes read via `binaryFile`). */
+  def withBinaryPayload(df: DataFrame, srcCol: String, payloadCol: String = "payload"): DataFrame =
+    df.withColumn(payloadCol, encode(col(srcCol), "utf-8"))
+
+  /** Typed metadata over an opaque binary column — pure expressions, no
+    * decode: byte length, content hash, leading byte. */
+  def binaryMeta(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("n_bytes", length(col(payloadCol)).cast("long"))
+      .withColumn("content_hash", md5(col(payloadCol)))
+
+  final case class MediaFeature(id: Long, n_bytes: Long, feature: Array[Float])
+
+  /** Per-partition batched "decode + featurize". A real implementation would
+    * decode images/audio here (one codec context per partition, vectorized
+    * batches); the STUB derives a deterministic 8-float feature from the
+    * payload bytes so the distributed plumbing is testable end-to-end. */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // STUB decode: codec libraries unavailable in this container.
+        // Deterministic fake: feature[i] = mean of bytes in stripe i.
+        it.map { case (id, bytes) =>
+          val feat = Array.tabulate(8) { i =>
+            val stripe = bytes.indices.filter(_ % 8 == i).map(j => bytes(j) & 0xff)
+            if (stripe.isEmpty) 0f else stripe.sum.toFloat / stripe.length
+          }
+          MediaFeature(id, bytes.length.toLong, feat)
+        }
+      }
+  }
+}

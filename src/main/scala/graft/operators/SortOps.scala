@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.functions.KeyFieldSpec
+
+/** Sort / limit / top-k / sampling operators (SURVEY §2.8).
+  *
+  * Global total-order sort = `repartitionByRange` + `sortWithinPartitions`,
+  * which is exactly the reference's TotalOrderPartitioner + per-reducer sort
+  * (reference: hadoop-mapreduce-client-core .../lib/partition/TotalOrderPartitioner.java:50,
+  * sampling .../lib/partition/InputSampler.java:57) — Spark does the range
+  * sampling internally.
+  */
+object SortOps {
+
+  /** Totally-ordered dataset (Sort example parity, reference:
+    * hadoop-mapreduce-examples .../examples/Sort.java:57). */
+  def globalSort(df: DataFrame, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*)
+
+  /** Global 1-based row number in total sort order, WITHOUT a single-partition
+    * window: range-partition + local sort, count rows per partition, then add
+    * per-partition offsets computed from the (tiny) partition-count list.
+    * This is the TeraSort-rank formulation that survives 100TB — a global
+    * `row_number() OVER (ORDER BY ...)` would serialize through one task.
+    * Requires the sort key to be a total order (add a unique tiebreaker). */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], rnCol: String = "rn"): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val spark = df.sparkSession
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect()
+      .sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val schema = StructType(sorted.schema.fields :+ StructField(rnCol, LongType, nullable = false))
+    val withRn = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var rn = offsets(i)
+      it.map { row => rn += 1; Row.fromSeq(row.toSeq :+ rn) }
+    }
+    spark.createDataFrame(withRn, schema)
+  }
+
+  /** Top-k by order — Spark plans per-partition top-k then a k-merge
+    * (TakeOrderedAndProject), the scalable "sort + single reducer" of the
+    * reference's Grep job 2 (reference: hadoop-mapreduce-examples
+    * .../examples/Grep.java:88-92). */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** unix-sort -k spec over named columns (KeyFieldBasedComparator parity). */
+  def keyFieldSort(df: DataFrame, fieldCols: Seq[String], spec: String): DataFrame =
+    df.orderBy(KeyFieldSpec.orderColumnsNamed(fieldCols.map(col), spec): _*)
+
+  /** PercentFilter parity: keep keys where key mod f == 0 (reference:
+    * .../lib/input/SequenceFileInputFilter.java:110). Pushed to the scan. */
+  def modSample(df: DataFrame, keyCol: Column, f: Int): DataFrame =
+    df.filter(pmod(keyCol, lit(f)) === 0)
+
+  /** MD5Filter parity: hash-sample keys via md5 prefix (reference:
+    * .../lib/input/SequenceFileInputFilter.java:153). Portable across engines. */
+  def md5Sample(df: DataFrame, keyCol: Column, hexPrefix: String): DataFrame =
+    df.filter(substring(md5(keyCol.cast("string")), 1, hexPrefix.length) === hexPrefix)
+
+  /** Bernoulli sample (RandomSampler parity, reference:
+    * .../lib/partition/InputSampler.java:159). */
+  def randomSample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+}
