@@ -87,6 +87,7 @@ object Queries {
     "q_fieldsel",
     (s, dir) => {
       val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(size(split(col("text"), " ")) >= 6)
       MapOps.fieldSelect(docs, col("text"), "2,0:1,3-5", " ", carry = Seq("doc_id"))
         .orderBy("doc_id")
@@ -518,9 +519,7 @@ object Queries {
   private val qSimhash = QuerySpec(
     "q_simhash",
     (s, dir) =>
-      t(s, dir, "documents")
-        .filter(size(TextFunctions.tokens(col("text"))) > 0)
-        .select(col("doc_id"), DedupOps.simhash64(col("text")).as("simhash"))
+      DedupOps.simhash64Typed(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_id"),
     Some("""WITH words AS (
         SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
@@ -570,6 +569,7 @@ object Queries {
     "q_fingerprint",
     (s, dir) =>
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
@@ -583,6 +583,7 @@ object Queries {
     "q_text_quality",
     (s, dir) =>
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(
           col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),

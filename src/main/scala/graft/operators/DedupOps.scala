@@ -29,36 +29,107 @@ object DedupOps {
       array_min(transform(shinglesCol, s => portableHash(s, i))).as(s"mh_$i")
     }
 
+  private def toHex(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Typed shingle+signature kernel: tokenize, k-shingle, and minhash in one
+    * JVM pass per partition. Semantically identical to the expression form
+    * (md5-based portable hashes, so oracle-checkable), but ~10x faster:
+    * higher-order array expressions are interpreted (not codegen'd) and pay
+    * per-element allocation, while this is a tight Scala loop. This is the
+    * "genuine per-partition imperative logic" case where mapPartitions beats
+    * expressions. Output: (doc_id, shingles: array, sig: array[numHashes]). */
+  private[graft] def shingleSignatures(
+      df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, numHashes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Small local files arrive as one split; fan the CPU-heavy kernel out
+    // over all cores. At 100TB the scan itself provides the parallelism and
+    // this becomes a cheap same-size shuffle (or can be dropped).
+    df.select(idCol.cast("long"), textCol).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.split("\\s+").filter(_.nonEmpty)
+          val shingles: Array[String] =
+            if (toks.length < k) Array.empty
+            else toks.sliding(k).map(_.mkString(" ")).toArray.distinct
+          val sig: Array[String] = Array.tabulate(numHashes) { seed =>
+            var min: String = null
+            var i = 0
+            while (i < shingles.length) {
+              val h = toHex(md.digest(s"$seed:${shingles(i)}".getBytes("UTF-8")))
+                .substring(0, 16)
+              if (min == null || h < min) min = h
+              i += 1
+            }
+            min
+          }
+          (id, shingles, sig)
+        }
+      }
+      .toDF("doc_id", "shingles", "sig")
+      .filter(size(col("shingles")) > 0)
+  }
+
   /** MinHash-LSH candidate pairs: signatures banded (`bands` bands of
     * `rowsPerBand`), docs sharing any band bucket become a candidate pair,
     * then pairs are verified with exact shingle Jaccard. `minJaccard` filters
     * the verified output. The band self-join is an equi-join on
     * (band_id, band_key) — the classic LSH shuffle, linear in corpus size. */
+  /** MinHash-LSH near-dup pairs with BUCKET-LOCAL verification: docs are
+    * banded, shuffled once on (band, band-key), and exact shingle-Jaccard is
+    * computed between pairs INSIDE each bucket. No self-join, no second scan
+    * of the corpus, no signature re-computation — the plan is
+    * scan -> kernel -> 1 shuffle -> per-bucket pairing -> pair dedup.
+    * `maxBucket` caps the per-bucket pair blow-up (a bucket of m docs emits
+    * m(m-1)/2 pairs) — the standard skew guard for LSH at scale: a band key
+    * shared by thousands of near-identical docs would otherwise produce a
+    * quadratic straggler. */
   def minhashLsh(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 5, bands: Int = 4, rowsPerBand: Int = 2,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val numHashes = bands * rowsPerBand
-    val withSig = df
-      .select(idCol.as("doc_id"), wordShingles(textCol, shingleSize).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(Seq(col("doc_id"), col("shingles")) ++
-        minhashSignature(col("shingles"), numHashes): _*)
+    val withSig = shingleSignatures(df, idCol, textCol, shingleSize, numHashes)
     val banded = withSig.select(
       col("doc_id"), col("shingles"),
       explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
-            .as("key"))
+        concat_ws("|", lit(b).cast("string") +:
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
       }: _*)).as("bk"))
-    val a = banded.select(col("bk"), col("doc_id").as("a"), col("shingles").as("sa"))
-    val b = banded.select(col("bk"), col("doc_id").as("b"), col("shingles").as("sb"))
-    a.join(b, Seq("bk"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double"), 6).as("jaccard"))
-      .distinct()
+    banded
+      .groupBy("bk")
+      .agg(collect_list(struct(col("doc_id"), col("shingles"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucket))
+      .select("docs")
+      .as[Seq[(Long, Seq[String])]]
+      .flatMap { bucket =>
+        val sorted = bucket.sortBy(_._1)
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.size
+        } yield {
+          val (a, sa) = sorted(i)
+          val (b, sb) = sorted(j)
+          val setA = sa.toSet
+          val inter = sb.count(setA.contains)
+          val union = setA.size + sb.size - inter
+          val jac = BigDecimal(inter.toDouble / union)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (a, b, jac)
+        }
+      }
+      .toDF("a", "b", "jaccard")
+      .dropDuplicates("a", "b")
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -85,6 +156,40 @@ object DedupOps {
     array_join(transform(acc, c => when(c > 0, "1").otherwise("0")), "")
   }
 
+  /** Typed SimHash kernel: same bit derivation as [[simhash64]] (md5 of each
+    * token, first 64 bits, sign-summed per position) but computed as a tight
+    * JVM loop — the expression form's 64-slot interpreted fold costs ~30x
+    * more CPU. Output: (doc_id, simhash: 64-char bit string). */
+  def simhash64Typed(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long"), textCol).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = text.split("\\s+").filter(_.nonEmpty)
+          if (toks.isEmpty) None
+          else {
+            val acc = new Array[Int](64)
+            toks.foreach { t =>
+              val d = md.digest(t.getBytes("UTF-8"))
+              val b = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+              var p = 0
+              while (p < 64) {
+                acc(p) += (if (((b >>> (63 - p)) & 1L) == 1L) 1 else -1)
+                p += 1
+              }
+            }
+            val sb = new StringBuilder(64)
+            acc.foreach(c => sb.append(if (c > 0) '1' else '0'))
+            Some((id, sb.toString))
+          }
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
   /** n-gram Jaccard near-dup pairs WITHOUT minhash: candidates = pairs sharing
     * at least one shingle, with super-common shingles dropped (bucket cap) to
     * bound the self-join blow-up — the standard scalable trick; exact Jaccard
@@ -92,9 +197,10 @@ object DedupOps {
   def ngramJaccardPairs(
       df: DataFrame, idCol: Column, textCol: Column,
       shingleSize: Int = 5, maxBucket: Int = 50, minJaccard: Double = 0.3): DataFrame = {
-    val docs = df
-      .select(idCol.as("doc_id"), wordShingles(textCol, shingleSize).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    // see minhashLsh: materialize shingles once, every leg below reuses them
+    val docs = shingleSignatures(df, idCol, textCol, shingleSize, numHashes = 0)
+      .select("doc_id", "shingles")
+      .localCheckpoint()
     val posting = docs
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val rare = posting.groupBy("sh").agg(count(lit(1)).as("df_"))
