@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again tomorrow"), // near-dup of 1
+    (3L, "completely different words about spark engines and shuffles here"),
+    (4L, "the quick brown fox jumps over the lazy dog again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical text, keeps min id") {
+    val out = DedupOps.exactDedup(docs, col("doc_id"), col("text"))
+    assert(out.count() == 3)
+    val dup = out.filter(col("n_copies") === 2).head()
+    assert(dup.getLong(1) == 1L) // keep_id
+  }
+
+  test("minhashLsh finds planted near-dup and exact-dup pairs") {
+    val out = DedupOps.minhashLsh(docs, col("doc_id"), col("text"),
+      shingleSize = 5, bands = 4, rowsPerBand = 2, minJaccard = 0.5)
+    val pairs = out.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+  }
+
+  test("typed simhash equals the expression-form simhash") {
+    val typed = DedupOps.simhash64Typed(docs, col("doc_id"), col("text"))
+    val expr = docs.select(col("doc_id"),
+      DedupOps.simhash64(col("text")).as("simhash"))
+    assert(typed.except(expr).isEmpty && expr.except(typed).isEmpty)
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val m = DedupOps.simhash64Typed(docs, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(m(1L) == m(4L))
+    assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+  }
+
+  test("ngramJaccardPairs verifies with exact jaccard") {
+    val out = DedupOps.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      shingleSize = 3, maxBucket = 50, minJaccard = 0.3)
+      .as[(Long, Long, Double)].collect()
+    val exact = out.find(r => r._1 == 1L && r._2 == 4L)
+    assert(exact.exists(_._3 == 1.0))
+  }
+
+  test("cosineTopK ranks by cosine similarity with id tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)), // closest to 0
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0.5f, 0.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .select("nbr_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 3L -> 2))
+  }
+
+  test("lshCosineTopK returns bucket-mates ranked like the exact search") {
+    val n = 50
+    val vecs = (0 until n).map { i =>
+      val arr = Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat)
+      (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val out = SimilarityOps.lshCosineTopK(vecs, vecs.limit(5), k = 3, dims = 8,
+      planes = 2)
+    // recall is approximate by design; assert shape + determinism only
+    val rows = out.select("query_id", "rank").as[(Long, Int)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 <= 3))
+  }
+}

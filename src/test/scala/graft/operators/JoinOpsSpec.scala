@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Join semantics modeled on the reference's TestJoinDatamerge fixtures:
+  * N sorted (key, value) sources with controlled overlap. */
+class JoinOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def src(rows: (Int, Int)*) = rows.toDF("key", "value")
+
+  test("inner join emits only keys present in ALL sources") {
+    val out = JoinOps.innerJoin(
+      Seq(src(1 -> 10, 2 -> 20), src(2 -> 200, 3 -> 300)), "key")
+    assert(out.select("key").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("outer join emits keys present in ANY source, absent slots null") {
+    val out = JoinOps.outerJoin(
+      Seq(src(1 -> 10).withColumnRenamed("value", "v1"),
+        src(2 -> 200).withColumnRenamed("value", "v2")), "key")
+    val rows = out.orderBy("key").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(0) == 1 && rows(0).isNullAt(2))
+    assert(rows(1).getInt(0) == 2 && rows(1).isNullAt(1))
+  }
+
+  test("override join keeps value from the RIGHTMOST source that has the key") {
+    val out = JoinOps.overrideJoin(
+      Seq(src(1 -> 1, 2 -> 1, 3 -> 1), src(2 -> 2, 4 -> 2), src(2 -> 3)),
+      "key", "value")
+    val m = out.as[(Int, Int)].collect().toMap
+    assert(m == Map(1 -> 1, 2 -> 3, 3 -> 1, 4 -> 2))
+  }
+
+  test("inner join with duplicate keys yields the cross-product of matches") {
+    val out = JoinOps.innerJoin(Seq(src(1 -> 10, 1 -> 11), src(1 -> 20, 1 -> 21)), "key")
+    assert(out.count() == 4)
+  }
+
+  test("tagged join caps each side's per-key group before the cross product") {
+    val left = Seq((1, "l1"), (1, "l2"), (1, "l3")).toDF("key", "lv")
+    val right = Seq((1, "r1"), (1, "r2"), (1, "r3")).toDF("key", "rv")
+    val out = JoinOps.taggedJoin(left, right, "key",
+      Seq(col("lv")), Seq(col("rv")), maxPerGroup = 2)
+    // 2 x 2, not 3 x 3 — and deterministically the first two of each order
+    val got = out.select("lv", "rv").as[(String, String)].collect().toSet
+    assert(got == Set(("l1", "r1"), ("l1", "r2"), ("l2", "r1"), ("l2", "r2")))
+  }
+
+  test("semi/anti join") {
+    val a = src(1 -> 1, 2 -> 2, 3 -> 3)
+    val b = src(2 -> 0)
+    assert(JoinOps.semiJoin(a, b, "key").select("key").as[Int].collect().toSeq == Seq(2))
+    assert(JoinOps.antiJoin(a, b, "key").select("key").as[Int]
+      .collect().toSeq.sorted == Seq(1, 3))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class PipeMapMultimodalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pipeMap through /bin/cat is an identity on framed lines") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val out = PipeOps.pipeMap(df, Seq("/bin/cat")).as[String].collect().toSet
+    assert(out == Set("a\t1", "b\t2"))
+  }
+
+  test("pipeReduce delivers each key's rows contiguously to the command") {
+    // awk prints key<TAB>count-per-contiguous-run; if rows of one key were
+    // split across runs the per-key counts would not sum to one line per key
+    val df = (1 to 50).map(i => (i % 5, i)).toDF("k", "v")
+    val out = PipeOps.pipeReduce(df, Seq("k"),
+      Seq("/bin/sh", "-c",
+        """awk -F'\t' 'BEGIN { prev = "\x01none" } { if ($1 != prev) { if (NR > 1) print prev "\t" c; prev = $1; c = 0 } c++ } END { if (NR > 0) print prev "\t" c }'"""))
+    val parsed = PipeOps.parseKv(out)
+      .as[(String, String)].collect().map { case (k, c) => (k.toInt, c.toInt) }
+    // each key appears exactly once across all partition runs => contiguous
+    assert(parsed.groupBy(_._1).forall(_._2.length == 1))
+    assert(parsed.map(_._2).sum == 50)
+  }
+
+  test("parseKv splits on the first separator only") {
+    val lines = Seq("k1\tv\twith\ttabs", "k2\t", "k3").toDF("line")
+    val got = PipeOps.parseKv(lines).as[(String, String)].collect().toSet
+    assert(got == Set(("k1", "v\twith\ttabs"), ("k2", ""), ("k3", "")))
+  }
+
+  test("grep counts regex matches and sorts desc") {
+    val df = Seq("spark scan scan", "scan spark").toDF("text")
+    val got = MapOps.grep(df, "text", "sc[a-z]+").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("scan", 3L)))
+  }
+
+  test("multimodal stub featurizer is deterministic and batched") {
+    val df = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val payloads = MultimodalOps.withBinaryPayload(df, "text")
+    val feats = MultimodalOps.extractFeatures(payloads, "doc_id", "payload")
+      .collect().sortBy(_.id)
+    assert(feats.length == 2)
+    assert(feats(0).n_bytes == 11L && feats(1).n_bytes == 0L)
+    assert(feats(0).feature.length == 8)
+    assert(feats(1).feature.forall(_ == 0f))
+    // deterministic: same input -> same feature
+    val again = MultimodalOps.extractFeatures(payloads, "doc_id", "payload")
+      .collect().sortBy(_.id)
+    assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+  }
+
+  test("binaryMeta computes byte length and md5 over the payload") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val row = MultimodalOps.binaryMeta(
+      MultimodalOps.withBinaryPayload(df, "text"), "payload")
+      .select("n_bytes", "content_hash").head()
+    assert(row.getLong(0) == 3L)
+    assert(row.getString(1) == "900150983cd24fb0d6963f7d28e17f72")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.Row
+import graft.TestSpark
+
+class SortGroupOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("globalRowNumber equals a single-partition window row_number") {
+    val df = (1 to 500).map(i => (i * 7919 % 101, i)).toDF("k", "id")
+      .repartition(4)
+    val got = SortOps.globalRowNumber(df, Seq(col("k").asc, col("id").asc))
+      .select("k", "id", "rn")
+    val want = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("k").asc, col("id").asc)).cast("long"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("topK returns exactly the k smallest by order") {
+    val df = (1 to 100).map(i => (i * 37 % 97, i)).toDF("v", "id")
+    val got = SortOps.topK(df, Seq(col("v").desc, col("id")), 5)
+      .select("v", "id").as[(Int, Int)].collect().toSeq
+    val want = df.as[(Int, Int)].collect().toSeq
+      .sortBy { case (v, id) => (-v, id) }.take(5)
+    assert(got == want)
+  }
+
+  test("modSample keeps exactly keys divisible by f") {
+    val df = (0 until 100).toDF("k")
+    assert(SortOps.modSample(df, col("k"), 10).as[Int].collect().toSeq.sorted ==
+      (0 until 100 by 10))
+  }
+
+  test("sortedGroups sees each group's rows ordered by the sort key") {
+    val rows = Seq((1, 3), (1, 1), (2, 9), (1, 2), (2, 5))
+    val df = rows.toDF("k", "v").repartition(3)
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("cnt", IntegerType),
+      StructField("firstv", IntegerType), StructField("sortedOk", IntegerType)))
+    val out = GroupOps.sortedGroups(df, Seq(col("k")), Seq(col("v")))(
+      (head, group) => {
+        val vs = group.map(_.getInt(1))
+        Iterator(Row(head.getInt(0), vs.size, vs.head,
+          if (vs == vs.sorted) 1 else 0))
+      }, schema)
+    val got = out.as[(Int, Int, Int, Int)].collect().toSet
+    assert(got == Set((1, 3, 1, 1), (2, 2, 5, 1)))
+  }
+
+  test("sessionize splits on gaps larger than the threshold") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    val df = Seq(
+      (1L, at(0), 1L), (1L, at(10), 2L), (1L, at(100), 3L), // user 1: 2 sessions
+      (2L, at(0), 4L)                                       // user 2: 1 session
+    ).toDF("user_id", "ts", "event_id")
+    val out = GroupOps.sessionize(df, col("user_id"), col("ts"), col("event_id"),
+        gapMicros = 30L * 60 * 1000000)
+      .groupBy("user_id").agg(max("session_id").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+}
