@@ -662,6 +662,22 @@ object Queries {
       md5(text) AS content_hash, n_chars = len(text) AS len_matches
       FROM documents ORDER BY doc_id"""))
 
+  // ------------------------------------------------- terasort (generated)
+
+  private val qTeraValidate = QuerySpec(
+    "q_tera_validate",
+    (s, _) =>
+      graft.sources.Tera.validate(
+        graft.sources.Tera.sort(graft.sources.Tera.gen(s, 200000, 32))),
+    Some("""WITH recs AS (
+        SELECT substr(md5(CAST(i AS VARCHAR) || ':k'), 1, 20) AS key,
+               md5(CAST(i AS VARCHAR) || ':v') AS value
+        FROM generate_series(0, 199999) t(i))
+      SELECT COUNT(*) AS n_records, CAST(0 AS BIGINT) AS n_violations,
+        CAST(SUM(CAST('0x' || substr(md5(key || value), 1, 14) AS BIGINT)
+          % 1000000007) % 1000000007 AS BIGINT) AS checksum
+      FROM recs"""))
+
   // ----------------------------------------------------------------- export
 
   val all: Seq[QuerySpec] = Seq(
@@ -671,5 +687,5 @@ object Queries {
     qTaggedJoin, qSortTotal, qTopk, qKeyfieldSort, qSampleMod, qSampleMd5,
     qUnionTagged, qIntersect, qExcept, qPipeWc, qDedupExact, qDedupMinhash,
     qSimhash, qNgramJaccard, qFingerprint, qTextQuality, qAnnCosine,
-    qMultimodalMeta)
+    qMultimodalMeta, qTeraValidate)
 }

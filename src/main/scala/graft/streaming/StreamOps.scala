@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is a pure batch engine
+  * (SURVEY §2.13) — this package is the forward-looking extension the
+  * prompt asks for: the same operators (windowed aggregation,
+  * sessionization) in incremental form, so a pipeline built on the batch
+  * ops can be pointed at a stream without rewriting its logic.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts + sums per key with a watermark: the streaming
+    * twin of the batch q_tumbling_window query. State is bounded by the
+    * watermark — late rows beyond it are dropped, windows older than it are
+    * finalized and evicted. */
+  def windowedAgg(
+      events: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      windowDuration: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col(keyCol), col("cnt"), col("sum_value"))
+
+  final case class SessionEvent(userId: Long, tsMicros: Long)
+  final case class SessionState(nEvents: Long, lastTsMicros: Long, nSessions: Long)
+  final case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
+
+  /** Stateful sessionization via mapGroupsWithState — the streaming twin of
+    * GroupOps.sessionize. Per-key state is O(1) (last timestamp + counters),
+    * so 100TB-scale key cardinality is bounded by the state store, not the
+    * data volume. */
+  def sessionCounts(
+      events: Dataset[SessionEvent],
+      gapMicros: Long): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.tsMicros)
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val newSession = st.lastTsMicros == Long.MinValue ||
+              e.tsMicros - st.lastTsMicros > gapMicros
+            st = SessionState(
+              st.nEvents + 1, e.tsMicros,
+              st.nSessions + (if (newSession) 1 else 0))
+          }
+          state.update(st)
+          SessionUpdate(userId, st.nSessions, st.nEvents)
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.TestSpark
+import graft.core.Graft
+
+class SourcesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("teraGen is deterministic; teraSort output validates clean") {
+    val data = Tera.gen(spark, 5000, parts = 8)
+    assert(data.count() == 5000)
+    // deterministic across invocations
+    assert(Tera.gen(spark, 100, 4).except(Tera.gen(spark, 100, 2)).isEmpty)
+    val v = Tera.validate(Tera.sort(data)).head()
+    assert(v.getLong(0) == 5000L) // n_records
+    assert(v.getLong(1) == 0L)    // no order violations
+    // checksum invariant: validate(sorted) == validate(generated order)
+    val v2 = Tera.validate(data).head()
+    assert(v.getLong(2) == v2.getLong(2))
+  }
+
+  test("validate counts violations in an unsorted dataset") {
+    val unsorted = Tera.gen(spark, 2000, 4)
+    val v = Tera.validate(unsorted.repartition(4)).head()
+    assert(v.getLong(1) > 0L)
+  }
+
+  test("fixed-width records slice correctly") {
+    val dir = tmpDir()
+    val payload = (0 until 10).map(i => f"k$i%03d${"v" * 6}").mkString // 10-byte records
+    Files.write(java.nio.file.Paths.get(dir, "rec.bin"), payload.getBytes("UTF-8"))
+    val recs = FixedWidth.readKv(spark, dir, width = 10, keyWidth = 4)
+    assert(recs.count() == 10)
+    val first = recs.orderBy("idx").select("key", "value").head()
+    assert(first.getString(0) == "k000" && first.getString(1) == "vvvvvv")
+  }
+
+  test("kvtext source parses tab-separated key/value lines") {
+    val dir = tmpDir()
+    Files.write(java.nio.file.Paths.get(dir, "kv.txt"),
+      "alpha\t1\nbeta\t2\n".getBytes("UTF-8"))
+    val got = Graft.source(spark, dir, "kvtext")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("alpha", "1"), ("beta", "2")))
+  }
+
+  test("text source reads lines; small files pack into few partitions") {
+    val dir = tmpDir()
+    (0 until 20).foreach { i =>
+      Files.write(java.nio.file.Paths.get(dir, s"f$i.txt"), s"line$i\n".getBytes)
+    }
+    val df = Graft.source(spark, dir, "text")
+    assert(df.count() == 20)
+    // CombineFileInputFormat parity: Spark bin-packs tiny files
+    assert(df.rdd.getNumPartitions < 20)
+  }
+
+  test("partitionBy sink writes MultipleOutputs-style dynamic paths") {
+    val dir = tmpDir() + "/out"
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "grp")
+    Graft.sink(df, dir, partitionBy = Seq("grp"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("grp="))
+    assert(dirs.toSet == Set("grp=a", "grp=b"))
+  }
+}

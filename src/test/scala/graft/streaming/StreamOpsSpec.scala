@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+import graft.TestSpark
+
+class StreamOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedAgg aggregates tumbling windows incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.windowedAgg(
+      input.toDF.toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", "1 hour", "2 hours")
+    val q = out.writeStream.format("memory").queryName("win")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.0),
+        (ts("2024-01-01 00:50:00"), "click", 2.0),
+        (ts("2024-01-01 01:10:00"), "view", 5.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:20:00"), "click", 4.0)) // in-watermark late row
+      q.processAllAvailable()
+      val rows = spark.table("win")
+        .groupBy("window_start", "event_type")
+        .agg(org.apache.spark.sql.functions.max("cnt").as("cnt"),
+          org.apache.spark.sql.functions.max("sum_value").as("sum"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (ts("2024-01-01 00:00:00"), "click", 3L, 7.0),
+        (ts("2024-01-01 01:00:00"), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionCounts keeps O(1) state per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps._
+    val input = MemoryStream[SessionEvent]
+    val out = sessionCounts(input.toDS(), gapMicros = 30L * 60 * 1000000)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val m = 60L * 1000000
+      input.addData(SessionEvent(1, 0), SessionEvent(1, 10 * m))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1, 100 * m), SessionEvent(2, 0)) // gap -> new session
+      q.processAllAvailable()
+      val last = spark.table("sess")
+        .groupBy("userId")
+        .agg(org.apache.spark.sql.functions.max("nSessions").as("s"),
+          org.apache.spark.sql.functions.max("nEvents").as("e"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(last == Set((1L, 2L, 3L), (2L, 1L, 1L)))
+    } finally q.stop()
+  }
+}
