@@ -662,6 +662,86 @@ object Queries {
       md5(text) AS content_hash, n_chars = len(text) AS len_matches
       FROM documents ORDER BY doc_id"""))
 
+  // ------------------------------------ aggregate framework / join language
+
+  private val qValueAgg = QuerySpec(
+    "q_value_agg",
+    (s, dir) => {
+      import AggregatorFramework._
+      run(t(s, dir, "events"), Seq(
+        Descriptor(LongValueSum, col("event_type"), lit(1)),
+        Descriptor(DoubleValueSum, col("event_type"), col("value")),
+        Descriptor(LongValueMax, col("event_type"), col("user_id")),
+        Descriptor(LongValueMin, col("event_type"), col("user_id")),
+        Descriptor(StringValueMax, lit("etype"), col("event_type")),
+        Descriptor(UniqValueCount, col("event_type"), col("user_id"))),
+        uniqCap = 100)
+        .orderBy("key")
+    },
+    Some("""SELECT key, value FROM (
+        SELECT 'LongValueSum:' || event_type AS key,
+          CAST(COUNT(*) AS VARCHAR) AS value FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'DoubleValueSum:' || event_type,
+          CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(20,6)))
+            AS DECIMAL(20,6)) AS VARCHAR) FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'LongValueMax:' || event_type,
+          CAST(MAX(user_id) AS VARCHAR) FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'LongValueMin:' || event_type,
+          CAST(MIN(user_id) AS VARCHAR) FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'StringValueMax:etype', MAX(event_type) FROM events
+        UNION ALL
+        SELECT 'UniqValueCount:' || event_type,
+          CAST(LEAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)), 100) AS VARCHAR)
+        FROM events GROUP BY event_type) t
+      ORDER BY key"""))
+
+  private val qJoinExpr = QuerySpec(
+    "q_join_expr",
+    (s, dir) => {
+      val tables: String => DataFrame = {
+        case "nat" => t(s, dir, "nation")
+          .select(col("n_nationkey").as("key"), col("n_name"))
+        case "cust" => t(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("key")).agg(count(lit(1)).as("n_cust"))
+        case "supp" => t(s, dir, "supplier")
+          .groupBy(col("s_nationkey").as("key")).agg(count(lit(1)).as("n_supp"))
+      }
+      JoinExpr.compile("""inner(tbl("nat"),outer(tbl("cust"),tbl("supp")))""", tables)
+        .select(col("key"), col("n_name_0").as("n_name"),
+          coalesce(col("n_cust_0_1"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp_1_1"), lit(0L)).as("n_supp"))
+        .orderBy("key")
+    },
+    Some("""SELECT n_nationkey AS key, n_name,
+        COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      FROM nation
+      JOIN (SELECT COALESCE(c.k, s.k) AS k, n_cust, n_supp
+            FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust
+                  FROM customer GROUP BY 1) c
+            FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp
+                  FROM supplier GROUP BY 1) s ON c.k = s.k) j
+      ON n_nationkey = j.k ORDER BY key"""))
+
+  private val qCube = QuerySpec(
+    "q_cube",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("et"),
+          coalesce(col("day"), lit("ALL")).as("day"), col("cnt"))
+        .orderBy("et", "day"),
+    Some("""SELECT COALESCE(event_type, 'ALL') AS et, COALESCE(day, 'ALL') AS day,
+        COUNT(*) AS cnt
+      FROM (SELECT event_type,
+              strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events) t
+      GROUP BY CUBE(event_type, day) ORDER BY et, day"""))
+
   // ------------------------------------------------- terasort (generated)
 
   private val qTeraValidate = QuerySpec(
@@ -687,5 +767,5 @@ object Queries {
     qTaggedJoin, qSortTotal, qTopk, qKeyfieldSort, qSampleMod, qSampleMd5,
     qUnionTagged, qIntersect, qExcept, qPipeWc, qDedupExact, qDedupMinhash,
     qSimhash, qNgramJaccard, qFingerprint, qTextQuality, qAnnCosine,
-    qMultimodalMeta, qTeraValidate)
+    qMultimodalMeta, qTeraValidate, qValueAgg, qJoinExpr, qCube)
 }

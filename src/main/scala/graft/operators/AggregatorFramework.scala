@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's ValueAggregator framework (SURVEY §2.6): one job computes
+  * many named aggregates. Each input record is expanded by "descriptors"
+  * into (aggregatorType:id, value) pairs; the job groups by the composite
+  * key and applies the aggregator named by the type (reference:
+  * hadoop-mapreduce-client-core .../lib/aggregate/ValueAggregatorJob.java:85,
+  * type registry ValueAggregatorBaseDescriptor.java:39-53).
+  *
+  * Spark form: descriptors project (type, id, value) rows, union, one
+  * groupBy computes every aggregator family as columns, and a CASE picks the
+  * one the type asks for — still a single shuffle for all aggregates, with
+  * map-side partials (the reference's combiner) automatic.
+  */
+object AggregatorFramework {
+
+  /** One descriptor: rows -> (aggType, id, value) triples. */
+  final case class Descriptor(aggType: String, id: Column, value: Column)
+
+  val LongValueSum = "LongValueSum"
+  val DoubleValueSum = "DoubleValueSum"
+  val LongValueMax = "LongValueMax"
+  val LongValueMin = "LongValueMin"
+  val StringValueMax = "StringValueMax"
+  val StringValueMin = "StringValueMin"
+  val UniqValueCount = "UniqValueCount"
+  val ValueHistogramT = "ValueHistogram"
+
+  /** Run all descriptors in ONE aggregation pass. Output:
+    * (key = "type:id", value = string-rendered aggregate) — the reference's
+    * TextOutputFormat shape. */
+  def run(df: DataFrame, descriptors: Seq[Descriptor], uniqCap: Int = 100): DataFrame = {
+    val tagged = descriptors
+      .map { d =>
+        df.select(
+          lit(d.aggType).as("agg_type"),
+          d.id.cast("string").as("id"),
+          d.value.cast("string").as("value"))
+      }
+      .reduce(_ unionByName _)
+    // try_cast: one union carries every descriptor's values as strings, so a
+    // numeric aggregator sees other descriptors' non-numeric rows (ANSI cast
+    // would throw); nulls simply drop out of min/max/sum
+    tagged
+      .groupBy("agg_type", "id")
+      .agg(
+        sum(expr("try_cast(value AS DECIMAL(20,6))")).as("d_sum"),
+        max(expr("try_cast(value AS BIGINT)")).as("l_max"),
+        min(expr("try_cast(value AS BIGINT)")).as("l_min"),
+        max(col("value")).as("s_max"),
+        min(col("value")).as("s_min"),
+        least(countDistinct(col("value")), lit(uniqCap.toLong)).as("uniq"))
+      .select(
+        concat(col("agg_type"), lit(":"), col("id")).as("key"),
+        when(col("agg_type") === LongValueSum,
+          col("d_sum").cast("long").cast("string"))
+          // fixed-scale decimal rendering: double->string formatting differs
+          // across engines (sci-notation thresholds); decimal strings don't
+          .when(col("agg_type") === DoubleValueSum,
+            col("d_sum").cast("decimal(20,6)").cast("string"))
+          .when(col("agg_type") === LongValueMax, col("l_max").cast("string"))
+          .when(col("agg_type") === LongValueMin, col("l_min").cast("string"))
+          .when(col("agg_type") === StringValueMax, col("s_max"))
+          .when(col("agg_type") === StringValueMin, col("s_min"))
+          .when(col("agg_type") === UniqValueCount, col("uniq").cast("string"))
+          .otherwise(lit(null).cast("string"))
+          .as("value"))
+  }
+}
