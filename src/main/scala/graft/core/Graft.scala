@@ -59,6 +59,16 @@ object Graft {
       format: String = "parquet",
       options: Map[String, String] = Map.empty): DataFrame =
     format match {
+      case "auto" => // AutoInputFormat parity: sniff format from extension
+        val ext = path.replaceAll("[/\\\\]+$", "").split("\\.").last.toLowerCase
+        val sniffed = ext match {
+          case "parquet" => "parquet"
+          case "csv" | "tsv" => "csv"
+          case "json" | "jsonl" => "json"
+          case "txt" | "log" | "gz" | "bz2" => "text"
+          case _ => "parquet"
+        }
+        source(spark, path, sniffed, options)
       case "text"    => spark.read.options(options).text(path)
       case "kvtext"  => // KeyValueTextInputFormat parity: sep-split key/value lines
         spark.read

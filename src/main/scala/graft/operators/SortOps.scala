@@ -67,4 +67,26 @@ object SortOps {
     * .../lib/partition/InputSampler.java:159). */
   def randomSample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
+
+  /** Hash-partition on a subset of key fields (KeyFieldBasedPartitioner
+    * parity, reference: .../lib/partition/KeyFieldBasedPartitioner.java:51):
+    * co-locates rows sharing the subset while the full key stays free for
+    * in-partition ordering. */
+  def partitionByKeyFields(df: DataFrame, n: Int, fields: Seq[Column]): DataFrame =
+    df.repartition(n, fields: _*)
+
+  /** Hash-partition on a byte/char range of a serialized key
+    * (BinaryPartitioner parity, reference:
+    * .../lib/partition/BinaryPartitioner.java:71). */
+  def partitionByKeySlice(df: DataFrame, n: Int, key: Column,
+      from: Int, len: Int): DataFrame =
+    df.repartition(n, substring(key.cast("string"), from, len))
+
+  /** Exactly-N-rows-per-task repartition (NLineInputFormat parity,
+    * reference: .../lib/input/NLineInputFormat.java:61). Counts once —
+    * use only when task granularity really must be row-exact. */
+  def nlineRepartition(df: DataFrame, rowsPerPartition: Long): DataFrame = {
+    val n = math.max(1L, (df.count() + rowsPerPartition - 1) / rowsPerPartition)
+    df.repartition(n.toInt)
+  }
 }

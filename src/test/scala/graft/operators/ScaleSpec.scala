@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.core.Chain
+
+/** Scale-technique demos as executable assertions: bucketed shuffle-free
+  * sort-merge join (the reference's CompositeInputFormat map-side join),
+  * salting for hot keys, operator chaining fusion. */
+class ScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed tables sort-merge-join WITHOUT a shuffle exchange") {
+    val n = 1000
+    val a = (1 to n).map(i => (i % 50, s"a$i")).toDF("key", "av")
+    val b = (1 to n).map(i => (i % 50, s"b$i")).toDF("key", "bv")
+    a.write.mode("overwrite").bucketBy(8, "key").sortBy("key").saveAsTable("bk_a")
+    b.write.mode("overwrite").bucketBy(8, "key").sortBy("key").saveAsTable("bk_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_a").join(spark.table("bk_b"), Seq("key"))
+      joined.write.mode("overwrite").format("noop").save()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // bucket co-location: no shuffle before either side of the join
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("saltedStats equals the direct groupBy on a skewed dataset") {
+    // 90% of rows share one key — the groupBy shape salting exists for
+    val rows = (1 to 2000).map(i => (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toDouble))
+    val df = rows.toDF("key", "value")
+    val salted = SkewOps.saltedStats(df, col("key"), col("value"), saltBuckets = 8)
+      .select("key", "sum_value", "cnt", "min_value", "max_value")
+    val direct = df.groupBy("key").agg(
+      sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"),
+      count(lit(1)).as("cnt"),
+      min("value").as("min_value"),
+      max("value").as("max_value"))
+    assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
+  }
+
+  test("saltedJoin equals the plain join on a skewed left side") {
+    val left = ((1 to 500).map(_ => (1, "hot")) ++ Seq((2, "cold"))).toDF("key", "lv")
+    val right = Seq((1, "r1"), (2, "r2")).toDF("key", "rv")
+    val salted = SkewOps.saltedJoin(left, right, "key", saltBuckets = 4)
+      .select("key", "lv", "rv")
+    val plain = left.join(right, Seq("key")).select("key", "lv", "rv")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("Chain.of composes transforms left to right") {
+    val f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.withColumn("x2", col("x") * 2)
+    val g: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.filter(col("x2") > 4)
+    val out = Chain.of(f, g)(Seq(1, 2, 3, 4).toDF("x"))
+    assert(out.select("x").as[Int].collect().toSeq.sorted == Seq(3, 4))
+  }
+}
