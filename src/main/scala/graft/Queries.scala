@@ -742,6 +742,133 @@ object Queries {
               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events) t
       GROUP BY CUBE(event_type, day) ORDER BY et, day"""))
 
+  // ------------------------ sorted-group iteration / salting / multimodal
+
+  // grouping-comparator parity through the REAL sorted-group iterator (not
+  // the window formulation): per order, concatenate line numbers in
+  // secondary-sort order inside GroupOps.sortedGroups.
+  private val qSortedGroups = QuerySpec(
+    "q_sorted_groups",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("line_seq", StringType),
+        StructField("n_lines", LongType)))
+      GroupOps.sortedGroups(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
+        Seq(col("l_orderkey")),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity")))(
+        (head, group) => Iterator(org.apache.spark.sql.Row(
+          head.getLong(0),
+          group.map(_.getInt(1)).mkString(","),
+          group.size.toLong)),
+        schema).orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey,
+        string_agg(CAST(l_linenumber AS VARCHAR), ','
+          ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS line_seq,
+        COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  private val qSaltedAgg = QuerySpec(
+    "q_salted_agg",
+    (s, dir) =>
+      SkewOps.saltedStats(t(s, dir, "events"), col("event_type"), col("value"),
+          saltBuckets = 16)
+        .orderBy("key"),
+    Some("""SELECT event_type AS key,
+        CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+        COUNT(*) AS cnt, MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events GROUP BY event_type ORDER BY key"""))
+
+  // FixedLengthInputFormat through the gate: a deterministic md5-derived
+  // binary file is (re)written driver-side, scanned as 40-byte records, and
+  // summarized; the oracle regenerates the same records arithmetically.
+  private val qFixedWidth = QuerySpec(
+    "q_fixed_width",
+    (s, _) => {
+      val n = 500
+      val f = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_fixed_width.bin")
+      if (!f.exists() || f.length() != n * 40L) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+        val bytes = new StringBuilder(n * 40)
+        (0 until n).foreach { i =>
+          bytes.append(hex(md.digest(s"$i:fw".getBytes("UTF-8"))).substring(0, 8))
+          bytes.append(hex(md.digest(s"$i:fv".getBytes("UTF-8"))))
+        }
+        java.nio.file.Files.write(f.toPath, bytes.toString.getBytes("UTF-8"))
+      }
+      graft.sources.FixedWidth.readKv(s, f.getAbsolutePath, width = 40, keyWidth = 8)
+        .agg(
+          count(lit(1)).as("n_records"),
+          countDistinct(col("key")).as("distinct_keys"),
+          sum(conv(col("key"), 16, 10).cast("long")).as("key_sum"),
+          min(col("value")).as("min_value"))
+    },
+    Some("""WITH recs AS (
+        SELECT substr(md5(CAST(i AS VARCHAR) || ':fw'), 1, 8) AS key,
+               md5(CAST(i AS VARCHAR) || ':fv') AS value
+        FROM generate_series(0, 499) t(i))
+      SELECT COUNT(*) AS n_records, COUNT(DISTINCT key) AS distinct_keys,
+        CAST(SUM(CAST('0x' || key AS BIGINT)) AS BIGINT) AS key_sum,
+        MIN(value) AS min_value
+      FROM recs"""))
+
+  // the streaming operator run in batch mode (withWatermark is a no-op on
+  // batch input — same code path the stream uses)
+  private val qEventWindow = QuerySpec(
+    "q_event_window",
+    (s, dir) =>
+      graft.streaming.StreamOps.windowedAgg(
+        t(s, dir, "events"), "ts", "event_type", "value", "1 hour", "2 hours")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"), col("cnt"),
+          round(col("sum_value").cast("decimal(20,6)"), 6).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        event_type, COUNT(*) AS cnt,
+        CAST(CAST(SUM(value) AS DECIMAL(20,6)) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  // multimodal decode-kernel plumbing through the gate: the mapPartitions
+  // featurizer runs distributed; byte counts are oracle-checkable
+  private val qMultimodalFeatures = QuerySpec(
+    "q_multimodal_features",
+    (s, dir) =>
+      MultimodalOps.extractFeatures(
+        MultimodalOps.withBinaryPayload(t(s, dir, "documents"), "text"),
+        "doc_id", "payload")
+        .toDF()
+        .select(col("id").as("doc_id"), col("n_bytes"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents ORDER BY doc_id"""))
+
+  // non-SQL-portable engine hashes (xxhash64): rows-only checks
+  private val qAnnLsh = QuerySpec(
+    "q_ann_lsh",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.lshCosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          dims = 64, planes = 4)
+        .select(col("query_id"), col("nbr_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  private val qTextgenWc = QuerySpec(
+    "q_textgen_wc",
+    (s, _) =>
+      MapOps.wordCount(graft.sources.TextGen.corpus(s, 2000, 50), "text")
+        .orderBy("word"),
+    None)
+
   // ------------------------------------------------- terasort (generated)
 
   private val qTeraValidate = QuerySpec(
@@ -767,5 +894,7 @@ object Queries {
     qTaggedJoin, qSortTotal, qTopk, qKeyfieldSort, qSampleMod, qSampleMd5,
     qUnionTagged, qIntersect, qExcept, qPipeWc, qDedupExact, qDedupMinhash,
     qSimhash, qNgramJaccard, qFingerprint, qTextQuality, qAnnCosine,
-    qMultimodalMeta, qTeraValidate, qValueAgg, qJoinExpr, qCube)
+    qMultimodalMeta, qTeraValidate, qValueAgg, qJoinExpr, qCube,
+    qSortedGroups, qSaltedAgg, qFixedWidth, qEventWindow,
+    qMultimodalFeatures, qAnnLsh, qTextgenWc)
 }
