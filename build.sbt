@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+  // many-query sessions generate thousands of codegen classes; the default
+  // 240m code cache fills, the JIT disables itself, and hot loops fall back
+  // to the interpreter (10-40x slowdowns late in a run)
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+"))

@@ -12,7 +12,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // default 2: first pass warms codegen/JIT (a 47-query session floods the
+    // C2 compiler; cold first executions measure compiler queueing, not the
+    // operator), min is reported
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -490,14 +490,14 @@ object Queries {
         WHERE len(toks) >= 5),
       sigs AS (
         SELECT doc_id, shingles,
-          list_min(list_transform(shingles, s -> substr(md5('0:' || s), 1, 16))) AS mh0,
-          list_min(list_transform(shingles, s -> substr(md5('1:' || s), 1, 16))) AS mh1,
-          list_min(list_transform(shingles, s -> substr(md5('2:' || s), 1, 16))) AS mh2,
-          list_min(list_transform(shingles, s -> substr(md5('3:' || s), 1, 16))) AS mh3,
-          list_min(list_transform(shingles, s -> substr(md5('4:' || s), 1, 16))) AS mh4,
-          list_min(list_transform(shingles, s -> substr(md5('5:' || s), 1, 16))) AS mh5,
-          list_min(list_transform(shingles, s -> substr(md5('6:' || s), 1, 16))) AS mh6,
-          list_min(list_transform(shingles, s -> substr(md5('7:' || s), 1, 16))) AS mh7
+          list_min(list_transform(shingles, s -> substr(md5(s), 1, 16))) AS mh0,
+          list_min(list_transform(shingles, s -> substr(md5(s), 3, 16))) AS mh1,
+          list_min(list_transform(shingles, s -> substr(md5(s), 5, 16))) AS mh2,
+          list_min(list_transform(shingles, s -> substr(md5(s), 7, 16))) AS mh3,
+          list_min(list_transform(shingles, s -> substr(md5(s), 9, 16))) AS mh4,
+          list_min(list_transform(shingles, s -> substr(md5(s), 11, 16))) AS mh5,
+          list_min(list_transform(shingles, s -> substr(md5(s), 13, 16))) AS mh6,
+          list_min(list_transform(shingles, s -> substr(md5(s), 15, 16))) AS mh7
         FROM docs),
       banded AS (
         SELECT doc_id, shingles, b,

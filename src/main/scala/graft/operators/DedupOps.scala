@@ -59,14 +59,18 @@ object DedupOps {
           val shingles: Array[String] =
             if (toks.length < k) Array.empty
             else toks.sliding(k).map(_.mkString(" ")).toArray.distinct
-          val sig: Array[String] = Array.tabulate(numHashes) { seed =>
+          // one md5 per shingle; hash family i = 16-hex window at offset 2i
+          // (i <= 8 fits the 32-hex digest). Windows overlap, which is fine
+          // for LSH banding and 8x cheaper than per-seed digests; identical
+          // SQL: substr(md5(s), 2*i+1, 16).
+          val hexes = shingles.map(sh => toHex(md.digest(sh.getBytes("UTF-8"))))
+          val sig: Array[String] = Array.tabulate(numHashes) { i =>
             var min: String = null
-            var i = 0
-            while (i < shingles.length) {
-              val h = toHex(md.digest(s"$seed:${shingles(i)}".getBytes("UTF-8")))
-                .substring(0, 16)
+            var j = 0
+            while (j < hexes.length) {
+              val h = hexes(j).substring(2 * i, 2 * i + 16)
               if (min == null || h < min) min = h
-              i += 1
+              j += 1
             }
             min
           }
@@ -106,29 +110,27 @@ object DedupOps {
           (0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
       }: _*)).as("bk"))
-    banded
+    // In-bucket pairing stays in expression land (sort_array + indexed
+    // transform + explode): tiny codegen footprint vs a typed flatMap whose
+    // nested Seq[(Long, Seq[String])] encoder generates pathological
+    // first-run compile times in long sessions.
+    val buckets = banded
       .groupBy("bk")
-      .agg(collect_list(struct(col("doc_id"), col("shingles"))).as("docs"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("shingles"))))
+        .as("docs"))
       .filter(size(col("docs")).between(2, maxBucket))
-      .select("docs")
-      .as[Seq[(Long, Seq[String])]]
-      .flatMap { bucket =>
-        val sorted = bucket.sortBy(_._1)
-        for {
-          i <- sorted.indices.iterator
-          j <- (i + 1) until sorted.size
-        } yield {
-          val (a, sa) = sorted(i)
-          val (b, sb) = sorted(j)
-          val setA = sa.toSet
-          val inter = sb.count(setA.contains)
-          val union = setA.size + sb.size - inter
-          val jac = BigDecimal(inter.toDouble / union)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          (a, b, jac)
-        }
-      }
-      .toDF("a", "b", "jaccard")
+    val pair = explode(flatten(transform(col("docs"), (a, i) =>
+      transform(slice(col("docs"), i + 2, size(col("docs"))),
+        b => struct(a.as("x"), b.as("y"))))))
+    buckets
+      .select(pair.as("p"))
+      .select(
+        col("p.x.doc_id").as("a"),
+        col("p.y.doc_id").as("b"),
+        round(
+          size(array_intersect(col("p.x.shingles"), col("p.y.shingles"))).cast("double") /
+            size(array_union(col("p.x.shingles"), col("p.y.shingles"))).cast("double"),
+          6).as("jaccard"))
       .dropDuplicates("a", "b")
       .filter(col("jaccard") >= minJaccard)
   }
