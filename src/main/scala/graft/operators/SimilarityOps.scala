@@ -14,14 +14,19 @@ import org.apache.spark.sql.expressions.Window
 object SimilarityOps {
 
   /** Sequential-fold dot product over double-cast arrays: deterministic
-    * accumulation order (left fold), so results are bit-stable. */
+    * accumulation order (left fold), so results are bit-stable. Kept as the
+    * composable HOF formulation; the hot path below uses the native
+    * codegen'd expression. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native Catalyst expression ([[graft.plans.CosineSimilarity]]): fused
+    * codegen loop, bit-identical to the fold formulation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.NativeFunctions.cosine_similarity(a, b)
 
   /** Brute-force cosine top-k: for each row of `queries` (small — broadcast),
     * the k nearest corpus rows by cosine. Ranking uses the 6-dp-rounded

@@ -1,0 +1,19 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes the engine's native Catalyst
+  * functions available to ANY session (including pure-SQL users) via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` — the idiomatic way to
+  * ship custom expressions without forking Spark. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => NativeFunctions.build(exprs(0), exprs(1))))
+  }
+}

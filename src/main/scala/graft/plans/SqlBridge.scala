@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge. Spark 4 moved these converters behind
+  * `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils), so the one
+  * sanctioned way for an extension library to wrap a custom Catalyst
+  * Expression as a user-facing Column is a shim inside the sql package —
+  * the same technique Spark connector libraries use. */
+object SqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

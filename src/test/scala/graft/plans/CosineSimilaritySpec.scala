@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.operators.SimilarityOps
+
+class CosineSimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+    (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+    (Array(0.5f, -0.5f, 2f), Array(-1f, 3f, 0.25f))
+  ).toDF("a", "b")
+
+  test("native expression matches the HOF fold bit-for-bit") {
+    val hof = SimilarityOps.dot(col("a"), col("b")) /
+      (SimilarityOps.norm(col("a")) * SimilarityOps.norm(col("b")))
+    val rows = vecs.select(
+      NativeFunctions.cosine_similarity(col("a"), col("b")).as("native"),
+      hof.as("fold")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("registered SQL function evaluates identically") {
+    NativeFunctions.register(spark)
+    vecs.createOrReplaceTempView("vecs_cs")
+    val viaSql = spark.sql(
+      "SELECT graft_cosine(a, b) AS c FROM vecs_cs").as[Double].collect()
+    val viaCol = vecs.select(
+      NativeFunctions.cosine_similarity(col("a"), col("b"))).as[Double].collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
+  test("expression stays inside whole-stage codegen") {
+    // LocalTableScan of literals never enters codegen — use a range-derived
+    // plan, the shape a parquet scan produces
+    val df = spark.range(100).select(
+      array((0 to 3).map(i => (col("id") + i).cast("double")): _*).as("a"),
+      array((0 to 3).map(i => (col("id") * i).cast("double")): _*).as("b"))
+    val q = df
+      .select(NativeFunctions.cosine_similarity(col("a"), col("b")).as("c"))
+      .filter(col("c") > -2)
+    q.write.mode("overwrite").format("noop").save()
+    // the "*(n)" prefix is the WholeStageCodegen stage marker; a codegen
+    // fallback would print bare "Project"/"Filter" nodes
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"))
+  }
+
+  test("known values") {
+    val out = Seq((Array(1f, 0f), Array(1f, 0f)), (Array(1f, 0f), Array(-1f, 0f)))
+      .toDF("a", "b")
+      .select(NativeFunctions.cosine_similarity(col("a"), col("b")))
+      .as[Double].collect()
+    assert(out(0) == 1.0 && out(1) == -1.0)
+  }
+}
