@@ -869,6 +869,70 @@ object Queries {
         .orderBy("word"),
     None)
 
+  // ------------------------------ as-of join / tokens / embedding near-dup
+
+  private val qAsofJoin = QuerySpec(
+    "q_asof_join",
+    (s, dir) => {
+      // dedupe right side on (key, time) first so the as-of pick is unique —
+      // both engines then agree without relying on tie order
+      val w = Window.partitionBy(col("key"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ordersDedup = t(s, dir, "orders")
+        .select(col("o_custkey").as("key"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+      JoinOps.asOfJoin(
+        t(s, dir, "events").select(col("event_id"), col("user_id").as("key"), col("ts")),
+        ordersDedup,
+        key = "key", leftTime = "ts", rightTime = "o_orderdate")
+        .select(col("event_id"), col("key").as("user_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    },
+    Some("""WITH o AS (
+        SELECT key, o_orderdate, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey AS key, o_orderdate, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+              ORDER BY o_orderkey DESC) AS rn
+          FROM orders) x WHERE rn = 1)
+      SELECT event_id, user_id, o.o_orderkey, o.o_totalprice
+      FROM events ASOF LEFT JOIN o
+        ON events.user_id = o.key AND events.ts >= o.o_orderdate
+      ORDER BY event_id"""))
+
+  private val qTokenCount = QuerySpec(
+    "q_token_count",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
+          TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws,
+        len(regexp_extract_all(text,
+          '''(?:s|d|m|t|ll|ve|re)|[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+')) AS n_bpe
+      FROM documents ORDER BY doc_id"""))
+
+  private val qDedupEmbedding = QuerySpec(
+    "q_dedup_embedding",
+    (s, dir) =>
+      SimilarityOps.nearDupPairs(t(s, dir, "embeddings"), k = 20)
+        .orderBy(col("sim").desc, col("a"), col("b")),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings)
+      SELECT x.vec_id AS a, y.vec_id AS b,
+        ROUND(list_dot_product(x.v, y.v) /
+          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+          6) AS sim
+      FROM e x JOIN e y ON x.vec_id < y.vec_id
+      ORDER BY sim DESC, a, b LIMIT 20"""))
+
   // ------------------------------------------------- terasort (generated)
 
   private val qTeraValidate = QuerySpec(
@@ -896,5 +960,6 @@ object Queries {
     qSimhash, qNgramJaccard, qFingerprint, qTextQuality, qAnnCosine,
     qMultimodalMeta, qTeraValidate, qValueAgg, qJoinExpr, qCube,
     qSortedGroups, qSaltedAgg, qFixedWidth, qEventWindow,
-    qMultimodalFeatures, qAnnLsh, qTextgenWc)
+    qMultimodalFeatures, qAnnLsh, qTextgenWc, qAsofJoin, qTokenCount,
+    qDedupEmbedding)
 }

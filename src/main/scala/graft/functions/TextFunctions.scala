@@ -20,6 +20,18 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish pre-tokenizer regex (GPT-2 style, simplified to the subset both
+    * Java and RE2 regex dialects share): contractions, letter runs, digit
+    * runs, punctuation runs. This is the token-COUNT surface an LLM-data
+    * pipeline budgets with; actual BPE merges happen downstream. */
+  val bpePattern: String =
+    "'(?:s|d|m|t|ll|ve|re)|[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Fraction of tokens that are stopwords (english heuristic). */

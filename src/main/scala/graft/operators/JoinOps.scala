@@ -64,6 +64,54 @@ object JoinOps {
     cap(left, leftOrder).join(cap(right, rightOrder), Seq(key), "inner")
   }
 
+  /** As-of join: for each left row, the most recent right row with
+    * rightTime <= leftTime on the same key (an operator the reference — and
+    * stock Spark SQL — lacks; SURVEY §2.5 "free surface").
+    *
+    * Implemented with the union + running-last-value technique: tag both
+    * sides, union, ONE shuffle on the key, and a window scan in time order
+    * where right rows sort before left rows at equal timestamps. Cost is
+    * sort-merge-shaped (n log n per key group) — no range cross-join blowup,
+    * so it survives 100TB where a `t BETWEEN`-style join would explode.
+    * The right payload travels as one struct, so all matched columns come
+    * atomically from the same right row. Right rows tied on (key, time) are
+    * resolved by `rightOrder` (last wins). Unmatched left rows keep nulls
+    * (left-join semantics). */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightOrder: Seq[String] = Nil): DataFrame = {
+    val rCols = right.columns.filterNot(_ == key).toSeq
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_is_left", lit(1))
+      .withColumn("_rpay", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rCols.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType, nullable = true)))))
+      .select(col(key).as("_k"), col("_t"), col("_is_left"), col("_rpay"),
+        struct(left.columns.map(col): _*).as("_lpay"))
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_is_left", lit(0))
+      .withColumn("_rpay", struct(rCols.map(col): _*))
+      .select(col(key).as("_k"), col("_t"), col("_is_left"), col("_rpay"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          left.schema.fields.toSeq)).as("_lpay"))
+    val order = Seq(col("_t").asc, col("_is_left").asc) ++
+      rightOrder.map(c => col("_rpay").getField(c).asc)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("_m", last(when(col("_is_left") === 0, col("_rpay")), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+    val outCols =
+      left.columns.toSeq.map(c => col("_lpay").getField(c).as(c)) ++
+        rCols.map(c => col("_m").getField(c).as(c))
+    matched.select(outCols: _*)
+  }
+
   /** Semi/anti join surface (free in Spark; absent in the reference — SURVEY
     * §2.5 flags these as engine surface we expose anyway). */
   def semiJoin(a: DataFrame, b: DataFrame, key: String): DataFrame =

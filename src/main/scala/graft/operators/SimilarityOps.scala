@@ -45,6 +45,23 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-dup: the top-k most similar distinct pairs in the
+    * corpus by cosine. Brute-force all-pairs here (BroadcastNestedLoopJoin +
+    * the codegen'd native cosine; fine to ~10^4 rows); at 100TB-scale
+    * corpora swap the pair source for [[lshCosineTopK]]'s bucketed
+    * candidates — the ranking/tiebreak logic is identical. */
+  def nearDupPairs(
+      corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH signature: sign bits of dot(vec, h_i) for
     * deterministic pseudo-random hyperplanes derived from (seed, i, dim) via
     * a hash — reproducible without shipping hyperplane data. Vectors landing

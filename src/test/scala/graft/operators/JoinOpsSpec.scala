@@ -51,6 +51,26 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got == Set(("l1", "r1"), ("l1", "r2"), ("l2", "r1"), ("l2", "r2")))
   }
 
+  test("as-of join picks the latest right row at or before each left time") {
+    val quotes = Seq( // (key, qt, px)
+      (1, 10L, 1.0), (1, 20L, 2.0), (1, 20L, 2.5), (2, 5L, 9.0)
+    ).toDF("key", "qt", "px")
+    val trades = Seq( // (key, tt, trade)
+      (1, 5L, "t0"),  // before any quote -> null
+      (1, 15L, "t1"), // -> px 1.0
+      (1, 20L, "t2"), // equal time counts; tie on qt=20 -> last by px => 2.5
+      (1, 99L, "t3"), // -> 2.5
+      (3, 9L, "t4")   // no quotes for key -> null
+    ).toDF("key", "tt", "trade")
+    val out = JoinOps.asOfJoin(trades, quotes, "key", "tt", "qt",
+      rightOrder = Seq("px"))
+    val m = out.select("trade", "px").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(m == Map("t0" -> None, "t1" -> Some(1.0), "t2" -> Some(2.5),
+      "t3" -> Some(2.5), "t4" -> None))
+  }
+
   test("semi/anti join") {
     val a = src(1 -> 1, 2 -> 2, 3 -> 3)
     val b = src(2 -> 0)
