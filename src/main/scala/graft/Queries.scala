@@ -933,6 +933,93 @@ object Queries {
       FROM e x JOIN e y ON x.vec_id < y.vec_id
       ORDER BY sim DESC, a, b LIMIT 20"""))
 
+  private val qAnnIvf = QuerySpec(
+    "q_ann_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nlist = 8, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id AS nbr_id, v AS nv, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_dot_product(e.v, c.cv) /
+                (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                6) DESC, c.cid) AS rn
+          FROM e, cent c) x WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_dot_product(e.v, c.cv) /
+                (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                6) DESC, c.cid) AS rn
+          FROM e, cent c WHERE e.vec_id < 10) x WHERE rn <= 2)
+      SELECT query_id, nbr_id, sim, "rank" FROM (
+        SELECT p.query_id, a.nbr_id,
+          ROUND(list_dot_product(p.qv, a.nv) /
+            (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.nv, a.nv))),
+            6) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+            ROUND(list_dot_product(p.qv, a.nv) /
+              (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.nv, a.nv))),
+              6) DESC, a.nbr_id) AS "rank"
+        FROM probes p JOIN assigned a ON p.cid = a.cid
+        WHERE a.nbr_id <> p.query_id) t
+      WHERE "rank" <= 5 ORDER BY query_id, "rank""""))
+
+  private val qWindowLag = QuerySpec(
+    "q_window_lag",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          round(avg(col("value")).over(w.rowsBetween(-2, 0)), 6).as("mov_avg3"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, "value",
+        LAG("value", 1) OVER w AS prev_value,
+        LEAD("value", 1) OVER w AS next_value,
+        ROUND(AVG("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""))
+
+  private val qSessionWindow = QuerySpec(
+    "q_session_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), sumExact(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH g AS (
+        SELECT user_id, ts, value,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM (SELECT user_id, ts, value, event_id,
+                CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+              FROM (SELECT user_id, ts, value, event_id,
+                      LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev
+                    FROM events) a) b)
+      SELECT user_id,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
   // ------------------------------------------------- terasort (generated)
 
   private val qTeraValidate = QuerySpec(
@@ -961,5 +1048,5 @@ object Queries {
     qMultimodalMeta, qTeraValidate, qValueAgg, qJoinExpr, qCube,
     qSortedGroups, qSaltedAgg, qFixedWidth, qEventWindow,
     qMultimodalFeatures, qAnnLsh, qTextgenWc, qAsofJoin, qTokenCount,
-    qDedupEmbedding)
+    qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow)
 }

@@ -62,6 +62,41 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path besides LSH.
+    * Coarse quantizer is deterministic ("training-free"): centroids are the
+    * `nlist` lowest-id corpus vectors, every vector is assigned to its
+    * nearest centroid (rounded cosine, centroid-id tiebreak — so any engine
+    * reproduces the same buckets), and a query probes only its `nprobe`
+    * nearest centroids' buckets. Search cost drops from |corpus| to
+    * nprobe/nlist of it; a k-means-refined quantizer slots in by replacing
+    * `centroids` without touching the bucket/search dataflow. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    def nearestBuckets(df: DataFrame, outId: String, outVec: String, n: Int) = {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(round(cosine(col(outVec), col("cvec")), 6).desc, col("cid"))
+      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+        .crossJoin(broadcast(cent))
+        .withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= n)
+        .drop("_crn", "cvec")
+    }
+    val assigned = nearestBuckets(corpus, "nbr_id", "cvec2", 1)
+    val probes = nearestBuckets(queries, "query_id", "qvec", nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("qvec"), col("cvec2")), 6).as("sim"))
+      // no pair dedup needed: each corpus vector lives in exactly one bucket
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH signature: sign bits of dot(vec, h_i) for
     * deterministic pseudo-random hyperplanes derived from (seed, i, dim) via
     * a hash — reproducible without shipping hyperplane data. Vectors landing

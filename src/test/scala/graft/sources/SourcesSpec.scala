@@ -62,6 +62,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions < 20)
   }
 
+  test("compact rewrites many small files into few") {
+    val in = tmpDir() + "/in"
+    val out = tmpDir() + "/out"
+    val df = (1 to 1000).toDF("v")
+    df.repartition(20).write.parquet(in)
+    val nIn = new java.io.File(in).listFiles().count(_.getName.startsWith("part-"))
+    assert(nIn == 20)
+    val nOut = Compact.compact(spark, in, out)
+    assert(nOut == 1)
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+
   test("partitionBy sink writes MultipleOutputs-style dynamic paths") {
     val dir = tmpDir() + "/out"
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "grp")
