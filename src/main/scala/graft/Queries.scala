@@ -867,7 +867,12 @@ object Queries {
     (s, _) =>
       MapOps.wordCount(graft.sources.TextGen.corpus(s, 2000, 50), "text")
         .orderBy("word"),
-    None)
+    Some(s"""WITH words AS (
+        SELECT ${graft.sources.TextGen.vocabSqlList}[
+          CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+            CAST(j AS VARCHAR)), 1, 6) AS BIGINT) % 20 AS INT) + 1] AS word
+        FROM generate_series(0, 1999) t(i), generate_series(0, 49) u(j))
+      SELECT word, COUNT(*) AS cnt FROM words GROUP BY word ORDER BY word"""))
 
   // ------------------------------ as-of join / tokens / embedding near-dup
 

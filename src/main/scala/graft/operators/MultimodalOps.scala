@@ -26,6 +26,47 @@ object MultimodalOps {
 
   final case class MediaFeature(id: Long, n_bytes: Long, feature: Array[Float])
 
+  /** STUB image resize: a real decoder would decode -> scale -> re-encode
+    * per batch; the deterministic fake folds the payload into a w*h byte
+    * grid so output SHAPE and distributed plumbing match the real op. */
+  def resizeStub(df: DataFrame, idCol: String, payloadCol: String,
+      w: Int, h: Int): Dataset[(Long, Array[Byte])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // STUB decode/scale: codec libraries unavailable in this container.
+        it.map { case (id, bytes) =>
+          val out = Array.tabulate[Byte](w * h) { i =>
+            if (bytes.isEmpty) 0 else bytes(i % bytes.length)
+          }
+          (id, out)
+        }
+      }
+  }
+
+  /** STUB video frame-sampling: emits `n` "frames" (payload slices) per
+    * input — the one-row-in/many-rows-out shape a real frame sampler has. */
+  def frameSampleStub(df: DataFrame, idCol: String, payloadCol: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        // STUB: a real implementation seeks keyframes; the fake slices the
+        // payload into n equal spans so frame indices are deterministic.
+        (0 until n).iterator.map { f =>
+          val span = math.max(1, bytes.length / n)
+          val from = math.min(f * span, bytes.length)
+          val until = math.min(from + span, bytes.length)
+          (id, f, bytes.slice(from, until))
+        }
+      }
+      .toDF(idCol, "frame", "payload")
+  }
+
   /** Per-partition batched "decode + featurize". A real implementation would
     * decode images/audio here (one codec context per partition, vectorized
     * batches); the STUB derives a deterministic 8-float feature from the

@@ -17,7 +17,9 @@ object TextGen {
     "stream", "query", "vector", "shuffle")
 
   /** nDocs documents of wordsPerDoc hash-picked vocab words:
-    * (doc_id, text). */
+    * (doc_id, text). Word picks are md5-derived (portable hash), so any
+    * engine regenerates the identical corpus:
+    * word(i,j) = vocab[hex(md5(i ':' j))[0:6] as int % |vocab|]. */
   def corpus(
       spark: SparkSession,
       nDocs: Long,
@@ -31,9 +33,16 @@ object TextGen {
         transform(
           sequence(lit(0), lit(wordsPerDoc - 1)),
           i => element_at(v,
-            (pmod(xxhash64(col("id"), i), lit(vocab.size.toLong)) + 1).cast("int"))))
+            (pmod(
+              conv(substring(md5(concat(col("id").cast("string"), lit(":"),
+                i.cast("string"))), 1, 6), 16, 10).cast("long"),
+              lit(vocab.size.toLong)) + 1).cast("int"))))
         .as("text"))
   }
+
+  /** The default vocab as a SQL list literal, for oracle queries. */
+  def vocabSqlList: String =
+    defaultVocab.map(w => s"'$w'").mkString("[", ",", "]")
 
   /** Random KV records (RandomWriter parity): (key: hex, value: hex) with
     * hash-derived sizes. */

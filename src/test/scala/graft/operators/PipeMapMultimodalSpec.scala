@@ -55,6 +55,17 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
   }
 
+  test("resize stub produces fixed-shape payloads; frame sampler fans out") {
+    val df = Seq((1L, "hello world document payload"), (2L, "")).toDF("doc_id", "text")
+    val payloads = MultimodalOps.withBinaryPayload(df, "text")
+    val resized = MultimodalOps.resizeStub(payloads, "doc_id", "payload", 4, 4)
+      .collect().sortBy(_._1)
+    assert(resized.forall(_._2.length == 16))
+    val frames = MultimodalOps.frameSampleStub(payloads, "doc_id", "payload", 3)
+    assert(frames.count() == 6) // 2 docs x 3 frames
+    assert(frames.filter(col("doc_id") === 1 && col("frame") === 0).count() == 1)
+  }
+
   test("binaryMeta computes byte length and md5 over the payload") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val row = MultimodalOps.binaryMeta(
