@@ -82,6 +82,33 @@ object Graft {
       case other     => spark.read.options(options).format(other).load(path)
     }
 
+  /** XML-tag-delimited record scan (StreamXmlRecordReader parity, reference:
+    * hadoop-tools/hadoop-streaming .../StreamInputFormat.java:35,
+    * StreamXmlRecordReader.java:46): one row per begin..end span. Files are
+    * read whole (records may cross line boundaries), so the split unit is
+    * the file — adequate for many medium documents, same trade-off as
+    * [[graft.sources.FixedWidth]]. */
+  def xmlRecords(spark: SparkSession, path: String, tag: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pattern = s"(?s)<$tag(?:\\s[^>]*)?>.*?</$tag>"
+    spark.read.option("wholetext", "true").text(path)
+      .select(explode(regexp_extract_all(col("value"), lit(pattern), lit(0)))
+        .as("record"))
+  }
+
+  /** Sorted bucketed table sink (MapFileOutputFormat parity, reference:
+    * hadoop-mapreduce-client-core .../lib/output/MapFileOutputFormat.java:49
+    * — sorted output + index for key lookup): bucket pruning serves the
+    * "index", bucket-local sort the ordering; co-located joins come free. */
+  def sinkBucketed(df: DataFrame, tableName: String, buckets: Int,
+      key: String, sortCols: Seq[String] = Nil): Unit = {
+    val sort = if (sortCols.isEmpty) Seq(key) else sortCols
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(sort.head, sort.tail: _*)
+      .saveAsTable(tableName)
+  }
+
   /** Sink facade covering SURVEY §2.3: text KV lines, parquet, partitioned
     * multi-output (MultipleOutputs parity via partitionBy), noop (NullOutputFormat).
     */

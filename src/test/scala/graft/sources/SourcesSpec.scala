@@ -62,6 +62,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions < 20)
   }
 
+  test("xml-tag records split on begin/end tags across lines") {
+    val dir = tmpDir()
+    Files.write(java.nio.file.Paths.get(dir, "recs.xml"),
+      "<rec id=\"1\">alpha\nbeta</rec>junk<rec>gamma</rec>\n".getBytes("UTF-8"))
+    val got = Graft.xmlRecords(spark, dir, "rec").as[String].collect().toSeq
+    assert(got == Seq("<rec id=\"1\">alpha\nbeta</rec>", "<rec>gamma</rec>"))
+  }
+
+  test("bucketed sink + lookup by key prunes buckets") {
+    val df = (1 to 100).map(i => (i, s"v$i")).toDF("key", "value")
+    Graft.sinkBucketed(df, "mapfile_t", buckets = 4, key = "key")
+    val hit = spark.table("mapfile_t").filter(col("key") === 42)
+    assert(hit.select("value").as[String].head() == "v42")
+  }
+
   test("compact rewrites many small files into few") {
     val in = tmpDir() + "/in"
     val out = tmpDir() + "/out"
