@@ -33,14 +33,19 @@ object AggregatorFramework {
     * (key = "type:id", value = string-rendered aggregate) — the reference's
     * TextOutputFormat shape. */
   def run(df: DataFrame, descriptors: Seq[Descriptor], uniqCap: Int = 100): DataFrame = {
-    val tagged = descriptors
-      .map { d =>
-        df.select(
+    // ONE scan: each input row explodes into its descriptor pairs — the
+    // reference's ValueAggregatorMapper emitted exactly this fan-out per
+    // record. A union-of-selects formulation would scan the source once per
+    // descriptor, which at 100TB is N full table reads instead of one.
+    val tagged = df
+      .select(explode(array(descriptors.map { d =>
+        struct(
           lit(d.aggType).as("agg_type"),
           d.id.cast("string").as("id"),
           d.value.cast("string").as("value"))
-      }
-      .reduce(_ unionByName _)
+      }: _*)).as("t"))
+      .select(col("t.agg_type").as("agg_type"), col("t.id").as("id"),
+        col("t.value").as("value"))
     // try_cast: one union carries every descriptor's values as strings, so a
     // numeric aggregator sees other descriptors' non-numeric rows (ANSI cast
     // would throw); nulls simply drop out of min/max/sum
