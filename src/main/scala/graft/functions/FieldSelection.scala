@@ -41,9 +41,12 @@ object FieldSelection {
       } else Single(tok.toInt)
     }
 
-  /** One selector -> array-of-fields column (0-based spec, 1-based element_at). */
+  /** One selector -> array-of-fields column (0-based spec, 1-based index).
+    * try_element_at: ANSI mode (Spark 4 default) makes plain element_at
+    * THROW on out-of-range indices; the reference simply skips absent
+    * fields, and the null is dropped by array_join below. */
   private def selArray(fields: Column, sel: Sel): Column = sel match {
-    case Single(i)    => array(element_at(fields, i + 1))
+    case Single(i)    => array(try_element_at(fields, lit(i + 1)))
     case Range(a, b)  => slice(fields, a + 1, b - a + 1)
     case OpenRange(a) => slice(fields, lit(a + 1), greatest(size(fields) - a, lit(0)))
   }

@@ -15,13 +15,14 @@ object MapOps {
     df.select(col(c2).as(k), col(c1).as(v))
   }
 
-  /** RegexMapper/Grep parity: emit one row per regex match in `textCol`,
+  /** RegexMapper/Grep parity: emit one row per regex match in `textCol`
+    * (capture group `group`, 0 = whole match — the reference's GROUP conf),
     * counted. Reference: .../lib/map/RegexMapper.java:36 and
     * hadoop-mapreduce-examples .../examples/Grep.java:59-93 (count job +
     * descending-sort job fused into one plan here — Catalyst handles the
     * two-MR-job pipeline as a single shuffle + sort). */
-  def grep(df: DataFrame, textCol: String, pattern: String): DataFrame =
-    df.select(explode(regexp_extract_all(col(textCol), lit(pattern), lit(0))).as("match"))
+  def grep(df: DataFrame, textCol: String, pattern: String, group: Int = 0): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol), lit(pattern), lit(group))).as("match"))
       .groupBy("match")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("match"))
