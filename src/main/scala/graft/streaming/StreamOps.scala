@@ -30,6 +30,44 @@ object StreamOps {
   final case class SessionState(nEvents: Long, lastTsMicros: Long, nSessions: Long)
   final case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
 
+  final case class ClosedSession(
+      userId: Long, startMicros: Long, endMicros: Long, nEvents: Long)
+
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** flatMapGroupsWithState variant: emits one record per CLOSED session
+    * (a session closes when a later event arrives beyond the gap); the
+    * still-open session stays in state. Zero-or-many outputs per group per
+    * batch — the generator-shaped stateful operator the mapGroups form
+    * can't express. */
+  def closedSessions(
+      events: Dataset[SessionEvent],
+      gapMicros: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state: GroupState[OpenSession]) =>
+          val sorted = evs.toSeq.sortBy(_.tsMicros)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var open = state.getOption
+          sorted.foreach { e =>
+            open match {
+              case Some(o) if e.tsMicros - o.last <= gapMicros =>
+                open = Some(o.copy(last = e.tsMicros, n = o.n + 1))
+              case Some(o) =>
+                closed += ClosedSession(userId, o.start, o.last, o.n)
+                open = Some(OpenSession(e.tsMicros, e.tsMicros, 1))
+              case None =>
+                open = Some(OpenSession(e.tsMicros, e.tsMicros, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Stateful sessionization via mapGroupsWithState — the streaming twin of
     * GroupOps.sessionize. Per-key state is O(1) (last timestamp + counters),
     * so 100TB-scale key cardinality is bounded by the state store, not the

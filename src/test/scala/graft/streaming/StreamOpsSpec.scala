@@ -39,6 +39,26 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("closedSessions emits a record only when a session closes") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps._
+    val m = 60L * 1000000
+    val input = MemoryStream[SessionEvent]
+    val out = closedSessions(input.toDS(), gapMicros = 30 * m)
+    val q = out.writeStream.format("memory").queryName("closed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(SessionEvent(1, 0), SessionEvent(1, 10 * m))
+      q.processAllAvailable()
+      assert(spark.table("closed").count() == 0) // session still open
+      input.addData(SessionEvent(1, 100 * m)) // gap -> closes first session
+      q.processAllAvailable()
+      val rows = spark.table("closed")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 0L, 10 * m, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionCounts keeps O(1) state per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     import StreamOps._
