@@ -25,21 +25,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val specs = Queries.all.filter(q => only.forall(_.contains(q.name)))
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = specs.map { q =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces evaluation of EVERY output column (count() would
         // let Catalyst prune per-row expression columns away entirely)
         try { q.run(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            // a crashing query must NOT be reported as a fast success:
+            // record the failure and poison this repeat's time
+            errors(q.name) = s"${e.getClass.getSimpleName}: ${
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)}"
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      q.name -> times.min
+      q.name -> (if (errors.contains(q.name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,16 +59,26 @@ object DedupOps {
           val shingles: Array[String] =
             if (toks.length < k) Array.empty
             else toks.sliding(k).map(_.mkString(" ")).toArray.distinct
-          // one md5 per shingle; hash family i = 16-hex window at offset 2i
-          // (i <= 8 fits the 32-hex digest). Windows overlap, which is fine
-          // for LSH banding and 8x cheaper than per-seed digests; identical
-          // SQL: substr(md5(s), 2*i+1, 16).
-          val hexes = shingles.map(sh => toHex(md.digest(sh.getBytes("UTF-8"))))
+          // Hash family i = 16-hex window at offset 2*(i%9) of digest block
+          // i/9, where block 0 is md5(s) and block b>0 is md5("b|" + s) —
+          // one digest per 9 families instead of one per family, and no cap
+          // on numHashes. Windows overlap, which is fine for LSH banding.
+          // Identical SQL: substr(md5(s), 2*(i%9)+1, 16) for i<=8, and
+          // substr(md5(CAST(i//9 AS VARCHAR) || '|' || s), ...) beyond.
+          val nBlocks = (numHashes + 8) / 9
+          val hexes = shingles.map { sh =>
+            Array.tabulate(nBlocks) { b =>
+              val input = if (b == 0) sh else s"$b|$sh"
+              toHex(md.digest(input.getBytes("UTF-8")))
+            }
+          }
           val sig: Array[String] = Array.tabulate(numHashes) { i =>
+            val block = i / 9
+            val off = 2 * (i % 9)
             var min: String = null
             var j = 0
             while (j < hexes.length) {
-              val h = hexes(j).substring(2 * i, 2 * i + 16)
+              val h = hexes(j)(block).substring(off, off + 16)
               if (min == null || h < min) min = h
               j += 1
             }

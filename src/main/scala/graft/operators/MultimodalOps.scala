@@ -78,11 +78,20 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // STUB decode: codec libraries unavailable in this container.
-        // Deterministic fake: feature[i] = mean of bytes in stripe i.
+        // Deterministic fake: feature[i] = mean of bytes in stripe i,
+        // accumulated in one pass over the payload (no per-stripe scans).
         it.map { case (id, bytes) =>
+          val sums = new Array[Long](8)
+          val counts = new Array[Int](8)
+          var j = 0
+          while (j < bytes.length) {
+            val s = j % 8
+            sums(s) += bytes(j) & 0xff
+            counts(s) += 1
+            j += 1
+          }
           val feat = Array.tabulate(8) { i =>
-            val stripe = bytes.indices.filter(_ % 8 == i).map(j => bytes(j) & 0xff)
-            if (stripe.isEmpty) 0f else stripe.sum.toFloat / stripe.length
+            if (counts(i) == 0) 0f else sums(i).toFloat / counts(i)
           }
           MediaFeature(id, bytes.length.toLong, feat)
         }

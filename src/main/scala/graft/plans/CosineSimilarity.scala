@@ -43,7 +43,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       ny += yv * yv
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero-norm / empty arrays: cosine is undefined; return 0.0 ("no
+    // similarity") rather than NaN, whose sort order diverges across engines
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -65,7 +68,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $nx += $xv * $xv;
          |  $ny += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -35,36 +35,58 @@ object StreamOps {
 
   final case class OpenSession(start: Long, last: Long, n: Long)
 
-  /** flatMapGroupsWithState variant: emits one record per CLOSED session
-    * (a session closes when a later event arrives beyond the gap); the
-    * still-open session stays in state. Zero-or-many outputs per group per
-    * batch — the generator-shaped stateful operator the mapGroups form
-    * can't express. */
+  /** flatMapGroupsWithState variant: emits one record per CLOSED session.
+    * A session closes when a later event arrives beyond the gap, OR when the
+    * event-time watermark passes the session's gap deadline (EventTimeTimeout)
+    * — so a key's final session is flushed without waiting for another event
+    * and idle-key state is evicted, keeping state bounded on a long-running
+    * stream. Zero-or-many outputs per group per batch — the generator-shaped
+    * stateful operator the mapGroups form can't express. */
   def closedSessions(
       events: Dataset[SessionEvent],
-      gapMicros: Long): Dataset[ClosedSession] = {
+      gapMicros: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
-      .groupByKey(_.userId)
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (userId, evs, state: GroupState[OpenSession]) =>
-          val sorted = evs.toSeq.sortBy(_.tsMicros)
-          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-          var open = state.getOption
-          sorted.foreach { e =>
-            open match {
-              case Some(o) if e.tsMicros - o.last <= gapMicros =>
-                open = Some(o.copy(last = e.tsMicros, n = o.n + 1))
-              case Some(o) =>
-                closed += ClosedSession(userId, o.start, o.last, o.n)
-                open = Some(OpenSession(e.tsMicros, e.tsMicros, 1))
-              case None =>
-                open = Some(OpenSession(e.tsMicros, e.tsMicros, 1))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: the open session
+            // is definitively closed; evict the key's state
+            val out = state.getOption
+              .map(o => ClosedSession(userId, o.start, o.last, o.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.map(_._2).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { t =>
+              open match {
+                case Some(o) if t - o.last <= gapMicros =>
+                  open = Some(o.copy(last = t, n = o.n + 1))
+                case Some(o) =>
+                  closed += ClosedSession(userId, o.start, o.last, o.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
             }
+            open.foreach { o =>
+              state.update(o)
+              // fire when the watermark passes the gap deadline (ms); must
+              // stay strictly above the current watermark to be accepted
+              state.setTimeoutTimestamp(math.max(
+                o.last / 1000 + gapMicros / 1000,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
-          open.foreach(state.update)
-          closed.iterator
       }
   }
 

@@ -43,19 +43,48 @@ class StreamOpsSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import StreamOps._
     val m = 60L * 1000000
+    // event-times must sit above the initial watermark (epoch 0), as any
+    // real event-time does — rows at-or-below the watermark are dropped
+    val base = 1000 * m
     val input = MemoryStream[SessionEvent]
     val out = closedSessions(input.toDS(), gapMicros = 30 * m)
     val q = out.writeStream.format("memory").queryName("closed")
       .outputMode(OutputMode.Append).start()
     try {
-      input.addData(SessionEvent(1, 0), SessionEvent(1, 10 * m))
+      input.addData(SessionEvent(1, base), SessionEvent(1, base + 10 * m))
       q.processAllAvailable()
       assert(spark.table("closed").count() == 0) // session still open
-      input.addData(SessionEvent(1, 100 * m)) // gap -> closes first session
+      input.addData(SessionEvent(1, base + 100 * m)) // gap -> closes first session
       q.processAllAvailable()
       val rows = spark.table("closed")
         .as[(Long, Long, Long, Long)].collect().toSet
-      assert(rows == Set((1L, 0L, 10 * m, 2L)))
+      assert(rows == Set((1L, base, base + 10 * m, 2L)))
+    } finally q.stop()
+  }
+
+  test("closedSessions flushes an idle session via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps._
+    val m = 60L * 1000000
+    val base = 1000 * m
+    val input = MemoryStream[SessionEvent]
+    val out = closedSessions(input.toDS(), gapMicros = 30 * m,
+      watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("closed_idle")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(SessionEvent(1, base))
+      q.processAllAvailable()
+      assert(spark.table("closed_idle").count() == 0)
+      // a far-future event on ANOTHER key advances the watermark past
+      // key 1's gap deadline -> its idle session must flush and evict
+      input.addData(SessionEvent(2, base + 500 * m))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2, base + 501 * m)) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val rows = spark.table("closed_idle")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows.contains((1L, base, base, 1L)))
     } finally q.stop()
   }
 
