@@ -371,11 +371,13 @@ object Queries {
   private val qTopk = QuerySpec(
     "q_topk",
     (s, dir) =>
-      SortOps.topK(
-        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
-        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 100)
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+      // rank the k winners with the RDD offset trick (globalRowNumber), not a
+      // global window — same result, no single-partition WindowExec
+      SortOps.globalRowNumber(
+        SortOps.topK(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 100),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
         .orderBy("rn"),
     Some("""SELECT o_orderkey, o_totalprice,
       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
