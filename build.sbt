@@ -26,7 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 16g beats 48g for this workload: G1 mixed-collection pauses grow with
+  // heap size and showed up as multi-second per-query spikes at 48g
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // many-query sessions generate thousands of codegen classes; the default
   // 240m code cache fills, the JIT disables itself, and hot loops fall back
   // to the interpreter (10-40x slowdowns late in a run)

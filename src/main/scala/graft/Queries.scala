@@ -13,7 +13,8 @@ import graft.operators._
   * tables for the driver's hash-match gate.
   *
   * Determinism rules applied throughout (so hash-compare is meaningful):
-  * - double SUMs go through decimal(20,6) (exact, order-independent);
+  * - double SUMs go through fixed-scale decimal (exact, order-independent;
+  *   precision 18 for the compact long-backed fast path — see AggOps);
   * - derived doubles (ratios, stddev, similarities) are rounded to 6 dp;
   * - every query has a total ORDER BY;
   * - row_number outputs are cast to long to match DuckDB's BIGINT.
@@ -160,7 +161,7 @@ object Queries {
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
         Seq(col("l_orderkey")),
         Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))) { w =>
-        Seq("run_qty" -> sum(col("l_quantity").cast("decimal(20,6)"))
+        Seq("run_qty" -> sum(col("l_quantity").cast("decimal(18,6)"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double"))
       }.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),

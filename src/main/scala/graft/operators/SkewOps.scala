@@ -34,7 +34,9 @@ object SkewOps {
       saltBuckets: Int = 64): DataFrame =
     saltedAgg(df, key, saltBuckets,
       partials = Seq(
-        sum(value.cast("decimal(20,6)")).as("p_sum"),
+        // precision 18 keeps Decimal long-backed (see AggOps numeric policy);
+        // the partial-sum result type widens to (28,6) so merging is exact
+        sum(value.cast("decimal(18,6)")).as("p_sum"),
         count(lit(1)).as("p_cnt"),
         min(value).as("p_min"),
         max(value).as("p_max")),
