@@ -87,8 +87,7 @@ object Queries {
   private val qFieldsel = QuerySpec(
     "q_fieldsel",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = core.Graft.rebalanceForCompute(t(s, dir, "documents"))
         .filter(size(split(col("text"), " ")) >= 6)
       MapOps.fieldSelect(docs, col("text"), "2,0:1,3-5", " ", carry = Seq("doc_id"))
         .orderBy("doc_id")
@@ -247,14 +246,26 @@ object Queries {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // Push the lineitem aggregation below the join: 600k rows shrink to
+      // 150k (one per order) BEFORE joining, the orderkey hash partitioning
+      // from the groupBy is reused by the join (no extra shuffle), and
+      // countDistinct(o_orderkey) degenerates to count(*) — no expand. At
+      // 100 TB this is the difference between shuffling the fact table
+      // through three joins and shuffling a per-order rollup once.
+      // Per-order partial stays decimal (not double) so the two-level sum
+      // remains exact and order-independent.
+      val perOrder = li
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).as("rev_part"))
+      perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("rev_part")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy("r_name", "n_name")
     },
     Some("""SELECT r_name, n_name,
@@ -571,8 +582,7 @@ object Queries {
   private val qFingerprint = QuerySpec(
     "q_fingerprint",
     (s, dir) =>
-      t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      core.Graft.rebalanceForCompute(t(s, dir, "documents"))
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
@@ -585,8 +595,7 @@ object Queries {
   private val qTextQuality = QuerySpec(
     "q_text_quality",
     (s, dir) =>
-      t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      core.Graft.rebalanceForCompute(t(s, dir, "documents"))
         .select(
           col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -914,8 +923,7 @@ object Queries {
   private val qTokenCount = QuerySpec(
     "q_token_count",
     (s, dir) =>
-      t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      core.Graft.rebalanceForCompute(t(s, dir, "documents"))
         .select(
           col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),

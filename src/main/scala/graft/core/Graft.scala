@@ -49,6 +49,21 @@ object Graft {
     else df
   }
 
+  /** Spread a compute-bound stage across every core. Parquet row groups are
+    * the unit of split, so a single-file, single-row-group input pins the
+    * whole first stage — scan + per-row compute fused by whole-stage codegen —
+    * to ONE core. Operators with heavy per-row work (shingling, hashing,
+    * regex scoring) call this on their input; shuffle-light queries must NOT
+    * (an extra exchange costs more than it buys there).
+    *
+    * Scale behavior: no-op whenever the scan already has at least half as
+    * many partitions as cores. A 100 TB table is ~800k splits, so this never
+    * adds a shuffle at production scale. */
+  def rebalanceForCompute[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val cores = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions * 2 <= cores) ds.repartition(cores) else ds
+  }
+
   /** Generic source facade covering the reference's input formats (SURVEY §2.2):
     * text lines, tab-separated KV text, parquet (canonical binary KV), fixed-length
     * binary via binaryFile. Compression is transparent as in the reference.

@@ -51,7 +51,7 @@ object DedupOps {
     // over all cores. At 100TB the scan itself provides the parallelism and
     // this becomes a cheap same-size shuffle (or can be dropped).
     df.select(idCol.cast("long"), textCol).as[(Long, String)]
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.core.Graft.rebalanceForCompute(_))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
@@ -176,7 +176,7 @@ object DedupOps {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(idCol.cast("long"), textCol).as[(Long, String)]
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.core.Graft.rebalanceForCompute(_))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>

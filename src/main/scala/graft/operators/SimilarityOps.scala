@@ -85,7 +85,7 @@ object SimilarityOps {
     }
     val bc = spark.sparkContext.broadcast((bIds, bVecs, bNorms))
     val partTopK = typed
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.core.Graft.rebalanceForCompute(_))
       .mapPartitions { it =>
         val (ids, vecs, norms) = bc.value
         // bounded heap, worst-kept pair at the root; "better" = higher sim,
