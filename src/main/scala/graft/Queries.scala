@@ -1052,6 +1052,149 @@ object Queries {
           % 1000000007) % 1000000007 AS BIGINT) AS checksum
       FROM recs"""))
 
+  // --------------------------------- round 2: io round-trips, chain, stream
+
+  /** ChainMapper/ChainReducer parity as a gate query: a named multi-stage
+    * pipeline (tokenize -> filter -> aggregate) composed with Chain.of —
+    * Catalyst fuses the per-row stages into one codegen stage. */
+  private val qChain = QuerySpec(
+    "q_chain",
+    (s, dir) => {
+      val pipeline = graft.core.Chain.of(
+        df => df.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w")),
+        df => df.filter(length(col("w")) >= 6),
+        df => df.groupBy("w")
+          .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs")))
+      pipeline(t(s, dir, "documents")).filter(col("cnt") >= 5).orderBy("w")
+    },
+    Some("""SELECT w, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents) t
+      WHERE LENGTH(w) >= 6 GROUP BY w HAVING COUNT(*) >= 5 ORDER BY w"""))
+
+  /** TextOutputFormat/KeyValueTextInputFormat parity end-to-end: write
+    * key<TAB>value lines, scan them back, aggregate. The gate checks the
+    * whole sink->source loop preserves records byte-for-byte. */
+  private val qKvtextRoundtrip = QuerySpec(
+    "q_kvtext_roundtrip",
+    (s, dir) => {
+      val out = s"/tmp/graft_kvtext_${new java.io.File(dir).getName}"
+      Graft.sink(
+        t(s, dir, "events")
+          .select(col("event_id").cast("string").as("key"), col("event_type").as("value")),
+        out, format = "kvtext")
+      Graft.source(s, out, format = "kvtext")
+        .groupBy("value")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+        .orderBy("value")
+    },
+    Some("""SELECT event_type AS value, COUNT(*) AS cnt,
+      MIN(CAST(event_id AS VARCHAR)) AS min_key,
+      MAX(CAST(event_id AS VARCHAR)) AS max_key
+      FROM events GROUP BY 1 ORDER BY value"""))
+
+  /** MultipleOutputs parity end-to-end: data-driven output paths via
+    * partitionBy, then a partition-discovering scan back over the tree. */
+  private val qPartitionedSink = QuerySpec(
+    "q_partitioned_sink",
+    (s, dir) => {
+      val out = s"/tmp/graft_parts_${new java.io.File(dir).getName}"
+      Graft.sink(t(s, dir, "events").select("event_id", "event_type", "value"),
+        out, partitionBy = Seq("event_type"))
+      Graft.source(s, out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** HadoopArchives/DistCp-style compaction as a gate: rewrite a table into
+    * ~1 MB files, then aggregate the compacted copy — content must be
+    * unchanged by the move. */
+  private val qCompactRoundtrip = QuerySpec(
+    "q_compact_roundtrip",
+    (s, dir) => {
+      val out = s"/tmp/graft_compact_${new java.io.File(dir).getName}"
+      graft.sources.Compact.compact(s, s"$dir/orders.parquet", out,
+        targetFileBytes = 1L * 1024 * 1024)
+      Graft.source(s, out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sumExact(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** Structured Streaming executed for real (file stream source ->
+    * watermarked tumbling-window agg -> memory sink, Trigger.AvailableNow),
+    * gated against the same SQL oracle as the batch twin — proof the
+    * incremental operator computes the identical result. */
+  private val qStreamTumbling = QuerySpec(
+    "q_stream_tumbling",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      // the file stream source only takes directories; expose the single
+      // table file through a per-sf temp dir (symlink, no data copy)
+      val streamDir = java.nio.file.Paths.get(
+        s"/tmp/graft_streamsrc_${new java.io.File(dir).getName}")
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        // decimal before the streaming sum: exact, order/batch-independent
+        .withColumn("value_dec", col("value").cast("decimal(18,6)"))
+      val agg = graft.streaming.StreamOps.windowedAgg(
+        stream, "event_time", "event_type", "value_dec", "1 hour", "1 hour")
+      val q = agg.writeStream
+        .format("memory").queryName("graft_stream_tumbling")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_tumbling")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+      event_type, COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  /** DBOutputFormat/DataDrivenDBInputFormat parity against a real database:
+    * batched JDBC insert into embedded Derby, then a partitioned bounded
+    * read back (WHERE c_custkey BETWEEN lo AND hi per split — the
+    * reference's exact split strategy) and an aggregate over it. */
+  private val qJdbcRoundtrip = QuerySpec(
+    "q_jdbc_roundtrip",
+    (s, dir) => {
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+      val db = s"/tmp/graft_derby_${new java.io.File(dir).getName}"
+      val url = s"jdbc:derby:$db;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+      graft.sources.Jdbc.write(cust, url, "customer_rt", mode = "overwrite", props = props)
+      graft.sources.Jdbc.read(s, url, "customer_rt",
+          partitionColumn = "c_custkey", lowerBound = 0L, upperBound = 4000000L,
+          numPartitions = 8, props = props)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sumExact(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, COUNT(*) AS cnt,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS sum_bal
+      FROM customer GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------------- export
 
   val all: Seq[QuerySpec] = Seq(
@@ -1064,5 +1207,7 @@ object Queries {
     qMultimodalMeta, qTeraValidate, qValueAgg, qJoinExpr, qCube,
     qSortedGroups, qSaltedAgg, qFixedWidth, qEventWindow,
     qMultimodalFeatures, qAnnLsh, qTextgenWc, qAsofJoin, qTokenCount,
-    qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow)
+    qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow,
+    qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
+    qStreamTumbling, qJdbcRoundtrip)
 }
