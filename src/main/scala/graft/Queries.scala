@@ -1195,6 +1195,56 @@ object Queries {
       CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS sum_bal
       FROM customer GROUP BY 1 ORDER BY 1"""))
 
+  /** CompositeInputFormat parity at the physical level: both sides written
+    * as bucketed+sorted tables on the join key, then joined — the
+    * sort-merge join consumes bucket files directly with NO shuffle
+    * exchange on either side (asserted in ScaleSpec). This is the map-side
+    * merge join the reference builds its whole lib/join package for, and at
+    * 100 TB it is the difference between re-shuffling the fact table per
+    * join and a pure streaming merge of pre-organized files. */
+  private val qBucketedJoin = QuerySpec(
+    "q_bucketed_join",
+    (s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val wh = s"/tmp/graft_bucketed_$sf"
+      def writeBucketed(df: DataFrame, tbl: String, key: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        df.write.mode("overwrite")
+          .option("path", s"$wh/$tbl")
+          .bucketBy(16, key).sortBy(key)
+          .saveAsTable(tbl)
+      }
+      writeBucketed(t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        s"li_bk_$sf", "l_orderkey")
+      writeBucketed(t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+        s"ord_bk_$sf", "o_orderkey")
+      s.table(s"li_bk_$sf")
+        .join(s.table(s"ord_bk_$sf"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"), sumExact(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** NLineInputFormat parity: task granularity = ceil(rows / N) partitions.
+    * The observable contract (partition count; every partition non-empty
+    * under round-robin) is emitted as a row and oracle-checked. */
+  private val qNline = QuerySpec(
+    "q_nline",
+    (s, dir) => {
+      val parts = SortOps.nlineRepartition(t(s, dir, "events"), 5000L)
+      parts
+        .select(spark_partition_id().as("pid"))
+        .agg(
+          countDistinct(col("pid")).as("n_partitions"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
+      COUNT(*) AS n_rows FROM events"""))
+
   // ----------------------------------------------------------------- export
 
   val all: Seq[QuerySpec] = Seq(
@@ -1209,5 +1259,5 @@ object Queries {
     qMultimodalFeatures, qAnnLsh, qTextgenWc, qAsofJoin, qTokenCount,
     qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow,
     qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
-    qStreamTumbling, qJdbcRoundtrip)
+    qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline)
 }
