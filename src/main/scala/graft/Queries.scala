@@ -1195,6 +1195,61 @@ object Queries {
       CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS sum_bal
       FROM customer GROUP BY 1 ORDER BY 1"""))
 
+  /** The generator-shaped stateful streaming operator
+    * (flatMapGroupsWithState) executed for real and oracle-gated. With the
+    * whole table in one AvailableNow batch and a watermark delay far beyond
+    * the data's time range, no EventTimeTimeout fires, so the emitted set is
+    * deterministic: exactly the sessions closed by a later event — i.e.
+    * every session except each user's last — which plain SQL can express. */
+  private val qStreamSessions = QuerySpec(
+    "q_stream_sessions",
+    (s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      val streamDir = java.nio.file.Paths.get(
+        s"/tmp/graft_streamsrc_${new java.io.File(dir).getName}")
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val events = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("user_id").as("userId"),
+          expr("ts div 1000").cast("long").as("tsMicros"))
+        .as[graft.streaming.StreamOps.SessionEvent]
+      val closed = graft.streaming.StreamOps.closedSessions(
+        events, gapMicros = 1800000000L, watermarkDelay = "36500 days")
+      val q = closed.toDF().writeStream
+        .format("memory").queryName("graft_stream_sessions")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_sessions")
+        .select(col("userId").as("user_id"), col("startMicros").as("start_us"),
+          col("endMicros").as("end_us"), col("nEvents").as("n_events"))
+        .orderBy("user_id", "start_us")
+    },
+    Some("""WITH g AS (
+        SELECT user_id, ts,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM (SELECT user_id, ts, event_id,
+                CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+              FROM (SELECT user_id, ts, event_id,
+                      LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev
+                    FROM events) a) b),
+      sess AS (
+        SELECT user_id, sid, MIN(epoch_us(ts)) AS start_us,
+               MAX(epoch_us(ts)) AS end_us, COUNT(*) AS n_events
+        FROM g GROUP BY user_id, sid)
+      SELECT user_id, start_us, end_us, n_events FROM (
+        SELECT s.*, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM sess s) z
+      WHERE sid < max_sid ORDER BY user_id, start_us"""))
+
   /** CompositeInputFormat parity at the physical level: both sides written
     * as bucketed+sorted tables on the join key, then joined — the
     * sort-merge join consumes bucket files directly with NO shuffle
@@ -1259,5 +1314,5 @@ object Queries {
     qMultimodalFeatures, qAnnLsh, qTextgenWc, qAsofJoin, qTokenCount,
     qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow,
     qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
-    qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline)
+    qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions)
 }
