@@ -1300,6 +1300,59 @@ object Queries {
     Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** KeyFieldBased/BinaryPartitioner parity as an observable invariant:
+    * after hash-partitioning on a key subset (here: event_type, and a char
+    * slice of it), every row with the same subset key is in the SAME
+    * partition — the contract reducers rely on. The gate emits
+    * (keys, max partitions any key spans, partitions used) — the middle
+    * value MUST be 1. */
+  private val qPartitionerContract = QuerySpec(
+    "q_partitioner_contract",
+    (s, dir) => {
+      val byFields = SortOps.partitionByKeyFields(
+        t(s, dir, "events").select("event_type", "event_id"), 8, Seq(col("event_type")))
+        .select(col("event_type"), spark_partition_id().as("pid"))
+        .groupBy("event_type").agg(countDistinct(col("pid")).as("nparts"))
+        .agg(countDistinct(col("event_type")).as("n_keys"),
+          max(col("nparts")).cast("long").as("max_parts_per_key"))
+      val bySlice = SortOps.partitionByKeySlice(
+        t(s, dir, "events").select("event_type", "event_id"), 8, col("event_type"), 1, 3)
+        .select(substring(col("event_type"), 1, 3).as("k3"), spark_partition_id().as("pid"))
+        .groupBy("k3").agg(countDistinct(col("pid")).as("nparts"))
+        .agg(countDistinct(col("k3")).as("n_keys"),
+          max(col("nparts")).cast("long").as("max_parts_per_key"))
+      byFields.withColumn("partitioner", lit("key_fields"))
+        .unionByName(bySlice.withColumn("partitioner", lit("key_slice")))
+        .select("partitioner", "n_keys", "max_parts_per_key")
+        .orderBy("partitioner")
+    },
+    Some("""SELECT 'key_fields' AS partitioner,
+        COUNT(DISTINCT event_type) AS n_keys, CAST(1 AS BIGINT) AS max_parts_per_key
+      FROM events
+      UNION ALL
+      SELECT 'key_slice', COUNT(DISTINCT substr(event_type, 1, 3)), CAST(1 AS BIGINT)
+      FROM events ORDER BY partitioner"""))
+
+  /** AutoInputFormat parity end-to-end: sink as csv, re-scan through the
+    * extension-sniffing auto source, aggregate. */
+  private val qAutoSource = QuerySpec(
+    "q_auto_source",
+    (s, dir) => {
+      val out = s"/tmp/graft_auto_${new java.io.File(dir).getName}.csv"
+      Graft.sink(
+        t(s, dir, "orders")
+          .select(col("o_orderkey").cast("string"), col("o_orderstatus")),
+        out, format = "csv")
+      Graft.source(s, out, format = "auto")
+        .toDF("k", "status")
+        .groupBy("status")
+        .agg(count(lit(1)).as("cnt"), max(col("k")).as("max_key"))
+        .orderBy("status")
+    },
+    Some("""SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+      MAX(CAST(o_orderkey AS VARCHAR)) AS max_key
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------------- export
 
   val all: Seq[QuerySpec] = Seq(
@@ -1314,5 +1367,6 @@ object Queries {
     qMultimodalFeatures, qAnnLsh, qTextgenWc, qAsofJoin, qTokenCount,
     qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow,
     qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
-    qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions)
+    qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
+    qPartitionerContract, qAutoSource)
 }
