@@ -1300,6 +1300,37 @@ object Queries {
     Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** Streaming exact dedup — the incremental twin of q_dedup_exact, for a
+    * training-data pipeline ingesting documents continuously. Grouped
+    * aggregation on the content hash in complete mode; at production scale
+    * the same plan runs in update mode with a watermark so state holds only
+    * the hashes inside the dedup horizon. */
+  private val qStreamDedup = QuerySpec(
+    "q_stream_dedup",
+    (s, dir) => {
+      val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+      val streamDir = java.nio.file.Paths.get(
+        s"/tmp/graft_streamdoc_${new java.io.File(dir).getName}")
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("documents.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val agg = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(md5(col("text")).as("content_hash"), col("doc_id"))
+        .groupBy("content_hash")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      val q = agg.writeStream
+        .format("memory").queryName("graft_stream_dedup")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_dedup").orderBy("content_hash")
+    },
+    Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      COUNT(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash"""))
+
   /** KeyFieldBased/BinaryPartitioner parity as an observable invariant:
     * after hash-partitioning on a key subset (here: event_type, and a char
     * slice of it), every row with the same subset key is in the SAME
@@ -1368,5 +1399,5 @@ object Queries {
     qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow,
     qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
     qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
-    qPartitionerContract, qAutoSource)
+    qPartitionerContract, qAutoSource, qStreamDedup)
 }
