@@ -1273,8 +1273,13 @@ object Queries {
         s"li_bk_$sf", "l_orderkey")
       writeBucketed(t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
         s"ord_bk_$sf", "o_orderkey")
+      // merge hint: at test scale Catalyst would broadcast the small side,
+      // bypassing the bucket path; at 100 TB both sides are large and SMJ is
+      // what it picks anyway. The hint pins the plan shape the gate is about:
+      // bucket-co-located sort-merge join, zero exchanges on either side.
       s.table(s"li_bk_$sf")
-        .join(s.table(s"ord_bk_$sf"), col("l_orderkey") === col("o_orderkey"))
+        .join(s.table(s"ord_bk_$sf").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_items"), sumExact(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderstatus")
