@@ -1305,6 +1305,31 @@ object Queries {
     Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** Salted hot-key join gated end-to-end: events has only a handful of
+    * event_type values, so a plain shuffle join lands each type on one
+    * reducer — the textbook skew case. saltedJoin spreads each hot key over
+    * `saltBuckets` partitions by replicating the small right side. The gate
+    * checks the salted plan computes exactly the plain-join result. */
+  private val qSaltedJoin = QuerySpec(
+    "q_salted_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_total"))
+      SkewOps.saltedJoin(ev, dim, "event_type", saltBuckets = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sumExact(col("value")).as("sum_value"),
+          max(col("type_total")).as("type_total"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT e.event_type, COUNT(*) AS cnt,
+      CAST(SUM(CAST(e.value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+      MAX(d.type_total) AS type_total
+      FROM events e
+      JOIN (SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY 1) d
+        ON e.event_type = d.event_type
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Streaming exact dedup — the incremental twin of q_dedup_exact, for a
     * training-data pipeline ingesting documents continuously. Grouped
     * aggregation on the content hash in complete mode; at production scale
@@ -1404,5 +1429,5 @@ object Queries {
     qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow,
     qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
     qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
-    qPartitionerContract, qAutoSource, qStreamDedup)
+    qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin)
 }
