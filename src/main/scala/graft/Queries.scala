@@ -1305,6 +1305,66 @@ object Queries {
     Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** Counters parity gated end-to-end: observe() metrics aggregate on the
+    * executors during a real action (noop write) — the reference's
+    * zero-extra-pass counter semantics — then the driver-read values are
+    * emitted as a row and checked against SQL computing the same stats. */
+  private val qCounters = QuerySpec(
+    "q_counters",
+    (s, dir) => {
+      val (df, obs) = graft.core.CounterOps.withCounters(
+        t(s, dir, "events").filter(col("value") > 50.0),
+        "graft_counters",
+        Map(
+          "n_records" -> count(lit(1)),
+          "sum_value" -> sum(col("value").cast("decimal(18,6)")),
+          "max_value" -> max(col("value"))))
+      df.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((
+        m("n_records").asInstanceOf[Long],
+        m("sum_value").asInstanceOf[java.math.BigDecimal].doubleValue,
+        m("max_value").asInstanceOf[Double]))
+        .toDF("n_records", "sum_value", "max_value")
+    },
+    Some("""SELECT COUNT(*) AS n_records,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+      MAX(value) AS max_value
+      FROM events WHERE value > 50.0"""))
+
+  /** UserDefinedValueAggregatorDescriptor parity: the typed ValueHistogram
+    * Aggregator registered by NAME as a SQL UDAF and invoked from SQL text —
+    * the plug-your-aggregator-class-into-the-framework surface. Matches the
+    * q_histogram oracle, so the custom-UDAF path and the compositional
+    * two-level groupBy provably agree. */
+  private val qUdafRegistry = QuerySpec(
+    "q_udaf_registry",
+    (s, dir) => {
+      s.udf.register("value_histogram",
+        udaf(new graft.functions.ValueHistogram,
+          org.apache.spark.sql.Encoders.STRING))
+      t(s, dir, "events").createOrReplaceTempView("events_udaf")
+      s.sql("""
+        SELECT key,
+          vh.nDistinct AS n_distinct, vh.minFreq AS min_freq,
+          ROUND(vh.medianFreq, 6) AS median_freq, vh.maxFreq AS max_freq,
+          ROUND(vh.meanFreq, 6) AS mean_freq,
+          ROUND(vh.stddevFreq, 6) AS stddev_freq
+        FROM (SELECT event_type AS key,
+                value_histogram(CAST(user_id AS STRING)) AS vh
+              FROM events_udaf GROUP BY 1)
+        ORDER BY key""")
+    },
+    Some("""SELECT key, COUNT(*) AS n_distinct, MIN(freq) AS min_freq,
+      ROUND(quantile_cont(freq, 0.5), 6) AS median_freq,
+      MAX(freq) AS max_freq,
+      ROUND(CAST(SUM(freq) AS DOUBLE)/COUNT(*), 6) AS mean_freq,
+      ROUND(stddev_pop(freq), 6) AS stddev_freq
+      FROM (SELECT event_type AS key, user_id, COUNT(*) AS freq
+            FROM events GROUP BY 1, 2) t
+      GROUP BY key ORDER BY key"""))
+
   /** Salted hot-key join gated end-to-end: events has only a handful of
     * event_type values, so a plain shuffle join lands each type on one
     * reducer — the textbook skew case. saltedJoin spreads each hot key over
@@ -1429,5 +1489,6 @@ object Queries {
     qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow,
     qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
     qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
-    qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin)
+    qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
+    qCounters, qUdafRegistry)
 }
