@@ -12,10 +12,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // default 2: first pass warms codegen/JIT (a 47-query session floods the
+    // default 3: first pass warms codegen/JIT (a 67-query session floods the
     // C2 compiler; cold first executions measure compiler queueing, not the
-    // operator), min is reported
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // operator), min is reported; a third repeat shields the min from a GC
+    // pause landing on the single warm repeat
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,6 +28,9 @@ object Bench {
     val specs = Queries.all.filter(q => only.forall(_.contains(q.name)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = specs.map { q =>
+      // drain the previous query's garbage so its collection pause doesn't
+      // land inside this query's timing window (JMH-style isolation)
+      System.gc()
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces evaluation of EVERY output column (count() would
