@@ -26,6 +26,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val specs = Queries.all.filter(q => only.forall(_.contains(q.name)))
+    // neutral warmup: absorb one-time session costs (class loading, codegen
+    // infrastructure, shuffle service init, FS listing) so the first measured
+    // query isn't charged for them; touches no query-specific plan
+    spark.range(1000000).selectExpr("sum(id) s", "count(*) c")
+      .write.mode("overwrite").format("noop").save()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = specs.map { q =>
       // drain the previous query's garbage so its collection pause doesn't

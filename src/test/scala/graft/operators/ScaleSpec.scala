@@ -55,6 +55,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("rebalanceForCompute fans out small inputs and no-ops on wide ones") {
+    val cores = spark.sparkContext.defaultParallelism
+    val narrow = Seq.tabulate(100)(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+    assert(graft.core.Graft.rebalanceForCompute(narrow).rdd.getNumPartitions == cores)
+    // already at least half as wide as the cluster: plan must be unchanged
+    val wide = Seq.tabulate(100)(i => (i, s"v$i")).toDF("k", "v").repartition(cores)
+    val out = graft.core.Graft.rebalanceForCompute(wide)
+    assert(out eq wide)
+  }
+
   test("Chain.of composes transforms left to right") {
     val f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       _.withColumn("x2", col("x") * 2)
