@@ -1305,6 +1305,44 @@ object Queries {
     Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** Deterministic-stub video frame sampling gated structurally: the
+    * one-row-in/n-frames-out generator shape with equal byte spans. The
+    * oracle reproduces the span arithmetic over octet_length. */
+  private val qFrameSample = QuerySpec(
+    "q_frame_sample",
+    (s, dir) => {
+      MultimodalOps.frameSampleStub(
+        MultimodalOps.withBinaryPayload(t(s, dir, "documents"), "text"),
+        "doc_id", "payload", n = 5)
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          length(col("payload")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame")
+    },
+    Some("""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+               GREATEST(length(text) // 5, 1) AS span FROM documents)
+      SELECT doc_id, f AS frame,
+        LEAST(LEAST(f*span, len) + span, len) - LEAST(f*span, len) AS frame_len
+      FROM d, generate_series(0, 4) t(f)
+      ORDER BY doc_id, frame"""))
+
+  /** Deterministic-stub image resize gated at CONTENT level: the fake
+    * "decode" folds payload bytes into a w*h grid (byte i = input byte
+    * i mod len), which over the all-ASCII corpus equals the first w*h chars
+    * of the repeated text — so DuckDB can md5 the identical bytes. */
+  private val qResize = QuerySpec(
+    "q_resize",
+    (s, dir) => {
+      import s.implicits._
+      MultimodalOps.resizeStub(
+        MultimodalOps.withBinaryPayload(t(s, dir, "documents"), "text"),
+        "doc_id", "payload", w = 8, h = 8)
+        .toDF("doc_id", "resized")
+        .select(col("doc_id"), md5(col("resized")).as("rmd5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(substr(repeat(text, 3), 1, 64)) AS rmd5
+      FROM documents ORDER BY doc_id"""))
+
   /** Counters parity gated end-to-end: observe() metrics aggregate on the
     * executors during a real action (noop write) — the reference's
     * zero-extra-pass counter semantics — then the driver-read values are
@@ -1490,5 +1528,5 @@ object Queries {
     qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
     qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
-    qCounters, qUdafRegistry)
+    qCounters, qUdafRegistry, qFrameSample, qResize)
 }
