@@ -22,6 +22,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dup.getLong(1) == 1L) // keep_id
   }
 
+  test("shingle signature hash families match the portable md5-window SQL semantics") {
+    // The oracle-compat invariant: family i<=8 = 16-hex window at offset
+    // 2*i of md5(shingle); family i>=9 = same windows over md5("b|"+shingle)
+    // for block b=i/9. A Spark-side regression here silently breaks every
+    // minhash oracle, so pin it against an independent reference evaluation.
+    val rnd = new scala.util.Random(7)
+    val texts = (1L to 20L).map(id =>
+      (id, Seq.fill(12)(rnd.alphanumeric.take(4).mkString).mkString(" ")))
+    val df = texts.toDF("doc_id", "text")
+    val numHashes = 21 // 3 digest blocks
+    val out = DedupOps.shingleSignatures(df, col("doc_id"), col("text"), 3, numHashes)
+      .select("doc_id", "shingles", "sig")
+      .as[(Long, Seq[String], Seq[String])].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.foreach { case (_, shingles, sig) =>
+      assert(sig.length == numHashes)
+      (0 until numHashes).foreach { i =>
+        val expected = shingles.map { sh =>
+          val block = if (i / 9 == 0) sh else s"${i / 9}|$sh"
+          md5hex(block).substring(2 * (i % 9), 2 * (i % 9) + 16)
+        }.min
+        assert(sig(i) == expected, s"family $i")
+      }
+    }
+  }
+
   test("minhashLsh finds planted near-dup and exact-dup pairs") {
     val out = DedupOps.minhashLsh(docs, col("doc_id"), col("text"),
       shingleSize = 5, bands = 4, rowsPerBand = 2, minJaccard = 0.5)
