@@ -36,7 +36,9 @@ object Queries {
   private val q1Agg = QuerySpec(
     "q1_agg",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // 8 aggregates x 600k rows is compute-bound; fan the fused scan+agg
+      // stage across cores when the input arrives as a single split
+      val li = core.Graft.rebalanceForCompute(t(s, dir, "lineitem"))
       li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
