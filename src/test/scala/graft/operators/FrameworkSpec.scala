@@ -51,6 +51,24 @@ class FrameworkSpec extends AnyFunSuite {
     assert(over.as[(Int, Int)].collect().toMap == Map(1 -> 10, 2 -> 200, 3 -> 300))
   }
 
+  test("join expression composes NESTED ops like the reference's tree of readers") {
+    // inner(a, outer(b, c)): the outer leg keeps keys 2,3,4; inner with a
+    // then keeps 2 (from both) — matches CompositeInputFormat's composed
+    // reader semantics (reference grammar doc CompositeInputFormat.java:70-80)
+    val a = Seq((1, 10), (2, 20)).toDF("key", "value")
+    val b = Seq((2, 200), (3, 300)).toDF("key", "value")
+    val c = Seq((3, 3000), (4, 4000)).toDF("key", "value")
+    val tables: String => org.apache.spark.sql.DataFrame =
+      Map("a" -> a, "b" -> b, "c" -> c)
+    val nested = JoinExpr.compile("""inner(tbl("a"),outer(tbl("b"),tbl("c")))""", tables)
+    val rows = nested.collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2))
+    // three-deep: override over an inner leg's key set
+    val deep = JoinExpr.compile(
+      """outer(tbl("a"),inner(tbl("b"),tbl("c")))""", tables)
+    assert(deep.select("key").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("join expression rejects malformed input") {
     intercept[IllegalArgumentException](JoinExpr.parse("inner(tbl(\"a\"))"))
     intercept[IllegalArgumentException](JoinExpr.parse("bogus(tbl(\"a\"),tbl(\"b\"))"))
