@@ -1307,6 +1307,32 @@ object Queries {
     Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** The native codegen'd Catalyst expression exercised through SQL TEXT:
+    * graft_cosine registered on the running session (same wiring as the
+    * spark.sql.extensions entry point in plans.GraftExtensions) and called
+    * from a plain SQL join — a pure-SQL user gets the custom expression
+    * with whole-stage codegen, no Column API involved. */
+  private val qSqlNativeCosine = QuerySpec(
+    "q_sql_native_cosine",
+    (s, dir) => {
+      graft.plans.NativeFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql("""
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+          ROUND(graft_cosine(q.embedding, c.embedding), 6) AS sim
+        FROM emb_sql q JOIN emb_sql c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+        ORDER BY query_id, nbr_id""")
+    },
+    Some("""SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+          (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+           sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+          6) AS sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+      ORDER BY query_id, nbr_id"""))
+
   /** Deterministic-stub video frame sampling gated structurally: the
     * one-row-in/n-frames-out generator shape with equal byte spans. The
     * oracle reproduces the span arithmetic over octet_length. */
@@ -1530,5 +1556,5 @@ object Queries {
     qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
     qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
-    qCounters, qUdafRegistry, qFrameSample, qResize)
+    qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine)
 }
