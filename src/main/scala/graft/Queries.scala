@@ -1307,6 +1307,42 @@ object Queries {
     Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** Streaming ETL write path end-to-end: file stream source -> exactly-once
+    * parquet file sink (checkpointed manifest commit — Spark's streaming
+    * answer to the reference's OutputCommitter) -> batch scan of the sunk
+    * files checked against the oracle. Re-runs are idempotent: the
+    * checkpoint replays nothing and the manifest hides partial files. */
+  private val qStreamEtl = QuerySpec(
+    "q_stream_etl",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sfName = new java.io.File(dir).getName
+      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      val streamDir = java.nio.file.Paths.get(s"/tmp/graft_streamsrc_$sfName")
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val out = s"/tmp/graft_stream_etl_$sfName"
+      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$out.ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   /** The native codegen'd Catalyst expression exercised through SQL TEXT:
     * graft_cosine registered on the running session (same wiring as the
     * spark.sql.extensions entry point in plans.GraftExtensions) and called
@@ -1556,5 +1592,6 @@ object Queries {
     qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
     qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
-    qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine)
+    qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine,
+    qStreamEtl)
 }
