@@ -1307,6 +1307,28 @@ object Queries {
     Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** Deterministic hash-split of the corpus into train/val/test — assignment
+    * is a pure function of the doc key (portable md5 arithmetic), so DuckDB
+    * derives the identical partition of the data. */
+  private val qHashSplit = QuerySpec(
+    "q_hash_split",
+    (s, dir) => {
+      SortOps.hashSplit(t(s, dir, "documents"), col("doc_id"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    },
+    Some("""SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+      SUM(n_chars) AS sum_chars
+      FROM (SELECT doc_id, n_chars,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, n_chars,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+          FROM documents) h) t
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Streaming ETL write path end-to-end: file stream source -> exactly-once
     * parquet file sink (checkpointed manifest commit — Spark's streaming
     * answer to the reference's OutputCommitter) -> batch scan of the sunk
@@ -1593,5 +1615,5 @@ object Queries {
     qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine,
-    qStreamEtl)
+    qStreamEtl, qHashSplit)
 }

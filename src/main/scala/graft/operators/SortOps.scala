@@ -63,6 +63,28 @@ object SortOps {
   def md5Sample(df: DataFrame, keyCol: Column, hexPrefix: String): DataFrame =
     df.filter(substring(md5(keyCol.cast("string")), 1, hexPrefix.length) === hexPrefix)
 
+  /** Deterministic train/val/test corpus split — the LLM-pipeline staple.
+    * Assignment is a pure function of the key (first 8 hex of md5 -> bucket
+    * in [0,100)), so it is stable across runs, engines, partitionings, and
+    * re-shards; adding data never moves an existing key between splits.
+    * `cuts` are cumulative upper bounds, e.g. Seq("train"->80, "val"->90,
+    * "test"->100). No shuffle: a per-row projection. */
+  def hashSplit(
+      df: DataFrame, keyCol: Column,
+      cuts: Seq[(String, Int)] =
+        Seq("train" -> 80, "val" -> 90, "test" -> 100)): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted,
+      "cuts must be ascending cumulative percentages ending at 100")
+    val bucket = pmod(
+      conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    val label = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, hi), elseCol) => when(bucket < hi, name).otherwise(elseCol)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Bernoulli sample (RandomSampler parity, reference:
     * .../lib/partition/InputSampler.java:159). */
   def randomSample(df: DataFrame, fraction: Double, seed: Long): DataFrame =

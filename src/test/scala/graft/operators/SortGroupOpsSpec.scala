@@ -52,6 +52,22 @@ class SortGroupOpsSpec extends AnyFunSuite {
     assert(got == Set((1, 3, 1, 1), (2, 2, 5, 1)))
   }
 
+  test("hashSplit is a stable pure function of the key with exact cuts") {
+    val df = (1L to 2000L).toDF("id")
+    val out = SortOps.hashSplit(df, col("id"))
+    // deterministic: same assignment on re-evaluation and under re-partitioning
+    val a = out.select("id", "split").as[(Long, String)].collect().toMap
+    val b = SortOps.hashSplit(df.repartition(7), col("id"))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // roughly 80/10/10 (md5 is uniform; wide tolerance avoids flakiness)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac("val") > 0.05 && frac("test") > 0.05)
+    intercept[IllegalArgumentException](
+      SortOps.hashSplit(df, col("id"), Seq("a" -> 50, "b" -> 90)))
+  }
+
   test("sessionize splits on gaps larger than the threshold") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
