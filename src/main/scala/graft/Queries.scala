@@ -1307,6 +1307,25 @@ object Queries {
     Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** Repetition-ratio quality signal (duplicate-trigram fraction per doc) —
+    * the Gopher/C4-style boilerplate filter over the documents corpus. */
+  private val qRepetition = QuerySpec(
+    "q_repetition",
+    (s, dir) =>
+      MapOps.repetitionStats(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3)
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents),
+      tri AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> array_to_string(t[i:i+2], ' '))) AS g
+        FROM toks WHERE len(t) >= 3),
+      cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2)
+      SELECT doc_id, SUM(c) AS n_ngrams, MAX(c) AS max_rep,
+        ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS rep_ratio
+      FROM cnt GROUP BY 1 ORDER BY doc_id"""))
+
   /** Deterministic hash-split of the corpus into train/val/test — assignment
     * is a pure function of the doc key (portable md5 arithmetic), so DuckDB
     * derives the identical partition of the data. */
@@ -1615,5 +1634,5 @@ object Queries {
     qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine,
-    qStreamEtl, qHashSplit)
+    qStreamEtl, qHashSplit, qRepetition)
 }

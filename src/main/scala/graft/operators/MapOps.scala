@@ -47,4 +47,28 @@ object MapOps {
     val (k, v) = FieldSelection.select(lineCol, spec, sep)
     df.select(carry.map(col) :+ k.as("key") :+ v.as("value"): _*)
   }
+
+  /** Repetition-ratio quality signal (the Gopher/C4-style duplicate-n-gram
+    * filter for training corpora): per document, the fraction of its n-grams
+    * covered by the single most-repeated n-gram. High ratio = boilerplate /
+    * degenerate repetition. Two aggregations over the exploded n-grams; at
+    * 100 TB both shuffle on (doc_id, gram) / doc_id, which AQE coalesces —
+    * no skew risk since a document's grams are bounded by its length. */
+  def repetitionStats(
+      df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(textCol)
+    val grams = df
+      .select(idCol.as("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(n))))).as("g"))
+    grams
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_ngrams"),
+        max(col("c")).as("max_rep"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6).as("rep_ratio"))
+  }
 }
