@@ -1307,6 +1307,62 @@ object Queries {
     Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** Transitive near-dup CLUSTERS: the minhash pairs collapsed into
+    * connected components, each member labeled with its component's min doc
+    * id — turns pair detection into an actionable keep/drop list. Oracle =
+    * the same LSH pipeline in SQL plus a recursive-CTE transitive closure. */
+  private val qDedupClusters = QuerySpec(
+    "q_dedup_clusters",
+    (s, dir) =>
+      DedupOps.nearDupClusters(
+        DedupOps.minhashLsh(t(s, dir, "documents"), col("doc_id"), col("text"),
+          shingleSize = 5, bands = 4, rowsPerBand = 2, minJaccard = 0.2))
+        .orderBy("doc_id"),
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(toks) - 4),
+            i -> array_to_string(toks[i:i+4], ' '))) AS shingles
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents) t
+        WHERE len(toks) >= 5),
+      sigs AS (
+        SELECT doc_id, shingles,
+          list_min(list_transform(shingles, s -> substr(md5(s), 1, 16))) AS mh0,
+          list_min(list_transform(shingles, s -> substr(md5(s), 3, 16))) AS mh1,
+          list_min(list_transform(shingles, s -> substr(md5(s), 5, 16))) AS mh2,
+          list_min(list_transform(shingles, s -> substr(md5(s), 7, 16))) AS mh3,
+          list_min(list_transform(shingles, s -> substr(md5(s), 9, 16))) AS mh4,
+          list_min(list_transform(shingles, s -> substr(md5(s), 11, 16))) AS mh5,
+          list_min(list_transform(shingles, s -> substr(md5(s), 13, 16))) AS mh6,
+          list_min(list_transform(shingles, s -> substr(md5(s), 15, 16))) AS mh7
+        FROM docs),
+      banded AS (
+        SELECT doc_id, shingles, b,
+          CASE b WHEN 0 THEN mh0 || '|' || mh1 WHEN 1 THEN mh2 || '|' || mh3
+                 WHEN 2 THEN mh4 || '|' || mh5 ELSE mh6 || '|' || mh7 END AS key
+        FROM sigs, range(4) r(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+          AND x.doc_id < y.doc_id),
+      verified AS (
+        SELECT a, b FROM (
+          SELECT p.a, p.b,
+            ROUND(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE) /
+                  len(list_distinct(list_concat(da.shingles, db.shingles))), 6) AS jaccard
+          FROM cand p JOIN docs da ON p.a = da.doc_id
+                      JOIN docs db ON p.b = db.doc_id) v
+        WHERE jaccard >= 0.2),
+      und AS (SELECT a AS x, b AS y FROM verified
+              UNION SELECT b, a FROM verified),
+      reach AS (
+        SELECT x, y FROM und
+        UNION
+        SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x)
+      SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id
+      FROM reach GROUP BY x ORDER BY doc_id"""))
+
   /** Repetition-ratio quality signal (duplicate-trigram fraction per doc) —
     * the Gopher/C4-style boilerplate filter over the documents corpus. */
   private val qRepetition = QuerySpec(
@@ -1634,5 +1690,5 @@ object Queries {
     qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine,
-    qStreamEtl, qHashSplit, qRepetition)
+    qStreamEtl, qHashSplit, qRepetition, qDedupClusters)
 }

@@ -202,6 +202,46 @@ object DedupOps {
       .toDF("doc_id", "simhash")
   }
 
+  /** Connected components over the near-dup pair graph: collapses pairwise
+    * matches into transitive clusters and labels every member with the
+    * cluster's minimum doc id — the step that turns pair detection into an
+    * actionable dedup (keep cluster_id == doc_id, drop the rest).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Near-dup components are shallow (docs
+    * similar to a common template link within 1-2 hops), so 2-4 rounds close
+    * real corpora; pathological chains would call for the alternating
+    * large-star/small-star variant, same skeleton. Each round is one
+    * shuffle; localCheckpoint truncates lineage so plans stay O(1) per
+    * round. Output: (doc_id, cluster_id). */
+  def nearDupClusters(
+      pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+    val und = edges
+      .union(edges.select(col("y").as("x"), col("x").as("y")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = und.alias("e")
+        .join(labels.alias("l"), col("e.y") === col("l.node"))
+        .select(col("e.x").as("node"), col("l.label").as("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** n-gram Jaccard near-dup pairs WITHOUT minhash: candidates = pairs sharing
     * at least one shingle, with super-common shingles dropped (bucket cap) to
     * bound the self-join blow-up — the standard scalable trick; exact Jaccard

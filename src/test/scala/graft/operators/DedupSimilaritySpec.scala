@@ -22,6 +22,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dup.getLong(1) == 1L) // keep_id
   }
 
+  test("nearDupClusters collapses transitive chains into min-labeled components") {
+    // chain 1-2-3 plus isolated pair 7-9: labels propagate across hops
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val out = DedupOps.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("shingle signature hash families match the portable md5-window SQL semantics") {
     // The oracle-compat invariant: family i<=8 = 16-hex window at offset
     // 2*i of md5(shingle); family i>=9 = same windows over md5("b|"+shingle)
