@@ -1307,6 +1307,28 @@ object Queries {
     Some("""SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS n_partitions,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** PII-style redaction gated at content level: emails/URLs/long digit
+    * runs masked with typed placeholders, verified by md5 of the redacted
+    * text against DuckDB applying the same RE2-compatible patterns. */
+  private val qRedact = QuerySpec(
+    "q_redact",
+    (s, dir) =>
+      core.Graft.rebalanceForCompute(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          md5(TextFunctions.redact(col("text"))).as("redacted_md5"),
+          (TextFunctions.redact(col("text")) =!= col("text")).as("was_redacted"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '\S+@\S+\.\S+', '<EMAIL>', 'g'),
+        'https?://\S+', '<URL>', 'g'),
+        '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '\S+@\S+\.\S+', '<EMAIL>', 'g'),
+        'https?://\S+', '<URL>', 'g'),
+        '[0-9]{4,}', '<NUM>', 'g') <> text AS was_redacted
+      FROM documents ORDER BY doc_id"""))
+
   /** Transitive near-dup CLUSTERS: the minhash pairs collapsed into
     * connected components, each member labeled with its component's min doc
     * id — turns pair detection into an actionable keep/drop list. Oracle =
@@ -1690,5 +1712,5 @@ object Queries {
     qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine,
-    qStreamEtl, qHashSplit, qRepetition, qDedupClusters)
+    qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact)
 }

@@ -83,6 +83,17 @@ object TextFunctions {
       lit(0L),
       (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
 
+  /** PII-style redaction for training corpora: masks emails, URLs, and long
+    * digit runs with typed placeholders. Patterns stay in the regex subset
+    * where Java and RE2 agree (no backrefs/lookaround), so the transform is
+    * oracle-checkable; per-row expression, distributes trivially. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "\\S+@\\S+\\.\\S+", "<EMAIL>"),
+        "https?://\\S+", "<URL>"),
+      "[0-9]{4,}", "<NUM>")
+
   /** Character k-shingles of the token-normalized text (word n-grams joined by
     * a single space), the unit for MinHash/Jaccard dedup. */
   def wordShingles(text: Column, k: Int): Column = {
