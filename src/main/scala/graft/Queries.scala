@@ -1137,7 +1137,6 @@ object Queries {
   private val qStreamTumbling = QuerySpec(
     "q_stream_tumbling",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
       // the file stream source only takes directories; expose the single
       // table file through a per-sf temp dir (symlink, no data copy)
@@ -1207,7 +1206,6 @@ object Queries {
     "q_stream_sessions",
     (s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
       val streamDir = java.nio.file.Paths.get(
         s"/tmp/graft_streamsrc_${new java.io.File(dir).getName}")
@@ -1434,7 +1432,6 @@ object Queries {
   private val qStreamEtl = QuerySpec(
     "q_stream_etl",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sfName = new java.io.File(dir).getName
       val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
       val streamDir = java.nio.file.Paths.get(s"/tmp/graft_streamsrc_$sfName")

@@ -23,6 +23,10 @@ object Graft {
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Always-on from construction (not per-query) so results cannot become
+      // order-dependent within a session: the driver's events.parquet stores
+      // TIMESTAMP(NANOS), which needs this legacy flag to read at all.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -25,8 +25,19 @@ object AggOps {
 
   private val Dec = DecimalType(18, 6)
 
-  /** Exact, order-independent sum of a double column, returned as double. */
+  /** Exact, order-independent sum of a double column, returned as double.
+    *
+    * Bound (non-ANSI mode): a per-row |value| >= 1e12 overflows the cast to
+    * NULL and silently drops out of the sum. Fine for TPC-H-style measures;
+    * when ingesting unvetted columns pair with [[sumOverflowCount]] as a
+    * debug assertion. */
   def sumExact(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Debug assertion companion for [[sumExact]]: the number of non-null
+    * inputs whose decimal(18,6) cast overflowed to NULL (i.e. rows silently
+    * excluded from sumExact). 0 means the sum is exact. */
+  def sumOverflowCount(c: Column): Column =
+    count(when(c.isNotNull && c.cast(Dec).isNull, 1))
 
   /** Mean via exact sum / count (both engines do the same double division). */
   def avgExact(c: Column): Column = sumExact(c) / count(c)

@@ -69,13 +69,18 @@ object SimilarityOps {
     * [[graft.plans.CosineSimilarity]]. */
   def nearDupPairs(
       corpus: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxExactRows: Int = 200000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val typed = corpus
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
     val entries = typed.collect().sortBy(_._1)
+    require(entries.length <= maxExactRows,
+      s"nearDupPairs is the EXACT O(n²) path (corpus is broadcast whole); " +
+        s"${entries.length} rows > $maxExactRows. Use lshCosineTopK/ivfTopK " +
+        "for candidate generation at scale — the ranking contract is identical.")
     val bIds = entries.map(_._1)
     val bVecs = entries.map(_._2)
     val bNorms = bVecs.map { v =>
@@ -105,9 +110,12 @@ object SimilarityOps {
           var i = 0
           while (i < va.length) { na += va(i) * va(i); i += 1 }
           val sqNa = math.sqrt(na)
-          // corpus is id-sorted: start at the first id > a (pairs need a < b)
+          // corpus is id-sorted: start at the first id > a (pairs need a < b).
+          // binarySearch lands on an unspecified duplicate, so walk past ALL
+          // entries equal to a — otherwise duplicate ids yield a==b self-pairs.
           var j = java.util.Arrays.binarySearch(ids, a)
-          j = if (j >= 0) j + 1 else -(j + 1)
+          if (j < 0) j = -(j + 1)
+          while (j < ids.length && ids(j) == a) j += 1
           while (j < ids.length) {
             val vb = vecs(j)
             val n = math.min(va.length, vb.length)
