@@ -1264,7 +1264,11 @@ object Queries {
       val wh = s"/tmp/graft_bucketed_$sf"
       def writeBucketed(df: DataFrame, tbl: String, key: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
-        df.write.mode("overwrite")
+        // pre-shuffle on the bucket key: each write task then owns exactly
+        // one bucket, producing 16 files total instead of
+        // (input partitions × 16) bucket fragments — fewer files to open on
+        // the read side and a faster commit
+        df.repartition(16, col(key)).write.mode("overwrite")
           .option("path", s"$wh/$tbl")
           .bucketBy(16, key).sortBy(key)
           .saveAsTable(tbl)

@@ -217,7 +217,12 @@ object DedupOps {
     * round. Output: (doc_id, cluster_id). */
   def nearDupClusters(
       pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+    // checkpoint BEFORE the self-union: `edges` is referenced twice below, and
+    // without materialization the entire upstream pair pipeline (LSH + verify)
+    // would execute once per reference
+    val edges = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .localCheckpoint()
     val und = edges
       .union(edges.select(col("y").as("x"), col("x").as("y")))
       .distinct()
@@ -225,18 +230,24 @@ object DedupOps {
     var labels = und.select(col("x").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence check rides on monotonicity: a node's label can only
+    // decrease (the groupBy-min includes its old label), so some label
+    // changed iff sum(label) strictly dropped — one cheap agg on the
+    // already-materialized checkpoint instead of a join+count job per round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val prop = und.alias("e")
         .join(labels.alias("l"), col("e.y") === col("l.node"))
         .select(col("e.x").as("node"), col("l.label").as("label"))
       val next = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
