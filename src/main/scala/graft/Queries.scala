@@ -1696,6 +1696,178 @@ object Queries {
       MAX(CAST(o_orderkey AS VARCHAR)) AS max_key
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** Bucketed point-in-interval range join ([[JoinOps.rangeJoin]]): events
+    * matched into overlapping value bands via equi-join on fixed-width
+    * buckets + residual BETWEEN — the scalable plan (hash shuffle on a
+    * numeric key) where naive range predicates would pick
+    * BroadcastNestedLoop. */
+  private val qRangeJoin = QuerySpec(
+    "q_range_join",
+    (s, dir) => {
+      val bands = s.range(0, 40).select(
+        col("id").as("band"),
+        (col("id") * lit(12.5)).as("lo"),
+        (col("id") * lit(12.5) + lit(25.0)).as("hi"))
+      JoinOps.rangeJoin(
+          t(s, dir, "events").select("event_id", "value"), bands,
+          "value", "lo", "hi", bucketWidth = 25.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_events"), sumExact(col("value")).as("sum_value"))
+        .orderBy("band")
+    },
+    Some("""SELECT band, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events e JOIN (
+        SELECT CAST(i AS BIGINT) AS band, i*12.5 AS lo, i*12.5+25.0 AS hi
+        FROM generate_series(0, 39) t(i)) b
+      ON e.value >= b.lo AND e.value <= b.hi
+      GROUP BY band ORDER BY band"""))
+
+  /** GROUPING SETS surface (SURVEY §2.6 flags it free alongside rollup/cube):
+    * two one-dimension sets plus the grand total in a single pass. */
+  private val qGroupingSets = QuerySpec(
+    "q_grouping_sets",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sumExact(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS cnt,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls"""))
+
+  /** TF-IDF top-terms per document ([[MapOps.tfIdfTopTerms]]) — corpus
+    * statistics (tf, df, N) composed into a ranked keyword extraction. */
+  private val qTfidf = QuerySpec(
+    "q_tfidf",
+    (s, dir) =>
+      MapOps.tfIdfTopTerms(t(s, dir, "documents"), col("doc_id"), col("text"), k = 3)
+        .orderBy("doc_id", "rnk"),
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+          x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_ FROM toks GROUP BY 1),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+      scored AS (
+        SELECT doc_id, term,
+          ROUND(CAST(tf AS DOUBLE) *
+            ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df_ AS DOUBLE) + 1.0)), 6)
+            AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tfidf,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored)
+      SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+      ORDER BY doc_id, rnk"""))
+
+  /** Per-label embedding centroids ([[SimilarityOps.centroids]]) — the
+    * k-means/IVF-training building block, oracle-checked per position. */
+  private val qEmbedCentroid = QuerySpec(
+    "q_embed_centroid",
+    (s, dir) =>
+      SimilarityOps.centroids(t(s, dir, "embeddings"))
+        .orderBy("label", "pos"),
+    Some("""SELECT label, pos,
+      ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
+        / COUNT(x), 6) AS centroid
+      FROM (SELECT label, unnest(embedding) AS x,
+              CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS pos
+            FROM embeddings)
+      GROUP BY label, pos ORDER BY label, pos"""))
+
+  /** StreamXmlRecordReader parity end-to-end ([[core.Graft.xmlRecords]]):
+    * rows serialized as XML-tag-delimited records (written across lines, as
+    * the reference's reader allows), re-read by begin/end tag spans, fields
+    * re-extracted and type-cast. */
+  private val qXmlRecords = QuerySpec(
+    "q_xml_records",
+    (s, dir) => {
+      val out = s"/tmp/graft_xml_${new java.io.File(dir).getName}"
+      Graft.sink(
+        t(s, dir, "nation").select(concat(
+          lit("<rec>\n  <key>"), col("n_nationkey"), lit("</key>\n  <name>"),
+          col("n_name"), lit("</name>\n</rec>")).as("value")),
+        out, format = "text")
+      Graft.xmlRecords(s, out, "rec")
+        .select(
+          regexp_extract(col("record"), "<key>(.*?)</key>", 1).cast("int")
+            .as("n_nationkey"),
+          regexp_extract(col("record"), "<name>(.*?)</name>", 1).as("n_name"))
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
+
+  /** MultipleOutputs named-stream parity ([[core.Graft.namedSinks]]): one
+    * cached pass fans out to per-name filtered sinks; the gate reads every
+    * side output back and proves the split is exact and disjoint. */
+  private val qNamedOutputs = QuerySpec(
+    "q_named_outputs",
+    (s, dir) => {
+      val base = s"/tmp/graft_named_${new java.io.File(dir).getName}"
+      Graft.namedSinks(
+        t(s, dir, "events").select("event_id", "event_type", "value"), base,
+        Map(
+          "high" -> (col("value") >= 250.0),
+          "low" -> (col("value") < 250.0)))
+      val high = Graft.source(s, s"$base/high").withColumn("out", lit("high"))
+      val low = Graft.source(s, s"$base/low").withColumn("out", lit("low"))
+      high.unionByName(low)
+        .groupBy("out")
+        .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"))
+        .orderBy("out")
+    },
+    Some("""SELECT CASE WHEN value >= 250.0 THEN 'high' ELSE 'low' END AS out,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** QuasiMonteCarlo parity (reference:
+    * hadoop-mapreduce-examples .../examples/QuasiMonteCarlo.java:77 — π from
+    * a low-discrepancy point set, generate + compute + combine): here the
+    * Weyl sequence frac(i·α) over `spark.range`, one fused codegen stage +
+    * one tiny agg. Every arithmetic step is IEEE-double on both engines, so
+    * the inside-circle count is bit-reproducible — no sampling variance in
+    * the gate. */
+  private val qQuasiPi = QuerySpec(
+    "q_quasi_pi",
+    (s, dir) => {
+      val n = 100000L
+      val xa = col("id") * lit(0.6180339887498949)
+      val ya = col("id") * lit(0.41421356237309515)
+      val x = xa - floor(xa)
+      val y = ya - floor(ya)
+      s.range(1, n + 1)
+        .select(when(x * x + y * y <= 1.0, 1L).otherwise(0L).as("inside"))
+        .agg(count(lit(1)).as("n_points"), sum(col("inside")).as("n_inside"))
+        .select(col("n_points"), col("n_inside"),
+          round(lit(4.0) * col("n_inside").cast("double") /
+            col("n_points").cast("double"), 6).as("pi_est"))
+    },
+    Some("""WITH f AS (
+        SELECT CAST(i AS DOUBLE) * CAST(0.6180339887498949 AS DOUBLE) AS xa,
+               CAST(i AS DOUBLE) * CAST(0.41421356237309515 AS DOUBLE) AS ya
+        FROM generate_series(1, 100000) t(i)),
+      p AS (SELECT xa - floor(xa) AS x, ya - floor(ya) AS y FROM f)
+      SELECT COUNT(*) AS n_points,
+        CAST(SUM(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_inside,
+        ROUND(CAST(4 AS DOUBLE) *
+          CAST(SUM(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(COUNT(*) AS DOUBLE), 6) AS pi_est
+      FROM p"""))
+
   // ----------------------------------------------------------------- export
 
   val all: Seq[QuerySpec] = Seq(
@@ -1713,5 +1885,7 @@ object Queries {
     qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine,
-    qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact)
+    qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact,
+    qRangeJoin, qGroupingSets, qTfidf, qEmbedCentroid, qXmlRecords,
+    qNamedOutputs, qQuasiPi)
 }

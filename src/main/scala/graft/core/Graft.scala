@@ -115,6 +115,27 @@ object Graft {
         .as("record"))
   }
 
+  /** Named side outputs (MultipleOutputs parity, reference:
+    * hadoop-mapreduce-client-core .../lib/output/MultipleOutputs.java:179 —
+    * the `write(name, k, v)` form with N named streams): one cached pass over
+    * the input, one filtered write per named output. The cache means the
+    * upstream plan executes once however many outputs there are; for
+    * data-driven paths (the `baseOutputPath` form) use `sink(partitionBy)`
+    * instead. Rows matching several predicates go to every matching output,
+    * rows matching none go nowhere — exactly the reference's semantics. */
+  def namedSinks(
+      df: DataFrame, base: String,
+      outputs: Map[String, org.apache.spark.sql.Column],
+      format: String = "parquet"): Unit = {
+    val cached = df.persist()
+    try {
+      cached.count() // materialize once before the N filtered writes
+      outputs.foreach { case (name, pred) =>
+        sink(cached.filter(pred), s"$base/$name", format)
+      }
+    } finally cached.unpersist()
+  }
+
   /** Sorted bucketed table sink (MapFileOutputFormat parity, reference:
     * hadoop-mapreduce-client-core .../lib/output/MapFileOutputFormat.java:49
     * — sorted output + index for key lookup): bucket pruning serves the

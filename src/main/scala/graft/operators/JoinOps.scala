@@ -119,4 +119,34 @@ object JoinOps {
 
   def antiJoin(a: DataFrame, b: DataFrame, key: String): DataFrame =
     a.join(b, Seq(key), "left_anti")
+
+  /** Point-in-interval range join, made shuffle-scalable by bucketing: a
+    * naive `p BETWEEN lo AND hi` join has no equi-key, so Spark would pick
+    * BroadcastNestedLoopJoin — O(|points|·|intervals|) and a driver OOM once
+    * the intervals side outgrows the broadcast limit. Instead both sides are
+    * keyed to fixed-width buckets: each interval replicates to every bucket
+    * it overlaps (`sequence(floor(lo/w), floor(hi/w))`), each point hashes to
+    * exactly ONE bucket, and the match becomes equi-join on bucket + residual
+    * `BETWEEN` filter. Each qualifying (point, interval) pair meets in
+    * exactly one bucket — the point's — so no pair dedup is needed.
+    *
+    * Scale knob: `bucketWidth` trades interval replication (≈ span/width
+    * copies per interval) against bucket selectivity; set it near the median
+    * interval span. The shuffle is a plain hash shuffle on a numeric key —
+    * skewed buckets fall to AQE skew-split like any hot join key. */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pb = points.withColumn("_bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val ib = intervals.withColumn("_bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    pb.join(ib, Seq("_bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bucket")
+  }
 }

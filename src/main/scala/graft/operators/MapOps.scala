@@ -71,4 +71,38 @@ object MapOps {
         max(col("c")).as("max_rep"),
         round(max(col("c")).cast("double") / sum(col("c")), 6).as("rep_ratio"))
   }
+
+  /** TF-IDF top-k terms per document — the classic corpus-statistics operator
+    * for keyword extraction / quality signals over a training corpus.
+    * tf = term count within the doc; idf = ln((N+1)/(df+1)) with N = docs
+    * containing at least one token, df = docs containing the term.
+    *
+    * Dataflow: one explode, two hash aggregations (both map-side partial),
+    * a broadcast of the scalar N, a term-keyed join of tf against df (both
+    * sides already shuffled on term from their aggs), and a per-doc window
+    * for the top-k. No step holds unbounded per-key state: term df rows are
+    * one per distinct term, and the window partitions by doc.
+    *
+    * Determinism: score rounds to 6 dp before ranking; ties break on term, so
+    * the top-k set is stable across engines (ln is IEEE-double on both). */
+  def tfIdfTopTerms(
+      df: DataFrame, idCol: Column, textCol: Column, k: Int = 3): DataFrame = {
+    val terms = df
+      .select(idCol.as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(textCol)).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df_"))
+    val nDocs = terms.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double") *
+          log((col("n_docs").cast("double") + 1.0) / (col("df_").cast("double") + 1.0)),
+          6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

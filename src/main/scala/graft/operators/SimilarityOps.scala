@@ -176,6 +176,25 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Per-label embedding centroids — the building block for k-means-style
+    * refinement of [[ivfTopK]]'s coarse quantizer and for class-prototype
+    * similarity. One posexplode + one hash aggregation keyed on
+    * (label, position): fully map-side-partial, no skew (positions are
+    * uniform), and the output is tiny (labels × dims rows).
+    *
+    * Determinism: per-position sums go through fixed-scale decimal (exact,
+    * order-independent — same policy as [[graft.operators.AggOps.sumExact]]),
+    * then one double division and a 6 dp round. `pos` is 1-based to match
+    * SQL `WITH ORDINALITY`. */
+  def centroids(
+      df: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(round(graft.operators.AggOps.avgExact(col("x").cast("double")), 6)
+        .as("centroid"))
+
   /** Random-hyperplane LSH signature: sign bits of dot(vec, h_i) for
     * deterministic pseudo-random hyperplanes derived from (seed, i, dim) via
     * a hash — reproducible without shipping hyperplane data. Vectors landing
