@@ -1868,6 +1868,237 @@ object Queries {
           CAST(COUNT(*) AS DOUBLE), 6) AS pi_est
       FROM p"""))
 
+  /** Analytic window-function breadth (SURVEY §2.7 — the surface the
+    * reference's hand-coded reducers approximate): lag/lead, percent_rank,
+    * cume_dist, ntile, and a running decimal-exact sum, all over one
+    * (user, time) window with an explicit ROWS frame and total tie-break. */
+  private val qWindowAnalytics = QuerySpec(
+    "q_window_analytics",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(
+          col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          sum(col("value").cast("decimal(18,6)")).over(wRows)
+            .cast("double").as("running_sum"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+        LAG(value, 1) OVER w AS prev_value,
+        LEAD(value, 1) OVER w AS next_value,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        ROUND(CUME_DIST() OVER w, 6) AS cd,
+        NTILE(4) OVER w AS quartile,
+        CAST(SUM(CAST(value AS DECIMAL(20,6)))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS running_sum
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""))
+
+  /** Bigram conditional-probability model over the corpus — the n-gram LM
+    * statistic (P(w2|w1) = c(w1 w2) / c(w1·)) that underlies perplexity-style
+    * quality filters. Two shuffle-on-short-key aggregations + one join on the
+    * context word. */
+  private val qBigramLm = QuerySpec(
+    "q_bigram_lm",
+    (s, dir) => {
+      val docs = core.Graft.rebalanceForCompute(t(s, dir, "documents"))
+        .select(TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val bigrams = docs.select(explode(
+          transform(sequence(lit(1), size(col("t")) - 1), i =>
+            struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      c12.join(c1, Seq("w1"))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(col("c12").cast("double") / col("c1").cast("double"), 6).as("p"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(100)
+    },
+    Some("""WITH toks AS (
+        SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents),
+      bi AS (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+        WHERE len(t) >= 2),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1)
+      SELECT w1, w2, c12,
+        ROUND(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS p
+      FROM c12 JOIN c1 USING (w1)
+      ORDER BY c12 DESC, w1, w2 LIMIT 100"""))
+
+  /** Compression-codec round-trips (the reference's per-codec output
+    * compression, SequenceFileOutputFormat.setOutputCompressionType):
+    * gzip'd text CSV and zstd parquet, each written and re-read, content
+    * proven unchanged — including doubles surviving the text round-trip
+    * (shortest-repr print + exact re-parse). */
+  private val qCodecRoundtrip = QuerySpec(
+    "q_codec_roundtrip",
+    (s, dir) => {
+      val base = s"/tmp/graft_codec_${new java.io.File(dir).getName}"
+      val src = t(s, dir, "events").select("event_id", "event_type", "value")
+      Graft.sink(src, s"$base/gzip", format = "csv",
+        options = Map("compression" -> "gzip"))
+      Graft.sink(src, s"$base/zstd", format = "parquet",
+        options = Map("compression" -> "zstd"))
+      val gz = Graft.source(s, s"$base/gzip", format = "csv",
+          options = Map("inferSchema" -> "false"))
+        .toDF("event_id", "event_type", "value")
+        .select(col("event_type"), col("value").cast("double"))
+        .withColumn("codec", lit("gzip"))
+      val zs = Graft.source(s, s"$base/zstd")
+        .select(col("event_type"), col("value"))
+        .withColumn("codec", lit("zstd"))
+      gz.unionByName(zs)
+        .groupBy("codec")
+        .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"))
+        .orderBy("codec")
+    },
+    Some("""SELECT codec, COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events CROSS JOIN (SELECT unnest(['gzip', 'zstd']) AS codec)
+      GROUP BY codec ORDER BY codec"""))
+
+  /** CombineFileInputFormat parity as a GATE (previously only asserted in
+    * tests): 50 deliberately tiny files read back through Spark's file-source
+    * bin-packing; the observable contract — every file seen, every row read,
+    * fewer partitions than files — is emitted as a row. */
+  private val qCombineFiles = QuerySpec(
+    "q_combine_files",
+    (s, dir) => {
+      val out = s"/tmp/graft_small_${new java.io.File(dir).getName}"
+      t(s, dir, "events").select("event_id", "value")
+        .repartition(50).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(input_file_name().as("f"), spark_partition_id().as("p"))
+        .agg(
+          countDistinct(col("f")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          (countDistinct(col("p")) < countDistinct(col("f"))).as("bin_packed"))
+    },
+    Some("""SELECT CAST(50 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+      TRUE AS bin_packed FROM events"""))
+
+  /** HLL sketch surface (UniqValueCount's at-scale variant, SURVEY §2.6):
+    * approx_count_distinct checked against the exact count with a 3-sigma
+    * tolerance — the sketch's own contract, engine-portable. */
+  private val qApproxDistinct = QuerySpec(
+    "q_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "events")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("hll"))
+        .select(col("exact_users"),
+          (abs(col("hll") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double") <= 0.15).as("hll_ok")),
+    Some("""SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+      FROM events"""))
+
+  /** Stream-static join, executed for real: the streaming events feed joins
+    * a broadcast static dimension (the DistributedCache idiom in streaming
+    * form), then aggregates per category — memory sink, AvailableNow. */
+  private val qStreamStaticJoin = QuerySpec(
+    "q_stream_static_join",
+    (s, dir) => {
+      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      val streamDir = java.nio.file.Paths.get(
+        s"/tmp/graft_streamsrc_${new java.io.File(dir).getName}")
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val dim = {
+        import s.implicits._
+        Seq(
+          ("click", "engagement"), ("view", "engagement"),
+          ("purchase", "conversion"), ("signup", "conversion"),
+          ("error", "ops")).toDF("event_type", "category")
+      }
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("value_dec", col("value").cast("decimal(18,6)"))
+        .join(broadcast(dim), Seq("event_type"))
+      val agg = stream.groupBy("category")
+        .agg(count(lit(1)).as("cnt"), sum(col("value_dec")).as("sum_dec"))
+      val q = agg.writeStream
+        .format("memory").queryName("graft_stream_static")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_static")
+        .select(col("category"), col("cnt"),
+          col("sum_dec").cast("double").as("sum_value"))
+        .orderBy("category")
+    },
+    Some("""SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+        WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+        ELSE 'ops' END AS category, COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY category"""))
+
+  /** Stream-stream interval self-join, executed for real: clicks matched to
+    * same-user purchases within the following hour. Both sides carry
+    * watermarks (state-cleanup contract at scale); inner-join emission is
+    * match-driven, so one AvailableNow pass over the feed yields exactly the
+    * batch-join result — which the oracle computes. */
+  private val qStreamStreamJoin = QuerySpec(
+    "q_stream_stream_join",
+    (s, dir) => {
+      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      val streamDir = java.nio.file.Paths.get(
+        s"/tmp/graft_streamsrc_${new java.io.File(dir).getName}")
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      def feed() = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val clicks = feed().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("event_time").as("click_time"))
+        .withWatermark("click_time", "10000 days")
+      val purchases = feed().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+          col("event_time").as("purchase_time"))
+        .withWatermark("purchase_time", "10000 days")
+      val joined = clicks.join(purchases,
+        expr("""cu = pu AND purchase_time >= click_time AND
+                purchase_time <= click_time + interval 1 hour"""))
+      val q = joined
+        .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
+        .writeStream
+        .format("memory").queryName("graft_stream_stream")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_stream").orderBy("click_id", "purchase_id")
+    },
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        c.user_id
+      FROM events c JOIN events p ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id"""))
+
   // ----------------------------------------------------------------- export
 
   val all: Seq[QuerySpec] = Seq(
@@ -1887,5 +2118,7 @@ object Queries {
     qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine,
     qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact,
     qRangeJoin, qGroupingSets, qTfidf, qEmbedCentroid, qXmlRecords,
-    qNamedOutputs, qQuasiPi)
+    qNamedOutputs, qQuasiPi,
+    qWindowAnalytics, qBigramLm, qCodecRoundtrip, qCombineFiles,
+    qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin)
 }
