@@ -2099,6 +2099,160 @@ object Queries {
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id"""))
 
+  /** SimHash near-dup pairs via bit-banding + the native codegen'd Hamming
+    * expression ([[DedupOps.simhashNearDupPairs]]): recall-1.0 candidate
+    * generation by pigeonhole (hamming <= 3 with 4 bands), oracle replays the
+    * same banding over the SQL-computed signatures. */
+  private val qSimhashPairs = QuerySpec(
+    "q_simhash_pairs",
+    (s, dir) =>
+      DedupOps.simhashNearDupPairs(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          maxHamming = 3, bands = 4)
+        .orderBy("a", "b"),
+    Some("""WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+          x -> x <> '')) AS w
+        FROM documents),
+      contrib AS (
+        SELECT doc_id, p,
+          SUM(CASE WHEN CAST(floor(
+              (strpos('0123456789abcdef',
+                      substr(md5(w), CAST(floor(p/4) AS INT) + 1, 1)) - 1)
+              / pow(2, 3 - (p % 4))) AS BIGINT) % 2 = 1
+            THEN 1 ELSE -1 END) AS sgn
+        FROM words, range(64) r(p) GROUP BY doc_id, p),
+      sigs AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+            AS simhash
+        FROM contrib GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, simhash,
+          CAST(b AS VARCHAR) || '|' || substr(simhash, b*16 + 1, 16) AS bk
+        FROM sigs, range(4) r(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          x.simhash AS sa, y.simhash AS sb
+        FROM banded x JOIN banded y ON x.bk = y.bk AND x.doc_id < y.doc_id)
+      SELECT a, b, hamming FROM (
+        SELECT a, b, CAST(len(list_filter(generate_series(1, 64),
+          i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS INTEGER) AS hamming
+        FROM cand) v
+      WHERE hamming <= 3 ORDER BY a, b"""))
+
+  /** One Lloyd iteration of cosine k-means ([[SimilarityOps.kmeansStep]]):
+    * assignment to the 10 lowest-id seed centroids, then per-position member
+    * means — the IVF-quantizer training step, fully oracle-checked. */
+  private val qKmeansStep = QuerySpec(
+    "q_kmeans_step",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.kmeansStep(emb, emb.filter(col("vec_id") < 10))
+        .orderBy("cid", "pos")
+    },
+    Some("""WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings WHERE vec_id < 10),
+      v AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS dvec
+        FROM embeddings),
+      scored AS (
+        SELECT v.vec_id, c0.cid,
+          ROUND(list_dot_product(dvec, cvec) /
+            (sqrt(list_dot_product(dvec, dvec)) *
+             sqrt(list_dot_product(cvec, cvec))), 6) AS sim
+        FROM v, c0),
+      assigned AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+          FROM scored) t
+        WHERE rn = 1),
+      exploded AS (
+        SELECT a.cid, unnest(e.embedding) AS x,
+          CAST(unnest(generate_series(1, len(e.embedding))) AS BIGINT) AS pos
+        FROM assigned a JOIN embeddings e USING (vec_id))
+      SELECT cid, pos,
+        ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
+          / COUNT(x), 6) AS centroid
+      FROM exploded GROUP BY cid, pos ORDER BY cid, pos"""))
+
+  /** The composed training-data quality pipeline as one gate: per document a
+    * keep/drop decision with the first failing rule as reason — length floor,
+    * language ID, repetition ceiling. This is the operator a corpus curation
+    * job actually runs; every signal reuses an already-gated primitive. */
+  private val qCorpusFilter = QuerySpec(
+    "q_corpus_filter",
+    (s, dir) => {
+      val docs = core.Graft.rebalanceForCompute(t(s, dir, "documents"))
+      val rep = MapOps.repetitionStats(docs, col("doc_id"), col("text"), n = 3)
+        .select(col("doc_id"), col("rep_ratio"))
+      docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.langIdHeuristic(col("text")).as("lang"))
+        .join(rep, Seq("doc_id"), "left")
+        .withColumn("rep_ratio", coalesce(col("rep_ratio"), lit(0.0)))
+        .withColumn("reason",
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("lang") === "unk", "lang")
+            .when(col("rep_ratio") > 0.06, "too_repetitive")
+            .otherwise("ok"))
+        .select(col("doc_id"), col("n_tokens"), col("rep_ratio"),
+          col("reason"), (col("reason") === "ok").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents),
+      tri AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> array_to_string(t[i:i+2], ' '))) AS g
+        FROM toks WHERE len(t) >= 3),
+      cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+      rep AS (SELECT doc_id,
+          ROUND(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+        FROM cnt GROUP BY 1),
+      sig AS (
+        SELECT doc_id, len(t) AS n_tokens,
+          CASE WHEN (CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t,
+            x -> list_contains(['the','a','of','and','to','in','is'], x)))
+            AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END) > 0.02
+            THEN 'en' ELSE 'unk' END AS lang
+        FROM toks)
+      SELECT s.doc_id, s.n_tokens, COALESCE(r.rep_ratio, 0.0) AS rep_ratio,
+        CASE WHEN s.n_tokens < 20 THEN 'too_short'
+          WHEN s.lang = 'unk' THEN 'lang'
+          WHEN COALESCE(r.rep_ratio, 0.0) > 0.06 THEN 'too_repetitive'
+          ELSE 'ok' END AS reason,
+        (CASE WHEN s.n_tokens < 20 THEN 'too_short'
+          WHEN s.lang = 'unk' THEN 'lang'
+          WHEN COALESCE(r.rep_ratio, 0.0) > 0.06 THEN 'too_repetitive'
+          ELSE 'ok' END) = 'ok' AS keep
+      FROM sig s LEFT JOIN rep r ON s.doc_id = r.doc_id
+      ORDER BY s.doc_id"""))
+
+  /** MapFileOutputFormat.getEntry parity: point lookup against a sorted
+    * bucketed table — bucket pruning plays the reference's index file
+    * (only the key's bucket is scanned), bucket-local sort its ordering. */
+  private val qBucketLookup = QuerySpec(
+    "q_bucket_lookup",
+    (s, dir) => {
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val tbl = s"ord_lookup_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite")
+        .option("path", s"/tmp/graft_lookup_$sf")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(tbl)
+      s.table(tbl)
+        .filter(col("o_orderkey") === 100L)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey = 100 ORDER BY o_orderkey"""))
+
   // ----------------------------------------------------------------- export
 
   val all: Seq[QuerySpec] = Seq(
@@ -2120,5 +2274,6 @@ object Queries {
     qRangeJoin, qGroupingSets, qTfidf, qEmbedCentroid, qXmlRecords,
     qNamedOutputs, qQuasiPi,
     qWindowAnalytics, qBigramLm, qCodecRoundtrip, qCombineFiles,
-    qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin)
+    qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin, qSimhashPairs,
+    qKmeansStep, qCorpusFilter, qBucketLookup)
 }

@@ -202,6 +202,40 @@ object DedupOps {
       .toDF("doc_id", "simhash")
   }
 
+  /** SimHash near-dup pairs via bit-banding: the 64-bit signature splits into
+    * `bands` contiguous blocks; by pigeonhole, any pair within Hamming
+    * distance `maxHamming <= bands - 1` agrees EXACTLY on at least one block,
+    * so block-equality buckets give recall 1.0 while reducing the search from
+    * all-pairs to an equi-join on (block index, block bits) — the classic
+    * scalable Hamming join. Candidates are verified with the native
+    * codegen'd [[graft.plans.HammingDistance]] expression.
+    *
+    * Signatures ride through the band shuffle (64 bytes/row — unlike
+    * [[minhashLsh]]'s shingle arrays there is nothing heavy to re-join), so
+    * the plan is kernel -> 1 shuffle -> bucket self-join -> pair dedup. */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: Column, textCol: Column,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"recall 1.0 needs maxHamming < bands (pigeonhole); got $maxHamming >= $bands")
+    val width = 64 / bands
+    // the signature kernel is the expensive leg and feeds both join sides
+    val sigs = simhash64Typed(df, idCol, textCol).localCheckpoint()
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        concat_ws("|", lit(b),
+          substring(col("simhash"), b * width + 1, width))): _*)).as("bk"))
+    banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        graft.plans.NativeFunctions.hamming_distance(
+          col("x.simhash"), col("y.simhash")).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over the near-dup pair graph: collapses pairwise
     * matches into transitive clusters and labels every member with the
     * cluster's minimum doc id — the step that turns pair detection into an

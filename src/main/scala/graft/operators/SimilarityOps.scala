@@ -195,6 +195,29 @@ object SimilarityOps {
       .agg(round(graft.operators.AggOps.avgExact(col("x").cast("double")), 6)
         .as("centroid"))
 
+  /** One Lloyd iteration of cosine k-means: assign every corpus vector to its
+    * nearest centroid (rounded cosine, centroid-id tiebreak — the same
+    * assignment contract as [[ivfTopK]]'s coarse quantizer), then recompute
+    * each centroid as the per-position mean of its members via [[centroids]].
+    * Iterating this to convergence trains the IVF quantizer; a single step is
+    * deterministic and oracle-checkable. Centroids broadcast (they are tiny);
+    * the corpus never shuffles until the final labels×dims aggregation. */
+  def kmeansStep(
+      corpus: DataFrame, initCentroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = initCentroids.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val w = Window.partitionBy(col("_vid"))
+      .orderBy(round(cosine(col("_dvec"), col("cvec")), 6).desc, col("cid"))
+    val assigned = corpus
+      .select(col(idCol).as("_vid"), col(vecCol).as("_dvec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cid"), col("_dvec").as("embedding"))
+    centroids(assigned, "cid", "embedding")
+      .withColumnRenamed("label", "cid")
+  }
+
   /** Random-hyperplane LSH signature: sign bits of dot(vec, h_i) for
     * deterministic pseudo-random hyperplanes derived from (seed, i, dim) via
     * a hash — reproducible without shipping hyperplane data. Vectors landing

@@ -93,10 +93,19 @@ object NativeFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     SqlBridge.column(build(SqlBridge.expression(a), SqlBridge.expression(b)))
 
-  /** Register `graft_cosine` for SQL use on an existing session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def hamming_distance(a: Column, b: Column): Column =
+    SqlBridge.column(
+      HammingDistance(SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Register the native functions for SQL use on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       exprs => build(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hamming",
+      exprs => HammingDistance(exprs(0), exprs(1)),
+      "built-in")
+  }
 }

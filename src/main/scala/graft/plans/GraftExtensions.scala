@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => NativeFunctions.build(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
   }
 }

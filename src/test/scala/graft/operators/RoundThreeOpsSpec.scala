@@ -57,6 +57,19 @@ class RoundThreeOpsSpec extends AnyFunSuite {
     assert(out == Set((0, 1L, 2.0), (0, 2L, 3.0), (1, 1L, 10.0), (1, 2L, 20.0)))
   }
 
+  test("kmeansStep assigns to nearest seed and recomputes member means") {
+    // two tight direction clusters; seeds 0 and 1 are one member of each
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(2.0f, 0.1f)), (3L, Array(0.1f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.kmeansStep(df, df.filter(col("vec_id") < 2))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(out(0L) == Seq(1.5, 0.05)) // members 0 and 2
+    assert(out(1L) == Seq(0.05, 2.0)) // members 1 and 3
+  }
+
   test("namedSinks splits one pass into disjoint named outputs") {
     val base = java.nio.file.Files.createTempDirectory("graft-named").toString
     val df = Seq((1, "x"), (2, "y"), (3, "x")).toDF("id", "tag")
@@ -65,6 +78,39 @@ class RoundThreeOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/xs").count() == 2)
     assert(spark.read.parquet(s"$base/ys")
       .select("id").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("native hamming_distance counts differing positions + length delta") {
+    val df = Seq(
+      ("0000", "0000"), ("0000", "1111"), ("0101", "0110"), ("0000", "000011"))
+      .toDF("a", "b")
+    val got = df.select(
+      graft.plans.NativeFunctions.hamming_distance(col("a"), col("b")))
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 4, 2, 2))
+  }
+
+  test("simhashNearDupPairs equals brute-force hamming for d <= bands-1") {
+    // near-identical docs differ by a token; unrelated docs differ wildly
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val banded = DedupOps.simhashNearDupPairs(
+        docs, col("doc_id"), col("text"), maxHamming = 3, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val sigs = DedupOps.simhash64Typed(docs, col("doc_id"), col("text"))
+    val brute = sigs.alias("x").join(sigs.alias("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        graft.plans.NativeFunctions.hamming_distance(
+          col("x.simhash"), col("y.simhash")).as("h"))
+      .filter(col("h") <= 3)
+      .select("x.doc_id", "y.doc_id").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(banded.contains((1L, 3L))) // exact duplicates => hamming 0
   }
 
   test("xmlRecords extracts begin..end tag spans across line boundaries") {
