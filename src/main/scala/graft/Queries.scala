@@ -1921,7 +1921,9 @@ object Queries {
               element_at(col("t"), i + 1).as("w2")))).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      // context counts roll up from the bigram counts (sum of c12 per w1 =
+      // bigrams starting with w1): the explode runs once, its exchange reused
+      val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
       c12.join(c1, Seq("w1"))
         .select(col("w1"), col("w2"), col("c12"),
           round(col("c12").cast("double") / col("c1").cast("double"), 6).as("p"))
@@ -2069,26 +2071,37 @@ object Queries {
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(
           link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-      def feed() = s.readStream.schema(schema).parquet(streamDir.toString)
+      // one source, self-joined: the feed is scanned once per microbatch and
+      // both sides branch off it (Structured Streaming supports stream
+      // self-joins); two readStreams would track and scan the files twice
+      val feed = s.readStream.schema(schema).parquet(streamDir.toString)
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-      val clicks = feed().filter(col("event_type") === "click")
+      val clicks = feed.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("cu"),
           col("event_time").as("click_time"))
         .withWatermark("click_time", "10000 days")
-      val purchases = feed().filter(col("event_type") === "purchase")
+      val purchases = feed.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
           col("event_time").as("purchase_time"))
         .withWatermark("purchase_time", "10000 days")
       val joined = clicks.join(purchases,
         expr("""cu = pu AND purchase_time >= click_time AND
                 purchase_time <= click_time + interval 1 hour"""))
-      val q = joined
-        .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
-        .writeStream
-        .format("memory").queryName("graft_stream_stream")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // A stream-stream join keeps one state store per shuffle partition per
+      // side; at this feed size the state machinery dominates, so pin the
+      // query to few state partitions (saved/restored — the setting is baked
+      // into the query at start, batch queries after restore are unaffected)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        joined
+          .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
+          .writeStream
+          .format("memory").queryName("graft_stream_stream")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       q.awaitTermination()
       s.table("graft_stream_stream").orderBy("click_id", "purchase_id")
     },

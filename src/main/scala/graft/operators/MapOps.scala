@@ -91,8 +91,11 @@ object MapOps {
       .select(idCol.as("doc_id"),
         explode(graft.functions.TextFunctions.tokens(textCol)).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df_"))
-    val nDocs = terms.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // df and N both derive from tf — each (doc, term) appears exactly once
+    // there, so countDistinct becomes a plain count AND the exploded-terms
+    // exchange is computed once and reused (ReusedExchange) by all three legs
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_"))
+    val nDocs = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
