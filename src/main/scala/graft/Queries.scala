@@ -29,6 +29,18 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
+  /** Pin the shuffle-partition count around a streaming query's start: a
+    * stateful streaming query keeps one state store per shuffle partition
+    * (per side, for joins), and at gate feed sizes that machinery — not the
+    * data — dominates. The setting is baked into the query at start; the
+    * finally-restore means batch plans before/after are untouched. At
+    * production scale the pin is the same knob, just set higher. */
+  private def pinnedParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   import AggOps.{avgExact, sumExact}
 
   // ---------------------------------------------------------------- core agg
@@ -1153,11 +1165,11 @@ object Queries {
         .withColumn("value_dec", col("value").cast("decimal(18,6)"))
       val agg = graft.streaming.StreamOps.windowedAgg(
         stream, "event_time", "event_type", "value_dec", "1 hour", "1 hour")
-      val q = agg.writeStream
+      val q = pinnedParts(s, 8)(agg.writeStream
         .format("memory").queryName("graft_stream_tumbling")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       q.awaitTermination()
       s.table("graft_stream_tumbling")
         .select(
@@ -1220,11 +1232,11 @@ object Queries {
         .as[graft.streaming.StreamOps.SessionEvent]
       val closed = graft.streaming.StreamOps.closedSessions(
         events, gapMicros = 1800000000L, watermarkDelay = "36500 days")
-      val q = closed.toDF().writeStream
+      val q = pinnedParts(s, 8)(closed.toDF().writeStream
         .format("memory").queryName("graft_stream_sessions")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       q.awaitTermination()
       s.table("graft_stream_sessions")
         .select(col("userId").as("user_id"), col("startMicros").as("start_us"),
@@ -1445,14 +1457,15 @@ object Queries {
         java.nio.file.Files.createSymbolicLink(
           link, java.nio.file.Paths.get(s"$dir/events.parquet"))
       val out = s"/tmp/graft_stream_etl_$sfName"
-      val q = s.readStream.schema(schema).parquet(streamDir.toString)
+      val q = pinnedParts(s, 8)(s.readStream.schema(schema)
+        .parquet(streamDir.toString)
         .select(col("event_id"), col("event_type"), col("value"))
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", s"$out.ckpt")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       q.awaitTermination()
       s.read.parquet(out)
         .groupBy("event_type")
@@ -1632,11 +1645,11 @@ object Queries {
         .select(md5(col("text")).as("content_hash"), col("doc_id"))
         .groupBy("content_hash")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      val q = agg.writeStream
+      val q = pinnedParts(s, 8)(agg.writeStream
         .format("memory").queryName("graft_stream_dedup")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       q.awaitTermination()
       s.table("graft_stream_dedup").orderBy("content_hash")
     },
@@ -1780,8 +1793,8 @@ object Queries {
       SimilarityOps.centroids(t(s, dir, "embeddings"))
         .orderBy("label", "pos"),
     Some("""SELECT label, pos,
-      ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
-        / COUNT(x), 6) AS centroid
+      CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
+        / COUNT(x) AS centroid
       FROM (SELECT label, unnest(embedding) AS x,
               CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS pos
             FROM embeddings)
@@ -2038,11 +2051,11 @@ object Queries {
         .join(broadcast(dim), Seq("event_type"))
       val agg = stream.groupBy("category")
         .agg(count(lit(1)).as("cnt"), sum(col("value_dec")).as("sum_dec"))
-      val q = agg.writeStream
+      val q = pinnedParts(s, 8)(agg.writeStream
         .format("memory").queryName("graft_stream_static")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       q.awaitTermination()
       s.table("graft_stream_static")
         .select(col("category"), col("cnt"),
@@ -2091,17 +2104,13 @@ object Queries {
       // side; at this feed size the state machinery dominates, so pin the
       // query to few state partitions (saved/restored — the setting is baked
       // into the query at start, batch queries after restore are unaffected)
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        joined
-          .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
-          .writeStream
-          .format("memory").queryName("graft_stream_stream")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      val q = pinnedParts(s, 8)(joined
+        .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
+        .writeStream
+        .format("memory").queryName("graft_stream_stream")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
       q.awaitTermination()
       s.table("graft_stream_stream").orderBy("click_id", "purchase_id")
     },
@@ -2185,8 +2194,8 @@ object Queries {
           CAST(unnest(generate_series(1, len(e.embedding))) AS BIGINT) AS pos
         FROM assigned a JOIN embeddings e USING (vec_id))
       SELECT cid, pos,
-        ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
-          / COUNT(x), 6) AS centroid
+        CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
+          / COUNT(x) AS centroid
       FROM exploded GROUP BY cid, pos ORDER BY cid, pos"""))
 
   /** The composed training-data quality pipeline as one gate: per document a

@@ -184,15 +184,18 @@ object SimilarityOps {
     *
     * Determinism: per-position sums go through fixed-scale decimal (exact,
     * order-independent — same policy as [[graft.operators.AggOps.sumExact]]),
-    * then one double division and a 6 dp round. `pos` is 1-based to match
-    * SQL `WITH ORDINALITY`. */
+    * then one double division — and NO rounding: identical operands make the
+    * division bit-identical in any IEEE engine, whereas round(mean, 6) of a
+    * double sitting on a .5 boundary diverges across engines (Spark rounds
+    * the shortest decimal repr, others the binary value). `pos` is 1-based
+    * to match SQL `WITH ORDINALITY`. */
   def centroids(
       df: DataFrame, labelCol: String = "label",
       vecCol: String = "embedding"): DataFrame =
     df.select(col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
-      .agg(round(graft.operators.AggOps.avgExact(col("x").cast("double")), 6)
+      .agg(graft.operators.AggOps.avgExact(col("x").cast("double"))
         .as("centroid"))
 
   /** One Lloyd iteration of cosine k-means: assign every corpus vector to its
