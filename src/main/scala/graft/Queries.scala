@@ -2275,6 +2275,75 @@ object Queries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       WHERE o_orderkey = 100 ORDER BY o_orderkey"""))
 
+  /** The full IVF-quantizer training loop composed end-to-end: seed
+    * centroids -> one Lloyd refinement ([[SimilarityOps.kmeansStep]]) ->
+    * re-assembled centroid vectors -> re-assignment of the corpus -> bucket
+    * occupancy. This is exactly how [[SimilarityOps.ivfTopK]]'s coarse
+    * quantizer gets trained; bucket sizes are the observable the IVF
+    * operator cares about (balanced buckets = balanced probe cost). */
+  private val qIvfRefined = QuerySpec(
+    "q_ivf_refined",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val refined = SimilarityOps.kmeansStep(emb, emb.filter(col("vec_id") < 10))
+      val cvecs = refined.groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("centroid")))),
+          x => x.getField("centroid")).as("cvec"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(round(SimilarityOps.cosine(col("embedding"), col("cvec")), 6).desc,
+          col("cid"))
+      emb.select("vec_id", "embedding")
+        .crossJoin(broadcast(cvecs))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cid")
+    },
+    Some("""WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings WHERE vec_id < 10),
+      v AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS dvec
+        FROM embeddings),
+      scored AS (
+        SELECT v.vec_id, c0.cid,
+          ROUND(list_dot_product(dvec, cvec) /
+            (sqrt(list_dot_product(dvec, dvec)) *
+             sqrt(list_dot_product(cvec, cvec))), 6) AS sim
+        FROM v, c0),
+      assigned AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+          FROM scored) t
+        WHERE rn = 1),
+      exploded AS (
+        SELECT a.cid, unnest(e.embedding) AS x,
+          CAST(unnest(generate_series(1, len(e.embedding))) AS BIGINT) AS pos
+        FROM assigned a JOIN embeddings e USING (vec_id)),
+      refined AS (
+        SELECT cid, pos,
+          CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
+            / COUNT(x) AS centroid
+        FROM exploded GROUP BY cid, pos),
+      cvecs AS (
+        SELECT cid, list(centroid ORDER BY pos) AS cvec2 FROM refined
+        GROUP BY cid),
+      rescored AS (
+        SELECT v.vec_id, c.cid,
+          ROUND(list_dot_product(dvec, cvec2) /
+            (sqrt(list_dot_product(dvec, dvec)) *
+             sqrt(list_dot_product(cvec2, cvec2))), 6) AS sim
+        FROM v, cvecs c),
+      reassigned AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+          FROM rescored) t
+        WHERE rn = 1)
+      SELECT cid, COUNT(*) AS n_members FROM reassigned
+      GROUP BY cid ORDER BY cid"""))
+
   // ----------------------------------------------------------------- export
 
   val all: Seq[QuerySpec] = Seq(
@@ -2297,5 +2366,5 @@ object Queries {
     qNamedOutputs, qQuasiPi,
     qWindowAnalytics, qBigramLm, qCodecRoundtrip, qCombineFiles,
     qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin, qSimhashPairs,
-    qKmeansStep, qCorpusFilter, qBucketLookup)
+    qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined)
 }

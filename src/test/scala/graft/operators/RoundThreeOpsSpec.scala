@@ -30,6 +30,26 @@ class RoundThreeOpsSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 
+  test("rangeJoin plans an equi-join, never BroadcastNestedLoop, at scale") {
+    // the whole point of the bucketing: with broadcast off (both sides
+    // "large"), a raw BETWEEN join would fall to BNLJ; ours must not
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val points = spark.range(0, 1000)
+        .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS p")
+      val ivals = spark.range(0, 100)
+        .selectExpr("id AS iid", "CAST(id AS DOUBLE) AS lo",
+          "CAST(id + 5 AS DOUBLE) AS hi")
+      val plan = JoinOps.rangeJoin(points, ivals, "p", "lo", "hi", 5.0)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+      assert(!plan.contains("BroadcastNestedLoop"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("tfIdfTopTerms ranks distinguishing terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "common common apple"),
