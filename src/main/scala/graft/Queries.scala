@@ -2344,6 +2344,68 @@ object Queries {
       SELECT cid, COUNT(*) AS n_members FROM reassigned
       GROUP BY cid ORDER BY cid"""))
 
+  /** Sliding event-time windows (1h window, 30min slide — each event lands
+    * in exactly two windows): the overlap variant of the tumbling gate,
+    * grid-aligned identically in both engines. */
+  private val qSlidingWindow = QuerySpec(
+    "q_sliding_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:00").as("win_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("win_start", "event_type"),
+    Some("""SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+          - k * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:00') AS win_start,
+        event_type, COUNT(*) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+      GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
+  /** Exact interpolated percentiles (WordMedian's exact path, SURVEY §2.6 —
+    * beyond the approx sketch): Spark `percentile` and SQL quantile_cont
+    * share the rank = p·(n−1) linear-interpolation definition, so the raw
+    * doubles are bit-identical — no rounding applied or needed. */
+  private val qPercentileExact = QuerySpec(
+    "q_percentile_exact",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.25)").as("p25"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+        quantile_cont(value, 0.25) AS p25,
+        quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.9) AS p90,
+        COUNT(*) AS cnt
+      FROM events GROUP BY 1 ORDER BY event_type"""))
+
+  /** JSON-lines round-trip through the source/sink facade: schema-on-read
+    * over the written tree, content proven unchanged. */
+  private val qJsonRoundtrip = QuerySpec(
+    "q_json_roundtrip",
+    (s, dir) => {
+      val out = s"/tmp/graft_json_${new java.io.File(dir).getName}"
+      Graft.sink(t(s, dir, "events").select("event_id", "event_type", "value"),
+        out, format = "json")
+      Graft.source(s, out, format = "json",
+          options = Map("primitivesAsString" -> "false"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"),
+          max(col("event_id")).as("max_id"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+      MAX(event_id) AS max_id
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------------- export
 
   val all: Seq[QuerySpec] = Seq(
@@ -2366,5 +2428,6 @@ object Queries {
     qNamedOutputs, qQuasiPi,
     qWindowAnalytics, qBigramLm, qCodecRoundtrip, qCombineFiles,
     qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin, qSimhashPairs,
-    qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined)
+    qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
+    qSlidingWindow, qPercentileExact, qJsonRoundtrip)
 }
