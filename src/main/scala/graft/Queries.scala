@@ -1736,6 +1736,42 @@ object Queries {
       ON e.value >= b.lo AND e.value <= b.hi
       GROUP BY band ORDER BY band"""))
 
+  /** The range join AGAIN, but written naively (plain BETWEEN condition) and
+    * rewritten to the bucketed equi-join by the conf-gated optimizer rule
+    * ([[graft.plans.RangeJoinRewrite]], injected via extraOptimizations /
+    * GraftExtensions) — same oracle as q_range_join, so the rewrite is
+    * proven semantics-preserving end-to-end. The plan materializes eagerly
+    * (localCheckpoint) inside the rule-enabled scope. */
+  private val qRangeJoinAuto = QuerySpec(
+    "q_range_join_auto",
+    (s, dir) => {
+      val bands = s.range(0, 40).select(
+        col("id").as("band"),
+        (col("id") * lit(12.5)).as("lo"),
+        (col("id") * lit(12.5) + lit(25.0)).as("hi"))
+      val savedOpts = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = savedOpts :+ graft.plans.RangeJoinRewrite
+      s.conf.set("spark.graft.rangeJoin.bucketWidth", "25.0")
+      try
+        t(s, dir, "events").select("event_id", "value")
+          .join(bands, col("value") >= col("lo") && col("value") <= col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_events"), sumExact(col("value")).as("sum_value"))
+          .orderBy("band")
+          .localCheckpoint()
+      finally {
+        s.conf.unset("spark.graft.rangeJoin.bucketWidth")
+        s.experimental.extraOptimizations = savedOpts
+      }
+    },
+    Some("""SELECT band, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events e JOIN (
+        SELECT CAST(i AS BIGINT) AS band, i*12.5 AS lo, i*12.5+25.0 AS hi
+        FROM generate_series(0, 39) t(i)) b
+      ON e.value >= b.lo AND e.value <= b.hi
+      GROUP BY band ORDER BY band"""))
+
   /** GROUPING SETS surface (SURVEY §2.6 flags it free alongside rollup/cube):
     * two one-dimension sets plus the grand total in a single pass. */
   private val qGroupingSets = QuerySpec(
@@ -2429,5 +2465,5 @@ object Queries {
     qWindowAnalytics, qBigramLm, qCodecRoundtrip, qCombineFiles,
     qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin, qSimhashPairs,
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
-    qSlidingWindow, qPercentileExact, qJsonRoundtrip)
+    qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto)
 }

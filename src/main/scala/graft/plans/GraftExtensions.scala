@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
       (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
+    // conf-gated (spark.graft.rangeJoin.bucketWidth); no-op otherwise
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }
