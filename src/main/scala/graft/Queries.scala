@@ -2442,6 +2442,37 @@ object Queries {
       MAX(event_id) AS max_id
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** DistCp -update parity end-to-end ([[sources.Compact.sync]]): first sync
+    * copies every file, an immediate re-sync copies none (size-match skip),
+    * and the synced copy is row-identical to the source table. */
+  private val qDistcpSync = QuerySpec(
+    "q_distcp_sync",
+    (s, dir) => {
+      import s.implicits._
+      val sfName = new java.io.File(dir).getName
+      val src = s"/tmp/graft_sync_src_$sfName"
+      val dst = s"/tmp/graft_sync_dst_$sfName"
+      // fresh dst each run so the copied/skipped counts are deterministic
+      val fs = new org.apache.hadoop.fs.Path(dst)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      t(s, dir, "events").select("event_id", "value")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val (copied1, skipped1) = sources.Compact.sync(s, src, dst)
+      val (copied2, skipped2) = sources.Compact.sync(s, src, dst)
+      val nRows = s.read.parquet(dst)
+        // _SUCCESS/_committed markers are zero-length and skipped by size
+        .count()
+      Seq((copied1, skipped1, copied2, skipped2, nRows))
+        .toDF("copied_first", "skipped_first", "copied_second",
+          "skipped_second", "n_rows")
+    },
+    Some("""SELECT CAST(5 AS BIGINT) AS copied_first,
+      CAST(0 AS BIGINT) AS skipped_first,
+      CAST(0 AS BIGINT) AS copied_second,
+      CAST(5 AS BIGINT) AS skipped_second,
+      COUNT(*) AS n_rows FROM events"""))
+
   // ----------------------------------------------------------------- export
 
   val all: Seq[QuerySpec] = Seq(
@@ -2465,5 +2496,6 @@ object Queries {
     qWindowAnalytics, qBigramLm, qCodecRoundtrip, qCombineFiles,
     qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin, qSimhashPairs,
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
-    qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto)
+    qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
+    qDistcpSync)
 }

@@ -32,4 +32,46 @@ object Compact {
     outFs.listStatus(new Path(outPath))
       .count(f => f.getPath.getName.startsWith("part-"))
   }
+
+  /** DistCp `-update` semantics (reference: hadoop-tools/hadoop-distcp
+    * .../DistCp.java:59, sync logic in DistCpSync.java): copy only files
+    * missing from `dst` or differing in size — the incremental bulk-movement
+    * primitive. Same shape as the reference: the LISTING is driver-side and
+    * O(#files); the byte movement is distributed (each task copies its slice
+    * of the file list). Returns (copied, skipped). */
+  def sync(spark: SparkSession, src: String, dst: String): (Long, Long) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new Path(src)
+    val dstPath = new Path(dst)
+    val srcFs = srcPath.getFileSystem(hconf)
+    val dstFs = dstPath.getFileSystem(hconf)
+    dstFs.mkdirs(dstPath)
+    val srcFiles = srcFs.listStatus(srcPath).filter(_.isFile)
+      .map(f => (f.getPath.getName, f.getLen))
+    val dstSizes = dstFs.listStatus(dstPath).filter(_.isFile)
+      .map(f => f.getPath.getName -> f.getLen).toMap
+    val toCopy = srcFiles.collect {
+      case (name, len) if !dstSizes.get(name).contains(len) => name
+    }
+    if (toCopy.nonEmpty) {
+      val (srcStr, dstStr) = (src, dst)
+      spark.sparkContext
+        .parallelize(toCopy.toSeq, math.max(1, math.min(toCopy.length, 32)))
+        .foreachPartition { names =>
+          // executor-side: fresh Configuration (the driver's is not
+          // serializable through the closure)
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val sp = new Path(srcStr)
+          val dp = new Path(dstStr)
+          val sFs = sp.getFileSystem(conf)
+          val dFs = dp.getFileSystem(conf)
+          names.foreach { n =>
+            org.apache.hadoop.fs.FileUtil.copy(
+              sFs, new Path(sp, n), dFs, new Path(dp, n),
+              false /* deleteSource */, true /* overwrite */, conf)
+          }
+        }
+    }
+    (toCopy.length.toLong, (srcFiles.length - toCopy.length).toLong)
+  }
 }
