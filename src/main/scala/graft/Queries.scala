@@ -1414,7 +1414,7 @@ object Queries {
             i -> array_to_string(t[i:i+2], ' '))) AS g
         FROM toks WHERE len(t) >= 3),
       cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2)
-      SELECT doc_id, SUM(c) AS n_ngrams, MAX(c) AS max_rep,
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams, MAX(c) AS max_rep,
         ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS rep_ratio
       FROM cnt GROUP BY 1 ORDER BY doc_id"""))
 
@@ -1432,7 +1432,7 @@ object Queries {
         .orderBy("split")
     },
     Some("""SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
-      SUM(n_chars) AS sum_chars
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM (SELECT doc_id, n_chars,
         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
         FROM (SELECT doc_id, n_chars,

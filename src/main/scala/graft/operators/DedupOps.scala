@@ -212,26 +212,39 @@ object DedupOps {
     *
     * Signatures ride through the band shuffle (64 bytes/row — unlike
     * [[minhashLsh]]'s shingle arrays there is nothing heavy to re-join), so
-    * the plan is kernel -> 1 shuffle -> bucket self-join -> pair dedup. */
+    * the plan is kernel -> 1 shuffle -> in-bucket pairing -> pair dedup.
+    * `maxBucket` is the same skew guard as [[minhashLsh]]'s: a band value
+    * shared by m docs emits m(m-1)/2 pairs, so one hot block (short or
+    * templated docs collapsing to e.g. an all-zeros block) would otherwise
+    * turn the pairing quadratic; buckets above the cap are dropped. */
   def simhashNearDupPairs(
       df: DataFrame, idCol: Column, textCol: Column,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"recall 1.0 needs maxHamming < bands (pigeonhole); got $maxHamming >= $bands")
     val width = 64 / bands
-    // the signature kernel is the expensive leg and feeds both join sides
-    val sigs = simhash64Typed(df, idCol, textCol).localCheckpoint()
+    val sigs = simhash64Typed(df, idCol, textCol)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         concat_ws("|", lit(b),
           substring(col("simhash"), b * width + 1, width))): _*)).as("bk"))
-    banded.alias("x")
-      .join(banded.alias("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+    // One shuffle on the band key, pairs generated inside each bucket
+    // (sort_array orders by doc_id, so x < y holds by construction) —
+    // no self-join, and the signature kernel runs exactly once.
+    val buckets = banded
+      .groupBy("bk")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("docs"))
+      .filter(size(col("docs")).between(2, maxBucket))
+    val pair = explode(flatten(transform(col("docs"), (a, i) =>
+      transform(slice(col("docs"), i + 2, size(col("docs"))),
+        b => struct(a.as("x"), b.as("y"))))))
+    buckets
+      .select(pair.as("p"))
+      .select(col("p.x.doc_id").as("a"), col("p.y.doc_id").as("b"),
         graft.plans.NativeFunctions.hamming_distance(
-          col("x.simhash"), col("y.simhash")).as("hamming"))
+          col("p.x.simhash"), col("p.y.simhash")).as("hamming"))
       .dropDuplicates("a", "b")
       .filter(col("hamming") <= maxHamming)
   }

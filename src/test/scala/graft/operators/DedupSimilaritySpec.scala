@@ -82,6 +82,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
   }
 
+  test("simhashNearDupPairs caps hot buckets instead of going quadratic") {
+    // 1k identical short docs: every band key collides into ONE bucket, the
+    // degenerate corpus that would make an uncapped band join emit ~500k
+    // pairs. With the cap the hot bucket is dropped and the job stays tiny.
+    val degenerate = (1L to 1000L).toDF("doc_id")
+      .withColumn("text", lit("spam spam spam"))
+    val capped = DedupOps.simhashNearDupPairs(
+      degenerate, col("doc_id"), col("text"),
+      maxHamming = 3, bands = 4, maxBucket = 100)
+    assert(capped.isEmpty)
+    // and the cap leaves ordinary (sub-cap) buckets alone: planted dup pair
+    // (1,4) from the shared fixture still surfaces with the same cap
+    val normal = DedupOps.simhashNearDupPairs(
+      docs, col("doc_id"), col("text"),
+      maxHamming = 3, bands = 4, maxBucket = 100)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(normal.contains((1L, 4L)))
+  }
+
   test("ngramJaccardPairs verifies with exact jaccard") {
     val out = DedupOps.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       shingleSize = 3, maxBucket = 50, minJaccard = 0.3)

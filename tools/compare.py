@@ -29,7 +29,17 @@ fails = []
 for name, sql in sorted(oracle.items()):
     if only and name not in only: continue
     try:
-        exp = con.sql(sql).df()
+        rel = con.sql(sql)
+        # The driver's hasher serializes the DuckDB value verbatim, so a
+        # HUGEINT (e.g. bare SUM(BIGINT)) hash-mismatches Spark's int64 even
+        # though the pandas coercion below hides it. Catch it here.
+        wide = [c for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT", "UBIGINT")]
+        if wide:
+            print(f"FAIL {name}: oracle emits non-int64 integer cols {wide} "
+                  f"(wrap in CAST(... AS BIGINT))")
+            fails.append(name); continue
+        exp = rel.df()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}"); fails.append(name); continue
     try:
