@@ -76,11 +76,14 @@ object SimilarityOps {
     val typed = corpus
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
-    val entries = typed.collect().sortBy(_._1)
-    require(entries.length <= maxExactRows,
+    // size-check BEFORE collecting — the guard exists to prevent the driver
+    // OOM, so it must fire before the corpus is pulled onto the driver
+    // (limit stops the count scan early on an oversized corpus)
+    require(typed.limit(maxExactRows + 1).count() <= maxExactRows,
       s"nearDupPairs is the EXACT O(n²) path (corpus is broadcast whole); " +
-        s"${entries.length} rows > $maxExactRows. Use lshCosineTopK/ivfTopK " +
+        s"corpus exceeds $maxExactRows rows. Use lshCosineTopK/ivfTopK " +
         "for candidate generation at scale — the ranking contract is identical.")
+    val entries = typed.collect().sortBy(_._1)
     val bIds = entries.map(_._1)
     val bVecs = entries.map(_._2)
     val bNorms = bVecs.map { v =>
@@ -141,6 +144,86 @@ object SimilarityOps {
     partTopK.orderBy(col("sim").desc, col("a"), col("b")).limit(k)
   }
 
+  /** Nearest-centroid assignment with ZERO corpus shuffle: the centroid set
+    * (tiny by contract — nlist rows) is collapsed into a single-row array and
+    * broadcast, and each input row picks its `n` nearest centroids by folding
+    * over that array in-place. The previous formulation
+    * (crossJoin + `Window.partitionBy(id)` top-1) hash-shuffled the full
+    * corpus×1 product per assignment — at 100 TB that is "shuffle the corpus
+    * once per Lloyd iteration"; this one is scan → project → (explode), with
+    * the only exchange in sight being the broadcast of the centroids.
+    *
+    * Contract unchanged: nearest = max 6-dp-rounded cosine, centroid-id
+    * tiebreak. n == 1 (the corpus-sized side) runs a typed per-partition
+    * argmin kernel — a tight JVM loop over the broadcast centroid array,
+    * replicating [[graft.plans.CosineSimilarity]]'s fold (min-length prefix,
+    * zero-norm → 0.0) bit-for-bit; n > 1 sorts a scored array in an
+    * expression and slices (probe side — queries are few).
+    * Output: (outId, outVec, cid), one row per (input row, picked centroid);
+    * rows vanish when the centroid set is empty, matching the join form. */
+  private def nearestCentroids(
+      df: DataFrame, cent: DataFrame, outId: String, outVec: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (n == 1) {
+      // nlist rows by contract — same tiny-side collect as a broadcast build
+      val entries = cent
+        .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      if (entries.isEmpty)
+        return df.limit(0).select(col(outId).cast("long"),
+          col(outVec).cast("array<double>"), lit(0L).as("cid"))
+      val bc = spark.sparkContext.broadcast(entries)
+      df.select(col(outId).cast("long"), col(outVec).cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val cents = bc.value
+          it.map { case (id, v) =>
+            var bestSim = -2.0
+            var bestCid = Long.MaxValue
+            var ci = 0
+            while (ci < cents.length) {
+              val (cid, cv) = cents(ci)
+              val m = math.min(v.length, cv.length)
+              var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+              while (i < m) {
+                dot += v(i) * cv(i); nx += v(i) * v(i); ny += cv(i) * cv(i)
+                i += 1
+              }
+              val sim = round6(
+                if (nx == 0.0 || ny == 0.0) 0.0
+                else dot / (math.sqrt(nx) * math.sqrt(ny)))
+              if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
+                bestSim = sim; bestCid = cid
+              }
+              ci += 1
+            }
+            (id, v, bestCid)
+          }
+        }
+        .toDF(outId, outVec, "cid")
+    } else {
+      val centArr = broadcast(cent.agg(
+        array_sort(collect_list(struct(col("cid").cast("long").as("cid"),
+          col("cvec")))).as("_cents")))
+      val scored = transform(col("_cents"), c =>
+        struct(round(cosine(col(outVec), c.getField("cvec")), 6).as("sim"),
+          c.getField("cid").as("cid")))
+      val cmp = (l: Column, r: Column) =>
+        when(l.getField("sim") > r.getField("sim"), -1)
+          .when(l.getField("sim") < r.getField("sim"), 1)
+          .when(l.getField("cid") < r.getField("cid"), -1)
+          .when(l.getField("cid") > r.getField("cid"), 1)
+          .otherwise(0)
+      df.crossJoin(centArr)
+        .filter(size(col("_cents")) > 0)
+        .select(col(outId), col(outVec),
+          explode(slice(array_sort(scored, cmp), 1, n)).as("_pick"))
+        .select(col(outId), col(outVec), col("_pick.cid").as("cid"))
+    }
+  }
+
   /** IVF (inverted-file) ANN — the other standard scale path besides LSH.
     * Coarse quantizer is deterministic ("training-free"): centroids are the
     * `nlist` lowest-id corpus vectors, every vector is assigned to its
@@ -154,17 +237,12 @@ object SimilarityOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cent = corpus.filter(col(idCol) < nlist)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    def nearestBuckets(df: DataFrame, outId: String, outVec: String, n: Int) = {
-      val w = Window.partitionBy(col(outId))
-        .orderBy(round(cosine(col(outVec), col("cvec")), 6).desc, col("cid"))
-      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-        .crossJoin(broadcast(cent))
-        .withColumn("_crn", row_number().over(w))
-        .filter(col("_crn") <= n)
-        .drop("_crn", "cvec")
-    }
-    val assigned = nearestBuckets(corpus, "nbr_id", "cvec2", 1)
-    val probes = nearestBuckets(queries, "query_id", "qvec", nprobe)
+    val assigned = nearestCentroids(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec2")),
+      cent, "nbr_id", "cvec2", 1)
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+      cent, "query_id", "qvec", nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id"))
     probes.join(assigned, Seq("cid"))
@@ -209,13 +287,9 @@ object SimilarityOps {
       corpus: DataFrame, initCentroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cent = initCentroids.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val w = Window.partitionBy(col("_vid"))
-      .orderBy(round(cosine(col("_dvec"), col("cvec")), 6).desc, col("cid"))
-    val assigned = corpus
-      .select(col(idCol).as("_vid"), col(vecCol).as("_dvec"))
-      .crossJoin(broadcast(cent))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    val assigned = nearestCentroids(
+      corpus.select(col(idCol).as("_vid"), col(vecCol).as("_dvec")),
+      cent, "_vid", "_dvec", 1)
       .select(col("cid"), col("_dvec").as("embedding"))
     centroids(assigned, "cid", "embedding")
       .withColumnRenamed("label", "cid")
