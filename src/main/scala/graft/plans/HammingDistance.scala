@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ExpectsStringPair
 import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * — same rationale as [[CosineSimilarity]], the (b) tier of the
   * custom-operator preference order. */
 case class HammingDistance(left: Expression, right: Expression)
-    extends BinaryExpression with Serializable {
+    extends BinaryExpression with ExpectsStringPair with Serializable {
 
   override def dataType: DataType = IntegerType
 

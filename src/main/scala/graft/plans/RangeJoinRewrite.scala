@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
 /** Optimizer rule: rewrite a naive point-in-interval join into the bucketed
   * equi-join form of [[graft.operators.JoinOps.rangeJoin]] — automatically.
@@ -73,6 +73,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def bucket(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w, DoubleType)))
 
+  /** The bucket function is Cast-to-double based, so the rewrite is only
+    * semantics-preserving for numeric operands: a string range (`name
+    * BETWEEN 'a' AND 'z'`) would cast to NULL and silently EMPTY the join,
+    * and a date-typed bound is not double-castable at all. Non-numeric
+    * range joins keep their original plan. */
+  private def bucketable(e: Expression): Boolean =
+    e.dataType.isInstanceOf[NumericType]
+
   override def apply(plan: LogicalPlan): LogicalPlan = widthConf match {
     case None => plan
     case Some(w) =>
@@ -98,14 +106,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               case _ => None
             }
           pair match {
-            case None => j
-            case Some((p, lo, hi)) =>
+            case Some((p, lo, hi))
+                if bucketable(p) && bucketable(lo) && bucketable(hi) =>
               val lAlias = Alias(bucket(p, w), "_graft_bucket_l")()
               val leftB = Project(l.output :+ lAlias, l)
               // Sequence is TimeZoneAware: zone must be set for it to
-              // resolve, even over longs
+              // resolve, even over longs. The step is left out on purpose:
+              // an interval row with hi < lo would make an explicit +1 step
+              // throw "Illegal sequence boundaries" at runtime, while the
+              // step-less form auto-picks -1 and the residual `cond` then
+              // drops every generated row — matching the original join,
+              // where such a row simply matched nothing.
               val seq = Sequence(
-                bucket(lo, w), bucket(hi, w), Some(Literal(1L, LongType)),
+                bucket(lo, w), bucket(hi, w), None,
                 Some(SQLConf.get.sessionLocalTimeZone))
               val rAttr = AttributeReference(
                 "_graft_bucket_r", LongType, nullable = true)()
@@ -115,6 +128,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               val newJoin = Join(leftB, rightB, Inner,
                 Some(And(EqualTo(lAlias.toAttribute, rAttr), cond)), hint)
               Project(l.output ++ r.output, newJoin)
+            case _ => j
           }
       }
   }

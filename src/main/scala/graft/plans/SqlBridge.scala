@@ -13,3 +13,17 @@ object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `ExpectsInputTypes.inputTypes` returns `Seq[AbstractDataType]`, and
+  * `AbstractDataType` is `private[sql]` in Spark 4 — a custom expression
+  * outside the sql package cannot even write the override's signature. This
+  * shim trait fixes the input types to (string, string) from inside the
+  * package, giving SQL-registered string expressions a clean analysis-time
+  * type error instead of a runtime ClassCastException. */
+trait ExpectsStringPair
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes
+      : Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType)
+}

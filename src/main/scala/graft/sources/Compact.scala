@@ -55,12 +55,17 @@ object Compact {
     }
     if (toCopy.nonEmpty) {
       val (srcStr, dstStr) = (src, dst)
+      // ship the DRIVER's Hadoop conf to the copy tasks (Configuration is
+      // not serializable directly — SerializableConfiguration wraps it):
+      // a fresh Configuration() would drop every spark.hadoop.* setting
+      // (object-store credentials, custom fs impls, defaultFS), making
+      // sync() resolve the wrong filesystem anywhere beyond the local FS
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(hconf))
       spark.sparkContext
         .parallelize(toCopy.toSeq, math.max(1, math.min(toCopy.length, 32)))
         .foreachPartition { names =>
-          // executor-side: fresh Configuration (the driver's is not
-          // serializable through the closure)
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = confBc.value.value
           val sp = new Path(srcStr)
           val dp = new Path(dstStr)
           val sFs = sp.getFileSystem(conf)

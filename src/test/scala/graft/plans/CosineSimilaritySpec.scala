@@ -50,6 +50,15 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"))
   }
 
+  test("graft_hamming on non-string columns fails at analysis, not runtime") {
+    NativeFunctions.register(spark)
+    spark.range(3).createOrReplaceTempView("nums_hd")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hamming(id, id) FROM nums_hd").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
+
   test("known values") {
     val out = Seq((Array(1f, 0f), Array(1f, 0f)), (Array(1f, 0f), Array(-1f, 0f)))
       .toDF("a", "b")

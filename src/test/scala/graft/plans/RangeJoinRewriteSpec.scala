@@ -68,6 +68,29 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("non-numeric range joins are left alone (and stay correct)") {
+    // bucket() casts to double: a string range would bucket to NULL and
+    // silently empty the join — the rule must bail out instead
+    val names = Seq((1L, "carol"), (2L, "yak")).toDF("id", "n")
+    val spans = Seq(("early", "a", "m"), ("late", "n", "z")).toDF("tag", "s", "e")
+    val q = names.join(spans, col("n") >= col("s") && col("n") <= col("e"))
+    val expected = Set((1L, "early"), (2L, "late"))
+    withRule("2.0") {
+      assert(!q.queryExecution.optimizedPlan.toString.contains("_graft_bucket"))
+      assert(q.select("id", "tag").as[(Long, String)].collect().toSet == expected)
+    }
+  }
+
+  test("an inverted interval (hi < lo) matches nothing instead of throwing") {
+    val inverted = ivals.union(Seq(("bad", 50.0, 1.0)).toDF("name", "lo", "hi"))
+    val q = points.join(inverted, col("p") >= col("lo") && col("p") <= col("hi"))
+    withRule("2.0") {
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_bucket"))
+      val got = q.select("id", "name").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (1L, "b"), (2L, "a"), (2L, "c")))
+    }
+  }
+
   test("rule is a no-op when the width conf is unset") {
     val saved = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = saved :+ RangeJoinRewrite
