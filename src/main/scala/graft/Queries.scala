@@ -2475,6 +2475,43 @@ object Queries {
 
   // ----------------------------------------------------------------- export
 
+  /** Read through a registered non-`file:` FileSystem scheme
+    * ([[graft.sources.GraftFileSystem]]) — proves the reader stack is not
+    * local-path-only: URI dispatch, scheme-keyed FS cache, listing, and
+    * parquet reads all go through the `fs.<scheme>.impl` machinery that
+    * cloud connectors (reference: hadoop-tools/hadoop-aws
+    * .../s3a/S3AFileSystem.java:261) plug into. */
+  private val qFsScheme = QuerySpec(
+    "q_fs_scheme",
+    (s, dir) => {
+      graft.sources.GraftFileSystem.register(s)
+      s.read.parquet(graft.sources.GraftFileSystem.uri(s"$dir/nation.parquet"))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1"))
+
+  /** Provided-storage external table (fs2img parity, reference:
+    * hadoop-tools/hadoop-fs2img .../ImageWriter.java — mount pre-existing
+    * data into the namespace without copying): `CREATE TABLE ... LOCATION`
+    * over the non-local [[graft.sources.GraftFileSystem]] scheme, queried
+    * through the catalog. The data never moves; the catalog entry points at
+    * the provided store — the same contract as PROVIDED block storage. */
+  private val qExternalTable = QuerySpec(
+    "q_external_table",
+    (s, dir) => {
+      graft.sources.GraftFileSystem.register(s)
+      s.sql("DROP TABLE IF EXISTS graft_ext_supplier")
+      s.sql("CREATE TABLE graft_ext_supplier USING parquet LOCATION '" +
+        graft.sources.GraftFileSystem.uri(s"$dir/supplier.parquet") + "'")
+      s.table("graft_ext_supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"), min(col("s_name")).as("first_name"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+      MIN(s_name) AS first_name FROM supplier GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -2497,5 +2534,5 @@ object Queries {
     qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin, qSimhashPairs,
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
-    qDistcpSync)
+    qDistcpSync, qFsScheme, qExternalTable)
 }
