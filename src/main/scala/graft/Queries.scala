@@ -2128,14 +2128,17 @@ object Queries {
       val clicks = feed.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("cu"),
           col("event_time").as("click_time"))
-        .withWatermark("click_time", "10000 days")
       val purchases = feed.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
           col("event_time").as("purchase_time"))
-        .withWatermark("purchase_time", "10000 days")
-      val joined = clicks.join(purchases,
+      // effectively-infinite watermark passed EXPLICITLY: this gate replays a
+      // bounded feed and wants the exhaustive batch-equal result; the
+      // operator's own default ("1 hour") is the state-bounded contract
+      val joined = graft.streaming.StreamOps.intervalJoin(
+        clicks, "click_time", purchases, "purchase_time",
         expr("""cu = pu AND purchase_time >= click_time AND
-                purchase_time <= click_time + interval 1 hour"""))
+                purchase_time <= click_time + interval 1 hour"""),
+        watermark = "10000 days")
       // A stream-stream join keeps one state store per shuffle partition per
       // side; at this feed size the state machinery dominates, so pin the
       // query to few state partitions (saved/restored — the setting is baked

@@ -26,6 +26,26 @@ object StreamOps {
       .select(col("window.start").as("window_start"),
         col(keyCol), col("cnt"), col("sum_value"))
 
+  /** Stream-stream inner join with event-time watermarks on BOTH sides —
+    * the state-bounded form. The watermark is the state-retention contract:
+    * each side buffers only rows newer than (max event time - `watermark`),
+    * and inputs older than that are dropped as late. In any real deployment
+    * the default keeps state finite; a caller wanting exhaustive batch-equal
+    * results over a bounded replay (the determinism device the gates use)
+    * must OPT IN to an effectively-infinite watermark explicitly rather than
+    * inheriting unbounded state from the operator.
+    *
+    * `cond` should carry the equi-key AND the event-time range (e.g.
+    * `right_ts BETWEEN left_ts AND left_ts + interval 1 hour`) — the range
+    * is what lets Spark evict join state as the watermark advances. */
+  def intervalJoin(
+      left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String,
+      cond: org.apache.spark.sql.Column,
+      watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTsCol, watermark)
+      .join(right.withWatermark(rightTsCol, watermark), cond)
+
   final case class SessionEvent(userId: Long, tsMicros: Long)
   final case class SessionState(nEvents: Long, lastTsMicros: Long, nSessions: Long)
   final case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)

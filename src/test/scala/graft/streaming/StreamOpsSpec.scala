@@ -39,6 +39,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin: a tight watermark drops late rows (state stays bounded)") {
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = MemoryStream[(Long, Long, Timestamp)]
+    val rights = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      lefts.toDF.toDF("click_id", "cu", "click_time"), "click_time",
+      rights.toDF.toDF("purchase_id", "pu", "purchase_time"), "purchase_time",
+      org.apache.spark.sql.functions.expr(
+        """cu = pu AND purchase_time >= click_time AND
+           purchase_time <= click_time + interval 1 hour"""),
+      watermark = "1 minute")
+    val q = joined.select("click_id", "purchase_id").writeStream
+      .format("memory").queryName("ivj").outputMode(OutputMode.Append).start()
+    try {
+      lefts.addData((1L, 7L, ts("2024-01-01 00:00:00")))
+      rights.addData((100L, 7L, ts("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      assert(spark.table("ivj").as[(Long, Long)].collect().toSet ==
+        Set((1L, 100L)))
+      // a second pair twelve hours on advances the watermark far past T0
+      lefts.addData((2L, 8L, ts("2024-01-01 12:00:00")))
+      rights.addData((200L, 8L, ts("2024-01-01 12:00:30")))
+      q.processAllAvailable()
+      // this pair WOULD match, but arrives hours below the watermark:
+      // both rows must be dropped as late, emitting nothing
+      lefts.addData((3L, 7L, ts("2024-01-01 00:05:00")))
+      rights.addData((300L, 7L, ts("2024-01-01 00:05:10")))
+      q.processAllAvailable()
+      assert(spark.table("ivj").as[(Long, Long)].collect().toSet ==
+        Set((1L, 100L), (2L, 200L)))
+    } finally q.stop()
+  }
+
   test("closedSessions emits a record only when a session closes") {
     implicit val sqlCtx = spark.sqlContext
     import StreamOps._
