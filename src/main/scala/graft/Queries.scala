@@ -1208,6 +1208,37 @@ object Queries {
       CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS sum_bal
       FROM customer GROUP BY 1 ORDER BY 1"""))
 
+  /** Date-bounded partitioned JDBC read ([[graft.sources.Jdbc.readDatePartitioned]],
+    * DateSplitter parity): orders round-trip through embedded Derby with the
+    * scan split on a DATE column — the per-type bounding-query machinery the
+    * numeric gate doesn't touch. Oracle aggregates the same rows straight
+    * from parquet. */
+  private val qJdbcPartitioned = QuerySpec(
+    "q_jdbc_partitioned",
+    (s, dir) => {
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+      val db = s"/tmp/graft_derby_${new java.io.File(dir).getName}"
+      val url = s"jdbc:derby:$db;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_odate"),
+          col("o_totalprice"))
+      graft.sources.Jdbc.write(ord, url, "orders_part", mode = "overwrite",
+        props = props)
+      graft.sources.Jdbc.readDatePartitioned(s, url, "orders_part",
+          partitionColumn = "o_odate",
+          lowerDate = "1992-01-01", upperDate = "1999-01-01",
+          numPartitions = 4, props = props)
+        .groupBy(year(col("o_odate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("cnt"), sumExact(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** The generator-shaped stateful streaming operator
     * (flatMapGroupsWithState) executed for real and oracle-gated. With the
     * whole table in one AvailableNow batch and a watermark delay far beyond
@@ -2537,5 +2568,5 @@ object Queries {
     qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin, qSimhashPairs,
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
-    qDistcpSync, qFsScheme, qExternalTable)
+    qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned)
 }

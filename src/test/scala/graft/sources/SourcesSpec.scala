@@ -13,6 +13,40 @@ class SourcesSpec extends AnyFunSuite {
   private def tmpDir(): String =
     Files.createTempDirectory("graft-test").toString
 
+  test("string-range predicates split a JDBC read disjointly and cover NULLs") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = s"jdbc:derby:${tmpDir()}/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // seed via raw JDBC: the unit under test is the predicate-split READ
+    // (Spark's Derby writer maps strings to CLOB, which range predicates
+    // can't compare against — a VARCHAR column is what real schemas have)
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE names_split (id BIGINT, name VARCHAR(64))")
+      Seq(1L -> "'alpha'", 2L -> "'bravo'", 3L -> "'mike'",
+        4L -> "'november'", 5L -> "'zulu'", 6L -> "NULL").foreach {
+        case (id, n) =>
+          st.executeUpdate(s"INSERT INTO names_split VALUES ($id, $n)")
+      }
+    } finally conn.close()
+    val preds = Jdbc.stringRangePredicates("name", Seq("g", "s"))
+    assert(preds.size == 3)
+    val back = Jdbc.readPredicates(spark, url, "names_split", preds, props)
+    // disjoint + covering: every row exactly once, NULL included
+    assert(back.rdd.getNumPartitions == 3)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 6L))
+    // each range holds what it should
+    val perPart = back.select(spark_partition_id(), col("name"))
+      .as[(Int, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(perPart(0) == Set("alpha", "bravo", null))
+    assert(perPart(1) == Set("mike", "november"))
+    assert(perPart(2) == Set("zulu"))
+  }
+
   test("teraGen is deterministic; teraSort output validates clean") {
     val data = Tera.gen(spark, 5000, parts = 8)
     assert(data.count() == 5000)
