@@ -492,6 +492,29 @@ object Queries {
       FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
       WHERE word <> '' GROUP BY word ORDER BY word"""))
 
+  /** Binary-safe piping ([[PipeOps.pipeMapBinary]], typed-bytes parity):
+    * payloads deliberately containing tabs AND newlines round-trip through
+    * an external `cat` bit-for-bit — raw framing would split them into
+    * broken lines. The md5 of each recovered payload is checked against the
+    * oracle computing the same bytes directly. */
+  private val qPipeBinary = QuerySpec(
+    "q_pipe_binary",
+    (s, dir) => {
+      val payload = concat(substring(col("text"), 1, 40), lit("\tmid\n"),
+        col("doc_id").cast("string"))
+      val framed = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("k"), payload.as("v"))
+      val out = PipeOps.pipeMapBinary(framed, Seq("cat"))
+      PipeOps.parseBinary(out, Seq("k", "v"))
+        .select(col("k").cast("string").cast("long").as("doc_id"),
+          md5(col("v")).as("payload_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      md5(substr(text, 1, 40) || chr(9) || 'mid' || chr(10) ||
+          CAST(doc_id AS VARCHAR)) AS payload_md5
+      FROM documents ORDER BY doc_id"""))
+
   // ----------------------------------------------------- LLM pipeline: dedup
 
   private val qDedupExact = QuerySpec(
@@ -2568,5 +2591,5 @@ object Queries {
     qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin, qSimhashPairs,
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
-    qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned)
+    qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary)
 }

@@ -28,6 +28,23 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     assert(parsed.map(_._2).sum == 50)
   }
 
+  test("pipeMapBinary round-trips bytes containing tabs, newlines, and NULs") {
+    // raw line framing would split these payloads mid-record; the base64
+    // framing must deliver them back bit-for-bit
+    val hostile = Seq(
+      (1L, "plain".getBytes("UTF-8")),
+      (2L, "tab\there\nand newline".getBytes("UTF-8")),
+      (3L, Array[Byte](0, 1, 2, 9, 10, 13, -1, -128))
+    ).toDF("id", "payload")
+    val out = PipeOps.pipeMapBinary(hostile, Seq("/bin/cat"))
+    val back = PipeOps.parseBinary(out, Seq("id", "payload"))
+      .select(col("id").cast("string").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(back(1L).toSeq == "plain".getBytes("UTF-8").toSeq)
+    assert(back(2L).toSeq == "tab\there\nand newline".getBytes("UTF-8").toSeq)
+    assert(back(3L).toSeq == Seq[Byte](0, 1, 2, 9, 10, 13, -1, -128))
+  }
+
   test("parseKv splits on the first separator only") {
     val lines = Seq("k1\tv\twith\ttabs", "k2\t", "k3").toDF("line")
     val got = PipeOps.parseKv(lines).as[(String, String)].collect().toSet
