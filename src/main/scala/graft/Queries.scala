@@ -515,6 +515,54 @@ object Queries {
           CAST(doc_id AS VARCHAR)) AS payload_md5
       FROM documents ORDER BY doc_id"""))
 
+  /** REAL Hadoop SequenceFile round-trip (SequenceFileInput/OutputFormat,
+    * reference: hadoop-mapreduce-client-core .../lib/input/
+    * SequenceFileInputFormat.java:38, output/SequenceFileOutputFormat
+    * .java:40): Text-keyed container written with saveAsSequenceFile, read
+    * back with sc.sequenceFile — the actual wire format, not a columnar
+    * stand-in. Parquet stays the engine's canonical store; this gate proves
+    * the legacy container interops both directions. */
+  private val qSeqfileRoundtrip = QuerySpec(
+    "q_seqfile_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val out = s"/tmp/graft_seqfile_${new java.io.File(dir).getName}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("string"), col("lang"))
+        .as[(String, String)]
+        .rdd.saveAsSequenceFile(out)
+      s.sparkContext.sequenceFile[String, String](out)
+        .toDF("doc_id", "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      MIN(CAST(doc_id AS VARCHAR)) AS min_id
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** ORC round-trip — the second columnar container (SURVEY §2.2/§2.3 output
+    * codecs row): write zlib ORC, read back, aggregate. Exercises Spark's
+    * built-in ORC reader/writer stack the way the parquet gates do. */
+  private val qOrcRoundtrip = QuerySpec(
+    "q_orc_roundtrip",
+    (s, dir) => {
+      val out = s"/tmp/graft_orc_${new java.io.File(dir).getName}"
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("overwrite").option("compression", "zlib").orc(out)
+      s.read.orc(out)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"), sumExact(col("s_acctbal")).as("sum_bal"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey, COUNT(*) AS cnt,
+      CAST(SUM(CAST(s_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS sum_bal
+      FROM supplier GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------- LLM pipeline: dedup
 
   private val qDedupExact = QuerySpec(
@@ -2591,5 +2639,6 @@ object Queries {
     qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin, qSimhashPairs,
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
-    qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary)
+    qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
+    qSeqfileRoundtrip, qOrcRoundtrip)
 }
