@@ -563,6 +563,85 @@ object Queries {
       CAST(SUM(CAST(s_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS sum_bal
       FROM supplier GROUP BY 1 ORDER BY 1"""))
 
+  /** Context-window chunking ([[MapOps.chunkDocuments]]): documents split
+    * into 64-token windows overlapping by 16 — the fit-to-context-length
+    * preprocessing step. Oracle replays the start-sequence + slice in
+    * DuckDB list ops (parallel unnests zip). */
+  private val qChunk = QuerySpec(
+    "q_chunk",
+    (s, dir) =>
+      MapOps.chunkDocuments(t(s, dir, "documents"), col("doc_id"), col("text"),
+          size = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id"),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents),
+      ok AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+      st AS (SELECT doc_id, t,
+          generate_series(1, greatest(1, len(t) - 16), 48) AS starts
+        FROM ok)
+      SELECT doc_id,
+        CAST(unnest(generate_series(1, len(starts))) AS BIGINT) AS chunk_id,
+        unnest(list_transform(starts, s -> array_to_string(t[s:s+63], ' ')))
+          AS chunk,
+        CAST(unnest(list_transform(starts, s -> len(t[s:s+63]))) AS BIGINT)
+          AS n_tokens
+      FROM st ORDER BY doc_id, chunk_id"""))
+
+  /** Deterministic stratified sampling ([[SortOps.stratifiedHashSample]]):
+    * per-language keep fractions via portable md5 buckets — downsample the
+    * dominant stratum, keep the rare ones. The oracle replays the identical
+    * hash arithmetic, so the exact kept set (not just its size) matches. */
+  private val qStratifiedSample = QuerySpec(
+    "q_stratified_sample",
+    (s, dir) =>
+      SortOps.stratifiedHashSample(t(s, dir, "documents"), col("doc_id"),
+          col("lang"), Map("en" -> 0.25, "de" -> 1.0, "es" -> 0.5,
+            "fr" -> 0.75, "zh" -> 0.1))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("lang"),
+    Some("""SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM (SELECT doc_id, lang, n_chars,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 10000 AS b
+        FROM documents) t
+      WHERE b < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 10000
+        WHEN 'es' THEN 5000 WHEN 'fr' THEN 7500 WHEN 'zh' THEN 1000
+        ELSE -1 END
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Vocabulary construction ([[MapOps.buildVocab]]): floor-filtered token
+    * counts with contiguous ids by (count desc, token asc). */
+  private val qVocab = QuerySpec(
+    "q_vocab",
+    (s, dir) =>
+      MapOps.buildVocab(t(s, dir, "documents"), col("text"), minCount = 50)
+        .orderBy("token_id"),
+    Some("""SELECT token, cnt,
+        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+          AS token_id
+      FROM (SELECT word AS token, COUNT(*) AS cnt
+        FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+          x -> x <> '')) AS word FROM documents) w
+        GROUP BY 1 HAVING COUNT(*) >= 50) c
+      ORDER BY token_id"""))
+
+  /** Balanced class weights ([[AggOps.classWeights]]) over the embeddings
+    * labels: w = N / (K·n_c), unrounded (integer-operand division is
+    * IEEE-identical across engines). */
+  private val qClassWeights = QuerySpec(
+    "q_class_weights",
+    (s, dir) =>
+      AggOps.classWeights(t(s, dir, "embeddings"), col("label"))
+        .orderBy("label"),
+    Some("""WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1)
+      SELECT label, n,
+        CAST(SUM(n) OVER () AS DOUBLE) / (COUNT(*) OVER () * n) AS weight
+      FROM c ORDER BY label"""))
+
   // ----------------------------------------------------- LLM pipeline: dedup
 
   private val qDedupExact = QuerySpec(
@@ -2640,5 +2719,6 @@ object Queries {
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
-    qSeqfileRoundtrip, qOrcRoundtrip)
+    qSeqfileRoundtrip, qOrcRoundtrip, qChunk, qStratifiedSample, qVocab,
+    qClassWeights)
 }

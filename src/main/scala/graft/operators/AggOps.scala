@@ -85,4 +85,23 @@ object AggOps {
         round(sum("freq").cast("double") / count(lit(1)), 6).as("mean_freq"),
         round(stddev_pop("freq"), 6).as("stddev_freq"))
   }
+
+  /** Balanced inverse-frequency class weights, w_c = N / (K · n_c) — the
+    * loss-weighting companion to a skewed labeled set. One aggregation over
+    * the corpus; the unpartitioned window then runs over K label rows only.
+    * The ratio stays UNROUNDED: identical integer operands divide to the
+    * same IEEE double in every engine, while rounding a boundary double
+    * does not survive engine hops. */
+  def classWeights(df: DataFrame, labelCol: Column): DataFrame = {
+    val counts = df.groupBy(labelCol.as("label")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    counts
+      .withColumn("weight",
+        sum(col("n")).over(w).cast("double") /
+          (count(lit(1)).over(w) * col("n")))
+      .select(col("label"), col("n"), col("weight"))
+  }
 }

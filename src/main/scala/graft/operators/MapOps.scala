@@ -48,6 +48,54 @@ object MapOps {
     df.select(carry.map(col) :+ k.as("key") :+ v.as("value"): _*)
   }
 
+  /** Vocabulary construction: distinct tokens above a count floor, assigned
+    * contiguous ids by (count desc, token asc) — the tokenizer-training /
+    * embedding-table step. The corpus-sized work is the explode + one
+    * map-side-partial count; the global row_number window then sorts only
+    * the POST-FLOOR vocabulary, which is tens of thousands of rows at any
+    * corpus scale (the floor cuts the long tail), so the single-partition
+    * window is a deliberate, bounded choice — not a corpus sort. */
+  def buildVocab(df: DataFrame, textCol: Column, minCount: Long = 2): DataFrame = {
+    val counts = df
+      .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("token_id", row_number().over(w).cast("long"))
+  }
+
+  /** Context-window chunking — split each document into overlapping
+    * fixed-token windows, the preprocessing step that fits a corpus to a
+    * model's context length. Chunk k covers tokens
+    * [k·(size−overlap)+1, k·(size−overlap)+size]; starts advance while
+    * `start <= n_tokens − overlap` (plus always one chunk for short docs),
+    * so every token is covered and no chunk is fully contained in its
+    * predecessor. Pure per-row expressions (tokenize → start sequence →
+    * slice per start → posexplode): zero shuffles, embarrassingly parallel,
+    * output rows bounded by n_tokens/stride per doc. */
+  def chunkDocuments(
+      df: DataFrame, idCol: Column, textCol: Column,
+      size: Int, overlap: Int = 0): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = graft.functions.TextFunctions.tokens(textCol)
+    val starts = sequence(
+      lit(1), greatest(lit(1), org.apache.spark.sql.functions.size(toks) - overlap),
+      lit(stride))
+    df.select(idCol.as("doc_id"), toks.as("t"), starts.as("starts"))
+      .filter(org.apache.spark.sql.functions.size(col("t")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(col("starts"),
+          st => array_join(slice(col("t"), st, lit(size)), " ")))
+          .as(Seq("pos", "chunk")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
+        col("chunk"),
+        (org.apache.spark.sql.functions.size(split(col("chunk"), " ")))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Repetition-ratio quality signal (the Gopher/C4-style duplicate-n-gram
     * filter for training corpora): per document, the fraction of its n-grams
     * covered by the single most-repeated n-gram. High ratio = boilerplate /

@@ -90,6 +90,28 @@ object SortOps {
   def randomSample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** Deterministic stratified sample — per-stratum keep fractions with the
+    * same portable-hash assignment as [[hashSplit]]: a row survives iff its
+    * key's md5 bucket (out of 10000) falls under its stratum's fraction.
+    * Rebalancing skewed strata (downsample the web crawl, keep all of the
+    * curated set) is the training-data staple; hash determinism means the
+    * sample is stable across runs/engines/partitionings and adding data
+    * never flips an existing row. Strata absent from `fractions` drop.
+    * No shuffle: a per-row projection + filter. */
+  def stratifiedHashSample(
+      df: DataFrame, keyCol: Column, strataCol: Column,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions")
+    val bucket = pmod(
+      conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(10000L))
+    val cut = fractions.foldLeft(lit(-1L): Column) { case (acc, (k, f)) =>
+      when(strataCol === k, lit(math.round(f * 10000).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < cut)
+  }
+
   /** Hash-partition on a subset of key fields (KeyFieldBasedPartitioner
     * parity, reference: .../lib/partition/KeyFieldBasedPartitioner.java:51):
     * co-locates rows sharing the subset while the full key stays free for

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Round-4 LLM-pipeline operators: chunking, stratified sampling,
+  * vocabulary, class weights. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chunkDocuments covers every token; overlap is exact") {
+    val doc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = MapOps.chunkDocuments(doc, col("doc_id"), col("text"),
+      size = 5, overlap = 2)
+      .orderBy("chunk_id")
+      .select("chunk").as[String].collect()
+    // stride 3, starts 1,4,7 (start <= 10-2=8): windows [1-5],[4-8],[7-10]
+    assert(chunks.toSeq == Seq(
+      "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10"))
+    // consecutive chunks share exactly `overlap` tokens; union covers all
+    val tokSets = chunks.toSeq.map(_.split(" ").toSeq)
+    tokSets.sliding(2).foreach { pair =>
+      assert(pair.head.intersect(pair.last).length == 2)
+    }
+    assert(tokSets.flatten.distinct.length == 10)
+  }
+
+  test("chunkDocuments: short docs yield one whole-doc chunk; empty drop") {
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = MapOps.chunkDocuments(docs, col("doc_id"), col("text"),
+      size = 64, overlap = 16)
+      .select("doc_id", "chunk", "n_tokens").as[(Long, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, "a b c", 3L)))
+  }
+
+  test("stratifiedHashSample is deterministic and respects fractions") {
+    val rows = (1L to 2000L).map(i =>
+      (i, if (i % 2 == 0) "big" else "rare")).toDF("id", "grp")
+    val frac = Map("big" -> 0.2, "rare" -> 1.0)
+    val take1 = SortOps.stratifiedHashSample(rows, col("id"), col("grp"), frac)
+      .select("id").as[Long].collect().toSet
+    val take2 = SortOps.stratifiedHashSample(rows, col("id"), col("grp"), frac)
+      .select("id").as[Long].collect().toSet
+    assert(take1 == take2) // pure function of the key
+    val kept = rows.filter(col("id").isin(take1.toSeq: _*))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(kept("rare") == 1000L) // fraction 1.0 keeps everything
+    assert(math.abs(kept("big") - 200L) < 60) // ~20% of 1000, hash jitter
+    // unlisted strata drop entirely
+    val none = SortOps.stratifiedHashSample(
+      rows.withColumn("grp", lit("other")), col("id"), col("grp"), frac)
+    assert(none.isEmpty)
+  }
+
+  test("buildVocab floors counts and ids are dense by (cnt desc, token)") {
+    val docs = Seq("a a a b b c", "a b d", "d").toDF("text")
+    val v = MapOps.buildVocab(docs, col("text"), minCount = 2)
+      .select("token", "cnt", "token_id").as[(String, Long, Long)].collect()
+      .sortBy(_._3)
+    assert(v.toSeq == Seq(("a", 4L, 1L), ("b", 3L, 2L), ("d", 2L, 3L)))
+  }
+
+  test("classWeights: w = N / (K * n_c), rare class upweighted") {
+    val df = (Seq.fill(8)("common") ++ Seq.fill(2)("rare")).toDF("label")
+    // N=10, K=2: common 10/(2*8)=0.625, rare 10/(2*2)=2.5
+    val got = AggOps.classWeights(df, col("label"))
+      .select("label", "n", "weight").as[(String, Long, Double)]
+      .collect().map { case (l, n, wt) => l -> ((n, wt)) }.toMap
+    assert(got("common") == ((8L, 0.625)))
+    assert(got("rare") == ((2L, 2.5)))
+  }
+}
