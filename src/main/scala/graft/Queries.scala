@@ -1580,6 +1580,19 @@ object Queries {
       SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id
       FROM reach GROUP BY x ORDER BY doc_id"""))
 
+  /** The same transitive clusters via alternating large-star/small-star
+    * ([[DedupOps.nearDupClustersStar]]) — the O(log n)-round formulation for
+    * long-chain components. Identical output contract and oracle as
+    * q_dedup_clusters, so the two algorithms cross-check each other. */
+  private val qDedupClustersStar = QuerySpec(
+    "q_dedup_clusters_star",
+    (s, dir) =>
+      DedupOps.nearDupClustersStar(
+        DedupOps.minhashLsh(t(s, dir, "documents"), col("doc_id"), col("text"),
+          shingleSize = 5, bands = 4, rowsPerBand = 2, minJaccard = 0.2))
+        .orderBy("doc_id"),
+    qDedupClusters.oracle)
+
   /** Repetition-ratio quality signal (duplicate-trigram fraction per doc) —
     * the Gopher/C4-style boilerplate filter over the documents corpus. */
   private val qRepetition = QuerySpec(
@@ -2720,5 +2733,5 @@ object Queries {
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
     qSeqfileRoundtrip, qOrcRoundtrip, qChunk, qStratifiedSample, qVocab,
-    qClassWeights)
+    qClassWeights, qDedupClustersStar)
 }

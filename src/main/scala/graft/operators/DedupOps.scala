@@ -300,6 +300,77 @@ object DedupOps {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components via alternating large-star/small-star — the
+    * O(log n)-round variant for graphs whose components have LONG CHAINS,
+    * where [[nearDupClusters]]'s per-hop min-label propagation would need
+    * O(diameter) shuffles. Same output contract: (doc_id, cluster_id = the
+    * component's min id).
+    *
+    * Each round: large-star hangs every neighbor larger than a node onto
+    * the node's minimum neighbor (halving chain heights), small-star then
+    * re-hangs the small side the same way; edges always point big→small and
+    * the edge set is a fixpoint exactly when every component is a star
+    * rooted at its minimum. Convergence is checked with a cheap (count,
+    * sum-of-endpoints) signature on the already-checkpointed edge set —
+    * stable under the set semantics, no join-per-round. Hub nodes collect
+    * their neighbor set in one task per round; that is the algorithm's
+    * documented behavior (large-star is precisely the step that splits
+    * hubs). */
+  def nearDupClustersStar(
+      pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val big = greatest(col("u"), col("v"))
+    val small = least(col("u"), col("v"))
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(big.as("u"), small.as("v"))
+      .distinct()
+      .localCheckpoint()
+    // the original vertex set: star-contraction drops isolated-after-merge
+    // nodes from the edge list, but every input node still needs a label
+    val nodes = edges.select(col("u").as("doc_id"))
+      .union(edges.select(col("v").as("doc_id")))
+      .distinct()
+      .localCheckpoint()
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum((col("u") * 1000003L + col("v")).cast("decimal(38,0)"))).first()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    def star(e: DataFrame, largeSide: Boolean): DataFrame = {
+      // large-star groups over the SYMMETRIZED adjacency; small-star only
+      // over the big->small orientation
+      val adj = if (largeSide)
+        e.union(e.select(col("v").as("u"), col("u").as("v"))) else e
+      val grouped = adj.groupBy("u").agg(collect_set(col("v")).as("ns"))
+        .select(col("u"),
+          array_min(array_union(col("ns"), array(col("u")))).as("m"), col("ns"))
+      val hang = if (largeSide)
+        filter(col("ns"), v => v > col("u")) // strictly-larger neighbors
+      else array_union(col("ns"), array(col("u"))) // small nbrs + self
+      grouped
+        .select(explode(hang).as("x"), col("m"))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    var converged = false
+    var sig = signature(edges)
+    while (!converged) {
+      val next = star(star(edges, largeSide = true), largeSide = false)
+        .localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+    }
+    // fixpoint = components are stars rooted at their min: non-roots appear
+    // as u with v = root; roots label themselves
+    nodes.join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("v"), col("doc_id")).as("cluster_id"))
+  }
+
   /** n-gram Jaccard near-dup pairs WITHOUT minhash: candidates = pairs sharing
     * at least one shingle, with super-common shingles dropped (bucket cap) to
     * bound the self-join blow-up — the standard scalable trick; exact Jaccard

@@ -82,6 +82,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
   }
 
+  test("nearDupClustersStar labels a 200-node chain in O(log n) rounds") {
+    // a pure chain is the worst case for per-hop label propagation
+    // (O(diameter) rounds); the star algorithm must still produce
+    // min-labeled components — and quickly
+    val chain = (2L to 200L).map(i => (i - 1, i)).toDF("a", "b")
+    val labels = DedupOps.nearDupClustersStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 200)
+    assert(labels.values.forall(_ == 1L))
+    // two disjoint components + an isolated pair keep separate labels
+    val multi = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L))
+      .toDF("a", "b")
+    val got = DedupOps.nearDupClustersStar(multi)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+    // cross-check: identical labeling to the propagation variant
+    val a = DedupOps.nearDupClusters(multi).as[(Long, Long)].collect().toSet
+    assert(a == got.toSeq.map(identity).toSet)
+  }
+
   test("simhashNearDupPairs caps hot buckets instead of going quadratic") {
     // 1k identical short docs: every band key collides into ONE bucket, the
     // degenerate corpus that would make an uncapped band join emit ~500k
