@@ -1153,6 +1153,66 @@ object Queries {
         WHERE a.nbr_id <> p.query_id) t
       WHERE "rank" <= 5 ORDER BY query_id, "rank""""))
 
+  /** Recall@5 of the IVF search against the exact ranking
+    * ([[SimilarityOps.recallAtK]]) — the QA loop every approximate index
+    * ships with. The oracle recomputes BOTH sides (exact top-k and the full
+    * IVF assignment/probe pipeline) and counts overlap, so the measured
+    * recall itself is hash-gated, not just plausible. */
+  private val qAnnRecall = QuerySpec(
+    "q_ann_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = SimilarityOps.cosineTopK(emb, queries, k = 5)
+      val approx = SimilarityOps.ivfTopK(emb, queries, k = 5,
+        nlist = 8, nprobe = 2)
+      SimilarityOps.recallAtK(exact, approx, k = 5)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      exact AS (
+        SELECT query_id, nbr_id FROM (
+          SELECT q.vec_id AS query_id, x.vec_id AS nbr_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              ROUND(list_dot_product(q.v, x.v) /
+                (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))),
+                6) DESC, x.vec_id) AS rn
+          FROM e q JOIN e x ON x.vec_id <> q.vec_id
+          WHERE q.vec_id < 10) t WHERE rn <= 5),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id AS nbr_id, v AS nv, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_dot_product(e.v, c.cv) /
+                (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                6) DESC, c.cid) AS rn
+          FROM e, cent c) x WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_dot_product(e.v, c.cv) /
+                (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                6) DESC, c.cid) AS rn
+          FROM e, cent c WHERE e.vec_id < 10) x WHERE rn <= 2),
+      approx AS (
+        SELECT query_id, nbr_id FROM (
+          SELECT p.query_id, a.nbr_id,
+            ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+              ROUND(list_dot_product(p.qv, a.nv) /
+                (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.nv, a.nv))),
+                6) DESC, a.nbr_id) AS rn
+          FROM probes p JOIN assigned a ON p.cid = a.cid
+          WHERE a.nbr_id <> p.query_id) t
+        WHERE rn <= 5)
+      SELECT CAST(COUNT(DISTINCT x.query_id) AS BIGINT) AS n_queries,
+        CAST(COUNT(a.nbr_id) AS BIGINT) AS n_hits,
+        CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COUNT(a.nbr_id) AS DOUBLE) / COUNT(*) AS recall
+      FROM exact x LEFT JOIN approx a
+        ON x.query_id = a.query_id AND x.nbr_id = a.nbr_id"""))
+
   private val qWindowLag = QuerySpec(
     "q_window_lag",
     (s, dir) => {
@@ -2733,5 +2793,5 @@ object Queries {
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
     qSeqfileRoundtrip, qOrcRoundtrip, qChunk, qStratifiedSample, qVocab,
-    qClassWeights, qDedupClustersStar)
+    qClassWeights, qDedupClustersStar, qAnnRecall)
 }

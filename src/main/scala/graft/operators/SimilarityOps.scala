@@ -295,6 +295,26 @@ object SimilarityOps {
       .withColumnRenamed("label", "cid")
   }
 
+  /** Recall@k of an approximate ANN result against the exact ranking — the
+    * standard operating procedure for tuning LSH planes / IVF nprobe: run
+    * both on a sampled query set and read one number. Inputs are operator
+    * outputs shaped (query_id, nbr_id, rank). The recall is micro-averaged
+    * (total hits / total exact results) so the output stays a ratio of two
+    * integers — bit-identical in any engine, no float summation order in
+    * sight. One broadcast-sized join: both inputs are k·|queries| rows. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.filter(col("rank") <= k).select("query_id", "nbr_id")
+    val a = approx.filter(col("rank") <= k).select("query_id", "nbr_id")
+      .withColumn("hit", lit(1))
+    e.join(a, Seq("query_id", "nbr_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(col("hit")).as("n_hits"),
+        count(lit(1)).as("n_exact"))
+      .select(col("n_queries"), col("n_hits"), col("n_exact"),
+        (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** Random-hyperplane LSH signature: sign bits of dot(vec, h_i) for
     * deterministic pseudo-random hyperplanes derived from (seed, i, dim) via
     * a hash — reproducible without shipping hyperplane data. Vectors landing
