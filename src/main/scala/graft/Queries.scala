@@ -1025,7 +1025,10 @@ object Queries {
     Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       FROM documents ORDER BY doc_id"""))
 
-  // non-SQL-portable engine hashes (xxhash64): rows-only checks
+  /** LSH-bucketed ANN, fully hash-gated: the hyperplane coefficients are
+    * portable md5 arithmetic (see [[SimilarityOps.hyperplaneSignature]]),
+    * so the oracle re-derives the exact signatures, buckets, and rankings
+    * in SQL — no rows-only concession. */
   private val qAnnLsh = QuerySpec(
     "q_ann_lsh",
     (s, dir) => {
@@ -1036,7 +1039,32 @@ object Queries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      coef AS (
+        SELECT p, list_transform(generate_series(0, 63),
+          d -> (CAST('0x' || substr(md5('42|' || p || '|' || d), 1, 8)
+                AS BIGINT) % 2000001) / 1000000.0 - 1.0) AS c
+        FROM range(4) r(p)),
+      sigonly AS (
+        SELECT vec_id,
+          string_agg(CASE WHEN pd >= 0 THEN '1' ELSE '0' END, ''
+            ORDER BY p) AS sig
+        FROM (SELECT e.vec_id, coef.p, list_dot_product(e.v, coef.c) AS pd
+              FROM e, coef) t
+        GROUP BY vec_id),
+      sigs AS (SELECT e.vec_id, e.v, s.sig FROM e JOIN sigonly s USING (vec_id)),
+      scored AS (
+        SELECT q.vec_id AS query_id, x.vec_id AS nbr_id,
+          ROUND(list_dot_product(q.v, x.v) /
+            (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))),
+            6) AS sim
+        FROM sigs q JOIN sigs x ON q.sig = x.sig AND x.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      SELECT query_id, nbr_id, sim, CAST(rn AS BIGINT) AS "rank" FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY sim DESC, nbr_id) AS rn FROM scored) t
+      WHERE rn <= 5 ORDER BY query_id, "rank""""))
 
   private val qTextgenWc = QuerySpec(
     "q_textgen_wc",

@@ -316,21 +316,30 @@ object SimilarityOps {
   }
 
   /** Random-hyperplane LSH signature: sign bits of dot(vec, h_i) for
-    * deterministic pseudo-random hyperplanes derived from (seed, i, dim) via
-    * a hash — reproducible without shipping hyperplane data. Vectors landing
-    * in the same signature bucket are candidate neighbors; search cost drops
-    * from N to bucket size per query. */
+    * deterministic pseudo-random hyperplanes derived from (seed, plane, dim)
+    * via portable md5 arithmetic — so any engine reproduces the exact
+    * bucketing (the q_ann_lsh oracle replays it in SQL). The coefficients
+    * depend only on plan-time constants, so they are computed ONCE on the
+    * driver and embedded as literals: the per-row work is a pure
+    * multiply-add fold, no hashing in the hot path at all. Vectors landing
+    * in the same signature bucket are candidate neighbors; search cost
+    * drops from N to bucket size per query. */
   def hyperplaneSignature(vec: Column, dims: Int, planes: Int, seed: Int = 42): Column = {
-    def planeDot(p: Int): Column =
-      aggregate(
-        zip_with(vec, sequence(lit(0), lit(dims - 1)), (x, d) => {
-          // deterministic pseudo-random coefficient in [-1, 1): from
-          // xxhash64 of (seed, plane, dim) — engine-internal only (not
-          // oracle-checked), so the fast non-portable hash is fine here.
-          val h = xxhash64(lit(seed), lit(p), d)
-          x.cast("double") * (pmod(h, lit(2000001L)).cast("double") / 1000000.0 - 1.0)
-        }),
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // coefficient in [-1, 1): first 8 md5 hex chars of "seed|plane|dim",
+    // mod 2000001, scaled — SQL replay:
+    // (CAST('0x'||substr(md5(seed||'|'||p||'|'||d),1,8) AS BIGINT)
+    //  % 2000001) / 1000000.0 - 1.0
+    def coeff(p: Int, d: Int): Double = {
+      val hex = md.digest(s"$seed|$p|$d".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 2000001L).toDouble / 1000000.0 - 1.0
+    }
+    def planeDot(p: Int): Column = {
+      val coeffs = array((0 until dims).map(d => lit(coeff(p, d))): _*)
+      aggregate(zip_with(vec, coeffs, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)
+    }
     concat((0 until planes).map(p => when(planeDot(p) >= 0, "1").otherwise("0")): _*)
   }
 
