@@ -2343,6 +2343,72 @@ object Queries {
     Some("""SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
       FROM events"""))
 
+  /** t-digest-style sketch surface: approx_percentile checked against the
+    * exact interpolated percentile with a relative tolerance (the sketch's
+    * accuracy contract), exact values hash-gated — same shape as the HLL
+    * gate. */
+  private val qApproxPercentile = QuerySpec(
+    "q_approx_percentile",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_a"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_a"))
+        .select(
+          round(col("p50_exact"), 6).as("p50_exact"),
+          round(col("p95_exact"), 6).as("p95_exact"),
+          (abs(col("p50_a") - col("p50_exact")) / col("p50_exact") <= 0.05)
+            .as("p50_ok"),
+          (abs(col("p95_a") - col("p95_exact")) / col("p95_exact") <= 0.05)
+            .as("p95_ok")),
+    Some("""SELECT
+      ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+      ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+      TRUE AS p50_ok, TRUE AS p95_ok
+      FROM lineitem"""))
+
+  /** Bloom-filter semi-join — the sketch behind runtime row-group pruning
+    * at scale: build a bloom over the urgent orders' keys, probe every
+    * lineitem row, and verify the filter's contract (superset of the exact
+    * semi-join, bounded false-positive rate). The exact match count is
+    * hash-gated; the bloom's xxhash64 internals never leave the engine. */
+  private val qBloomJoin = QuerySpec(
+    "q_bloom_join",
+    (s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")).distinct()
+      // might_contain requires a CONSTANT bloom (Spark's own runtime filter
+      // feeds it a scalar subquery): materialize the one-row sketch on the
+      // driver (~50 KB) and embed it as a literal — the probe side then
+      // stays a codegen'd scan with no join at all
+      val bfBytes = urgent.agg(graft.plans.NativeFunctions.bloom_filter_agg(
+        xxhash64(col("o_orderkey")), 50000L, 400000L).as("bf"))
+        .first().getAs[Array[Byte]]("bf")
+      val marked = t(s, dir, "lineitem").select(col("l_orderkey"))
+        .withColumn("probed", graft.plans.NativeFunctions.might_contain(
+          lit(bfBytes), xxhash64(col("l_orderkey"))))
+        .join(broadcast(urgent),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .withColumn("exact", col("o_orderkey").isNotNull)
+      marked.agg(
+          count(when(col("exact"), 1)).as("n_exact"),
+          count(when(col("exact") && !col("probed"), 1)).as("n_false_neg"),
+          count(when(col("probed") && !col("exact"), 1)).as("n_fp"),
+          count(when(!col("exact"), 1)).as("n_neg"))
+        .select(col("n_exact"),
+          (col("n_false_neg") === 0).as("no_false_neg"),
+          (col("n_fp").cast("double") <=
+            col("n_neg").cast("double") * 0.05).as("fp_rate_ok"))
+    },
+    Some("""SELECT CAST(COUNT(*) FILTER (WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+        AS BIGINT) AS n_exact,
+      TRUE AS no_false_neg, TRUE AS fp_rate_ok
+      FROM lineitem"""))
+
   /** Stream-static join, executed for real: the streaming events feed joins
     * a broadcast static dimension (the DistributedCache idiom in streaming
     * form), then aggregates per category — memory sink, AvailableNow. */
@@ -2821,5 +2887,6 @@ object Queries {
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
     qSeqfileRoundtrip, qOrcRoundtrip, qChunk, qStratifiedSample, qVocab,
-    qClassWeights, qDedupClustersStar, qAnnRecall)
+    qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
+    qBloomJoin)
 }

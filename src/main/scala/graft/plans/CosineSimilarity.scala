@@ -97,6 +97,24 @@ object NativeFunctions {
     SqlBridge.column(
       HammingDistance(SqlBridge.expression(a), SqlBridge.expression(b)))
 
+  /** Bloom-filter build/probe — Spark ships these Catalyst expressions for
+    * its own runtime-filter pushdown but does not SQL-register them; the
+    * bridge exposes them as engine surface (build over xxhash64(key) longs,
+    * probe stays codegen'd — a UDF here would break whole-stage codegen on
+    * the probe side, which scans the big table). */
+  def bloom_filter_agg(hashedKey: Column, numItems: Long, numBits: Long): Column =
+    SqlBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        SqlBridge.expression(hashedKey),
+        org.apache.spark.sql.catalyst.expressions.Literal(numItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  def might_contain(bloom: Column, hashedKey: Column): Column =
+    SqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        SqlBridge.expression(bloom), SqlBridge.expression(hashedKey)))
+
   /** Register the native functions for SQL use on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
