@@ -65,6 +65,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(out eq wide)
   }
 
+  test("chunkDocuments and stratifiedHashSample plan with ZERO exchanges") {
+    val docs = (1 to 100).map(i => (i.toLong, s"lang${i % 3}",
+      (1 to 30).map(j => s"t$j").mkString(" "))).toDF("doc_id", "lang", "text")
+    val chunked = MapOps.chunkDocuments(docs, col("doc_id"), col("text"),
+      size = 8, overlap = 2)
+    assert(!chunked.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must be a per-row projection")
+    val sampled = SortOps.stratifiedHashSample(docs, col("doc_id"), col("lang"),
+      Map("lang0" -> 0.5, "lang1" -> 1.0))
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"),
+      "stratified hash sampling must be a per-row filter")
+  }
+
+  test("kmeansStep assignment runs with no exchange on the corpus side") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 4)
+    val out = SimilarityOps.kmeansStep(vecs, cents)
+    val plan = out.queryExecution.executedPlan.toString
+    // the only exchanges allowed are the final labels-x-dims aggregation
+    // (and its tiny ordering); the corpus assignment itself must be
+    // scan -> mapPartitions with the centroids broadcast, never a
+    // Window.partitionBy shuffle of the corpus
+    assert(!plan.contains("Window"), s"window shuffle crept back:\n$plan")
+    assert(plan.contains("MapPartitions"), s"typed argmin kernel missing:\n$plan")
+  }
+
   test("Chain.of composes transforms left to right") {
     val f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       _.withColumn("x2", col("x") * 2)
