@@ -2343,6 +2343,31 @@ object Queries {
     Some("""SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
       FROM events"""))
 
+  /** Perplexity-style quality scoring ([[MapOps.bigramSurprisal]]): each
+    * document's mean bigram surprisal under the corpus's own LM — the
+    * standard both-tails filter signal. */
+  private val qSurprisal = QuerySpec(
+    "q_surprisal",
+    (s, dir) =>
+      MapOps.bigramSurprisal(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents),
+      bb AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+          unnest(t[2:len(t)]) AS w2
+        FROM toks WHERE len(t) >= 2),
+      pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM bb GROUP BY 1, 2),
+      fst AS (SELECT w1, SUM(c12) AS c1 FROM pair GROUP BY 1),
+      lm AS (SELECT p.w1, p.w2,
+          ROUND(-ln(CAST(c12 AS DOUBLE) / c1), 6) AS s
+        FROM pair p JOIN fst f ON p.w1 = f.w1)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+          AS avg_surprisal
+      FROM bb JOIN lm USING (w1, w2)
+      GROUP BY 1 ORDER BY doc_id"""))
+
   /** t-digest-style sketch surface: approx_percentile checked against the
     * exact interpolated percentile with a relative tolerance (the sketch's
     * accuracy contract), exact values hash-gated — same shape as the HLL
@@ -2888,5 +2913,5 @@ object Queries {
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
     qSeqfileRoundtrip, qOrcRoundtrip, qChunk, qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
-    qBloomJoin)
+    qBloomJoin, qSurprisal)
 }

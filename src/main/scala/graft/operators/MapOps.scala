@@ -48,6 +48,39 @@ object MapOps {
     df.select(carry.map(col) :+ k.as("key") :+ v.as("value"): _*)
   }
 
+  /** Per-document bigram surprisal — the perplexity-style quality signal:
+    * score every document by the mean negative log-probability of its
+    * bigrams under the corpus's own bigram LM (P(w2|w1) = c(w1,w2)/c(w1·)).
+    * Low = predictable/templated text, high = unusual text; both tails are
+    * filter candidates. Self-scoring needs no smoothing: every document
+    * bigram exists in the corpus LM by construction.
+    *
+    * Determinism: per-bigram surprisal rounds to 6 dp (identical int-ratio
+    * + ln in any IEEE engine), the per-doc mean goes through exact decimal
+    * summation (order-independent). Dataflow: explode -> two counts (both
+    * map-side partial) -> bigram-keyed join back -> per-doc agg. All
+    * shuffles are on short keys; no step holds unbounded state. */
+  def bigramSurprisal(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(textCol)
+    val bb = df
+      .select(idCol.as("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pair = bb.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val first = pair.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val lm = pair.join(first, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(-log(col("c12").cast("double") / col("c1")), 6).as("s"))
+    bb.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        AggOps.avgExact(col("s")).as("avg_surprisal"))
+  }
+
   /** Vocabulary construction: distinct tokens above a count floor, assigned
     * contiguous ids by (count desc, token asc) — the tokenizer-training /
     * embedding-table step. The corpus-sized work is the explode + one
