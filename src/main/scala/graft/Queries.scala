@@ -2376,23 +2376,25 @@ object Queries {
     "q_approx_percentile",
     (s, dir) =>
       t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
         .agg(
           expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
           expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
           expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_a"),
           expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_a"))
-        .select(
+        .select(col("l_returnflag"),
           round(col("p50_exact"), 6).as("p50_exact"),
           round(col("p95_exact"), 6).as("p95_exact"),
           (abs(col("p50_a") - col("p50_exact")) / col("p50_exact") <= 0.05)
             .as("p50_ok"),
           (abs(col("p95_a") - col("p95_exact")) / col("p95_exact") <= 0.05)
-            .as("p95_ok")),
-    Some("""SELECT
+            .as("p95_ok"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
       TRUE AS p50_ok, TRUE AS p95_ok
-      FROM lineitem"""))
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
   /** Bloom-filter semi-join — the sketch behind runtime row-group pruning
     * at scale: build a bloom over the urgent orders' keys, probe every
