@@ -36,6 +36,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a b c", 3L)))
   }
 
+  test("chunkDocuments invariants sweep: cover all, dense ids, exact overlap") {
+    // doc n carries tokens t1..tn — invariants must hold for every length
+    // under several (size, overlap) shapes, including stride-1
+    val docs = (1 to 120).map(n =>
+      (n.toLong, (1 to n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    for ((size, overlap) <- Seq((8, 0), (8, 3), (16, 15), (5, 2), (64, 16))) {
+      val out = MapOps.chunkDocuments(docs, col("doc_id"), col("text"),
+        size, overlap)
+        .select("doc_id", "chunk_id", "chunk")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1)
+      assert(out.size == 120, s"every doc must chunk (size=$size)")
+      out.foreach { case (n, rows) =>
+        val chunks = rows.sortBy(_._2).map(_._3.split(" ").toSeq).toSeq
+        assert(rows.map(_._2).sorted.toSeq == (1L to rows.length),
+          s"ids not dense: doc $n size=$size overlap=$overlap")
+        assert(chunks.flatten.distinct.size == n.toInt,
+          s"coverage hole: doc $n size=$size overlap=$overlap")
+        chunks.sliding(2).filter(_.size == 2).foreach { pair =>
+          assert(pair.head.intersect(pair.last).size == overlap,
+            s"overlap off: doc $n size=$size overlap=$overlap")
+        }
+        assert(chunks.forall(_.size <= size))
+      }
+    }
+  }
+
   test("stratifiedHashSample is deterministic and respects fractions") {
     val rows = (1L to 2000L).map(i =>
       (i, if (i % 2 == 0) "big" else "rare")).toDF("id", "grp")
