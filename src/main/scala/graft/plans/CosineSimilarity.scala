@@ -125,5 +125,18 @@ object NativeFunctions {
       "graft_hamming",
       exprs => HammingDistance(exprs(0), exprs(1)),
       "built-in")
+    // SQL-text access to the bloom pair Spark leaves unregistered:
+    // graft_bloom_agg(xxhash64(k), items, bits) / graft_might_contain(bf, h)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
   }
 }

@@ -50,6 +50,22 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"))
   }
 
+  test("graft_bloom_agg / graft_might_contain compose from SQL text") {
+    NativeFunctions.register(spark)
+    spark.range(1000).createOrReplaceTempView("keys_bf")
+    val bf = spark.sql(
+      """SELECT graft_bloom_agg(xxhash64(id), 1000L, 8000L) AS bf
+         FROM keys_bf WHERE id % 2 = 0""").first().getAs[Array[Byte]]("bf")
+    spark.createDataFrame(Seq(Tuple1(bf))).toDF("bf")
+      .createOrReplaceTempView("bloom_bf")
+    val hits = spark.sql(
+      """SELECT count(*) FROM keys_bf
+         WHERE graft_might_contain((SELECT bf FROM bloom_bf), xxhash64(id))
+           AND id % 2 = 0""").first().getLong(0)
+    // a bloom filter has no false negatives: all 500 even keys must probe true
+    assert(hits == 500L)
+  }
+
   test("graft_hamming on non-string columns fails at analysis, not runtime") {
     NativeFunctions.register(spark)
     spark.range(3).createOrReplaceTempView("nums_hd")
