@@ -2343,6 +2343,75 @@ object Queries {
     Some("""SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
       FROM events"""))
 
+  /** Magic-byte format sniffing ([[MultimodalOps.sniffFormat]]): payloads
+    * built with REAL container magics (PNG/JPEG/WAVE and a neutral byte)
+    * route by the sniffed format. Spark derives the format FROM THE BYTES;
+    * the oracle derives it from the construction rule — matching proves the
+    * sniff is right. */
+  private val qSniffFormat = QuerySpec(
+    "q_sniff_format",
+    (s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      val magic = when(m === 0,
+          lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)))
+        .when(m === 1, lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)))
+        .when(m === 2, concat(lit("RIFF".getBytes("UTF-8")),
+          lit(Array[Byte](0, 0, 0, 0)), lit("WAVE".getBytes("UTF-8"))))
+        .otherwise(lit(Array[Byte](0x00)))
+      val payload = concat(magic, encode(col("text"), "utf-8"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), MultimodalOps.sniffFormat(payload).as("format"))
+        .groupBy("format")
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"))
+        .orderBy("format")
+    },
+    Some("""SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
+      COUNT(*) AS cnt, MIN(doc_id) AS min_id
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** Ingestion-time dedup ([[DedupOps.incrementalExactDedup]]): the second
+    * half of the corpus arrives as a batch and drops anything whose content
+    * hash is already in the first half (or duplicated within the batch —
+    * first id wins). */
+  private val qIncrementalDedup = QuerySpec(
+    "q_incremental_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("content_hash")).distinct()
+      DedupOps.incrementalExactDedup(
+          docs.filter(col("doc_id") >= 250).select("doc_id", "text"),
+          col("doc_id"), col("text"), seen)
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE doc_id < 250),
+      incoming AS (SELECT doc_id, md5(text) AS h FROM documents
+        WHERE doc_id >= 250),
+      fresh AS (SELECT doc_id, h,
+          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM incoming WHERE h NOT IN (SELECT h FROM seen))
+      SELECT doc_id, h AS content_hash FROM fresh WHERE rn = 1
+      ORDER BY doc_id"""))
+
+  /** Equi-depth histogram ([[AggOps.equiDepthHistogram]]) of order totals:
+    * quantile bucket bounds, ~equal counts per bucket — the skew-proof
+    * distribution profile. */
+  private val qEquiDepth = QuerySpec(
+    "q_equidepth_histogram",
+    (s, dir) =>
+      AggOps.equiDepthHistogram(t(s, dir, "orders"), "o_totalprice", 8)
+        .orderBy("bucket"),
+    Some("""WITH cuts AS (SELECT quantile_cont(o_totalprice,
+        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM orders)
+      SELECT CAST(len(list_filter(c, x -> x < o_totalprice)) AS BIGINT)
+          AS bucket,
+        COUNT(*) AS cnt, ROUND(MIN(o_totalprice), 6) AS min_v,
+        ROUND(MAX(o_totalprice), 6) AS max_v
+      FROM orders, cuts GROUP BY 1 ORDER BY 1"""))
+
   /** Typed cogroup ([[JoinOps.cogroupCounts]]) — the datajoin framework's
     * general per-key (leftRows, rightRows) contract: orders cogrouped with
     * lineitem on orderkey, counting each side. Oracle = full outer join of
@@ -2976,5 +3045,6 @@ object Queries {
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
     qSeqfileRoundtrip, qOrcRoundtrip, qChunk, qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
-    qBloomJoin, qSurprisal, qCogroup, qStreamJdbc)
+    qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,
+    qIncrementalDedup, qEquiDepth)
 }

@@ -86,6 +86,28 @@ object AggOps {
         round(stddev_pop("freq"), 6).as("stddev_freq"))
   }
 
+  /** Equi-depth histogram: bucket boundaries at the value column's own
+    * quantiles, so every bucket holds ~n/buckets rows — the
+    * length-distribution / feature-range analysis an unevenly distributed
+    * corpus needs (equi-WIDTH buckets collapse under skew). Two passes:
+    * one aggregation for the cut points (exact interpolated percentiles
+    * here; swap `approx_percentile` at scales where exact is infeasible),
+    * then a broadcast of the tiny cut array and one counting aggregation.
+    * bucket k = number of cuts strictly below the value (ties go left). */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val cuts = df.agg(expr(
+      s"percentile(`$valueCol`, array(${qs.mkString(",")}))").as("cuts"))
+    df.select(col(valueCol).as("v"))
+      .crossJoin(broadcast(cuts))
+      .select(col("v"),
+        size(filter(col("cuts"), c => c < col("v"))).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        round(min(col("v")), 6).as("min_v"), round(max(col("v")), 6).as("max_v"))
+  }
+
   /** Balanced inverse-frequency class weights, w_c = N / (K · n_c) — the
     * loss-weighting companion to a skewed labeled set. One aggregation over
     * the corpus; the unpartitioned window then runs over K label rows only.

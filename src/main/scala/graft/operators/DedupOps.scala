@@ -21,6 +21,27 @@ object DedupOps {
     df.groupBy(md5(textCol).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the ingestion-time form: drop incoming docs
+    * whose content hash already exists in the seen-set, keeping the first
+    * copy of anything new (an incoming batch can carry its own dupes).
+    * `seenHashes` needs one column `content_hash`; at 100 TB it lives as a
+    * hash-bucketed table so this anti-join is shuffle-free on the corpus
+    * side, and the day's batch is the only thing hashed. Returns the
+    * surviving rows plus their `content_hash` (append it back to the seen
+    * set after the batch commits). */
+  def incrementalExactDedup(
+      incoming: DataFrame, idCol: Column, textCol: Column,
+      seenHashes: DataFrame): DataFrame = {
+    val hashed = incoming.withColumn("content_hash", md5(textCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(idCol)
+    hashed
+      .join(seenHashes.select("content_hash"), Seq("content_hash"), "left_anti")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Per-row MinHash signature: minhash_i = min over shingles of
     * portableHash(shingle, i). Computed entirely inside one expression
     * (array_min over transform) — zero shuffles, embarrassingly parallel. */

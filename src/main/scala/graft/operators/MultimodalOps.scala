@@ -24,6 +24,23 @@ object MultimodalOps {
     df.withColumn("n_bytes", length(col(payloadCol)).cast("long"))
       .withColumn("content_hash", md5(col(payloadCol)))
 
+  /** Container-format sniffing from magic bytes — AutoInputFormat's idea
+    * applied to media payloads: route a mixed-modality column (image/audio/
+    * video/doc) without decoding anything. Pure expression over the first
+    * bytes (hex-prefix CASE), so it rides inside whole-stage codegen and
+    * never touches the payload body. NO codec involved — magic bytes are a
+    * published container property, which is why this one is NOT a stub. */
+  def sniffFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h8 = upper(hex(substring(payload, 1, 8)))
+    when(h8.startsWith("89504E47"), "png")
+      .when(h8.startsWith("FFD8FF"), "jpeg")
+      .when(h8.startsWith("47494638"), "gif")
+      .when(h8.startsWith("52494646") &&
+        upper(hex(substring(payload, 9, 4))) === "57415645", "wav")
+      .when(h8.startsWith("25504446"), "pdf")
+      .otherwise("unknown")
+  }
+
   final case class MediaFeature(id: Long, n_bytes: Long, feature: Array[Float])
 
   /** STUB image resize: a real decoder would decode -> scale -> re-encode
