@@ -90,6 +90,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(v.toSeq == Seq(("a", 4L, 1L), ("b", 3L, 2L), ("d", 2L, 3L)))
   }
 
+  test("sniffFormat: magics route, short/ambiguous payloads stay unknown") {
+    val rows = Seq(
+      (1L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 13, 10, 26, 10)), // png
+      (2L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte, 0, 1)), // jpeg (any 4th byte)
+      (3L, "RIFF1234WAVEfmt ".getBytes("UTF-8")), // wav
+      (4L, "RIFF1234AVI LIST".getBytes("UTF-8")), // riff but NOT wave
+      (5L, Array[Byte](0x89.toByte, 0x50)), // truncated magic
+      (6L, Array.empty[Byte]),
+      (7L, "%PDF-1.7".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val got = rows.select(col("id"),
+      MultimodalOps.sniffFormat(col("payload")).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "wav",
+      4L -> "unknown", 5L -> "unknown", 6L -> "unknown", 7L -> "pdf"))
+  }
+
+  test("incrementalExactDedup: seen dropped, in-batch dupes first-wins") {
+    val seen = Seq("old doc").toDF("text")
+      .select(md5(col("text")).as("content_hash"))
+    val incoming = Seq(
+      (10L, "old doc"),   // already seen -> drop
+      (11L, "fresh a"),   // keep
+      (12L, "fresh a"),   // in-batch dupe of 11 -> drop
+      (13L, "fresh b")    // keep
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.incrementalExactDedup(
+      incoming, col("doc_id"), col("text"), seen)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 13L))
+    // an all-seen batch survives as empty, not an error
+    val none = DedupOps.incrementalExactDedup(
+      Seq((20L, "old doc")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), seen)
+    assert(none.isEmpty)
+  }
+
+  test("equiDepthHistogram: ~equal buckets on uniform data, ties go left") {
+    val uniform = (1 to 800).map(_.toDouble).toDF("v")
+    val h = AggOps.equiDepthHistogram(uniform, "v", 8)
+      .select("bucket", "cnt").as[(Long, Long)].collect().toMap
+    assert(h.keySet == (0L to 7L).toSet)
+    assert(h.values.forall(c => math.abs(c - 100L) <= 1))
+    // heavy ties: all duplicates of one value land in ONE bucket (left)
+    val ties = (Seq.fill(500)(5.0) ++ Seq(1.0, 9.0)).toDF("v")
+    val ht = AggOps.equiDepthHistogram(ties, "v", 4)
+      .select("bucket", "cnt").as[(Long, Long)].collect().toMap
+    assert(ht.values.max >= 500L)
+  }
+
   test("classWeights: w = N / (K * n_c), rare class upweighted") {
     val df = (Seq.fill(8)("common") ++ Seq.fill(2)("rare")).toDF("label")
     // N=10, K=2: common 10/(2*8)=0.625, rare 10/(2*2)=2.5
