@@ -2343,6 +2343,40 @@ object Queries {
     Some("""SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
       FROM events"""))
 
+  /** Train/test contamination ([[DedupOps.contaminationCheck]]) composed
+    * with the portable [[SortOps.hashSplit]]: per test document, the
+    * fraction of its 8-gram shingles that leak from the train split. The
+    * oracle replays the split assignment AND the overlap join. */
+  private val qContamination = QuerySpec(
+    "q_contamination",
+    (s, dir) => {
+      val docs = SortOps.hashSplit(t(s, dir, "documents"), col("doc_id"))
+      DedupOps.contaminationCheck(docs, col("doc_id"), col("text"),
+          col("split"), shingleSize = 8)
+        .orderBy("doc_id")
+    },
+    Some("""WITH sp AS (SELECT doc_id, text,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+          AS split
+      FROM (SELECT doc_id, text,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 100 AS b
+        FROM documents) h),
+      toks AS (SELECT doc_id, split,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM sp),
+      sh AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+            generate_series(1, len(t) - 7),
+            i -> array_to_string(t[i:i+7], ' ')))) AS g
+        FROM toks WHERE len(t) >= 8),
+      train AS (SELECT DISTINCT g FROM sh WHERE split = 'train'),
+      tst AS (SELECT doc_id, g FROM sh WHERE split = 'test')
+      SELECT t.doc_id, COUNT(*) AS n_shingles,
+        CAST(COUNT(tr.g) AS BIGINT) AS n_hits,
+        CAST(COUNT(tr.g) AS DOUBLE) / COUNT(*) AS contamination
+      FROM tst t LEFT JOIN train tr ON t.g = tr.g
+      GROUP BY 1 ORDER BY doc_id"""))
+
   /** Magic-byte format sniffing ([[MultimodalOps.sniffFormat]]): payloads
     * built with REAL container magics (PNG/JPEG/WAVE and a neutral byte)
     * route by the sniffed format. Spark derives the format FROM THE BYTES;
@@ -3046,5 +3080,5 @@ object Queries {
     qSeqfileRoundtrip, qOrcRoundtrip, qChunk, qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,
-    qIncrementalDedup, qEquiDepth)
+    qIncrementalDedup, qEquiDepth, qContamination)
 }

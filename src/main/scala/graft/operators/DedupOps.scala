@@ -321,6 +321,38 @@ object DedupOps {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Train/test contamination check — the decontamination staple: for every
+    * document in `testSplit`, the fraction of its distinct k-gram shingles
+    * that also occur anywhere in `trainSplit`. A high fraction means the
+    * eval document leaks into training data (or vice versa) and must be
+    * quarantined. Dataflow: one explode, a distinct on the train shingle
+    * set (shuffle on the shingle), a shingle-keyed join of the test
+    * postings, and a per-doc aggregation — every shuffle is on a short
+    * key, nothing is all-pairs, so the check runs at corpus scale.
+    * Output: (doc_id, n_shingles, n_hits, contamination = hits/shingles). */
+  def contaminationCheck(
+      docs: DataFrame, idCol: Column, textCol: Column, splitCol: Column,
+      shingleSize: Int = 8,
+      trainSplit: String = "train", testSplit: String = "test"): DataFrame = {
+    val toks = tokens(textCol)
+    val sh = docs
+      .select(idCol.as("doc_id"), splitCol.as("split"), toks.as("t"))
+      .filter(size(col("t")) >= shingleSize)
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("t")) - (shingleSize - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(shingleSize)))))).as("g"))
+    val train = sh.filter(col("split") === trainSplit)
+      .select("g").distinct().withColumn("hit", lit(1))
+    sh.filter(col("split") === testSplit)
+      .join(train, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
   /** Connected components via alternating large-star/small-star — the
     * O(log n)-round variant for graphs whose components have LONG CHAINS,
     * where [[nearDupClusters]]'s per-hop min-label propagation would need
