@@ -3054,6 +3054,155 @@ object Queries {
     Some("""SELECT s_nationkey, COUNT(*) AS n_suppliers,
       MIN(s_name) AS first_name FROM supplier GROUP BY 1 ORDER BY 1"""))
 
+  /** Corpus mixing ([[SortOps.weightedHashSample]]): per-source mixture
+    * rates live in a control table (here derived from the source name so
+    * the oracle can replay them), arrive by broadcast join, and each row
+    * survives iff its portable md5 bucket falls under its source's rate —
+    * deterministic data mixing, the weighted twin of stratified sampling. */
+  private val qCorpusMix = QuerySpec(
+    "q_corpus_mix",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rates = docs.select(col("source")).distinct()
+        .withColumn("rate",
+          (pmod(length(col("source")), lit(3)) + 1).cast("double") / 4.0)
+      SortOps.weightedHashSample(
+          docs.join(broadcast(rates), Seq("source")),
+          col("doc_id"), col("rate"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"))
+        .orderBy("source")
+    },
+    Some("""WITH rates AS (SELECT DISTINCT source,
+        CAST(strlen(source) % 3 + 1 AS DOUBLE) / 4 AS rate FROM documents),
+      kept AS (SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r USING (source)
+        WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 10000
+          < CAST(FLOOR(r.rate * 10000) AS BIGINT))
+      SELECT source, COUNT(*) AS cnt, MIN(doc_id) AS min_id
+      FROM kept GROUP BY 1 ORDER BY 1"""))
+
+  /** GPT-style sequence packing ([[CorpusOps.packSequences]]): documents
+    * concatenated in deterministic hash order and split into back-to-back
+    * 512-token examples (documents straddle boundaries). The oracle replays
+    * the global prefix sum with a window; the engine computes it with the
+    * two-level range-partition formulation that survives 100 TB. */
+  private val qPackSequences = QuerySpec(
+    "q_pack_sequences",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      CorpusOps.packSequences(docs, col("doc_id"), col("n_tok"), 512)
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("first_example"), col("last_example"), col("straddles"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+          AS BIGINT) AS n_tokens,
+        md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM d WHERE n_tokens > 0)
+      SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+        (cum - n_tokens) // 512 AS first_example,
+        (cum - 1) // 512 AS last_example,
+        (cum - n_tokens) // 512 <> (cum - 1) // 512 AS straddles
+      FROM c ORDER BY doc_id"""))
+
+  /** Token-budget selection ([[CorpusOps.tokenBudgetSelect]]): keep the
+    * best documents (quality = n_chars here) while the running token total
+    * stays within budget — the greedy "best N tokens" curation rule, exact
+    * and engine-stable. */
+  private val qTokenBudget = QuerySpec(
+    "q_token_budget",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      CorpusOps.tokenBudgetSelect(docs, col("doc_id"), col("n_chars"),
+          col("n_tok"), budget = 5000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars,
+        CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+          AS BIGINT) AS n_tokens,
+        md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, h, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM d)
+      SELECT doc_id, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= 5000 ORDER BY doc_id"""))
+
+  /** Z-order clustering ([[graft.functions.ZOrder]]): the Morton value of
+    * (o_custkey, o_orderkey) computed through the clustered plan — the
+    * engine's z-value must bit-for-bit match the oracle's rendering of the
+    * same interleave ([[graft.functions.ZOrder.zValueSql]] keeps the two
+    * from drifting). The data-skipping benefit is plan-asserted in
+    * RoundFourOpsSpec. */
+  private val qZorder = QuerySpec(
+    "q_zorder",
+    (s, dir) => {
+      val clustered = graft.functions.ZOrder.cluster(
+        t(s, dir, "orders"), col("o_custkey"), col("o_orderkey"),
+        bits = 10, n = 8)
+      clustered.select(col("o_orderkey"),
+          graft.functions.ZOrder.zValue(
+            col("o_custkey"), col("o_orderkey"), 10).as("zv"))
+        .orderBy("o_orderkey")
+    },
+    Some(s"""SELECT o_orderkey,
+      ${graft.functions.ZOrder.zValueSql("o_custkey", "o_orderkey", 10)} AS zv
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Partition-pruned read: events written partitionBy(event_type), read
+    * back with a partition-column filter. `pruned_only` is engine-side
+    * evidence (via input_file_name) that ONLY the matching partition
+    * directory was scanned — pruning made hash-checkable, not just
+    * plan-eyeballed. */
+  private val qPartitionPrune = QuerySpec(
+    "q_partition_prune",
+    (s, dir) => {
+      val out = s"/tmp/graft_prune_${new java.io.File(dir).getName}"
+      Graft.sink(t(s, dir, "events").select("event_id", "event_type", "value"),
+        out, partitionBy = Seq("event_type"))
+      Graft.source(s, out)
+        .filter(col("event_type") === "click")
+        .select(col("value"),
+          input_file_name().contains("event_type=click").as("from_click_dir"))
+        .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"),
+          min(col("from_click_dir")).as("pruned_only"))
+    },
+    Some("""SELECT COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+      TRUE AS pruned_only
+      FROM events WHERE event_type = 'click'"""))
+
+  /** Per-group winsorization ([[AggOps.winsorize]]): clip l_extendedprice
+    * at each return flag's own exact [p05, p95] — broadcast bounds + per-row
+    * projection, no window over the fact table. */
+  private val qWinsorize = QuerySpec(
+    "q_winsorize",
+    (s, dir) =>
+      AggOps.winsorize(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", 0.05, 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("w_lo"), 6).as("w_lo"), round(col("w_hi"), 6).as("w_hi"),
+          round(col("l_extendedprice_w"), 6).as("clipped"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""WITH b AS (SELECT l_returnflag,
+        quantile_cont(l_extendedprice, 0.05) AS blo,
+        quantile_cont(l_extendedprice, 0.95) AS bhi
+      FROM lineitem GROUP BY 1)
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+        ROUND(blo, 6) AS w_lo, ROUND(bhi, 6) AS w_hi,
+        ROUND(LEAST(GREATEST(l_extendedprice, blo), bhi), 6) AS clipped
+      FROM lineitem JOIN b USING (l_returnflag)
+      ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -3080,5 +3229,7 @@ object Queries {
     qSeqfileRoundtrip, qOrcRoundtrip, qChunk, qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,
-    qIncrementalDedup, qEquiDepth, qContamination)
+    qIncrementalDedup, qEquiDepth, qContamination,
+    qCorpusMix, qPackSequences, qTokenBudget, qZorder, qPartitionPrune,
+    qWinsorize)
 }

@@ -108,6 +108,24 @@ object AggOps {
         round(min(col("v")), 6).as("min_v"), round(max(col("v")), 6).as("max_v"))
   }
 
+  /** Per-group winsorization: clip a value column at the group's own
+    * [lo, hi] exact interpolated percentiles — the outlier-taming step for
+    * feature columns and length distributions (a both-tails variant of the
+    * corpus quality filters). Two jobs: a per-group percentile aggregation
+    * (K rows, broadcast), then a per-row projection — no window over the
+    * data, so the fact table never shuffles. Adds `w_lo`/`w_hi` bounds and
+    * `<valueCol>_w` (the clipped value). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1: $lo, $hi")
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile(`$valueCol`, $lo)").as("w_lo"),
+      expr(s"percentile(`$valueCol`, $hi)").as("w_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("w_lo")), col("w_hi")))
+  }
+
   /** Balanced inverse-frequency class weights, w_c = N / (K · n_c) — the
     * loss-weighting companion to a skewed labeled set. One aggregation over
     * the corpus; the unpartitioned window then runs over K label rows only.

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: packing documents
+  * into fixed-length context windows and selecting documents under a token
+  * budget. Both need an exact global prefix sum over a deterministic
+  * document order; they reuse [[SortOps.globalCumSum]]'s two-level
+  * formulation (per-partition sums + driver offsets), so neither serializes
+  * through a single task at 100 TB — the shuffle is one range partition on
+  * the ordering key.
+  *
+  * These extend the reference's batch surface the way a large-scale LM data
+  * pipeline needs (no reference twin exists; the closest shape is the
+  * total-order machinery, reference: hadoop-mapreduce-client-core
+  * .../lib/partition/TotalOrderPartitioner.java:50).
+  */
+object CorpusOps {
+
+  /** Deterministic global corpus order: md5 of the id, id tiebreak — stable
+    * across runs, engines, and partitionings, and independent of ingest
+    * order (the property that makes packed examples reproducible). */
+  private def corpusOrder(idCol: Column): Seq[Column] =
+    Seq(md5(idCol.cast("string")), idCol)
+
+  /** GPT-style sequence packing: documents are concatenated in the
+    * deterministic hash order and split into back-to-back examples of
+    * `contextLen` tokens — documents straddle example boundaries, standard
+    * causal-LM packing (no padding waste). Per document: its global token
+    * offset, the first/last example it lands in, and whether it straddles a
+    * boundary. Empty documents (0 tokens) are dropped. Integer `div` keeps
+    * the example arithmetic exact at any offset magnitude. */
+  def packSequences(df: DataFrame, idCol: Column, nTokensCol: Column,
+      contextLen: Int): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive: $contextLen")
+    val withN = df.withColumn("n_tokens", nTokensCol.cast("long"))
+      .filter(col("n_tokens") > 0)
+    SortOps.globalCumSum(withN, corpusOrder(idCol), col("n_tokens"), "cum_tokens")
+      .withColumn("start_offset", col("cum_tokens") - col("n_tokens"))
+      .withColumn("first_example", expr(s"start_offset div $contextLen"))
+      .withColumn("last_example", expr(s"(cum_tokens - 1) div $contextLen"))
+      .withColumn("straddles", col("first_example") =!= col("last_example"))
+  }
+
+  /** Data selection under a token budget: keep documents in quality-desc
+    * (hash-tiebroken) order while the running token total stays within
+    * `budget` — the greedy prefix rule, the standard corpus-curation step
+    * ("take the best N billion tokens"). Deterministic: same budget + same
+    * corpus = same selection, on any engine. */
+  def tokenBudgetSelect(df: DataFrame, idCol: Column, qualityCol: Column,
+      nTokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val withN = df.withColumn("n_tokens", nTokensCol.cast("long"))
+    SortOps.globalCumSum(withN,
+        qualityCol.desc +: corpusOrder(idCol),
+        col("n_tokens"), "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+  }
+}

@@ -90,6 +90,48 @@ object SortOps {
   def randomSample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** Global exact cumulative sum in total sort order WITHOUT a
+    * single-partition window: range-partition + local sort, one long per
+    * partition collected to the driver, then a per-partition running sum
+    * seeded by its prefix offset — the same two-level shape as
+    * [[globalRowNumber]], so nothing serializes through one task at scale.
+    * `cumCol` is the inclusive prefix sum of `valueCol` (cast to long).
+    * The order must be total (add a unique tiebreaker). */
+  def globalCumSum(df: DataFrame, order: Seq[Column], valueCol: Column,
+      cumCol: String = "cum"): DataFrame = {
+    val withV = df.withColumn("_gcs_v", valueCol.cast("long"))
+    val sorted = withV.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val vIdx = sorted.schema.fieldIndex("_gcs_v")
+    val sums = sorted.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+      }
+      .collect()
+      .sortBy(_._1)
+    val offsets = sums.map(_._2).scanLeft(0L)(_ + _)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(cumCol, LongType, nullable = false))
+    val withCum = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var c = offsets(i)
+      it.map { row => c += row.getLong(vIdx); Row.fromSeq(row.toSeq :+ c) }
+    }
+    df.sparkSession.createDataFrame(withCum, schema).drop("_gcs_v")
+  }
+
+  /** Deterministic per-row-rate Bernoulli — the corpus-MIXING primitive: a
+    * row survives iff its key's md5 bucket (out of 10000) falls below
+    * floor(rate·10000). Same portable-hash contract as
+    * [[stratifiedHashSample]], but the rate is a column expression, so
+    * mixture weights can live in a control table and arrive by broadcast
+    * join instead of a static map. Nested samples: lowering a rate always
+    * yields a subset of the higher-rate sample. No shuffle. */
+  def weightedHashSample(df: DataFrame, keyCol: Column, rateCol: Column): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(10000L))
+    df.filter(bucket < floor(rateCol * 10000).cast("long"))
+  }
+
   /** Deterministic stratified sample — per-stratum keep fractions with the
     * same portable-hash assignment as [[hashSplit]]: a row survives iff its
     * key's md5 bucket (out of 10000) falls under its stratum's fraction.

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.ZOrder
+
+/** Round-4 additions: global cumulative sums, corpus mixing, sequence
+  * packing, token-budget selection, z-order clustering, winsorization,
+  * partition pruning. */
+class RoundFourOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ globalCumSum
+
+  test("globalCumSum matches a window prefix sum regardless of partitioning") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("id", "v").repartition(13) // scrambled input partitioning
+    val got = SortOps.globalCumSum(df, Seq(col("id")), col("v"), "cum")
+      .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    var run = 0L
+    val want = (1 to 500).map { i => run += (i % 7 + 1); (i.toLong, run) }
+    assert(got.toSeq == want)
+  }
+
+  test("globalCumSum honors descending order with tiebreakers") {
+    val df = Seq((1L, 5L, 10L), (2L, 5L, 20L), (3L, 9L, 30L))
+      .toDF("id", "q", "v")
+    // order: q desc, id asc -> rows 3, 1, 2 -> cums 30, 40, 60
+    val got = SortOps.globalCumSum(df, Seq(col("q").desc, col("id")),
+        col("v"), "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 30L, 1L -> 40L, 2L -> 60L))
+  }
+
+  // ---------------------------------------------------- weightedHashSample
+
+  test("weightedHashSample: rate 1 keeps all, rate 0 keeps none, samples nest") {
+    val df = (1 to 2000).map(_.toLong).toDF("id")
+    assert(SortOps.weightedHashSample(df, col("id"), lit(1.0)).count() == 2000)
+    assert(SortOps.weightedHashSample(df, col("id"), lit(0.0)).count() == 0)
+    val lo = SortOps.weightedHashSample(df, col("id"), lit(0.3))
+      .as[Long].collect().toSet
+    val hi = SortOps.weightedHashSample(df, col("id"), lit(0.6))
+      .as[Long].collect().toSet
+    assert(lo.subsetOf(hi), "lower rate must select a subset of higher rate")
+    // rate ~ fraction kept (md5 buckets are uniform)
+    assert(math.abs(hi.size / 2000.0 - 0.6) < 0.05)
+  }
+
+  test("weightedHashSample is a pure projection — no shuffle") {
+    val df = (1 to 100).map(_.toLong).toDF("id")
+    val plan = SortOps.weightedHashSample(df, col("id"), lit(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  // --------------------------------------------------------- packSequences
+
+  test("packSequences: offsets are contiguous in hash order and examples align") {
+    val docs = (1 to 300).map(i => (i.toLong, (i % 40 + 1).toLong))
+      .toDF("doc_id", "n_tok")
+    val L = 64
+    val out = CorpusOps.packSequences(docs, col("doc_id"), col("n_tok"), L)
+      .select("doc_id", "n_tokens", "start_offset", "first_example",
+        "last_example", "straddles")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    // contiguity: sorted by start_offset, each doc starts where the previous ended
+    val byOffset = out.sortBy(_._3)
+    byOffset.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 + a._2 == b._3, s"gap between ${a._1} and ${b._1}")
+    }
+    assert(byOffset.head._3 == 0L)
+    // example arithmetic
+    out.foreach { case (_, n, start, first, last, straddles) =>
+      assert(first == start / L && last == (start + n - 1) / L)
+      assert(straddles == (first != last))
+    }
+    // totals: last cum == sum of all tokens
+    val total = byOffset.last._3 + byOffset.last._2
+    assert(total == (1 to 300).map(i => (i % 40 + 1).toLong).sum)
+  }
+
+  test("packSequences drops empty documents and is input-partitioning-stable") {
+    val a = Seq((1L, 5L), (2L, 0L), (3L, 7L)).toDF("doc_id", "n_tok")
+    val outA = CorpusOps.packSequences(a, col("doc_id"), col("n_tok"), 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(outA == Set(1L, 3L))
+    val b = a.repartition(7)
+    val offA = CorpusOps.packSequences(a, col("doc_id"), col("n_tok"), 4)
+      .select("doc_id", "start_offset").as[(Long, Long)].collect().toMap
+    val offB = CorpusOps.packSequences(b, col("doc_id"), col("n_tok"), 4)
+      .select("doc_id", "start_offset").as[(Long, Long)].collect().toMap
+    assert(offA == offB, "offsets must not depend on input partitioning")
+  }
+
+  // ------------------------------------------------------ tokenBudgetSelect
+
+  test("tokenBudgetSelect: within budget, greedy-maximal, monotone in budget") {
+    val docs = (1 to 200)
+      .map(i => (i.toLong, (i % 10).toLong, (i % 30 + 1).toLong))
+      .toDF("doc_id", "quality", "n_tok")
+    val sel = CorpusOps.tokenBudgetSelect(docs, col("doc_id"), col("quality"),
+        col("n_tok"), budget = 500L)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(sel.map(_._2).sum <= 500L)
+    assert(sel.map(_._3).max == sel.map(_._2).sum, "cum of last == total kept")
+    // greedy-maximal: the next doc in order would have blown the budget
+    val all = CorpusOps.tokenBudgetSelect(docs, col("doc_id"), col("quality"),
+        col("n_tok"), budget = Long.MaxValue)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect()
+      .sortBy(_._2)
+    val kept = sel.map(_._1).toSet
+    val firstDropped = all.find(r => !kept.contains(r._1))
+    firstDropped.foreach { case (_, cum) => assert(cum > 500L) }
+    // monotone: smaller budget selects a subset
+    val small = CorpusOps.tokenBudgetSelect(docs, col("doc_id"), col("quality"),
+        col("n_tok"), budget = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(kept))
+  }
+
+  // ----------------------------------------------------------------- zorder
+
+  test("zValue matches a bit-by-bit reference interleave") {
+    def ref(x: Long, y: Long, bits: Int): Long = {
+      val (xm, ym) = (x % (1L << bits), y % (1L << bits))
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((xm >> i) & 1L) << (2 * i)) | (((ym >> i) & 1L) << (2 * i + 1))
+      }
+    }
+    val rows = for (x <- 0 to 40; y <- 0 to 40) yield (x.toLong, y.toLong)
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y"), 6).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ref(x, y, 6), s"($x,$y)") }
+    // wrap-around: out-of-range inputs use value mod 2^bits
+    val big = Seq((100L, 3L)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), 6).as("z")).as[Long].head()
+    assert(big == ref(100, 3, 6))
+  }
+
+  test("zorder clustering shrinks per-file bounding boxes on BOTH dimensions") {
+    // a grid: ordering by x alone leaves y ranges at full width per split;
+    // z-ordering must bound both
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def maxRanges(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.groupBy(spark_partition_id())
+        .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+        .agg(max("rx"), max("ry")).as[(Long, Long)].head()
+      r
+    }
+    val byX = grid.repartitionByRange(16, col("x"))
+    val byZ = ZOrder.cluster(grid, col("x"), col("y"), bits = 6, n = 16)
+    val (_, xRy) = maxRanges(byX)
+    val (zRx, zRy) = maxRanges(byZ)
+    assert(xRy == (n - 1).toLong, "x-only clustering leaves y unbounded")
+    assert(zRx < n / 2 && zRy < n / 2,
+      s"z-order should bound both dims: rx=$zRx ry=$zRy")
+  }
+
+  // -------------------------------------------------------------- winsorize
+
+  test("winsorize clips to per-group exact percentiles; interior unchanged") {
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 100).map(i => ("b", i * 10.0))).toDF("g", "v")
+    val out = AggOps.winsorize(df, "g", "v", 0.05, 0.95)
+      .select("g", "v", "w_lo", "w_hi", "v_w")
+      .as[(String, Double, Double, Double, Double)].collect()
+    out.foreach { case (g, v, lo, hi, w) =>
+      assert(w >= lo && w <= hi)
+      if (v >= lo && v <= hi) assert(w == v, s"interior row changed: $g $v")
+      if (v < lo) assert(w == lo)
+      if (v > hi) assert(w == hi)
+    }
+    // group-specific bounds: b's are 10x a's
+    val loA = out.filter(_._1 == "a").head._3
+    val loB = out.filter(_._1 == "b").head._3
+    assert(math.abs(loB - 10 * loA) < 1e-9)
+  }
+
+  // ------------------------------------------------------ partition pruning
+
+  test("partition-column filter prunes to one directory at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_spec").toString
+    (1 to 300).map(i => (i.toLong, s"t${i % 3}", i * 1.0))
+      .toDF("id", "kind", "v")
+      .write.mode("overwrite").partitionBy("kind").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(col("kind") === "t1")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("t1"),
+      s"partition filter not pushed:\n$plan")
+    val files = filtered.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("kind=t1")),
+      "scan touched a non-matching partition directory")
+    assert(filtered.count() == 100)
+  }
+}
