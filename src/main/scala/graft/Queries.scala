@@ -3187,7 +3187,10 @@ object Queries {
   private val qWinsorize = QuerySpec(
     "q_winsorize",
     (s, dir) =>
-      AggOps.winsorize(t(s, dir, "lineitem"),
+      // the exact-percentile partial and the probe-side scan are both
+      // compute-bound over the full table; fan a single-split parquet scan
+      // across cores (no-op when the scan already has enough splits)
+      AggOps.winsorize(core.Graft.rebalanceForCompute(t(s, dir, "lineitem")),
           "l_returnflag", "l_extendedprice", 0.05, 0.95)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round(col("w_lo"), 6).as("w_lo"), round(col("w_hi"), 6).as("w_hi"),
