@@ -3206,6 +3206,122 @@ object Queries {
       FROM lineitem JOIN b USING (l_returnflag)
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Per-domain cap ([[CorpusOps.capPerGroup]]): at most 10 documents per
+    * source, the kept set chosen by hash order (stable across runs/engines,
+    * independent of ingest order) — the anti-oversampling staple. */
+  private val qDomainCap = QuerySpec(
+    "q_domain_cap",
+    (s, dir) =>
+      CorpusOps.capPerGroup(t(s, dir, "documents"),
+          col("source"), col("doc_id"), k = 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, source FROM (
+        SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 10 ORDER BY doc_id"""))
+
+  /** Deterministic shard export ([[CorpusOps.shardShuffle]]): reproducible
+    * global permutation into 8 shards — shard by portable md5 bucket, rank
+    * by hash order within the shard. The "shuffle once, identically, every
+    * run" step before training. */
+  private val qShardShuffle = QuerySpec(
+    "q_shard_shuffle",
+    (s, dir) =>
+      CorpusOps.shardShuffle(
+          t(s, dir, "documents").select("doc_id", "source"),
+          col("doc_id"), nShards = 8)
+        .select("doc_id", "shard", "shard_rank")
+        .orderBy("doc_id"),
+    Some("""WITH h AS (SELECT doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 8 AS shard,
+        md5(CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents)
+      SELECT doc_id, shard,
+        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+          AS shard_rank
+      FROM h ORDER BY doc_id"""))
+
+  /** Int8 embedding quantization ([[SimilarityOps.quantizeInt8]]): per-
+    * vector symmetric scale, floor(x+0.5) codes (engine-unambiguous, unlike
+    * round's half-up-vs-banker's split), clamped to [-127,127].
+    * `dequant_ok` asserts the reconstruction error bound holds row by row. */
+  private val qQuantizeInt8 = QuerySpec(
+    "q_quantize_int8",
+    (s, dir) => {
+      val q = SimilarityOps.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+      val err = zip_with(col("qvec"), col("embedding"),
+        (qi, vi) => abs(qi.cast("double") * col("scale") - vi.cast("double")))
+      q.select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long"))
+            .as("sum_q"),
+          size(filter(col("qvec"), x => abs(x) === 127)).cast("long")
+            .as("n_sat"),
+          (aggregate(err, lit(0.0), (a, e) => greatest(a, e))
+            <= col("scale") / 2 + lit(1e-9)).as("dequant_ok"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH q AS (SELECT vec_id, embedding,
+        list_max(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+      FROM embeddings),
+      qq AS (SELECT vec_id, scale,
+        CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        ELSE list_transform(embedding, x -> CAST(GREATEST(LEAST(
+          FLOOR(CAST(x AS DOUBLE) / scale + 0.5), 127), -127) AS INT))
+        END AS qv
+      FROM q)
+      SELECT vec_id, ROUND(scale, 6) AS scale_r,
+        CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+        TRUE AS dequant_ok
+      FROM qq ORDER BY vec_id"""))
+
+  /** SQL-text surface over the whole star schema: a TPC-H-Q5-shaped
+    * six-table join submitted as ONE spark.sql string over registered views
+    * — Catalyst picks join order/strategies from the text, nothing is
+    * hand-assembled. The oracle runs the same ANSI text. */
+  private val qSqlMultijoin = QuerySpec(
+    "q_sql_multijoin",
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""SELECT n.n_name AS nation,
+          CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+            AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_rows
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation""")
+    },
+    Some("""SELECT n.n_name AS nation,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+          AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_rows
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        AND s.s_nationkey = c.c_nationkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n.n_name
+      ORDER BY revenue DESC, nation"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -3234,5 +3350,5 @@ object Queries {
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,
     qIncrementalDedup, qEquiDepth, qContamination,
     qCorpusMix, qPackSequences, qTokenBudget, qZorder, qPartitionPrune,
-    qWinsorize)
+    qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin)
 }

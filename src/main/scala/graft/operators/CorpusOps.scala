@@ -43,6 +43,37 @@ object CorpusOps {
       .withColumn("straddles", col("first_example") =!= col("last_example"))
   }
 
+  /** Per-group cap — "at most k documents per domain", the anti-oversampling
+    * staple for crawl-heavy corpora. Which k survive is deterministic (hash
+    * order, not ingest order), so the kept set is stable across runs and
+    * engines. One shuffle on the group key; groups larger than k never
+    * materialize more than their run of the window. */
+  def capPerGroup(df: DataFrame, groupCol: Column, idCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(corpusOrder(idCol): _*)
+    df.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .drop("_rank")
+  }
+
+  /** Deterministic training-shard export: shard = portable md5 bucket mod
+    * `nShards`, rank within shard = position in hash order. Together these
+    * give a reproducible global permutation of the corpus split into equal
+    * shards — "shuffle the data once, globally, the same way every time" —
+    * without any random state. One shuffle on the shard id; the within-shard
+    * sort is local to each shard's partition. */
+  def shardShuffle(df: DataFrame, idCol: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val bucket = pmod(
+      conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(corpusOrder(idCol): _*)
+    df.withColumn("shard", bucket)
+      .withColumn("shard_rank", row_number().over(w).cast("long"))
+  }
+
   /** Data selection under a token budget: keep documents in quality-desc
     * (hash-tiebroken) order while the running token total stays within
     * `budget` — the greedy prefix rule, the standard corpus-curation step

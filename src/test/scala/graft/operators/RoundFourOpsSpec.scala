@@ -183,6 +183,82 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(math.abs(loB - 10 * loA) < 1e-9)
   }
 
+  // ------------------------------------------------------------ capPerGroup
+
+  test("capPerGroup keeps at most k per group, deterministically") {
+    val df = (1 to 400).map(i => (i.toLong, s"g${i % 5}")).toDF("id", "g")
+    val a = CorpusOps.capPerGroup(df, col("g"), col("id"), 7)
+      .select("id", "g").as[(Long, String)].collect()
+    assert(a.groupBy(_._2).forall(_._2.length == 7)) // every group has 80 > 7
+    val b = CorpusOps.capPerGroup(df.repartition(11), col("g"), col("id"), 7)
+      .select("id", "g").as[(Long, String)].collect()
+    assert(a.toSet == b.toSet, "kept set must not depend on partitioning")
+    // small groups survive whole
+    val small = Seq((1L, "x"), (2L, "x")).toDF("id", "g")
+    assert(CorpusOps.capPerGroup(small, col("g"), col("id"), 7).count() == 2)
+  }
+
+  // ------------------------------------------------------------ shardShuffle
+
+  test("shardShuffle: dense in-shard ranks, stable permutation, rough balance") {
+    val df = (1 to 1000).map(_.toLong).toDF("doc_id")
+    val out = CorpusOps.shardShuffle(df, col("doc_id"), 8)
+      .select("doc_id", "shard", "shard_rank")
+      .as[(Long, Long, Long)].collect()
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length),
+        s"ranks not dense in shard $shard")
+      assert(rows.length > 60 && rows.length < 190,
+        s"shard $shard badly unbalanced: ${rows.length}")
+    }
+    // a (shard, rank) pair addresses exactly one document, every run
+    val again = CorpusOps.shardShuffle(df.repartition(5), col("doc_id"), 8)
+      .select("doc_id", "shard", "shard_rank")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSet == again.toSet)
+    // hash order != ingest order (it actually shuffles)
+    val firstShardIds = out.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+    assert(firstShardIds != firstShardIds.sorted)
+  }
+
+  // ------------------------------------------------------------ quantizeInt8
+
+  test("quantizeInt8: codes in range, error bounded, zero vectors safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),     // zero vector
+      (3L, Array(3.0f, -3.0f, 0.003f, 2.9f))) // wide dynamic range
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.quantizeInt8(df, "embedding")
+      .select("vec_id", "scale", "qvec")
+      .as[(Long, Double, Array[Int])].collect().sortBy(_._1)
+    val src = Map(
+      1L -> Array(0.5f, -1.0f, 0.25f, 1.0f),
+      2L -> Array(0.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Array(3.0f, -3.0f, 0.003f, 2.9f))
+    out.foreach { case (id, scale, q) =>
+      assert(q.forall(c => c >= -127 && c <= 127), s"code out of range: $id")
+      if (id == 2L) { assert(scale == 0.0 && q.forall(_ == 0)) }
+      else {
+        val v = src(id)
+        v.indices.foreach { i =>
+          assert(math.abs(q(i) * scale - v(i)) <= scale / 2 + 1e-9,
+            s"vec $id coord $i error > scale/2")
+        }
+        // the max-|v| coordinate saturates to exactly +-127
+        val mi = v.indices.maxBy(i => math.abs(v(i)))
+        assert(math.abs(q(mi)) == 127)
+      }
+    }
+  }
+
+  test("quantizeInt8 is a pure projection — no shuffle") {
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val plan = SimilarityOps.quantizeInt8(df, "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   // ------------------------------------------------------ partition pruning
 
   test("partition-column filter prunes to one directory at plan time") {
