@@ -3322,6 +3322,59 @@ object Queries {
       GROUP BY n.n_name
       ORDER BY revenue DESC, nation"""))
 
+  /** Semi-structured JSON column: events.props parsed with a declared
+    * schema (from_json — typed, codegen'd, no UDF) and aggregated. The
+    * reference has no JSON notion at all; any real event pipeline does. */
+  private val qJsonExtract = QuerySpec(
+    "q_json_extract",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+          AS BIGINT) AS sum_k,
+        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Schema evolution: an old batch (event_id, value) and a new batch with
+    * an added column land in the same dataset; a mergeSchema read unions
+    * the schemas, old rows showing NULL for the new column — the
+    * add-a-column migration every long-lived 100 TB dataset goes through.
+    * The oracle replays the batch split rule. */
+  private val qSchemaEvolution = QuerySpec(
+    "q_schema_evolution",
+    (s, dir) => {
+      val base = s"/tmp/graft_evo_${new java.io.File(dir).getName}"
+      val ev = t(s, dir, "events")
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select("event_id", "value")
+        .write.mode("overwrite").parquet(s"$base/b1")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select("event_id", "value", "event_type")
+        .write.mode("overwrite").parquet(s"$base/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/b1", s"$base/b2")
+        .agg(count(lit(1)).as("cnt"),
+          count(col("event_type")).as("with_type"),
+          countDistinct(col("event_type")).as("n_types"),
+          sumExact(col("value")).as("sum_value"))
+    },
+    Some("""SELECT COUNT(*) AS cnt,
+        CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+          AS with_type,
+        CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 1 THEN event_type END)
+          AS BIGINT) AS n_types,
+        CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -3350,5 +3403,6 @@ object Queries {
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,
     qIncrementalDedup, qEquiDepth, qContamination,
     qCorpusMix, qPackSequences, qTokenBudget, qZorder, qPartitionPrune,
-    qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin)
+    qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin,
+    qJsonExtract, qSchemaEvolution)
 }
