@@ -3375,6 +3375,59 @@ object Queries {
         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
       FROM events"""))
 
+  /** Malformed-record handling: a CSV feed where every 7th line has a
+    * non-numeric field is read in PERMISSIVE mode with a corrupt-record
+    * column — bad rows are quarantined, not dropped and not fatal (the
+    * ingest behavior real 100 TB feeds need). Spark derives good/bad FROM
+    * THE PARSE; the oracle derives it from the construction rule. */
+  private val qCsvPermissive = QuerySpec(
+    "q_csv_permissive",
+    (s, dir) => {
+      val out = s"/tmp/graft_csv_perm_${new java.io.File(dir).getName}"
+      t(s, dir, "documents")
+        .select(concat(
+          col("doc_id").cast("string"), lit(","),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("xx"), col("n_chars").cast("string")))
+            .otherwise(col("n_chars").cast("string"))).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read
+        .schema("doc_id LONG, v DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_bad"),
+          sumExact(when(col("_corrupt_record").isNull, col("v"))).as("sum_good"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+        CAST(COUNT(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_bad,
+        CAST(SUM(CASE WHEN doc_id % 7 <> 0
+          THEN CAST(n_chars AS DECIMAL(20,6)) END) AS DOUBLE) AS sum_good
+      FROM documents"""))
+
+  /** Rolling per-key exact median: each user's median event value over a
+    * 5-row trailing window — the windowed-aggregate form of the exact
+    * percentile surface (anomaly smoothing / robust baselines). One shuffle
+    * on user_id; the window is bounded (5 rows of state per row). */
+  private val qRollingMedian = QuerySpec(
+    "q_rolling_median",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      t(s, dir, "events")
+        .filter(col("user_id") < 200)
+        .select(col("event_id"), col("user_id"),
+          round(expr("percentile(value, 0.5)").over(w), 6).as("med5"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+        ROUND(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+          6) AS med5
+      FROM events WHERE user_id < 200 ORDER BY event_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -3404,5 +3457,5 @@ object Queries {
     qIncrementalDedup, qEquiDepth, qContamination,
     qCorpusMix, qPackSequences, qTokenBudget, qZorder, qPartitionPrune,
     qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin,
-    qJsonExtract, qSchemaEvolution)
+    qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian)
 }
