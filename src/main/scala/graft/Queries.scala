@@ -2539,20 +2539,22 @@ object Queries {
   private val qApproxPercentile = QuerySpec(
     "q_approx_percentile",
     (s, dir) =>
-      t(s, dir, "lineitem")
+      // array-form percentiles: ONE exact buffer and ONE sketch serve both
+      // quantiles (vs four independent aggregate buffers); single-split
+      // scans fan across cores for the compute-bound partials
+      core.Graft.rebalanceForCompute(t(s, dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_a"),
-          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_a"))
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("pe"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+            .as("pa"))
         .select(col("l_returnflag"),
-          round(col("p50_exact"), 6).as("p50_exact"),
-          round(col("p95_exact"), 6).as("p95_exact"),
-          (abs(col("p50_a") - col("p50_exact")) / col("p50_exact") <= 0.05)
-            .as("p50_ok"),
-          (abs(col("p95_a") - col("p95_exact")) / col("p95_exact") <= 0.05)
-            .as("p95_ok"))
+          round(element_at(col("pe"), 1), 6).as("p50_exact"),
+          round(element_at(col("pe"), 2), 6).as("p95_exact"),
+          (abs(element_at(col("pa"), 1) - element_at(col("pe"), 1)) /
+            element_at(col("pe"), 1) <= 0.05).as("p50_ok"),
+          (abs(element_at(col("pa"), 2) - element_at(col("pe"), 2)) /
+            element_at(col("pe"), 2) <= 0.05).as("p95_ok"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,

@@ -118,9 +118,11 @@ object AggOps {
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1: $lo, $hi")
-    val bounds = df.groupBy(groupCol).agg(
-      expr(s"percentile(`$valueCol`, $lo)").as("w_lo"),
-      expr(s"percentile(`$valueCol`, $hi)").as("w_hi"))
+    // array-form percentile: one sort buffer serves both bounds
+    val bounds = df.groupBy(groupCol)
+      .agg(expr(s"percentile(`$valueCol`, array($lo, $hi))").as("_wb"))
+      .select(col(groupCol), element_at(col("_wb"), 1).as("w_lo"),
+        element_at(col("_wb"), 2).as("w_hi"))
     df.join(broadcast(bounds), Seq(groupCol))
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("w_lo")), col("w_hi")))
