@@ -3430,6 +3430,87 @@ object Queries {
           6) AS med5
       FROM events WHERE user_id < 200 ORDER BY event_id"""))
 
+  /** Watermarked stream-stream LEFT OUTER join: clicks with no purchase in
+    * the hour emit null-padded — but only once the watermark proves the
+    * match can't still arrive. A far-future sentinel row on each side
+    * (filtered from the output) pushes the final watermark past every real
+    * deadline, so the bounded replay emits the complete outer result
+    * deterministically while the operator runs with a REAL 1-hour
+    * watermark (bounded state), not the inner gate's effectively-infinite
+    * one. */
+  private val qStreamOuterJoin = QuerySpec(
+    "q_stream_outer_join",
+    (s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      val streamDir = java.nio.file.Paths.get(s"/tmp/graft_streamsrc_outer_$sfName")
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // A far-future sentinel row per side pushes the watermark past every
+      // real deadline so the trailing no-data batch emits ALL outer rows.
+      // It must sit as a plain FILE next to events.parquet (the file stream
+      // source lists the directory, it does not descend), and it must be
+      // excluded AFTER the sink, never inside the streaming query: an
+      // in-stream filter on the sentinel's key pushes down through the
+      // outer join to the parquet scan, whose row-group stats then skip the
+      // sentinel file entirely — and the watermark never sees it.
+      val sentinelFile = streamDir.resolve("sentinel.parquet")
+      if (!java.nio.file.Files.exists(sentinelFile)) {
+        import s.implicits._
+        // raw read keeps ts as nanos-long (nanosAsLong), matching the
+        // declared stream schema
+        val maxTs = s.read.parquet(s"$dir/events.parquet")
+          .agg(max(col("ts").cast("long"))).head().getLong(0)
+        val tmp = streamDir.resolve("_sentinel_build").toString
+        Seq(
+          (-1L, maxTs + 900L * 86400e9.toLong, -1L, "click", 0.0, ""),
+          (-2L, maxTs + 900L * 86400e9.toLong, -2L, "purchase", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, sentinelFile)
+      }
+      val feed = s.readStream.schema(schema)
+        // all files land in microbatch 1 (no per-trigger cap): the sentinel
+        // must not be read before the real rows or they'd be marked late
+        .parquet(streamDir.toString)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val clicks = feed.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("event_time").as("click_time"))
+      val purchases = feed.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+          col("event_time").as("purchase_time"))
+      val joined = graft.streaming.StreamOps.intervalJoin(
+        clicks, "click_time", purchases, "purchase_time",
+        expr("""cu = pu AND purchase_time >= click_time AND
+                purchase_time <= click_time + interval 1 hour"""),
+        watermark = "1 hour", joinType = "left_outer")
+      val q = pinnedParts(s, 8)(joined
+        .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
+        .writeStream
+        .format("memory").queryName("graft_stream_outer")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      q.awaitTermination()
+      // sentinel exclusion happens HERE, on the sink table (see above)
+      s.table("graft_stream_outer")
+        .filter(col("user_id") >= 0)
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        c.user_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -3459,5 +3540,6 @@ object Queries {
     qIncrementalDedup, qEquiDepth, qContamination,
     qCorpusMix, qPackSequences, qTokenBudget, qZorder, qPartitionPrune,
     qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin,
-    qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian)
+    qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,
+    qStreamOuterJoin)
 }

@@ -38,13 +38,20 @@ object StreamOps {
     * `cond` should carry the equi-key AND the event-time range (e.g.
     * `right_ts BETWEEN left_ts AND left_ts + interval 1 hour`) — the range
     * is what lets Spark evict join state as the watermark advances. */
+  /** Watermarked stream-stream interval join. `joinType` "inner" emits
+    * matches as they arrive; "left_outer"/"right_outer" additionally emit
+    * null-padded rows once the watermark proves no match can still arrive —
+    * which means outer results are only complete up to the watermark: on a
+    * bounded replay, push the watermark past the last real deadline (e.g. a
+    * far-future sentinel row) or the tail's outer rows never emit. */
   def intervalJoin(
       left: DataFrame, leftTsCol: String,
       right: DataFrame, rightTsCol: String,
       cond: org.apache.spark.sql.Column,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTsCol, watermark)
-      .join(right.withWatermark(rightTsCol, watermark), cond)
+      .join(right.withWatermark(rightTsCol, watermark), cond, joinType)
 
   final case class SessionEvent(userId: Long, tsMicros: Long)
   final case class SessionState(nEvents: Long, lastTsMicros: Long, nSessions: Long)
