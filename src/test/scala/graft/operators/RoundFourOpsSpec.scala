@@ -259,6 +259,61 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  // ------------------------------------------------------------- edge cases
+
+  test("empty inputs: cumsum, packing, budget, caps, shards all yield empty") {
+    val empty = spark.emptyDataFrame
+      .withColumn("id", lit(1L)).withColumn("v", lit(1L)).limit(0)
+    assert(SortOps.globalCumSum(empty, Seq(col("id")), col("v")).count() == 0)
+    assert(CorpusOps.packSequences(empty, col("id"), col("v"), 8).count() == 0)
+    assert(CorpusOps.tokenBudgetSelect(empty, col("id"), col("v"), col("v"),
+      10L).count() == 0)
+    assert(CorpusOps.capPerGroup(empty, col("v"), col("id"), 3).count() == 0)
+    assert(CorpusOps.shardShuffle(empty, col("id"), 4).count() == 0)
+  }
+
+  test("packSequences: one doc exactly contextLen never straddles; 1-token docs") {
+    val docs = Seq((1L, 64L), (2L, 1L), (3L, 1L)).toDF("doc_id", "n_tok")
+    val out = CorpusOps.packSequences(docs, col("doc_id"), col("n_tok"), 64)
+      .select("doc_id", "start_offset", "first_example", "last_example",
+        "straddles")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._2)
+    // total 66 tokens -> examples 0 and 1; no doc may report first>last
+    out.foreach { case (_, _, first, last, s) =>
+      assert(first <= last && s == (first != last))
+    }
+    val total = out.map(_._2).max
+    assert(total <= 65L) // last start offset within the token span
+  }
+
+  test("winsorize on a constant column leaves every value unchanged") {
+    val df = (1 to 50).map(i => ("g", 42.0)).toDF("g", "v")
+    val out = AggOps.winsorize(df, "g", "v", 0.05, 0.95)
+      .select("v", "v_w", "w_lo", "w_hi")
+      .as[(Double, Double, Double, Double)].collect()
+    out.foreach { case (v, w, lo, hi) =>
+      assert(v == w && lo == 42.0 && hi == 42.0)
+    }
+  }
+
+  test("weightedHashSample honors per-row rates from a joined control table") {
+    val docs = (1 to 3000).map(i => (i.toLong, if (i % 2 == 0) "keepall" else "none"))
+      .toDF("id", "src")
+    val rates = Seq(("keepall", 1.0), ("none", 0.0)).toDF("src", "rate")
+    val kept = SortOps.weightedHashSample(
+        docs.join(broadcast(rates), Seq("src")), col("id"), col("rate"))
+      .select("id").as[Long].collect()
+    assert(kept.length == 1500 && kept.forall(_ % 2 == 0))
+  }
+
+  test("shardShuffle with 1 shard is a pure hash-order ranking") {
+    val df = (1 to 100).map(_.toLong).toDF("doc_id")
+    val out = CorpusOps.shardShuffle(df, col("doc_id"), 1)
+      .select("shard", "shard_rank").as[(Long, Long)].collect()
+    assert(out.forall(_._1 == 0L))
+    assert(out.map(_._2).sorted.toSeq == (1L to 100L))
+  }
+
   // ------------------------------------------------------ partition pruning
 
   test("partition-column filter prunes to one directory at plan time") {
