@@ -3511,6 +3511,80 @@ object Queries {
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id"""))
 
+  /** Pivot (wide tables from long): per return flag, one column pair per
+    * line status — the reshaping surface the reference could only fake with
+    * per-key MultipleOutputs. Explicit pivot values keep the output schema
+    * deterministic (and skip the extra distinct-values job at scale). */
+  private val qPivot = QuerySpec(
+    "q_pivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)).as("cnt"), sumExact(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)
+          AS F_cnt,
+        CAST(SUM(CASE WHEN l_linestatus = 'F'
+          THEN CAST(l_quantity AS DECIMAL(20,6)) END) AS DOUBLE) AS F_qty,
+        CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)
+          AS O_cnt,
+        CAST(SUM(CASE WHEN l_linestatus = 'O'
+          THEN CAST(l_quantity AS DECIMAL(20,6)) END) AS DOUBLE) AS O_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** Unpivot (long tables from wide): the inverse reshaping — measure
+    * columns melt into (measure, value) rows. */
+  private val qUnpivot = QuerySpec(
+    "q_unpivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sumExact(col("l_quantity")).as("qty"),
+          sumExact(col("l_extendedprice")).as("price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price")), "measure", "value")
+        .orderBy("l_returnflag", "measure"),
+    Some("""WITH w AS (SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS price
+      FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, 'price' AS measure, price AS value FROM w
+      ORDER BY l_returnflag, measure"""))
+
+  /** Pearson correlation per group from exact-decimal moments
+    * ([[AggOps.corrExact]]): built-in corr's streaming double updates are
+    * partitioning-dependent; five exact sums combined once in double are
+    * bit-stable in any engine. */
+  private val qCorrelation = QuerySpec(
+    "q_correlation",
+    (s, dir) =>
+      // five decimal moments over the full table are compute-bound: fan a
+      // single-split scan across cores
+      core.Graft.rebalanceForCompute(t(s, dir, "lineitem"))
+        .groupBy("l_returnflag")
+        .agg(round(AggOps.corrExact(
+          col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, ROUND(
+        (COUNT(*) * CAST(SUM(CAST(l_quantity * l_extendedprice
+            AS DECIMAL(20,6))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+            * CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE))
+        / (sqrt(COUNT(*) * CAST(SUM(CAST(l_quantity * l_quantity
+              AS DECIMAL(20,6))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE))
+          * sqrt(COUNT(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice
+              AS DECIMAL(20,6))) AS DOUBLE)
+            - CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE))),
+        6) AS corr_qty_price
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -3541,5 +3615,5 @@ object Queries {
     qCorpusMix, qPackSequences, qTokenBudget, qZorder, qPartitionPrune,
     qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin,
     qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,
-    qStreamOuterJoin)
+    qStreamOuterJoin, qPivot, qUnpivot, qCorrelation)
 }

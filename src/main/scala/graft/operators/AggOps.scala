@@ -108,6 +108,19 @@ object AggOps {
         round(min(col("v")), 6).as("min_v"), round(max(col("v")), 6).as("max_v"))
   }
 
+  /** Pearson correlation from exact-decimal moments: the five sums
+    * accumulate exactly (order-independent), and only the final combination
+    * runs in double — so the result is bit-stable across engines and
+    * partitionings, unlike built-in `corr`'s streaming double updates.
+    * Same per-row magnitude bound as [[sumExact]] applies to x·y and x². */
+  def corrExact(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = sumExact(x); val sy = sumExact(y)
+    val sxy = sumExact(x * y); val sxx = sumExact(x * x); val syy = sumExact(y * y)
+    (n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+
   /** Per-group winsorization: clip a value column at the group's own
     * [lo, hi] exact interpolated percentiles — the outlier-taming step for
     * feature columns and length distributions (a both-tails variant of the
