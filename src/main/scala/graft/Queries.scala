@@ -3585,6 +3585,75 @@ object Queries {
         6) AS corr_qty_price
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** Canonical pick ([[DedupOps.canonicalPick]]): the clusters from the
+    * gated MinHash pipeline shrink to one representative each (highest
+    * n_chars, hash-tiebroken); singletons survive as their own cluster.
+    * This is the step that actually deduplicates the corpus. */
+  private val qDedupCanonical = QuerySpec(
+    "q_dedup_canonical",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = DedupOps.nearDupClusters(
+        DedupOps.minhashLsh(docs, col("doc_id"), col("text"),
+          shingleSize = 5, bands = 4, rowsPerBand = 2, minJaccard = 0.2))
+      DedupOps.canonicalPick(docs, col("doc_id"), col("n_chars"), clusters)
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(toks) - 4),
+            i -> array_to_string(toks[i:i+4], ' '))) AS shingles
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents) t
+        WHERE len(toks) >= 5),
+      sigs AS (
+        SELECT doc_id, shingles,
+          list_min(list_transform(shingles, s -> substr(md5(s), 1, 16))) AS mh0,
+          list_min(list_transform(shingles, s -> substr(md5(s), 3, 16))) AS mh1,
+          list_min(list_transform(shingles, s -> substr(md5(s), 5, 16))) AS mh2,
+          list_min(list_transform(shingles, s -> substr(md5(s), 7, 16))) AS mh3,
+          list_min(list_transform(shingles, s -> substr(md5(s), 9, 16))) AS mh4,
+          list_min(list_transform(shingles, s -> substr(md5(s), 11, 16))) AS mh5,
+          list_min(list_transform(shingles, s -> substr(md5(s), 13, 16))) AS mh6,
+          list_min(list_transform(shingles, s -> substr(md5(s), 15, 16))) AS mh7
+        FROM docs),
+      banded AS (
+        SELECT doc_id, shingles, b,
+          CASE b WHEN 0 THEN mh0 || '|' || mh1 WHEN 1 THEN mh2 || '|' || mh3
+                 WHEN 2 THEN mh4 || '|' || mh5 ELSE mh6 || '|' || mh7 END AS key
+        FROM sigs, range(4) r(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+          AND x.doc_id < y.doc_id),
+      verified AS (
+        SELECT a, b FROM (
+          SELECT p.a, p.b,
+            ROUND(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE) /
+                  len(list_distinct(list_concat(da.shingles, db.shingles))), 6) AS jaccard
+          FROM cand p JOIN docs da ON p.a = da.doc_id
+                      JOIN docs db ON p.b = db.doc_id) v
+        WHERE jaccard >= 0.2),
+      und AS (SELECT a AS x, b AS y FROM verified
+              UNION SELECT b, a FROM verified),
+      reach AS (
+        SELECT x, y FROM und
+        UNION
+        SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+      clus AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id
+        FROM reach GROUP BY x),
+      alld AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+          d.n_chars
+        FROM documents d LEFT JOIN clus c USING (doc_id)),
+      ranked AS (SELECT doc_id, cluster_id,
+          COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          ROW_NUMBER() OVER (PARTITION BY cluster_id
+            ORDER BY n_chars DESC, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM alld)
+      SELECT doc_id, cluster_id, cluster_size FROM ranked
+      WHERE rn = 1 ORDER BY doc_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -3615,5 +3684,5 @@ object Queries {
     qCorpusMix, qPackSequences, qTokenBudget, qZorder, qPartitionPrune,
     qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin,
     qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,
-    qStreamOuterJoin, qPivot, qUnpivot, qCorrelation)
+    qStreamOuterJoin, qPivot, qUnpivot, qCorrelation, qDedupCanonical)
 }

@@ -452,4 +452,27 @@ object DedupOps {
           size(array_union(col("sa"), col("sb"))).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Canonical-document selection — the step that actually SHRINKS the
+    * corpus after clustering: every document gets its cluster id (its own
+    * id when unclustered) and each cluster keeps exactly one
+    * representative — highest quality, hash-tiebroken, so the survivor set
+    * is deterministic on any engine. `clusters` is the (doc_id, cluster_id)
+    * output of [[nearDupClusters]]/[[nearDupClustersStar]]. One shuffle on
+    * cluster id; the per-cluster pick is a bounded window run. */
+  def canonicalPick(docs: DataFrame, idCol: Column, qualityCol: Column,
+      clusters: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("_q").desc, md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(idCol.as("doc_id"), qualityCol.as("_q"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("_rn", row_number().over(order))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
 }
