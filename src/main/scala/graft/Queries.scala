@@ -3076,7 +3076,7 @@ object Queries {
         .orderBy("source")
     },
     Some("""WITH rates AS (SELECT DISTINCT source,
-        CAST(strlen(source) % 3 + 1 AS DOUBLE) / 4 AS rate FROM documents),
+        CAST(length(source) % 3 + 1 AS DOUBLE) / 4 AS rate FROM documents),
       kept AS (SELECT d.doc_id, d.source
         FROM documents d JOIN rates r USING (source)
         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
@@ -3457,13 +3457,15 @@ object Queries {
       // in-stream filter on the sentinel's key pushes down through the
       // outer join to the parquet scan, whose row-group stats then skip the
       // sentinel file entirely — and the watermark never sees it.
-      val sentinelFile = streamDir.resolve("sentinel.parquet")
+      // raw read keeps ts as nanos-long (nanosAsLong), matching the
+      // declared stream schema; the sentinel filename is KEYED by the
+      // dataset's max timestamp so a regenerated dataset can never reuse a
+      // stale (no-longer-far-future) sentinel from a previous /tmp state
+      val maxTs = s.read.parquet(s"$dir/events.parquet")
+        .agg(max(col("ts").cast("long"))).head().getLong(0)
+      val sentinelFile = streamDir.resolve(s"sentinel_$maxTs.parquet")
       if (!java.nio.file.Files.exists(sentinelFile)) {
         import s.implicits._
-        // raw read keeps ts as nanos-long (nanosAsLong), matching the
-        // declared stream schema
-        val maxTs = s.read.parquet(s"$dir/events.parquet")
-          .agg(max(col("ts").cast("long"))).head().getLong(0)
         val tmp = streamDir.resolve("_sentinel_build").toString
         Seq(
           (-1L, maxTs + 900L * 86400e9.toLong, -1L, "click", 0.0, ""),

@@ -111,4 +111,19 @@ object TextFunctions {
     * engines (unlike murmur/xxhash variants). */
   def portableHash(value: Column, seed: Int): Column =
     substring(md5(concat(lit(seed.toString), lit(":"), value)), 1, 16)
+
+  /** THE portable bucket: first 8 hex of md5 of the key's string form, mod
+    * `mod`. Every split/sample/shard operator derives its assignment from
+    * this single definition (oracle SQL twin:
+    * `CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % mod`)
+    * — one copy, so the bit-stability contract can't silently diverge. */
+  def portableBucket(keyCol: Column, mod: Long): Column =
+    pmod(conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(mod))
+
+  /** THE deterministic corpus order: md5 of the id, id tiebreak — the
+    * stable "hash order" every packing/cap/shard/canonical-pick operator
+    * shares. */
+  def hashOrder(idCol: Column): Seq[Column] =
+    Seq(md5(idCol.cast("string")), idCol)
 }

@@ -127,7 +127,9 @@ object AggOps {
     * corpus quality filters). Two jobs: a per-group percentile aggregation
     * (K rows, broadcast), then a per-row projection — no window over the
     * data, so the fact table never shuffles. Adds `w_lo`/`w_hi` bounds and
-    * `<valueCol>_w` (the clipped value). */
+    * `<valueCol>_w` (the clipped value). A clipping operator must preserve
+    * row count, so rows whose group key is null (no bounds can match a
+    * null equi-join key) pass through UNCLIPPED instead of being dropped. */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1: $lo, $hi")
@@ -136,9 +138,10 @@ object AggOps {
       .agg(expr(s"percentile(`$valueCol`, array($lo, $hi))").as("_wb"))
       .select(col(groupCol), element_at(col("_wb"), 1).as("w_lo"),
         element_at(col("_wb"), 2).as("w_hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
       .withColumn(s"${valueCol}_w",
-        least(greatest(col(valueCol), col("w_lo")), col("w_hi")))
+        when(col("w_lo").isNull, col(valueCol))
+          .otherwise(least(greatest(col(valueCol), col("w_lo")), col("w_hi"))))
   }
 
   /** Balanced inverse-frequency class weights, w_c = N / (K · n_c) — the

@@ -20,9 +20,10 @@ object CorpusOps {
 
   /** Deterministic global corpus order: md5 of the id, id tiebreak — stable
     * across runs, engines, and partitionings, and independent of ingest
-    * order (the property that makes packed examples reproducible). */
+    * order (the property that makes packed examples reproducible). Shared
+    * definition: [[graft.functions.TextFunctions.hashOrder]]. */
   private def corpusOrder(idCol: Column): Seq[Column] =
-    Seq(md5(idCol.cast("string")), idCol)
+    graft.functions.TextFunctions.hashOrder(idCol)
 
   /** GPT-style sequence packing: documents are concatenated in the
     * deterministic hash order and split into back-to-back examples of
@@ -65,9 +66,7 @@ object CorpusOps {
     * sort is local to each shard's partition. */
   def shardShuffle(df: DataFrame, idCol: Column, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
-    val bucket = pmod(
-      conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(nShards.toLong))
+    val bucket = graft.functions.TextFunctions.portableBucket(idCol, nShards.toLong)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(corpusOrder(idCol): _*)
     df.withColumn("shard", bucket)

@@ -465,7 +465,8 @@ object DedupOps {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     val order = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
-      .orderBy(col("_q").desc, md5(col("doc_id").cast("string")), col("doc_id"))
+      .orderBy(col("_q").desc +:
+        graft.functions.TextFunctions.hashOrder(col("doc_id")): _*)
     docs.select(idCol.as("doc_id"), qualityCol.as("_q"))
       .join(clusters.select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")

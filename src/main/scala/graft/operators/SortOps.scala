@@ -76,9 +76,7 @@ object SortOps {
     require(cuts.nonEmpty && cuts.last._2 == 100 &&
       cuts.map(_._2) == cuts.map(_._2).sorted,
       "cuts must be ascending cumulative percentages ending at 100")
-    val bucket = pmod(
-      conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(100L))
+    val bucket = graft.functions.TextFunctions.portableBucket(keyCol, 100L)
     val label = cuts.init.foldRight(lit(cuts.last._1): Column) {
       case ((name, hi), elseCol) => when(bucket < hi, name).otherwise(elseCol)
     }
@@ -95,11 +93,13 @@ object SortOps {
     * partition collected to the driver, then a per-partition running sum
     * seeded by its prefix offset — the same two-level shape as
     * [[globalRowNumber]], so nothing serializes through one task at scale.
-    * `cumCol` is the inclusive prefix sum of `valueCol` (cast to long).
-    * The order must be total (add a unique tiebreaker). */
+    * `cumCol` is the inclusive prefix sum of `valueCol` (cast to long;
+    * nulls contribute 0 — the row keeps its place in the order, like
+    * SQL SUM's null handling). The order must be total (add a unique
+    * tiebreaker). */
   def globalCumSum(df: DataFrame, order: Seq[Column], valueCol: Column,
       cumCol: String = "cum"): DataFrame = {
-    val withV = df.withColumn("_gcs_v", valueCol.cast("long"))
+    val withV = df.withColumn("_gcs_v", coalesce(valueCol.cast("long"), lit(0L)))
     val sorted = withV.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val vIdx = sorted.schema.fieldIndex("_gcs_v")
     val sums = sorted.rdd
@@ -126,9 +126,7 @@ object SortOps {
     * join instead of a static map. Nested samples: lowering a rate always
     * yields a subset of the higher-rate sample. No shuffle. */
   def weightedHashSample(df: DataFrame, keyCol: Column, rateCol: Column): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(10000L))
+    val bucket = graft.functions.TextFunctions.portableBucket(keyCol, 10000L)
     df.filter(bucket < floor(rateCol * 10000).cast("long"))
   }
 
@@ -145,9 +143,7 @@ object SortOps {
       fractions: Map[String, Double]): DataFrame = {
     require(fractions.values.forall(f => f >= 0 && f <= 1),
       s"fractions must be in [0,1]: $fractions")
-    val bucket = pmod(
-      conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(10000L))
+    val bucket = graft.functions.TextFunctions.portableBucket(keyCol, 10000L)
     val cut = fractions.foldLeft(lit(-1L): Column) { case (acc, (k, f)) =>
       when(strataCol === k, lit(math.round(f * 10000).toLong)).otherwise(acc)
     }

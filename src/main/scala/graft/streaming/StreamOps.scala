@@ -26,24 +26,23 @@ object StreamOps {
       .select(col("window.start").as("window_start"),
         col(keyCol), col("cnt"), col("sum_value"))
 
-  /** Stream-stream inner join with event-time watermarks on BOTH sides —
+  /** Stream-stream interval join with event-time watermarks on BOTH sides —
     * the state-bounded form. The watermark is the state-retention contract:
     * each side buffers only rows newer than (max event time - `watermark`),
-    * and inputs older than that are dropped as late. In any real deployment
-    * the default keeps state finite; a caller wanting exhaustive batch-equal
-    * results over a bounded replay (the determinism device the gates use)
-    * must OPT IN to an effectively-infinite watermark explicitly rather than
-    * inheriting unbounded state from the operator.
+    * and inputs older than that are dropped as late; the default keeps
+    * state finite in a real deployment. `cond` should carry the equi-key
+    * AND the event-time range (e.g. `right_ts BETWEEN left_ts AND left_ts +
+    * interval 1 hour`) — the range is what lets Spark evict join state as
+    * the watermark advances.
     *
-    * `cond` should carry the equi-key AND the event-time range (e.g.
-    * `right_ts BETWEEN left_ts AND left_ts + interval 1 hour`) — the range
-    * is what lets Spark evict join state as the watermark advances. */
-  /** Watermarked stream-stream interval join. `joinType` "inner" emits
-    * matches as they arrive; "left_outer"/"right_outer" additionally emit
-    * null-padded rows once the watermark proves no match can still arrive —
-    * which means outer results are only complete up to the watermark: on a
-    * bounded replay, push the watermark past the last real deadline (e.g. a
-    * far-future sentinel row) or the tail's outer rows never emit. */
+    * `joinType` "inner" emits matches as they arrive and, over a bounded
+    * replay, needs an explicitly opted-in effectively-infinite watermark
+    * for exhaustive batch-equal results. "left_outer"/"right_outer"
+    * additionally emit null-padded rows once the watermark PROVES no match
+    * can still arrive — outer results are only complete up to the
+    * watermark, so on a bounded replay push it past the last real deadline
+    * (e.g. a far-future sentinel row) or the tail's outer rows never
+    * emit. */
   def intervalJoin(
       left: DataFrame, leftTsCol: String,
       right: DataFrame, rightTsCol: String,

@@ -314,6 +314,24 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(out.map(_._2).sorted.toSeq == (1L to 100L))
   }
 
+  test("globalCumSum treats null values as 0 instead of crashing") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "v")
+    val got = SortOps.globalCumSum(df, Seq(col("id")), col("v"), "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 12L))
+  }
+
+  test("winsorize passes null-group rows through unclipped, preserving count") {
+    val df = Seq(("a", 1.0), ("a", 100.0), (null, 9999.0))
+      .toDF("g", "v")
+    val out = AggOps.winsorize(df, "g", "v", 0.05, 0.95)
+      .select("g", "v", "v_w").collect()
+    assert(out.length == 3, "clipping must preserve row count")
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getDouble(2) == 9999.0, "null-group row must pass unclipped")
+  }
+
   // ------------------------------------------------------ partition pruning
 
   test("partition-column filter prunes to one directory at plan time") {
