@@ -3656,6 +3656,94 @@ object Queries {
       SELECT doc_id, cluster_id, cluster_size FROM ranked
       WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Expectation checks ([[QualityOps.expect]]): rule-based validation
+    * with quarantine semantics — per-rule violation counts plus the clean
+    * count, all from one pass. NULL rule results count as violations. */
+  private val qExpectations = QuerySpec(
+    "q_expectations",
+    (s, dir) => {
+      val checked = QualityOps.expect(t(s, dir, "events"), Seq(
+        "value_in_range" -> (col("value") >= 0 && col("value") <= 75),
+        "known_type" -> col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"),
+        "has_user" -> col("user_id").isNotNull))
+      checked
+        .select(explode_outer(when(size(col("violations")) === 0,
+          array(lit("PASS"))).otherwise(col("violations"))).as("rule"))
+        .groupBy("rule").agg(count(lit(1)).as("cnt"))
+        .orderBy("rule")
+    },
+    Some("""WITH flags AS (SELECT
+        CASE WHEN NOT COALESCE(value >= 0 AND value <= 75, FALSE)
+          THEN 1 END AS v_range,
+        CASE WHEN NOT COALESCE(event_type IN
+          ('click','view','purchase','signup','error'), FALSE)
+          THEN 1 END AS v_type,
+        CASE WHEN user_id IS NULL THEN 1 END AS v_user
+      FROM events),
+      rules AS (
+        SELECT 'value_in_range' AS rule, COUNT(v_range) AS cnt FROM flags
+        UNION ALL
+        SELECT 'known_type', COUNT(v_type) FROM flags
+        UNION ALL
+        SELECT 'has_user', COUNT(v_user) FROM flags
+        UNION ALL
+        SELECT 'PASS', COUNT(CASE WHEN v_range IS NULL AND v_type IS NULL
+          AND v_user IS NULL THEN 1 END) FROM flags)
+      SELECT rule, cnt FROM rules WHERE cnt > 0 ORDER BY rule"""))
+
+  /** CDC apply ([[QualityOps.cdcApply]]): a deterministic changelog
+    * (updates for every 10th key, deletes for every 17th — higher seq, so
+    * delete wins on overlap — inserts cloned to new keys) replays onto the
+    * customer snapshot; the oracle recomputes the same last-op-wins merge
+    * relationally. */
+  private val qCdcApply = QuerySpec(
+    "q_cdc_apply",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val updates = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val deletes = cust.filter(pmod(col("c_custkey"), lit(17)) === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+      val inserts = cust.filter(pmod(col("c_custkey"), lit(25)) === 0)
+        .withColumn("c_custkey", col("c_custkey") + 100000L)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      QualityOps.cdcApply(cust, changes, "c_custkey")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 6).as("c_acctbal"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH changes AS (
+        SELECT c_custkey AS k, 'U' AS op, 1 AS seq, c_name, c_nationkey,
+          c_acctbal + 1000 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, 'D', 2, c_name, c_nationkey, c_acctbal,
+          c_mktsegment
+        FROM customer WHERE c_custkey % 17 = 0
+        UNION ALL
+        SELECT c_custkey + 100000, 'I', 1, c_name, c_nationkey, c_acctbal,
+          c_mktsegment
+        FROM customer WHERE c_custkey % 25 = 0),
+      latest AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn FROM changes)
+        WHERE rn = 1),
+      merged AS (
+        SELECT COALESCE(c.k, b.c_custkey) AS c_custkey,
+          COALESCE(c.c_name, b.c_name) AS c_name,
+          COALESCE(c.c_nationkey, b.c_nationkey) AS c_nationkey,
+          CASE WHEN c.k IS NOT NULL THEN c.c_acctbal
+               ELSE b.c_acctbal END AS c_acctbal,
+          COALESCE(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+          c.op AS op
+        FROM customer b FULL OUTER JOIN latest c ON b.c_custkey = c.k)
+      SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 6) AS c_acctbal,
+        c_mktsegment
+      FROM merged WHERE op IS NULL OR op <> 'D'
+      ORDER BY c_custkey"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -3686,5 +3774,6 @@ object Queries {
     qCorpusMix, qPackSequences, qTokenBudget, qZorder, qPartitionPrune,
     qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin,
     qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,
-    qStreamOuterJoin, qPivot, qUnpivot, qCorrelation, qDedupCanonical)
+    qStreamOuterJoin, qPivot, qUnpivot, qCorrelation, qDedupCanonical,
+    qExpectations, qCdcApply)
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality and change-data operators — the validation/maintenance
+  * surface every long-lived 100 TB dataset needs around its ingest path.
+  * The reference's closest analogue is validate-style jobs (TeraValidate,
+  * SortValidator: reference hadoop-mapreduce-examples
+  * .../terasort/TeraValidate.java:53); these generalize that idea to
+  * rule-based row validation and changelog replay. */
+object QualityOps {
+
+  /** Expectation checks — validate-and-quarantine: each named rule is a
+    * boolean column; a row passes iff every rule holds, and `violations`
+    * lists the names of the rules it broke (empty array = pass). A rule
+    * evaluating to NULL (e.g. a comparison on a null value) counts as a
+    * violation — unknown is not acceptance. Pure projection, no shuffle;
+    * split pass/quarantine downstream with one filter each. */
+  def expect(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val tagged = array(rules.map { case (name, c) =>
+      when(!coalesce(c, lit(false)), lit(name))
+    }: _*)
+    df.withColumn("violations", filter(tagged, v => v.isNotNull))
+  }
+
+  /** CDC apply — replay a changelog onto a snapshot: `changes` carries the
+    * base's payload columns plus an op ('I'nsert / 'U'psert / 'D'elete) and
+    * a sequence number; the HIGHEST-seq operation per key wins (op as
+    * tiebreak for determinism). Upserts/inserts take the change payload,
+    * deletes remove the key, untouched base rows pass through. One shuffle
+    * on the key — the standard incremental-snapshot maintenance step. */
+  def cdcApply(base: DataFrame, changes: DataFrame, key: String,
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val payload = base.columns.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k")).orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = changes
+      .select(col(key).as("_k"), col(opCol), col(seqCol),
+        struct(payload.map(col): _*).as("_c"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_k"), col(opCol).as("_op"), col("_c"))
+    base
+      .select(col(key).as("_k"), struct(payload.map(col): _*).as("_b"))
+      .join(latest, Seq("_k"), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(payload.map(n =>
+        when(col("_op").isNotNull, col("_c").getField(n))
+          .otherwise(col("_b").getField(n)).as(n)): _*)
+  }
+}

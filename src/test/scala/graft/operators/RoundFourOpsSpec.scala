@@ -332,6 +332,32 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(nullRow.getDouble(2) == 9999.0, "null-group row must pass unclipped")
   }
 
+  // -------------------------------------------------------------- QualityOps
+
+  test("expect: violations name every broken rule; NULL result = violation") {
+    val df = Seq((1L, 10.0), (2L, -5.0), (3L, Double.NaN))
+      .toDF("id", "v")
+      .withColumn("v", when(col("id") === 3, lit(null)).otherwise(col("v")))
+    val out = QualityOps.expect(df, Seq(
+        "nonneg" -> (col("v") >= 0), "small" -> (col("v") < 100)))
+      .select("id", "violations").as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq())
+    assert(out(2L) == Seq("nonneg"))
+    assert(out(3L) == Seq("nonneg", "small"), "null comparisons must violate")
+  }
+
+  test("cdcApply: last op per key wins; deletes drop; inserts add; rest pass") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "payload")
+    val changes = Seq(
+      (1L, "a2", "U", 1L), (1L, "a3", "U", 2L),   // two updates: seq 2 wins
+      (2L, "b", "D", 1L),                          // delete
+      (9L, "new", "I", 1L))                        // insert
+      .toDF("k", "payload", "op", "seq")
+    val out = QualityOps.cdcApply(base, changes, "k")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a3", 3L -> "c", 9L -> "new"))
+  }
+
   // ------------------------------------------------------ partition pruning
 
   test("partition-column filter prunes to one directory at plan time") {
