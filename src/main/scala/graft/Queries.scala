@@ -3744,6 +3744,92 @@ object Queries {
       FROM merged WHERE op IS NULL OR op <> 'D'
       ORDER BY c_custkey"""))
 
+  /** binaryFile source — the multimodal ingestion path: opaque files land
+    * as (path, length, content) rows and route by sniffed magic bytes
+    * ([[MultimodalOps.sniffFormat]]). Spark derives format and size FROM
+    * THE FILES; the oracle replays the construction rule. */
+  private val qBinaryFiles = QuerySpec(
+    "q_binary_files",
+    (s, dir) => {
+      val base = java.nio.file.Paths.get(
+        s"/tmp/graft_binfiles_${new java.io.File(dir).getName}")
+      // rebuild from scratch: stale files from a previous dataset would
+      // otherwise survive the per-name overwrite and pollute the scan
+      if (java.nio.file.Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(base).iterator().asScala
+          .foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.createDirectories(base)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("body"))
+        .collect()
+      docs.foreach { r =>
+        val id = r.getLong(0); val body = r.getAs[Array[Byte]](1)
+        val magic: Array[Byte] = (id % 3) match {
+          case 0 => Array(0x89.toByte, 0x50, 0x4E, 0x47)
+          case 1 => Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+          case _ => Array(0x00)
+        }
+        java.nio.file.Files.write(base.resolve(f"doc_$id%05d.bin"),
+          magic ++ body)
+      }
+      s.read.format("binaryFile").load(base.toString)
+        .select(
+          MultimodalOps.sniffFormat(col("content")).as("format"),
+          col("length"),
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+            .cast("long").as("doc_id"))
+        .groupBy("format")
+        .agg(count(lit(1)).as("cnt"), sum(col("length")).cast("long").as("bytes"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("format")
+    },
+    Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        ELSE 'unknown' END AS format,
+      COUNT(*) AS cnt,
+      CAST(SUM(octet_length(encode(text)) + CASE doc_id % 3 WHEN 0 THEN 4
+        WHEN 1 THEN 4 ELSE 1 END) AS BIGINT) AS bytes,
+      MIN(doc_id) AS min_id
+      FROM documents WHERE doc_id < 40 GROUP BY 1 ORDER BY 1"""))
+
+  /** ANN over int8 codes ([[SimilarityOps.int8CosineTopK]]): the
+    * per-vector scales cancel out of the cosine, so ranking runs on exact
+    * integer codes — bit-stable in any engine at 1/4 the corpus bytes.
+    * The oracle requantizes with the same floor(x+0.5) rule and ranks the
+    * integer cosine identically. */
+  private val qAnnInt8 = QuerySpec(
+    "q_ann_int8",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.int8CosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("nbr_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH codes AS (SELECT vec_id,
+        CAST(list_transform(embedding, x -> CAST(GREATEST(LEAST(FLOOR(
+          CAST(x AS DOUBLE) /
+            (list_max(list_transform(embedding,
+              y -> abs(CAST(y AS DOUBLE)))) / 127) + 0.5),
+          127), -127) AS INT)) AS DOUBLE[]) AS qv
+      FROM embeddings),
+      q AS (SELECT vec_id AS query_id, qv AS qvec FROM codes
+        WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nbr_id, qv AS cvec FROM codes),
+      scored AS (
+        SELECT query_id, nbr_id,
+          ROUND(list_dot_product(qvec, cvec) /
+            (sqrt(list_dot_product(qvec, qvec)) *
+             sqrt(list_dot_product(cvec, cvec))),
+            6) AS sim
+        FROM q, c WHERE nbr_id <> query_id)
+      SELECT query_id, nbr_id, sim, "rank" FROM (
+        SELECT query_id, nbr_id, sim, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS "rank"
+        FROM scored) t
+      WHERE "rank" <= 5 ORDER BY query_id, "rank""""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -3775,5 +3861,5 @@ object Queries {
     qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin,
     qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,
     qStreamOuterJoin, qPivot, qUnpivot, qCorrelation, qDedupCanonical,
-    qExpectations, qCdcApply)
+    qExpectations, qCdcApply, qBinaryFiles, qAnnInt8)
 }

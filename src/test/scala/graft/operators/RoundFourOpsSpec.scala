@@ -252,6 +252,29 @@ class RoundFourOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8CosineTopK ranks like the float path on well-separated vectors") {
+    // three clusters along distinct axes: quantization noise (<= scale/2
+    // per coord) cannot reorder neighbors ACROSS clusters
+    val vecs = (0 until 30).map { i =>
+      val axis = i % 3
+      val v = Array.fill(8)(0.01f + (i % 5) * 0.001f)
+      v(axis) = 1.0f + (i % 7) * 0.01f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val f = SimilarityOps.cosineTopK(vecs, queries, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val q8 = SimilarityOps.int8CosineTopK(vecs, queries, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L to 2L).foreach { q =>
+      val sameAxis = q8(q).forall(n => n % 3 == q % 3)
+      assert(sameAxis, s"int8 top-5 of query $q left its cluster: ${q8(q)}")
+      assert(f(q).forall(n => n % 3 == q % 3))
+    }
+  }
+
   test("quantizeInt8 is a pure projection — no shuffle") {
     val df = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = SimilarityOps.quantizeInt8(df, "embedding")
