@@ -3830,6 +3830,71 @@ object Queries {
         FROM scored) t
       WHERE "rank" <= 5 ORDER BY query_id, "rank""""))
 
+  /** Unicode normalization ([[graft.plans.NormalizeText]], the third
+    * native codegen'd expression): composed (U+00E9) and decomposed
+    * (e + U+0301) forms of the same text hash apart until NFC-normalized —
+    * the cross-form canonicalization step exact dedup needs. The gate
+    * builds both forms per document and hash-checks that raw forms differ,
+    * NFC forms agree, and lengths collapse; DuckDB's nfc_normalize is the
+    * oracle twin. */
+  private val qNormalize = QuerySpec(
+    "q_normalize",
+    (s, dir) => {
+      graft.plans.NativeFunctions.register(s)
+      val composed = concat(lit("caf\u00e9 "), col("text"))
+      val decomposed = concat(lit("cafe\u0301 "), col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(composed).as("len_c"),
+          length(decomposed).as("len_d"),
+          (composed === decomposed).as("raw_eq"),
+          (graft.plans.NativeFunctions.normalize_text(composed, "NFC") ===
+            graft.plans.NativeFunctions.normalize_text(decomposed, "NFC"))
+            .as("nfc_eq"),
+          // Spark's chr() is mod-256, so the combining mark is embedded
+          // directly in the SQL text as a \u escape
+          length(expr("graft_normalize(concat('cafe\u0301 ', text), 'NFC')"))
+            .as("len_nfc"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        length('caf' || chr(233) || ' ' || text) AS len_c,
+        length('cafe' || chr(769) || ' ' || text) AS len_d,
+        FALSE AS raw_eq, TRUE AS nfc_eq,
+        length(nfc_normalize('cafe' || chr(769) || ' ' || text)) AS len_nfc
+      FROM documents ORDER BY doc_id"""))
+
+  /** Robust CSV round-trip: fields carrying embedded commas, quotes, and
+    * newlines survive write+read (quoting + escaping + multiLine). The
+    * reference's KV-text format simply cannot express these; real CSV
+    * feeds hit them on day one. */
+  private val qCsvQuoted = QuerySpec(
+    "q_csv_quoted",
+    (s, dir) => {
+      val out = s"/tmp/graft_csvq_${new java.io.File(dir).getName}"
+      val tricky = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(lit("a,b \""), col("source"), lit("\"\nline2 "),
+            col("lang")).as("payload"),
+          col("n_chars"))
+      tricky.write.mode("overwrite")
+        .option("quoteAll", "true").option("escape", "\"")
+        .csv(out)
+      s.read
+        .schema("doc_id LONG, payload STRING, n_chars LONG")
+        .option("multiLine", "true").option("escape", "\"")
+        .csv(out)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          count(when(col("payload").contains(",") &&
+            col("payload").contains("\"") &&
+            col("payload").contains("\n"), 1)).as("n_intact"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        COUNT(*) AS n_intact
+      FROM documents WHERE doc_id < 100"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -3861,5 +3926,6 @@ object Queries {
     qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin,
     qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,
     qStreamOuterJoin, qPivot, qUnpivot, qCorrelation, qDedupCanonical,
-    qExpectations, qCdcApply, qBinaryFiles, qAnnInt8)
+    qExpectations, qCdcApply, qBinaryFiles, qAnnInt8, qNormalize,
+    qCsvQuoted)
 }

@@ -97,6 +97,9 @@ object NativeFunctions {
     SqlBridge.column(
       HammingDistance(SqlBridge.expression(a), SqlBridge.expression(b)))
 
+  def normalize_text(c: Column, form: String = "NFC"): Column =
+    SqlBridge.column(NormalizeText(SqlBridge.expression(c), form))
+
   /** Bloom-filter build/probe — Spark ships these Catalyst expressions for
     * its own runtime-filter pushdown but does not SQL-register them; the
     * bridge exposes them as engine surface (build over xxhash64(key) longs,
@@ -124,6 +127,13 @@ object NativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hamming",
       exprs => HammingDistance(exprs(0), exprs(1)),
+      "built-in")
+    // graft_normalize(s[, 'NFC'|'NFD'|'NFKC'|'NFKD']) — form must be a
+    // literal (it is baked into the generated code)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_normalize",
+      exprs => NormalizeText(exprs(0),
+        if (exprs.length > 1) exprs(1).eval().toString else "NFC"),
       "built-in")
     // SQL-text access to the bloom pair Spark leaves unregistered:
     // graft_bloom_agg(xxhash64(k), items, bits) / graft_might_contain(bf, h)

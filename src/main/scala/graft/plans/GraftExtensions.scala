@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
       (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
+      (exprs: Seq[Expression]) => NormalizeText(exprs(0),
+        if (exprs.length > 1) exprs(1).eval().toString else "NFC")))
     // conf-gated (spark.graft.rangeJoin.bucketWidth); no-op otherwise
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }

@@ -27,3 +27,11 @@ trait ExpectsStringPair
     Seq(org.apache.spark.sql.types.StringType,
       org.apache.spark.sql.types.StringType)
 }
+
+/** Single-string variant of [[ExpectsStringPair]] for unary expressions. */
+trait ExpectsSingleString
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes
+      : Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+}
