@@ -3895,6 +3895,29 @@ object Queries {
         COUNT(*) AS n_intact
       FROM documents WHERE doc_id < 100"""))
 
+  /** Time-series gap filling ([[GroupOps.gapFill]]): dense hourly series
+    * per event type, zero rows where a type had no events — the
+    * sparse-to-dense step every reporting/training pipeline runs after a
+    * groupBy. The grid generates from a two-row aggregate; the fact table
+    * shuffles once. */
+  private val qGapFill = QuerySpec(
+    "q_gap_fill",
+    (s, dir) =>
+      GroupOps.gapFill(t(s, dir, "events"), "event_type", "ts", 3600L)
+        .orderBy("key", "bucket_start"),
+    Some("""WITH ext AS (SELECT event_type, date_trunc('hour', ts) AS b
+        FROM events),
+      span AS (SELECT min(b) AS lo, max(b) AS hi FROM ext),
+      grid AS (SELECT k.event_type, t.g AS b
+        FROM (SELECT DISTINCT event_type FROM events) k, span,
+          unnest(generate_series(span.lo, span.hi, INTERVAL 1 HOUR)) t(g)),
+      counts AS (SELECT event_type, b, COUNT(*) AS cnt FROM ext GROUP BY 1, 2)
+      SELECT g.event_type AS key, g.b AS bucket_start,
+        CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.b = c.b
+      ORDER BY key, bucket_start"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -3927,5 +3950,5 @@ object Queries {
     qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,
     qStreamOuterJoin, qPivot, qUnpivot, qCorrelation, qDedupCanonical,
     qExpectations, qCdcApply, qBinaryFiles, qAnnInt8, qNormalize,
-    qCsvQuoted)
+    qCsvQuoted, qGapFill)
 }

@@ -74,4 +74,29 @@ object GroupOps {
     df.withColumn("session_id", sum(newSess).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Time-series gap filling: the complete per-key grid of `step`-wide
+    * buckets between the GLOBAL min and max bucket, with zero rows for
+    * buckets a key has no events in — reporting/training pipelines need
+    * dense series, not sparse ones. The grid is a two-row aggregate
+    * exploded through `sequence` and cross-joined with the (tiny) key
+    * list; the event table itself is touched once and shuffles once (the
+    * groupBy), with the grid broadcast onto it. */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"step must be positive: $stepSeconds")
+    val step = stepSeconds * 1000000L // micros
+    // integer div: Column./ is double division and would drift on large epochs
+    val bucket = expr(s"(unix_micros(`$tsCol`) div ${step}L) * ${step}L")
+    val counts = df
+      .groupBy(col(keyCol).as("key"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = df
+      .agg(min(bucket).as("lo"), max(bucket).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(step))).as("bucket"))
+      .crossJoin(df.select(col(keyCol).as("key")).distinct())
+    grid.join(counts, Seq("key", "bucket"), "left")
+      .select(col("key"), timestamp_micros(col("bucket")).as("bucket_start"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
 }
