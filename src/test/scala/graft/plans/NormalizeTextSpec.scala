@@ -40,6 +40,20 @@ class NormalizeTextSpec extends AnyFunSuite {
     }
   }
 
+  test("expression executes inside WholeStageCodegen (no fallback)") {
+    val df = spark.range(100).select(
+      NativeFunctions.normalize_text(concat(lit(decomposed), col("id")), "NFC")
+        .as("n"))
+    // the '*(n)' prefix is the WholeStageCodegen marker in the compact
+    // rendering; a codegen-incompatible expression loses it on its Project
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*(")),
+      s"codegen fallback:\n$plan")
+    // and the generated code actually compiles + runs
+    assert(df.collect().length == 100)
+  }
+
   test("invalid form is rejected at construction; nulls propagate") {
     intercept[IllegalArgumentException] {
       NativeFunctions.normalize_text(lit("x"), "NFX")
