@@ -3732,11 +3732,14 @@ object Queries {
         WHERE rn = 1),
       merged AS (
         SELECT COALESCE(c.k, b.c_custkey) AS c_custkey,
-          COALESCE(c.c_name, b.c_name) AS c_name,
-          COALESCE(c.c_nationkey, b.c_nationkey) AS c_nationkey,
+          CASE WHEN c.k IS NOT NULL THEN c.c_name
+               ELSE b.c_name END AS c_name,
+          CASE WHEN c.k IS NOT NULL THEN c.c_nationkey
+               ELSE b.c_nationkey END AS c_nationkey,
           CASE WHEN c.k IS NOT NULL THEN c.c_acctbal
                ELSE b.c_acctbal END AS c_acctbal,
-          COALESCE(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+          CASE WHEN c.k IS NOT NULL THEN c.c_mktsegment
+               ELSE b.c_mktsegment END AS c_mktsegment,
           c.op AS op
         FROM customer b FULL OUTER JOIN latest c ON b.c_custkey = c.k)
       SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 6) AS c_acctbal,
@@ -3807,13 +3810,18 @@ object Queries {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     },
-    Some("""WITH codes AS (SELECT vec_id,
-        CAST(list_transform(embedding, x -> CAST(GREATEST(LEAST(FLOOR(
-          CAST(x AS DOUBLE) /
-            (list_max(list_transform(embedding,
-              y -> abs(CAST(y AS DOUBLE)))) / 127) + 0.5),
-          127), -127) AS INT)) AS DOUBLE[]) AS qv
+    Some("""WITH sc AS (SELECT vec_id, embedding,
+        list_max(list_transform(embedding,
+          y -> abs(CAST(y AS DOUBLE)))) / 127 AS scale
       FROM embeddings),
+      codes AS (SELECT vec_id,
+        CASE WHEN scale = 0
+        THEN CAST(list_transform(embedding, x -> 0) AS DOUBLE[])
+        ELSE CAST(list_transform(embedding, x -> CAST(GREATEST(LEAST(FLOOR(
+          CAST(x AS DOUBLE) / scale + 0.5),
+          127), -127) AS INT)) AS DOUBLE[])
+        END AS qv
+      FROM sc),
       q AS (SELECT vec_id AS query_id, qv AS qvec FROM codes
         WHERE vec_id < 10),
       c AS (SELECT vec_id AS nbr_id, qv AS cvec FROM codes),

@@ -39,9 +39,12 @@ object ZOrder {
     * drift. */
   def zValueSql(x: String, y: String, bits: Int): String = {
     val m = 1L << bits
+    // non-negative mod to match zValue's pmod: DuckDB's % keeps the
+    // dividend's sign, which would diverge on negative inputs
+    def wrap(c: String) = s"(((($c) % $m) + $m) % $m)"
     val terms = (0 until bits).flatMap { i =>
-      Seq(s"((((($x) % $m) >> $i) & 1) << ${2 * i})",
-        s"((((($y) % $m) >> $i) & 1) << ${2 * i + 1})")
+      Seq(s"(((${wrap(x)} >> $i) & 1) << ${2 * i})",
+        s"(((${wrap(y)} >> $i) & 1) << ${2 * i + 1})")
     }
     terms.mkString("(", " | ", ")")
   }

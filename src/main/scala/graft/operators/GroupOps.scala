@@ -86,8 +86,12 @@ object GroupOps {
       stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"step must be positive: $stepSeconds")
     val step = stepSeconds * 1000000L // micros
-    // integer div: Column./ is double division and would drift on large epochs
-    val bucket = expr(s"(unix_micros(`$tsCol`) div ${step}L) * ${step}L")
+    // floor bucketing in pure integer arithmetic: `div` truncates toward
+    // zero so pre-1970 (negative) epochs would bucket AFTER the event;
+    // um - pmod(um, step) is the largest step-multiple <= um for any sign,
+    // and double-based floor() would drift on large epochs
+    val bucket = expr(
+      s"unix_micros(`$tsCol`) - pmod(unix_micros(`$tsCol`), ${step}L)")
     val counts = df
       .groupBy(col(keyCol).as("key"), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))

@@ -127,7 +127,11 @@ object SortOps {
     * yields a subset of the higher-rate sample. No shuffle. */
   def weightedHashSample(df: DataFrame, keyCol: Column, rateCol: Column): DataFrame = {
     val bucket = graft.functions.TextFunctions.portableBucket(keyCol, 10000L)
-    df.filter(bucket < floor(rateCol * 10000).cast("long"))
+    // clamp to [0,1]: a rate > 1 keeps everything (not silently), < 0 or
+    // NULL keeps nothing — same contract stratifiedHashSample enforces
+    // via require, expressed per-row because the rate is data here
+    val rate = coalesce(least(greatest(rateCol, lit(0.0)), lit(1.0)), lit(0.0))
+    df.filter(bucket < floor(rate * 10000).cast("long"))
   }
 
   /** Deterministic stratified sample — per-stratum keep fractions with the
