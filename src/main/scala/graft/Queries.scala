@@ -2870,13 +2870,10 @@ object Queries {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("centroid")))),
           x => x.getField("centroid")).as("cvec"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(round(SimilarityOps.cosine(col("embedding"), col("cvec")), 6).desc,
-          col("cid"))
-      emb.select("vec_id", "embedding")
-        .crossJoin(broadcast(cvecs))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
+      // re-assignment through the broadcast argmin kernel: the corpus
+      // never shuffles (the crossJoin+window form would hash-exchange
+      // corpus×nlist rows — the exact anti-pattern the kernel kills)
+      SimilarityOps.assignToNearest(emb.select("vec_id", "embedding"), cvecs)
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"))
         .orderBy("cid")

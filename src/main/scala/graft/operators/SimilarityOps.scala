@@ -314,6 +314,18 @@ object SimilarityOps {
       .agg(graft.operators.AggOps.avgExact(col("x").cast("double"))
         .as("centroid"))
 
+  /** Assign every row to its single nearest centroid — the public
+    * corpus→quantizer assignment shape shared by [[kmeansStep]] and
+    * [[ivfTopK]]'s coarse quantizer. `cent` is (cid, cvec) rows; output is
+    * (idCol, vecCol, cid). The centroid set broadcasts into a
+    * per-partition argmin kernel, so the corpus side NEVER shuffles —
+    * exposed so gates and users re-assign after refinement without the
+    * crossJoin+window anti-pattern (a corpus×nlist hash exchange). */
+  def assignToNearest(df: DataFrame, cent: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    nearestCentroids(df.select(col(idCol), col(vecCol)),
+      cent.select(col("cid"), col("cvec")), idCol, vecCol, 1)
+
   /** One Lloyd iteration of cosine k-means: assign every corpus vector to its
     * nearest centroid (rounded cosine, centroid-id tiebreak — the same
     * assignment contract as [[ivfTopK]]'s coarse quantizer), then recompute

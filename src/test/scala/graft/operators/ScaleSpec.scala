@@ -93,6 +93,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), s"typed argmin kernel missing:\n$plan")
   }
 
+  test("assignToNearest re-assignment plans with ZERO exchanges") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val out = SimilarityOps.assignToNearest(vecs, cents)
+    val plan = out.queryExecution.executedPlan.toString
+    // pure scan -> broadcast-argmin mapPartitions: the corpus must not
+    // shuffle at all during re-assignment (the crossJoin+window form this
+    // replaces exchanged corpus x nlist rows)
+    assert(!plan.contains("Exchange"), s"corpus shuffled:\n$plan")
+    assert(plan.contains("MapPartitions"), s"typed argmin kernel missing:\n$plan")
+    // contract: nearest = max rounded cosine, cid tiebreak
+    val mine = out.filter(col("vec_id") === 7L).select("cid").as[Long].head()
+    val expect = vecs.filter(col("vec_id") < 4).crossJoin(
+        vecs.filter(col("vec_id") === 7L).select(col("embedding").as("q")))
+      .select(col("vec_id"),
+        round(SimilarityOps.cosine(col("q"), col("embedding")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).select("vec_id")
+      .as[Long].head()
+    assert(mine == expect)
+  }
+
   test("Chain.of composes transforms left to right") {
     val f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       _.withColumn("x2", col("x") * 2)
