@@ -117,11 +117,16 @@ object DedupOps {
     * then pairs are verified with exact shingle Jaccard. `minJaccard` filters
     * the verified output. The band self-join is an equi-join on
     * (band_id, band_key) — the classic LSH shuffle, linear in corpus size. */
-  /** MinHash-LSH near-dup pairs with BUCKET-LOCAL verification: docs are
-    * banded, shuffled once on (band, band-key), and exact shingle-Jaccard is
-    * computed between pairs INSIDE each bucket. No self-join, no second scan
-    * of the corpus, no signature re-computation — the plan is
-    * scan -> kernel -> 1 shuffle -> per-bucket pairing -> pair dedup.
+  /** MinHash-LSH near-dup pairs: docs are banded, ID-ONLY bucket rows are
+    * shuffled on the band key, candidate pairs are generated inside each
+    * bucket and deduplicated, then exact shingle-Jaccard verification
+    * re-joins each side's shingles by doc_id. The plan is
+    * scan -> kernel -> band shuffle (ids only) -> per-bucket pairing ->
+    * pair dedup -> 2 short-key joins. Keeping shingle arrays OUT of the
+    * bucket aggregation is the scale guard: a hot bucket at the cap holds
+    * ~80 KB of ids instead of hundreds of MB of shingles, so no
+    * OOM-shaped straggler; each doc's array instead rides through an
+    * ordinary, well-partitioned hash join once per pair side.
     * `maxBucket` caps the per-bucket pair blow-up (a bucket of m docs emits
     * m(m-1)/2 pairs) — the standard skew guard for LSH at scale: a band key
     * shared by thousands of near-identical docs would otherwise produce a
@@ -134,8 +139,15 @@ object DedupOps {
     import spark.implicits._
     val numHashes = bands * rowsPerBand
     val withSig = shingleSignatures(df, idCol, textCol, shingleSize, numHashes)
+    // Band on doc_id ONLY: a bucket row aggregates up to maxBucket longs
+    // (~80 KB at the cap), never the shingle arrays — collecting full
+    // shingle payloads per bucket would put hundreds of MB in one
+    // aggregation row for long docs and OOM the hot-bucket task at scale.
+    // Shingles re-join AFTER the (deduplicated) id-pairs are known, so
+    // each doc's array crosses the wire once per pair side, not once per
+    // band bucket it lands in.
     val banded = withSig.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"),
       explode(array((0 until bands).map { b =>
         concat_ws("|", lit(b).cast("string") +:
           (0 until rowsPerBand).map(r =>
@@ -143,26 +155,30 @@ object DedupOps {
       }: _*)).as("bk"))
     // In-bucket pairing stays in expression land (sort_array + indexed
     // transform + explode): tiny codegen footprint vs a typed flatMap whose
-    // nested Seq[(Long, Seq[String])] encoder generates pathological
-    // first-run compile times in long sessions.
+    // nested Seq encoder generates pathological first-run compile times.
     val buckets = banded
       .groupBy("bk")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("shingles"))))
-        .as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    val pair = explode(flatten(transform(col("docs"), (a, i) =>
-      transform(slice(col("docs"), i + 2, size(col("docs"))),
-        b => struct(a.as("x"), b.as("y"))))))
-    buckets
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pair = explode(flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("a"), b.as("b"))))))
+    val pairs = buckets
       .select(pair.as("p"))
-      .select(
-        col("p.x.doc_id").as("a"),
-        col("p.y.doc_id").as("b"),
-        round(
-          size(array_intersect(col("p.x.shingles"), col("p.y.shingles"))).cast("double") /
-            size(array_union(col("p.x.shingles"), col("p.y.shingles"))).cast("double"),
-          6).as("jaccard"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
+    // exact-Jaccard verification: two short-key joins pull each side's
+    // shingles back in (doc_id is the join key — the heavy arrays ride as
+    // payload through an ordinary hash join, no bucket-row concentration)
+    val sh = withSig.select(col("doc_id"), col("shingles"))
+    pairs
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("_sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("_sb")), "b")
+      .select(col("a"), col("b"),
+        round(
+          size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+            size(array_union(col("_sa"), col("_sb"))).cast("double"),
+          6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

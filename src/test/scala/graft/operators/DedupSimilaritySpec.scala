@@ -67,6 +67,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("minhashLsh hot bucket aggregates ids only, never shingle payloads") {
+    // 60 identical docs: every band key is shared by all 60, so each band
+    // forms one bucket right at the configured cap — the OOM shape the
+    // id-only aggregation exists for
+    val hot = (1L to 60L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.minhashLsh(hot, col("doc_id"), col("text"),
+      shingleSize = 3, bands = 4, rowsPerBand = 2, minJaccard = 0.9,
+      maxBucket = 60)
+    assert(out.count() == 60L * 59 / 2)
+    assert(out.select("jaccard").distinct().as[Double].collect().toSeq
+      == Seq(1.0))
+    // the scale guard itself: the bucket aggregate must collect doc ids
+    // (~8 B each), never the shingle arrays (hundreds of MB in a hot
+    // bucket) — shingles come back through the verify joins instead
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("collect_list(doc_id"), plan)
+    assert(!plan.contains("collect_list(struct"), plan)
+    // buckets past the cap drop entirely (quadratic-straggler guard)
+    val capped = DedupOps.minhashLsh(hot, col("doc_id"), col("text"),
+      shingleSize = 3, bands = 4, rowsPerBand = 2, minJaccard = 0.9,
+      maxBucket = 59)
+    assert(capped.count() == 0)
+  }
+
   test("typed simhash equals the expression-form simhash") {
     val typed = DedupOps.simhash64Typed(docs, col("doc_id"), col("text"))
     val expr = docs.select(col("doc_id"),
