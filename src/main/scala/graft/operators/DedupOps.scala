@@ -253,7 +253,15 @@ object DedupOps {
     * `maxBucket` is the same skew guard as [[minhashLsh]]'s: a band value
     * shared by m docs emits m(m-1)/2 pairs, so one hot block (short or
     * templated docs collapsing to e.g. an all-zeros block) would otherwise
-    * turn the pairing quadratic; buckets above the cap are dropped. */
+    * turn the pairing quadratic; buckets above the cap are dropped.
+    *
+    * Pairing is a typed per-partition loop over band-sorted groups rather
+    * than collect_list + nested array transforms: the aggregation row and
+    * the interpreted higher-order pair expression cost ~2x the signature
+    * kernel itself at sf0.1, while the streaming group loop adds ~nothing.
+    * The Hamming verify runs INSIDE the loop (same prefix+length contract
+    * as [[graft.plans.HammingDistance]]), so only real near-dup pairs —
+    * not every bucket co-occupant — reach the dedup shuffle. */
   def simhashNearDupPairs(
       df: DataFrame, idCol: Column, textCol: Column,
       maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
@@ -261,29 +269,60 @@ object DedupOps {
     require(maxHamming < bands,
       s"recall 1.0 needs maxHamming < bands (pigeonhole); got $maxHamming >= $bands")
     val width = 64 / bands
+    val spark = df.sparkSession
+    import spark.implicits._
     val sigs = simhash64Typed(df, idCol, textCol)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         concat_ws("|", lit(b),
           substring(col("simhash"), b * width + 1, width))): _*)).as("bk"))
-    // One shuffle on the band key, pairs generated inside each bucket
-    // (sort_array orders by doc_id, so x < y holds by construction) —
-    // no self-join, and the signature kernel runs exactly once.
-    val buckets = banded
-      .groupBy("bk")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-        .as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    val pair = explode(flatten(transform(col("docs"), (a, i) =>
-      transform(slice(col("docs"), i + 2, size(col("docs"))),
-        b => struct(a.as("x"), b.as("y"))))))
-    buckets
-      .select(pair.as("p"))
-      .select(col("p.x.doc_id").as("a"), col("p.y.doc_id").as("b"),
-        graft.plans.NativeFunctions.hamming_distance(
-          col("p.x.simhash"), col("p.y.simhash")).as("hamming"))
+    banded
+      .repartition(col("bk"))
+      .sortWithinPartitions("bk", "doc_id")
+      .as[(Long, String, String)]
+      .mapPartitions { (it: Iterator[(Long, String, String)]) =>
+        val rows = it.buffered
+        def hamming(x: String, y: String): Int = {
+          val n = math.min(x.length, y.length)
+          var d = math.abs(x.length - y.length)
+          var i = 0
+          while (i < n) { if (x.charAt(i) != y.charAt(i)) d += 1; i += 1 }
+          d
+        }
+        // stream one band group at a time: ids arrive doc_id-sorted, so
+        // emitted pairs satisfy a < b by construction; over-cap groups
+        // drain without buffering past the cap and emit nothing
+        new Iterator[Seq[(Long, Long, Int)]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Seq[(Long, Long, Int)] = {
+            val bk = rows.head._3
+            val ids = new scala.collection.mutable.ArrayBuffer[(Long, String)]
+            var overflow = false
+            while (rows.hasNext && rows.head._3 == bk) {
+              val r = rows.next()
+              if (ids.length < maxBucket) ids += ((r._1, r._2))
+              else overflow = true
+            }
+            if (overflow || ids.length < 2) Nil
+            else {
+              val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]
+              var i = 0
+              while (i < ids.length) {
+                var j = i + 1
+                while (j < ids.length) {
+                  val h = hamming(ids(i)._2, ids(j)._2)
+                  if (h <= maxHamming) out += ((ids(i)._1, ids(j)._1, h))
+                  j += 1
+                }
+                i += 1
+              }
+              out.toSeq
+            }
+          }
+        }.flatten
+      }
+      .toDF("a", "b", "hamming")
       .dropDuplicates("a", "b")
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Connected components over the near-dup pair graph: collapses pairwise
