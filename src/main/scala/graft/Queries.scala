@@ -544,6 +544,75 @@ object Queries {
       MIN(CAST(doc_id AS VARCHAR)) AS min_id
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
+  /** MapFile READ interop ([[graft.sources.LegacyContainers.readMapFile]],
+    * reference: COMMON-IO io/MapFile.java:59): the fixture writes a genuine
+    * MapFile with the Hadoop writer (sorted Text append + index sidecar);
+    * the engine scans its `data` member through the splittable SequenceFile
+    * path. Existing-data migration is the one consumer, so read-only. */
+  private val qMapfileRead = QuerySpec(
+    "q_mapfile_read",
+    (s, dir) => {
+      import org.apache.hadoop.io.{MapFile, Text}
+      val out = s"/tmp/graft_mapfile_${new java.io.File(dir).getName}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(conf).delete(p, true)
+      // fixture setup, not the operator: MapFile.Writer demands sorted
+      // single-writer appends, so the container is authored driver-side
+      val rows = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(format_string("%08d", col("doc_id")).as("k"), col("lang"))
+        .orderBy("k").collect()
+      val w = new MapFile.Writer(conf, p,
+        MapFile.Writer.keyClass(classOf[Text]),
+        MapFile.Writer.valueClass(classOf[Text]))
+      rows.foreach(r => w.append(new Text(r.getString(0)), new Text(r.getString(1))))
+      w.close()
+      graft.sources.LegacyContainers.readMapFile(s, out)
+        .groupBy(col("value").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), min("key").as("min_key"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      MIN(printf('%08d', doc_id)) AS min_key
+      FROM documents WHERE doc_id < 200 GROUP BY 1 ORDER BY 1"""))
+
+  /** TFile READ interop ([[graft.sources.LegacyContainers.readTFile]],
+    * reference: COMMON-IO io/file/tfile/TFile.java): fixture writes two
+    * genuine memcmp-sorted TFiles with the Hadoop writer; the reader
+    * parallelizes whole files across tasks (TFile has no InputFormat —
+    * migration reads, not query storage). */
+  private val qTfileRead = QuerySpec(
+    "q_tfile_read",
+    (s, dir) => {
+      import org.apache.hadoop.io.file.tfile.TFile
+      val out = s"/tmp/graft_tfile_${new java.io.File(dir).getName}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val base = new org.apache.hadoop.fs.Path(out)
+      val fs = base.getFileSystem(conf)
+      fs.delete(base, true)
+      fs.mkdirs(base)
+      val rows = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(format_string("%08d", col("doc_id")).as("k"), col("lang"))
+        .orderBy("k").collect()
+      Seq(0, 1).foreach { half =>
+        val f = new org.apache.hadoop.fs.Path(base, f"part-$half%05d.tfile")
+        val os = fs.create(f)
+        val w = new TFile.Writer(os, 64 * 1024, TFile.COMPRESSION_NONE,
+          TFile.COMPARATOR_MEMCMP, conf)
+        rows.filter(r => (r.getString(0).toLong < 100) == (half == 0))
+          .foreach(r => w.append(r.getString(0).getBytes("UTF-8"),
+            r.getString(1).getBytes("UTF-8")))
+        w.close(); os.close()
+      }
+      graft.sources.LegacyContainers.readTFile(s, s"$out/part-*.tfile")
+        .groupBy(col("value").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), min("key").as("min_key"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      MIN(printf('%08d', doc_id)) AS min_key
+      FROM documents WHERE doc_id < 200 GROUP BY 1 ORDER BY 1"""))
+
   /** ORC round-trip — the second columnar container (SURVEY §2.2/§2.3 output
     * codecs row): write zlib ORC, read back, aggregate. Exercises Spark's
     * built-in ORC reader/writer stack the way the parquet gates do. */
@@ -3946,7 +4015,8 @@ object Queries {
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
-    qSeqfileRoundtrip, qOrcRoundtrip, qChunk, qStratifiedSample, qVocab,
+    qSeqfileRoundtrip, qMapfileRead, qTfileRead, qOrcRoundtrip, qChunk,
+    qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,
     qIncrementalDedup, qEquiDepth, qContamination,
