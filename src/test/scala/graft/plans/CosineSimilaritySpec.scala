@@ -66,6 +66,21 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(hits == 500L)
   }
 
+  test("graft_hamming stays inside whole-stage codegen") {
+    val df = spark.range(100).select(
+      conv(col("id").cast("string"), 10, 2).as("x"),
+      conv((col("id") * 7).cast("string"), 10, 2).as("y"))
+    val q = df
+      .select(NativeFunctions.hamming_distance(col("x"), col("y")).as("h"))
+      .filter(col("h") >= 0)
+    q.write.mode("overwrite").format("noop").save()
+    // "*(n)" prefixes = WholeStageCodegen stages; a fallback would print
+    // bare Project/Filter nodes and silently interpret the hot loop
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"),
+      s"codegen fallback:\n$plan")
+  }
+
   test("graft_hamming on non-string columns fails at analysis, not runtime") {
     NativeFunctions.register(spark)
     spark.range(3).createOrReplaceTempView("nums_hd")
