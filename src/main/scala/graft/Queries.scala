@@ -2268,6 +2268,29 @@ object Queries {
           CAST(COUNT(*) AS DOUBLE), 6) AS pi_est
       FROM p"""))
 
+  /** DistributedPentomino/DistBbp parity ([[SearchOps.nQueensByFirstColumn]],
+    * reference: MR-EX/dancing/DistributedPentomino.java:51 — prefix-split
+    * exhaustive backtracking, one mapper per prefix, counts reduced): the
+    * 8-queens search splits on the (col0, col1) prefix into 64 subtree
+    * seeds, each counted by a bitmask backtracker inside mapPartitions.
+    * The oracle recomputes the full search relationally (recursive CTE
+    * with column/diagonal conflict lists), so the gate checks the SEARCH,
+    * not a hardcoded 92. */
+  private val qNqueens = QuerySpec(
+    "q_nqueens",
+    (s, _) => SearchOps.nQueensByFirstColumn(s, 8).orderBy("c0"),
+    Some("""WITH RECURSIVE s(r, cols, d1, d2) AS (
+        SELECT 0, [], [], []
+        UNION ALL
+        SELECT r + 1, list_append(cols, c),
+          list_append(d1, c + r), list_append(d2, c - r)
+        FROM s, range(8) t(c)
+        WHERE r < 8 AND NOT list_contains(cols, c)
+          AND NOT list_contains(d1, c + r)
+          AND NOT list_contains(d2, c - r))
+      SELECT CAST(cols[1] AS BIGINT) AS c0, COUNT(*) AS n_solutions
+      FROM s WHERE r = 8 GROUP BY 1 ORDER BY 1"""))
+
   /** Analytic window-function breadth (SURVEY §2.7 — the surface the
     * reference's hand-coded reducers approximate): lag/lead, percent_rank,
     * cume_dist, ntile, and a running decimal-exact sum, all over one
@@ -4009,7 +4032,7 @@ object Queries {
     qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine,
     qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact,
     qRangeJoin, qGroupingSets, qTfidf, qEmbedCentroid, qXmlRecords,
-    qNamedOutputs, qQuasiPi,
+    qNamedOutputs, qQuasiPi, qNqueens,
     qWindowAnalytics, qBigramLm, qCodecRoundtrip, qCombineFiles,
     qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin, qSimhashPairs,
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
