@@ -1490,6 +1490,50 @@ object Queries {
       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
+  /** The q_stream_tumbling shape re-run with the ROCKSDB state store
+    * ([[graft.streaming.StreamOps.withRocksDbState]]): per-(hour, user)
+    * state is the large-keyed-state scenario where the default heap-backed
+    * provider dies first at 100x volume. The gate asserts the provider
+    * actually engaged (rocksdb metrics in the query progress) and
+    * hash-matches the same relational oracle — proof the backend swap is
+    * semantics-preserving. */
+  private val qStreamRocksdb = QuerySpec(
+    "q_stream_rocksdb",
+    (s, dir) => {
+      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      val streamDir = java.nio.file.Paths.get(
+        s"/tmp/graft_streamsrc_${new java.io.File(dir).getName}")
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      graft.streaming.StreamOps.withRocksDbState(s) {
+        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        val agg = stream
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        val q = pinnedParts(s, 8)(agg.writeStream
+          .format("memory").queryName("graft_stream_rocksdb")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+        q.awaitTermination()
+        require(q.lastProgress != null && q.lastProgress.json.contains("rocksdb"),
+          "RocksDB state store did not engage")
+      }
+      s.table("graft_stream_rocksdb")
+        .agg(count(lit(1)).as("n_state_rows"),
+          sum(col("cnt")).cast("long").as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH g AS (SELECT date_trunc('hour', ts) AS h, user_id,
+        COUNT(*) AS cnt FROM events GROUP BY 1, 2)
+      SELECT COUNT(*) AS n_state_rows, CAST(SUM(cnt) AS BIGINT) AS n_events,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM g"""))
+
   /** DBOutputFormat/DataDrivenDBInputFormat parity against a real database:
     * batched JDBC insert into embedded Derby, then a partitioned bounded
     * read back (WHERE c_custkey BETWEEN lo AND hi per split — the
@@ -4027,7 +4071,7 @@ object Queries {
     qMultimodalFeatures, qAnnLsh, qTextgenWc, qAsofJoin, qTokenCount,
     qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow,
     qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
-    qStreamTumbling, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
+    qStreamTumbling, qStreamRocksdb, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine,
     qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact,

@@ -12,6 +12,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** State-store configuration for LARGE keyed state. The default
+    * HDFSBackedStateStoreProvider holds every live key's state as JVM heap
+    * objects — at 100x event volume (stream-stream outer-join buffers,
+    * millions of open sessions) executor heap becomes the ceiling and GC
+    * the failure mode. RocksDB keeps state off-heap on local disk with
+    * heap only for the working set, and changelog checkpointing uploads
+    * per-batch deltas instead of full snapshots — the production
+    * configuration for big state. Semantics are identical; only the state
+    * backend changes, so any gate can run under either provider. */
+  val rocksDbStateConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
+  /** Run `body` with the RocksDB state store provider active, restoring
+    * the previous provider config afterwards (the provider is read at
+    * query START, so set it around `.start()`). */
+  def withRocksDbState[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val saved = rocksDbStateConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    rocksDbStateConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Tumbling-window counts + sums per key with a watermark: the streaming
     * twin of the batch q_tumbling_window query. State is bounded by the
     * watermark — late rows beyond it are dropped, windows older than it are
