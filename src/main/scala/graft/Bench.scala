@@ -59,7 +59,18 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver keeps only a tail of stdout, which truncates the per-query
+    // map once the registry outgrows it — persist the full line as a repo
+    // artifact so every round's timings are diffable query by query
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -138,7 +138,11 @@ object DedupOps {
     val spark = df.sparkSession
     import spark.implicits._
     val numHashes = bands * rowsPerBand
+    // the md5 shingle+signature kernel feeds three plan branches (banding
+    // + both verify joins): materialize it once — same pattern as
+    // [[ngramJaccardPairs]] — instead of running the kernel per branch
     val withSig = shingleSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .localCheckpoint()
     // Band on doc_id ONLY: a bucket row aggregates up to maxBucket longs
     // (~80 KB at the cap), never the shingle arrays — collecting full
     // shingle payloads per bucket would put hundreds of MB in one
