@@ -117,6 +117,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(mine == expect)
   }
 
+  test("AQE splits a skewed sort-merge-join partition at runtime") {
+    // one hot key carries ~95% of the left side — the shape manual salting
+    // (SkewOps) handles; this asserts Spark's RUNTIME answer engages too,
+    // so un-salted joins still survive skew via AQE partition splitting
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = (1 to 60000)
+        .map(i => (if (i % 20 == 0) i % 7 + 1 else 0, s"payload_$i"))
+        .toDF("key", "lv")
+      val right = (0 to 7).map(k => (k, s"dim_$k")).toDF("key", "rv")
+      val joined = left.join(right, Seq("key"))
+      // collect() executes joined's OWN QueryExecution — a write/count
+      // would build a fresh plan and leave this one isFinalPlan=false
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split absent:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("Chain.of composes transforms left to right") {
     val f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       _.withColumn("x2", col("x") * 2)
