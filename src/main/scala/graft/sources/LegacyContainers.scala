@@ -42,7 +42,9 @@ object LegacyContainers {
     val sconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fs = new Path(glob).getFileSystem(sconf.value)
-    val files = fs.globStatus(new Path(glob))
+    // globStatus returns NULL (not empty) for a non-matching literal path
+    val files = Option(fs.globStatus(new Path(glob)))
+      .getOrElse(Array.empty)
       .filter(_.isFile)
       .map(st => (st.getPath.toString, st.getLen))
       .toSeq

@@ -53,5 +53,7 @@ class LegacyContainersSpec extends AnyFunSuite {
     val got = LegacyContainers.readTFile(spark, s"$base/part-*.tfile")
       .as[(String, String)].collect().sorted.toSeq
     assert(got == kvs)
+    // non-matching literal path: globStatus yields null, reader yields empty
+    assert(LegacyContainers.readTFile(spark, s"$base/absent.tfile").isEmpty)
   }
 }
