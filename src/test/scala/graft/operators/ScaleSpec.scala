@@ -117,6 +117,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(mine == expect)
   }
 
+  test("filters and projections reach the parquet scan (pushdown + pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pushdown").toString
+    (1 to 1000).map(i => (i.toLong, s"v$i", i * 2.0, s"pad$i"))
+      .toDF("k", "name", "score", "padding")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("k") > 900L)
+      .select("k", "name")
+    q.write.mode("overwrite").format("noop").save()
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate must reach the scan (row-group stats skipping), and the
+    // scan must read ONLY the projected columns — a scan pulling score or
+    // padding for a 2-column projection wastes IO at any scale
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,900)]"),
+      s"filter not pushed:\n$plan")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("k:bigint") && readSchema.contains("name:string")
+      && !readSchema.contains("score") && !readSchema.contains("padding"),
+      s"columns not pruned: $readSchema")
+  }
+
   test("AQE splits a skewed sort-merge-join partition at runtime") {
     // one hot key carries ~95% of the left side — the shape manual salting
     // (SkewOps) handles; this asserts Spark's RUNTIME answer engages too,
