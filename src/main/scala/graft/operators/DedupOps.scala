@@ -521,18 +521,24 @@ object DedupOps {
     * cluster id; the per-cluster pick is a bounded window run. */
   def canonicalPick(docs: DataFrame, idCol: Column, qualityCol: Column,
       clusters: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    val order = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
-      .orderBy(col("_q").desc +:
-        graft.functions.TextFunctions.hashOrder(col("doc_id")): _*)
+    // argmax as ONE hash aggregation rather than a per-cluster window
+    // sort: the window form concentrates a mega-cluster (10M boilerplate
+    // near-dups collapsing to one label) into a single task's sort, while
+    // max_by partial-aggregates map-side — no straggler at any cluster
+    // size. Pick contract unchanged: highest _q, then hashOrder (md5 asc,
+    // id asc) — rendered for max_by by hex-INVERTING the md5 (translate)
+    // and negating the id, so every field maximizes.
+    val invMd5 = translate(md5(col("doc_id").cast("string")),
+      "0123456789abcdef", "fedcba9876543210")
     docs.select(idCol.as("doc_id"), qualityCol.as("_q"))
       .join(clusters.select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("_rn", row_number().over(order))
-      .filter(col("_rn") === 1)
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("_q"), invMd5, -col("doc_id"))).as("doc_id"),
+        count(lit(1)).as("cluster_size"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 }
