@@ -33,13 +33,15 @@ object DedupOps {
       incoming: DataFrame, idCol: Column, textCol: Column,
       seenHashes: DataFrame): DataFrame = {
     val hashed = incoming.withColumn("content_hash", md5(textCol))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("content_hash")).orderBy(idCol)
+    val cols = hashed.columns.toSeq
+    // first-copy pick as min_by aggregation, not a per-hash window sort:
+    // a batch carrying one document a million times would concentrate the
+    // window's sort in one task, while min_by partial-aggregates map-side
     hashed
       .join(seenHashes.select("content_hash"), Seq("content_hash"), "left_anti")
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      .groupBy(col("content_hash").as("_h"))
+      .agg(min_by(struct(cols.map(col): _*), idCol).as("_r"))
+      .select(col("_r.*"))
   }
 
   /** Per-row MinHash signature: minhash_i = min over shingles of

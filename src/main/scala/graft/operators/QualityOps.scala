@@ -34,14 +34,17 @@ object QualityOps {
   def cdcApply(base: DataFrame, changes: DataFrame, key: String,
       opCol: String = "op", seqCol: String = "seq"): DataFrame = {
     val payload = base.columns.toSeq
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_k")).orderBy(col(seqCol).desc, col(opCol).desc)
+    // last-op-wins as max_by over (seq, op) — both tiebreak fields maximize,
+    // so the pick is one hash aggregation with map-side partial combine; a
+    // hot key receiving millions of changes in one batch would serialize a
+    // window's per-key sort into a single task
     val latest = changes
       .select(col(key).as("_k"), col(opCol), col(seqCol),
         struct(payload.map(col): _*).as("_c"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("_k"), col(opCol).as("_op"), col("_c"))
+      .groupBy("_k")
+      .agg(max_by(struct(col(opCol).as("_op"), col("_c").as("_c")),
+        struct(col(seqCol), col(opCol))).as("_m"))
+      .select(col("_k"), col("_m._op").as("_op"), col("_m._c").as("_c"))
     base
       .select(col(key).as("_k"), struct(payload.map(col): _*).as("_b"))
       .join(latest, Seq("_k"), "full_outer")
