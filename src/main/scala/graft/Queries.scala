@@ -1431,6 +1431,37 @@ object Queries {
       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Dynamic partition overwrite — the incremental-maintenance staple at
+    * 100 TB: rewrite ONE partition in place (here: the click partition
+    * with doubled values) while every other partition survives untouched.
+    * Under the default STATIC mode the second write would wipe the whole
+    * tree and the per-type counts would collapse — the oracle catches
+    * exactly that. */
+  private val qDynamicOverwrite = QuerySpec(
+    "q_dynamic_overwrite",
+    (s, dir) => {
+      val out = s"/tmp/graft_dynover_${new java.io.File(dir).getName}"
+      val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try ev.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      finally saved match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+      CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2
+        ELSE value END AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   /** HadoopArchives/DistCp-style compaction as a gate: rewrite a table into
     * ~1 MB files, then aggregate the compacted copy — content must be
     * unchanged by the move. */
@@ -4070,7 +4101,8 @@ object Queries {
     qSortedGroups, qSaltedAgg, qFixedWidth, qEventWindow,
     qMultimodalFeatures, qAnnLsh, qTextgenWc, qAsofJoin, qTokenCount,
     qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow,
-    qChain, qKvtextRoundtrip, qPartitionedSink, qCompactRoundtrip,
+    qChain, qKvtextRoundtrip, qPartitionedSink, qDynamicOverwrite,
+    qCompactRoundtrip,
     qStreamTumbling, qStreamRocksdb, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine,
