@@ -613,6 +613,74 @@ object Queries {
       MIN(printf('%08d', doc_id)) AS min_key
       FROM documents WHERE doc_id < 200 GROUP BY 1 ORDER BY 1"""))
 
+  /** BloomMapFile READ interop ([[graft.sources.LegacyContainers.readMapFile]],
+    * reference: COMMON-IO io/BloomMapFile.java:49): the fixture writes a
+    * genuine BloomMapFile with the Hadoop writer — same dir layout as a
+    * MapFile plus a `bloom` sidecar (DynamicBloomFilter) — and the gate
+    * REQUIRES the sidecar to exist before scanning, proving the claim that
+    * the sidecar-ignoring SequenceFile scan covers this container too.
+    * Negative-membership at query time lives on the parquet side
+    * (q_bloom_join); this is the migration read. */
+  private val qBloomMapfileRead = QuerySpec(
+    "q_bloommapfile_read",
+    (s, dir) => {
+      import org.apache.hadoop.io.{BloomMapFile, MapFile, Text}
+      val out = s"/tmp/graft_bloommapfile_${new java.io.File(dir).getName}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(conf)
+      fs.delete(p, true)
+      val rows = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(format_string("%08d", col("doc_id")).as("k"), col("lang"))
+        .orderBy("k").collect()
+      val w = new BloomMapFile.Writer(conf, p,
+        MapFile.Writer.keyClass(classOf[Text]),
+        MapFile.Writer.valueClass(classOf[Text]))
+      rows.foreach(r => w.append(new Text(r.getString(0)), new Text(r.getString(1))))
+      w.close()
+      require(fs.exists(new org.apache.hadoop.fs.Path(p, "bloom")),
+        "fixture must be a genuine BloomMapFile (bloom sidecar populated)")
+      graft.sources.LegacyContainers.readMapFile(s, out)
+        .groupBy(col("value").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), min("key").as("min_key"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      MIN(printf('%08d', doc_id)) AS min_key
+      FROM documents WHERE doc_id < 200 GROUP BY 1 ORDER BY 1"""))
+
+  /** Typed-Writable container interop ([[graft.sources.LegacyContainers
+    * .readSequence]]): a SequenceFile with IntWritable keys and Text values
+    * — the reference's common non-Text shape (MR-JC-TEST
+    * mapreduce/lib/join/TestJoinDatamerge.java:59 writes IntWritable ids) —
+    * decoded through the parameterized K/V classes into properly typed
+    * columns (int key, string value), not stringly-typed ones. */
+  private val qSeqfileTyped = QuerySpec(
+    "q_seqfile_typed",
+    (s, dir) => {
+      import org.apache.hadoop.io.{IntWritable, SequenceFile, Text}
+      val out = s"/tmp/graft_seqtyped_${new java.io.File(dir).getName}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(conf).delete(p, true)
+      val rows = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("int").as("k"), col("lang")).collect()
+      val w = SequenceFile.createWriter(conf,
+        SequenceFile.Writer.file(p),
+        SequenceFile.Writer.keyClass(classOf[IntWritable]),
+        SequenceFile.Writer.valueClass(classOf[Text]))
+      rows.foreach(r => w.append(new IntWritable(r.getInt(0)), new Text(r.getString(1))))
+      w.close()
+      graft.sources.LegacyContainers.readSequence(s, out,
+        classOf[IntWritable], classOf[Text])
+        .groupBy(col("value").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("key")).cast("long").as("min_id"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+      FROM documents WHERE doc_id < 200 GROUP BY 1 ORDER BY 1"""))
+
   /** ORC round-trip — the second columnar container (SURVEY §2.2/§2.3 output
     * codecs row): write zlib ORC, read back, aggregate. Exercises Spark's
     * built-in ORC reader/writer stack the way the parquet gates do. */
@@ -1443,15 +1511,13 @@ object Queries {
       val out = s"/tmp/graft_dynover_${new java.io.File(dir).getName}"
       val ev = t(s, dir, "events").select("event_id", "event_type", "value")
       ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
-      val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try ev.filter(col("event_type") === "click")
+      // per-WRITE option (not a session conf): scopes dynamic mode to this
+      // one commit, so nothing can leak into a concurrently planned query
+      ev.filter(col("event_type") === "click")
         .withColumn("value", col("value") * 2)
-        .write.mode("overwrite").partitionBy("event_type").parquet(out)
-      finally saved match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(out)
       s.read.parquet(out)
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"))
@@ -4114,7 +4180,8 @@ object Queries {
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
-    qSeqfileRoundtrip, qMapfileRead, qTfileRead, qOrcRoundtrip, qChunk,
+    qSeqfileRoundtrip, qMapfileRead, qTfileRead, qBloomMapfileRead,
+    qSeqfileTyped, qOrcRoundtrip, qChunk,
     qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,

@@ -64,8 +64,24 @@ object Graft {
     * many partitions as cores. A 100 TB table is ~800k splits, so this never
     * adds a shuffle at production scale. */
   def rebalanceForCompute[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
-    val cores = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions * 2 <= cores) ds.repartition(cores) else ds
+    val spark = ds.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    // Estimate scan parallelism from PLAN METADATA only — `ds.rdd` would
+    // force RDD lineage realization on every planning-path call. File-backed
+    // plans estimate splits from total scan bytes / maxPartitionBytes (the
+    // FileIndex size is already cached from planning); everything else reads
+    // the physical plan's declared output partitioning. Both are O(plan).
+    val plan = ds.queryExecution.sparkPlan
+    val scanBytes = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.sizeInBytes
+    }
+    val estimated: Long =
+      if (scanBytes.nonEmpty) {
+        val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+        scanBytes.map(b => math.max(1L, (b + maxSplit - 1) / maxSplit)).sum
+      } else plan.outputPartitioning.numPartitions.toLong
+    if (estimated * 2 <= cores) ds.repartition(cores) else ds
   }
 
   /** Generic source facade covering the reference's input formats (SURVEY §2.2):

@@ -526,20 +526,21 @@ object DedupOps {
     // argmax as ONE hash aggregation rather than a per-cluster window
     // sort: the window form concentrates a mega-cluster (10M boilerplate
     // near-dups collapsing to one label) into a single task's sort, while
-    // max_by partial-aggregates map-side — no straggler at any cluster
-    // size. Pick contract unchanged: highest _q, then hashOrder (md5 asc,
-    // id asc) — rendered for max_by by hex-INVERTING the md5 (translate)
-    // and negating the id, so every field maximizes.
-    val invMd5 = translate(md5(col("doc_id").cast("string")),
-      "0123456789abcdef", "fedcba9876543210")
+    // min_by partial-aggregates map-side — no straggler at any cluster
+    // size. Pick contract: highest _q, then hashOrder (md5 asc, id asc) —
+    // rendered as ONE minimizing struct by negating only the numeric
+    // quality; md5 and doc_id stay untransformed, so a string/date/any
+    // orderable idCol keeps its natural ascending order (negating the id
+    // would cast strings to double→NULL and overflow Long.MinValue).
     docs.select(idCol.as("doc_id"), qualityCol.as("_q"))
       .join(clusters.select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .groupBy("cluster_id")
       .agg(
-        max_by(col("doc_id"),
-          struct(col("_q"), invMd5, -col("doc_id"))).as("doc_id"),
+        min_by(col("doc_id"),
+          struct(negate(col("_q")), md5(col("doc_id").cast("string")),
+            col("doc_id"))).as("doc_id"),
         count(lit(1)).as("cluster_size"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }

@@ -1,7 +1,10 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.io.{BooleanWritable, BytesWritable, DoubleWritable,
+  FloatWritable, IntWritable, LongWritable, NullWritable, Text, Writable}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Read-side interop for the reference's sorted key-value containers, so a
   * user with EXISTING MapFile/BloomMapFile/TFile data can scan it without a
@@ -16,19 +19,73 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LegacyContainers {
 
+  /** Spark column type for a legacy Writable class (the K/V shapes the
+    * reference's containers actually carry — e.g. the IntWritable values of
+    * MR-JC-TEST mapreduce/lib/join/TestJoinDatamerge.java:59). */
+  private def sparkType(cls: Class[_ <: Writable]): DataType = cls match {
+    case c if c == classOf[Text]            => StringType
+    case c if c == classOf[IntWritable]     => IntegerType
+    case c if c == classOf[LongWritable]    => LongType
+    case c if c == classOf[FloatWritable]   => FloatType
+    case c if c == classOf[DoubleWritable]  => DoubleType
+    case c if c == classOf[BooleanWritable] => BooleanType
+    case c if c == classOf[BytesWritable]   => BinaryType
+    case c if c == classOf[NullWritable]    => StringType // always-null col
+    case other => throw new IllegalArgumentException(
+      s"unsupported Writable class: ${other.getName}")
+  }
+
+  /** Writable → plain JVM value. MUST be applied inside the scan's own map
+    * (before any shuffle/cache): Hadoop record readers REUSE the Writable
+    * instance, so the bytes are only valid until the next record. */
+  private def decode(w: Writable): Any = w match {
+    case t: Text            => t.toString
+    case i: IntWritable     => i.get
+    case l: LongWritable    => l.get
+    case f: FloatWritable   => f.get
+    case d: DoubleWritable  => d.get
+    case b: BooleanWritable => b.get
+    case b: BytesWritable   => java.util.Arrays.copyOf(b.getBytes, b.getLength)
+    case _: NullWritable    => null
+    case other              => other.toString
+  }
+
+  /** SequenceFile path/glob → DataFrame(key, value) with column types
+    * derived from the declared Writable classes (default Text/Text). Rides
+    * Spark's splittable SequenceFile scan — at 100 TB each container splits
+    * across tasks like any other SequenceFile. */
+  def readSequence(
+      spark: SparkSession,
+      path: String,
+      keyClass: Class[_ <: Writable] = classOf[Text],
+      valueClass: Class[_ <: Writable] = classOf[Text]): DataFrame = {
+    val rdd = spark.sparkContext
+      .hadoopFile(
+        path,
+        classOf[org.apache.hadoop.mapred.SequenceFileInputFormat[Writable, Writable]],
+        keyClass.asInstanceOf[Class[Writable]],
+        valueClass.asInstanceOf[Class[Writable]])
+      .map { case (k, v) => Row(decode(k), decode(v)) }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("key", sparkType(keyClass), nullable = true),
+      StructField("value", sparkType(valueClass), nullable = true))))
+  }
+
   /** MapFile/BloomMapFile directory → DataFrame(key, value).
     *
-    * A MapFile is a directory whose `data` member IS a sorted Text-keyed
-    * SequenceFile; `index` (and BloomMapFile's `bloom`) are lookup
-    * sidecars. The scan therefore rides Spark's ordinary SPLITTABLE
-    * SequenceFile path over `data` and ignores the sidecars — at 100 TB
-    * each container splits across tasks like any other SequenceFile, and
-    * point lookups belong to the bucketed-parquet path, not this one. */
-  def readMapFile(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.sparkContext.sequenceFile[String, String](s"$dir/data")
-      .toDF("key", "value")
-  }
+    * A MapFile is a directory whose `data` member IS a sorted SequenceFile;
+    * `index` (and BloomMapFile's `bloom`) are lookup sidecars. The scan
+    * therefore rides Spark's ordinary SPLITTABLE SequenceFile path over
+    * `data` and ignores the sidecars — at 100 TB each container splits
+    * across tasks like any other SequenceFile, and point lookups belong to
+    * the bucketed-parquet path, not this one. K/V Writable classes are
+    * parameterized exactly as [[readSequence]]'s. */
+  def readMapFile(
+      spark: SparkSession,
+      dir: String,
+      keyClass: Class[_ <: Writable] = classOf[Text],
+      valueClass: Class[_ <: Writable] = classOf[Text]): DataFrame =
+    readSequence(spark, s"$dir/data", keyClass, valueClass)
 
   /** TFile glob → DataFrame(key, value), keys/values decoded as UTF-8.
     *
@@ -36,7 +93,9 @@ object LegacyContainers {
     * scanned whole by one task (files parallelize across the cluster; a
     * single container does not split). That is the right shape for what
     * TFile reads are — one-shot migration/ingest of legacy data — and a
-    * deliberate non-goal for query workloads: re-land as parquet first. */
+    * deliberate non-goal for query workloads: re-land as parquet first.
+    * Entries STREAM through a lazy iterator (reader closed on exhaustion),
+    * so a multi-GB container never materializes in a task's heap. */
   def readTFile(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
     val sconf = new org.apache.spark.util.SerializableConfiguration(
@@ -51,27 +110,46 @@ object LegacyContainers {
     spark.sparkContext
       .parallelize(files, math.max(1, files.length))
       .flatMap { case (p, len) =>
-        val path = new Path(p)
-        val in = path.getFileSystem(sconf.value).open(path)
-        val reader = new org.apache.hadoop.io.file.tfile.TFile.Reader(
-          in, len, sconf.value)
-        val scanner = reader.createScanner()
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        try {
-          while (!scanner.atEnd()) {
-            val e = scanner.entry()
-            val k = new Array[Byte](e.getKeyLength)
-            e.getKey(k)
-            val v = new Array[Byte](e.getValueLength)
-            e.getValue(v)
-            out += ((new String(k, "UTF-8"), new String(v, "UTF-8")))
-            scanner.advance()
-          }
-        } finally {
-          scanner.close(); reader.close(); in.close()
-        }
-        out
+        val itr = new TFileIterator(p, len, sconf.value)
+        // an early-terminating consumer (limit/take) never exhausts the
+        // iterator, so also release the reader at task completion
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => itr.close()))
+        itr
       }
       .toDF("key", "value")
+  }
+
+  /** Lazy one-pass scanner over a single TFile: entries decode on demand
+    * and the reader closes on exhaustion (or task completion), so the task
+    * heap holds one entry at a time, never the container. */
+  private final class TFileIterator(
+      p: String, len: Long, conf: org.apache.hadoop.conf.Configuration)
+      extends Iterator[(String, String)] {
+    private val path = new Path(p)
+    private val in = path.getFileSystem(conf).open(path)
+    private val reader =
+      new org.apache.hadoop.io.file.tfile.TFile.Reader(in, len, conf)
+    private val scanner = reader.createScanner()
+    private var closed = false
+
+    def close(): Unit = if (!closed) {
+      closed = true
+      scanner.close(); reader.close(); in.close()
+    }
+    override def hasNext: Boolean = {
+      if (!closed && scanner.atEnd()) close()
+      !closed
+    }
+    override def next(): (String, String) = {
+      if (!hasNext) throw new NoSuchElementException("TFile exhausted")
+      val e = scanner.entry()
+      val k = new Array[Byte](e.getKeyLength)
+      e.getKey(k)
+      val v = new Array[Byte](e.getValueLength)
+      e.getValue(v)
+      scanner.advance()
+      (new String(k, "UTF-8"), new String(v, "UTF-8"))
+    }
   }
 }

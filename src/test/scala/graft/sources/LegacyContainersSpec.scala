@@ -56,4 +56,72 @@ class LegacyContainersSpec extends AnyFunSuite {
     // non-matching literal path: globStatus yields null, reader yields empty
     assert(LegacyContainers.readTFile(spark, s"$base/absent.tfile").isEmpty)
   }
+
+  test("readTFile streams a large container (lazy, survives early limit)") {
+    import org.apache.hadoop.io.file.tfile.TFile
+    val base = java.nio.file.Files.createTempDirectory("graft-tfile-big").toString
+    val dir = new org.apache.hadoop.fs.Path(base)
+    val fs = dir.getFileSystem(conf)
+    val os = fs.create(new org.apache.hadoop.fs.Path(dir, "big.tfile"))
+    val tw = new TFile.Writer(os, 64 * 1024, TFile.COMPRESSION_NONE,
+      TFile.COMPARATOR_MEMCMP, conf)
+    val payload = "x" * 1000
+    val n = 100000 // ~100 MB decoded — would be painful to buffer per task
+    (0 until n).foreach { i =>
+      tw.append(f"k$i%08d".getBytes("UTF-8"), s"$i:$payload".getBytes("UTF-8"))
+    }
+    tw.close(); os.close()
+    val df = LegacyContainers.readTFile(spark, s"$base/big.tfile")
+    // full-scan aggregate never materializes the container in one buffer
+    val agg = df.selectExpr("count(*) c", "min(key) mn", "max(key) mx")
+      .as[(Long, String, String)].head()
+    assert(agg == ((n.toLong, "k00000000", f"k${n - 1}%08d")))
+    // early-terminating consumer: task-completion listener closes the reader
+    assert(df.limit(3).count() == 3)
+  }
+
+  test("readSequence and readMapFile decode typed Writable K/V") {
+    import org.apache.hadoop.io.{BytesWritable, IntWritable, LongWritable,
+      MapFile, SequenceFile, Text}
+    val base = java.nio.file.Files.createTempDirectory("graft-typed").toString
+    // SequenceFile: IntWritable keys, Text values (the TestJoinDatamerge shape)
+    val sf = new org.apache.hadoop.fs.Path(s"$base/ints.seq")
+    val w = SequenceFile.createWriter(conf,
+      SequenceFile.Writer.file(sf),
+      SequenceFile.Writer.keyClass(classOf[IntWritable]),
+      SequenceFile.Writer.valueClass(classOf[Text]))
+    (1 to 20).foreach(i => w.append(new IntWritable(i), new Text(s"v$i")))
+    w.close()
+    val ints = LegacyContainers.readSequence(spark, sf.toString,
+      classOf[IntWritable], classOf[Text])
+    assert(ints.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("key", "integer"), ("value", "string")))
+    assert(ints.as[(Int, String)].collect().sorted.toSeq ==
+      (1 to 20).map(i => (i, s"v$i")))
+    // SequenceFile: LongWritable keys, BytesWritable values (binary payloads)
+    val bf = new org.apache.hadoop.fs.Path(s"$base/bytes.seq")
+    val wb = SequenceFile.createWriter(conf,
+      SequenceFile.Writer.file(bf),
+      SequenceFile.Writer.keyClass(classOf[LongWritable]),
+      SequenceFile.Writer.valueClass(classOf[BytesWritable]))
+    (1L to 5L).foreach(i =>
+      wb.append(new LongWritable(i), new BytesWritable(Array.fill(3)(i.toByte))))
+    wb.close()
+    val bytes = LegacyContainers.readSequence(spark, bf.toString,
+      classOf[LongWritable], classOf[BytesWritable])
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(bytes.map(_._1).toSeq == (1L to 5L))
+    assert(bytes.forall { case (i, b) => b.toSeq == Array.fill(3)(i.toByte).toSeq })
+    // MapFile with IntWritable VALUES via the parameterized read
+    val mfDir = new org.apache.hadoop.fs.Path(s"$base/mf-int")
+    val mw = new MapFile.Writer(conf, mfDir,
+      MapFile.Writer.keyClass(classOf[Text]),
+      MapFile.Writer.valueClass(classOf[IntWritable]))
+    (1 to 9).foreach(i => mw.append(new Text(f"k$i%02d"), new IntWritable(i * 10)))
+    mw.close()
+    val mf = LegacyContainers.readMapFile(spark, mfDir.toString,
+      classOf[Text], classOf[IntWritable])
+    assert(mf.as[(String, Int)].collect().sorted.toSeq ==
+      (1 to 9).map(i => (f"k$i%02d", i * 10)))
+  }
 }
