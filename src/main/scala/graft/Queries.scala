@@ -2032,6 +2032,39 @@ object Queries {
     Some("""SELECT doc_id, md5(substr(repeat(text, 3), 1, 64)) AS rmd5
       FROM documents ORDER BY doc_id"""))
 
+  /** REAL-codec image resize ([[MultimodalOps.resizeImage]], PNG arm):
+    * fixture encodes each doc's bytes as a genuine 16x16 grayscale PNG
+    * (javax.imageio — JDK codec, no external dependency), the operator
+    * decodes, nearest-neighbor scales to 8x8 with exact dstX*srcW/dstW
+    * arithmetic, and re-encodes PNG; the gate decodes the OUTPUT PNG back
+    * to pixels and hashes them. The oracle replays the two exact index
+    * mappings (byte i -> pixel, then 2x decimation) in SQL — so a codec
+    * bug anywhere in decode/scale/encode breaks the hash. */
+  private val qResizePng = QuerySpec(
+    "q_resize_png",
+    (s, dir) => {
+      import s.implicits._
+      val png = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          (id, MultimodalOps.encodePngGray(
+            Array.tabulate[Byte](256)(i => b(i % b.length)), 16, 16))
+        }
+        .toDF("doc_id", "payload")
+      MultimodalOps.resizeImage(png, "doc_id", "payload", w = 8, h = 8)
+        .map { case (id, out) => (id, MultimodalOps.decodePngGray(out)) }
+        .toDF("doc_id", "pixels")
+        .select(col("doc_id"), md5(col("pixels")).as("rmd5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(string_agg(
+        substr(text, ((2*(i//8)*16 + 2*(i%8)) % length(text)) + 1, 1),
+        '' ORDER BY i)) AS rmd5
+      FROM documents, generate_series(0, 63) t(i)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Counters parity gated end-to-end: observe() metrics aggregate on the
     * executors during a real action (noop write) — the reference's
     * zero-extra-pass counter semantics — then the driver-read values are
@@ -4171,7 +4204,8 @@ object Queries {
     qCompactRoundtrip,
     qStreamTumbling, qStreamRocksdb, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
-    qCounters, qUdafRegistry, qFrameSample, qResize, qSqlNativeCosine,
+    qCounters, qUdafRegistry, qFrameSample, qResize, qResizePng,
+    qSqlNativeCosine,
     qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact,
     qRangeJoin, qGroupingSets, qTfidf, qEmbedCentroid, qXmlRecords,
     qNamedOutputs, qQuasiPi, qNqueens,

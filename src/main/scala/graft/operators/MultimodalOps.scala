@@ -43,6 +43,82 @@ object MultimodalOps {
 
   final case class MediaFeature(id: Long, n_bytes: Long, feature: Array[Float])
 
+  /** PNG magic (published container property, same bytes sniffFormat keys on). */
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length > 8 &&
+      bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+
+  /** Encode a grayscale pixel grid as a REAL PNG via javax.imageio (JDK
+    * codec — no external library). Fixture/ingest helper: one byte per
+    * pixel, row-major. */
+  def encodePngGray(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"need $w*$h pixels, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      raster.setSample(i % w, i / w, 0, pixels(i) & 0xff)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG to its grayscale pixel bytes (row-major), band 0. */
+  def decodePngGray(bytes: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h)
+    val raster = img.getRaster
+    var i = 0
+    while (i < out.length) {
+      out(i) = raster.getSample(i % w, i / w, 0).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Image resize with a REAL codec on the PNG arm: payloads that sniff as
+    * PNG are decoded (javax.imageio), nearest-neighbor scaled with exact
+    * `srcX = dstX * srcW / dstW` integer arithmetic (reproducible by the
+    * SQL oracle, unlike AWT's filtered scalers), and re-encoded as PNG.
+    * Non-PNG payloads keep [[resizeStub]]'s deterministic fake — the other
+    * codecs aren't in the JDK. Same distributed shape as the stub: per-row
+    * kernel inside mapPartitions, binary in / binary out. */
+  def resizeImage(df: DataFrame, idCol: String, payloadCol: String,
+      w: Int, h: Int): Dataset[(Long, Array[Byte])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // imageio's stream-file cache costs a temp file per decode; these
+        // are in-memory byte arrays, so keep the codec heap-only
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          if (isPng(bytes)) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val (sw, sh) = (img.getWidth, img.getHeight)
+            val src = img.getRaster
+            val scaled = Array.tabulate[Byte](w * h) { i =>
+              val (x, y) = (i % w, i / w)
+              src.getSample(x * sw / w, y * sh / h, 0).toByte
+            }
+            (id, encodePngGray(scaled, w, h))
+          } else {
+            // STUB fallback: fold payload into the w*h grid (see resizeStub)
+            val out = Array.tabulate[Byte](w * h) { i =>
+              if (bytes.isEmpty) 0 else bytes(i % bytes.length)
+            }
+            (id, out)
+          }
+        }
+      }
+  }
+
   /** STUB image resize: a real decoder would decode -> scale -> re-encode
     * per batch; the deterministic fake folds the payload into a w*h byte
     * grid so output SHAPE and distributed plumbing match the real op. */

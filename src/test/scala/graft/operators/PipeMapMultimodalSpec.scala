@@ -83,6 +83,22 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     assert(frames.filter(col("doc_id") === 1 && col("frame") === 0).count() == 1)
   }
 
+  test("resizeImage really decodes/scales/encodes PNG; falls back to stub") {
+    // 4x4 gray PNG with pixel(i) = i*16 -> nearest-neighbor 2x2 keeps
+    // pixels at (0,0),(2,0),(0,2),(2,2) = 0, 32, 128, 160
+    val pixels = Array.tabulate[Byte](16)(i => (i * 16).toByte)
+    val png = MultimodalOps.encodePngGray(pixels, 4, 4)
+    assert(MultimodalOps.decodePngGray(png).toSeq == pixels.toSeq) // lossless
+    val df = Seq((1L, png), (2L, "not a png".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = MultimodalOps.resizeImage(df, "doc_id", "payload", 2, 2)
+      .collect().sortBy(_._1).toMap
+    assert(MultimodalOps.decodePngGray(out(1L)).toSeq ==
+      Seq[Byte](0, 32, 128.toByte, 160.toByte))
+    // non-PNG payload takes the deterministic stub fold (w*h raw bytes)
+    assert(out(2L).toSeq == "not ".getBytes("UTF-8").toSeq)
+  }
+
   test("binaryMeta computes byte length and md5 over the payload") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val row = MultimodalOps.binaryMeta(
