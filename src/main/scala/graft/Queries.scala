@@ -2065,6 +2065,37 @@ object Queries {
       FROM documents, generate_series(0, 63) t(i)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** REAL-codec audio features ([[MultimodalOps.audioStripeMeans]]): fixture
+    * encodes each doc's char codes as genuine 16-bit mono PCM WAV (RIFF
+    * container, manually framed — WAV is uncompressed, so no codec library
+    * is needed and the decode is fully real); the operator walks the RIFF
+    * chunks, decodes samples in the executors, and aggregates per-stripe
+    * means map-side like any Spark agg. Oracle replays sample extraction
+    * with unicode() over the same char positions. */
+  private val qWavFeatures = QuerySpec(
+    "q_wav_features",
+    (s, dir) => {
+      import s.implicits._
+      val wav = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          (id, MultimodalOps.encodeWavPcm16(
+            Array.tabulate[Short](64)(i => b(i % b.length).toShort)))
+        }
+        .toDF("doc_id", "payload")
+      MultimodalOps.audioStripeMeans(wav, "doc_id", "payload", stripes = 8)
+        .select(col("doc_id"), col("stripe").cast("long").as("stripe"),
+          round(col("mean_sample"), 6).as("mean_sample"))
+        .orderBy("doc_id", "stripe")
+    },
+    Some("""SELECT doc_id, i % 8 AS stripe,
+        round(AVG(unicode(substr(text, (i % length(text)) + 1, 1))), 6)
+          AS mean_sample
+      FROM documents, generate_series(0, 63) t(i)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Counters parity gated end-to-end: observe() metrics aggregate on the
     * executors during a real action (noop write) — the reference's
     * zero-extra-pass counter semantics — then the driver-read values are
@@ -4205,7 +4236,7 @@ object Queries {
     qStreamTumbling, qStreamRocksdb, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qResizePng,
-    qSqlNativeCosine,
+    qWavFeatures, qSqlNativeCosine,
     qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact,
     qRangeJoin, qGroupingSets, qTfidf, qEmbedCentroid, qXmlRecords,
     qNamedOutputs, qQuasiPi, qNqueens,

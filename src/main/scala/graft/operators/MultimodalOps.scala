@@ -80,6 +80,96 @@ object MultimodalOps {
     out
   }
 
+  /** Encode 16-bit mono PCM samples as a REAL WAV (RIFF) payload — the
+    * published container layout, byte-for-byte: RIFF/WAVE header, `fmt `
+    * chunk (PCM, 1 channel, 16-bit), `data` chunk, little-endian samples.
+    * Fixture/ingest helper for the audio pipeline. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int = 16000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode a PCM-16 mono WAV payload to its samples — a manual RIFF chunk
+    * walk (skips unknown chunks, honors odd-size padding), NO codec library:
+    * WAV/PCM is an uncompressed public container, so unlike the image/video
+    * codecs this decode is fully real in this sandbox. */
+  def decodeWavPcm16(bytes: Array[Byte]): Array[Short] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = {
+      val b = new Array[Byte](n); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(ascii(4) == "RIFF", "not a RIFF container")
+    buf.getInt // riff size
+    require(ascii(4) == "WAVE", "not a WAVE payload")
+    var bitsPerSample = -1
+    var channels = -1
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8 && samples == null) {
+      val id = ascii(4)
+      val size = buf.getInt
+      id match {
+        case "fmt " =>
+          val start = buf.position()
+          val audioFormat = buf.getShort
+          channels = buf.getShort.toInt
+          buf.getInt // sample rate
+          buf.getInt // byte rate
+          buf.getShort // block align
+          bitsPerSample = buf.getShort.toInt
+          require(audioFormat == 1, s"not PCM (format=$audioFormat)")
+          buf.position(start + size + (size & 1))
+        case "data" =>
+          require(bitsPerSample == 16 && channels == 1,
+            s"only 16-bit mono PCM supported (bits=$bitsPerSample ch=$channels)")
+          val out = new Array[Short](size / 2)
+          var i = 0
+          while (i < out.length) { out(i) = buf.getShort; i += 1 }
+          samples = out
+        case _ => // skip unknown chunk (LIST, fact, ...) with even padding
+          buf.position(buf.position() + size + (size & 1))
+      }
+    }
+    require(samples != null, "no data chunk")
+    samples
+  }
+
+  /** REAL audio feature extraction over WAV payloads: decode PCM samples in
+    * the executors (one-pass, no codec library needed for WAV), then
+    * aggregate per-stripe sample means as an ordinary Spark aggregation —
+    * decode is per-row, the statistics shuffle only (doc_id, stripe)
+    * partials, so a 100 TB audio corpus reduces map-side like any other agg.
+    * Output: (id, stripe, mean_sample). */
+  def audioStripeMeans(df: DataFrame, idCol: String, payloadCol: String,
+      stripes: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val s = decodeWavPcm16(bytes)
+        s.iterator.zipWithIndex.map { case (v, i) =>
+          (id, i % stripes, v.toInt)
+        }
+      }
+      .toDF(idCol, "stripe", "sample")
+      .groupBy(col(idCol), col("stripe"))
+      .agg(avg(col("sample")).as("mean_sample"))
+  }
+
   /** Image resize with a REAL codec on the PNG arm: payloads that sniff as
     * PNG are decoded (javax.imageio), nearest-neighbor scaled with exact
     * `srcX = dstX * srcW / dstW` integer arithmetic (reproducible by the

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep data generator: replicate a testdata `documents` table K× so
+  * the dedup/corpus pipelines can be timed at a third scale point (the
+  * sf0.01→sf0.1 pair verifies two; a 10× third point catches super-linear
+  * surprises before a real cluster does).
+  *
+  * Replica r>0 gets offset doc_ids and every token after the first prefixed
+  * with `r⟨r⟩x` — SAME transformation for all docs of a replica, so each
+  * replica preserves the original near-dup structure internally while
+  * sharing no shingles across replicas. That keeps the near-dup pair count
+  * growing linearly with the factor (a plain copy would make every doc a
+  * 10-way cross-replica near-dup and measure the DATA's quadratic blowup,
+  * not the algorithm's scaling).
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dest = args.lift(1).getOrElse("target/scale10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = graft.core.Graft.session("scale-gen")
+    val docs = graft.core.Graft.table(spark, src, "documents")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val out = (0 until factor)
+      .map { r =>
+        if (r == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(r * maxId)).as("doc_id"),
+          regexp_replace(col("text"), " ", s" r${r}x").as("text"),
+          col("lang"), col("source"), length(col("text")).cast("long").as("n_chars"))
+      }
+      .reduce(_ unionByName _)
+    out.write.mode("overwrite").parquet(s"$dest/documents.parquet")
+    val n = spark.read.parquet(s"$dest/documents.parquet").count()
+    println(s"[scalegen] wrote $n docs (${factor}x of $src) to $dest")
+    spark.stop()
+  }
+}

@@ -99,6 +99,27 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     assert(out(2L).toSeq == "not ".getBytes("UTF-8").toSeq)
   }
 
+  test("WAV PCM16 encode/decode round-trips; stripe means aggregate samples") {
+    val samples = Array[Short](100, -200, 300, -400, 500, -600, 700, -800)
+    val wav = MultimodalOps.encodeWavPcm16(samples, sampleRate = 8000)
+    // container sniffs as wav via the published magic bytes
+    val sniffed = Seq((1L, wav)).toDF("id", "payload")
+      .select(MultimodalOps.sniffFormat(col("payload")).as("fmt")).head.getString(0)
+    assert(sniffed == "wav")
+    assert(MultimodalOps.decodeWavPcm16(wav).toSeq == samples.toSeq)
+    // unknown chunk between fmt and data must be skipped (real-world WAVs
+    // carry LIST/fact chunks): splice one in and decode again
+    val (head, tail) = wav.splitAt(36) // 36 = end of fmt chunk
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    assert(MultimodalOps.decodeWavPcm16(head ++ junk ++ tail).toSeq == samples.toSeq)
+    // distributed stripe means: 2 stripes over 8 samples
+    val df = Seq((7L, wav)).toDF("doc_id", "payload")
+    val means = MultimodalOps.audioStripeMeans(df, "doc_id", "payload", 2)
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).toMap
+    assert(means(0) == (100 + 300 + 500 + 700) / 4.0)
+    assert(means(1) == (-200 - 400 - 600 - 800) / 4.0)
+  }
+
   test("binaryMeta computes byte length and md5 over the payload") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val row = MultimodalOps.binaryMeta(
