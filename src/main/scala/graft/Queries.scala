@@ -2065,6 +2065,38 @@ object Queries {
       FROM documents, generate_series(0, 63) t(i)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** REAL-codec frame sampling ([[MultimodalOps.frameSampleGif]]): fixture
+    * encodes six 8x8 grayscale frames per doc as a genuine ANIMATED GIF
+    * (javax.imageio, indexed gray palette — lossless), the operator decodes
+    * the multi-image container and samples 3 frames at exact s*F/n stride,
+    * and the gate hashes each sampled frame's decoded pixels. The oracle
+    * replays frame construction + stride (source frame 2s) in SQL. */
+  private val qFrameSampleGif = QuerySpec(
+    "q_frame_sample_gif",
+    (s, dir) => {
+      import s.implicits._
+      val gif = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          val frames = (0 until 6).map(f =>
+            Array.tabulate[Byte](64)(i => b((f * 64 + i) % b.length)))
+          (id, MultimodalOps.encodeGifFrames(frames, 8, 8))
+        }
+        .toDF("doc_id", "payload")
+      MultimodalOps.frameSampleGif(gif, "doc_id", "payload", n = 3)
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          md5(col("payload")).as("fmd5"))
+        .orderBy("doc_id", "frame")
+    },
+    Some("""SELECT doc_id, s AS frame,
+        md5(string_agg(
+          substr(text, ((s*2*64 + i) % length(text)) + 1, 1),
+          '' ORDER BY i)) AS fmd5
+      FROM documents, generate_series(0, 2) ts(s), generate_series(0, 63) ti(i)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** REAL-codec audio features ([[MultimodalOps.audioStripeMeans]]): fixture
     * encodes each doc's char codes as genuine 16-bit mono PCM WAV (RIFF
     * container, manually framed — WAV is uncompressed, so no codec library
@@ -4236,7 +4268,7 @@ object Queries {
     qStreamTumbling, qStreamRocksdb, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qResizePng,
-    qWavFeatures, qSqlNativeCosine,
+    qWavFeatures, qFrameSampleGif, qSqlNativeCosine,
     qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact,
     qRangeJoin, qGroupingSets, qTfidf, qEmbedCentroid, qXmlRecords,
     qNamedOutputs, qQuasiPi, qNqueens,

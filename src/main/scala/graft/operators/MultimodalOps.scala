@@ -229,6 +229,90 @@ object MultimodalOps {
       }
   }
 
+  /** 256-entry grayscale palette (entry i = rgb(i,i,i)) — GIF is an
+    * indexed-color container, so grayscale frames written through this
+    * palette round-trip losslessly. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Encode grayscale pixel frames as a REAL animated GIF via javax.imageio
+    * (JDK codec). Fixture/ingest helper: each frame is w*h bytes, row-major. */
+  def encodeGifFrames(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    // the JDK GIF writer interlaces by default (and mangles small frames
+    // doing it) — plain sequential scan order round-trips losslessly
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    frames.foreach { px =>
+      require(px.length == w * h, s"need $w*$h pixels, got ${px.length}")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var i = 0
+      while (i < px.length) {
+        raster.setSample(i % w, i / w, 0, px(i) & 0xff)
+        i += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL video-style frame sampling on the GIF arm: animated GIFs decode
+    * through javax.imageio (multi-image reader), `n` frames are picked at
+    * exact `s*F/n` stride, and each sampled frame's grayscale pixels are
+    * emitted as the payload. Non-GIF payloads keep [[frameSampleStub]]'s
+    * byte-slice fake (the real video codecs aren't in the JDK). Same
+    * one-row-in/n-rows-out distributed shape either way. */
+  def frameSampleGif(df: DataFrame, idCol: String, payloadCol: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val isGif = bytes.length > 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == '8'
+        if (isGif) {
+          javax.imageio.ImageIO.setUseCache(false)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          reader.setInput(iis, false) // random access: frame count up front
+          try {
+            val frames = reader.getNumImages(true)
+            (0 until n).map { s =>
+              val img = reader.read(s * frames / n)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val px = Array.tabulate[Byte](w * h) { i =>
+                (img.getRGB(i % w, i / w) & 0xff).toByte
+              }
+              (id, s, px)
+            }
+          } finally {
+            reader.dispose(); iis.close()
+          }
+        } else {
+          (0 until n).map { f =>
+            val span = math.max(1, bytes.length / n)
+            val from = math.min(f * span, bytes.length)
+            val until = math.min(from + span, bytes.length)
+            (id, f, bytes.slice(from, until))
+          }
+        }
+      }
+      .toDF(idCol, "frame", "payload")
+  }
+
   /** STUB video frame-sampling: emits `n` "frames" (payload slices) per
     * input — the one-row-in/many-rows-out shape a real frame sampler has. */
   def frameSampleStub(df: DataFrame, idCol: String, payloadCol: String,

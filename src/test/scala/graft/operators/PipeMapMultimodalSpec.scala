@@ -120,6 +120,24 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     assert(means(1) == (-200 - 400 - 600 - 800) / 4.0)
   }
 
+  test("frameSampleGif decodes real animated GIFs at exact stride") {
+    val frames = (0 until 4).map(f => Array.tabulate[Byte](16)(i => (f * 16 + i).toByte))
+    val gif = MultimodalOps.encodeGifFrames(frames, 4, 4)
+    assert(gif.take(4).map(_.toChar).mkString == "GIF8")
+    val df = Seq((5L, gif)).toDF("doc_id", "payload")
+    // n=2 over 4 frames -> source frames 0 and 2, pixels bit-exact
+    val out = MultimodalOps.frameSampleGif(df, "doc_id", "payload", 2)
+      .collect().map(r => r.getInt(1) -> r.getAs[Array[Byte]](2)).toMap
+    assert(out(0).toSeq == frames(0).toSeq)
+    assert(out(1).toSeq == frames(2).toSeq)
+    // non-GIF payload falls back to the byte-slice stub
+    val stub = MultimodalOps.frameSampleGif(
+      Seq((6L, "abcdef".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+      "doc_id", "payload", 2)
+      .collect().map(r => r.getInt(1) -> r.getAs[Array[Byte]](2)).toMap
+    assert(new String(stub(0), "UTF-8") == "abc")
+  }
+
   test("binaryMeta computes byte length and md5 over the payload") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val row = MultimodalOps.binaryMeta(
