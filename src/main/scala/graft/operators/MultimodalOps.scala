@@ -148,11 +148,11 @@ object MultimodalOps {
   }
 
   /** REAL audio feature extraction over WAV payloads: decode PCM samples in
-    * the executors (one-pass, no codec library needed for WAV), then
-    * aggregate per-stripe sample means as an ordinary Spark aggregation —
-    * decode is per-row, the statistics shuffle only (doc_id, stripe)
-    * partials, so a 100 TB audio corpus reduces map-side like any other agg.
-    * Output: (id, stripe, mean_sample). */
+    * the executors (one-pass, no codec library needed for WAV) and fold the
+    * per-stripe statistics inside the SAME kernel pass — each doc emits
+    * exactly `stripes` rows and the plan has ZERO exchanges, so an
+    * hour-long recording (hundreds of millions of samples) contributes 8
+    * rows, not 10^8 shuffled sample rows. Output: (id, stripe, mean_sample). */
   def audioStripeMeans(df: DataFrame, idCol: String, payloadCol: String,
       stripes: Int = 8): DataFrame = {
     val spark = df.sparkSession
@@ -161,13 +161,19 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         val s = decodeWavPcm16(bytes)
-        s.iterator.zipWithIndex.map { case (v, i) =>
-          (id, i % stripes, v.toInt)
+        val sums = new Array[Long](stripes)
+        val counts = new Array[Long](stripes)
+        var i = 0
+        while (i < s.length) {
+          sums(i % stripes) += s(i)
+          counts(i % stripes) += 1
+          i += 1
+        }
+        (0 until stripes).iterator.map { st =>
+          (id, st, if (counts(st) == 0) 0.0 else sums(st).toDouble / counts(st))
         }
       }
-      .toDF(idCol, "stripe", "sample")
-      .groupBy(col(idCol), col("stripe"))
-      .agg(avg(col("sample")).as("mean_sample"))
+      .toDF(idCol, "stripe", "mean_sample")
   }
 
   /** Image resize with a REAL codec on the PNG arm: payloads that sniff as

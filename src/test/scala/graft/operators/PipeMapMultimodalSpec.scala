@@ -112,10 +112,12 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     val (head, tail) = wav.splitAt(36) // 36 = end of fmt chunk
     val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
     assert(MultimodalOps.decodeWavPcm16(head ++ junk ++ tail).toSeq == samples.toSeq)
-    // distributed stripe means: 2 stripes over 8 samples
+    // distributed stripe means: 2 stripes over 8 samples, folded in-kernel
     val df = Seq((7L, wav)).toDF("doc_id", "payload")
-    val means = MultimodalOps.audioStripeMeans(df, "doc_id", "payload", 2)
-      .collect().map(r => (r.getInt(1), r.getDouble(2))).toMap
+    val meansDf = MultimodalOps.audioStripeMeans(df, "doc_id", "payload", 2)
+    assert(!meansDf.queryExecution.executedPlan.toString.contains("Exchange"),
+      "stripe stats must fold inside the decode kernel, not via a shuffle")
+    val means = meansDf.collect().map(r => (r.getInt(1), r.getDouble(2))).toMap
     assert(means(0) == (100 + 300 + 500 + 700) / 4.0)
     assert(means(1) == (-200 - 400 - 600 - 800) / 4.0)
   }
