@@ -35,6 +35,26 @@ object ScaleGen {
     out.write.mode("overwrite").parquet(s"$dest/documents.parquet")
     val n = spark.read.parquet(s"$dest/documents.parquet").count()
     println(s"[scalegen] wrote $n docs (${factor}x of $src) to $dest")
+
+    // embeddings: replica r rotates each vector by r positions — offset ids,
+    // norm preserved, direction changed, so replicas aren't degenerate
+    // duplicates and ANN bucket structure grows honestly with the factor
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val embOut = (0 until factor)
+      .map { r =>
+        if (r == 0) emb
+        else emb.select(
+          (col("vec_id") + lit(r * maxVec)).as("vec_id"),
+          concat(
+            slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
+            slice(col("embedding"), lit(1), lit(r))).as("embedding"),
+          col("label"))
+      }
+      .reduce(_ unionByName _)
+    embOut.write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+    val ne = spark.read.parquet(s"$dest/embeddings.parquet").count()
+    println(s"[scalegen] wrote $ne embeddings (${factor}x of $src) to $dest")
     spark.stop()
   }
 }
