@@ -2065,6 +2065,52 @@ object Queries {
       FROM documents, generate_series(0, 63) t(i)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** REAL-codec JPEG resize ([[MultimodalOps.resizeImage]], JPEG arm —
+    * javax.imageio ships a real JPEG codec): fixture encodes each doc's
+    * bytes as a genuine quality-0.95 grayscale JPEG, the operator decodes
+    * and NN-scales it, and the gate measures per-pixel error against the
+    * exact expected grid. JPEG is lossy so the hash can't replay pixel
+    * values; instead the gate asserts a tolerance an intact codec path
+    * meets by 2-3x margin (measured worst: max 6 / mean 2) and a broken
+    * pixel mapping cannot (ASCII-noise baseline: mean ~31). */
+  private val qResizeJpeg = QuerySpec(
+    "q_resize_jpeg",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val jpeg = docs.as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          (id, MultimodalOps.encodeJpegGray(
+            Array.tabulate[Byte](256)(i => b(i % b.length)), 16, 16))
+        }
+        .toDF("doc_id", "payload")
+      MultimodalOps.resizeImage(jpeg, "doc_id", "payload", w = 8, h = 8)
+        .toDF("doc_id", "resized")
+        .join(docs, Seq("doc_id"))
+        .as[(Long, Array[Byte], String)]
+        .map { case (id, out, text) =>
+          val px = MultimodalOps.decodePngGray(out)
+          val b = text.getBytes("UTF-8")
+          var maxE = 0
+          var sum = 0
+          var i = 0
+          while (i < px.length) {
+            val exp = b(((2 * (i / 8)) * 16 + 2 * (i % 8)) % b.length) & 0xff
+            val e = math.abs((px(i) & 0xff) - exp)
+            maxE = math.max(maxE, e)
+            sum += e
+            i += 1
+          }
+          (id, px.length.toLong, maxE <= 16 && sum / 64.0 <= 4.0)
+        }
+        .toDF("doc_id", "n_pixels", "within_tol")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(64 AS BIGINT) AS n_pixels,
+      TRUE AS within_tol FROM documents ORDER BY doc_id"""))
+
   /** REAL-codec frame sampling ([[MultimodalOps.frameSampleGif]]): fixture
     * encodes six 8x8 grayscale frames per doc as a genuine ANIMATED GIF
     * (javax.imageio, indexed gray palette — lossless), the operator decodes
@@ -4268,7 +4314,7 @@ object Queries {
     qStreamTumbling, qStreamRocksdb, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qResizePng,
-    qWavFeatures, qFrameSampleGif, qSqlNativeCosine,
+    qWavFeatures, qFrameSampleGif, qResizeJpeg, qSqlNativeCosine,
     qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact,
     qRangeJoin, qGroupingSets, qTfidf, qEmbedCentroid, qXmlRecords,
     qNamedOutputs, qQuasiPi, qNqueens,

@@ -176,13 +176,40 @@ object MultimodalOps {
       .toDF(idCol, "stripe", "mean_sample")
   }
 
-  /** Image resize with a REAL codec on the PNG arm: payloads that sniff as
-    * PNG are decoded (javax.imageio), nearest-neighbor scaled with exact
-    * `srcX = dstX * srcW / dstW` integer arithmetic (reproducible by the
-    * SQL oracle, unlike AWT's filtered scalers), and re-encoded as PNG.
-    * Non-PNG payloads keep [[resizeStub]]'s deterministic fake — the other
-    * codecs aren't in the JDK. Same distributed shape as the stub: per-row
-    * kernel inside mapPartitions, binary in / binary out. */
+  /** Encode a grayscale pixel grid as a REAL JPEG via javax.imageio (JDK
+    * codec). Lossy by nature — fixture/ingest helper for the JPEG arm. */
+  def encodeJpegGray(pixels: Array[Byte], w: Int, h: Int,
+      quality: Float = 0.95f): Array[Byte] = {
+    require(pixels.length == w * h, s"need $w*$h pixels, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      raster.setSample(i % w, i / w, 0, pixels(i) & 0xff)
+      i += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Image resize with a REAL codec on every ImageIO-readable arm
+    * (PNG/JPEG/GIF/BMP ship in the JDK): readable payloads are decoded,
+    * nearest-neighbor scaled with exact `srcX = dstX * srcW / dstW` integer
+    * arithmetic (reproducible by the SQL oracle, unlike AWT's filtered
+    * scalers), and re-encoded as PNG (lossless output container regardless
+    * of input). Payloads no JDK codec can read (video frames, webp, ...)
+    * keep [[resizeStub]]'s deterministic fake. Same distributed shape
+    * either way: per-row kernel inside mapPartitions, binary in/out. */
   def resizeImage(df: DataFrame, idCol: String, payloadCol: String,
       w: Int, h: Int): Dataset[(Long, Array[Byte])] = {
     val spark = df.sparkSession
@@ -194,13 +221,20 @@ object MultimodalOps {
         // are in-memory byte arrays, so keep the codec heap-only
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          if (isPng(bytes)) {
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
+          // ImageIO.read returns null when no installed codec matches —
+          // that IS the routing probe (magic-byte sniffing done by the
+          // reader registry itself)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img != null) {
             val (sw, sh) = (img.getWidth, img.getHeight)
             val src = img.getRaster
             val scaled = Array.tabulate[Byte](w * h) { i =>
               val (x, y) = (i % w, i / w)
+              // band 0 raw sample: the gray level for grayscale images and
+              // the palette index for indexed ones (== gray under an
+              // identity gray ramp). getRGB would gamma-convert gray->sRGB.
               src.getSample(x * sw / w, y * sh / h, 0).toByte
             }
             (id, encodePngGray(scaled, w, h))

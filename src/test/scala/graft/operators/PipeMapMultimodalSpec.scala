@@ -122,6 +122,25 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     assert(means(1) == (-200 - 400 - 600 - 800) / 4.0)
   }
 
+  test("resizeImage routes JPEG through the real codec within tolerance") {
+    val pixels = Array.tabulate[Byte](256)(i => (32 + (i * 7) % 95).toByte)
+    val jpeg = MultimodalOps.encodeJpegGray(pixels, 16, 16)
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8) // JPEG magic
+    val sniffed = Seq((1L, jpeg)).toDF("id", "payload")
+      .select(MultimodalOps.sniffFormat(col("payload")).as("fmt")).head.getString(0)
+    assert(sniffed == "jpeg")
+    val out = MultimodalOps.resizeImage(
+      Seq((1L, jpeg)).toDF("doc_id", "payload"), "doc_id", "payload", 8, 8)
+      .collect().head._2
+    val got = MultimodalOps.decodePngGray(out)
+    val errs = (0 until 64).map { i =>
+      val exp = pixels((2 * (i / 8)) * 16 + 2 * (i % 8)) & 0xff
+      math.abs((got(i) & 0xff) - exp)
+    }
+    assert(errs.max <= 16 && errs.sum / 64.0 <= 4.0,
+      s"JPEG round-trip drifted: max=${errs.max} mean=${errs.sum / 64.0}")
+  }
+
   test("frameSampleGif decodes real animated GIFs at exact stride") {
     val frames = (0 until 4).map(f => Array.tabulate[Byte](16)(i => (f * 16 + i).toByte))
     val gif = MultimodalOps.encodeGifFrames(frames, 4, 4)
