@@ -2065,6 +2065,22 @@ object Queries {
       FROM documents, generate_series(0, 63) t(i)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Embedding-corpus Gramian ([[SimilarityOps.gramian]]) — the PCA /
+    * covariance building block: Σ v·vᵀ in ONE log-depth treeAggregate
+    * (corpus never shuffles; driver holds d² doubles). Products quantize to
+    * the 1e-6 decimal grid pre-sum so the result is order-independent and
+    * the DuckDB decimal oracle matches bit-for-bit. */
+  private val qGramian = QuerySpec(
+    "q_gramian",
+    (s, dir) => SimilarityOps.gramian(t(s, dir, "embeddings"))
+      .orderBy("i", "j"),
+    Some("""SELECT i, j,
+        CAST(SUM(CAST(CAST(list_extract(embedding, i) AS DOUBLE)
+          * CAST(list_extract(embedding, j) AS DOUBLE)
+          AS DECIMAL(20,6))) AS DOUBLE) AS gram
+      FROM embeddings, generate_series(1, 64) ti(i), generate_series(1, 64) tj(j)
+      WHERE i <= j GROUP BY i, j ORDER BY i, j"""))
+
   /** REAL-codec JPEG resize ([[MultimodalOps.resizeImage]], JPEG arm —
     * javax.imageio ships a real JPEG codec): fixture encodes each doc's
     * bytes as a genuine quality-0.95 grayscale JPEG, the operator decodes
@@ -4314,7 +4330,7 @@ object Queries {
     qStreamTumbling, qStreamRocksdb, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qResizePng,
-    qWavFeatures, qFrameSampleGif, qResizeJpeg, qSqlNativeCosine,
+    qWavFeatures, qFrameSampleGif, qResizeJpeg, qGramian, qSqlNativeCosine,
     qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact,
     qRangeJoin, qGroupingSets, qTfidf, qEmbedCentroid, qXmlRecords,
     qNamedOutputs, qQuasiPi, qNqueens,

@@ -410,4 +410,78 @@ object SimilarityOps {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** d×d Gramian (Σ v·vᵀ over the corpus) as ONE log-depth tree aggregation:
+    * each task folds its vectors into a d² accumulator, partials combine
+    * pairwise (treeReduce), the driver only ever holds d² doubles — the
+    * input never shuffles and never leaves the executors, so a 100 TB
+    * embedding table reduces like a count. This is the building block for
+    * PCA whitening / covariance screens over embedding corpora.
+    *
+    * Products are quantized to the 1e-6 decimal grid BEFORE summing, making
+    * the sum order-independent (float sums would differ run-to-run with
+    * partition order, and differ from the DuckDB decimal oracle).
+    * Output: (i, j, gram) for the upper triangle, 1-based indices. */
+  def gramian(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val acc = emb.select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]]
+      .rdd
+      .treeAggregate(null: Array[Double])(
+        seqOp = { (a, v) =>
+          val d = v.length
+          val g = if (a == null) new Array[Double](d * d) else a
+          var i = 0
+          while (i < d) {
+            val vi = v(i)
+            var j = i
+            while (j < d) {
+              g(i * d + j) += math.floor(vi * v(j) * 1e6 + 0.5) / 1e6
+              j += 1
+            }
+            i += 1
+          }
+          g
+        },
+        combOp = { (a, b) =>
+          if (a == null) b
+          else if (b == null) a
+          else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+        })
+    val d = if (acc == null) 0 else math.sqrt(acc.length.toDouble).round.toInt
+    val rows = for { i <- 0 until d; j <- i until d }
+      yield ((i + 1).toLong, (j + 1).toLong,
+        math.floor(acc(i * d + j) * 1e6 + 0.5) / 1e6)
+    spark.createDataFrame(rows).toDF("i", "j", "gram")
+  }
+
+  /** Top principal direction of a Gramian via power iteration — the d×d
+    * matrix is driver-sized (the heavy lifting was [[gramian]]'s one pass),
+    * so the iteration is plain local arithmetic: v ← normalize(G·v), from a
+    * deterministic start. Returns the unit eigenvector. */
+  def topPrincipalComponent(gram: Map[(Int, Int), Double], d: Int,
+      iters: Int = 20): Array[Double] = {
+    def at(i: Int, j: Int): Double =
+      gram.getOrElse((math.min(i, j), math.max(i, j)), 0.0)
+    var v = Array.tabulate(d)(i => 1.0 / math.sqrt(d.toDouble))
+    (1 to iters).foreach { _ =>
+      val nv = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0.0)((s, j) => s + at(i + 1, j + 1) * v(j)))
+      val norm = math.sqrt(nv.map(x => x * x).sum)
+      v = if (norm == 0) nv else nv.map(_ / norm)
+    }
+    v
+  }
+
+  /** Project every embedding onto a broadcast direction — zero exchanges,
+    * pure per-row arithmetic (the PCA-score / whitening-screen map step). */
+  def projectOnto(emb: DataFrame, direction: Array[Double],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dir = array(direction.map(lit): _*)
+    emb.select(col(idCol),
+      aggregate(
+        zip_with(col(vecCol).cast("array<double>"), dir, (a, b) => a * b),
+        lit(0.0), (s, x) => s + x).as("score"))
+  }
 }

@@ -180,4 +180,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val rows = out.select("query_id", "rank").as[(Long, Int)].collect()
     assert(rows.nonEmpty && rows.forall(_._2 <= 3))
   }
+
+  test("gramian folds Σ v·vᵀ exactly; power iteration finds the top PC") {
+    // three vectors dominated by axis 1: top PC must align with e1
+    val vecs = Seq(
+      (1L, Array(10.0f, 1.0f, 0.0f)),
+      (2L, Array(9.0f, -1.0f, 0.5f)),
+      (3L, Array(11.0f, 0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val g = SimilarityOps.gramian(vecs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, v) => (i.toInt, j.toInt) -> v }.toMap
+    assert(g((1, 1)) == 10.0 * 10 + 9.0 * 9 + 11.0 * 11) // exact: integers
+    assert(g((1, 2)) == 10.0 * 1 - 9.0 * 1 + 11.0 * 0.5)
+    assert(g.size == 6) // upper triangle of d=3
+    val pc = SimilarityOps.topPrincipalComponent(g, d = 3)
+    assert(math.abs(pc(0)) > 0.99, s"top PC should align with axis 1: ${pc.toSeq}")
+    // projection is a zero-exchange per-row map
+    val proj = SimilarityOps.projectOnto(vecs, pc)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
+    val scores = proj.as[(Long, Double)].collect().toMap
+    assert(math.abs(math.abs(scores(3L)) - scores.values.map(math.abs).max) < 1e-9,
+      "the longest axis-1 vector projects farthest")
+  }
 }
