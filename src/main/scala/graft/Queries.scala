@@ -681,6 +681,32 @@ object Queries {
     Some("""SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
       FROM documents WHERE doc_id < 200 GROUP BY 1 ORDER BY 1"""))
 
+  /** Avro object-container round-trip ([[graft.sources.Avro]]): the third
+    * row-oriented container after SequenceFile and TFile, and the one real
+    * hadoop pipelines most often landed tabular data in. Distributed write
+    * through AvroKeyOutputFormat (deflate), splittable read through
+    * AvroKeyInputFormat with columns typed from the files' writer schema —
+    * built on the public Avro APIs shipped with Spark's jars (the sandbox
+    * has no spark-avro datasource). */
+  private val qAvroRoundtrip = QuerySpec(
+    "q_avro_roundtrip",
+    (s, dir) => {
+      val out = s"/tmp/graft_avro_${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Avro.writeAvro(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        out)
+      graft.sources.Avro.readAvro(s, s"$out/part-*.avro")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
   /** ORC round-trip — the second columnar container (SURVEY §2.2/§2.3 output
     * codecs row): write zlib ORC, read back, aggregate. Exercises Spark's
     * built-in ORC reader/writer stack the way the parquet gates do. */
@@ -4340,7 +4366,7 @@ object Queries {
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
     qSeqfileRoundtrip, qMapfileRead, qTfileRead, qBloomMapfileRead,
-    qSeqfileTyped, qOrcRoundtrip, qChunk,
+    qSeqfileTyped, qAvroRoundtrip, qOrcRoundtrip, qChunk,
     qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,
