@@ -2074,7 +2074,10 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
+          // byte-indexed fixture vs char-indexed substr()/unicode() oracle:
+          // equivalent ONLY for ASCII — fail loudly if the corpus changes
           val b = text.getBytes("UTF-8")
+          require(b.length == text.length, s"non-ASCII text in doc $id")
           (id, MultimodalOps.encodePngGray(
             Array.tabulate[Byte](256)(i => b(i % b.length)), 16, 16))
         }
@@ -2123,7 +2126,10 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val jpeg = docs.as[(Long, String)]
         .map { case (id, text) =>
+          // byte-indexed fixture vs char-indexed substr()/unicode() oracle:
+          // equivalent ONLY for ASCII — fail loudly if the corpus changes
           val b = text.getBytes("UTF-8")
+          require(b.length == text.length, s"non-ASCII text in doc $id")
           (id, MultimodalOps.encodeJpegGray(
             Array.tabulate[Byte](256)(i => b(i % b.length)), 16, 16))
         }
@@ -2134,7 +2140,10 @@ object Queries {
         .as[(Long, Array[Byte], String)]
         .map { case (id, out, text) =>
           val px = MultimodalOps.decodePngGray(out)
+          // byte-indexed fixture vs char-indexed substr()/unicode() oracle:
+          // equivalent ONLY for ASCII — fail loudly if the corpus changes
           val b = text.getBytes("UTF-8")
+          require(b.length == text.length, s"non-ASCII text in doc $id")
           var maxE = 0
           var sum = 0
           var i = 0
@@ -2167,7 +2176,10 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
+          // byte-indexed fixture vs char-indexed substr()/unicode() oracle:
+          // equivalent ONLY for ASCII — fail loudly if the corpus changes
           val b = text.getBytes("UTF-8")
+          require(b.length == text.length, s"non-ASCII text in doc $id")
           val frames = (0 until 6).map(f =>
             Array.tabulate[Byte](64)(i => b((f * 64 + i) % b.length)))
           (id, MultimodalOps.encodeGifFrames(frames, 8, 8))
@@ -2200,7 +2212,10 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
+          // byte-indexed fixture vs char-indexed substr()/unicode() oracle:
+          // equivalent ONLY for ASCII — fail loudly if the corpus changes
           val b = text.getBytes("UTF-8")
+          require(b.length == text.length, s"non-ASCII text in doc $id")
           (id, MultimodalOps.encodeWavPcm16(
             Array.tabulate[Short](64)(i => b(i % b.length).toShort)))
         }

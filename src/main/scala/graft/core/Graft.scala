@@ -72,15 +72,21 @@ object Graft {
     // FileIndex size is already cached from planning); everything else reads
     // the physical plan's declared output partitioning. Both are O(plan).
     val plan = ds.queryExecution.sparkPlan
-    val scanBytes = plan.collect {
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val leafEstimate = plan.collectLeaves().map {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.sizeInBytes
-    }
-    val estimated: Long =
-      if (scanBytes.nonEmpty) {
-        val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
-        scanBytes.map(b => math.max(1L, (b + maxSplit - 1) / maxSplit)).sum
-      } else plan.outputPartitioning.numPartitions.toLong
+        // splits ≈ ceil(bytes / maxPartitionBytes); FileIndex size is cached
+        math.max(1L, (f.relation.location.sizeInBytes + maxSplit - 1) / maxSplit)
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        // the RDD already exists — reading its partition count is free
+        r.rdd.getNumPartitions.toLong
+      case r: org.apache.spark.sql.execution.ExternalRDDScanExec[_] =>
+        r.rdd.getNumPartitions.toLong
+      case _ => 1L // driver-local leaves (LocalTableScan, ranges) are tiny
+    }.sum
+    // a declared top-level partitioning (post repartition/coalesce) overrides
+    // the leaf estimate; UnknownPartitioning(0) contributes nothing
+    val estimated = math.max(leafEstimate, plan.outputPartitioning.numPartitions.toLong)
     if (estimated * 2 <= cores) ds.repartition(cores) else ds
   }
 

@@ -538,9 +538,12 @@ object DedupOps {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .groupBy("cluster_id")
       .agg(
+        // leading isNull flag: nulls sort FIRST in struct ordering, which
+        // under min_by would make a null-quality doc WIN — the flag makes
+        // it lose (false < true), preserving max_by's nulls-lose semantics
         min_by(col("doc_id"),
-          struct(negate(col("_q")), md5(col("doc_id").cast("string")),
-            col("doc_id"))).as("doc_id"),
+          struct(col("_q").isNull, negate(col("_q")),
+            md5(col("doc_id").cast("string")), col("doc_id"))).as("doc_id"),
         count(lit(1)).as("cluster_size"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }

@@ -43,11 +43,6 @@ object MultimodalOps {
 
   final case class MediaFeature(id: Long, n_bytes: Long, feature: Array[Float])
 
-  /** PNG magic (published container property, same bytes sniffFormat keys on). */
-  private def isPng(bytes: Array[Byte]): Boolean =
-    bytes.length > 8 &&
-      bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
-
   /** Encode a grayscale pixel grid as a REAL PNG via javax.imageio (JDK
     * codec — no external library). Fixture/ingest helper: one byte per
     * pixel, row-major. */

@@ -418,9 +418,13 @@ object SimilarityOps {
     * embedding table reduces like a count. This is the building block for
     * PCA whitening / covariance screens over embedding corpora.
     *
-    * Products are quantized to the 1e-6 decimal grid BEFORE summing, making
-    * the sum order-independent (float sums would differ run-to-run with
-    * partition order, and differ from the DuckDB decimal oracle).
+    * Products are quantized to the 1e-6 decimal grid BEFORE summing and the
+    * quantized values accumulate as scaled LONGS — integer addition is
+    * exact and associative, so the result is bit-identical for any
+    * partition order / row count and matches the DuckDB decimal oracle
+    * (a double accumulator would drift past the half-grid boundary at
+    * billions of rows). Long headroom: entries overflow only past
+    * ~9.2e18/1e6 = 9.2e12 in summed product magnitude.
     * Output: (i, j, gram) for the upper triangle, 1-based indices. */
   def gramian(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
@@ -428,16 +432,16 @@ object SimilarityOps {
     val acc = emb.select(col(vecCol).cast("array<double>"))
       .as[Seq[Double]]
       .rdd
-      .treeAggregate(null: Array[Double])(
+      .treeAggregate(null: Array[Long])(
         seqOp = { (a, v) =>
           val d = v.length
-          val g = if (a == null) new Array[Double](d * d) else a
+          val g = if (a == null) new Array[Long](d * d) else a
           var i = 0
           while (i < d) {
             val vi = v(i)
             var j = i
             while (j < d) {
-              g(i * d + j) += math.floor(vi * v(j) * 1e6 + 0.5) / 1e6
+              g(i * d + j) += math.floor(vi * v(j) * 1e6 + 0.5).toLong
               j += 1
             }
             i += 1
@@ -451,8 +455,7 @@ object SimilarityOps {
         })
     val d = if (acc == null) 0 else math.sqrt(acc.length.toDouble).round.toInt
     val rows = for { i <- 0 until d; j <- i until d }
-      yield ((i + 1).toLong, (j + 1).toLong,
-        math.floor(acc(i * d + j) * 1e6 + 0.5) / 1e6)
+      yield ((i + 1).toLong, (j + 1).toLong, acc(i * d + j) / 1e6)
     spark.createDataFrame(rows).toDF("i", "j", "gram")
   }
 

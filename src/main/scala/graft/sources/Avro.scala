@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.avro.Schema
-import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.NullWritable
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -80,7 +80,7 @@ object Avro {
       .headOption.getOrElse(
         throw new java.io.FileNotFoundException(s"no avro files match $glob"))
     val header = new org.apache.avro.file.DataFileStream(
-      fs.open(first.getPath), new generic.GenericDatumReader[GenericRecord]())
+      fs.open(first.getPath), new GenericDatumReader[GenericRecord]())
     val avroSchema = header.getSchema
     header.close()
     val sparkSchema = StructType(avroSchema.getFields.asScala.map(f =>
@@ -91,15 +91,29 @@ object Avro {
       classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[GenericRecord]],
       classOf[org.apache.avro.mapred.AvroKey[GenericRecord]],
       classOf[NullWritable])
-      .map { case (k, _) =>
-        val rec = k.datum()
-        Row.fromSeq(names.toIndexedSeq.map(n => decode(rec.get(n))))
+      .mapPartitions { it =>
+        // guard against heterogeneous writer schemas under one glob: a
+        // field missing from another file would read as null and corrupt
+        // silently. Records of one file share a Schema instance, so an
+        // identity check per record costs nothing and validates each new
+        // schema once.
+        var seen: Schema = null
+        it.map { case (k, _) =>
+          val rec = k.datum()
+          if (rec.getSchema ne seen) {
+            seen = rec.getSchema
+            val missing = names.filter(seen.getField(_) == null)
+            require(missing.isEmpty,
+              s"avro file schema lacks fields ${missing.mkString(",")} " +
+                "present in the glob's first file — mixed writer schemas")
+          }
+          val vals = new Array[Any](names.length)
+          var i = 0
+          while (i < names.length) { vals(i) = decode(rec.get(names(i))); i += 1 }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
       }
     spark.createDataFrame(rows, sparkSchema)
-  }
-  // DataFileStream needs the generic reader; alias the package for the ctor
-  private object generic {
-    type GenericDatumReader[T] = org.apache.avro.generic.GenericDatumReader[T]
   }
 
   /** DataFrame → Avro container files, written DISTRIBUTED through
@@ -112,6 +126,10 @@ object Avro {
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
       spark.sparkContext.hadoopConfiguration)
     org.apache.avro.mapreduce.AvroJob.setOutputKeySchema(job, schema)
+    // avro-mapred only honors avro.output.codec when the generic MR output
+    // compression flag is ALSO set — without it the codec silently no-ops
+    org.apache.hadoop.mapreduce.lib.output.FileOutputFormat
+      .setCompressOutput(job, true)
     job.getConfiguration.set("avro.output.codec", "deflate")
     val names = df.schema.fieldNames
     df.rdd

@@ -26,10 +26,16 @@ object ScaleGen {
     val out = (0 until factor)
       .map { r =>
         if (r == 0) docs
-        else docs.select(
-          (col("doc_id") + lit(r * maxId)).as("doc_id"),
-          regexp_replace(col("text"), " ", s" r${r}x").as("text"),
-          col("lang"), col("source"), length(col("text")).cast("long").as("n_chars"))
+        else {
+          // length() must measure the REPLACED text — selecting both in one
+          // projection would resolve length(col("text")) against the input
+          val perturbed = regexp_replace(col("text"), " ", s" r${r}x")
+          docs.select(
+            (col("doc_id") + lit(r * maxId)).as("doc_id"),
+            perturbed.as("text"),
+            col("lang"), col("source"),
+            length(perturbed).cast("long").as("n_chars"))
+        }
       }
       .reduce(_ unionByName _)
     out.write.mode("overwrite").parquet(s"$dest/documents.parquet")
