@@ -2094,6 +2094,33 @@ object Queries {
       FROM documents, generate_series(0, 63) t(i)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** BPE pair statistics ([[BpeOps.corpusPairCounts]]) — the tokenizer-
+    * training aggregation: corpus reduces once to a weighted word table,
+    * adjacent character-pair counts aggregate over it (the round-1 merge
+    * candidates). Oracle replays word splitting + pair construction with
+    * DuckDB list ops. Full iterative training ([[BpeOps.trainMerges]]) and
+    * tokenization are pinned by BpeOpsSpec (k-round argmax is driver-side
+    * control flow, not SQL-expressible). */
+  private val qBpePairs = QuerySpec(
+    "q_bpe_pairs",
+    (s, dir) =>
+      BpeOps.corpusPairCounts(t(s, dir, "documents"), col("text"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50),
+    Some("""WITH w AS (
+        SELECT word, COUNT(*)::BIGINT AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+          FROM documents) t
+        WHERE word <> '' GROUP BY word),
+      p AS (
+        SELECT cnt, unnest(list_transform(
+            range(1, len(string_split(word, ''))),
+            i -> string_split(word, '')[i] || ' ' || string_split(word, '')[i+1]))
+          AS pair
+        FROM w)
+      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50"""))
+
   /** Embedding-corpus Gramian ([[SimilarityOps.gramian]]) — the PCA /
     * covariance building block: Σ v·vᵀ in ONE log-depth treeAggregate
     * (corpus never shuffles; driver holds d² doubles). Products quantize to
@@ -4371,7 +4398,8 @@ object Queries {
     qStreamTumbling, qStreamRocksdb, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qResizePng,
-    qWavFeatures, qFrameSampleGif, qResizeJpeg, qGramian, qSqlNativeCosine,
+    qWavFeatures, qFrameSampleGif, qResizeJpeg, qGramian, qBpePairs,
+    qSqlNativeCosine,
     qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact,
     qRangeJoin, qGroupingSets, qTfidf, qEmbedCentroid, qXmlRecords,
     qNamedOutputs, qQuasiPi, qNqueens,
