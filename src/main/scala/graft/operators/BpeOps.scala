@@ -21,11 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object BpeOps {
 
-  /** Corpus → distinct word-frequency table: (word, cnt). One shuffle. */
+  /** Corpus → distinct word-frequency table: (word, cnt). One shuffle.
+    * Delegates to [[MapOps.wordCount]] so "what is a word" has exactly one
+    * definition engine-wide (q_wordcount and BPE must never disagree). */
   def wordCounts(docs: DataFrame, textCol: Column): DataFrame =
-    docs.select(explode(split(textCol, "\\s+")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    MapOps.wordCount(docs.select(textCol.as("text")), "text")
 
   /** Adjacent-pair counts over a symbolized words table (syms: array of
     * symbol strings): (pair "x y", n = Σ word cnt). Overlapping run
@@ -34,27 +34,32 @@ object BpeOps {
     words
       .filter(size(col(symsCol)) >= 2)
       .select(col("cnt"),
-        explode(expr(
-          s"""transform(sequence(0, size($symsCol) - 2),
-                i -> concat($symsCol[i], ' ', $symsCol[i + 1]))"""))
+        explode(transform(sequence(lit(0), size(col(symsCol)) - 2),
+          i => concat(col(symsCol)(i), lit(" "), col(symsCol)(i + 1))))
           .as("pair"))
       .groupBy("pair").agg(sum(col("cnt")).as("n"))
 
   /** Canonical greedy left-to-right merge of one (l, r) pair in a symbol
     * sequence: each match consumes both symbols before the scan continues. */
-  private def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
+  private def applyMerge(symsIn: Seq[String], l: String, r: String): Seq[String] = {
+    // array-backed walk: a List input would make syms(i)/length linear and
+    // the kernel quadratic on long unbroken runs (URLs, base64, CJK)
+    val syms = symsIn.toArray
+    val out = new Array[String](syms.length)
     var i = 0
+    var n = 0
     while (i < syms.length) {
       if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-        out += l + r
+        out(n) = l + r
         i += 2
       } else {
-        out += syms(i)
+        out(n) = syms(i)
         i += 1
       }
+      n += 1
     }
-    out.result()
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      java.util.Arrays.copyOf(out, n))
   }
 
   private def symbolized(docs: DataFrame, textCol: Column): DataFrame =
@@ -89,9 +94,13 @@ object BpeOps {
         val Array(leftSym, rightSym) = pair.split(" ", 2)
         step += 1
         merges += ((step, leftSym, rightSym, n))
-        words = words
+        // localCheckpoint is eager, so the superseded round's blocks can be
+        // released immediately — otherwise k rounds pin k vocab copies
+        val next = words
           .map { case (cnt, syms) => (cnt, applyMerge(syms, leftSym, rightSym)) }
           .localCheckpoint()
+        words.unpersist()
+        words = next
       }
     }
     merges.toSeq.toDF("step", "left", "right", "pair_count")
