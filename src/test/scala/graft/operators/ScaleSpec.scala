@@ -65,6 +65,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(out eq wide)
   }
 
+  test("BPE pair statistics cost exactly two partial/final aggregations") {
+    val docs = Seq("low low lower", "newest widest").toDF("text")
+    val plan = BpeOps.corpusPairCounts(docs, col("text"))
+      .queryExecution.executedPlan.toString
+    // word-count shuffle + pair-count shuffle, nothing else — the corpus
+    // reduces to the vocabulary before any per-round work
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 2, plan)
+    assert(plan.linesIterator.count(_.contains("partial_")) == 2,
+      "both aggregations must combine map-side")
+  }
+
   test("chunkDocuments and stratifiedHashSample plan with ZERO exchanges") {
     val docs = (1 to 100).map(i => (i.toLong, s"lang${i % 3}",
       (1 to 30).map(j => s"t$j").mkString(" "))).toDF("doc_id", "lang", "text")
