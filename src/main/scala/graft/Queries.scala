@@ -707,6 +707,33 @@ object Queries {
       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
+  /** Avro logical types end-to-end ([[graft.sources.Avro]]): the events
+    * table's timestamps survive an avro round-trip as timestamp-micros
+    * longs and come back as genuine TimestampType — gated on microsecond-
+    * exact min/max against epoch_us in DuckDB. */
+  private val qAvroEvents = QuerySpec(
+    "q_avro_events",
+    (s, dir) => {
+      val out = s"/tmp/graft_avroev_${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Avro.writeAvro(
+        t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+        out)
+      graft.sources.Avro.readAvro(s, s"$out/part-*.avro")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          unix_micros(min(col("ts"))).as("min_ts_us"),
+          unix_micros(max(col("ts"))).as("max_ts_us"),
+          sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+      epoch_us(MIN(ts)) AS min_ts_us, epoch_us(MAX(ts)) AS max_ts_us,
+      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   /** ORC round-trip — the second columnar container (SURVEY §2.2/§2.3 output
     * codecs row): write zlib ORC, read back, aggregate. Exercises Spark's
     * built-in ORC reader/writer stack the way the parquet gates do. */
@@ -4411,7 +4438,7 @@ object Queries {
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
     qSeqfileRoundtrip, qMapfileRead, qTfileRead, qBloomMapfileRead,
-    qSeqfileTyped, qAvroRoundtrip, qOrcRoundtrip, qChunk,
+    qSeqfileTyped, qAvroRoundtrip, qAvroEvents, qOrcRoundtrip, qChunk,
     qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,

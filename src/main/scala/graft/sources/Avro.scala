@@ -15,15 +15,22 @@ import scala.jdk.CollectionConverters._
   * out, without new dependencies.
   *
   * Scope: flat records of Avro primitives (string/int/long/float/double/
-  * boolean/bytes, plus nullable unions of those) — the KV/tabular shapes the
-  * reference's container formats carry. Nested records belong to parquet,
-  * the engine's canonical format.
+  * boolean/bytes, plus nullable unions of those) and the date /
+  * timestamp-micros logical types — the KV/tabular shapes the reference's
+  * container formats carry. Nested records belong to parquet, the engine's
+  * canonical format.
   */
 object Avro {
 
   private def toSparkType(s: Schema): DataType = s.getType match {
     case Schema.Type.STRING  => StringType
+    case Schema.Type.INT
+      if s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.Date] =>
+      DateType
     case Schema.Type.INT     => IntegerType
+    case Schema.Type.LONG
+      if s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.TimestampMicros] =>
+      TimestampType
     case Schema.Type.LONG    => LongType
     case Schema.Type.FLOAT   => FloatType
     case Schema.Type.DOUBLE  => DoubleType
@@ -47,6 +54,10 @@ object Avro {
         case DoubleType  => Schema.create(Schema.Type.DOUBLE)
         case BooleanType => Schema.create(Schema.Type.BOOLEAN)
         case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+        case DateType => org.apache.avro.LogicalTypes.date()
+          .addToSchema(Schema.create(Schema.Type.INT))
         case other => throw new IllegalArgumentException(
           s"unsupported spark type $other for avro (flat primitives only)")
       }
@@ -68,6 +79,45 @@ object Avro {
     case other                       => other
   }
 
+  private def unwrapUnion(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  /** Per-field decoder honoring logical types (timestamp-micros → SQL
+    * Timestamp, date → SQL Date); plain fields fall through to [[decode]]. */
+  private def decoderFor(s: Schema): Any => Any = {
+    val base = unwrapUnion(s)
+    base.getLogicalType match {
+      case _: org.apache.avro.LogicalTypes.TimestampMicros => {
+        case null => null
+        case micros: java.lang.Long =>
+          val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+          t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+          t
+        case other => other
+      }
+      case _: org.apache.avro.LogicalTypes.Date => {
+        case null => null
+        case days: java.lang.Integer =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue))
+        case other => other
+      }
+      case _ => decode
+    }
+  }
+
+  /** Per-field encoder: SQL Timestamp/Date → the logical-type storage ints.
+    * floorDiv keeps pre-epoch instants exact (plain / truncates toward 0). */
+  private def encodeValue(v: Any): Any = v match {
+    case t: java.sql.Timestamp =>
+      java.lang.Long.valueOf(
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case d: java.sql.Date => java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+    case b: Array[Byte]   => java.nio.ByteBuffer.wrap(b)
+    case other            => other
+  }
+
   /** Avro container glob → DataFrame. The column schema comes from the
     * files' own writer schema (read from the first matched container's
     * header); the scan itself is the splittable AvroKeyInputFormat, so big
@@ -86,12 +136,15 @@ object Avro {
     val sparkSchema = StructType(avroSchema.getFields.asScala.map(f =>
       StructField(f.name, toSparkType(f.schema), nullable = true)).toSeq)
     val names = avroSchema.getFields.asScala.map(_.name).toArray
+    val schemaJson = avroSchema.toString
     val rows = spark.sparkContext.newAPIHadoopFile(
       glob,
       classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[GenericRecord]],
       classOf[org.apache.avro.mapred.AvroKey[GenericRecord]],
       classOf[NullWritable])
       .mapPartitions { it =>
+        val expected = new Schema.Parser().parse(schemaJson)
+        val decoders = names.map(n => decoderFor(expected.getField(n).schema))
         // guard against heterogeneous writer schemas under one glob: a
         // field missing from another file would read as null and corrupt
         // silently. Records of one file share a Schema instance, so an
@@ -109,7 +162,10 @@ object Avro {
           }
           val vals = new Array[Any](names.length)
           var i = 0
-          while (i < names.length) { vals(i) = decode(rec.get(names(i))); i += 1 }
+          while (i < names.length) {
+            vals(i) = decoders(i)(rec.get(names(i)))
+            i += 1
+          }
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
       }
@@ -139,11 +195,7 @@ object Avro {
         it.map { row =>
           val rec = new GenericData.Record(s)
           names.indices.foreach { i =>
-            val v = row.get(i) match {
-              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-              case other          => other
-            }
-            rec.put(names(i), v)
+            rec.put(names(i), encodeValue(row.get(i)))
           }
           (new org.apache.avro.mapred.AvroKey[GenericRecord](rec),
             NullWritable.get())

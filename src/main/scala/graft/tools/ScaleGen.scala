@@ -47,14 +47,28 @@ object ScaleGen {
     // duplicates and ANN bucket structure grows honestly with the factor
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(factor <= 2 * dim,
+      s"rotation+flip distinguishes at most 2*dim=${2 * dim} replicas")
     val embOut = (0 until factor)
       .map { r =>
+        // rotation wraps at the vector dimension; on exact wraparound
+        // (r a multiple of dim) flip the sign instead, so no replica is a
+        // verbatim copy of another
+        val rot = r % dim
+        val rotated =
+          if (rot == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), lit(rot + 1), size(col("embedding")) - rot),
+            slice(col("embedding"), lit(1), lit(rot)))
+        val perturbed =
+          if (r == 0) rotated
+          else if (rot == 0) transform(rotated, x => negate(x))
+          else rotated
         if (r == 0) emb
         else emb.select(
           (col("vec_id") + lit(r * maxVec)).as("vec_id"),
-          concat(
-            slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
-            slice(col("embedding"), lit(1), lit(r))).as("embedding"),
+          perturbed.as("embedding"),
           col("label"))
       }
       .reduce(_ unionByName _)

@@ -33,6 +33,23 @@ class AvroSpec extends AnyFunSuite {
       (3L, "gamma", 30, 0.0, true, Seq[Byte](-1), Some("gamma"))))
   }
 
+  test("timestamp-micros and date logical types round-trip exactly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-avro-lt").toString
+    val ts1 = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456")
+    val ts0 = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5") // pre-epoch
+    val d1 = java.sql.Date.valueOf("2024-03-01")
+    val df = spark.createDataFrame(Seq((1L, ts1, d1), (2L, ts0, d1)))
+      .toDF("id", "ts", "day")
+    Avro.writeAvro(df, s"$base/t")
+    val back = Avro.readAvro(spark, s"$base/t/part-*.avro")
+    assert(back.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("id", "long"), ("ts", "timestamp"), ("day", "date")))
+    val rows = back.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getDate(2).toString)).sortBy(_._1)
+    assert(rows(0) == ((1L, ts1, "2024-03-01")))
+    assert(rows(1) == ((2L, ts0, "2024-03-01")))
+  }
+
   test("readAvro fails cleanly on an empty glob") {
     intercept[java.io.FileNotFoundException] {
       Avro.readAvro(spark, "/tmp/definitely-absent-*.avro")
