@@ -4411,6 +4411,144 @@ object Queries {
         ON g.event_type = c.event_type AND g.b = c.b
       ORDER BY key, bucket_start"""))
 
+  /** PageRank ([[GraphOps.pagerank]]) over a bipartite part↔supplier graph
+    * derived from lineitem: supply edges part→supplier; even-keyed suppliers
+    * link back, odd ones dangle, so the dangling-mass fold is exercised on
+    * real rows. Three power iterations at damping 0.85; ranks reported as
+    * exact 1e-9-quantized integers. The oracle unrolls the same three
+    * iterations with the same scaled-long quantization, term for term, so
+    * the match is bit-exact rather than tolerance-based. */
+  private val qPagerank = QuerySpec(
+    "q_pagerank",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fwd = li.select(col("l_partkey").cast("long").as("src"),
+        (lit(1000000000L) + col("l_suppkey")).cast("long").as("dst"))
+      val back = li.filter(col("l_suppkey") % 2 === 0)
+        .select((lit(1000000000L) + col("l_suppkey")).cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))
+      GraphOps.pagerank(fwd.union(back).distinct(), iters = 3)
+        .select(col("id"),
+          floor(col("r") * lit(1e9) + lit(0.5)).cast("long").as("rank_e9"))
+        .orderBy("id")
+    },
+    Some("""WITH eg AS (
+        SELECT DISTINCT l_partkey AS src, 1000000000 + l_suppkey AS dst FROM lineitem
+        UNION
+        SELECT DISTINCT 1000000000 + l_suppkey AS src, l_partkey AS dst
+        FROM lineitem WHERE l_suppkey % 2 = 0),
+      nodes AS (SELECT DISTINCT id
+        FROM (SELECT src AS id FROM eg UNION ALL SELECT dst AS id FROM eg) u),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS c FROM eg GROUP BY 1),
+      r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+      d1 AS (SELECT COALESCE(SUM(CAST(floor(p.r * 1e15 + 0.5) AS BIGINT)), 0) AS dm
+        FROM r0 p LEFT JOIN deg ON deg.src = p.id WHERE deg.src IS NULL),
+      c1 AS (SELECT e.dst AS id,
+          CAST(SUM(CAST(floor(p.r / d.c * 1e15 + 0.5) AS BIGINT)) AS DOUBLE) / 1e15 AS contrib
+        FROM eg e JOIN r0 p ON e.src = p.id JOIN deg d ON d.src = e.src GROUP BY 1),
+      r1 AS (SELECT n.id,
+          (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+          + CAST(0.85 AS DOUBLE) * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+              + (CAST((SELECT dm FROM d1) AS DOUBLE) / 1e15) / (SELECT n FROM nn)) AS r
+        FROM nodes n LEFT JOIN c1 c ON n.id = c.id),
+      d2 AS (SELECT COALESCE(SUM(CAST(floor(p.r * 1e15 + 0.5) AS BIGINT)), 0) AS dm
+        FROM r1 p LEFT JOIN deg ON deg.src = p.id WHERE deg.src IS NULL),
+      c2 AS (SELECT e.dst AS id,
+          CAST(SUM(CAST(floor(p.r / d.c * 1e15 + 0.5) AS BIGINT)) AS DOUBLE) / 1e15 AS contrib
+        FROM eg e JOIN r1 p ON e.src = p.id JOIN deg d ON d.src = e.src GROUP BY 1),
+      r2 AS (SELECT n.id,
+          (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+          + CAST(0.85 AS DOUBLE) * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+              + (CAST((SELECT dm FROM d2) AS DOUBLE) / 1e15) / (SELECT n FROM nn)) AS r
+        FROM nodes n LEFT JOIN c2 c ON n.id = c.id),
+      d3 AS (SELECT COALESCE(SUM(CAST(floor(p.r * 1e15 + 0.5) AS BIGINT)), 0) AS dm
+        FROM r2 p LEFT JOIN deg ON deg.src = p.id WHERE deg.src IS NULL),
+      c3 AS (SELECT e.dst AS id,
+          CAST(SUM(CAST(floor(p.r / d.c * 1e15 + 0.5) AS BIGINT)) AS DOUBLE) / 1e15 AS contrib
+        FROM eg e JOIN r2 p ON e.src = p.id JOIN deg d ON d.src = e.src GROUP BY 1),
+      r3 AS (SELECT n.id,
+          (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+          + CAST(0.85 AS DOUBLE) * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+              + (CAST((SELECT dm FROM d3) AS DOUBLE) / 1e15) / (SELECT n FROM nn)) AS r
+        FROM nodes n LEFT JOIN c3 c ON n.id = c.id)
+      SELECT id, CAST(floor(r * 1e9 + 0.5) AS BIGINT) AS rank_e9
+      FROM r3 ORDER BY id"""))
+
+  /** PMI lift co-occurrence ([[CorpusOps.pmiPairs]]): presence-based word
+    * association over documents, df floor 10, pair support floor 5. */
+  private val qPmi = QuerySpec(
+    "q_pmi",
+    (s, dir) =>
+      CorpusOps.pmiPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+          minDf = 10, minPair = 5)
+        .orderBy("w1", "w2"),
+    Some("""WITH posting AS (
+        SELECT doc_id, unnest(list_distinct(list_filter(
+          string_split_regex(text, '\s+'), x -> x <> ''))) AS w
+        FROM documents),
+      vocab AS (SELECT w, COUNT(*) AS c FROM posting GROUP BY 1
+        HAVING COUNT(*) >= 10),
+      pruned AS (SELECT p.doc_id, p.w, v.c FROM posting p JOIN vocab v ON p.w = v.w),
+      pairs AS (SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c12,
+          MIN(a.c) AS c1, MIN(b.c) AS c2
+        FROM pruned a JOIN pruned b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      d AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents)
+      SELECT w1, w2, c12,
+        CAST(floor(CAST(c12 AS DOUBLE) * (SELECT nd FROM d)
+          / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lift_e6
+      FROM pairs ORDER BY w1, w2"""))
+
+  /** Distribution drift ([[QualityOps.distributionDrift]]): per-source
+    * total-variation distance of the language mix vs the corpus mix. */
+  private val qDistDrift = QuerySpec(
+    "q_dist_drift",
+    (s, dir) =>
+      QualityOps.distributionDrift(t(s, dir, "documents"), col("source"), col("lang"))
+        .select(col("g").as("source"), col("n").as("n_docs"), col("tv_e6"))
+        .orderBy("source"),
+    Some("""WITH cell AS (SELECT source AS g, lang AS cat, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2),
+      bg AS (SELECT g, SUM(n) AS n_g FROM cell GROUP BY 1),
+      bc AS (SELECT cat, SUM(n) AS n_c FROM cell GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cell),
+      pq AS (SELECT grid.g, grid.n_g,
+          CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(grid.n_g AS DOUBLE) AS p,
+          CAST(grid.n_c AS DOUBLE) / (SELECT t FROM tot) AS q
+        FROM (SELECT bg.g, bg.n_g, bc.cat, bc.n_c FROM bg CROSS JOIN bc) grid
+        LEFT JOIN cell c ON grid.g = c.g AND grid.cat = c.cat)
+      SELECT g AS source, CAST(MIN(n_g) AS BIGINT) AS n_docs,
+        CAST(floor(CAST(SUM(CAST(floor(abs(p - q) * 1e15 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 1e15 * 0.5 * 1e6 + 0.5) AS BIGINT) AS tv_e6
+      FROM pq GROUP BY 1 ORDER BY 1"""))
+
+  /** Parquet bloom-filter interop: write with a column-level bloom filter on
+    * l_partkey (parquet.bloom.filter.enabled#col — the standard
+    * point-lookup layout knob), read back through a selective filter. The
+    * footer-level assertion that bloom offsets actually got recorded per row
+    * group lives in ParquetBloomSpec; the gate hash-checks content. */
+  private val qParquetBloom = QuerySpec(
+    "q_parquet_bloom",
+    (s, dir) => {
+      val out = s"/tmp/graft_parquet_bloom_${new java.io.File(dir).getName}"
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
+        .parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_partkey") % 997 === 1)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_rows"), sumExact(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_partkey")
+    },
+    Some("""SELECT l_partkey, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_partkey % 997 = 1
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -4448,5 +4586,5 @@ object Queries {
     qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,
     qStreamOuterJoin, qPivot, qUnpivot, qCorrelation, qDedupCanonical,
     qExpectations, qCdcApply, qBinaryFiles, qAnnInt8, qNormalize,
-    qCsvQuoted, qGapFill)
+    qCsvQuoted, qGapFill, qPagerank, qPmi, qDistDrift, qParquetBloom)
 }

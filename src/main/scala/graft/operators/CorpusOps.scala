@@ -73,6 +73,40 @@ object CorpusOps {
       .withColumn("shard_rank", row_number().over(w).cast("long"))
   }
 
+  /** Word co-occurrence association mining: presence-based PMI lift over the
+    * corpus. Tokens are whitespace-split and de-duplicated per document
+    * (presence, not frequency); a pair's lift is P(w1,w2) / (P(w1)·P(w2)) =
+    * c12·D / (c1·c2) — PMI without the log. Every value derives from exact
+    * integer counts by IEEE double arithmetic, so results are bit-identical
+    * across engines (libm `log` is not mandated correctly-rounded; lift is
+    * division, which is). Scale: pair generation is a posting-list self-join
+    * per document bounded by the `minDf` vocabulary-support floor (at 100 TB
+    * you additionally cap considered words per document); the pair group-by
+    * reduces with map-side partial counts, and `minPair` floors co-occurrence
+    * support. Document-frequency counts ride along the join (constant within
+    * a pair group), so the vocabulary is never re-joined. */
+  def pmiPairs(df: DataFrame, idCol: Column, textCol: Column,
+      minDf: Long, minPair: Long): DataFrame = {
+    require(minDf > 0 && minPair > 0, "support floors must be positive")
+    val nDocs = df.count().toDouble
+    val posting = df.select(idCol.as("doc_id"),
+      explode(array_distinct(filter(split(textCol, "\\s+"), t => t =!= ""))).as("w"))
+    val dfCounts = posting.groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minDf)
+    val pruned = posting.join(dfCounts, Seq("w"))
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("c12"), min(col("a.c")).as("c1"), min(col("b.c")).as("c2"))
+      .filter(col("c12") >= minPair)
+      .select(col("w1"), col("w2"), col("c12"),
+        floor(col("c12").cast("double") * lit(nDocs)
+            / (col("c1").cast("double") * col("c2").cast("double"))
+            * lit(1e6) + lit(0.5))
+          .cast("long").as("lift_e6"))
+  }
+
   /** Data selection under a token budget: keep documents in quality-desc
     * (hash-tiebroken) order while the running token total stays within
     * `budget` — the greedy prefix rule, the standard corpus-curation step

@@ -25,6 +25,37 @@ object QualityOps {
     df.withColumn("violations", filter(tagged, v => v.isNotNull))
   }
 
+  /** Distribution drift per shard: total-variation distance between each
+    * group's categorical distribution and the corpus-wide one,
+    * TV = ½·Σ_cat |p_group(cat) − p_corpus(cat)| ∈ [0, 1] — the standard
+    * "did this crawl snapshot / supplier / shard drift from the mix we
+    * train on" monitor. The comparison grid is the cross of groups ×
+    * categories, so a category absent from a group contributes its full
+    * corpus mass. Per-group folds quantize |p − q| to scaled longs (1e15),
+    * making the sum exact integer addition — order-independent and
+    * bit-identical across engines. Cost at 100 TB is the first aggregation
+    * that reduces the corpus to (group, category) counts; everything after
+    * is proportional to the tiny count grid (checkpointed once, since three
+    * branches consume it). Returns (g, n, tv_e6). */
+  def distributionDrift(df: DataFrame, groupCol: Column, catCol: Column): DataFrame = {
+    val cell = df.groupBy(groupCol.as("g"), catCol.as("cat"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val total = cell.agg(sum("n")).head().getLong(0).toDouble
+    val byGroup = cell.groupBy("g").agg(sum("n").as("n_g"))
+    val byCat = cell.groupBy("cat").agg(sum("n").as("n_c"))
+    byGroup.crossJoin(byCat)
+      .join(cell, Seq("g", "cat"), "left_outer")
+      .select(col("g"), col("n_g"),
+        (coalesce(col("n"), lit(0L)).cast("double") / col("n_g").cast("double")).as("p"),
+        (col("n_c").cast("double") / lit(total)).as("q"))
+      .groupBy("g")
+      .agg(min("n_g").as("n"),
+        sum(floor(abs(col("p") - col("q")) * lit(1e15) + lit(0.5))).as("tvq"))
+      .select(col("g"), col("n"),
+        floor(col("tvq").cast("double") / lit(1e15) * lit(0.5) * lit(1e6) + lit(0.5))
+          .cast("long").as("tv_e6"))
+  }
+
   /** CDC apply — replay a changelog onto a snapshot: `changes` carries the
     * base's payload columns plus an op ('I'nsert / 'U'psert / 'D'elete) and
     * a sequence number; the HIGHEST-seq operation per key wins (op as

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** PageRank against hand-computed fixtures (dangling redistribution, cycle
+  * symmetry, mass conservation). */
+class GraphOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    GraphOps.pagerank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("one step with a dangling sink matches the hand computation") {
+    // a->b, b dangles. From uniform [0.5, 0.5], dangling mass 0.5:
+    //   r(a) = 0.15/2 + 0.85*(0 + 0.5/2)    = 0.2875
+    //   r(b) = 0.15/2 + 0.85*(0.5 + 0.5/2)  = 0.7125
+    val r = ranks(Seq(1L -> 2L), iters = 1)
+    assert(math.abs(r(1L) - 0.2875) < 1e-9)
+    assert(math.abs(r(2L) - 0.7125) < 1e-9)
+  }
+
+  test("a cycle stays uniform at any iteration count") {
+    val cycle = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    val r = ranks(cycle, iters = 5)
+    r.values.foreach(v => assert(math.abs(v - 0.25) < 1e-9))
+  }
+
+  test("total mass is conserved with mixed dangling/branching nodes") {
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 1L, 5L -> 3L)
+    // nodes 3 is dangling; 1 branches
+    val r = ranks(edges, iters = 4)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // the sink of most edges outranks the pure sources
+    assert(r(3L) > r(4L) && r(3L) > r(5L))
+  }
+}
+
+/** PMI lift and distribution drift against hand counts. */
+class PmiDriftSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pmiPairs matches hand-computed lifts") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.pmiPairs(docs, col("doc_id"), col("text"),
+        minDf = 1, minPair = 1)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // D=4; df: a=3, b=3, c=2
+    assert(out(("a", "b")) == (2L, 888889L)) // 2*4/9
+    assert(out(("a", "c")) == (1L, 666667L)) // 1*4/6
+    assert(out(("b", "c")) == (1L, 666667L))
+  }
+
+  test("pmiPairs support floors prune pairs and rare words") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val byDf = CorpusOps.pmiPairs(docs, col("doc_id"), col("text"),
+      minDf = 3, minPair = 1).as[(String, String, Long, Long)].collect()
+    assert(byDf.map(r => (r._1, r._2)).toSet == Set(("a", "b"))) // c has df 2
+    val byPair = CorpusOps.pmiPairs(docs, col("doc_id"), col("text"),
+      minDf = 1, minPair = 2).as[(String, String, Long, Long)].collect()
+    assert(byPair.map(r => (r._1, r._2)).toSet == Set(("a", "b")))
+  }
+
+  test("distributionDrift computes total-variation distance per group") {
+    val df = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "x"))
+      .toDF("g0", "cat0")
+    val out = QualityOps.distributionDrift(df, col("g0"), col("cat0"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // corpus mix: x=3/4, y=1/4
+    // g1: p=(2/3, 1/3) -> tv = 0.5*(1/12 + 1/12) = 1/12 -> 83333
+    // g2: p=(1, 0)     -> tv = 0.5*(1/4 + 1/4)   = 1/4  -> 250000
+    assert(out("g1") == (3L, 83333L))
+    assert(out("g2") == (1L, 250000L))
+  }
+}
