@@ -16,13 +16,16 @@ object GraphOps {
     * their rank back uniformly, so total rank stays 1 and the result matches
     * the random-surfer definition rather than the mass-leaking shortcut).
     *
-    * Scale design: the O(|E|) edge list is hash-partitioned by `src` once and
-    * localCheckpoint'd up front; each power iteration shuffles only the
-    * O(|V|) rank vector to meet it, and the new rank vector is checkpointed
-    * so the two consumers of the previous one (dangling-mass fold and
-    * contribution join) never recompute lineage. On a real cluster the same
-    * shape holds with the edges bucketed by `src` — the corpus-sized side
-    * never moves after iteration 0.
+    * Scale design: the O(|E|) edge list is localCheckpoint'd once so no
+    * iteration re-scans or re-dedups the source; each power iteration joins
+    * the O(|V|) rank vector to it (broadcast when ranks fit, the usual case
+    * up to billions of edges) and reduces contributions with map-side
+    * partial aggregation, so the per-iteration shuffle is O(|V|), not
+    * O(|E|). When |V| itself outgrows broadcast, co-locating the join is a
+    * storage-layout decision — bucket the edge table by `src` — not an
+    * in-plan repartition: checkpointing erases in-plan partitioning metadata
+    * (the LogicalRDD reports UnknownPartitioning), so a repartition here
+    * would cost an O(|E|) shuffle and buy nothing.
     *
     * Determinism: per-node contribution folds quantize `r/deg` to scaled
     * longs (1e15) so the aggregation is exact integer addition —
@@ -37,7 +40,6 @@ object GraphOps {
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
@@ -48,17 +50,18 @@ object GraphOps {
       .agg(count(lit(1)).cast("double").as("deg"))
       .localCheckpoint()
 
-    var ranks = nodes.select(col("id"), (lit(1.0) / lit(n)).as("r")).localCheckpoint()
+    var ranks = nodes.select(col("id"), (lit(1.0) / lit(n)).as("r"))
     for (_ <- 1 to iters) {
       val withDeg = ranks
         .join(deg, ranks("id") === deg("src"), "left_outer")
         .select(col("id"), col("r"), col("deg"))
-      // dangling mass: exact scaled-long fold of ranks with no out-edges;
-      // a single scalar, so the driver-side head() is O(1)
-      val danglingQ = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(floor(col("r") * lit(1e15) + lit(0.5))), lit(0L)).as("dm"))
-        .head().getLong(0)
-      val dangling = danglingQ / 1e15
+      // dangling mass: exact scaled-long fold of ranks with no out-edges,
+      // kept in-plan as a 1-row crossJoin so the whole iteration (dangling
+      // fold + contribution join + blend) materializes as ONE Spark job via
+      // the eager checkpoint — no per-iteration driver round-trip
+      val danglingDf = withDeg.filter(col("deg").isNull)
+        .agg((coalesce(sum(floor(col("r") * lit(1e15) + lit(0.5))), lit(0L))
+          .cast("double") / lit(1e15)).as("dm"))
       val contribs = e
         .join(
           withDeg.filter(col("deg").isNotNull).withColumnRenamed("id", "src"),
@@ -68,9 +71,10 @@ object GraphOps {
           / lit(1e15)).as("contrib"))
       val next = nodes
         .join(contribs, Seq("id"), "left_outer")
+        .crossJoin(danglingDf)
         .select(col("id"),
           ((lit(1.0) - lit(damping)) / lit(n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dangling) / lit(n)))
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)))
             .as("r"))
       ranks = next.localCheckpoint()
     }
