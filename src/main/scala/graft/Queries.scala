@@ -4549,6 +4549,92 @@ object Queries {
       FROM lineitem WHERE l_partkey % 997 = 1
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Ordered funnel ([[AnalyticsOps.funnel]]): view → click → purchase with
+    * earliest-completion semantics; per-step user counts. */
+  private val qFunnel = QuerySpec(
+    "q_funnel",
+    (s, dir) =>
+      AnalyticsOps.funnel(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase")),
+    Some("""WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT s1.u, MIN(e.ts) AS t2 FROM s1 JOIN events e
+        ON e.user_id = s1.u AND e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY 1),
+      s3 AS (SELECT s2.u, MIN(e.ts) AS t3 FROM s2 JOIN events e
+        ON e.user_id = s2.u AND e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY 1)
+      SELECT * FROM (
+        SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) f
+      ORDER BY step_idx"""))
+
+  /** Weekly cohort retention ([[AnalyticsOps.retentionCohorts]]). */
+  private val qRetention = QuerySpec(
+    "q_retention",
+    (s, dir) =>
+      AnalyticsOps.retentionCohorts(t(s, dir, "events"), col("user_id"), col("ts")),
+    Some("""WITH coh AS (SELECT user_id AS u, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY 1),
+      act AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS aw FROM events)
+      SELECT coh.cohort_week,
+        CAST(date_diff('day', coh.cohort_week, act.aw) / 7 AS BIGINT) AS week_offset,
+        COUNT(*) AS n_users
+      FROM coh JOIN act ON coh.u = act.u
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Interval merge ([[AnalyticsOps.mergeIntervals]]): 30-minute activity
+    * windows per user coalesced into islands; deduplicated coverage in
+    * exact integer microseconds. */
+  private val qIntervalMerge = QuerySpec(
+    "q_interval_merge",
+    (s, dir) =>
+      AnalyticsOps.mergeIntervals(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("te")),
+        col("user_id"), col("ts"), col("te"))
+        .select(col("k").as("user_id"), col("n_islands"), col("covered_us")),
+    Some("""WITH iv AS (SELECT user_id AS k, ts AS s, ts + INTERVAL 30 MINUTE AS e
+        FROM events),
+      marked AS (SELECT k, s, e,
+          CASE WHEN MAX(e) OVER (PARTITION BY k ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            OR s > MAX(e) OVER (PARTITION BY k ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+      isl AS (SELECT k, s, e,
+          SUM(new_island) OVER (PARTITION BY k ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked),
+      merged AS (SELECT k, island, MIN(s) AS ms, MAX(e) AS me
+        FROM isl GROUP BY 1, 2)
+      SELECT k AS user_id, COUNT(*) AS n_islands,
+        CAST(SUM(date_diff('microsecond', ms, me)) AS BIGINT) AS covered_us
+      FROM merged GROUP BY 1 ORDER BY 1"""))
+
+  /** Clickstream transition matrix ([[AnalyticsOps.transitions]]):
+    * adjacent-event type pairs per user, with exact 1e-6-quantized
+    * row-normalized probabilities. */
+  private val qTransitions = QuerySpec(
+    "q_transitions",
+    (s, dir) =>
+      AnalyticsOps.transitions(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_type"), col("event_id")),
+    Some("""WITH seq AS (SELECT user_id, event_type AS s,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events),
+      pairs AS (SELECT s AS from_step, nxt AS to_step, COUNT(*) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_step, SUM(n) AS tot FROM pairs GROUP BY 1)
+      SELECT p.from_step, p.to_step, p.n,
+        CAST(floor(CAST(p.n AS DOUBLE) * 1e6 / CAST(t.tot AS DOUBLE) + 0.5) AS BIGINT) AS p_e6
+      FROM pairs p JOIN tot t ON p.from_step = t.from_step
+      ORDER BY 1, 2"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -4586,5 +4672,6 @@ object Queries {
     qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,
     qStreamOuterJoin, qPivot, qUnpivot, qCorrelation, qDedupCanonical,
     qExpectations, qCdcApply, qBinaryFiles, qAnnInt8, qNormalize,
-    qCsvQuoted, qGapFill, qPagerank, qPmi, qDistDrift, qParquetBloom)
+    qCsvQuoted, qGapFill, qPagerank, qPmi, qDistDrift, qParquetBloom,
+    qFunnel, qRetention, qIntervalMerge, qTransitions)
 }
