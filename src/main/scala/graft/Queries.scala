@@ -4635,6 +4635,52 @@ object Queries {
       FROM pairs p JOIN tot t ON p.from_step = t.from_step
       ORDER BY 1, 2"""))
 
+  /** Blocked fuzzy join ([[DedupOps.fuzzyPairs]]): part-name pairs within
+    * Levenshtein 2, blocked on the noun token so no cartesian product
+    * forms. Spark and DuckDB both score edit distance at unit cost. */
+  private val qFuzzyJoin = QuerySpec(
+    "q_fuzzy_join",
+    (s, dir) =>
+      DedupOps.fuzzyPairs(t(s, dir, "part"), col("p_name"),
+          split(col("p_name"), " ").getItem(1), maxDist = 2)
+        .orderBy("n1", "n2"),
+    Some("""WITH names AS (SELECT DISTINCT p_name AS n,
+          split_part(p_name, ' ', 2) AS blk FROM part)
+      SELECT a.n AS n1, b.n AS n2, levenshtein(a.n, b.n) AS d
+      FROM names a JOIN names b
+        ON a.blk = b.blk AND a.n < b.n AND abs(length(a.n) - length(b.n)) <= 2
+      WHERE levenshtein(a.n, b.n) <= 2
+      ORDER BY 1, 2"""))
+
+  /** Native Jaro-Winkler scorer ([[graft.plans.JaroWinkler]]) over the same
+    * blocked candidate pairs; similarity reported as exact
+    * floor(jw*1e6+0.5) integers against DuckDB's byte-level
+    * jaro_winkler_similarity. */
+  private val qJaroWinkler = QuerySpec(
+    "q_jaro_winkler",
+    (s, dir) => {
+      val names = t(s, dir, "part")
+        .select(col("p_name").as("n"),
+          split(col("p_name"), " ").getItem(1).as("blk"))
+        .distinct()
+      val a = names.select(col("n").as("n1"), col("blk"))
+      val b = names.select(col("n").as("n2"), col("blk").as("blk2"))
+      a.join(b, col("blk") === col("blk2") && col("n1") < col("n2"))
+        .withColumn("jw",
+          graft.plans.NativeFunctions.jaro_winkler(col("n1"), col("n2")))
+        .filter(col("jw") >= 0.8)
+        .select(col("n1"), col("n2"),
+          floor(col("jw") * lit(1e6) + lit(0.5)).cast("long").as("jw_e6"))
+        .orderBy("n1", "n2")
+    },
+    Some("""WITH names AS (SELECT DISTINCT p_name AS n,
+          split_part(p_name, ' ', 2) AS blk FROM part)
+      SELECT a.n AS n1, b.n AS n2,
+        CAST(floor(jaro_winkler_similarity(a.n, b.n) * 1e6 + 0.5) AS BIGINT) AS jw_e6
+      FROM names a JOIN names b ON a.blk = b.blk AND a.n < b.n
+      WHERE jaro_winkler_similarity(a.n, b.n) >= 0.8
+      ORDER BY 1, 2"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -4673,5 +4719,6 @@ object Queries {
     qStreamOuterJoin, qPivot, qUnpivot, qCorrelation, qDedupCanonical,
     qExpectations, qCdcApply, qBinaryFiles, qAnnInt8, qNormalize,
     qCsvQuoted, qGapFill, qPagerank, qPmi, qDistDrift, qParquetBloom,
-    qFunnel, qRetention, qIntervalMerge, qTransitions)
+    qFunnel, qRetention, qIntervalMerge, qTransitions,
+    qFuzzyJoin, qJaroWinkler)
 }

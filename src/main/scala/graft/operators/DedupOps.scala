@@ -547,4 +547,29 @@ object DedupOps {
         count(lit(1)).as("cluster_size"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
+
+  /** Blocked fuzzy-match candidate pairs: distinct values of `name`,
+    * self-joined only within a `block` (a cheap deterministic key — last
+    * token, phonetic code, length band) and only where the byte-length gap
+    * can possibly pass `maxDist` (|len(a)-len(b)| ≤ d is a necessary
+    * condition for edit distance ≤ d). Emits `(n1, n2, d)` with
+    * `n1 < n2` and Levenshtein `d ≤ maxDist`.
+    *
+    * This is the record-linkage shape that survives scale: the quadratic
+    * blow-up is confined to one block, the join shuffles on the block key
+    * (skewed mega-blocks are a blocking-key-design problem, same contract
+    * as [[minhashLsh]]'s `maxBucket`), and the length prefilter prunes
+    * candidates before the O(len²) scorer runs. An unblocked fuzzy join is
+    * a cartesian product — never that. */
+  def fuzzyPairs(df: DataFrame, name: Column, block: Column,
+      maxDist: Int): DataFrame = {
+    val names = df.select(name.as("n"), block.as("blk")).distinct()
+    val a = names.select(col("n").as("n1"), col("blk"))
+    val b = names.select(col("n").as("n2"), col("blk").as("blk2"))
+    a.join(b, col("blk") === col("blk2") && col("n1") < col("n2") &&
+        abs(length(col("n1")) - length(col("n2"))) <= maxDist)
+      .withColumn("d", levenshtein(col("n1"), col("n2")))
+      .filter(col("d") <= maxDist)
+      .select(col("n1"), col("n2"), col("d"))
+  }
 }

@@ -100,6 +100,10 @@ object NativeFunctions {
   def normalize_text(c: Column, form: String = "NFC"): Column =
     SqlBridge.column(NormalizeText(SqlBridge.expression(c), form))
 
+  def jaro_winkler(a: Column, b: Column): Column =
+    SqlBridge.column(
+      JaroWinkler(SqlBridge.expression(a), SqlBridge.expression(b)))
+
   /** Bloom-filter build/probe — Spark ships these Catalyst expressions for
     * its own runtime-filter pushdown but does not SQL-register them; the
     * bridge exposes them as engine surface (build over xxhash64(key) longs,
@@ -127,6 +131,10 @@ object NativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hamming",
       exprs => HammingDistance(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      exprs => JaroWinkler(exprs(0), exprs(1)),
       "built-in")
     // graft_normalize(s[, 'NFC'|'NFD'|'NFKC'|'NFKD']) — form must be a
     // literal (it is baked into the generated code)

@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
       (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
       (exprs: Seq[Expression]) => NormalizeText(exprs(0),
