@@ -4681,6 +4681,33 @@ object Queries {
       WHERE jaro_winkler_similarity(a.n, b.n) >= 0.8
       ORDER BY 1, 2"""))
 
+  /** Triangle counting ([[GraphOps.triangleCounts]]) on the co-purchase
+    * graph (parts sharing an order). The oracle enumerates triangles in
+    * plain id order — orientation changes the join cost, never the
+    * triangle set, so the two strategies cross-check each other. */
+  private val qTriangles = QuerySpec(
+    "q_triangles",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("src"))
+      val b = li.select(col("ok").as("ok2"), col("pk").as("dst"))
+      val edges = a.join(b, col("ok") === col("ok2") && col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.triangleCounts(edges).orderBy("node")
+    },
+    Some("""WITH e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      nodes AS (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -4720,5 +4747,5 @@ object Queries {
     qExpectations, qCdcApply, qBinaryFiles, qAnnInt8, qNormalize,
     qCsvQuoted, qGapFill, qPagerank, qPmi, qDistDrift, qParquetBloom,
     qFunnel, qRetention, qIntervalMerge, qTransitions,
-    qFuzzyJoin, qJaroWinkler)
+    qFuzzyJoin, qJaroWinkler, qTriangles)
 }

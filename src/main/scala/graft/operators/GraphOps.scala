@@ -80,4 +80,59 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Per-node triangle counts over an undirected edge list — the local
+    * clustering signal community detection and spam/bot scoring start
+    * from. Input edges may be directed/duplicated; they are canonicalized
+    * to distinct unordered pairs first. Returns `(node, n_tri)` for every
+    * node in at least one triangle.
+    *
+    * Scale design: degree-oriented adjacency intersection (the
+    * compact-forward algorithm). Each edge is oriented from its lower
+    * endpoint to its higher endpoint in the total order (degree, id), so
+    * out-degrees are bounded by O(√|E|) — a celebrity node with 10^8
+    * neighbors has huge in-degree but a small out-list. Each oriented
+    * edge (x,y) then counts `|N⁺(x) ∩ N⁺(y)|` by joining the two sorted
+    * out-lists and intersecting per row. Unlike the textbook wedge
+    * self-join — which materializes and shuffles every path x→y→z (49M
+    * rows on the 1.2M-edge gate graph, and quadratic in the hot node's
+    * degree on skewed graphs) — the intermediate here is one row per
+    * *edge* carrying two O(√|E|) arrays, and the per-edge intersection
+    * runs fused in codegen. Every join shuffles on a node key; the
+    * per-node rollup partial-aggregates map-side after the explode. The
+    * oriented edge list feeds the adjacency build and both probe sides,
+    * so it is localCheckpoint'd once rather than recomputed per branch. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und
+      .select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val oriented = und.join(du, "u").join(dv, "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("x"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("y"))
+      .localCheckpoint()
+    val adj = oriented.groupBy(col("x").as("n"))
+      .agg(sort_array(collect_list(col("y"))).as("nbrs"))
+    val nx = adj.select(col("n").as("x"), col("nbrs").as("xn"))
+    val ny = adj.select(col("n").as("y"), col("nbrs").as("yn"))
+    // inner joins: an edge whose y has no out-list closes no triangle
+    val perEdge = oriented.join(nx, "x").join(ny, "y")
+      .select(col("x"), col("y"),
+        array_intersect(col("xn"), col("yn")).as("zs"))
+      .filter(size(col("zs")) > 0)
+    // triangle (x,y,z): 1 to z per element; |zs| to each of x and y
+    perEdge.select(explode(col("zs")).as("node"), lit(1L).as("w"))
+      .unionAll(perEdge.select(explode(array(col("x"), col("y"))).as("node"),
+        size(col("zs")).cast("long").as("w")))
+      .groupBy("node").agg(sum(col("w")).as("n_tri"))
+  }
 }

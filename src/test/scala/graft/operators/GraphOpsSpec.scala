@@ -37,6 +37,30 @@ class GraphOpsSpec extends AnyFunSuite {
     // the sink of most edges outranks the pure sources
     assert(r(3L) > r(4L) && r(3L) > r(5L))
   }
+
+  private def triangles(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("K4 has four triangles, three per node") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val t = triangles(k4)
+    assert(t === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("stars and paths are triangle-free; direction and dups don't matter") {
+    assert(triangles(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 5L)).isEmpty)
+    // same triangle given with mixed direction, duplicates, and a self-loop
+    val messy = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 1L, 2L -> 3L)
+    assert(triangles(messy) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("hub-and-rim: each rim edge closes one triangle through the hub") {
+    // hub 0 connects to 1..5; rim edges 1-2, 3-4 -> two triangles
+    val edges = (1L to 5L).map(0L -> _) ++ Seq(1L -> 2L, 3L -> 4L)
+    val t = triangles(edges)
+    assert(t === Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }
 
 /** PMI lift and distribution drift against hand counts. */
