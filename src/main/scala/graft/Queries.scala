@@ -4708,6 +4708,71 @@ object Queries {
         UNION ALL SELECT c FROM tri)
       SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY 1 ORDER BY 1"""))
 
+  /** Robust outlier profile ([[QualityOps.madOutliers]]): per-event-type
+    * median / MAD / 3-MAD outlier counts over the value column. */
+  private val qMadOutliers = QuerySpec(
+    "q_mad_outliers",
+    (s, dir) =>
+      QualityOps.madOutliers(t(s, dir, "events"), col("event_type"), col("value"))
+        .select(col("g").as("event_type"), col("med"), col("mad"),
+          col("n"), col("n_outliers"))
+        .orderBy("event_type"),
+    Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      stats AS (SELECT e.event_type, MIN(m.med) AS med,
+          quantile_cont(abs(e.value - m.med), 0.5) AS mad, COUNT(*) AS n
+        FROM events e JOIN med m ON e.event_type = m.event_type GROUP BY 1)
+      SELECT e.event_type, ROUND(MIN(st.med), 6) AS med,
+        ROUND(MIN(st.mad), 6) AS mad, MIN(st.n) AS n,
+        COUNT(*) FILTER (abs(e.value - st.med) > 3.0 * st.mad) AS n_outliers
+      FROM events e JOIN stats st ON e.event_type = st.event_type
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Chi-square independence ([[QualityOps.chiSquare]]) of language vs
+    * source over documents — integer-exact statistic from per-cell
+    * quantized contributions. */
+  private val qChiSquare = QuerySpec(
+    "q_chi_square",
+    (s, dir) =>
+      QualityOps.chiSquare(t(s, dir, "documents"), col("lang"), col("source")),
+    Some("""WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS o
+        FROM documents GROUP BY 1, 2),
+      ma AS (SELECT a, SUM(o) AS na FROM cells GROUP BY 1),
+      mb AS (SELECT b, SUM(o) AS nb FROM cells GROUP BY 1),
+      tot AS (SELECT SUM(o) AS n FROM cells),
+      grid AS (SELECT ma.a, mb.b, ma.na, mb.nb, (SELECT n FROM tot) AS n,
+          COALESCE(c.o, 0) AS o,
+          CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE)
+            / CAST((SELECT n FROM tot) AS DOUBLE) AS e
+        FROM ma CROSS JOIN mb LEFT JOIN cells c ON ma.a = c.a AND mb.b = c.b)
+      SELECT CAST(MIN(n) AS BIGINT) AS n,
+        (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+        CAST(SUM(CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+          / e * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS chi2_e6
+      FROM grid"""))
+
+  /** Token entropy ([[CorpusOps.tokenEntropy]]): per-source lexical
+    * diversity in quantized nats. */
+  private val qTokenEntropy = QuerySpec(
+    "q_token_entropy",
+    (s, dir) =>
+      CorpusOps.tokenEntropy(t(s, dir, "documents"), col("source"), col("text"))
+        .select(col("g").as("source"), col("n_tokens"), col("vocab"),
+          col("entropy_e9"))
+        .orderBy("source"),
+    Some("""WITH toks AS (SELECT source AS g,
+          unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        FROM documents),
+      counts AS (SELECT g, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      totals AS (SELECT g, SUM(c) AS tot, COUNT(*) AS vocab FROM counts GROUP BY 1)
+      SELECT c.g AS source, CAST(MIN(t.tot) AS BIGINT) AS n_tokens,
+        MIN(t.vocab) AS vocab,
+        CAST(SUM(CAST(floor(-(CAST(c.c AS DOUBLE) / t.tot)
+          * ln(CAST(c.c AS DOUBLE) / t.tot) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+          AS entropy_e9
+      FROM counts c JOIN totals t ON c.g = t.g
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -4747,5 +4812,6 @@ object Queries {
     qExpectations, qCdcApply, qBinaryFiles, qAnnInt8, qNormalize,
     qCsvQuoted, qGapFill, qPagerank, qPmi, qDistDrift, qParquetBloom,
     qFunnel, qRetention, qIntervalMerge, qTransitions,
-    qFuzzyJoin, qJaroWinkler, qTriangles)
+    qFuzzyJoin, qJaroWinkler, qTriangles,
+    qMadOutliers, qChiSquare, qTokenEntropy)
 }

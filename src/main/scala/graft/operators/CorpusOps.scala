@@ -107,6 +107,35 @@ object CorpusOps {
           .cast("long").as("lift_e6"))
   }
 
+  /** Per-group token (Shannon) entropy in nats — the lexical-diversity
+    * signal corpus curation uses to catch template farms and boilerplate
+    * sources: a source whose million documents reuse 50 tokens scores near
+    * zero however large it is. Returns
+    * `(g, n_tokens, vocab, entropy_e9)` with the entropy as an exact
+    * integer sum of per-type floor-quantized `-p·ln p` terms, so the
+    * reduction is order-independent (libm `log` is not mandated
+    * correctly-rounded; quantizing each term before the sum makes the
+    * gate engine-portable, same recipe as [[MapOps.bigramSurprisal]]).
+    *
+    * Shape: tokenize → one shuffle to (group, token) counts → per-group
+    * totals reduce from the counts → one group-keyed join between two
+    * aggregates. Hot groups partial-aggregate map-side; nothing is
+    * windowed or collected. */
+  def tokenEntropy(df: DataFrame, groupCol: Column, textCol: Column): DataFrame = {
+    val toks = df.select(groupCol.as("g"),
+      explode(filter(split(textCol, "\\s+"), t => t =!= "")).as("w"))
+    val counts = toks.groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("g")
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("vocab"))
+    counts.join(totals, "g")
+      .withColumn("p", col("c").cast("double") / col("tot").cast("double"))
+      .withColumn("term_e9", floor(-col("p") * log(col("p")) * lit(1e9) + lit(0.5))
+        .cast("long"))
+      .groupBy("g")
+      .agg(min(col("tot")).as("n_tokens"), min(col("vocab")).as("vocab"),
+        sum(col("term_e9")).as("entropy_e9"))
+  }
+
   /** Data selection under a token budget: keep documents in quality-desc
     * (hash-tiebroken) order while the running token total stays within
     * `budget` — the greedy prefix rule, the standard corpus-curation step

@@ -62,6 +62,68 @@ object QualityOps {
     * tiebreak for determinism). Upserts/inserts take the change payload,
     * deletes remove the key, untouched base rows pass through. One shuffle
     * on the key — the standard incremental-snapshot maintenance step. */
+  /** Robust per-group outlier profile: median, MAD (median absolute
+    * deviation), and the count of points deviating more than
+    * `k` MADs — the outlier rule that survives the outliers themselves,
+    * unlike mean/stddev z-scores which the extreme values drag.
+    *
+    * Two grouped percentile passes (shuffles on the group key only) with a
+    * group-keyed join between them; no windows, so a giant group costs one
+    * aggregation buffer, not a task-local sort. The percentiles here are
+    * exact (the gate contract); at 100 TB swap `percentile` for
+    * `approx_percentile` — same plan shape, bounded memory. */
+  def madOutliers(df: DataFrame, groupCol: Column, xCol: Column,
+      k: Double = 3.0): DataFrame = {
+    val base = df.select(groupCol.as("g"), xCol.cast("double").as("x"))
+    val med = base.groupBy("g").agg(expr("percentile(x, 0.5)").as("med"))
+    val stats = base.join(med, "g")
+      .groupBy("g")
+      .agg(min(col("med")).as("med"),
+        expr("percentile(abs(x - med), 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+    base.join(stats, "g")
+      .groupBy("g")
+      .agg(min(col("med")).as("med_"), min(col("mad")).as("mad_"),
+        min(col("n")).as("n"),
+        count(when(abs(col("x") - col("med")) > lit(k) * col("mad"), 1))
+          .as("n_outliers"))
+      .select(col("g"), round(col("med_"), 6).as("med"),
+        round(col("mad_"), 6).as("mad"), col("n"), col("n_outliers"))
+  }
+
+  /** Chi-square test of independence between two categorical columns — the
+    * "did the label mix shift with the source?" statistic. Returns one row:
+    * `(n, dof, chi2_e6)` with the statistic as an exact integer sum of
+    * per-cell floor-quantized contributions (order-independent, so the
+    * aggregation parallelizes without fp drift).
+    *
+    * One shuffle builds the contingency cells; margins reduce from the
+    * cells (tiny), and the cross of margins is |A|x|B| rows — statistics
+    * over category pairs, never over rows. Zero-observed cells contribute
+    * their full expected mass, so the grid is generated from the margin
+    * cross, not from observed cells alone. */
+  def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ma = cells.groupBy("a").agg(sum(col("o")).as("na"))
+    val mb = cells.groupBy("b").agg(sum(col("o")).as("nb"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    ma.crossJoin(mb).crossJoin(tot)
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("n"), col("na"), col("nb"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .withColumn("e",
+        col("na").cast("double") * col("nb").cast("double") / col("n").cast("double"))
+      .withColumn("contrib_e6",
+        floor((col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e") * lit(1e6) + lit(0.5)).cast("long"))
+      .agg(min(col("n")).as("n"),
+        ((count_distinct(col("a")) - 1) * (count_distinct(col("b")) - 1))
+          .as("dof"),
+        sum(col("contrib_e6")).as("chi2_e6"))
+      .select(col("n"), col("dof"), col("chi2_e6"))
+  }
+
   def cdcApply(base: DataFrame, changes: DataFrame, key: String,
       opCol: String = "op", seqCol: String = "seq"): DataFrame = {
     val payload = base.columns.toSeq
