@@ -4773,6 +4773,55 @@ object Queries {
       FROM counts c JOIN totals t ON c.g = t.g
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Skip-gram pairs ([[CorpusOps.skipgramPairs]]): window-2 directed
+    * co-occurrence counts, support ≥ 20. */
+  private val qSkipgrams = QuerySpec(
+    "q_skipgrams",
+    (s, dir) =>
+      CorpusOps.skipgramPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+          window = 2, minPair = 20)
+        .orderBy("w1", "w2"),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        FROM documents),
+      pos AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+        FROM toks),
+      pairs AS (SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND a.i <> b.i AND abs(a.i - b.i) <= 2
+        GROUP BY 1, 2)
+      SELECT w1, w2, n FROM pairs WHERE n >= 20 ORDER BY 1, 2"""))
+
+  /** BM25 scoring ([[CorpusOps.bm25]]) for a three-term query; integer
+    * quantized per-term contributions. */
+  private val qBm25 = QuerySpec(
+    "q_bm25",
+    (s, dir) =>
+      CorpusOps.bm25(t(s, dir, "documents"), col("doc_id"), col("text"),
+          Seq("join", "hash", "merge"))
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        FROM documents),
+      dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+      stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+        WHERE w IN ('join', 'hash', 'merge') GROUP BY 1, 2),
+      dft AS (SELECT w, COUNT(*) AS df_t FROM tf GROUP BY 1),
+      scored AS (SELECT tf.doc_id,
+          CAST(floor(
+            ln((CAST(s.n_docs AS DOUBLE) - df_t + 0.5) / (CAST(df_t AS DOUBLE) + 0.5) + 1.0)
+            * CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+            / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE)
+                / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+            * 1e6 + 0.5) AS BIGINT) AS term_e6
+        FROM tf JOIN dft ON tf.w = dft.w JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s)
+      SELECT doc_id, COUNT(*) AS n_terms,
+        CAST(SUM(term_e6) AS BIGINT) AS score_e6
+      FROM scored GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -4813,5 +4862,5 @@ object Queries {
     qCsvQuoted, qGapFill, qPagerank, qPmi, qDistDrift, qParquetBloom,
     qFunnel, qRetention, qIntervalMerge, qTransitions,
     qFuzzyJoin, qJaroWinkler, qTriangles,
-    qMadOutliers, qChiSquare, qTokenEntropy)
+    qMadOutliers, qChiSquare, qTokenEntropy, qSkipgrams, qBm25)
 }

@@ -136,6 +136,71 @@ object CorpusOps {
         sum(col("term_e9")).as("entropy_e9"))
   }
 
+  /** Skip-gram pair counts — the (center, context) co-occurrence table
+    * embedding training starts from: every ordered token pair at distance
+    * 1..`window` within a document, counted corpus-wide, floored at
+    * `minPair` support. Directed (both orientations of a pair count
+    * separately), matching word2vec's center→context convention.
+    *
+    * Shape: tokenize with positions, then a per-document positional
+    * self-join — shuffles on doc id, per-document output is O(len·window),
+    * never cross-document. The pair rollup partial-aggregates map-side,
+    * and `minPair` keeps the long tail of hapax pairs out of the result
+    * (at 100 TB you also floor the vocabulary first, [[pmiPairs]]-style). */
+  def skipgramPairs(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int, minPair: Long): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val pos = df.select(idCol.as("doc_id"),
+        posexplode(filter(split(textCol, "\\s+"), t => t =!= "")))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("w"))
+    val a = pos.select(col("doc_id"), col("i"), col("w").as("w1"))
+    val b = pos.select(col("doc_id").as("d2"), col("i").as("j"), col("w").as("w2"))
+    a.join(b, col("doc_id") === col("d2") && col("i") =!= col("j") &&
+        abs(col("i") - col("j")) <= window)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPair)
+  }
+
+  /** BM25 relevance scores for a bag-of-terms query over the corpus —
+    * the classic retrieval scorer (Robertson/Lucene non-negative idf
+    * variant): `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`
+    * with `idf = ln((N - df + 0.5)/(df + 0.5) + 1)`. Returns
+    * `(doc_id, n_terms, score_e6)` for documents matching ≥ 1 term, the
+    * score an exact integer sum of per-term floor-quantized contributions
+    * (order-independent reduction; `dl` totals stay integer so `avgdl` is
+    * one exact division, not a drifting double sum).
+    *
+    * Shape: term frequencies reduce per (doc, term) map-side after an
+    * `isin` filter that prunes the posting build to the query's terms;
+    * document frequencies reduce from the tf table (tiny); corpus stats
+    * (N, avgdl) ride a 1-row crossJoin, [[GraphOps.pagerank]]-style, so
+    * scoring is one scan plus group-keyed joins — nothing collects. */
+  def bm25(df: DataFrame, idCol: Column, textCol: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(idCol.as("doc_id"),
+      filter(split(textCol, "\\s+"), t => t =!= "").as("ws"))
+    val dl = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df_t"))
+    tf.join(dfT, "w").join(dl, "doc_id").crossJoin(stats)
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df_t") + lit(0.5))
+          / (col("df_t").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("term_e6",
+        floor(col("idf") * col("tf").cast("double") * lit(k1 + 1.0)
+          / (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_e6")).as("score_e6"))
+  }
+
   /** Data selection under a token budget: keep documents in quality-desc
     * (hash-tiebroken) order while the running token total stays within
     * `budget` — the greedy prefix rule, the standard corpus-curation step

@@ -48,4 +48,43 @@ class StatsOpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().head
     assert(out === (("s", 4L, 1L, 0L)))
   }
+
+  test("skipgramPairs: window-1 pairs of a 3-token doc, both directions") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = CorpusOps
+      .skipgramPairs(df, col("doc_id"), col("text"), window = 1, minPair = 1)
+      .orderBy("w1", "w2").as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L), ("c", "b", 1L)))
+  }
+
+  test("skipgramPairs: window 2 reaches over one token; support floor prunes") {
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out = CorpusOps
+      .skipgramPairs(df, col("doc_id"), col("text"), window = 2, minPair = 3)
+      .as[(String, String, Long)].collect().toSeq
+    // (a,b): positions (0,1),(0,2 is a),(2,3),(0? ) -> a@0->b@1, a@0->b@3? dist 3 no,
+    // a@2->b@1, a@2->b@3 => 3; symmetric for (b,a)
+    assert(out.toSet === Set(("a", "b", 3L), ("b", "a", 3L)))
+  }
+
+  test("bm25 matches the hand-evaluated formula") {
+    val df = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = CorpusOps.bm25(df, col("doc_id"), col("text"), Seq("x"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // N=2, df_x=1, idf=ln(2.5/1.5+1); tf=2, dl=3, avgdl=2.5
+    val idf = math.log((2.0 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    val denom = 2.0 + 1.2 * ((1.0 - 0.75) + 0.75 * 3.0 / 2.5)
+    val e6 = math.floor(idf * 2.0 * (1.2 + 1.0) / denom * 1e6 + 0.5).toLong
+    assert(out === Seq((1L, 1L, e6)))
+  }
+
+  test("bm25: a rarer term outscores a common one at equal tf") {
+    val docs = Seq((1L, "rare common"), (2L, "common filler"), (3L, "common pad"))
+      .toDF("doc_id", "text")
+    // doc 1 matches both terms; docs 2-3 match only 'common'
+    val scores = CorpusOps.bm25(docs, col("doc_id"), col("text"), Seq("rare", "common"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(scores(0)._2 == 2L && scores(1)._2 == 1L && scores(2)._2 == 1L)
+    assert(scores(0)._3 > scores(1)._3)
+  }
 }
