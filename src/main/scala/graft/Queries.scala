@@ -4822,6 +4822,26 @@ object Queries {
         CAST(SUM(term_e6) AS BIGINT) AS score_e6
       FROM scored GROUP BY 1 ORDER BY 1"""))
 
+  /** Weighted sampling ([[SortOps.weightedPrioritySample]]): 100 documents
+    * drawn without replacement, inclusion odds proportional-ish to length
+    * — the Efraimidis–Spirakis exponential race on md5-derived uniforms,
+    * reproduced term-for-term by the oracle. */
+  private val qWeightedSample = QuerySpec(
+    "q_weighted_sample",
+    (s, dir) =>
+      SortOps.weightedPrioritySample(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          col("doc_id"), col("n_chars"), k = 100)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+          -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            + 1.0) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS key
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        ORDER BY key LIMIT 100)
+      ORDER BY doc_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -4862,5 +4882,6 @@ object Queries {
     qCsvQuoted, qGapFill, qPagerank, qPmi, qDistDrift, qParquetBloom,
     qFunnel, qRetention, qIntervalMerge, qTransitions,
     qFuzzyJoin, qJaroWinkler, qTriangles,
-    qMadOutliers, qChiSquare, qTokenEntropy, qSkipgrams, qBm25)
+    qMadOutliers, qChiSquare, qTokenEntropy, qSkipgrams, qBm25,
+    qWeightedSample)
 }

@@ -134,6 +134,33 @@ object SortOps {
     df.filter(bucket < floor(rate * 10000).cast("long"))
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (k rows, inclusion
+    * probability increasing in weight) — the Efraimidis–Spirakis scheme by
+    * exponential race: each row draws `u` from its key's md5 (uniform on
+    * (0,1], pure function of the key — reproducible across runs, engines,
+    * and partitionings), keys score `-ln(u)/w`, and the k smallest scores
+    * win. Higher weight ⇒ stochastically smaller exponential ⇒ more likely
+    * selected; the tail beyond `u`'s 32-bit resolution is immaterial for
+    * ranking. Rows with weight ≤ 0 or NULL never win (they'd need an
+    * infinite rate).
+    *
+    * Shape: a per-row projection plus a global top-k — per-partition
+    * heaps merged at the driver (TakeOrderedAndProject), never a full
+    * sort; nothing else moves. The corpus-curation use: sample training
+    * documents proportional to a quality score, reproducibly. */
+  def weightedPrioritySample(df: DataFrame, keyCol: Column,
+      weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val h = conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + lit(1.0)) / lit(4294967296.0)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("_wps_key", -log(u) / weightCol.cast("double"))
+      .orderBy(col("_wps_key"))
+      .limit(k)
+      .drop("_wps_key")
+  }
+
   /** Deterministic stratified sample — per-stratum keep fractions with the
     * same portable-hash assignment as [[hashSplit]]: a row survives iff its
     * key's md5 bucket (out of 10000) falls under its stratum's fraction.

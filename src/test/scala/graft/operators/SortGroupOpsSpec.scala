@@ -68,6 +68,26 @@ class SortGroupOpsSpec extends AnyFunSuite {
       SortOps.hashSplit(df, col("id"), Seq("a" -> 50, "b" -> 90)))
   }
 
+  test("weightedPrioritySample: deterministic, k-sized, weight-biased") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 100) 1000L else 1L))
+      .toDF("id", "w")
+    val pick = SortOps.weightedPrioritySample(df, col("id"), col("w"), k = 50)
+      .as[(Long, Long)].collect().toSeq
+    assert(pick.size == 50)
+    // two runs agree exactly (pure function of the keys)
+    val again = SortOps.weightedPrioritySample(df, col("id"), col("w"), k = 50)
+      .as[(Long, Long)].collect().toSeq
+    assert(pick.sortBy(_._1) == again.sortBy(_._1))
+    // 100 rows carry 1000x the weight of the other 900: they should
+    // dominate the sample (expected ~49 of 50)
+    assert(pick.count(_._2 == 1000L) > 40)
+    // non-positive and null weights never selected
+    val withBad = df.union(Seq((2000L, 0L), (2001L, -5L)).toDF("id", "w"))
+    val picked = SortOps.weightedPrioritySample(withBad, col("id"), col("w"), 2000)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(!picked.contains(2000L) && !picked.contains(2001L) && picked.size == 1000)
+  }
+
   test("sessionize splits on gaps larger than the threshold") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
