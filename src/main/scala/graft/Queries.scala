@@ -4842,6 +4842,64 @@ object Queries {
         ORDER BY key LIMIT 100)
       ORDER BY doc_id"""))
 
+  /** Ordered group-concat (the GROUP_CONCAT / string_agg reporting
+    * surface): per nation, its suppliers' names in one sorted
+    * comma-joined string. sort_array makes the concatenation
+    * order-independent of partitioning. */
+  private val qGroupConcat = QuerySpec(
+    "q_group_concat",
+    (s, dir) =>
+      t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          array_join(sort_array(collect_list(col("s_name"))), ",").as("names"))
+        .orderBy("nationkey"),
+    Some("""SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp,
+        string_agg(s_name, ',' ORDER BY s_name) AS names
+      FROM supplier GROUP BY 1 ORDER BY 1"""))
+
+  /** Column profiling (the ANALYZE-style stats sweep a catalog runs):
+    * per-column null count, distinct count, and lexicographic min/max,
+    * one aggregation pass over the table, unpivoted to a row per column. */
+  private val qProfile = QuerySpec(
+    "q_profile",
+    (s, dir) => {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          count_distinct(col(c)).as(s"${c}_ndv"),
+          min(col(c).cast("string")).as(s"${c}_min"),
+          max(col(c).cast("string")).as(s"${c}_max"))
+      }
+      val stackArgs = cols
+        .map(c => s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max")
+        .mkString(", ")
+      t(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.length}, $stackArgs) " +
+          "as (column_name, n_nulls, ndv, min_val, max_val)")
+        .orderBy("column_name")
+    },
+    Some("""SELECT column_name, n_nulls, ndv, min_val, max_val FROM (
+        SELECT 'l_returnflag' AS column_name,
+          CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          COUNT(DISTINCT l_returnflag) AS ndv,
+          MIN(CAST(l_returnflag AS VARCHAR)) AS min_val,
+          MAX(CAST(l_returnflag AS VARCHAR)) AS max_val FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus',
+          CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT l_linestatus),
+          MIN(CAST(l_linestatus AS VARCHAR)), MAX(CAST(l_linestatus AS VARCHAR))
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate',
+          CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT l_shipdate),
+          MIN(CAST(l_shipdate AS VARCHAR)), MAX(CAST(l_shipdate AS VARCHAR))
+        FROM lineitem) t
+      ORDER BY column_name"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -4883,5 +4941,5 @@ object Queries {
     qFunnel, qRetention, qIntervalMerge, qTransitions,
     qFuzzyJoin, qJaroWinkler, qTriangles,
     qMadOutliers, qChiSquare, qTokenEntropy, qSkipgrams, qBm25,
-    qWeightedSample)
+    qWeightedSample, qGroupConcat, qProfile)
 }
