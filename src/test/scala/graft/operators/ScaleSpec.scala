@@ -186,6 +186,35 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzyPairs never plans a cartesian product") {
+    val df = (1 to 500).map(i => (s"name_${i % 40} tail_${i % 7}", i))
+      .toDF("n", "i")
+    val q = DedupOps.fuzzyPairs(df, col("n"),
+      split(col("n"), " ").getItem(1), maxDist = 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"fuzzy join degenerated to a product:\n$plan")
+  }
+
+  test("weightedPrioritySample is a TakeOrdered, not a global sort") {
+    val df = (1L to 10000L).map(i => (i, i % 97 + 1)).toDF("id", "w")
+    val q = SortOps.weightedPrioritySample(df, col("id"), col("w"), k = 25)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k merge:\n$plan")
+    assert(q.count() == 25)
+  }
+
+  test("funnel plans contain no window operators") {
+    val ev = (1L to 3000L).map(i =>
+      (i % 100, new java.sql.Timestamp(i * 1000), Seq("view", "click", "purchase")(
+        (i % 3).toInt))).toDF("u", "t", "s")
+    val q = AnalyticsOps.funnel(ev, col("u"), col("t"), col("s"),
+      Seq("view", "click", "purchase"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"funnel should be join+agg only:\n$plan")
+  }
+
   test("Chain.of composes transforms left to right") {
     val f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       _.withColumn("x2", col("x") * 2)
