@@ -4864,20 +4864,24 @@ object Queries {
   private val qProfile = QuerySpec(
     "q_profile",
     (s, dir) => {
+      // one pass PER column, not one multi-distinct pass: each scan prunes
+      // to a single parquet column and ndv comes from a two-phase hash agg
+      // (map-side partials on low-cardinality keys), where the combined
+      // form plans an Expand that multiplies every row by #columns — 2.9s
+      // vs 0.4s at sf0.1, and the gap widens with width at scale
+      val li = t(s, dir, "lineitem")
       val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate")
-      val aggs = cols.flatMap { c =>
-        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-          count_distinct(col(c)).as(s"${c}_ndv"),
-          min(col(c).cast("string")).as(s"${c}_min"),
-          max(col(c).cast("string")).as(s"${c}_max"))
-      }
-      val stackArgs = cols
-        .map(c => s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max")
-        .mkString(", ")
-      t(s, dir, "lineitem")
-        .agg(aggs.head, aggs.tail: _*)
-        .selectExpr(s"stack(${cols.length}, $stackArgs) " +
-          "as (column_name, n_nulls, ndv, min_val, max_val)")
+      cols.map { c =>
+          li.groupBy(col(c).cast("string").as("v"))
+            .agg(count(lit(1)).as("cnt"))
+            .agg(coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+                .as("n_nulls"),
+              count(col("v")).as("ndv"),
+              min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+            .select(lit(c).as("column_name"), col("n_nulls"), col("ndv"),
+              col("min_val"), col("max_val"))
+        }
+        .reduce(_ unionAll _)
         .orderBy("column_name")
     },
     Some("""SELECT column_name, n_nulls, ndv, min_val, max_val FROM (
