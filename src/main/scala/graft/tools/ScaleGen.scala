@@ -75,6 +75,28 @@ object ScaleGen {
     embOut.write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
     val ne = spark.read.parquet(s"$dest/embeddings.parquet").count()
     println(s"[scalegen] wrote $ne embeddings (${factor}x of $src) to $dest")
+
+    // events: replica r offsets event and user ids, timestamps unchanged —
+    // the user population grows with the factor while every user keeps an
+    // unmodified event history, so per-user analytics (funnel, retention,
+    // interval merge, transitions) scale in the entity count, which is the
+    // axis they grow on in production
+    val ev = graft.core.Graft.table(spark, src, "events")
+    val maxEid = ev.agg(max("event_id")).head().getLong(0) + 1
+    val maxUid = ev.agg(max("user_id")).head().getLong(0) + 1
+    val evOut = (0 until factor)
+      .map { r =>
+        if (r == 0) ev
+        else ev.select(
+          (col("event_id") + lit(r * maxEid)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(r * maxUid)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
+      .reduce(_ unionByName _)
+    evOut.write.mode("overwrite").parquet(s"$dest/events.parquet")
+    val nev = spark.read.parquet(s"$dest/events.parquet").count()
+    println(s"[scalegen] wrote $nev events (${factor}x of $src) to $dest")
     spark.stop()
   }
 }
