@@ -4659,13 +4659,8 @@ object Queries {
   private val qJaroWinkler = QuerySpec(
     "q_jaro_winkler",
     (s, dir) => {
-      val names = t(s, dir, "part")
-        .select(col("p_name").as("n"),
-          split(col("p_name"), " ").getItem(1).as("blk"))
-        .distinct()
-      val a = names.select(col("n").as("n1"), col("blk"))
-      val b = names.select(col("n").as("n2"), col("blk").as("blk2"))
-      a.join(b, col("blk") === col("blk2") && col("n1") < col("n2"))
+      DedupOps.blockedCandidatePairs(t(s, dir, "part"), col("p_name"),
+          split(col("p_name"), " ").getItem(1))
         .withColumn("jw",
           graft.plans.NativeFunctions.jaro_winkler(col("n1"), col("n2")))
         .filter(col("jw") >= 0.8)
@@ -4736,7 +4731,8 @@ object Queries {
     (s, dir) =>
       QualityOps.chiSquare(t(s, dir, "documents"), col("lang"), col("source")),
     Some("""WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS o
-        FROM documents GROUP BY 1, 2),
+        FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY 1, 2),
       ma AS (SELECT a, SUM(o) AS na FROM cells GROUP BY 1),
       mb AS (SELECT b, SUM(o) AS nb FROM cells GROUP BY 1),
       tot AS (SELECT SUM(o) AS n FROM cells),

@@ -45,12 +45,14 @@ object AnalyticsOps {
     val counts = reached.agg(
       count(col("t1")).as("n1"),
       (2 to steps.length).map(i => count(col(s"t$i")).as(s"n$i")): _*)
-    val stackArgs = steps.zipWithIndex
-      .map { case (name, i) => s"${i + 1}, '$name', n${i + 1}" }
-      .mkString(", ")
+    // typed unpivot (no SQL-string interpolation: step names are data)
+    val rows = steps.zipWithIndex.map { case (name, i) =>
+      struct(lit(i + 1L).as("step_idx"), lit(name).as("step"),
+        col(s"n${i + 1}").as("n_users"))
+    }
     counts
-      .selectExpr(s"stack(${steps.length}, $stackArgs) as (step_idx, step, n_users)")
-      .select(col("step_idx").cast("long"), col("step"), col("n_users"))
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.n_users"))
       .orderBy("step_idx")
   }
 

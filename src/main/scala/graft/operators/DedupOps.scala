@@ -562,14 +562,26 @@ object DedupOps {
     * candidates before the O(len²) scorer runs. An unblocked fuzzy join is
     * a cartesian product — never that. */
   def fuzzyPairs(df: DataFrame, name: Column, block: Column,
-      maxDist: Int): DataFrame = {
-    val names = df.select(name.as("n"), block.as("blk")).distinct()
-    val a = names.select(col("n").as("n1"), col("blk"))
-    val b = names.select(col("n").as("n2"), col("blk").as("blk2"))
-    a.join(b, col("blk") === col("blk2") && col("n1") < col("n2") &&
-        abs(length(col("n1")) - length(col("n2"))) <= maxDist)
+      maxDist: Int): DataFrame =
+    blockedCandidatePairs(df, name, block,
+        extraCond = abs(length(col("n1")) - length(col("n2"))) <= maxDist)
       .withColumn("d", levenshtein(col("n1"), col("n2")))
       .filter(col("d") <= maxDist)
       .select(col("n1"), col("n2"), col("d"))
+
+  /** The blocked candidate-pair builder [[fuzzyPairs]] (and the
+    * Jaro-Winkler gate) scores over: distinct `name` values self-joined
+    * only within a `block`, canonicalized `n1 < n2`, with an optional
+    * extra pre-scorer prune (e.g. the Levenshtein length-gap necessary
+    * condition). NULL blocks never pair (equality join semantics) —
+    * unblockable records need their own key design, not a silent
+    * cartesian corner. */
+  def blockedCandidatePairs(df: DataFrame, name: Column, block: Column,
+      extraCond: Column = lit(true)): DataFrame = {
+    val names = df.select(name.as("n"), block.as("blk")).distinct()
+    val a = names.select(col("n").as("n1"), col("blk"))
+    val b = names.select(col("n").as("n2"), col("blk").as("blk2"))
+    a.join(b, col("blk") === col("blk2") && col("n1") < col("n2") && extraCond)
+      .select(col("n1"), col("n2"))
   }
 }

@@ -56,12 +56,6 @@ object QualityOps {
           .cast("long").as("tv_e6"))
   }
 
-  /** CDC apply — replay a changelog onto a snapshot: `changes` carries the
-    * base's payload columns plus an op ('I'nsert / 'U'psert / 'D'elete) and
-    * a sequence number; the HIGHEST-seq operation per key wins (op as
-    * tiebreak for determinism). Upserts/inserts take the change payload,
-    * deletes remove the key, untouched base rows pass through. One shuffle
-    * on the key — the standard incremental-snapshot maintenance step. */
   /** Robust per-group outlier profile: median, MAD (median absolute
     * deviation), and the count of points deviating more than
     * `k` MADs — the outlier rule that survives the outliers themselves,
@@ -101,9 +95,13 @@ object QualityOps {
     * cells (tiny), and the cross of margins is |A|x|B| rows — statistics
     * over category pairs, never over rows. Zero-observed cells contribute
     * their full expected mass, so the grid is generated from the margin
-    * cross, not from observed cells alone. */
+    * cross, not from observed cells alone. Rows with a NULL category are
+    * excluded entirely (from `n` and the margins too — a null-keyed cell
+    * would silently vanish from the equality join and skew the statistic;
+    * profile null rates separately, e.g. the q_profile sweep). */
   def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("o"))
     val ma = cells.groupBy("a").agg(sum(col("o")).as("na"))
     val mb = cells.groupBy("b").agg(sum(col("o")).as("nb"))
@@ -124,6 +122,12 @@ object QualityOps {
       .select(col("n"), col("dof"), col("chi2_e6"))
   }
 
+  /** CDC apply — replay a changelog onto a snapshot: `changes` carries the
+    * base's payload columns plus an op ('I'nsert / 'U'psert / 'D'elete) and
+    * a sequence number; the HIGHEST-seq operation per key wins (op as
+    * tiebreak for determinism). Upserts/inserts take the change payload,
+    * deletes remove the key, untouched base rows pass through. One shuffle
+    * on the key — the standard incremental-snapshot maintenance step. */
   def cdcApply(base: DataFrame, changes: DataFrame, key: String,
       opCol: String = "op", seqCol: String = "seq"): DataFrame = {
     val payload = base.columns.toSeq

@@ -82,8 +82,9 @@ object ScaleGen {
     // interval merge, transitions) scale in the entity count, which is the
     // axis they grow on in production
     val ev = graft.core.Graft.table(spark, src, "events")
-    val maxEid = ev.agg(max("event_id")).head().getLong(0) + 1
-    val maxUid = ev.agg(max("user_id")).head().getLong(0) + 1
+    val evMax = ev.agg(max("event_id"), max("user_id")).head()
+    val maxEid = evMax.getLong(0) + 1
+    val maxUid = evMax.getLong(1) + 1
     val evOut = (0 until factor)
       .map { r =>
         if (r == 0) ev

@@ -26,6 +26,15 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out === ((20L, 1L, 20000000L)))
   }
 
+  test("chiSquare: null-category rows are excluded from n and margins") {
+    val rows = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"),
+      (null, "b1"), ("a1", null))
+    val out = QualityOps.chiSquare(rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long)].collect().head
+    // only the 4 fully-labeled rows participate: perfect 2x2 dependence
+    assert(out._1 === 4L && out._2 === 1L && out._3 === 4000000L)
+  }
+
   test("chiSquare: independence gives zero") {
     val rows = for (a <- Seq("a1", "a2"); b <- Seq("b1", "b2"); _ <- 1 to 5)
       yield (a, b)
