@@ -4900,6 +4900,49 @@ object Queries {
         FROM lineitem) t
       ORDER BY column_name"""))
 
+  /** Last-touch attribution ([[AnalyticsOps.lastTouchAttribution]]):
+    * purchases credit the user's most recent non-purchase event within 30
+    * minutes; stale/absent touches fall to 'none'. */
+  private val qAttribution = QuerySpec(
+    "q_attribution",
+    (s, dir) =>
+      AnalyticsOps.lastTouchAttribution(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_type"), col("event_id"),
+        conversion = "purchase", windowUs = 1800000000L),
+    Some("""WITH touches AS (SELECT user_id AS key, ts AS touch_t,
+          max_by(event_type, event_id) AS touch_s
+        FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
+      conv AS (SELECT user_id AS key, ts AS t FROM events
+        WHERE event_type = 'purchase')
+      SELECT channel, COUNT(*) AS n_conversions FROM (
+        SELECT CASE WHEN touch_s IS NOT NULL
+            AND date_diff('microsecond', touch_t, t) <= 1800000000
+          THEN touch_s ELSE 'none' END AS channel
+        FROM conv ASOF LEFT JOIN touches
+          ON conv.key = touches.key AND conv.t >= touches.touch_t) c
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Time-weighted gauge mean ([[AnalyticsOps.timeWeightedMean]]): value
+    * holds until the type's next event; exact integer-decimal sums. */
+  private val qTimeWeighted = QuerySpec(
+    "q_time_weighted",
+    (s, dir) =>
+      AnalyticsOps.timeWeightedMean(t(s, dir, "events"), col("event_type"),
+          col("ts"), col("value"), col("event_id"))
+        .select(col("k").as("event_type"), col("n_intervals"),
+          col("dur_us"), col("twm_e6")),
+    Some("""WITH seq AS (SELECT event_type AS k, ts, value, event_id,
+          lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nt
+        FROM events),
+      iv AS (SELECT k, date_diff('microsecond', ts, nt) AS dur_us,
+          CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_e6
+        FROM seq WHERE nt IS NOT NULL)
+      SELECT k AS event_type, COUNT(*) AS n_intervals,
+        CAST(SUM(dur_us) AS BIGINT) AS dur_us,
+        CAST(floor(CAST(SUM(CAST(v_e6 AS HUGEINT) * dur_us) AS DOUBLE)
+          / CAST(SUM(dur_us) AS DOUBLE) + 0.5) AS BIGINT) AS twm_e6
+      FROM iv GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -4941,5 +4984,5 @@ object Queries {
     qFunnel, qRetention, qIntervalMerge, qTransitions,
     qFuzzyJoin, qJaroWinkler, qTriangles,
     qMadOutliers, qChiSquare, qTokenEntropy, qSkipgrams, qBm25,
-    qWeightedSample, qGroupConcat, qProfile)
+    qWeightedSample, qGroupConcat, qProfile, qAttribution, qTimeWeighted)
 }

@@ -107,6 +107,66 @@ object AnalyticsOps {
       .orderBy("k")
   }
 
+  /** Last-touch attribution: each conversion event credits the most recent
+    * preceding touch event by the same user within `windowUs` microseconds
+    * (the marketing-attribution staple). Returns per-channel conversion
+    * counts, with conversions whose last touch is stale or absent credited
+    * to 'none' — so the counts always total the conversion count.
+    *
+    * Shape: rides [[JoinOps.asOfJoin]] (range-partitioned merge pick, no
+    * window over the full event stream); touches are deduplicated per
+    * (user, ts) with a max-event-id pick so the as-of choice is unique on
+    * any engine. The final rollup is a tiny hash aggregation. */
+  def lastTouchAttribution(events: DataFrame, user: Column, ts: Column,
+      step: Column, tiebreak: Column, conversion: String,
+      windowUs: Long): DataFrame = {
+    val base = events.select(user.as("key"), ts.as("t"), step.as("s"),
+      tiebreak.as("tb"))
+    val conv = base.filter(col("s") === conversion)
+      .select(col("key"), col("t"), col("tb"))
+    val touches = base.filter(col("s") =!= conversion)
+      .groupBy(col("key"), col("t").as("touch_t"))
+      .agg(max_by(col("s"), col("tb")).as("touch_s"))
+    JoinOps.asOfJoin(conv, touches,
+        key = "key", leftTime = "t", rightTime = "touch_t")
+      .select(
+        when(col("touch_s").isNotNull &&
+          unix_micros(col("t")) - unix_micros(col("touch_t")) <= windowUs,
+          col("touch_s")).otherwise(lit("none")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy("channel")
+  }
+
+  /** Time-weighted mean of a gauge per key — each observation holds until
+    * the key's next observation (step interpolation), so irregular
+    * sampling doesn't bias the average toward chatty periods; the
+    * monitoring-metrics rollup. The last observation of a key carries no
+    * duration and drops. Returns `(key, n_intervals, dur_us, twm_e6)`.
+    *
+    * Determinism: durations are integer microseconds and values quantize
+    * to 1e-6 longs per interval, so both sums are exact integer decimals —
+    * order-independent on any engine; one final division renders the
+    * quantized mean. Windows partition by key only (lead of one row);
+    * the rollup is a hash aggregation. */
+  def timeWeightedMean(df: DataFrame, key: Column, ts: Column,
+      value: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tb"))
+    df.select(key.as("k"), ts.as("t"), value.cast("double").as("v"),
+        tiebreak.as("tb"))
+      .withColumn("dur_us", unix_micros(lead(col("t"), 1).over(w)) -
+        unix_micros(col("t")))
+      .filter(col("dur_us").isNotNull)
+      .withColumn("v_e6", floor(col("v") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("dur_us"),
+        floor(sum(col("v_e6").cast("decimal(38,0)") * col("dur_us"))
+            .cast("double") / sum(col("dur_us")).cast("double") + lit(0.5))
+          .cast("long").as("twm_e6"))
+      .orderBy("k")
+  }
+
   /** First-order transition counts over each user's time-ordered event
     * sequence (the Markov-chain view of a clickstream): for every adjacent
     * pair, count `from_step → to_step` and report the row-normalized

@@ -59,6 +59,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows === Seq((1L, 2L, 25L * 60000000L), (2L, 1L, 20L * 60000000L)))
   }
 
+  test("lastTouchAttribution credits the latest in-window touch or none") {
+    val ev = Seq(
+      // user 1: click 5 min before purchase -> click wins over older view
+      (1L, ts(0), "view", 1L), (1L, ts(25), "click", 2L), (1L, ts(30), "purchase", 3L),
+      // user 2: only touch is 40 min stale -> none
+      (2L, ts(0), "view", 4L), (2L, ts(40), "purchase", 5L),
+      // user 3: no touch at all -> none
+      (3L, ts(10), "purchase", 6L)
+    ).toDF("user_id", "t", "step", "event_id")
+    val out = AnalyticsOps.lastTouchAttribution(ev, col("user_id"), col("t"),
+        col("step"), col("event_id"), "purchase", windowUs = 30L * 60000000L)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("click", 1L), ("none", 2L)))
+  }
+
+  test("timeWeightedMean holds each value until the next observation") {
+    // key a: 10 for 10 min then 20 for 30 min -> twm = (10*10+20*30)/40 = 17.5
+    val ev = Seq(
+      ("a", ts(0), 10.0, 1L), ("a", ts(10), 20.0, 2L), ("a", ts(40), 99.0, 3L),
+      ("b", ts(0), 5.0, 4L) // single observation: no interval, key drops
+    ).toDF("k", "t", "v", "id")
+    val out = AnalyticsOps.timeWeightedMean(ev, col("k"), col("t"), col("v"), col("id"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 2L, 40L * 60000000L, 17500000L)))
+  }
+
   test("transitions counts adjacent pairs with deterministic tie order") {
     val ev = Seq(
       (1L, ts(0), "a", 1L), (1L, ts(1), "b", 2L), (1L, ts(2), "a", 3L),
