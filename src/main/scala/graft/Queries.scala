@@ -4943,6 +4943,63 @@ object Queries {
           / CAST(SUM(dur_us) AS DOUBLE) + 0.5) AS BIGINT) AS twm_e6
       FROM iv GROUP BY 1 ORDER BY 1"""))
 
+  /** Seasonal baseline ([[QualityOps.seasonalBaseline]]): hour-of-day
+    * traffic z-scores per event type from exact integer moments. */
+  private val qSeasonal = QuerySpec(
+    "q_seasonal",
+    (s, dir) =>
+      QualityOps.seasonalBaseline(t(s, dir, "events"), col("event_type"), col("ts"))
+        .select(col("k").as("event_type"), col("hour").cast("long").as("hour"),
+          col("n"), col("z_e6")),
+    Some("""WITH cells AS (SELECT event_type AS k, hour(ts) AS h, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT ks.k, g.h FROM (SELECT DISTINCT k FROM cells) ks,
+        (SELECT unnest(range(0, 24)) AS h) g),
+      dense AS (SELECT grid.k, grid.h, COALESCE(c.n, 0) AS n
+        FROM grid LEFT JOIN cells c ON grid.k = c.k AND grid.h = c.h),
+      prof AS (SELECT k, h, n,
+          CAST(SUM(n) OVER (PARTITION BY k) AS DOUBLE) / 24.0 AS mean_n
+        FROM dense),
+      p2 AS (SELECT k, h, n, mean_n,
+          CAST(floor((n - mean_n) * (n - mean_n) * 1e6 + 0.5) AS BIGINT) AS dev2
+        FROM prof),
+      st AS (SELECT k, CAST(SUM(dev2) AS BIGINT) AS var24 FROM p2 GROUP BY 1)
+      SELECT p2.k AS event_type, CAST(p2.h AS BIGINT) AS hour,
+        CAST(p2.n AS BIGINT) AS n,
+        CASE WHEN st.var24 = 0 THEN 0
+          ELSE CAST(floor((p2.n - p2.mean_n)
+            / sqrt(CAST(st.var24 AS DOUBLE) / 1e6 / 24.0) * 1e6 + 0.5) AS BIGINT)
+        END AS z_e6
+      FROM p2 JOIN st ON p2.k = st.k ORDER BY 1, 2"""))
+
+  /** Funnel conversion lags ([[AnalyticsOps.funnelLags]]): median
+    * step-to-step time for the view→click→purchase funnel. */
+  private val qFunnelLag = QuerySpec(
+    "q_funnel_lag",
+    (s, dir) =>
+      AnalyticsOps.funnelLags(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase")),
+    Some("""WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT s1.u, MIN(e.ts) AS t2 FROM s1 JOIN events e
+        ON e.user_id = s1.u AND e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY 1),
+      s3 AS (SELECT s2.u, MIN(e.ts) AS t3 FROM s2 JOIN events e
+        ON e.user_id = s2.u AND e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY 1)
+      SELECT * FROM (
+        SELECT CAST(2 AS BIGINT) AS step_idx, 'view->click' AS transition,
+          COUNT(*) AS n_users,
+          CAST(floor(quantile_cont(date_diff('microsecond', s1.t1, s2.t2), 0.5)
+            + 0.5) AS BIGINT) AS med_lag_us
+        FROM s1 JOIN s2 ON s1.u = s2.u
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'click->purchase', COUNT(*),
+          CAST(floor(quantile_cont(date_diff('microsecond', s2.t2, s3.t3), 0.5)
+            + 0.5) AS BIGINT)
+        FROM s2 JOIN s3 ON s2.u = s3.u) f
+      ORDER BY step_idx"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -4984,5 +5041,6 @@ object Queries {
     qFunnel, qRetention, qIntervalMerge, qTransitions,
     qFuzzyJoin, qJaroWinkler, qTriangles,
     qMadOutliers, qChiSquare, qTokenEntropy, qSkipgrams, qBm25,
-    qWeightedSample, qGroupConcat, qProfile, qAttribution, qTimeWeighted)
+    qWeightedSample, qGroupConcat, qProfile, qAttribution, qTimeWeighted,
+    qSeasonal, qFunnelLag)
 }

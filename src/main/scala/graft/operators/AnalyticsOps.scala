@@ -28,20 +28,7 @@ object AnalyticsOps {
     */
   def funnel(events: DataFrame, user: Column, ts: Column,
              step: Column, steps: Seq[String]): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    val e = events.select(user.as("u"), ts.as("t"), step.as("s"))
-
-    var reached = e.filter(col("s") === steps.head)
-      .groupBy("u").agg(min(col("t")).as("t1"))
-    for (i <- 2 to steps.length) {
-      val nxt = e.filter(col("s") === steps(i - 1))
-        .select(col("u").as("nu"), col("t").as("nt"))
-      val prev = (1 until i).map(j => min(col(s"t$j")).as(s"t$j"))
-      reached = reached
-        .join(nxt, reached("u") === nxt("nu") && col("nt") > col(s"t${i - 1}"), "left")
-        .groupBy("u")
-        .agg(prev.head, prev.tail :+ min(col("nt")).as(s"t$i"): _*)
-    }
+    val reached = funnelTimes(events, user, ts, step, steps)
     val counts = reached.agg(
       count(col("t1")).as("n1"),
       (2 to steps.length).map(i => count(col(s"t$i")).as(s"n$i")): _*)
@@ -53,6 +40,51 @@ object AnalyticsOps {
     counts
       .select(explode(array(rows: _*)).as("r"))
       .select(col("r.step_idx"), col("r.step"), col("r.n_users"))
+      .orderBy("step_idx")
+  }
+
+  /** Per-user earliest-completion step times `(u, t1..tk)` — the funnel's
+    * working frame, exposed for lag analysis. Users appear iff they
+    * reached step 1; `t_i` is null beyond the last step reached. */
+  def funnelTimes(events: DataFrame, user: Column, ts: Column,
+      step: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(user.as("u"), ts.as("t"), step.as("s"))
+    var reached = e.filter(col("s") === steps.head)
+      .groupBy("u").agg(min(col("t")).as("t1"))
+    for (i <- 2 to steps.length) {
+      val nxt = e.filter(col("s") === steps(i - 1))
+        .select(col("u").as("nu"), col("t").as("nt"))
+      val prev = (1 until i).map(j => min(col(s"t$j")).as(s"t$j"))
+      reached = reached
+        .join(nxt, reached("u") === nxt("nu") && col("nt") > col(s"t${i - 1}"), "left")
+        .groupBy("u")
+        .agg(prev.head, prev.tail :+ min(col("nt")).as(s"t$i"): _*)
+    }
+    reached
+  }
+
+  /** Step-to-step conversion lag: for each adjacent funnel step pair, the
+    * converting-user count and the exact median lag in microseconds —
+    * "how long does click→purchase take?". Same join shape as [[funnel]]
+    * (per-user aggregates only); the percentile reduces per step pair. */
+  def funnelLags(events: DataFrame, user: Column, ts: Column,
+      step: Column, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "lag analysis needs at least two steps")
+    val reached = funnelTimes(events, user, ts, step, steps)
+    val lagRows = (2 to steps.length).map { i =>
+      struct(lit(i.toLong).as("step_idx"),
+        lit(s"${steps(i - 2)}->${steps(i - 1)}").as("transition"),
+        (unix_micros(col(s"t$i")) - unix_micros(col(s"t${i - 1}"))).as("lag_us"))
+    }
+    reached
+      .select(explode(array(lagRows: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.transition"), col("r.lag_us"))
+      .filter(col("lag_us").isNotNull)
+      .groupBy("step_idx", "transition")
+      .agg(count(lit(1)).as("n_users"),
+        floor(expr("percentile(lag_us, 0.5)") + lit(0.5)).cast("long")
+          .as("med_lag_us"))
       .orderBy("step_idx")
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality and change-data operators — the validation/maintenance
@@ -120,6 +121,42 @@ object QualityOps {
           .as("dof"),
         sum(col("contrib_e6")).as("chi2_e6"))
       .select(col("n"), col("dof"), col("chi2_e6"))
+  }
+
+  /** Hour-of-day seasonal baseline: per (key, hour) event counts scored as
+    * z-values against the key's own 24-bucket profile — the first-line
+    * "is tonight's traffic weird?" anomaly signal. The dense grid
+    * generates from keys × 24, so silent hours surface as negative
+    * anomalies instead of missing rows. Returns `(k, hour, n, z_e6)`.
+    *
+    * Determinism: bucket counts are integers, the mean is one exact
+    * division (total/24), variance sums per-bucket floor-quantized
+    * squared deviations as integers (order-independent), and IEEE sqrt is
+    * correctly rounded — so z_e6 is engine-portable. A constant profile
+    * (zero variance) scores 0 everywhere. One shuffle to cells; profiles
+    * reduce from 24-row groups. */
+  def seasonalBaseline(df: DataFrame, keyCol: Column, tsCol: Column): DataFrame = {
+    val cells = df.select(keyCol.as("k"), hour(tsCol).as("hour"))
+      .groupBy("k", "hour").agg(count(lit(1)).as("n"))
+    val grid = cells.select(col("k")).distinct()
+      .select(col("k"), explode(sequence(lit(0), lit(23))).as("hour"))
+    val dense = grid.join(cells, Seq("k", "hour"), "left")
+      .select(col("k"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+    val prof = dense
+      .withColumn("mean_n",
+        (sum(col("n")).over(Window.partitionBy(col("k"))).cast("double")) / lit(24.0))
+      .withColumn("dev2_e6",
+        floor((col("n") - col("mean_n")) * (col("n") - col("mean_n"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+    val stats = prof.groupBy(col("k").as("pk"))
+      .agg(sum(col("dev2_e6")).as("var24_e6"))
+    prof.join(stats, col("k") === col("pk"))
+      .select(col("k"), col("hour"), col("n"),
+        when(col("var24_e6") === 0L, lit(0L)).otherwise(
+          floor((col("n") - col("mean_n"))
+            / sqrt(col("var24_e6").cast("double") / lit(1e6) / lit(24.0))
+            * lit(1e6) + lit(0.5)).cast("long")).as("z_e6"))
+      .orderBy("k", "hour")
   }
 
   /** CDC apply — replay a changelog onto a snapshot: `changes` carries the

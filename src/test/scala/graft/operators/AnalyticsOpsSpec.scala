@@ -59,6 +59,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows === Seq((1L, 2L, 25L * 60000000L), (2L, 1L, 20L * 60000000L)))
   }
 
+  test("funnelLags reports the median step-to-step time") {
+    val ev = Seq(
+      (1L, ts(0), "a", 1L), (1L, ts(10), "b", 2L),   // lag 10 min
+      (2L, ts(0), "a", 3L), (2L, ts(30), "b", 4L),   // lag 30 min
+      (3L, ts(0), "a", 5L)                           // never converts
+    ).toDF("user_id", "t", "step", "event_id")
+    val out = AnalyticsOps.funnelLags(ev, col("user_id"), col("t"),
+        col("step"), Seq("a", "b"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // median of {10, 30} minutes interpolates to 20 min
+    assert(out === Seq((2L, "a->b", 2L, 20L * 60000000L)))
+  }
+
+  test("seasonalBaseline: flat profiles score zero, spikes score high") {
+    def atHour(h: Int, m: Int) = new Timestamp((h * 60L + m) * 60000L)
+    val flat = (0 until 24).map(h => ("flat", atHour(h, 0)))
+    // spike: 1 event every hour plus 23 extra in hour 5
+    val spiky = (0 until 24).map(h => ("spiky", atHour(h, 0))) ++
+      (1 to 23).map(m => ("spiky", atHour(5, m)))
+    val df = (flat ++ spiky).toDF("k", "t")
+    val out = QualityOps.seasonalBaseline(df, col("k"), col("t"))
+      .as[(String, Int, Long, Long)].collect()
+    assert(out.length == 48)
+    assert(out.filter(_._1 == "flat").forall(_._4 == 0L))
+    val spikeRow = out.find(r => r._1 == "spiky" && r._2 == 5).get
+    assert(spikeRow._3 == 24L && spikeRow._4 > 4000000L) // z > 4
+    // off-peak hours of the spiky key sit below the mean
+    assert(out.count(r => r._1 == "spiky" && r._4 < 0L) == 23)
+  }
+
   test("lastTouchAttribution credits the latest in-window touch or none") {
     val ev = Seq(
       // user 1: click 5 min before purchase -> click wins over older view
