@@ -5000,6 +5000,113 @@ object Queries {
         FROM s2 JOIN s3 ON s2.u = s3.u) f
       ORDER BY step_idx"""))
 
+  /** Substring-level duplicate spans ([[DedupOps.repeatedSpans]]): every
+    * 8-token window hashed; per-doc duplicated-span coverage. */
+  private val qRepeatedSpans = QuerySpec(
+    "q_repeated_spans",
+    (s, dir) =>
+      DedupOps.repeatedSpans(t(s, dir, "documents"), col("doc_id"), col("text"),
+          k = 8, minDocs = 2)
+        .orderBy("doc_id"),
+    Some("""WITH base AS (SELECT doc_id, len(t) - 7 AS n_spans, t
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x
+        WHERE len(t) >= 8),
+      spans AS (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 7),
+            i -> md5(array_to_string(t[i:i+7], ' ')))) AS h
+        FROM base),
+      rep AS (SELECT h, COUNT(*) AS n_docs
+        FROM (SELECT DISTINCT doc_id, h FROM spans) d
+        GROUP BY 1 HAVING COUNT(*) >= 2),
+      dup AS (SELECT s.doc_id, COUNT(*) AS dup_spans,
+          MAX(r.n_docs) AS max_span_docs
+        FROM spans s JOIN rep r ON s.h = r.h GROUP BY 1)
+      SELECT b.doc_id, CAST(b.n_spans AS BIGINT) AS n_spans,
+        CAST(COALESCE(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+        CAST(COALESCE(d.max_span_docs, 0) AS BIGINT) AS max_span_docs,
+        CAST(floor(COALESCE(d.dup_spans, 0) * 1e6 / b.n_spans + 0.5) AS BIGINT)
+          AS dup_ratio_e6
+      FROM base b LEFT JOIN dup d ON b.doc_id = d.doc_id
+      ORDER BY b.doc_id"""))
+
+  /** Snapshot reconciliation ([[QualityOps.snapshotDiff]]): the after
+    * snapshot is derived from orders deterministically (keys mod 97
+    * removed, prices mod 13 bumped, statuses mod 17 flipped, keys mod 89
+    * re-inserted under shifted ids) so both engines classify the same
+    * add/remove/change set. */
+  private val qTableDiff = QuerySpec(
+    "q_table_diff",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val kept = o.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey") % 17 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      val added = o.filter(col("o_orderkey") % 89 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      QualityOps.snapshotDiff(o, kept.unionByName(added), "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p,
+          o_orderstatus AS st FROM orders),
+      aft AS (
+        SELECT k, CASE WHEN k % 13 = 0 THEN p + 1 ELSE p END AS p,
+          CASE WHEN k % 17 = 0 THEN 'X' ELSE st END AS st
+        FROM o WHERE k % 97 <> 0
+        UNION ALL
+        SELECT k + 100000000, p, st FROM o WHERE k % 89 = 0),
+      j AS (SELECT COALESCE(a.k, b.k) AS k,
+          CASE WHEN b.k IS NULL THEN 'added'
+            WHEN a.k IS NULL THEN 'removed'
+            WHEN (b.p IS NOT DISTINCT FROM a.p)
+              AND (b.st IS NOT DISTINCT FROM a.st) THEN 'unchanged'
+            ELSE 'changed' END AS status,
+          CASE WHEN b.k IS NOT NULL AND a.k IS NOT NULL
+            AND (b.p IS DISTINCT FROM a.p) THEN 1 ELSE 0 END AS dp,
+          CASE WHEN b.k IS NOT NULL AND a.k IS NOT NULL
+            AND (b.st IS DISTINCT FROM a.st) THEN 1 ELSE 0 END AS ds
+        FROM o b FULL OUTER JOIN aft a ON b.k = a.k)
+      SELECT status, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum,
+        CAST(SUM(dp) AS BIGINT) AS chg_o_totalprice,
+        CAST(SUM(ds) AS BIGINT) AS chg_o_orderstatus
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
+  /** A/B two-proportion z-test ([[AnalyticsOps.abTest]]): hash-split
+    * variants, first-view entry, strictly-later purchase conversion. */
+  private val qAbTest = QuerySpec(
+    "q_ab_test",
+    (s, dir) =>
+      AnalyticsOps.abTest(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_type"), exposure = "view", conversion = "purchase",
+        windowUs = 21600000000L),
+    Some("""WITH ex AS (SELECT user_id AS u, MIN(ts) AS t0 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+      conv AS (SELECT DISTINCT ex.u FROM ex JOIN events e
+        ON e.user_id = ex.u AND e.event_type = 'purchase' AND e.ts > ex.t0
+        AND date_diff('microsecond', ex.t0, e.ts) <= 21600000000),
+      per AS (SELECT ex.u % 2 AS variant, COUNT(*) AS n,
+          SUM(CASE WHEN c.u IS NOT NULL THEN 1 ELSE 0 END) AS cv
+        FROM ex LEFT JOIN conv c ON ex.u = c.u GROUP BY 1),
+      w AS (SELECT
+          MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+          MAX(CASE WHEN variant = 0 THEN cv END) AS c0,
+          MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+          MAX(CASE WHEN variant = 1 THEN cv END) AS c1 FROM per)
+      SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+        CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+        CAST(floor(CAST(c0 AS DOUBLE) / n0 * 1e6 + 0.5) AS BIGINT) AS rate0_e6,
+        CAST(floor(CAST(c1 AS DOUBLE) / n1 * 1e6 + 0.5) AS BIGINT) AS rate1_e6,
+        CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0
+          ELSE CAST(floor((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+            / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+              * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+              * (1.0 / n0 + 1.0 / n1)) * 1e6 + 0.5) AS BIGINT) END AS z_e6
+      FROM w"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5042,5 +5149,5 @@ object Queries {
     qFuzzyJoin, qJaroWinkler, qTriangles,
     qMadOutliers, qChiSquare, qTokenEntropy, qSkipgrams, qBm25,
     qWeightedSample, qGroupConcat, qProfile, qAttribution, qTimeWeighted,
-    qSeasonal, qFunnelLag)
+    qSeasonal, qFunnelLag, qRepeatedSpans, qTableDiff, qAbTest)
 }

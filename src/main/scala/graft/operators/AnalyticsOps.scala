@@ -225,4 +225,53 @@ object AnalyticsOps {
         floor(col("n") * lit(1e6) / col("tot") + lit(0.5)).cast("long").as("p_e6"))
       .orderBy("from_step", "to_step")
   }
+
+  /** Two-proportion z-test for a hash-split A/B experiment: users are
+    * assigned variant `user_id mod 2`, enter the experiment at their first
+    * `exposure` event, and convert if a `conversion` event lands strictly
+    * after that entry and within `windowUs` microseconds of it (same
+    * earliest-entry semantics as [[funnel]], same attribution-window
+    * contract as [[lastTouchAttribution]]). Returns ONE row: per-variant
+    * user/conversion counts and e6-scaled rates, plus the pooled-variance
+    * z statistic `(p0 - p1) / sqrt(p(1-p)(1/n0 + 1/n1))` as `z_e6` (0 when
+    * the pooled rate is degenerate — nobody or everybody converted — where
+    * the statistic is undefined). Complements the chi-square independence
+    * gate ([[QualityOps.chiSquare]]) with the directional one-degree form
+    * experimentation dashboards report.
+    *
+    * Shape: two filtered scans (the type predicates push down), each
+    * reduced to per-user aggregates before the one user-keyed join; the
+    * variant rollup is 2 rows and the final stats are a driver-free
+    * conditional aggregation of those 2 rows. Raw event volume never
+    * crosses a join. */
+  def abTest(events: DataFrame, user: Column, ts: Column, typ: Column,
+      exposure: String, conversion: String, windowUs: Long): DataFrame = {
+    val entered = events.filter(typ === exposure)
+      .groupBy(user.as("u")).agg(min(ts).as("t0"))
+    val conv = events.filter(typ === conversion)
+      .select(user.as("cu"), ts.as("ct"))
+    val perUser = entered.join(conv,
+        col("u") === col("cu") && col("ct") > col("t0") &&
+          unix_micros(col("ct")) - unix_micros(col("t0")) <= windowUs, "left")
+      .groupBy(col("u")).agg(max(col("cu").isNotNull).as("converted"))
+      .select(pmod(col("u"), lit(2)).cast("long").as("variant"), col("converted"))
+    val byVariant = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(when(col("converted"), 1L).otherwise(0L)).as("c"))
+    val one = byVariant.agg(
+      sum(when(col("variant") === 0, col("n"))).as("n0"),
+      sum(when(col("variant") === 0, col("c"))).as("c0"),
+      sum(when(col("variant") === 1, col("n"))).as("n1"),
+      sum(when(col("variant") === 1, col("c"))).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0")
+    val p1 = col("c1").cast("double") / col("n1")
+    val p = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+    one.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      floor(p0 * lit(1e6) + lit(0.5)).as("rate0_e6"),
+      floor(p1 * lit(1e6) + lit(0.5)).as("rate1_e6"),
+      when(col("c0") + col("c1") === 0 ||
+          col("c0") + col("c1") === col("n0") + col("n1"), lit(0L))
+        .otherwise(floor((p0 - p1) / sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1"))) * lit(1e6) + lit(0.5)))
+        .as("z_e6"))
+  }
 }

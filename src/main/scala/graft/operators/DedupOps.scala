@@ -584,4 +584,50 @@ object DedupOps {
     a.join(b, col("blk") === col("blk2") && col("n1") < col("n2") && extraCond)
       .select(col("n1"), col("n2"))
   }
+
+  /** Substring-granularity duplicate-span profile — dedup below the
+    * document level: every `k`-token sliding window of every document is
+    * hashed, a span counts as duplicated when the identical k-gram occurs
+    * in at least `minDocs` DISTINCT documents, and each document reports
+    * how much of it is made of duplicated spans (the boilerplate /
+    * template-text measure the whole-document dedup family above cannot
+    * see). Returns `(doc_id, n_spans, dup_spans, max_span_docs,
+    * dup_ratio_e6)`, one row per document long enough to hold a window.
+    *
+    * Shape at 100 TB: a window never leaves the scan as text — each one
+    * collapses to a 32-byte md5 inside a single codegen'd
+    * transform-over-token-array expression, so the exploded frame is
+    * (doc_id, hash) only, ~40 bytes/token regardless of document size.
+    * From there it is two shuffles on the hash (distinct-doc counting with
+    * map-side partial aggregation, then an equi-join back) and one shuffle
+    * on doc_id for the per-document rollup. The span frame feeds both the
+    * counting leg and the join leg, so it is checkpointed once (same
+    * contract as [[minhashLsh]]'s shingle reuse). */
+  def repeatedSpans(docs: DataFrame, idCol: Column, textCol: Column,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"span length must be >= 2 tokens, got $k")
+    val toks = split(textCol, " ")
+    val base = docs
+      .filter(size(toks) >= k)
+      .select(idCol.as("doc_id"), (size(toks) - lit(k - 1)).cast("long").as("n_spans"),
+        toks.as("t"))
+    val spans = base
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - lit(k)),
+        i => md5(concat_ws(" ", slice(col("t"), i + lit(1), lit(k)))))).as("h"))
+      .localCheckpoint()
+    val rep = spans.distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val perDoc = spans.join(rep, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_spans"), max(col("n_docs")).as("max_span_docs"))
+    base.select("doc_id", "n_spans")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("max_span_docs"), lit(0L)).as("max_span_docs"),
+        floor(coalesce(col("dup_spans"), lit(0L)) * lit(1e6) /
+          col("n_spans") + lit(0.5)).as("dup_ratio_e6"))
+  }
 }

@@ -187,4 +187,34 @@ object QualityOps {
         when(col("_op").isNotNull, col("_c").getField(n))
           .otherwise(col("_b").getField(n)).as(n)): _*)
   }
+
+  /** Snapshot reconciliation — classify every key of two table snapshots
+    * as added / removed / changed / unchanged and report, per status, the
+    * row count, a key checksum (sum of keys — order-free, engine-free),
+    * and per-compared-column change counts. This is the nightly "does the
+    * replica match the source" audit: one full-outer shuffle join on the
+    * key, classification and per-column diffs as plain expressions, and a
+    * 4-row rollup — the raw snapshots never cross more than the one join.
+    * Comparisons are null-safe (`<=>`), so a NULL→value transition counts
+    * as a change rather than vanishing. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val pack = (d: DataFrame, side: String) =>
+      d.select(col(key).as(s"_k$side"), struct(compareCols.map(col): _*).as(s"_v$side"))
+    val joined = pack(before, "b")
+      .join(pack(after, "a"), col("_kb") === col("_ka"), "full_outer")
+      .select(coalesce(col("_ka"), col("_kb")).as("k"),
+        when(col("_kb").isNull, "added")
+          .when(col("_ka").isNull, "removed")
+          .when(col("_vb") <=> col("_va"), "unchanged")
+          .otherwise("changed").as("status"),
+        struct(compareCols.map(c =>
+          (!(col(s"_vb.$c") <=> col(s"_va.$c")) &&
+            col("_kb").isNotNull && col("_ka").isNotNull).as(c)): _*).as("_d"))
+    val aggs = count(lit(1)).as("n_rows") +:
+      sum(col("k")).cast("long").as("key_sum") +:
+      compareCols.map(c =>
+        sum(when(col(s"_d.$c"), 1L).otherwise(0L)).as(s"chg_$c"))
+    joined.groupBy("status").agg(aggs.head, aggs.tail: _*).orderBy("status")
+  }
 }

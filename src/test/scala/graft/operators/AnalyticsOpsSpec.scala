@@ -126,4 +126,30 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // a->b twice, b->a once; P(a->b)=1.0, P(b->a)=1.0
     assert(out === Seq(("a", "b", 2L, 1000000L), ("b", "a", 1L, 1000000L)))
   }
+
+  test("abTest: windowed conversion, strict after-entry, pooled z") {
+    val ev = Seq(
+      (0L, ts(0), "view"), (0L, ts(1), "purchase"),  // variant 0, converts
+      (2L, ts(0), "view"),                           // variant 0, no purchase
+      (4L, ts(0), "view"), (4L, ts(0), "purchase"),  // same instant: NOT after
+      (1L, ts(0), "view"), (1L, ts(10), "purchase"), // outside 2-min window
+      (3L, ts(0), "purchase")                        // never exposed: excluded
+    ).toDF("user_id", "t", "step")
+    val out = AnalyticsOps.abTest(ev, col("user_id"), col("t"), col("step"),
+        exposure = "view", conversion = "purchase", windowUs = 120000000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // n0=3 c0=1, n1=1 c1=0; p=1/4 => z = (1/3)/sqrt(3/16 * 4/3) = 2/3
+    assert(out === ((3L, 1L, 1L, 0L, 333333L, 0L, 666667L)))
+  }
+
+  test("abTest: degenerate pooled rate reports z = 0") {
+    val ev = Seq(
+      (0L, ts(0), "view"), (0L, ts(1), "purchase"),
+      (1L, ts(0), "view"), (1L, ts(1), "purchase")
+    ).toDF("user_id", "t", "step")
+    val out = AnalyticsOps.abTest(ev, col("user_id"), col("t"), col("step"),
+        "view", "purchase", windowUs = 120000000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out === ((1L, 1L, 1L, 1L, 1000000L, 1000000L, 0L)))
+  }
 }

@@ -202,4 +202,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(math.abs(scores(3L)) - scores.values.map(math.abs).max) < 1e-9,
       "the longest axis-1 vector projects farthest")
   }
+
+  test("repeatedSpans flags cross-document k-grams, not within-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // "a b c" shared with doc 2
+      (2L, "x a b c y"),
+      (3L, "p q r"),              // unique single span
+      (4L, "u v"),                // too short for k=3: excluded
+      (5L, "m n o m n o m n")     // repeats itself, but in ONE doc only
+    ).toDF("doc_id", "text")
+    val out = DedupOps.repeatedSpans(docs, col("doc_id"), col("text"), k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 1L, 2L, 333333L),
+      (2L, 3L, 1L, 2L, 333333L),
+      (3L, 1L, 0L, 0L, 0L),
+      (5L, 6L, 0L, 0L, 0L)))
+  }
 }

@@ -96,4 +96,24 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(scores(0)._2 == 2L && scores(1)._2 == 1L && scores(2)._2 == 1L)
     assert(scores(0)._3 > scores(1)._3)
   }
+
+  test("snapshotDiff classifies keys and counts per-column changes null-safely") {
+    val before = Seq(
+      (1L, Option("a"), Option(10L)), (2L, Option("b"), Option(20L)),
+      (3L, Option("c"), Option(30L)), (4L, Option.empty[String], Option(40L))
+    ).toDF("k", "name", "price")
+    val after = Seq(
+      (2L, Option("b"), Option(20L)),   // unchanged
+      (3L, Option("c"), Option(31L)),   // price changed
+      (4L, Option("x"), Option(40L)),   // NULL -> value counts as a change
+      (5L, Option("e"), Option(50L))    // added
+    ).toDF("k", "name", "price")        // key 1 removed
+    val out = QualityOps.snapshotDiff(before, after, "k", Seq("name", "price"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("added", 1L, 5L, 0L, 0L),
+      ("changed", 2L, 7L, 1L, 1L),
+      ("removed", 1L, 1L, 0L, 0L),
+      ("unchanged", 1L, 2L, 0L, 0L)))
+  }
 }
