@@ -4323,6 +4323,53 @@ object Queries {
         FROM scored) t
       WHERE "rank" <= 5 ORDER BY query_id, "rank""""))
 
+  /** Product-quantization ANN ([[SimilarityOps.pqCodebook]]/[[SimilarityOps.pqTopK]]):
+    * 64-dim vectors → 4 subspaces × 8 codewords (codebook seeded from
+    * vec_id < 8), corpus encoded to 4 small codes each, queries ranked by
+    * squared-L2 reconstruction distance. The oracle re-derives codebook,
+    * argmin encoding, and reconstruction ranking in SQL — both engines
+    * compute ‖x‖²−2x·c+‖c‖² with sequential-fold dots and 6-dp rounding,
+    * lowest-id tiebreaks, so the approximate result is deterministic and
+    * hash-comparable. */
+  private val qAnnPq = QuerySpec(
+    "q_ann_pq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = SimilarityOps.pqCodebook(emb.filter(col("vec_id") < 8), m = 4, k = 8)
+      SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, cb)
+        .select(col("query_id"), col("nbr_id"), col("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sp AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(s)),
+      cb AS (SELECT c.vec_id AS cid, s.s,
+          list_slice(c.v, s.s*16+1, s.s*16+16) AS cw
+        FROM e c CROSS JOIN sp s WHERE c.vec_id < 8),
+      codes AS (
+        SELECT vec_id, s, cid FROM (
+          SELECT e.vec_id, cb.s, cb.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.s ORDER BY
+              ROUND(list_dot_product(list_slice(e.v, cb.s*16+1, cb.s*16+16),
+                                     list_slice(e.v, cb.s*16+1, cb.s*16+16))
+                - 2*list_dot_product(list_slice(e.v, cb.s*16+1, cb.s*16+16), cb.cw)
+                + list_dot_product(cb.cw, cb.cw), 6) ASC, cb.cid) AS rn
+          FROM e CROSS JOIN cb) x WHERE rn = 1),
+      recon AS (
+        SELECT codes.vec_id AS nbr_id, flatten(list(cb.cw ORDER BY codes.s)) AS rv
+        FROM codes JOIN cb ON cb.cid = codes.cid AND cb.s = codes.s
+        GROUP BY codes.vec_id),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+      SELECT query_id, nbr_id, dist, "rank" FROM (
+        SELECT q.query_id, r.nbr_id,
+          ROUND(list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, r.rv)
+            + list_dot_product(r.rv, r.rv), 6) AS dist,
+          ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+            ROUND(list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, r.rv)
+              + list_dot_product(r.rv, r.rv), 6) ASC, r.nbr_id) AS "rank"
+        FROM q JOIN recon r ON r.nbr_id <> q.query_id) t
+      WHERE "rank" <= 5 ORDER BY query_id, "rank""""))
+
   /** Unicode normalization ([[graft.plans.NormalizeText]], the third
     * native codegen'd expression): composed (U+00E9) and decomposed
     * (e + U+0301) forms of the same text hash apart until NFC-normalized —
@@ -5149,5 +5196,5 @@ object Queries {
     qFuzzyJoin, qJaroWinkler, qTriangles,
     qMadOutliers, qChiSquare, qTokenEntropy, qSkipgrams, qBm25,
     qWeightedSample, qGroupConcat, qProfile, qAttribution, qTimeWeighted,
-    qSeasonal, qFunnelLag, qRepeatedSpans, qTableDiff, qAbTest)
+    qSeasonal, qFunnelLag, qRepeatedSpans, qTableDiff, qAbTest, qAnnPq)
 }
