@@ -4323,6 +4323,29 @@ object Queries {
         FROM scored) t
       WHERE "rank" <= 5 ORDER BY query_id, "rank""""))
 
+  /** Exact heavy hitters over the token stream ([[AggOps.heavyHitters]]):
+    * a per-partition Misra–Gries sketch (capacity 30, BELOW the 31-word
+    * vocabulary, so decrements genuinely fire) nominates a driver-bounded
+    * candidate superset; a pruned second pass recounts candidates exactly
+    * and keeps freq·k > n. The oracle is the plain full GROUP BY … HAVING —
+    * identical output because the two-pass design is exact, only cheaper:
+    * at 100 TB the sketch pass shuffles nothing and the recount shuffles
+    * only candidate-key rows. */
+  private val qHeavyHitters = QuerySpec(
+    "q_heavy_hitters",
+    (s, dir) => AggOps.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("w")),
+        col("w"), k = 30)
+      .select(col("k").as("word"), col("freq"))
+      .orderBy("word"),
+    Some("""WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+        FROM documents),
+      t AS (SELECT word FROM tok WHERE word <> ''),
+      n AS (SELECT COUNT(*) AS c FROM t)
+      SELECT word, COUNT(*) AS freq FROM t, n GROUP BY word, n.c
+      HAVING COUNT(*) * 30 > n.c ORDER BY word"""))
+
   /** Product-quantization ANN ([[SimilarityOps.pqCodebook]]/[[SimilarityOps.pqTopK]]):
     * 64-dim vectors → 4 subspaces × 8 codewords (codebook seeded from
     * vec_id < 8), corpus encoded to 4 small codes each, queries ranked by
@@ -5196,5 +5219,6 @@ object Queries {
     qFuzzyJoin, qJaroWinkler, qTriangles,
     qMadOutliers, qChiSquare, qTokenEntropy, qSkipgrams, qBm25,
     qWeightedSample, qGroupConcat, qProfile, qAttribution, qTimeWeighted,
-    qSeasonal, qFunnelLag, qRepeatedSpans, qTableDiff, qAbTest, qAnnPq)
+    qSeasonal, qFunnelLag, qRepeatedSpans, qTableDiff, qAbTest, qAnnPq,
+    qHeavyHitters)
 }

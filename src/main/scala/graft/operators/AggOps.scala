@@ -162,4 +162,59 @@ object AggOps {
           (count(lit(1)).over(w) * col("n")))
       .select(col("label"), col("n"), col("weight"))
   }
+
+  /** Exact heavy hitters (items with frequency strictly above n/k) via a
+    * distributed Misra–Gries pre-pass.
+    *
+    * Pass 1 runs an MG summary of capacity k inside each partition — the
+    * classic guarantee (every item with local count > n_p/(cap+1) survives)
+    * plus pigeonhole over partitions means the UNION of per-partition
+    * survivors is a superset of every global heavy hitter. That union is
+    * driver-sized by construction (≤ k keys per partition regardless of
+    * cardinality), so collecting it is bounded — the point at 100 TB, where
+    * `groupBy(key).count()` would shuffle the full distinct-key set just to
+    * discard almost all of it.
+    *
+    * Pass 2 recounts ONLY candidate-key rows (broadcast inner join prunes
+    * at the scan) and keeps freq·k > n — an all-integer comparison, so the
+    * threshold has no floating-point boundary and the result is EXACT: the
+    * true heavy hitters with true counts, not an approximation.
+    *
+    * Null keys count toward n (they dilute frequencies like any row) but
+    * are never candidates — a null "item" is not a reportable value. */
+  def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, s"heavy-hitter k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(key.cast("string").as("k")).as[String]
+    // each partition emits (null, rowCount) + its ≤ k surviving keys
+    val summary = keys.mapPartitions { it =>
+      val counters = new java.util.HashMap[String, Long](k * 2)
+      var np = 0L
+      it.foreach { kv =>
+        np += 1
+        if (kv != null) {
+          val cur = counters.get(kv)
+          if (cur != 0L) counters.put(kv, cur + 1)
+          else if (counters.size < k) counters.put(kv, 1L)
+          else {
+            val e = counters.entrySet().iterator()
+            while (e.hasNext) {
+              val en = e.next()
+              if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1L)
+            }
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      Iterator.single((null: String, np)) ++
+        counters.keySet().iterator().asScala.map(kk => (kk, 0L))
+    }.collect()
+    val n = summary.collect { case (null, np) => np }.sum
+    val candidates = summary.collect { case (kk, _) if kk != null => kk }.distinct.toSeq
+    val cand = broadcast(candidates.toDF("k"))
+    keys.toDF("k").join(cand, "k")
+      .groupBy("k").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * k > n)
+  }
 }
