@@ -381,6 +381,24 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a3", 3L -> "c", 9L -> "new"))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged with null-safe column diffs") {
+    val before = Seq((1L, Some("a"), 10), (2L, Some("b"), 20),
+      (3L, None: Option[String], 30), (4L, Some("d"), 40))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, Some("a"), 10),                      // unchanged
+      (2L, Some("B"), 20),                                    // changed: s
+      (3L, Some("now"), 31),                                  // changed: s (null->value) + v
+      (5L, Some("e"), 50))                                    // added; 4 removed
+      .toDF("k", "s", "v")
+    val out = QualityOps.snapshotDiff(before, after, "k", Seq("s", "v"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("added") == ((1L, 5L, 0L, 0L)))
+    assert(out("removed") == ((1L, 4L, 0L, 0L)))
+    assert(out("changed") == ((2L, 5L, 2L, 1L)), "null->value must count as change")
+    assert(out("unchanged") == ((1L, 1L, 0L, 0L)))
+  }
+
   // ------------------------------------------------------ partition pruning
 
   test("partition-column filter prunes to one directory at plan time") {
