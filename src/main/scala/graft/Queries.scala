@@ -5177,6 +5177,161 @@ object Queries {
               * (1.0 / n0 + 1.0 / n1)) * 1e6 + 0.5) AS BIGINT) END AS z_e6
       FROM w"""))
 
+  /** DSIR importance weights ([[CorpusOps.importanceWeights]]): hashed-
+    * unigram log-likelihood-ratio scores with the `lang = 'en'` documents
+    * as the target distribution, 256 buckets, add-1 smoothing. */
+  private val qImportanceWeights = QuerySpec(
+    "q_importance_weights",
+    (s, dir) =>
+      CorpusOps.importanceWeights(t(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang") === lit("en"), nBuckets = 256, alpha = 1.0)
+        .orderBy("doc_id"),
+    Some("""WITH b AS (SELECT doc_id, lang = 'en' AS is_target,
+          CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 256 AS g
+        FROM (SELECT doc_id, lang,
+            unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+          FROM documents)),
+      dist AS (SELECT g,
+          CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS p_g,
+          CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS q_g
+        FROM b GROUP BY 1),
+      tot AS (SELECT CAST(SUM(p_g) AS BIGINT) AS p_tot,
+          CAST(SUM(q_g) AS BIGINT) AS q_tot FROM dist),
+      lr AS (SELECT g,
+          ln((CAST(p_g AS DOUBLE) + 1.0) / (CAST(p_tot AS DOUBLE) + 256.0))
+          - ln((CAST(q_g AS DOUBLE) + 1.0) / (CAST(q_tot AS DOUBLE) + 256.0)) AS lr
+        FROM dist CROSS JOIN tot),
+      dg AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY 1, 2)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+        CAST(SUM(CAST(floor(CAST(c AS DOUBLE) * lr * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+          AS weight_e6
+      FROM dg JOIN lr USING (g) GROUP BY 1 ORDER BY 1"""))
+
+  /** k-anonymity audit ([[QualityOps.kAnonymity]]): customer equivalence
+    * classes under (nationkey, mktsegment), k = 15. */
+  private val qKAnonymity = QuerySpec(
+    "q_k_anonymity",
+    (s, dir) =>
+      QualityOps.kAnonymity(t(s, dir, "customer"),
+          Seq(col("c_nationkey").as("nationkey"), col("c_mktsegment").as("segment")),
+          k = 15)
+        .orderBy("nationkey", "segment"),
+    Some("""SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+        COUNT(*) AS class_size, COUNT(*) < 15 AS at_risk
+      FROM customer GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** l-diversity audit ([[QualityOps.lDiversity]]): order classes under
+    * (status, priority) with o_custkey as the sensitive attribute, l = 10. */
+  private val qLDiversity = QuerySpec(
+    "q_l_diversity",
+    (s, dir) =>
+      QualityOps.lDiversity(t(s, dir, "orders"),
+          Seq(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority")),
+          col("o_custkey"), l = 10)
+        .orderBy("status", "priority"),
+    Some("""SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        COUNT(*) AS class_size, COUNT(DISTINCT o_custkey) AS n_sensitive,
+        COUNT(DISTINCT o_custkey) < 10 AS below_l
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** TPC-H Q3 shape (shipping priority) on the synthetic star schema:
+    * three-table join, filter on both fact sides, top-10 by exact-decimal
+    * revenue. The dims prune at the scan and broadcast under AQE; the
+    * orders–lineitem join shuffles on the order key only. */
+  private val qTpchQ3 = QuerySpec(
+    "q_tpch_q3",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === lit("BUILDING"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1999-03-15")))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1999-03-15")))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+          AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1999-03-15'
+        AND l_shipdate > TIMESTAMP '1999-03-15'
+      GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10"""))
+
+  /** TPC-H Q5 shape (local supplier volume): six-table join where customer
+    * and supplier must share a nation, region-filtered, one order-date
+    * year. region/nation/customer/supplier all broadcast; the only big
+    * shuffle is orders–lineitem. */
+  private val qTpchQ5 = QuerySpec(
+    "q_tpch_q5",
+    (s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === lit("ASIA"))
+      val n = t(s, dir, "nation")
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+          AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1 ORDER BY revenue DESC, n_name"""))
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    * per customer over one quarter, top 20. Customer/nation broadcast;
+    * the returnflag filter prunes lineitem at the scan. */
+  private val qTpchQ10 = QuerySpec(
+    "q_tpch_q10",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1999-10-01")) &&
+          col("o_orderdate") < to_timestamp(lit("2000-01-01")))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === lit("R"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+          AS revenue
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1999-10-01'
+        AND o_orderdate < TIMESTAMP '2000-01-01'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5220,5 +5375,6 @@ object Queries {
     qMadOutliers, qChiSquare, qTokenEntropy, qSkipgrams, qBm25,
     qWeightedSample, qGroupConcat, qProfile, qAttribution, qTimeWeighted,
     qSeasonal, qFunnelLag, qRepeatedSpans, qTableDiff, qAbTest, qAnnPq,
-    qHeavyHitters)
+    qHeavyHitters, qImportanceWeights, qKAnonymity, qLDiversity,
+    qTpchQ3, qTpchQ5, qTpchQ10)
 }

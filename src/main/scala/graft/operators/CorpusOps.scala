@@ -215,4 +215,48 @@ object CorpusOps {
         col("n_tokens"), "cum_tokens")
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Importance-resampling weights (the hashed-feature log-likelihood-ratio
+    * scorer of DSIR — Xie et al. 2023, "Data Selection via Importance
+    * Resampling"): score every document by how target-like its token
+    * distribution is, so a raw pool can be resampled toward a small
+    * high-quality target set. Tokens hash into `nBuckets` feature buckets
+    * (first 8 hex digits of md5 — engine-portable, mirrored by the oracle);
+    * the target/source rows (per `isTarget`) induce two smoothed bucket
+    * distributions p̂, q̂, and a document's weight is
+    * `Σ_g c_{d,g} · (ln p̂_g − ln q̂_g)` over its bucket counts. Returns
+    * `(doc_id, n_feats, weight_e6)` with each (doc, bucket) term
+    * floor-quantized to 1e-6 before the integer sum, so the reduction is
+    * order-independent and bit-identical across engines.
+    *
+    * Shape: one tokenize+hash scan; bucket distributions reduce map-side to
+    * `nBuckets` rows (broadcast-joined back — the corpus never re-shuffles);
+    * per-doc bucket counts reduce map-side on (doc, bucket); totals ride a
+    * 1-row crossJoin. At 100 TB the only large shuffle is the (doc, bucket)
+    * rollup, bounded by corpus token count and combiner-compressed to at
+    * most `nBuckets` rows per document. */
+  def importanceWeights(df: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, nBuckets: Int = 256, alpha: Double = 1.0): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(alpha > 0, s"smoothing alpha must be positive: $alpha")
+    val toks = df.select(idCol.as("doc_id"), isTarget.cast("boolean").as("is_target"),
+        explode(filter(split(textCol, "\\s+"), t => t =!= "")).as("w"))
+      .withColumn("g",
+        pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"), lit(nBuckets)))
+    val dist = toks.groupBy("g").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("p_g"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("q_g"))
+    val totals = dist.agg(sum(col("p_g")).as("p_tot"), sum(col("q_g")).as("q_tot"))
+    val lr = dist.crossJoin(totals).select(col("g"),
+      (log((col("p_g").cast("double") + lit(alpha))
+          / (col("p_tot").cast("double") + lit(alpha * nBuckets)))
+        - log((col("q_g").cast("double") + lit(alpha))
+          / (col("q_tot").cast("double") + lit(alpha * nBuckets)))).as("lr"))
+    toks.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .join(lr, "g")
+      .withColumn("term_e6",
+        floor(col("c").cast("double") * col("lr") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_feats"), sum(col("term_e6")).as("weight_e6"))
+  }
 }

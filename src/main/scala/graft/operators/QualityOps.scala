@@ -217,4 +217,44 @@ object QualityOps {
         sum(when(col(s"_d.$c"), 1L).otherwise(0L)).as(s"chg_$c"))
     joined.groupBy("status").agg(aggs.head, aggs.tail: _*).orderBy("status")
   }
+
+  /** k-anonymity audit over a set of quasi-identifier columns: every
+    * equivalence class (distinct quasi-id combination) with its row count
+    * and an `at_risk` flag for classes smaller than `k` — the release
+    * gate privacy review runs before publishing a dataset keyed on
+    * attributes that can be linked externally. Rows in an at-risk class
+    * are re-identifiable by joining public data on the quasi-identifiers;
+    * the standard remedies (suppress, generalize, or drop) all start from
+    * exactly this class table. One shuffle: a group-by on the quasi
+    * columns with map-side partial counts; the result is bounded by the
+    * quasi-id domain cross-product, not the data, so at 100 TB the audit
+    * output is still tiny. Pass aliased columns for stable output names. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[Column], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k > 1, s"k must be > 1: $k")
+    df.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
+
+  /** l-diversity audit — the companion check to [[kAnonymity]]: a class
+    * can be large yet still leak if every row shares the same sensitive
+    * value (homogeneity attack), so each quasi-id class also needs at
+    * least `l` distinct sensitive values. Returns every class with its
+    * size, exact distinct-sensitive count, and `below_l` flag. Exact
+    * distinct-per-group costs one extra shuffle stage over the
+    * (quasi, sensitive) pre-aggregation; both stages partial-aggregate
+    * map-side, and the output stays domain-bounded. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[Column], sensitiveCol: Column,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l > 1, s"l must be > 1: $l")
+    val cell = df.groupBy(quasiCols :+ sensitiveCol.as("_s"): _*)
+      .agg(count(lit(1)).as("_n"))
+    val keys = (0 until quasiCols.length).map(i => col(cell.columns(i)))
+    cell.groupBy(keys: _*)
+      .agg(sum(col("_n")).as("class_size"),
+        count(col("_s")).as("n_sensitive"))
+      .withColumn("below_l", col("n_sensitive") < l)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Round-6 operators: DSIR importance weights, k-anonymity / l-diversity
+  * audits, against hand-checkable fixtures. */
+class RoundSixOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("importanceWeights: target-vocabulary docs weigh above source-vocabulary docs") {
+    // target docs speak 'aa bb', source docs speak 'xx yy'; a candidate in
+    // target vocabulary must outscore one in source vocabulary
+    val df = Seq(
+      (1L, "aa bb aa bb", true), (2L, "aa bb bb aa", true),
+      (3L, "xx yy xx yy", false), (4L, "yy xx yy xx", false),
+      (5L, "aa bb aa bb", false), (6L, "xx yy xx yy", false))
+      .toDF("doc_id", "text", "is_target")
+    val w = CorpusOps.importanceWeights(df, col("doc_id"), col("text"),
+        col("is_target"), nBuckets = 64, alpha = 1.0)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(5L) > w(6L), s"target-like doc must outscore source-like: $w")
+    assert(w(1L) > 0L && w(3L) < 0L)
+  }
+
+  test("importanceWeights: n_feats counts every token") {
+    val df = Seq((1L, "a b c", true), (2L, "d d", false)).toDF("id", "text", "t")
+    val out = CorpusOps.importanceWeights(df, col("id"), col("text"), col("t"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out === Map(1L -> 3L, 2L -> 2L))
+  }
+
+  test("kAnonymity: classes below k flagged, others not") {
+    val df = (Seq.fill(5)(("US", "a")) ++ Seq.fill(2)(("FR", "a")))
+      .toDF("country", "seg")
+    val out = QualityOps.kAnonymity(df, Seq(col("country"), col("seg")), k = 3)
+      .as[(String, String, Long, Boolean)].collect().toSet
+    assert(out === Set(("US", "a", 5L, false), ("FR", "a", 2L, true)))
+  }
+
+  test("lDiversity: homogeneous class flagged even when large") {
+    val df = (Seq.fill(6)(("US", "flu")) ++
+      Seq(("FR", "flu"), ("FR", "cold"), ("FR", "covid")))
+      .toDF("country", "diagnosis")
+    val out = QualityOps.lDiversity(df, Seq(col("country")), col("diagnosis"), l = 2)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    // US: 6 rows but 1 sensitive value -> below_l; FR: 3 distinct -> ok
+    assert(out === Set(("US", 6L, 1L, true), ("FR", 3L, 3L, false)))
+  }
+
+  test("lDiversity: null sensitive values do not count toward diversity") {
+    val df = Seq(("US", "flu"), ("US", null), ("US", null)).toDF("c", "s")
+    val out = QualityOps.lDiversity(df, Seq(col("c")), col("s"), l = 2)
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(out === (("US", 3L, 1L, true)))
+  }
+}
