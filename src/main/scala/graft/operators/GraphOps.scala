@@ -98,14 +98,18 @@ object GraphOps {
     * rows on the 1.2M-edge gate graph, and quadratic in the hot node's
     * degree on skewed graphs) — the intermediate here is one row per
     * *edge* carrying two O(√|E|) arrays, and the per-edge intersection
-    * runs fused in codegen. Every join shuffles on a node key; the
+    * is the native merge-walk kernel [[graft.plans.SortedIntersect]],
+    * fused in codegen with no per-row hash set. Every join shuffles on a node key; the
     * per-node rollup partial-aggregates map-side after the explode. The
     * oriented edge list feeds the adjacency build and both probe sides,
     * so it is localCheckpoint'd once rather than recomputed per branch. */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // the canonicalized edge list feeds both the degree agg and the
+    // orientation join; the shared distinct Exchange is deduplicated by
+    // ReuseExchange (measured: an explicit localCheckpoint buys nothing)
     val und = edges
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
     val deg = und
@@ -125,9 +129,11 @@ object GraphOps {
     val nx = adj.select(col("n").as("x"), col("nbrs").as("xn"))
     val ny = adj.select(col("n").as("y"), col("nbrs").as("yn"))
     // inner joins: an edge whose y has no out-list closes no triangle
+    // out-lists arrive sorted from sort_array, so intersection is the
+    // native merge-walk kernel — no per-row hash set (see SortedIntersect)
     val perEdge = oriented.join(nx, "x").join(ny, "y")
       .select(col("x"), col("y"),
-        array_intersect(col("xn"), col("yn")).as("zs"))
+        graft.plans.NativeFunctions.sorted_intersect(col("xn"), col("yn")).as("zs"))
       .filter(size(col("zs")) > 0)
     // triangle (x,y,z): 1 to z per element; |zs| to each of x and y
     perEdge.select(explode(col("zs")).as("node"), lit(1L).as("w"))

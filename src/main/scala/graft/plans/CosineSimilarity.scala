@@ -104,6 +104,12 @@ object NativeFunctions {
     SqlBridge.column(
       JaroWinkler(SqlBridge.expression(a), SqlBridge.expression(b)))
 
+  /** Merge-walk intersection of two sorted duplicate-free array<bigint>
+    * columns ([[SortedIntersect]]); callers own the sortedness contract. */
+  def sorted_intersect(a: Column, b: Column): Column =
+    SqlBridge.column(
+      SortedIntersect(SqlBridge.expression(a), SqlBridge.expression(b)))
+
   /** Bloom-filter build/probe — Spark ships these Catalyst expressions for
     * its own runtime-filter pushdown but does not SQL-register them; the
     * bridge exposes them as engine surface (build over xxhash64(key) longs,
@@ -135,6 +141,10 @@ object NativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler",
       exprs => JaroWinkler(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect",
+      exprs => SortedIntersect(exprs(0), exprs(1)),
       "built-in")
     // graft_normalize(s[, 'NFC'|'NFD'|'NFKC'|'NFKD']) — form must be a
     // literal (it is baked into the generated code)

@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersect].getName, "graft_sorted_intersect"),
+      (exprs: Seq[Expression]) => SortedIntersect(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
       (exprs: Seq[Expression]) => NormalizeText(exprs(0),

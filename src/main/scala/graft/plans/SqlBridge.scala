@@ -35,3 +35,12 @@ trait ExpectsSingleString
       : Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.StringType)
 }
+
+/** (array<bigint>, array<bigint>) variant for binary array expressions. */
+trait ExpectsLongArrayPair
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes
+      : Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+}
