@@ -5234,6 +5234,41 @@ object Queries {
         COUNT(DISTINCT o_custkey) < 10 AS below_l
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** SemDeDup semantic dedup ([[SimilarityOps.semanticDedup]]): 16 seed
+    * cells, within-cell cosine ≥ 0.35 drops the higher id. */
+  private val qSemanticDedup = QuerySpec(
+    "q_semantic_dedup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.semanticDedup(emb,
+        emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        tau = 0.35)
+        .orderBy("vec_id")
+    },
+    Some("""WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings WHERE vec_id < 16),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings),
+      scored AS (SELECT v.vec_id, c0.cid,
+          ROUND(list_dot_product(dvec, cvec) /
+            (sqrt(list_dot_product(dvec, dvec)) *
+             sqrt(list_dot_product(cvec, cvec))), 6) AS sim
+        FROM v, c0),
+      assigned AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+          FROM scored) t
+        WHERE rn = 1),
+      m AS (SELECT a.cid, a.vec_id, v.dvec FROM assigned a JOIN v USING (vec_id)),
+      dropped AS (SELECT DISTINCT y.vec_id FROM m x JOIN m y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+        AND ROUND(list_dot_product(x.dvec, y.dvec) /
+          (sqrt(list_dot_product(x.dvec, x.dvec)) *
+           sqrt(list_dot_product(y.dvec, y.dvec))), 6) >= 0.35)
+      SELECT a.vec_id, a.cid, d.vec_id IS NULL AS kept
+      FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      ORDER BY a.vec_id"""))
+
   /** TPC-H Q3 shape (shipping priority) on the synthetic star schema:
     * three-table join, filter on both fact sides, top-10 by exact-decimal
     * revenue. The dims prune at the scan and broadcast under AQE; the
@@ -5376,5 +5411,5 @@ object Queries {
     qWeightedSample, qGroupConcat, qProfile, qAttribution, qTimeWeighted,
     qSeasonal, qFunnelLag, qRepeatedSpans, qTableDiff, qAbTest, qAnnPq,
     qHeavyHitters, qImportanceWeights, qKAnonymity, qLDiversity,
-    qTpchQ3, qTpchQ5, qTpchQ10)
+    qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup)
 }

@@ -568,4 +568,41 @@ object SimilarityOps {
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
+    * the corpus into centroid cells with the broadcast argmin kernel, then
+    * drop every vector that has a semantically-near HIGHER-PRIORITY
+    * neighbor (lower id) in ITS OWN cell — near-duplicate meaning
+    * 6-dp-rounded cosine ≥ `tau`, the same similarity contract as every
+    * other kernel here. Returns one row per input vector:
+    * `(vec_id, cid, kept)`.
+    *
+    * This is the 100 TB complement to [[nearDupPairs]] (exact, guarded,
+    * all-pairs): clustering bounds the quadratic stage to within-cell
+    * pairs, and the cell count is the operator's scale knob — SemDeDup in
+    * production uses enough centroids that cells stay thousands of
+    * vectors, making the per-cell self-join cheap and evenly spread. The
+    * corpus shuffles once on the cell id; the pair condition (same cell,
+    * ordered ids, cosine ≥ tau) evaluates fused in codegen through the
+    * native [[graft.plans.CosineSimilarity]] expression; the drop set
+    * comes back as one semi-join. Keep rule is deterministic (smallest id
+    * in every near-dup neighborhood survives), so the result is stable
+    * across partitionings and engines. */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    val assigned = assignToNearest(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"), col("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("a") < col("b") &&
+        round(graft.plans.NativeFunctions.cosine_similarity(col("va"), col("vb")), 6)
+          >= lit(tau))
+      .select(col("b").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(!col("_drop"), lit(true)).as("kept"))
+  }
 }

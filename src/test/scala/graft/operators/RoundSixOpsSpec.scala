@@ -56,4 +56,38 @@ class RoundSixOpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Boolean)].collect().head
     assert(out === (("US", 3L, 1L, true)))
   }
+
+  test("semanticDedup: lowest id survives its near-dup neighborhood, cells isolate") {
+    // cells along axes: c0=(1,0,0,0), c1=(0,1,0,0). Vectors 10/11/12 are
+    // near-identical in cell 0 -> only 10 kept; 20 sits alone in cell 1;
+    // 21 is IDENTICAL to 10 but lands in cell 1 (cell-scoped check keeps
+    // it -- the documented approximation vs all-pairs)
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cid", "cvec")
+    val vecs = Seq(
+      (10L, Seq(1.0, 0.1, 0.0, 0.0)),
+      (11L, Seq(1.0, 0.11, 0.0, 0.0)),
+      (12L, Seq(0.99, 0.1, 0.0, 0.0)),
+      (20L, Seq(0.0, 1.0, 0.3, 0.0)),
+      (21L, Seq(0.1, 1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDedup(vecs, cents, tau = 0.99)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(10L) === ((0L, true)))
+    assert(out(11L) === ((0L, false)))
+    assert(out(12L) === ((0L, false)))
+    assert(out(20L) === ((1L, true)))
+    assert(out(21L) === ((1L, true)))
+  }
+
+  test("semanticDedup: tau above every similarity keeps everything") {
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("cid", "cvec")
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDedup(vecs, cents, tau = 1.0)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.forall(_._3), s"orthogonal vectors must both survive: ${out.toSeq}")
+  }
 }
