@@ -223,4 +223,34 @@ class ScaleSpec extends AnyFunSuite {
     val out = Chain.of(f, g)(Seq(1, 2, 3, 4).toDF("x"))
     assert(out.select("x").as[Int].collect().toSeq.sorted == Seq(3, 4))
   }
+
+  test("semanticDedup: corpus assigns via broadcast kernel, pair stage joins on the cell id") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val out = SimilarityOps.semanticDedup(vecs, cents, tau = 0.95)
+    val plan = out.queryExecution.executedPlan.toString
+    // assignment must stay the zero-exchange argmin kernel; the quadratic
+    // stage must be a cid-keyed join (bounded within cells), never a
+    // cartesian over the corpus
+    assert(plan.contains("MapPartitions"), s"typed argmin kernel missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair stage degenerated to a cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"no window needed anywhere:\n$plan")
+  }
+
+  test("importanceWeights: bucket log-ratio table broadcasts back to the doc rollup") {
+    val docs = (0 until 300).map(i => (i.toLong, s"tok$i common word${i % 7}", i % 3 == 0))
+      .toDF("doc_id", "text", "is_t")
+    val out = CorpusOps.importanceWeights(docs, col("doc_id"), col("text"),
+      col("is_t"), nBuckets = 32)
+    val plan = out.queryExecution.executedPlan.toString
+    // the corpus-sized (doc,bucket) rollup must join the 32-row lr table
+    // by broadcast — a sort-merge here would re-shuffle the corpus on the
+    // bucket id, the wrong key at any scale
+    assert(plan.contains("BroadcastHashJoin"), s"lr join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus re-shuffled on bucket:\n$plan")
+  }
 }
