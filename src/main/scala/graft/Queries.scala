@@ -4393,6 +4393,72 @@ object Queries {
         FROM q JOIN recon r ON r.nbr_id <> q.query_id) t
       WHERE "rank" <= 5 ORDER BY query_id, "rank""""))
 
+  /** IVF-PQ composite ANN ([[SimilarityOps.ivfPqTopK]]): the IVF coarse
+    * quantizer (8 cells, 2 probes — same contract as q_ann_ivf) routes
+    * queries to cells, and candidates inside the probed cells are ranked by
+    * PQ reconstruction distance (4 subspaces x 8 codewords — same codebook
+    * contract as q_ann_pq). The oracle composes the two proven CTE
+    * pipelines: assignment + probes from the IVF oracle, codebook + codes +
+    * reconstruction from the PQ oracle, joined on the cell id. Both engines
+    * round to 6 dp with lowest-id tiebreaks, so the composite index's
+    * output is hash-comparable, not just plausible. */
+  private val qAnnIvfPq = QuerySpec(
+    "q_ann_ivf_pq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = SimilarityOps.pqCodebook(emb.filter(col("vec_id") < 8), m = 4, k = 8)
+      SimilarityOps.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nlist = 8, nprobe = 2, cb)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_dot_product(e.v, c.cv) /
+                (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                6) DESC, c.cid) AS rn
+          FROM e, cent c) x WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_dot_product(e.v, c.cv) /
+                (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                6) DESC, c.cid) AS rn
+          FROM e, cent c WHERE e.vec_id < 10) x WHERE rn <= 2),
+      sp AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(s)),
+      cb AS (SELECT c.vec_id AS cwid, s.s,
+          list_slice(c.v, s.s*16+1, s.s*16+16) AS cw
+        FROM e c CROSS JOIN sp s WHERE c.vec_id < 8),
+      codes AS (
+        SELECT vec_id, s, cwid FROM (
+          SELECT e.vec_id, cb.s, cb.cwid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.s ORDER BY
+              ROUND(list_dot_product(list_slice(e.v, cb.s*16+1, cb.s*16+16),
+                                     list_slice(e.v, cb.s*16+1, cb.s*16+16))
+                - 2*list_dot_product(list_slice(e.v, cb.s*16+1, cb.s*16+16), cb.cw)
+                + list_dot_product(cb.cw, cb.cw), 6) ASC, cb.cwid) AS rn
+          FROM e CROSS JOIN cb) x WHERE rn = 1),
+      recon AS (
+        SELECT codes.vec_id AS nbr_id, flatten(list(cb.cw ORDER BY codes.s)) AS rv
+        FROM codes JOIN cb ON cb.cwid = codes.cwid AND cb.s = codes.s
+        GROUP BY codes.vec_id),
+      rc AS (SELECT r.nbr_id, r.rv, a.cid
+        FROM recon r JOIN assigned a ON a.vec_id = r.nbr_id)
+      SELECT query_id, nbr_id, dist, "rank" FROM (
+        SELECT p.query_id, rc.nbr_id,
+          ROUND(list_dot_product(p.qv, p.qv) - 2*list_dot_product(p.qv, rc.rv)
+            + list_dot_product(rc.rv, rc.rv), 6) AS dist,
+          ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+            ROUND(list_dot_product(p.qv, p.qv) - 2*list_dot_product(p.qv, rc.rv)
+              + list_dot_product(rc.rv, rc.rv), 6) ASC, rc.nbr_id) AS "rank"
+        FROM probes p JOIN rc ON rc.cid = p.cid
+        WHERE rc.nbr_id <> p.query_id) t
+      WHERE "rank" <= 5 ORDER BY query_id, "rank""""))
+
   /** Unicode normalization ([[graft.plans.NormalizeText]], the third
     * native codegen'd expression): composed (U+00E9) and decomposed
     * (e + U+0301) forms of the same text hash apart until NFC-normalized —
@@ -5411,5 +5477,5 @@ object Queries {
     qWeightedSample, qGroupConcat, qProfile, qAttribution, qTimeWeighted,
     qSeasonal, qFunnelLag, qRepeatedSpans, qTableDiff, qAbTest, qAnnPq,
     qHeavyHitters, qImportanceWeights, qKAnonymity, qLDiversity,
-    qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup)
+    qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq)
 }

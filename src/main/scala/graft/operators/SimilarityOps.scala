@@ -526,7 +526,8 @@ object SimilarityOps {
     * (computed as ‖x‖²−2x·c+‖c‖² with fold dots, so the oracle can
     * reproduce it bit-for-bit), lowest codeword index winning ties. */
   def pqEncode(corpus: DataFrame, codebook: Array[Array[Array[Double]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      keep: Seq[String] = Nil): DataFrame = {
     val m = codebook.length
     val ds = codebook(0)(0).length
     val v = col(vecCol).cast("array<double>")
@@ -538,7 +539,8 @@ object SimilarityOps {
       }: _*)
       array_position(dists, array_min(dists)).cast("int")
     }
-    corpus.select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+    corpus.select(col(idCol).as("id") +: keep.map(col) :+
+      array(codeCols: _*).as("codes"): _*)
   }
 
   /** PQ approximate top-k by reconstruction distance: corpus rows are
@@ -567,6 +569,47 @@ object SimilarityOps {
           + dot(col("rv"), col("rv")), 6).as("dist"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ composite ANN — the production-standard index shape (Jégou et
+    * al. 2011): an IVF coarse quantizer routes each query to its `nprobe`
+    * nearest cells, and within the probed cells candidates are ranked by
+    * PQ reconstruction distance, so the scan touches only
+    * nprobe/nlist of the corpus AND only the m-byte codes of those rows —
+    * the two orthogonal cost cuts composed. Deterministic end to end:
+    * cell assignment is [[assignToNearest]]'s broadcast argmin (zero
+    * exchange on the corpus), codes come from [[pqEncode]]'s rounded-L2
+    * argmin, and the final ranking uses the same 6-dp fold-dot distance
+    * and id tiebreak as [[pqTopK]] — so an oracle re-derives the exact
+    * result. Dataflow at 100 TB: the corpus shuffles ZERO times (assign
+    * and encode are projections); probes broadcast onto the coded corpus
+    * keyed by cell id; only the narrow (query, nbr, dist) candidate set
+    * shuffles for the per-query top-k. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int, nprobe: Int,
+      codebook: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebook.length
+    val cent = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val assigned = assignToNearest(corpus, cent, idCol, vecCol)
+    val codes = pqEncode(assigned, codebook, idCol, vecCol, keep = Seq("cid"))
+    val rv = concat((0 until m).map { s =>
+      element_at(typedlit(codebook(s).map(_.toSeq).toSeq), col("codes").getItem(s))
+    }: _*)
+    val recon = codes.select(col("cid"), col("id").as("nbr_id"), rv.as("rv"))
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+      cent, "query_id", "qvec", nprobe)
+      .select(col("cid"), col("query_id"), col("qvec").cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("nbr_id"))
+    recon.join(broadcast(probes), Seq("cid"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("rv"))
+          + dot(col("rv"), col("rv")), 6).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
