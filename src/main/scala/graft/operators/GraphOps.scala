@@ -81,6 +81,55 @@ object GraphOps {
     ranks
   }
 
+  /** Multi-source BFS hop distances over an undirected edge list: the
+    * minimum number of hops from any seed node, up to `maxHops`. Returns
+    * `(node, hops)` for every reachable node (seeds at hop 0). The shape
+    * behind "distance-to-known-spam", "k-hop neighborhood extract", and
+    * link-graph quality propagation (reference surface: graph jobs ran as
+    * iterative MapReduce passes, e.g. the pentomino/π-style multi-job
+    * drivers — here each pass is one declarative self-join).
+    *
+    * Scale design: frontier-based expansion — iteration i joins ONLY the
+    * hop-(i-1) frontier against the adjacency list, not the full visited
+    * set, so per-round shuffle is O(frontier × avg-degree), the same
+    * asymptotics as Pregel-style BFS. The visited set grows by anti-join
+    * (newly seen nodes only), and both sides are localCheckpoint'd per
+    * round to cut the lineage (an unchecked 10-round BFS plan re-executes
+    * every prior join on each action). Edges are canonicalized to
+    * distinct undirected pairs once, up front. Early exit when the
+    * frontier empties — at 100 TB the count() per round is a cheap
+    * O(frontier) job against a checkpointed frontier, and stopping beats
+    * running maxHops empty rounds. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val und = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    // both directions once, so the per-round join is a plain equi-join
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var visited = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint()
+    var frontier = visited
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier
+        .join(adj, frontier("node") === adj("u"))
+        .select(col("v").as("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering signal community detection and spam/bot scoring start
     * from. Input edges may be directed/duplicated; they are canonicalized

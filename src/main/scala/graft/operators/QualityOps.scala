@@ -257,4 +257,41 @@ object QualityOps {
         count(col("_s")).as("n_sensitive"))
       .withColumn("below_l", col("n_sensitive") < l)
   }
+
+  /** t-closeness audit — the third rung after [[kAnonymity]] and
+    * [[lDiversity]]: a class can be large and diverse yet still leak if
+    * its sensitive-value DISTRIBUTION differs sharply from the corpus
+    * (skewness attack: "90% of this zip code's rows say 'positive'" is a
+    * disclosure even with l distinct values present). For a categorical
+    * sensitive column the distance is total variation:
+    * `tvd = Σ_v max(p_class(v) − p_global(v), 0)` — the one-sided sum
+    * equals ½·Σ|p−q| because both distributions sum to 1, and it needs
+    * only the (class, value) cells that actually occur, so absent values
+    * never have to be densified. Flags classes with `tvd > t`.
+    *
+    * Scale: two hash aggregations (cells, then classes) plus a broadcast
+    * join of the global value distribution (domain-bounded, tiny); output
+    * is bounded by the quasi-id domain, not the data. Doubles are rounded
+    * to 6 dp so the audit is hash-comparable across engines. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[Column], sensitiveCol: Column,
+      t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t must be in (0,1): $t")
+    val cell = df.groupBy(quasiCols :+ sensitiveCol.as("_s"): _*)
+      .agg(count(lit(1)).as("_n"))
+    val keys = (0 until quasiCols.length).map(i => col(cell.columns(i)))
+    val globalDist = cell.groupBy(col("_s"))
+      .agg(sum(col("_n")).as("_gn"))
+      .withColumn("_g", col("_gn") / sum(col("_gn")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("_s"), col("_g"))
+    val classSize = cell.groupBy(keys: _*).agg(sum(col("_n")).as("class_size"))
+    cell
+      .join(broadcast(globalDist), "_s")
+      .join(classSize, quasiCols.indices.map(i => cell.columns(i)))
+      .groupBy(keys :+ col("class_size"): _*)
+      .agg(round(sum(greatest(
+        col("_n") / col("class_size") - col("_g"), lit(0.0))), 6).as("tvd"))
+      .withColumn("above_t", col("tvd") > t)
+  }
 }
