@@ -130,6 +130,54 @@ object GraphOps {
     visited
   }
 
+  /** Deterministic random walks over an undirected edge list — the
+    * corpus-prep step for graph embeddings (DeepWalk/node2vec train
+    * skip-grams over exactly these walk sequences, and [[graft.operators
+    * .CorpusOps]]' skip-gram op consumes them unchanged). One walk starts
+    * at each seed node and takes `steps` steps; the "random" successor is
+    * the neighbor minimizing `md5(walk_id|step|neighbor)`, so the walk is
+    * a pure function of the graph — reproducible across engines, retries,
+    * and partitionings, with no RNG state to checkpoint (same seeded-hash
+    * discipline as the sampling ops in [[SortOps]]). Returns
+    * `(walk_id, step, node)` with step 0 at the seed.
+    *
+    * Scale design: all walks advance together — step i is ONE equi-join of
+    * the O(#walks) position table against the adjacency list followed by a
+    * `min_by` hash aggregation per walk (partial-aggregates map-side, so a
+    * celebrity node hosting thousands of walks never concentrates its
+    * candidate set in one task). Per-step shuffle is O(#walks × avg-degree);
+    * the edge list is canonicalized and localCheckpoint'd once, and the
+    * position table is checkpointed per step to keep the lineage flat. A
+    * walk stranded on an isolated seed simply ends (no self-loop padding).
+    */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 0, s"steps must be >= 0: $steps")
+    val und = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var pos = seeds.select(col("node").cast("long").as("walk_id"))
+      .distinct()
+      .select(col("walk_id"), lit(0).as("step"), col("walk_id").as("node"))
+      .localCheckpoint()
+    var out = pos
+    var step = 0
+    while (step < steps && !pos.isEmpty) {
+      step += 1
+      pos = pos
+        .join(adj, pos("node") === adj("u"))
+        .groupBy(col("walk_id"))
+        .agg(min_by(col("v"),
+          md5(concat_ws("|", col("walk_id"), lit(step), col("v")))).as("node"))
+        .select(col("walk_id"), lit(step).as("step"), col("node"))
+        .localCheckpoint()
+      out = out.unionAll(pos)
+    }
+    out
+  }
+
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering signal community detection and spam/bot scoring start
     * from. Input edges may be directed/duplicated; they are canonicalized

@@ -294,4 +294,35 @@ object QualityOps {
         col("_n") / col("class_size") - col("_g"), lit(0.0))), 6).as("tvd"))
       .withColumn("above_t", col("tvd") > t)
   }
+
+  /** Differentially-private noisy counts — the RELEASE step after the
+    * [[kAnonymity]]/[[lDiversity]]/[[tCloseness]] audits: per-key counts
+    * with Laplace(1/ε) noise added, the standard ε-DP mechanism for a
+    * count query (sensitivity 1). The noise is DETERMINISTIC given
+    * (seed, key): a keyed md5 hash maps to a uniform u ∈ (−½, ½), then
+    * through the Laplace inverse CDF `−(1/ε)·sgn(u)·ln(1−2|u|)` — so the
+    * release is reproducible across engines, retries, and partitionings
+    * with no RNG state, the same seeded-hash discipline as the sampling
+    * ops. (Determinism-given-seed is exactly the cryptographic-PRF DP
+    * deployment shape; rotate the seed per release.) Returns
+    * `(k, n, noisy_e6)` with the noisy count quantized to 1e-6 so the
+    * float is hash-comparable.
+    *
+    * Scale: one hash aggregation (map-side partials), then per-row scalar
+    * math on the domain-bounded aggregate — the noise step adds zero
+    * shuffles and runs on |keys| rows, not |data|. */
+  def dpNoisyCounts(df: DataFrame, keyCol: Column, epsilon: Double,
+      seed: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0: $epsilon")
+    // u ∈ (−½, ½), endpoints excluded: 32-bit hash x → (x+1)/(2^32+2) − ½
+    val u = (conv(substring(md5(concat_ws("|", lit(seed), col("k"))), 1, 8),
+      16, 10).cast("double") + 1.0) / 4294967298.0 - 0.5
+    df.groupBy(keyCol.as("k"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_u", u)
+      .withColumn("noisy_e6",
+        floor((col("n") - signum(col("_u")) * log(lit(1.0) - 2.0 * abs(col("_u")))
+          / epsilon) * 1e6 + 0.5).cast("long"))
+      .select(col("k"), col("n"), col("noisy_e6"))
+  }
 }
