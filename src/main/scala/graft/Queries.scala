@@ -5301,7 +5301,10 @@ object Queries {
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** SemDeDup semantic dedup ([[SimilarityOps.semanticDedup]]): 16 seed
-    * cells, within-cell cosine ≥ 0.35 drops the higher id. */
+    * cells, within-cell cosine ≥ 0.35 drops the higher id. `maxCell = 16`
+    * is deliberately below the ~31-member gate cells so the driver gate
+    * exercises the hot-cell sub-split path (md5(vec_id) mod ⌈size/16⌉),
+    * mirrored term-for-term in the oracle. */
   private val qSemanticDedup = QuerySpec(
     "q_semantic_dedup",
     (s, dir) => {
@@ -5309,7 +5312,7 @@ object Queries {
       SimilarityOps.semanticDedup(emb,
         emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-        tau = 0.35)
+        tau = 0.35, maxCell = 16)
         .orderBy("vec_id")
     },
     Some("""WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
@@ -5325,9 +5328,13 @@ object Queries {
             PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
           FROM scored) t
         WHERE rn = 1),
-      m AS (SELECT a.cid, a.vec_id, v.dvec FROM assigned a JOIN v USING (vec_id)),
+      sizes AS (SELECT cid, COUNT(*) AS csz FROM assigned GROUP BY 1),
+      m AS (SELECT a.cid, a.vec_id, v.dvec,
+          CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) AS BIGINT) %
+            GREATEST(CAST(ceil(CAST(s.csz AS DOUBLE) / 16.0) AS BIGINT), 1) AS sub
+        FROM assigned a JOIN v USING (vec_id) JOIN sizes s USING (cid)),
       dropped AS (SELECT DISTINCT y.vec_id FROM m x JOIN m y
-        ON x.cid = y.cid AND x.vec_id < y.vec_id
+        ON x.cid = y.cid AND x.sub = y.sub AND x.vec_id < y.vec_id
         AND ROUND(list_dot_product(x.dvec, y.dvec) /
           (sqrt(list_dot_product(x.dvec, x.dvec)) *
            sqrt(list_dot_product(y.dvec, y.dvec))), 6) >= 0.35)
@@ -5433,6 +5440,117 @@ object Queries {
         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
       GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20"""))
 
+  /** Multi-source BFS hop distances ([[GraphOps.bfsHops]]) over the
+    * part↔supplier bipartite graph (undirected), seeded at part keys ≤ 3,
+    * four hops. The oracle is a recursive CTE that re-derives min hop
+    * distance: the frontier BFS's first-seen hop equals the minimum over
+    * all ≤ maxHops paths, which is exactly `MIN(hops)` over the CTE's
+    * bounded expansion. */
+  private val qBfsHops = QuerySpec(
+    "q_bfs_hops",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(col("l_partkey").cast("long").as("src"),
+        (lit(1000000000L) + col("l_suppkey")).cast("long").as("dst"))
+      val seeds = li.filter(col("l_partkey") <= 3)
+        .select(col("l_partkey").as("node")).distinct()
+      GraphOps.bfsHops(edges, seeds, maxHops = 4).orderBy("node")
+    },
+    Some("""WITH RECURSIVE und AS (
+        SELECT DISTINCT l_partkey AS u, 1000000000 + l_suppkey AS v FROM lineitem),
+      adj AS (SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und),
+      seeds AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+        WHERE l_partkey <= 3),
+      bfs(node, hops) AS (
+        SELECT node, 0 AS hops FROM seeds
+        UNION
+        SELECT a.v AS node, b.hops + 1 AS hops
+        FROM bfs b JOIN adj a ON a.u = b.node
+        WHERE b.hops < 4)
+      SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+      FROM bfs GROUP BY 1 ORDER BY 1"""))
+
+  /** Deterministic random walks ([[GraphOps.randomWalks]]): one walk per
+    * part key ≤ 5 over the part↔supplier graph, three steps. The oracle
+    * replays the md5-argmin successor rule step by step — the walk is a
+    * pure function of the graph, so DuckDB re-derives it exactly. */
+  private val qRandomWalks = QuerySpec(
+    "q_random_walks",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(col("l_partkey").cast("long").as("src"),
+        (lit(1000000000L) + col("l_suppkey")).cast("long").as("dst"))
+      val seeds = li.filter(col("l_partkey") <= 5)
+        .select(col("l_partkey").as("node")).distinct()
+      GraphOps.randomWalks(edges, seeds, steps = 3).orderBy("walk_id", "step")
+    },
+    Some("""WITH und AS (
+        SELECT DISTINCT l_partkey AS u, 1000000000 + l_suppkey AS v FROM lineitem),
+      adj AS (SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und),
+      seeds AS (SELECT DISTINCT l_partkey AS walk_id FROM lineitem
+        WHERE l_partkey <= 5),
+      p0 AS (SELECT walk_id, 0 AS step, walk_id AS node FROM seeds),
+      p1 AS (SELECT p.walk_id, 1 AS step, arg_min(a.v,
+          md5(CAST(p.walk_id AS VARCHAR) || '|1|' || CAST(a.v AS VARCHAR))) AS node
+        FROM p0 p JOIN adj a ON a.u = p.node GROUP BY 1),
+      p2 AS (SELECT p.walk_id, 2 AS step, arg_min(a.v,
+          md5(CAST(p.walk_id AS VARCHAR) || '|2|' || CAST(a.v AS VARCHAR))) AS node
+        FROM p1 p JOIN adj a ON a.u = p.node GROUP BY 1),
+      p3 AS (SELECT p.walk_id, 3 AS step, arg_min(a.v,
+          md5(CAST(p.walk_id AS VARCHAR) || '|3|' || CAST(a.v AS VARCHAR))) AS node
+        FROM p2 p JOIN adj a ON a.u = p.node GROUP BY 1)
+      SELECT walk_id, step, node FROM (
+        SELECT * FROM p0 UNION ALL SELECT * FROM p1
+        UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3) w
+      ORDER BY walk_id, step"""))
+
+  /** t-closeness audit ([[QualityOps.tCloseness]]): per-source sensitive
+    * distribution (lang) vs the corpus, one-sided TVD released as exact
+    * scaled-long `tvd_e6`, t = 0.05. */
+  private val qTCloseness = QuerySpec(
+    "q_t_closeness",
+    (s, dir) =>
+      QualityOps.tCloseness(t(s, dir, "documents"), Seq(col("source")),
+          col("lang"), t = 0.05)
+        .orderBy("source"),
+    Some("""WITH cell AS (SELECT source, lang AS sv, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cell),
+      g AS (SELECT sv, CAST(SUM(n) AS DOUBLE) / (SELECT t FROM tot) AS gq
+        FROM cell GROUP BY 1),
+      cs AS (SELECT source, CAST(SUM(n) AS BIGINT) AS class_size
+        FROM cell GROUP BY 1),
+      agg AS (SELECT c.source, cs.class_size,
+          CAST(floor(CAST(SUM(CAST(floor(GREATEST(
+              CAST(c.n AS DOUBLE) / CAST(cs.class_size AS DOUBLE) - g.gq,
+              0.0) * 1e15 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1e15 * 1e6 + 0.5) AS BIGINT) AS tvd_e6
+        FROM cell c JOIN g ON c.sv = g.sv JOIN cs ON c.source = cs.source
+        GROUP BY 1, 2)
+      SELECT source, class_size, tvd_e6, tvd_e6 > 50000 AS above_t
+      FROM agg ORDER BY source"""))
+
+  /** DP noisy-count release ([[QualityOps.dpNoisyCounts]]): per-lang doc
+    * counts with deterministic seeded-hash Laplace(1/ε) noise, ε = 0.8,
+    * stability threshold 5 — the noise is a pure function of (seed, key),
+    * so the oracle re-derives the release exactly. */
+  private val qDpNoisyCounts = QuerySpec(
+    "q_dp_noisy_counts",
+    (s, dir) =>
+      QualityOps.dpNoisyCounts(t(s, dir, "documents"), col("lang"),
+          epsilon = 0.8, seed = "graft-r7", threshold = 5.0)
+        .orderBy("k"),
+    Some("""WITH c AS (SELECT lang AS k, COUNT(*) AS n FROM documents GROUP BY 1),
+      u AS (SELECT k, n,
+          (CAST(CAST('0x' || substr(md5('graft-r7|' || k), 1, 8) AS BIGINT)
+            AS DOUBLE) + 1.0) / 4294967298.0 - 0.5 AS uu
+        FROM c),
+      rel AS (SELECT k,
+          CAST(floor((n - sign(uu) * ln(1.0 - 2.0 * abs(uu)) / 0.8) * 1e6 + 0.5)
+            AS BIGINT) AS noisy_e6
+        FROM u)
+      SELECT k, noisy_e6 FROM rel WHERE noisy_e6 >= 5000000 ORDER BY k"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5477,5 +5595,6 @@ object Queries {
     qWeightedSample, qGroupConcat, qProfile, qAttribution, qTimeWeighted,
     qSeasonal, qFunnelLag, qRepeatedSpans, qTableDiff, qAbTest, qAnnPq,
     qHeavyHitters, qImportanceWeights, qKAnonymity, qLDiversity,
-    qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq)
+    qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq,
+    qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts)
 }

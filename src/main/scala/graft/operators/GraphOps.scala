@@ -115,6 +115,11 @@ object GraphOps {
       .localCheckpoint()
     var frontier = visited
     var hop = 0L
+    // early-exit contract: `frontier` is always an EAGER localCheckpoint —
+    // the materializing job has already run by the time the loop condition
+    // evaluates, so `isEmpty` here is a take(1) against cached partitions
+    // (no recompute, no shuffle), not a second pass over the round's work.
+    // One real job per round.
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
       val next = frontier
@@ -132,8 +137,10 @@ object GraphOps {
 
   /** Deterministic random walks over an undirected edge list — the
     * corpus-prep step for graph embeddings (DeepWalk/node2vec train
-    * skip-grams over exactly these walk sequences, and [[graft.operators
-    * .CorpusOps]]' skip-gram op consumes them unchanged). One walk starts
+    * skip-grams over exactly these walk sequences; to feed [[graft
+    * .operators.CorpusOps]]' skip-gram op, pack each walk into a document
+    * first — `sort by step, concat_ws(" ", collect_list(node))` — since
+    * that op tokenizes a text column). One walk starts
     * at each seed node and takes `steps` steps; the "random" successor is
     * the neighbor minimizing `md5(walk_id|step|neighbor)`, so the walk is
     * a pure function of the graph — reproducible across engines, retries,
@@ -147,9 +154,15 @@ object GraphOps {
     * celebrity node hosting thousands of walks never concentrates its
     * candidate set in one task). Per-step shuffle is O(#walks × avg-degree);
     * the edge list is canonicalized and localCheckpoint'd once, and the
-    * position table is checkpointed per step to keep the lineage flat. A
-    * walk stranded on an isolated seed simply ends (no self-loop padding).
-    */
+    * position table is checkpointed per step to keep the lineage flat —
+    * the eager checkpoint IS the step's one job; there is no per-step
+    * emptiness probe. An isolated seed (no neighbors) can never advance,
+    * so it is filtered out ONCE up front by a semi-join against the
+    * adjacency list — on a connected position every neighbor join is
+    * non-empty by construction (undirected edges: in-degree = out-degree),
+    * so walks never vanish mid-loop and the driver runs exactly `steps`
+    * sequential jobs, not 2×steps. Isolated seeds still contribute their
+    * step-0 row (a walk that starts stranded ends at its seed). */
   def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
     require(steps >= 0, s"steps must be >= 0: $steps")
     val und = edges
@@ -158,13 +171,17 @@ object GraphOps {
     val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint()
-    var pos = seeds.select(col("node").cast("long").as("walk_id"))
+    val allSeeds = seeds.select(col("node").cast("long").as("walk_id"))
       .distinct()
       .select(col("walk_id"), lit(0).as("step"), col("walk_id").as("node"))
       .localCheckpoint()
-    var out = pos
+    var pos = allSeeds
+      .join(adj.select(col("u").as("node")), Seq("node"), "left_semi")
+      .select(col("walk_id"), col("step"), col("node"))
+      .localCheckpoint()
+    var out = allSeeds
     var step = 0
-    while (step < steps && !pos.isEmpty) {
+    while (step < steps) {
       step += 1
       pos = pos
         .join(adj, pos("node") === adj("u"))

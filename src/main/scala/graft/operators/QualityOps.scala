@@ -271,8 +271,10 @@ object QualityOps {
     *
     * Scale: two hash aggregations (cells, then classes) plus a broadcast
     * join of the global value distribution (domain-bounded, tiny); output
-    * is bounded by the quasi-id domain, not the data. Doubles are rounded
-    * to 6 dp so the audit is hash-comparable across engines. */
+    * is bounded by the quasi-id domain, not the data. The per-cell terms
+    * are quantized to 1e-15 scaled longs before summing (exact integer
+    * fold, order-independent) and the TVD is released as `tvd_e6` — the
+    * same hash-stable discipline as [[distributionDrift]]. */
   def tCloseness(df: DataFrame, quasiCols: Seq[Column], sensitiveCol: Column,
       t: Double): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
@@ -290,9 +292,11 @@ object QualityOps {
       .join(broadcast(globalDist), "_s")
       .join(classSize, quasiCols.indices.map(i => cell.columns(i)))
       .groupBy(keys :+ col("class_size"): _*)
-      .agg(round(sum(greatest(
-        col("_n") / col("class_size") - col("_g"), lit(0.0))), 6).as("tvd"))
-      .withColumn("above_t", col("tvd") > t)
+      .agg(floor(sum(floor(greatest(
+        col("_n") / col("class_size") - col("_g"), lit(0.0)) * lit(1e15) + lit(0.5)))
+          .cast("double") / lit(1e15) * lit(1e6) + lit(0.5))
+        .cast("long").as("tvd_e6"))
+      .withColumn("above_t", col("tvd_e6") > lit(math.floor(t * 1e6 + 0.5).toLong))
   }
 
   /** Differentially-private noisy counts — the RELEASE step after the
@@ -305,15 +309,25 @@ object QualityOps {
     * with no RNG state, the same seeded-hash discipline as the sampling
     * ops. (Determinism-given-seed is exactly the cryptographic-PRF DP
     * deployment shape; rotate the seed per release.) Returns
-    * `(k, n, noisy_e6)` with the noisy count quantized to 1e-6 so the
-    * float is hash-comparable.
+    * `(k, noisy_e6)` with the noisy count quantized to 1e-6 so the float
+    * is hash-comparable. The exact count is deliberately NOT in the
+    * output — releasing it alongside the noise would void the guarantee.
+    *
+    * DP caveats the caller owns: sensitivity 1 assumes each individual
+    * contributes at most ONE row (pre-aggregate per individual first if
+    * not); and the released KEY SET here is data-dependent — a rare key's
+    * mere presence leaks membership. When the key domain is not public,
+    * pass `threshold > 0` to suppress keys whose noisy count falls below
+    * it (the standard stability-based remedy), or densify over a public
+    * domain before calling.
     *
     * Scale: one hash aggregation (map-side partials), then per-row scalar
     * math on the domain-bounded aggregate — the noise step adds zero
     * shuffles and runs on |keys| rows, not |data|. */
   def dpNoisyCounts(df: DataFrame, keyCol: Column, epsilon: Double,
-      seed: String): DataFrame = {
+      seed: String, threshold: Double = 0.0): DataFrame = {
     require(epsilon > 0, s"epsilon must be > 0: $epsilon")
+    require(threshold >= 0, s"threshold must be >= 0: $threshold")
     // u ∈ (−½, ½), endpoints excluded: 32-bit hash x → (x+1)/(2^32+2) − ½
     val u = (conv(substring(md5(concat_ws("|", lit(seed), col("k"))), 1, 8),
       16, 10).cast("double") + 1.0) / 4294967298.0 - 0.5
@@ -321,8 +335,9 @@ object QualityOps {
       .agg(count(lit(1)).as("n"))
       .withColumn("_u", u)
       .withColumn("noisy_e6",
-        floor((col("n") - signum(col("_u")) * log(lit(1.0) - 2.0 * abs(col("_u")))
+        floor((col("n") - signum(col("_u")) * log(lit(1.0) - lit(2.0) * abs(col("_u")))
           / epsilon) * 1e6 + 0.5).cast("long"))
-      .select(col("k"), col("n"), col("noisy_e6"))
+      .filter(if (threshold > 0) col("noisy_e6") >= lit(threshold * 1e6) else lit(true))
+      .select(col("k"), col("noisy_e6"))
   }
 }

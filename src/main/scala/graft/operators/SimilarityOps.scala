@@ -624,22 +624,42 @@ object SimilarityOps {
     * all-pairs): clustering bounds the quadratic stage to within-cell
     * pairs, and the cell count is the operator's scale knob — SemDeDup in
     * production uses enough centroids that cells stay thousands of
-    * vectors, making the per-cell self-join cheap and evenly spread. The
-    * corpus shuffles once on the cell id; the pair condition (same cell,
-    * ordered ids, cosine ≥ tau) evaluates fused in codegen through the
-    * native [[graft.plans.CosineSimilarity]] expression; the drop set
+    * vectors, making the per-cell self-join cheap and evenly spread.
+    * Because real embedding spaces are always skewed, the cell size is
+    * additionally HARD-CAPPED: any cell over `maxCell` members is
+    * deterministically sub-split (md5 of the vector id mod
+    * ⌈size/maxCell⌉) so its pair stage runs within sub-cells of expected
+    * size ≤ maxCell — one fat centroid can no longer go quadratic, the
+    * same hot-bucket discipline as the simhash/minhash band caps. Pairs
+    * straddling two sub-cells of a split cell are not compared (the
+    * standard accuracy/cost trade of every banded scheme); the split is
+    * a pure function of (id, cell size), so results stay deterministic
+    * and engine-reproducible. The corpus shuffles once on the (cell,
+    * sub-cell) id; the pair condition (same cell, ordered ids, cosine ≥
+    * tau) evaluates fused in codegen through the native
+    * [[graft.plans.CosineSimilarity]] expression; the drop set
     * comes back as one semi-join. Keep rule is deterministic (smallest id
     * in every near-dup neighborhood survives), so the result is stable
     * across partitionings and engines. */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCell: Int = 4096): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
-    val assigned = assignToNearest(corpus, centroids, idCol, vecCol)
+    require(maxCell > 1, s"maxCell must be > 1: $maxCell")
+    val assignedRaw = assignToNearest(corpus, centroids, idCol, vecCol)
       .select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("v"), col("cid"))
-    val a = assigned.select(col("cid"), col("vec_id").as("a"), col("v").as("va"))
-    val b = assigned.select(col("cid"), col("vec_id").as("b"), col("v").as("vb"))
-    val dropped = a.join(b, Seq("cid"))
+    // cell-size table is bounded by the centroid count — broadcast it and
+    // derive the deterministic sub-cell id (pmod(x,1) = 0 for small cells)
+    val sizes = assignedRaw.groupBy("cid").agg(count(lit(1)).as("_csz"))
+    val assigned = assignedRaw.join(broadcast(sizes), Seq("cid"))
+      .withColumn("_sub", pmod(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        greatest(ceil(col("_csz") / lit(maxCell.toDouble)).cast("long"), lit(1L))))
+      .select(col("vec_id"), col("v"), col("cid"), col("_sub"))
+    val a = assigned.select(col("cid"), col("_sub"), col("vec_id").as("a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("_sub"), col("vec_id").as("b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cid", "_sub"))
       .filter(col("a") < col("b") &&
         round(graft.plans.NativeFunctions.cosine_similarity(col("va"), col("vb")), 6)
           >= lit(tau))

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Round-7 operators: BFS hop distances, deterministic random walks,
+  * t-closeness audit, DP noisy-count release — hand-checkable fixtures. */
+class RoundSevenOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bfsHops: path-graph distances from one seed, capped at maxHops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = GraphOps.bfsHops(edges, seeds, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops: multi-source minimum over seeds; edges are undirected") {
+    // directed input 1->2->3->4->5, but hops must flow both ways
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val out = GraphOps.bfsHops(edges, seeds, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops: frontier drains before maxHops and the loop exits") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = GraphOps.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("randomWalks: forced moves are taken; the walk is reproducible") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val run1 = GraphOps.randomWalks(edges, seeds, steps = 2)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    val run2 = GraphOps.randomWalks(edges, seeds, steps = 2)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(run1.toSeq === run2.toSeq, "walk must be a pure function of the graph")
+    assert(run1.length === 3)
+    assert(run1(0) === ((1L, 0, 1L)))
+    assert(run1(1) === ((1L, 1, 2L)), "node 1's only neighbor is 2")
+    assert(Set(1L, 3L).contains(run1(2)._3), "from 2 the walk moves to a neighbor")
+  }
+
+  test("randomWalks: every step lands on a neighbor of the previous node") {
+    val edges = (1L to 20L).flatMap(i => Seq((i, i % 20 + 1), (i, (i + 4) % 20 + 1)))
+      .toDF("src", "dst")
+    val adj = edges.as[(Long, Long)].collect()
+      .flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val walks = GraphOps.randomWalks(edges, Seq(3L, 7L, 11L).toDF("node"), steps = 4)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.sortBy(_._2).map(_._3).toSeq }
+    assert(walks.keySet === Set(3L, 7L, 11L))
+    walks.values.foreach { path =>
+      assert(path.length === 5)
+      path.sliding(2).foreach { w =>
+        assert(adj(w.head).contains(w(1)), s"${w(1)} not a neighbor of ${w.head} in $path")
+      }
+    }
+  }
+
+  test("randomWalks: isolated seed contributes only its step-0 row") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = GraphOps.randomWalks(edges, Seq(1L, 99L).toDF("node"), steps = 3)
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(out(99L).toSeq === Seq((99L, 0, 99L)))
+    assert(out(1L).length === 4, "connected seed walks all steps")
+  }
+
+  test("tCloseness: skewed class distance from the corpus, exact e6 quantization") {
+    // global lang mix is (x: .5, y: .5); each class is 75/25 skewed, so the
+    // one-sided TVD is exactly 0.25 for both
+    val df = (Seq.fill(3)(("A", "x")) ++ Seq(("A", "y")) ++
+      Seq(("B", "x")) ++ Seq.fill(3)(("B", "y"))).toDF("g", "s")
+    val out = QualityOps.tCloseness(df, Seq(col("g")), col("s"), t = 0.2)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(out === Set(("A", 4L, 250000L, true), ("B", 4L, 250000L, true)))
+    val loose = QualityOps.tCloseness(df, Seq(col("g")), col("s"), t = 0.3)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(loose === Set(("A", 4L, 250000L, false), ("B", 4L, 250000L, false)))
+  }
+
+  test("dpNoisyCounts: deterministic n-free release; threshold suppresses rare keys") {
+    val df = (Seq.fill(100)("big") ++ Seq("rare")).toDF("lang")
+    val rel = QualityOps.dpNoisyCounts(df, col("lang"), epsilon = 10.0,
+      seed = "spec", threshold = 50.0)
+    assert(rel.columns.toSeq === Seq("k", "noisy_e6"),
+      "release must not carry the exact count")
+    val rows = rel.as[(String, Long)].collect().toMap
+    assert(rows.keySet === Set("big"), s"rare key must be suppressed: $rows")
+    // Laplace(1/10) noise is bounded by ln(2^-32)/10 ≈ 2.22 at the hash's
+    // extreme u, so the release stays within 3 of the true count
+    assert(math.abs(rows("big") - 100L * 1000000L) < 3000000L)
+    val again = QualityOps.dpNoisyCounts(df, col("lang"), epsilon = 10.0,
+      seed = "spec", threshold = 50.0).as[(String, Long)].collect().toMap
+    assert(again === rows, "same seed must reproduce the same release")
+    val otherSeed = QualityOps.dpNoisyCounts(df, col("lang"), epsilon = 10.0,
+      seed = "spec2", threshold = 50.0).as[(String, Long)].collect().toMap
+    assert(otherSeed("big") !== rows("big"), "rotating the seed rotates the noise")
+  }
+}

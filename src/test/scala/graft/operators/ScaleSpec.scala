@@ -241,6 +241,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window needed anywhere:\n$plan")
   }
 
+  test("semanticDedup: a fat cell sub-splits under maxCell; capped drops stay a subset") {
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    // only 2 centroids -> ~150-member cells, well over maxCell = 32
+    val cents = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val capped = SimilarityOps.semanticDedup(vecs, cents, tau = 0.95, maxCell = 32)
+    val plan = capped.queryExecution.executedPlan.toString
+    // the quadratic stage must key on (cid, _sub) so one fat centroid can
+    // never concentrate its pair work — and still no cartesian anywhere
+    assert(plan.contains("_sub"), s"pair stage not keyed on the sub-cell:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair stage degenerated to a cartesian:\n$plan")
+    // sub-splitting only removes candidate pairs: everything the capped run
+    // drops, the uncapped run drops too (kept_uncapped ⊆ kept_capped)
+    val uncapped = SimilarityOps.semanticDedup(vecs, cents, tau = 0.95)
+    val keptUn = uncapped.filter(col("kept")).select("vec_id")
+    val keptCap = capped.filter(col("kept")).select("vec_id")
+    assert(keptUn.except(keptCap).isEmpty,
+      "capped run must keep a superset of the uncapped run's survivors")
+    assert(capped.count() === 300L, "one row per input vector regardless of cap")
+  }
+
   test("importanceWeights: bucket log-ratio table broadcasts back to the doc rollup") {
     val docs = (0 until 300).map(i => (i.toLong, s"tok$i common word${i % 7}", i % 3 == 0))
       .toDF("doc_id", "text", "is_t")
