@@ -41,6 +41,50 @@ object Queries {
     finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  /** The events table's `ts` physical type varies across driver data
+    * generations: TIMESTAMP(NANOS) (readable only as a raw long under
+    * nanosAsLong) vs plain timestamp[us] (arrives as TIMESTAMP_NTZ). True
+    * when this dataset is the raw-nanos generation. */
+  private def eventsTsIsRawNanos(s: SparkSession, dir: String): Boolean = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet").schema("ts")
+      .dataType == org.apache.spark.sql.types.LongType
+  }
+
+  /** File-stream source over the events table, generation-robust: the
+    * streaming gates all read events through this ONE builder so the ts
+    * physical-type variance (see [[eventsTsIsRawNanos]]) is absorbed here.
+    * Exposes the symlinked per-sf stream dir (file stream sources list
+    * directories), and returns the feed with two normalized columns on top
+    * of the raw six: `ts_us` (exact event-time micros, long — integer
+    * division from nanos, so no double rounding) and `event_time`
+    * (session-zone timestamp; every entrypoint pins UTC, the same instant
+    * the DuckDB oracle reads). `dirPrefix` picks a distinct /tmp dir for
+    * gates that add side files to the source listing (the outer-join
+    * sentinel). */
+  private def eventsStream(s: SparkSession, dir: String,
+      dirPrefix: String = "graft_streamsrc_"): DataFrame = {
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/$dirPrefix${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val rawNanos = eventsTsIsRawNanos(s, dir)
+    val schema =
+      if (rawNanos)
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      else
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val tsUs =
+      if (rawNanos) expr("ts div 1000")
+      else unix_micros(col("ts").cast("timestamp"))
+    s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts_us", tsUs.cast("long"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+  }
+
   import AggOps.{avgExact, sumExact}
 
   // ---------------------------------------------------------------- core agg
@@ -1606,18 +1650,7 @@ object Queries {
   private val qStreamTumbling = QuerySpec(
     "q_stream_tumbling",
     (s, dir) => {
-      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-      // the file stream source only takes directories; expose the single
-      // table file through a per-sf temp dir (symlink, no data copy)
-      val streamDir = java.nio.file.Paths.get(
-        s"/tmp/graft_streamsrc_${new java.io.File(dir).getName}")
-      java.nio.file.Files.createDirectories(streamDir)
-      val link = streamDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(
-          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, dir)
         // decimal before the streaming sum: exact, order/batch-independent
         .withColumn("value_dec", col("value").cast("decimal(18,6)"))
       val agg = graft.streaming.StreamOps.windowedAgg(
@@ -1650,17 +1683,8 @@ object Queries {
   private val qStreamRocksdb = QuerySpec(
     "q_stream_rocksdb",
     (s, dir) => {
-      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-      val streamDir = java.nio.file.Paths.get(
-        s"/tmp/graft_streamsrc_${new java.io.File(dir).getName}")
-      java.nio.file.Files.createDirectories(streamDir)
-      val link = streamDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(
-          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
       graft.streaming.StreamOps.withRocksDbState(s) {
-        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        val stream = eventsStream(s, dir)
         val agg = stream
           .withWatermark("event_time", "1 hour")
           .groupBy(window(col("event_time"), "1 hour"), col("user_id"))
@@ -1750,17 +1774,8 @@ object Queries {
     "q_stream_sessions",
     (s, dir) => {
       import s.implicits._
-      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-      val streamDir = java.nio.file.Paths.get(
-        s"/tmp/graft_streamsrc_${new java.io.File(dir).getName}")
-      java.nio.file.Files.createDirectories(streamDir)
-      val link = streamDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(
-          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val events = s.readStream.schema(schema).parquet(streamDir.toString)
-        .select(col("user_id").as("userId"),
-          expr("ts div 1000").cast("long").as("tsMicros"))
+      val events = eventsStream(s, dir)
+        .select(col("user_id").as("userId"), col("ts_us").as("tsMicros"))
         .as[graft.streaming.StreamOps.SessionEvent]
       val closed = graft.streaming.StreamOps.closedSessions(
         events, gapMicros = 1800000000L, watermarkDelay = "36500 days")
@@ -3141,19 +3156,10 @@ object Queries {
   private val qStreamStreamJoin = QuerySpec(
     "q_stream_stream_join",
     (s, dir) => {
-      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-      val streamDir = java.nio.file.Paths.get(
-        s"/tmp/graft_streamsrc_${new java.io.File(dir).getName}")
-      java.nio.file.Files.createDirectories(streamDir)
-      val link = streamDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(
-          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
       // one source, self-joined: the feed is scanned once per microbatch and
       // both sides branch off it (Structured Streaming supports stream
       // self-joins); two readStreams would track and scan the files twice
-      val feed = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val feed = eventsStream(s, dir)
       val clicks = feed.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("cu"),
           col("event_time").as("click_time"))
@@ -3927,7 +3933,6 @@ object Queries {
     "q_stream_outer_join",
     (s, dir) => {
       val sfName = new java.io.File(dir).getName
-      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
       val streamDir = java.nio.file.Paths.get(s"/tmp/graft_streamsrc_outer_$sfName")
       java.nio.file.Files.createDirectories(streamDir)
       val link = streamDir.resolve("events.parquet")
@@ -3942,30 +3947,39 @@ object Queries {
       // in-stream filter on the sentinel's key pushes down through the
       // outer join to the parquet scan, whose row-group stats then skip the
       // sentinel file entirely — and the watermark never sees it.
-      // raw read keeps ts as nanos-long (nanosAsLong), matching the
-      // declared stream schema; the sentinel filename is KEYED by the
-      // dataset's max timestamp so a regenerated dataset can never reuse a
-      // stale (no-longer-far-future) sentinel from a previous /tmp state
-      val maxTs = s.read.parquet(s"$dir/events.parquet")
-        .agg(max(col("ts").cast("long"))).head().getLong(0)
+      // The sentinel's ts is written in the DATASET'S OWN generation
+      // (raw nanos long vs TIMESTAMP_NTZ micros — see eventsTsIsRawNanos)
+      // so the stream's declared schema reads both files; its filename is
+      // KEYED by the dataset's max timestamp so a regenerated dataset can
+      // never reuse a stale (no-longer-far-future) sentinel from /tmp.
+      val rawNanos = eventsTsIsRawNanos(s, dir)
+      val batch = s.read.parquet(s"$dir/events.parquet")
+      val maxTs =
+        if (rawNanos) batch.agg(max(col("ts").cast("long"))).head().getLong(0)
+        else batch.agg(max(unix_micros(col("ts").cast("timestamp"))))
+          .head().getLong(0)
       val sentinelFile = streamDir.resolve(s"sentinel_$maxTs.parquet")
       if (!java.nio.file.Files.exists(sentinelFile)) {
         import s.implicits._
         val tmp = streamDir.resolve("_sentinel_build").toString
-        Seq(
-          (-1L, maxTs + 900L * 86400e9.toLong, -1L, "click", 0.0, ""),
-          (-2L, maxTs + 900L * 86400e9.toLong, -2L, "purchase", 0.0, ""))
+        val farTs = maxTs +
+          (if (rawNanos) 900L * 86400e9.toLong else 900L * 86400e6.toLong)
+        val base = Seq(
+          (-1L, farTs, -1L, "click", 0.0, ""),
+          (-2L, farTs, -2L, "purchase", 0.0, ""))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val sentinel =
+          if (rawNanos) base
+          else base.withColumn("ts", timestamp_micros(col("ts"))
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(f => f.getName.endsWith(".parquet")).get
         java.nio.file.Files.move(part.toPath, sentinelFile)
       }
-      val feed = s.readStream.schema(schema)
-        // all files land in microbatch 1 (no per-trigger cap): the sentinel
-        // must not be read before the real rows or they'd be marked late
-        .parquet(streamDir.toString)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      // all files land in microbatch 1 (no per-trigger cap): the sentinel
+      // must not be read before the real rows or they'd be marked late
+      val feed = eventsStream(s, dir, "graft_streamsrc_outer_")
       val clicks = feed.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("cu"),
           col("event_time").as("click_time"))

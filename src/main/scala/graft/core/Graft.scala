@@ -38,19 +38,30 @@ object Graft {
 
   /** Load one of the driver-generated tables from a scale-factor dir.
     *
-    * The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read it as raw nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and convert with integer
-    * division — a double division would lose precision above 2^53 ns. */
+    * The events table's `ts` physical type has varied across driver data
+    * generations; normalize every variant to session-zone TIMESTAMP so the
+    * whole query surface (unix_micros arithmetic, event-time streaming,
+    * window functions) sees ONE type:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read as raw
+    *    nanos (spark.sql.legacy.parquet.nanosAsLong) and convert with
+    *    integer division — a double division would lose precision above
+    *    2^53 ns.
+    *  - timestamp[us] without timezone: arrives as TIMESTAMP_NTZ; cast to
+    *    TIMESTAMP, which interprets the wall-clock in the session zone
+    *    (pinned UTC by every entrypoint) — the same instant DuckDB reads. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Spread a compute-bound stage across every core. Parquet row groups are
