@@ -5565,6 +5565,45 @@ object Queries {
         FROM u)
       SELECT k, noisy_e6 FROM rel WHERE noisy_e6 >= 5000000 ORDER BY k"""))
 
+  /** Indexed archive random access ([[graft.sources.Har]]): 40 per-doc
+    * files mastered from documents, packed into 4 blobs + parquet index,
+    * then EVERY entry read back individually through the index
+    * (seek+read, no unpack) — name, byte length, and payload md5 must
+    * round-trip. Oracle recomputes all three from the source table
+    * (DuckDB strlen/md5 are UTF-8-byte semantics, same as the archived
+    * bytes). */
+  private val qHarLookup = QuerySpec(
+    "q_har_lookup",
+    (s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val src = s"/tmp/graft_har_src_$sfName"
+      val arch = s"/tmp/graft_har_arc_$sfName"
+      // fixture mastering: 40 tiny one-doc files (driver-side by design —
+      // this builds the small-file INPUT the archive operator exists for)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select("doc_id", "text").collect()
+      new java.io.File(src).mkdirs()
+      docs.foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$src/doc_${r.getLong(0)}.txt"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      graft.sources.Har.archive(s, src, arch, blobs = 4)
+      val entries = docs.map(_.getLong(0)).sorted.map { id =>
+        val name = s"doc_$id.txt"
+        (name, graft.sources.Har.readEntry(s, arch, name)
+          .getOrElse(sys.error(s"archived entry missing: $name")))
+      }.toSeq
+      import s.implicits._
+      entries.toDF("name", "content")
+        .select(col("name"), length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+        .orderBy("name")
+    },
+    Some("""SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5
+      FROM documents WHERE doc_id < 40 ORDER BY name"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5610,5 +5649,5 @@ object Queries {
     qSeasonal, qFunnelLag, qRepeatedSpans, qTableDiff, qAbTest, qAnnPq,
     qHeavyHitters, qImportanceWeights, qKAnonymity, qLDiversity,
     qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq,
-    qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts)
+    qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup)
 }

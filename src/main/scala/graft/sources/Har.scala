@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Indexed small-file archive — the missing half of [[Compact]]'s coverage
+  * of the reference's file-admin tooling. The reference's archive tool
+  * (hadoop-tools/hadoop-archives/.../HadoopArchives.java:84) packs many
+  * small files into few part files AND writes an index mapping each
+  * original name to (part, offset, length), so any single file remains
+  * randomly accessible without unpacking the archive (the HarFileSystem
+  * read path). This is that contract, Spark-first:
+  *
+  *  - the ARCHIVE step is one distributed pass: the `binaryFile` scan
+  *    hash-partitions names across `blobs` tasks, each task streams its
+  *    files into its own `blob-<p>.bin` (name-sorted, so offsets are a
+  *    deterministic function of the membership) and emits the index rows;
+  *    the index lands as ordinary parquet, so it is itself queryable,
+  *    partition-prunable, and joinable — strictly stronger than the
+  *    reference's flat `_index` text file.
+  *  - ENTRY lookup mirrors MapFileOutputFormat.getEntry (the bucket-lookup
+  *    precedent): a pushed-down parquet filter on the tiny index finds
+  *    (blob, offset, length), then ONE seek+read on the blob file returns
+  *    the payload. No scan of the other entries, no unpack.
+  *
+  * Scale: data movement is fully distributed and O(bytes); only the
+  * per-task file handles and the index rows touch the driver. At 100 TB
+  * the same layout holds — more blobs, same two-step random access. A
+  * blob is written by exactly one task (the reference's part files are
+  * likewise single-writer), so `blobs` is the write-parallelism knob. */
+object Har {
+
+  /** Pack every file under `inDir` (non-recursive, like the reference's
+    * per-directory archive mastering) into `outDir`: `blobs` packed blob
+    * files plus an `_index` parquet of `(name, blob, offset, length)`.
+    * Returns the entry count. */
+  def archive(spark: SparkSession, inDir: String, outDir: String,
+      blobs: Int = 8): Long = {
+    require(blobs > 0, s"blobs must be > 0: $blobs")
+    val hconfBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val outFs = new Path(outDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    outFs.mkdirs(new Path(outDir))
+    val files = spark.read.format("binaryFile").load(inDir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("name"),
+        col("content"))
+    val outStr = outDir
+    // one blob per task: hash-partition names, stream each partition's
+    // files into its blob in name order — offsets never buffer in memory
+    val index = files.repartition(blobs, col("name"))
+      .sortWithinPartitions("name")
+      .mapPartitions { rows =>
+        import org.apache.spark.TaskContext
+        val pid = TaskContext.getPartitionId()
+        val conf = hconfBc.value.value
+        val blobPath = new Path(outStr, f"blob-$pid%05d.bin")
+        val fs = blobPath.getFileSystem(conf)
+        val out = fs.create(blobPath, true)
+        var offset = 0L
+        val entries = rows.map { r =>
+          val name = r.getString(0)
+          val content = r.getAs[Array[Byte]](1)
+          out.write(content)
+          val e = (name, pid, offset, content.length.toLong)
+          offset += content.length
+          e
+        }.toVector // drain BEFORE closing the stream
+        out.close()
+        entries.iterator
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("name", "blob", "offset", "length")
+    // zero-length files never reach the scan (file sources plan no splits
+    // for them) but an archive must still list them: index them straight
+    // from the O(#files) driver-side listing, blob -1 = no bytes anywhere
+    val inFs = new Path(inDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val empties = inFs.listStatus(new Path(inDir))
+      .filter(f => f.isFile && f.getLen == 0L)
+      .map(f => (f.getPath.getName, -1, 0L, 0L)).toSeq
+    import spark.implicits._
+    val full = index.unionByName(
+      empties.toDF("name", "blob", "offset", "length"))
+    full.write.mode("overwrite").parquet(s"$outDir/_index")
+    spark.read.parquet(s"$outDir/_index").count()
+  }
+
+  /** Random access to one archived entry: pushed-down index probe, then a
+    * single positioned read of `length` bytes at `offset` in the entry's
+    * blob. Returns None for an unknown name. */
+  def readEntry(spark: SparkSession, archiveDir: String,
+      name: String): Option[Array[Byte]] = {
+    val hit = spark.read.parquet(s"$archiveDir/_index")
+      .filter(col("name") === name)
+      .select("blob", "offset", "length")
+      .collect()
+    hit.headOption.map { r =>
+      if (r.getLong(2) == 0L) Array.emptyByteArray
+      else {
+        val blobPath = new Path(archiveDir, f"blob-${r.getInt(0)}%05d.bin")
+        val fs = blobPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(blobPath)
+        try {
+          val buf = new Array[Byte](r.getLong(2).toInt)
+          in.readFully(r.getLong(1), buf)
+          buf
+        } finally in.close()
+      }
+    }
+  }
+}

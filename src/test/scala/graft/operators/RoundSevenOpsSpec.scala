@@ -87,6 +87,32 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(loose === Set(("A", 4L, 250000L, false), ("B", 4L, 250000L, false)))
   }
 
+  test("Har archive: every entry random-accesses back byte-identical; unknown name is None") {
+    val src = "/tmp/graft_har_spec_src"
+    val arch = "/tmp/graft_har_spec_arc"
+    val payloads = Map(
+      "a.txt" -> "alpha content",
+      "b.txt" -> "",
+      "c.bin" -> "é中 bytes")
+    new java.io.File(src).mkdirs()
+    payloads.foreach { case (n, t) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/$n"),
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val n = graft.sources.Har.archive(spark, src, arch, blobs = 2)
+    assert(n === 3L)
+    payloads.foreach { case (name, text) =>
+      val got = graft.sources.Har.readEntry(spark, arch, name)
+      assert(got.map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+        === Some(text), s"round-trip failed for $name")
+    }
+    assert(graft.sources.Har.readEntry(spark, arch, "missing.txt").isEmpty)
+    // the archive really packed: at most `blobs` blob files + the index
+    val blobFiles = new java.io.File(arch).listFiles()
+      .filter(_.getName.startsWith("blob-"))
+    assert(blobFiles.length <= 2 && blobFiles.nonEmpty)
+  }
+
   test("dpNoisyCounts: deterministic n-free release; threshold suppresses rare keys") {
     val df = (Seq.fill(100)("big") ++ Seq("rare")).toDF("lang")
     val rel = QualityOps.dpNoisyCounts(df, col("lang"), epsilon = 10.0,
