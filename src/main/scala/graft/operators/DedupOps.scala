@@ -356,8 +356,13 @@ object DedupOps {
       .union(edges.select(col("y").as("x"), col("x").as("y")))
       .distinct()
       .localCheckpoint()
-    var labels = und.select(col("x").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // label₀ = min(node, min neighbor): same single shuffle a plain
+    // distinct-node init would cost, but it IS the first propagation round —
+    // one fewer join+agg+checkpoint cycle every invocation (propagation
+    // converges to the component min from any monotone init ≥ it)
+    var labels = und.groupBy(col("x"))
+      .agg(least(min(col("y")), col("x")).as("label"))
+      .select(col("x").as("node"), col("label"))
       .localCheckpoint()
     // Convergence check rides on monotonicity: a node's label can only
     // decrease (the groupBy-min includes its old label), so some label
