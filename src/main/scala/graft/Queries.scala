@@ -5604,6 +5604,25 @@ object Queries {
         CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5
       FROM documents WHERE doc_id < 40 ORDER BY name"""))
 
+  /** Typed-bytes pipe UDF ([[graft.functions.TypedBytes.pipe]]): documents
+    * framed in the reference's binary wire format through an external
+    * identity command and decoded back — tab/newline/unicode payloads must
+    * survive byte-identically (the failure mode line-oriented framing
+    * exists to avoid). Oracle recomputes the md5 from the source rows. */
+  private val qPipeTypedBytes = QuerySpec(
+    "q_pipe_typedbytes",
+    (s, dir) => {
+      val out = graft.functions.TypedBytes.pipe(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        Seq("cat"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, text STRING"))
+      out.select(col("doc_id"), md5(col("text").cast("binary")).as("payload_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(text) AS payload_md5
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5649,5 +5668,6 @@ object Queries {
     qSeasonal, qFunnelLag, qRepeatedSpans, qTableDiff, qAbTest, qAnnPq,
     qHeavyHitters, qImportanceWeights, qKAnonymity, qLDiversity,
     qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq,
-    qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup)
+    qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
+    qPipeTypedBytes)
 }
