@@ -92,14 +92,14 @@ object GraphOps {
     * Scale design: frontier-based expansion — iteration i joins ONLY the
     * hop-(i-1) frontier against the adjacency list, not the full visited
     * set, so per-round shuffle is O(frontier × avg-degree), the same
-    * asymptotics as Pregel-style BFS. The visited set grows by anti-join
-    * (newly seen nodes only), and both sides are localCheckpoint'd per
-    * round to cut the lineage (an unchecked 10-round BFS plan re-executes
-    * every prior join on each action). Edges are canonicalized to
-    * distinct undirected pairs once, up front. Early exit when the
-    * frontier empties — at 100 TB the count() per round is a cheap
-    * O(frontier) job against a checkpointed frontier, and stopping beats
-    * running maxHops empty rounds. */
+    * asymptotics as Pregel-style BFS. The visited set is the UNION of the
+    * per-hop frontiers, each already an eager localCheckpoint: the
+    * anti-join probes that lazy union directly (a union of materialized
+    * RDDs — no recompute, no per-round re-copy of the full visited set;
+    * re-checkpointing the union would cost an extra O(|visited|) pass
+    * every round for nothing, since its members are already cut from the
+    * lineage). Edges are canonicalized to distinct undirected pairs once,
+    * up front. Early exit when the frontier empties. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val und = edges
@@ -109,11 +109,11 @@ object GraphOps {
     val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint()
-    var visited = seeds.select(col("node").cast("long").as("node"))
+    var frontier = seeds.select(col("node").cast("long").as("node"))
       .distinct()
       .withColumn("hops", lit(0L))
       .localCheckpoint()
-    var frontier = visited
+    var hopSets = Vector(frontier)
     var hop = 0L
     // early-exit contract: `frontier` is always an EAGER localCheckpoint —
     // the materializing job has already run by the time the loop condition
@@ -122,17 +122,18 @@ object GraphOps {
     // One real job per round.
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
+      val visited = hopSets.map(_.select("node")).reduce(_ unionAll _)
       val next = frontier
         .join(adj, frontier("node") === adj("u"))
         .select(col("v").as("node"))
         .distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
+        .join(visited, Seq("node"), "left_anti")
         .withColumn("hops", lit(hop))
         .localCheckpoint()
-      visited = visited.unionAll(next).localCheckpoint()
+      hopSets :+= next
       frontier = next
     }
-    visited
+    hopSets.reduce(_ unionAll _)
   }
 
   /** Deterministic random walks over an undirected edge list — the
