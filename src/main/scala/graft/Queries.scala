@@ -5589,11 +5589,11 @@ object Queries {
           r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       graft.sources.Har.archive(s, src, arch, blobs = 4)
-      val entries = docs.map(_.getLong(0)).sorted.map { id =>
-        val name = s"doc_$id.txt"
-        (name, graft.sources.Har.readEntry(s, arch, name)
-          .getOrElse(sys.error(s"archived entry missing: $name")))
-      }.toSeq
+      val wanted = docs.map(r => s"doc_${r.getLong(0)}.txt").sorted.toSeq
+      val fetched = graft.sources.Har.readEntries(s, arch, wanted)
+      val entries = wanted.map { name =>
+        (name, fetched.getOrElse(name, sys.error(s"archived entry missing: $name")))
+      }
       import s.implicits._
       entries.toDF("name", "content")
         .select(col("name"), length(col("content")).cast("long").as("n_bytes"),

@@ -92,6 +92,34 @@ object Har {
     spark.read.parquet(s"$outDir/_index").count()
   }
 
+  /** Batch random access: ONE pushed-down index probe for all `names`,
+    * then one open per touched blob with entries read in offset order
+    * (sequential-friendly seeks). Returns only the names found. The bulk
+    * shape matters for the driver-loop use case — N point lookups through
+    * [[readEntry]] would re-scan the index N times. */
+  def readEntries(spark: SparkSession, archiveDir: String,
+      names: Seq[String]): Map[String, Array[Byte]] = {
+    if (names.isEmpty) return Map.empty
+    val hits = spark.read.parquet(s"$archiveDir/_index")
+      .filter(col("name").isin(names: _*))
+      .select("name", "blob", "offset", "length")
+      .collect()
+    val conf = spark.sparkContext.hadoopConfiguration
+    hits.groupBy(_.getInt(1)).flatMap { case (blob, rows) =>
+      if (blob < 0) rows.map(r => r.getString(0) -> Array.emptyByteArray)
+      else {
+        val blobPath = new Path(archiveDir, f"blob-$blob%05d.bin")
+        val in = blobPath.getFileSystem(conf).open(blobPath)
+        try rows.sortBy(_.getLong(2)).map { r =>
+          val buf = new Array[Byte](r.getLong(3).toInt)
+          in.readFully(r.getLong(2), buf)
+          r.getString(0) -> buf
+        }.toSeq
+        finally in.close()
+      }
+    }
+  }
+
   /** Random access to one archived entry: pushed-down index probe, then a
     * single positioned read of `length` bytes at `offset` in the entry's
     * blob. Returns None for an unknown name. */

@@ -107,6 +107,12 @@ class RoundSevenOpsSpec extends AnyFunSuite {
         === Some(text), s"round-trip failed for $name")
     }
     assert(graft.sources.Har.readEntry(spark, arch, "missing.txt").isEmpty)
+    // bulk probe agrees with the single-entry path and drops unknown names
+    val bulk = graft.sources.Har.readEntries(spark, arch,
+      payloads.keys.toSeq :+ "missing.txt")
+    assert(bulk.keySet === payloads.keySet)
+    assert(bulk.map { case (k, v) =>
+      k -> new String(v, java.nio.charset.StandardCharsets.UTF_8) } === payloads)
     // the archive really packed: at most `blobs` blob files + the index
     val blobFiles = new java.io.File(arch).listFiles()
       .filter(_.getName.startsWith("blob-"))
