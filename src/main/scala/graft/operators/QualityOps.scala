@@ -282,11 +282,12 @@ object QualityOps {
     val cell = df.groupBy(quasiCols :+ sensitiveCol.as("_s"): _*)
       .agg(count(lit(1)).as("_n"))
     val keys = (0 until quasiCols.length).map(i => col(cell.columns(i)))
+    // total via a 1-row crossJoin, not an empty-partition window — the
+    // window form funnels every cell row through ONE partition
     val globalDist = cell.groupBy(col("_s"))
       .agg(sum(col("_n")).as("_gn"))
-      .withColumn("_g", col("_gn") / sum(col("_gn")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col("_s"), col("_g"))
+      .crossJoin(cell.agg(sum(col("_n")).as("_tot")))
+      .select(col("_s"), (col("_gn") / col("_tot")).as("_g"))
     val classSize = cell.groupBy(keys: _*).agg(sum(col("_n")).as("class_size"))
     cell
       .join(broadcast(globalDist), "_s")
