@@ -265,6 +265,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(capped.count() === 300L, "one row per input vector regardless of cap")
   }
 
+  test("tCloseness: domain-bounded sides broadcast; no cartesian, no window") {
+    val df = (1 to 2000).map(i => (s"g${i % 20}", s"v${i % 5}")).toDF("g", "s")
+    val out = QualityOps.tCloseness(df, Seq(col("g")), col("s"), t = 0.1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"global distribution should broadcast back to the cells:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      s"unexpected cartesian or window:\n$plan")
+  }
+
+  test("bfsHops and randomWalks: every per-round join is an equi-join, never a cartesian") {
+    val edges = (1L to 500L).map(i => (i, i % 97 + 1)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("node")
+    val bfs = GraphOps.bfsHops(edges, seeds, maxHops = 2)
+    val bfsPlan = bfs.queryExecution.executedPlan.toString
+    assert(!bfsPlan.contains("CartesianProduct") &&
+      !bfsPlan.contains("BroadcastNestedLoop"),
+      s"BFS degenerated to a cartesian:\n$bfsPlan")
+    val walks = GraphOps.randomWalks(edges, seeds, steps = 2)
+    val wPlan = walks.queryExecution.executedPlan.toString
+    assert(!wPlan.contains("CartesianProduct") &&
+      !wPlan.contains("BroadcastNestedLoop"),
+      s"walks degenerated to a cartesian:\n$wPlan")
+  }
+
   test("importanceWeights: bucket log-ratio table broadcasts back to the doc rollup") {
     val docs = (0 until 300).map(i => (i.toLong, s"tok$i common word${i % 7}", i % 3 == 0))
       .toDF("doc_id", "text", "is_t")
