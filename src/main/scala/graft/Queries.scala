@@ -5623,6 +5623,64 @@ object Queries {
     Some("""SELECT doc_id, md5(text) AS payload_md5
       FROM documents ORDER BY doc_id"""))
 
+  /** Kaplan-Meier survival curves ([[AnalyticsOps.kaplanMeier]]):
+    * time-to-purchase after signup per user, right-censored at the corpus
+    * horizon for users who never purchase, day resolution, two cohorts
+    * (user id parity). The oracle replays the product-limit estimate with
+    * the same quantize-then-exact-sum log discipline, so surv_e6 is
+    * bit-identical. */
+  private val qKaplanMeier = QuerySpec(
+    "q_kaplan_meier",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id").as("u")).agg(min(col("ts")).as("t0"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("cu"), col("ts").as("ct"))
+      val hz = ev.agg(max(col("ts")).as("h"))
+      val durs = s0
+        .join(conv, col("u") === col("cu") && col("ct") > col("t0"), "left")
+        .groupBy(col("u"), col("t0")).agg(min(col("ct")).as("tp"))
+        .crossJoin(broadcast(hz))
+        .withColumn("dur_us",
+          unix_micros(coalesce(col("tp"), col("h"))) - unix_micros(col("t0")))
+        .select(pmod(col("u"), lit(2)).cast("long").as("cohort"),
+          expr("dur_us DIV 86400000000").as("t"),
+          col("tp").isNotNull.as("e"))
+      AnalyticsOps.kaplanMeier(durs, Seq(col("cohort")), col("t"), col("e"))
+        .orderBy("cohort", "t")
+    },
+    Some("""WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      hz AS (SELECT MAX(ts) AS h FROM events),
+      pu AS (SELECT s0.u, s0.t0, MIN(e.ts) AS tp FROM s0 LEFT JOIN events e
+        ON e.user_id = s0.u AND e.event_type = 'purchase' AND e.ts > s0.t0
+        GROUP BY 1, 2),
+      durs AS (SELECT u % 2 AS cohort,
+          (epoch_us(COALESCE(tp, (SELECT h FROM hz))) - epoch_us(t0))
+            // 86400000000 AS t,
+          tp IS NOT NULL AS e FROM pu),
+      at AS (SELECT cohort, t, SUM(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+          COUNT(*) AS leave FROM durs GROUP BY 1, 2),
+      wr AS (SELECT cohort, t, d, leave,
+          SUM(leave) OVER (PARTITION BY cohort) - COALESCE(
+            SUM(leave) OVER (PARTITION BY cohort ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM at),
+      ev AS (SELECT cohort, t, n_risk, d,
+          CASE WHEN n_risk = d THEN -1000000000
+            ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1e6
+              + 0.5) AS BIGINT) END AS lns_e6
+        FROM wr WHERE d > 0),
+      cum AS (SELECT cohort, t, n_risk, d,
+          SUM(lns_e6) OVER (PARTITION BY cohort ORDER BY t) AS cum_e6
+        FROM ev)
+      SELECT CAST(cohort AS BIGINT) AS cohort, t,
+        CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+        CAST(floor(exp(CAST(cum_e6 AS DOUBLE) / 1e6) * 1e6 + 0.5) AS BIGINT)
+          AS surv_e6
+      FROM cum ORDER BY cohort, t"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5669,5 +5727,5 @@ object Queries {
     qHeavyHitters, qImportanceWeights, qKAnonymity, qLDiversity,
     qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq,
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
-    qPipeTypedBytes)
+    qPipeTypedBytes, qKaplanMeier)
 }

@@ -274,4 +274,56 @@ object AnalyticsOps {
           (lit(1.0) / col("n0") + lit(1.0) / col("n1"))) * lit(1e6) + lit(0.5)))
         .as("z_e6"))
   }
+
+  /** Kaplan-Meier survival estimator with right-censoring — time-to-event
+    * analytics (churn, conversion latency, hardware failure) over a
+    * `(duration, event)` table where `event` is true when the terminal
+    * event was observed and false when the subject is censored at
+    * `duration`. Returns one row per group × distinct EVENT time
+    * (censor-only times shrink the at-risk set but emit no row):
+    * `(groupCols..., t, n_risk, d, surv_e6)` where
+    * `S(t) = Π_{s ≤ t} (1 − d_s / n_s)` is the product-limit estimate.
+    *
+    * Portability: the product is computed as `exp(Σ ln(1 − d/n))` with each
+    * per-time log term quantized to a scaled long (1e6) BEFORE the
+    * cumulative sum — the running sum is exact integer arithmetic, so the
+    * curve is bit-identical across engines and partitionings (the same
+    * quantize-then-exact-sum discipline as [[graft.operators.MapOps
+    * .bigramSurprisal]]). A time where everyone at risk dies (d = n) has
+    * `ln 0 = −∞`; it contributes the sentinel −1e9 instead, which drives
+    * `exp` to exactly 0.0 — the curve is 0 from that point on, with no
+    * infinity reaching the integer sum.
+    *
+    * Shape: one groupBy reduces subjects to per-(group, t) death/leave
+    * counts; every window after that runs on the DISTINCT-TIME table
+    * (bounded by the time resolution, not the subject count), partitioned
+    * by group — no global ordering, no driver loop. At 100 TB the only
+    * subject-sized pass is the first aggregation, which partial-aggregates
+    * map-side. */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[Column], duration: Column,
+      event: Column): DataFrame = {
+    val base = df.select(groupCols ++ Seq(duration.cast("long").as("t"),
+      event.cast("boolean").as("e")): _*)
+      .filter(col("t").isNotNull && col("t") >= 0 && col("e").isNotNull)
+    val gCols = base.columns.dropRight(2).toSeq.map(col)
+    val at = base.groupBy(gCols :+ col("t"): _*)
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leave"))
+    val wOrd = Window.partitionBy(gCols: _*).orderBy(col("t"))
+    val wAll = Window.partitionBy(gCols: _*)
+    // at risk just before t = group total minus everyone who left earlier
+    val withRisk = at.withColumn("n_risk",
+      sum(col("leave")).over(wAll) - coalesce(
+        sum(col("leave")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val evRows = withRisk.filter(col("d") > 0)
+      .withColumn("lns_e6",
+        when(col("n_risk") === col("d"), lit(-1000000000L))
+          .otherwise(floor(log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk")) * lit(1e6) + lit(0.5)).cast("long")))
+    evRows.withColumn("cum_e6", sum(col("lns_e6")).over(wOrd))
+      .select(gCols ++ Seq(col("t"), col("n_risk"), col("d"),
+        floor(exp(col("cum_e6").cast("double") / lit(1e6)) * lit(1e6) +
+          lit(0.5)).cast("long").as("surv_e6")): _*)
+  }
 }

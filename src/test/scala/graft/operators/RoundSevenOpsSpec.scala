@@ -137,4 +137,39 @@ class RoundSevenOpsSpec extends AnyFunSuite {
       seed = "spec2", threshold = 50.0).as[(String, Long)].collect().toMap
     assert(otherSeed("big") !== rows("big"), "rotating the seed rotates the noise")
   }
+
+  test("kaplanMeier: textbook curve — censoring shrinks risk set, emits no row") {
+    // durations 1(event) 2(censored) 3(event) 4(event) 5(censored):
+    // S(1)=4/5, S(3)=4/5*2/3, S(4)=4/5*2/3*1/2; t=2 and t=5 emit nothing
+    val durs = Seq((1L, true), (2L, false), (3L, true), (4L, true),
+      (5L, false)).map { case (t, e) => ("all", t, e) }.toDF("g", "t", "e")
+    val out = AnalyticsOps.kaplanMeier(durs, Seq(col("g")), col("t"), col("e"))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(r => (r._2, r._3, r._4)).toSeq ===
+      Seq((1L, 5L, 1L), (3L, 3L, 1L), (4L, 2L, 1L)))
+    val expected = Seq(0.8, 0.8 * 2 / 3, 0.8 * 2 / 3 * 0.5)
+    out.map(_._5).zip(expected).foreach { case (got, s) =>
+      assert(math.abs(got - math.round(s * 1e6)) <= 2,
+        s"surv_e6 $got vs ${math.round(s * 1e6)}")
+    }
+  }
+
+  test("kaplanMeier: d = n drives the curve to exactly 0, no infinity") {
+    val durs = Seq(("g", 1L, true), ("g", 1L, true)).toDF("g", "t", "e")
+    val out = AnalyticsOps.kaplanMeier(durs, Seq(col("g")), col("t"), col("e"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(("g", 1L, 2L, 2L, 0L)))
+  }
+
+  test("kaplanMeier: groups are independent curves") {
+    val durs = Seq(("a", 1L, true), ("b", 1L, true), ("b", 2L, true))
+      .toDF("g", "t", "e")
+    val out = AnalyticsOps.kaplanMeier(durs, Seq(col("g")), col("t"), col("e"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out(("a", 1L)) === ((1L, 1L, 0L)))
+    assert(out(("b", 1L))._1 === 2L)
+    assert(math.abs(out(("b", 1L))._3 - 500000L) <= 1)
+    assert(out(("b", 2L)) === ((1L, 1L, 0L)))
+  }
 }
