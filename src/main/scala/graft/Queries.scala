@@ -5681,6 +5681,46 @@ object Queries {
           AS surv_e6
       FROM cum ORDER BY cohort, t"""))
 
+  /** Count-min sketch ([[AggOps.cmsCounters]]/[[AggOps.cmsEstimates]]):
+    * per-user event frequencies through a 4×64 sketch — small enough that
+    * collisions actually occur, so the gate exercises the est ≥ exact
+    * overcount path, not just identity. The seeded md5 bucketing is
+    * bit-portable, so the oracle rebuilds the identical sketch in SQL and
+    * replays the min-over-rows estimate; `over_n = est − n ≥ 0` is the
+    * CMS upper-bound contract, hash-checked row by row. */
+  private val qCms = QuerySpec(
+    "q_cms",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val counters = AggOps.cmsCounters(ev, col("user_id"), "cms7",
+        depth = 4, width = 64)
+      val est = AggOps.cmsEstimates(counters, ev, col("user_id"), "cms7",
+        depth = 4, width = 64)
+      val exact = ev.groupBy(col("user_id").cast("string").as("k"))
+        .agg(count(lit(1)).as("n"))
+      exact.join(est, Seq("k"))
+        .select(col("k"), col("n"), col("est_n"),
+          (col("est_n") - col("n")).as("over_n"))
+        .orderBy("k")
+    },
+    Some("""WITH rows_ AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        WHERE user_id IS NOT NULL),
+      rs AS (SELECT unnest(range(4)) AS r),
+      cnt AS (SELECT r,
+          CAST('0x' || substr(md5('cms7|' || CAST(r AS VARCHAR) || '|' || k),
+            1, 8) AS BIGINT) % 64 AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM rows_ CROSS JOIN rs GROUP BY 1, 2),
+      probes AS (SELECT k, r,
+          CAST('0x' || substr(md5('cms7|' || CAST(r AS VARCHAR) || '|' || k),
+            1, 8) AS BIGINT) % 64 AS b
+        FROM (SELECT DISTINCT k FROM rows_) CROSS JOIN rs),
+      est AS (SELECT p.k, MIN(COALESCE(c.c, 0)) AS est_n
+        FROM probes p LEFT JOIN cnt c ON c.r = p.r AND c.b = p.b GROUP BY 1),
+      exact AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM rows_ GROUP BY 1)
+      SELECT e.k, e.n, CAST(est.est_n AS BIGINT) AS est_n,
+        CAST(est.est_n - e.n AS BIGINT) AS over_n
+      FROM exact e JOIN est ON est.k = e.k ORDER BY e.k"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5727,5 +5767,5 @@ object Queries {
     qHeavyHitters, qImportanceWeights, qKAnonymity, qLDiversity,
     qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq,
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
-    qPipeTypedBytes, qKaplanMeier)
+    qPipeTypedBytes, qKaplanMeier, qCms)
 }

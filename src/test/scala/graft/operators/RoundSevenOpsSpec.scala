@@ -138,6 +138,33 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(otherSeed("big") !== rows("big"), "rotating the seed rotates the noise")
   }
 
+  test("cms: estimate is an upper bound; wide sketch is exact; cells bounded") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(20)("b") ++ (1 to 30).map(i => s"k$i"))
+      .toDF("k")
+    val keys = df.distinct()
+    // narrow sketch: collisions guaranteed (32 keys into depth=1, width=8)
+    val narrow = AggOps.cmsCounters(df, col("k"), "s", depth = 1, width = 8)
+    assert(narrow.count() <= 8, "counter cells must be bounded by depth*width")
+    val estN = AggOps.cmsEstimates(narrow, keys, col("k"), "s", 1, 8)
+      .as[(String, Long)].collect().toMap
+    val exact = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(estN(k) >= n, s"CMS must never undercount: $k est=${estN(k)} n=$n")
+    }
+    assert(exact.exists { case (k, n) => estN(k) > n },
+      "32 keys in 8 cells must collide somewhere")
+    // wide sketch: depth 4 x width 4096 makes all 32 keys collision-free
+    val wide = AggOps.cmsCounters(df, col("k"), "s", depth = 4, width = 4096)
+    val estW = AggOps.cmsEstimates(wide, keys, col("k"), "s", 4, 4096)
+      .as[(String, Long)].collect().toMap
+    assert(estW === exact, "wide sketch estimates must be exact here")
+    // unseen key probes empty cells -> estimate 0 (or a collision overcount,
+    // but with width 4096 the cells are empty)
+    val unseen = AggOps.cmsEstimates(wide, Seq("zzz").toDF("k"), col("k"),
+      "s", 4, 4096).as[(String, Long)].collect().toMap
+    assert(unseen("zzz") === 0L)
+  }
+
   test("kaplanMeier: textbook curve — censoring shrinks risk set, emits no row") {
     // durations 1(event) 2(censored) 3(event) 4(event) 5(censored):
     // S(1)=4/5, S(3)=4/5*2/3, S(4)=4/5*2/3*1/2; t=2 and t=5 emit nothing
