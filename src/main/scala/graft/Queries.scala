@@ -5721,6 +5721,29 @@ object Queries {
         CAST(est.est_n - e.n AS BIGINT) AS over_n
       FROM exact e JOIN est ON est.k = e.k ORDER BY e.k"""))
 
+  /** Keyed pseudonymization ([[QualityOps.pseudonymize]]): customer name
+    * and market segment tokenized under one secret; c_custkey kept as the
+    * (already-pseudonymous) join key. The oracle replays the salted-md5
+    * token, and the segment group sizes under tokens must equal the
+    * original segment group sizes — the join-consistency property the
+    * operator exists to preserve. */
+  private val qPseudonymize = QuerySpec(
+    "q_pseudonymize",
+    (s, dir) => {
+      val toks = QualityOps.pseudonymize(t(s, dir, "customer"),
+        Seq("c_name", "c_mktsegment"), "pii-r7")
+      toks.groupBy(col("c_mktsegment").as("seg_token"))
+        .agg(count(lit(1)).as("n_customers"),
+          countDistinct(col("c_name")).as("n_name_tokens"))
+        .orderBy("seg_token")
+    },
+    Some("""SELECT substr(md5('pii-r7|c_mktsegment|' || c_mktsegment), 1, 16)
+          AS seg_token,
+        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(COUNT(DISTINCT substr(md5('pii-r7|c_name|' || c_name), 1, 16))
+          AS BIGINT) AS n_name_tokens
+      FROM customer GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5767,5 +5790,5 @@ object Queries {
     qHeavyHitters, qImportanceWeights, qKAnonymity, qLDiversity,
     qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq,
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
-    qPipeTypedBytes, qKaplanMeier, qCms)
+    qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize)
 }

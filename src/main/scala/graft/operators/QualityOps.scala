@@ -341,4 +341,35 @@ object QualityOps {
       .filter(if (threshold > 0) col("noisy_e6") >= lit(threshold * 1e6) else lit(true))
       .select(col("k"), col("noisy_e6"))
   }
+
+  /** Keyed pseudonymization — deterministic tokenization of direct
+    * identifiers, the de-identification step that runs BEFORE data reaches
+    * the audits above ([[kAnonymity]]/[[lDiversity]] operate on
+    * quasi-identifiers that remain). Each listed column is replaced in
+    * place by the first 16 hex of `md5(secret|column|value)`:
+    *
+    *  - deterministic given the secret, so the same value maps to the same
+    *    token everywhere — joins, group-bys, and dedup keyed on the column
+    *    still work across tables and batches;
+    *  - the COLUMN NAME is salted in, so the same raw value appearing in
+    *    two different columns yields unlinkable tokens (no accidental
+    *    cross-column correlation);
+    *  - nulls stay null (absence is not a value to disguise);
+    *  - rotating the secret rotates every token — the standard
+    *    re-keying / revocation lever. Keep the secret out of the released
+    *    data; with it, tokens are replayable (that is the point: it is a
+    *    pseudonymization, not an anonymization — pair with the audits for
+    *    the residual quasi-identifier risk).
+    *
+    * Scale: a zero-shuffle per-row map, codegen'd end-to-end — the
+    * pseudonymization pass adds nothing to any plan shape. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], secret: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize: no columns listed")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNotNull,
+          substring(md5(concat_ws("|", lit(secret), lit(c),
+            col(c).cast("string"))), 1, 16)))
+    }
+  }
 }

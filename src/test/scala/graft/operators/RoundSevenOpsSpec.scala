@@ -138,6 +138,22 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(otherSeed("big") !== rows("big"), "rotating the seed rotates the noise")
   }
 
+  test("pseudonymize: deterministic, column-salted, null-preserving, re-keyable") {
+    val df = Seq((1L, "alice", "alice"), (2L, "bob", null), (3L, "alice", "carol"))
+      .toDF("id", "name", "referrer")
+    val out = QualityOps.pseudonymize(df, Seq("name", "referrer"), "s1")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(out(0)._2 === out(2)._2, "same value, same column -> same token")
+    assert(out(0)._2 !== out(0)._3,
+      "same value in different columns must get unlinkable tokens")
+    assert(out(1)._3 === null, "null stays null")
+    assert(out.forall(r => r._2 == null || r._2.length == 16))
+    assert(out.forall(_._1 > 0), "unlisted columns pass through untouched")
+    val rekeyed = QualityOps.pseudonymize(df, Seq("name", "referrer"), "s2")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(rekeyed(0)._2 !== out(0)._2, "rotating the secret rotates tokens")
+  }
+
   test("cms: estimate is an upper bound; wide sketch is exact; cells bounded") {
     val df = (Seq.fill(50)("a") ++ Seq.fill(20)("b") ++ (1 to 30).map(i => s"k$i"))
       .toDF("k")
