@@ -5744,6 +5744,35 @@ object Queries {
           AS BIGINT) AS n_name_tokens
       FROM customer GROUP BY 1 ORDER BY 1"""))
 
+  /** Incremental aggregation ([[AggOps.partialStats]]/[[AggOps.mergeStats]]
+    * /[[AggOps.finalizeStats]]): lineitem arrives as three hash-disjoint
+    * batches, each reduced to per-flag state ONCE, states merged, release
+    * projected — and the result must equal the direct aggregate over the
+    * whole table (the oracle computes only the direct form; the merge path
+    * existing on the Spark side is exactly what the gate proves). */
+  private val qIncrementalAgg = QuerySpec(
+    "q_incremental_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val batches = (0 until 3).map(b => li.filter(
+        TextFunctions.portableBucket(col("l_orderkey"), 3) === b))
+      val merged = AggOps.mergeStats(batches.map(b =>
+        AggOps.partialStats(b, Seq(col("l_returnflag")), col("l_quantity"))))
+      AggOps.finalizeStats(merged)
+        .select(col("l_returnflag"), col("cnt"),
+          round(col("sum_v"), 6).as("sum_qty"),
+          col("min_v").as("min_qty"), col("max_v").as("max_qty"),
+          round(col("avg_v"), 6).as("avg_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(l_quantity) AS BIGINT) AS cnt,
+        round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+          AS sum_qty,
+        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(l_quantity), 6) AS avg_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5790,5 +5819,5 @@ object Queries {
     qHeavyHitters, qImportanceWeights, qKAnonymity, qLDiversity,
     qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq,
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
-    qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize)
+    qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg)
 }

@@ -218,6 +218,55 @@ object AggOps {
       .filter(col("freq") * k > n)
   }
 
+  /** Mergeable per-key aggregation state — the incremental-aggregation
+    * primitive: reduce each ingest batch to a small state table once, then
+    * combine state tables associatively instead of ever re-scanning raw
+    * history. `(cnt, sum_dec, min_v, max_v)` is closed under merge (counts
+    * add, exact decimal sums add, min/max fold), so
+    * `mergeStats(partialStats(A), partialStats(B)) ==
+    * partialStats(A ∪ B)` exactly — the same partial/final split Catalyst
+    * applies inside one job, lifted across jobs/days/backfills. Keys keep
+    * their caller-facing names; the four state columns are reserved.
+    *
+    * Scale: each batch shuffles once on its keys at ingest time; a merged
+    * rollup over N batches shuffles only N state tables (|keys| rows each),
+    * never the raw corpus. The decimal sum keeps the merged total exact and
+    * order-independent, so re-merging in any order is bit-stable. */
+  def partialStats(df: DataFrame, keyCols: Seq[Column], valueCol: Column): DataFrame =
+    df.groupBy(keyCols: _*).agg(
+      count(valueCol).as("cnt"),
+      sum(valueCol.cast(Dec)).as("sum_dec"),
+      min(valueCol).as("min_v"),
+      max(valueCol).as("max_v"))
+
+  /** Associative combine of [[partialStats]] state tables (any count, any
+    * order). Every non-state column is treated as a key. */
+  def mergeStats(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeStats: no states")
+    val stateCols = Set("cnt", "sum_dec", "min_v", "max_v")
+    val unioned = states.reduce(_ unionByName _)
+    val keys = unioned.columns.filterNot(stateCols).map(col).toSeq
+    unioned.groupBy(keys: _*).agg(
+      sum(col("cnt")).as("cnt"),
+      sum(col("sum_dec")).as("sum_dec"),
+      min(col("min_v")).as("min_v"),
+      max(col("max_v")).as("max_v"))
+  }
+
+  /** Release a [[partialStats]]/[[mergeStats]] state table as final
+    * aggregates: exact sum and mean as doubles, min/max verbatim (the
+    * state keeps its decimal sum so further merges stay exact; this is the
+    * read-side projection). */
+  def finalizeStats(state: DataFrame): DataFrame = {
+    val stateCols = Set("cnt", "sum_dec", "min_v", "max_v")
+    val keys = state.columns.filterNot(stateCols).map(col).toSeq
+    state.select(keys ++ Seq(
+      col("cnt"),
+      col("sum_dec").cast("double").as("sum_v"),
+      col("min_v"), col("max_v"),
+      (col("sum_dec").cast("double") / col("cnt")).as("avg_v")): _*)
+  }
+
   /** Count-min sketch counters: a `depth × width` grid of collision-tolerant
     * counts — the fixed-size frequency summary for streams/corpora whose
     * key cardinality is unbounded (the approximate complement of

@@ -138,6 +138,28 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(otherSeed("big") !== rows("big"), "rotating the seed rotates the noise")
   }
 
+  test("partialStats/mergeStats: merge of batch states equals direct aggregate") {
+    val a = Seq(("x", 1.5), ("x", 2.5), ("y", 10.0)).toDF("k", "v")
+    val b = Seq(("x", -4.0), ("z", 7.0)).toDF("k", "v")
+    val merged = AggOps.finalizeStats(AggOps.mergeStats(Seq(
+      AggOps.partialStats(a, Seq(col("k")), col("v")),
+      AggOps.partialStats(b, Seq(col("k")), col("v")))))
+    val direct = AggOps.finalizeStats(
+      AggOps.partialStats(a.unionAll(b), Seq(col("k")), col("v")))
+    val m = merged.as[(String, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    val d = direct.as[(String, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(m === d, "merge must be exactly the direct aggregate")
+    assert(m.find(_._1 == "x").get === (("x", 3L, 0.0, -4.0, 2.5, 0.0)))
+    // merge order must not matter (associativity/commutativity)
+    val swapped = AggOps.finalizeStats(AggOps.mergeStats(Seq(
+      AggOps.partialStats(b, Seq(col("k")), col("v")),
+      AggOps.partialStats(a, Seq(col("k")), col("v")))))
+      .as[(String, Long, Double, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(swapped === m)
+  }
+
   test("pseudonymize: deterministic, column-salted, null-preserving, re-keyable") {
     val df = Seq((1L, "alice", "alice"), (2L, "bob", null), (3L, "alice", "carol"))
       .toDF("id", "name", "referrer")
