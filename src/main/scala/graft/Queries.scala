@@ -5773,6 +5773,73 @@ object Queries {
           / COUNT(l_quantity), 6) AS avg_qty
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** TPC-H Q1 shape (pricing summary report): the canonical full-scan
+    * aggregate — one pass over lineitem below the ship-date cutoff, eight
+    * aggregates over two grouping columns. No join, no window: the whole
+    * plan is scan → partial agg → 4-group final agg, the shape that must
+    * saturate scan bandwidth at 100 TB. All sums are exact-decimal;
+    * averages are exact-sum / count rounded to 6 dp. */
+  private val qTpchQ1 = QuerySpec(
+    "q_tpch_q1",
+    (s, dir) => {
+      import AggOps.sumExact
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumExact(col("l_quantity")).as("sum_qty"),
+          sumExact(col("l_extendedprice")).as("sum_base_price"),
+          sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("sum_charge"),
+          round(AggOps.avgExact(col("l_quantity")), 6).as("avg_qty"),
+          round(AggOps.avgExact(col("l_extendedprice")), 6).as("avg_price"),
+          round(AggOps.avgExact(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)))
+          AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax)
+          AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(l_quantity), 6) AS avg_qty,
+        round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(l_extendedprice), 6) AS avg_price,
+        round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(l_discount), 6) AS avg_disc,
+        CAST(COUNT(*) AS BIGINT) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** TPC-H Q6 shape (forecasting revenue change): tight-range filters on
+    * one fact table reduced to a single scalar — the pushdown showcase
+    * (all three predicates reach the parquet scan; row-group stats prune
+    * on l_shipdate). */
+  private val qTpchQ6 = QuerySpec(
+    "q_tpch_q6",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(AggOps.sumExact(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n_lines")),
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6)))
+          AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5819,5 +5886,6 @@ object Queries {
     qHeavyHitters, qImportanceWeights, qKAnonymity, qLDiversity,
     qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq,
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
-    qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg)
+    qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg,
+    qTpchQ1, qTpchQ6)
 }
