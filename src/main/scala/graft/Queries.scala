@@ -5840,6 +5840,92 @@ object Queries {
         AND l_shipdate < TIMESTAMP '1997-01-01'
         AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""))
 
+  /** Per-group OLS trend ([[AnalyticsOps.linearTrend]]): quantity vs
+    * ship-day per return flag. The five moments accumulate as exact
+    * decimals, so slope/intercept/R² replay bit-identically in the
+    * oracle's closed-form arithmetic. */
+  private val qLinearTrend = QuerySpec(
+    "q_linear_trend",
+    (s, dir) =>
+      AnalyticsOps.linearTrend(
+        t(s, dir, "lineitem"),
+        Seq(col("l_returnflag")),
+        datediff(col("l_shipdate"), to_date(lit("1995-01-01"))).cast("double"),
+        col("l_quantity"))
+        .orderBy("l_returnflag"),
+    Some("""WITH b AS (SELECT l_returnflag,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+          AS DOUBLE) AS x,
+        l_quantity AS y FROM lineitem
+        WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL),
+      m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(x*y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(x*x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(y*y AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        FROM b GROUP BY 1)
+      SELECT l_returnflag, n,
+        CASE WHEN n >= 2 AND n*sxx - sx*sx != 0
+          THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS slope,
+        CASE WHEN n >= 2 AND n*sxx - sx*sx != 0
+          THEN round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+          END AS intercept,
+        CASE WHEN n >= 2 AND n*sxx - sx*sx != 0 AND n*syy - sy*sy != 0
+          THEN round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+            / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS r2
+      FROM m ORDER BY l_returnflag"""))
+
+  /** Anti-entropy bucket checksums ([[QualityOps.bucketChecksums]] +
+    * [[QualityOps.checksumDiff]]): orders vs a copy with 3 rows' status
+    * flipped — only the buckets hosting those keys may surface, and the
+    * oracle re-derives the full (bucket, n, xor-digest) compare in SQL, so
+    * the digest math itself is hash-checked, not just the verdict. */
+  private val qChecksumDiff = QuerySpec(
+    "q_checksum_diff",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val tampered = o.withColumn("o_orderstatus",
+        when(col("o_orderkey") <= 3, concat(col("o_orderstatus"), lit("X")))
+          .otherwise(col("o_orderstatus")))
+      val keys = Seq(col("o_orderkey"))
+      val vals = Seq(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      QualityOps.checksumDiff(
+        QualityOps.bucketChecksums(o, keys, vals, buckets = 32),
+        QualityOps.bucketChecksums(tampered, keys, vals, buckets = 32))
+        .orderBy("bucket")
+    },
+    Some("""WITH rows_a AS (SELECT
+          CAST('0x' || substr(md5(COALESCE(CAST(o_orderkey AS VARCHAR),
+            '<null>')), 1, 8) AS BIGINT) % 32 AS bucket,
+          CAST('0x' || substr(md5(
+            COALESCE(CAST(o_orderkey AS VARCHAR), '<null>') || '|' ||
+            COALESCE(CAST(o_custkey AS VARCHAR), '<null>') || '|' ||
+            COALESCE(o_orderstatus, '<null>') || '|' ||
+            COALESCE(o_orderpriority, '<null>')), 1, 15) AS BIGINT) AS digest
+        FROM orders),
+      rows_b AS (SELECT
+          CAST('0x' || substr(md5(COALESCE(CAST(o_orderkey AS VARCHAR),
+            '<null>')), 1, 8) AS BIGINT) % 32 AS bucket,
+          CAST('0x' || substr(md5(
+            COALESCE(CAST(o_orderkey AS VARCHAR), '<null>') || '|' ||
+            COALESCE(CAST(o_custkey AS VARCHAR), '<null>') || '|' ||
+            COALESCE(CASE WHEN o_orderkey <= 3
+              THEN o_orderstatus || 'X' ELSE o_orderstatus END, '<null>')
+              || '|' ||
+            COALESCE(o_orderpriority, '<null>')), 1, 15) AS BIGINT) AS digest
+        FROM orders),
+      ca AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
+          bit_xor(digest) AS digest_a FROM rows_a GROUP BY 1),
+      cb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
+          bit_xor(digest) AS digest_b FROM rows_b GROUP BY 1)
+      SELECT COALESCE(ca.bucket, cb.bucket) AS bucket, n_a, digest_a,
+        n_b, digest_b
+      FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+      WHERE n_a IS DISTINCT FROM n_b OR digest_a IS DISTINCT FROM digest_b
+      ORDER BY bucket"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5887,5 +5973,5 @@ object Queries {
     qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq,
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
     qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg,
-    qTpchQ1, qTpchQ6)
+    qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff)
 }

@@ -275,6 +275,45 @@ object AnalyticsOps {
         .as("z_e6"))
   }
 
+  /** Per-group ordinary-least-squares trend: slope, intercept, and R² of
+    * `y ~ x` for each key — the metric-drift / forecasting primitive
+    * ("is this tenant's latency trending up?") run over millions of groups
+    * at once. Closed-form OLS from five moments (n, Σx, Σy, Σxy, Σx²,
+    * plus Σy² for R²), each accumulated EXACTLY as a fixed-scale decimal —
+    * so the moments are order-independent and engine-portable, and only
+    * the final scalar arithmetic is floating point, identically evaluated
+    * everywhere (the same discipline as [[graft.operators.AggOps
+    * .corrExact]]). Outputs are rounded to 6 dp. Groups with < 2 points or
+    * zero x-variance report null slope/intercept/r2 (undefined, not 0 —
+    * a flat x axis has no trend line).
+    *
+    * Scale: one map-side-partial aggregation on the group key; nothing
+    * else. The x·y / x² / y² products are per-row codegen'd arithmetic
+    * inside the scan stage. */
+  def linearTrend(df: DataFrame, groupCols: Seq[Column], x: Column,
+      y: Column): DataFrame = {
+    import AggOps.sumExact
+    val m = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sumExact(x).as("sx"), sumExact(y).as("sy"),
+        sumExact(x * y).as("sxy"), sumExact(x * x).as("sxx"),
+        sumExact(y * y).as("syy"))
+    val nD = col("n").cast("double")
+    val varX = nD * col("sxx") - col("sx") * col("sx")
+    val varY = nD * col("syy") - col("sy") * col("sy")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val slope = cov / varX
+    val defined = col("n") >= 2 && varX =!= 0.0
+    m.select(groupCols.indices.map(i => col(m.columns(i))) ++ Seq(
+      col("n"),
+      when(defined, round(slope, 6)).as("slope"),
+      when(defined, round((col("sy") - slope * col("sx")) / nD, 6))
+        .as("intercept"),
+      when(defined && varY =!= 0.0, round(cov * cov / (varX * varY), 6))
+        .as("r2")): _*)
+  }
+
   /** Kaplan-Meier survival estimator with right-censoring — time-to-event
     * analytics (churn, conversion latency, hardware failure) over a
     * `(duration, event)` table where `event` is true when the terminal

@@ -342,6 +342,46 @@ object QualityOps {
       .select(col("k"), col("noisy_e6"))
   }
 
+  /** Bucketed table checksums — the anti-entropy / replication-validation
+    * primitive: reduce a table to `buckets` rows of
+    * `(bucket, n, digest)` where `digest` is the XOR of per-row md5
+    * digests, so two replicas (or a table and its restored backup, or
+    * source and sink of a migration) compare by exchanging KILOBYTES, and
+    * only mismatched buckets need row-level repair ([[snapshotDiff]] on
+    * the affected key range). XOR is order- and partition-independent, so
+    * the digest is stable under any shuffle; the row count rides along
+    * because XOR alone is blind to a row duplicated an even number of
+    * times. Rows are serialized `key…|value…` with nulls mapped to a
+    * sentinel (concat_ws would silently drop them, colliding
+    * `(x,null,y)` with `(x,y,null)`). Double columns should be quantized
+    * by the caller first — engines do not agree on float-to-string
+    * rendering.
+    *
+    * Scale: one map-side-partial aggregation to `buckets` rows; comparing
+    * two 100 TB tables moves 2 × buckets rows over the network. */
+  def bucketChecksums(df: DataFrame, keyCols: Seq[Column],
+      valueCols: Seq[Column], buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    def str(c: Column) = coalesce(c.cast("string"), lit("<null>"))
+    val rowStr = concat_ws("|", (keyCols ++ valueCols).map(str): _*)
+    val keyStr = concat_ws("|", keyCols.map(str): _*)
+    df.select(
+        graft.functions.TextFunctions.portableBucket(keyStr, buckets)
+          .as("bucket"),
+        conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long").as("digest"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(digest)").as("digest"))
+  }
+
+  /** Full-outer compare of two [[bucketChecksums]] tables: the buckets
+    * whose `(n, digest)` disagree — empty output means the tables match. */
+  def checksumDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("n").as("n_a"), col("digest").as("digest_a"))
+      .join(b.select(col("bucket"), col("n").as("n_b"),
+        col("digest").as("digest_b")), Seq("bucket"), "full_outer")
+      .filter(!(col("n_a") <=> col("n_b")) ||
+        !(col("digest_a") <=> col("digest_b")))
+
   /** Keyed pseudonymization — deterministic tokenization of direct
     * identifiers, the de-identification step that runs BEFORE data reaches
     * the audits above ([[kAnonymity]]/[[lDiversity]] operate on

@@ -138,6 +138,51 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(otherSeed("big") !== rows("big"), "rotating the seed rotates the noise")
   }
 
+  test("bucketChecksums: identical tables match; any change surfaces its bucket") {
+    val a = (1L to 100L).map(i => (i, s"v$i", if (i % 7 == 0) null else "z"))
+      .toDF("id", "v", "w")
+    val keys = Seq(col("id")); val vals = Seq(col("v"), col("w"))
+    val ca = QualityOps.bucketChecksums(a, keys, vals, buckets = 8)
+    assert(ca.count() <= 8)
+    assert(QualityOps.checksumDiff(ca,
+      QualityOps.bucketChecksums(a.orderBy(rand(7)).repartition(3), keys, vals, 8))
+      .count() === 0, "digest must be order/partitioning independent")
+    // value change
+    val changed = a.withColumn("v",
+      when(col("id") === 42, lit("TAMPERED")).otherwise(col("v")))
+    val d1 = QualityOps.checksumDiff(ca,
+      QualityOps.bucketChecksums(changed, keys, vals, 8)).collect()
+    assert(d1.length === 1, s"exactly one bucket must differ: ${d1.toSeq}")
+    // row deleted: n catches it even if xor were blind
+    val dropped = a.filter(col("id") =!= 99)
+    val d2 = QualityOps.checksumDiff(ca,
+      QualityOps.bucketChecksums(dropped, keys, vals, 8)).collect()
+    assert(d2.length === 1)
+    assert(d2(0).getAs[Long]("n_a") === d2(0).getAs[Long]("n_b") + 1)
+    // null is a value, not an absence: nulling w must change the digest
+    val nulled = a.withColumn("w",
+      when(col("id") === 10, lit(null: String)).otherwise(col("w")))
+    assert(QualityOps.checksumDiff(ca,
+      QualityOps.bucketChecksums(nulled, keys, vals, 8)).count() === 1)
+  }
+
+  test("linearTrend: exact line recovered; degenerate groups report null") {
+    val pts = Seq(
+      // group "up": y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+      ("up", 0.0, 1.0), ("up", 1.0, 3.0), ("up", 2.0, 5.0), ("up", 3.0, 7.0),
+      // group "flatx": zero x-variance -> undefined
+      ("flatx", 4.0, 1.0), ("flatx", 4.0, 9.0),
+      // group "one": single point -> undefined
+      ("one", 1.0, 1.0)).toDF("k", "x", "y")
+    val out = AnalyticsOps.linearTrend(pts, Seq(col("k")), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getDouble(2) === 2.0)
+    assert(out("up").getDouble(3) === 1.0)
+    assert(out("up").getDouble(4) === 1.0)
+    assert(out("flatx").isNullAt(2) && out("flatx").isNullAt(4))
+    assert(out("one").isNullAt(2))
+  }
+
   test("partialStats/mergeStats: merge of batch states equals direct aggregate") {
     val a = Seq(("x", 1.5), ("x", 2.5), ("y", 10.0)).toDF("k", "v")
     val b = Seq(("x", -4.0), ("z", 7.0)).toDF("k", "v")
