@@ -290,6 +290,54 @@ class ScaleSpec extends AnyFunSuite {
       s"walks degenerated to a cartesian:\n$wPlan")
   }
 
+  test("round-7 batch-2 ops: shuffle budgets and join strategies hold") {
+    def nExchanges(plan: String): Int = "Exchange".r.findAllIn(plan).length
+
+    // pseudonymize is a pure codegen'd map: ZERO exchanges
+    val p = QualityOps.pseudonymize(
+      (1 to 500).map(i => (i.toLong, s"n$i")).toDF("id", "name"),
+      Seq("name"), "s")
+    assert(!p.queryExecution.executedPlan.toString.contains("Exchange"),
+      "pseudonymize must not shuffle")
+
+    // kaplanMeier: every window is group-partitioned — a plan that funnels
+    // through Exchange SinglePartition dies at any real scale
+    val durs = (1 to 400).map(i => (s"g${i % 3}", (i % 30).toLong, i % 4 != 0))
+      .toDF("g", "t", "e")
+    val kmPlan = AnalyticsOps.kaplanMeier(durs, Seq(col("g")), col("t"),
+      col("e")).queryExecution.executedPlan.toString
+    assert(!kmPlan.contains("Exchange SinglePartition"),
+      s"kaplanMeier collapsed to one partition:\n$kmPlan")
+    assert(!kmPlan.contains("CartesianProduct"))
+
+    // linearTrend: one aggregation — no join, no window, one shuffle
+    val ltPlan = AnalyticsOps.linearTrend(durs, Seq(col("g")),
+      col("t").cast("double"), lit(1.0))
+      .queryExecution.executedPlan.toString
+    assert(!ltPlan.contains("Join") && !ltPlan.contains("Window"),
+      s"linearTrend must be a single aggregation:\n$ltPlan")
+    assert(nExchanges(ltPlan) === 1, s"linearTrend shuffle budget is 1:\n$ltPlan")
+
+    // CMS: counters shuffle ONCE on the bounded (r,b) grid; estimates
+    // probe by broadcast (a sort-merge would shuffle the probe side on a
+    // 256-cell key — wrong at every scale)
+    val kdf = (1 to 1000).map(i => s"k${i % 40}").toDF("k")
+    val counters = AggOps.cmsCounters(kdf, col("k"), "s", 4, 64)
+    assert(nExchanges(counters.queryExecution.executedPlan.toString) === 1,
+      "cmsCounters shuffle budget is 1 (the d*w-bounded grid)")
+    val estPlan = AggOps.cmsEstimates(counters, kdf, col("k"), "s", 4, 64)
+      .queryExecution.executedPlan.toString
+    assert(estPlan.contains("BroadcastHashJoin") &&
+      !estPlan.contains("SortMergeJoin"),
+      s"cms estimates must probe via broadcast:\n$estPlan")
+
+    // bucket checksums: one shuffle to `buckets` rows, no join
+    val ck = QualityOps.bucketChecksums(durs, Seq(col("g")), Seq(col("t")), 16)
+    val ckPlan = ck.queryExecution.executedPlan.toString
+    assert(nExchanges(ckPlan) === 1 && !ckPlan.contains("Join"),
+      s"bucketChecksums is one partial/final aggregation:\n$ckPlan")
+  }
+
   test("importanceWeights: bucket log-ratio table broadcasts back to the doc rollup") {
     val docs = (0 until 300).map(i => (i.toLong, s"tok$i common word${i % 7}", i % 3 == 0))
       .toDF("doc_id", "text", "is_t")
