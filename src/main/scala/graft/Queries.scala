@@ -5926,6 +5926,44 @@ object Queries {
       WHERE n_a IS DISTINCT FROM n_b OR digest_a IS DISTINCT FROM digest_b
       ORDER BY bucket"""))
 
+  /** Image intensity histograms ([[MultimodalOps.imageHistogram]]): REAL
+    * PNG payloads synthesized from document bytes (same fixture discipline
+    * as q_wav_features), decoded with the JDK codec in the executors, 16
+    * dense bins per image. Oracle replays the binning arithmetic over the
+    * same char codes — byte-indexed kernel vs char-indexed unicode() agree
+    * because the corpus is ASCII (the fixture asserts it). */
+  private val qImageHistogram = QuerySpec(
+    "q_image_histogram",
+    (s, dir) => {
+      import s.implicits._
+      val png = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          require(b.length == text.length, s"non-ASCII text in doc $id")
+          (id, MultimodalOps.encodePngGray(
+            Array.tabulate[Byte](64)(i => b(i % b.length)), 8, 8))
+        }
+        .toDF("doc_id", "payload")
+      MultimodalOps.imageHistogram(png, "doc_id", "payload", bins = 16)
+        .select(col("doc_id"), col("bin").cast("long").as("bin"), col("n_px"))
+        .orderBy("doc_id", "bin")
+    },
+    Some("""WITH px AS (SELECT doc_id,
+          unicode(substr(text, (CAST(i AS INT) % length(text)) + 1, 1)) AS v
+        FROM documents, generate_series(0, 63) t(i)),
+      cnt AS (SELECT doc_id, (v * 16) // 256 AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM px GROUP BY 1, 2),
+      grid AS (SELECT doc_id, CAST(b AS BIGINT) AS bin
+        FROM documents, generate_series(0, 15) g(b))
+      SELECT grid.doc_id, grid.bin,
+        CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_px
+      FROM grid LEFT JOIN cnt ON cnt.doc_id = grid.doc_id
+        AND cnt.bin = grid.bin
+      ORDER BY 1, 2"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -5973,5 +6011,5 @@ object Queries {
     qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq,
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
     qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg,
-    qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff)
+    qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram)
 }

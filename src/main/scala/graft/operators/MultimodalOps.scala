@@ -171,6 +171,36 @@ object MultimodalOps {
       .toDF(idCol, "stripe", "mean_sample")
   }
 
+  /** REAL image feature extraction over PNG payloads: decode in the
+    * executors (JDK ImageIO codec) and fold a fixed-bin intensity
+    * histogram inside the same kernel pass — the classic cheap visual
+    * fingerprint (near-dup prefilter, exposure/quality scoring, shard
+    * statistics). Each image emits exactly `bins` rows regardless of pixel
+    * count and the plan has ZERO exchanges: a 10^8-pixel scan contributes
+    * `bins` rows to downstream, never pixel rows. Bins split the 0..255
+    * intensity range evenly (`bin = intensity * bins / 256`). Output:
+    * `(id, bin, n_px)` with every bin present (empty bins report 0, so the
+    * histogram vector is dense and join-alignable). */
+  def imageHistogram(df: DataFrame, idCol: String, payloadCol: String,
+      bins: Int = 16): DataFrame = {
+    require(bins >= 1 && bins <= 256, s"bins must be in 1..256: $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val px = decodePngGray(bytes)
+        val counts = new Array[Long](bins)
+        var i = 0
+        while (i < px.length) {
+          counts((px(i) & 0xff) * bins / 256) += 1
+          i += 1
+        }
+        (0 until bins).iterator.map(b => (id, b, counts(b)))
+      }
+      .toDF(idCol, "bin", "n_px")
+  }
+
   /** Encode a grayscale pixel grid as a REAL JPEG via javax.imageio (JDK
     * codec). Lossy by nature — fixture/ingest helper for the JPEG arm. */
   def encodeJpegGray(pixels: Array[Byte], w: Int, h: Int,

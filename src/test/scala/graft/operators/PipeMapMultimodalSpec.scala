@@ -122,6 +122,20 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     assert(means(1) == (-200 - 400 - 600 - 800) / 4.0)
   }
 
+  test("imageHistogram bins decoded PNG intensities densely, in-kernel") {
+    // 2x2 image: intensities 0, 15, 16, 255 -> bins 0, 0, 1, 15 (16 bins)
+    val png = MultimodalOps.encodePngGray(
+      Array[Byte](0, 15, 16, 255.toByte), 2, 2)
+    val df = Seq((9L, png)).toDF("doc_id", "payload")
+    val histDf = MultimodalOps.imageHistogram(df, "doc_id", "payload", bins = 16)
+    assert(!histDf.queryExecution.executedPlan.toString.contains("Exchange"),
+      "histogram must fold inside the decode kernel, not via a shuffle")
+    val hist = histDf.collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(hist.size === 16, "every bin must be present (dense vector)")
+    assert(hist(0) === 2L && hist(1) === 1L && hist(15) === 1L)
+    assert((2 to 14).forall(hist(_) == 0L))
+  }
+
   test("resizeImage routes JPEG through the real codec within tolerance") {
     val pixels = Array.tabulate[Byte](256)(i => (32 + (i * 7) % 95).toByte)
     val jpeg = MultimodalOps.encodeJpegGray(pixels, 16, 16)
