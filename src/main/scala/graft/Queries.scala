@@ -5964,6 +5964,37 @@ object Queries {
         AND cnt.bin = grid.bin
       ORDER BY 1, 2"""))
 
+  /** Mergeable HLL distinct-count state ([[AggOps.hllState]]/[[AggOps
+    * .hllMerge]]/[[AggOps.hllEstimate]]): per-type distinct users, built
+    * from three hash-disjoint batches and UNIONED — must land within the
+    * sketch's error bound of the exact count AND equal the single-pass
+    * sketch exactly (merge transparency: unioning partial sketches is the
+    * same sketch as one pass, the property that makes the state usable). */
+  private val qHllMerge = QuerySpec(
+    "q_hll_merge",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val batches = (0 until 3).map(b => ev.filter(
+        TextFunctions.portableBucket(col("event_id"), 3) === b))
+      val merged = AggOps.hllEstimate(AggOps.hllMerge(batches.map(b =>
+        AggOps.hllState(b, Seq(col("event_type")), col("user_id")))))
+        .withColumnRenamed("est_ndv", "est_merged")
+      val onePass = AggOps.hllEstimate(
+        AggOps.hllState(ev, Seq(col("event_type")), col("user_id")))
+        .withColumnRenamed("est_ndv", "est_onepass")
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_ndv"))
+      exact.join(merged, Seq("event_type")).join(onePass, Seq("event_type"))
+        .select(col("event_type"), col("exact_ndv"),
+          (col("est_merged") === col("est_onepass")).as("merge_transparent"),
+          (abs(col("est_merged") - col("exact_ndv")).cast("double") /
+            col("exact_ndv").cast("double") <= 0.05).as("hll_ok"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_ndv,
+        TRUE AS merge_transparent, TRUE AS hll_ok
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6011,5 +6042,6 @@ object Queries {
     qTpchQ3, qTpchQ5, qTpchQ10, qSemanticDedup, qAnnIvfPq,
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
     qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg,
-    qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram)
+    qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram,
+    qHllMerge)
 }

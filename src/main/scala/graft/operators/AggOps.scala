@@ -267,6 +267,31 @@ object AggOps {
       (col("sum_dec").cast("double") / col("cnt")).as("avg_v")): _*)
   }
 
+  /** Mergeable distinct-count state — the approximate companion to
+    * [[partialStats]]: each batch reduces to one DataSketches HLL sketch
+    * per key (a few KB regardless of input size), and sketches union
+    * associatively, so "distinct users ever" maintains incrementally
+    * without re-scanning history — the cross-batch form of
+    * [[uniqApprox]]. State column `hll` is the sketch binary. */
+  def hllState(df: DataFrame, keyCols: Seq[Column], valueCol: Column): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(hll_sketch_agg(valueCol.cast("string")).as("hll"))
+
+  /** Associative union of [[hllState]] tables; every non-`hll` column is a
+    * key. Shuffles |keys|-row state tables, never raw history. */
+  def hllMerge(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "hllMerge: no states")
+    val unioned = states.reduce(_ unionByName _)
+    val keys = unioned.columns.filterNot(_ == "hll").map(col).toSeq
+    unioned.groupBy(keys: _*).agg(hll_union_agg(col("hll")).as("hll"))
+  }
+
+  /** Read a merged [[hllState]] as distinct-count estimates. */
+  def hllEstimate(state: DataFrame): DataFrame = {
+    val keys = state.columns.filterNot(_ == "hll").map(col).toSeq
+    state.select(keys :+ hll_sketch_estimate(col("hll")).as("est_ndv"): _*)
+  }
+
   /** Count-min sketch counters: a `depth × width` grid of collision-tolerant
     * counts — the fixed-size frequency summary for streams/corpora whose
     * key cardinality is unbounded (the approximate complement of

@@ -138,6 +138,25 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(otherSeed("big") !== rows("big"), "rotating the seed rotates the noise")
   }
 
+  test("hllState/hllMerge: union of batch sketches is the one-pass sketch") {
+    val a = (1 to 600).map(i => ("g" + i % 2, "u" + i % 57)).toDF("g", "v")
+    val b = (1 to 400).map(i => ("g" + i % 2, "u" + (i % 91 + 30))).toDF("g", "v")
+    val merged = AggOps.hllEstimate(AggOps.hllMerge(Seq(
+      AggOps.hllState(a, Seq(col("g")), col("v")),
+      AggOps.hllState(b, Seq(col("g")), col("v")))))
+      .as[(String, Long)].collect().toMap
+    val onePass = AggOps.hllEstimate(
+      AggOps.hllState(a.unionAll(b), Seq(col("g")), col("v")))
+      .as[(String, Long)].collect().toMap
+    assert(merged === onePass, "merge must be transparent")
+    val exact = a.unionAll(b).select("g", "v").distinct()
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    merged.foreach { case (g, est) =>
+      assert(math.abs(est - exact(g)).toDouble / exact(g) <= 0.05,
+        s"estimate off for $g: est=$est exact=${exact(g)}")
+    }
+  }
+
   test("bucketChecksums: identical tables match; any change surfaces its bucket") {
     val a = (1L to 100L).map(i => (i, s"v$i", if (i % 7 == 0) null else "z"))
       .toDF("id", "v", "w")
