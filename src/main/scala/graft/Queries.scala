@@ -5995,6 +5995,81 @@ object Queries {
         TRUE AS merge_transparent, TRUE AS hll_ok
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Streaming incremental aggregation: the [[AggOps.partialStats]] /
+    * [[AggOps.mergeStats]] state discipline driven by a REAL streaming
+    * query — the source is split into three files, streamed one file per
+    * micro-batch (AvailableNow), and foreachBatch persists each batch's
+    * partial state; the merged+finalized state must equal the direct
+    * aggregate over the whole table (oracle computes only the direct
+    * form). `n_batches` in the output pins that three separate
+    * micro-batches really ran — the incrementality is load-bearing, not
+    * incidental. */
+  private val qStreamIncremental = QuerySpec(
+    "q_stream_incremental",
+    (s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_incr_src_$sfName")
+      val stateDir = s"/tmp/graft_incr_state_$sfName"
+      val ckpt = s"/tmp/graft_incr_ckpt_$sfName"
+      // fresh fixture + state per run (a reused checkpoint would skip the
+      // batches and leave no states)
+      def rmTree(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.delete(q); () })
+        }
+      }
+      Seq(srcDir.toString, stateDir, ckpt).foreach(rmTree)
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      (0 until 3).foreach { b =>
+        val tmp = s"$srcDir/_stage_$b"
+        ev.filter(TextFunctions.portableBucket(col("event_id"), 3) === b)
+          .select("event_type", "value")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          srcDir.resolve(s"split_$b.parquet"))
+        rmTree(tmp)
+      }
+      val feed = s.readStream.schema("event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = pinnedParts(s, 8)(feed.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            AggOps.partialStats(batch, Seq(col("event_type")), col("value"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$stateDir/batch_$id")
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      q.awaitTermination()
+      val stateDirs = new java.io.File(stateDir).listFiles()
+        .filter(_.getName.startsWith("batch_")).map(_.toString).toSeq.sorted
+      val merged = AggOps.mergeStats(stateDirs.map(s.read.parquet(_)))
+      AggOps.finalizeStats(merged)
+        .select(col("event_type"), lit(stateDirs.size.toLong).as("n_batches"),
+          col("cnt"), round(col("sum_v"), 6).as("sum_value"),
+          col("min_v").as("min_value"), col("max_v").as("max_value"),
+          round(col("avg_v"), 6).as("avg_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(3 AS BIGINT) AS n_batches,
+        CAST(COUNT(value) AS BIGINT) AS cnt,
+        round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+          AS sum_value,
+        MIN(value) AS min_value, MAX(value) AS max_value,
+        round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(value), 6) AS avg_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6043,5 +6118,5 @@ object Queries {
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
     qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg,
     qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram,
-    qHllMerge)
+    qHllMerge, qStreamIncremental)
 }
