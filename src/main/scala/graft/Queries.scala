@@ -6070,6 +6070,42 @@ object Queries {
           / COUNT(value), 6) AS avg_value
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** OHLC resampling ([[AnalyticsOps.ohlcResample]]): hourly bars per
+    * event type over the events stream, id-tiebroken first/last, exact
+    * decimal volume. Oracle replays open/close with the same tie-broken
+    * window order. */
+  private val qOhlc = QuerySpec(
+    "q_ohlc",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      AnalyticsOps.ohlcResample(ev, Seq(col("event_type")),
+          unix_micros(col("ts")), col("event_id"), col("value"),
+          bucketUs = 3600L * 1000000L)
+        .select(col("event_type"), col("bucket"),
+          round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+          col("n"), round(col("volume"), 6).as("volume"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("""WITH b AS (SELECT event_type,
+          CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000) AS BIGINT)
+            AS bucket,
+          epoch_us(ts) AS t, event_id AS id, value AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      r AS (SELECT *,
+          row_number() OVER (PARTITION BY event_type, bucket
+            ORDER BY t, id) AS ra,
+          row_number() OVER (PARTITION BY event_type, bucket
+            ORDER BY t DESC, id DESC) AS rd
+        FROM b)
+      SELECT event_type, bucket,
+        round(MAX(CASE WHEN ra = 1 THEN v END), 6) AS open,
+        round(MAX(v), 6) AS high, round(MIN(v), 6) AS low,
+        round(MAX(CASE WHEN rd = 1 THEN v END), 6) AS close,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6) AS volume
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6118,5 +6154,5 @@ object Queries {
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
     qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg,
     qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram,
-    qHllMerge, qStreamIncremental)
+    qHllMerge, qStreamIncremental, qOhlc)
 }

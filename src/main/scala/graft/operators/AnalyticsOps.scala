@@ -275,6 +275,44 @@ object AnalyticsOps {
         .as("z_e6"))
   }
 
+  /** Time-series resampling to OHLC bars: per key × fixed time bucket,
+    * the opening value (first by time), high, low, closing value (last by
+    * time), count, and exact-decimal volume — the downsampling step that
+    * turns a raw tick/metric stream into chartable, joinable bars.
+    * First/last are made deterministic under timestamp ties by an
+    * id tiebreaker (`idCol`) — a tie-broken total order, not
+    * whichever-partition-won.
+    *
+    * Shape: one window over (key, bucket) ordered by (ts, id) to tag the
+    * first/last rows, then one aggregation — both shuffle on the same
+    * (key, bucket) grain, so AQE coalesces them into adjacent stages with
+    * no extra exchange. Buckets are integer microsecond floors:
+    * engine-portable, no timezone arithmetic. */
+  def ohlcResample(df: DataFrame, keyCols: Seq[Column], tsUs: Column,
+      idCol: Column, valueCol: Column, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be > 0: $bucketUs")
+    val base = df.select(keyCols ++ Seq(
+      floor(tsUs.cast("long").cast("double") / lit(bucketUs)).cast("long")
+        .as("bucket"),
+      tsUs.cast("long").as("_ts"), idCol.as("_id"),
+      valueCol.cast("double").as("_v")): _*)
+      .filter(col("_ts").isNotNull && col("_v").isNotNull)
+    val gCols = base.columns.takeWhile(_ != "bucket").map(col).toSeq
+    val w = Window.partitionBy(gCols :+ col("bucket"): _*)
+    val asc = row_number().over(w.orderBy(col("_ts"), col("_id")))
+    val desc = row_number().over(w.orderBy(col("_ts").desc, col("_id").desc))
+    base
+      .withColumn("_ra", asc).withColumn("_rd", desc)
+      .groupBy(gCols :+ col("bucket"): _*)
+      .agg(
+        max(when(col("_ra") === 1, col("_v"))).as("open"),
+        max(col("_v")).as("high"),
+        min(col("_v")).as("low"),
+        max(when(col("_rd") === 1, col("_v"))).as("close"),
+        count(lit(1)).as("n"),
+        AggOps.sumExact(col("_v")).as("volume"))
+  }
+
   /** Per-group ordinary-least-squares trend: slope, intercept, and R² of
     * `y ~ x` for each key — the metric-drift / forecasting primitive
     * ("is this tenant's latency trending up?") run over millions of groups

@@ -138,6 +138,21 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(otherSeed("big") !== rows("big"), "rotating the seed rotates the noise")
   }
 
+  test("ohlcResample: first/last tie-broken by id; bars bucket correctly") {
+    // bucket size 10: rows at t=1,5,9 -> bucket 0; t=11,11 (tie) -> bucket 1
+    val ticks = Seq(
+      (1L, 1L, 10.0), (5L, 2L, 30.0), (9L, 3L, 20.0),
+      (11L, 5L, 7.0), (11L, 4L, 9.0) // same ts: id 4 opens, id 5 closes
+    ).map { case (t, id, v) => ("k", t, id, v) }.toDF("g", "t", "id", "v")
+    val bars = AnalyticsOps.ohlcResample(ticks, Seq(col("g")), col("t"),
+      col("id"), col("v"), bucketUs = 10L)
+      .as[(String, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(bars(0L) === (("k", 0L, 10.0, 30.0, 10.0, 20.0, 3L, 60.0)))
+    assert(bars(1L) === (("k", 1L, 9.0, 9.0, 7.0, 7.0, 2L, 16.0)),
+      "timestamp ties must resolve by id: 4 opens, 5 closes")
+  }
+
   test("hllState/hllMerge: union of batch sketches is the one-pass sketch") {
     val a = (1 to 600).map(i => ("g" + i % 2, "u" + i % 57)).toDF("g", "v")
     val b = (1 to 400).map(i => ("g" + i % 2, "u" + (i % 91 + 30))).toDF("g", "v")
