@@ -6106,6 +6106,176 @@ object Queries {
         round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6) AS volume
       FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Gini coefficient ([[StatsOps.gini]]): account-balance inequality per
+    * nation via the sorted-index identity; exact decimal sums. */
+  private val qGini = QuerySpec(
+    "q_gini",
+    (s, dir) => {
+      StatsOps.gini(t(s, dir, "customer"), Seq(col("c_nationkey")),
+          col("c_acctbal"))
+        .orderBy("c_nationkey")
+    },
+    Some("""WITH x AS (SELECT c_nationkey AS g, CAST(c_acctbal AS DOUBLE) AS x
+        FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal >= 0),
+      r AS (SELECT g, x,
+        CAST(row_number() OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS i
+        FROM x)
+      SELECT g AS c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        CASE WHEN SUM(CAST(x AS DECIMAL(28,6))) > 0 THEN
+          round((2.0 * CAST(SUM(CAST(i * x AS DECIMAL(28,6))) AS DOUBLE))
+              / (COUNT(*) * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE))
+            - (COUNT(*) + 1.0) / COUNT(*), 6)
+        END AS gini
+      FROM r GROUP BY 1 ORDER BY 1"""))
+
+  /** Trailing EWMA ([[StatsOps.ewmaTrailing]]): per-event-type
+    * exponentially-weighted mean of the last 5 events, decay 0.7,
+    * (ts, id)-ordered. The oracle replays the same 5 lag terms in the
+    * same association order, so the float math is bit-identical. */
+  private val qEwma = QuerySpec(
+    "q_ewma",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      StatsOps.ewmaTrailing(ev, col("event_type"), unix_micros(col("ts")),
+          col("event_id"), col("value"), BigDecimal("0.7"), k = 5)
+        .select(col("k").as("event_type"), col("t").as("ts_us"),
+          col("id").as("event_id"), col("x").as("value"), col("ewma"))
+        .orderBy("event_type", "ts_us", "event_id")
+    },
+    Some("""WITH b AS (SELECT event_type AS g, epoch_us(ts) AS t,
+          event_id AS id, CAST(value AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      l AS (SELECT g, t, id, x,
+          lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+          lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4
+        FROM b WINDOW w AS (PARTITION BY g ORDER BY t, id))
+      SELECT g AS event_type, t AS ts_us, id AS event_id, x AS value,
+        round((x * 1.0 + COALESCE(x1, 0.0) * 0.7 + COALESCE(x2, 0.0) * 0.49
+            + COALESCE(x3, 0.0) * 0.343 + COALESCE(x4, 0.0) * 0.2401)
+          / (1.0 + (CASE WHEN x1 IS NULL THEN 0.0 ELSE 0.7 END)
+            + (CASE WHEN x2 IS NULL THEN 0.0 ELSE 0.49 END)
+            + (CASE WHEN x3 IS NULL THEN 0.0 ELSE 0.343 END)
+            + (CASE WHEN x4 IS NULL THEN 0.0 ELSE 0.2401 END)), 6) AS ewma
+      FROM l ORDER BY 1, 2, 3"""))
+
+  /** Lag-1 autocorrelation ([[StatsOps.autocorr]]) of event values per
+    * type — Pearson r between the series and its shift. */
+  private val qAutocorr = QuerySpec(
+    "q_autocorr",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      StatsOps.autocorr(ev, Seq(col("event_type")), unix_micros(col("ts")),
+          col("event_id"), col("value"), lagK = 1)
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT event_type AS g, epoch_us(ts) AS t,
+          event_id AS id, CAST(value AS DOUBLE) AS x
+        FROM events),
+      l AS (SELECT g, x,
+          lag(x, 1) OVER (PARTITION BY g ORDER BY t, id) AS xl
+        FROM b)
+      SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        round(corr(x, xl), 6) AS autocorr
+      FROM l WHERE xl IS NOT NULL AND x IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** CUSUM changepoint scan ([[StatsOps.cusum]]): per-type largest upward
+    * excursion of the mean-free cumulative path, earliest argmax; all
+    * path math in scaled longs so the oracle replay is exact. */
+  private val qCusum = QuerySpec(
+    "q_cusum",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      StatsOps.cusum(ev, Seq(col("event_type")), unix_micros(col("ts")),
+          col("event_id"), col("value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT event_type AS g, epoch_us(ts) AS t,
+          event_id AS id,
+          CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      w1 AS (SELECT g, t, id, x,
+          CAST(row_number() OVER (PARTITION BY g ORDER BY t, id) AS BIGINT)
+            AS i,
+          SUM(x) OVER (PARTITION BY g ORDER BY t, id) AS cum,
+          CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+          SUM(x) OVER (PARTITION BY g) AS tot
+        FROM b),
+      w2 AS (SELECT *, cum * n - tot * i AS ns FROM w1),
+      w3 AS (SELECT *,
+          MIN(ns) OVER (PARTITION BY g ORDER BY t, id) AS runmin
+        FROM w2),
+      w4 AS (SELECT *, ns - runmin AS exc,
+          MAX(ns - runmin) OVER (PARTITION BY g) AS mx
+        FROM w3)
+      SELECT g AS event_type, MAX(n) AS n,
+        round(CAST(MAX(mx) AS DOUBLE) / (MAX(n) * 1000000.0), 6) AS cusum,
+        MIN(i) AS change_idx
+      FROM w4 WHERE exc = mx GROUP BY 1 ORDER BY 1"""))
+
+  /** Mann-Whitney U ([[StatsOps.mannWhitneyU]]): even- vs odd-user cohorts
+    * per event type, tie-corrected z; rank sums in doubled longs. */
+  private val qMannWhitney = QuerySpec(
+    "q_mann_whitney",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      StatsOps.mannWhitneyU(ev, Seq(col("event_type")),
+          col("user_id") % 2 === 0, col("value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+          CAST(value AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      r AS (SELECT g, a, x,
+          CAST(rank() OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS rk,
+          CAST(COUNT(*) OVER (PARTITION BY g, x) AS BIGINT) AS ties
+        FROM b),
+      s AS (SELECT g,
+          SUM(CASE WHEN a THEN 1 ELSE 0 END) AS n_a,
+          SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS n_b,
+          SUM(CASE WHEN a THEN 2 * rk + ties - 1 ELSE 0 END) AS r1x2,
+          SUM(ties * ties - 1) AS tieadj,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM r GROUP BY 1),
+      u AS (SELECT g, n_a, n_b, r1x2 - n_a * (n_a + 1) AS u2,
+          CAST(n_a AS DOUBLE) * n_b / 12.0
+            * ((n + 1.0) - CAST(tieadj AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1))) AS var
+        FROM s)
+      SELECT g AS event_type, CAST(n_a AS BIGINT) AS n_a,
+        CAST(n_b AS BIGINT) AS n_b,
+        round(CAST(u2 AS DOUBLE) / 2.0, 6) AS u,
+        CASE WHEN var > 0 THEN
+          round((CAST(u2 AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+            / sqrt(var), 6)
+        END AS z
+      FROM u ORDER BY 1"""))
+
+  /** Exact weighted median ([[StatsOps.weightedQuantile]]): quantity-
+    * weighted median extended price per return flag, inverse-CDF
+    * convention over decimal cumulative weights. */
+  private val qWeightedQuantile = QuerySpec(
+    "q_weighted_quantile",
+    (s, dir) => {
+      StatsOps.weightedQuantile(t(s, dir, "lineitem"),
+          Seq(col("l_returnflag")), col("l_extendedprice"),
+          col("l_quantity"), q = 0.5)
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH b AS (SELECT l_returnflag AS g,
+          CAST(l_extendedprice AS DOUBLE) AS x,
+          CAST(l_quantity AS DECIMAL(28,6)) AS w
+        FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+      c AS (SELECT g, x, w,
+          SUM(w) OVER (PARTITION BY g ORDER BY x
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+          SUM(w) OVER (PARTITION BY g) AS tw
+        FROM b)
+      SELECT g AS l_returnflag, MIN(x) AS quantile,
+        round(CAST(MAX(tw) AS DOUBLE), 6) AS total_weight
+      FROM c WHERE CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) * 0.5
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6154,5 +6324,6 @@ object Queries {
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
     qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg,
     qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram,
-    qHllMerge, qStreamIncremental, qOhlc)
+    qHllMerge, qStreamIncremental, qOhlc,
+    qGini, qEwma, qAutocorr, qCusum, qMannWhitney, qWeightedQuantile)
 }

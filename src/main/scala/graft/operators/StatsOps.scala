@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distribution / hypothesis-test statistics over grouped data — the
+  * "is this cohort different" toolkit a data-quality or experimentation
+  * pipeline runs after the aggregation layer (reference precedent: the
+  * aggregate-and-compare job shapes of MR-EX `WordMedian`/
+  * `WordStandardDeviation`, extended to the inequality / rank-test /
+  * time-series statistics the reference computes nowhere but any
+  * 100 TB-scale analytics user needs).
+  *
+  * Shared determinism discipline (same as [[AggOps]]): exact sums go
+  * through fixed-scale decimals, derived doubles round to 6 dp, every
+  * per-row ordering has an explicit unique tiebreak — so results are
+  * hash-comparable across engines and partitionings.
+  *
+  * Scale notes: every op here is one shuffle (groupBy or window over the
+  * group key) on the grouped data; no op collects, no op is quadratic in
+  * group size except where explicitly windowed to a bounded trailing k.
+  */
+object StatsOps {
+
+  /** Gini coefficient per group — the standard inequality measure over a
+    * non-negative value column, via the sorted-index identity
+    * `G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n` with x ascending, i = 1..n.
+    * Ties are safe: tied x are equal, so Σ i·x_i is invariant to their
+    * relative order. One window (rank within group) + one aggregation;
+    * sums are exact decimals; `gini` rounds to 6 dp. Groups with zero
+    * total value are emitted with null gini (undefined).
+    *
+    * Scale: the per-group sort is a window over the group key — the same
+    * shuffle the aggregation needs anyway; nothing is quadratic. */
+  def gini(df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
+    val keyed = df.select(groupCols :+ value.cast("double").as("_x"): _*)
+      .filter(col("_x").isNotNull && col("_x") >= 0)
+    val gNames = keyed.columns.dropRight(1)
+    val w = Window.partitionBy(gNames.map(col): _*).orderBy(col("_x"))
+    keyed
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(gNames.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_x").cast("decimal(28,6)")).as("_sx"),
+        sum((col("_i") * col("_x")).cast("decimal(28,6)")).as("_six"))
+      .withColumn("gini",
+        when(col("_sx") > 0,
+          round(lit(2.0) * col("_six").cast("double")
+            / (col("n") * col("_sx").cast("double"))
+            - (col("n") + lit(1.0)) / col("n"), 6)))
+      .select(gNames.map(col) :+ col("n") :+ col("gini"): _*)
+  }
+
+  /** Trailing exponentially-weighted moving average per key: at each row,
+    * `ewma = Σ_{j=0..k-1} (1−α)^j · x_{t−j} / Σ_{j} (1−α)^j` over the k
+    * most recent rows (fewer at the head — the normalizer only counts
+    * rows that exist, the standard `adjust=true` EWM). The bounded-k
+    * formulation keeps the op a single fixed-width window — k lag() terms,
+    * fully codegen'd, no recursion and no per-key state — and makes it
+    * exactly replayable in any engine with LAG.
+    *
+    * Ordering is (ts, id) so duplicate timestamps are deterministic.
+    * Scale: one window shuffle on the key; cost O(k) per row. */
+  def ewmaTrailing(df: DataFrame, key: Column, ts: Column, id: Column,
+      value: Column, decay: BigDecimal, k: Int): DataFrame = {
+    require(decay > 0 && decay < 1, s"decay must be in (0,1): $decay")
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = df.select(key.as("k"), ts.as("t"), id.as("id"),
+        value.cast("double").as("x"))
+      .filter(col("x").isNotNull && col("t").isNotNull)
+    val w = Window.partitionBy("k").orderBy(col("t"), col("id"))
+    val terms = (0 until k).map { j =>
+      val xj = lag(col("x"), j).over(w)
+      // decay is a BigDecimal so (1−α)^j is computed EXACTLY in decimal
+      // and only then rounded once to the nearest double — the same value
+      // an engine parsing the literal "0.49" would use. math.pow would
+      // drift a ulp per power and break cross-engine hash-compare.
+      val wj = decay.pow(j).toDouble
+      (when(xj.isNotNull, xj * lit(wj)).otherwise(lit(0.0)),
+       when(xj.isNotNull, lit(wj)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    base.withColumn("ewma", round(num / den, 6))
+      .select(col("k"), col("t"), col("id"), col("x"), col("ewma"))
+  }
+
+  /** Lag-k autocorrelation per group: Pearson correlation between the
+    * series and itself shifted by `lagK` rows, ordered by (ts, id).
+    * Pearson r is invariant to the sample/population variance convention,
+    * so any engine's corr() agrees; rounded to 6 dp. Pairs with a null
+    * lagged value (the first lagK rows of each group) are excluded, the
+    * standard convention. One window + one aggregation. */
+  def autocorr(df: DataFrame, groupCols: Seq[Column], ts: Column, id: Column,
+      value: Column, lagK: Int): DataFrame = {
+    require(lagK >= 1, s"lag must be >= 1: $lagK")
+    val keyed = df.select(groupCols ++ Seq(ts.as("_t"), id.as("_id"),
+      value.cast("double").as("_x")): _*)
+    val gNames = keyed.columns.dropRight(3)
+    val w = Window.partitionBy(gNames.map(col): _*)
+      .orderBy(col("_t"), col("_id"))
+    keyed
+      .withColumn("_xl", lag(col("_x"), lagK).over(w))
+      .filter(col("_xl").isNotNull && col("_x").isNotNull)
+      .groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("_x"), col("_xl")), 6).as("autocorr"))
+  }
+
+  /** CUSUM changepoint scan per group. With m = the group mean, the
+    * cumulative deviation path `s_i = Σ_{j≤i} (x_j − m)` starts and ends
+    * at 0; the classic CUSUM statistic is the largest upward excursion
+    * `max_i (s_i − min_{j≤i} s_j)`, and its argmax row is the estimated
+    * changepoint. Emits per group: `n`, `cusum` (6 dp), and
+    * `change_idx` — the 1-based index of the FIRST row attaining the
+    * max excursion (earliest-tiebreak, deterministic under (ts,id)
+    * ordering).
+    *
+    * Two windows over the same (group, ts, id) sort — Spark reuses the
+    * single sort — plus one aggregation; exact decimal running sums so
+    * the argmax comparison is not float-order-dependent. */
+  def cusum(df: DataFrame, groupCols: Seq[Column], ts: Column, id: Column,
+      value: Column): DataFrame = {
+    val keyed = df.select(groupCols ++ Seq(ts.as("_t"), id.as("_id"),
+      // quantize to 1e-6 once, up front: ALL path arithmetic below is
+      // then exact long math — no decimal-width negotiation, no float
+      // summation-order sensitivity, identical in any engine.
+      floor(value.cast("double") * 1e6 + 0.5).cast("long").as("_x")): _*)
+      .filter(col("_x").isNotNull)
+    val gNames = keyed.columns.dropRight(3)
+    val g = gNames.map(col)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("_t"), col("_id"))
+    val wAll = Window.partitionBy(g: _*)
+    keyed
+      // mean-free scaled path: s_i = cum_i − i·mean; multiply by n to
+      // stay integral: n·s_i = n·cum_i − i·total. Exact as long as
+      // |Σx_e6|·n < 2⁶³ (caller's scale contract, ~9e18).
+      .withColumn("_i", row_number().over(wOrd).cast("long"))
+      .withColumn("_cum", sum(col("_x")).over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_tot", sum(col("_x")).over(wAll))
+      .withColumn("_ns", col("_cum") * col("_n") - col("_tot") * col("_i"))
+      .withColumn("_runmin", min(col("_ns")).over(wOrd))
+      .withColumn("_exc", col("_ns") - col("_runmin"))
+      .withColumn("_mx", max(col("_exc")).over(wAll))
+      .filter(col("_exc") === col("_mx"))
+      .groupBy(g: _*)
+      .agg(max(col("_n")).as("n"), max(col("_mx")).as("_mxv"),
+        min(col("_i")).as("change_idx"))
+      .withColumn("cusum",
+        round(col("_mxv").cast("double") / (col("n") * lit(1e6)), 6))
+      .select(g :+ col("n") :+ col("cusum") :+ col("change_idx"): _*)
+  }
+
+  /** Mann-Whitney U rank test between two cohorts per group — the
+    * non-parametric cohort-difference test (experimentation's workhorse
+    * when values are skewed and the t/z-test's normality is implausible).
+    * Average ranks over the pooled sample (midrank ties), tie-corrected
+    * normal approximation:
+    * `U = R₁ − n₁(n₁+1)/2`,
+    * `σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`,
+    * `z = (U − n₁n₂/2)/σ`.
+    * Cohort membership is `cohortA` (boolean column); emits per group:
+    * n_a, n_b, u (double), z (6 dp). Midranks come from the rank()
+    * window identity `midrank = rank + (ties−1)/2` — no per-value
+    * subquery. One window + two aggregations, all on the group key. */
+  def mannWhitneyU(df: DataFrame, groupCols: Seq[Column], cohortA: Column,
+      value: Column): DataFrame = {
+    val keyed = df.select(groupCols ++ Seq(cohortA.as("_a"),
+      value.cast("double").as("_x")): _*)
+      .filter(col("_x").isNotNull && col("_a").isNotNull)
+    val gNames = keyed.columns.dropRight(2)
+    val g = gNames.map(col)
+    val wVal = Window.partitionBy(g :+ col("_x"): _*)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("_x"))
+    keyed
+      .withColumn("_ties", count(lit(1)).over(wVal).cast("long"))
+      // midranks are multiples of ½ — carry 2·midrank = 2·rank + t − 1
+      // as a LONG so the rank sum is exact integer math (a float sum of
+      // 10⁴ midranks ~1e8 has enough order-dependent error to flip the
+      // 6-dp rounding; the doubled-integer form cannot).
+      .withColumn("_mr2",
+        lit(2L) * rank().over(wOrd).cast("long") + col("_ties") - 1L)
+      .groupBy(g: _*)
+      .agg(
+        sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_a"), col("_mr2")).otherwise(0L)).as("_r1x2"),
+        // Σ(t³−t) counted once per tie-group: each row contributes
+        // (t³−t)/t = t²−1, summing to t·(t²−1) = t³−t per group of t.
+        sum(col("_ties") * col("_ties") - 1L).as("_tieadj"),
+        count(lit(1)).as("_n"))
+      // 2U = 2R₁ − n₁(n₁+1): still exact in longs; halve at the end.
+      .withColumn("_u2", col("_r1x2") - col("n_a") * (col("n_a") + 1L))
+      .withColumn("_var",
+        col("n_a").cast("double") * col("n_b") / 12.0
+          * ((col("_n") + lit(1.0))
+            - col("_tieadj").cast("double")
+              / (col("_n").cast("double") * (col("_n") - lit(1L)))))
+      .withColumn("z",
+        when(col("_var") > 0,
+          round((col("_u2").cast("double") / 2.0
+              - col("n_a").cast("double") * col("n_b") / 2.0)
+            / sqrt(col("_var")), 6)))
+      .select(g ++ Seq(col("n_a"), col("n_b"),
+        round(col("_u2").cast("double") / 2.0, 6).as("u"), col("z")): _*)
+  }
+
+  /** Exact weighted quantile per group: the smallest value whose
+    * cumulative weight reaches `q` of the group's total weight (the
+    * inverse-CDF / lower-interpolation convention — exact set semantics,
+    * no float interpolation, so it hash-compares). Ordering within equal
+    * values is irrelevant: cumulative weight at the LAST row of a tie
+    * block is what crosses the threshold, and the filter below takes the
+    * min value among crossing rows. One window + one aggregation. */
+  def weightedQuantile(df: DataFrame, groupCols: Seq[Column], value: Column,
+      weight: Column, q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0,1]: $q")
+    val keyed = df.select(groupCols ++ Seq(value.cast("double").as("_x"),
+      weight.cast("decimal(28,6)").as("_w")): _*)
+      .filter(col("_x").isNotNull && col("_w") > 0)
+    val gNames = keyed.columns.dropRight(2)
+    val g = gNames.map(col)
+    // cumulative weight up to and including the whole tie block of _x
+    val wOrd = Window.partitionBy(g: _*)
+      .orderBy(col("_x")).rangeBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(g: _*)
+    keyed
+      .withColumn("_cw", sum(col("_w")).over(wOrd))
+      .withColumn("_tw", sum(col("_w")).over(wAll))
+      .filter(col("_cw").cast("double") >= col("_tw").cast("double") * q)
+      .groupBy(g: _*)
+      .agg(min(col("_x")).as("quantile"),
+        max(col("_tw").cast("double")).as("total_weight"))
+      .select(g ++ Seq(col("quantile"),
+        round(col("total_weight"), 6).as("total_weight")): _*)
+  }
+}

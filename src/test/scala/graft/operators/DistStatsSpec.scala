@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Gini / EWMA / autocorrelation / CUSUM / Mann-Whitney / weighted
+  * quantile against hand computations. */
+class DistStatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("gini: equal values score 0, maximal concentration scores (n-1)/n scaled") {
+    val df = Seq(("eq", 1.0), ("eq", 1.0), ("eq", 1.0), ("eq", 1.0),
+      ("con", 0.0), ("con", 0.0), ("con", 0.0), ("con", 4.0))
+      .toDF("g", "x")
+    // eq: 2*(1+2+3+4)/(4*4) - 5/4 = 0 ; con: 2*(4*4)/(4*4) - 5/4 = 0.75
+    val m = StatsOps.gini(df, Seq(col("g")), col("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(m("eq") === ((4L, 0.0)))
+    assert(m("con") === ((4L, 0.75)))
+  }
+
+  test("gini: zero-total group yields null gini") {
+    val df = Seq(("z", 0.0), ("z", 0.0)).toDF("g", "x")
+    val r = StatsOps.gini(df, Seq(col("g")), col("x")).collect().head
+    assert(r.getLong(1) === 2L && r.isNullAt(2))
+  }
+
+  test("ewmaTrailing: head rows renormalize over existing terms only") {
+    val df = Seq(("a", 1L, 10L, 1.0), ("a", 2L, 11L, 2.0))
+      .toDF("g", "t", "id", "x")
+    val out = StatsOps.ewmaTrailing(df, col("g"), col("t"), col("id"),
+        col("x"), BigDecimal("0.5"), k = 2)
+      .orderBy("t").select("ewma").as[Double].collect().toSeq
+    // row1: 1/1 ; row2: (2 + 0.5*1)/1.5 = 1.666667
+    assert(out === Seq(1.0, 1.666667))
+  }
+
+  test("autocorr: a strictly linear series has lag-1 correlation 1") {
+    val df = (1 to 5).map(i => ("a", i.toLong, i.toLong, i.toDouble))
+      .toDF("g", "t", "id", "x")
+    val out = StatsOps.autocorr(df, Seq(col("g")), col("t"), col("id"),
+        col("x"), lagK = 1)
+      .as[(String, Long, Double)].collect().head
+    assert(out === (("a", 4L, 1.0)))
+  }
+
+  test("cusum: level shift is the max excursion at the last row") {
+    val xs = Seq(0.0, 0.0, 0.0, 10.0, 10.0, 10.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("a", i.toLong, i.toLong, x) }
+      .toDF("g", "t", "id", "x")
+    val out = StatsOps.cusum(df, Seq(col("g")), col("t"), col("id"), col("x"))
+      .as[(String, Long, Double, Long)].collect().head
+    // s = [-5,-10,-15,-10,-5,0]; excursion over running min peaks at 15
+    assert(out === (("a", 6L, 15.0, 6L)))
+  }
+
+  test("mannWhitneyU: disjoint cohorts give U=0 and the textbook z") {
+    val df = Seq(("g", true, 1.0), ("g", true, 2.0),
+      ("g", false, 3.0), ("g", false, 4.0)).toDF("grp", "a", "x")
+    val out = StatsOps.mannWhitneyU(df, Seq(col("grp")), col("a"), col("x"))
+      .as[(String, Long, Long, Double, Double)].collect().head
+    // R1 = 3, U = 0; var = 4/12*5 = 5/3; z = -2/sqrt(5/3) = -1.549193
+    assert(out === (("g", 2L, 2L, 0.0, -1.549193)))
+  }
+
+  test("mannWhitneyU: all-tied values give z null (zero variance)") {
+    val df = Seq(("g", true, 1.0), ("g", false, 1.0)).toDF("grp", "a", "x")
+    val r = StatsOps.mannWhitneyU(df, Seq(col("grp")), col("a"), col("x"))
+      .collect().head
+    assert(r.isNullAt(4))
+  }
+
+  test("weightedQuantile: median honors weights, not row counts") {
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0))
+      .toDF("grp", "x", "w")
+    val out = StatsOps.weightedQuantile(df, Seq(col("grp")), col("x"),
+        col("w"), q = 0.5)
+      .as[(String, Double, Double)].collect().head
+    // cumulative weights 1,2,4 of total 4: first >= 2 is x=2
+    assert(out === (("g", 2.0, 4.0)))
+  }
+}
