@@ -6276,6 +6276,160 @@ object Queries {
       FROM c WHERE CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) * 0.5
       GROUP BY 1 ORDER BY 1"""))
 
+  /** TPC-H Q4 shape (order-priority checking): a quarter's orders
+    * semi-joined to their late-shipping lineitems, counted per priority.
+    * The semi join is the point — lineitem never materializes into the
+    * aggregate, and AQE turns the shuffle side into a broadcast when the
+    * filtered order slice is small enough. (Adapted: the synthetic schema
+    * has no commit/receipt dates, so "late" = shipped >60 days after the
+    * order date.) */
+  private val qTpchQ4 = QuerySpec(
+    "q_tpch_q4",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+      val l = t(s, dir, "lineitem")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** TPC-H Q12 shape (shipping-priority split): orders⋈lineitem over a
+    * ship-year, CASE-summed into high/low priority line counts. (Adapted:
+    * no l_shipmode column — grouped by l_returnflag instead; the join +
+    * conditional-aggregate shape is what the macro exercises.) */
+  private val qTpchQ12 = QuerySpec(
+    "q_tpch_q12",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      l.join(o, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** TPC-H Q14 shape (promotion effect): one month of lineitem joined to
+    * part, promo share of revenue as a conditional-sum ratio. The month
+    * filter reaches the scan (pushed), and the part join is equi-keyed so
+    * AQE broadcast-sizes it at runtime. */
+  private val qTpchQ14 = QuerySpec(
+    "q_tpch_q14",
+    (s, dir) => {
+      import AggOps.sumExact
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+      val p = t(s, dir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sumExact(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0)))
+            / sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            6).as("promo_revenue"))
+    },
+    Some("""SELECT round(100.0
+        * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+            AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate < TIMESTAMP '1997-10-01'"""))
+
+  /** TPC-H Q18 shape (large-volume customers): lineitem pre-aggregated
+    * per order (map-side partials), HAVING-filtered to the big tail, then
+    * joined back through orders to customer; top-100 by a
+    * TakeOrderedAndProject, never a global sort. The having-filtered key
+    * set is tiny, so AQE broadcasts the join-back — the canonical
+    * aggregate-then-join-back plan for this query. */
+  private val qTpchQ18 = QuerySpec(
+    "q_tpch_q18",
+    (s, dir) => {
+      import AggOps.sumExact
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sumExact(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      big.join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""WITH big AS (SELECT l_orderkey,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250.0)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        sum_qty
+      FROM big JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    * classic pushdown test — three OR'd brand/size/quantity branches that
+    * must still prune at the scan and keep the part join equi-keyed. */
+  private val qTpchQ19 = QuerySpec(
+    "q_tpch_q19",
+    (s, dir) => {
+      import AggOps.sumExact
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#21" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 25
+          AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
+          AND l_quantity BETWEEN 20 AND 30)"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6325,5 +6479,6 @@ object Queries {
     qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg,
     qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram,
     qHllMerge, qStreamIncremental, qOhlc,
-    qGini, qEwma, qAutocorr, qCusum, qMannWhitney, qWeightedQuantile)
+    qGini, qEwma, qAutocorr, qCusum, qMannWhitney, qWeightedQuantile,
+    qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19)
 }
