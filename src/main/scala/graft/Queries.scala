@@ -6430,6 +6430,45 @@ object Queries {
         OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
           AND l_quantity BETWEEN 20 AND 30)"""))
 
+  /** Link prediction ([[GraphOps.linkPrediction]]): common-neighbor /
+    * Adamic-Adar / Jaccard scores for non-adjacent part pairs of the
+    * co-purchase graph, hub-capped wedge enumeration. */
+  private val qLinkPrediction = QuerySpec(
+    "q_link_prediction",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("src"))
+      val b = li.select(col("ok").as("ok2"), col("pk").as("dst"))
+      val edges = a.join(b, col("ok") === col("ok2") && col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.linkPrediction(edges, maxDegree = 100, minCommon = 5L)
+        .orderBy("n1", "n2")
+    },
+    Some("""WITH e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      d AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) nn
+        GROUP BY 1),
+      dir AS (SELECT u AS w, v AS n FROM e
+        UNION ALL SELECT v AS w, u AS n FROM e),
+      ctr AS (SELECT dir.w, dir.n, d.dg FROM dir
+        JOIN d ON d.n = dir.w WHERE d.dg <= 100),
+      sc AS (SELECT a.n AS n1, b.n AS n2, CAST(COUNT(*) AS BIGINT) AS cn,
+          CAST(SUM(CAST(floor(1000000000.0 / ln(a.dg) + 0.5) AS BIGINT))
+            AS BIGINT) AS aa_e9
+        FROM ctr a JOIN ctr b ON a.w = b.w AND a.n < b.n
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      ne AS (SELECT sc.* FROM sc
+        LEFT JOIN e ON e.u = sc.n1 AND e.v = sc.n2 WHERE e.u IS NULL)
+      SELECT n1, n2, cn, aa_e9,
+        CAST(floor(1000000.0 * cn / (d1.dg + d2.dg - cn) + 0.5) AS BIGINT)
+          AS jaccard_e6
+      FROM ne JOIN d d1 ON d1.n = ne.n1 JOIN d d2 ON d2.n = ne.n2
+      ORDER BY 1, 2"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6480,5 +6519,5 @@ object Queries {
     qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram,
     qHllMerge, qStreamIncremental, qOhlc,
     qGini, qEwma, qAutocorr, qCusum, qMannWhitney, qWeightedQuantile,
-    qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19)
+    qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction)
 }

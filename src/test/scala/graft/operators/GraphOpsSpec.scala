@@ -104,4 +104,31 @@ class PmiDriftSpec extends AnyFunSuite {
     assert(out("g1") == (3L, 83333L))
     assert(out("g2") == (1L, 250000L))
   }
+
+  test("linkPrediction scores square diagonals, skips existing edges") {
+    // cycle 1-2-3-4-1: the only non-edges are the diagonals (1,3), (2,4),
+    // each closed by two degree-2 wedges
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val out = GraphOps.linkPrediction(edges, maxDegree = 100, minCommon = 1L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val aa2 = 2L * 1442695041L // 2 * floor(1e9/ln 2 + 1/2)
+    assert(out === Set((1L, 3L, 2L, aa2, 1000000L),
+      (2L, 4L, 2L, aa2, 1000000L)))
+  }
+
+  test("linkPrediction hub cap drops wedges centered on high-degree nodes") {
+    // star center 0 with leaves 1..4 plus edge 1-2: with maxDegree 3 the
+    // center (degree 4) is excluded, so only the 1-2 edge's endpoints
+    // could center wedges — and they close nothing new
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L))
+      .toDF("src", "dst")
+    val capped = GraphOps.linkPrediction(edges, maxDegree = 3, minCommon = 1L)
+    assert(capped.count() === 0L)
+    val uncapped = GraphOps.linkPrediction(edges, maxDegree = 100,
+      minCommon = 1L)
+    // center 0 closes all leaf pairs except the existing 1-2 edge
+    assert(uncapped.select("n1", "n2").as[(Long, Long)].collect().toSet ===
+      Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
 }
