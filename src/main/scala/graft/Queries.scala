@@ -6469,6 +6469,118 @@ object Queries {
       FROM ne JOIN d d1 ON d1.n = ne.n1 JOIN d d2 ON d2.n = ne.n2
       ORDER BY 1, 2"""))
 
+  /** Shingle containment ([[DedupOps.containmentPairs]]): asymmetric
+    * subset/superset near-dup detection over documents, df-capped
+    * candidates, exact set arithmetic on survivors. */
+  private val qContainment = QuerySpec(
+    "q_containment_pairs",
+    (s, dir) =>
+      DedupOps.containmentPairs(t(s, dir, "documents"), col("doc_id"),
+          col("text"), shingleSize = 5, maxBucket = 50,
+          minContainment = 0.3)
+        .orderBy("a", "b"),
+    Some("""WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(toks) - 4),
+            i -> array_to_string(toks[i:i+4], ' '))) AS shingles
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents) t
+        WHERE len(toks) >= 5),
+      posting AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+      rare AS (SELECT sh FROM posting GROUP BY sh HAVING COUNT(*) <= 50),
+      pruned AS (SELECT p.doc_id, p.sh FROM posting p JOIN rare r ON p.sh = r.sh),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM pruned x JOIN pruned y ON x.sh = y.sh AND x.doc_id < y.doc_id)
+      SELECT a, b, inter, na, nb, c_ab, c_ba FROM (
+        SELECT p.a, p.b,
+          CAST(len(list_intersect(da.shingles, db.shingles)) AS BIGINT)
+            AS inter,
+          CAST(len(da.shingles) AS BIGINT) AS na,
+          CAST(len(db.shingles) AS BIGINT) AS nb,
+          round(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+            / len(da.shingles), 6) AS c_ab,
+          round(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+            / len(db.shingles), 6) AS c_ba
+        FROM pairs p JOIN docs da ON p.a = da.doc_id
+                     JOIN docs db ON p.b = db.doc_id) v
+      WHERE c_ab >= 0.3 OR c_ba >= 0.3 ORDER BY a, b"""))
+
+  /** DP mean release ([[QualityOps.dpMean]]): per-language mean document
+    * length, clamped to [0,1000], seeded-Laplace noisy sum over noisy
+    * count; the oracle replays the md5-keyed noise exactly. */
+  private val qDpMean = QuerySpec(
+    "q_dp_mean",
+    (s, dir) =>
+      QualityOps.dpMean(t(s, dir, "documents"), col("lang"), col("n_chars"),
+          lo = 0.0, hi = 1000.0, epsSum = 0.5, epsCount = 0.5,
+          seed = "graft-r7")
+        .orderBy("k"),
+    Some("""WITH c AS (SELECT lang AS k, COUNT(*) AS n,
+          CAST(SUM(CAST(least(greatest(CAST(n_chars AS DOUBLE), 0.0), 1000.0)
+            AS DECIMAL(18,6))) AS DOUBLE) AS s
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      u AS (SELECT k, n, s,
+          (CAST(CAST('0x' || substr(md5('graft-r7|sum|' || k), 1, 8)
+            AS BIGINT) AS DOUBLE) + 1.0) / 4294967298.0 - 0.5 AS us,
+          (CAST(CAST('0x' || substr(md5('graft-r7|cnt|' || k), 1, 8)
+            AS BIGINT) AS DOUBLE) + 1.0) / 4294967298.0 - 0.5 AS uc
+        FROM c),
+      r AS (SELECT k,
+          s + (-(2000.0) * sign(us) * ln(1.0 - 2.0 * abs(us))) AS ds,
+          greatest(n + (-(2.0) * sign(uc) * ln(1.0 - 2.0 * abs(uc))), 1.0)
+            AS dn
+        FROM u)
+      SELECT k, CAST(floor(ds / dn * 1000000.0 + 0.5) AS BIGINT)
+        AS dp_mean_e6
+      FROM r ORDER BY k"""))
+
+  /** Generalization to k ([[QualityOps.generalizeToK]]): account balances
+    * recoded up a 100/1000/5000/10000 bin ladder until every class holds
+    * k=10 rows; releases the chosen level's histogram. */
+  private val qGeneralizeK = QuerySpec(
+    "q_generalize_k",
+    (s, dir) =>
+      QualityOps.generalizeToK(t(s, dir, "customer"), col("c_acctbal"),
+          widths = Seq(100L, 1000L, 5000L, 10000L), k = 10L)
+        .orderBy("bin_lo"),
+    Some("""WITH x AS (SELECT CAST(c_acctbal AS DOUBLE) AS x
+        FROM customer WHERE c_acctbal IS NOT NULL),
+      b AS (SELECT w.width, CAST(floor(x.x / w.width) * w.width AS BIGINT)
+            AS bin_lo, CAST(COUNT(*) AS BIGINT) AS n
+        FROM x CROSS JOIN (VALUES (100), (1000), (5000), (10000)) w(width)
+        GROUP BY 1, 2),
+      v AS (SELECT COALESCE(MIN(width), 10000) AS width
+        FROM (SELECT width, MIN(n) AS mn FROM b GROUP BY 1) t
+        WHERE mn >= 10)
+      SELECT CAST(b.width AS BIGINT) AS width, bin_lo, n
+      FROM b JOIN v ON b.width = v.width ORDER BY bin_lo"""))
+
+  /** Opening-path mining ([[AnalyticsOps.topPaths]]): each user's first
+    * three event types as an ordered path, counted across users. */
+  private val qTopPaths = QuerySpec(
+    "q_top_paths",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      AnalyticsOps.topPaths(ev, col("user_id"), unix_micros(col("ts")),
+          col("event_id"), col("event_type"), steps = 3, minSupport = 2L)
+        .orderBy("path")
+    },
+    Some("""WITH b AS (SELECT user_id AS u, epoch_us(ts) AS t,
+          event_id AS id, event_type AS e
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      r AS (SELECT u, e,
+          row_number() OVER (PARTITION BY u ORDER BY t, id) AS rn
+        FROM b),
+      p AS (SELECT u, concat_ws('>',
+          MAX(CASE WHEN rn = 1 THEN e END),
+          MAX(CASE WHEN rn = 2 THEN e END),
+          MAX(CASE WHEN rn = 3 THEN e END)) AS path
+        FROM r WHERE rn <= 3 GROUP BY u)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_subjects
+      FROM p GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6519,5 +6631,6 @@ object Queries {
     qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram,
     qHllMerge, qStreamIncremental, qOhlc,
     qGini, qEwma, qAutocorr, qCusum, qMannWhitney, qWeightedQuantile,
-    qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction)
+    qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
+    qContainment, qDpMean, qGeneralizeK, qTopPaths)
 }

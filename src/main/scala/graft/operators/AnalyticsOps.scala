@@ -403,4 +403,37 @@ object AnalyticsOps {
         floor(exp(col("cum_e6").cast("double") / lit(1e6)) * lit(1e6) +
           lit(0.5)).cast("long").as("surv_e6")): _*)
   }
+
+  /** Top opening paths: the ordered sequence of each subject's first
+    * `steps` event types, counted across subjects — the "how do journeys
+    * begin" mining that complements [[transitions]] (memoryless pairs)
+    * and [[funnel]] (one fixed target path) with the empirical path
+    * distribution itself. Ordering ties break on `id`, so the path per
+    * subject is unique and deterministic.
+    *
+    * Shape: one window (row_number per subject, top-`steps` kept), one
+    * pivot-by-position (a `steps`-wide conditional aggregate — no
+    * collect_list sort, stays in whole-stage codegen), one count per
+    * path. A subject with fewer than `steps` events contributes its
+    * shorter prefix (concat_ws skips the missing slots). Scale: two
+    * shuffles (subject, then path), both hash aggregations partial
+    * map-side; `steps` is a constant column width, never a per-row
+    * array. */
+  def topPaths(events: DataFrame, subject: Column, ts: Column, id: Column,
+      typ: Column, steps: Int = 3, minSupport: Long = 1L): DataFrame = {
+    require(steps >= 1 && steps <= 16, s"steps must be in [1,16]: $steps")
+    val w = Window.partitionBy("_u").orderBy(col("_t"), col("_id"))
+    val slots = (1 to steps).map(i =>
+      max(when(col("_rn") === i, col("_e"))).as(s"_s$i"))
+    events.select(subject.as("_u"), ts.as("_t"), id.as("_id"), typ.as("_e"))
+      .filter(col("_e").isNotNull && col("_t").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= steps)
+      .groupBy("_u")
+      .agg(slots.head, slots.tail: _*)
+      .select(concat_ws(">", (1 to steps).map(i => col(s"_s$i")): _*)
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_subjects"))
+      .filter(col("n_subjects") >= minSupport)
+  }
 }

@@ -519,6 +519,51 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Shingle-containment near-dup pairs — the asymmetric complement to
+    * [[ngramJaccardPairs]]: `C(A→B) = |A∩B| / |A|` finds documents
+    * SUBSUMED by another (a quoted article inside a longer page, a
+    * truncated crawl of a full doc), which Jaccard misses whenever the
+    * container is much larger than the contained (J ≈ |A|/|B| → 0 while
+    * C → 1). The training-data dedup literature keeps containment
+    * specifically for this superset/subset case.
+    *
+    * Same scalable candidate discipline as the Jaccard op: shingles
+    * materialized once, inverted index with a document-frequency cap on
+    * the self-join (boilerplate shingles can't explode a bucket), exact
+    * set arithmetic only on surviving candidate pairs. Emits one row per
+    * unordered pair with BOTH directions (`c_ab` = share of a's shingles
+    * inside b, `c_ba` symmetric) and keeps pairs where either direction
+    * reaches `minContainment`. */
+  def containmentPairs(
+      df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 5, maxBucket: Int = 50,
+      minContainment: Double = 0.5): DataFrame = {
+    val docs = shingleSignatures(df, idCol, textCol, shingleSize, numHashes = 0)
+      .select("doc_id", "shingles")
+      .localCheckpoint()
+    val posting = docs
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val rare = posting.groupBy("sh").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= maxBucket).select("sh")
+    val pruned = posting.join(rare, Seq("sh"))
+    val pairs = pruned.select(col("sh"), col("doc_id").as("a"))
+      .join(pruned.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    pairs
+      .join(docs.select(col("doc_id").as("a"), col("shingles").as("sa")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("shingles").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"))
+      .withColumn("c_ab",
+        round(col("inter").cast("double") / col("na"), 6))
+      .withColumn("c_ba",
+        round(col("inter").cast("double") / col("nb"), 6))
+      .filter(col("c_ab") >= minContainment || col("c_ba") >= minContainment)
+  }
+
   /** Canonical-document selection — the step that actually SHRINKS the
     * corpus after clustering: every document gets its cluster id (its own
     * id when unclustered) and each cluster keeps exactly one

@@ -342,6 +342,85 @@ object QualityOps {
       .select(col("k"), col("noisy_e6"))
   }
 
+  /** Differentially-private mean release per key — the companion to
+    * [[dpNoisyCounts]] for numeric columns. Values are CLAMPED to
+    * `[lo, hi]` first (that bound, not the data, sets the sensitivity —
+    * the standard bounded-mean mechanism), then sum and count are
+    * released with independent Laplace noise (`(hi−lo)/εs` and `1/εc`
+    * scales) and the mean is their ratio with the noisy count floored at
+    * 1. Total privacy cost is εs + εc by composition.
+    *
+    * Noise is deterministic-given-seed exactly as in [[dpNoisyCounts]]
+    * (keyed md5 → uniform → Laplace inverse CDF), with DISTINCT salts for
+    * the sum and count draws — two independent mechanisms, one seed.
+    * Released columns are only `(k, dp_mean_e6)`; neither the exact count
+    * nor the exact sum appears. Same caveats as dpNoisyCounts: one row
+    * per individual, and a data-dependent key set unless the caller
+    * densifies or thresholds.
+    *
+    * Scale: one hash aggregation (clamped sums fold exactly as decimals,
+    * map-side partials), then scalar math on |keys| rows. */
+  def dpMean(df: DataFrame, keyCol: Column, valueCol: Column,
+      lo: Double, hi: Double, epsSum: Double, epsCount: Double,
+      seed: String): DataFrame = {
+    require(hi > lo, s"need hi > lo: [$lo, $hi]")
+    require(epsSum > 0 && epsCount > 0, "epsilons must be > 0")
+    def unif(salt: String) =
+      (conv(substring(md5(concat_ws("|", lit(seed), lit(salt), col("k"))),
+        1, 8), 16, 10).cast("double") + 1.0) / 4294967298.0 - 0.5
+    def lap(u: Column, scale: Double) =
+      -lit(scale) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+    df.select(keyCol.as("k"),
+        least(greatest(valueCol.cast("double"), lit(lo)), lit(hi)).as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy("k")
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_v").cast("decimal(18,6)")).cast("double").as("_s"))
+      .withColumn("_ds", col("_s") + lap(unif("sum"), (hi - lo) / epsSum))
+      .withColumn("_dn",
+        greatest(col("_n") + lap(unif("cnt"), 1.0 / epsCount), lit(1.0)))
+      .select(col("k"),
+        floor(col("_ds") / col("_dn") * 1e6 + 0.5).cast("long")
+          .as("dp_mean_e6"))
+  }
+
+  /** Global-recoding generalization to k-anonymity for ONE numeric
+    * quasi-identifier: given an ascending ladder of bin widths (each a
+    * coarser generalization), pick the FINEST level at which every
+    * non-empty equivalence class holds at least k rows, and release the
+    * per-class histogram at that level. If no level satisfies k, the
+    * coarsest ladder level is released (callers wanting suppression
+    * instead should filter the result). This is the single-attribute
+    * core of Mondrian-style recoding, made deterministic — no greedy
+    * median cuts, so any engine derives the identical release.
+    *
+    * One pass: explode the L ladder levels over the data (L is small),
+    * count per (level, bin), min-count per level, pick the finest valid
+    * level, emit its classes. Everything aggregates map-side; no windows
+    * over the data, no collect. */
+  def generalizeToK(df: DataFrame, qiCol: Column, widths: Seq[Long],
+      k: Long): DataFrame = {
+    require(widths.nonEmpty && widths == widths.sorted,
+      s"widths must be ascending: $widths")
+    require(k >= 1, s"k must be >= 1: $k")
+    val lv = array(widths.map(lit): _*)
+    val binned = df.select(qiCol.cast("double").as("_x"))
+      .filter(col("_x").isNotNull)
+      .select(explode(lv).as("width"), col("_x"))
+      .select(col("width"),
+        (floor(col("_x") / col("width")) * col("width")).cast("long")
+          .as("bin_lo"))
+      .groupBy("width", "bin_lo").agg(count(lit(1)).as("n"))
+    val valid = binned.groupBy("width")
+      .agg(min(col("n")).as("_minn"))
+      .filter(col("_minn") >= k)
+      .agg(min(col("width")).as("width"))
+      // no valid level -> coarsest ladder entry
+      .select(coalesce(col("width"), lit(widths.last)).as("width"))
+    binned.join(valid, Seq("width"))
+      .select(col("width"), col("bin_lo"), col("n"))
+  }
+
   /** Bucketed table checksums — the anti-entropy / replication-validation
     * primitive: reduce a table to `buckets` rows of
     * `(bucket, n, digest)` where `digest` is the XOR of per-row md5

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Containment pairs, DP mean, generalize-to-k, and top paths against
+  * hand computations. */
+class GovernanceCorpusSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("containmentPairs flags the subsumed doc where Jaccard stays low") {
+    val docs = Seq(
+      (1L, "a b c d e f"),                 // shingles: abcde, bcdef
+      (2L, "a b c d e f g h"),             // + cdefg, defgh
+      (3L, "x y z w v u t s")              // unrelated
+    ).toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs, col("doc_id"), col("text"),
+        shingleSize = 5, maxBucket = 50, minContainment = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // doc1 fully inside doc2: inter=2, |s1|=2, |s2|=4
+    assert(out === Seq((1L, 2L, 2L, 2L, 4L, 1.0, 0.5)))
+  }
+
+  test("dpMean is seed-deterministic and tracks the clamped mean at high epsilon") {
+    val df = Seq(("g", 0.2), ("g", 0.4), ("g", 9.9)).toDF("k", "v")
+    def run(seed: String) = QualityOps.dpMean(df, col("k"), col("v"),
+        lo = 0.0, hi = 1.0, epsSum = 1e6, epsCount = 1e6, seed = seed)
+      .as[(String, Long)].collect().head._2
+    val a = run("s1")
+    assert(a === run("s1")) // reproducible release
+    // 9.9 clamps to 1.0: mean = 1.6/3 = 0.533333; near-zero noise at 1e6
+    assert(math.abs(a - 533333L) <= 2L)
+  }
+
+  test("generalizeToK climbs the ladder to the finest k-valid level") {
+    val df = (0 until 10).map(i => Tuple1(i.toDouble)).toDF("x")
+    val coarse = QualityOps.generalizeToK(df, col("x"), Seq(1L, 10L), k = 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(coarse === Seq((10L, 0L, 10L))) // width 1 has singleton classes
+    val fine = QualityOps.generalizeToK(df, col("x"), Seq(1L, 10L), k = 1L)
+      .collect()
+    assert(fine.length === 10 && fine.forall(_.getLong(0) == 1L))
+  }
+
+  test("generalizeToK falls back to the coarsest level when nothing satisfies k") {
+    val df = Seq(Tuple1(1.0), Tuple1(100.0)).toDF("x")
+    val out = QualityOps.generalizeToK(df, col("x"), Seq(1L, 10L), k = 5L)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    // even width 10 has 1-row classes; release coarsest ladder level
+    assert(out === Seq((10L, 0L, 1L), (10L, 100L, 1L)))
+  }
+
+  test("topPaths counts ordered opening sequences with support floor") {
+    val ev = Seq(
+      (1L, 1L, 10L, "view"), (1L, 2L, 11L, "click"),
+      (2L, 1L, 20L, "view"), (2L, 2L, 21L, "click"),
+      (3L, 1L, 30L, "click"), (3L, 2L, 31L, "view")
+    ).toDF("u", "t", "id", "e")
+    val out = AnalyticsOps.topPaths(ev, col("u"), col("t"), col("id"),
+        col("e"), steps = 2, minSupport = 2L)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("view>click", 2L))) // user 3's path has support 1
+  }
+
+  test("topPaths: short histories contribute their prefix path") {
+    val ev = Seq((1L, 1L, 10L, "view"), (2L, 1L, 20L, "view"))
+      .toDF("u", "t", "id", "e")
+    val out = AnalyticsOps.topPaths(ev, col("u"), col("t"), col("id"),
+        col("e"), steps = 3, minSupport = 2L)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("view", 2L)))
+  }
+}
