@@ -338,6 +338,69 @@ class ScaleSpec extends AnyFunSuite {
       s"bucketChecksums is one partial/final aggregation:\n$ckPlan")
   }
 
+  test("round-7 batch-3 ops: stats windows partition by group; graph/dedup stay cartesian-free") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // every stats op windows/aggregates on the group key — a
+    // SinglePartition exchange means the 100 TB version funnels one node
+    val ev = (1 to 600).map(i =>
+      (s"g${i % 3}", i.toLong, i.toLong, (i % 17).toDouble))
+      .toDF("g", "t", "id", "x")
+    for ((name, df) <- Seq(
+        "gini" -> StatsOps.gini(ev, Seq(col("g")), col("x")),
+        "ewma" -> StatsOps.ewmaTrailing(ev, col("g"), col("t"), col("id"),
+          col("x"), BigDecimal("0.7"), 5),
+        "autocorr" -> StatsOps.autocorr(ev, Seq(col("g")), col("t"),
+          col("id"), col("x"), 1),
+        "cusum" -> StatsOps.cusum(ev, Seq(col("g")), col("t"), col("id"),
+          col("x")),
+        "mwu" -> StatsOps.mannWhitneyU(ev, Seq(col("g")),
+          col("id") % 2 === 0, col("x")),
+        "wq" -> StatsOps.weightedQuantile(ev, Seq(col("g")), col("x"),
+          lit(1.0), 0.5),
+        "topPaths" -> AnalyticsOps.topPaths(ev, col("id") % 50, col("t"),
+          col("id"), col("g")))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name collapsed to one partition:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian")
+    }
+
+    // linkPrediction: wedge join and anti-join are equi-joins on w/pair
+    // keys; hub cap bounds the per-center blowup, never a cartesian
+    val edges = (1 to 300).map(i => (i.toLong % 40, (i * 7).toLong % 40))
+      .toDF("src", "dst")
+    val lpPlan = plan(GraphOps.linkPrediction(edges, 100, 1L))
+    assert(!lpPlan.contains("CartesianProduct") &&
+      !lpPlan.contains("BroadcastNestedLoopJoin"),
+      s"linkPrediction must stay equi-joined:\n$lpPlan")
+
+    // containmentPairs inherits the df-capped candidate discipline
+    val docs = (1 to 60).map(i => (i.toLong,
+      (1 to 12).map(j => s"w${(i + j) % 25}").mkString(" "))).toDF("id", "tx")
+    val cpPlan = plan(DedupOps.containmentPairs(docs, col("id"), col("tx"),
+      5, 50, 0.1))
+    assert(!cpPlan.contains("CartesianProduct") &&
+      !cpPlan.contains("BroadcastNestedLoopJoin"),
+      s"containmentPairs must stay equi-joined:\n$cpPlan")
+
+    // generalizeToK: the 1-row chosen-level side broadcasts back
+    val gkPlan = plan(QualityOps.generalizeToK(
+      (0 until 200).map(i => Tuple1(i.toDouble)).toDF("x"), col("x"),
+      Seq(10L, 100L), 3L))
+    assert(gkPlan.contains("BroadcastHashJoin") &&
+      !gkPlan.contains("SortMergeJoin"),
+      s"generalizeToK level pick must broadcast:\n$gkPlan")
+
+    // dpMean: one aggregation plus scalar math — exactly one exchange
+    val dmPlan = plan(QualityOps.dpMean(ev, col("g"), col("x"),
+      0.0, 20.0, 1.0, 1.0, "s"))
+    assert("Exchange".r.findAllIn(dmPlan).length === 1 &&
+      !dmPlan.contains("Join"),
+      s"dpMean is one hash aggregation:\n$dmPlan")
+  }
+
   test("importanceWeights: bucket log-ratio table broadcasts back to the doc rollup") {
     val docs = (0 until 300).map(i => (i.toLong, s"tok$i common word${i % 7}", i % 3 == 0))
       .toDF("doc_id", "text", "is_t")
