@@ -6581,6 +6581,61 @@ object Queries {
       SELECT path, CAST(COUNT(*) AS BIGINT) AS n_subjects
       FROM p GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1"""))
 
+  /** KMV distinct sketch ([[AggOps.kmvDistinct]]): per-event-type
+    * distinct users via the k-minimum-hash order statistic — an
+    * approximate count the oracle replays exactly, because the estimate
+    * is a deterministic function of the hashed set. */
+  private val qKmvDistinct = QuerySpec(
+    "q_kmv_distinct",
+    (s, dir) =>
+      AggOps.kmvDistinct(t(s, dir, "events"), col("event_type"),
+          col("user_id"), k = 64, seed = "graft-r7")
+        .orderBy("k"),
+    Some("""WITH d AS (SELECT DISTINCT event_type AS k,
+          CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL),
+      h AS (SELECT k, v,
+          CAST('0x' || substr(md5('graft-r7|' || v), 1, 15) AS BIGINT) AS hv
+        FROM d),
+      r AS (SELECT k, v, hv,
+          row_number() OVER (PARTITION BY k ORDER BY hv, v) AS rn
+        FROM h),
+      s AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(hv) AS hk
+        FROM r WHERE rn <= 64 GROUP BY 1)
+      SELECT k, n_kept,
+        CASE WHEN n_kept < 64 THEN n_kept
+          ELSE CAST(floor(63.0 * 1152921504606846976.0 / hk + 0.5) AS BIGINT)
+        END AS est_distinct
+      FROM s ORDER BY k"""))
+
+  /** Rolling z-score anomalies ([[StatsOps.rollingAnomalies]]): events
+    * scored against their 20-row trailing baseline, |z| > 3 emitted;
+    * exact integer frame sums so the replay is bit-identical. */
+  private val qRollingAnomaly = QuerySpec(
+    "q_rolling_anomaly",
+    (s, dir) =>
+      StatsOps.rollingAnomalies(t(s, dir, "events"), col("event_type"),
+          unix_micros(col("ts")), col("event_id"), col("value"),
+          k = 20, threshold = 3.0)
+        .orderBy("key", "t", "id"),
+    Some("""WITH b AS (SELECT event_type AS key, epoch_us(ts) AS t,
+          event_id AS id,
+          CAST(floor(CAST(value AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      w AS (SELECT key, t, id, x,
+          COUNT(x) OVER fr AS n, SUM(x) OVER fr AS s, SUM(x * x) OVER fr AS ss
+        FROM b WINDOW fr AS (PARTITION BY key ORDER BY t, id
+          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      z AS (SELECT key, t, id, x,
+          (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / 20) / 19 AS vv,
+          (x - CAST(s AS DOUBLE) / 20)
+            / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / 20) / 19)
+            AS zz
+        FROM w WHERE n = 20)
+      SELECT key, t, id, round(x / 1000.0, 3) AS x,
+        CAST(floor(zz * 1000000.0 + 0.5) AS BIGINT) AS z_e6
+      FROM z WHERE vv > 0 AND abs(zz) > 3.0 ORDER BY key, t, id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6632,5 +6687,6 @@ object Queries {
     qHllMerge, qStreamIncremental, qOhlc,
     qGini, qEwma, qAutocorr, qCusum, qMannWhitney, qWeightedQuantile,
     qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
-    qContainment, qDpMean, qGeneralizeK, qTopPaths)
+    qContainment, qDpMean, qGeneralizeK, qTopPaths,
+    qKmvDistinct, qRollingAnomaly)
 }

@@ -337,4 +337,46 @@ object AggOps {
     probes.join(broadcast(counters), Seq("r", "b"), "left")
       .groupBy("k").agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group — the
+    * order-statistics alternative to HLL (Bar-Yossef et al.): hash every
+    * distinct element uniformly, keep the k SMALLEST hashes; with h(k)
+    * the k-th smallest as a fraction of the hash space, the unbiased
+    * estimate is `(k−1)/h(k)`. Groups with fewer than k distinct values
+    * report exactly (the sketch holds them all). Unlike HLL the summary
+    * is trivially mergeable AND the estimate is an exact deterministic
+    * function of the input set given the hash — any engine replays it
+    * bit-for-bit, which is why the oracle can hash-match an
+    * "approximate" count. Hash = top 60 bits of md5, the repo's standard
+    * seeded-hash discipline.
+    *
+    * Emits `(k, n_kept, est_distinct)`. Scale: distinct is one shuffle
+    * on (group, value) with map-side partials; the k-smallest pick is a
+    * per-group window over at most the distinct set, then a 1-row-per-
+    * group fold. At 100 TB swap the window for the mergeable
+    * union-and-trim fold if groups' distinct sets are huge; the sketch
+    * semantics are identical. */
+  def kmvDistinct(df: DataFrame, groupCol: Column, valueCol: Column,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val HashSpace = math.pow(2.0, 60)
+    val hashed = df.select(groupCol.as("k"), valueCol.cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+      .distinct()
+      .withColumn("_h",
+        conv(substring(md5(concat_ws("|", lit(seed), col("_v"))), 1, 15),
+          16, 10).cast("long"))
+    val w = Window.partitionBy("k").orderBy(col("_h"), col("_v"))
+    hashed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_kept"), max(col("_h")).as("_hk"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(HashSpace)
+            / col("_hk") + 0.5).cast("long")))
+      .select(col("k"), col("n_kept"), col("est_distinct"))
+  }
 }

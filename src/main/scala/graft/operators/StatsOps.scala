@@ -208,6 +208,51 @@ object StatsOps {
         round(col("_u2").cast("double") / 2.0, 6).as("u"), col("z")): _*)
   }
 
+  /** Rolling z-score anomaly detection per key: each row is scored
+    * against the mean/std of the k rows STRICTLY BEFORE it (the trailing
+    * baseline — including the current row would let the anomaly mask
+    * itself), and rows with `|z| > threshold` are emitted. Only rows with
+    * a FULL k-row baseline are scored (a 3-row history calling something
+    * 4σ is noise).
+    *
+    * Determinism: values quantize to 1e-3 up front; the frame's sum and
+    * sum-of-squares then fold exactly in longs (x_e3² ≤ 1e12·k — no
+    * overflow at any realistic k), and mean/std/z are pure IEEE functions
+    * of those exact integers — identical on any engine, no float
+    * summation-order sensitivity inside the sliding frame. Sample
+    * variance (k−1). Emits `(key, t, id, x, z_e6)`.
+    *
+    * Scale: one window shuffle on the key; the bounded rows-frame is
+    * O(1) amortized per row. */
+  def rollingAnomalies(df: DataFrame, key: Column, ts: Column, id: Column,
+      value: Column, k: Int, threshold: Double): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val base = df.select(key.as("key"), ts.as("t"), id.as("id"),
+        floor(value.cast("double") * 1e3 + 0.5).cast("long").as("_x"))
+      .filter(col("_x").isNotNull && col("t").isNotNull)
+    val w = Window.partitionBy("key").orderBy(col("t"), col("id"))
+      .rowsBetween(-k, -1)
+    base
+      .withColumn("_n", count(col("_x")).over(w))
+      .withColumn("_s", sum(col("_x")).over(w))
+      .withColumn("_ss", sum(col("_x") * col("_x")).over(w))
+      .filter(col("_n") === k)
+      // sample variance from exact integer sums:
+      // var = (ss − s²/k) / (k−1), all in double over exact longs
+      .withColumn("_mean", col("_s").cast("double") / k)
+      .withColumn("_var",
+        (col("_ss").cast("double")
+          - col("_s").cast("double") * col("_s") / k) / (k - 1))
+      .filter(col("_var") > 0)
+      .withColumn("_z",
+        (col("_x") - col("_mean")) / sqrt(col("_var")))
+      .filter(abs(col("_z")) > threshold)
+      .select(col("key"), col("t"), col("id"),
+        round(col("_x") / lit(1e3), 3).as("x"),
+        floor(col("_z") * 1e6 + 0.5).cast("long").as("z_e6"))
+  }
+
   /** Exact weighted quantile per group: the smallest value whose
     * cumulative weight reaches `q` of the group's total weight (the
     * inverse-CDF / lower-interpolation convention — exact set semantics,

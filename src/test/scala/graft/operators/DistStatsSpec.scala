@@ -73,6 +73,45 @@ class DistStatsSpec extends AnyFunSuite {
     assert(r.isNullAt(4))
   }
 
+  test("kmvDistinct is exact below k and deterministic above") {
+    val small = Seq(("g", "a"), ("g", "b"), ("g", "a"), ("g", "c"))
+      .toDF("grp", "v")
+    val exact = AggOps.kmvDistinct(small, col("grp"), col("v"), k = 8,
+      seed = "s").as[(String, Long, Long)].collect().head
+    assert(exact === (("g", 3L, 3L))) // 3 distinct < k: sketch is exact
+    val big = (1 to 500).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val est1 = AggOps.kmvDistinct(big, col("grp"), col("v"), k = 64,
+      seed = "s").as[(String, Long, Long)].collect().head
+    assert(est1._2 === 64L)
+    // KMV standard error is ~1/sqrt(k-1) ≈ 13%: the estimate must land
+    // in a generous band around 500, and replay identically
+    assert(est1._3 > 300L && est1._3 < 800L)
+    val est2 = AggOps.kmvDistinct(big, col("grp"), col("v"), k = 64,
+      seed = "s").as[(String, Long, Long)].collect().head
+    assert(est1 === est2)
+  }
+
+  test("rollingAnomalies flags a spike against its trailing baseline only") {
+    // 10 alternating baseline rows (nonzero variance), then a spike
+    val xs = (1 to 10).map(i => if (i % 2 == 0) 2.0 else 1.0) :+ 100.0
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      ("a", i.toLong, i.toLong, x)
+    }.toDF("g", "t", "id", "x")
+    val out = StatsOps.rollingAnomalies(df, col("g"), col("t"), col("id"),
+        col("x"), k = 5, threshold = 3.0)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(out.map(_._2) === Seq(10L)) // only the spike row
+    assert(out.head._4 === 100.0 && out.head._5 > 3000000L)
+  }
+
+  test("rollingAnomalies skips rows without a full baseline window") {
+    val df = Seq(("a", 1L, 1L, 1.0), ("a", 2L, 2L, 2.0), ("a", 3L, 3L, 99.0))
+      .toDF("g", "t", "id", "x")
+    // k=5 never fills: nothing can be scored
+    assert(StatsOps.rollingAnomalies(df, col("g"), col("t"), col("id"),
+      col("x"), k = 5, threshold = 1.0).count() === 0L)
+  }
+
   test("weightedQuantile: median honors weights, not row counts") {
     val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0))
       .toDF("grp", "x", "w")
