@@ -6636,6 +6636,52 @@ object Queries {
         CAST(floor(zz * 1000000.0 + 0.5) AS BIGINT) AS z_e6
       FROM z WHERE vv > 0 AND abs(zz) > 3.0 ORDER BY key, t, id"""))
 
+  /** Peak concurrency ([[AnalyticsOps.maxConcurrency]]): each event is an
+    * interval of `value` seconds; the boundary sweep finds the per-type
+    * peak live count and its first attainment time. */
+  private val qMaxConcurrency = QuerySpec(
+    "q_max_concurrency",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("_start", unix_micros(col("ts")))
+        .withColumn("_end", col("_start") +
+          floor(col("value") * 1e6).cast("long"))
+      AnalyticsOps.maxConcurrency(ev, Seq(col("event_type")),
+          col("_start"), col("_end"))
+        .orderBy("event_type")
+    },
+    Some("""WITH iv AS (SELECT event_type AS g, epoch_us(ts) AS s,
+          epoch_us(ts) + CAST(floor(CAST(value AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS e
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      f AS (SELECT g, s, e FROM iv WHERE e > s),
+      b AS (SELECT g, s AS t, 1 AS d FROM f
+        UNION ALL SELECT g, e, -1 FROM f),
+      w AS (SELECT g, t, d,
+          SUM(d) OVER (PARTITION BY g ORDER BY t, d) AS live
+        FROM b),
+      m AS (SELECT g, t, live, MAX(live) OVER (PARTITION BY g) AS mx
+        FROM w)
+      SELECT g AS event_type, CAST(MAX(mx) AS BIGINT) AS peak,
+        MIN(t) AS peak_at
+      FROM m WHERE live = mx GROUP BY 1 ORDER BY 1"""))
+
+  /** FastSS edit-distance join ([[DedupOps.editDistancePairs]]):
+    * deletion-neighborhood equi-join over customer names, verified with
+    * exact Levenshtein; the oracle brute-forces all pairs — the complete
+    * candidate set is the guarantee under test. */
+  private val qEditDistance = QuerySpec(
+    "q_edit_distance_pairs",
+    (s, dir) =>
+      DedupOps.editDistancePairs(t(s, dir, "customer"), col("c_name"))
+        .orderBy("a", "b"),
+    Some("""WITH n AS (SELECT DISTINCT c_name AS s
+        FROM customer WHERE c_name IS NOT NULL)
+      SELECT a.s AS a, b.s AS b,
+        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1
+      ORDER BY 1, 2"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6688,5 +6734,5 @@ object Queries {
     qGini, qEwma, qAutocorr, qCusum, qMannWhitney, qWeightedQuantile,
     qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
     qContainment, qDpMean, qGeneralizeK, qTopPaths,
-    qKmvDistinct, qRollingAnomaly)
+    qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance)
 }

@@ -404,6 +404,43 @@ object AnalyticsOps {
           lit(0.5)).cast("long").as("surv_e6")): _*)
   }
 
+  /** Peak concurrency per group: the maximum number of intervals open at
+    * once — capacity planning's first question against session/interval
+    * data. Classic boundary sweep: each interval emits a +1 at start and
+    * a −1 at end, the running sum over the time-ordered boundary stream
+    * is the live count, and its max (with the FIRST time attaining it)
+    * is the answer. End-before-start at equal timestamps (the half-open
+    * `[start, end)` convention), delta as the tiebreak column makes the
+    * sweep order total and the result engine-independent.
+    *
+    * Emits `(group, peak, peak_at)`. Scale: the sweep is a window over
+    * the group key — 2 rows per interval, one shuffle; the rollup
+    * partial-aggregates. A group's boundary stream sorts within its
+    * partition; no global sort, no driver state. */
+  def maxConcurrency(df: DataFrame, groupCols: Seq[Column], start: Column,
+      end: Column): DataFrame = {
+    val keyed = df.select(groupCols ++ Seq(start.cast("long").as("_s"),
+      end.cast("long").as("_e")): _*)
+      .filter(col("_s").isNotNull && col("_e").isNotNull &&
+        col("_e") > col("_s"))
+    val gNames = keyed.columns.dropRight(2)
+    val g = gNames.map(col)
+    val bounds = keyed
+      .select(g ++ Seq(explode(array(
+        struct(col("_s").as("t"), lit(1).as("d")),
+        struct(col("_e").as("t"), lit(-1).as("d")))).as("_b")): _*)
+      .select(g ++ Seq(col("_b.t").as("_t"), col("_b.d").as("_d")): _*)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("_t"), col("_d"))
+    val wAll = Window.partitionBy(g: _*)
+    bounds
+      .withColumn("_live", sum(col("_d")).over(wOrd))
+      .withColumn("_mx", max(col("_live")).over(wAll))
+      .filter(col("_live") === col("_mx"))
+      .groupBy(g: _*)
+      .agg(max(col("_mx")).cast("long").as("peak"),
+        min(col("_t")).as("peak_at"))
+  }
+
   /** Top opening paths: the ordered sequence of each subject's first
     * `steps` event types, counted across subjects — the "how do journeys
     * begin" mining that complements [[transitions]] (memoryless pairs)

@@ -564,6 +564,46 @@ object DedupOps {
       .filter(col("c_ab") >= minContainment || col("c_ba") >= minContainment)
   }
 
+  /** Edit-distance-1 similarity self-join via deletion neighborhoods
+    * (the FastSS trick): every string generates its |s|+1 single-
+    * deletion variants (itself included); two strings within Levenshtein
+    * distance 1 are GUARANTEED to share a variant (a substitution at
+    * position i shares the delete-at-i variant; an insert/delete pair
+    * shares the shorter string itself). Equi-join on the variant yields
+    * a complete candidate set, and the built-in `levenshtein` verifies —
+    * so the result is EXACT, from an equi-join instead of the quadratic
+    * all-pairs scan an edit-distance predicate would otherwise force
+    * (contrast [[fuzzyPairs]], whose Jaro-Winkler blocking is heuristic
+    * recall).
+    *
+    * Variant-bucket skew is bounded: a bucket key is a string of length
+    * ≥ len−1, so only near-identical strings collide; `maxBucket` caps
+    * pathological crowds (a million copies of "ok") exactly like the
+    * shingle caps. Distinct input strings are joined; pair output is
+    * `(a, b, dist)` with a < b. Scale: variants = O(len) rows per
+    * distinct string, one shuffle on the variant key, verify inline. */
+  def editDistancePairs(df: DataFrame, strCol: Column,
+      maxBucket: Int = 1000): DataFrame = {
+    val strs = df.select(strCol.cast("string").as("s"))
+      .filter(col("s").isNotNull).distinct()
+    // s itself + delete-at-i for each i (1-based): prefix ++ suffix
+    val variants = strs.select(col("s"),
+        explode(concat(array(col("s")),
+          transform(sequence(lit(1), length(col("s"))),
+            i => concat(col("s").substr(lit(1), i - 1),
+              col("s").substr(i + 1, length(col("s"))))))).as("v"))
+      .distinct() // s can repeat a variant (delete either of "oo")
+    val kept = variants.join(
+      variants.groupBy("v").agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= maxBucket).select("v"), Seq("v"))
+    kept.select(col("v"), col("s").as("a"))
+      .join(kept.select(col("v"), col("s").as("b")), Seq("v"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+
   /** Canonical-document selection — the step that actually SHRINKS the
     * corpus after clustering: every document gets its cluster id (its own
     * id when unclustered) and each cluster keeps exactly one

@@ -52,6 +52,33 @@ class GovernanceCorpusSpec extends AnyFunSuite {
     assert(out === Seq((10L, 0L, 1L), (10L, 100L, 1L)))
   }
 
+  test("maxConcurrency: ends release before starts at the same instant") {
+    val iv = Seq(("g", 0L, 10L), ("g", 5L, 15L), ("g", 10L, 20L))
+      .toDF("grp", "s", "e")
+    val out = AnalyticsOps.maxConcurrency(iv, Seq(col("grp")), col("s"),
+        col("e"))
+      .as[(String, Long, Long)].collect().head
+    // [0,10) and [5,15) overlap at 5; at t=10 the first interval's end
+    // applies before the third's start, so the peak never reaches 3
+    assert(out === (("g", 2L, 5L)))
+  }
+
+  test("maxConcurrency drops empty/inverted intervals") {
+    val iv = Seq(("g", 3L, 3L), ("g", 9L, 4L), ("g", 1L, 2L))
+      .toDF("grp", "s", "e")
+    val out = AnalyticsOps.maxConcurrency(iv, Seq(col("grp")), col("s"),
+        col("e")).as[(String, Long, Long)].collect().head
+    assert(out === (("g", 1L, 1L)))
+  }
+
+  test("editDistancePairs finds substitution and deletion neighbors, nothing else") {
+    val df = Seq("abc", "abd", "ab", "xyz").toDF("name")
+    val out = DedupOps.editDistancePairs(df, col("name"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("abc", "abd", 1L), ("ab", "abc", 1L),
+      ("ab", "abd", 1L)))
+  }
+
   test("topPaths counts ordered opening sequences with support floor") {
     val ev = Seq(
       (1L, 1L, 10L, "view"), (1L, 2L, 11L, "click"),
