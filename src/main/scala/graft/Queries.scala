@@ -6682,6 +6682,55 @@ object Queries {
       FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1
       ORDER BY 1, 2"""))
 
+  /** SCD2 history ([[QualityOps.scd2Build]]): each user's event_type
+    * change log as validity intervals, no-op changes collapsed. */
+  private val qScd2 = QuerySpec(
+    "q_scd2_history",
+    (s, dir) =>
+      QualityOps.scd2Build(t(s, dir, "events"), col("user_id"),
+          unix_micros(col("ts")), col("event_id"), col("event_type"))
+        .orderBy("k", "valid_from", "value"),
+    Some("""WITH b AS (SELECT user_id AS k, epoch_us(ts) AS t,
+          event_id AS sq, event_type AS v
+        FROM events WHERE ts IS NOT NULL),
+      l AS (SELECT k, t, sq, v,
+          lag(v) OVER w AS pv, row_number() OVER w AS rn
+        FROM b WINDOW w AS (PARTITION BY k ORDER BY t, sq)),
+      f AS (SELECT k, t, sq, v FROM l
+        WHERE rn = 1 OR v IS DISTINCT FROM pv),
+      o AS (SELECT k, v AS value, t AS valid_from,
+          lead(t) OVER (PARTITION BY k ORDER BY t, sq) AS valid_to
+        FROM f)
+      SELECT k, value, valid_from, valid_to,
+        valid_to IS NULL AS is_current
+      FROM o ORDER BY k, valid_from, value"""))
+
+  /** Benford audit ([[QualityOps.benfordAudit]]): first-digit law check
+    * on extended prices per return flag, per-digit expected counts and
+    * χ² contributions. */
+  private val qBenford = QuerySpec(
+    "q_benford",
+    (s, dir) =>
+      QualityOps.benfordAudit(t(s, dir, "lineitem"),
+          Seq(col("l_returnflag")), col("l_extendedprice"), scale = 2)
+        .orderBy("l_returnflag", "digit"),
+    Some("""WITH b AS (SELECT l_returnflag AS g,
+          CAST(floor(abs(CAST(l_extendedprice AS DOUBLE)) * 100 + 0.5)
+            AS BIGINT) AS v
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      d AS (SELECT g, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+            AS digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM b WHERE v > 0 GROUP BY 1, 2),
+      t AS (SELECT g, digit, n_obs,
+          SUM(n_obs) OVER (PARTITION BY g) AS n FROM d),
+      e AS (SELECT g, digit, n_obs,
+          n * (ln(1.0 + 1.0 / digit) / ln(10.0)) AS ex FROM t)
+      SELECT g AS l_returnflag, digit, n_obs,
+        CAST(floor(ex * 1000000.0 + 0.5) AS BIGINT) AS expected_e6,
+        CAST(floor((n_obs - ex) * (n_obs - ex) / ex * 1000000.0 + 0.5)
+          AS BIGINT) AS chi2_e6
+      FROM e ORDER BY 1, 2"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6734,5 +6783,6 @@ object Queries {
     qGini, qEwma, qAutocorr, qCusum, qMannWhitney, qWeightedQuantile,
     qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
     qContainment, qDpMean, qGeneralizeK, qTopPaths,
-    qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance)
+    qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
+    qScd2, qBenford)
 }

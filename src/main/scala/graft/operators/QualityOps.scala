@@ -342,6 +342,83 @@ object QualityOps {
       .select(col("k"), col("noisy_e6"))
   }
 
+  /** SCD type-2 history build — the warehouse companion to [[cdcApply]]:
+    * from a change log of `(key, ts, value)` observations, produce the
+    * slowly-changing-dimension history table `(key, value, valid_from,
+    * valid_to, is_current)`. Consecutive observations with an UNCHANGED
+    * value collapse into one validity interval (the no-op update rule —
+    * null-safe, so null→null does not open a new row), `valid_to` is the
+    * next change's timestamp (null while current), and ties on ts break
+    * on the sequence column so replays are deterministic.
+    *
+    * Two windows over one (key, ts, seq) sort — change detection via
+    * null-safe lag, then lead for the close timestamp — and Spark plans
+    * them as a single sort. Scale: one shuffle on the key; no
+    * per-key collect, no driver state; a key's history sorts within its
+    * partition. */
+  def scd2Build(changes: DataFrame, key: Column, ts: Column, seq: Column,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(col("_ts"), col("_seq"))
+    changes.select(key.as("k"), ts.as("_ts"), seq.as("_seq"),
+        value.as("value"))
+      .filter(col("_ts").isNotNull)
+      // keep only rows where the value actually changed (or first row)
+      .withColumn("_prev", lag(col("value"), 1).over(w))
+      .withColumn("_first", row_number().over(w) === 1)
+      .filter(col("_first") || !(col("value") <=> col("_prev")))
+      .withColumn("valid_from", col("_ts"))
+      .withColumn("valid_to", lead(col("_ts"), 1).over(w))
+      .select(col("k"), col("value"), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Benford first-digit audit — the forensic data-quality screen for
+    * "organically grown" numeric columns (prices, populations, ledger
+    * amounts): their first significant digits should follow
+    * `P(d) = log₁₀(1 + 1/d)`, and fabricated or truncated data visibly
+    * does not. Emits one row per digit 1-9 and group: observed count,
+    * expected count (1e-6 quantized), and the digit's χ² contribution
+    * `(obs − exp)²/exp` (1e-6 quantized) — per-digit rows rather than a
+    * summed statistic, so no cross-digit float fold exists to disagree
+    * across engines.
+    *
+    * Digit extraction is STRING-based on a fixed-point long (`value`
+    * scaled by 10^scale and rounded): integer-to-decimal-string is
+    * exact and identical everywhere, where a `log10`-based extraction
+    * sits one ulp from the wrong digit at every power of ten. Zero
+    * values have no first significant digit and are excluded.
+    *
+    * Scale: one hash aggregation on (group, digit) — 9 cells per group —
+    * partial map-side; the expected/χ² math runs on the tiny aggregate. */
+  def benfordAudit(df: DataFrame, groupCols: Seq[Column], value: Column,
+      scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"scale must be in [0,6]: $scale")
+    val keyed = df.select(groupCols :+
+      floor(abs(value.cast("double")) * math.pow(10, scale).toLong + 0.5)
+        .cast("long").as("_v"): _*)
+      .filter(col("_v").isNotNull && col("_v") > 0)
+    val gNames = keyed.columns.dropRight(1)
+    val g = gNames.map(col)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(gNames.map(col): _*)
+    keyed
+      .withColumn("digit",
+        substring(col("_v").cast("string"), 1, 1).cast("long"))
+      .groupBy(g :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("_n", sum(col("n_obs")).over(wAll))
+      // ln(x)/ln(10) rather than a log10 builtin: both engines then run
+      // the IDENTICAL IEEE ops, so the 1e-6 quantization can't straddle
+      .withColumn("_exp",
+        col("_n") * (log(lit(1.0) + lit(1.0) / col("digit"))
+          / log(lit(10.0))))
+      .select(g ++ Seq(col("digit"), col("n_obs"),
+        floor(col("_exp") * 1e6 + 0.5).cast("long").as("expected_e6"),
+        floor((col("n_obs") - col("_exp")) * (col("n_obs") - col("_exp"))
+          / col("_exp") * 1e6 + 0.5).cast("long").as("chi2_e6")): _*)
+  }
+
   /** Differentially-private mean release per key — the companion to
     * [[dpNoisyCounts]] for numeric columns. Values are CLAMPED to
     * `[lo, hi]` first (that bound, not the data, sets the sensitivity —

@@ -79,6 +79,40 @@ class GovernanceCorpusSpec extends AnyFunSuite {
       ("ab", "abd", 1L)))
   }
 
+  test("scd2Build collapses no-op changes and closes intervals at the next change") {
+    val log = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), // no-op: same value
+      (1L, 30L, 3L, "B"), (1L, 40L, 4L, "A"),
+      (2L, 10L, 5L, "X")
+    ).toDF("k", "t", "sq", "v")
+    val out = QualityOps.scd2Build(log, col("k"), col("t"), col("sq"),
+        col("v"))
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+      .sortBy(r => (r._1, r._3))
+    assert(out === Seq(
+      (1L, "A", 10L, Some(30L), false),
+      (1L, "B", 30L, Some(40L), false),
+      (1L, "A", 40L, None, true),
+      (2L, "X", 10L, None, true)))
+  }
+
+  test("scd2Build: null values are versioned null-safely") {
+    val log = Seq((1L, 10L, 1L, Some("A")), (1L, 20L, 2L, None),
+      (1L, 30L, 3L, None)).toDF("k", "t", "sq", "v")
+    val out = QualityOps.scd2Build(log, col("k"), col("t"), col("sq"),
+        col("v")).collect()
+    assert(out.length === 2) // null->null is a no-op, A->null is a change
+  }
+
+  test("benfordAudit extracts first digits exactly and excludes zeros") {
+    val df = Seq(1.23, 19.99, 0.0, 0.02, 950.0).map(Tuple1(_)).toDF("x")
+    val out = QualityOps.benfordAudit(df, Seq(lit("all").as("g")), col("x"),
+        scale = 2)
+      .select("digit", "n_obs").as[(Long, Long)].collect().toMap
+    // scaled: 123, 1999, (0 dropped), 2, 95000 -> digits 1,1,2,9
+    assert(out === Map(1L -> 2L, 2L -> 1L, 9L -> 1L))
+  }
+
   test("topPaths counts ordered opening sequences with support floor") {
     val ev = Seq(
       (1L, 1L, 10L, "view"), (1L, 2L, 11L, "click"),
