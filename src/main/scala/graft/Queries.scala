@@ -6731,6 +6731,37 @@ object Queries {
           AS BIGINT) AS chi2_e6
       FROM e ORDER BY 1, 2"""))
 
+  /** Bigram-LM perplexity ([[CorpusOps.perplexity]]): every document
+    * scored by its corpus-trained smoothed bigram NLL — the classic
+    * LM-based quality filter, per-term quantized so the replay is exact. */
+  private val qPerplexity = QuerySpec(
+    "q_perplexity",
+    (s, dir) =>
+      CorpusOps.perplexity(t(s, dir, "documents"), col("doc_id"),
+          col("text"), alpha = 0.5)
+        .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        FROM documents),
+      toks AS (SELECT doc_id, tk[u.i] AS w
+        FROM d, unnest(generate_series(1, len(tk))) AS u(i)),
+      big AS (SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
+        FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+      uni AS (SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM toks GROUP BY 1),
+      bigc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM big GROUP BY 1, 2),
+      voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      scored AS (SELECT b.doc_id,
+          CAST(floor(-ln((c12 + 0.5) / (c1 + 0.5 * v)) * 1000000000.0 + 0.5)
+            AS BIGINT) AS nll
+        FROM big b JOIN bigc ON b.w1 = bigc.w1 AND b.w2 = bigc.w2
+        JOIN uni ON b.w1 = uni.w1 CROSS JOIN voc)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(floor(CAST(SUM(nll) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+          AS avg_nll_e9
+      FROM scored GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6784,5 +6815,5 @@ object Queries {
     qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
     qContainment, qDpMean, qGeneralizeK, qTopPaths,
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
-    qScd2, qBenford)
+    qScd2, qBenford, qPerplexity)
 }

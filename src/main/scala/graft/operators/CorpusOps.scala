@@ -259,4 +259,51 @@ object CorpusOps {
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_feats"), sum(col("term_e6")).as("weight_e6"))
   }
+
+  /** Bigram-LM perplexity scoring — the CCNet/Gopher quality filter: train
+    * an add-α smoothed bigram model ON the corpus itself, then score each
+    * document by its average negative log-likelihood (low = fluent w.r.t.
+    * the corpus, high = gibberish/outlier — the filter threshold's axis).
+    * `p(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁) + α·V)` with V the corpus
+    * unigram vocabulary.
+    *
+    * Determinism: each bigram's −ln p quantizes to 1e-9 BEFORE the
+    * per-document sum (exact long fold — a float sum over a long doc
+    * drifts past the quantum under reordering); the released average
+    * re-quantizes the exact ratio. Emits
+    * `(doc_id, n_bigrams, avg_nll_e9)`.
+    *
+    * Scale: token/bigram count tables shuffle on their natural keys with
+    * map-side partials; scoring joins the doc bigram stream against them
+    * key-wise (AQE broadcasts when the model is small); V travels as a
+    * 1-row broadcast cross join. No collect, nothing quadratic. */
+  def perplexity(df: DataFrame, idCol: Column, textCol: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0: $alpha")
+    val toks = df.select(idCol.as("doc_id"),
+        posexplode(filter(split(textCol, "\\s+"), t => t =!= "")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy("pos")
+    val big = toks
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val uni = toks.groupBy(col("w").as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val bigCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    big
+      .join(bigCounts, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(vocab)
+      .withColumn("_nll_e9",
+        floor(-log((col("c12") + lit(alpha))
+          / (col("c1") + lit(alpha) * col("v"))) * 1e9 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nll_e9")).as("_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("_s").cast("double") / col("n_bigrams") + 0.5)
+          .cast("long").as("avg_nll_e9"))
+  }
 }

@@ -113,6 +113,17 @@ class GovernanceCorpusSpec extends AnyFunSuite {
     assert(out === Map(1L -> 2L, 2L -> 1L, 9L -> 1L))
   }
 
+  test("perplexity scores the add-alpha bigram NLL, short docs drop out") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.perplexity(docs, col("doc_id"), col("text"),
+        alpha = 0.5)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // V = 3 (a, b, solo); c(a)=2, c(a b)=2: p = 2.5/3.5
+    val nll = math.floor(-math.log(2.5 / 3.5) * 1e9 + 0.5).toLong
+    assert(out === Seq((1L, 1L, nll), (2L, 1L, nll))) // doc 3 has no bigram
+  }
+
   test("topPaths counts ordered opening sequences with support floor") {
     val ev = Seq(
       (1L, 1L, 10L, "view"), (1L, 2L, 11L, "click"),
