@@ -6762,6 +6762,50 @@ object Queries {
           AS avg_nll_e9
       FROM scored GROUP BY 1 ORDER BY 1"""))
 
+  /** Golden record ([[QualityOps.goldenRecord]]): per-user survivorship —
+    * each field independently keeps its most recent non-null value. */
+  private val qGoldenRecord = QuerySpec(
+    "q_golden_record",
+    (s, dir) =>
+      QualityOps.goldenRecord(t(s, dir, "events"), col("user_id"),
+          unix_micros(col("ts")), col("event_id"),
+          Seq("event_type", "value", "props"))
+        .orderBy("k"),
+    Some("""WITH b AS (SELECT user_id AS k, epoch_us(ts) AS t,
+          event_type, value, props,
+          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|'
+            || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord
+        FROM events)
+      SELECT k,
+        arg_max(event_type,
+          CASE WHEN event_type IS NOT NULL THEN ord END) AS event_type,
+        arg_max(value, CASE WHEN value IS NOT NULL THEN ord END) AS value,
+        arg_max(props, CASE WHEN props IS NOT NULL THEN ord END) AS props,
+        MAX(t) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM b GROUP BY 1 ORDER BY 1"""))
+
+  /** FK audit ([[QualityOps.fkOrphans]]): lineitem→part referential
+    * integrity as a one-row summary. */
+  private val qFkAudit = QuerySpec(
+    "q_fk_audit",
+    (s, dir) =>
+      QualityOps.fkOrphans(t(s, dir, "lineitem"), col("l_partkey"),
+          t(s, dir, "part"), col("p_partkey")),
+    Some("""WITH c AS (SELECT l_partkey AS fk FROM lineitem),
+      p AS (SELECT DISTINCT p_partkey AS fk FROM part),
+      nn AS (SELECT c.fk FROM c WHERE c.fk IS NOT NULL),
+      orp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+        FROM nn LEFT JOIN p ON nn.fk = p.fk WHERE p.fk IS NULL),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+          CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null_fk
+        FROM c)
+      SELECT n_child, n_null_fk, n_orphans,
+        CAST(floor(CAST(n_orphans AS DOUBLE)
+          / greatest(n_child - n_null_fk, 1) * 1000000.0 + 0.5) AS BIGINT)
+          AS orphan_rate_e6
+      FROM tot, orp"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6815,5 +6859,5 @@ object Queries {
     qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
     qContainment, qDpMean, qGeneralizeK, qTopPaths,
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
-    qScd2, qBenford, qPerplexity)
+    qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit)
 }

@@ -419,6 +419,60 @@ object QualityOps {
           / col("_exp") * 1e6 + 0.5).cast("long").as("chi2_e6")): _*)
   }
 
+  /** Golden-record survivorship — the MDM merge step after entity
+    * resolution: one row per key where EACH payload column independently
+    * takes its most recent NON-NULL observation (last-non-null-wins per
+    * field, the standard survivorship rule — a fresher row with a null
+    * phone must not erase the older phone). Recency is (ts, seq) encoded
+    * as one zero-padded sortable string, so the per-field pick is a
+    * single `max_by` whose ordering any engine reproduces; rows where
+    * the field is null contribute a null ordinate and are ignored by the
+    * aggregate. Also emits `last_ts` (the key's newest observation) and
+    * `n_obs`.
+    *
+    * One hash aggregation, partial map-side — no windows, no joins; a
+    * hot key folds through combiners instead of serializing a sort.
+    * Requires non-negative ts/seq (the padding contract). */
+  def goldenRecord(df: DataFrame, key: Column, ts: Column, seq: Column,
+      valueCols: Seq[String]): DataFrame = {
+    val ord = concat(lpad(ts.cast("string"), 20, "0"), lit("|"),
+      lpad(seq.cast("string"), 20, "0"))
+    val base = df.select(Seq(key.as("k"), ts.as("_ts"), ord.as("_ord")) ++
+      valueCols.map(col): _*)
+    val picks = valueCols.map(c =>
+      max_by(col(c), when(col(c).isNotNull, col("_ord"))).as(c))
+    base.groupBy("k")
+      .agg(picks.head,
+        picks.tail ++ Seq(max(col("_ts")).as("last_ts"),
+          count(lit(1)).as("n_obs")): _*)
+  }
+
+  /** Referential-integrity audit: orphan counts for a child→parent
+    * foreign key — the first data-contract check any warehouse load
+    * runs. `left_anti` join from the child's FK values (nulls reported
+    * separately, not as orphans) against the parent's key set; emits a
+    * ONE-ROW summary `(n_child, n_null_fk, n_orphans, orphan_rate_e6)`.
+    *
+    * Scale: the anti-join shuffles on the key (AQE broadcasts a small
+    * parent); counts partial-aggregate. Nothing returns to the driver
+    * but the summary row. */
+  def fkOrphans(child: DataFrame, childKey: Column, parent: DataFrame,
+      parentKey: Column): DataFrame = {
+    val c = child.select(childKey.as("fk"))
+    val nonNull = c.filter(col("fk").isNotNull)
+    val orphans = nonNull
+      .join(parent.select(parentKey.as("fk")).distinct(), Seq("fk"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val totals = c.agg(count(lit(1)).as("n_child"),
+      sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+    totals.crossJoin(orphans)
+      .withColumn("orphan_rate_e6",
+        floor(col("n_orphans").cast("double")
+          / greatest(col("n_child") - col("n_null_fk"), lit(1L)) * 1e6
+          + 0.5).cast("long"))
+  }
+
   /** Differentially-private mean release per key — the companion to
     * [[dpNoisyCounts]] for numeric columns. Values are CLAMPED to
     * `[lo, hi]` first (that bound, not the data, sets the sensitivity —

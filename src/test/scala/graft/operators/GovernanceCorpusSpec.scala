@@ -124,6 +124,28 @@ class GovernanceCorpusSpec extends AnyFunSuite {
     assert(out === Seq((1L, 1L, nll), (2L, 1L, nll))) // doc 3 has no bigram
   }
 
+  test("goldenRecord: each field survives independently, nulls never overwrite") {
+    val df = Seq(
+      (1L, 1L, 1L, Some("A"), Option.empty[Double]),
+      (1L, 2L, 2L, Option.empty[String], Some(5.0)),
+      (1L, 3L, 3L, Option.empty[String], Option.empty[Double])
+    ).toDF("k", "t", "sq", "typ", "v")
+    val out = QualityOps.goldenRecord(df, col("k"), col("t"), col("sq"),
+        Seq("typ", "v"))
+      .as[(Long, String, Double, Long, Long)].collect().head
+    // typ's last non-null is at t=1; v's at t=2; last_ts is t=3
+    assert(out === ((1L, "A", 5.0, 3L, 3L)))
+  }
+
+  test("fkOrphans counts non-null child keys missing from the parent") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("ck")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val out = QualityOps.fkOrphans(child, col("ck"), parent, col("pk"))
+      .as[(Long, Long, Long, Long)].collect().head
+    // 3 non-null FKs, one orphan (3): rate = 1/3 = 333333e-6
+    assert(out === ((4L, 1L, 1L, 333333L)))
+  }
+
   test("topPaths counts ordered opening sequences with support floor") {
     val ev = Seq(
       (1L, 1L, 10L, "view"), (1L, 2L, 11L, "click"),
