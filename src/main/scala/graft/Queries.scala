@@ -6806,6 +6806,52 @@ object Queries {
           AS orphan_rate_e6
       FROM tot, orp"""))
 
+  /** KMV overlap ([[AggOps.kmvOverlap]]): audience overlap between event
+    * types from k-min sketches alone — union, Jaccard, and intersection
+    * estimates, replayed exactly by the oracle. */
+  private val qKmvOverlap = QuerySpec(
+    "q_kmv_overlap",
+    (s, dir) =>
+      AggOps.kmvOverlap(t(s, dir, "events"), col("event_type"),
+          col("user_id"), k = 64, seed = "graft-r7")
+        .orderBy("ga", "gb"),
+    Some("""WITH d AS (SELECT DISTINCT event_type AS g,
+          CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL),
+      h AS (SELECT g, v,
+          CAST('0x' || substr(md5('graft-r7|' || v), 1, 15) AS BIGINT) AS hv
+        FROM d),
+      sk AS (SELECT g, hv FROM (SELECT g, hv,
+          row_number() OVER (PARTITION BY g ORDER BY hv, v) AS rn FROM h) t
+        WHERE rn <= 64),
+      gs AS (SELECT DISTINCT g FROM sk),
+      pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b
+        ON a.g < b.g),
+      u AS (SELECT ga, gb, hv, COUNT(*) AS sides FROM (
+          SELECT p.ga, p.gb, s.hv FROM pairs p JOIN sk s ON s.g = p.ga
+          UNION ALL
+          SELECT p.ga, p.gb, s.hv FROM pairs p JOIN sk s ON s.g = p.gb) x
+        GROUP BY 1, 2, 3),
+      r AS (SELECT ga, gb, hv, sides,
+          row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn
+        FROM u),
+      agg AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS m, MAX(hv) AS hk,
+          CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_common
+        FROM r WHERE rn <= 64 GROUP BY 1, 2),
+      est AS (SELECT ga, gb, m, n_common,
+          CASE WHEN m < 64 THEN m
+            ELSE CAST(floor(63.0 * 1152921504606846976.0 / hk + 0.5)
+              AS BIGINT) END AS est_union
+        FROM agg)
+      SELECT ga, gb, n_common,
+        CAST(floor(CAST(n_common AS DOUBLE) / m * 1000000.0 + 0.5)
+          AS BIGINT) AS jaccard_e6,
+        est_union,
+        CAST(floor(CAST(n_common AS DOUBLE) / m * est_union + 0.5)
+          AS BIGINT) AS est_inter
+      FROM est ORDER BY 1, 2"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6859,5 +6905,5 @@ object Queries {
     qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
     qContainment, qDpMean, qGeneralizeK, qTopPaths,
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
-    qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit)
+    qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap)
 }

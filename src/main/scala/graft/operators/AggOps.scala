@@ -379,4 +379,67 @@ object AggOps {
             / col("_hk") + 0.5).cast("long")))
       .select(col("k"), col("n_kept"), col("est_distinct"))
   }
+
+  /** KMV sketch ALGEBRA — pairwise set-overlap estimates between groups,
+    * from the same k-minimum-values summaries as [[kmvDistinct]]: for
+    * each group pair, the k smallest hashes of the sketch UNION estimate
+    * `|A∪B|`, the fraction of that k-min set present in BOTH sketches
+    * estimates Jaccard, and their product estimates `|A∩B|` — the
+    * classic KMV intersection trick, all without ever touching the raw
+    * sets again. This is the point of mergeable sketches: cross-segment
+    * audience overlap over 100 TB compares k-row summaries, not data.
+    *
+    * When the union sketch holds fewer than k hashes, every quantity is
+    * EXACT (the sketches are complete sets). Deterministic given (seed,
+    * k) — the oracle replays it hash-for-hash. Emits
+    * `(ga, gb, n_common, jaccard_e6, est_union, est_inter)` per
+    * unordered group pair.
+    *
+    * Scale: sketch rows are |groups|·k; the pair stage is a self-join on
+    * that summary table (broadcast-sized for any real group count), not
+    * on the data. */
+  def kmvOverlap(df: DataFrame, groupCol: Column, valueCol: Column,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val HashSpace = math.pow(2.0, 60)
+    val hashed = df.select(groupCol.as("g"), valueCol.cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+      .distinct()
+      .withColumn("_h",
+        conv(substring(md5(concat_ws("|", lit(seed), col("_v"))), 1, 15),
+          16, 10).cast("long"))
+    val sk = hashed
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("_h"), col("_v"))))
+      .filter(col("_rn") <= k)
+      .select(col("g"), col("_h"))
+    val pairs = sk.select(col("g").as("ga")).distinct()
+      .crossJoin(sk.select(col("g").as("gb")).distinct())
+      .filter(col("ga") < col("gb"))
+    val u = pairs.join(sk.select(col("g").as("ga"), col("_h")), Seq("ga"))
+      .select(col("ga"), col("gb"), col("_h"))
+      .unionAll(
+        pairs.join(sk.select(col("g").as("gb"), col("_h")), Seq("gb"))
+          .select(col("ga"), col("gb"), col("_h")))
+      .groupBy("ga", "gb", "_h").agg(count(lit(1)).as("_sides"))
+    u.withColumn("_rn", row_number().over(
+        Window.partitionBy("ga", "gb").orderBy(col("_h"))))
+      .filter(col("_rn") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("_m"), max(col("_h")).as("_hk"),
+        sum(when(col("_sides") === 2, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("est_union",
+        when(col("_m") < k, col("_m"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(HashSpace)
+            / col("_hk") + 0.5).cast("long")))
+      .withColumn("jaccard_e6",
+        floor(col("n_common").cast("double") / col("_m") * 1e6 + 0.5)
+          .cast("long"))
+      .withColumn("est_inter",
+        floor(col("n_common").cast("double") / col("_m") * col("est_union")
+          + 0.5).cast("long"))
+      .select(col("ga"), col("gb"), col("n_common"), col("jaccard_e6"),
+        col("est_union"), col("est_inter"))
+  }
 }

@@ -91,6 +91,15 @@ class DistStatsSpec extends AnyFunSuite {
     assert(est1 === est2)
   }
 
+  test("kmvOverlap is exact set algebra below k") {
+    val df = Seq(("A", "a"), ("A", "b"), ("A", "c"),
+      ("B", "b"), ("B", "c"), ("B", "d")).toDF("g", "v")
+    val out = AggOps.kmvOverlap(df, col("g"), col("v"), k = 8, seed = "s")
+      .as[(String, String, Long, Long, Long, Long)].collect().head
+    // complete sketches: union 4, common 2, J = 1/2, inter = 2
+    assert(out === (("A", "B", 2L, 500000L, 4L, 2L)))
+  }
+
   test("rollingAnomalies flags a spike against its trailing baseline only") {
     // 10 alternating baseline rows (nonzero variance), then a spike
     val xs = (1 to 10).map(i => if (i % 2 == 0) 2.0 else 1.0) :+ 100.0
