@@ -78,12 +78,17 @@ object Bench {
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"worst":{"${worst._1}":${worst._2}%.2f},"queries":$hq,"sf":"$sfDir","full_map":"BENCH_FULL.json"}"""
     println(summary)
     // persist the full line as a repo artifact so every round's timings are
-    // diffable query by query (default path is cwd-relative — ADVICE r5)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    // diffable query by query (default path is cwd-relative — ADVICE r5).
+    // A FILTERED run (SPARK_GRAFT_ONLY) must NOT clobber the full map with
+    // its subset — solo profiling once overwrote the 232-query artifact
+    // with a 1-query one; filtered runs write only when explicitly routed.
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
+    outFile.foreach { f =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
