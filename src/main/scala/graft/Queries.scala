@@ -6852,6 +6852,68 @@ object Queries {
           AS BIGINT) AS est_inter
       FROM est ORDER BY 1, 2"""))
 
+  /** Mode ([[StatsOps.mode]]): most common market segment per nation,
+    * smallest-segment tiebreak. */
+  private val qMode = QuerySpec(
+    "q_mode",
+    (s, dir) =>
+      StatsOps.mode(t(s, dir, "customer"), Seq(col("c_nationkey")),
+          col("c_mktsegment"))
+        .orderBy("c_nationkey"),
+    Some("""WITH c AS (SELECT c_nationkey AS g, c_mktsegment AS v,
+          COUNT(*) AS c FROM customer
+        WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT g, v, c,
+          row_number() OVER (PARTITION BY g ORDER BY c DESC, v) AS rn
+        FROM c)
+      SELECT g AS c_nationkey, v AS mode, CAST(c AS BIGINT) AS n_mode
+      FROM r WHERE rn = 1 ORDER BY 1"""))
+
+  /** Trimmed mean ([[StatsOps.trimmedMean]]): 10%-trimmed mean extended
+    * price per return flag, exact-rank band, decimal mean. */
+  private val qTrimmedMean = QuerySpec(
+    "q_trimmed_mean",
+    (s, dir) =>
+      StatsOps.trimmedMean(t(s, dir, "lineitem"), Seq(col("l_returnflag")),
+          col("l_extendedprice"), trim = 0.1)
+        .orderBy("l_returnflag"),
+    Some("""WITH b AS (SELECT l_returnflag AS g,
+          CAST(l_extendedprice AS DOUBLE) AS x
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      r AS (SELECT g, x,
+          CAST(row_number() OVER (PARTITION BY g ORDER BY x) AS BIGINT)
+            AS rn,
+          CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM b),
+      f AS (SELECT g, x FROM r
+        WHERE rn > CAST(ceil(n * 0.1) AS BIGINT)
+          AND rn <= n - CAST(ceil(n * 0.1) AS BIGINT))
+      SELECT g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        round(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+          AS trimmed_mean
+      FROM f GROUP BY 1 ORDER BY 1"""))
+
+  /** Behavioral trigrams ([[AnalyticsOps.eventKgrams]]): every
+    * consecutive event-type triple per user, support-floored. */
+  private val qEventKgrams = QuerySpec(
+    "q_event_kgrams",
+    (s, dir) =>
+      AnalyticsOps.eventKgrams(t(s, dir, "events"), col("user_id"),
+          unix_micros(col("ts")), col("event_id"), col("event_type"),
+          k = 3, minSupport = 5L)
+        .orderBy("pattern"),
+    Some("""WITH b AS (SELECT user_id AS u, epoch_us(ts) AS t,
+          event_id AS id, event_type AS e
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      l AS (SELECT u, e, lead(e, 1) OVER w AS e1, lead(e, 2) OVER w AS e2
+        FROM b WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+      p AS (SELECT u, e || '>' || e1 || '>' || e2 AS pattern
+        FROM l WHERE e1 IS NOT NULL AND e2 IS NOT NULL),
+      s AS (SELECT u, pattern, COUNT(*) AS c FROM p GROUP BY 1, 2)
+      SELECT pattern, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(*) AS BIGINT) AS n_subjects
+      FROM s GROUP BY 1 HAVING SUM(c) >= 5 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6905,5 +6967,6 @@ object Queries {
     qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
     qContainment, qDpMean, qGeneralizeK, qTopPaths,
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
-    qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap)
+    qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap,
+    qMode, qTrimmedMean, qEventKgrams)
 }

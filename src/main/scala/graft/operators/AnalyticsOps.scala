@@ -404,6 +404,42 @@ object AnalyticsOps {
           lit(0.5)).cast("long").as("surv_e6")): _*)
   }
 
+  /** Behavioral k-grams: every length-`k` window of consecutive event
+    * types per subject, counted across the corpus — the sequential-
+    * pattern complement to [[transitions]] (k=2, row-normalized) and
+    * [[topPaths]] (opening prefix only): here EVERY position contributes,
+    * so frequent mid-journey motifs surface. Deterministic (ts, id)
+    * ordering; patterns below `minSupport` are pruned. Emits
+    * `(pattern, n_occurrences, n_subjects)`.
+    *
+    * Shape: k−1 lead() columns over one per-subject window sort, then
+    * two hash aggregations (per (subject, pattern) then per pattern) so
+    * the distinct-subject count never needs a count-distinct Expand.
+    * Scale: one window shuffle on the subject, one on the pattern. */
+  def eventKgrams(events: DataFrame, subject: Column, ts: Column,
+      id: Column, typ: Column, k: Int = 3,
+      minSupport: Long = 1L): DataFrame = {
+    require(k >= 2 && k <= 8, s"k must be in [2,8]: $k")
+    val w = Window.partitionBy("_u").orderBy(col("_t"), col("_id"))
+    val base = events
+      .select(subject.as("_u"), ts.as("_t"), id.as("_id"), typ.as("_e"))
+      .filter(col("_e").isNotNull && col("_t").isNotNull)
+    val withLeads = (1 until k).foldLeft(base) { (d, j) =>
+      d.withColumn(s"_e$j", lead(col("_e"), j).over(w))
+    }
+    val pattern = concat_ws(">",
+      col("_e") +: (1 until k).map(j => col(s"_e$j")): _*)
+    withLeads
+      .filter((1 until k).map(j => col(s"_e$j").isNotNull)
+        .reduce(_ && _))
+      .select(col("_u"), pattern.as("pattern"))
+      .groupBy("_u", "pattern").agg(count(lit(1)).as("_c"))
+      .groupBy("pattern")
+      .agg(sum(col("_c")).as("n_occurrences"),
+        count(lit(1)).as("n_subjects"))
+      .filter(col("n_occurrences") >= minSupport)
+  }
+
   /** Peak concurrency per group: the maximum number of intervals open at
     * once — capacity planning's first question against session/interval
     * data. Classic boundary sweep: each interval emits a +1 at start and

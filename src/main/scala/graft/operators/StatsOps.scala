@@ -253,6 +253,56 @@ object StatsOps {
         floor(col("_z") * 1e6 + 0.5).cast("long").as("z_e6"))
   }
 
+  /** Mode per group with a deterministic tiebreak: the most frequent
+    * value, smallest-value-first among ties — argmax as ONE hash
+    * aggregation over (group, value) counts (`max_by` on the
+    * (count, negated-order) pair would need a numeric value; instead the
+    * two-level aggregate keeps any orderable type). No windows: a hot
+    * group folds through partial aggregation, never a single-task sort.
+    * Emits `(group, mode, n_mode)`. */
+  def mode(df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
+    val keyed = df.select(groupCols :+ value.as("_v"): _*)
+      .filter(col("_v").isNotNull)
+    val gNames = keyed.columns.dropRight(1)
+    val g = gNames.map(col)
+    keyed.groupBy(g :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(g: _*)
+      // max count, then min value among rows attaining it: min_by over
+      // the (negated count, value) struct = lexicographic argmin
+      .agg(min_by(struct(col("_v")), struct((-col("_c")).as("_nc"),
+          col("_v"))).getField("_v").as("mode"),
+        max(col("_c")).as("n_mode"))
+  }
+
+  /** Trimmed mean per group: the mean of values with rank strictly inside
+    * the [trim, 1−trim] percentile band — the robust location estimate
+    * that, unlike winsorization, DROPS the tails instead of clamping
+    * them. Band membership uses exact ranks (`rank ∈ (⌈n·t⌉, n−⌈n·t⌉]`
+    * on the (value, row-uniqueness) order), so the kept multiset — and
+    * therefore the exact decimal mean — is identical on any engine.
+    * Groups too small to have an interior (n − 2⌈n·t⌉ ≤ 0) drop out of
+    * the result. One group-partitioned window + one aggregation. */
+  def trimmedMean(df: DataFrame, groupCols: Seq[Column], value: Column,
+      trim: Double): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim must be in (0,0.5): $trim")
+    val keyed = df.select(groupCols :+ value.cast("double").as("_x"): _*)
+      .filter(col("_x").isNotNull)
+    val gNames = keyed.columns.dropRight(1)
+    val g = gNames.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("_x"))
+    val wAll = Window.partitionBy(g: _*)
+    keyed
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_cut", ceil(col("_n") * trim).cast("long"))
+      .filter(col("_rn") > col("_cut") && col("_rn") <= col("_n") - col("_cut"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(col("_x").cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 6).as("trimmed_mean"))
+  }
+
   /** Exact weighted quantile per group: the smallest value whose
     * cumulative weight reaches `q` of the group's total weight (the
     * inverse-CDF / lower-interpolation convention — exact set semantics,

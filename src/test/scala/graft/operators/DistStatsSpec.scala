@@ -121,6 +121,40 @@ class DistStatsSpec extends AnyFunSuite {
       col("x"), k = 5, threshold = 1.0).count() === 0L)
   }
 
+  test("mode breaks count ties on the smaller value") {
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
+      .toDF("grp", "v")
+    val out = StatsOps.mode(df, Seq(col("grp")), col("v"))
+      .as[(String, String, Long)].collect().head
+    assert(out === (("g", "a", 2L))) // a and b tie at 2; a < b
+  }
+
+  test("trimmedMean drops exactly the ceil(n*t) tails") {
+    // n=10, t=0.2 -> cut 2 each side: keep ranks 3..8
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "x")
+    val out = StatsOps.trimmedMean(df, Seq(col("grp")), col("x"), 0.2)
+      .as[(String, Long, Double)].collect().head
+    assert(out === (("g", 6L, 5.5))) // mean of 3..8
+    // too-small group drops out entirely
+    val tiny = Seq(("g", 1.0), ("g", 2.0)).toDF("grp", "x")
+    assert(StatsOps.trimmedMean(tiny, Seq(col("grp")), col("x"), 0.4)
+      .count() === 0L)
+  }
+
+  test("eventKgrams counts every window position across subjects") {
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (1L, 4L, 4L, "b"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "b"), (2L, 3L, 7L, "a")
+    ).toDF("u", "t", "id", "e")
+    val out = AnalyticsOps.eventKgrams(ev, col("u"), col("t"), col("id"),
+        col("e"), k = 3, minSupport = 1L)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // u1: aba, bab; u2: aba -> aba occurs 2x over 2 subjects
+    assert(out === Map("a>b>a" -> ((2L, 2L)), "b>a>b" -> ((1L, 1L))))
+  }
+
   test("weightedQuantile: median honors weights, not row counts") {
     val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0))
       .toDF("grp", "x", "w")
