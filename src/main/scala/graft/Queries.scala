@@ -6914,6 +6914,46 @@ object Queries {
         CAST(COUNT(*) AS BIGINT) AS n_subjects
       FROM s GROUP BY 1 HAVING SUM(c) >= 5 ORDER BY 1"""))
 
+  /** Linear interpolation ([[GroupOps.interpolateMissing]]): every 7th
+    * event's value masked null, then lerped back from its in-series
+    * neighbors; edge nulls stay null. */
+  private val qInterpolate = QuerySpec(
+    "q_interpolate",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
+      GroupOps.interpolateMissing(ev, col("event_type"),
+          unix_micros(col("ts")), col("event_id"), col("value"))
+        .orderBy("k", "t", "id")
+    },
+    Some("""WITH b AS (SELECT event_type AS k, epoch_us(ts) AS t,
+          event_id AS id,
+          CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(value AS DOUBLE) END AS v
+        FROM events WHERE ts IS NOT NULL),
+      w AS (SELECT k, t, id, v,
+          last_value(v IGNORE NULLS) OVER wp AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+            OVER wp AS pt,
+          first_value(v IGNORE NULLS) OVER wn AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+            OVER wn AS nt
+        FROM b WINDOW
+          wp AS (PARTITION BY k ORDER BY t, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          wn AS (PARTITION BY k ORDER BY t, id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT k, t, id, v,
+        CASE WHEN v IS NOT NULL THEN v
+          WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN round(pv + (nv - pv) * (t - pt) / (nt - pt), 6)
+        END AS value_filled,
+        (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL)
+          AS was_interpolated
+      FROM w ORDER BY k, t, id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -6968,5 +7008,5 @@ object Queries {
     qContainment, qDpMean, qGeneralizeK, qTopPaths,
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
     qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap,
-    qMode, qTrimmedMean, qEventKgrams)
+    qMode, qTrimmedMean, qEventKgrams, qInterpolate)
 }

@@ -103,4 +103,45 @@ object GroupOps {
       .select(col("key"), timestamp_micros(col("bucket")).as("bucket_start"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
+
+  /** Linear interpolation of missing values per key — [[gapFill]]'s
+    * companion for the value axis: where a series has a NULL value, fill
+    * it by the straight line between the nearest non-null neighbors in
+    * event time; leading/trailing nulls (no neighbor on one side) stay
+    * null. Emits every row with `value_filled` plus `was_interpolated`
+    * so downstream consumers can weight imputed points.
+    *
+    * Mechanics: `last(ignoreNulls)` over the strictly-preceding frame
+    * and `first(ignoreNulls)` over the strictly-following frame give the
+    * bracketing observations and their timestamps in TWO window passes
+    * over ONE (key, ts, id) sort; the lerp itself is pure row math.
+    * Interpolated values round to 6 dp (ratio of exact inputs — any
+    * engine agrees). Scale: one shuffle on the key, frames are
+    * sort-merge runs, nothing quadratic. */
+  def interpolateMissing(df: DataFrame, key: Column, ts: Column, id: Column,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(key.as("k"), ts.cast("long").as("t"),
+        id.as("id"), value.cast("double").as("v"))
+      .filter(col("t").isNotNull)
+    val wPrev = Window.partitionBy("k").orderBy(col("t"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("k").orderBy(col("t"), col("id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val tv = when(col("v").isNotNull, col("t"))
+    base
+      .withColumn("_pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("_pt", last(tv, ignoreNulls = true).over(wPrev))
+      .withColumn("_nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("_nt", first(tv, ignoreNulls = true).over(wNext))
+      .withColumn("value_filled",
+        when(col("v").isNotNull, col("v"))
+          .when(col("_pv").isNotNull && col("_nv").isNotNull,
+            round(col("_pv") + (col("_nv") - col("_pv"))
+              * (col("t") - col("_pt")) / (col("_nt") - col("_pt")), 6)))
+      .withColumn("was_interpolated",
+        col("v").isNull && col("value_filled").isNotNull)
+      .select(col("k"), col("t"), col("id"), col("v"), col("value_filled"),
+        col("was_interpolated"))
+  }
 }

@@ -155,6 +155,24 @@ class DistStatsSpec extends AnyFunSuite {
     assert(out === Map("a>b>a" -> ((2L, 2L)), "b>a>b" -> ((1L, 1L))))
   }
 
+  test("interpolateMissing lerps interior gaps, leaves edges null") {
+    val df = Seq(
+      ("g", 0L, 0L, Option.empty[Double]),           // leading: no left
+      ("g", 1L, 1L, Some(1.0)),
+      ("g", 2L, 2L, Option.empty[Double]),           // interior gap
+      ("g", 4L, 3L, Some(4.0)),
+      ("g", 9L, 4L, Option.empty[Double])            // trailing: no right
+    ).toDF("grp", "t", "id", "v")
+    val out = GroupOps.interpolateMissing(df, col("grp"), col("t"),
+        col("id"), col("v"))
+      .orderBy("t")
+      .select("value_filled", "was_interpolated")
+      .as[(Option[Double], Boolean)].collect().toSeq
+    // t=2 sits 1/3 of the way from (1,1.0) to (4,4.0): 1 + 3*(1/3) = 2
+    assert(out === Seq((None, false), (Some(1.0), false),
+      (Some(2.0), true), (Some(4.0), false), (None, false)))
+  }
+
   test("weightedQuantile: median honors weights, not row counts") {
     val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0))
       .toDF("grp", "x", "w")
