@@ -6954,6 +6954,69 @@ object Queries {
           AS was_interpolated
       FROM w ORDER BY k, t, id"""))
 
+  /** End-to-end corpus prep — the flagship composition the LLM-pipeline
+    * operators exist for, as ONE dataflow: quality filter (length /
+    * language / repetition, the q_corpus_filter rules) → exact dedup
+    * (text hash, smallest-id survivor) → greedy 512-token sequence
+    * packing over the deterministic shuffle order. The oracle replays
+    * every stage, so the gate pins the whole pipeline's semantics, not
+    * just each operator's. */
+  private val qCorpusPipeline = QuerySpec(
+    "q_corpus_pipeline",
+    (s, dir) => {
+      val docs = core.Graft.rebalanceForCompute(t(s, dir, "documents"))
+      val rep = MapOps.repetitionStats(docs, col("doc_id"), col("text"),
+          n = 3)
+        .select(col("doc_id"), col("rep_ratio"))
+      val kept = docs.select(col("doc_id"), col("text"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextFunctions.langIdHeuristic(col("text")).as("lang"))
+        .join(rep, Seq("doc_id"), "left")
+        .withColumn("rep_ratio", coalesce(col("rep_ratio"), lit(0.0)))
+        .filter(col("n_tok") >= 20 && col("lang") =!= "unk" &&
+          col("rep_ratio") <= 0.06)
+      val deduped = kept.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("n_tok")).as("n_tok"))
+      CorpusOps.packSequences(deduped, col("doc_id"), col("n_tok"), 512)
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("first_example"), col("last_example"), col("straddles"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, text,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents),
+      tri AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> array_to_string(t[i:i+2], ' '))) AS g
+        FROM toks WHERE len(t) >= 3),
+      cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+      rep AS (SELECT doc_id,
+          ROUND(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+        FROM cnt GROUP BY 1),
+      sig AS (SELECT doc_id, text, len(t) AS n_tok,
+          CASE WHEN (CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t,
+            x -> list_contains(['the','a','of','and','to','in','is'], x)))
+            AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END) > 0.02
+            THEN 'en' ELSE 'unk' END AS lang
+        FROM toks),
+      kept AS (SELECT s.doc_id, s.text, s.n_tok
+        FROM sig s LEFT JOIN rep r ON s.doc_id = r.doc_id
+        WHERE s.n_tok >= 20 AND s.lang <> 'unk'
+          AND COALESCE(r.rep_ratio, 0.0) <= 0.06),
+      dd AS (SELECT MIN(doc_id) AS doc_id,
+          CAST(MIN(n_tok) AS BIGINT) AS n_tokens
+        FROM kept GROUP BY md5(text)),
+      c AS (SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM dd WHERE n_tokens > 0)
+      SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+        (cum - n_tokens) // 512 AS first_example,
+        (cum - 1) // 512 AS last_example,
+        (cum - n_tokens) // 512 <> (cum - 1) // 512 AS straddles
+      FROM c ORDER BY doc_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7008,5 +7071,5 @@ object Queries {
     qContainment, qDpMean, qGeneralizeK, qTopPaths,
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
     qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap,
-    qMode, qTrimmedMean, qEventKgrams, qInterpolate)
+    qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline)
 }
