@@ -7017,6 +7017,44 @@ object Queries {
         (cum - n_tokens) // 512 <> (cum - 1) // 512 AS straddles
       FROM c ORDER BY doc_id"""))
 
+  /** Audio frame features ([[MultimodalOps.audioFrameFeatures]]): RMS
+    * energy + zero-crossing rate per 16-sample frame over real WAV
+    * payloads (alternating-sign fixture so ZCR is non-trivial). */
+  private val qAudioFrames = QuerySpec(
+    "q_audio_frames",
+    (s, dir) => {
+      import s.implicits._
+      val wav = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          require(b.length == text.length, s"non-ASCII text in doc $id")
+          // alternate the sign so zero crossings actually occur
+          (id, MultimodalOps.encodeWavPcm16(Array.tabulate[Short](64)(i =>
+            (b(i % b.length) * (if (i % 2 == 1) -1 else 1)).toShort)))
+        }
+        .toDF("doc_id", "payload")
+      MultimodalOps.audioFrameFeatures(wav, "doc_id", "payload",
+          frameSize = 16)
+        .orderBy("doc_id", "frame")
+    },
+    Some("""WITH s AS (SELECT doc_id, i,
+          (CASE WHEN i % 2 = 1 THEN -1 ELSE 1 END)
+            * unicode(substr(text, (i % length(text)) + 1, 1)) AS v
+        FROM documents, generate_series(0, 63) t(i)),
+      f AS (SELECT doc_id, i // 16 AS frame, v,
+          lag(v) OVER (PARTITION BY doc_id, i // 16 ORDER BY i) AS pv
+        FROM s)
+      SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        CAST(COUNT(*) AS BIGINT) AS n_samples,
+        CAST(floor(sqrt(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE)
+          / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS rms_e6,
+        CAST((SUM(CASE WHEN pv IS NOT NULL AND
+            ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0)) THEN 1 ELSE 0 END)
+          * 1000000) // (COUNT(*) - 1) AS BIGINT) AS zcr_e6
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7071,5 +7109,6 @@ object Queries {
     qContainment, qDpMean, qGeneralizeK, qTopPaths,
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
     qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap,
-    qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline)
+    qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline,
+    qAudioFrames)
 }

@@ -171,6 +171,52 @@ object MultimodalOps {
       .toDF(idCol, "stripe", "mean_sample")
   }
 
+  /** Frame-level audio features over WAV PCM payloads — the two
+    * first-pass speech/music descriptors every audio curation pipeline
+    * computes: per fixed-size frame, RMS energy (loudness envelope →
+    * silence trimming, clipping detection) and zero-crossing rate
+    * (noisiness/voicing proxy). Real RIFF decode in the executors, both
+    * statistics folded in one pass over the samples.
+    *
+    * Determinism: energy uses exact integer Σs² over 16-bit samples (no
+    * float accumulation), then one sqrt of the exact ratio, quantized to
+    * a 1e-6 long; ZCR counts strict sign flips between consecutive in-frame
+    * samples over frame length − 1, emitted as an exact 1e-6-quantized
+    * ratio. A trailing partial frame is emitted with its own length.
+    * Output `(id, frame, n_samples, rms, zcr_e6)`; zero exchanges — an
+    * hour of audio contributes frame rows, never sample rows. */
+  def audioFrameFeatures(df: DataFrame, idCol: String, payloadCol: String,
+      frameSize: Int = 16): DataFrame = {
+    require(frameSize >= 2, s"frameSize must be >= 2: $frameSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val s = decodeWavPcm16(bytes)
+        val nFrames = (s.length + frameSize - 1) / frameSize
+        (0 until nFrames).iterator.map { f =>
+          val from = f * frameSize
+          val until = math.min(from + frameSize, s.length)
+          var ss = 0L
+          var flips = 0L
+          var i = from
+          while (i < until) {
+            ss += s(i).toLong * s(i)
+            if (i > from &&
+                ((s(i - 1) < 0 && s(i) >= 0) || (s(i - 1) >= 0 && s(i) < 0)))
+              flips += 1
+            i += 1
+          }
+          val n = until - from
+          val rms = math.floor(math.sqrt(ss.toDouble / n) * 1e6 + 0.5).toLong
+          val zcr = if (n > 1) (flips * 1000000L) / (n - 1) else 0L
+          (id, f.toLong, n.toLong, rms, zcr)
+        }
+      }
+      .toDF(idCol, "frame", "n_samples", "rms_e6", "zcr_e6")
+  }
+
   /** REAL image feature extraction over PNG payloads: decode in the
     * executors (JDK ImageIO codec) and fold a fixed-bin intensity
     * histogram inside the same kernel pass — the classic cheap visual

@@ -181,4 +181,20 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     assert(row.getLong(0) == 3L)
     assert(row.getString(1) == "900150983cd24fb0d6963f7d28e17f72")
   }
+
+  test("audioFrameFeatures: exact RMS and ZCR per frame, partial tail kept") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    // 6 samples, frame 4: full frame [3,-3,3,-3] then tail [0,0]
+    val wav = Seq((1L, MultimodalOps.encodeWavPcm16(
+      Array[Short](3, -3, 3, -3, 0, 0)))).toDF("id", "payload")
+    val out = MultimodalOps.audioFrameFeatures(wav, "id", "payload",
+        frameSize = 4)
+      .orderBy("frame")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // frame 0: rms = 3 exactly, every adjacent pair flips (3/3 = 1e6)
+    // frame 1: silence -> rms 0; 0 >= 0 so no flips
+    assert(out === Seq((1L, 0L, 4L, 3000000L, 1000000L),
+      (1L, 1L, 2L, 0L, 0L)))
+  }
 }
