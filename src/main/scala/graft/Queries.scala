@@ -7055,6 +7055,37 @@ object Queries {
           * 1000000) // (COUNT(*) - 1) AS BIGINT) AS zcr_e6
       FROM f GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Scene-change detection ([[MultimodalOps.frameDiffs]]): consecutive-
+    * frame mean absolute difference over real 6-frame GIFs; oracle
+    * replays the pixel arithmetic over the same char codes. */
+  private val qFrameDiffs = QuerySpec(
+    "q_frame_diffs",
+    (s, dir) => {
+      import s.implicits._
+      val gif = core.Graft.rebalanceForCompute(t(s, dir, "documents"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          require(b.length == text.length, s"non-ASCII text in doc $id")
+          val frames = (0 until 6).map(f =>
+            Array.tabulate[Byte](64)(i => b((f * 64 + i) % b.length)))
+          (id, MultimodalOps.encodeGifFrames(frames, 8, 8))
+        }
+        .toDF("doc_id", "payload")
+      MultimodalOps.frameDiffs(gif, "doc_id", "payload")
+        .orderBy("doc_id", "frame_pair")
+    },
+    Some("""SELECT doc_id, CAST(f AS BIGINT) AS frame_pair,
+        CAST(64 AS BIGINT) AS n_px,
+        CAST(SUM(abs(
+          unicode(substr(text, ((f * 64 + i) % length(text)) + 1, 1))
+          - unicode(substr(text, (((f - 1) * 64 + i) % length(text)) + 1, 1))
+        )) * 1000000 // 64 AS BIGINT) AS mad_e6
+      FROM documents, generate_series(1, 5) tf(f),
+        generate_series(0, 63) ti(i)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7110,5 +7141,5 @@ object Queries {
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
     qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap,
     qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline,
-    qAudioFrames)
+    qAudioFrames, qFrameDiffs)
 }

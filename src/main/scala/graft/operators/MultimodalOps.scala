@@ -384,6 +384,59 @@ object MultimodalOps {
     * emitted as the payload. Non-GIF payloads keep [[frameSampleStub]]'s
     * byte-slice fake (the real video codecs aren't in the JDK). Same
     * one-row-in/n-rows-out distributed shape either way. */
+  /** Scene-change detection over animated GIF payloads: decode EVERY
+    * frame (real JDK codec) and emit the mean absolute pixel difference
+    * between each consecutive pair — the cut/motion signal video
+    * curation thresholds on (a large diff = a scene boundary; a run of
+    * near-zero diffs = a static clip worth deduplicating). Exact integer
+    * Σ|Δ| over grayscale bytes, released as a 1e-6-quantized mean
+    * (floor(Σ·1e6/npx) — pure integer division). Output
+    * `(id, frame_pair, n_px, mad_e6)` with frame_pair = the later
+    * frame's index; zero exchanges, frames never leave the kernel. */
+  def frameDiffs(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val isGif = bytes.length > 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == '8'
+        if (!isGif) Iterator.empty
+        else {
+          javax.imageio.ImageIO.setUseCache(false)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          reader.setInput(iis, false)
+          try {
+            val frames = reader.getNumImages(true)
+            def gray(idx: Int): Array[Int] = {
+              val img = reader.read(idx)
+              val (w, h) = (img.getWidth, img.getHeight)
+              Array.tabulate[Int](w * h)(i => img.getRGB(i % w, i / w) & 0xff)
+            }
+            var prev = if (frames > 0) gray(0) else Array.empty[Int]
+            (1 until frames).map { f =>
+              val cur = gray(f)
+              require(cur.length == prev.length, "frame size changed mid-GIF")
+              var sad = 0L
+              var i = 0
+              while (i < cur.length) {
+                sad += math.abs(cur(i) - prev(i)); i += 1
+              }
+              val out = (id, f.toLong, cur.length.toLong,
+                sad * 1000000L / cur.length)
+              prev = cur
+              out
+            }.iterator
+          } finally {
+            reader.dispose(); iis.close()
+          }
+        }
+      }
+      .toDF(idCol, "frame_pair", "n_px", "mad_e6")
+  }
+
   def frameSampleGif(df: DataFrame, idCol: String, payloadCol: String,
       n: Int): DataFrame = {
     val spark = df.sparkSession

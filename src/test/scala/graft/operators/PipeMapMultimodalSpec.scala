@@ -197,4 +197,18 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     assert(out === Seq((1L, 0L, 4L, 3000000L, 1000000L),
       (1L, 1L, 2L, 0L, 0L)))
   }
+
+  test("frameDiffs: static pair diffs 0, a step change diffs exactly") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val flat = Array.fill[Byte](4)(10)
+    val bright = Array.fill[Byte](4)(30)
+    val gif = Seq((1L, MultimodalOps.encodeGifFrames(
+      Seq(flat, flat, bright), 2, 2))).toDF("id", "payload")
+    val out = MultimodalOps.frameDiffs(gif, "id", "payload")
+      .orderBy("frame_pair")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // pair 1: identical frames; pair 2: |30-10| = 20 everywhere
+    assert(out === Seq((1L, 1L, 4L, 0L), (1L, 2L, 4L, 20000000L)))
+  }
 }
