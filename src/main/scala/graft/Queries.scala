@@ -7086,6 +7086,85 @@ object Queries {
         generate_series(0, 63) ti(i)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Seasonal-naive error ([[StatsOps.seasonalNaiveError]]): hourly
+    * buckets predicted by the same hour yesterday, MAE per type. */
+  private val qSeasonalNaive = QuerySpec(
+    "q_seasonal_naive",
+    (s, dir) =>
+      StatsOps.seasonalNaiveError(t(s, dir, "events"), col("event_type"),
+          unix_micros(col("ts")), col("value"),
+          bucketUs = 3600L * 1000000L, season = 24)
+        .orderBy("k"),
+    Some("""WITH b AS (SELECT event_type AS k,
+          CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000) AS BIGINT)
+            AS bk,
+          SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2),
+      l AS (SELECT k, sv,
+          lag(sv, 24) OVER (PARTITION BY k ORDER BY bk) AS pred
+        FROM b)
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        CAST(floor(CAST(SUM(CAST(abs(CAST((sv - pred) AS DOUBLE)
+            * 1000000.0) AS BIGINT)) AS DOUBLE) / COUNT(*) + 0.5)
+          AS BIGINT) AS mae_e6
+      FROM l WHERE pred IS NOT NULL GROUP BY 1 ORDER BY 1"""))
+
+  /** WOE encoding ([[StatsOps.woeEncode]]): event types scored against
+    * the high-value outcome, smoothed log-odds + information value. */
+  private val qWoe = QuerySpec(
+    "q_woe",
+    (s, dir) =>
+      StatsOps.woeEncode(t(s, dir, "events"), col("event_type"),
+          col("value") > 50.0)
+        .orderBy("cat"),
+    Some("""WITH b AS (SELECT event_type AS cat, (value > 50.0) AS p
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      c AS (SELECT cat,
+          CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          CAST(SUM(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        FROM b GROUP BY 1),
+      t AS (SELECT CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+            AS tp,
+          CAST(SUM(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM b),
+      e AS (SELECT cat, n_pos, n_neg,
+          (n_pos + 0.5) / (tp + 0.5) AS ps,
+          (n_neg + 0.5) / (tn + 0.5) AS ns
+        FROM c, t)
+      SELECT cat, n_pos, n_neg,
+        CAST(floor(ln(ps / ns) * 1000000.0 + 0.5) AS BIGINT) AS woe_e6,
+        CAST(floor((ps - ns) * ln(ps / ns) * 1000000.0 + 0.5) AS BIGINT)
+          AS iv_e6
+      FROM e ORDER BY cat"""))
+
+  /** Wilson interval ([[StatsOps.wilsonInterval]]): 95% score bounds on
+    * the high-value rate per event type. */
+  private val qWilson = QuerySpec(
+    "q_wilson",
+    (s, dir) =>
+      StatsOps.wilsonInterval(t(s, dir, "events"), Seq(col("event_type")),
+          col("value") > 50.0)
+        .orderBy("event_type"),
+    Some("""WITH b AS (SELECT event_type, (value > 50.0) AS s
+        FROM events WHERE value IS NOT NULL),
+      c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS successes
+        FROM b GROUP BY 1),
+      e AS (SELECT event_type, n, successes,
+          CAST(successes AS DOUBLE) / n AS p,
+          1.0 + (1.96 * 1.96) / n AS den
+        FROM c),
+      f AS (SELECT *, (p + (1.96 * 1.96) / (n * 2.0)) / den AS ctr,
+          1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n))
+            / den AS hw
+        FROM e)
+      SELECT event_type, n, successes,
+        CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS rate_e6,
+        CAST(floor((ctr - hw) * 1000000.0 + 0.5) AS BIGINT) AS lo_e6,
+        CAST(floor((ctr + hw) * 1000000.0 + 0.5) AS BIGINT) AS hi_e6
+      FROM f ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7141,5 +7220,5 @@ object Queries {
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
     qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap,
     qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline,
-    qAudioFrames, qFrameDiffs)
+    qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson)
 }

@@ -303,6 +303,95 @@ object StatsOps {
           / count(lit(1)), 6).as("trimmed_mean"))
   }
 
+  /** Seasonal-naive forecast error per key — the baseline every real
+    * forecasting effort must beat, and therefore the first number a
+    * pipeline computes: predict each bucket by the value one season
+    * earlier (`lag(S)` on the bucketed series) and report MAE and the
+    * count of scored buckets. Buckets aggregate with exact decimal sums
+    * first (so a bucket's value is engine-stable), the seasonal lag is
+    * one window step, and the MAE folds |error| quantized to 1e-6 longs.
+    * Emits `(key, n_scored, mae_e6)`.
+    *
+    * Scale: one shuffle to the (key, bucket) grain — already tiny — then
+    * a window and rollup on the key. */
+  def seasonalNaiveError(df: DataFrame, key: Column, tsUs: Column,
+      value: Column, bucketUs: Long, season: Int): DataFrame = {
+    require(bucketUs > 0 && season >= 1, s"bad bucket/season: $bucketUs/$season")
+    val buckets = df.select(key.as("k"), tsUs.as("_t"),
+        value.cast("decimal(18,6)").as("_v"))
+      .filter(col("_t").isNotNull && col("_v").isNotNull)
+      .groupBy(col("k"), floor(col("_t") / bucketUs).cast("long").as("_b"))
+      .agg(sum(col("_v")).as("_sv"))
+    val w = Window.partitionBy("k").orderBy("_b")
+    buckets
+      .withColumn("_pred", lag(col("_sv"), season).over(w))
+      .filter(col("_pred").isNotNull)
+      .withColumn("_ae_e6",
+        abs((col("_sv") - col("_pred")).cast("double") * 1e6)
+          .cast("long"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_scored"),
+        floor(sum(col("_ae_e6")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("mae_e6"))
+  }
+
+  /** Weight-of-evidence encoding — the credit-scoring / feature-prep
+    * transform: per category, `WOE = ln(P(cat|positive) / P(cat|negative))`
+    * with add-0.5 continuity smoothing on the four counts, plus the
+    * category's information-value term. Pure aggregation + scalar math on
+    * the category table; quantized to 1e-6 longs. Emits
+    * `(category, n_pos, n_neg, woe_e6, iv_e6)`. */
+  def woeEncode(df: DataFrame, category: Column, positive: Column): DataFrame = {
+    val base = df.select(category.as("cat"), positive.as("_p"))
+      .filter(col("cat").isNotNull && col("_p").isNotNull)
+    val counts = base.groupBy("cat")
+      .agg(sum(when(col("_p"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("_p"), 1L).otherwise(0L)).as("n_neg"))
+    val tot = base.agg(
+      sum(when(col("_p"), 1L).otherwise(0L)).as("_tp"),
+      sum(when(!col("_p"), 1L).otherwise(0L)).as("_tn"))
+    counts.crossJoin(tot)
+      .withColumn("_ps", (col("n_pos") + lit(0.5)) / (col("_tp") + lit(0.5)))
+      .withColumn("_ns", (col("n_neg") + lit(0.5)) / (col("_tn") + lit(0.5)))
+      .withColumn("woe_e6",
+        floor(log(col("_ps") / col("_ns")) * 1e6 + 0.5).cast("long"))
+      .withColumn("iv_e6",
+        floor((col("_ps") - col("_ns")) * log(col("_ps") / col("_ns")) * 1e6
+          + 0.5).cast("long"))
+      .select(col("cat"), col("n_pos"), col("n_neg"), col("woe_e6"),
+        col("iv_e6"))
+  }
+
+  /** Wilson score interval per group — the right way to put error bars on
+    * a conversion/defect RATE (the normal approximation collapses at
+    * small n or extreme p; Wilson does not): exact success/trial counts,
+    * then the closed-form 95% bounds (z = 1.96), all quantized to 1e-6.
+    * Emits `(group, n, successes, rate_e6, lo_e6, hi_e6)`. One hash
+    * aggregation; the interval math runs on the group table. */
+  def wilsonInterval(df: DataFrame, groupCols: Seq[Column],
+      success: Column): DataFrame = {
+    val keyed = df.select(groupCols :+ success.as("_s"): _*)
+      .filter(col("_s").isNotNull)
+    val gNames = keyed.columns.dropRight(1)
+    val g = gNames.map(col)
+    val z = 1.96
+    keyed.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_s"), 1L).otherwise(0L)).as("successes"))
+      .withColumn("_p", col("successes").cast("double") / col("n"))
+      .withColumn("_den", lit(1.0) + lit(z * z) / col("n"))
+      .withColumn("_ctr",
+        (col("_p") + lit(z * z) / (col("n") * lit(2.0))) / col("_den"))
+      .withColumn("_hw",
+        lit(z) * sqrt(col("_p") * (lit(1.0) - col("_p")) / col("n")
+          + lit(z * z) / (lit(4.0) * col("n") * col("n"))) / col("_den"))
+      .select(g ++ Seq(col("n"), col("successes"),
+        floor(col("_p") * 1e6 + 0.5).cast("long").as("rate_e6"),
+        floor((col("_ctr") - col("_hw")) * 1e6 + 0.5).cast("long").as("lo_e6"),
+        floor((col("_ctr") + col("_hw")) * 1e6 + 0.5).cast("long")
+          .as("hi_e6")): _*)
+  }
+
   /** Exact weighted quantile per group: the smallest value whose
     * cumulative weight reaches `q` of the group's total weight (the
     * inverse-CDF / lower-interpolation convention — exact set semantics,

@@ -173,6 +173,37 @@ class DistStatsSpec extends AnyFunSuite {
       (Some(2.0), true), (Some(4.0), false), (None, false)))
   }
 
+  test("seasonalNaiveError scores buckets against one season earlier") {
+    // buckets 0..3 with values 10,20,12,21; season 2: preds for b2=10, b3=20
+    val df = Seq(("g", 500L, 10.0), ("g", 1500L, 20.0), ("g", 2500L, 12.0),
+      ("g", 3500L, 21.0)).toDF("k", "t", "v")
+    val out = StatsOps.seasonalNaiveError(df, col("k"), col("t"), col("v"),
+        bucketUs = 1000L, season = 2)
+      .as[(String, Long, Long)].collect().head
+    // |12-10| = 2, |21-20| = 1 -> MAE 1.5
+    assert(out === (("g", 2L, 1500000L)))
+  }
+
+  test("woeEncode: symmetric categories get opposite-sign WOE") {
+    val df = Seq(("a", true), ("a", true), ("a", false),
+      ("b", true), ("b", false), ("b", false)).toDF("c", "p")
+    val out = StatsOps.woeEncode(df, col("c"), col("p"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // symmetric setup: ps/ns for a is ns/ps for b
+    assert(out("a")._4 === -out("b")._4)
+    assert(out("a")._4 > 0 && out("a")._5 > 0) // a skews positive; IV >= 0
+  }
+
+  test("wilsonInterval brackets the rate and stays inside [0,1]") {
+    val df = (1 to 40).map(i => ("g", i <= 10)).toDF("grp", "s")
+    val out = StatsOps.wilsonInterval(df, Seq(col("grp")), col("s"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(out._3 === 10L && out._4 === 250000L)
+    assert(out._5 < 250000L && out._6 > 250000L) // bounds bracket p
+    assert(out._5 > 0L && out._6 < 1000000L)     // Wilson never escapes [0,1]
+  }
+
   test("weightedQuantile: median honors weights, not row counts") {
     val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0))
       .toDF("grp", "x", "w")
