@@ -7165,6 +7165,82 @@ object Queries {
         CAST(floor((ctr + hw) * 1000000.0 + 0.5) AS BIGINT) AS hi_e6
       FROM f ORDER BY 1"""))
 
+  /** Personalized PageRank ([[GraphOps.personalizedPagerank]]): proximity
+    * to the round-hundred part nodes over the co-purchase graph, 3
+    * iterations, oracle-unrolled term for term. */
+  private val qPersonalizedPagerank = QuerySpec(
+    "q_personalized_pagerank",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fwd = li.select(col("l_partkey").cast("long").as("src"),
+        (lit(1000000000L) + col("l_suppkey")).cast("long").as("dst"))
+      val back = li.filter(col("l_suppkey") % 2 === 0)
+        .select((lit(1000000000L) + col("l_suppkey")).cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))
+      val seeds = li.select(col("l_partkey").cast("long").as("id"))
+        .filter(col("id") % 100 === 0).distinct()
+      GraphOps.personalizedPagerank(fwd.union(back).distinct(), seeds,
+          iters = 3)
+        .select(col("id"),
+          floor(col("r") * lit(1e9) + lit(0.5)).cast("long").as("rank_e9"))
+        .orderBy("id")
+    },
+    Some("""WITH eg AS (
+        SELECT DISTINCT l_partkey AS src, 1000000000 + l_suppkey AS dst FROM lineitem
+        UNION
+        SELECT DISTINCT 1000000000 + l_suppkey AS src, l_partkey AS dst
+        FROM lineitem WHERE l_suppkey % 2 = 0),
+      nodes AS (SELECT DISTINCT id
+        FROM (SELECT src AS id FROM eg UNION ALL SELECT dst AS id FROM eg) u),
+      sd AS (SELECT id FROM nodes WHERE id < 1000000000 AND id % 100 = 0),
+      ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM sd),
+      deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS c FROM eg GROUP BY 1),
+      r0 AS (SELECT n.id, sd.id IS NOT NULL AS isseed,
+          CASE WHEN sd.id IS NOT NULL THEN 1.0 / (SELECT s FROM ns)
+            ELSE 0.0 END AS r
+        FROM nodes n LEFT JOIN sd ON sd.id = n.id),
+      d1 AS (SELECT COALESCE(SUM(CAST(floor(p.r * 1e15 + 0.5) AS BIGINT)), 0) AS dm
+        FROM r0 p LEFT JOIN deg ON deg.src = p.id WHERE deg.src IS NULL),
+      c1 AS (SELECT e.dst AS id,
+          CAST(SUM(CAST(floor(p.r / d.c * 1e15 + 0.5) AS BIGINT)) AS DOUBLE) / 1e15 AS contrib
+        FROM eg e JOIN r0 p ON e.src = p.id JOIN deg d ON d.src = e.src GROUP BY 1),
+      r1 AS (SELECT n.id, n.isseed,
+          (CASE WHEN n.isseed THEN (1.0 - 0.85) / (SELECT s FROM ns)
+            ELSE 0.0 END)
+          + 0.85 * (COALESCE(c.contrib, 0.0)
+            + CASE WHEN n.isseed THEN
+                (CAST((SELECT dm FROM d1) AS DOUBLE) / 1e15) / (SELECT s FROM ns)
+              ELSE 0.0 END) AS r
+        FROM r0 n LEFT JOIN c1 c ON n.id = c.id),
+      d2 AS (SELECT COALESCE(SUM(CAST(floor(p.r * 1e15 + 0.5) AS BIGINT)), 0) AS dm
+        FROM r1 p LEFT JOIN deg ON deg.src = p.id WHERE deg.src IS NULL),
+      c2 AS (SELECT e.dst AS id,
+          CAST(SUM(CAST(floor(p.r / d.c * 1e15 + 0.5) AS BIGINT)) AS DOUBLE) / 1e15 AS contrib
+        FROM eg e JOIN r1 p ON e.src = p.id JOIN deg d ON d.src = e.src GROUP BY 1),
+      r2 AS (SELECT n.id, n.isseed,
+          (CASE WHEN n.isseed THEN (1.0 - 0.85) / (SELECT s FROM ns)
+            ELSE 0.0 END)
+          + 0.85 * (COALESCE(c.contrib, 0.0)
+            + CASE WHEN n.isseed THEN
+                (CAST((SELECT dm FROM d2) AS DOUBLE) / 1e15) / (SELECT s FROM ns)
+              ELSE 0.0 END) AS r
+        FROM r1 n LEFT JOIN c2 c ON n.id = c.id),
+      d3 AS (SELECT COALESCE(SUM(CAST(floor(p.r * 1e15 + 0.5) AS BIGINT)), 0) AS dm
+        FROM r2 p LEFT JOIN deg ON deg.src = p.id WHERE deg.src IS NULL),
+      c3 AS (SELECT e.dst AS id,
+          CAST(SUM(CAST(floor(p.r / d.c * 1e15 + 0.5) AS BIGINT)) AS DOUBLE) / 1e15 AS contrib
+        FROM eg e JOIN r2 p ON e.src = p.id JOIN deg d ON d.src = e.src GROUP BY 1),
+      r3 AS (SELECT n.id, n.isseed,
+          (CASE WHEN n.isseed THEN (1.0 - 0.85) / (SELECT s FROM ns)
+            ELSE 0.0 END)
+          + 0.85 * (COALESCE(c.contrib, 0.0)
+            + CASE WHEN n.isseed THEN
+                (CAST((SELECT dm FROM d3) AS DOUBLE) / 1e15) / (SELECT s FROM ns)
+              ELSE 0.0 END) AS r
+        FROM r2 n LEFT JOIN c3 c ON n.id = c.id)
+      SELECT id, CAST(floor(r * 1e9 + 0.5) AS BIGINT) AS rank_e9
+      FROM r3 ORDER BY id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7220,5 +7296,6 @@ object Queries {
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
     qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap,
     qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline,
-    qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson)
+    qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson,
+    qPersonalizedPagerank)
 }

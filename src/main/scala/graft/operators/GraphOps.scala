@@ -81,6 +81,70 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank — [[pagerank]] with the restart vector
+    * concentrated on a SEED set (uniform over seeds) instead of all
+    * nodes: the random surfer teleports home, so rank measures proximity
+    * TO THE SEEDS, the primitive behind who-to-follow / related-items
+    * recommendation. Dangling mass returns to the seeds too (the surfer
+    * restarts), keeping total mass exactly 1.
+    *
+    * Same execution discipline as [[pagerank]]: one Spark job per power
+    * iteration via eager checkpoint, contribution folds quantized to
+    * 1e-15 scaled longs (bit-portable across engines and partition
+    * orders), dangling fold as an in-plan 1-row crossJoin. Nodes
+    * unreachable from the seeds report rank 0 — they ARE the answer's
+    * complement, not noise. */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint()
+    val seedSet = seeds.select(col("id").cast("long").as("id")).distinct()
+    // seed flag joined once onto the node table; restart math reuses it
+    val flagged = nodes
+      .join(seedSet.withColumn("_isSeed", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("_isSeed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val ns = flagged.filter(col("is_seed")).count().toDouble
+    require(ns > 0, "personalizedPagerank needs at least one seed in the graph")
+    val restart = when(col("is_seed"), lit(1.0) / lit(ns)).otherwise(lit(0.0))
+
+    var ranks = flagged.select(col("id"), col("is_seed"), restart.as("r"))
+    for (_ <- 1 to iters) {
+      val withDeg = ranks
+        .join(deg, ranks("id") === deg("src"), "left_outer")
+        .select(col("id"), col("r"), col("deg"))
+      val danglingDf = withDeg.filter(col("deg").isNull)
+        .agg((coalesce(sum(floor(col("r") * lit(1e15) + lit(0.5))), lit(0L))
+          .cast("double") / lit(1e15)).as("dm"))
+      val contribs = e
+        .join(
+          withDeg.filter(col("deg").isNotNull).withColumnRenamed("id", "src"),
+          Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg((sum(floor(col("r") / col("deg") * lit(1e15) + lit(0.5))).cast("double")
+          / lit(1e15)).as("contrib"))
+      val next = flagged
+        .join(contribs, Seq("id"), "left_outer")
+        .crossJoin(danglingDf)
+        .select(col("id"), col("is_seed"),
+          (when(col("is_seed"), (lit(1.0) - lit(damping)) / lit(ns))
+            .otherwise(lit(0.0)) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              when(col("is_seed"), col("dm") / lit(ns)).otherwise(lit(0.0))))
+            .as("r"))
+      ranks = next.localCheckpoint()
+    }
+    ranks.select(col("id"), col("r"))
+  }
+
   /** Multi-source BFS hop distances over an undirected edge list: the
     * minimum number of hops from any seed node, up to `maxHops`. Returns
     * `(node, hops)` for every reachable node (seeds at hop 0). The shape

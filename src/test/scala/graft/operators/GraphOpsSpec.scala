@@ -105,6 +105,26 @@ class PmiDriftSpec extends AnyFunSuite {
     assert(out("g2") == (1L, 250000L))
   }
 
+  test("personalizedPagerank concentrates mass near the seed and conserves it") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val r = GraphOps.personalizedPagerank(edges, seeds, iters = 2)
+      .as[(Long, Double)].collect().toMap
+    // hand-iterate: r=(1,0) -> (0.15, 0.85) -> (0.15+0.85^2, 0.85*0.15)
+    assert(math.abs(r(1L) - 0.8725) < 1e-9)
+    assert(math.abs(r(2L) - 0.1275) < 1e-9)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // mass conserved
+  }
+
+  test("personalizedPagerank: nodes unreachable from seeds stay at zero") {
+    // two disconnected pairs; seed only in the first
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val r = GraphOps.personalizedPagerank(edges, Seq(1L).toDF("id"), 3)
+      .as[(Long, Double)].collect().toMap
+    assert(r(3L) === 0.0 && r(4L) === 0.0)
+    assert(r(1L) > 0.0 && r(2L) > 0.0)
+  }
+
   test("linkPrediction scores square diagonals, skips existing edges") {
     // cycle 1-2-3-4-1: the only non-edges are the diagonals (1,3), (2,4),
     // each closed by two degree-2 wedges
