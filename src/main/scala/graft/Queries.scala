@@ -7241,6 +7241,59 @@ object Queries {
       SELECT id, CAST(floor(r * 1e9 + 0.5) AS BIGINT) AS rank_e9
       FROM r3 ORDER BY id"""))
 
+  /** Class separation ([[SimilarityOps.classSeparation]]): per-label
+    * cohesion (mean member→centroid cosine) and confusability (nearest
+    * other centroid), all from exact decimal folds. */
+  private val qClassSeparation = QuerySpec(
+    "q_class_separation",
+    (s, dir) =>
+      SimilarityOps.classSeparation(t(s, dir, "embeddings"))
+        .orderBy("label"),
+    Some("""WITH cent AS (SELECT label, pos,
+          CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,6))) AS DOUBLE)
+            / COUNT(x) AS c
+        FROM (SELECT label, unnest(embedding) AS x,
+              CAST(unnest(generate_series(1, len(embedding))) AS BIGINT)
+                AS pos
+            FROM embeddings) u
+        GROUP BY 1, 2),
+      cn AS (SELECT label, SUM(CAST(c * c AS DECIMAL(38,12))) AS dc
+        FROM cent GROUP BY 1),
+      vx AS (SELECT label, vec_id AS rid,
+          CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS pos,
+          CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      pv AS (SELECT v.label, v.rid,
+          SUM(CAST(v.x * ct.c AS DECIMAL(38,12))) AS dot,
+          SUM(CAST(v.x * v.x AS DECIMAL(38,12))) AS dv
+        FROM vx v JOIN cent ct ON ct.label = v.label AND ct.pos = v.pos
+        GROUP BY 1, 2),
+      pc AS (SELECT p.label,
+          CAST(floor(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(dv AS DOUBLE)) * sqrt(CAST(cn.dc AS DOUBLE)))
+            * 1000000.0 + 0.5) AS BIGINT) AS cos6
+        FROM pv p JOIN cn ON cn.label = p.label),
+      intra AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+          CAST(floor(CAST(SUM(cos6) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+            AS intra_cos_e6
+        FROM pc GROUP BY 1),
+      pairs AS (SELECT a.label AS la, b.label AS lb,
+          SUM(CAST(a.c * b.c AS DECIMAL(38,12))) AS dab
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+        GROUP BY 1, 2),
+      pcos AS (SELECT la, lb,
+          CAST(floor(CAST(dab AS DOUBLE)
+            / (sqrt(CAST(na.dc AS DOUBLE)) * sqrt(CAST(nb.dc AS DOUBLE)))
+            * 1000000.0 + 0.5) AS BIGINT) AS pc6
+        FROM pairs JOIN cn na ON na.label = la JOIN cn nb ON nb.label = lb),
+      near AS (SELECT la AS label, lb AS nearest_label, pc6 AS inter_cos_e6,
+          row_number() OVER (PARTITION BY la ORDER BY pc6 DESC, lb) AS rn
+        FROM pcos)
+      SELECT i.label, i.n_vecs, i.intra_cos_e6, n.nearest_label,
+        n.inter_cos_e6
+      FROM intra i LEFT JOIN near n ON n.label = i.label AND n.rn = 1
+      ORDER BY i.label"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7297,5 +7350,5 @@ object Queries {
     qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap,
     qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline,
     qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson,
-    qPersonalizedPagerank)
+    qPersonalizedPagerank, qClassSeparation)
 }

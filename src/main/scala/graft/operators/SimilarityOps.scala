@@ -668,4 +668,68 @@ object SimilarityOps {
       .select(col("vec_id"), col("cid"),
         coalesce(!col("_drop"), lit(true)).as("kept"))
   }
+
+  /** Embedding-space class-separation audit — the "are these labels even
+    * separable" check run before training on labeled embeddings: per
+    * label, the mean cosine of members to their OWN centroid (cohesion)
+    * and the nearest OTHER centroid with its cosine (confusability).
+    * High intra + low inter = clean classes; two labels nearest to each
+    * other with high inter-cosine = merge/relabel candidates.
+    *
+    * Determinism: centroids come from [[centroids]]' exact decimal
+    * means; every dot product and squared norm folds per-term-quantized
+    * `decimal(38,12)` products (float Σ order never matters), and
+    * cosines quantize to 1e-6 longs computed from those exact sums.
+    * Nearest-other ties break on the smaller label.
+    *
+    * Scale: the member-dot stage is one (label,pos)-keyed join against
+    * the centroid table (broadcast-sized: |labels|·dim rows) and one
+    * per-vector rollup — map-side partials, no shuffle of the corpus
+    * beyond its own rollup; the centroid-pair stage is |labels|² on the
+    * summary table. */
+  def classSeparation(df: DataFrame, idCol: String = "vec_id",
+      labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
+    val cent = centroids(df, labelCol, vecCol)
+      .localCheckpoint() // feeds three consumers below; tiny table
+    val dec = "decimal(38,12)"
+    val cnorm = cent.groupBy("label")
+      .agg(sum((col("centroid") * col("centroid")).cast(dec)).as("_dc"))
+    val vx = df.select(col(labelCol).as("label"), col(idCol).as("_rid"),
+        posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .select(col("label"), col("_rid"), (col("_p") + 1).cast("long").as("pos"),
+        col("_x").cast("double").as("_x"))
+    val perVec = vx
+      .join(cent, Seq("label", "pos"))
+      .groupBy("label", "_rid")
+      .agg(sum((col("_x") * col("centroid")).cast(dec)).as("_dot"),
+        sum((col("_x") * col("_x")).cast(dec)).as("_dv"))
+      .join(cnorm, Seq("label"))
+      .select(col("label"),
+        floor(col("_dot").cast("double")
+          / (sqrt(col("_dv").cast("double")) * sqrt(col("_dc").cast("double")))
+          * 1e6 + 0.5).cast("long").as("_cos_e6"))
+    val intra = perVec.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        floor(sum(col("_cos_e6")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("intra_cos_e6"))
+    val ca = cent.select(col("label").as("la"), col("pos"),
+      col("centroid").as("_xa"))
+    val cb = cent.select(col("label").as("lb"), col("pos"),
+      col("centroid").as("_xb"))
+    val pairCos = ca.join(cb, Seq("pos"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy("la", "lb")
+      .agg(sum((col("_xa") * col("_xb")).cast(dec)).as("_dab"))
+      .join(cnorm.select(col("label").as("la"), col("_dc").as("_da")), Seq("la"))
+      .join(cnorm.select(col("label").as("lb"), col("_dc").as("_db")), Seq("lb"))
+      .select(col("la"), col("lb"),
+        floor(col("_dab").cast("double")
+          / (sqrt(col("_da").cast("double")) * sqrt(col("_db").cast("double")))
+          * 1e6 + 0.5).cast("long").as("_pc_e6"))
+    val nearest = pairCos.groupBy(col("la").as("label"))
+      .agg(min_by(struct(col("lb")), struct((-col("_pc_e6")).as("_n"),
+          col("lb"))).getField("lb").as("nearest_label"),
+        max(col("_pc_e6")).as("inter_cos_e6"))
+    intra.join(nearest, Seq("label"), "left_outer")
+  }
 }

@@ -220,4 +220,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 1L, 0L, 0L, 0L),
       (5L, 6L, 0L, 0L, 0L)))
   }
+
+  test("classSeparation: orthogonal classes cohere at 1, confuse at 0") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.classSeparation(emb)
+      .as[(Int, Long, Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq((0, 2L, 1000000L, 1, 0L), (1, 2L, 1000000L, 0, 0L)))
+  }
+
+  test("classSeparation: the nearer of two other centroids wins") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.7071f, 0.7071f), 2) // 45 deg: closest to both 0 and 1
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.classSeparation(emb)
+      .select("label", "nearest_label")
+      .as[(Int, Int)].collect().toMap
+    assert(out(0) === 2 && out(1) === 2)
+    assert(out(2) === 0) // ties at cos 45 deg -> smaller label
+  }
 }
