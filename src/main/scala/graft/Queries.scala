@@ -7294,6 +7294,48 @@ object Queries {
       FROM intra i LEFT JOIN near n ON n.label = i.label AND n.rn = 1
       ORDER BY i.label"""))
 
+  /** Graph profile ([[GraphOps.graphProfile]]): one-row structural
+    * summary with exact-decimal degree assortativity. */
+  private val qGraphProfile = QuerySpec(
+    "q_graph_profile",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("src"))
+      val b = li.select(col("ok").as("ok2"), col("pk").as("dst"))
+      val edges = a.join(b, col("ok") === col("ok2") && col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.graphProfile(edges)
+    },
+    Some("""WITH e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      d AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) nn
+        GROUP BY 1),
+      ends AS (SELECT da.dg AS x, db.dg AS y
+        FROM (SELECT u AS a, v AS b FROM e
+          UNION ALL SELECT v AS a, u AS b FROM e) dd
+        JOIN d da ON da.n = dd.a JOIN d db ON db.n = dd.b),
+      m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM ends),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          CAST(MAX(dg) AS BIGINT) AS max_degree FROM d)
+      SELECT n_nodes, n_edges, max_degree,
+        CAST(floor(n_edges * 2.0 / n_nodes * 1000000.0 + 0.5) AS BIGINT)
+          AS avg_degree_e6,
+        CAST(floor((n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+          * 1000000.0 + 0.5) AS BIGINT) AS assortativity_e6
+      FROM c, nd, m"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7350,5 +7392,5 @@ object Queries {
     qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap,
     qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline,
     qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson,
-    qPersonalizedPagerank, qClassSeparation)
+    qPersonalizedPagerank, qClassSeparation, qGraphProfile)
 }

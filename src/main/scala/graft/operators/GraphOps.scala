@@ -145,6 +145,53 @@ object GraphOps {
     ranks.select(col("id"), col("r"))
   }
 
+  /** One-row graph profile — the summary a pipeline logs before running
+    * anything heavier on an edge list: node/edge counts, max and mean
+    * degree, and degree ASSORTATIVITY (Pearson correlation of endpoint
+    * degrees over all directed edge-ends — positive: hubs link hubs,
+    * like collaboration networks; negative: hubs link leaves, like the
+    * web). The assortativity decides which skew mitigations the later
+    * ops need, which is why it belongs in the profile.
+    *
+    * Correlation folds exact `decimal(38,6)` sums (wide enough for
+    * degree² sums at any realistic scale — the 18-digit default would
+    * overflow at ~10⁹-edge hub graphs), so the statistic is
+    * engine-stable; released quantized to 1e-6. Everything else is
+    * integer. Two shuffles (distinct + degree agg) and a broadcast-sized
+    * join of degrees onto edge-ends. */
+  def graphProfile(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val dirEnds = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+      .join(deg.select(col("n").as("a"), col("dg").as("x")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("dg").as("y")), Seq("b"))
+    val dec = "decimal(38,6)"
+    val corr = dirEnds.agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(col("x").cast(dec)).cast("double").as("_sx"),
+      sum(col("y").cast(dec)).cast("double").as("_sy"),
+      sum((col("x") * col("y")).cast(dec)).cast("double").as("_sxy"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("_sxx"),
+      sum((col("y") * col("y")).cast(dec)).cast("double").as("_syy"))
+    val counts = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        max(col("dg")).as("max_degree")))
+    counts.crossJoin(corr)
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        floor(col("n_edges") * lit(2.0) / col("n_nodes") * 1e6 + 0.5)
+          .cast("long").as("avg_degree_e6"),
+        floor((col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+          / (sqrt(col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+            * sqrt(col("_n") * col("_syy") - col("_sy") * col("_sy")))
+          * 1e6 + 0.5).cast("long").as("assortativity_e6"))
+  }
+
   /** Multi-source BFS hop distances over an undirected edge list: the
     * minimum number of hops from any seed node, up to `maxHops`. Returns
     * `(node, hops)` for every reachable node (seeds at hop 0). The shape

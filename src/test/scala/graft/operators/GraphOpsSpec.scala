@@ -105,6 +105,14 @@ class PmiDriftSpec extends AnyFunSuite {
     assert(out("g2") == (1L, 250000L))
   }
 
+  test("graphProfile: star graph is maximally disassortative") {
+    // star: center degree 4, leaves degree 1 -> assortativity -1
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val out = GraphOps.graphProfile(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(out === ((5L, 4L, 4L, 1600000L, -1000000L)))
+  }
+
   test("personalizedPagerank concentrates mass near the seed and conserves it") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val seeds = Seq(1L).toDF("id")
