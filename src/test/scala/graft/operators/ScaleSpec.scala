@@ -401,6 +401,62 @@ class ScaleSpec extends AnyFunSuite {
       s"dpMean is one hash aggregation:\n$dmPlan")
   }
 
+  test("round-7 batch-4 ops: keyed windows partition, kernels don't shuffle, joins stay equi") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    val ev = (1 to 400).map(i =>
+      (s"g${i % 3}", i.toLong, i.toLong, (i % 13).toDouble))
+      .toDF("g", "t", "id", "x")
+    // keyed window/agg ops must never collapse to one partition
+    for ((name, df) <- Seq(
+        "scd2Build" -> QualityOps.scd2Build(ev, col("g"), col("t"),
+          col("id"), col("x")),
+        "interpolate" -> GroupOps.interpolateMissing(ev, col("g"), col("t"),
+          col("id"), col("x")),
+        "goldenRecord" -> QualityOps.goldenRecord(ev, col("g"), col("t"),
+          col("id"), Seq("x")),
+        "seasonalNaive" -> StatsOps.seasonalNaiveError(ev, col("g"),
+          col("t"), col("x"), 10L, 2),
+        "eventKgrams" -> AnalyticsOps.eventKgrams(ev, col("g"), col("t"),
+          col("id"), col("x").cast("string")),
+        "maxConcurrency" -> AnalyticsOps.maxConcurrency(ev, Seq(col("g")),
+          col("t"), col("t") + 5),
+        "mode" -> StatsOps.mode(ev, Seq(col("g")), col("x")),
+        "trimmedMean" -> StatsOps.trimmedMean(ev, Seq(col("g")), col("x"),
+          0.1),
+        "wilson" -> StatsOps.wilsonInterval(ev, Seq(col("g")),
+          col("id") % 2 === 0),
+        "rollingAnomalies" -> StatsOps.rollingAnomalies(ev, col("g"),
+          col("t"), col("id"), col("x"), 5, 3.0))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name collapsed to one partition:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian")
+    }
+
+    // goldenRecord is ONE hash aggregation: no window, no join
+    val grPlan = plan(QualityOps.goldenRecord(ev, col("g"), col("t"),
+      col("id"), Seq("x")))
+    assert(!grPlan.contains("Window") && !grPlan.contains("Join"),
+      s"goldenRecord must be a bare aggregation:\n$grPlan")
+
+    // editDistancePairs: deletion-variant equi-join, never a nested loop
+    val names = (1 to 150).map(i => s"name$i").toDF("nm")
+    val edPlan = plan(DedupOps.editDistancePairs(names, col("nm")))
+    assert(!edPlan.contains("CartesianProduct") &&
+      !edPlan.contains("BroadcastNestedLoopJoin"),
+      s"editDistancePairs must stay equi-joined:\n$edPlan")
+
+    // multimodal kernels: payload rows never shuffle
+    val wav = Seq((1L, MultimodalOps.encodeWavPcm16(
+      Array.tabulate[Short](32)(_.toShort)))).toDF("id", "payload")
+    assert(!plan(MultimodalOps.audioFrameFeatures(wav, "id", "payload"))
+      .contains("Exchange"), "audioFrameFeatures must not shuffle")
+    assert(!plan(MultimodalOps.frameDiffs(wav, "id", "payload"))
+      .contains("Exchange"), "frameDiffs must not shuffle")
+  }
+
   test("importanceWeights: bucket log-ratio table broadcasts back to the doc rollup") {
     val docs = (0 until 300).map(i => (i.toLong, s"tok$i common word${i % 7}", i % 3 == 0))
       .toDF("doc_id", "text", "is_t")
