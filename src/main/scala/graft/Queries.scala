@@ -7336,6 +7336,45 @@ object Queries {
           * 1000000.0 + 0.5) AS BIGINT) AS assortativity_e6
       FROM c, nd, m"""))
 
+  /** Skew report ([[SkewOps.skewReport]]): per-key concentration summary
+    * of lineitem order keys — the salting decision's evidence. */
+  private val qSkewReport = QuerySpec(
+    "q_skew_report",
+    (s, dir) =>
+      SkewOps.skewReport(t(s, dir, "lineitem"), col("l_orderkey")),
+    Some("""WITH c AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+      r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+          COUNT(*) OVER () AS nk FROM c),
+      p AS (SELECT c AS p99_count FROM r
+        WHERE rn = CAST(ceil(nk * 0.99) AS BIGINT)),
+      t AS (SELECT CAST(k AS VARCHAR) AS top_key, c AS max_count
+        FROM (SELECT k, c,
+            row_number() OVER (ORDER BY c DESC, k) AS rr FROM c) z
+        WHERE rr = 1),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+          CAST(SUM(c) AS BIGINT) AS n_rows FROM c)
+      SELECT n_keys, n_rows, max_count, p99_count, top_key,
+        CAST(floor(CAST(max_count AS DOUBLE) / n_rows * 1000000.0 + 0.5)
+          AS BIGINT) AS max_share_e6
+      FROM s, t, p"""))
+
+  /** Join-size estimate ([[SkewOps.joinSizeEstimate]]): exact orders ⋈
+    * lineitem cardinality from the key tables alone. */
+  private val qJoinSize = QuerySpec(
+    "q_join_size",
+    (s, dir) =>
+      SkewOps.joinSizeEstimate(t(s, dir, "orders"), col("o_orderkey"),
+          t(s, dir, "lineitem"), col("l_orderkey")),
+    Some("""WITH ca AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT)
+          AS ca FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+      cb AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1)
+      SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS join_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+        CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT) AS max_key_product
+      FROM ca JOIN cb ON ca.k = cb.k"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7392,5 +7431,6 @@ object Queries {
     qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap,
     qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline,
     qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson,
-    qPersonalizedPagerank, qClassSeparation, qGraphProfile)
+    qPersonalizedPagerank, qClassSeparation, qGraphProfile,
+    qSkewReport, qJoinSize)
 }

@@ -59,4 +59,59 @@ object SkewOps {
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Key-skew report — the DIAGNOSTIC that decides whether the salting
+    * ops above are even needed: one row per side-wide summary with the
+    * distinct key count, total rows, max and p99 per-key counts (exact,
+    * rank-based), the heaviest key's share (1e-6), and the heaviest key
+    * itself (smallest-key tiebreak). A max share near 1/parallelism means
+    * a plain shuffle stragglers; the report is the evidence.
+    *
+    * Two hash aggregations (rows→key counts→summary) plus one window on
+    * the count table for the exact p99 — the window runs over |keys|
+    * rows, not data rows. */
+  def skewReport(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(key.as("k")).filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c"))
+    val ranked = counts
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_nk", count(lit(1)).over(Window.partitionBy()))
+    val p99 = ranked
+      .filter(col("_rn") === ceil(col("_nk") * 0.99).cast("long"))
+      .select(col("c").as("p99_count"))
+    val top = counts
+      .agg(min_by(struct(col("k")), struct((-col("c")).as("_nc"), col("k")))
+        .getField("k").cast("string").as("top_key"),
+        max(col("c")).as("max_count"))
+    counts.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"))
+      .crossJoin(top).crossJoin(p99)
+      .select(col("n_keys"), col("n_rows"), col("max_count"),
+        col("p99_count"), col("top_key"),
+        floor(col("max_count").cast("double") / col("n_rows") * 1e6 + 0.5)
+          .cast("long").as("max_share_e6"))
+  }
+
+  /** Exact join-cardinality estimate WITHOUT running the join — the
+    * shuffle-planning question ("how many rows will this equi-join
+    * emit?") answered from the two sides' per-key count tables:
+    * `|A ⋈ B| = Σ_k cA(k)·cB(k)`, which is exact, plus each side's
+    * heaviest matching key product (the biggest single-task blowup a
+    * skewed join would face). The count tables are |keys|-sized — this
+    * costs two aggregations and a key-table join, never the join's
+    * output. Returns one row
+    * `(join_rows, n_matching_keys, max_key_product)`. */
+  def joinSizeEstimate(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column): DataFrame = {
+    val ca = left.select(leftKey.as("k")).filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("ca"))
+    val cb = right.select(rightKey.as("k")).filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("cb"))
+    ca.join(cb, Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("join_rows"),
+        count(lit(1)).as("n_matching_keys"),
+        coalesce(max(col("ca") * col("cb")), lit(0L))
+          .as("max_key_product"))
+  }
 }

@@ -45,6 +45,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
   }
 
+  test("skewReport and joinSizeEstimate match hand-computed tables") {
+    val left = (Seq.fill(6)("hot") ++ Seq("a", "b")).toDF("k")
+    val rep = SkewOps.skewReport(left, col("k"))
+      .as[(Long, Long, Long, Long, String, Long)].collect().head
+    // 3 keys, 8 rows, max 6; p99 rank = ceil(3*0.99)=3 -> the max key
+    assert(rep === ((3L, 8L, 6L, 6L, "hot", 750000L)))
+
+    val right = Seq("hot", "hot", "a", "zzz").toDF("k")
+    val est = SkewOps.joinSizeEstimate(left, col("k"), right, col("k"))
+      .as[(Long, Long, Long)].collect().head
+    // hot: 6*2=12, a: 1*1=1; b and zzz unmatched
+    assert(est === ((13L, 2L, 12L)))
+    val joined = left.join(right.withColumnRenamed("k", "k2"),
+      col("k") === col("k2")).count()
+    assert(joined === 13L) // the estimate is exact by construction
+  }
+
   test("saltedJoin equals the plain join on a skewed left side") {
     val left = ((1 to 500).map(_ => (1, "hot")) ++ Seq((2, "cold"))).toDF("key", "lv")
     val right = Seq((1, "r1"), (2, "r2")).toDF("key", "rv")
