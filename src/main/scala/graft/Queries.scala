@@ -7375,6 +7375,98 @@ object Queries {
         CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT) AS max_key_product
       FROM ca JOIN cb ON ca.k = cb.k"""))
 
+  /** Streaming anomaly counting ([[graft.streaming.StreamOps.anomalyCounts]]):
+    * a REAL 3-batch mapGroupsWithState run — O(1) integer state per key,
+    * each event tested against the all-history baseline BEFORE folding,
+    * exact BigInt z² test. The oracle replays the identical flags as
+    * prefix sums over the (batch, id) order in HUGEINT. */
+  private val qStreamAnomaly = QuerySpec(
+    "q_stream_anomaly",
+    (s, dir) => {
+      import s.implicits._
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_anom_src_$sfName")
+      val outDir = s"/tmp/graft_anom_out_$sfName"
+      val ckpt = s"/tmp/graft_anom_ckpt_$sfName"
+      def rmTree(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.delete(q); () })
+        }
+      }
+      Seq(srcDir.toString, outDir, ckpt).foreach(rmTree)
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"))
+      (0 until 3).foreach { b =>
+        val tmp = s"$srcDir/_stage_$b"
+        ev.filter(TextFunctions.portableBucket(col("event_id"), 3) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          srcDir.resolve(s"split_$b.parquet"))
+        rmTree(tmp)
+      }
+      val feed = s.readStream
+        .schema("event_type STRING, event_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .select(col("event_type").as("key"), col("event_id").as("id"),
+          floor(col("value") * 1e3 + 0.5).cast("long").as("valueE3"))
+        .as[graft.streaming.StreamOps.AnomEvent]
+      val updates = graft.streaming.StreamOps.anomalyCounts(feed,
+        minPrior = 20L, threshold = 3L)
+      val q = pinnedParts(s, 8)(updates.toDF().writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            batch.coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/batch_$id")
+            ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      q.awaitTermination()
+      val batchDirs = new java.io.File(outDir).listFiles()
+        .filter(_.getName.startsWith("batch_")).map(_.toString).sorted.toSeq
+      // per key: the LAST cumulative state (max events-seen row)
+      s.read.parquet(batchDirs: _*)
+        .groupBy(col("key").as("event_type"))
+        .agg(max(col("nSeen")).as("n_seen"),
+          max(col("nScored")).as("n_scored"),
+          max(col("nFlagged")).as("n_flagged"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT event_type AS k, event_id AS id,
+          CAST(floor(CAST(value AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS x,
+          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 3 AS bk
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+          AND event_id IS NOT NULL),
+      w AS (SELECT k, x,
+          COUNT(*) OVER wp AS n, SUM(x) OVER wp AS s, SUM(x * x) OVER wp AS ss
+        FROM b WINDOW wp AS (PARTITION BY k ORDER BY bk, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      f AS (SELECT k,
+          CASE WHEN n >= 20 THEN 1 ELSE 0 END AS sc,
+          CASE WHEN n >= 20
+            AND (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) > 0
+            AND CAST(x * n - s AS HUGEINT) * (x * n - s) * (n - 1)
+              > 9 * CAST(n AS HUGEINT)
+                * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+          THEN 1 ELSE 0 END AS fl
+        FROM w)
+      SELECT k AS event_type, CAST(COUNT(*) AS BIGINT) AS n_seen,
+        CAST(SUM(sc) AS BIGINT) AS n_scored,
+        CAST(SUM(fl) AS BIGINT) AS n_flagged
+      FROM f GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7432,5 +7524,5 @@ object Queries {
     qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline,
     qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson,
     qPersonalizedPagerank, qClassSeparation, qGraphProfile,
-    qSkewReport, qJoinSize)
+    qSkewReport, qJoinSize, qStreamAnomaly)
 }

@@ -169,4 +169,58 @@ object StreamOps {
           SessionUpdate(userId, st.nSessions, st.nEvents)
       }
   }
+
+  /** One observation on a keyed value stream, quantized to 1e-3. */
+  case class AnomEvent(key: String, id: Long, valueE3: Long)
+  /** Welford-equivalent EXACT integer state: count, Σx and Σx² of the
+    * 1e-3-quantized values seen so far, plus scored/flagged counters.
+    * Longs suffice for the sums (|x_e3| ≤ 1e6 ⇒ Σx² ≤ 1e12·n); the
+    * per-row test runs in BigInt so nothing inside overflows either. */
+  case class AnomState(n: Long, sE3: Long, ssE6: Long,
+      scored: Long, flagged: Long)
+  case class AnomUpdate(key: String, nSeen: Long, nScored: Long,
+      nFlagged: Long)
+
+  /** Streaming anomaly counting via mapGroupsWithState — the stateful
+    * twin of StatsOps.rollingAnomalies with an UNBOUNDED (all-history)
+    * baseline, the shape a production alerting pipeline runs: per key the
+    * state is three integers (exact count/sum/sum-of-squares — O(1), not
+    * a window buffer), each arriving event is tested against the state
+    * BEFORE folding in (an anomaly must not mask itself), and the test
+    * `z² > threshold²` is evaluated in EXACT integer arithmetic
+    * (`(x·n − s)²·(n−1) > t²·n·(n·ss − s²)` via BigInt), so a replay in
+    * any engine — including the SQL oracle's prefix-sum formulation —
+    * flags the identical rows. Events sort by id within each batch;
+    * cross-batch order is the feed's batch order, which the caller pins
+    * (file-per-trigger fixtures). Scoring starts after `minPrior`
+    * observations. */
+  def anomalyCounts(events: Dataset[AnomEvent], minPrior: Long,
+      threshold: Long): Dataset[AnomUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState[AnomState, AnomUpdate](GroupStateTimeout.NoTimeout) {
+        case (key, evs, state: GroupState[AnomState]) =>
+          var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L, 0L, 0L))
+          evs.toSeq.sortBy(_.id).foreach { e =>
+            val x = e.valueE3
+            var scored = st.scored
+            var flagged = st.flagged
+            if (st.n >= minPrior) {
+              scored += 1
+              val n = BigInt(st.n); val s = BigInt(st.sE3)
+              val ss = BigInt(st.ssE6)
+              val varTerm = n * ss - s * s
+              val dev = BigInt(x) * n - s
+              if (varTerm > 0 &&
+                  dev * dev * (n - 1) > BigInt(threshold * threshold) * n * varTerm)
+                flagged += 1
+            }
+            st = AnomState(st.n + 1, st.sE3 + x, st.ssE6 + x * x,
+              scored, flagged)
+          }
+          state.update(st)
+          AnomUpdate(key, st.n, st.scored, st.flagged)
+      }
+  }
 }

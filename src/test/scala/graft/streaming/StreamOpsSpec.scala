@@ -142,4 +142,30 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(last == Set((1L, 2L, 3L), (2L, 1L, 1L)))
     } finally q.stop()
   }
+
+  test("anomalyCounts: spike flagged against all-history integer state") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    // alternating 1.0/2.0 baseline (ids 1..29), then a 100.0 spike (id 30)
+    val evs = ((1 to 29).map(i =>
+      graft.streaming.StreamOps.AnomEvent("g", i.toLong,
+        if (i % 2 == 0) 2000L else 1000L)) :+
+      graft.streaming.StreamOps.AnomEvent("g", 30L, 100000L)).toDS()
+    val out = graft.streaming.StreamOps
+      .anomalyCounts(evs, minPrior = 20L, threshold = 3L)
+      .collect().head
+    // ids 21..30 scored (10); only the spike exceeds 3 sigma
+    assert(out === graft.streaming.StreamOps.AnomUpdate("g", 30L, 10L, 1L))
+  }
+
+  test("anomalyCounts: zero-variance baseline never divides by zero") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val evs = (1 to 25).map(i =>
+      graft.streaming.StreamOps.AnomEvent("g", i.toLong, 1000L)).toDS()
+    val out = graft.streaming.StreamOps
+      .anomalyCounts(evs, minPrior = 20L, threshold = 3L)
+      .collect().head
+    assert(out.nScored === 5L && out.nFlagged === 0L)
+  }
 }
