@@ -7467,6 +7467,57 @@ object Queries {
         CAST(SUM(fl) AS BIGINT) AS n_flagged
       FROM f GROUP BY 1 ORDER BY 1"""))
 
+  /** Ratio-to-parent ([[AnalyticsOps.shareOfTotal]]): revenue share of
+    * each (returnflag, linestatus) cell within flag and overall. */
+  private val qShareOfTotal = QuerySpec(
+    "q_share_of_total",
+    (s, dir) =>
+      AnalyticsOps.shareOfTotal(t(s, dir, "lineitem"), col("l_returnflag"),
+          col("l_linestatus"), col("l_extendedprice"))
+        .orderBy("parent", "child"),
+    Some("""WITH c AS (SELECT l_returnflag AS parent,
+          l_linestatus AS child,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS t
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+      w AS (SELECT parent, child, t,
+          SUM(t) OVER (PARTITION BY parent) AS pt, SUM(t) OVER () AS gt
+        FROM c)
+      SELECT parent, child, round(CAST(t AS DOUBLE), 6) AS total,
+        CAST(floor(CAST(t AS DOUBLE) / CAST(pt AS DOUBLE) * 1000000.0
+          + 0.5) AS BIGINT) AS parent_share_e6,
+        CAST(floor(CAST(t AS DOUBLE) / CAST(gt AS DOUBLE) * 1000000.0
+          + 0.5) AS BIGINT) AS grand_share_e6
+      FROM w ORDER BY 1, 2"""))
+
+  /** Burstiness ([[AnalyticsOps.burstiness]]): inter-event-gap B index
+    * per event type over per-user histories. */
+  private val qBurstiness = QuerySpec(
+    "q_burstiness",
+    (s, dir) =>
+      AnalyticsOps.burstiness(t(s, dir, "events"), col("event_type"),
+          col("user_id"), unix_micros(col("ts")), col("event_id"))
+        .orderBy("g"),
+    Some("""WITH b AS (SELECT event_type AS g, user_id AS u,
+          epoch_us(ts) AS t, event_id AS id
+        FROM events WHERE ts IS NOT NULL),
+      l AS (SELECT g,
+          t - lag(t) OVER (PARTITION BY g, u ORDER BY t, id) AS gap
+        FROM b),
+      a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          SUM(CAST(gap AS DECIMAL(38,0))) AS s,
+          SUM(CAST(CAST(gap AS DECIMAL(38,0)) * gap AS DECIMAL(38,0))) AS ss
+        FROM l WHERE gap IS NOT NULL GROUP BY 1),
+      m AS (SELECT g, n_gaps, CAST(s AS DOUBLE) / n_gaps AS mu,
+          sqrt((CAST(ss AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_gaps)
+            / (n_gaps - 1)) AS sd
+        FROM a WHERE n_gaps >= 2)
+      SELECT g, n_gaps, CAST(floor(mu + 0.5) AS BIGINT) AS mean_gap_us,
+        CAST(floor(sd / mu * 1000000.0 + 0.5) AS BIGINT) AS cv_e6,
+        CAST(floor((sd - mu) / (sd + mu) * 1000000.0 + 0.5) AS BIGINT)
+          AS burstiness_e6
+      FROM m ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7524,5 +7575,5 @@ object Queries {
     qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline,
     qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson,
     qPersonalizedPagerank, qClassSeparation, qGraphProfile,
-    qSkewReport, qJoinSize, qStreamAnomaly)
+    qSkewReport, qJoinSize, qStreamAnomaly, qShareOfTotal, qBurstiness)
 }

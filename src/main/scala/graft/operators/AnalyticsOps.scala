@@ -440,6 +440,66 @@ object AnalyticsOps {
       .filter(col("n_occurrences") >= minSupport)
   }
 
+  /** Ratio-to-parent shares — the reporting staple behind every drill-down
+    * table: per (parent, child) cell, its exact-decimal measure total, the
+    * share of its parent's total, and the share of the grand total, both
+    * 1e-6-quantized. Two window sums over the CELL table (|parents·children|
+    * rows, not data rows) — the fact table aggregates once and never joins
+    * back. */
+  def shareOfTotal(df: DataFrame, parent: Column, child: Column,
+      measure: Column): DataFrame = {
+    val cells = df.select(parent.as("parent"), child.as("child"),
+        measure.cast("decimal(18,6)").as("_m"))
+      .filter(col("_m").isNotNull)
+      .groupBy("parent", "child")
+      .agg(sum(col("_m")).as("_t"))
+    val wp = Window.partitionBy("parent")
+    val wg = Window.partitionBy()
+    cells
+      .withColumn("_pt", sum(col("_t")).over(wp))
+      .withColumn("_gt", sum(col("_t")).over(wg))
+      .select(col("parent"), col("child"),
+        round(col("_t").cast("double"), 6).as("total"),
+        floor(col("_t").cast("double") / col("_pt").cast("double") * 1e6
+          + 0.5).cast("long").as("parent_share_e6"),
+        floor(col("_t").cast("double") / col("_gt").cast("double") * 1e6
+          + 0.5).cast("long").as("grand_share_e6"))
+  }
+
+  /** Temporal burstiness per group — the inter-event-gap statistic that
+    * separates steady heartbeats from bursty sessions (Goh & Barabási's
+    * `B = (σ−μ)/(σ+μ)`: −1 periodic, 0 Poisson, →1 bursty). Gaps are
+    * exact integer microseconds per subject (ordered by ts, id; one gap
+    * per consecutive pair), folded per group with exact decimal moments,
+    * then the scalar B and coefficient of variation quantize to 1e-6.
+    * Groups need ≥ 2 gaps for a sample σ; others drop out. Shape: one
+    * subject-partitioned window + one group aggregation. */
+  def burstiness(events: DataFrame, group: Column, subject: Column,
+      tsUs: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy("_g", "_u").orderBy(col("_t"), col("_id"))
+    val dec = "decimal(38,0)"
+    events.select(group.as("_g"), subject.as("_u"), tsUs.as("_t"),
+        id.as("_id"))
+      .filter(col("_t").isNotNull)
+      .withColumn("_gap", col("_t") - lag(col("_t"), 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .groupBy(col("_g").as("g"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_gap").cast(dec)).as("_s"),
+        sum((col("_gap").cast(dec) * col("_gap")).cast(dec)).as("_ss"))
+      .filter(col("n_gaps") >= 2)
+      .withColumn("_mu", col("_s").cast("double") / col("n_gaps"))
+      .withColumn("_sd",
+        sqrt((col("_ss").cast("double")
+          - col("_s").cast("double") * col("_s").cast("double")
+            / col("n_gaps")) / (col("n_gaps") - 1)))
+      .select(col("g"), col("n_gaps"),
+        floor(col("_mu") + 0.5).cast("long").as("mean_gap_us"),
+        floor(col("_sd") / col("_mu") * 1e6 + 0.5).cast("long").as("cv_e6"),
+        floor((col("_sd") - col("_mu")) / (col("_sd") + col("_mu")) * 1e6
+          + 0.5).cast("long").as("burstiness_e6"))
+  }
+
   /** Peak concurrency per group: the maximum number of intervals open at
     * once — capacity planning's first question against session/interval
     * data. Classic boundary sweep: each interval emits a +1 at start and

@@ -146,6 +146,35 @@ class GovernanceCorpusSpec extends AnyFunSuite {
     assert(out === ((4L, 1L, 1L, 333333L)))
   }
 
+  test("shareOfTotal: cell shares sum to the parent and grand totals") {
+    val df = Seq(("p1", "a", 10.0), ("p1", "b", 30.0), ("p2", "c", 60.0))
+      .toDF("p", "c", "m")
+    val out = AnalyticsOps.shareOfTotal(df, col("p"), col("c"), col("m"))
+      .as[(String, String, Double, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._4, r._5)).toMap
+    assert(out(("p1", "a")) === ((250000L, 100000L)))
+    assert(out(("p1", "b")) === ((750000L, 300000L)))
+    assert(out(("p2", "c")) === ((1000000L, 600000L)))
+  }
+
+  test("burstiness: periodic gaps score -1, variance lifts it") {
+    // subject with perfectly periodic gaps: sd 0 -> B = -1, CV = 0
+    val periodic = (0 to 4).map(i => ("g", 1L, i * 100L, i.toLong))
+      .toDF("g", "u", "t", "id")
+    val outP = AnalyticsOps.burstiness(periodic, col("g"), col("u"),
+        col("t"), col("id"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(outP === (("g", 4L, 100L, 0L, -1000000L)))
+    // bursty: gaps 1,1,1,997 -> B well above -1
+    val bursty = Seq(0L, 1L, 2L, 3L, 1000L).zipWithIndex
+      .map { case (t, i) => ("g", 1L, t, i.toLong) }
+      .toDF("g", "u", "t", "id")
+    val outB = AnalyticsOps.burstiness(bursty, col("g"), col("u"),
+        col("t"), col("id"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(outB._5 > 0L) // sd > mu for this spread
+  }
+
   test("topPaths counts ordered opening sequences with support floor") {
     val ev = Seq(
       (1L, 1L, 10L, "view"), (1L, 2L, 11L, "click"),
