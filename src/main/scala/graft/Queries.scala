@@ -7518,6 +7518,71 @@ object Queries {
           AS burstiness_e6
       FROM m ORDER BY 1"""))
 
+  /** Cross-corpus near-dup ([[DedupOps.crossDedupPairs]]): documents vs
+    * an offset-id third of itself — every planted duplicate must surface
+    * at jaccard 1.0 plus the natural near-dups; candidates come only
+    * from the A×B band join. */
+  private val qCrossDedup = QuerySpec(
+    "q_cross_dedup",
+    (s, dir) => {
+      val a = t(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      DedupOps.crossDedupPairs(a, col("doc_id"), col("text"),
+          b, col("doc_id"), col("text"),
+          shingleSize = 5, bands = 4, rowsPerBand = 2, minJaccard = 0.2)
+        .orderBy("a", "b")
+    },
+    Some("""WITH da AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(toks) - 4),
+            i -> array_to_string(toks[i:i+4], ' '))) AS shingles
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                  AS toks
+              FROM documents) t
+        WHERE len(toks) >= 5),
+      db AS (SELECT doc_id + 10000 AS doc_id, shingles FROM da
+        WHERE doc_id % 3 = 0),
+      siga AS (SELECT doc_id, shingles,
+          list_min(list_transform(shingles, s -> substr(md5(s), 1, 16))) AS mh0,
+          list_min(list_transform(shingles, s -> substr(md5(s), 3, 16))) AS mh1,
+          list_min(list_transform(shingles, s -> substr(md5(s), 5, 16))) AS mh2,
+          list_min(list_transform(shingles, s -> substr(md5(s), 7, 16))) AS mh3,
+          list_min(list_transform(shingles, s -> substr(md5(s), 9, 16))) AS mh4,
+          list_min(list_transform(shingles, s -> substr(md5(s), 11, 16))) AS mh5,
+          list_min(list_transform(shingles, s -> substr(md5(s), 13, 16))) AS mh6,
+          list_min(list_transform(shingles, s -> substr(md5(s), 15, 16))) AS mh7
+        FROM da),
+      sigb AS (SELECT doc_id, shingles,
+          list_min(list_transform(shingles, s -> substr(md5(s), 1, 16))) AS mh0,
+          list_min(list_transform(shingles, s -> substr(md5(s), 3, 16))) AS mh1,
+          list_min(list_transform(shingles, s -> substr(md5(s), 5, 16))) AS mh2,
+          list_min(list_transform(shingles, s -> substr(md5(s), 7, 16))) AS mh3,
+          list_min(list_transform(shingles, s -> substr(md5(s), 9, 16))) AS mh4,
+          list_min(list_transform(shingles, s -> substr(md5(s), 11, 16))) AS mh5,
+          list_min(list_transform(shingles, s -> substr(md5(s), 13, 16))) AS mh6,
+          list_min(list_transform(shingles, s -> substr(md5(s), 15, 16))) AS mh7
+        FROM db),
+      bda AS (SELECT doc_id, b,
+          CASE b WHEN 0 THEN mh0 || '|' || mh1 WHEN 1 THEN mh2 || '|' || mh3
+                 WHEN 2 THEN mh4 || '|' || mh5 ELSE mh6 || '|' || mh7 END AS key
+        FROM siga, range(4) r(b)),
+      bdb AS (SELECT doc_id, b,
+          CASE b WHEN 0 THEN mh0 || '|' || mh1 WHEN 1 THEN mh2 || '|' || mh3
+                 WHEN 2 THEN mh4 || '|' || mh5 ELSE mh6 || '|' || mh7 END AS key
+        FROM sigb, range(4) r(b)),
+      pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bda x JOIN bdb y ON x.b = y.b AND x.key = y.key)
+      SELECT a, b, jaccard FROM (
+        SELECT p.a, p.b,
+          ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+            AS jaccard
+        FROM pairs p JOIN da sa ON p.a = sa.doc_id
+                     JOIN db sb ON p.b = sb.doc_id) v
+      WHERE jaccard >= 0.2 ORDER BY a, b"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7575,5 +7640,6 @@ object Queries {
     qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline,
     qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson,
     qPersonalizedPagerank, qClassSeparation, qGraphProfile,
-    qSkewReport, qJoinSize, qStreamAnomaly, qShareOfTotal, qBurstiness)
+    qSkewReport, qJoinSize, qStreamAnomaly, qShareOfTotal, qBurstiness,
+    qCrossDedup)
 }

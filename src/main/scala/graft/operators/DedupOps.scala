@@ -188,6 +188,54 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** CROSS-corpus near-dup pairs — [[minhashLsh]] restricted to pairs
+    * that span two corpora: the "is my training set contaminated by this
+    * eval set / crawl dump" question at minhash granularity (the n-gram
+    * [[crossContamination]] check is exact-substring; this catches
+    * paraphrased/partial overlap). Each corpus builds its own minhash
+    * band table; candidates come from an A×B join on band keys (never
+    * within-corpus — those pairs are [[minhashLsh]]'s job), per-side
+    * bucket caps bound the hot-band blowup, and exact Jaccard verifies
+    * survivors. Emits `(a, b, jaccard)` with a from the left corpus.
+    *
+    * Scale: the band join shuffles on the band key with both sides
+    * capped; shingle arrays ride only on the verified-pair joins. */
+  def crossDedupPairs(
+      dfA: DataFrame, idA: Column, textA: Column,
+      dfB: DataFrame, idB: Column, textB: Column,
+      shingleSize: Int = 5, bands: Int = 4, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sa = shingleSignatures(dfA, idA, textA, shingleSize, numHashes)
+      .localCheckpoint()
+    val sb = shingleSignatures(dfB, idB, textB, shingleSize, numHashes)
+      .localCheckpoint()
+    def banded(s: DataFrame): DataFrame = s.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        concat_ws("|", lit(b).cast("string") +:
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+      }: _*)).as("bk")).distinct()
+    val ba = banded(sa)
+    val bb = banded(sb)
+    def capped(b: DataFrame): DataFrame = b.join(
+      b.groupBy("bk").agg(count(lit(1)).as("_c"))
+        .filter(col("_c") <= maxBucket).select("bk"), Seq("bk"))
+    val pairs = capped(ba).select(col("bk"), col("doc_id").as("a"))
+      .join(capped(bb).select(col("bk"), col("doc_id").as("b")), Seq("bk"))
+      .select("a", "b").dropDuplicates("a", "b")
+    pairs
+      .join(sa.select(col("doc_id").as("a"), col("shingles").as("_sa")), "a")
+      .join(sb.select(col("doc_id").as("b"), col("shingles").as("_sb")), "b")
+      .select(col("a"), col("b"),
+        round(
+          size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+            size(array_union(col("_sa"), col("_sb"))).cast("double"),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Per-row 64-bit SimHash over whitespace tokens, emitted as a 64-char bit
     * string (portable across engines; avoids signed-long edge cases).
     * bit_j = sign of Σ over tokens of (bit j of md5(token) ? +1 : -1).

@@ -221,6 +221,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (5L, 6L, 0L, 0L, 0L)))
   }
 
+  test("crossDedupPairs finds only cross-corpus duplicates") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = Seq((1L, base), (2L, "one two three four five six seven"))
+      .toDF("id", "tx")
+    val b = Seq((10L, base),                      // duplicate of a:1
+      (11L, "cold dark matter halo spin bias x")) // unrelated
+      .toDF("id", "tx")
+    val out = DedupOps.crossDedupPairs(a, col("id"), col("tx"),
+        b, col("id"), col("tx"), minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 10L, 1.0)))
+  }
+
   test("classSeparation: orthogonal classes cohere at 1, confuse at 0") {
     val spark2 = graft.TestSpark.spark
     import spark2.implicits._
