@@ -7583,6 +7583,63 @@ object Queries {
                      JOIN db sb ON p.b = sb.doc_id) v
       WHERE jaccard >= 0.2 ORDER BY a, b"""))
 
+  /** Tokenizer fertility: tokens-per-character per language — the
+    * budget-planning ratio (how many tokens a TB of each language costs);
+    * exact integer sums, 1e-6-quantized ratio. */
+  private val qFertility = QuerySpec(
+    "q_fertility",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .withColumn("tokens_per_char_e6",
+          floor(col("n_tokens") * lit(1000000.0) / col("n_chars") + 0.5)
+            .cast("long"))
+        .orderBy("lang"),
+    Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+          x -> x <> ''))) AS BIGINT) AS n_tokens,
+        CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        CAST(floor(SUM(len(list_filter(string_split_regex(text, '\s+'),
+            x -> x <> ''))) * 1000000.0 / SUM(length(text)) + 0.5)
+          AS BIGINT) AS tokens_per_char_e6
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** PII incidence audit: emails planted into every 10th doc, counted
+    * per source with the redaction regex — the rate report a privacy
+    * review starts from (the redact op removes; this MEASURES). */
+  private val qPiiRate = QuerySpec(
+    "q_pii_rate",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("_tx",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" contact: user"), col("doc_id"),
+              lit("@example.com")))
+            .otherwise(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(regexp_extract_all(col("_tx"),
+            lit("\\S+@\\S+\\.\\S+"), lit(0))).cast("long")).as("n_emails"))
+        .withColumn("rate_e6",
+          floor(col("n_emails") * lit(1000000.0) / col("n_docs") + 0.5)
+            .cast("long"))
+        .orderBy("source"),
+    Some("""WITH d AS (SELECT source,
+          CASE WHEN doc_id % 10 = 0
+            THEN text || ' contact: user' || doc_id || '@example.com'
+            ELSE text END AS tx
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(tx, '\S+@\S+\.\S+'))) AS BIGINT)
+          AS n_emails,
+        CAST(floor(SUM(len(regexp_extract_all(tx, '\S+@\S+\.\S+')))
+          * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS rate_e6
+      FROM d GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7641,5 +7698,5 @@ object Queries {
     qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson,
     qPersonalizedPagerank, qClassSeparation, qGraphProfile,
     qSkewReport, qJoinSize, qStreamAnomaly, qShareOfTotal, qBurstiness,
-    qCrossDedup)
+    qCrossDedup, qFertility, qPiiRate)
 }
