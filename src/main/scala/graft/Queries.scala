@@ -7640,6 +7640,62 @@ object Queries {
           * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS rate_e6
       FROM d GROUP BY 1 ORDER BY 1"""))
 
+  /** KS test ([[StatsOps.ksTest]]): even- vs odd-user value
+    * distributions per event type, exact cross-product CDF gaps. */
+  private val qKsTest = QuerySpec(
+    "q_ks_test",
+    (s, dir) =>
+      StatsOps.ksTest(t(s, dir, "events"), Seq(col("event_type")),
+          col("user_id") % 2 === 0, col("value"))
+        .orderBy("event_type"),
+    Some("""WITH b AS (SELECT event_type AS g, (user_id % 2 = 0) AS a,
+          CAST(value AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      w AS (SELECT g, x,
+          SUM(CASE WHEN a THEN 1 ELSE 0 END) OVER wc AS ca,
+          SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) OVER wc AS cb,
+          SUM(CASE WHEN a THEN 1 ELSE 0 END) OVER wa AS na,
+          SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) OVER wa AS nb
+        FROM b WINDOW wc AS (PARTITION BY g ORDER BY x
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wa AS (PARTITION BY g)),
+      m AS (SELECT g, x, na, nb, abs(ca * nb - cb * na) AS gap,
+          MAX(abs(ca * nb - cb * na)) OVER (PARTITION BY g) AS mx
+        FROM w WHERE na > 0 AND nb > 0)
+      SELECT g AS event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+        CAST(MAX(nb) AS BIGINT) AS n_b,
+        CAST(floor(CAST(MAX(mx) AS DOUBLE)
+          / (CAST(MAX(na) AS DOUBLE) * MAX(nb)) * 1000000.0 + 0.5)
+          AS BIGINT) AS d_e6,
+        MIN(x) AS at_value
+      FROM m WHERE gap = mx GROUP BY 1 ORDER BY 1"""))
+
+  /** Mutual information ([[StatsOps.mutualInformation]]): event_type vs
+    * user-id bucket, per-cell quantized terms, one-row release. */
+  private val qMutualInformation = QuerySpec(
+    "q_mutual_information",
+    (s, dir) =>
+      StatsOps.mutualInformation(t(s, dir, "events"), col("event_type"),
+          (col("user_id") % 10).cast("string")),
+    Some("""WITH b AS (SELECT event_type AS x,
+          CAST(user_id % 10 AS VARCHAR) AS y
+        FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      c AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+        FROM b GROUP BY 1, 2),
+      mx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cx FROM b GROUP BY 1),
+      my AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cy FROM b GROUP BY 1),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+      e AS (SELECT n,
+          CAST(floor(CAST(cxy AS DOUBLE)
+            * ln(CAST(cxy AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy))
+            * 1000000000000.0 + 0.5) AS BIGINT) AS te
+        FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t)
+      SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT)
+          AS n_cells,
+        CAST(floor(CAST(SUM(te) AS DOUBLE) / MAX(n) / 1000.0 + 0.5)
+          AS BIGINT) AS mi_e9
+      FROM e"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7698,5 +7754,5 @@ object Queries {
     qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson,
     qPersonalizedPagerank, qClassSeparation, qGraphProfile,
     qSkewReport, qJoinSize, qStreamAnomaly, qShareOfTotal, qBurstiness,
-    qCrossDedup, qFertility, qPiiRate)
+    qCrossDedup, qFertility, qPiiRate, qKsTest, qMutualInformation)
 }

@@ -392,6 +392,78 @@ object StatsOps {
           .as("hi_e6")): _*)
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic per group — the
+    * distribution-shift detector that sees what mean/variance tests miss
+    * (a variance swap with equal means sails through a t-test; KS
+    * catches it): `D = max_x |F₁(x) − F₂(x)|` over the pooled sample.
+    * Computed EXACTLY in integers: at each pooled value boundary the
+    * cumulative counts c₁, c₂ satisfy `|F₁−F₂| = |c₁·n₂ − c₂·n₁|/(n₁n₂)`,
+    * so the argmax compares exact long cross-products — no float CDFs.
+    * Emits `(group, n_a, n_b, d_e6, at_value)` with the FIRST value
+    * attaining the max (smallest, deterministic). Cohorts with an empty
+    * side drop out. One window over (group, value) + one rollup. */
+  def ksTest(df: DataFrame, groupCols: Seq[Column], cohortA: Column,
+      value: Column): DataFrame = {
+    val keyed = df.select(groupCols ++ Seq(cohortA.as("_a"),
+      value.cast("double").as("_x")): _*)
+      .filter(col("_x").isNotNull && col("_a").isNotNull)
+    val gNames = keyed.columns.dropRight(2)
+    val g = gNames.map(col)
+    // cumulative per-cohort counts INCLUDING the full tie block at _x
+    val wCum = Window.partitionBy(g: _*)
+      .orderBy(col("_x")).rangeBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(g: _*)
+    keyed
+      .withColumn("_ia", when(col("_a"), 1L).otherwise(0L))
+      .withColumn("_ib", when(!col("_a"), 1L).otherwise(0L))
+      .withColumn("_ca", sum(col("_ia")).over(wCum))
+      .withColumn("_cb", sum(col("_ib")).over(wCum))
+      .withColumn("_na", sum(col("_ia")).over(wAll))
+      .withColumn("_nb", sum(col("_ib")).over(wAll))
+      .filter(col("_na") > 0 && col("_nb") > 0)
+      // |c1*n2 - c2*n1|: exact long (counts <= ~1e9 squared stays < 2^63)
+      .withColumn("_gap",
+        abs(col("_ca") * col("_nb") - col("_cb") * col("_na")))
+      .withColumn("_mx", max(col("_gap")).over(wAll))
+      .filter(col("_gap") === col("_mx"))
+      .groupBy(g: _*)
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(col("_mx")).as("_m"), min(col("_x")).as("at_value"))
+      .select(g ++ Seq(col("n_a"), col("n_b"),
+        floor(col("_m").cast("double")
+          / (col("n_a").cast("double") * col("n_b")) * 1e6 + 0.5)
+          .cast("long").as("d_e6"),
+        col("at_value")): _*)
+  }
+
+  /** Mutual information between two categorical columns — the
+    * feature-relevance / redundancy measure in nats:
+    * `I = Σ p(x,y)·ln(p(x,y)·n / (c_x·c_y))`. Each cell's term is
+    * computed from exact counts and quantized to a 1e-12-scaled long
+    * BEFORE the sum (the usual float-fold discipline: libm log is
+    * engine-stable per call; only summation order isn't), so the released
+    * total is exact given the hash-portable per-cell terms. Emits ONE row
+    * `(n, n_cells, mi_e9)`. Two hash aggregations (cells, margins) plus
+    * a broadcast-sized margin join. */
+  def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val base = df.select(a.as("_x"), b.as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    val cells = base.groupBy("_x", "_y").agg(count(lit(1)).as("_cxy"))
+    val ma = base.groupBy("_x").agg(count(lit(1)).as("_cx"))
+    val mb = base.groupBy("_y").agg(count(lit(1)).as("_cy"))
+    val tot = base.agg(count(lit(1)).as("_n"))
+    cells.join(ma, Seq("_x")).join(mb, Seq("_y")).crossJoin(tot)
+      // term scaled by n so p(x,y) needn't divide: n·I = Σ cxy·ln(cxy·n/(cx·cy))
+      .withColumn("_t_e12",
+        floor(col("_cxy").cast("double")
+          * log(col("_cxy").cast("double") * col("_n")
+            / (col("_cx").cast("double") * col("_cy"))) * 1e12 + 0.5)
+          .cast("long"))
+      .agg(max(col("_n")).as("n"), count(lit(1)).as("n_cells"),
+        floor(sum(col("_t_e12")).cast("double") / max(col("_n")) / 1e3
+          + 0.5).cast("long").as("mi_e9"))
+  }
+
   /** Exact weighted quantile per group: the smallest value whose
     * cumulative weight reaches `q` of the group's total weight (the
     * inverse-CDF / lower-interpolation convention — exact set semantics,

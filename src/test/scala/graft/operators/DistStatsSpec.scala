@@ -204,6 +204,35 @@ class DistStatsSpec extends AnyFunSuite {
     assert(out._5 > 0L && out._6 < 1000000L)     // Wilson never escapes [0,1]
   }
 
+  test("ksTest: disjoint supports give D = 1 at the lower sample's max") {
+    val df = Seq(("g", true, 1.0), ("g", true, 2.0),
+      ("g", false, 3.0), ("g", false, 4.0)).toDF("grp", "a", "x")
+    val out = StatsOps.ksTest(df, Seq(col("grp")), col("a"), col("x"))
+      .as[(String, Long, Long, Long, Double)].collect().head
+    assert(out === (("g", 2L, 2L, 1000000L, 2.0)))
+  }
+
+  test("ksTest: identical cohorts have D = 0") {
+    val df = Seq(("g", true, 1.0), ("g", false, 1.0),
+      ("g", true, 2.0), ("g", false, 2.0)).toDF("grp", "a", "x")
+    val out = StatsOps.ksTest(df, Seq(col("grp")), col("a"), col("x"))
+      .as[(String, Long, Long, Long, Double)].collect().head
+    assert(out._4 === 0L)
+  }
+
+  test("mutualInformation: perfect dependence scores ln(2), independence 0") {
+    val dep = (Seq.fill(10)(("a", "1")) ++ Seq.fill(10)(("b", "2")))
+      .toDF("x", "y")
+    val mi = StatsOps.mutualInformation(dep, col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().head
+    assert(mi._1 === 20L && mi._2 === 2L)
+    assert(math.abs(mi._3 - math.floor(math.log(2.0) * 1e9 + 0.5)) <= 1L)
+    val ind = Seq(("a", "1"), ("a", "2"), ("b", "1"), ("b", "2"))
+      .toDF("x", "y")
+    assert(StatsOps.mutualInformation(ind, col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().head._3 === 0L)
+  }
+
   test("weightedQuantile: median honors weights, not row counts") {
     val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0))
       .toDF("grp", "x", "w")
