@@ -7696,6 +7696,59 @@ object Queries {
           AS BIGINT) AS mi_e9
       FROM e"""))
 
+  /** HITS ([[GraphOps.hits]]): hub/authority scores over the directed
+    * co-purchase graph, 2 iterations, oracle-unrolled half-step by
+    * half-step in the same scaled-long arithmetic. */
+  private val qHits = QuerySpec(
+    "q_hits",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fwd = li.select(col("l_partkey").cast("long").as("src"),
+        (lit(1000000000L) + col("l_suppkey")).cast("long").as("dst"))
+      val back = li.filter(col("l_suppkey") % 2 === 0)
+        .select((lit(1000000000L) + col("l_suppkey")).cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))
+      GraphOps.hits(fwd.union(back).distinct(), iters = 2)
+        .orderBy("id")
+    },
+    Some("""WITH eg AS (
+        SELECT DISTINCT l_partkey AS src, 1000000000 + l_suppkey AS dst FROM lineitem
+        UNION
+        SELECT DISTINCT 1000000000 + l_suppkey AS src, l_partkey AS dst
+        FROM lineitem WHERE l_suppkey % 2 = 0),
+      nodes AS (SELECT DISTINCT id
+        FROM (SELECT src AS id FROM eg UNION ALL SELECT dst AS id FROM eg) u),
+      a1r AS (SELECT dst AS id, SUM(CAST(1000000000000000 AS BIGINT)) AS raw
+        FROM eg GROUP BY 1),
+      a1 AS (SELECT n.id, COALESCE(CAST(floor(CAST(r.raw AS DOUBLE)
+            / (SELECT MAX(raw) FROM a1r) * 1000000000000000.0 + 0.5)
+          AS BIGINT), 0) AS a
+        FROM nodes n LEFT JOIN a1r r ON r.id = n.id),
+      h1r AS (SELECT e.src AS id, SUM(a1.a) AS raw
+        FROM eg e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+      h1 AS (SELECT n.id, COALESCE(CAST(floor(CAST(r.raw AS DOUBLE)
+            / (SELECT MAX(raw) FROM h1r) * 1000000000000000.0 + 0.5)
+          AS BIGINT), 0) AS h
+        FROM nodes n LEFT JOIN h1r r ON r.id = n.id),
+      a2r AS (SELECT e.dst AS id, SUM(h1.h) AS raw
+        FROM eg e JOIN h1 ON h1.id = e.src GROUP BY 1),
+      a2 AS (SELECT n.id, COALESCE(CAST(floor(CAST(r.raw AS DOUBLE)
+            / (SELECT MAX(raw) FROM a2r) * 1000000000000000.0 + 0.5)
+          AS BIGINT), 0) AS a
+        FROM nodes n LEFT JOIN a2r r ON r.id = n.id),
+      h2r AS (SELECT e.src AS id, SUM(a2.a) AS raw
+        FROM eg e JOIN a2 ON a2.id = e.dst GROUP BY 1),
+      h2 AS (SELECT n.id, COALESCE(CAST(floor(CAST(r.raw AS DOUBLE)
+            / (SELECT MAX(raw) FROM h2r) * 1000000000000000.0 + 0.5)
+          AS BIGINT), 0) AS h
+        FROM nodes n LEFT JOIN h2r r ON r.id = n.id)
+      SELECT h2.id,
+        CAST(floor(CAST(h2.h AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT)
+          AS hub_e9,
+        CAST(floor(CAST(a2.a AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT)
+          AS auth_e9
+      FROM h2 JOIN a2 ON a2.id = h2.id ORDER BY h2.id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7754,5 +7807,6 @@ object Queries {
     qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson,
     qPersonalizedPagerank, qClassSeparation, qGraphProfile,
     qSkewReport, qJoinSize, qStreamAnomaly, qShareOfTotal, qBurstiness,
-    qCrossDedup, qFertility, qPiiRate, qKsTest, qMutualInformation)
+    qCrossDedup, qFertility, qPiiRate, qKsTest, qMutualInformation,
+    qHits)
 }

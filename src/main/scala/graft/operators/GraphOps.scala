@@ -192,6 +192,56 @@ object GraphOps {
           * 1e6 + 0.5).cast("long").as("assortativity_e6"))
   }
 
+  /** HITS hubs & authorities over a directed edge list — PageRank's
+    * bipartite sibling (Kleinberg): authorities are pointed at by good
+    * hubs, hubs point at good authorities; on directed interaction
+    * graphs (buyer→product, page→cited-page) the two roles carry
+    * different signals than one PageRank score. Fixed iteration count,
+    * max-normalization each half-step.
+    *
+    * Exactness discipline: scores LIVE as 1e-15-scaled longs — each
+    * half-step folds exact longs (Σ over in/out edges), divides by the
+    * max in double (engine-stable on exact inputs), and re-quantizes —
+    * so no float summation order exists anywhere. One Spark job per
+    * half-step via eager checkpoint (the [[pagerank]] pattern). Emits
+    * `(id, hub_e9, auth_e9)`; no-out-edge nodes have hub 0, no-in-edge
+    * nodes authority 0. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val E15 = 1e15
+    var hub = nodes.select(col("id"), lit(E15.toLong).as("h"))
+    var auth = nodes.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("_raw"))
+      val aMax = aRaw.agg(max(col("_raw")).as("_mx"))
+      auth = nodes.join(aRaw, Seq("id"), "left_outer").crossJoin(aMax)
+        .select(col("id"),
+          coalesce(floor(col("_raw").cast("double") / col("_mx") * E15
+            + 0.5), lit(0L)).cast("long").as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("_raw"))
+      val hMax = hRaw.agg(max(col("_raw")).as("_mx"))
+      hub = nodes.join(hRaw, Seq("id"), "left_outer").crossJoin(hMax)
+        .select(col("id"),
+          coalesce(floor(col("_raw").cast("double") / col("_mx") * E15
+            + 0.5), lit(0L)).cast("long").as("h"))
+        .localCheckpoint()
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id"),
+        floor(col("h").cast("double") / 1e6 + 0.5).cast("long").as("hub_e9"),
+        floor(col("a").cast("double") / 1e6 + 0.5).cast("long").as("auth_e9"))
+  }
+
   /** Multi-source BFS hop distances over an undirected edge list: the
     * minimum number of hops from any seed node, up to `maxHops`. Returns
     * `(node, hops)` for every reachable node (seeds at hop 0). The shape

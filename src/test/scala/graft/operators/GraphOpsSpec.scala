@@ -105,6 +105,16 @@ class PmiDriftSpec extends AnyFunSuite {
     assert(out("g2") == (1L, 250000L))
   }
 
+  test("hits separates hub and authority roles on a fan-in graph") {
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphOps.hits(edges, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // 1 and 2 are pure equal hubs; 3 is the only authority
+    assert(out(1L) === ((1000000000L, 0L)))
+    assert(out(2L) === ((1000000000L, 0L)))
+    assert(out(3L) === ((0L, 1000000000L)))
+  }
+
   test("graphProfile: star graph is maximally disassortative") {
     // star: center degree 4, leaves degree 1 -> assortativity -1
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
