@@ -7749,6 +7749,383 @@ object Queries {
           AS auth_e9
       FROM h2 JOIN a2 ON a2.id = h2.id ORDER BY h2.id"""))
 
+  /** TPC-H Q7 shape (volume shipping between two nations): the 5-way
+    * join macro — lineitem through orders/supplier/customer out to TWO
+    * nation dimension roles, revenue by (supp_nation, cust_nation, ship
+    * year) for one nation pair in both directions. Both nation dims are
+    * broadcast (25 rows); the fact-side joins stay equi-keyed shuffles
+    * that AQE re-plans; the pair filter prunes AFTER the dims attach,
+    * exactly the selectivity the optimizer must push through. */
+  private val qTpchQ7 = QuerySpec(
+    "q_tpch_q7",
+    (s, dir) => {
+      import AggOps.sumExact
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val su = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("_cnk"), col("n_name").as("cust_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("_snk"))
+        .join(broadcast(n2), col("c_nationkey") === col("_cnk"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** TPC-H Q9 shape (product-type profit): parts selected by a substring
+    * of p_name, profit per supplier nation and ship year. (Adapted: the
+    * synthetic schema has no partsupp, so supply cost is proxied as
+    * 0.6 × p_retailprice — the join/aggregate SHAPE, a name-LIKE part
+    * filter feeding a 4-way fact join into a two-level group-by, is what
+    * the macro exercises.) Part filter evaluates before the join so the
+    * scan prunes; nation is broadcast. */
+  private val qTpchQ9 = QuerySpec(
+    "q_tpch_q9",
+    (s, dir) => {
+      import AggOps.sumExact
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - lit(0.6) * col("p_retailprice") * col("l_quantity"))
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            - 0.6 * p_retailprice * l_quantity
+          AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2 ORDER BY 1, 2 DESC"""))
+
+  /** TPC-H Q13 shape (customer order-count distribution): the double
+    * aggregation over a LEFT OUTER join — customers with zero orders must
+    * survive into the c_count=0 bucket, which an inner join silently
+    * drops. First group-by is per-customer (shuffles on custkey), second
+    * runs on the tiny count-histogram. */
+  private val qTpchQ13 = QuerySpec(
+    "q_tpch_q13",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1) t
+      GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier, then
+    * the argmax released by joining the revenue table against its own
+    * 1-row MAX (broadcast crossJoin — never a window over all suppliers,
+    * never a driver collect). Revenue folds through exact decimal so the
+    * equality against the max is reproducible bit-for-bit in any engine. */
+  private val qTpchQ15 = QuerySpec(
+    "q_tpch_q15",
+    (s, dir) => {
+      import AggOps.sumExact
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+      val su = t(s, dir, "supplier")
+      val rev = l.groupBy(col("l_suppkey"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("_mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("_mx"))
+        .join(su, col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH rev AS (SELECT l_suppkey,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      ORDER BY s_suppkey"""))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated-
+    * average macro — lines of one brand whose quantity is under 20% of
+    * that part's average quantity. The per-part average is a separate
+    * aggregate joined back (aggregate-then-join-back, as in Q18), NOT a
+    * window — the agg partial-combines map-side and the join-back key set
+    * is only the brand's parts, which AQE broadcasts. The average is
+    * exact-decimal-sum / count so the 20% threshold compares identically
+    * across engines. */
+  private val qTpchQ17 = QuerySpec(
+    "q_tpch_q17",
+    (s, dir) => {
+      import AggOps.sumExact
+      val pk = t(s, dir, "part").filter(col("p_brand") === "Brand#5")
+        .select(col("p_partkey"))
+      val lf = t(s, dir, "lineitem")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      val avgq = lf.groupBy(col("l_partkey").as("_ap"))
+        .agg((sumExact(col("l_quantity")) / count(lit(1)) * lit(0.2))
+          .as("_qlim"))
+      lf.join(avgq, col("l_partkey") === col("_ap"))
+        .filter(col("l_quantity") < col("_qlim"))
+        .agg(round(sumExact(col("l_extendedprice")) / lit(7.0), 6)
+          .as("avg_yearly"))
+    },
+    Some("""WITH lf AS (SELECT l.* FROM lineitem l
+        JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#5'),
+      a AS (SELECT l_partkey AS ap,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            / COUNT(*) * 0.2 AS qlim
+        FROM lf GROUP BY 1)
+      SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+          AS DOUBLE) / 7.0, 6) AS avg_yearly
+      FROM lf JOIN a ON ap = l_partkey WHERE l_quantity < qlim"""))
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS /
+    * NOT-EXISTS macro — suppliers who were the ONLY late supplier on a
+    * finished multi-supplier order. (Adapted: "late" = shipped >60 days
+    * after the order date, as in [[qTpchQ4]].) Both correlated
+    * subqueries become one left_semi (another supplier exists on the
+    * order) and one left_anti (no OTHER late supplier) against
+    * de-duplicated (order, supplier) sets — each an equi-keyed shuffle
+    * join, no per-order windows, no cartesian. */
+  private val qTpchQ21 = QuerySpec(
+    "q_tpch_q21",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val l = t(s, dir, "lineitem")
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val allSupp = l
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        .distinct()
+      val su = t(s, dir, "supplier")
+      late
+        .join(allSupp, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+          "left_semi")
+        .join(late.select(col("ok").as("ok3"), col("sk").as("sk3")),
+          col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        .join(su, col("s_suppkey") === col("sk"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    Some("""WITH late AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+      alls AS (SELECT DISTINCT l_orderkey AS ok2, l_suppkey AS sk2
+        FROM lineitem)
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM late JOIN supplier ON s_suppkey = late.sk
+      WHERE EXISTS (SELECT 1 FROM alls
+          WHERE ok2 = late.ok AND sk2 <> late.sk)
+        AND NOT EXISTS (SELECT 1 FROM late l2
+          WHERE l2.ok = late.ok AND l2.sk <> late.sk)
+      GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100"""))
+
+  /** TPC-H Q22 shape (global sales opportunity): above-average-balance
+    * customers with NO orders, grouped by a synthetic country code.
+    * (Adapted: no phone column — cntrycode = c_nationkey mod 5.) The
+    * average-positive-balance scalar attaches as a broadcast 1-row
+    * crossJoin (never a recomputed subquery per row), the no-orders
+    * predicate is a left_anti on custkey, and the balance sum folds
+    * through exact decimal. */
+  private val qTpchQ22 = QuerySpec(
+    "q_tpch_q22",
+    (s, dir) => {
+      import AggOps.sumExact
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val thr = c.filter(col("c_acctbal") > lit(0.0))
+        .agg((sumExact(col("c_acctbal")) / count(lit(1))).as("_avg"))
+      c.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("_avg"))
+        .join(o.select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(pmod(col("c_nationkey"), lit(5)).cast("long")
+          .as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sumExact(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    },
+    Some("""SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+        CAST(COUNT(*) AS BIGINT) AS numcust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+            AS DOUBLE) / COUNT(*)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Spearman rank correlation ([[StatsOps.spearman]]): per return flag,
+    * monotone association between quantity and extended price. */
+  private val qSpearman = QuerySpec(
+    "q_spearman",
+    (s, dir) => StatsOps.spearman(t(s, dir, "lineitem"),
+        Seq(col("l_returnflag")), col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_returnflag"),
+    Some("""WITH k AS (SELECT l_returnflag AS g,
+          CAST(l_quantity AS DOUBLE) AS x,
+          CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      r AS (SELECT g,
+          2 * rank() OVER (PARTITION BY g ORDER BY x)
+            + COUNT(*) OVER (PARTITION BY g, x) - 1 AS rx,
+          2 * rank() OVER (PARTITION BY g ORDER BY y)
+            + COUNT(*) OVER (PARTITION BY g, y) - 1 AS ry
+        FROM k),
+      a AS (SELECT g, COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+          SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+        FROM r GROUP BY 1),
+      m AS (SELECT g, n,
+          CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+          CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+          CAST(n * syy - sy * sy AS DOUBLE) AS vy
+        FROM a)
+      SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        CASE WHEN vx > 0 AND vy > 0
+          THEN round(covn / sqrt(vx * vy), 6) END AS rho
+      FROM m ORDER BY 1"""))
+
+  /** One-way ANOVA ([[StatsOps.anovaF]]): does mean extended price
+    * differ across return flags, within each line status. */
+  private val qAnova = QuerySpec(
+    "q_anova",
+    (s, dir) => StatsOps.anovaF(t(s, dir, "lineitem"),
+        Seq(col("l_linestatus")), col("l_returnflag"),
+        col("l_extendedprice"))
+      .orderBy("l_linestatus"),
+    Some("""WITH k AS (SELECT l_linestatus AS g, l_returnflag AS c,
+          CAST(l_extendedprice AS DOUBLE) AS x
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+      cj AS (SELECT g, c, CAST(COUNT(*) AS BIGINT) AS nj,
+          CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sj,
+          CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS qj
+        FROM k GROUP BY 1, 2),
+      t AS (SELECT g, nj,
+          CAST(floor(sj * sj / nj * 100.0 + 0.5) AS BIGINT) AS bj,
+          CAST(floor(qj * 100.0 + 0.5) AS BIGINT) AS qje,
+          CAST(floor(sj * 100.0 + 0.5) AS BIGINT) AS sje
+        FROM cj),
+      a AS (SELECT g, CAST(SUM(nj) AS BIGINT) AS n,
+          CAST(COUNT(*) AS BIGINT) AS k2, CAST(SUM(bj) AS BIGINT) AS b,
+          CAST(SUM(qje) AS BIGINT) AS q, CAST(SUM(sje) AS BIGINT) AS s
+        FROM t GROUP BY 1),
+      f AS (SELECT g, n, k2,
+          (CAST(b AS DOUBLE) - CAST(s AS DOUBLE) * s / 100.0 / n)
+            / 100.0 AS ssb,
+          CAST(q - b AS DOUBLE) / 100.0 AS ssw
+        FROM a)
+      SELECT g AS l_linestatus, n, k2 AS k,
+        CASE WHEN k2 >= 2 AND n > k2 AND ssw > 0
+          THEN CAST(floor((ssb / (k2 - 1)) / (ssw / (n - k2))
+            * 1000000.0 + 0.5) AS BIGINT) END AS f_e6
+      FROM f ORDER BY 1"""))
+
+  /** Candidate-key profiling ([[QualityOps.keyProfile]]) over customer. */
+  private val qKeyProfile = QuerySpec(
+    "q_key_profile",
+    (s, dir) => QualityOps.keyProfile(t(s, dir, "customer"),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+    Some("""WITH p AS (
+        SELECT 'c_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+          CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null FROM customer
+        UNION ALL
+        SELECT 'c_name', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(DISTINCT c_name) AS BIGINT),
+          CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+          CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+          CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) FROM customer)
+      SELECT "column", n_rows, n_distinct, n_null,
+        CASE WHEN n_rows > n_null
+          THEN CAST(floor(CAST(n_distinct AS DOUBLE) / (n_rows - n_null)
+            * 1000000.0 + 0.5) AS BIGINT) END AS uniqueness_e6,
+        (n_null = 0 AND n_distinct = n_rows) AS is_key
+      FROM p ORDER BY "column""""))
+
+  /** Functional-dependency audit ([[QualityOps.fdViolations]]): does
+    * user_id determine event_type in the events stream (it should not —
+    * the audit counts how badly). */
+  private val qFdCheck = QuerySpec(
+    "q_fd_check",
+    (s, dir) => QualityOps.fdViolations(t(s, dir, "events"),
+      Seq(col("user_id")), col("event_type")),
+    Some("""WITH cells AS (SELECT user_id AS l,
+          COALESCE(CAST(event_type AS VARCHAR), '<null>') AS r,
+          COUNT(*) AS n
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      pl AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS imgs,
+          CAST(SUM(n) AS BIGINT) AS rws
+        FROM cells GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+        CAST(SUM(CASE WHEN imgs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating_lhs,
+        CAST(SUM(CASE WHEN imgs > 1 THEN rws ELSE 0 END) AS BIGINT)
+          AS n_rows_in_violations,
+        CAST(MAX(imgs) AS BIGINT) AS max_rhs_per_lhs
+      FROM pl"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -7808,5 +8185,7 @@ object Queries {
     qPersonalizedPagerank, qClassSeparation, qGraphProfile,
     qSkewReport, qJoinSize, qStreamAnomaly, qShareOfTotal, qBurstiness,
     qCrossDedup, qFertility, qPiiRate, qKsTest, qMutualInformation,
-    qHits)
+    qHits,
+    qTpchQ7, qTpchQ9, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ21, qTpchQ22,
+    qSpearman, qAnova, qKeyProfile, qFdCheck)
 }

@@ -622,4 +622,70 @@ object QualityOps {
             col(c).cast("string"))), 1, 16)))
     }
   }
+
+  /** Candidate-key profiling — the schema-discovery pass a warehouse
+    * onboarding job runs first: for each listed column, exact row /
+    * distinct / null counts and whether the column is a candidate key
+    * (every non-null value unique AND no nulls). One row per column:
+    * `(column, n_rows, n_distinct, n_null, uniqueness_e6, is_key)`,
+    * where uniqueness = distinct / non-null rows (1e-6 quantized).
+    *
+    * All listed columns profile in ONE aggregation — Spark plans the
+    * multi-column distinct set as a single Expand over the scan (k
+    * streams of one pass), not k separate jobs; counts are exact longs,
+    * so the release is hash-stable by construction. Scale: the expand
+    * multiplies rows by k before the hash agg, the standard
+    * distinct-rollup cost; partials combine map-side. */
+  def keyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "keyProfile: no columns listed")
+    val aggs = cols.flatMap { c =>
+      Seq(count_distinct(col(c)).as(s"_d_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_z_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col("_n").as("n_rows"),
+        col(s"_d_$c").as("n_distinct"), col(s"_z_$c").as("n_null"))
+    }
+    one.select(explode(array(stacked: _*)).as("_r"))
+      .select(col("_r.column"), col("_r.n_rows"), col("_r.n_distinct"),
+        col("_r.n_null"))
+      .withColumn("uniqueness_e6",
+        when(col("n_rows") > col("n_null"),
+          floor(col("n_distinct").cast("double")
+            / (col("n_rows") - col("n_null")) * 1e6 + 0.5).cast("long")))
+      .withColumn("is_key",
+        col("n_null") === 0L && col("n_distinct") === col("n_rows"))
+      .orderBy("column")
+  }
+
+  /** Functional-dependency audit for `lhs → rhs`: does each left-hand
+    * value determine exactly one right-hand value? Emits a ONE-ROW
+    * summary `(n_lhs, n_violating_lhs, n_rows_in_violations,
+    * max_rhs_per_lhs)` — the counts a contract check alerts on, not the
+    * violating rows themselves (pair with [[expectations]] to dump
+    * examples). Nulls on the left drop (no key); a null right-hand value
+    * counts as a distinct image (a present-vs-missing conflict IS a
+    * violation), via a sentinel under the same null discipline as
+    * [[bucketChecksums]].
+    *
+    * Scale: two hash aggregations — (lhs, rhs) cells then lhs — both
+    * map-side partial; the summary is a third fold over |lhs| rows. */
+  def fdViolations(df: DataFrame, lhs: Seq[Column], rhs: Column): DataFrame = {
+    require(lhs.nonEmpty, "fdViolations: empty lhs")
+    val cells = df
+      .filter(lhs.map(_.isNotNull).reduce(_ && _))
+      .select(concat_ws("|", lhs.map(_.cast("string")): _*).as("_l"),
+        coalesce(rhs.cast("string"), lit("<null>")).as("_r"))
+      .groupBy(col("_l"), col("_r"))
+      .agg(count(lit(1)).as("_n"))
+    cells.groupBy(col("_l"))
+      .agg(count(lit(1)).as("_imgs"), sum(col("_n")).as("_rows"))
+      .agg(count(lit(1)).as("n_lhs"),
+        sum(when(col("_imgs") > 1L, 1L).otherwise(0L))
+          .as("n_violating_lhs"),
+        sum(when(col("_imgs") > 1L, col("_rows")).otherwise(0L))
+          .as("n_rows_in_violations"),
+        max(col("_imgs")).as("max_rhs_per_lhs"))
+  }
 }

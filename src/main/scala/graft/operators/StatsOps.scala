@@ -493,4 +493,107 @@ object StatsOps {
       .select(g ++ Seq(col("quantile"),
         round(col("total_weight"), 6).as("total_weight")): _*)
   }
+
+  /** Spearman rank correlation per group — Pearson over midranks, the
+    * monotone-association measure that survives outliers and nonlinear
+    * scales (the robust cousin of [[q_correlation]]'s Pearson). Midranks
+    * use the same doubled-integer identity as [[mannWhitneyU]]
+    * (`2·midrank = 2·rank + ties − 1`, exact in longs), and every moment
+    * the correlation needs (Σr, Σr², Σrₓr_y) is an exact integer fold —
+    * the 6-dp release cannot straddle a float summation-order boundary.
+    * Rows with a null on either side drop (complete-case, the standard
+    * convention). Emits `(group…, n, rho)`; rho is null when either
+    * variable is constant (zero rank variance).
+    *
+    * Scale: two rank windows + one aggregation, all shuffling on the
+    * group key only; no pairwise stage exists (the rank identity replaces
+    * the O(n²) concordance formulation). */
+  def spearman(df: DataFrame, groupCols: Seq[Column], x: Column,
+      y: Column): DataFrame = {
+    val keyed = df.select(groupCols ++ Seq(x.cast("double").as("_x"),
+      y.cast("double").as("_y")): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    val gNames = keyed.columns.dropRight(2)
+    val g = gNames.map(col)
+    def mr2(c: String) = {
+      val wVal = Window.partitionBy(g :+ col(c): _*)
+      val wOrd = Window.partitionBy(g: _*).orderBy(col(c))
+      lit(2L) * rank().over(wOrd).cast("long") +
+        count(lit(1)).over(wVal).cast("long") - 1L
+    }
+    keyed
+      .withColumn("_rx", mr2("_x"))
+      .withColumn("_ry", mr2("_y"))
+      .groupBy(g: _*)
+      // per-row squares stay in longs (mr2 ≤ 2n — safe to n ~ 1e9 rows);
+      // the cross-group moments go through decimal(38) so n·Σr² cannot
+      // overflow a long at large n (Spark ANSI would throw, not wrap)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_rx").cast("decimal(38,0)")).as("_sx"),
+        sum(col("_ry").cast("decimal(38,0)")).as("_sy"),
+        sum((col("_rx") * col("_rx")).cast("decimal(38,0)")).as("_sxx"),
+        sum((col("_ry") * col("_ry")).cast("decimal(38,0)")).as("_syy"),
+        sum((col("_rx") * col("_ry")).cast("decimal(38,0)")).as("_sxy"))
+      .withColumn("_covn",
+        (col("n") * col("_sxy") - col("_sx") * col("_sy")).cast("double"))
+      .withColumn("_vx",
+        (col("n") * col("_sxx") - col("_sx") * col("_sx")).cast("double"))
+      .withColumn("_vy",
+        (col("n") * col("_syy") - col("_sy") * col("_sy")).cast("double"))
+      .withColumn("rho",
+        when(col("_vx") > 0 && col("_vy") > 0,
+          round(col("_covn") / sqrt(col("_vx") * col("_vy")), 6)))
+      .select(g ++ Seq(col("n"), col("rho")): _*)
+  }
+
+  /** One-way ANOVA F statistic per group — "do these k cohorts share a
+    * mean": `F = (SSB/(k−1)) / (SSW/(n−k))` over a cohort label column.
+    * Per-cohort sum and sum-of-squares fold through exact decimals
+    * (x² through DECIMAL(28,6) — wide enough for 1e5-row cohorts of
+    * 1e4-scale values), and each cohort's between-term `S_j²/n_j` is
+    * quantized to a 1e-2 scaled long BEFORE the cross-cohort sum, so the
+    * only cross-cohort float fold is an exact integer one (the
+    * [[QualityOps.tCloseness]] discipline). Emits
+    * `(group…, n, k, f_e6)`; null F when k < 2, n ≤ k, or SSW = 0.
+    *
+    * Scale: two hash aggregations — (group, cohort) then group — both
+    * partial map-side; nothing is windowed, nothing collects. */
+  def anovaF(df: DataFrame, groupCols: Seq[Column], cohort: Column,
+      value: Column): DataFrame = {
+    val keyed = df.select(groupCols ++ Seq(cohort.as("_c"),
+      value.cast("double").as("_x")): _*)
+      .filter(col("_x").isNotNull && col("_c").isNotNull)
+    val gNames = keyed.columns.dropRight(2)
+    val g = gNames.map(col)
+    keyed
+      .groupBy(g :+ col("_c"): _*)
+      .agg(count(lit(1)).as("_nj"),
+        sum(col("_x").cast("decimal(18,6)")).cast("double").as("_sj"),
+        sum((col("_x") * col("_x")).cast("decimal(28,6)")).cast("double")
+          .as("_qj"))
+      // quantize the cohort's between-term before the cross-cohort fold —
+      // at 1e-2 (not 1e-6): the sum-of-squares term is N·V², and the e2
+      // scale keeps the scaled long under 9.2e18 for cohorts to 1e6 rows
+      // of 1e5-magnitude values (e6 overflows at this size; the released
+      // F still quantizes at e6, and a 0.005 absolute wobble on 1e13-size
+      // sums is 1e-15 relative — invisible at 6 dp)
+      .withColumn("_bj_e2",
+        floor(col("_sj") * col("_sj") / col("_nj") * 1e2 + 0.5).cast("long"))
+      .withColumn("_qj_e2", floor(col("_qj") * 1e2 + 0.5).cast("long"))
+      .withColumn("_sj_e2", floor(col("_sj") * 1e2 + 0.5).cast("long"))
+      .groupBy(g: _*)
+      .agg(sum(col("_nj")).as("n"), count(lit(1)).as("k"),
+        sum(col("_bj_e2")).as("_b"), sum(col("_qj_e2")).as("_q"),
+        sum(col("_sj_e2")).as("_s"))
+      .withColumn("_ssb",
+        (col("_b").cast("double")
+          - col("_s").cast("double") * col("_s") / 1e2 / col("n")) / 1e2)
+      .withColumn("_ssw", (col("_q") - col("_b")).cast("double") / 1e2)
+      .withColumn("f_e6",
+        when(col("k") >= 2 && col("n") > col("k") && col("_ssw") > 0,
+          floor((col("_ssb") / (col("k") - lit(1L)))
+            / (col("_ssw") / (col("n") - col("k"))) * 1e6 + 0.5)
+            .cast("long")))
+      .select(g ++ Seq(col("n"), col("k"), col("f_e6")): _*)
+  }
 }
