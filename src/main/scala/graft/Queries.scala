@@ -8126,6 +8126,96 @@ object Queries {
         CAST(MAX(imgs) AS BIGINT) AS max_rhs_per_lhs
       FROM pl"""))
 
+  /** Zipf rank-frequency fit ([[CorpusOps.zipfFit]]) over documents. */
+  private val qZipf = QuerySpec(
+    "q_zipf",
+    (s, dir) => CorpusOps.zipfFit(t(s, dir, "documents"), col("text"),
+      minCount = 5),
+    Some("""WITH counts AS (SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+          x -> x <> '')) AS w FROM documents) t
+        GROUP BY 1 HAVING COUNT(*) >= 5),
+      r AS (SELECT w, cnt,
+          ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rnk FROM counts),
+      q AS (SELECT cnt,
+          CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000000.0 + 0.5)
+            AS BIGINT) AS lx,
+          CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000000.0 + 0.5)
+            AS BIGINT) AS ly
+        FROM r),
+      m AS (SELECT COUNT(*) AS n, SUM(cnt) AS ntok, SUM(lx) AS sx,
+          SUM(ly) AS sy, SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+          SUM(CAST(lx AS HUGEINT) * ly) AS sxy
+        FROM q),
+      s AS (SELECT n, ntok, sx, sy,
+          CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+          CAST(n * sxx - sx * sx AS DOUBLE) AS vx
+        FROM m)
+      SELECT CAST(n AS BIGINT) AS n_types, CAST(ntok AS BIGINT) AS n_tokens,
+        CAST(floor(covn / vx * 1000000.0 + 0.5) AS BIGINT) AS slope_e6,
+        CAST(floor((CAST(sy AS DOUBLE) / 1000000000.0
+            - covn / vx * (CAST(sx AS DOUBLE) / 1000000000.0))
+          / n * 1000000.0 + 0.5) AS BIGINT) AS intercept_e6
+      FROM s"""))
+
+  /** Lexical-diversity stats ([[CorpusOps.lexicalStats]]) per document. */
+  private val qLexical = QuerySpec(
+    "q_lexical",
+    (s, dir) => CorpusOps.lexicalStats(t(s, dir, "documents"),
+      col("doc_id"), col("text")).orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> x <> '')) AS w
+        FROM documents),
+      tc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hapax
+        FROM tc GROUP BY 1)
+      SELECT doc_id, n_tokens, n_types, n_hapax,
+        CAST(floor(CAST(n_types AS DOUBLE) / n_tokens * 1000000.0 + 0.5)
+          AS BIGINT) AS ttr_e6,
+        CAST(floor(CAST(n_hapax AS DOUBLE) / n_types * 1000000.0 + 0.5)
+          AS BIGINT) AS hapax_e6
+      FROM d ORDER BY doc_id"""))
+
+  /** Local clustering coefficient ([[GraphOps.clusteringCoefficient]])
+    * on the co-purchase graph — same graph as [[qTriangles]], extended
+    * to the per-node neighborhood-density release. */
+  private val qClusteringCoeff = QuerySpec(
+    "q_clustering_coeff",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("src"))
+      val b = li.select(col("ok").as("ok2"), col("pk").as("dst"))
+      val edges = a.join(b, col("ok") === col("ok2") && col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.clusteringCoefficient(edges).orderBy("node")
+    },
+    Some("""WITH e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      d AS (SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) t
+        GROUP BY 1),
+      tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) nn
+        GROUP BY 1)
+      SELECT d.node, d.degree, COALESCE(tn.n_tri, 0) AS n_tri,
+        CASE WHEN d.degree >= 2
+          THEN CAST(floor(CAST(COALESCE(tn.n_tri, 0) AS DOUBLE) * 2.0
+            / (d.degree * (d.degree - 1)) * 1000000.0 + 0.5) AS BIGINT)
+          END AS cc_e6
+      FROM d LEFT JOIN tn ON tn.node = d.node
+      ORDER BY d.node"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -8187,5 +8277,6 @@ object Queries {
     qCrossDedup, qFertility, qPiiRate, qKsTest, qMutualInformation,
     qHits,
     qTpchQ7, qTpchQ9, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ21, qTpchQ22,
-    qSpearman, qAnova, qKeyProfile, qFdCheck)
+    qSpearman, qAnova, qKeyProfile, qFdCheck, qZipf, qLexical,
+    qClusteringCoeff)
 }

@@ -306,4 +306,78 @@ object CorpusOps {
         floor(col("_s").cast("double") / col("n_bigrams") + 0.5)
           .cast("long").as("avg_nll_e9"))
   }
+
+  /** Zipf rank-frequency fit — the corpus-health screen: a natural-text
+    * corpus's token frequencies follow `freq ∝ rank^s` with s ≈ −1, and
+    * template spam, boilerplate floods, or truncated crawls bend the
+    * log-log line visibly. Releases the OLS fit of ln(freq) on ln(rank)
+    * over the vocabulary (above `minCount`): one row
+    * `(n_types, n_tokens, slope_e6, intercept_e6)`.
+    *
+    * Determinism: both logs quantize to 1e-9 scaled longs per vocab row
+    * BEFORE the moment sums; the moments fold exactly (squares through
+    * decimal(38) — an e9-scaled log squared overflows a long), and the
+    * slope/intercept are pure IEEE functions of those exact integers.
+    * Rank ties break on the token string, as in [[MapOps.buildVocab]].
+    *
+    * Scale: the token count is a map-side-partial hash agg over the
+    * corpus; everything after runs on the minCount-filtered vocabulary
+    * (bounded, millions not billions), where the rank window's single
+    * partition is the same accepted shape as buildVocab. */
+  def zipfFit(df: DataFrame, textCol: Column, minCount: Long = 5): DataFrame = {
+    val counts = df
+      .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("w"))
+    val q = counts
+      .withColumn("_rnk", row_number().over(wRank).cast("long"))
+      .select(col("cnt"),
+        floor(log(col("_rnk").cast("double")) * 1e9 + 0.5).cast("long")
+          .as("_lx"),
+        floor(log(col("cnt").cast("double")) * 1e9 + 0.5).cast("long")
+          .as("_ly"))
+    q.agg(count(lit(1)).as("_n"),
+        sum(col("cnt")).as("_ntok"),
+        sum(col("_lx").cast("decimal(38,0)")).as("_sx"),
+        sum(col("_ly").cast("decimal(38,0)")).as("_sy"),
+        sum((col("_lx").cast("decimal(38,0)") * col("_lx"))).as("_sxx"),
+        sum((col("_lx").cast("decimal(38,0)") * col("_ly"))).as("_sxy"))
+      .withColumn("_covn",
+        (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double"))
+      .withColumn("_vx",
+        (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double"))
+      .select(col("_n").as("n_types"), col("_ntok").as("n_tokens"),
+        floor(col("_covn") / col("_vx") * 1e6 + 0.5).cast("long")
+          .as("slope_e6"),
+        floor((col("_sy").cast("double") / 1e9
+            - col("_covn") / col("_vx") * (col("_sx").cast("double") / 1e9))
+          / col("_n") * 1e6 + 0.5).cast("long").as("intercept_e6"))
+  }
+
+  /** Per-document lexical-diversity statistics: token count, type count,
+    * hapax count (types occurring once), type-token ratio, and hapax
+    * share — the cheap quality screens that catch keyword stuffing
+    * (TTR collapses) and gibberish (hapax share saturates). Emits
+    * `(doc_id, n_tokens, n_types, n_hapax, ttr_e6, hapax_e6)`; empty
+    * docs produce no row (no tokens to describe).
+    *
+    * Scale: explode → two hash aggregations ((doc, token) then doc),
+    * both partial map-side; no windows, no per-doc quadratic array
+    * scans (the array-functions formulation of "hapax" is O(len²) per
+    * row — the aggregation form is O(len)). */
+  def lexicalStats(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(textCol)).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        floor(col("n_types").cast("double") / col("n_tokens") * 1e6 + 0.5)
+          .cast("long").as("ttr_e6"),
+        floor(col("n_hapax").cast("double") / col("n_types") * 1e6 + 0.5)
+          .cast("long").as("hapax_e6"))
 }

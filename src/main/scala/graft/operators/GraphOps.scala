@@ -418,6 +418,38 @@ object GraphOps {
       .groupBy("node").agg(sum(col("w")).as("n_tri"))
   }
 
+  /** Local clustering coefficient per node — `2·tri / (deg·(deg−1))`,
+    * the "how tightly knit is this node's neighborhood" score that
+    * separates organic communities (high CC) from hub-and-spoke spam
+    * farms (high degree, CC ≈ 0). Triangle counts come from
+    * [[triangleCounts]]'s degree-oriented merge-walk (no wedge
+    * self-join); degrees from the same canonicalized undirected edge
+    * set, so the ratio's numerator and denominator agree on the graph.
+    * Emits `(node, degree, n_tri, cc_e6)` for EVERY node — zero-triangle
+    * nodes score 0, degree-1 nodes release a null CC (undefined, the
+    * standard convention).
+    *
+    * Scale: adds one degree aggregation and one left join on top of
+    * triangleCounts; both shuffle on the node key, partials map-side. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges), Seq("node"), "left_outer")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("cc_e6",
+        when(col("degree") >= 2L,
+          floor(col("n_tri").cast("double") * 2.0
+            / (col("degree") * (col("degree") - 1L)) * 1e6 + 0.5)
+            .cast("long")))
+      .select(col("node"), col("degree"), col("n_tri"), col("cc_e6"))
+  }
+
   /** Link prediction over an undirected edge list: scores NON-edges by
     * wedge evidence — `cn` common neighbors, Adamic-Adar
     * `Σ_w 1/ln(deg w)` over shared neighbors w, and neighbor Jaccard

@@ -169,4 +169,25 @@ class PmiDriftSpec extends AnyFunSuite {
     assert(uncapped.select("n1", "n2").as[(Long, Long)].collect().toSet ===
       Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
+
+  test("clusteringCoefficient: triangle-plus-tail has textbook scores") {
+    // triangle 1-2-3 with a tail 3-4: CC(1)=CC(2)=1, CC(3)=1/3,
+    // CC(4) undefined (degree 1) -> null
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphOps.clusteringCoefficient(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out(1L) === ((2L, 1L, Some(1000000L))))
+    assert(out(2L) === ((2L, 1L, Some(1000000L))))
+    assert(out(3L) === ((3L, 1L, Some(333333L))))
+    assert(out(4L) === ((1L, 0L, None)))
+  }
+
+  test("clusteringCoefficient: triangle-free node scores zero") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphOps.clusteringCoefficient(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out(2L) === ((0L, Some(0L))), "path center: degree 2, no triangle")
+  }
 }
