@@ -8216,6 +8216,45 @@ object Queries {
       FROM d LEFT JOIN tn ON tn.node = d.node
       ORDER BY d.node"""))
 
+  /** Holt linear smoothing ([[StatsOps.holtLinear]]) per user over the
+    * events stream — final level/trend state and one-step forecast. The
+    * oracle replays the identical left-fold as a recursive CTE (same
+    * sort, same IEEE op order), cross-checking the sequential recurrence
+    * bit-for-bit. (NOT list_reduce: DuckDB 1.0's struct-lambda evaluates
+    * the second field against a partially-updated accumulator.) */
+  private val qHolt = QuerySpec(
+    "q_holt",
+    (s, dir) => StatsOps.holtLinear(t(s, dir, "events"), col("user_id"),
+        unix_micros(col("ts")), col("event_id"), col("value"),
+        alpha = 0.3, beta = 0.1)
+      .orderBy("k"),
+    Some("""WITH RECURSIVE se AS (SELECT user_id AS k,
+          CAST(value AS DOUBLE) AS x,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id, CAST(value AS DOUBLE)) AS rn
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      nn AS (SELECT k, CAST(MAX(rn) AS BIGINT) AS n FROM se GROUP BY 1),
+      rec AS (
+        SELECT k, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM se WHERE rn = 1
+        UNION ALL
+        SELECT se.k, se.rn,
+          CAST(0.3 AS DOUBLE) * se.x
+            + (1 - CAST(0.3 AS DOUBLE)) * (rec.l + rec.b),
+          CAST(0.1 AS DOUBLE) * (CAST(0.3 AS DOUBLE) * se.x
+              + (1 - CAST(0.3 AS DOUBLE)) * (rec.l + rec.b) - rec.l)
+            + (1 - CAST(0.1 AS DOUBLE)) * rec.b
+        FROM rec JOIN se ON se.k = rec.k AND se.rn = rec.rn + 1)
+      SELECT rec.k, nn.n,
+        CAST(floor(rec.l * 1000000.0 + 0.5) AS BIGINT) AS level_e6,
+        CAST(floor(rec.b * 1000000.0 + 0.5) AS BIGINT) AS trend_e6,
+        CAST(floor((rec.l + rec.b) * 1000000.0 + 0.5) AS BIGINT)
+          AS forecast_e6
+      FROM rec JOIN nn ON nn.k = rec.k AND rec.rn = nn.n
+      ORDER BY rec.k"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -8278,5 +8317,5 @@ object Queries {
     qHits,
     qTpchQ7, qTpchQ9, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ21, qTpchQ22,
     qSpearman, qAnova, qKeyProfile, qFdCheck, qZipf, qLexical,
-    qClusteringCoeff)
+    qClusteringCoeff, qHolt)
 }

@@ -596,4 +596,56 @@ object StatsOps {
             .cast("long")))
       .select(g ++ Seq(col("n"), col("k"), col("f_e6")): _*)
   }
+
+  /** Holt linear (double-exponential) smoothing per key — the classic
+    * level+trend forecaster for un-seasonal series. Initialization
+    * `l₁ = x₁, b₁ = 0`, then
+    * `l_t = α·x_t + (1−α)(l+b)`, `b_t = β(l_t − l) + (1−β)b`; releases
+    * the final state and one-step forecast per key:
+    * `(k, n, level_e6, trend_e6, forecast_e6)`.
+    *
+    * The recurrence is inherently sequential per key, so it runs as a
+    * native Catalyst `aggregate()` left-fold over the key's
+    * (ts, id, x)-sorted observation array — a fixed evaluation order,
+    * which makes the float recurrence bit-reproducible on any engine
+    * that folds the same order (the oracle replays it as a recursive
+    * CTE). No typed mapGroups, no Python, no RNG.
+    *
+    * Scale: one shuffle on the key; each key's series materializes as
+    * one array in its aggregation buffer — the op is for bounded
+    * per-key series (metrics, account histories), the same contract as
+    * every sorted-fold smoother; an unbounded key should be bucketed
+    * first. */
+  def holtLinear(df: DataFrame, key: Column, tsUs: Column, id: Column,
+      value: Column, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1]: $beta")
+    val a = lit(alpha)
+    val b = lit(beta)
+    def lNext(acc: Column, e: Column) =
+      a * e.getField("x") +
+        (lit(1.0) - a) * (acc.getField("l") + acc.getField("b"))
+    df.select(key.as("k"), tsUs.cast("long").as("t"),
+        id.cast("long").as("i"), value.cast("double").as("x"))
+      .filter(col("k").isNotNull && col("t").isNotNull && col("x").isNotNull)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("t"), col("i"), col("x"))))
+          .as("_arr"))
+      .withColumn("_st", aggregate(
+        slice(col("_arr"), lit(2), size(col("_arr"))),
+        struct(element_at(col("_arr"), 1).getField("x").as("l"),
+          lit(0.0).as("b")),
+        (acc, e) => struct(
+          lNext(acc, e).as("l"),
+          (b * (lNext(acc, e) - acc.getField("l")) +
+            (lit(1.0) - b) * acc.getField("b")).as("b"))))
+      .select(col("k"), col("n"),
+        floor(col("_st").getField("l") * 1e6 + 0.5).cast("long")
+          .as("level_e6"),
+        floor(col("_st").getField("b") * 1e6 + 0.5).cast("long")
+          .as("trend_e6"),
+        floor((col("_st").getField("l") + col("_st").getField("b")) * 1e6
+          + 0.5).cast("long").as("forecast_e6"))
+  }
 }

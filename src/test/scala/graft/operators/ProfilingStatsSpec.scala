@@ -89,4 +89,32 @@ class ProfilingStatsSpec extends AnyFunSuite {
     assert(r.getLong(1) === 0L)
     assert(r.getLong(3) === 1L)
   }
+
+  test("holtLinear: two-point series matches the hand fold") {
+    val df = Seq((1L, 100L, 1L, 10.0), (1L, 200L, 2L, 12.0))
+      .toDF("k", "t", "i", "x")
+    val r = StatsOps.holtLinear(df, col("k"), col("t"), col("i"), col("x"),
+      alpha = 0.5, beta = 0.5).collect()(0)
+    // l1=10,b1=0; l2=.5*12+.5*10=11; b2=.5*(11-10)+.5*0=0.5; fc=11.5
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 11000000L)
+    assert(r.getLong(3) === 500000L)
+    assert(r.getLong(4) === 11500000L)
+  }
+
+  test("holtLinear: singleton series releases its own value, zero trend") {
+    val df = Seq((7L, 1L, 1L, 3.25)).toDF("k", "t", "i", "x")
+    val r = StatsOps.holtLinear(df, col("k"), col("t"), col("i"), col("x"),
+      alpha = 0.3, beta = 0.1).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((1L, 3250000L, 0L, 3250000L)))
+  }
+
+  test("holtLinear: order comes from (ts, id), not input order") {
+    val df = Seq((1L, 200L, 2L, 12.0), (1L, 100L, 1L, 10.0))
+      .toDF("k", "t", "i", "x")
+    val r = StatsOps.holtLinear(df, col("k"), col("t"), col("i"), col("x"),
+      alpha = 0.5, beta = 0.5).collect()(0)
+    assert(r.getLong(2) === 11000000L, "reversed input must sort first")
+  }
 }
