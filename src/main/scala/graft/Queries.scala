@@ -8255,6 +8255,27 @@ object Queries {
       FROM rec JOIN nn ON nn.k = rec.k AND rec.rn = nn.n
       ORDER BY rec.k"""))
 
+  /** JL random projection ([[SimilarityOps.randomProjection]]) of the
+    * embeddings table to 16 dims (1/√16 = 0.25, an exact binary scale). */
+  private val qRandomProjection = QuerySpec(
+    "q_random_projection",
+    (s, dir) => SimilarityOps.randomProjection(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), outDim = 16, seed = "jl")
+      .orderBy("id", "dim"),
+    Some("""SELECT vec_id AS id, CAST(j.j AS INTEGER) AS dim,
+        CAST(floor(list_reduce(
+          list_transform(generate_series(0, len(embedding) - 1),
+            i -> CAST(embedding[i + 1] AS DOUBLE)
+              * (CASE WHEN CAST('0x' || substr(md5('jl' || '|'
+                    || CAST(i AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)),
+                    1, 1) AS BIGINT) % 2 = 0
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+          (acc, x) -> acc + x) * 0.25 * 1000000.0 + 0.5) AS BIGINT)
+          AS proj_e6
+      FROM embeddings, generate_series(0, 15) j(j)
+      WHERE embedding IS NOT NULL
+      ORDER BY id, dim"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -8317,5 +8338,5 @@ object Queries {
     qHits,
     qTpchQ7, qTpchQ9, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ21, qTpchQ22,
     qSpearman, qAnova, qKeyProfile, qFdCheck, qZipf, qLexical,
-    qClusteringCoeff, qHolt)
+    qClusteringCoeff, qHolt, qRandomProjection)
 }

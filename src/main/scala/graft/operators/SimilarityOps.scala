@@ -732,4 +732,45 @@ object SimilarityOps {
         max(col("_pc_e6")).as("inter_cos_e6"))
     intra.join(nearest, Seq("label"), "left_outer")
   }
+
+  /** Johnson-Lindenstrauss random projection — dimensionality reduction
+    * to `outDim` via a deterministic Rademacher (±1) matrix, the standard
+    * pre-step that makes 1024-dim embeddings cheap to index while
+    * preserving pairwise distances within (1±ε). The "random" matrix is
+    * a keyed hash: `sign(i,j) = ±1` by the parity of the first md5 hex
+    * nibble of `seed|i|j` — no RNG state, no broadcast matrix, any
+    * engine rebuilds the identical projection. Scaled by `1/√outDim`
+    * (the Rademacher JL normalization; pick a power of 4 for an exact
+    * binary scale). Emits `(id, dim, proj_e6)` rows.
+    *
+    * Determinism: each output coordinate is a LEFT FOLD over input
+    * coordinates in index order (`aggregate`, not a float `sum`), so the
+    * accumulation order is fixed and the e6 release is bit-stable.
+    *
+    * Scale: pure per-row map — zero shuffles, d_in·d_out multiplies per
+    * vector, codegen'd lambda; the hash signs fold constant per (i,j)
+    * pair under CSE within a row. */
+  def randomProjection(df: DataFrame, idCol: Column, vecCol: Column,
+      outDim: Int, seed: String): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1: $outDim")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    def sign(i: Column, j: Column): Column =
+      when(conv(substring(md5(concat_ws("|", lit(seed),
+          i.cast("string"), j.cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2L === 0L, lit(1.0)).otherwise(lit(-1.0))
+    df.select(idCol.as("id"), vecCol.as("_v"))
+      // the size guard also protects sequence(0, size-1), which would
+      // DESCEND for an empty vector rather than produce an empty range
+      .filter(col("_v").isNotNull && size(col("_v")) > 0)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), lit(outDim - 1)),
+        j => aggregate(
+          sequence(lit(0), size(col("_v")) - 1),
+          lit(0.0),
+          (acc, i) =>
+            acc + element_at(col("_v"), i + 1).cast("double") * sign(i, j))
+          * lit(scale))))
+      .select(col("id"), col("pos").cast("int").as("dim"),
+        floor(col("col") * 1e6 + 0.5).cast("long").as("proj_e6"))
+  }
 }

@@ -54,4 +54,26 @@ class LexicalOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(ids === Set(1L))
   }
+
+  test("randomProjection: shape, determinism, and sign structure") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.randomProjection(df, col("vec_id"),
+      col("embedding"), outDim = 4, seed = "s")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.size === 8, "2 vectors x 4 dims")
+    // unit basis vectors: |proj| = 0.5 (1/sqrt(4)) resp. 1.0 per dim
+    assert((0 to 3).forall(j => math.abs(rows((1L, j))) === 500000L))
+    assert((0 to 3).forall(j => math.abs(rows((2L, j))) === 1000000L))
+    val again = SimilarityOps.randomProjection(df, col("vec_id"),
+      col("embedding"), outDim = 4, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again === rows, "projection is a pure function of the seed")
+    // a different seed flips at least one sign for these 8 cells
+    val other = SimilarityOps.randomProjection(df, col("vec_id"),
+      col("embedding"), outDim = 4, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(other !== rows)
+  }
 }
