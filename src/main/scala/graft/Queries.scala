@@ -8276,6 +8276,137 @@ object Queries {
       WHERE embedding IS NOT NULL
       ORDER BY id, dim"""))
 
+  /** k-core peel ([[GraphOps.kCore]]) on the co-purchase graph: 3 rounds
+    * of k=3 peeling; the oracle unrolls exactly 3 rounds (a fixpoint is
+    * stable under extra rounds, so Spark's early exit cannot diverge). */
+  private val qKCore = QuerySpec(
+    "q_k_core",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("src"))
+      val b = li.select(col("ok").as("ok2"), col("pk").as("dst"))
+      val edges = a.join(b, col("ok") === col("ok2") && col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.kCore(edges, k = 3, rounds = 3).orderBy("n")
+    },
+    Some("""WITH e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      dir AS (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),
+      n0 AS (SELECT DISTINCT n FROM dir),
+      n1 AS (SELECT d.n FROM (SELECT x.n, COUNT(*) AS c FROM dir x
+          JOIN n0 a ON a.n = x.n JOIN n0 b ON b.n = x.m GROUP BY 1) d
+        WHERE d.c >= 3),
+      n2 AS (SELECT d.n FROM (SELECT x.n, COUNT(*) AS c FROM dir x
+          JOIN n1 a ON a.n = x.n JOIN n1 b ON b.n = x.m GROUP BY 1) d
+        WHERE d.c >= 3),
+      n3 AS (SELECT d.n FROM (SELECT x.n, COUNT(*) AS c FROM dir x
+          JOIN n2 a ON a.n = x.n JOIN n2 b ON b.n = x.m GROUP BY 1) d
+        WHERE d.c >= 3)
+      SELECT x.n, CAST(COUNT(*) AS BIGINT) AS degree FROM dir x
+      JOIN n3 a ON a.n = x.n JOIN n3 b ON b.n = x.m
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Rendezvous sharding ([[TextFunctions.rendezvousShard]]): customer
+    * keys assigned under 8 and 9 shards side by side — the release
+    * carries the `moved` flag whose ~1/9 rate is the minimal-motion
+    * property mod-bucketing lacks. */
+  private val qRendezvous = QuerySpec(
+    "q_rendezvous",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey"),
+        TextFunctions.rendezvousShard(col("c_custkey"), 8).as("shard8"),
+        TextFunctions.rendezvousShard(col("c_custkey"), 9).as("shard9"))
+      .withColumn("moved", col("shard8") =!= col("shard9"))
+      .orderBy("c_custkey"),
+    Some("""WITH s8 AS (SELECT c_custkey, CAST(s AS INTEGER) AS shard8
+        FROM (SELECT c_custkey, j.s AS s, ROW_NUMBER() OVER (
+            PARTITION BY c_custkey
+            ORDER BY CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+              || '|' || CAST(j.s AS VARCHAR)), 1, 15) AS BIGINT) DESC,
+              j.s DESC) AS rn
+          FROM customer, generate_series(0, 7) j(s)) t
+        WHERE rn = 1),
+      s9 AS (SELECT c_custkey, CAST(s AS INTEGER) AS shard9
+        FROM (SELECT c_custkey, j.s AS s, ROW_NUMBER() OVER (
+            PARTITION BY c_custkey
+            ORDER BY CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+              || '|' || CAST(j.s AS VARCHAR)), 1, 15) AS BIGINT) DESC,
+              j.s DESC) AS rn
+          FROM customer, generate_series(0, 8) j(s)) t
+        WHERE rn = 1)
+      SELECT s8.c_custkey, shard8, shard9, shard8 <> shard9 AS moved
+      FROM s8 JOIN s9 ON s8.c_custkey = s9.c_custkey
+      ORDER BY 1"""))
+
+  /** Zone maps ([[QualityOps.zoneMaps]]): per-ship-month min/max/null
+    * stats for the lineitem measures — the scan-pruning release. */
+  private val qZoneMaps = QuerySpec(
+    "q_zone_maps",
+    (s, dir) => QualityOps.zoneMaps(t(s, dir, "lineitem"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy("bucket", "column"),
+    Some("""WITH b AS (SELECT CAST(year(l_shipdate) * 100
+            + month(l_shipdate) AS BIGINT) AS bucket,
+          CAST(l_quantity AS DOUBLE) AS q,
+          CAST(l_extendedprice AS DOUBLE) AS p,
+          CAST(l_discount AS DOUBLE) AS d
+        FROM lineitem),
+      g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+          MIN(q) AS mnq, MAX(q) AS mxq,
+          CAST(SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS zq,
+          MIN(p) AS mnp, MAX(p) AS mxp,
+          CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS zp,
+          MIN(d) AS mnd, MAX(d) AS mxd,
+          CAST(SUM(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS zd
+        FROM b GROUP BY 1)
+      SELECT bucket, "column", n_rows, n_null, min_e6, max_e6 FROM (
+        SELECT bucket, 'l_quantity' AS "column", n AS n_rows,
+          zq AS n_null,
+          CAST(floor(mnq * 1000000.0 + 0.5) AS BIGINT) AS min_e6,
+          CAST(floor(mxq * 1000000.0 + 0.5) AS BIGINT) AS max_e6 FROM g
+        UNION ALL
+        SELECT bucket, 'l_extendedprice', n, zp,
+          CAST(floor(mnp * 1000000.0 + 0.5) AS BIGINT),
+          CAST(floor(mxp * 1000000.0 + 0.5) AS BIGINT) FROM g
+        UNION ALL
+        SELECT bucket, 'l_discount', n, zd,
+          CAST(floor(mnd * 1000000.0 + 0.5) AS BIGINT),
+          CAST(floor(mxd * 1000000.0 + 0.5) AS BIGINT) FROM g) u
+      ORDER BY bucket, "column""""))
+
+  /** SCD2 point-in-time snapshot ([[QualityOps.asOfSnapshot]]): the
+    * user-state dimension rebuilt as of 2024-01-15, from the same
+    * history as [[qScd2]]. */
+  private val qScd2Asof = QuerySpec(
+    "q_scd2_asof",
+    (s, dir) => QualityOps.asOfSnapshot(
+        QualityOps.scd2Build(t(s, dir, "events"), col("user_id"),
+          unix_micros(col("ts")), col("event_id"), col("event_type")),
+        lit(1705276800000000L))
+      .orderBy("k", "valid_from", "value"),
+    Some("""WITH b AS (SELECT user_id AS k, epoch_us(ts) AS t,
+          event_id AS sq, event_type AS v
+        FROM events WHERE ts IS NOT NULL),
+      l AS (SELECT k, t, sq, v,
+          lag(v) OVER w AS pv, row_number() OVER w AS rn
+        FROM b WINDOW w AS (PARTITION BY k ORDER BY t, sq)),
+      f AS (SELECT k, t, sq, v FROM l
+        WHERE rn = 1 OR v IS DISTINCT FROM pv),
+      o AS (SELECT k, v AS value, t AS valid_from,
+          lead(t) OVER (PARTITION BY k ORDER BY t, sq) AS valid_to
+        FROM f)
+      SELECT k, value, valid_from, valid_to,
+        valid_to IS NULL AS is_current
+      FROM o
+      WHERE valid_from <= 1705276800000000
+        AND (valid_to IS NULL OR 1705276800000000 < valid_to)
+      ORDER BY k, valid_from, value"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -8338,5 +8469,6 @@ object Queries {
     qHits,
     qTpchQ7, qTpchQ9, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ21, qTpchQ22,
     qSpearman, qAnova, qKeyProfile, qFdCheck, qZipf, qLexical,
-    qClusteringCoeff, qHolt, qRandomProjection)
+    qClusteringCoeff, qHolt, qRandomProjection,
+    qKCore, qRendezvous, qZoneMaps, qScd2Asof)
 }

@@ -126,4 +126,22 @@ object TextFunctions {
     * shares. */
   def hashOrder(idCol: Column): Seq[Column] =
     Seq(md5(idCol.cast("string")), idCol)
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent-hashing cousin of [[portableBucket]]: the key goes to
+    * `argmax_s md5(key|s)`. Where a mod bucket reshuffles (n−1)/n of all
+    * keys when the shard count changes, rendezvous moves only ~1/(n+1) —
+    * the property cache rings, shuffle services, and shard rebalancers
+    * depend on. Ties (hash collisions across shards) break on the higher
+    * shard id via the struct max; pure per-row expression, no state, no
+    * ring metadata. */
+  def rendezvousShard(keyCol: Column, shards: Int): Column = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    array_max(transform(sequence(lit(0), lit(shards - 1)),
+      s => struct(
+        conv(substring(md5(concat_ws("|", keyCol.cast("string"),
+          s.cast("string"))), 1, 15), 16, 10).cast("long").as("h"),
+        s.as("s"))))
+      .getField("s")
+  }
 }

@@ -418,6 +418,52 @@ object GraphOps {
       .groupBy("node").agg(sum(col("w")).as("n_tri"))
   }
 
+  /** k-core peel, bounded rounds — iteratively remove nodes whose degree
+    * within the surviving subgraph is below `k`; after `rounds` rounds,
+    * release the surviving nodes with their within-core degree. Bounded
+    * rounds (not run-to-fixpoint) make the semantics engine-replayable:
+    * a fixpoint reached early is stable under further rounds, so an
+    * implementation MAY early-exit without changing the result, and the
+    * oracle can unroll exactly `rounds` peels. (The released degree is
+    * recomputed within the final set, so it can dip below `k` for nodes
+    * whose neighbors died in the last round — that is the R-round
+    * contract, converging to the true k-core as rounds grow.)
+    *
+    * Scale: per round, two semi-joins (endpoint liveness) + one hash
+    * aggregation, all shuffling on node keys; the frontier is
+    * localCheckpoint'd per round to cut lineage (the Pregel-batch shape
+    * of [[bfsHops]]). The early-exit count scans the just-checkpointed
+    * blocks — no recomputation, one plan execution per round. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val dir = und.select(col("u").as("n"), col("v").as("m"))
+      .unionAll(und.select(col("v").as("n"), col("u").as("m")))
+      .localCheckpoint()
+    def coreDegrees(nodes: DataFrame): DataFrame =
+      dir.join(nodes, Seq("n"), "left_semi")
+        .join(nodes.select(col("n").as("m")), Seq("m"), "left_semi")
+        .groupBy("n").agg(count(lit(1)).as("degree"))
+    var nodes = dir.select(col("n")).distinct().localCheckpoint()
+    var before = nodes.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      nodes = coreDegrees(nodes).filter(col("degree") >= k)
+        .select(col("n")).localCheckpoint()
+      val after = nodes.count()
+      stable = after == before
+      before = after
+      r += 1
+    }
+    coreDegrees(nodes)
+  }
+
   /** Local clustering coefficient per node — `2·tri / (deg·(deg−1))`,
     * the "how tightly knit is this node's neighborhood" score that
     * separates organic communities (high CC) from hub-and-spoke spam

@@ -623,6 +623,51 @@ object QualityOps {
     }
   }
 
+  /** Zone maps — the scan-pruning statistics a 100 TB table keeps per
+    * bucket/partition (min/max/null-count per column), the structure
+    * behind "skip 97% of files for this predicate". One row per
+    * (bucket, column): `(bucket, column, n_rows, n_null, min_e6,
+    * max_e6)`, numeric columns only (values quantize to 1e-6 — string
+    * zone maps need collation contracts this release deliberately
+    * avoids). Pair with the Z-order op: clustering tightens the ranges,
+    * zone maps are where the tightening pays off.
+    *
+    * Scale: ONE map-side-partial hash aggregation to |buckets| rows,
+    * then a per-row explode to the (bucket, column) release — the same
+    * single-pass shape as [[bucketChecksums]]. */
+  def zoneMaps(df: DataFrame, bucket: Column, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zoneMaps: no columns listed")
+    val base = df.select(bucket.as("bucket") +:
+      cols.map(c => col(c).cast("double").as(c)): _*)
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_z_$c"))
+    }
+    val one = base.groupBy("bucket").agg(count(lit(1)).as("_n"), aggs: _*)
+    def e6(c: Column) =
+      when(c.isNotNull, floor(c * 1e6 + 0.5).cast("long"))
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col("_n").as("n_rows"),
+        col(s"_z_$c").as("n_null"),
+        e6(col(s"_mn_$c")).as("min_e6"), e6(col(s"_mx_$c")).as("max_e6"))
+    }
+    one.select(col("bucket"), explode(array(stacked: _*)).as("_r"))
+      .select(col("bucket"), col("_r.column"), col("_r.n_rows"),
+        col("_r.n_null"), col("_r.min_e6"), col("_r.max_e6"))
+  }
+
+  /** Point-in-time snapshot from an SCD2 history ([[scd2Build]]'s
+    * output): the rows whose validity interval covers `ts` — the
+    * "rebuild the dimension as of last March" query that is the whole
+    * point of keeping history. Interval semantics match scd2Build:
+    * `valid_from <= ts < valid_to`, open-ended rows (null valid_to)
+    * cover everything from their start. A pushed-down filter — one
+    * scan, no shuffle, partition-prunable when the history is stored
+    * partitioned on valid_from. */
+  def asOfSnapshot(history: DataFrame, ts: Column): DataFrame =
+    history.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || ts < col("valid_to")))
+
   /** Candidate-key profiling — the schema-discovery pass a warehouse
     * onboarding job runs first: for each listed column, exact row /
     * distinct / null counts and whether the column is a candidate key
