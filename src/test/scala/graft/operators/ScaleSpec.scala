@@ -486,4 +486,60 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"lr join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus re-shuffled on bucket:\n$plan")
   }
+
+  test("round-7 batch-5 ops: per-row kernels don't shuffle, folds partition by key, joins stay equi") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // randomProjection and rendezvousShard are pure per-row maps
+    val emb = (1 to 100).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(!plan(SimilarityOps.randomProjection(emb, col("vec_id"),
+        col("embedding"), 4, "s")).contains("Exchange"),
+      "randomProjection must not shuffle")
+    val keys = (1 to 100).map(_.toLong).toDF("k")
+    assert(!plan(keys.select(graft.functions.TextFunctions
+        .rendezvousShard(col("k"), 8))).contains("Exchange"),
+      "rendezvousShard must not shuffle")
+
+    // keyed folds / profiles: never a single-partition collapse, no cartesian
+    val ev = (1 to 400).map(i =>
+      (s"g${i % 3}", i.toLong, i.toLong, (i % 13).toDouble))
+      .toDF("g", "t", "id", "x")
+    for ((name, df) <- Seq(
+        "holtLinear" -> StatsOps.holtLinear(ev, col("g"), col("t"),
+          col("id"), col("x"), 0.3, 0.1),
+        "spearman" -> StatsOps.spearman(ev, Seq(col("g")), col("t"),
+          col("x")),
+        "anovaF" -> StatsOps.anovaF(ev, Seq(col("g")), col("id") % 2,
+          col("x")),
+        "zoneMaps" -> QualityOps.zoneMaps(ev, col("g"), Seq("x")),
+        "lexicalStats" -> CorpusOps.lexicalStats(
+          ev.select(col("id"), col("g").as("text")), col("id"),
+          col("text")))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name collapsed to one partition:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian")
+    }
+    // fdViolations releases a ONE-ROW summary: its final agg correctly
+    // funnels partials to a single partition — assert the heavy (lhs,rhs)
+    // stage underneath still partitions by key
+    val fdPlan = plan(QualityOps.fdViolations(ev, Seq(col("g")), col("x")))
+    assert(fdPlan.contains("Exchange hashpartitioning"),
+      s"fdViolations cell stage must shuffle on the key:\n$fdPlan")
+    assert(!fdPlan.contains("CartesianProduct"))
+
+    // graph ops: every join equi-keyed, never a nested loop
+    val edges = (1 to 300).map(i => (i.toLong, (i % 37).toLong))
+      .toDF("src", "dst")
+    for ((name, df) <- Seq(
+        "clusteringCoefficient" -> GraphOps.clusteringCoefficient(edges),
+        "kCore" -> GraphOps.kCore(edges, 2, 2))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay equi-joined:\n$p")
+    }
+  }
 }
