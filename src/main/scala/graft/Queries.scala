@@ -8407,6 +8407,60 @@ object Queries {
         AND (valid_to IS NULL OR 1705276800000000 < valid_to)
       ORDER BY k, valid_from, value"""))
 
+  /** Reciprocal nearest neighbors ([[SimilarityOps.reciprocalPairs]])
+    * over the brute-force top-5 of the embeddings table — mutual pairs
+    * only. */
+  private val qReciprocalNn = QuerySpec(
+    "q_reciprocal_nn",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.reciprocalPairs(
+          SimilarityOps.cosineTopK(emb, emb, k = 5))
+        .orderBy("a", "b")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        FROM embeddings),
+      scored AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+          ROUND(list_dot_product(q.vec, c.vec) /
+            (sqrt(list_dot_product(q.vec, q.vec))
+              * sqrt(list_dot_product(c.vec, c.vec))), 6) AS sim
+        FROM v q, v c WHERE q.vec_id <> c.vec_id),
+      tk AS (SELECT query_id, nbr_id, sim, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rnk
+        FROM scored),
+      kf AS (SELECT * FROM tk WHERE rnk <= 5)
+      SELECT f.query_id AS a, f.nbr_id AS b, f.sim AS sim_ab,
+        CAST(f.rnk AS BIGINT) AS rank_ab, CAST(r.rnk AS BIGINT) AS rank_ba
+      FROM kf f JOIN kf r
+        ON r.query_id = f.nbr_id AND r.nbr_id = f.query_id
+      WHERE f.query_id < f.nbr_id
+      ORDER BY a, b"""))
+
+  /** Inverted index ([[MapOps.invertedIndex]]) over documents, postings
+    * capped at 20 docs per token (honest pre-cap document frequency). */
+  private val qInvertedIndex = QuerySpec(
+    "q_inverted_index",
+    (s, dir) => MapOps.invertedIndex(t(s, dir, "documents"),
+        col("doc_id"), col("text"), maxPostings = 20)
+      .orderBy("token", "doc_id"),
+    Some("""WITH tk AS (SELECT doc_id, e.w AS w, CAST(e.p AS BIGINT) AS p
+        FROM (SELECT doc_id,
+          unnest(list_transform(
+            list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+            (x, i) -> struct_pack(w := x, p := i - 1))) AS e
+        FROM documents) t),
+      pr AS (SELECT w AS token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+          CAST(MIN(p) AS BIGINT) AS first_pos
+        FROM tk GROUP BY 1, 2),
+      dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs
+        FROM pr GROUP BY 1),
+      cap AS (SELECT token, doc_id, tf, first_pos,
+          ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        FROM pr)
+      SELECT cap.token, dfq.df_docs, cap.doc_id, cap.tf, cap.first_pos
+      FROM cap JOIN dfq USING (token) WHERE rn <= 20
+      ORDER BY token, doc_id"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -8470,5 +8524,6 @@ object Queries {
     qTpchQ7, qTpchQ9, qTpchQ13, qTpchQ15, qTpchQ17, qTpchQ21, qTpchQ22,
     qSpearman, qAnova, qKeyProfile, qFdCheck, qZipf, qLexical,
     qClusteringCoeff, qHolt, qRandomProjection,
-    qKCore, qRendezvous, qZoneMaps, qScd2Asof)
+    qKCore, qRendezvous, qZoneMaps, qScd2Asof, qReciprocalNn,
+    qInvertedIndex)
 }

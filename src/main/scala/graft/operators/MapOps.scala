@@ -189,4 +189,41 @@ object MapOps {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Inverted-index build — the token → postings structure a search
+    * layer serves from: one row per kept (token, doc) posting with the
+    * doc's term frequency and first position, plus the token's TOTAL
+    * document frequency (counted before any cap, so IDF stays honest).
+    * Postings per token are CAPPED at `maxPostings` docs in ascending
+    * doc-id order — the standard stopword guard: a token appearing in
+    * every document would otherwise serialize one reducer on the whole
+    * corpus (the hot-bucket discipline of the simhash/minhash caps).
+    * Emits `(token, df_docs, doc_id, tf, first_pos)`.
+    *
+    * Scale: tokenize-explode → (token, doc) hash agg (map-side partials
+    * absorb within-doc repeats), then a token-partitioned window for the
+    * cap — the window sorts each token's posting list, bounded in
+    * practice by the cap's spill profile, never by a cross-token
+    * single partition. */
+  def invertedIndex(df: DataFrame, idCol: Column, textCol: Column,
+      maxPostings: Int): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1: $maxPostings")
+    val postings = df
+      .select(idCol.as("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(textCol)))
+      .select(col("doc_id"), col("col").as("token"),
+        col("pos").cast("long").as("p"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), min(col("p")).as("first_pos"))
+    val dfreq = postings.groupBy("token")
+      .agg(count(lit(1)).as("df_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("doc_id"))
+    postings
+      .withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") <= maxPostings)
+      .join(dfreq, Seq("token"))
+      .select(col("token"), col("df_docs"), col("doc_id"), col("tf"),
+        col("first_pos"))
+  }
 }

@@ -750,6 +750,28 @@ object SimilarityOps {
     * Scale: pure per-row map — zero shuffles, d_in·d_out multiplies per
     * vector, codegen'd lambda; the hash signs fold constant per (i,j)
     * pair under CSE within a row. */
+  /** Reciprocal nearest neighbors — the high-precision matching rule on
+    * top of ANY top-k table ([[cosineTopK]], [[ivfTopK]],
+    * [[lshCosineTopK]]): keep pair (a, b) only when b is in a's top-k
+    * AND a is in b's — the mutual-agreement filter entity resolution
+    * and cross-lingual mining use to cut one-directional noise. Input
+    * must carry `(query_id, nbr_id, sim, rank)`; emits
+    * `(a, b, sim_ab, rank_ab, rank_ba)` with `a < b`, one row per
+    * mutual pair.
+    *
+    * Scale: one self equi-join of the top-k table on the (a, b) pair —
+    * k·N rows a side, never the corpus; composing over the ANN output
+    * keeps the quadratic stage wherever the ANN already bounded it. */
+  def reciprocalPairs(topk: DataFrame): DataFrame = {
+    val fwd = topk.select(col("query_id").as("a"), col("nbr_id").as("b"),
+        col("sim").as("sim_ab"), col("rank").cast("long").as("rank_ab"))
+      .filter(col("a") < col("b"))
+    val rev = topk.select(col("nbr_id").as("a"), col("query_id").as("b"),
+        col("rank").cast("long").as("rank_ba"))
+      .filter(col("a") < col("b"))
+    fwd.join(rev, Seq("a", "b"))
+  }
+
   def randomProjection(df: DataFrame, idCol: Column, vecCol: Column,
       outDim: Int, seed: String): DataFrame = {
     require(outDim >= 1, s"outDim must be >= 1: $outDim")

@@ -58,6 +58,30 @@ class CoreShardZoneSpec extends AnyFunSuite {
     assert(out((2L, "x")) === ((1L, 0L, Some(-3000000L), Some(-3000000L))))
   }
 
+  test("reciprocalPairs keeps only mutual top-k edges, a < b once") {
+    // topk: 1->2 (r1), 2->1 (r2), 1->3 (r2), 3->2 (r1): only (1,2) mutual
+    val topk = Seq(
+      (1L, 2L, 0.9, 1), (2L, 1L, 0.9, 2), (1L, 3L, 0.5, 2), (3L, 2L, 0.8, 1))
+      .toDF("query_id", "nbr_id", "sim", "rank")
+    val out = SimilarityOps.reciprocalPairs(topk)
+      .as[(Long, Long, Double, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 0.9, 1L, 2L)))
+  }
+
+  test("invertedIndex: postings capped, df counted before the cap") {
+    val docs = Seq((1L, "x y"), (2L, "x"), (3L, "x x z")).toDF("id", "text")
+    val out = MapOps.invertedIndex(docs, col("id"), col("text"),
+        maxPostings = 2)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    // x: df 3, cap keeps docs 1 and 2; doc 3 (two occurrences) dropped
+    assert(out(("x", 1L)) === ((3L, 1L, 0L)))
+    assert(out(("x", 2L)) === ((3L, 1L, 0L)))
+    assert(!out.contains(("x", 3L)), "cap at 2 drops the third doc")
+    assert(out(("y", 1L)) === ((1L, 1L, 1L)))
+    assert(out(("z", 3L)) === ((1L, 1L, 2L)))
+  }
+
   test("asOfSnapshot: picks the interval covering ts, open intervals too") {
     val changes = Seq(
       (1L, 100L, 1L, "a"), (1L, 200L, 2L, "b"),
