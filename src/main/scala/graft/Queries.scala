@@ -8461,6 +8461,84 @@ object Queries {
       FROM cap JOIN dfq USING (token) WHERE rn <= 20
       ORDER BY token, doc_id"""))
 
+  /** RFM quintile scoring ([[AnalyticsOps.rfmScores]]) over orders. */
+  private val qRfm = QuerySpec(
+    "q_rfm",
+    (s, dir) => AnalyticsOps.rfmScores(t(s, dir, "orders"),
+        col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_totalprice"))
+      .orderBy("k"),
+    Some("""WITH a AS (SELECT o_custkey AS k,
+          CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS recency,
+          CAST(COUNT(*) AS BIGINT) AS frequency,
+          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            AS DOUBLE), 6) AS monetary
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM a),
+      r AS (SELECT k,
+          ROW_NUMBER() OVER (ORDER BY recency, k) AS rr,
+          ROW_NUMBER() OVER (ORDER BY frequency, k) AS rf,
+          ROW_NUMBER() OVER (ORDER BY monetary, k) AS rm
+        FROM a)
+      SELECT a.k, a.recency, a.frequency, a.monetary,
+        CAST(floor((rr - 1) * 5 / nn) + 1 AS BIGINT) AS r,
+        CAST(floor((rf - 1) * 5 / nn) + 1 AS BIGINT) AS f,
+        CAST(floor((rm - 1) * 5 / nn) + 1 AS BIGINT) AS m,
+        CAST((floor((rr - 1) * 5 / nn) + 1) * 100
+          + (floor((rf - 1) * 5 / nn) + 1) * 10
+          + (floor((rm - 1) * 5 / nn) + 1) AS BIGINT) AS rfm
+      FROM a JOIN r USING (k) CROSS JOIN n ORDER BY k"""))
+
+  /** Consecutive-day activity streaks ([[AnalyticsOps.streaks]]) per
+    * user over the events stream. */
+  private val qStreaks = QuerySpec(
+    "q_streaks",
+    (s, dir) => AnalyticsOps.streaks(t(s, dir, "events"), col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)))
+      .orderBy("k"),
+    Some("""WITH d AS (SELECT DISTINCT user_id AS k,
+          CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      i AS (SELECT k, d,
+          d - ROW_NUMBER() OVER (PARTITION BY k ORDER BY d) AS isl
+        FROM d),
+      s AS (SELECT k, isl, CAST(COUNT(*) AS BIGINT) AS len,
+          CAST(MIN(d) AS BIGINT) AS st
+        FROM i GROUP BY 1, 2),
+      rr AS (SELECT k, len, st, ROW_NUMBER() OVER (
+          PARTITION BY k ORDER BY len DESC, st) AS rn
+        FROM s)
+      SELECT k, len AS longest_streak, st AS streak_start
+      FROM rr WHERE rn = 1 ORDER BY k"""))
+
+  /** Association rules ([[AnalyticsOps.associationRules]]) over order
+    * baskets: support-pruned pair confidence and lift. */
+  private val qAssocRules = QuerySpec(
+    "q_assoc_rules",
+    (s, dir) => AnalyticsOps.associationRules(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), minSupport = 3L)
+      .orderBy("a", "b"),
+    Some("""WITH f AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem),
+      nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nbk FROM f),
+      s AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS cnt FROM f
+        GROUP BY 1 HAVING COUNT(*) >= 3),
+      kept AS (SELECT f.* FROM f JOIN s USING (it)),
+      p AS (SELECT a.it AS a, b.it AS b, CAST(COUNT(*) AS BIGINT)
+            AS n_pair
+        FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT p.a, p.b, p.n_pair, sa.cnt AS n_a, sb.cnt AS n_b,
+        CAST(floor(CAST(p.n_pair AS DOUBLE) / sa.cnt * 1000000.0 + 0.5)
+          AS BIGINT) AS conf_ab_e6,
+        CAST(floor(CAST(p.n_pair AS DOUBLE) / sb.cnt * 1000000.0 + 0.5)
+          AS BIGINT) AS conf_ba_e6,
+        CAST(floor(CAST(p.n_pair AS DOUBLE) * nb.nbk
+          / (sa.cnt * sb.cnt) * 1000000.0 + 0.5) AS BIGINT) AS lift_e6
+      FROM p JOIN s sa ON sa.it = p.a JOIN s sb ON sb.it = p.b
+      CROSS JOIN nb ORDER BY a, b"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -8525,5 +8603,5 @@ object Queries {
     qSpearman, qAnova, qKeyProfile, qFdCheck, qZipf, qLexical,
     qClusteringCoeff, qHolt, qRandomProjection,
     qKCore, qRendezvous, qZoneMaps, qScd2Asof, qReciprocalNn,
-    qInvertedIndex)
+    qInvertedIndex, qRfm, qStreaks, qAssocRules)
 }

@@ -569,4 +569,107 @@ object AnalyticsOps {
       .groupBy("path").agg(count(lit(1)).as("n_subjects"))
       .filter(col("n_subjects") >= minSupport)
   }
+
+  /** RFM customer scoring — recency/frequency/monetary quintiles, the
+    * segmentation every CRM pipeline derives first. Each metric is
+    * ranked over ALL customers by [[SortOps.globalRowNumber]] (the
+    * TeraSort-rank formulation — a plain `row_number() OVER (ORDER BY …)`
+    * would serialize every customer through one task), key-tiebroken so
+    * the quintile cut is deterministic; score = `⌊(rank−1)·5/n⌋ + 1`
+    * (1..5, higher = more recent / frequent / valuable). Emits
+    * `(k, recency, frequency, monetary, r, f, m, rfm)` with
+    * `rfm = 100r + 10f + m`.
+    *
+    * Scale: one hash agg over the fact table, then three range
+    * partitions of the CUSTOMER-sized aggregate (not the facts) and
+    * three equi-joins back on the key. */
+  def rfmScores(orders: DataFrame, key: Column, tsUs: Column,
+      amount: Column): DataFrame = {
+    val agg = orders
+      .filter(key.isNotNull)
+      .groupBy(key.as("k"))
+      .agg(max(tsUs.cast("long")).as("recency"),
+        count(lit(1)).as("frequency"),
+        round(sum(amount.cast("decimal(18,6)")).cast("double"), 6)
+          .as("monetary"))
+    val n = agg.agg(count(lit(1)).as("_n"))
+    def score(metric: String, out: String) =
+      SortOps.globalRowNumber(agg.select(col("k"), col(metric)),
+          Seq(col(metric), col("k")), "_rn")
+        .crossJoin(broadcast(n))
+        .select(col("k"),
+          (floor((col("_rn") - 1L) * 5L / col("_n")) + 1L).cast("long")
+            .as(out))
+    agg
+      .join(score("recency", "r"), Seq("k"))
+      .join(score("frequency", "f"), Seq("k"))
+      .join(score("monetary", "m"), Seq("k"))
+      .withColumn("rfm", col("r") * 100L + col("f") * 10L + col("m"))
+  }
+
+  /** Gaps-and-islands streaks — each key's LONGEST run of consecutive
+    * activity days (the engagement metric): distinct active days, the
+    * classic `day − row_number` island id, then per-island lengths and
+    * the per-key argmax (earliest start breaks ties). Emits
+    * `(k, longest_streak, streak_start)`.
+    *
+    * Scale: every window and aggregation partitions on the key; islands
+    * never cross keys; nothing global, nothing quadratic. */
+  def streaks(df: DataFrame, key: Column, day: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("d"))
+    df.select(key.as("k"), day.cast("long").as("d"))
+      .filter(col("k").isNotNull && col("d").isNotNull)
+      .distinct()
+      .withColumn("_isl", col("d") - row_number().over(w))
+      .groupBy(col("k"), col("_isl"))
+      .agg(count(lit(1)).as("_len"), min(col("d")).as("_start"))
+      .groupBy(col("k"))
+      .agg(max(col("_len")).as("longest_streak"),
+        min_by(col("_start"), struct((-col("_len")).as("_nl"),
+          col("_start"))).as("streak_start"))
+  }
+
+  /** Market-basket association rules — pair support / confidence / lift
+    * over (basket, item) facts, the co-purchase miner behind "customers
+    * also bought". Items below `minSupport` baskets are pruned BEFORE
+    * the pair stage (the Apriori property doubles as the hot-item cap:
+    * pair enumeration is quadratic in basket size, and the support
+    * floor is what keeps it tractable — same discipline as the wedge
+    * cap in [[GraphOps.linkPrediction]]). Pairs below `minSupport`
+    * drop too. Emits one row per unordered pair:
+    * `(a, b, n_pair, n_a, n_b, conf_ab_e6, conf_ba_e6, lift_e6)` where
+    * `conf(a→b) = n_pair/n_a`, `lift = n_pair·N/(n_a·n_b)`.
+    *
+    * Scale: distinct + two hash aggs + one per-basket self equi-join on
+    * the basket id; the basket count N broadcasts as one row. */
+  def associationRules(df: DataFrame, basket: Column, item: Column,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val facts = df.select(basket.as("bk"), item.as("it"))
+      .filter(col("bk").isNotNull && col("it").isNotNull)
+      .distinct()
+    val nB = facts.select("bk").distinct().agg(count(lit(1)).as("_nb"))
+    val supp = facts.groupBy(col("it"))
+      .agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= minSupport)
+    val kept = facts.join(supp.select("it"), Seq("it"), "left_semi")
+    val pairs = kept.select(col("bk"), col("it").as("a"))
+      .join(kept.select(col("bk").as("bk2"), col("it").as("b")),
+        col("bk") === col("bk2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+    pairs
+      .join(supp.select(col("it").as("a"), col("_cnt").as("n_a")), Seq("a"))
+      .join(supp.select(col("it").as("b"), col("_cnt").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nB))
+      .select(col("a"), col("b"), col("n_pair"), col("n_a"), col("n_b"),
+        floor(col("n_pair").cast("double") / col("n_a") * 1e6 + 0.5)
+          .cast("long").as("conf_ab_e6"),
+        floor(col("n_pair").cast("double") / col("n_b") * 1e6 + 0.5)
+          .cast("long").as("conf_ba_e6"),
+        floor(col("n_pair").cast("double") * col("_nb")
+          / (col("n_a") * col("n_b")) * 1e6 + 0.5).cast("long")
+          .as("lift_e6"))
+  }
 }
