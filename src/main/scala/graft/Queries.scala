@@ -8539,6 +8539,116 @@ object Queries {
       FROM p JOIN s sa ON sa.it = p.a JOIN s sb ON sb.it = p.b
       CROSS JOIN nb ORDER BY a, b"""))
 
+  /** Modularity ([[GraphOps.modularity]]) of the brand partition over
+    * the co-purchase graph — does brand structure show in baskets. */
+  private val qModularity = QuerySpec(
+    "q_modularity",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("src"))
+      val b = li.select(col("ok").as("ok2"), col("pk").as("dst"))
+      val edges = a.join(b, col("ok") === col("ok2") && col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      val labels = t(s, dir, "part")
+        .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+      GraphOps.modularity(edges, labels).orderBy("label")
+    },
+    Some("""WITH e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+      lab AS (SELECT p_partkey AS node, p_brand AS label FROM part),
+      deg AS (SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) t
+        GROUP BY 1),
+      ds AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          CAST(SUM(d) AS BIGINT) AS d_sum
+        FROM deg JOIN lab USING (node) GROUP BY 1),
+      ei AS (SELECT lu.label, CAST(COUNT(*) AS BIGINT) AS e_in FROM e
+        JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v
+        WHERE lu.label = lv.label GROUP BY 1)
+      SELECT ds.label, ds.n_nodes, COALESCE(ei.e_in, 0) AS e_in,
+        ds.d_sum,
+        CAST(floor((CAST(COALESCE(ei.e_in, 0) AS DOUBLE) / m.m
+          - CAST(ds.d_sum AS DOUBLE) / (2 * m.m)
+            * (CAST(ds.d_sum AS DOUBLE) / (2 * m.m)))
+          * 1000000000.0 + 0.5) AS BIGINT) AS term_e9
+      FROM ds LEFT JOIN ei USING (label) CROSS JOIN m
+      ORDER BY label"""))
+
+  /** Per-group z-scores ([[StatsOps.zScores]]): every lineitem price
+    * standardized against its return flag's exact-moment statistics. */
+  private val qZscore = QuerySpec(
+    "q_zscore",
+    (s, dir) => StatsOps.zScores(t(s, dir, "lineitem"),
+        Seq(col("l_returnflag")), col("l_orderkey"),
+        col("l_extendedprice"))
+      .orderBy("l_returnflag", "id", "x"),
+    Some("""WITH k AS (SELECT l_returnflag AS g, l_orderkey AS id,
+          CAST(l_extendedprice AS DOUBLE) AS x
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      s AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s,
+          CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS q
+        FROM k GROUP BY 1),
+      st AS (SELECT g, n, s / n AS mean,
+          CASE WHEN n > 1 THEN (q - s * s / n) / (n - 1) END AS var
+        FROM s)
+      SELECT k.g AS l_returnflag, k.id, k.x,
+        CASE WHEN var > 0 THEN CAST(floor((k.x - mean) / sqrt(var)
+          * 1000000.0 + 0.5) AS BIGINT) END AS z_e6
+      FROM k JOIN st USING (g) ORDER BY 1, 2, 3"""))
+
+  /** K-fold target encoding ([[StatsOps.targetEncode]]): event types
+    * encoded against the high-value outcome, leakage-controlled. */
+  private val qTargetEncode = QuerySpec(
+    "q_target_encode",
+    (s, dir) => StatsOps.targetEncode(t(s, dir, "events"),
+        col("event_type"), col("event_id"),
+        (col("value") > 50.0).cast("double"), folds = 4, smoothing = 10.0)
+      .orderBy("category", "fold"),
+    Some("""WITH k AS (SELECT event_type AS category,
+          CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 4 AS INTEGER) AS fold,
+          CAST(CAST(value > 50.0 AS INTEGER) AS DOUBLE) AS y
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      pf AS (SELECT category, fold, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sf
+        FROM k GROUP BY 1, 2),
+      pc AS (SELECT category, CAST(SUM(n) AS BIGINT) AS nc,
+          CAST(SUM(CAST(floor(sf * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sc
+        FROM pf GROUP BY 1),
+      pr AS (SELECT CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS prior FROM k)
+      SELECT pf.category, pf.fold, pf.n,
+        CAST(floor((CAST(sc AS DOUBLE) / 1000000.0 - sf + prior * 10.0)
+          / (nc - pf.n + 10.0) * 1000000.0 + 0.5) AS BIGINT) AS enc_e6
+      FROM pf JOIN pc USING (category) CROSS JOIN pr
+      ORDER BY category, fold"""))
+
+  /** Systematic sampling ([[SortOps.systematicSample]]): every 100th
+    * lineitem in full-row total order (TeraSort-rank, no global
+    * window). */
+  private val qSystematicSample = QuerySpec(
+    "q_systematic_sample",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      SortOps.systematicSample(l, l.columns.toSeq.map(col), k = 100)
+        .orderBy(l.columns.toSeq.map(col): _*)
+    },
+    Some("""SELECT * EXCLUDE (rn) FROM (SELECT *, ROW_NUMBER() OVER (
+        ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+          l_linestatus, l_shipdate) AS rn
+      FROM lineitem) t
+      WHERE (rn - 1) % 100 = 0
+      ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+        l_linestatus, l_shipdate"""))
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, qWordcount, qGrep, qInverse, qFieldsel, qMultiAgg, qHistogram,
     qWordstats, qSecondarySort, qWindowTopk, qSessionize, qTumblingWindow,
@@ -8603,5 +8713,6 @@ object Queries {
     qSpearman, qAnova, qKeyProfile, qFdCheck, qZipf, qLexical,
     qClusteringCoeff, qHolt, qRandomProjection,
     qKCore, qRendezvous, qZoneMaps, qScd2Asof, qReciprocalNn,
-    qInvertedIndex, qRfm, qStreaks, qAssocRules)
+    qInvertedIndex, qRfm, qStreaks, qAssocRules,
+    qModularity, qZscore, qTargetEncode, qSystematicSample)
 }

@@ -418,6 +418,50 @@ object GraphOps {
       .groupBy("node").agg(sum(col("w")).as("n_tri"))
   }
 
+  /** Modularity of a node partition — per-community quality terms for a
+    * labeling (communities, brands, shards…) over an undirected graph:
+    * `Q = Σ_c (e_c/m − (d_c/2m)²)` with `e_c` = within-community edges,
+    * `d_c` = degree mass, `m` = |E|. Labels with Q near 0 are no better
+    * than random wiring; structured partitions push toward 1. Emits one
+    * row per label: `(label, n_nodes, e_in, d_sum, term_e9)` — the
+    * cross-community sum is the caller's (each term is already 1e-9
+    * quantized from exact integer counts, so any engine reproduces the
+    * fold). Unlabeled nodes drop; edges with an unlabeled endpoint still
+    * count toward m and degrees (the partition is judged on the full
+    * graph).
+    *
+    * Scale: canonicalize + degree agg + two label joins (node-keyed) +
+    * per-label rollups, all map-side partial; m broadcasts as one row. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val m = und.agg(count(lit(1)).as("_m"))
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("label").as("label"))
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("_d"))
+    val dSum = deg.join(lab, Seq("node"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("_d")).as("d_sum"))
+    val eIn = und
+      .join(lab.select(col("node").as("u"), col("label").as("_lu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("_lv")), Seq("v"))
+      .filter(col("_lu") === col("_lv"))
+      .groupBy(col("_lu").as("label"))
+      .agg(count(lit(1)).as("e_in"))
+    dSum.join(eIn, Seq("label"), "left_outer")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"), col("e_in"), col("d_sum"),
+        floor((col("e_in").cast("double") / col("_m")
+          - col("d_sum").cast("double") / (lit(2L) * col("_m"))
+            * (col("d_sum").cast("double") / (lit(2L) * col("_m"))))
+          * 1e9 + 0.5).cast("long").as("term_e9"))
+  }
+
   /** k-core peel, bounded rounds — iteratively remove nodes whose degree
     * within the surviving subgraph is below `k`; after `rounds` rounds,
     * release the surviving nodes with their within-core degree. Bounded

@@ -118,6 +118,22 @@ object SortOps {
     df.sparkSession.createDataFrame(withCum, schema).drop("_gcs_v")
   }
 
+  /** Systematic (every-k-th) sampling in a total order — the stratified-
+    * by-position design survey methodology prefers over Bernoulli when
+    * the sort key carries structure (time, size, score): take rows whose
+    * global 1-based rank satisfies `(rn − 1) % k == offset`. Rank comes
+    * from [[globalRowNumber]] (range partition + per-partition offsets),
+    * so no single-task window exists at any scale; the sort key must be
+    * a total order (pass a unique tiebreaker). */
+  def systematicSample(df: DataFrame, order: Seq[Column], k: Int,
+      offset: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(offset >= 0 && offset < k, s"offset must be in [0,$k): $offset")
+    globalRowNumber(df, order, "_ssrn")
+      .filter((col("_ssrn") - 1L) % k === offset)
+      .drop("_ssrn")
+  }
+
   /** Deterministic per-row-rate Bernoulli — the corpus-MIXING primitive: a
     * row survives iff its key's md5 bucket (out of 10000) falls below
     * floor(rate·10000). Same portable-hash contract as

@@ -597,6 +597,80 @@ object StatsOps {
       .select(g ++ Seq(col("n"), col("k"), col("f_e6")): _*)
   }
 
+  /** Per-group z-score standardization — the feature-scaling release:
+    * every row scored as `(x − mean)/std` against ITS GROUP's sample
+    * statistics. Mean and variance derive from exact decimal folds (the
+    * [[anovaF]] moment discipline: x through DECIMAL(18,6), x² through
+    * DECIMAL(28,6)), so the per-row double math starts from
+    * order-independent integers. Emits `(group…, id, x, z_e6)`; groups
+    * with zero variance or a single row release null z.
+    *
+    * Scale: one hash agg per group + one broadcast-friendly equi-join
+    * back to the rows — no windows, so a hot group streams instead of
+    * sorting. */
+  def zScores(df: DataFrame, groupCols: Seq[Column], id: Column,
+      value: Column): DataFrame = {
+    val keyed = df.select(groupCols ++ Seq(id.as("id"),
+      value.cast("double").as("x")): _*)
+      .filter(col("x").isNotNull)
+    val gNames = keyed.columns.dropRight(2)
+    val g = gNames.map(col)
+    val stats = keyed.groupBy(g: _*)
+      .agg(count(lit(1)).as("_n"),
+        sum(col("x").cast("decimal(18,6)")).cast("double").as("_s"),
+        sum((col("x") * col("x")).cast("decimal(28,6)")).cast("double")
+          .as("_q"))
+      .withColumn("_mean", col("_s") / col("_n"))
+      .withColumn("_var",
+        when(col("_n") > 1L,
+          (col("_q") - col("_s") * col("_s") / col("_n"))
+            / (col("_n") - lit(1L))))
+    keyed.join(stats, gNames.toSeq)
+      .select(g ++ Seq(col("id"), col("x"),
+        when(col("_var") > 0,
+          floor((col("x") - col("_mean")) / sqrt(col("_var")) * 1e6 + 0.5)
+            .cast("long")).as("z_e6")): _*)
+  }
+
+  /** K-fold target encoding — the leakage-controlled categorical
+    * encoder: category `c`'s encoding for rows in fold `f` uses the
+    * target statistics of every OTHER fold (own-fold rows never see
+    * their own target), smoothed toward the global prior with weight
+    * `m`: `enc(c,f) = (S_c − S_{c,f} + prior·m) / (n_c − n_{c,f} + m)`.
+    * Folds are the deterministic hash buckets of the id
+    * ([[graft.functions.TextFunctions.portableBucket]]) — reproducible
+    * splits, no RNG. Emits the `(category, fold, n, enc_e6)` lookup
+    * table (join it back on (category, hash-fold) to encode rows).
+    *
+    * Scale: two hash aggs ((cat, fold), then cat) and a broadcast of
+    * the one-row prior; output is bounded by |categories|·folds. */
+  def targetEncode(df: DataFrame, catCol: Column, idCol: Column,
+      target: Column, folds: Int, smoothing: Double): DataFrame = {
+    require(folds >= 2, s"folds must be >= 2: $folds")
+    require(smoothing >= 0, s"smoothing must be >= 0: $smoothing")
+    val keyed = df.select(catCol.as("category"),
+        graft.functions.TextFunctions.portableBucket(idCol, folds)
+          .cast("int").as("fold"),
+        target.cast("double").as("_y"))
+      .filter(col("category").isNotNull && col("_y").isNotNull)
+    val perFold = keyed.groupBy("category", "fold")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_y").cast("decimal(18,6)")).cast("double").as("_sf"))
+    val perCat = perFold.groupBy("category")
+      .agg(sum(col("n")).as("_nc"),
+        sum(floor(col("_sf") * 1e6 + 0.5).cast("long")).as("_sc_e6"))
+    val prior = keyed.agg(
+      (sum(col("_y").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("_prior"))
+    perFold.join(perCat, Seq("category"))
+      .crossJoin(broadcast(prior))
+      .select(col("category"), col("fold"), col("n"),
+        floor((col("_sc_e6").cast("double") / 1e6 - col("_sf")
+            + col("_prior") * smoothing)
+          / (col("_nc") - col("n") + lit(smoothing)) * 1e6 + 0.5)
+          .cast("long").as("enc_e6"))
+  }
+
   /** Holt linear (double-exponential) smoothing per key — the classic
     * level+trend forecaster for un-seasonal series. Initialization
     * `l₁ = x₁, b₁ = 0`, then
