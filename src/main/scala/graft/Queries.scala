@@ -5964,6 +5964,38 @@ object Queries {
         AND cnt.bin = grid.bin
       ORDER BY 1, 2"""))
 
+  /** Perceptual dHash ([[MultimodalOps.dHash]]): 9×8 grayscale PNGs
+    * built from document text, decoded with the REAL JDK codec, hashed
+    * into 8 bit-rows each; the oracle recomputes every bit from the
+    * text bytes. */
+  private val qDhash = QuerySpec(
+    "q_dhash",
+    (s, dir) => {
+      import s.implicits._
+      val png = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          require(b.length == text.length, s"non-ASCII text in doc $id")
+          (id, MultimodalOps.encodePngGray(
+            Array.tabulate[Byte](72)(i => b(i % b.length)), 9, 8))
+        }
+        .toDF("doc_id", "payload")
+      MultimodalOps.dHash(png, "doc_id", "payload", cols = 8, rows = 8)
+        .orderBy("doc_id", "row")
+    },
+    Some("""SELECT doc_id, CAST(rr.r AS BIGINT) AS "row",
+        CAST(SUM(CASE WHEN
+          unicode(substr(text,
+            ((rr.r * 9 + cc.c + 1) % length(text)) + 1, 1)) >
+          unicode(substr(text,
+            ((rr.r * 9 + cc.c) % length(text)) + 1, 1))
+        THEN (CAST(1 AS BIGINT) << cc.c) ELSE 0 END) AS BIGINT) AS bits
+      FROM documents, generate_series(0, 7) rr(r),
+        generate_series(0, 7) cc(c)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Mergeable HLL distinct-count state ([[AggOps.hllState]]/[[AggOps
     * .hllMerge]]/[[AggOps.hllEstimate]]): per-type distinct users, built
     * from three hash-disjoint batches and UNIONED — must land within the
@@ -8714,5 +8746,5 @@ object Queries {
     qClusteringCoeff, qHolt, qRandomProjection,
     qKCore, qRendezvous, qZoneMaps, qScd2Asof, qReciprocalNn,
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
-    qModularity, qZscore, qTargetEncode, qSystematicSample)
+    qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash)
 }

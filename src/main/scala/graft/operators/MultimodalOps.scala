@@ -247,6 +247,49 @@ object MultimodalOps {
       .toDF(idCol, "bin", "n_px")
   }
 
+  /** Perceptual difference hash (dHash) per image — the 64-bit
+    * near-duplicate fingerprint image dedup pipelines band on (the
+    * visual cousin of simhash): sample a `(cols+1)×rows` grayscale grid,
+    * set bit `c` of row `r` when the right neighbor is brighter than the
+    * left. Emits `(id, row, bits)` — one byte-wide bit row per image row
+    * (8×8 = the standard 64-bit hash, released as 8 exact small longs so
+    * no sign-bit games are needed) — band rows into buckets exactly like
+    * [[DedupOps]]'s simhash bands to find near-dups at scale.
+    *
+    * Grid sampling is NEAREST-PIXEL at `(⌊r·h/rows⌋, ⌊c·w/(cols+1)⌋)` —
+    * integer-exact and engine-replayable, where the canonical
+    * interpolating resize would hash differently on every resampler.
+    * Decode is the REAL JDK PNG codec. Pure per-row kernel: zero
+    * shuffles. */
+  def dHash(df: DataFrame, idCol: String, payloadCol: String,
+      cols: Int = 8, rows: Int = 8): DataFrame = {
+    require(cols >= 1 && cols <= 62, s"cols must be in 1..62: $cols")
+    require(rows >= 1, s"rows must be >= 1: $rows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        (0 until rows).iterator.map { r =>
+          val y = r * h / rows
+          var bits = 0L
+          var c = 0
+          while (c < cols) {
+            val left = raster.getSample(c * w / (cols + 1), y, 0)
+            val right = raster.getSample((c + 1) * w / (cols + 1), y, 0)
+            if (right > left) bits |= 1L << c
+            c += 1
+          }
+          (id, r.toLong, bits)
+        }
+      }
+      .toDF(idCol, "row", "bits")
+  }
+
   /** Encode a grayscale pixel grid as a REAL JPEG via javax.imageio (JDK
     * codec). Lossy by nature — fixture/ingest helper for the JPEG arm. */
   def encodeJpegGray(pixels: Array[Byte], w: Int, h: Int,

@@ -211,4 +211,22 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     // pair 1: identical frames; pair 2: |30-10| = 20 everywhere
     assert(out === Seq((1L, 1L, 4L, 0L), (1L, 2L, 4L, 20000000L)))
   }
+
+  test("dHash: ascending rows set every bit, flat rows none") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    // rows 0-3 ascending (every right neighbor brighter -> bits 255),
+    // rows 4-7 constant (strict > never fires -> bits 0)
+    val px = Array.tabulate[Byte](72) { i =>
+      val (r, c) = (i / 9, i % 9)
+      if (r < 4) c.toByte else 42.toByte
+    }
+    val df = Seq((7L, MultimodalOps.encodePngGray(px, 9, 8)))
+      .toDF("id", "payload")
+    val out = MultimodalOps.dHash(df, "id", "payload")
+      .orderBy("row").as[(Long, Long, Long)].collect()
+    assert(out.length === 8)
+    assert(out.take(4).forall(_._3 === 255L))
+    assert(out.drop(4).forall(_._3 === 0L))
+  }
 }
