@@ -8292,7 +8292,8 @@ object Queries {
   private val qRandomProjection = QuerySpec(
     "q_random_projection",
     (s, dir) => SimilarityOps.randomProjection(t(s, dir, "embeddings"),
-        col("vec_id"), col("embedding"), outDim = 16, seed = "jl")
+        col("vec_id"), col("embedding"), inDim = 64, outDim = 16,
+        seed = "jl")
       .orderBy("id", "dim"),
     Some("""SELECT vec_id AS id, CAST(j.j AS INTEGER) AS dim,
         CAST(floor(list_reduce(

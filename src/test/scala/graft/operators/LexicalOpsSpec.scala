@@ -59,7 +59,7 @@ class LexicalOpsSpec extends AnyFunSuite {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)))
       .toDF("vec_id", "embedding")
     val out = SimilarityOps.randomProjection(df, col("vec_id"),
-      col("embedding"), outDim = 4, seed = "s")
+      col("embedding"), inDim = 2, outDim = 4, seed = "s")
     val rows = out.collect().map(r =>
       (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(rows.size === 8, "2 vectors x 4 dims")
@@ -67,12 +67,12 @@ class LexicalOpsSpec extends AnyFunSuite {
     assert((0 to 3).forall(j => math.abs(rows((1L, j))) === 500000L))
     assert((0 to 3).forall(j => math.abs(rows((2L, j))) === 1000000L))
     val again = SimilarityOps.randomProjection(df, col("vec_id"),
-      col("embedding"), outDim = 4, seed = "s")
+      col("embedding"), inDim = 2, outDim = 4, seed = "s")
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(again === rows, "projection is a pure function of the seed")
     // a different seed flips at least one sign for these 8 cells
     val other = SimilarityOps.randomProjection(df, col("vec_id"),
-      col("embedding"), outDim = 4, seed = "t")
+      col("embedding"), inDim = 2, outDim = 4, seed = "t")
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(other !== rows)
   }

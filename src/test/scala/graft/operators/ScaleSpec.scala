@@ -495,7 +495,7 @@ class ScaleSpec extends AnyFunSuite {
     val emb = (1 to 100).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
       .toDF("vec_id", "embedding")
     assert(!plan(SimilarityOps.randomProjection(emb, col("vec_id"),
-        col("embedding"), 4, "s")).contains("Exchange"),
+        col("embedding"), 8, 4, "s")).contains("Exchange"),
       "randomProjection must not shuffle")
     val keys = (1 to 100).map(_.toLong).toDF("k")
     assert(!plan(keys.select(graft.functions.TextFunctions
