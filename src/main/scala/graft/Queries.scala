@@ -5996,6 +5996,142 @@ object Queries {
         generate_series(0, 7) cc(c)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Two-feature OLS ([[StatsOps.ols2]]): price on quantity and
+    * discount per return flag — closed-form normal equations. */
+  private val qOls2 = QuerySpec(
+    "q_ols2",
+    (s, dir) => StatsOps.ols2(t(s, dir, "lineitem"),
+        Seq(col("l_returnflag")), col("l_quantity"), col("l_discount"),
+        col("l_extendedprice"))
+      .orderBy("l_returnflag"),
+    Some("""WITH k AS (SELECT l_returnflag AS g,
+          CAST(l_quantity AS DOUBLE) AS x1,
+          CAST(l_discount AS DOUBLE) AS x2,
+          CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL),
+      m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(x1 AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(x2 AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+          CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,6))) AS DOUBLE) AS s11,
+          CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS s22,
+          CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS s12,
+          CAST(SUM(CAST(x1 * y AS DECIMAL(28,6))) AS DOUBLE) AS s1y,
+          CAST(SUM(CAST(x2 * y AS DECIMAL(28,6))) AS DOUBLE) AS s2y
+        FROM k GROUP BY 1),
+      c AS (SELECT g, n, s1, s2, sy, s1y, s2y,
+          s11 * s22 - s12 * s12 AS A, s1 * s22 - s12 * s2 AS B,
+          s1 * s12 - s11 * s2 AS C, n * s22 - s2 * s2 AS D,
+          n * s12 - s1 * s2 AS E, n * s11 - s1 * s1 AS F
+        FROM m),
+      d AS (SELECT *, n * A - s1 * B + s2 * C AS det FROM c)
+      SELECT g AS l_returnflag, n,
+        CASE WHEN n >= 3 AND abs(det) > 1e-9
+          THEN CAST(floor((A * sy - B * s1y + C * s2y) / det
+            * 1000000.0 + 0.5) AS BIGINT) END AS b0_e6,
+        CASE WHEN n >= 3 AND abs(det) > 1e-9
+          THEN CAST(floor((-B * sy + D * s1y - E * s2y) / det
+            * 1000000.0 + 0.5) AS BIGINT) END AS b1_e6,
+        CASE WHEN n >= 3 AND abs(det) > 1e-9
+          THEN CAST(floor((C * sy - E * s1y + F * s2y) / det
+            * 1000000.0 + 0.5) AS BIGINT) END AS b2_e6
+      FROM d ORDER BY 1"""))
+
+  /** Nelson-Aalen cumulative hazard ([[AnalyticsOps.nelsonAalen]]) over
+    * the same signup→purchase durations as [[qKaplanMeier]]. */
+  private val qNelsonAalen = QuerySpec(
+    "q_nelson_aalen",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id").as("u")).agg(min(col("ts")).as("t0"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("cu"), col("ts").as("ct"))
+      val hz = ev.agg(max(col("ts")).as("h"))
+      val durs = s0
+        .join(conv, col("u") === col("cu") && col("ct") > col("t0"), "left")
+        .groupBy(col("u"), col("t0")).agg(min(col("ct")).as("tp"))
+        .crossJoin(broadcast(hz))
+        .withColumn("dur_us",
+          unix_micros(coalesce(col("tp"), col("h"))) - unix_micros(col("t0")))
+        .select(pmod(col("u"), lit(2)).cast("long").as("cohort"),
+          expr("dur_us DIV 86400000000").as("t"),
+          col("tp").isNotNull.as("e"))
+      AnalyticsOps.nelsonAalen(durs, Seq(col("cohort")), col("t"), col("e"))
+        .orderBy("cohort", "t")
+    },
+    Some("""WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      hz AS (SELECT MAX(ts) AS h FROM events),
+      pu AS (SELECT s0.u, s0.t0, MIN(e.ts) AS tp FROM s0 LEFT JOIN events e
+        ON e.user_id = s0.u AND e.event_type = 'purchase' AND e.ts > s0.t0
+        GROUP BY 1, 2),
+      durs AS (SELECT u % 2 AS cohort,
+          (epoch_us(COALESCE(tp, (SELECT h FROM hz))) - epoch_us(t0))
+            // 86400000000 AS t,
+          tp IS NOT NULL AS e FROM pu),
+      at AS (SELECT cohort, t,
+          CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+          CAST(COUNT(*) AS BIGINT) AS leave FROM durs GROUP BY 1, 2),
+      wr AS (SELECT cohort, t, d,
+          SUM(leave) OVER (PARTITION BY cohort) - COALESCE(
+            SUM(leave) OVER (PARTITION BY cohort ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS n_risk
+        FROM at),
+      ev AS (SELECT cohort, t, n_risk, d,
+          CAST(floor(CAST(d AS DOUBLE) / n_risk * 1000000000.0 + 0.5)
+            AS BIGINT) AS he
+        FROM wr WHERE d > 0)
+      SELECT cohort, t, CAST(n_risk AS BIGINT) AS n_risk, d,
+        CAST(SUM(he) OVER (PARTITION BY cohort ORDER BY t) AS BIGINT)
+          AS h_e9
+      FROM ev ORDER BY cohort, t"""))
+
+  /** Period-over-period deltas ([[AnalyticsOps.popDeltas]]): weekly
+    * value totals per event type with lag-1 change. */
+  private val qPopDeltas = QuerySpec(
+    "q_pop_deltas",
+    (s, dir) => AnalyticsOps.popDeltas(t(s, dir, "events"),
+        Seq(col("event_type")), unix_micros(col("ts")), col("value"),
+        bucketUs = 604800000000L)
+      .orderBy("event_type", "period"),
+    Some("""WITH k AS (SELECT event_type AS g,
+          CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 604800000000)
+            AS BIGINT) AS period,
+          CAST(value AS DOUBLE) AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      a AS (SELECT g, period,
+          ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6)
+            AS total
+        FROM k GROUP BY 1, 2),
+      l AS (SELECT g, period, total,
+          lag(total) OVER (PARTITION BY g ORDER BY period) AS prev_total
+        FROM a)
+      SELECT g AS event_type, period, total, prev_total,
+        ROUND(total - prev_total, 6) AS delta,
+        CASE WHEN prev_total IS NOT NULL AND prev_total <> 0.0
+          THEN CAST(floor((total - prev_total) / prev_total
+            * 1000000.0 + 0.5) AS BIGINT) END AS pct_e6
+      FROM l ORDER BY 1, 2"""))
+
+  /** Quantile transform ([[StatsOps.quantileTransform]]): every event
+    * value mapped to its within-type percent rank. */
+  private val qQuantileTransform = QuerySpec(
+    "q_quantile_transform",
+    (s, dir) => StatsOps.quantileTransform(t(s, dir, "events"),
+        Seq(col("event_type")), col("event_id"), col("value"))
+      .orderBy("event_type", "id"),
+    Some("""SELECT event_type, event_id AS id,
+        CAST(value AS DOUBLE) AS x,
+        CAST(floor(percent_rank() OVER (PARTITION BY event_type
+          ORDER BY CAST(value AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+          AS pr_e6
+      FROM events WHERE value IS NOT NULL
+      ORDER BY event_type, id"""))
+
   /** Mergeable HLL distinct-count state ([[AggOps.hllState]]/[[AggOps
     * .hllMerge]]/[[AggOps.hllEstimate]]): per-type distinct users, built
     * from three hash-disjoint batches and UNIONED — must land within the
@@ -8747,5 +8883,6 @@ object Queries {
     qClusteringCoeff, qHolt, qRandomProjection,
     qKCore, qRendezvous, qZoneMaps, qScd2Asof, qReciprocalNn,
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
-    qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash)
+    qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
+    qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform)
 }

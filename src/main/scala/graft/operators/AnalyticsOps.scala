@@ -404,6 +404,73 @@ object AnalyticsOps {
           lit(0.5)).cast("long").as("surv_e6")): _*)
   }
 
+  /** Nelson-Aalen cumulative hazard — [[kaplanMeier]]'s companion
+    * estimator: `H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ` over event times, the additive
+    * hazard view (KM is the multiplicative survival view; −ln S ≈ H
+    * links them). Same at-risk accounting as KM; each time's hazard
+    * increment quantizes to 1e-9 BEFORE the running sum, so the
+    * cumulative release is an exact integer fold. Emits
+    * `(group…, t, n_risk, d, h_e9)` for event rows (d > 0).
+    *
+    * Scale: one hash agg on (group, t), two group-keyed windows over
+    * the |distinct durations| table — never over the raw rows. */
+  def nelsonAalen(df: DataFrame, groupCols: Seq[Column], duration: Column,
+      event: Column): DataFrame = {
+    val base = df.select(groupCols ++ Seq(duration.cast("long").as("t"),
+      event.cast("boolean").as("e")): _*)
+      .filter(col("t").isNotNull && col("t") >= 0 && col("e").isNotNull)
+    val gCols = base.columns.dropRight(2).toSeq.map(col)
+    val at = base.groupBy(gCols :+ col("t"): _*)
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leave"))
+    val wOrd = Window.partitionBy(gCols: _*).orderBy(col("t"))
+    val wAll = Window.partitionBy(gCols: _*)
+    at.withColumn("n_risk",
+        sum(col("leave")).over(wAll) - coalesce(
+          sum(col("leave")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("_h_e9",
+        floor(col("d").cast("double") / col("n_risk") * 1e9 + 0.5)
+          .cast("long"))
+      .withColumn("h_e9", sum(col("_h_e9")).over(wOrd))
+      .select(gCols ++ Seq(col("t"), col("n_risk"), col("d"),
+        col("h_e9")): _*)
+  }
+
+  /** Period-over-period deltas — each (group, period)'s metric total
+    * beside the previous period's, with absolute and relative change:
+    * the week-over-week / month-over-month report every metrics
+    * pipeline ends in. Totals fold through exact decimals; the relative
+    * change quantizes to 1e-6 (null when the previous period is 0 or
+    * missing). Periods are `⌊ts/bucketUs⌋` buckets; only observed
+    * periods emit (pair with [[gapFill]] to densify first when a silent
+    * period must read as zero). Emits
+    * `(group…, period, total, prev_total, delta, pct_e6)`.
+    *
+    * Scale: one hash agg to the (group, period) table, one lag window
+    * keyed on the group over that table. */
+  def popDeltas(df: DataFrame, groupCols: Seq[Column], tsUs: Column,
+      value: Column, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be > 0: $bucketUs")
+    val keyed = df.select(groupCols ++ Seq(
+      floor(tsUs.cast("double") / bucketUs).cast("long").as("period"),
+      value.cast("double").as("_v")): _*)
+      .filter(col("period").isNotNull && col("_v").isNotNull)
+    val gNames = keyed.columns.dropRight(2)
+    val g = gNames.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("period"))
+    keyed.groupBy(g :+ col("period"): _*)
+      .agg(round(sum(col("_v").cast("decimal(18,6)")).cast("double"), 6)
+        .as("total"))
+      .withColumn("prev_total", lag(col("total"), 1).over(w))
+      .withColumn("delta", round(col("total") - col("prev_total"), 6))
+      .withColumn("pct_e6",
+        when(col("prev_total").isNotNull && col("prev_total") =!= 0.0,
+          floor((col("total") - col("prev_total")) / col("prev_total")
+            * 1e6 + 0.5).cast("long")))
+  }
+
   /** Behavioral k-grams: every length-`k` window of consecutive event
     * types per subject, counted across the corpus — the sequential-
     * pattern complement to [[transitions]] (k=2, row-normalized) and

@@ -671,6 +671,81 @@ object StatsOps {
           .cast("long").as("enc_e6"))
   }
 
+  /** Per-group quantile (percent-rank) transform — the rank-based
+    * feature scaling that is immune to outliers where [[zScores]] is
+    * not: each row maps to `(rank − 1)/(n − 1)` within its group
+    * (min-rank ties, the SQL `percent_rank` contract), released at
+    * 1e-6. Groups of one release 0. The ratio is integer-derived, so
+    * any engine reproduces it bit-for-bit. Emits
+    * `(group…, id, x, pr_e6)`.
+    *
+    * Scale: one rank window keyed on the group — a hot group sorts
+    * within its partition, nothing global. */
+  def quantileTransform(df: DataFrame, groupCols: Seq[Column], id: Column,
+      value: Column): DataFrame = {
+    val keyed = df.select(groupCols ++ Seq(id.as("id"),
+      value.cast("double").as("x")): _*)
+      .filter(col("x").isNotNull)
+    val gNames = keyed.columns.dropRight(2)
+    val w = Window.partitionBy(gNames.map(col): _*).orderBy(col("x"))
+    keyed.withColumn("pr_e6",
+      floor(percent_rank().over(w) * 1e6 + 0.5).cast("long"))
+  }
+
+  /** Two-feature OLS per group — `y = b0 + b1·x1 + b2·x2` via the
+    * closed-form normal equations (3×3 Cramer/adjugate solve), the
+    * multivariate step past [[q_linear_trend]]'s single regressor. All
+    * nine moments fold through exact decimals (x and y through
+    * DECIMAL(18,6), every pairwise product through DECIMAL(28,6)), so
+    * the double-precision solve starts from order-independent integers
+    * and the e6 release is engine-stable. Emits
+    * `(group…, n, b0_e6, b1_e6, b2_e6)`; a singular system (collinear
+    * or constant regressors, n < 3) releases null coefficients.
+    *
+    * Scale: ONE map-side-partial hash aggregation over the data; the
+    * solve is scalar math on |groups| rows. */
+  def ols2(df: DataFrame, groupCols: Seq[Column], x1: Column, x2: Column,
+      y: Column): DataFrame = {
+    val keyed = df.select(groupCols ++ Seq(x1.cast("double").as("_x1"),
+      x2.cast("double").as("_x2"), y.cast("double").as("_y")): _*)
+      .filter(col("_x1").isNotNull && col("_x2").isNotNull &&
+        col("_y").isNotNull)
+    val gNames = keyed.columns.dropRight(3)
+    val g = gNames.map(col)
+    def dsum(c: Column) = sum(c.cast("decimal(18,6)")).cast("double")
+    def psum(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    keyed.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        dsum(col("_x1")).as("_s1"), dsum(col("_x2")).as("_s2"),
+        dsum(col("_y")).as("_sy"),
+        psum(col("_x1") * col("_x1")).as("_s11"),
+        psum(col("_x2") * col("_x2")).as("_s22"),
+        psum(col("_x1") * col("_x2")).as("_s12"),
+        psum(col("_x1") * col("_y")).as("_s1y"),
+        psum(col("_x2") * col("_y")).as("_s2y"))
+      // adjugate of the symmetric normal matrix [[n,s1,s2],[s1,s11,s12],
+      // [s2,s12,s22]] — six cofactors, shared across the three solves
+      .withColumn("_A", col("_s11") * col("_s22") - col("_s12") * col("_s12"))
+      .withColumn("_B", col("_s1") * col("_s22") - col("_s12") * col("_s2"))
+      .withColumn("_C", col("_s1") * col("_s12") - col("_s11") * col("_s2"))
+      .withColumn("_D", col("n") * col("_s22") - col("_s2") * col("_s2"))
+      .withColumn("_E", col("n") * col("_s12") - col("_s1") * col("_s2"))
+      .withColumn("_F", col("n") * col("_s11") - col("_s1") * col("_s1"))
+      .withColumn("_det",
+        col("n") * col("_A") - col("_s1") * col("_B") + col("_s2") * col("_C"))
+      .withColumn("_ok", col("n") >= 3 && abs(col("_det")) > lit(1e-9))
+      .select(g ++ Seq(col("n"),
+        when(col("_ok"), floor((col("_A") * col("_sy") - col("_B") * col("_s1y")
+          + col("_C") * col("_s2y")) / col("_det") * 1e6 + 0.5).cast("long"))
+          .as("b0_e6"),
+        when(col("_ok"), floor((-col("_B") * col("_sy") + col("_D") * col("_s1y")
+          - col("_E") * col("_s2y")) / col("_det") * 1e6 + 0.5).cast("long"))
+          .as("b1_e6"),
+        when(col("_ok"), floor((col("_C") * col("_sy") - col("_E") * col("_s1y")
+          + col("_F") * col("_s2y")) / col("_det") * 1e6 + 0.5).cast("long"))
+          .as("b2_e6")): _*)
+  }
+
   /** Holt linear (double-exponential) smoothing per key — the classic
     * level+trend forecaster for un-seasonal series. Initialization
     * `l₁ = x₁, b₁ = 0`, then

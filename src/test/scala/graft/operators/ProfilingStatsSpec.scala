@@ -90,6 +90,67 @@ class ProfilingStatsSpec extends AnyFunSuite {
     assert(r.getLong(3) === 1L)
   }
 
+  test("ols2 recovers an exact planar fit") {
+    // y = 2 + 3*x1 - 0.5*x2 exactly on a non-degenerate design
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 2.0), (1.0, 2.0), (2.0, 1.0))
+    val df = pts.map { case (a, b) => ("g", a, b, 2.0 + 3.0 * a - 0.5 * b) }
+      .toDF("g", "x1", "x2", "y")
+    val r = StatsOps.ols2(df, Seq(col("g")), col("x1"), col("x2"),
+      col("y")).collect()(0)
+    assert(r.getLong(1) === 5L)
+    assert(r.getLong(2) === 2000000L)
+    assert(r.getLong(3) === 3000000L)
+    assert(r.getLong(4) === -500000L)
+  }
+
+  test("ols2: collinear regressors release null coefficients") {
+    val df = (1 to 6).map(i => ("g", i.toDouble, 2.0 * i, i * 5.0))
+      .toDF("g", "x1", "x2", "y")
+    val r = StatsOps.ols2(df, Seq(col("g")), col("x1"), col("x2"),
+      col("y")).collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("nelsonAalen: hand-checked hazard on a 4-subject cohort") {
+    // durations: 1 (event), 2 (event), 2 (censored), 3 (event)
+    // t=1: d=1 n=4 -> 0.25 ; t=2: d=1 n=3 -> +1/3 ; t=3: d=1 n=1 -> +1
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, true))
+      .toDF("t", "e").withColumn("g", lit("c"))
+    val out = AnalyticsOps.nelsonAalen(df, Seq(col("g")), col("t"),
+      col("e")).collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((4L, 1L, 250000000L)))
+    assert(out(2L) === ((3L, 1L, 250000000L + 333333333L)))
+    assert(out(3L) === ((1L, 1L, 250000000L + 333333333L + 1000000000L)))
+  }
+
+  test("popDeltas: lag-1 totals, deltas, and percent change") {
+    val df = Seq(("a", 0L, 10.0), ("a", 5L, 10.0), ("a", 10L, 30.0),
+      ("a", 25L, 15.0), ("b", 3L, 7.0))
+      .toDF("g", "ts", "v")
+    val out = AnalyticsOps.popDeltas(df, Seq(col("g")), col("ts"),
+      col("v"), bucketUs = 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(out(("a", 0L)) === ((20.0, None)))
+    assert(out(("a", 1L)) === ((30.0, Some(500000L))), "+50%")
+    assert(out(("a", 2L)) === ((15.0, Some(-500000L))), "-50%")
+    assert(out(("b", 0L)) === ((7.0, None)))
+  }
+
+  test("quantileTransform: min 0, max 1, ties share the min rank") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 7.0), ("g", 3L, 7.0),
+      ("g", 4L, 9.0), ("h", 5L, 3.0)).toDF("grp", "id", "v")
+    val out = StatsOps.quantileTransform(df, Seq(col("grp")), col("id"),
+      col("v")).collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(1L) === 0L)
+    assert(out(2L) === 333333L, "(rank 2 - 1)/(4 - 1)")
+    assert(out(3L) === 333333L, "tie shares the min rank")
+    assert(out(4L) === 1000000L)
+    assert(out(5L) === 0L, "singleton group scores 0")
+  }
+
   test("holtLinear: two-point series matches the hand fold") {
     val df = Seq((1L, 100L, 1L, 10.0), (1L, 200L, 2L, 12.0))
       .toDF("k", "t", "i", "x")
