@@ -6136,6 +6136,51 @@ object Queries {
       FROM events WHERE value IS NOT NULL
       ORDER BY event_type, id"""))
 
+  /** Transaction-log table ([[graft.sources.TxLog]]): two event batches
+    * committed atomically, then a content-neutral compaction commit
+    * (add compacted file, remove input) — the gate aggregates the
+    * LATEST snapshot and the pre-compaction TIME-TRAVEL snapshot side
+    * by side, proving both match the raw table (isolation + travel). */
+  private val qTxlogSnapshot = QuerySpec(
+    "q_txlog_snapshot",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val even = ev.filter(col("event_id") % 2 === 0)
+      val odd = ev.filter(col("event_id") % 2 === 1)
+      TxLog.commit(root, Seq(TxLog.writeBatch(even, root, "b_even")))
+      TxLog.commit(root, Seq(TxLog.writeBatch(odd, root, "b_odd")))
+      // compaction: rewrite the even batch, swap it in atomically
+      val compacted = TxLog.read(s, root, asOf = 1).coalesce(1)
+      TxLog.commit(root,
+        Seq(TxLog.writeBatch(compacted, root, "b_even_c")),
+        remove = Seq(s"$root/data/b_even"))
+      def snap(tag: String, asOf: Int) =
+        TxLog.read(s, root, asOf)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            AggOps.sumExact(col("value")).as("sum_value"))
+          .withColumn("snapshot", lit(tag))
+      snap("v1_evens", 1)
+        .unionByName(snap("latest", -1))
+        .select(col("snapshot"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("snapshot", "event_type")
+    },
+    Some("""SELECT 'latest' AS snapshot, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+      UNION ALL
+      SELECT 'v1_evens', event_type, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+      ORDER BY snapshot, event_type"""))
+
   /** Mergeable HLL distinct-count state ([[AggOps.hllState]]/[[AggOps
     * .hllMerge]]/[[AggOps.hllEstimate]]): per-type distinct users, built
     * from three hash-disjoint batches and UNIONED — must land within the
@@ -8888,5 +8933,5 @@ object Queries {
     qKCore, qRendezvous, qZoneMaps, qScd2Asof, qReciprocalNn,
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
-    qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform)
+    qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot)
 }

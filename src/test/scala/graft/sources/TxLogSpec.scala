@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Transaction-log table format: atomic commits, snapshot isolation,
+  * time travel, content-neutral compaction, writer races. */
+class TxLogSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("txlog").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  test("commits append versions; snapshots accumulate files") {
+    val dir = freshDir()
+    val v1 = TxLog.commit(dir,
+      Seq(TxLog.writeBatch(Seq(1, 2).toDF("x"), dir, "a")))
+    val v2 = TxLog.commit(dir,
+      Seq(TxLog.writeBatch(Seq(3).toDF("x"), dir, "b")))
+    assert((v1, v2) === ((1, 2)))
+    assert(TxLog.latestVersion(dir) === 2)
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 3))
+    TxLog.destroy(dir)
+  }
+
+  test("time travel replays the log prefix") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(1).toDF("x"), dir, "a")))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(2).toDF("x"), dir, "b")))
+    assert(TxLog.read(spark, dir, asOf = 1).as[Int].collect().toSeq ===
+      Seq(1))
+    TxLog.destroy(dir)
+  }
+
+  test("compaction commit swaps files without changing content") {
+    val dir = freshDir()
+    val p1 = TxLog.writeBatch(Seq(1, 2).toDF("x"), dir, "a")
+    TxLog.commit(dir, Seq(p1))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(3).toDF("x"), dir, "b")))
+    val compacted = TxLog.read(spark, dir, asOf = 1).coalesce(1)
+    TxLog.commit(dir, Seq(TxLog.writeBatch(compacted, dir, "a_c")),
+      remove = Seq(p1))
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 3), "content must survive the swap")
+    assert(TxLog.liveFiles(dir).size === 2)
+    assert(!TxLog.liveFiles(dir).contains(p1), "input file retired")
+    TxLog.destroy(dir)
+  }
+
+  test("a torn or missing log refuses to serve a snapshot") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(1).toDF("x"), dir, "a")))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(2).toDF("x"), dir, "b")))
+    // corrupt one action line -> replay must fail loudly, not skip
+    val m1 = new java.io.File(new java.io.File(dir, "_txlog"),
+      "v00000001.json")
+    java.nio.file.Files.write(m1.toPath, "garbage-line\n".getBytes)
+    intercept[IllegalStateException] { TxLog.liveFiles(dir) }
+    // a hole in the version chain is unreadable too
+    m1.delete()
+    intercept[IllegalStateException] { TxLog.liveFiles(dir) }
+    TxLog.destroy(dir)
+  }
+}
