@@ -8753,7 +8753,8 @@ object Queries {
         CAST(floor(CAST(p.n_pair AS DOUBLE) / sb.cnt * 1000000.0 + 0.5)
           AS BIGINT) AS conf_ba_e6,
         CAST(floor(CAST(p.n_pair AS DOUBLE) * nb.nbk
-          / (sa.cnt * sb.cnt) * 1000000.0 + 0.5) AS BIGINT) AS lift_e6
+          / (CAST(sa.cnt AS DOUBLE) * sb.cnt) * 1000000.0 + 0.5)
+          AS BIGINT) AS lift_e6
       FROM p JOIN s sa ON sa.it = p.a JOIN s sb ON sb.it = p.b
       CROSS JOIN nb ORDER BY a, b"""))
 

@@ -735,8 +735,11 @@ object AnalyticsOps {
           .cast("long").as("conf_ab_e6"),
         floor(col("n_pair").cast("double") / col("n_b") * 1e6 + 0.5)
           .cast("long").as("conf_ba_e6"),
+        // support-product in DOUBLE: a long·long denominator overflows
+        // (ANSI: throws) once supports pass ~3e9; exact below 2^53 either
+        // way, and the oracle mirrors the same double product
         floor(col("n_pair").cast("double") * col("_nb")
-          / (col("n_a") * col("n_b")) * 1e6 + 0.5).cast("long")
-          .as("lift_e6"))
+          / (col("n_a").cast("double") * col("n_b")) * 1e6 + 0.5)
+          .cast("long").as("lift_e6"))
   }
 }

@@ -665,10 +665,14 @@ object StatsOps {
     perFold.join(perCat, Seq("category"))
       .crossJoin(broadcast(prior))
       .select(col("category"), col("fold"), col("n"),
-        floor((col("_sc_e6").cast("double") / 1e6 - col("_sf")
-            + col("_prior") * smoothing)
-          / (col("_nc") - col("n") + lit(smoothing)) * 1e6 + 0.5)
-          .cast("long").as("enc_e6"))
+        // guard: smoothing 0 + a category living in ONE fold leaves a
+        // 0/0 — release null rather than a NaN (which ANSI would refuse
+        // to cast)
+        when(col("_nc") - col("n") + lit(smoothing) > 0,
+          floor((col("_sc_e6").cast("double") / 1e6 - col("_sf")
+              + col("_prior") * smoothing)
+            / (col("_nc") - col("n") + lit(smoothing)) * 1e6 + 0.5)
+            .cast("long")).as("enc_e6"))
   }
 
   /** Per-group quantile (percent-rank) transform — the rank-based

@@ -111,6 +111,20 @@ class CrmAnalyticsSpec extends AnyFunSuite {
     assert(sumN === 400L)
   }
 
+  test("targetEncode: unsmoothed single-fold category releases null, not NaN") {
+    // one category whose rows all hash into one fold: out-of-fold stats
+    // are empty, smoothing 0 -> 0/0 -> null
+    val ids = (1L to 50L).filter(i =>
+      graft.TestSpark.spark.range(1).select(
+        graft.functions.TextFunctions.portableBucket(lit(i), 4))
+        .head().getLong(0) == 0L).take(3)
+    val df = ids.map(i => ("solo", i, 1.0)).toDF("cat", "id", "y")
+    val out = StatsOps.targetEncode(df, col("cat"), col("id"), col("y"),
+      folds = 4, smoothing = 0.0).collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(3), "0/0 must release null")
+  }
+
   test("systematicSample takes exactly every k-th row in order") {
     val df = (1L to 20L).map(i => (i, s"r$i")).toDF("id", "s")
     val out = SortOps.systematicSample(df, Seq(col("id")), k = 5)
