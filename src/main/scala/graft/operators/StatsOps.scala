@@ -683,17 +683,37 @@ object StatsOps {
     * any engine reproduces it bit-for-bit. Emits
     * `(group…, id, x, pr_e6)`.
     *
-    * Scale: one rank window keyed on the group — a hot group sorts
-    * within its partition, nothing global. */
+    * Scale: NOT a per-group rank window — with few fat groups (the
+    * common case: 5 event types over 10⁹ rows) a windowed rank sorts
+    * each group in ONE task, and the op measured ~linear decade factors
+    * exactly that way (0.84 s → 2.5 s → 21.9 s at 1×/10×/100×). Instead:
+    * one RANGE-partitioned total order over (group, x, id) via
+    * [[SortOps.globalRowNumber]] — intra-group parallelism — then the
+    * min-rank of each (group, x) value block and the group's base rank
+    * reconstruct `percent_rank` arithmetically:
+    * `pr = (min_rn(g,x) − min_rn(g)) / (n_g − 1)`. */
   def quantileTransform(df: DataFrame, groupCols: Seq[Column], id: Column,
       value: Column): DataFrame = {
     val keyed = df.select(groupCols ++ Seq(id.as("id"),
       value.cast("double").as("x")): _*)
       .filter(col("x").isNotNull)
     val gNames = keyed.columns.dropRight(2)
-    val w = Window.partitionBy(gNames.map(col): _*).orderBy(col("x"))
-    keyed.withColumn("pr_e6",
-      floor(percent_rank().over(w) * 1e6 + 0.5).cast("long"))
+    val g = gNames.map(col)
+    val ranked = SortOps.globalRowNumber(keyed,
+      g ++ Seq(col("x"), col("id")), "_rn")
+    val gBase = ranked.groupBy(g: _*)
+      .agg(min(col("_rn")).as("_g0"), count(lit(1)).as("_gn"))
+    val vBase = ranked.groupBy(g :+ col("x"): _*)
+      .agg(min(col("_rn")).as("_v0"))
+    ranked
+      .join(vBase, gNames.toSeq :+ "x")
+      .join(gBase, gNames.toSeq)
+      .withColumn("pr_e6",
+        when(col("_gn") > 1L,
+          floor((col("_v0") - col("_g0")).cast("double")
+            / (col("_gn") - lit(1L)) * 1e6 + 0.5).cast("long"))
+          .otherwise(lit(0L)))
+      .select(g ++ Seq(col("id"), col("x"), col("pr_e6")): _*)
   }
 
   /** Two-feature OLS per group — `y = b0 + b1·x1 + b2·x2` via the
