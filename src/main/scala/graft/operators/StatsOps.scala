@@ -505,9 +505,16 @@ object StatsOps {
     * convention). Emits `(group…, n, rho)`; rho is null when either
     * variable is constant (zero rank variance).
     *
-    * Scale: two rank windows + one aggregation, all shuffling on the
-    * group key only; no pairwise stage exists (the rank identity replaces
-    * the O(n²) concordance formulation). */
+    * Scale: NOT per-group rank windows — few fat groups would serialize
+    * each group's sort into one task (the failure mode measured on the
+    * quantile transform). Each variable's midrank map instead derives
+    * from ONE range-partitioned total order over (group, value)
+    * ([[SortOps.globalRowNumber]]): `rank_min = min_rn(g,v) − min_rn(g)
+    * + 1` and `ties = count(g,v)` are both tie-insensitive, so the
+    * doubled-midrank identity `2·rank + t − 1` reconstructs exactly;
+    * rows then join their (g, value) midranks back — every stage
+    * intra-group parallel. No pairwise stage exists (the rank identity
+    * replaces the O(n²) concordance formulation). */
   def spearman(df: DataFrame, groupCols: Seq[Column], x: Column,
       y: Column): DataFrame = {
     val keyed = df.select(groupCols ++ Seq(x.cast("double").as("_x"),
@@ -515,15 +522,21 @@ object StatsOps {
       .filter(col("_x").isNotNull && col("_y").isNotNull)
     val gNames = keyed.columns.dropRight(2)
     val g = gNames.map(col)
-    def mr2(c: String) = {
-      val wVal = Window.partitionBy(g :+ col(c): _*)
-      val wOrd = Window.partitionBy(g: _*).orderBy(col(c))
-      lit(2L) * rank().over(wOrd).cast("long") +
-        count(lit(1)).over(wVal).cast("long") - 1L
+    def mr2Map(c: String, out: String): DataFrame = {
+      val ranked = SortOps.globalRowNumber(
+        keyed.select(gNames.map(col) :+ col(c).as("_v"): _*),
+        g :+ col("_v"), "_rn")
+      val gBase = ranked.groupBy(g: _*).agg(min(col("_rn")).as("_g0"))
+      ranked.groupBy(g :+ col("_v"): _*)
+        .agg(min(col("_rn")).as("_v0"), count(lit(1)).as("_t"))
+        .join(gBase, gNames.toSeq)
+        .select(g ++ Seq(col("_v").as(c),
+          (lit(2L) * (col("_v0") - col("_g0") + 1L) + col("_t") - 1L)
+            .as(out)): _*)
     }
     keyed
-      .withColumn("_rx", mr2("_x"))
-      .withColumn("_ry", mr2("_y"))
+      .join(mr2Map("_x", "_rx"), gNames.toSeq :+ "_x")
+      .join(mr2Map("_y", "_ry"), gNames.toSeq :+ "_y")
       .groupBy(g: _*)
       // per-row squares stay in longs (mr2 ≤ 2n — safe to n ~ 1e9 rows);
       // the cross-group moments go through decimal(38) so n·Σr² cannot
