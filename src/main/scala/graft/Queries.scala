@@ -8188,18 +8188,22 @@ object Queries {
       GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100"""))
 
   /** TPC-H Q22 shape (global sales opportunity): above-average-balance
-    * customers with NO orders, grouped by a synthetic country code.
-    * (Adapted: no phone column — cntrycode = c_nationkey mod 5.) The
+    * customers with no RECENT orders, grouped by a synthetic country
+    * code. (Adapted: no phone column — cntrycode = c_nationkey mod 5;
+    * and because every synthetic customer has at least one lifetime
+    * order, "no orders" is scoped to the 2000+ window so the dormant
+    * set — the query's whole point — is non-empty.) The
     * average-positive-balance scalar attaches as a broadcast 1-row
-    * crossJoin (never a recomputed subquery per row), the no-orders
-    * predicate is a left_anti on custkey, and the balance sum folds
-    * through exact decimal. */
+    * crossJoin (never a recomputed subquery per row), the dormancy
+    * predicate is a left_anti on custkey against the date-filtered
+    * orders, and the balance sum folds through exact decimal. */
   private val qTpchQ22 = QuerySpec(
     "q_tpch_q22",
     (s, dir) => {
       import AggOps.sumExact
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
       val thr = c.filter(col("c_acctbal") > lit(0.0))
         .agg((sumExact(col("c_acctbal")) / count(lit(1))).as("_avg"))
       c.crossJoin(broadcast(thr))
@@ -8219,7 +8223,8 @@ object Queries {
       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
             AS DOUBLE) / COUNT(*)
           FROM customer WHERE c_acctbal > 0.0)
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01')
       GROUP BY 1 ORDER BY 1"""))
 
   /** Spearman rank correlation ([[StatsOps.spearman]]): per return flag,
