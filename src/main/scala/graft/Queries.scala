@@ -393,12 +393,18 @@ object Queries {
   private val qJoinAnti = QuerySpec(
     "q_join_anti",
     (s, dir) =>
+      // anti-join against RECENT orders: every synthetic customer has
+      // some lifetime order, so the unscoped anti-set is empty — a
+      // 0-row gate proves nothing; the dormant-since-2000 set is real
       JoinOps.antiJoin(
         t(s, dir, "customer").select(col("c_custkey").as("key"), col("c_name")),
-        t(s, dir, "orders").select(col("o_custkey").as("key")), "key")
+        t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+          .select(col("o_custkey").as("key")), "key")
         .orderBy("key"),
     Some("""SELECT c_custkey AS key, c_name FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01')
       ORDER BY key"""))
 
   private val qTaggedJoin = QuerySpec(
@@ -513,11 +519,17 @@ object Queries {
   private val qExcept = QuerySpec(
     "q_except",
     (s, dir) =>
-      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
-        .orderBy("nationkey"),
-    Some("""SELECT c_nationkey AS nationkey FROM customer
-      EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey"""))
+      // orders seen in lineitem EXCEPT finished orders — non-empty by
+      // construction (open/pending statuses exist); the original
+      // customer-vs-supplier nation EXCEPT was empty on dense synthetic
+      // data, gating nothing
+      t(s, dir, "lineitem").select(col("l_orderkey").as("orderkey"))
+        .except(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("orderkey")))
+        .orderBy("orderkey"),
+    Some("""SELECT l_orderkey AS orderkey FROM lineitem
+      EXCEPT SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY orderkey"""))
 
   // ------------------------------------------------------------ pipe (UDF)
 
