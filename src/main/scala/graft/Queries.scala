@@ -6193,6 +6193,37 @@ object Queries {
       FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
       ORDER BY snapshot, event_type"""))
 
+  /** Native top-k-per-key ([[SortOps.topKPerKey]] → the custom
+    * TopKPerKey SparkStrategy/SparkPlan pair): the 3 cheapest lineitems
+    * per return flag, selected by two-phase bounded heaps instead of a
+    * full window sort. The oracle is the window formulation — the two
+    * plans must agree row for row. */
+  private val qTopkNative = QuerySpec(
+    "q_topk_native",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+      SortOps.topKPerKey(l, Seq(col("l_returnflag")),
+          struct(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity")), k = 3)
+        .orderBy("l_returnflag", "l_extendedprice", "l_orderkey",
+          "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    },
+    Some("""SELECT l_returnflag, l_extendedprice, l_orderkey,
+        l_linenumber, l_partkey, l_suppkey, l_quantity
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+          ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey,
+            l_suppkey, l_quantity) AS rn
+        FROM (SELECT l_returnflag, l_extendedprice, l_orderkey,
+            l_linenumber, l_partkey, l_suppkey, l_quantity
+          FROM lineitem) t) x
+      WHERE rn <= 3
+      ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+        l_partkey, l_suppkey, l_quantity"""))
+
   /** Mergeable HLL distinct-count state ([[AggOps.hllState]]/[[AggOps
     * .hllMerge]]/[[AggOps.hllEstimate]]): per-type distinct users, built
     * from three hash-disjoint batches and UNIONED — must land within the
@@ -8951,5 +8982,6 @@ object Queries {
     qKCore, qRendezvous, qZoneMaps, qScd2Asof, qReciprocalNn,
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
-    qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot)
+    qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
+    qTopkNative)
 }

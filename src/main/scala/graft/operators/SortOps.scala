@@ -118,6 +118,17 @@ object SortOps {
     df.sparkSession.createDataFrame(withCum, schema).drop("_gcs_v")
   }
 
+  /** Exact top-k rows per key through the engine's CUSTOM PHYSICAL
+    * OPERATOR ([[org.apache.spark.sql.graftbridge.TopKPerKeyNode]]):
+    * two-phase bounded heaps (per-partition partial, key-clustered
+    * final), so only `partitions × keys × k` candidate rows ever reach
+    * the exchange — where the `row_number() OVER (...)  <= k` idiom
+    * shuffles and sorts EVERY row. `order` ascending decides survivors
+    * (negate/wrap for descending) and must be a total order per key. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Column,
+      k: Int): DataFrame =
+    org.apache.spark.sql.graftbridge.TopKPerKey(df, keys, order, k)
+
   /** Systematic (every-k-th) sampling in a total order — the stratified-
     * by-position design survey methodology prefers over Bernoulli when
     * the sort key carries structure (time, size, score): take rows whose

@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (exprs.length > 1) exprs(1).eval().toString else "NFC")))
     // conf-gated (spark.graft.rangeJoin.bucketWidth); no-op otherwise
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // whole-operator custom plan: two-phase bounded-heap top-k per key
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graftbridge.TopKPerKeyStrategy)
   }
 }
