@@ -6224,6 +6224,49 @@ object Queries {
       ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
         l_partkey, l_suppkey, l_quantity"""))
 
+  /** Incremental join maintenance ([[JoinOps.joinDelta]]): the revenue
+    * view's DELTA when 10% of orders and ~14% of lineitems arrive as
+    * new batches — aggregated per priority; the oracle replays the
+    * identical two-leg delta algebra. */
+  private val qJoinDelta = QuerySpec(
+    "q_join_delta",
+    (s, dir) => {
+      import AggOps.sumExact
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("key"),
+        col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("key"),
+        col("l_extendedprice"))
+      val ob = TextFunctions.portableBucket(col("key"), 10)
+      val lb = TextFunctions.portableBucket(col("key"), 7)
+      val delta = JoinOps.joinDelta(
+        o.filter(ob < 9), o.filter(ob >= 9),
+        l.filter(lb < 6), l.filter(lb >= 6), Seq("key"))
+      delta.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sumExact(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH ob AS (SELECT o_orderkey AS key, o_orderpriority,
+          CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+            AS BIGINT) % 10 AS b
+        FROM orders),
+      lb AS (SELECT l_orderkey AS key, l_extendedprice,
+          CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+            AS BIGINT) % 7 AS b
+        FROM lineitem),
+      delta AS (
+        SELECT a.o_orderpriority, bn.l_extendedprice
+        FROM ob a JOIN lb bn ON a.key = bn.key
+        WHERE a.b >= 9
+        UNION ALL
+        SELECT a.o_orderpriority, bd.l_extendedprice
+        FROM ob a JOIN lb bd ON a.key = bd.key
+        WHERE a.b < 9 AND bd.b >= 6)
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          AS sum_price
+      FROM delta GROUP BY 1 ORDER BY 1"""))
+
   /** Mergeable HLL distinct-count state ([[AggOps.hllState]]/[[AggOps
     * .hllMerge]]/[[AggOps.hllEstimate]]): per-type distinct users, built
     * from three hash-disjoint batches and UNIONED — must land within the
@@ -8983,5 +9026,5 @@ object Queries {
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
-    qTopkNative)
+    qTopkNative, qJoinDelta)
 }

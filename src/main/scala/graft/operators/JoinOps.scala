@@ -173,4 +173,25 @@ object JoinOps {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bucket")
   }
+
+  /** Incremental join maintenance (insert-only IVM): the DELTA of
+    * `A ⋈ B` when batches `ΔA`, `ΔB` of new rows land — the algebra a
+    * materialized join view refreshes by instead of recomputing:
+    *
+    *   `Δ(A⋈B) = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB`
+    *
+    * (the ΔA⋈ΔB cross term rides in the first leg, so the two legs are
+    * disjoint and the union is exact multiset arithmetic). Appending the
+    * result to the old view equals the full re-join — the invariant the
+    * spec and gate check. Insert-only is the contract; retractions need
+    * the CDC path ([[QualityOps.cdcApply]]).
+    *
+    * Scale: both legs join a DELTA-sized side — AQE broadcasts the small
+    * batch — so refresh cost tracks the batch, never the base tables;
+    * the base tables are scanned, not shuffled, when the delta
+    * broadcasts. */
+  def joinDelta(aOld: DataFrame, aDelta: DataFrame, bOld: DataFrame,
+      bDelta: DataFrame, keys: Seq[String]): DataFrame =
+    aDelta.join(bOld.unionByName(bDelta), keys)
+      .unionByName(aOld.join(bDelta, keys))
 }

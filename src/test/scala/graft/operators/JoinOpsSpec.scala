@@ -78,4 +78,21 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(JoinOps.antiJoin(a, b, "key").select("key").as[Int]
       .collect().toSeq.sorted == Seq(1, 3))
   }
+
+  test("joinDelta: old view plus delta equals the full re-join") {
+    val aOld = Seq((1, "a1"), (2, "a2")).toDF("key", "av")
+    val aDel = Seq((2, "a2d"), (3, "a3")).toDF("key", "av")
+    val bOld = Seq((1, "b1"), (3, "b3")).toDF("key", "bv")
+    val bDel = Seq((2, "b2"), (3, "b3d")).toDF("key", "bv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "av", "bv").as[(Int, String, String)]
+        .collect().toSeq.sorted
+    val delta = JoinOps.joinDelta(aOld, aDel, bOld, bDel, Seq("key"))
+    val oldView = aOld.join(bOld, Seq("key"))
+    val full = aOld.unionByName(aDel).join(bOld.unionByName(bDel),
+      Seq("key"))
+    assert(rows(oldView.unionByName(delta)) === rows(full),
+      "IVM invariant: M ∪ ΔM = full re-join, as multisets")
+    assert(rows(delta).nonEmpty)
+  }
 }
