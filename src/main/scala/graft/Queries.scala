@@ -8313,6 +8313,83 @@ object Queries {
           AND o_orderdate >= TIMESTAMP '2000-01-01')
       GROUP BY 1 ORDER BY 1"""))
 
+  /** TPC-H Q8 shape (national market share): one supplier nation's
+    * share of a region's PROMO-part revenue by order year — the 6-way
+    * join with two nation roles and a conditional-share aggregate. Both
+    * nation dims and the region broadcast; share is a ratio of exact
+    * decimal sums so the release is engine-stable. */
+  private val qTpchQ8 = QuerySpec(
+    "q_tpch_q8",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val nc = t(s, dir, "nation")
+        .select(col("n_nationkey").as("_cnk"), col("n_regionkey"))
+      val ns = t(s, dir, "nation")
+        .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nc), col("c_nationkey") === col("_cnk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("_snk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(0.0)).cast("decimal(18,6)")).cast("double")
+          / sum(rev.cast("decimal(18,6)")).cast("double"), 6)
+          .as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        round(CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_3'
+            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+            AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    * counts per (brand, type, size band), one brand excluded. (Adapted:
+    * no partsupp — the supplier relation derives from lineitem, which
+    * is the same count-distinct-over-a-join shape.) */
+  private val qTpchQ16 = QuerySpec(
+    "q_tpch_q16",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_brand") =!= "Brand#1")
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+      p.join(l, col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"),
+          (floor(col("p_size") / 10) * 10).cast("long").as("size_band"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("size_band"))
+    },
+    Some("""SELECT p_brand, p_type,
+        CAST(floor(p_size / 10) * 10 AS BIGINT) AS size_band,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1'
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, size_band"""))
+
   /** Spearman rank correlation ([[StatsOps.spearman]]): per return flag,
     * monotone association between quantity and extended price. */
   private val qSpearman = QuerySpec(
@@ -9026,5 +9103,5 @@ object Queries {
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
-    qTopkNative, qJoinDelta)
+    qTopkNative, qJoinDelta, qTpchQ8, qTpchQ16)
 }
