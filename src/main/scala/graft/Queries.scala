@@ -8390,6 +8390,147 @@ object Queries {
       GROUP BY 1, 2, 3
       ORDER BY supplier_cnt DESC, p_brand, p_type, size_band"""))
 
+  /** TPC-H Q2 shape (minimum-cost supplier): for each LARGE part, the
+    * EUROPE supplier with the minimum observed unit price. (Adapted: no
+    * partsupp — unit cost derives from lineitem as exact-decimal
+    * Σprice/Σqty per (part, supplier), which keeps the correlated-min +
+    * join-back shape the macro exists for.) The per-part minimum
+    * attaches by equality join-back (the [[qTpchQ15]] argmin pattern);
+    * ties keep every minimal supplier, exactly like the original. */
+  private val qTpchQ2 = QuerySpec(
+    "q_tpch_q2",
+    (s, dir) => {
+      import AggOps.sumExact
+      val p = t(s, dir, "part").filter(col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_name"))
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+        .select(col("r_regionkey"))
+      val eu = su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val cost = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_name"),
+          col("n_name"))
+        .agg(round(sumExact(col("l_extendedprice"))
+          / sumExact(col("l_quantity")), 6).as("unit_cost"))
+      val minCost = cost.groupBy(col("p_partkey").as("_pk"))
+        .agg(min(col("unit_cost")).as("_mc"))
+      cost.join(minCost, col("p_partkey") === col("_pk") &&
+          col("unit_cost") === col("_mc"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          col("n_name"), col("unit_cost"))
+        .orderBy("p_partkey", "s_name")
+    },
+    Some("""WITH eu AS (SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+      cost AS (SELECT p_partkey, p_name, s_name, n_name,
+          round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+              AS DOUBLE)
+            / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+            AS unit_cost
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+        JOIN eu ON l_suppkey = s_suppkey
+        GROUP BY 1, 2, 3, 4),
+      mc AS (SELECT p_partkey AS pk, MIN(unit_cost) AS m
+        FROM cost GROUP BY 1)
+      SELECT p_partkey, p_name, s_name, n_name, unit_cost
+      FROM cost JOIN mc ON p_partkey = pk AND unit_cost = m
+      ORDER BY p_partkey, s_name"""))
+
+  /** TPC-H Q11 shape (important stock): per-part revenue mass from one
+    * region's suppliers, released where the part's value exceeds a
+    * fraction of the regional total. (Adapted: value = lineitem revenue
+    * instead of partsupp stock value — same group/HAVING-scalar shape.)
+    * The threshold is a broadcast 1-row crossJoin over the part-value
+    * table, never a re-aggregation per row. */
+  private val qTpchQ11 = QuerySpec(
+    "q_tpch_q11",
+    (s, dir) => {
+      import AggOps.sumExact
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      val asia = su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      val v = t(s, dir, "lineitem")
+        .join(asia, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(round(sumExact(col("l_extendedprice")
+          * (lit(1) - col("l_discount"))), 6).as("value"))
+      val thr = v.agg((sum(col("value").cast("decimal(18,6)"))
+        .cast("double") * lit(0.001)).as("_thr"))
+      v.crossJoin(broadcast(thr))
+        .filter(col("value") > col("_thr"))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+    Some("""WITH asia AS (SELECT s_suppkey
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+      v AS (SELECT l_partkey,
+          round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE), 6) AS value
+        FROM lineitem
+        WHERE EXISTS (SELECT 1 FROM asia WHERE s_suppkey = l_suppkey)
+        GROUP BY 1)
+      SELECT l_partkey, value FROM v
+      WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,6)))
+          AS DOUBLE) * 0.001 FROM v)
+      ORDER BY value DESC, l_partkey"""))
+
+  /** TPC-H Q20 shape (excess-shipping suppliers): AMERICA suppliers who
+    * moved more than 60 units of 'gear'-named parts in 1997 — the
+    * nested-semi-join macro. (Adapted: shipped quantity from lineitem
+    * stands in for partsupp availability; the supplier⟕nation release
+    * and the HAVING-filtered inner aggregate keep the plan shape.) */
+  private val qTpchQ20 = QuerySpec(
+    "q_tpch_q20",
+    (s, dir) => {
+      import AggOps.sumExact
+      val gear = t(s, dir, "part").filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"))
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(broadcast(gear), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(sumExact(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 60.0)
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+        .select(col("r_regionkey"))
+      su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(shipped, col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_name"), col("n_name"), col("qty"))
+        .orderBy("s_name")
+    },
+    Some("""WITH shipped AS (SELECT l_suppkey,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey
+            AND p_name LIKE '%gear%')
+        GROUP BY 1 HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+          AS DOUBLE) > 60.0)
+      SELECT s_name, n_name, qty
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
+      JOIN shipped ON s_suppkey = l_suppkey
+      ORDER BY s_name"""))
+
   /** Spearman rank correlation ([[StatsOps.spearman]]): per return flag,
     * monotone association between quantity and extended price. */
   private val qSpearman = QuerySpec(
@@ -9103,5 +9244,6 @@ object Queries {
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
-    qTopkNative, qJoinDelta, qTpchQ8, qTpchQ16)
+    qTopkNative, qJoinDelta, qTpchQ8, qTpchQ16, qTpchQ2, qTpchQ11,
+    qTpchQ20)
 }
