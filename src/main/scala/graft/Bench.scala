@@ -49,7 +49,16 @@ object Bench {
             errors(q.name) = s"${e.getClass.getSimpleName}: ${
               Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)}"
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop any checkpoint blocks the repeat left pinned (outside the
+        // timed window): localCheckpoint RDDs never enter the CacheManager,
+        // so without this they linger until ContextCleaner + GC — across a
+        // 300-query session they accumulate and inflate later queries'
+        // times 2-3× vs solo runs (r7 measurement). Safe: the result was
+        // fully consumed by the noop sink above.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
       }
       q.name -> (if (errors.contains(q.name)) -1.0 else times.min)
     }

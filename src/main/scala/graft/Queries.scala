@@ -6152,12 +6152,18 @@ object Queries {
     * committed atomically, then a content-neutral compaction commit
     * (add compacted file, remove input) — the gate aggregates the
     * LATEST snapshot and the pre-compaction TIME-TRAVEL snapshot side
-    * by side, proving both match the raw table (isolation + travel). */
+    * by side, proving both match the raw table (isolation + travel).
+    * The WHOLE table root — manifests, claims, data files, snapshot
+    * scans — runs through the non-`file:` `graftfs://` scheme, proving
+    * the log speaks the Hadoop FileSystem API rather than
+    * `java.io.File` (the object-store-shaped path). */
   private val qTxlogSnapshot = QuerySpec(
     "q_txlog_snapshot",
     (s, dir) => {
       import graft.sources.TxLog
-      val root = s"/tmp/graft_txlog_${new java.io.File(dir).getName}"
+      graft.sources.GraftFileSystem.register(s)
+      val root = graft.sources.GraftFileSystem.uri(
+        s"/tmp/graft_txlog_${new java.io.File(dir).getName}")
       TxLog.destroy(root)
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),

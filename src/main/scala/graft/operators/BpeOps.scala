@@ -95,11 +95,13 @@ object BpeOps {
         step += 1
         merges += ((step, leftSym, rightSym, n))
         // localCheckpoint is eager, so the superseded round's blocks can be
-        // released immediately — otherwise k rounds pin k vocab copies
+        // released immediately — otherwise k rounds pin k vocab copies.
+        // (Dataset.unpersist would NOT do it: it only evicts CacheManager
+        // entries, and checkpoint RDD blocks never enter the CacheManager.)
         val next = words
           .map { case (cnt, syms) => (cnt, applyMerge(syms, leftSym, rightSym)) }
           .localCheckpoint()
-        words.unpersist()
+        graft.core.Checkpoints.release(words)
         words = next
       }
     }

@@ -404,6 +404,8 @@ object DedupOps {
       .union(edges.select(col("y").as("x"), col("x").as("y")))
       .distinct()
       .localCheckpoint()
+    // und is eager, so the directed pair checkpoint is already dead
+    graft.core.Checkpoints.release(edges)
     // label₀ = min(node, min neighbor): same single shuffle a plain
     // distinct-node init would cost, but it IS the first propagation round —
     // one fewer join+agg+checkpoint cycle every invocation (propagation
@@ -430,8 +432,13 @@ object DedupOps {
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
+      // next is eager: the superseded round's label blocks are dead — free
+      // them now rather than waiting for ContextCleaner + GC
+      graft.core.Checkpoints.release(labels)
       labels = next
     }
+    // only the final label checkpoint (the result) stays pinned
+    graft.core.Checkpoints.release(und)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -529,13 +536,19 @@ object DedupOps {
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
+      graft.core.Checkpoints.release(edges)
       edges = next
     }
     // fixpoint = components are stars rooted at their min: non-roots appear
-    // as u with v = root; roots label themselves
-    nodes.join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+    // as u with v = root; roots label themselves. Fold into one result
+    // checkpoint so the node table and final edge set can be freed too.
+    val result = nodes
+      .join(edges.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("v"), col("doc_id")).as("cluster_id"))
+      .localCheckpoint()
+    graft.core.Checkpoints.releaseAll(nodes, edges)
+    result
   }
 
   /** n-gram Jaccard near-dup pairs WITHOUT minhash: candidates = pairs sharing

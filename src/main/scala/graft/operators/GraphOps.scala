@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints
+
 /** Iterative graph propagation over edge-list DataFrames.
   *
   * Connected components live in [[DedupOps]] (min-label propagation and the
@@ -76,8 +78,17 @@ object GraphOps {
           ((lit(1.0) - lit(damping)) / lit(n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)))
             .as("r"))
+      val prev = ranks
       ranks = next.localCheckpoint()
+      // the new checkpoint is eager (fully materialized), so the superseded
+      // round's blocks are dead — free them now instead of waiting for a GC
+      // to reach the ContextCleaner (20 iterations would otherwise pin 20
+      // copies of the rank table in executor storage)
+      Checkpoints.release(prev)
     }
+    // the final ranks checkpoint is self-contained: the shared inputs are
+    // no longer reachable from the returned plan
+    if (iters > 0) Checkpoints.releaseAll(e, nodes, deg)
     ranks
   }
 
@@ -140,8 +151,11 @@ object GraphOps {
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
               when(col("is_seed"), col("dm") / lit(ns)).otherwise(lit(0.0))))
             .as("r"))
+      val prev = ranks
       ranks = next.localCheckpoint()
+      Checkpoints.release(prev)
     }
+    if (iters > 0) Checkpoints.releaseAll(e, nodes, deg, flagged)
     ranks.select(col("id"), col("r"))
   }
 
@@ -222,20 +236,27 @@ object GraphOps {
       val aRaw = e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("_raw"))
       val aMax = aRaw.agg(max(col("_raw")).as("_mx"))
+      val prevAuth = auth
       auth = nodes.join(aRaw, Seq("id"), "left_outer").crossJoin(aMax)
         .select(col("id"),
           coalesce(floor(col("_raw").cast("double") / col("_mx") * E15
             + 0.5), lit(0L)).cast("long").as("a"))
         .localCheckpoint()
+      Checkpoints.release(prevAuth)
       val hRaw = e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("_raw"))
       val hMax = hRaw.agg(max(col("_raw")).as("_mx"))
+      val prevHub = hub
       hub = nodes.join(hRaw, Seq("id"), "left_outer").crossJoin(hMax)
         .select(col("id"),
           coalesce(floor(col("_raw").cast("double") / col("_mx") * E15
             + 0.5), lit(0L)).cast("long").as("h"))
         .localCheckpoint()
+      Checkpoints.release(prevHub)
     }
+    // the returned join is lazy over the LAST hub/auth checkpoints — those
+    // stay; the edge and node inputs are unreachable from it once iterated
+    if (iters > 0) Checkpoints.releaseAll(e, nodes)
     hub.join(auth, Seq("id"))
       .select(col("id"),
         floor(col("h").cast("double") / 1e6 + 0.5).cast("long").as("hub_e9"),
@@ -260,7 +281,10 @@ object GraphOps {
     * re-checkpointing the union would cost an extra O(|visited|) pass
     * every round for nothing, since its members are already cut from the
     * lineage). Edges are canonicalized to distinct undirected pairs once,
-    * up front. Early exit when the frontier empties. */
+    * up front. Early exit when the frontier empties. On return the per-hop
+    * frames fold into ONE result checkpoint (a single O(|visited|) pass)
+    * and the adjacency list plus every frontier block are released — the
+    * only storage the call leaves behind is the result table itself. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val und = edges
@@ -294,7 +318,10 @@ object GraphOps {
       hopSets :+= next
       frontier = next
     }
-    hopSets.reduce(_ unionAll _)
+    val result = hopSets.reduce(_ unionAll _).localCheckpoint()
+    Checkpoints.release(adj)
+    hopSets.foreach(Checkpoints.release)
+    result
   }
 
   /** Deterministic random walks over an undirected edge list — the
@@ -341,6 +368,7 @@ object GraphOps {
       .join(adj.select(col("u").as("node")), Seq("node"), "left_semi")
       .select(col("walk_id"), col("step"), col("node"))
       .localCheckpoint()
+    val stepFrames = scala.collection.mutable.ArrayBuffer[DataFrame](pos)
     var out = allSeeds
     var step = 0
     while (step < steps) {
@@ -352,9 +380,16 @@ object GraphOps {
           md5(concat_ws("|", col("walk_id"), lit(step), col("v")))).as("node"))
         .select(col("walk_id"), lit(step).as("step"), col("node"))
         .localCheckpoint()
+      stepFrames += pos
       out = out.unionAll(pos)
     }
-    out
+    // fold the per-step checkpoints into one result checkpoint and release
+    // them plus the adjacency list — deterministic cleanup (the bfsHops
+    // discipline); the call leaves only the result table pinned
+    val result = out.localCheckpoint()
+    Checkpoints.releaseAll(adj, allSeeds)
+    stepFrames.foreach(Checkpoints.release)
+    result
   }
 
   /** Per-node triangle counts over an undirected edge list — the local
@@ -507,14 +542,20 @@ object GraphOps {
     var r = 0
     var stable = false
     while (r < rounds && !stable) {
+      val prev = nodes
       nodes = coreDegrees(nodes).filter(col("degree") >= k)
         .select(col("n")).localCheckpoint()
+      Checkpoints.release(prev)
       val after = nodes.count()
       stable = after == before
       before = after
       r += 1
     }
-    coreDegrees(nodes)
+    // materialize the final degree pass so the adjacency and survivor
+    // checkpoints can be freed deterministically (result is O(|core|))
+    val result = coreDegrees(nodes).localCheckpoint()
+    Checkpoints.releaseAll(dir, nodes)
+    result
   }
 
   /** Local clustering coefficient per node — `2·tri / (deg·(deg−1))`,

@@ -270,8 +270,16 @@ object MultimodalOps {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+        // ImageIO.read returns null for an undecodable payload — fail
+        // NAMING the row instead of a context-free NPE mid-job (the
+        // resizeImages handling, applied here)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"dHash: payload of id=$id is not a decodable image")
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
         (0 until rows).iterator.map { r =>

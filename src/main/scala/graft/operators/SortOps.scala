@@ -118,6 +118,50 @@ object SortOps {
     df.sparkSession.createDataFrame(withCum, schema).drop("_gcs_v")
   }
 
+  /** [[globalCumSum]] generalized to SEVERAL value columns sharing ONE
+    * range-partitioned sort (e.g. the per-cohort cumulative counts a KS
+    * test walks in lockstep): each `valueCols(i)` gets its inclusive
+    * prefix sum as `cumCols(i)`. Same two-level shape — per-partition
+    * totals (one tiny row per partition) to the driver, running sums
+    * seeded by partition offsets — so nothing serializes through one
+    * task and the sort is paid once, not once per column. */
+  def globalCumSums(df: DataFrame, order: Seq[Column], valueCols: Seq[Column],
+      cumCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty && valueCols.size == cumCols.size,
+      s"need matching value/cum columns: ${valueCols.size}/${cumCols.size}")
+    val k = valueCols.size
+    val tmpNames = valueCols.indices.map(i => s"_gcs_v$i")
+    val withV = valueCols.zip(tmpNames).foldLeft(df) { case (d, (c, n)) =>
+      d.withColumn(n, coalesce(c.cast("long"), lit(0L)))
+    }
+    val sorted = withV.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val vIdx = tmpNames.map(sorted.schema.fieldIndex)
+    val sums = sorted.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        val s = new Array[Long](k)
+        it.foreach { r => var j = 0; while (j < k) { s(j) += r.getLong(vIdx(j)); j += 1 } }
+        Iterator((i, s))
+      }
+      .collect()
+      .sortBy(_._1)
+    val offsets = sums.map(_._2).scanLeft(new Array[Long](k)) { (acc, s) =>
+      Array.tabulate(k)(j => acc(j) + s(j))
+    }
+    val schema = StructType(sorted.schema.fields ++
+      cumCols.map(StructField(_, LongType, nullable = false)))
+    val withCum = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val c = offsets(i).clone()
+      it.map { row =>
+        var j = 0
+        while (j < k) { c(j) += row.getLong(vIdx(j)); j += 1 }
+        // c keeps mutating across rows — snapshot it per emitted row
+        Row.fromSeq(row.toSeq ++ c.toVector)
+      }
+    }
+    df.sparkSession.createDataFrame(withCum, schema).drop(tmpNames: _*)
+  }
+
   /** Exact top-k rows per key through the engine's CUSTOM PHYSICAL
     * OPERATOR ([[org.apache.spark.sql.graftbridge.TopKPerKeyNode]]):
     * two-phase bounded heaps (per-partition partial, key-clustered

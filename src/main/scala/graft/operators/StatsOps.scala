@@ -27,19 +27,27 @@ object StatsOps {
     * non-negative value column, via the sorted-index identity
     * `G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n` with x ascending, i = 1..n.
     * Ties are safe: tied x are equal, so Σ i·x_i is invariant to their
-    * relative order. One window (rank within group) + one aggregation;
-    * sums are exact decimals; `gini` rounds to 6 dp. Groups with zero
-    * total value are emitted with null gini (undefined).
+    * relative order. Sums are exact decimals; `gini` rounds to 6 dp.
+    * Groups with zero total value are emitted with null gini (undefined).
     *
-    * Scale: the per-group sort is a window over the group key — the same
-    * shuffle the aggregation needs anyway; nothing is quadratic. */
+    * Scale: NOT a per-group rank window — few fat groups (25 nations over
+    * 10⁹ customers) would serialize each group's sort into one task.
+    * The sorted index instead derives from ONE range-partitioned total
+    * order over (group, x) ([[SortOps.globalRowNumber]], intra-group
+    * parallel): `i = rn − min_rn(group) + 1`, computed per row after a
+    * group-base join, so the per-term product `i·x` — and therefore its
+    * DECIMAL(28,6) quantization — is bit-identical to the windowed
+    * formulation any oracle replays. */
   def gini(df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
     val keyed = df.select(groupCols :+ value.cast("double").as("_x"): _*)
       .filter(col("_x").isNotNull && col("_x") >= 0)
     val gNames = keyed.columns.dropRight(1)
-    val w = Window.partitionBy(gNames.map(col): _*).orderBy(col("_x"))
-    keyed
-      .withColumn("_i", row_number().over(w).cast("long"))
+    val ranked = SortOps.globalRowNumber(keyed,
+      gNames.map(col) :+ col("_x"), "_rn")
+    val gBase = ranked.groupBy(gNames.map(col): _*)
+      .agg(min(col("_rn")).as("_g0"))
+    ranked.join(gBase, gNames.toSeq)
+      .withColumn("_i", col("_rn") - col("_g0") + 1L)
       .groupBy(gNames.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
@@ -119,8 +127,18 @@ object StatsOps {
     * ordering).
     *
     * Two windows over the same (group, ts, id) sort — Spark reuses the
-    * single sort — plus one aggregation; exact decimal running sums so
-    * the argmax comparison is not float-order-dependent. */
+    * single sort — plus one aggregation; exact scaled-long running sums
+    * so the argmax comparison is not float-order-dependent.
+    *
+    * SCALE CONTRACT (per-group size): the running-min excursion scan is
+    * inherently sequential per group, and this implementation runs each
+    * group's ordered pass in ONE task (a per-group window). It is sized
+    * for many-series telemetry — groups up to ~10⁷ rows each — NOT for
+    * a handful of groups spanning the whole fact table. (Unlike the
+    * rank/cumsum ops converted to [[SortOps.globalRowNumber]] /
+    * [[SortOps.globalCumSums]], the running min cannot be reconstructed
+    * from a group-base subtraction; a group-aware two-level scan would
+    * be required. A ScaleSpec fat-group point pins this contract.) */
   def cusum(df: DataFrame, groupCols: Seq[Column], ts: Column, id: Column,
       value: Column): DataFrame = {
     val keyed = df.select(groupCols ++ Seq(ts.as("_t"), id.as("_id"),
@@ -163,9 +181,19 @@ object StatsOps {
     * `σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`,
     * `z = (U − n₁n₂/2)/σ`.
     * Cohort membership is `cohortA` (boolean column); emits per group:
-    * n_a, n_b, u (double), z (6 dp). Midranks come from the rank()
-    * window identity `midrank = rank + (ties−1)/2` — no per-value
-    * subquery. One window + two aggregations, all on the group key. */
+    * n_a, n_b, u (double), z (6 dp). Midranks use the rank identity
+    * `midrank = rank + (ties−1)/2` — carried DOUBLED as a long
+    * (`2·midrank = 2·rank + t − 1`) so the rank sum is exact integer
+    * math (a float sum of 10⁴ midranks ~1e8 has enough order-dependent
+    * error to flip the 6-dp rounding; the doubled-integer form cannot).
+    *
+    * Scale: the midrank map derives at the (group, value) grain from ONE
+    * range-partitioned total order ([[SortOps.globalRowNumber]], the
+    * [[spearman]] discipline): min-rank of a value block is
+    * `v0 − g0 + 1`, ties its block count — never a per-group rank
+    * window, which would sort each fat cohort group in a single task.
+    * Rows join their (group, value) midranks back; every stage is
+    * intra-group parallel. */
   def mannWhitneyU(df: DataFrame, groupCols: Seq[Column], cohortA: Column,
       value: Column): DataFrame = {
     val keyed = df.select(groupCols ++ Seq(cohortA.as("_a"),
@@ -173,16 +201,17 @@ object StatsOps {
       .filter(col("_x").isNotNull && col("_a").isNotNull)
     val gNames = keyed.columns.dropRight(2)
     val g = gNames.map(col)
-    val wVal = Window.partitionBy(g :+ col("_x"): _*)
-    val wOrd = Window.partitionBy(g: _*).orderBy(col("_x"))
+    val ranked = SortOps.globalRowNumber(
+      keyed.select(g :+ col("_x"): _*), g :+ col("_x"), "_rn")
+    val gBase = ranked.groupBy(g: _*).agg(min(col("_rn")).as("_g0"))
+    val mr = ranked.groupBy(g :+ col("_x"): _*)
+      .agg(min(col("_rn")).as("_v0"), count(lit(1)).as("_ties"))
+      .join(gBase, gNames.toSeq)
+      .select(g ++ Seq(col("_x"),
+        (lit(2L) * (col("_v0") - col("_g0") + 1L) + col("_ties") - 1L)
+          .as("_mr2"), col("_ties")): _*)
     keyed
-      .withColumn("_ties", count(lit(1)).over(wVal).cast("long"))
-      // midranks are multiples of ½ — carry 2·midrank = 2·rank + t − 1
-      // as a LONG so the rank sum is exact integer math (a float sum of
-      // 10⁴ midranks ~1e8 has enough order-dependent error to flip the
-      // 6-dp rounding; the doubled-integer form cannot).
-      .withColumn("_mr2",
-        lit(2L) * rank().over(wOrd).cast("long") + col("_ties") - 1L)
+      .join(mr, gNames.toSeq :+ "_x")
       .groupBy(g: _*)
       .agg(
         sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
@@ -282,7 +311,8 @@ object StatsOps {
     * on the (value, row-uniqueness) order), so the kept multiset — and
     * therefore the exact decimal mean — is identical on any engine.
     * Groups too small to have an interior (n − 2⌈n·t⌉ ≤ 0) drop out of
-    * the result. One group-partitioned window + one aggregation. */
+    * the result. One range-partitioned total order + group-base join +
+    * one aggregation — no per-group windows (see inline note). */
   def trimmedMean(df: DataFrame, groupCols: Seq[Column], value: Column,
       trim: Double): DataFrame = {
     require(trim > 0 && trim < 0.5, s"trim must be in (0,0.5): $trim")
@@ -290,11 +320,17 @@ object StatsOps {
       .filter(col("_x").isNotNull)
     val gNames = keyed.columns.dropRight(1)
     val g = gNames.map(col)
-    val w = Window.partitionBy(g: _*).orderBy(col("_x"))
-    val wAll = Window.partitionBy(g: _*)
-    keyed
-      .withColumn("_rn", row_number().over(w).cast("long"))
-      .withColumn("_n", count(lit(1)).over(wAll))
+    // Scale: group-local ranks from ONE range-partitioned total order
+    // ([[SortOps.globalRowNumber]] over (group, x)) + a group-base join —
+    // never a per-group rank window, which would sort each fat group in a
+    // single task. Tie order inside equal x is arbitrary in both
+    // formulations and immaterial: tied rows carry equal values, so WHICH
+    // of them the cut drops cannot change the kept multiset.
+    val ranked = SortOps.globalRowNumber(keyed, g :+ col("_x"), "_grn")
+    val gBase = ranked.groupBy(g: _*)
+      .agg(min(col("_grn")).as("_g0"), count(lit(1)).as("_n"))
+    ranked.join(gBase, gNames.toSeq)
+      .withColumn("_rn", col("_grn") - col("_g0") + 1L)
       .withColumn("_cut", ceil(col("_n") * trim).cast("long"))
       .filter(col("_rn") > col("_cut") && col("_rn") <= col("_n") - col("_cut"))
       .groupBy(g: _*)
@@ -401,7 +437,16 @@ object StatsOps {
     * so the argmax compares exact long cross-products — no float CDFs.
     * Emits `(group, n_a, n_b, d_e6, at_value)` with the FIRST value
     * attaining the max (smallest, deterministic). Cohorts with an empty
-    * side drop out. One window over (group, value) + one rollup. */
+    * side drop out.
+    *
+    * Scale: NOT per-group cumulative windows. The RANGE-inclusive
+    * cumulative counts are constant within a tie block, so the CDF
+    * boundary table collapses to one row per distinct (group, value)
+    * first (a map-side-partial hash agg); both cohorts' cumulative
+    * counts then walk that table in lockstep with ONE range-partitioned
+    * two-level prefix sum ([[SortOps.globalCumSums]]) — intra-group
+    * parallel; a group's cumulatives are the global ones minus the
+    * group's base offsets. All counts stay exact longs. */
   def ksTest(df: DataFrame, groupCols: Seq[Column], cohortA: Column,
       value: Column): DataFrame = {
     val keyed = df.select(groupCols ++ Seq(cohortA.as("_a"),
@@ -409,26 +454,31 @@ object StatsOps {
       .filter(col("_x").isNotNull && col("_a").isNotNull)
     val gNames = keyed.columns.dropRight(2)
     val g = gNames.map(col)
-    // cumulative per-cohort counts INCLUDING the full tie block at _x
-    val wCum = Window.partitionBy(g: _*)
-      .orderBy(col("_x")).rangeBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(g: _*)
-    keyed
-      .withColumn("_ia", when(col("_a"), 1L).otherwise(0L))
-      .withColumn("_ib", when(!col("_a"), 1L).otherwise(0L))
-      .withColumn("_ca", sum(col("_ia")).over(wCum))
-      .withColumn("_cb", sum(col("_ib")).over(wCum))
-      .withColumn("_na", sum(col("_ia")).over(wAll))
-      .withColumn("_nb", sum(col("_ib")).over(wAll))
+    val collapsed = keyed.groupBy(g :+ col("_x"): _*)
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ia"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_ib"))
+    val cum = SortOps.globalCumSums(collapsed, g :+ col("_x"),
+      Seq(col("_ia"), col("_ib")), Seq("_gca", "_gcb"))
+    // counts are >= 0, so the group's first value row minimizes the
+    // exclusive prefix — min(global_cum − own_count) is the base offset
+    val gBase = cum.groupBy(g: _*)
+      .agg(min(col("_gca") - col("_ia")).as("_a0"),
+        min(col("_gcb") - col("_ib")).as("_b0"),
+        sum(col("_ia")).as("_na"), sum(col("_ib")).as("_nb"))
+    cum.join(gBase, gNames.toSeq)
       .filter(col("_na") > 0 && col("_nb") > 0)
+      .withColumn("_ca", col("_gca") - col("_a0"))
+      .withColumn("_cb", col("_gcb") - col("_b0"))
       // |c1*n2 - c2*n1|: exact long (counts <= ~1e9 squared stays < 2^63)
       .withColumn("_gap",
         abs(col("_ca") * col("_nb") - col("_cb") * col("_na")))
-      .withColumn("_mx", max(col("_gap")).over(wAll))
-      .filter(col("_gap") === col("_mx"))
       .groupBy(g: _*)
+      // argmax with smallest-value tiebreak in one pass: min_by over the
+      // (negated gap, value) struct = lexicographic (max gap, min value)
       .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
-        max(col("_mx")).as("_m"), min(col("_x")).as("at_value"))
+        max(col("_gap")).as("_m"),
+        min_by(col("_x"), struct((-col("_gap")).as("_ng"), col("_x")))
+          .as("at_value"))
       .select(g ++ Seq(col("n_a"), col("n_b"),
         floor(col("_m").cast("double")
           / (col("n_a").cast("double") * col("n_b")) * 1e6 + 0.5)
@@ -470,7 +520,22 @@ object StatsOps {
     * no float interpolation, so it hash-compares). Ordering within equal
     * values is irrelevant: cumulative weight at the LAST row of a tie
     * block is what crosses the threshold, and the filter below takes the
-    * min value among crossing rows. One window + one aggregation. */
+    * min value among crossing rows.
+    *
+    * Scale: NOT a per-group cumulative window — with few fat groups (3
+    * return flags over 10⁹ lineitems) `SUM OVER (PARTITION BY g ORDER BY
+    * x)` sorts each group in ONE task (the straggler the quantile
+    * transform measured and eliminated). Instead: (1) one map-side-partial
+    * hash aggregation collapses ties to the (group, value) grain — the
+    * RANGE-inclusive cumulative of the raw rows equals the running sum
+    * over this collapsed table; (2) the running sum itself is the
+    * range-partitioned two-level prefix sum of [[SortOps.globalCumSum]]
+    * over the (group, value) total order — intra-group parallel; a
+    * group's cumulative is the global one minus the group's base offset.
+    * Weights carry as exact 1e-6-scaled longs (DECIMAL(28,6) × 1e6 is
+    * integral), so the fold is order-independent integer math and the
+    * released doubles are the same nearest-doubles a decimal engine
+    * produces (exact below 2⁵³ ≈ 9·10¹⁵, i.e. 9·10⁹ weight units). */
   def weightedQuantile(df: DataFrame, groupCols: Seq[Column], value: Column,
       weight: Column, q: Double): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1]: $q")
@@ -479,19 +544,26 @@ object StatsOps {
       .filter(col("_x").isNotNull && col("_w") > 0)
     val gNames = keyed.columns.dropRight(2)
     val g = gNames.map(col)
-    // cumulative weight up to and including the whole tie block of _x
-    val wOrd = Window.partitionBy(g: _*)
-      .orderBy(col("_x")).rangeBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(g: _*)
-    keyed
-      .withColumn("_cw", sum(col("_w")).over(wOrd))
-      .withColumn("_tw", sum(col("_w")).over(wAll))
-      .filter(col("_cw").cast("double") >= col("_tw").cast("double") * q)
+    val collapsed = keyed
+      .groupBy(g :+ col("_x"): _*)
+      .agg(sum(col("_w")).as("_wv"))
+      .withColumn("_wv_e6", (col("_wv") * lit(1000000)).cast("long"))
+      .drop("_wv")
+    val cum = SortOps.globalCumSum(collapsed, g :+ col("_x"),
+      col("_wv_e6"), "_gcw")
+    // weights are strictly positive, so the global cumsum is increasing
+    // within a group and min(_gcw − _wv_e6) is the group's base offset
+    val gBase = cum.groupBy(g: _*)
+      .agg(min(col("_gcw") - col("_wv_e6")).as("_g0"),
+        sum(col("_wv_e6")).as("_tw_e6"))
+    cum.join(gBase, gNames.toSeq)
+      .withColumn("_cw_e6", col("_gcw") - col("_g0"))
+      .filter(col("_cw_e6").cast("double") / 1e6
+        >= col("_tw_e6").cast("double") / 1e6 * q)
       .groupBy(g: _*)
       .agg(min(col("_x")).as("quantile"),
-        max(col("_tw").cast("double")).as("total_weight"))
-      .select(g ++ Seq(col("quantile"),
-        round(col("total_weight"), 6).as("total_weight")): _*)
+        round(max(col("_tw_e6")).cast("double") / 1e6, 6).as("total_weight"))
+      .select(g ++ Seq(col("quantile"), col("total_weight")): _*)
   }
 
   /** Spearman rank correlation per group — Pearson over midranks, the

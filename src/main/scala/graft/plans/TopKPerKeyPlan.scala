@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -43,12 +43,28 @@ case class TopKPerKeyNode(
       : TopKPerKeyNode = copy(child = newChild)
 }
 
-/** Shared bounded-heap kernel: one pass, one k-heap per key. */
+/** Shared bounded-heap kernel: one pass, one k-heap per key.
+  *
+  * Memory contract: the hash map holds one k-row heap per DISTINCT KEY
+  * seen since the last flush. `flushKeys` bounds that footprint — when
+  * the map reaches `flushKeys` keys, every buffered heap is emitted as
+  * candidates and the map clears. Flushing never loses exactness: a row
+  * evicted from a heap lost to k rows of its own key in this partition,
+  * and those k rows ARE emitted as candidates, so the evicted row
+  * provably cannot be in the key's global top-k. The only cost of a
+  * flush is extra candidate rows crossing the exchange (the same
+  * degradation Spark's ObjectHashAggregate takes when it falls back to
+  * sort-based). The FINAL pass must not flush (it must see each key's
+  * full candidate set to emit exactly k) — it passes
+  * `flushKeys = Int.MaxValue`; its per-partition key count is
+  * `total keys / shuffle partitions`, which scales out with the
+  * cluster rather than with the data. */
 private[graftbridge] object TopKPerKeyKernel {
   def topK(
       it: Iterator[InternalRow],
       keys: Seq[Expression], order: Expression, k: Int,
-      inputAttrs: Seq[Attribute]): Iterator[InternalRow] = {
+      inputAttrs: Seq[Attribute],
+      flushKeys: Int = Int.MaxValue): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keys, inputAttrs)
     val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
       .create(Seq(SortOrder(order, Ascending)), inputAttrs)
@@ -60,23 +76,38 @@ private[graftbridge] object TopKPerKeyKernel {
     }
     val heaps = new java.util.HashMap[UnsafeRow,
       java.util.PriorityQueue[InternalRow]]()
-    while (it.hasNext) {
-      val row = it.next()
-      val key = keyProj(row)
-      var heap = heaps.get(key)
-      if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](
-          math.max(1, k), worstFirst)
-        heaps.put(key.copy(), heap)
-      }
-      if (heap.size < k) heap.offer(row.copy())
-      else if (ord.compare(row, heap.peek()) < 0) {
-        heap.poll()
-        heap.offer(row.copy())
-      }
+    new Iterator[InternalRow] {
+      private var pending: java.util.Iterator[InternalRow] =
+        java.util.Collections.emptyIterator()
+      private def pump(): Unit =
+        while (!pending.hasNext && (it.hasNext || !heaps.isEmpty)) {
+          var flushed = false
+          while (it.hasNext && !flushed) {
+            val row = it.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[InternalRow](
+                math.max(1, k), worstFirst)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size < k) heap.offer(row.copy())
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.offer(row.copy())
+            }
+            if (heaps.size >= flushKeys) flushed = true
+          }
+          if (flushed || !it.hasNext) {
+            val buf = new java.util.ArrayList[InternalRow]()
+            heaps.values().forEach(h => buf.addAll(h))
+            heaps.clear()
+            pending = buf.iterator()
+          }
+        }
+      override def hasNext: Boolean = { pump(); pending.hasNext }
+      override def next(): InternalRow = { pump(); pending.next() }
     }
-    import scala.jdk.CollectionConverters._
-    heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
   }
 }
 
@@ -84,9 +115,16 @@ case class TopKPerKeyPartialExec(
     keys: Seq[Expression], order: Expression, k: Int, child: SparkPlan)
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
-  override protected def doExecute(): RDD[InternalRow] =
+  override protected def doExecute(): RDD[InternalRow] = {
+    // bound the partial's footprint to flushKeys × k rows per task: an
+    // input partition can contain EVERY key, so the map is otherwise
+    // O(distinct keys). Flushing trades extra exchange rows for bounded
+    // memory and stays exact (kernel doc).
+    val flushKeys = conf.getConfString(
+      TopKPerKey.FlushKeysConf, (1 << 16).toString).toInt
     child.execute().mapPartitionsInternal(
-      TopKPerKeyKernel.topK(_, keys, order, k, child.output))
+      TopKPerKeyKernel.topK(_, keys, order, k, child.output, flushKeys))
+  }
   override protected def withNewChildInternal(newChild: SparkPlan)
       : TopKPerKeyPartialExec = copy(child = newChild)
 }
@@ -95,8 +133,11 @@ case class TopKPerKeyFinalExec(
     keys: Seq[Expression], order: Expression, k: Int, child: SparkPlan)
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+  // no keys = ONE global top-k: every candidate must meet in a single
+  // partition (AllTuples) — UnspecifiedDistribution would leave the
+  // final running per partition and return partitions × k rows
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitionsInternal(
@@ -118,6 +159,10 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * rows with the SMALLEST `order` value per key (total order required).
   * Installs the planner strategy into the session once, idempotently. */
 object TopKPerKey {
+  /** Session conf bounding the partial's per-task key map (see kernel
+    * doc); default 65536 keys ⇒ at most 65536·k buffered rows. */
+  val FlushKeysConf = "spark.graft.topKPerKey.flushKeys"
+
   def ensureStrategy(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
@@ -137,9 +182,12 @@ object TopKPerKey {
         keys.zip(keyNames).map { case (c, n) => c.as(n) } :+
         order.as("__tpk_ord")): _*)
     val analyzed = augmented.queryExecution.analyzed
-    val attrs = analyzed.output
-    val keyAttrs = keyNames.map(n => attrs.find(_.name == n).get)
-    val ordAttr = attrs.find(_.name == "__tpk_ord").get
+    // resolve the helper columns BY POSITION (they were appended last):
+    // name-based lookup would bind an input column that happens to be
+    // called __tpk_k0/__tpk_ord and silently rank by the wrong key
+    val helperAttrs = analyzed.output.takeRight(keys.length + 1)
+    val keyAttrs = helperAttrs.dropRight(1)
+    val ordAttr = helperAttrs.last
     Dataset.ofRows(df.sparkSession.asInstanceOf[
         org.apache.spark.sql.classic.SparkSession],
       TopKPerKeyNode(keyAttrs, ordAttr, k, analyzed))

@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Minimal transaction-log table format — the lakehouse manifest pattern
@@ -12,7 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  - **atomic multi-file commits** — readers see all of a commit's files
   *    or none, because visibility flips with the single manifest-file
-  *    create (written to a temp name, then atomically renamed in);
+  *    promotion (written to a temp name, then atomically claimed);
   *  - **snapshot isolation** — a reader resolves its file list against
   *    one version and is immune to concurrent appends/compactions;
   *  - **time travel** — `read(dir, asOf = V)` replays the log prefix.
@@ -21,10 +25,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the inputs) — content-neutral by construction, which the gate query
   * checks by hashing snapshots before and after.
   *
-  * Single-writer versioning: the version counter advances by the atomic
-  * create-if-absent of the next manifest; a losing writer fails its
+  * Single-writer versioning: the version counter advances by an atomic
+  * create-if-absent claim of the next manifest; a losing writer fails its
   * commit rather than corrupting history (optimistic concurrency, the
-  * standard manifest-log discipline).
+  * standard manifest-log discipline). The claim primitive is
+  * scheme-aware:
+  *
+  *  - **local filesystems** (`file:`, [[GraftFileSystem]] and any other
+  *    `RawLocalFileSystem` subclass): `link(2)` via
+  *    `Files.createLink(target, tmp)` — a hard link fails atomically
+  *    with EEXIST if the target exists. A bare POSIX `rename(2)` would
+  *    NOT do: it silently replaces an existing target, so two racing
+  *    writers could both "succeed" and one manifest would vanish.
+  *  - **HDFS-class stores**: `FileContext.rename(tmp, target)` without
+  *    the OVERWRITE option — atomic no-replace on HDFS (the public
+  *    Delta-Lake HDFSLogStore discipline).
+  *  - **Object stores without atomic no-replace rename** (S3-style): the
+  *    claim is NOT atomic through this code path alone; such stores need
+  *    an external coordination service or a conditional-put API, exactly
+  *    as every manifest-log format documents. The log layout itself is
+  *    unchanged — only the claim primitive needs swapping.
+  *
+  * All I/O goes through the Hadoop `FileSystem` API resolved from the
+  * active session's configuration, so the table works on any registered
+  * scheme — `file:`, `hdfs:`, `graftfs://` — not just `java.io.File`
+  * paths; the gate reads a snapshot through `graftfs://` to prove it.
   *
   * Scale: the log holds FILE names, not row data — a snapshot resolve
   * reads K tiny manifests; the data plane stays ordinary parquet scans
@@ -32,46 +57,78 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxLog {
 
-  private def logDir(dir: String) = new java.io.File(dir, "_txlog")
+  private def conf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(conf())
+
+  private def logDir(dir: String) = new Path(dir, "_txlog")
 
   private def manifest(dir: String, v: Int) =
-    new java.io.File(logDir(dir), f"v$v%08d.json")
+    new Path(logDir(dir), f"v$v%08d.json")
+
+  private val ManifestName = "v(\\d{8})\\.json".r
 
   /** Highest committed version, 0 when the table is empty. */
   def latestVersion(dir: String): Int = {
     val ld = logDir(dir)
-    if (!ld.isDirectory) 0
-    else ld.listFiles()
-      .map(_.getName)
-      .collect { case n if n.matches("v\\d{8}\\.json") =>
-        n.substring(1, 9).toInt }
+    val fs = fsOf(ld)
+    val listed =
+      try fs.listStatus(ld)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus]
+      }
+    listed.iterator
+      .map(_.getPath.getName)
+      .collect { case ManifestName(d) => d.toInt }
       .foldLeft(0)(math.max)
   }
+
+  /** Atomic create-if-absent promotion of `tmp` to `target`; false when
+    * another writer holds the target (see the claim-primitive table in
+    * the class doc). */
+  private def claim(fs: FileSystem, tmp: Path, target: Path): Boolean =
+    fs match {
+      case _: LocalFileSystem | _: RawLocalFileSystem =>
+        val t = new java.io.File(tmp.toUri.getPath)
+        val d = new java.io.File(target.toUri.getPath)
+        val won =
+          try { java.nio.file.Files.createLink(d.toPath, t.toPath); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        fs.delete(tmp, false)
+        won
+      case _ =>
+        try {
+          FileContext.getFileContext(target.toUri, conf()).rename(tmp, target)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            fs.delete(tmp, false); false
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false); false
+        }
+    }
 
   /** Atomically commit a set of file additions/removals; returns the new
     * version. Fails (IllegalStateException) if another writer won the
     * version — retry with a fresh read of [[latestVersion]]. */
   def commit(dir: String, add: Seq[String], remove: Seq[String] = Nil): Int = {
     val ld = logDir(dir)
-    ld.mkdirs()
+    val fs = fsOf(ld)
+    fs.mkdirs(ld)
     val v = latestVersion(dir) + 1
     val target = manifest(dir, v)
-    val tmp = new java.io.File(ld, s".v$v.tmp${System.nanoTime()}")
+    val tmp = new Path(ld, s".v$v.tmp${System.nanoTime()}")
     val body = (add.map(p => s"add\t$p") ++ remove.map(p => s"remove\t$p"))
       .mkString("", "\n", "\n")
-    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
-    // createNewFile-style atomicity: rename fails if the target exists
-    val ok = try {
-      java.nio.file.Files.move(tmp.toPath, target.toPath)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    }
-    if (!ok) {
-      tmp.delete()
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!claim(fs, tmp, target))
       throw new IllegalStateException(
         s"txlog: lost the race for version $v of $dir — re-read and retry")
-    }
     v
   }
 
@@ -80,12 +137,23 @@ object TxLog {
   def liveFiles(dir: String, asOf: Int = -1): Seq[String] = {
     val upTo = if (asOf <= 0) latestVersion(dir) else asOf
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val fs = fsOf(logDir(dir))
     (1 to upTo).foreach { v =>
       val m = manifest(dir, v)
-      if (!m.isFile)
-        throw new IllegalStateException(
-          s"txlog: missing manifest v$v of $dir (asked for asOf=$asOf)")
-      scala.io.Source.fromFile(m, "UTF-8").getLines().foreach { line =>
+      val text =
+        try {
+          val in = fs.open(m)
+          try {
+            val bytes = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+            new String(bytes.toByteArray, StandardCharsets.UTF_8)
+          } finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"txlog: missing manifest v$v of $dir (asked for asOf=$asOf)")
+        }
+      text.linesIterator.foreach { line =>
         line.split("\t", 2) match {
           case Array("add", p)    => live += p
           case Array("remove", p) => live -= p
@@ -112,11 +180,11 @@ object TxLog {
   /** Drop the whole table — data files and log. (Test/rebuild helper;
     * production tables are append-only and never need it.) */
   def destroy(dir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(dir))
+    val p = new Path(dir)
+    val fs = fsOf(p)
+    try fs.delete(p, true)
+    catch { case _: java.io.FileNotFoundException => () }
+    ()
   }
 
   /** Write `df` as one new immutable data file set under `dir/data/$name`

@@ -190,4 +190,46 @@ class PmiDriftSpec extends AnyFunSuite {
         if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
     assert(out(2L) === ((0L, Some(0L))), "path center: degree 2, no triangle")
   }
+
+  // --- checkpoint-residual contract: an iterative call may leave at most
+  // its RESULT pinned in executor storage. Superseded rounds and shared
+  // inputs must be released explicitly (ContextCleaner is GC-driven and
+  // too lazy for a 300-query session or a 20-iteration 100 TB PageRank).
+
+  private def sweepStorage(): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+
+  private def pinnedCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("pagerank releases all iteration state except the final ranks") {
+    sweepStorage()
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L).toDF("src", "dst")
+    val r = GraphOps.pagerank(edges, iters = 5)
+    assert(r.count() === 4)
+    assert(pinnedCount === 1,
+      s"expected only the result checkpoint pinned, found $pinnedCount")
+  }
+
+  test("bfsHops folds frontiers into one result checkpoint and frees the rest") {
+    sweepStorage()
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = GraphOps.bfsHops(edges, seeds, maxHops = 4)
+    assert(out.count() === 5)
+    assert(pinnedCount === 1,
+      s"expected only the result checkpoint pinned, found $pinnedCount")
+  }
+
+  test("kCore and randomWalks leave only their result pinned") {
+    sweepStorage()
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("src", "dst")
+    assert(GraphOps.kCore(k4, k = 2, rounds = 3).count() === 4)
+    assert(pinnedCount === 1, s"kCore residual: $pinnedCount")
+    sweepStorage()
+    val walks = GraphOps.randomWalks(k4, Seq(1L, 2L).toDF("node"), steps = 3)
+    assert(walks.count() === 8)
+    assert(pinnedCount === 1, s"randomWalks residual: $pinnedCount")
+  }
 }

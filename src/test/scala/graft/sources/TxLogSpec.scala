@@ -53,6 +53,40 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("racing writers never lose a commit: every add survives") {
+    // 8 threads commit concurrently with retry-on-lost-race. Under a
+    // non-atomic claim (POSIX rename silently replacing), two writers can
+    // both "win" one version and a manifest vanishes — detected here as a
+    // missing add or a short version chain.
+    val dir = freshDir()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        var done = false
+        while (!done) {
+          try { TxLog.commit(dir, Seq(s"/data/f$i")); done = true }
+          catch { case _: IllegalStateException => () }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(TxLog.latestVersion(dir) === 8, "one version per writer")
+    assert(TxLog.liveFiles(dir).toSet === (1 to 8).map(i => s"/data/f$i").toSet)
+    TxLog.destroy(dir)
+  }
+
+  test("the table speaks a non-file: Hadoop scheme end to end") {
+    GraftFileSystem.register(spark)
+    val root = GraftFileSystem.uri(freshDir())
+    TxLog.commit(root, Seq(TxLog.writeBatch(Seq(1, 2).toDF("x"), root, "a")))
+    TxLog.commit(root, Seq(TxLog.writeBatch(Seq(3).toDF("x"), root, "b")))
+    assert(TxLog.read(spark, root).as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 3))
+    assert(TxLog.read(spark, root, asOf = 1).as[Int].collect().sorted.toSeq
+      === Seq(1, 2))
+    TxLog.destroy(root)
+  }
+
   test("a torn or missing log refuses to serve a snapshot") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(1).toDF("x"), dir, "a")))
