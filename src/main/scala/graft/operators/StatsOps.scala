@@ -525,17 +525,15 @@ object StatsOps {
     * Scale: NOT a per-group cumulative window — with few fat groups (3
     * return flags over 10⁹ lineitems) `SUM OVER (PARTITION BY g ORDER BY
     * x)` sorts each group in ONE task (the straggler the quantile
-    * transform measured and eliminated). Instead: (1) one map-side-partial
-    * hash aggregation collapses ties to the (group, value) grain — the
-    * RANGE-inclusive cumulative of the raw rows equals the running sum
-    * over this collapsed table; (2) the running sum itself is the
-    * range-partitioned two-level prefix sum of [[SortOps.globalCumSum]]
-    * over the (group, value) total order — intra-group parallel; a
-    * group's cumulative is the global one minus the group's base offset.
-    * Weights carry as exact 1e-6-scaled longs (DECIMAL(28,6) × 1e6 is
-    * integral), so the fold is order-independent integer math and the
-    * released doubles are the same nearest-doubles a decimal engine
-    * produces (exact below 2⁵³ ≈ 9·10¹⁵, i.e. 9·10⁹ weight units). */
+    * transform measured and eliminated). The running weight is instead
+    * the range-partitioned two-level prefix sum of
+    * [[SortOps.globalCumSum]] over the (group, value) order —
+    * intra-group parallel; a group's cumulative is the global one minus
+    * the group's base offset. Weights carry as exact 1e-6-scaled longs
+    * (DECIMAL(28,6) × 1e6 is integral), so the fold is
+    * order-independent integer math and the released doubles are the
+    * same nearest-doubles a decimal engine produces (exact below
+    * 2⁵³ ≈ 9·10¹⁵, i.e. 9·10⁹ weight units). */
   def weightedQuantile(df: DataFrame, groupCols: Seq[Column], value: Column,
       weight: Column, q: Double): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1]: $q")
@@ -544,12 +542,13 @@ object StatsOps {
       .filter(col("_x").isNotNull && col("_w") > 0)
     val gNames = keyed.columns.dropRight(2)
     val g = gNames.map(col)
-    val collapsed = keyed
-      .groupBy(g :+ col("_x"): _*)
-      .agg(sum(col("_w")).as("_wv"))
-      .withColumn("_wv_e6", (col("_wv") * lit(1000000)).cast("long"))
-      .drop("_wv")
-    val cum = SortOps.globalCumSum(collapsed, g :+ col("_x"),
+    // per-ROW grain is safe here (unlike [[ksTest]]): within a tie block
+    // the running sum only differs mid-block, and if any mid-block row
+    // crosses the threshold its block-end row (same x) crosses too, so
+    // the min-x over crossing rows is invariant — no collapse needed
+    val rows = keyed
+      .withColumn("_wv_e6", (col("_w") * lit(1000000)).cast("long"))
+    val cum = SortOps.globalCumSum(rows, g :+ col("_x"),
       col("_wv_e6"), "_gcw")
     // weights are strictly positive, so the global cumsum is increasing
     // within a group and min(_gcw − _wv_e6) is the group's base offset
