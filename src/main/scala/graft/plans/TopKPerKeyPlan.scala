@@ -175,12 +175,19 @@ object TopKPerKey {
     ensureStrategy(df.sparkSession)
     // a Column off the public API is an unresolved ColumnNode — project
     // keys/order into helper columns first, so the custom node only ever
-    // holds RESOLVED attributes of its analyzed child
-    val keyNames = keys.indices.map(i => s"__tpk_k$i")
+    // holds RESOLVED attributes of its analyzed child. Helper names are
+    // uniquified against the input columns so a user column literally
+    // named __tpk_k0 can neither be mis-bound nor make the final
+    // projection ambiguous.
+    val taken = df.columns.toSet
+    def fresh(n: String): String = {
+      var c = n; while (taken(c)) c = "_" + c; c
+    }
+    val keyNames = keys.indices.map(i => fresh(s"__tpk_k$i"))
     val augmented = df.select(
       (df.columns.map(col).toSeq ++
         keys.zip(keyNames).map { case (c, n) => c.as(n) } :+
-        order.as("__tpk_ord")): _*)
+        order.as(fresh("__tpk_ord"))): _*)
     val analyzed = augmented.queryExecution.analyzed
     // resolve the helper columns BY POSITION (they were appended last):
     // name-based lookup would bind an input column that happens to be

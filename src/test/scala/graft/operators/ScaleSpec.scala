@@ -542,4 +542,41 @@ class ScaleSpec extends AnyFunSuite {
         s"$name must stay equi-joined:\n$p")
     }
   }
+
+  test("rank/cumsum stats plan WINDOWLESS on fat groups; cusum pins its contract") {
+    // 3 fat groups over the whole table — the shape where a per-group
+    // rank/cumsum window serializes each group's sort into ONE task.
+    // Every converted op must plan with no Window operator at all (the
+    // two-level range-partition helpers replace them).
+    val df = (1L to 20000L)
+      .map(i => (i % 3, (i * 2654435761L) % 1000, i))
+      .toDF("g", "x", "id")
+    val converted = Seq(
+      "gini" -> StatsOps.gini(df, Seq(col("g")), col("x")),
+      "trimmedMean" ->
+        StatsOps.trimmedMean(df, Seq(col("g")), col("x"), 0.1),
+      "mannWhitneyU" -> StatsOps.mannWhitneyU(df, Seq(col("g")),
+        col("id") % 2 === 0, col("x")),
+      "ksTest" -> StatsOps.ksTest(df, Seq(col("g")),
+        col("id") % 2 === 0, col("x")),
+      "weightedQuantile" -> StatsOps.weightedQuantile(df, Seq(col("g")),
+        col("x"), lit(1), 0.5))
+    converted.foreach { case (name, q) =>
+      assert(q.collect().nonEmpty, name)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name: fat-group window crept back:\n$plan")
+    }
+    // cusum stays windowed BY CONTRACT (running-min excursion is
+    // sequential per group; docstring pins the per-group-size bound).
+    // The fat-group point: one group spanning the table completes and
+    // the plan is the documented per-group window.
+    val fat = (1L to 20000L).map(i => (0L, i, (i * 48271L) % 997))
+      .toDF("g", "id", "x")
+    val c = StatsOps.cusum(fat, Seq(col("g")), col("id"), col("id"),
+      col("x"))
+    assert(c.collect().length === 1)
+    assert(c.queryExecution.executedPlan.toString.contains("Window"),
+      "cusum's documented formulation is the per-group window")
+  }
 }
