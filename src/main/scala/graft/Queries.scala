@@ -632,6 +632,34 @@ object Queries {
       MIN(printf('%08d', doc_id)) AS min_key
       FROM documents WHERE doc_id < 200 GROUP BY 1 ORDER BY 1"""))
 
+  /** MapFile WRITE interop
+    * ([[graft.sources.LegacyContainers.writeMapFile]], reference:
+    * MR-CORE .../lib/output/MapFileOutputFormat.java:49, COMMON-IO
+    * io/BloomMapFile.java:49): the ENGINE writes genuine BloomMapFile
+    * containers — range-partitioned, one sorted container per partition
+    * with data + index + bloom sidecars, the one-per-reducer layout — and
+    * reads them back through the splittable scan. Closes the last
+    * container asymmetry: pipelines can hand data BACK to a legacy
+    * consumer expecting MapFile lookups. */
+  private val qMapfileRoundtrip = QuerySpec(
+    "q_mapfile_roundtrip",
+    (s, dir) => {
+      val out = s"/tmp/graft_mapfile_rt_${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.LegacyContainers.writeMapFile(
+        t(s, dir, "documents")
+          .select(format_string("%08d", col("doc_id")).as("k"), col("lang")),
+        out, bloom = true)
+      graft.sources.LegacyContainers.readMapFile(s, s"$out/part-r-*")
+        .groupBy(col("value").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), min("key").as("min_key"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      MIN(printf('%08d', doc_id)) AS min_key
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
   /** TFile READ interop ([[graft.sources.LegacyContainers.readTFile]],
     * reference: COMMON-IO io/file/tfile/TFile.java): fixture writes two
     * genuine memcmp-sorted TFiles with the Hadoop writer; the reader
@@ -9209,7 +9237,8 @@ object Queries {
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
     qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
-    qSeqfileRoundtrip, qMapfileRead, qTfileRead, qBloomMapfileRead,
+    qSeqfileRoundtrip, qMapfileRead, qMapfileRoundtrip, qTfileRead,
+    qBloomMapfileRead,
     qSeqfileTyped, qAvroRoundtrip, qAvroEvents, qOrcRoundtrip, qChunk,
     qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,

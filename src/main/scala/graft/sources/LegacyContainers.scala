@@ -1,21 +1,27 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.hadoop.io.{BooleanWritable, BytesWritable, DoubleWritable,
-  FloatWritable, IntWritable, LongWritable, NullWritable, Text, Writable}
+import org.apache.hadoop.io.{BloomMapFile, BooleanWritable, BytesWritable,
+  DoubleWritable, FloatWritable, IntWritable, LongWritable, MapFile,
+  NullWritable, SequenceFile, Text, Writable, WritableComparable}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Read-side interop for the reference's sorted key-value containers, so a
-  * user with EXISTING MapFile/BloomMapFile/TFile data can scan it without a
-  * migration step (reference: COMMON-IO io/MapFile.java:59,
-  * io/BloomMapFile.java:49, io/file/tfile/TFile.java).
+/** Interop for the reference's sorted key-value containers
+  * (reference: COMMON-IO io/MapFile.java:59, io/BloomMapFile.java:49,
+  * io/file/tfile/TFile.java).
   *
-  * Only the read path is provided: the engine's own storage is parquet
-  * (stats + bucketing replace the index/bloom sidecars — capability gates
-  * q_bucket_lookup and q_bloom_join), and these formats' write paths exist
-  * solely to feed the reference runtime. Migration = read here, write
-  * parquet.
+  * Read side: a user with EXISTING MapFile/BloomMapFile/TFile data scans
+  * it without a migration step. Write side ([[writeMapFile]]): a pipeline
+  * that must hand data BACK to a legacy Hadoop consumer expecting
+  * MapFile point lookups gets genuine containers — sorted data + index
+  * (+ bloom) sidecars, one MapFile per range partition, exactly the
+  * reference's one-per-reducer MapFileOutputFormat layout
+  * (MR-CORE .../lib/output/MapFileOutputFormat.java:49). The engine's own
+  * canonical storage stays parquet (stats + bucketing replace the
+  * index/bloom sidecars — capability gates q_bucket_lookup and
+  * q_bloom_join); TFile never shipped a public OutputFormat, so its write
+  * path stays out.
   */
 object LegacyContainers {
 
@@ -86,6 +92,77 @@ object LegacyContainers {
       keyClass: Class[_ <: Writable] = classOf[Text],
       valueClass: Class[_ <: Writable] = classOf[Text]): DataFrame =
     readSequence(spark, s"$dir/data", keyClass, valueClass)
+
+  /** Plain JVM value → Writable of the declared class (inverse of
+    * [[decode]]). Fresh instance per call; null values map to the type's
+    * empty/zero (MapFile values cannot be null on the wire). */
+  private def encode(cls: Class[_ <: Writable], v: Any): Writable = cls match {
+    case c if c == classOf[Text] =>
+      new Text(if (v == null) "" else v.toString)
+    case c if c == classOf[IntWritable] =>
+      new IntWritable(if (v == null) 0 else v.asInstanceOf[Int])
+    case c if c == classOf[LongWritable] =>
+      new LongWritable(if (v == null) 0L else v.asInstanceOf[Long])
+    case c if c == classOf[FloatWritable] =>
+      new FloatWritable(if (v == null) 0f else v.asInstanceOf[Float])
+    case c if c == classOf[DoubleWritable] =>
+      new DoubleWritable(if (v == null) 0d else v.asInstanceOf[Double])
+    case c if c == classOf[BooleanWritable] =>
+      new BooleanWritable(v != null && v.asInstanceOf[Boolean])
+    case c if c == classOf[BytesWritable] =>
+      new BytesWritable(
+        if (v == null) Array.emptyByteArray else v.asInstanceOf[Array[Byte]])
+    case c if c == classOf[NullWritable] => NullWritable.get()
+    case other => throw new IllegalArgumentException(
+      s"unsupported Writable class: ${other.getName}")
+  }
+
+  /** Distributed MapFile/BloomMapFile WRITE: `df`'s first two columns
+    * become (key, value); rows are RANGE-partitioned and locally sorted
+    * on the key (MapFile's sorted-append contract), and each partition
+    * writes one genuine container `part-r-%05d/` via the Hadoop
+    * `MapFile.Writer` (data + index sidecars; `BloomMapFile.Writer` adds
+    * the bloom sidecar when `bloom`). The directory layout and global
+    * key order are exactly the reference's MapFileOutputFormat-with-
+    * TotalOrderPartitioner shape, so a legacy consumer can
+    * `getEntry`/`get` against the parts — and at 100 TB the write is one
+    * range shuffle plus embarrassingly-parallel container appends.
+    * Read it back with `readMapFile(spark, s"$dir/part-r-*")`. */
+  def writeMapFile(
+      df: DataFrame, dir: String,
+      keyClass: Class[_ <: Writable] = classOf[Text],
+      valueClass: Class[_ <: Writable] = classOf[Text],
+      bloom: Boolean = false): Unit = {
+    require(df.columns.length == 2,
+      s"need exactly (key, value) columns, got ${df.columns.toSeq}")
+    require(classOf[WritableComparable[_]].isAssignableFrom(keyClass),
+      s"MapFile keys must be WritableComparable: ${keyClass.getName}")
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val keyCol = org.apache.spark.sql.functions.col(df.columns(0))
+    val sorted = df.repartitionByRange(keyCol).sortWithinPartitions(keyCol)
+    sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val conf = sconf.value
+      val part = new Path(dir, f"part-r-$i%05d")
+      val kc = keyClass.asInstanceOf[Class[_ <: WritableComparable[_]]]
+      val writer =
+        if (bloom)
+          new BloomMapFile.Writer(conf, part,
+            MapFile.Writer.keyClass(kc),
+            SequenceFile.Writer.valueClass(valueClass))
+        else
+          new MapFile.Writer(conf, part,
+            MapFile.Writer.keyClass(kc),
+            SequenceFile.Writer.valueClass(valueClass))
+      try it.foreach { row =>
+        writer.append(
+          encode(keyClass, row.get(0)).asInstanceOf[WritableComparable[_]],
+          encode(valueClass, row.get(1)))
+      } finally writer.close()
+      Iterator.single(i)
+    }.count()
+    ()
+  }
 
   /** TFile glob → DataFrame(key, value), keys/values decoded as UTF-8.
     *
