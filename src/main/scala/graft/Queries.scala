@@ -3394,7 +3394,18 @@ object Queries {
     * re-assembled centroid vectors -> re-assignment of the corpus -> bucket
     * occupancy. This is exactly how [[SimilarityOps.ivfTopK]]'s coarse
     * quantizer gets trained; bucket sizes are the observable the IVF
-    * operator cares about (balanced buckets = balanced probe cost). */
+    * operator cares about (balanced buckets = balanced probe cost).
+    *
+    * Perf note (r7 finding #4, root-caused r8): the broadcast-argmin
+    * kernel needs the refined centroids DRIVER-SIDE, so the gate runs as
+    * three sequential jobs (seed collect, refined-centroid collect, final
+    * assignment) instead of r5's single lazy crossJoin plan — ~0.8 s of
+    * fixed per-job overhead at sf0.1, which is the whole solo regression
+    * (0.46 s -> ~1.3 s). ACCEPTED tradeoff: the lazy crossJoin hash-
+    * exchanges corpus x nlist rows, which is the anti-pattern that
+    * cannot survive 100 TB x nlist=4096, while the kernel never shuffles
+    * the corpus — BENCH_SCALE shows factor 1.08 at 10x data, i.e. the
+    * regression is constant, not asymptotic. */
   private val qIvfRefined = QuerySpec(
     "q_ivf_refined",
     (s, dir) => {
