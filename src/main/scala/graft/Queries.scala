@@ -6216,6 +6216,10 @@ object Queries {
       TxLog.commit(root,
         Seq(TxLog.writeBatch(compacted, root, "b_even_c")),
         remove = Seq(s"$root/data/b_even"))
+      // checkpoint the log: the "latest" snapshot below resolves through
+      // the checkpoint seed (bounded resolution), and must be
+      // content-identical to the full manifest replay
+      TxLog.checkpoint(root)
       def snap(tag: String, asOf: Int) =
         TxLog.read(s, root, asOf)
           .groupBy(col("event_type"))

@@ -70,7 +70,12 @@ object StatsOps {
     * exactly replayable in any engine with LAG.
     *
     * Ordering is (ts, id) so duplicate timestamps are deterministic.
-    * Scale: one window shuffle on the key; cost O(k) per row. */
+    * Scale: one window shuffle on the key; cost O(k) per row. SCALE
+    * CONTRACT (per-key size): lag() needs each key's ordered neighbors in
+    * one task — sized for many-series telemetry (keys to ~10⁷ rows), not
+    * a handful of keys spanning the fact table (the [[cusum]] contract;
+    * unlike rank/cumsum ops, a lag cannot be rebuilt from a group-base
+    * subtraction — it would need boundary-row exchange). */
   def ewmaTrailing(df: DataFrame, key: Column, ts: Column, id: Column,
       value: Column, decay: BigDecimal, k: Int): DataFrame = {
     require(decay > 0 && decay < 1, s"decay must be in (0,1): $decay")
@@ -100,7 +105,9 @@ object StatsOps {
     * Pearson r is invariant to the sample/population variance convention,
     * so any engine's corr() agrees; rounded to 6 dp. Pairs with a null
     * lagged value (the first lagK rows of each group) are excluded, the
-    * standard convention. One window + one aggregation. */
+    * standard convention. One window + one aggregation. Same
+    * per-group-size SCALE CONTRACT as [[ewmaTrailing]] (lag-based
+    * sequential scan per group). */
   def autocorr(df: DataFrame, groupCols: Seq[Column], ts: Column, id: Column,
       value: Column, lagK: Int): DataFrame = {
     require(lagK >= 1, s"lag must be >= 1: $lagK")

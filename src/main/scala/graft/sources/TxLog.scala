@@ -20,6 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - **snapshot isolation** — a reader resolves its file list against
   *    one version and is immune to concurrent appends/compactions;
   *  - **time travel** — `read(dir, asOf = V)` replays the log prefix.
+  *  - **bounded resolution** — [[checkpoint]] collapses the live set into
+  *    one `c%08d.json` file; later snapshot resolves seed from the newest
+  *    checkpoint and replay only the manifest SUFFIX, so a table with
+  *    10⁵ commits doesn't reread 10⁵ manifests per query (and manifests
+  *    before a checkpoint become expirable).
   *
   * Compaction is an ordinary commit (`add` the compacted file, `remove`
   * the inputs) — content-neutral by construction, which the gate query
@@ -70,9 +75,12 @@ object TxLog {
     new Path(logDir(dir), f"v$v%08d.json")
 
   private val ManifestName = "v(\\d{8})\\.json".r
+  private val CheckpointName = "c(\\d{8})\\.json".r
 
-  /** Highest committed version, 0 when the table is empty. */
-  def latestVersion(dir: String): Int = {
+  private def checkpointFile(dir: String, v: Int) =
+    new Path(logDir(dir), f"c$v%08d.json")
+
+  private def listLog(dir: String): Array[String] = {
     val ld = logDir(dir)
     val fs = fsOf(ld)
     val listed =
@@ -81,11 +89,21 @@ object TxLog {
         case _: java.io.FileNotFoundException =>
           Array.empty[org.apache.hadoop.fs.FileStatus]
       }
-    listed.iterator
-      .map(_.getPath.getName)
+    listed.map(_.getPath.getName)
+  }
+
+  /** Highest committed version, 0 when the table is empty. */
+  def latestVersion(dir: String): Int =
+    listLog(dir)
       .collect { case ManifestName(d) => d.toInt }
       .foldLeft(0)(math.max)
-  }
+
+  /** Highest checkpoint at or below `upTo`, if any. */
+  private def latestCheckpointVersion(dir: String, upTo: Int): Option[Int] =
+    listLog(dir)
+      .collect { case CheckpointName(d) => d.toInt }
+      .filter(_ <= upTo)
+      .reduceOption(math.max)
 
   /** Atomic create-if-absent promotion of `tmp` to `target`; false when
     * another writer holds the target (see the claim-primitive table in
@@ -132,39 +150,82 @@ object TxLog {
     v
   }
 
-  /** The live file set at `asOf` (latest when <= 0): replay adds minus
-    * removes over the manifest prefix, order-preserving. */
+  private def readLogFile(dir: String, p: Path, what: String): String = {
+    val fs = fsOf(p)
+    try {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+        new String(bytes.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalStateException(
+          s"txlog: missing $what of $dir")
+    }
+  }
+
+  private def replayInto(
+      live: scala.collection.mutable.LinkedHashSet[String],
+      text: String, what: String): Unit =
+    text.linesIterator.foreach { line =>
+      line.split("\t", 2) match {
+        case Array("add", p)    => live += p
+        case Array("remove", p) => live -= p
+        case _ if line.trim.isEmpty =>
+        case other =>
+          throw new IllegalStateException(
+            s"txlog: bad action line '${other.mkString("\t")}' in $what")
+      }
+    }
+
+  /** The live file set at `asOf` (latest when <= 0): the newest
+    * CHECKPOINT at or below the version seeds the set, then the manifest
+    * SUFFIX replays on top — so resolution cost is O(suffix), not
+    * O(versions since table creation), the property a long-lived 100 TB
+    * table needs. With no usable checkpoint the full prefix replays
+    * (order-preserving adds minus removes). */
   def liveFiles(dir: String, asOf: Int = -1): Seq[String] = {
     val upTo = if (asOf <= 0) latestVersion(dir) else asOf
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    val fs = fsOf(logDir(dir))
-    (1 to upTo).foreach { v =>
-      val m = manifest(dir, v)
-      val text =
-        try {
-          val in = fs.open(m)
-          try {
-            val bytes = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
-            new String(bytes.toByteArray, StandardCharsets.UTF_8)
-          } finally in.close()
-        } catch {
-          case _: java.io.FileNotFoundException =>
-            throw new IllegalStateException(
-              s"txlog: missing manifest v$v of $dir (asked for asOf=$asOf)")
-        }
-      text.linesIterator.foreach { line =>
-        line.split("\t", 2) match {
-          case Array("add", p)    => live += p
-          case Array("remove", p) => live -= p
-          case _ if line.trim.isEmpty =>
-          case other =>
-            throw new IllegalStateException(
-              s"txlog: bad action line '${other.mkString("\t")}' in v$v")
-        }
-      }
+    val from = latestCheckpointVersion(dir, upTo) match {
+      case Some(cv) =>
+        replayInto(live,
+          readLogFile(dir, checkpointFile(dir, cv), f"checkpoint c$cv%08d"),
+          f"checkpoint c$cv%08d")
+        cv + 1
+      case None => 1
+    }
+    (from to upTo).foreach { v =>
+      replayInto(live,
+        readLogFile(dir, manifest(dir, v), s"manifest v$v (asOf=$asOf)"),
+        s"v$v")
     }
     live.toSeq
+  }
+
+  /** Write a checkpoint of the CURRENT latest version: one file holding
+    * the full live set, claimed with the same atomic create-if-absent as
+    * commits (a losing writer fails; checkpointing is idempotent per
+    * version). Readers with `asOf >= version` seed from it instead of
+    * replaying the whole manifest prefix; older manifests stay in place,
+    * so time travel to pre-checkpoint versions still works. Returns the
+    * checkpointed version (0 = empty table, nothing written). */
+  def checkpoint(dir: String): Int = {
+    val v = latestVersion(dir)
+    if (v == 0) return 0
+    val files = liveFiles(dir, v)
+    val ld = logDir(dir)
+    val fs = fsOf(ld)
+    val tmp = new Path(ld, s".c$v.tmp${System.nanoTime()}")
+    val body = files.map(p => s"add\t$p").mkString("", "\n", "\n")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!claim(fs, tmp, checkpointFile(dir, v)))
+      throw new IllegalStateException(
+        s"txlog: checkpoint race for version $v of $dir — already written")
+    v
   }
 
   /** Snapshot read — all live parquet files as one DataFrame; empty

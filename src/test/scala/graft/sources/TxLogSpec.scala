@@ -87,6 +87,32 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(root)
   }
 
+  test("checkpoint bounds resolution; pre-checkpoint time travel still replays") {
+    val dir = freshDir()
+    val p1 = TxLog.writeBatch(Seq(1).toDF("x"), dir, "a")
+    TxLog.commit(dir, Seq(p1))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(2).toDF("x"), dir, "b")))
+    val compacted = TxLog.read(spark, dir, asOf = 1).coalesce(1)
+    TxLog.commit(dir, Seq(TxLog.writeBatch(compacted, dir, "a_c")),
+      remove = Seq(p1))
+    assert(TxLog.checkpoint(dir) === 3)
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(4).toDF("x"), dir, "d")))
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 4))
+    // time travel BELOW the checkpoint ignores it and replays manifests
+    assert(TxLog.read(spark, dir, asOf = 2).as[Int].collect().sorted.toSeq
+      === Seq(1, 2))
+    // the checkpoint really seeds resolution: expire the pre-checkpoint
+    // manifests — the latest snapshot must still resolve through c3...
+    val ld = new java.io.File(dir, "_txlog")
+    Seq(1, 2, 3).foreach(v => new java.io.File(ld, f"v$v%08d.json").delete())
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 4))
+    // ...while pre-checkpoint travel now fails LOUDLY, not silently empty
+    intercept[IllegalStateException] { TxLog.liveFiles(dir, 2) }
+    TxLog.destroy(dir)
+  }
+
   test("a torn or missing log refuses to serve a snapshot") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(1).toDF("x"), dir, "a")))
