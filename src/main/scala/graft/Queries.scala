@@ -6565,6 +6565,42 @@ object Queries {
         MIN(i) AS change_idx
       FROM w4 WHERE exc = mx GROUP BY 1 ORDER BY 1"""))
 
+  /** Wide-group CUSUM ([[StatsOps.cusumWide]]): the SAME statistic as
+    * [[qCusum]] — and the same oracle — computed on the boundary-carried
+    * two-level scan instead of per-group windows, so the 5 fat
+    * event-type groups run intra-group parallel. Both gates green =
+    * the two formulations agree row for row. */
+  private val qCusumWide = QuerySpec(
+    "q_cusum_wide",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      StatsOps.cusumWide(ev, Seq(col("event_type")), unix_micros(col("ts")),
+          col("event_id"), col("value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT event_type AS g, epoch_us(ts) AS t,
+          event_id AS id,
+          CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      w1 AS (SELECT g, t, id, x,
+          CAST(row_number() OVER (PARTITION BY g ORDER BY t, id) AS BIGINT)
+            AS i,
+          SUM(x) OVER (PARTITION BY g ORDER BY t, id) AS cum,
+          CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+          SUM(x) OVER (PARTITION BY g) AS tot
+        FROM b),
+      w2 AS (SELECT *, cum * n - tot * i AS ns FROM w1),
+      w3 AS (SELECT *,
+          MIN(ns) OVER (PARTITION BY g ORDER BY t, id) AS runmin
+        FROM w2),
+      w4 AS (SELECT *, ns - runmin AS exc,
+          MAX(ns - runmin) OVER (PARTITION BY g) AS mx
+        FROM w3)
+      SELECT g AS event_type, MAX(n) AS n,
+        round(CAST(MAX(mx) AS DOUBLE) / (MAX(n) * 1000000.0), 6) AS cusum,
+        MIN(i) AS change_idx
+      FROM w4 WHERE exc = mx GROUP BY 1 ORDER BY 1"""))
+
   /** Mann-Whitney U ([[StatsOps.mannWhitneyU]]): even- vs odd-user cohorts
     * per event type, tie-corrected z; rank sums in doubled longs. */
   private val qMannWhitney = QuerySpec(
@@ -9276,7 +9312,8 @@ object Queries {
     qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg,
     qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram,
     qHllMerge, qStreamIncremental, qOhlc,
-    qGini, qEwma, qAutocorr, qCusum, qMannWhitney, qWeightedQuantile,
+    qGini, qEwma, qAutocorr, qCusum, qCusumWide, qMannWhitney,
+    qWeightedQuantile,
     qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
     qContainment, qDpMean, qGeneralizeK, qTopPaths,
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,

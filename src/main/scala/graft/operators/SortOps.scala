@@ -162,6 +162,86 @@ object SortOps {
     df.sparkSession.createDataFrame(withCum, schema).drop(tmpNames: _*)
   }
 
+  /** Exact PER-GROUP running minimum of a long column in a total order,
+    * WITHOUT a per-group window: unlike a prefix SUM, a prefix MIN cannot
+    * be rebuilt by subtracting a group base, so the two-level shape
+    * carries group-aware seeds instead. Rows are range-partitioned on
+    * (group ++ order) — every group occupies a CONTIGUOUS run of
+    * partitions, so only a partition's FIRST and LAST group can span a
+    * boundary. Pass 1 emits one tiny summary per partition (first/last
+    * group key + their in-partition minima); the driver chains them in
+    * partition order into a seed for each partition's first group —
+    * O(partitions) driver data regardless of group count. Pass 2 walks
+    * each partition with the seeded running min, resetting at group
+    * changes. Groups wholly inside one partition never touch the driver.
+    *
+    * This is the missing primitive behind sequential per-group scans
+    * (CUSUM excursions, drawdowns): with it they run intra-group
+    * parallel even when a handful of groups span the fact table. */
+  def groupedRunningMin(df: DataFrame, groupNames: Seq[String],
+      order: Seq[Column], valueCol: Column, outCol: String): DataFrame = {
+    val withV = df.withColumn("_grm_v", valueCol.cast("long"))
+    val sorted = withV.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val gIdx = groupNames.map(sorted.schema.fieldIndex)
+    val vIdx = sorted.schema.fieldIndex("_grm_v")
+    def keyOf(r: Row): Seq[Any] = gIdx.map(r.get)
+    // pass 1: (pid, firstKey, lastKey, minOfLastGroup) — the carry chain
+    // below only ever consumes LAST-group minima (a group spanning
+    // partitions is, by contiguity, the last group of every partition it
+    // enters except possibly the one it ends in)
+    val summaries = sorted.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          var firstKey: Seq[Any] = null
+          var curKey: Seq[Any] = null
+          var curMin = Long.MaxValue
+          it.foreach { r =>
+            val k = keyOf(r)
+            if (curKey == null) { firstKey = k; curKey = k }
+            else if (k != curKey) { curKey = k; curMin = Long.MaxValue }
+            val v = r.getLong(vIdx)
+            if (v < curMin) curMin = v
+          }
+          Iterator((i, firstKey, curKey, curMin))
+        }
+      }
+      .collect()
+      .sortBy(_._1)
+    // driver chain: seed(pid) = min over PRIOR partitions of pid's first
+    // group's values (only boundary-spanning groups carry state)
+    val seeds = scala.collection.mutable.Map.empty[Int, Long]
+    var carryKey: Seq[Any] = null
+    var carryMin = Long.MaxValue
+    summaries.foreach { case (pid, fk, lk, lmin) =>
+      if (carryKey != null && fk == carryKey) seeds(pid) = carryMin
+      // contiguity: lk == carryKey implies the carried group spans the
+      // whole partition, so its in-partition min folds in; any other lk
+      // starts a fresh carry
+      if (carryKey != null && lk == carryKey)
+        carryMin = math.min(carryMin, lmin)
+      else { carryKey = lk; carryMin = lmin }
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(seeds.toMap)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val withMin = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val seed = bc.value.getOrElse(i, Long.MaxValue)
+      var curKey: Seq[Any] = null
+      var curMin = Long.MaxValue
+      it.map { r =>
+        val k = keyOf(r)
+        if (curKey == null) { curKey = k; curMin = seed }
+        else if (k != curKey) { curKey = k; curMin = Long.MaxValue }
+        val v = r.getLong(vIdx)
+        if (v < curMin) curMin = v
+        Row.fromSeq(r.toSeq :+ curMin)
+      }
+    }
+    df.sparkSession.createDataFrame(withMin, schema).drop("_grm_v")
+  }
+
   /** Exact top-k rows per key through the engine's CUSTOM PHYSICAL
     * OPERATOR ([[org.apache.spark.sql.graftbridge.TopKPerKeyNode]]):
     * two-phase bounded heaps (per-partition partial, key-clustered

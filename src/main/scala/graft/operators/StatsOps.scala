@@ -144,8 +144,10 @@ object StatsOps {
     * a handful of groups spanning the whole fact table. (Unlike the
     * rank/cumsum ops converted to [[SortOps.globalRowNumber]] /
     * [[SortOps.globalCumSums]], the running min cannot be reconstructed
-    * from a group-base subtraction; a group-aware two-level scan would
-    * be required. A ScaleSpec fat-group point pins this contract.) */
+    * from a group-base subtraction.) For the fat-group shape use
+    * [[cusumWide]] — identical released values on the boundary-carried
+    * [[SortOps.groupedRunningMin]] scan; a ScaleSpec fat-group point
+    * pins this split. */
   def cusum(df: DataFrame, groupCols: Seq[Column], ts: Column, id: Column,
       value: Column): DataFrame = {
     val keyed = df.select(groupCols ++ Seq(ts.as("_t"), id.as("_id"),
@@ -174,6 +176,47 @@ object StatsOps {
       .groupBy(g: _*)
       .agg(max(col("_n")).as("n"), max(col("_mx")).as("_mxv"),
         min(col("_i")).as("change_idx"))
+      .withColumn("cusum",
+        round(col("_mxv").cast("double") / (col("n") * lit(1e6)), 6))
+      .select(g :+ col("n") :+ col("cusum") :+ col("change_idx"): _*)
+  }
+
+  /** [[cusum]] re-expressed for WIDE groups — the scalable formulation
+    * for the few-fat-groups shape the windowed form's contract excludes:
+    * identical semantics and released values (the gate shares cusum's
+    * oracle), but every sequential piece runs on a two-level
+    * range-partition template — row index and prefix sum from ONE
+    * [[SortOps.globalCumSums]] pass, the running-min excursion from
+    * [[SortOps.groupedRunningMin]]'s boundary-carried scan — so the
+    * whole path is intra-group parallel, and the earliest-argmax release
+    * is one min_by aggregation. Costs two sorted passes against the
+    * windowed form's one; both formulations exist deliberately (pick by
+    * group shape, same numbers either way). */
+  def cusumWide(df: DataFrame, groupCols: Seq[Column], ts: Column,
+      id: Column, value: Column): DataFrame = {
+    val keyed = df.select(groupCols ++ Seq(ts.as("_t"), id.as("_id"),
+      floor(value.cast("double") * 1e6 + 0.5).cast("long").as("_x")): _*)
+      .filter(col("_x").isNotNull)
+    val gNames = keyed.columns.dropRight(3)
+    val g = gNames.map(col)
+    val order = g ++ Seq(col("_t"), col("_id"))
+    val cum = SortOps.globalCumSums(keyed, order,
+      Seq(lit(1L), col("_x")), Seq("_grn", "_gcx"))
+    // group bases: first row's exclusive prefixes (the row with min _grn)
+    val gStats = cum.groupBy(g: _*).agg(
+      count(lit(1)).as("_n"), sum(col("_x")).as("_tot"),
+      min(col("_grn")).as("_g0"),
+      min_by(col("_gcx") - col("_x"), col("_grn")).as("_cb"))
+    val ns = cum.join(gStats, gNames.toSeq)
+      .withColumn("_i", col("_grn") - col("_g0") + 1L)
+      .withColumn("_cum", col("_gcx") - col("_cb"))
+      .withColumn("_ns", col("_cum") * col("_n") - col("_tot") * col("_i"))
+    SortOps.groupedRunningMin(ns, gNames, order, col("_ns"), "_runmin")
+      .withColumn("_exc", col("_ns") - col("_runmin"))
+      .groupBy(g: _*)
+      .agg(max(col("_n")).as("n"), max(col("_exc")).as("_mxv"),
+        min_by(col("_i"), struct((-col("_exc")).as("_ne"), col("_i")))
+          .as("change_idx"))
       .withColumn("cusum",
         round(col("_mxv").cast("double") / (col("n") * lit(1e6)), 6))
       .select(g :+ col("n") :+ col("cusum") :+ col("change_idx"): _*)

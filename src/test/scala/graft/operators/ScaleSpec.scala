@@ -569,14 +569,22 @@ class ScaleSpec extends AnyFunSuite {
     }
     // cusum stays windowed BY CONTRACT (running-min excursion is
     // sequential per group; docstring pins the per-group-size bound).
-    // The fat-group point: one group spanning the table completes and
-    // the plan is the documented per-group window.
-    val fat = (1L to 20000L).map(i => (0L, i, (i * 48271L) % 997))
+    // The fat-group point: one group spanning the table completes, the
+    // plan is the documented per-group window — and cusumWide (the
+    // boundary-carried two-level scan) reproduces it VALUE FOR VALUE
+    // with zero Window operators.
+    val fat = (1L to 20000L).map(i => (i % 2, i, (i * 48271L) % 997))
       .toDF("g", "id", "x")
     val c = StatsOps.cusum(fat, Seq(col("g")), col("id"), col("id"),
       col("x"))
-    assert(c.collect().length === 1)
     assert(c.queryExecution.executedPlan.toString.contains("Window"),
       "cusum's documented formulation is the per-group window")
+    val wide = StatsOps.cusumWide(fat, Seq(col("g")), col("id"), col("id"),
+      col("x"))
+    val cRows = c.orderBy("g").collect().map(_.toSeq).toSeq
+    val wRows = wide.orderBy("g").collect().map(_.toSeq).toSeq
+    assert(cRows === wRows, "two formulations must agree row for row")
+    assert(!wide.queryExecution.executedPlan.toString.contains("Window"),
+      "cusumWide must plan windowless")
   }
 }

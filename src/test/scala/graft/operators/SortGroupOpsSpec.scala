@@ -21,6 +21,33 @@ class SortGroupOpsSpec extends AnyFunSuite {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("groupedRunningMin equals the per-group window prefix min") {
+    // 2 fat groups spanning many range partitions (the boundary-seed
+    // path), values dip NEGATIVE mid-group so a wrong seed shows up
+    val df = (1L to 5000L)
+      .map(i => (i % 2, i, ((i * 48271L) % 1001) - 500L))
+      .toDF("g", "id", "v").repartition(7)
+    val got = SortOps.groupedRunningMin(df, Seq("g"),
+        Seq(col("g"), col("id")), col("v"), "rm")
+      .select("g", "id", "rm")
+    val want = df.withColumn("rm", min(col("v")).over(
+      Window.partitionBy("g").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("g", "id", "rm")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // many tiny groups: no group crosses a boundary chain of interest
+    val tiny = (1L to 2000L).map(i => (i % 400, i, 1000L - i))
+      .toDF("g", "id", "v").repartition(5)
+    val got2 = SortOps.groupedRunningMin(tiny, Seq("g"),
+        Seq(col("g"), col("id")), col("v"), "rm")
+      .select("g", "id", "rm")
+    val want2 = tiny.withColumn("rm", min(col("v")).over(
+      Window.partitionBy("g").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("g", "id", "rm")
+    assert(got2.except(want2).isEmpty && want2.except(got2).isEmpty)
+  }
+
   test("topK returns exactly the k smallest by order") {
     val df = (1 to 100).map(i => (i * 37 % 97, i)).toDF("v", "id")
     val got = SortOps.topK(df, Seq(col("v").desc, col("id")), 5)
