@@ -98,6 +98,29 @@ object ScaleGen {
     evOut.write.mode("overwrite").parquet(s"$dest/events.parquet")
     val nev = spark.read.parquet(s"$dest/events.parquet").count()
     println(s"[scalegen] wrote $nev events (${factor}x of $src) to $dest")
+
+    // lineitem: replica r offsets order/part/supp keys — each replica is a
+    // DISJOINT copy of the co-purchase graph (per-order item sets, and so
+    // the degree distribution, preserved verbatim), so the graph family's
+    // edge count scales exactly linearly with the factor while every
+    // per-iteration join/agg sees factor-x honest work
+    val li = graft.core.Graft.table(spark, src, "lineitem")
+    val liMax = li.agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey"))
+      .head()
+    val (maxOk, maxPk, maxSk) =
+      (liMax.getLong(0) + 1, liMax.getLong(1) + 1, liMax.getLong(2) + 1)
+    val liOut = (0 until factor)
+      .map { r =>
+        if (r == 0) li
+        else li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(r * maxOk))
+          .withColumn("l_partkey", col("l_partkey") + lit(r * maxPk))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(r * maxSk))
+      }
+      .reduce(_ unionByName _)
+    liOut.write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+    val nli = spark.read.parquet(s"$dest/lineitem.parquet").count()
+    println(s"[scalegen] wrote $nli lineitems (${factor}x of $src) to $dest")
     spark.stop()
   }
 }
