@@ -6316,6 +6316,64 @@ object Queries {
           AS sum_price
       FROM delta GROUP BY 1 ORDER BY 1"""))
 
+  /** Retraction IVM ([[JoinOps.joinDeltaSigned]]): batches now contain
+    * DELETES too (sign −1) — ~10% of old orders and ~9% of old lineitems
+    * retract while the insert batches land. The gate refreshes the
+    * priority×flag view INCREMENTALLY (old counts + signed delta nets,
+    * zero-net groups dropped); the oracle re-joins the new bases from
+    * scratch — incremental must equal recompute, the IVM invariant
+    * under retraction. */
+  private val qJoinDeltaSigned = QuerySpec(
+    "q_join_delta_signed",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("key"),
+        col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("key"),
+        col("l_returnflag"))
+      val ob = TextFunctions.portableBucket(col("key"), 10)
+      val od = TextFunctions.portableBucket(col("key"), 13)
+      val lb = TextFunctions.portableBucket(col("key"), 7)
+      val ld = TextFunctions.portableBucket(col("key"), 11)
+      val aOld = o.filter(ob < 9)
+      val aDelta = o.filter(ob >= 9).withColumn("sign", lit(1))
+        .unionByName(aOld.filter(od === 0).withColumn("sign", lit(-1)))
+      val bOld = l.filter(lb < 6)
+      val bDelta = l.filter(lb >= 6).withColumn("sign", lit(1))
+        .unionByName(bOld.filter(ld === 0).withColumn("sign", lit(-1)))
+      val delta = JoinOps.joinDeltaSigned(aOld, aDelta, bOld, bDelta,
+        Seq("key"))
+      aOld.join(bOld, Seq("key"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .unionByName(
+          delta.groupBy(col("o_orderpriority"), col("l_returnflag"))
+            .agg(sum(col("sign")).cast("long").as("n")))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(sum(col("n")).as("n_pairs"))
+        .filter(col("n_pairs") =!= 0)
+        .orderBy("o_orderpriority", "l_returnflag")
+    },
+    Some("""WITH an AS (SELECT o_orderkey AS key, o_orderpriority
+        FROM (SELECT *,
+            CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10 AS b10,
+            CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 13 AS b13
+          FROM orders)
+        WHERE b10 >= 9 OR (b10 < 9 AND b13 <> 0)),
+      bn AS (SELECT l_orderkey AS key, l_returnflag
+        FROM (SELECT *,
+            CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 7 AS b7,
+            CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 11 AS b11
+          FROM lineitem)
+        WHERE b7 >= 6 OR (b7 < 6 AND b11 <> 0))
+      SELECT o_orderpriority, l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM an JOIN bn USING (key)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Mergeable HLL distinct-count state ([[AggOps.hllState]]/[[AggOps
     * .hllMerge]]/[[AggOps.hllEstimate]]): per-type distinct users, built
     * from three hash-disjoint batches and UNIONED — must land within the
@@ -9331,6 +9389,7 @@ object Queries {
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
-    qTopkNative, qJoinDelta, qTpchQ8, qTpchQ16, qTpchQ2, qTpchQ11,
+    qTopkNative, qJoinDelta, qJoinDeltaSigned, qTpchQ8, qTpchQ16, qTpchQ2,
+    qTpchQ11,
     qTpchQ20)
 }

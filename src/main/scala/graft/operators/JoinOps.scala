@@ -194,4 +194,43 @@ object JoinOps {
       bDelta: DataFrame, keys: Seq[String]): DataFrame =
     aDelta.join(bOld.unionByName(bDelta), keys)
       .unionByName(aOld.join(bDelta, keys))
+
+  /** Signed-delta IVM — [[joinDelta]] generalized to RETRACTIONS (the
+    * full differential-dataflow / DBSP sign algebra): delta rows carry
+    * `signCol` (+1 insert, −1 delete) and the returned join delta is
+    * signed the same way, with cross-term signs multiplying:
+    *
+    *   `Δ(A⋈B) = ΔA ⋈ B_old ∪ A_old ⋈ ΔB ∪ ΔA ⋈ ΔB`
+    *
+    * because `(A+ΔA)⋈(B+ΔB) − A⋈B` expands to exactly those three signed
+    * legs over multisets. The maintenance invariant (what the gate and
+    * spec check): for ANY grouping of the view's columns,
+    * `old-view count + Σ sign over this delta = re-joined new-view
+    * count` — groups netting to zero vanish from the new view.
+    *
+    * Contract: `aDelta`/`bDelta` have their base side's columns plus
+    * `signCol`; a delete row must equal a live base row (one delta row
+    * per retracted occurrence — multiset semantics).
+    *
+    * Scale: every leg joins at least one DELTA-sized side (AQE
+    * broadcasts it), so refresh cost tracks the batch, never the base
+    * tables — the cross term is delta×delta. */
+  def joinDeltaSigned(aOld: DataFrame, aDelta: DataFrame, bOld: DataFrame,
+      bDelta: DataFrame, keys: Seq[String],
+      signCol: String = "sign"): DataFrame = {
+    require(aDelta.columns.contains(signCol) &&
+      bDelta.columns.contains(signCol),
+      s"deltas must carry the sign column '$signCol'")
+    val a1 = aDelta.withColumnRenamed(signCol, "_ivm_sa")
+    val b1 = bDelta.withColumnRenamed(signCol, "_ivm_sb")
+    a1.join(bOld, keys)
+      .withColumn(signCol, col("_ivm_sa")).drop("_ivm_sa")
+      .unionByName(
+        aOld.join(b1, keys)
+          .withColumn(signCol, col("_ivm_sb")).drop("_ivm_sb"))
+      .unionByName(
+        a1.join(b1, keys)
+          .withColumn(signCol, col("_ivm_sa") * col("_ivm_sb"))
+          .drop("_ivm_sa", "_ivm_sb"))
+  }
 }

