@@ -6374,6 +6374,43 @@ object Queries {
       FROM an JOIN bn USING (key)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Retraction IVM, aggregate half ([[AggOps.statsDeltaSigned]]): a
+    * per-type (cnt, exact-sum) state built from the old event base
+    * refreshes through a signed batch (~10% inserts, ~8% deletes of the
+    * base); the oracle recomputes the state from the post-delta base —
+    * incremental must equal recompute. Pairs with
+    * [[JoinOps.joinDeltaSigned]] to cover materialized join+aggregate
+    * views under deletes. */
+  private val qStatsDeltaSigned = QuerySpec(
+    "q_stats_delta_signed",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b10 = TextFunctions.portableBucket(col("event_id"), 10)
+      val b13 = TextFunctions.portableBucket(col("event_id"), 13)
+      val base = ev.filter(b10 < 9)
+      val delta = ev.filter(b10 >= 9).withColumn("sign", lit(1))
+        .unionByName(base.filter(b13 === 0).withColumn("sign", lit(-1)))
+      val state = AggOps.partialStats(base, Seq(col("event_type")),
+        col("value"))
+      AggOps.statsDeltaSigned(state, delta, Seq(col("event_type")),
+          col("value"), col("sign"))
+        .select(col("event_type"), col("cnt"),
+          col("sum_dec").cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH nb AS (SELECT event_type, value
+        FROM (SELECT *,
+            CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10 AS b10,
+            CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 13 AS b13
+          FROM events)
+        WHERE b10 >= 9 OR (b10 < 9 AND b13 <> 0))
+      SELECT event_type, CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM nb GROUP BY 1 ORDER BY 1"""))
+
   /** Mergeable HLL distinct-count state ([[AggOps.hllState]]/[[AggOps
     * .hllMerge]]/[[AggOps.hllEstimate]]): per-type distinct users, built
     * from three hash-disjoint batches and UNIONED — must land within the
@@ -9389,7 +9426,7 @@ object Queries {
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
-    qTopkNative, qJoinDelta, qJoinDeltaSigned, qTpchQ8, qTpchQ16, qTpchQ2,
-    qTpchQ11,
+    qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
+    qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)
 }

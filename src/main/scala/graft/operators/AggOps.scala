@@ -267,6 +267,41 @@ object AggOps {
       (col("sum_dec").cast("double") / col("cnt")).as("avg_v")): _*)
   }
 
+  /** Signed-delta refresh of a (cnt, sum_dec) aggregate state — the
+    * AGGREGATE half of retraction IVM ([[graft.operators.JoinOps
+    * .joinDeltaSigned]] is the join half): a delta batch carries
+    * `signCol` (+1 insert, −1 delete); per key, counts add `Σ sign`
+    * (null values contribute 0, matching `count(value)`), exact decimal
+    * sums add `Σ sign·value`, and keys whose count nets to zero LEAVE
+    * the view. The state is the (cnt, sum_dec) subset of
+    * [[partialStats]] — min/max are deliberately NOT maintained here
+    * because they are not retraction-closed (deleting the current min
+    * forces a per-key rescan), the standard IVM boundary; track them
+    * with a full [[partialStats]] re-merge or a per-key heap service.
+    *
+    * Invariant (the gate's check): refreshing incrementally equals
+    * recomputing the state from the post-delta base. Scale: the delta
+    * pre-aggregates map-side to |touched keys| rows before touching the
+    * state table — refresh cost tracks the batch. */
+  def statsDeltaSigned(state: DataFrame, delta: DataFrame,
+      keyCols: Seq[Column], valueCol: Column, signCol: Column): DataFrame = {
+    val d = delta.groupBy(keyCols: _*).agg(
+      sum(when(valueCol.isNotNull, signCol.cast("long")).otherwise(0L))
+        .as("cnt"),
+      sum(valueCol.cast(Dec) * signCol.cast(Dec)).as("sum_dec"))
+    // accept a full partialStats state too: min_v/max_v are dropped (not
+    // retraction-closed), never mistaken for keys
+    val stateCols = Set("cnt", "sum_dec", "min_v", "max_v")
+    val unioned = state.select(
+      state.columns.filterNot(stateCols).map(col) :+
+        col("cnt") :+ col("sum_dec"): _*).unionByName(d)
+    val keys = unioned.columns.filterNot(stateCols).map(col).toSeq
+    unioned.groupBy(keys: _*).agg(
+      sum(col("cnt")).as("cnt"),
+      sum(col("sum_dec")).as("sum_dec"))
+      .filter(col("cnt") =!= 0)
+  }
+
   /** Mergeable distinct-count state — the approximate companion to
     * [[partialStats]]: each batch reduces to one DataSketches HLL sketch
     * per key (a few KB regardless of input size), and sketches union

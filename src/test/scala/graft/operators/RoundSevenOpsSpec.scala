@@ -239,6 +239,39 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     assert(swapped === m)
   }
 
+  test("statsDeltaSigned: signed refresh equals recompute; zero-net keys leave") {
+    val base = Seq(("x", 1.5), ("x", 2.5), ("y", 10.0), ("z", 3.0))
+      .toDF("k", "v")
+    // deletes: both y and z retract fully (z's only row; y's only row);
+    // inserts: new x row and a fresh key w — y and z must VANISH
+    val delta = Seq(("x", 4.0, 1), ("w", 7.0, 1), ("y", 10.0, -1),
+      ("z", 3.0, -1)).toDF("k", "v", "sign")
+    val refreshed = AggOps.statsDeltaSigned(
+      AggOps.partialStats(base, Seq(col("k")), col("v")),
+      delta, Seq(col("k")), col("v"), col("sign"))
+      .select(col("k"), col("cnt"), col("sum_dec").cast("double").as("s"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val newBase = Seq(("x", 1.5), ("x", 2.5), ("x", 4.0), ("w", 7.0))
+      .toDF("k", "v")
+    val direct = AggOps.partialStats(newBase, Seq(col("k")), col("v"))
+      .select(col("k"), col("cnt"), col("sum_dec").cast("double").as("s"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(refreshed === direct,
+      "incremental refresh must equal the from-scratch state")
+    assert(!refreshed.exists(r => r._1 == "y" || r._1 == "z"),
+      "fully-retracted keys leave the view")
+    // null values: count contribution 0, sum untouched
+    val nullDelta = Seq(("x", Option.empty[Double], 1))
+      .toDF("k", "v", "sign")
+    val withNull = AggOps.statsDeltaSigned(
+      AggOps.partialStats(base, Seq(col("k")), col("v")),
+      nullDelta, Seq(col("k")), col("v"), col("sign"))
+      .filter(col("k") === "x")
+      .select(col("cnt"), col("sum_dec").cast("double"))
+      .as[(Long, Double)].head()
+    assert(withNull === ((2L, 4.0)))
+  }
+
   test("pseudonymize: deterministic, column-salted, null-preserving, re-keyable") {
     val df = Seq((1L, "alice", "alice"), (2L, "bob", null), (3L, "alice", "carol"))
       .toDF("id", "name", "referrer")
