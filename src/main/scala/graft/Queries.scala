@@ -6242,6 +6242,41 @@ object Queries {
       FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
       ORDER BY snapshot, event_type"""))
 
+  /** Lakehouse tail + IVM composition ([[graft.sources.TxLog.readDelta]]
+    * feeding [[AggOps.statsDeltaSigned]]): the table ingests two
+    * committed batches; a per-type (cnt, exact-sum) view built at v1
+    * refreshes from the (v1, v2] manifest tail — never rereading batch
+    * one — and must equal the oracle's full recompute over everything.
+    * This is the standing shape of an incremental pipeline consuming a
+    * manifest-log table. */
+  private val qTxlogIncremental = QuerySpec(
+    "q_txlog_incremental",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_inc_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 10)
+      val v1 = TxLog.commit(root,
+        Seq(TxLog.writeBatch(ev.filter(b < 7), root, "b1")))
+      val v2 = TxLog.commit(root,
+        Seq(TxLog.writeBatch(ev.filter(b >= 7), root, "b2")))
+      val state = AggOps.partialStats(TxLog.read(s, root, asOf = v1),
+        Seq(col("event_type")), col("value"))
+      val delta = TxLog.readDelta(s, root, v1, v2).get
+        .withColumn("sign", lit(1))
+      AggOps.statsDeltaSigned(state, delta, Seq(col("event_type")),
+          col("value"), col("sign"))
+        .select(col("event_type"), col("cnt"),
+          col("sum_dec").cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Native top-k-per-key ([[SortOps.topKPerKey]] → the custom
     * TopKPerKey SparkStrategy/SparkPlan pair): the 3 cheapest lineitems
     * per return flag, selected by two-phase bounded heaps instead of a
@@ -9426,6 +9461,7 @@ object Queries {
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
+    qTxlogIncremental,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

@@ -228,6 +228,49 @@ object TxLog {
     v
   }
 
+  /** Files ADDED in versions (fromVersion, toVersion] and still live at
+    * `toVersion` — the tail a downstream incremental consumer reads to
+    * refresh a materialized view (pair with
+    * [[graft.operators.JoinOps.joinDeltaSigned]] /
+    * [[graft.operators.AggOps.statsDeltaSigned]]): on an append-only
+    * table this is exactly the new data, and a file both added and
+    * removed inside the window (e.g. compacted away immediately) is
+    * correctly skipped. Compaction commits re-add EXISTING rows under a
+    * new file while removing their old files; a consumer that must stay
+    * exactly-once across compactions should therefore refresh from
+    * snapshot diffs or carry row-level signs — the standard lakehouse
+    * CDC caveat, which is why compaction and ingest usually land in
+    * separate version ranges. */
+  def addedFiles(dir: String, fromVersion: Int, toVersion: Int): Seq[String] = {
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"bad version window: ($fromVersion, $toVersion]")
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      readLogFile(dir, manifest(dir, v), s"manifest v$v").linesIterator
+        .foreach { line =>
+          line.split("\t", 2) match {
+            case Array("add", p)    => added += p
+            case Array("remove", p) => added -= p
+            case _ if line.trim.isEmpty =>
+            case other =>
+              throw new IllegalStateException(
+                s"txlog: bad action line '${other.mkString("\t")}' in v$v")
+          }
+        }
+    }
+    added.toSeq
+  }
+
+  /** Incremental read of the (fromVersion, toVersion] tail — the new
+    * rows an append-only table gained in that window, as one DataFrame
+    * ([[addedFiles]] semantics). Empty window returns None (there is no
+    * schema to conjure an empty frame from). */
+  def readDelta(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): Option[DataFrame] = {
+    val files = addedFiles(dir, fromVersion, toVersion)
+    if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+  }
+
   /** Snapshot read — all live parquet files as one DataFrame; empty
     * snapshot of a known schema reads as an empty frame of that schema
     * via the caller providing at least one committed version. */

@@ -113,6 +113,27 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("readDelta tails only the version window; compacted-away files skip") {
+    val dir = freshDir()
+    val p1 = TxLog.writeBatch(Seq(1, 2).toDF("x"), dir, "a")
+    TxLog.commit(dir, Seq(p1))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(3).toDF("x"), dir, "b")))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(4).toDF("x"), dir, "c")))
+    // tail (1, 3]: only batches b and c — batch a is never reread
+    assert(TxLog.readDelta(spark, dir, 1, 3).get
+      .as[Int].collect().sorted.toSeq === Seq(3, 4))
+    // empty window
+    assert(TxLog.readDelta(spark, dir, 3, 3).isEmpty)
+    // a file added AND removed inside the window contributes nothing
+    val d = TxLog.writeBatch(Seq(9).toDF("x"), dir, "d")
+    TxLog.commit(dir, Seq(d))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(9).toDF("x"), dir, "d_c")),
+      remove = Seq(d))
+    assert(TxLog.readDelta(spark, dir, 3, 5).get
+      .as[Int].collect().sorted.toSeq === Seq(9), "only the live re-add")
+    TxLog.destroy(dir)
+  }
+
   test("a torn or missing log refuses to serve a snapshot") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(1).toDF("x"), dir, "a")))
