@@ -6277,6 +6277,39 @@ object Queries {
       FROM events WHERE event_id IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Manifest-level data skipping ([[graft.sources.TxLog.commitWithStats]]
+    * / [[graft.sources.TxLog.readPruned]]): four value-banded batches
+    * commit with per-file column stats; a narrow range read consults the
+    * MANIFEST to skip disjoint files before touching any parquet footer
+    * — file pruning at the table-format layer, composing with (not
+    * replacing) the caller's row filter. Oracle replays the range over
+    * the raw events. */
+  private val qTxlogPruned = QuerySpec(
+    "q_txlog_pruned",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_pr_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val bands = Seq((0.0, 25.0), (25.0, 50.0), (50.0, 75.0), (75.0, 1e9))
+      bands.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val b = ev.filter(col("value") >= lo && col("value") < hi)
+        val p = TxLog.writeBatch(b, root, s"band$i")
+        TxLog.commitWithStats(root, Seq((p, TxLog.columnStats(b, "value"))))
+      }
+      val pruned = TxLog.readPruned(s, root, "value", 30.0, 45.0).get
+      pruned.filter(col("value") >= 30.0 && col("value") <= 45.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE value >= 30.0 AND value <= 45.0
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Native top-k-per-key ([[SortOps.topKPerKey]] → the custom
     * TopKPerKey SparkStrategy/SparkPlan pair): the 3 cheapest lineitems
     * per return flag, selected by two-phase bounded heaps instead of a
@@ -9461,7 +9494,7 @@ object Queries {
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
-    qTxlogIncremental,
+    qTxlogIncremental, qTxlogPruned,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

@@ -92,10 +92,14 @@ object TxLog {
     listed.map(_.getPath.getName)
   }
 
-  /** Highest committed version, 0 when the table is empty. */
+  /** Highest committed version, 0 when the table is empty. A checkpoint
+    * at V proves V existed, so fully-expired logs (manifests before a
+    * checkpoint deleted) still report — and continue committing from —
+    * the right version. */
   def latestVersion(dir: String): Int =
     listLog(dir)
-      .collect { case ManifestName(d) => d.toInt }
+      .collect { case ManifestName(d) => d.toInt
+                 case CheckpointName(d) => d.toInt }
       .foldLeft(0)(math.max)
 
   /** Highest checkpoint at or below `upTo`, if any. */
@@ -167,12 +171,14 @@ object TxLog {
   }
 
   private def replayInto(
-      live: scala.collection.mutable.LinkedHashSet[String],
+      live: scala.collection.mutable.LinkedHashMap[String, Option[String]],
       text: String, what: String): Unit =
     text.linesIterator.foreach { line =>
-      line.split("\t", 2) match {
-        case Array("add", p)    => live += p
-        case Array("remove", p) => live -= p
+      line.split("\t", 3) match {
+        case Array("add", p)        => live(p) = None
+        case Array("add", p, st)    => live(p) = Some(st)
+        case Array("remove", p)     => live.remove(p)
+        case Array("remove", p, _)  => live.remove(p)
         case _ if line.trim.isEmpty =>
         case other =>
           throw new IllegalStateException(
@@ -180,15 +186,87 @@ object TxLog {
       }
     }
 
+  /** [[commit]] with per-file MANIFEST STATS — the data-skipping half of
+    * the lakehouse claim: each added path carries an opaque stats blob
+    * (no tabs/newlines; [[columnStats]] builds the canonical
+    * `col;min;max` form) as a third tab field, and [[readPruned]]
+    * consults it to SKIP whole files before any parquet footer is
+    * touched. Old two-field manifests and stats-free adds coexist —
+    * stats-free files are never pruned (correctness over skipping). */
+  def commitWithStats(dir: String, add: Seq[(String, Option[String])],
+      remove: Seq[String] = Nil): Int = {
+    add.foreach { case (_, st) =>
+      require(st.forall(s => !s.exists(c => c == '\t' || c == '\n' || c == '\r')),
+        "stats blob must not contain tab/newline")
+    }
+    val ld = logDir(dir)
+    val fs = fsOf(ld)
+    fs.mkdirs(ld)
+    val v = latestVersion(dir) + 1
+    val target = manifest(dir, v)
+    val tmp = new Path(ld, s".v$v.tmp${System.nanoTime()}")
+    val body = (add.map {
+      case (p, Some(st)) => s"add\t$p\t$st"
+      case (p, None)     => s"add\t$p"
+    } ++ remove.map(p => s"remove\t$p")).mkString("", "\n", "\n")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!claim(fs, tmp, target))
+      throw new IllegalStateException(
+        s"txlog: lost the race for version $v of $dir — re-read and retry")
+    v
+  }
+
+  /** Canonical `col;min;max` stats blob for one numeric column of a
+    * batch (one aggregation over the batch DataFrame; doubles print with
+    * round-trip precision). None when the column is all-null. */
+  def columnStats(df: DataFrame, column: String): Option[String] = {
+    require(!column.contains(";") && !column.contains("\t"),
+      s"stats column name unsupported: $column")
+    val r = df.agg(
+      org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.col(column).cast("double")),
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(column).cast("double"))).head()
+    if (r.isNullAt(0)) None
+    else Some(s"$column;${r.getDouble(0)};${r.getDouble(1)}")
+  }
+
+  /** Snapshot read restricted to files whose manifest stats CAN satisfy
+    * `column ∈ [lo, hi]` — files with a disjoint [min, max] are skipped
+    * without opening them; files without stats (or with stats for a
+    * different column) always read. Row-level exactness remains the
+    * caller's filter — this prunes FILES, exactly like partition
+    * pruning. None when every file prunes away. */
+  def readPruned(spark: SparkSession, dir: String, column: String,
+      lo: Double, hi: Double, asOf: Int = -1): Option[DataFrame] = {
+    val kept = liveEntries(dir, asOf).filter {
+      case (_, None) => true
+      case (_, Some(st)) =>
+        st.split(";", 3) match {
+          case Array(c, mn, mx) if c == column =>
+            !(mx.toDouble < lo || mn.toDouble > hi)
+          case _ => true
+        }
+    }.map(_._1)
+    if (kept.isEmpty) None else Some(spark.read.parquet(kept: _*))
+  }
+
   /** The live file set at `asOf` (latest when <= 0): the newest
     * CHECKPOINT at or below the version seeds the set, then the manifest
     * SUFFIX replays on top — so resolution cost is O(suffix), not
     * O(versions since table creation), the property a long-lived 100 TB
     * table needs. With no usable checkpoint the full prefix replays
     * (order-preserving adds minus removes). */
-  def liveFiles(dir: String, asOf: Int = -1): Seq[String] = {
+  def liveFiles(dir: String, asOf: Int = -1): Seq[String] =
+    liveEntries(dir, asOf).map(_._1)
+
+  /** [[liveFiles]] with each file's optional manifest STATS blob (see
+    * [[commitWithStats]]) — the input to manifest-level data skipping. */
+  def liveEntries(dir: String, asOf: Int = -1): Seq[(String, Option[String])] = {
     val upTo = if (asOf <= 0) latestVersion(dir) else asOf
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[String]]
     val from = latestCheckpointVersion(dir, upTo) match {
       case Some(cv) =>
         replayInto(live,
@@ -215,11 +293,14 @@ object TxLog {
   def checkpoint(dir: String): Int = {
     val v = latestVersion(dir)
     if (v == 0) return 0
-    val files = liveFiles(dir, v)
+    val entries = liveEntries(dir, v)
     val ld = logDir(dir)
     val fs = fsOf(ld)
     val tmp = new Path(ld, s".c$v.tmp${System.nanoTime()}")
-    val body = files.map(p => s"add\t$p").mkString("", "\n", "\n")
+    val body = entries.map {
+      case (p, Some(st)) => s"add\t$p\t$st"
+      case (p, None)     => s"add\t$p"
+    }.mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!claim(fs, tmp, checkpointFile(dir, v)))
@@ -244,21 +325,13 @@ object TxLog {
   def addedFiles(dir: String, fromVersion: Int, toVersion: Int): Seq[String] = {
     require(fromVersion >= 0 && toVersion >= fromVersion,
       s"bad version window: ($fromVersion, $toVersion]")
-    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    val added = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[String]]
     ((fromVersion + 1) to toVersion).foreach { v =>
-      readLogFile(dir, manifest(dir, v), s"manifest v$v").linesIterator
-        .foreach { line =>
-          line.split("\t", 2) match {
-            case Array("add", p)    => added += p
-            case Array("remove", p) => added -= p
-            case _ if line.trim.isEmpty =>
-            case other =>
-              throw new IllegalStateException(
-                s"txlog: bad action line '${other.mkString("\t")}' in v$v")
-          }
-        }
+      replayInto(added,
+        readLogFile(dir, manifest(dir, v), s"manifest v$v"), s"v$v")
     }
-    added.toSeq
+    added.keys.toSeq
   }
 
   /** Incremental read of the (fromVersion, toVersion] tail — the new

@@ -134,6 +134,40 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("manifest stats prune whole files; stat-free files never prune") {
+    val dir = freshDir()
+    def statsBatch(name: String, vals: Seq[Int]) = {
+      val df = vals.toDF("x")
+      (TxLog.writeBatch(df, dir, name), TxLog.columnStats(df, "x"))
+    }
+    TxLog.commitWithStats(dir, Seq(statsBatch("lo", Seq(1, 5))))
+    TxLog.commitWithStats(dir, Seq(statsBatch("mid", Seq(10, 20))))
+    TxLog.commitWithStats(dir,
+      Seq((TxLog.writeBatch(Seq(100).toDF("x"), dir, "nostats"), None)))
+    // range [8,30]: lo's [1,5] is disjoint -> skipped at the MANIFEST;
+    // mid overlaps; nostats must read (no stats = never prune)
+    val pruned = TxLog.readPruned(spark, dir, "x", 8, 30).get
+    val full = TxLog.read(spark, dir)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      "at least one whole file must be skipped")
+    assert(pruned.filter(col("x").between(8, 30)).as[Int]
+      .collect().sorted.toSeq === Seq(10, 20))
+    // disjoint range prunes every stats'd file; only nostats survives
+    assert(TxLog.readPruned(spark, dir, "x", 1000, 2000).get
+      .as[Int].collect().toSeq === Seq(100))
+    // stats survive a checkpoint: expire the manifests, prune again
+    TxLog.checkpoint(dir)
+    val ld = new java.io.File(dir, "_txlog")
+    (1 to 3).foreach(v =>
+      new java.io.File(ld, f"v$v%08d.json").delete())
+    val viaCkpt = TxLog.readPruned(spark, dir, "x", 8, 30).get
+    assert(viaCkpt.filter(col("x").between(8, 30)).as[Int]
+      .collect().sorted.toSeq === Seq(10, 20))
+    assert(viaCkpt.inputFiles.length < full.inputFiles.length,
+      "checkpointed stats must still prune")
+    TxLog.destroy(dir)
+  }
+
   test("a torn or missing log refuses to serve a snapshot") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(1).toDF("x"), dir, "a")))
