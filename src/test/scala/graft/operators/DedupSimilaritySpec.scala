@@ -262,4 +262,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(0) === 2 && out(1) === 2)
     assert(out(2) === 0) // ties at cos 45 deg -> smaller label
   }
+
+  test("CC loops leave only their result checkpoint pinned") {
+    // the graph-family storage-residual contract, applied to the
+    // connected-components rounds: superseded label/edge state and the
+    // shared inputs must be released explicitly, not left to GC
+    def sweep(): Unit = spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    import spark.implicits._
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    sweep()
+    val labels = DedupOps.nearDupClusters(chain)
+    assert(labels.count() === 60)
+    assert(spark.sparkContext.getPersistentRDDs.size === 1,
+      s"nearDupClusters residual: ${spark.sparkContext.getPersistentRDDs.size}")
+    sweep()
+    val star = DedupOps.nearDupClustersStar(chain)
+    assert(star.count() === 60)
+    assert(spark.sparkContext.getPersistentRDDs.size === 1,
+      s"nearDupClustersStar residual: ${spark.sparkContext.getPersistentRDDs.size}")
+  }
 }
