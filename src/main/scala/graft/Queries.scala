@@ -6510,6 +6510,92 @@ object Queries {
         TRUE AS merge_transparent, TRUE AS hll_ok
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Streaming CDC view maintenance: a REAL streaming query consumes a
+    * SIGNED change feed — micro-batch 0 inserts the base, batch 1 more
+    * inserts, batch 2 DELETES ~8% of the base (sign −1) — and
+    * foreachBatch folds each batch into a persisted (cnt, exact-sum)
+    * state with [[AggOps.statsDeltaSigned]], reading back the previous
+    * batch's state (true sequential view maintenance, not a final
+    * merge). The finished state must equal the oracle's recompute over
+    * inserts-minus-deletes; `n_batches` pins that three micro-batches
+    * really ran. */
+  private val qStreamCdcAgg = QuerySpec(
+    "q_stream_cdc_agg",
+    (s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_cdc_src_$sfName")
+      val stateDir = s"/tmp/graft_cdc_state_$sfName"
+      val ckpt = s"/tmp/graft_cdc_ckpt_$sfName"
+      def rmTree(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.delete(q); () })
+        }
+      }
+      Seq(srcDir.toString, stateDir, ckpt).foreach(rmTree)
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b10 = TextFunctions.portableBucket(col("event_id"), 10)
+      val b13 = TextFunctions.portableBucket(col("event_id"), 13)
+      val batches = Seq(
+        ev.filter(b10 < 7).withColumn("sign", lit(1)),
+        ev.filter(b10 >= 7).withColumn("sign", lit(1)),
+        ev.filter(b10 < 7).filter(b13 === 0).withColumn("sign", lit(-1)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = s"$srcDir/_stage_$i"
+        b.select("event_type", "value", "sign")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          srcDir.resolve(s"change_$i.parquet"))
+        rmTree(tmp)
+      }
+      // empty seed state with the (keys, cnt, sum_dec) shape
+      AggOps.partialStats(ev.limit(0), Seq(col("event_type")), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/state_seed")
+      val feed = s.readStream
+        .schema("event_type STRING, value DOUBLE, sign INT")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = pinnedParts(s, 8)(feed.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            val prev = if (id == 0L) s"$stateDir/state_seed"
+              else s"$stateDir/state_${id - 1}"
+            AggOps.statsDeltaSigned(s.read.parquet(prev), batch,
+                Seq(col("event_type")), col("value"), col("sign"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$stateDir/state_$id")
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      q.awaitTermination()
+      val n = new java.io.File(stateDir).listFiles()
+        .count(_.getName.matches("state_\\d+")).toLong
+      s.read.parquet(s"$stateDir/state_${n - 1}")
+        .select(col("event_type"), lit(n).as("n_batches"), col("cnt"),
+          col("sum_dec").cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH nb AS (SELECT event_type, value
+        FROM (SELECT *,
+            CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10 AS b10,
+            CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 13 AS b13
+          FROM events)
+        WHERE b10 >= 7 OR (b10 < 7 AND b13 <> 0))
+      SELECT event_type, CAST(3 AS BIGINT) AS n_batches,
+        CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM nb GROUP BY 1 ORDER BY 1"""))
+
   /** Streaming incremental aggregation: the [[AggOps.partialStats]] /
     * [[AggOps.mergeStats]] state discipline driven by a REAL streaming
     * query — the source is split into three files, streamed one file per
@@ -9474,7 +9560,7 @@ object Queries {
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
     qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg,
     qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram,
-    qHllMerge, qStreamIncremental, qOhlc,
+    qHllMerge, qStreamIncremental, qStreamCdcAgg, qOhlc,
     qGini, qEwma, qAutocorr, qCusum, qCusumWide, qMannWhitney,
     qWeightedQuantile,
     qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
