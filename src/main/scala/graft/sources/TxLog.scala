@@ -309,6 +309,27 @@ object TxLog {
     v
   }
 
+  /** Retention: delete manifests at or before the newest checkpoint —
+    * they are redundant for latest-snapshot resolution (the checkpoint
+    * seeds it) and only serve pre-checkpoint time travel, which this
+    * call knowingly gives up for the expired range (replays into the
+    * range fail LOUDLY with the missing-manifest error, never serve a
+    * partial snapshot). Returns the number of manifests removed; no-op
+    * without a checkpoint. The checkpoint itself and newer manifests
+    * always survive. */
+  def expireManifests(dir: String): Int = {
+    val ld = logDir(dir)
+    val fs = fsOf(ld)
+    latestCheckpointVersion(dir, latestVersion(dir)) match {
+      case None => 0
+      case Some(cv) =>
+        val victims = listLog(dir)
+          .collect { case n @ ManifestName(d) if d.toInt <= cv => n }
+        victims.foreach(n => fs.delete(new Path(ld, n), false))
+        victims.length
+    }
+  }
+
   /** Files ADDED in versions (fromVersion, toVersion] and still live at
     * `toVersion` — the tail a downstream incremental consumer reads to
     * refresh a materialized view (pair with

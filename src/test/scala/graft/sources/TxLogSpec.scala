@@ -134,6 +134,25 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("expireManifests keeps the checkpoint-resolved snapshot readable") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(1).toDF("x"), dir, "a")))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(2).toDF("x"), dir, "b")))
+    assert(TxLog.expireManifests(dir) === 0, "no checkpoint -> no-op")
+    TxLog.checkpoint(dir)
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(3).toDF("x"), dir, "c")))
+    assert(TxLog.expireManifests(dir) === 2, "v1, v2 expire; v3 survives")
+    assert(TxLog.latestVersion(dir) === 3)
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 3))
+    // pre-checkpoint time travel is gone LOUDLY, not silently partial
+    intercept[IllegalStateException] { TxLog.liveFiles(dir, 1) }
+    // commits continue from the right version after expiry
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(4).toDF("x"), dir, "d")))
+    assert(TxLog.latestVersion(dir) === 4)
+    TxLog.destroy(dir)
+  }
+
   test("manifest stats prune whole files; stat-free files never prune") {
     val dir = freshDir()
     def statsBatch(name: String, vals: Seq[Int]) = {
