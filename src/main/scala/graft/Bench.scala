@@ -60,23 +60,30 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         dt
       }
-      q.name -> (if (errors.contains(q.name)) -1.0 else times.min)
+      q.name -> (if (errors.contains(q.name)) Seq(-1.0) else times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
+    // per-repeat times: the raw evidence behind every min — kept in the
+    // artifact so round-over-round ratio claims are recomputable (and so
+    // a query whose repeats swing >1.5x is visibly untrustworthy at the
+    // single-min grain; tools/bench_ratio.py reads this)
+    val reps = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(t => f"$t%.4f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v) if v.min >= 0 => v.min }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the LAST 2000 chars of stdout: the full
     // 152-query line above is head-truncated there (it survives intact in
     // BENCH_FULL.json below), so ALSO print a compact summary as the final
     // line, sized to fit the tail window whole — that's what the driver's
     // JSON parse picks up.
-    val ok = results.filter(_._2 >= 0)
+    val ok = results.collect { case (k, v) if v.min >= 0 => (k, v.min) }
     val worst = if (ok.isEmpty) ("none", 0.0) else ok.maxBy(_._2)
     val headline = Seq("q1_agg", "q_join_revenue", "q_sort_total",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters_star",

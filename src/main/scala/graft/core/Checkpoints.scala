@@ -39,4 +39,27 @@ object Checkpoints {
 
   /** Release several checkpoints (order-independent). */
   def releaseAll(ds: Dataset[_]*): Unit = ds.foreach(release)
+
+  /** Free EVERY persisted RDD reachable from `ds`'s physical lineage —
+    * for results built *on top of* a pinned checkpoint (the two-level
+    * templates in [[graft.operators.SortOps]] return a lazy map over
+    * their internally-checkpointed sort), where [[release]]'s root-only
+    * match can't see the pinned blocks.
+    *
+    * Stronger ownership contract than [[release]]: the caller asserts the
+    * WHOLE lineage is private — nothing else will ever read any persisted
+    * RDD under `ds`. Use it in chained operators right after the next
+    * stage has eagerly materialized (e.g. cusumWide releases its cumsum
+    * intermediate once groupedRunningMin has checkpointed its own input);
+    * never on a dataset sharing a cached/checkpointed ancestor. */
+  def releaseLineage(ds: Dataset[_]): Unit = {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def walk(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(rdd.id)) {
+        if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          rdd.unpersist(blocking = false)
+        rdd.dependencies.foreach(d => walk(d.rdd))
+      }
+    walk(ds.queryExecution.toRdd)
+  }
 }

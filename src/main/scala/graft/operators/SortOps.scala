@@ -20,6 +20,28 @@ object SortOps {
   def globalSort(df: DataFrame, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*)
 
+  /** Range-partition + locally sort + PIN (eager `localCheckpoint`).
+    *
+    * Every two-level template below runs TWO passes over the sorted data
+    * (a per-partition summary collected to the driver, then the
+    * offset-seeded map). Without pinning, both passes re-execute the full
+    * range shuffle + sort — 2× the dominant cost at scale — and offset
+    * alignment silently relies on re-execution reproducing an identical
+    * partitioning and row order, which a nondeterministic upstream (a
+    * `sample`, a task retry over nondeterministic input) would break.
+    * Pinning materializes the sorted data ONCE; both passes and the
+    * returned result read the same blocks, so the sort executes exactly
+    * once and alignment is guaranteed by construction, not by
+    * determinism.
+    *
+    * The returned template result stays lazy over the pinned blocks:
+    * blocks are freed by [[graft.core.Checkpoints.releaseLineage]] once
+    * the caller has materialized (chained templates do this for their
+    * inputs), or by the session-level persistent-RDD sweep between
+    * queries. */
+  private def pinnedRangeSort(df: DataFrame, order: Seq[Column]): DataFrame =
+    df.repartitionByRange(order: _*).sortWithinPartitions(order: _*).localCheckpoint()
+
   /** Global 1-based row number in total sort order, WITHOUT a single-partition
     * window: range-partition + local sort, count rows per partition, then add
     * per-partition offsets computed from the (tiny) partition-count list.
@@ -27,7 +49,7 @@ object SortOps {
     * `row_number() OVER (ORDER BY ...)` would serialize through one task.
     * Requires the sort key to be a total order (add a unique tiebreaker). */
   def globalRowNumber(df: DataFrame, order: Seq[Column], rnCol: String = "rn"): DataFrame = {
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val sorted = pinnedRangeSort(df, order)
     val spark = df.sparkSession
     val counts = sorted.rdd
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
@@ -100,7 +122,7 @@ object SortOps {
   def globalCumSum(df: DataFrame, order: Seq[Column], valueCol: Column,
       cumCol: String = "cum"): DataFrame = {
     val withV = df.withColumn("_gcs_v", coalesce(valueCol.cast("long"), lit(0L)))
-    val sorted = withV.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val sorted = pinnedRangeSort(withV, order)
     val vIdx = sorted.schema.fieldIndex("_gcs_v")
     val sums = sorted.rdd
       .mapPartitionsWithIndex { case (i, it) =>
@@ -134,8 +156,7 @@ object SortOps {
     val withV = valueCols.zip(tmpNames).foldLeft(df) { case (d, (c, n)) =>
       d.withColumn(n, coalesce(c.cast("long"), lit(0L)))
     }
-    val sorted = withV.repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
+    val sorted = pinnedRangeSort(withV, order)
     val vIdx = tmpNames.map(sorted.schema.fieldIndex)
     val sums = sorted.rdd
       .mapPartitionsWithIndex { case (i, it) =>
@@ -177,15 +198,30 @@ object SortOps {
     *
     * This is the missing primitive behind sequential per-group scans
     * (CUSUM excursions, drawdowns): with it they run intra-group
-    * parallel even when a handful of groups span the fact table. */
+    * parallel even when a handful of groups span the fact table.
+    *
+    * CONTRACT: `valueCol` must be non-null (a null has no defined place
+    * in a running minimum). Pass 1 enforces it with a named error —
+    * pre-filter or `coalesce` upstream (cusumWide does). */
   def groupedRunningMin(df: DataFrame, groupNames: Seq[String],
       order: Seq[Column], valueCol: Column, outCol: String): DataFrame = {
-    val withV = df.withColumn("_grm_v", valueCol.cast("long"))
-    val sorted = withV.repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
+    // value type: DECIMAL passes through untouched (the exact path for
+    // cross products like cusumWide's n·s_i, which overflow int64 at the
+    // fat-group scale this primitive exists for); anything else keeps the
+    // original long contract. Both surface as Comparable in the Row API.
+    val typed = df.withColumn("_grm_v", valueCol)
+    val withV = typed.schema("_grm_v").dataType match {
+      case _: org.apache.spark.sql.types.DecimalType => typed
+      case _ => df.withColumn("_grm_v", valueCol.cast("long"))
+    }
+    val sorted = pinnedRangeSort(withV, order)
     val gIdx = groupNames.map(sorted.schema.fieldIndex)
     val vIdx = sorted.schema.fieldIndex("_grm_v")
+    val vType = sorted.schema(vIdx).dataType
     def keyOf(r: Row): Seq[Any] = gIdx.map(r.get)
+    // running minima carry as Comparable; null = "no value yet" (+inf)
+    def lessThan(a: Comparable[Any], b: Comparable[Any]): Boolean =
+      b == null || a.compareTo(b) < 0
     // pass 1: (pid, firstKey, lastKey, minOfLastGroup) — the carry chain
     // below only ever consumes LAST-group minima (a group spanning
     // partitions is, by contiguity, the last group of every partition it
@@ -196,13 +232,18 @@ object SortOps {
         else {
           var firstKey: Seq[Any] = null
           var curKey: Seq[Any] = null
-          var curMin = Long.MaxValue
+          var curMin: Comparable[Any] = null
           it.foreach { r =>
             val k = keyOf(r)
             if (curKey == null) { firstKey = k; curKey = k }
-            else if (k != curKey) { curKey = k; curMin = Long.MaxValue }
-            val v = r.getLong(vIdx)
-            if (v < curMin) curMin = v
+            else if (k != curKey) { curKey = k; curMin = null }
+            // non-null contract enforced here (pass 1 sees every row first):
+            // a null has no place in a running MIN, and silently skipping or
+            // zeroing it would corrupt excursions — fail with the operator name
+            if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+              s"groupedRunningMin: null value for group $k — the value column must be non-null (pre-filter or coalesce upstream)")
+            val v = r.get(vIdx).asInstanceOf[Comparable[Any]]
+            if (lessThan(v, curMin)) curMin = v
           }
           Iterator((i, firstKey, curKey, curMin))
         }
@@ -211,31 +252,31 @@ object SortOps {
       .sortBy(_._1)
     // driver chain: seed(pid) = min over PRIOR partitions of pid's first
     // group's values (only boundary-spanning groups carry state)
-    val seeds = scala.collection.mutable.Map.empty[Int, Long]
+    val seeds = scala.collection.mutable.Map.empty[Int, Comparable[Any]]
     var carryKey: Seq[Any] = null
-    var carryMin = Long.MaxValue
+    var carryMin: Comparable[Any] = null
     summaries.foreach { case (pid, fk, lk, lmin) =>
       if (carryKey != null && fk == carryKey) seeds(pid) = carryMin
       // contiguity: lk == carryKey implies the carried group spans the
       // whole partition, so its in-partition min folds in; any other lk
       // starts a fresh carry
-      if (carryKey != null && lk == carryKey)
-        carryMin = math.min(carryMin, lmin)
-      else { carryKey = lk; carryMin = lmin }
+      if (carryKey != null && lk == carryKey) {
+        if (lessThan(lmin, carryMin)) carryMin = lmin
+      } else { carryKey = lk; carryMin = lmin }
     }
     val bc = df.sparkSession.sparkContext.broadcast(seeds.toMap)
     val schema = StructType(sorted.schema.fields :+
-      StructField(outCol, LongType, nullable = false))
+      StructField(outCol, vType, nullable = false))
     val withMin = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      val seed = bc.value.getOrElse(i, Long.MaxValue)
+      val seed = bc.value.getOrElse(i, null)
       var curKey: Seq[Any] = null
-      var curMin = Long.MaxValue
+      var curMin: Comparable[Any] = null
       it.map { r =>
         val k = keyOf(r)
         if (curKey == null) { curKey = k; curMin = seed }
-        else if (k != curKey) { curKey = k; curMin = Long.MaxValue }
-        val v = r.getLong(vIdx)
-        if (v < curMin) curMin = v
+        else if (k != curKey) { curKey = k; curMin = null }
+        val v = r.get(vIdx).asInstanceOf[Comparable[Any]]
+        if (lessThan(v, curMin)) curMin = v
         Row.fromSeq(r.toSeq :+ curMin)
       }
     }

@@ -210,9 +210,21 @@ object StatsOps {
     val ns = cum.join(gStats, gNames.toSeq)
       .withColumn("_i", col("_grn") - col("_g0") + 1L)
       .withColumn("_cum", col("_gcx") - col("_cb"))
-      .withColumn("_ns", col("_cum") * col("_n") - col("_tot") * col("_i"))
-    SortOps.groupedRunningMin(ns, gNames, order, col("_ns"), "_runmin")
-      .withColumn("_exc", col("_ns") - col("_runmin"))
+      // n·s_i = n·cum_i − tot·i carried in DECIMAL(38,0): the cross
+      // products are ~n²·x̄·1e6, which silently wraps int64 for groups
+      // well under the 10⁹-row fat-group target this formulation exists
+      // for (n~1e7 of 1e2-scale values already overflows), while the
+      // oracle sums in 128-bit — decimal keeps both sides exact.
+      // groupedRunningMin passes decimals through untouched.
+      .withColumn("_ns",
+        col("_cum").cast("decimal(19,0)") * col("_n")
+          - col("_tot").cast("decimal(19,0)") * col("_i"))
+    val rm = SortOps.groupedRunningMin(ns, gNames, order, col("_ns"), "_runmin")
+    // groupedRunningMin pinned its own sorted input EAGERLY (lineage
+    // truncated there), so cum's pinned blocks are now unreachable from
+    // the result — free them here instead of waiting for the session sweep
+    graft.core.Checkpoints.releaseLineage(cum)
+    rm.withColumn("_exc", col("_ns") - col("_runmin"))
       .groupBy(g: _*)
       .agg(max(col("_n")).as("n"), max(col("_exc")).as("_mxv"),
         min_by(col("_i"), struct((-col("_exc")).as("_ne"), col("_i")))

@@ -587,4 +587,51 @@ class ScaleSpec extends AnyFunSuite {
     assert(!wide.queryExecution.executedPlan.toString.contains("Window"),
       "cusumWide must plan windowless")
   }
+
+  test("two-level templates pin their sort: result lineage has no shuffle") {
+    // The templates run TWO passes over the range-sorted data (summary
+    // collect + offset-seeded map). Pinning (eager localCheckpoint inside
+    // pinnedRangeSort) means the sort executed exactly ONCE during the
+    // call; the proof is structural — the returned result's RDD lineage
+    // bottoms out in the checkpointed blocks, so NO ShuffleDependency is
+    // reachable and a consumer action cannot re-execute the range
+    // exchange (nor depend on nondeterministic re-partitioning for
+    // offset alignment).
+    def hasShuffleDep(rdd: org.apache.spark.rdd.RDD[_]): Boolean = {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      def walk(r: org.apache.spark.rdd.RDD[_]): Boolean =
+        seen.add(r.id) && (r.dependencies.exists {
+          case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+          case d => walk(d.rdd)
+        })
+      walk(rdd)
+    }
+    val sc = spark.sparkContext
+    val pinnedBefore = sc.getPersistentRDDs.keySet
+    val df = (1L to 5000L).map(i => (i % 3, (i * 48271L) % 997, i))
+      .toDF("g", "x", "id")
+    val templates = Seq(
+      "globalRowNumber" -> SortOps.globalRowNumber(df,
+        Seq(col("g"), col("x"), col("id")), "rn"),
+      "globalCumSum" -> SortOps.globalCumSum(df,
+        Seq(col("g"), col("x"), col("id")), col("x"), "cum"),
+      "globalCumSums" -> SortOps.globalCumSums(df,
+        Seq(col("g"), col("x"), col("id")), Seq(lit(1L), col("x")),
+        Seq("c1", "c2")),
+      "groupedRunningMin" -> SortOps.groupedRunningMin(df, Seq("g"),
+        Seq(col("g"), col("id")), col("x"), "rm"))
+    templates.foreach { case (name, out) =>
+      assert(!hasShuffleDep(out.queryExecution.toRdd),
+        s"$name: result lineage reaches a ShuffleDependency — the sort " +
+          "is not pinned and would re-execute on consumption")
+      assert(out.count() == 5000L, name)
+    }
+    // and the pinned blocks are actually released by releaseLineage
+    // (scoped to the RDDs THIS test pinned — the session is shared)
+    val added = sc.getPersistentRDDs.keySet -- pinnedBefore
+    assert(added.nonEmpty, "templates should have pinned checkpoints")
+    templates.foreach { case (_, out) => graft.core.Checkpoints.releaseLineage(out) }
+    val left = sc.getPersistentRDDs.keySet.intersect(added)
+    assert(left.isEmpty, s"releaseLineage left pinned RDDs: $left")
+  }
 }
