@@ -285,6 +285,15 @@ object AggOps {
     * state table — refresh cost tracks the batch. */
   def statsDeltaSigned(state: DataFrame, delta: DataFrame,
       keyCols: Seq[Column], valueCol: Column, signCol: Column): DataFrame = {
+    // key columns are inferred downstream as "everything not named like
+    // state" — a key that RESOLVES to a reserved state name would be
+    // silently dropped from the keys and folded as state, corrupting the
+    // refresh with no error. Fail loudly instead.
+    val reserved = Set("cnt", "sum_dec", "min_v", "max_v")
+    val collisions = delta.select(keyCols: _*).columns.filter(reserved)
+    require(collisions.isEmpty,
+      s"statsDeltaSigned: key column(s) ${collisions.mkString(", ")} collide " +
+        s"with reserved state names ${reserved.mkString("/")} — alias them first")
     val d = delta.groupBy(keyCols: _*).agg(
       sum(when(valueCol.isNotNull, signCol.cast("long")).otherwise(0L))
         .as("cnt"),

@@ -127,7 +127,18 @@ object LegacyContainers {
     * TotalOrderPartitioner shape, so a legacy consumer can
     * `getEntry`/`get` against the parts — and at 100 TB the write is one
     * range shuffle plus embarrassingly-parallel container appends.
-    * Read it back with `readMapFile(spark, s"$dir/part-r-*")`. */
+    * Read it back with `readMapFile(spark, s"$dir/part-r-*")`.
+    *
+    * Output commit protocol (the FileOutputCommitter v1 shape the
+    * reference's committers implement — reference: hadoop-mapreduce-
+    * client-core .../lib/output/FileOutputCommitter.java:42): each task
+    * ATTEMPT writes its container under `dir/_temporary/<job>/<attempt>/`,
+    * so a speculative duplicate or a retried task can never interleave
+    * with another writer on the final path; after the job succeeds the
+    * DRIVER promotes exactly one attempt per partition into
+    * `part-r-%05d` (single-threaded — no commit race) and deletes the
+    * temp tree. A failed job leaves only `_temporary`, which the
+    * `part-r-*` read glob never matches — no partial output is visible. */
   def writeMapFile(
       df: DataFrame, dir: String,
       keyClass: Class[_ <: Writable] = classOf[Text],
@@ -141,9 +152,13 @@ object LegacyContainers {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val keyCol = org.apache.spark.sql.functions.col(df.columns(0))
     val sorted = df.repartitionByRange(keyCol).sortWithinPartitions(keyCol)
-    sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+    val jobId = java.util.UUID.randomUUID().toString
+    val attempts = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
       val conf = sconf.value
-      val part = new Path(dir, f"part-r-$i%05d")
+      val ctx = org.apache.spark.TaskContext.get()
+      val attemptDir = new Path(dir,
+        s"_temporary/$jobId/attempt_${ctx.stageId()}_${i}_${ctx.taskAttemptId()}")
+      val part = new Path(attemptDir, f"part-r-$i%05d")
       val kc = keyClass.asInstanceOf[Class[_ <: WritableComparable[_]]]
       val writer =
         if (bloom)
@@ -159,9 +174,29 @@ object LegacyContainers {
           encode(keyClass, row.get(0)).asInstanceOf[WritableComparable[_]],
           encode(valueClass, row.get(1)))
       } finally writer.close()
-      Iterator.single(i)
-    }.count()
-    ()
+      Iterator.single((i, part.toString))
+    }.collect()
+    // driver-side commit: one winner per partition (a speculative or
+    // retried attempt that also finished is simply never promoted)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val outDir = new Path(dir)
+    val fs = outDir.getFileSystem(conf)
+    try {
+      attempts.groupBy(_._1).foreach { case (i, as) =>
+        val src = new Path(as.head._2)
+        val dst = new Path(outDir, f"part-r-$i%05d")
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"writeMapFile: commit rename failed: $src -> $dst")
+      }
+    } finally {
+      fs.delete(new Path(outDir, s"_temporary/$jobId"), true)
+      // remove _temporary entirely when no other concurrent job owns it
+      val tmpRoot = new Path(outDir, "_temporary")
+      if (fs.exists(tmpRoot) && fs.listStatus(tmpRoot).isEmpty)
+        fs.delete(tmpRoot, true)
+    }
   }
 
   /** TFile glob → DataFrame(key, value), keys/values decoded as UTF-8.

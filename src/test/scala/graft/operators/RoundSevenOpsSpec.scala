@@ -270,6 +270,15 @@ class RoundSevenOpsSpec extends AnyFunSuite {
       .select(col("cnt"), col("sum_dec").cast("double"))
       .as[(Long, Double)].head()
     assert(withNull === ((2L, 4.0)))
+    // a key column named like reserved state would silently be treated
+    // as state and dropped from the keys — must fail loudly instead
+    val badDelta = Seq(("x", 1.0, 1)).toDF("cnt", "v", "sign")
+    val err = intercept[IllegalArgumentException] {
+      AggOps.statsDeltaSigned(
+        AggOps.partialStats(base, Seq(col("k")), col("v")),
+        badDelta, Seq(col("cnt")), col("v"), col("sign"))
+    }
+    assert(err.getMessage.contains("reserved state names"))
   }
 
   test("pseudonymize: deterministic, column-salted, null-preserving, re-keyable") {

@@ -165,5 +165,10 @@ class LegacyContainersSpec extends AnyFunSuite {
       case Seq((_, hi), (lo, _)) => assert(hi < lo, "range-partitioned order")
       case _ =>
     }
+    // (e) commit protocol: the temp tree is gone after a successful job —
+    // attempts wrote under _temporary and the driver promoted + cleaned,
+    // so a concurrently-running reader's part-r-* glob never saw partials
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/out/_temporary")),
+      "_temporary must be cleaned up after commit")
   }
 }
