@@ -645,30 +645,52 @@ object DedupOps {
     * distinct string, one shuffle on the variant key, verify inline. */
   def editDistancePairs(df: DataFrame, strCol: Column,
       maxBucket: Int = 1000): DataFrame = {
+    // no standalone distinct on the strings: the (s, h) distinct below
+    // dedups input repeats at the same time as repeated variants — one
+    // shuffle instead of two
     val strs = df.select(strCol.cast("string").as("s"))
-      .filter(col("s").isNotNull).distinct()
-    // s itself + delete-at-i for each i (1-based): prefix ++ suffix
+      .filter(col("s").isNotNull)
+    // s itself + delete-at-i for each i (1-based): prefix ++ suffix.
+    // The variant string is near-document-length, and it only ever
+    // serves as an EQUALITY key — so it is immediately collapsed to a
+    // fixed-width 64-bit digest (`xxhash64`) and never shuffled again:
+    // every downstream exchange keys on 8 bytes instead of the raw
+    // variant (several-fold fewer shuffle bytes on long strings). A
+    // digest collision can only ADD a false candidate pair, which the
+    // exact `levenshtein` verify below removes — candidate completeness
+    // (two strings within distance 1 share a variant, hence a digest)
+    // is untouched, so the result stays EXACT.
     val variants = strs.select(col("s"),
         explode(concat(array(col("s")),
           transform(sequence(lit(1), length(col("s"))),
             i => concat(col("s").substr(lit(1), i - 1),
-              col("s").substr(i + 1, length(col("s"))))))).as("v"))
+              col("s").substr(i + 1, length(col("s"))))))).as("_v"))
+      .select(col("s"), xxhash64(col("_v")).as("h"))
       .distinct() // s can repeat a variant (delete either of "oo")
     // the variant table feeds the bucket counts AND both sides of the
     // candidate self-join; without pinning it, the explode+distinct
     // lineage re-executes per consumer (measured 12.2 s → 4.4 s at
     // sf0.1 from this one checkpoint — exchange reuse does not cover
     // the differently-filtered branches)
+    // `_bn >= 2`: a singleton bucket can only produce the (a,a) pair the
+    // a<b filter drops — pruning them BEFORE the join shrinks the pinned
+    // candidate table to just the multi-member variants (the overwhelming
+    // majority of variants are singletons)
     val kept = variants.join(
-      variants.groupBy("v").agg(count(lit(1)).as("_bn"))
-        .filter(col("_bn") <= maxBucket).select("v"), Seq("v"))
+      variants.groupBy("h").agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") >= 2 && col("_bn") <= maxBucket).select("h"),
+      Seq("h"))
       .localCheckpoint()
-    kept.select(col("v"), col("s").as("a"))
-      .join(kept.select(col("v"), col("s").as("b")), Seq("v"))
+    kept.select(col("h"), col("s").as("a"))
+      .join(kept.select(col("h"), col("s").as("b")), Seq("h"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
       .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
       .filter(col("dist") <= 1)
+      // dedup AFTER the verify: a surviving pair repeats only when it
+      // shares several variants (~2% here), so the distinct exchange
+      // moves 4x fewer rows than deduping the raw candidate set — at the
+      // price of re-verifying those few repeats, a per-row codegen'd op
+      .select("a", "b", "dist").distinct()
   }
 
   /** Canonical-document selection — the step that actually SHRINKS the

@@ -99,11 +99,20 @@ object ScaleGen {
     val nev = spark.read.parquet(s"$dest/events.parquet").count()
     println(s"[scalegen] wrote $nev events (${factor}x of $src) to $dest")
 
-    // lineitem: replica r offsets order/part/supp keys — each replica is a
-    // DISJOINT copy of the co-purchase graph (per-order item sets, and so
-    // the degree distribution, preserved verbatim), so the graph family's
-    // edge count scales exactly linearly with the factor while every
-    // per-iteration join/agg sees factor-x honest work
+    // lineitem: replica r offsets order/part/supp keys — each replica
+    // preserves the per-order item sets (and so the degree distribution)
+    // verbatim, so the graph family's edge count scales ~linearly with
+    // the factor while every per-iteration join/agg sees factor-x honest
+    // work. BRIDGES (new r9): a plain offset makes replicas DISJOINT
+    // components, so a fixed-seed BFS frontier never enters them and the
+    // deep scale point measures nothing (the r8 ×100 artifact: decade
+    // factor 1.03). Two small, disjoint row fractions keep ONE original
+    // key each: ~1% of orders keep l_suppkey (edges replica-part ↔
+    // original-supplier connect the part↔supplier bipartite graph) and
+    // ~1% keep l_partkey (replica orders containing an original part
+    // connect the same-order co-purchase graph). The other keys still
+    // offset, so bridge rows create genuinely new cross-replica edges;
+    // degree distributions shift only on the ~2% bridge rows.
     val li = graft.core.Graft.table(spark, src, "lineitem")
     val liMax = li.agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey"))
       .head()
@@ -112,10 +121,19 @@ object ScaleGen {
     val liOut = (0 until factor)
       .map { r =>
         if (r == 0) li
-        else li
-          .withColumn("l_orderkey", col("l_orderkey") + lit(r * maxOk))
-          .withColumn("l_partkey", col("l_partkey") + lit(r * maxPk))
-          .withColumn("l_suppkey", col("l_suppkey") + lit(r * maxSk))
+        else {
+          val suppBridge = col("l_orderkey") % 101 === 0
+          val partBridge = !suppBridge && col("l_orderkey") % 97 === 0
+          li
+            .withColumn("_sb", suppBridge)
+            .withColumn("_pb", partBridge)
+            .withColumn("l_orderkey", col("l_orderkey") + lit(r * maxOk))
+            .withColumn("l_partkey", when(col("_pb"), col("l_partkey"))
+              .otherwise(col("l_partkey") + lit(r * maxPk)))
+            .withColumn("l_suppkey", when(col("_sb"), col("l_suppkey"))
+              .otherwise(col("l_suppkey") + lit(r * maxSk)))
+            .drop("_sb", "_pb")
+        }
       }
       .reduce(_ unionByName _)
     liOut.write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
