@@ -6277,6 +6277,53 @@ object Queries {
       FROM events WHERE event_id IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Exactly-once incremental refresh ACROSS COMPACTION
+    * ([[graft.sources.TxLog.readChanges]] feeding
+    * [[AggOps.statsDeltaSigned]]) — the CDC caveat r8 documented, now a
+    * working path: a view built at v1 refreshes through a window
+    * (v1, v3] that contains BOTH an ingest commit (v2) and a compaction
+    * commit (v3 rewrites v1's and v2's batches into one file). The
+    * snapshot-diff signed feed (+1 rows of the compacted file, −1 rows
+    * of the replaced v1 batch) cancels the rewritten rows key for key,
+    * so the refreshed state equals the oracle's from-scratch recompute —
+    * refreshing via the add-only tail here would double-count every v1
+    * row. Multi-writer path: all three commits land through
+    * [[graft.sources.TxLog.commitWithRetry]]. */
+  private val qTxlogCompactDelta = QuerySpec(
+    "q_txlog_compact_delta",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_cd_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 10)
+      val v1 = TxLog.commitWithRetry(root,
+        Seq(TxLog.writeBatch(ev.filter(b < 6), root, "b1")))
+      val state = AggOps.partialStats(TxLog.read(s, root, asOf = v1),
+        Seq(col("event_type")), col("value"))
+        .select(col("event_type"), col("cnt"), col("sum_dec"))
+        .localCheckpoint() // view state persists BEFORE later commits land
+      TxLog.commitWithRetry(root,
+        Seq(TxLog.writeBatch(ev.filter(b >= 6), root, "b2")))
+      // compaction inside the refresh window: rewrite EVERYTHING into one
+      // file and retire both ingest batches
+      val compacted = TxLog.read(s, root).coalesce(1)
+      val v3 = TxLog.commitWithRetry(root,
+        Seq(TxLog.writeBatch(compacted, root, "b_all_c")),
+        remove = Seq(s"$root/data/b1", s"$root/data/b2"))
+      val changes = TxLog.readChanges(s, root, v1, v3).get
+      AggOps.statsDeltaSigned(state, changes, Seq(col("event_type")),
+          col("value"), col("sign"))
+        .select(col("event_type"), col("cnt"),
+          col("sum_dec").cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Manifest-level data skipping ([[graft.sources.TxLog.commitWithStats]]
     * / [[graft.sources.TxLog.readPruned]]): four value-banded batches
     * commit with per-file column stats; a narrow range read consults the
@@ -9580,7 +9627,7 @@ object Queries {
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
-    qTxlogIncremental, qTxlogPruned,
+    qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

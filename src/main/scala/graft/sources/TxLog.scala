@@ -154,6 +154,35 @@ object TxLog {
     v
   }
 
+  /** [[commit]] under optimistic-concurrency retry: on a lost version
+    * race, re-reads the log and tries the NEXT version, up to
+    * `maxAttempts` total claims, with a small linear backoff so two
+    * bursty writers interleave instead of thrashing. Any other failure
+    * (missing manifest, I/O error) propagates immediately — retry is
+    * only ever the answer to "someone else took my version number".
+    * This is the helper every multi-writer caller was hand-rolling;
+    * single-writer paths can keep calling [[commit]] directly. */
+  def commitWithRetry(dir: String, add: Seq[String],
+      remove: Seq[String] = Nil, maxAttempts: Int = 16): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      try out = commit(dir, add, remove)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("lost the race") =>
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"txlog: still losing the version race after $maxAttempts " +
+                s"attempts on $dir — writer contention needs backpressure", e)
+          Thread.sleep(math.min(5L * attempt, 100L))
+      }
+    }
+    out
+  }
+
   private def readLogFile(dir: String, p: Path, what: String): String = {
     val fs = fsOf(p)
     try {
@@ -339,10 +368,11 @@ object TxLog {
     * removed inside the window (e.g. compacted away immediately) is
     * correctly skipped. Compaction commits re-add EXISTING rows under a
     * new file while removing their old files; a consumer that must stay
-    * exactly-once across compactions should therefore refresh from
-    * snapshot diffs or carry row-level signs — the standard lakehouse
-    * CDC caveat, which is why compaction and ingest usually land in
-    * separate version ranges. */
+    * exactly-once across compactions should refresh through
+    * [[readChanges]] (the row-signed snapshot-diff feed, whose +1/−1
+    * rows cancel across a compaction) instead of this add-only tail —
+    * the standard lakehouse CDC caveat, now closed rather than merely
+    * documented. */
   def addedFiles(dir: String, fromVersion: Int, toVersion: Int): Seq[String] = {
     require(fromVersion >= 0 && toVersion >= fromVersion,
       s"bad version window: ($fromVersion, $toVersion]")
@@ -363,6 +393,55 @@ object TxLog {
       toVersion: Int): Option[DataFrame] = {
     val files = addedFiles(dir, fromVersion, toVersion)
     if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+  }
+
+  /** SNAPSHOT-DIFF change feed for (fromVersion, toVersion] — the
+    * compaction-proof alternative to [[addedFiles]]: files live at `to`
+    * but not at `from` (additions) and files live at `from` but not at
+    * `to` (removals). Because it diffs two resolved snapshots instead of
+    * replaying the manifest window, a file that was added AND removed
+    * inside the window (a transient batch compacted away) appears in
+    * neither list, and a compaction's rewritten file shows up paired
+    * with the removal of its inputs — exactly the information a signed
+    * row feed needs to stay exactly-once. `fromVersion = 0` diffs
+    * against the empty table. Cost: two checkpoint-seeded snapshot
+    * resolutions, O(log suffix) each. */
+  def changedFiles(dir: String, fromVersion: Int,
+      toVersion: Int): (Seq[String], Seq[String]) = {
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"bad version window: ($fromVersion, $toVersion]")
+    val before =
+      if (fromVersion == 0) Set.empty[String]
+      else liveFiles(dir, fromVersion).toSet
+    val after = liveFiles(dir, toVersion).toSet
+    ((after -- before).toSeq.sorted, (before -- after).toSeq.sorted)
+  }
+
+  /** ROW-SIGNED change feed for (fromVersion, toVersion] — closes the
+    * CDC caveat documented on [[addedFiles]]: rows of snapshot-diff
+    * additions carry `signCol = +1`, rows of snapshot-diff removals
+    * carry `-1`, so folding the feed through the signed-delta IVM
+    * consumers ([[graft.operators.AggOps.statsDeltaSigned]],
+    * [[graft.operators.JoinOps.joinDeltaSigned]]) stays EXACTLY-ONCE
+    * even when a compaction commit lands inside the refresh window: the
+    * compacted file's +1 rows cancel the removed inputs' −1 rows key
+    * for key, leaving precisely the window's genuine inserts. On an
+    * append-only window this degenerates to [[readDelta]] with a +1
+    * column. None when the window changed nothing. */
+  def readChanges(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int, signCol: String = "sign"): Option[DataFrame] = {
+    val (added, removed) = changedFiles(dir, fromVersion, toVersion)
+    val sign = org.apache.spark.sql.functions.lit _
+    val plus =
+      if (added.isEmpty) None
+      else Some(spark.read.parquet(added: _*).withColumn(signCol, sign(1)))
+    val minus =
+      if (removed.isEmpty) None
+      else Some(spark.read.parquet(removed: _*).withColumn(signCol, sign(-1)))
+    (plus, minus) match {
+      case (Some(p), Some(m)) => Some(p.unionByName(m))
+      case (p, m)             => p.orElse(m)
+    }
   }
 
   /** Snapshot read — all live parquet files as one DataFrame; empty

@@ -201,4 +201,66 @@ class TxLogSpec extends AnyFunSuite {
     intercept[IllegalStateException] { TxLog.liveFiles(dir) }
     TxLog.destroy(dir)
   }
+
+  test("two racing writers: every version has exactly one winner, no lost manifests") {
+    val dir = freshDir()
+    val n = 12
+    // pre-write all data files so the race is purely over the LOG claim
+    val paths = (0 until 2 * n).map { i =>
+      i -> TxLog.writeBatch(Seq(i).toDF("x"), dir, s"b$i")
+    }.toMap
+    // boxed types on purpose: put/putIfAbsent signal "was absent" with
+    // null, which primitive Int would silently unbox to 0 (a real id)
+    val won =
+      new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = (0 until 2).map { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          (0 until n).foreach { i =>
+            val id = w * n + i
+            val v = TxLog.commitWithRetry(dir, Seq(paths(id)),
+              maxAttempts = 200)
+            val prev = won.putIfAbsent(Int.box(v), Int.box(id))
+            assert(prev eq null,
+              s"version $v claimed twice: $prev and $id")
+          }
+      })
+    }
+    futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // exactly one winner per version, a contiguous chain of 2n versions
+    assert(won.size === 2 * n, s"expected ${2 * n} versions, got ${won.size}")
+    assert((1 to 2 * n).forall(won.containsKey), s"version hole: $won")
+    assert(TxLog.latestVersion(dir) === 2 * n)
+    // no lost manifests: the final snapshot holds EVERY writer's batch
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq ===
+      (0 until 2 * n).toSeq, "a commit that reported success must be visible")
+    TxLog.destroy(dir)
+  }
+
+  test("readChanges: signed snapshot-diff feed cancels a compaction inside the window") {
+    val dir = freshDir()
+    val v1 = TxLog.commit(dir,
+      Seq(TxLog.writeBatch(Seq(1, 2).toDF("x"), dir, "b1")))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(3).toDF("x"), dir, "b2")))
+    // compaction: everything into one file, both batches retired
+    val all = TxLog.read(spark, dir).coalesce(1)
+    val v3 = TxLog.commit(dir,
+      Seq(TxLog.writeBatch(all, dir, "c")),
+      remove = Seq(s"$dir/data/b1", s"$dir/data/b2"))
+    val ch = TxLog.readChanges(spark, dir, v1, v3).get
+      .groupBy("x").agg(sum(col("sign")).as("net"))
+      .as[(Int, Long)].collect().toMap
+    // rows rewritten by the compaction net to zero; the window's genuine
+    // insert (3, from b2) nets to +1
+    assert(ch === Map(1 -> 0L, 2 -> 0L, 3 -> 1L))
+    // append-only window degenerates to +1 rows only
+    val app = TxLog.readChanges(spark, dir, 0, v1).get
+      .select("x", "sign").as[(Int, Int)].collect().toSet
+    assert(app === Set((1, 1), (2, 1)))
+    // empty window -> None
+    assert(TxLog.readChanges(spark, dir, v3, v3).isEmpty)
+    TxLog.destroy(dir)
+  }
 }
