@@ -47,15 +47,18 @@ object CorpusOps {
   /** Per-group cap — "at most k documents per domain", the anti-oversampling
     * staple for crawl-heavy corpora. Which k survive is deterministic (hash
     * order, not ingest order), so the kept set is stable across runs and
-    * engines. One shuffle on the group key; groups larger than k never
-    * materialize more than their run of the window. */
+    * engines. Runs on the engine's NATIVE top-k-per-key operator
+    * ([[SortOps.topKPerKey]]): per-partition bounded heaps cap each
+    * group map-side, so only `partitions × groups × k` candidates cross
+    * the exchange — the old per-group `row_number` window shuffled and
+    * sorted every row of the over-cap mega-domains this op exists to
+    * tame. */
   def capPerGroup(df: DataFrame, groupCol: Column, idCol: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(corpusOrder(idCol): _*)
-    df.withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") <= k)
-      .drop("_rank")
+    // (md5(id), id) ascending = the portable hash order; the struct's
+    // lexicographic ordering matches the old window's multi-column sort
+    SortOps.topKPerKey(df, Seq(groupCol),
+      org.apache.spark.sql.functions.struct(corpusOrder(idCol): _*), k)
   }
 
   /** Deterministic training-shard export: shard = portable md5 bucket mod

@@ -201,10 +201,13 @@ object MapOps {
     * Emits `(token, df_docs, doc_id, tf, first_pos)`.
     *
     * Scale: tokenize-explode → (token, doc) hash agg (map-side partials
-    * absorb within-doc repeats), then a token-partitioned window for the
-    * cap — the window sorts each token's posting list, bounded in
-    * practice by the cap's spill profile, never by a cross-token
-    * single partition. */
+    * absorb within-doc repeats), then the cap through the engine's
+    * NATIVE top-k-per-key operator ([[SortOps.topKPerKey]]): per-
+    * partition bounded heaps mean only `partitions × tokens ×
+    * maxPostings` candidate postings reach the exchange, where the old
+    * token-partitioned `row_number` window shuffled and sorted EVERY
+    * posting — on a stopword-dense 100 TB corpus that is the difference
+    * between a cap and a straggler. */
   def invertedIndex(df: DataFrame, idCol: Column, textCol: Column,
       maxPostings: Int): DataFrame = {
     require(maxPostings >= 1, s"maxPostings must be >= 1: $maxPostings")
@@ -217,11 +220,9 @@ object MapOps {
       .agg(count(lit(1)).as("tf"), min(col("p")).as("first_pos"))
     val dfreq = postings.groupBy("token")
       .agg(count(lit(1)).as("df_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("token")).orderBy(col("doc_id"))
-    postings
-      .withColumn("_rnk", row_number().over(w))
-      .filter(col("_rnk") <= maxPostings)
+    // ascending doc_id is a total order per token (the groupBy grain)
+    SortOps.topKPerKey(postings, Seq(col("token")), col("doc_id"),
+        maxPostings)
       .join(dfreq, Seq("token"))
       .select(col("token"), col("df_docs"), col("doc_id"), col("tf"),
         col("first_pos"))

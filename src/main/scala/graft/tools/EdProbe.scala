@@ -2,23 +2,32 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Scratch probe (r9): gini fat-group scale point on lineitem (3 groups). */
+/** Scratch probe (r9): window vs native top-k for capPerGroup/invertedIndex. */
 object EdProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Graft.session("probe")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = graft.core.Graft.table(spark, dir, "documents")
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    for (dir <- Seq("/root/testdata/sf0.1", "target/scale10")) {
-      val li = graft.core.Graft.table(spark, dir, "lineitem")
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        graft.operators.StatsOps.gini(li, Seq(col("l_returnflag")),
-          col("l_extendedprice")).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        dt
+    def time(label: String)(f: => Unit): Unit = {
+      val ts = (1 to 4).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      println(f"[probe] gini $dir min=${times.min}%.2f all=${times.map(t => f"$t%.2f").mkString(",")}")
+      println(f"[probe] $label min=${ts.min}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
+    val ord = Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+    time("cap-native") {
+      graft.operators.SortOps.topKPerKey(docs, Seq(col("source")),
+        struct(ord: _*), 10).write.format("noop").mode("overwrite").save()
+    }
+    time("cap-window") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(ord: _*)
+      docs.withColumn("_rank", row_number().over(w))
+        .filter(col("_rank") <= 10).drop("_rank")
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(s"[probe] domains=${docs.select("source").distinct().count()} docs=${docs.count()}")
     spark.stop()
   }
 }

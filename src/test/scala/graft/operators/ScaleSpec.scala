@@ -588,6 +588,22 @@ class ScaleSpec extends AnyFunSuite {
       "cusumWide must plan windowless")
   }
 
+  test("invertedIndex and capPerGroup run on the native top-k operator, not a window") {
+    val docs = (1 to 500)
+      .map(i => (i.toLong, s"d${i % 17}", s"tok${i % 7} tok${i % 11} common"))
+      .toDF("id", "domain", "text")
+    val inv = MapOps.invertedIndex(docs, col("id"), col("text"), 3)
+    val cap = CorpusOps.capPerGroup(docs, col("domain"), col("id"), 5)
+    for ((name, q) <- Seq("invertedIndex" -> inv, "capPerGroup" -> cap)) {
+      assert(q.collect().nonEmpty, name)
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        s"$name: per-key window crept back:\n$p")
+      assert(p.contains("TopKPerKey"),
+        s"$name must plan through the native TopKPerKey operator:\n$p")
+    }
+  }
+
   test("two-level templates pin their sort: result lineage has no shuffle") {
     // The templates run TWO passes over the range-sorted data (summary
     // collect + offset-seeded map). Pinning (eager localCheckpoint inside
