@@ -34,9 +34,6 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = specs.map { q =>
-      // drain the previous query's garbage so its collection pause doesn't
-      // land inside this query's timing window (JMH-style isolation)
-      System.gc()
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces evaluation of EVERY output column (count() would
@@ -55,9 +52,16 @@ object Bench {
         // so without this they linger until ContextCleaner + GC — across a
         // 300-query session they accumulate and inflate later queries'
         // times 2-3× vs solo runs (r7 measurement). Safe: the result was
-        // fully consumed by the noop sink above.
+        // fully consumed by the noop sink above. blocking=true: a non-blocking
+        // sweep lets freed-in-name blocks still occupy storage memory when the
+        // NEXT repeat starts allocating — the r9 per-repeat data showed the
+        // checkpoint-heavy dedup family climbing monotonically (4.4→21→33 s)
+        // under exactly that overlap; the wait is outside the timed window.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
+        // drain the garbage this repeat produced so its collection pause
+        // can't land inside the NEXT repeat's timing window
+        System.gc()
         dt
       }
       q.name -> (if (errors.contains(q.name)) Seq(-1.0) else times)
@@ -68,8 +72,13 @@ object Bench {
     // artifact so round-over-round ratio claims are recomputable (and so
     // a query whose repeats swing >1.5x is visibly untrustworthy at the
     // single-min grain; tools/bench_ratio.py reads this)
+    // Locale.ROOT: the f-interpolator uses the JVM default locale — under a
+    // comma-decimal locale it would emit [1,2345], silently corrupting the
+    // JSON that tools/bench_ratio.py parses (ADVICE r9)
+    def num(t: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(t))
     val reps = results.map { case (k, v) =>
-      "\"" + k + "\":[" + v.map(t => f"$t%.4f").mkString(",") + "]"
+      "\"" + k + "\":[" + v.map(t => num(t, 4)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -89,9 +98,9 @@ object Bench {
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters_star",
       "q_ann_cosine", "q_ann_ivf", "q_pack_sequences", "q_tera_validate")
     val hq = ok.filter(r => headline.contains(r._1))
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val summary =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"worst":{"${worst._1}":${worst._2}%.2f},"queries":$hq,"sf":"$sfDir","full_map":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"worst":{"${worst._1}":${num(worst._2, 2)}},"queries":$hq,"sf":"$sfDir","full_map":"BENCH_FULL.json"}"""
     println(summary)
     // persist the full line as a repo artifact so every round's timings are
     // diffable query by query (default path is cwd-relative — ADVICE r5).

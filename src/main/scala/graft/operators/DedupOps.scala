@@ -659,7 +659,13 @@ object DedupOps {
     // digest collision can only ADD a false candidate pair, which the
     // exact `levenshtein` verify below removes — candidate completeness
     // (two strings within distance 1 share a variant, hence a digest)
-    // is untouched, so the result stays EXACT.
+    // is untouched, so the result stays EXACT modulo one caveat: bucket
+    // counts are per DIGEST, so two distinct variants colliding merges
+    // their counts, and a merged count crossing `maxBucket` would drop a
+    // small bucket's genuine pairs. That needs a 64-bit collision to land
+    // on a near-cap bucket (P ≈ n²/2⁶⁴ per bucket — astronomically
+    // unlikely at any real corpus size) and is the same failure class as
+    // the cap itself, which is already approximate by contract.
     val variants = strs.select(col("s"),
         explode(concat(array(col("s")),
           transform(sequence(lit(1), length(col("s"))),

@@ -573,9 +573,13 @@ object GraphOps {
     * triangleCounts; both shuffle on the node key, partials map-side. */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
     // shared canonical edge set: the degree branch and the triangle
-    // pipeline deduplicate through ReuseExchange (measured: an explicit
-    // localCheckpoint here is NET NEGATIVE — 6.2 s → 7.6 s at sf0.1 —
-    // the eager materialization costs more than the reuse saves)
+    // pipeline deduplicate through ReuseExchange. Measured twice: an
+    // explicit localCheckpoint here was NET NEGATIVE at r6 (6.2 → 7.6 s
+    // at sf0.1) and a WASH at r10 re-measurement under the fixed bench
+    // hygiene (pinned min 6.34 s vs unpinned 6.41 s, REPEAT=5 solo) —
+    // unpinned stays: same speed, and library callers get no pinned
+    // blocks to manage. (The r9 12.2 s regression was suite memory
+    // pressure from non-blocking inter-repeat sweeps, not this plan.)
     val und = canonicalUndirected(edges)
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("node"))

@@ -38,9 +38,28 @@ object SortOps {
     * blocks are freed by [[graft.core.Checkpoints.releaseLineage]] once
     * the caller has materialized (chained templates do this for their
     * inputs), or by the session-level persistent-RDD sweep between
-    * queries. */
-  private def pinnedRangeSort(df: DataFrame, order: Seq[Column]): DataFrame =
-    df.repartitionByRange(order: _*).sortWithinPartitions(order: _*).localCheckpoint()
+    * queries.
+    *
+    * Fault-tolerance tradeoff (and the `spark.graft.pinnedSort` escape
+    * hatch): `localCheckpoint` stores blocks on the EXECUTORS
+    * (MEMORY_AND_DISK) and severs lineage, so losing an executor mid-query
+    * fails the job instead of recomputing, and library callers without a
+    * per-query sweep accumulate a pinned copy per template call until they
+    * release it. Deployments that prefer recompute-on-failure can set
+    * `spark.graft.pinnedSort=false` in the session conf to fall back to an
+    * unpinned sort — same plan minus the checkpoint — accepting the r8
+    * caveats pinning exists to remove: the range shuffle + sort execute
+    * once per pass (2×), and offset alignment between the passes then
+    * RELIES on re-execution reproducing an identical partitioning and row
+    * order, which is only sound for deterministic upstreams (no `sample`,
+    * no nondeterministic source behind a task retry). */
+  private def pinnedRangeSort(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val sorted =
+      df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val pin = df.sparkSession.conf
+      .getOption("spark.graft.pinnedSort").forall(_.toBoolean)
+    if (pin) sorted.localCheckpoint() else sorted
+  }
 
   /** Global 1-based row number in total sort order, WITHOUT a single-partition
     * window: range-partition + local sort, count rows per partition, then add

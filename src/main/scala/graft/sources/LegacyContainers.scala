@@ -137,8 +137,10 @@ object LegacyContainers {
     * with another writer on the final path; after the job succeeds the
     * DRIVER promotes exactly one attempt per partition into
     * `part-r-%05d` (single-threaded — no commit race) and deletes the
-    * temp tree. A failed job leaves only `_temporary`, which the
-    * `part-r-*` read glob never matches — no partial output is visible. */
+    * temp tree. A failed job's attempt tree is deleted on the way out
+    * (the job run and the commit loop share one cleanup `finally`), so
+    * neither a crash mid-job nor mid-commit leaves partial output visible
+    * to the `part-r-*` read glob or litters the output dir. */
   def writeMapFile(
       df: DataFrame, dir: String,
       keyClass: Class[_ <: Writable] = classOf[Text],
@@ -153,35 +155,38 @@ object LegacyContainers {
     val keyCol = org.apache.spark.sql.functions.col(df.columns(0))
     val sorted = df.repartitionByRange(keyCol).sortWithinPartitions(keyCol)
     val jobId = java.util.UUID.randomUUID().toString
-    val attempts = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      val conf = sconf.value
-      val ctx = org.apache.spark.TaskContext.get()
-      val attemptDir = new Path(dir,
-        s"_temporary/$jobId/attempt_${ctx.stageId()}_${i}_${ctx.taskAttemptId()}")
-      val part = new Path(attemptDir, f"part-r-$i%05d")
-      val kc = keyClass.asInstanceOf[Class[_ <: WritableComparable[_]]]
-      val writer =
-        if (bloom)
-          new BloomMapFile.Writer(conf, part,
-            MapFile.Writer.keyClass(kc),
-            SequenceFile.Writer.valueClass(valueClass))
-        else
-          new MapFile.Writer(conf, part,
-            MapFile.Writer.keyClass(kc),
-            SequenceFile.Writer.valueClass(valueClass))
-      try it.foreach { row =>
-        writer.append(
-          encode(keyClass, row.get(0)).asInstanceOf[WritableComparable[_]],
-          encode(valueClass, row.get(1)))
-      } finally writer.close()
-      Iterator.single((i, part.toString))
-    }.collect()
-    // driver-side commit: one winner per partition (a speculative or
-    // retried attempt that also finished is simply never promoted)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val outDir = new Path(dir)
     val fs = outDir.getFileSystem(conf)
+    // the job run AND the commit loop share this try: a job that throws
+    // (task failure exhausting retries) must not leak its attempt tree
+    // under _temporary/<jobId> any more than a failed commit would
     try {
+      val attempts = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+        val conf = sconf.value
+        val ctx = org.apache.spark.TaskContext.get()
+        val attemptDir = new Path(dir,
+          s"_temporary/$jobId/attempt_${ctx.stageId()}_${i}_${ctx.taskAttemptId()}")
+        val part = new Path(attemptDir, f"part-r-$i%05d")
+        val kc = keyClass.asInstanceOf[Class[_ <: WritableComparable[_]]]
+        val writer =
+          if (bloom)
+            new BloomMapFile.Writer(conf, part,
+              MapFile.Writer.keyClass(kc),
+              SequenceFile.Writer.valueClass(valueClass))
+          else
+            new MapFile.Writer(conf, part,
+              MapFile.Writer.keyClass(kc),
+              SequenceFile.Writer.valueClass(valueClass))
+        try it.foreach { row =>
+          writer.append(
+            encode(keyClass, row.get(0)).asInstanceOf[WritableComparable[_]],
+            encode(valueClass, row.get(1)))
+        } finally writer.close()
+        Iterator.single((i, part.toString))
+      }.collect()
+      // driver-side commit: one winner per partition (a speculative or
+      // retried attempt that also finished is simply never promoted)
       attempts.groupBy(_._1).foreach { case (i, as) =>
         val src = new Path(as.head._2)
         val dst = new Path(outDir, f"part-r-$i%05d")
