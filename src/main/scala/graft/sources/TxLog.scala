@@ -45,11 +45,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - **HDFS-class stores**: `FileContext.rename(tmp, target)` without
   *    the OVERWRITE option — atomic no-replace on HDFS (the public
   *    Delta-Lake HDFSLogStore discipline).
-  *  - **Object stores without atomic no-replace rename** (S3-style): the
-  *    claim is NOT atomic through this code path alone; such stores need
-  *    an external coordination service or a conditional-put API, exactly
-  *    as every manifest-log format documents. The log layout itself is
-  *    unchanged — only the claim primitive needs swapping.
+  *  - **Object stores without atomic no-replace rename** (S3-style):
+  *    set `graft.txlog.claim=conditional-create` in the Hadoop conf to
+  *    route the claim through the store's atomic put-if-absent
+  *    ([[TxLog.ConditionalPut]] — S3 `If-None-Match`, GCS generation-0
+  *    preconditions), or name a custom [[TxLog.ClaimStore]] class. The
+  *    claim is the ONE pluggable point; the log layout is unchanged
+  *    (the public precedent: Delta Lake's LogStore abstraction).
   *
   * All I/O goes through the Hadoop `FileSystem` API resolved from the
   * active session's configuration, so the table works on any registered
@@ -109,30 +111,107 @@ object TxLog {
       .filter(_ <= upTo)
       .reduceOption(math.max)
 
-  /** Atomic create-if-absent promotion of `tmp` to `target`; false when
-    * another writer holds the target (see the claim-primitive table in
-    * the class doc). */
-  private def claim(fs: FileSystem, tmp: Path, target: Path): Boolean =
-    fs match {
-      case _: LocalFileSystem | _: RawLocalFileSystem =>
-        val t = new java.io.File(tmp.toUri.getPath)
-        val d = new java.io.File(target.toUri.getPath)
-        val won =
-          try { java.nio.file.Files.createLink(d.toPath, t.toPath); true }
-          catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        fs.delete(tmp, false)
-        won
-      case _ =>
+  /** The ONE store-specific operation in the whole log protocol: promote
+    * `tmp` to `target` iff `target` does not exist, atomically; `tmp` is
+    * consumed either way; returns whether this writer won. Everything
+    * else in TxLog is plain reads/writes of immutable files, so porting
+    * the table format to a new storage system means implementing exactly
+    * this trait (the public precedent is Delta Lake's LogStore
+    * abstraction). Select an implementation per deployment via the
+    * Hadoop conf key `graft.txlog.claim`:
+    *
+    *  - `"scheme"` (default) — [[TxLog.SchemeClaim]]: link(2) on local
+    *    filesystems, FileContext no-replace rename elsewhere (HDFS-class).
+    *  - `"conditional-create"` — [[TxLog.ConditionalCreateClaim]]: for
+    *    S3-class object stores with NEITHER primitive; requires the
+    *    store's FileSystem to implement [[ConditionalPut]] (an atomic
+    *    put-if-absent of a whole object — S3 `If-None-Match: *`, GCS
+    *    `ifGenerationMatch(0)`, ABFS conditional create).
+    *  - any other value — a fully-qualified [[ClaimStore]] class name,
+    *    instantiated via its no-arg constructor. */
+  trait ClaimStore {
+    def claim(fs: FileSystem, tmp: Path, target: Path): Boolean
+  }
+
+  /** Whole-object atomic put-if-absent — the conditional-put capability
+    * an object-store FileSystem exposes for [[ConditionalCreateClaim]].
+    * MUST be atomic (no observer may ever read a partial object) and
+    * MUST fail (return false) when `target` already exists. */
+  trait ConditionalPut {
+    def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean
+  }
+
+  /** Default claim: scheme-dispatched to the strongest native primitive
+    * (see the claim-primitive table in the class doc). */
+  object SchemeClaim extends ClaimStore {
+    def claim(fs: FileSystem, tmp: Path, target: Path): Boolean =
+      fs match {
+        case _: LocalFileSystem | _: RawLocalFileSystem =>
+          val t = new java.io.File(tmp.toUri.getPath)
+          val d = new java.io.File(target.toUri.getPath)
+          val won =
+            try { java.nio.file.Files.createLink(d.toPath, t.toPath); true }
+            catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          fs.delete(tmp, false)
+          won
+        case _ =>
+          try {
+            FileContext.getFileContext(target.toUri, conf())
+              .rename(tmp, target)
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              fs.delete(tmp, false); false
+            case _: java.nio.file.FileAlreadyExistsException =>
+              fs.delete(tmp, false); false
+          }
+      }
+  }
+
+  /** Claim for stores with NO atomic rename and no hard links (S3-class):
+    * reads the already-written tmp bytes back and hands them to the
+    * store's [[ConditionalPut]] as one atomic put-if-absent. Manifests
+    * are tiny (file PATHS, not data), so the extra read-back is noise.
+    * Refuses loudly when the FileSystem lacks the capability — silently
+    * falling back to a replace-happy rename would let two writers both
+    * "win" a version and lose one manifest. */
+  object ConditionalCreateClaim extends ClaimStore {
+    def claim(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+      val bytes =
         try {
-          FileContext.getFileContext(target.toUri, conf()).rename(tmp, target)
-          true
+          val in = fs.open(tmp)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+            buf.toByteArray
+          } finally in.close()
         } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            fs.delete(tmp, false); false
-          case _: java.nio.file.FileAlreadyExistsException =>
-            fs.delete(tmp, false); false
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"txlog: tmp manifest vanished before claim: $tmp", e)
         }
+      val won = fs match {
+        case cp: ConditionalPut => cp.putIfAbsent(target, bytes)
+        case _ => throw new UnsupportedOperationException(
+          s"txlog: claim=conditional-create but ${fs.getClass.getName} " +
+            "does not implement TxLog.ConditionalPut — this store cannot " +
+            "host a multi-writer txlog through this claim")
+      }
+      fs.delete(tmp, false)
+      won
     }
+  }
+
+  private def claimStore(): ClaimStore =
+    conf().get("graft.txlog.claim", "scheme") match {
+      case "scheme"             => SchemeClaim
+      case "conditional-create" => ConditionalCreateClaim
+      case cls => Class.forName(cls).getDeclaredConstructor()
+        .newInstance().asInstanceOf[ClaimStore]
+    }
+
+  private def claim(fs: FileSystem, tmp: Path, target: Path): Boolean =
+    claimStore().claim(fs, tmp, target)
 
   /** Atomically commit a set of file additions/removals; returns the new
     * version. Fails (IllegalStateException) if another writer won the

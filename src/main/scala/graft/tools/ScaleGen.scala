@@ -20,7 +20,13 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dest = args.lift(1).getOrElse("target/scale10")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset — regenerating ONE
+    // table at a deeper factor must not force rewriting the other three
+    // (e.g. the r10 100x lineitem point next to an existing 100x corpus)
+    val tables = args.lift(3).map(_.split(",").toSet)
+      .getOrElse(Set("documents", "embeddings", "events", "lineitem"))
     val spark = graft.core.Graft.session("scale-gen")
+    if (tables("documents")) {
     val docs = graft.core.Graft.table(spark, src, "documents")
     val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
     val out = (0 until factor)
@@ -41,10 +47,12 @@ object ScaleGen {
     out.write.mode("overwrite").parquet(s"$dest/documents.parquet")
     val n = spark.read.parquet(s"$dest/documents.parquet").count()
     println(s"[scalegen] wrote $n docs (${factor}x of $src) to $dest")
+    }
 
     // embeddings: replica r rotates each vector by r positions — offset ids,
     // norm preserved, direction changed, so replicas aren't degenerate
     // duplicates and ANN bucket structure grows honestly with the factor
+    if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -75,12 +83,14 @@ object ScaleGen {
     embOut.write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
     val ne = spark.read.parquet(s"$dest/embeddings.parquet").count()
     println(s"[scalegen] wrote $ne embeddings (${factor}x of $src) to $dest")
+    }
 
     // events: replica r offsets event and user ids, timestamps unchanged —
     // the user population grows with the factor while every user keeps an
     // unmodified event history, so per-user analytics (funnel, retention,
     // interval merge, transitions) scale in the entity count, which is the
     // axis they grow on in production
+    if (tables("events")) {
     val ev = graft.core.Graft.table(spark, src, "events")
     val evMax = ev.agg(max("event_id"), max("user_id")).head()
     val maxEid = evMax.getLong(0) + 1
@@ -98,6 +108,7 @@ object ScaleGen {
     evOut.write.mode("overwrite").parquet(s"$dest/events.parquet")
     val nev = spark.read.parquet(s"$dest/events.parquet").count()
     println(s"[scalegen] wrote $nev events (${factor}x of $src) to $dest")
+    }
 
     // lineitem: replica r offsets order/part/supp keys — each replica
     // preserves the per-order item sets (and so the degree distribution)
@@ -113,6 +124,7 @@ object ScaleGen {
     // connect the same-order co-purchase graph). The other keys still
     // offset, so bridge rows create genuinely new cross-replica edges;
     // degree distributions shift only on the ~2% bridge rows.
+    if (tables("lineitem")) {
     val li = graft.core.Graft.table(spark, src, "lineitem")
     val liMax = li.agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey"))
       .head()
@@ -139,6 +151,7 @@ object ScaleGen {
     liOut.write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
     val nli = spark.read.parquet(s"$dest/lineitem.parquet").count()
     println(s"[scalegen] wrote $nli lineitems (${factor}x of $src) to $dest")
+    }
     spark.stop()
   }
 }
