@@ -968,6 +968,62 @@ object Queries {
                      JOIN docs db ON p.b = db.doc_id) v
       WHERE jaccard >= 0.2 ORDER BY a, b"""))
 
+  /** Ingestion-time near-dup ([[DedupOps.incrementalMinhashLsh]]): the
+    * batch (doc_id % 10 == 0) checks against the stored signature table
+    * of the rest of the corpus — only the batch is shingled. The oracle
+    * replays the FULL-corpus LSH and restricts to pairs touching a batch
+    * doc, which is exactly the operator's output contract, so every
+    * incremental run is cross-checked against the from-scratch answer. */
+  private val qDedupIncrementalLsh = QuerySpec(
+    "q_dedup_incremental_lsh",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val seenSigs = DedupOps.minhashSignatures(seen, col("doc_id"),
+        col("text"), shingleSize = 5, bands = 4, rowsPerBand = 2)
+      DedupOps.incrementalMinhashLsh(batch, col("doc_id"), col("text"),
+          seenSigs, shingleSize = 5, bands = 4, rowsPerBand = 2,
+          minJaccard = 0.2)
+        .orderBy("a", "b")
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(toks) - 4),
+            i -> array_to_string(toks[i:i+4], ' '))) AS shingles
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents) t
+        WHERE len(toks) >= 5),
+      sigs AS (
+        SELECT doc_id, shingles,
+          list_min(list_transform(shingles, s -> substr(md5(s), 1, 16))) AS mh0,
+          list_min(list_transform(shingles, s -> substr(md5(s), 3, 16))) AS mh1,
+          list_min(list_transform(shingles, s -> substr(md5(s), 5, 16))) AS mh2,
+          list_min(list_transform(shingles, s -> substr(md5(s), 7, 16))) AS mh3,
+          list_min(list_transform(shingles, s -> substr(md5(s), 9, 16))) AS mh4,
+          list_min(list_transform(shingles, s -> substr(md5(s), 11, 16))) AS mh5,
+          list_min(list_transform(shingles, s -> substr(md5(s), 13, 16))) AS mh6,
+          list_min(list_transform(shingles, s -> substr(md5(s), 15, 16))) AS mh7
+        FROM docs),
+      banded AS (
+        SELECT doc_id, shingles, b,
+          CASE b WHEN 0 THEN mh0 || '|' || mh1 WHEN 1 THEN mh2 || '|' || mh3
+                 WHEN 2 THEN mh4 || '|' || mh5 ELSE mh6 || '|' || mh7 END AS key
+        FROM sigs, range(4) r(b)),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+          AND x.doc_id < y.doc_id)
+      SELECT a, b, jaccard FROM (
+        SELECT p.a, p.b,
+          ROUND(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE) /
+                len(list_distinct(list_concat(da.shingles, db.shingles))), 6) AS jaccard
+        FROM pairs p JOIN docs da ON p.a = da.doc_id
+                     JOIN docs db ON p.b = db.doc_id) v
+      WHERE jaccard >= 0.2 AND (a % 10 = 0 OR b % 10 = 0)
+      ORDER BY a, b"""))
+
   private val qSimhash = QuerySpec(
     "q_simhash",
     (s, dir) =>
@@ -9564,6 +9620,7 @@ object Queries {
     qRollup, qJoinRevenue, qJoinOuter, qJoinOverride, qJoinSemi, qJoinAnti,
     qTaggedJoin, qSortTotal, qTopk, qKeyfieldSort, qSampleMod, qSampleMd5,
     qUnionTagged, qIntersect, qExcept, qPipeWc, qDedupExact, qDedupMinhash,
+    qDedupIncrementalLsh,
     qSimhash, qNgramJaccard, qFingerprint, qTextQuality, qAnnCosine,
     qMultimodalMeta, qTeraValidate, qValueAgg, qJoinExpr, qCube,
     qSortedGroups, qSaltedAgg, qFixedWidth, qEventWindow,

@@ -27,9 +27,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // free checkpoint blocks the query left pinned (they bypass the
-      // CacheManager, so only an explicit unpersist reclaims them promptly)
+      // CacheManager, so only an explicit unpersist reclaims them
+      // promptly). blocking=true — r10: a non-blocking sweep lets
+      // freed-in-name blocks still occupy storage when the next query
+      // allocates (the r9 bench climbing-repeat root cause)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -188,6 +188,91 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Persistable MinHash signature table for [[incrementalMinhashLsh]]:
+    * `(doc_id, shingles, sig)` for every doc — the state an ingestion
+    * pipeline stores (parquet/TxLog, ideally bucketed by doc_id) so that
+    * future batches never re-shingle the corpus. Same md5-portable hash
+    * family as [[minhashLsh]], so signatures built here verify against
+    * the same oracle. */
+  def minhashSignatures(
+      df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    shingleSignatures(df, idCol, textCol, shingleSize, bands * rowsPerBand)
+
+  /** Ingestion-time MinHash-LSH — the incremental form of [[minhashLsh]],
+    * the near-dup twin of [[incrementalExactDedup]]: a new batch arrives,
+    * ONLY the batch is tokenized/shingled/hashed, and near-dup pairs are
+    * found (a) between the batch and the already-indexed corpus and
+    * (b) within the batch itself. `seenSigs` is the stored signature
+    * table ([[minhashSignatures]] output for the corpus so far) — append
+    * the batch's signatures to it after the batch commits.
+    *
+    * Output contract: exactly [[minhashLsh]]-over-(seen ∪ new) restricted
+    * to pairs touching a new doc — verified `(a, b, jaccard)` with a < b —
+    * so a from-scratch run over the full corpus cross-checks every batch.
+    *
+    * Scale (the reason this exists): a daily batch against a 100 TB
+    * corpus re-shingles ONLY the batch. The corpus side contributes one
+    * scan of its (small) signature table: band keys re-derive from the
+    * stored `sig` arrays with zero text processing, and the batch-vs-seen
+    * candidate join shuffles ids on the short band key with the batch as
+    * the small side (a production deployment can store the banded form
+    * bucketed by band key and skip even that exchange). Per-band-key
+    * caps bound hot buckets on BOTH sides, same guard as [[minhashLsh]];
+    * shingle payloads ride only the final verify joins. */
+  def incrementalMinhashLsh(
+      newDocs: DataFrame, idCol: Column, textCol: Column,
+      seenSigs: DataFrame,
+      shingleSize: Int = 5, bands: Int = 4, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // the batch kernel feeds banding + both verify joins: materialize once
+    val ns = shingleSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
+      .localCheckpoint()
+    def banded(s: DataFrame): DataFrame = s.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        concat_ws("|", lit(b).cast("string") +:
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+      }: _*)).as("bk")).distinct()
+    def capped(b: DataFrame): DataFrame = b.join(
+      b.groupBy("bk").agg(count(lit(1)).as("_c"))
+        .filter(col("_c") <= maxBucket).select("bk"), Seq("bk"))
+    val bn = banded(ns).localCheckpoint()
+    val bs = banded(seenSigs.select(col("doc_id"), col("sig")))
+    // batch-vs-seen: equi-join on the band key; id order normalizes the
+    // pair (the id spaces may interleave — a new doc can sort either side)
+    val crossPairs = capped(bn).select(col("bk"), col("doc_id").as("x"))
+      .join(capped(bs).select(col("bk"), col("doc_id").as("y")), Seq("bk"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+    // batch-vs-batch: the in-bucket pairing of [[minhashLsh]], batch only
+    val buckets = bn
+      .groupBy("bk").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pair = explode(flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("a"), b.as("b"))))))
+    val innerPairs = buckets.select(pair.as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairs = crossPairs.unionAll(innerPairs).dropDuplicates("a", "b")
+    // exact-Jaccard verify against the union signature table (either side
+    // of a pair may be seen or new)
+    val sh = ns.select(col("doc_id"), col("shingles"))
+      .unionByName(seenSigs.select(col("doc_id"), col("shingles")))
+    pairs
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("_sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("_sb")), "b")
+      .select(col("a"), col("b"),
+        round(
+          size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+            size(array_union(col("_sa"), col("_sb"))).cast("double"),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** CROSS-corpus near-dup pairs — [[minhashLsh]] restricted to pairs
     * that span two corpora: the "is my training set contaminated by this
     * eval set / crawl dump" question at minhash granularity (the n-gram

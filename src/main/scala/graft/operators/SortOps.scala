@@ -52,7 +52,16 @@ object SortOps {
     * once per pass (2×), and offset alignment between the passes then
     * RELIES on re-execution reproducing an identical partitioning and row
     * order, which is only sound for deterministic upstreams (no `sample`,
-    * no nondeterministic source behind a task retry). */
+    * no nondeterministic source behind a task retry).
+    *
+    * Measured (r10, weightedQuantile on replicated lineitem, local[32],
+    * 16g heap): at 6M rows the pin WINS (~5-6 s vs 6.3-7.3 s unpinned —
+    * the saved second sort); at 60M rows it FLIPS (66 s vs 51 s) because
+    * the pinned sorted copy exceeds the local storage pool and spills.
+    * Pinned stays the default for the correctness guarantee; set the
+    * conf false on deterministic sources under storage pressure. On a
+    * real cluster executor storage scales with the data, moving the
+    * flip point far right. */
   private def pinnedRangeSort(df: DataFrame, order: Seq[Column]): DataFrame = {
     val sorted =
       df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)

@@ -67,6 +67,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("incrementalMinhashLsh equals from-scratch LSH restricted to batch pairs") {
+    // a wider corpus: three near-dup families + noise, batch = ids % 3 == 0
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 6).map(_ =>
+      Seq.fill(14)(rnd.alphanumeric.take(4).mkString).mkString(" "))
+    val wide = (0L until 30L).map { id =>
+      val fam = (id % 6).toInt
+      // family members share the template; half get one token swapped
+      val t = if (id < 12 || id % 2 == 0) base(fam)
+              else base(fam).replaceFirst("\\w+$", "zzz")
+      (id, t)
+    }.toDF("doc_id", "text")
+    val batch = wide.filter(col("doc_id") % 3 === 0)
+    val seen = wide.filter(col("doc_id") % 3 =!= 0)
+    val seenSigs = DedupOps.minhashSignatures(seen, col("doc_id"), col("text"),
+      shingleSize = 5, bands = 4, rowsPerBand = 2)
+    val inc = DedupOps.incrementalMinhashLsh(batch, col("doc_id"), col("text"),
+        seenSigs, shingleSize = 5, bands = 4, rowsPerBand = 2,
+        minJaccard = 0.3)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val full = DedupOps.minhashLsh(wide, col("doc_id"), col("text"),
+        shingleSize = 5, bands = 4, rowsPerBand = 2, minJaccard = 0.3)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .filter(p => p._1 % 3 == 0 || p._2 % 3 == 0).toSet
+    assert(inc === full,
+      "incremental output must equal the from-scratch LSH restricted to " +
+        "pairs touching a batch doc")
+    assert(inc.nonEmpty, "the planted families must produce batch pairs")
+    // and no seen-seen pair leaks in
+    assert(inc.forall(p => p._1 % 3 == 0 || p._2 % 3 == 0))
+  }
+
   test("minhashLsh hot bucket aggregates ids only, never shingle payloads") {
     // 60 identical docs: every band key is shared by all 60, so each band
     // forms one bucket right at the configured cap — the OOM shape the

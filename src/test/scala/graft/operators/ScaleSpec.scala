@@ -650,4 +650,25 @@ class ScaleSpec extends AnyFunSuite {
     val left = sc.getPersistentRDDs.keySet.intersect(added)
     assert(left.isEmpty, s"releaseLineage left pinned RDDs: $left")
   }
+
+  test("spark.graft.pinnedSort=false falls back to unpinned sorts, same answers") {
+    // the reliability-sensitive escape hatch (r10): no checkpoint blocks
+    // pinned, lineage recomputes on failure — and on a deterministic
+    // source the two-level answers are unchanged
+    val sc = spark.sparkContext
+    val df = (1L to 4000L).map(i => (i % 3, (i * 69621L) % 991, i))
+      .toDF("g", "x", "id")
+    val order = Seq(col("g"), col("x"), col("id"))
+    val pinned = SortOps.globalRowNumber(df, order, "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val before = sc.getPersistentRDDs.keySet
+    spark.conf.set("spark.graft.pinnedSort", "false")
+    try {
+      val out = SortOps.globalRowNumber(df, order, "rn")
+      assert(out.select("id", "rn").as[(Long, Long)].collect().toMap
+        === pinned, "unpinned fallback must produce identical row numbers")
+      assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+        "unpinned mode must not pin checkpoint blocks")
+    } finally spark.conf.unset("spark.graft.pinnedSort")
+  }
 }
