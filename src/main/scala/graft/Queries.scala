@@ -6774,6 +6774,131 @@ object Queries {
           / COUNT(value), 6) AS avg_value
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** STREAMING ingestion near-dup dedup — the production ingest shape for
+    * [[DedupOps.incrementalMinhashLsh]], driven by a REAL streaming query:
+    * documents arrive in three micro-batches (one file per trigger,
+    * AvailableNow), each batch checks itself against the ACCUMULATED
+    * signature store (batch-vs-seen + batch-vs-batch) and then appends its
+    * own signatures to the store. The load-bearing invariant the oracle
+    * pins: the UNION of per-batch pair sets equals the from-scratch
+    * full-corpus LSH — every near-dup pair is discovered exactly once, in
+    * the micro-batch where its later-arriving member lands (or its own
+    * batch for same-batch pairs). `n_batches` pins that three separate
+    * micro-batches really ran. At 100 TB this is the shape that keeps
+    * ingest cost proportional to the batch: the corpus contributes only
+    * its signature table, never re-tokenizes. */
+  private val qStreamLshDedup = QuerySpec(
+    "q_stream_lsh_dedup",
+    (s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_lsh_src_$sfName")
+      val sigStore = s"/tmp/graft_lsh_sigs_$sfName"
+      val pairStore = s"/tmp/graft_lsh_pairs_$sfName"
+      val ckpt = s"/tmp/graft_lsh_ckpt_$sfName"
+      def rmTree(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.delete(q); () })
+        }
+      }
+      Seq(srcDir.toString, sigStore, pairStore, ckpt).foreach(rmTree)
+      java.nio.file.Files.createDirectories(srcDir)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      (0 until 3).foreach { b =>
+        val tmp = s"$srcDir/_stage_$b"
+        docs.filter(TextFunctions.portableBucket(col("doc_id"), 3) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          srcDir.resolve(s"split_$b.parquet"))
+        rmTree(tmp)
+      }
+      val emptySigs = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("shingles",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))))
+      val feed = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = pinnedParts(s, 8)(feed.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            // the store BEFORE this batch: signatures of prior batches only
+            val prior = Option(new java.io.File(sigStore).listFiles())
+              .getOrElse(Array.empty)
+              .filter(_.getName.startsWith("batch_")).map(_.toString).toSeq
+            val seen =
+              if (prior.isEmpty) emptySigs else s.read.parquet(prior: _*)
+            DedupOps.incrementalMinhashLsh(batch, col("doc_id"), col("text"),
+                seen, shingleSize = 5, bands = 4, rowsPerBand = 2,
+                minJaccard = 0.2)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$pairStore/batch_$id")
+            // append AFTER pair discovery: a batch must not see itself
+            // in the store (its in-batch pairs come from the inner join)
+            DedupOps.minhashSignatures(batch, col("doc_id"), col("text"),
+                shingleSize = 5, bands = 4, rowsPerBand = 2)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$sigStore/batch_$id")
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      q.awaitTermination()
+      val pairDirs = new java.io.File(pairStore).listFiles()
+        .filter(_.getName.startsWith("batch_")).map(_.toString).toSeq.sorted
+      s.read.parquet(pairDirs: _*)
+        .select(col("a"), col("b"), col("jaccard"),
+          lit(pairDirs.size.toLong).as("n_batches"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(toks) - 4),
+            i -> array_to_string(toks[i:i+4], ' '))) AS shingles
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents) t
+        WHERE len(toks) >= 5),
+      sigs AS (
+        SELECT doc_id, shingles,
+          list_min(list_transform(shingles, s -> substr(md5(s), 1, 16))) AS mh0,
+          list_min(list_transform(shingles, s -> substr(md5(s), 3, 16))) AS mh1,
+          list_min(list_transform(shingles, s -> substr(md5(s), 5, 16))) AS mh2,
+          list_min(list_transform(shingles, s -> substr(md5(s), 7, 16))) AS mh3,
+          list_min(list_transform(shingles, s -> substr(md5(s), 9, 16))) AS mh4,
+          list_min(list_transform(shingles, s -> substr(md5(s), 11, 16))) AS mh5,
+          list_min(list_transform(shingles, s -> substr(md5(s), 13, 16))) AS mh6,
+          list_min(list_transform(shingles, s -> substr(md5(s), 15, 16))) AS mh7
+        FROM docs),
+      banded AS (
+        SELECT doc_id, shingles, b,
+          CASE b WHEN 0 THEN mh0 || '|' || mh1 WHEN 1 THEN mh2 || '|' || mh3
+                 WHEN 2 THEN mh4 || '|' || mh5 ELSE mh6 || '|' || mh7 END AS key
+        FROM sigs, range(4) r(b)),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key
+          AND x.doc_id < y.doc_id)
+      SELECT a, b, jaccard, CAST(3 AS BIGINT) AS n_batches FROM (
+        SELECT p.a, p.b,
+          ROUND(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE) /
+                len(list_distinct(list_concat(da.shingles, db.shingles))), 6) AS jaccard
+        FROM pairs p JOIN docs da ON p.a = da.doc_id
+                     JOIN docs db ON p.b = db.doc_id) v
+      WHERE jaccard >= 0.2 ORDER BY a, b"""))
+
   /** OHLC resampling ([[AnalyticsOps.ohlcResample]]): hourly bars per
     * event type over the events stream, id-tiebroken first/last, exact
     * decimal volume. Oracle replays open/close with the same tie-broken
@@ -9664,7 +9789,7 @@ object Queries {
     qBfsHops, qRandomWalks, qTCloseness, qDpNoisyCounts, qHarLookup,
     qPipeTypedBytes, qKaplanMeier, qCms, qPseudonymize, qIncrementalAgg,
     qTpchQ1, qTpchQ6, qLinearTrend, qChecksumDiff, qImageHistogram,
-    qHllMerge, qStreamIncremental, qStreamCdcAgg, qOhlc,
+    qHllMerge, qStreamIncremental, qStreamCdcAgg, qStreamLshDedup, qOhlc,
     qGini, qEwma, qAutocorr, qCusum, qCusumWide, qMannWhitney,
     qWeightedQuantile,
     qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
