@@ -6333,6 +6333,52 @@ object Queries {
       FROM events WHERE event_id IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Lakehouse maintenance loop ([[graft.sources.TxLog.optimize]] →
+    * checkpoint → expireManifests → [[graft.sources.TxLog.vacuum]]): the
+    * table ingests four small batches (the small-file pressure shape),
+    * OPTIMIZE bin-packs them into one file as an ordinary atomic commit,
+    * and vacuum reclaims the four retired batch dirs once log expiry has
+    * made them unreachable. Every invariant is require()-asserted in the
+    * gate (optimize version, idempotent no-op re-run, exactly four dirs
+    * vacuumed); the hash-checked OUTPUT is the post-maintenance snapshot
+    * aggregate, which the oracle recomputes from the raw table — content
+    * neutrality end to end. */
+  private val qTxlogOptimize = QuerySpec(
+    "q_txlog_optimize",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_opt_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val b = TextFunctions.portableBucket(col("l_orderkey"), 4)
+      (0 until 4).foreach { k =>
+        TxLog.commit(root,
+          Seq(TxLog.writeBatch(li.filter(b === k), root, s"b$k")))
+      }
+      val vOpt = TxLog.optimize(s, root, "opt", targetFiles = 1)
+      require(vOpt == 5, s"optimize must commit as version 5, got $vOpt")
+      require(TxLog.liveFiles(root).size == 1,
+        "optimize must leave one live file")
+      require(TxLog.optimize(s, root, "opt2", targetFiles = 1) == 0,
+        "re-optimize at the target must be a no-op")
+      TxLog.checkpoint(root)
+      TxLog.expireManifests(root)
+      val gone = TxLog.vacuum(root)
+      require(gone.size == 4,
+        s"vacuum must reclaim the 4 retired batch dirs, got $gone")
+      TxLog.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(20,6)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   /** Exactly-once incremental refresh ACROSS COMPACTION
     * ([[graft.sources.TxLog.readChanges]] feeding
     * [[AggOps.statsDeltaSigned]]) — the CDC caveat r8 documented, now a
@@ -9809,7 +9855,7 @@ object Queries {
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
-    qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta,
+    qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

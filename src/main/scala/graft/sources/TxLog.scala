@@ -533,6 +533,85 @@ object TxLog {
     spark.read.parquet(files: _*)
   }
 
+  /** Bin-pack compaction — the OPTIMIZE verb of the lakehouse surface
+    * (public precedent: Delta's OPTIMIZE; reference capability matched:
+    * HAR/DistCp small-file compaction, hadoop-tools/hadoop-archives):
+    * rewrite the CURRENT live file set into ~`targetFiles` larger files
+    * under `data/<name>` and commit the swap atomically (`add` the
+    * compacted files, `remove` every input) — content-neutral by the
+    * same argument as any compaction commit, and concurrent READERS are
+    * untouched (their snapshot resolves against their version). Returns
+    * the commit version, or 0 (no commit) when the table already holds
+    * at most `targetFiles` files — idempotence guard, so a scheduled
+    * optimize loop converges instead of rewriting forever.
+    *
+    * Small-file pressure is the failure mode this exists for: a 100 TB
+    * table fed by frequent small batches accumulates thousands of tiny
+    * parquet files whose per-file open/footer costs dominate scans;
+    * periodic optimize + [[checkpoint]] + [[expireManifests]] +
+    * [[vacuum]] is the standard maintenance loop. Uses
+    * [[commitWithRetry]], so concurrent appenders just cost the
+    * optimizer a version retry. NOTE: like any full-table compaction it
+    * REWRITES live data once; schedule it by small-file count, not
+    * wall-clock. Manifest stats are not re-derived for the compacted
+    * files (stats-free files never prune — correctness over skipping);
+    * re-commit with [[commitWithStats]] wrappers where pruning matters. */
+  def optimize(spark: SparkSession, dir: String, name: String,
+      targetFiles: Int = 1): Int = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    val files = liveFiles(dir)
+    if (files.size <= targetFiles) return 0
+    val compacted = spark.read.parquet(files: _*).repartition(targetFiles)
+    val path = writeBatch(compacted, dir, name)
+    commitWithRetry(dir, add = Seq(path), remove = files)
+  }
+
+  /** Delete data files that are no longer reachable by ANY retained
+    * version — the VACUUM verb (public precedent: Delta's VACUUM):
+    * a file removed by compaction/optimize stays on disk so time travel
+    * keeps working; once [[checkpoint]] + [[expireManifests]] have
+    * retired the pre-checkpoint history, files referenced ONLY by the
+    * expired range are dead weight. This walks EVERY still-resolvable
+    * version (one per manifest/checkpoint file present — expired
+    * versions fail resolution and are by that token unreachable),
+    * unions their live sets,
+    * and deletes `data/` files outside that union. Returns the deleted
+    * paths. Safe by construction against the retained log: anything a
+    * resolvable `read(asOf)` could name is kept; orphaned batch writes
+    * that never committed are ALSO removed (they are unreachable by
+    * definition). Caller contract — as with every vacuum — is that no
+    * concurrent writer holds an uncommitted [[writeBatch]] under this
+    * table while vacuum runs (run it in the maintenance window, after a
+    * checkpoint). */
+  def vacuum(dir: String): Seq[String] = {
+    val latest = latestVersion(dir)
+    if (latest == 0) return Nil
+    // every version a reader could still resolve: one live-set resolution
+    // per manifest/checkpoint file PRESENT in the log; a version whose
+    // pre-checkpoint prefix was expired raises the missing-manifest error
+    // and is — by exactly that token — unreachable, so it holds nothing
+    val names = listLog(dir)
+    val versions = (names.collect { case ManifestName(d) => d.toInt } ++
+      names.collect { case CheckpointName(d) => d.toInt }).distinct.sorted
+    val reachable = versions.flatMap { v =>
+      try liveFiles(dir, v)
+      catch { case _: IllegalStateException => Nil }
+    }.toSet
+    val dataDir = new Path(dir, "data")
+    val fs = fsOf(dataDir)
+    val onDisk =
+      try fs.listStatus(dataDir).filter(_.isDirectory).map(_.getPath)
+      catch { case _: java.io.FileNotFoundException => Array.empty[Path] }
+    // a "file" in the log is a writeBatch DIRECTORY (one parquet dataset
+    // per batch); normalize both sides to the batch-dir grain
+    def norm(p: String): String =
+      new Path(p).toUri.getPath.stripSuffix("/")
+    val keep = reachable.map(norm)
+    val victims = onDisk.filterNot(p => keep.contains(norm(p.toString)))
+    victims.foreach(p => fs.delete(p, true))
+    victims.map(_.toString).toSeq
+  }
+
   /** Drop the whole table — data files and log. (Test/rebuild helper;
     * production tables are append-only and never need it.) */
   def destroy(dir: String): Unit = {

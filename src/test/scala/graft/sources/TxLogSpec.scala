@@ -264,6 +264,43 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("optimize bin-packs live files content-neutrally; vacuum honors time travel") {
+    val dir = freshDir()
+    (1 to 4).foreach { b =>
+      TxLog.commit(dir,
+        Seq(TxLog.writeBatch(Seq(b, b + 10).toDF("x"), dir, s"b$b")))
+    }
+    assert(TxLog.liveFiles(dir).size === 4)
+    val before = TxLog.read(spark, dir).as[Int].collect().sorted.toSeq
+    val v = TxLog.optimize(spark, dir, "opt", targetFiles = 1)
+    assert(v === 5, "optimize commits the swap as an ordinary version")
+    assert(TxLog.liveFiles(dir).size === 1)
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq === before,
+      "content must survive the bin-pack")
+    assert(TxLog.read(spark, dir, asOf = 4).as[Int].collect().sorted.toSeq
+      === before, "pre-optimize time travel still resolves")
+    // idempotence: already at the target -> no new version
+    assert(TxLog.optimize(spark, dir, "opt2", targetFiles = 1) === 0)
+    // an orphaned batch write that never committed
+    val orphan = TxLog.writeBatch(Seq(99).toDF("x"), dir, "orphan")
+    // BEFORE log expiry: versions 1..5 are all resolvable, so the four
+    // retired inputs are still reachable by time travel — vacuum may
+    // only take the orphan
+    assert(TxLog.vacuum(dir).map(p => new java.io.File(p).getName).toSet
+      === Set("orphan"))
+    assert(TxLog.read(spark, dir, asOf = 2).as[Int].collect().sorted.toSeq
+      === Seq(1, 2, 11, 12))
+    // checkpoint + expire retires pre-checkpoint history; NOW the four
+    // original batch dirs are unreachable and vacuum reclaims them
+    assert(TxLog.checkpoint(dir) === 5)
+    assert(TxLog.expireManifests(dir) === 5)
+    val gone = TxLog.vacuum(dir).map(p => new java.io.File(p).getName).toSet
+    assert(gone === Set("b1", "b2", "b3", "b4"))
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq === before,
+      "the live snapshot never flinches")
+    TxLog.destroy(dir)
+  }
+
   test("conditional-create claim hosts a multi-writer log on a store with no atomic rename") {
     FakeObjectStoreFileSystem.register(spark)
     val hc = spark.sparkContext.hadoopConfiguration
