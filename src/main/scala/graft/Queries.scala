@@ -6379,6 +6379,59 @@ object Queries {
         CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** Z-ORDER layout + cross-dimension data skipping
+    * ([[graft.sources.TxLog.optimizeZOrder]]): the table is rewritten
+    * along a rank-normalized z-curve over (l_orderkey, l_partkey) into 4
+    * files with multi-column manifest stats, and the gate REQUIRES that
+    * a narrow range query on EITHER dimension skips at least one file
+    * (`inputFiles` count vs the full snapshot) — the property a
+    * single-column sort cannot give. The hash-checked output is the pair
+    * of pruned-read aggregates, which the oracle recomputes from the raw
+    * table — file skipping provably loses no rows. */
+  private val qTxlogZorder = QuerySpec(
+    "q_txlog_zorder",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_z_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val b = TextFunctions.portableBucket(col("l_orderkey"), 4)
+      (0 until 4).foreach { k =>
+        TxLog.commit(root,
+          Seq(TxLog.writeBatch(li.filter(b === k), root, s"b$k")))
+      }
+      val v = TxLog.optimizeZOrder(s, root, "z",
+        "l_orderkey", "l_partkey", targetFiles = 4)
+      require(v == 5, s"zorder optimize must commit as version 5, got $v")
+      require(TxLog.liveFiles(root).size == 4)
+      val full = TxLog.read(s, root)
+      val prunedX = TxLog.readPruned(s, root, "l_orderkey", 0, 1000).get
+      require(prunedX.inputFiles.length < full.inputFiles.length,
+        "an l_orderkey range must skip at least one z-ordered file")
+      val prunedY = TxLog.readPruned(s, root, "l_partkey", 0, 150).get
+      require(prunedY.inputFiles.length < full.inputFiles.length,
+        "an l_partkey range must skip at least one z-ordered file")
+      def rangeAgg(src: org.apache.spark.sql.DataFrame, dim: String,
+          cond: Column) =
+        src.filter(cond).agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(20,6)")).cast("double")
+            .as("sum_qty"))
+          .select(lit(dim).as("dim"), col("cnt"), col("sum_qty"))
+      rangeAgg(prunedX, "x_range", col("l_orderkey") <= 1000)
+        .unionByName(rangeAgg(prunedY, "y_range", col("l_partkey") <= 150))
+        .orderBy("dim")
+    },
+    Some("""SELECT 'x_range' AS dim, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_orderkey <= 1000
+      UNION ALL
+      SELECT 'y_range' AS dim, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_partkey <= 150
+      ORDER BY dim"""))
+
   /** Exactly-once incremental refresh ACROSS COMPACTION
     * ([[graft.sources.TxLog.readChanges]] feeding
     * [[AggOps.statsDeltaSigned]]) — the CDC caveat r8 documented, now a
@@ -9856,6 +9909,7 @@ object Queries {
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
     qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
+    qTxlogZorder,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

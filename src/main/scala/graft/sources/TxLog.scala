@@ -340,10 +340,37 @@ object TxLog {
     else Some(s"$column;${r.getDouble(0)};${r.getDouble(1)}")
   }
 
+  /** [[columnStats]] for SEVERAL columns in one aggregation pass: the
+    * comma-joined `col;min;max` segments (`a;0.0;9.0,b;3.0;7.0`) that
+    * let [[readPruned]] skip files on ANY of the recorded dimensions —
+    * the stats half of [[optimizeZOrder]]. All-null columns drop their
+    * segment; None when every column is all-null. */
+  def columnStatsMulti(df: DataFrame,
+      columns: Seq[String]): Option[String] = {
+    require(columns.nonEmpty, "need at least one stats column")
+    columns.foreach(c => require(
+      !c.exists(ch => ch == ';' || ch == ',' || ch == '\t' || ch == '\n'),
+      s"stats column name unsupported: $c"))
+    val aggs = columns.flatMap { c =>
+      Seq(org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col(c).cast("double")),
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col(c).cast("double")))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val segs = columns.zipWithIndex.flatMap { case (c, i) =>
+      if (r.isNullAt(2 * i)) None
+      else Some(s"$c;${r.getDouble(2 * i)};${r.getDouble(2 * i + 1)}")
+    }
+    if (segs.isEmpty) None else Some(segs.mkString(","))
+  }
+
   /** Snapshot read restricted to files whose manifest stats CAN satisfy
     * `column ∈ [lo, hi]` — files with a disjoint [min, max] are skipped
     * without opening them; files without stats (or with stats for a
-    * different column) always read. Row-level exactness remains the
+    * different column) always read. Stats blobs may carry several
+    * comma-joined column segments ([[columnStatsMulti]]); the matching
+    * segment (if any) decides. Row-level exactness remains the
     * caller's filter — this prunes FILES, exactly like partition
     * pruning. None when every file prunes away. */
   def readPruned(spark: SparkSession, dir: String, column: String,
@@ -351,11 +378,10 @@ object TxLog {
     val kept = liveEntries(dir, asOf).filter {
       case (_, None) => true
       case (_, Some(st)) =>
-        st.split(";", 3) match {
+        st.split(",").iterator.map(_.split(";", 3)).collectFirst {
           case Array(c, mn, mx) if c == column =>
             !(mx.toDouble < lo || mn.toDouble > hi)
-          case _ => true
-        }
+        }.getOrElse(true)
     }.map(_._1)
     if (kept.isEmpty) None else Some(spark.read.parquet(kept: _*))
   }
@@ -564,6 +590,68 @@ object TxLog {
     val compacted = spark.read.parquet(files: _*).repartition(targetFiles)
     val path = writeBatch(compacted, dir, name)
     commitWithRetry(dir, add = Seq(path), remove = files)
+  }
+
+  /** OPTIMIZE … ZORDER BY — 2-D layout optimization composed with
+    * manifest data skipping (public precedent: Delta's OPTIMIZE ZORDER;
+    * the z-value expression is [[graft.functions.ZOrder.zValue]]):
+    * rewrite the live set into `targetFiles` files ordered along a
+    * z-curve over (`xCol`, `yCol`), each committed WITH multi-column
+    * manifest stats, so [[readPruned]] range queries on EITHER dimension
+    * skip whole files — the property a single-column sort cannot give.
+    *
+    * Dimensions are first normalized to their `ranks`-quantile RANK
+    * (computed over the current snapshot) before interleaving — raw
+    * z-values over columns of very different magnitudes degenerate to a
+    * sort on the wider column (its high bits dominate every interleave),
+    * which is why every production z-order implementation interleaves
+    * range-partition ranks, not raw values. Buckets are z-quantile cuts,
+    * so files balance even under skew.
+    *
+    * Cost: the snapshot is read once (pinned for the quantile + bucket +
+    * stats passes, released before return) and rewritten once; one
+    * commit swaps layout atomically ([[commitWithStats]] — readers on
+    * older versions are untouched). Returns the commit version, 0 when
+    * the table is empty. Use a fresh `name` per run (writeBatch
+    * errors on an existing dir, by design). */
+  def optimizeZOrder(spark: SparkSession, dir: String, name: String,
+      xCol: String, yCol: String, targetFiles: Int,
+      ranks: Int = 16): Int = {
+    import org.apache.spark.sql.functions._
+    require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    require(ranks >= 2 && ranks <= 1024, s"ranks must be in [2,1024]: $ranks")
+    val files = liveFiles(dir)
+    if (files.isEmpty) return 0
+    val snap = spark.read.parquet(files: _*).localCheckpoint()
+    val withZ =
+      try {
+        def rankExpr(c: String): org.apache.spark.sql.Column = {
+          val cuts = snap.stat.approxQuantile(c,
+            (1 until ranks).map(_.toDouble / ranks).toArray, 0.001)
+          cuts.foldLeft(lit(0): org.apache.spark.sql.Column) { (acc, cut) =>
+            acc + when(col(c) > cut, 1).otherwise(0)
+          }
+        }
+        val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(ranks - 1))
+        snap.withColumn("_z", graft.functions.ZOrder
+          .zValue(rankExpr(xCol), rankExpr(yCol), bits).cast("double"))
+          .localCheckpoint()
+      } finally graft.core.Checkpoints.release(snap)
+    try {
+      val zcuts =
+        if (targetFiles == 1) Array.empty[Double]
+        else withZ.stat.approxQuantile("_z",
+          (1 until targetFiles).map(_.toDouble / targetFiles).toArray, 0.0)
+      val adds = (0 until targetFiles).map { i =>
+        val inBucket =
+          (if (i == 0) lit(true) else col("_z") >= zcuts(i - 1)) &&
+            (if (i == targetFiles - 1) lit(true) else col("_z") < zcuts(i))
+        val data = withZ.filter(inBucket).drop("_z")
+        val path = writeBatch(data, dir, s"${name}_p$i")
+        path -> columnStatsMulti(data, Seq(xCol, yCol))
+      }
+      commitWithStats(dir, adds, remove = files)
+    } finally graft.core.Checkpoints.release(withZ)
   }
 
   /** Delete data files that are no longer reachable by ANY retained

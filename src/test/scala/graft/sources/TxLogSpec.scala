@@ -301,6 +301,37 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("optimizeZOrder: rank-normalized z-layout prunes on BOTH dimensions") {
+    val dir = freshDir()
+    // a uniform 40x40 grid with WILDLY different raw scales (x in
+    // thousands, y in units): raw-value z-ordering would sort ~only by x
+    // and y-pruning would fail — rank normalization is what's under test
+    val grid = (for (x <- 0 until 40; y <- 0 until 40)
+      yield (x * 1000L, y.toLong, 1L))
+      .toDF("x", "y", "v")
+    TxLog.commit(dir, Seq(TxLog.writeBatch(grid, dir, "g")))
+    val v = TxLog.optimizeZOrder(spark, dir, "z", "x", "y",
+      targetFiles = 4)
+    assert(v === 2)
+    val entries = TxLog.liveEntries(dir)
+    assert(entries.size === 4)
+    assert(entries.forall(_._2.exists(_.contains("x;"))),
+      "every z-file must carry multi-column stats")
+    // content neutral
+    assert(TxLog.read(spark, dir).count() === 1600)
+    val full = TxLog.read(spark, dir)
+    // a narrow query on either dimension must skip files
+    val px = TxLog.readPruned(spark, dir, "x", 0, 5000).get
+    assert(px.inputFiles.length < full.inputFiles.length, "x-prune")
+    assert(px.filter(col("x") <= 5000).count() === 6 * 40L,
+      "pruning loses no x-range rows")
+    val py = TxLog.readPruned(spark, dir, "y", 0, 5).get
+    assert(py.inputFiles.length < full.inputFiles.length, "y-prune")
+    assert(py.filter(col("y") <= 5).count() === 6 * 40L,
+      "pruning loses no y-range rows")
+    TxLog.destroy(dir)
+  }
+
   test("conditional-create claim hosts a multi-writer log on a store with no atomic rename") {
     FakeObjectStoreFileSystem.register(spark)
     val hc = spark.sparkContext.hadoopConfiguration
