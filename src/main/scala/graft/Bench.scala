@@ -17,9 +17,13 @@ object Bench {
     // operator), min is reported; a third repeat shields the min from a GC
     // pause landing on the single warm repeat
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    // SPARK_GRAFT_PARTS decouples shuffle width from core count for
+    // scale probes: the fixed-32-partitions decade factors understate
+    // what a real cluster does (it raises partitions with data volume)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
