@@ -2042,6 +2042,34 @@ object Queries {
       SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id
       FROM reach GROUP BY x ORDER BY doc_id"""))
 
+  /** Ingestion-time cluster maintenance ([[DedupOps.incrementalClusters]])
+    * — the full incremental dedup story end to end: the seen corpus is
+    * clustered once; a batch (doc_id % 10 == 0) arrives, finds its pairs
+    * via [[DedupOps.incrementalMinhashLsh]] against the stored
+    * signatures, and the new pairs FOLD into the existing labeling
+    * (star edges ∪ new pairs, min-label propagation) — including batches
+    * that BRIDGE two old clusters. Oracle: the same from-scratch
+    * recursive-CTE clustering over the whole corpus as q_dedup_clusters,
+    * so every incremental labeling is checked against the full
+    * recomputation it avoids. */
+  private val qDedupClustersInc = QuerySpec(
+    "q_dedup_clusters_inc",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val existing = DedupOps.nearDupClusters(
+        DedupOps.minhashLsh(seen, col("doc_id"), col("text"),
+          shingleSize = 5, bands = 4, rowsPerBand = 2, minJaccard = 0.2))
+      val seenSigs = DedupOps.minhashSignatures(seen, col("doc_id"),
+        col("text"), shingleSize = 5, bands = 4, rowsPerBand = 2)
+      val newPairs = DedupOps.incrementalMinhashLsh(batch, col("doc_id"),
+        col("text"), seenSigs, shingleSize = 5, bands = 4,
+        rowsPerBand = 2, minJaccard = 0.2)
+      DedupOps.incrementalClusters(existing, newPairs).orderBy("doc_id")
+    },
+    qDedupClusters.oracle)
+
   /** The same transitive clusters via alternating large-star/small-star
     * ([[DedupOps.nearDupClustersStar]]) — the O(log n)-round formulation for
     * long-chain components. Identical output contract and oracle as
@@ -6932,23 +6960,27 @@ object Queries {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>
-            // the store BEFORE this batch: signatures of prior batches only
+            // the store BEFORE this batch: signatures of prior batches
+            // only (listed before this batch's append lands, so a batch
+            // never sees itself — its in-batch pairs come from the
+            // inner join)
             val prior = Option(new java.io.File(sigStore).listFiles())
               .getOrElse(Array.empty)
               .filter(_.getName.startsWith("batch_")).map(_.toString).toSeq
             val seen =
               if (prior.isEmpty) emptySigs else s.read.parquet(prior: _*)
-            DedupOps.incrementalMinhashLsh(batch, col("doc_id"), col("text"),
-                seen, shingleSize = 5, bands = 4, rowsPerBand = 2,
-                minJaccard = 0.2)
-              .coalesce(1).write.mode("overwrite")
-              .parquet(s"$pairStore/batch_$id")
-            // append AFTER pair discovery: a batch must not see itself
-            // in the store (its in-batch pairs come from the inner join)
+            // ONE kernel pass: append the batch signatures to the store,
+            // then discover pairs from the written table (read-back, zero
+            // re-tokenization — the shape a real ingest uses)
             DedupOps.minhashSignatures(batch, col("doc_id"), col("text"),
                 shingleSize = 5, bands = 4, rowsPerBand = 2)
               .coalesce(1).write.mode("overwrite")
               .parquet(s"$sigStore/batch_$id")
+            DedupOps.incrementalMinhashLshFromSigs(
+                s.read.parquet(s"$sigStore/batch_$id"), seen,
+                bands = 4, rowsPerBand = 2, minJaccard = 0.2)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$pairStore/batch_$id")
             ()
         }
         .option("checkpointLocation", ckpt)
@@ -9857,7 +9889,8 @@ object Queries {
     qCounters, qUdafRegistry, qFrameSample, qResize, qResizePng,
     qWavFeatures, qFrameSampleGif, qResizeJpeg, qGramian, qBpePairs,
     qSqlNativeCosine,
-    qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qRedact,
+    qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qDedupClustersInc,
+    qRedact,
     qRangeJoin, qGroupingSets, qTfidf, qEmbedCentroid, qXmlRecords,
     qNamedOutputs, qQuasiPi, qNqueens,
     qWindowAnalytics, qBigramLm, qCodecRoundtrip, qCombineFiles,

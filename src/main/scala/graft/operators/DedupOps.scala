@@ -224,11 +224,23 @@ object DedupOps {
       newDocs: DataFrame, idCol: Column, textCol: Column,
       seenSigs: DataFrame,
       shingleSize: Int = 5, bands: Int = 4, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame =
+    incrementalMinhashLshFromSigs(
+      shingleSignatures(newDocs, idCol, textCol, shingleSize,
+        bands * rowsPerBand),
+      seenSigs, bands, rowsPerBand, minJaccard, maxBucket)
+
+  /** [[incrementalMinhashLsh]] taking the batch's PRECOMPUTED signature
+    * table ([[minhashSignatures]] output) instead of raw documents — for
+    * callers that also persist the batch signatures (every real ingest
+    * does: the store append and the pair discovery then share ONE kernel
+    * pass over the batch instead of tokenizing it twice). */
+  def incrementalMinhashLshFromSigs(
+      newSigs: DataFrame, seenSigs: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 2,
       minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // the batch kernel feeds banding + both verify joins: materialize once
-    val ns = shingleSignatures(newDocs, idCol, textCol, shingleSize, numHashes)
-      .localCheckpoint()
+    // the batch signatures feed banding + both verify joins: pin once
+    val ns = newSigs.localCheckpoint()
     def banded(s: DataFrame): DataFrame = s.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
@@ -525,6 +537,39 @@ object DedupOps {
     // only the final label checkpoint (the result) stays pinned
     graft.core.Checkpoints.release(und)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Incremental cluster maintenance — the last stage of the ingestion-
+    * time dedup story ([[incrementalExactDedup]] →
+    * [[incrementalMinhashLsh]] → this): fold a batch's new near-dup
+    * pairs into an EXISTING (doc_id, cluster_id) labeling without
+    * re-clustering the corpus. The existing labeling is re-expressed as
+    * star edges (member ↔ its cluster id — by the output contract of
+    * [[nearDupClusters]] the cluster id IS a member, so stars faithfully
+    * regenerate the old components in one hop), unioned with the new
+    * pairs, and min-label propagation runs on the UNION graph. Output
+    * contract: identical to [[nearDupClusters]] over (all old pairs ∪
+    * new pairs) — a from-scratch run cross-checks every batch, and
+    * batches that merge two old clusters (a new doc bridging them)
+    * relabel both to the global min, exactly as from-scratch would.
+    *
+    * Scale: the star edge set is one row per ALREADY-CLUSTERED doc
+    * (clusters table scan, no text, no pair regeneration), and the
+    * propagation converges in O(new-bridge diameter) rounds — for
+    * ingest batches that's 2-3 rounds over a graph dominated by
+    * depth-1 stars, not a corpus-wide recomputation. */
+  def incrementalClusters(
+      existing: DataFrame, newPairs: DataFrame,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val stars = existing
+      .select(col("doc_id").cast("long").as("a"),
+        col("cluster_id").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    nearDupClusters(
+      stars.unionByName(
+        newPairs.select(col(aCol).cast("long").as("a"),
+          col(bCol).cast("long").as("b"))),
+      "a", "b")
   }
 
   /** Train/test contamination check — the decontamination staple: for every

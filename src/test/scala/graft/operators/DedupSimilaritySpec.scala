@@ -99,6 +99,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(inc.forall(p => p._1 % 3 == 0 || p._2 % 3 == 0))
   }
 
+  test("incrementalClusters folds new pairs in, merging bridged old clusters") {
+    // existing: cluster {1,2,3} labeled 1 and {7,9} labeled 7; the batch
+    // bridges 3-7 (the two old clusters must merge to min label 1) and
+    // introduces a brand-new pair 20-21
+    val existing = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val newPairs = Seq((3L, 7L), (20L, 21L)).toDF("a", "b")
+    val out = DedupOps.incrementalClusters(existing, newPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 9L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("minhashLsh hot bucket aggregates ids only, never shingle payloads") {
     // 60 identical docs: every band key is shared by all 60, so each band
     // forms one bucket right at the configured cap — the OOM shape the
