@@ -99,6 +99,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(inc.forall(p => p._1 % 3 == 0 || p._2 % 3 == 0))
   }
 
+  test("incrementalMinhashLsh plans equi-joins only — no cartesian anywhere") {
+    // the 100 TB contract: batch-vs-seen candidates come from an
+    // equi-join on the band key and verification from doc-id hash joins;
+    // a nested-loop/cartesian anywhere means the plan degenerated
+    val seenSigs = DedupOps.minhashSignatures(
+      docs.filter(col("doc_id") =!= 2L), col("doc_id"), col("text"),
+      shingleSize = 5, bands = 4, rowsPerBand = 2)
+    val out = DedupOps.incrementalMinhashLsh(
+      docs.filter(col("doc_id") === 2L), col("doc_id"), col("text"),
+      seenSigs, shingleSize = 5, bands = 4, rowsPerBand = 2,
+      minJaccard = 0.3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental LSH must never plan a product join:\n$plan")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L), (2L, 4L)), "near-dups of doc 2 found")
+  }
+
   test("incrementalClusters folds new pairs in, merging bridged old clusters") {
     // existing: cluster {1,2,3} labeled 1 and {7,9} labeled 7; the batch
     // bridges 3-7 (the two old clusters must merge to min label 1) and
