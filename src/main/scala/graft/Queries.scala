@@ -6363,14 +6363,22 @@ object Queries {
 
   /** Lakehouse maintenance loop ([[graft.sources.TxLog.optimize]] →
     * checkpoint → expireManifests → [[graft.sources.TxLog.vacuum]]): the
-    * table ingests four small batches (the small-file pressure shape),
-    * OPTIMIZE bin-packs them into one file as an ordinary atomic commit,
-    * and vacuum reclaims the four retired batch dirs once log expiry has
+    * table ingests four small batches (the small-file pressure shape)
+    * committed WITH l_orderkey manifest stats, OPTIMIZE bin-packs them
+    * into two range-clustered files as an ordinary atomic commit, and
+    * vacuum reclaims the four retired batch dirs once log expiry has
     * made them unreachable. Every invariant is require()-asserted in the
     * gate (optimize version, idempotent no-op re-run, exactly four dirs
-    * vacuumed); the hash-checked OUTPUT is the post-maintenance snapshot
-    * aggregate, which the oracle recomputes from the raw table — content
-    * neutrality end to end. */
+    * vacuumed, and — VERDICT r10 — [[graft.sources.TxLog.readPruned]]
+    * must STILL skip a file after optimize: compaction preserves and
+    * re-derives the stats rather than committing stats-free). The
+    * hash-checked OUTPUT is the post-maintenance snapshot aggregate plus
+    * a pruned-read range aggregate, both recomputed by the oracle from
+    * the raw table — content neutrality AND no-row-loss end to end.
+    *
+    * Bench note: repeats here do NOT warm (each repeat rebuilds,
+    * optimizes and vacuums its table from scratch) — that is the point
+    * of a maintenance gate, not a regression. */
   private val qTxlogOptimize = QuerySpec(
     "q_txlog_optimize",
     (s, dir) => {
@@ -6381,15 +6389,24 @@ object Queries {
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
       val b = TextFunctions.portableBucket(col("l_orderkey"), 4)
       (0 until 4).foreach { k =>
-        TxLog.commit(root,
-          Seq(TxLog.writeBatch(li.filter(b === k), root, s"b$k")))
+        val batch = li.filter(b === k)
+        TxLog.commitWithStats(root,
+          Seq(TxLog.writeBatch(batch, root, s"b$k") ->
+            TxLog.columnStats(batch, "l_orderkey")))
       }
-      val vOpt = TxLog.optimize(s, root, "opt", targetFiles = 1)
+      val vOpt = TxLog.optimize(s, root, "opt", targetFiles = 2)
       require(vOpt == 5, s"optimize must commit as version 5, got $vOpt")
-      require(TxLog.liveFiles(root).size == 1,
-        "optimize must leave one live file")
-      require(TxLog.optimize(s, root, "opt2", targetFiles = 1) == 0,
+      require(TxLog.liveFiles(root).size == 2,
+        "optimize must leave two live files")
+      require(TxLog.optimize(s, root, "opt2", targetFiles = 2) == 0,
         "re-optimize at the target must be a no-op")
+      // the stats-preservation contract: a narrow range on the recorded
+      // column still skips at least one of the two compacted files
+      val full = TxLog.read(s, root)
+      val pruned = TxLog.readPruned(s, root, "l_orderkey", 0, 1000).get
+      require(pruned.inputFiles.length < full.inputFiles.length,
+        "optimize must preserve manifest stats: a narrow l_orderkey " +
+          "range must still skip a compacted file")
       TxLog.checkpoint(root)
       TxLog.expireManifests(root)
       val gone = TxLog.vacuum(root)
@@ -6400,12 +6417,23 @@ object Queries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_quantity").cast("decimal(20,6)")).cast("double")
             .as("sum_qty"))
-        .orderBy("l_returnflag")
+        .select(col("l_returnflag").as("dim"), col("cnt"), col("sum_qty"))
+        .unionByName(pruned.filter(col("l_orderkey") <= 1000)
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(20,6)")).cast("double")
+              .as("sum_qty"))
+          .select(lit("pruned_range").as("dim"), col("cnt"), col("sum_qty")))
+        .orderBy("dim")
     },
-    Some("""SELECT l_returnflag,
+    Some("""SELECT l_returnflag AS dim,
         CAST(COUNT(*) AS BIGINT) AS cnt,
         CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
-      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+      FROM lineitem GROUP BY 1
+      UNION ALL
+      SELECT 'pruned_range' AS dim, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_orderkey <= 1000
+      ORDER BY 1"""))
 
   /** Z-ORDER layout + cross-dimension data skipping
     * ([[graft.sources.TxLog.optimizeZOrder]]): the table is rewritten

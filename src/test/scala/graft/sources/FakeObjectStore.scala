@@ -41,6 +41,25 @@ class FakeObjectStoreFileSystem extends RawLocalFileSystem
   }
 }
 
+/** [[FakeObjectStoreFileSystem]] whose conditional put ALWAYS fails with a
+  * transient store error — the arm of [[TxLog.ConditionalCreateClaim]] that
+  * must still clean up its tmp manifest (ADVICE r10: a throwing
+  * putIfAbsent used to leak `.tmp` files under `_txlog/` forever). */
+class FlakyObjectStoreFileSystem extends FakeObjectStoreFileSystem {
+  override def getScheme: String = FlakyObjectStoreFileSystem.Scheme
+  override def getUri: URI =
+    URI.create(s"${FlakyObjectStoreFileSystem.Scheme}:///")
+  override def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean =
+    throw new java.io.IOException("transient store error (simulated)")
+}
+
+object FlakyObjectStoreFileSystem {
+  val Scheme = "flakyos"
+  def register(spark: SparkSession): Unit =
+    spark.sparkContext.hadoopConfiguration.set(
+      s"fs.$Scheme.impl", classOf[FlakyObjectStoreFileSystem].getName)
+}
+
 object FakeObjectStoreFileSystem {
   val Scheme = "fakeos"
 

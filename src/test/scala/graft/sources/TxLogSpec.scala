@@ -301,6 +301,71 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("optimize preserves manifest stats and range-clusters: pruning still skips") {
+    val dir = freshDir()
+    // four stats-carrying batches with known disjoint x-ranges
+    (0 until 4).foreach { b =>
+      val batch = ((b * 100) until (b * 100 + 100)).toDF("x")
+      TxLog.commitWithStats(dir,
+        Seq(TxLog.writeBatch(batch, dir, s"b$b") ->
+          TxLog.columnStats(batch, "x")))
+    }
+    assert(TxLog.optimize(spark, dir, "opt", targetFiles = 2) === 5)
+    val entries = TxLog.liveEntries(dir)
+    assert(entries.size === 2)
+    assert(entries.forall(_._2.exists(_.startsWith("x;"))),
+      "compacted files must carry re-derived stats, not commit stats-free")
+    // range clustering keeps the bounds narrow enough to actually skip
+    val full = TxLog.read(spark, dir)
+    val pruned = TxLog.readPruned(spark, dir, "x", 0, 50).get
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      "a narrow range must skip a compacted file AFTER optimize")
+    assert(pruned.filter(col("x") <= 50).count() === 51,
+      "pruning loses no rows")
+    assert(full.count() === 400, "content neutral")
+    TxLog.destroy(dir)
+  }
+
+  test("commitRewrite aborts a stale rewrite instead of resurrecting removed rows") {
+    val dir = freshDir()
+    (1 to 3).foreach { b =>
+      TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(b).toDF("x"), dir, s"b$b")))
+    }
+    val staleInputs = TxLog.liveFiles(dir)
+    // a fast compactor lands first — no version race ever happens, the
+    // slow writer's snapshot is simply stale (the skew case version
+    // claims alone can never flag)
+    TxLog.optimize(spark, dir, "fast", targetFiles = 1)
+    val before = TxLog.read(spark, dir).as[Int].collect().sorted.toSeq
+    val lateCopy = TxLog.writeBatch(Seq(1, 2, 3).toDF("x"), dir, "late")
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commitRewrite(dir, Seq(lateCopy -> None), remove = staleInputs)
+    }
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq === before,
+      "the losing rewrite must not have doubled every row")
+    TxLog.destroy(dir)
+  }
+
+  test("a throwing conditional put does not leak the tmp manifest") {
+    FlakyObjectStoreFileSystem.register(spark)
+    val local = freshDir()
+    val dir = s"${FlakyObjectStoreFileSystem.Scheme}://$local"
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.txlog.claim", "conditional-create")
+    try {
+      intercept[java.io.IOException] {
+        TxLog.commit(dir, Seq("some/batch/path"))
+      }
+      val logDir = new java.io.File(local, "_txlog")
+      val leaked = Option(logDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.contains(".tmp"))
+      assert(leaked.isEmpty,
+        s"tmp manifests must be swept on the throwing path, found: ${
+          leaked.map(_.getName).mkString(",")}")
+    } finally hc.set("graft.txlog.claim", "scheme")
+    TxLog.destroy(dir)
+  }
+
   test("optimizeZOrder: rank-normalized z-layout prunes on BOTH dimensions") {
     val dir = freshDir()
     // a uniform 40x40 grid with WILDLY different raw scales (x in
