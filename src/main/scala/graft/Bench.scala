@@ -73,6 +73,21 @@ object Bench {
     val diags = scala.collection.mutable.LinkedHashMap
       .empty[String, Seq[(Double, Double, Long, Long)]]
     val results = specs.map { q =>
+      // fixture staging OUTSIDE the timed window (QuerySpec.stage): a
+      // persisted-state gate reads its store; rebuilding the store is
+      // pipeline history, not the measured operator. Sweep + gc after,
+      // so staging's checkpoint blocks and garbage don't bill repeat 1.
+      q.stage.foreach { f =>
+        try f(spark, sfDir)
+        catch {
+          case e: Throwable =>
+            errors(q.name) = s"stage: ${e.getClass.getSimpleName}: ${
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)}"
+        }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
       val times = (1 to repeat).map { _ =>
         val run0 = diagRun.get; val spill0 = diagSpill.get
         val gc0 = gcMs(); val cpu0 = cpuNs()

@@ -9,9 +9,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.all.head.run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Fixture
+    * staging (QuerySpec.stage — persisted-state gates) folds into the
+    * returned function so the driver contract stays two-argument. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map(q => q.name -> q.run).toMap
+    Queries.all.map(q => q.name -> { (s: SparkSession, d: String) =>
+      q.stage.foreach(_(s, d)); q.run(s, d)
+    }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
