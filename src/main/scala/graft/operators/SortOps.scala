@@ -66,8 +66,27 @@ object SortOps {
     val sorted =
       df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val pin = df.sparkSession.conf
-      .getOption("spark.graft.pinnedSort").forall(_.toBoolean)
-    if (pin) sorted.localCheckpoint() else sorted
+      .getOption("spark.graft.pinnedSort") match {
+      case None => true
+      case Some(v) => v.trim.toLowerCase match {
+        case "true"  => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.pinnedSort must be true or false, got '$other'")
+      }
+    }
+    if (pin) sorted.localCheckpoint()
+    else {
+      // the fallback silently trades the by-construction offset alignment
+      // for a determinism ASSUMPTION (both template passes must re-execute
+      // to identical partitioning and row order) — say so once per query,
+      // where a wrong-row-number investigation will find it (ADVICE r10)
+      System.err.println(
+        "[graft] spark.graft.pinnedSort=false: two-pass sort templates now " +
+          "RELY on deterministic re-execution of the range sort; do not use " +
+          "over sample()/nondeterministic sources (wrong offsets, no error)")
+      sorted
+    }
   }
 
   /** Global 1-based row number in total sort order, WITHOUT a single-partition

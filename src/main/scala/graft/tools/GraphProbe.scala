@@ -42,6 +42,13 @@ object GraphProbe {
       a.join(b, col("ok") === col("ok2") && col("src") < col("dst"))
         .select(col("src"), col("dst"))
     }
+    if (sys.env.contains("SPARK_GRAFT_EDGE_COUNT")) {
+      val e = edges().select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+        .distinct().count()
+      println(s"[probe] distinct undirected edges: $e")
+    }
     def run(label: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
       val times = (1 to reps).map { i =>
         stages.clear()
