@@ -675,14 +675,34 @@ object GraphOps {
     val ctr = dir.join(
       deg.filter(col("dg") <= maxDegree)
         .select(col("n").as("w"), col("dg")), "w")
-    val a = ctr.select(col("w"), col("n").as("n1"), col("dg"))
-    val b = ctr.select(col("w").as("w2"), col("n").as("n2"))
-    val scored = a.join(b, col("w") === col("w2") && col("n1") < col("n2"))
+    // r11: per-center bucket pairing instead of the wedge self-join — the
+    // hub cap bounds every neighbor list at maxDegree elements, so the
+    // bucket row is tiny by construction and the quadratic pair fan-out
+    // happens INSIDE one projection (indexed transform, the minhashLsh
+    // bucket idiom) with the partial (n1,n2) aggregate folding map-side.
+    // The self-join shape shuffled the ctr relation twice and wrote the
+    // full wedge stream (147 MB / 26.5 core-s at sf0.1) before the
+    // aggregate could compact it; this emits the same wedges for one
+    // 21 MB shuffle of (center, neighbor) rows. The AA term depends only
+    // on the center, so it is computed once per bucket, not per wedge.
+    val buckets = ctr.groupBy(col("w"), col("dg"))
+      .agg(sort_array(collect_list(col("n"))).as("ns"))
+    val pair = explode(flatten(transform(col("ns"), (a, i) =>
+      transform(slice(col("ns"), i + 2, size(col("ns"))),
+        b => struct(a.as("n1"), b.as("n2"))))))
+    val scored = buckets
+      .select(pair.as("p"),
+        floor(lit(1e9) / log(col("dg")) + 0.5).cast("long").as("_term"))
+      .select(col("p.n1").as("n1"), col("p.n2").as("n2"), col("_term"))
       .groupBy(col("n1"), col("n2"))
       .agg(count(lit(1)).as("cn"),
         // quantize per term, then sum exactly: Σ floor(1e9/ln d + ½)
-        sum(floor(lit(1e9) / log(col("dg")) + 0.5).cast("long")).as("aa_e9"))
+        sum(col("_term")).as("aa_e9"))
       .filter(col("cn") >= minCommon)
+      // measured and rejected (r11): localCheckpoint-ing the survivors
+      // here cut 9 core-s of re-execution under a caller's orderBy
+      // sampling pass but ADDED 1.7 s of wall (eager materialization
+      // serializes the pipeline) — lazy wins on the clock
       .join(und, col("n1") === col("u") && col("n2") === col("v"),
         "left_anti")
     scored

@@ -72,10 +72,18 @@ object GraphProbe {
       }
       println(f"[probe] $label min=${times.min}%.2f s")
     }
-    run("clustering_coeff")(
-      graft.operators.GraphOps.clusteringCoefficient(edges()).orderBy("node"))
-    run("triangles")(
-      graft.operators.GraphOps.triangleCounts(edges()).orderBy("node"))
+    val which = sys.env.getOrElse("SPARK_GRAFT_PROBE_ONLY",
+      "clustering_coeff,triangles").split(",").toSet
+    if (which("clustering_coeff"))
+      run("clustering_coeff")(
+        graft.operators.GraphOps.clusteringCoefficient(edges()).orderBy("node"))
+    if (which("triangles"))
+      run("triangles")(
+        graft.operators.GraphOps.triangleCounts(edges()).orderBy("node"))
+    if (which("link_prediction"))
+      run("link_prediction")(
+        graft.operators.GraphOps.linkPrediction(edges(), maxDegree = 100,
+          minCommon = 5L).orderBy("n1", "n2"))
     spark.stop()
   }
 }
