@@ -1519,6 +1519,86 @@ object Queries {
         WHERE a.nbr_id <> p.query_id) t
       WHERE "rank" <= 5 ORDER BY query_id, "rank""""))
 
+  /** Incremental IVF index maintenance ([[SimilarityOps.ivfTopKFromIndex]])
+    * — the ANN twin of q_dedup_incremental_lsh, composed with the TxLog
+    * store: the seen corpus's assignments and frozen centroids are STAGED
+    * state; the timed body commits the staged index as version 1, assigns
+    * ONLY the arriving batch against the frozen centroids (broadcast
+    * argmin kernel — the batch never shuffles), appends it as version 2,
+    * and searches the composed index. Because per-vector assignment
+    * against frozen centroids is independent of every other vector, the
+    * append-grown index IS the from-scratch index over the union — the
+    * oracle recomputes the whole assignment + probe pipeline monolithically
+    * in SQL (seen-frozen centroids: 8 lowest seen ids), so the equality
+    * is checked, not assumed. At 100 TB: daily embedding batches cost
+    * O(batch) assignment + one manifest commit; search stays
+    * nprobe/nlist of the index. */
+  private val qAnnIvfInc = QuerySpec(
+    "q_ann_ivf_inc",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val sfName = new java.io.File(dir).getName
+      val fix = s"/tmp/graft_fix_ivf_$sfName"
+      val root = s"/tmp/graft_ivf_store_$sfName"
+      TxLog.destroy(root)
+      val emb = t(s, dir, "embeddings")
+      val cent = s.read.parquet(s"$fix/centroids")
+      // v1: adopt the staged seen-corpus index as an external data path
+      TxLog.commit(root, Seq(s"$fix/seen_index"))
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val path = TxLog.writeBatch(
+        SimilarityOps.assignToNearest(batch, cent).coalesce(1), root, "batch")
+      TxLog.commit(root, Seq(path))
+      require(TxLog.latestVersion(root) == 2,
+        "index history must be: staged seen index, batch append")
+      val index = TxLog.read(s, root)
+      val queries = emb.filter(col("vec_id") < 10)
+      SimilarityOps.ivfTopKFromIndex(index, cent, queries, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 8),
+      assigned AS (
+        SELECT vec_id AS nbr_id, v AS nv, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_dot_product(e.v, c.cv) /
+                (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                6) DESC, c.cid) AS rn
+          FROM e, cent c) x WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_dot_product(e.v, c.cv) /
+                (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                6) DESC, c.cid) AS rn
+          FROM e, cent c WHERE e.vec_id < 10) x WHERE rn <= 2)
+      SELECT query_id, nbr_id, sim, "rank" FROM (
+        SELECT p.query_id, a.nbr_id,
+          ROUND(list_dot_product(p.qv, a.nv) /
+            (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.nv, a.nv))),
+            6) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+            ROUND(list_dot_product(p.qv, a.nv) /
+              (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.nv, a.nv))),
+              6) DESC, a.nbr_id) AS "rank"
+        FROM probes p JOIN assigned a ON p.cid = a.cid
+        WHERE a.nbr_id <> p.query_id) t
+      WHERE "rank" <= 5 ORDER BY query_id, "rank""""),
+    stage = Some((s, dir) => {
+      val fix = s"/tmp/graft_fix_ivf_${new java.io.File(dir).getName}"
+      val emb = t(s, dir, "embeddings")
+      val seen = emb.filter(col("vec_id") % 10 =!= 0)
+      val cent = seen.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$fix/centroids")
+      SimilarityOps.assignToNearest(seen, cent).coalesce(1)
+        .write.mode("overwrite").parquet(s"$fix/seen_index")
+    }))
+
   /** Recall@5 of the IVF search against the exact ranking
     * ([[SimilarityOps.recallAtK]]) — the QA loop every approximate index
     * ships with. The oracle recomputes BOTH sides (exact top-k and the full
@@ -9951,7 +10031,7 @@ object Queries {
     qMultimodalMeta, qTeraValidate, qValueAgg, qJoinExpr, qCube,
     qSortedGroups, qSaltedAgg, qFixedWidth, qEventWindow,
     qMultimodalFeatures, qAnnLsh, qTextgenWc, qAsofJoin, qTokenCount,
-    qDedupEmbedding, qAnnIvf, qWindowLag, qSessionWindow,
+    qDedupEmbedding, qAnnIvf, qAnnIvfInc, qWindowLag, qSessionWindow,
     qChain, qKvtextRoundtrip, qPartitionedSink, qDynamicOverwrite,
     qCompactRoundtrip,
     qStreamTumbling, qStreamRocksdb, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,

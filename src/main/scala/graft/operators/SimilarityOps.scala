@@ -338,15 +338,40 @@ object SimilarityOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cent = corpus.filter(col(idCol) < nlist)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val assigned = nearestCentroids(
-      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec2")),
-      cent, "nbr_id", "cvec2", 1)
+    val index = assignToNearest(corpus, cent, idCol, vecCol)
+    ivfTopKFromIndex(index, cent, queries, k, nprobe, idCol, vecCol)
+  }
+
+  /** IVF search against a PREBUILT index — the read path of the
+    * incremental ANN story (the index twin of
+    * [[graft.operators.DedupOps.incrementalMinhashLshFromSigs]]): `index`
+    * is persisted [[assignToNearest]] output `(idCol, vecCol, cid)` —
+    * parquet/TxLog, ideally bucketed by cid — and `cent` is the FROZEN
+    * centroid table the index was assigned against. Queries probe their
+    * `nprobe` nearest centroids' buckets only.
+    *
+    * Scale (why the index is stored, not rebuilt): a daily embedding
+    * batch against a 100 TB corpus assigns ONLY the batch (centroids
+    * broadcast into the per-partition argmin kernel — the batch never
+    * shuffles) and appends the assignments to the index table; the
+    * corpus is never re-scanned. Because per-vector assignment against
+    * frozen centroids is independent of every other vector, an index
+    * grown by appends IS the from-scratch index over the union — the
+    * exact-equality contract `q_ann_ivf_inc` pins against the oracle.
+    * Search cost stays nprobe/nlist of the index regardless of how many
+    * batches composed it (after [[graft.sources.TxLog.optimize]]
+    * compactions, which this store shape composes with). */
+  def ivfTopKFromIndex(
+      index: DataFrame, cent: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val probes = nearestCentroids(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
       cent, "query_id", "qvec", nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id"))
-    probes.join(assigned, Seq("cid"))
+    probes.join(index.select(col(idCol).as("nbr_id"),
+        col(vecCol).as("cvec2"), col("cid")), Seq("cid"))
       .filter(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"),
         round(cosine(col("qvec"), col("cvec2")), 6).as("sim"))

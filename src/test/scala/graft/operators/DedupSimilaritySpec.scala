@@ -232,6 +232,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Map(1L -> 1, 3L -> 2))
   }
 
+  test("ivfTopKFromIndex: an append-grown index answers like the from-scratch search") {
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      val arr = Array.tabulate(8)(d => math.cos(i * 13 + d * 5).toFloat)
+      (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val seen = vecs.filter(col("vec_id") % 4 =!= 0)
+    val batch = vecs.filter(col("vec_id") % 4 === 0)
+    val cent = seen.orderBy("vec_id").limit(6)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // incremental: seen assigned once, the batch assigned alone, unioned
+    val grown = SimilarityOps.assignToNearest(seen, cent)
+      .unionByName(SimilarityOps.assignToNearest(batch, cent))
+    val queries = vecs.filter(col("vec_id") < 5)
+    val inc = SimilarityOps
+      .ivfTopKFromIndex(grown, cent, queries, k = 3, nprobe = 2)
+      .select("query_id", "nbr_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    // from-scratch: the whole union assigned in one pass, same centroids
+    val full = SimilarityOps
+      .ivfTopKFromIndex(SimilarityOps.assignToNearest(vecs, cent), cent,
+        queries, k = 3, nprobe = 2)
+      .select("query_id", "nbr_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(inc === full,
+      "per-vector assignment against frozen centroids must make append " +
+        "and rebuild indistinguishable")
+    assert(inc.nonEmpty)
+  }
+
   test("lshCosineTopK returns bucket-mates ranked like the exact search") {
     val n = 50
     val vecs = (0 until n).map { i =>
