@@ -6548,6 +6548,53 @@ object Queries {
     * single-column sort cannot give. The hash-checked output is the pair
     * of pruned-read aggregates, which the oracle recomputes from the raw
     * table — file skipping provably loses no rows. */
+  /** Version rollback ([[graft.sources.TxLog.restore]]) — the RESTORE
+    * verb completing the maintenance loop: two batches land, OPTIMIZE
+    * compacts them, then restore rolls the table back to version 1 as
+    * ONE ordinary commit. The gate asserts the full rollback contract:
+    * the restored snapshot equals batch 1, time travel ACROSS the
+    * restore still serves the pre-restore union, and a repeated restore
+    * is a no-op. Hash-checked output: the restored-snapshot aggregate
+    * AND the asOf=2 (pre-restore) aggregate, both recomputed by the
+    * oracle from the raw table through the same portable bucket split. */
+  private val qTxlogRestore = QuerySpec(
+    "q_txlog_restore",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_restore_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 2)
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 0), root, "b0")))
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 1), root, "b1")))
+      require(TxLog.optimize(s, root, "opt", targetFiles = 1) == 3)
+      val vR = TxLog.restore(root, 1)
+      require(vR == 4, s"restore must land as ordinary version 4, got $vR")
+      require(TxLog.restore(root, 1) == 0,
+        "re-restore to the same version must be a no-op")
+      def agg(df: org.apache.spark.sql.DataFrame, dim: String) =
+        df.agg(count(col("value")).as("cnt"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .select(lit(dim).as("dim"), col("cnt"), col("sum_value"))
+      agg(TxLog.read(s, root), "restored_v1")
+        .unionByName(agg(TxLog.read(s, root, asOf = 2), "pre_restore_v2"))
+        .orderBy("dim")
+    },
+    Some("""WITH ev AS (SELECT event_id, value,
+          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 2 AS b
+        FROM events)
+      SELECT 'pre_restore_v2' AS dim, CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM ev WHERE event_id IS NOT NULL
+      UNION ALL
+      SELECT 'restored_v1' AS dim, CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM ev WHERE b = 0
+      ORDER BY 1"""))
+
   private val qTxlogZorder = QuerySpec(
     "q_txlog_zorder",
     (s, dir) => {
@@ -10092,7 +10139,7 @@ object Queries {
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
     qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
-    qTxlogZorder,
+    qTxlogZorder, qTxlogRestore,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

@@ -797,6 +797,35 @@ object TxLog {
     victims.map(_.toString).toSeq
   }
 
+  /** RESTORE the table to the live set of `toVersion` — the rollback verb
+    * (public precedent: Delta's RESTORE): ONE new commit whose adds are
+    * the files live at `toVersion` but not now and whose removes are the
+    * files live now but not at `toVersion`. Rolling back is itself
+    * ordinary history — readers on the bad intermediate versions are
+    * untouched, time travel ACROSS the restore still works, and a second
+    * restore can undo the first. Stats blobs of the restored files are
+    * carried over, so pruning survives the rollback.
+    *
+    * Safe against vacuum by construction: restore resolves `toVersion`
+    * through the log, and [[vacuum]] keeps every file any resolvable
+    * version references — an expired `toVersion` fails LOUDLY at
+    * resolution (missing manifest), never by silently serving a partial
+    * snapshot. Committed via [[commitRewrite]], so a concurrent rewrite
+    * aborts this restore instead of resurrecting rows. Returns the new
+    * version, or 0 (no commit) when the table is already at that live
+    * set — idempotence, same contract as [[optimize]]. */
+  def restore(dir: String, toVersion: Int): Int = {
+    require(toVersion >= 1, s"toVersion must be >= 1: $toVersion")
+    val target = liveEntries(dir, toVersion)
+    val current = liveEntries(dir)
+    val currentPaths = current.map(_._1).toSet
+    val targetPaths = target.map(_._1).toSet
+    val add = target.filterNot { case (p, _) => currentPaths(p) }
+    val remove = current.map(_._1).filterNot(targetPaths)
+    if (add.isEmpty && remove.isEmpty) return 0
+    commitRewrite(dir, add, remove)
+  }
+
   /** Drop the whole table — data files and log. (Test/rebuild helper;
     * production tables are append-only and never need it.) */
   def destroy(dir: String): Unit = {

@@ -326,6 +326,29 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("restore rolls back as ordinary history: content, cross-restore time travel, idempotence, stats") {
+    val dir = freshDir()
+    val b1 = Seq(1, 2).toDF("x")
+    TxLog.commitWithStats(dir,
+      Seq(TxLog.writeBatch(b1, dir, "b1") -> TxLog.columnStats(b1, "x")))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(3, 4).toDF("x"), dir, "b2")))
+    assert(TxLog.optimize(spark, dir, "opt", targetFiles = 1) === 3)
+    val v = TxLog.restore(dir, 1)
+    assert(v === 4, "restore is one ordinary commit")
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq === Seq(1, 2),
+      "restored snapshot equals version 1")
+    assert(TxLog.read(spark, dir, asOf = 2).as[Int].collect().sorted.toSeq
+      === Seq(1, 2, 3, 4), "time travel across the restore still works")
+    assert(TxLog.restore(dir, 1) === 0, "re-restore is a no-op")
+    assert(TxLog.liveEntries(dir).forall(_._2.exists(_.startsWith("x;"))),
+      "the restored file keeps its manifest stats")
+    // rolling FORWARD to the compacted version is just another restore
+    assert(TxLog.restore(dir, 3) === 5)
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq
+      === Seq(1, 2, 3, 4))
+    TxLog.destroy(dir)
+  }
+
   test("commitRewrite aborts a stale rewrite instead of resurrecting removed rows") {
     val dir = freshDir()
     (1 to 3).foreach { b =>
