@@ -7927,6 +7927,60 @@ object Queries {
   /** Bigram-LM perplexity ([[CorpusOps.perplexity]]): every document
     * scored by its corpus-trained smoothed bigram NLL — the classic
     * LM-based quality filter, per-term quantized so the replay is exact. */
+  /** Naive-Bayes domain classification ([[CorpusOps.nbTrain]] +
+    * [[CorpusOps.nbScore]]): the model trains on the corpus's own `lang`
+    * labels, every document is scored against every label with exact
+    * integer log-likelihoods, and the argmax label is released. The
+    * oracle retrains the identical closed-form model in SQL (same add-α
+    * smoothing, same 1e-9 quantization before any sum), so both the
+    * training counts and the scoring fold are hash-checked. */
+  private val qNbClassify = QuerySpec(
+    "q_nb_classify",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = CorpusOps.nbTrain(docs, col("lang"), col("text"),
+        alpha = 1.0)
+      CorpusOps.nbScore(docs, col("doc_id"), col("text"), model)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+        SELECT d.doc_id, d.lang AS label,
+          unnest(list_filter(string_split_regex(d.text, '\s+'),
+            x -> x <> '')) AS w
+        FROM documents d),
+      tc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      lt AS (SELECT label, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      lsum AS (SELECT label, SUM(c) AS cl FROM lt GROUP BY 1),
+      vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+      prior AS (SELECT lang AS label,
+          CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)
+            / (SELECT COUNT(*) FROM documents)) * 1e9 + 0.5) AS BIGINT)
+            AS prior_e9
+        FROM documents GROUP BY 1),
+      lp AS (SELECT lt.label, lt.w,
+          CAST(floor(ln((CAST(lt.c AS DOUBLE) + 1.0)
+            / (CAST(ls.cl AS DOUBLE) + 1.0 * v.v)) * 1e9 + 0.5) AS BIGINT)
+            AS lp_e9
+        FROM lt, lsum ls, vocab v WHERE lt.label = ls.label),
+      defs AS (SELECT ls.label,
+          CAST(floor(ln(1.0 / (CAST(ls.cl AS DOUBLE) + 1.0 * v.v))
+            * 1e9 + 0.5) AS BIGINT) AS def_e9
+        FROM lsum ls, vocab v),
+      scored AS (SELECT tc.doc_id, d.label,
+          MIN(p.prior_e9) + SUM(tc.c * COALESCE(lp.lp_e9, d.def_e9))
+            AS score_e9
+        FROM tc CROSS JOIN defs d
+        LEFT JOIN lp ON lp.label = d.label AND lp.w = tc.w
+        JOIN prior p ON p.label = d.label
+        GROUP BY 1, 2),
+      best AS (SELECT doc_id, label, score_e9,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score_e9 DESC, label) AS rn
+        FROM scored)
+      SELECT doc_id, label, CAST(score_e9 AS BIGINT) AS score_e9
+      FROM best WHERE rn = 1
+      ORDER BY doc_id"""))
+
   private val qPerplexity = QuerySpec(
     "q_perplexity",
     (s, dir) =>
@@ -10124,7 +10178,8 @@ object Queries {
     qTpchQ4, qTpchQ12, qTpchQ14, qTpchQ18, qTpchQ19, qLinkPrediction,
     qContainment, qDpMean, qGeneralizeK, qTopPaths,
     qKmvDistinct, qRollingAnomaly, qMaxConcurrency, qEditDistance,
-    qScd2, qBenford, qPerplexity, qGoldenRecord, qFkAudit, qKmvOverlap,
+    qScd2, qBenford, qPerplexity, qNbClassify, qGoldenRecord, qFkAudit,
+    qKmvOverlap,
     qMode, qTrimmedMean, qEventKgrams, qInterpolate, qCorpusPipeline,
     qAudioFrames, qFrameDiffs, qSeasonalNaive, qWoe, qWilson,
     qPersonalizedPagerank, qClassSeparation, qGraphProfile,

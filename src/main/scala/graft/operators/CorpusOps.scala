@@ -263,6 +263,81 @@ object CorpusOps {
       .agg(sum(col("c")).as("n_feats"), sum(col("term_e6")).as("weight_e6"))
   }
 
+  /** Multinomial Naive-Bayes TRAINING over a labeled corpus — the
+    * classical domain/quality labeling pass (the role fastText plays in
+    * CCNet-style pipelines, in its closed-form cousin): per-(label,
+    * token) add-α log-probabilities, plus one meta row per label
+    * (`w = NULL`) carrying the label's log-prior and the smoothed
+    * default for unseen tokens. The returned frame IS the model — a
+    * plain persistable table (parquet/TxLog) that [[nbScore]] consumes,
+    * so training runs once and scoring batches never re-count the
+    * corpus.
+    *
+    * Determinism: every log quantizes to a 1e-9-scaled long at train
+    * time; scoring is then EXACT integer arithmetic, so argmax ties are
+    * bit-stable in any engine. Scale: two token-keyed hash aggregations
+    * with map-side partials; V and doc totals travel as 1-row broadcast
+    * cross joins. */
+  def nbTrain(df: DataFrame, labelCol: Column, textCol: Column,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive: $alpha")
+    val toks = df.select(labelCol.as("label"),
+      explode(filter(split(textCol, "\\s+"), t => t =!= "")).as("w"))
+    val lt = toks.groupBy("label", "w").agg(count(lit(1)).as("c"))
+    val lsum = lt.groupBy("label").agg(sum(col("c")).as("cl"))
+    val vocab = toks.agg(countDistinct(col("w")).as("v"))
+    val nd = df.groupBy(labelCol.as("label")).agg(count(lit(1)).as("nd"))
+    val ndTot = df.agg(count(lit(1)).as("ndt"))
+    val weights = lt.join(lsum, "label").crossJoin(broadcast(vocab))
+      .select(col("label"), col("w"),
+        floor(log((col("c").cast("double") + lit(alpha))
+          / (col("cl").cast("double") + lit(alpha) * col("v")))
+          * 1e9 + 0.5).cast("long").as("lp_e9"),
+        lit(null).cast("long").as("prior_e9"))
+    val meta = nd.join(lsum, "label")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(ndTot))
+      .select(col("label"), lit(null).cast("string").as("w"),
+        floor(log(lit(alpha)
+          / (col("cl").cast("double") + lit(alpha) * col("v")))
+          * 1e9 + 0.5).cast("long").as("lp_e9"),
+        floor(log(col("nd").cast("double") / col("ndt"))
+          * 1e9 + 0.5).cast("long").as("prior_e9"))
+    weights.unionByName(meta)
+  }
+
+  /** Score documents against an [[nbTrain]] model: per doc, per label,
+    * `score_e9 = prior_e9 + Σ_tokens count·lp_e9` (unseen tokens take the
+    * label's smoothed default from the meta row), released as the argmax
+    * label with its score — ties break on the smaller label, exactly
+    * reproducible because every addend is an integer. Emits
+    * `(doc_id, label, score_e9)`; documents with zero tokens are not
+    * scored (no evidence → no claim, the same contract as [[perplexity]]).
+    *
+    * Scale: the doc-token count is corpus-linear; the per-label fan-out
+    * multiplies by |labels| (a handful — broadcast meta rows); the model
+    * join is an ordinary (label, token) equi-join (AQE broadcasts small
+    * models); the argmax is a per-doc window over |labels| rows. */
+  def nbScore(df: DataFrame, idCol: Column, textCol: Column,
+      model: DataFrame): DataFrame = {
+    val weights = model.filter(col("w").isNotNull)
+      .select(col("label"), col("w"), col("lp_e9"))
+    val meta = model.filter(col("w").isNull)
+      .select(col("label"), col("lp_e9").as("_def_e9"), col("prior_e9"))
+    val tc = df.select(idCol.as("doc_id"),
+        explode(filter(split(textCol, "\\s+"), t => t =!= "")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val scored = tc.crossJoin(broadcast(meta))
+      .join(weights, Seq("label", "w"), "left_outer")
+      .groupBy(col("doc_id"), col("label"), col("prior_e9"))
+      .agg(sum(col("c") * coalesce(col("lp_e9"), col("_def_e9"))).as("_s"))
+      .select(col("doc_id"), col("label"),
+        (col("prior_e9") + col("_s")).as("score_e9"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score_e9").desc, col("label"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("doc_id"), col("label"), col("score_e9"))
+  }
+
   /** Bigram-LM perplexity scoring — the CCNet/Gopher quality filter: train
     * an add-α smoothed bigram model ON the corpus itself, then score each
     * document by its average negative log-likelihood (low = fluent w.r.t.

@@ -124,6 +124,34 @@ class GovernanceCorpusSpec extends AnyFunSuite {
     assert(out === Seq((1L, 1L, nll), (2L, 1L, nll))) // doc 3 has no bigram
   }
 
+  test("nbTrain/nbScore: argmax recovers the planted label; unseen tokens take the default") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the rug"),
+      (3L, "fr", "le chat dort sur le tapis"),
+      (4L, "fr", "le chien dort sur le lit"))
+      .toDF("doc_id", "lang", "text")
+    val model = CorpusOps.nbTrain(docs, col("lang"), col("text"), alpha = 1.0)
+    // one meta row per label, carrying prior + unseen-token default
+    val meta = model.filter(col("w").isNull)
+      .select("label", "prior_e9").as[(String, Long)].collect().toMap
+    assert(meta.keySet === Set("en", "fr"))
+    val prior = math.floor(math.log(0.5) * 1e9 + 0.5).toLong
+    assert(meta.values.toSeq === Seq(prior, prior))
+    val scored = CorpusOps.nbScore(docs, col("doc_id"), col("text"), model)
+      .select("doc_id", "label").as[(Long, String)].collect().toMap
+    assert(scored === Map(1L -> "en", 2L -> "en", 3L -> "fr", 4L -> "fr"),
+      "training docs must classify to their own language")
+    // a doc of entirely unseen tokens scores via the defaults; the
+    // LARGER default (smaller denominator = smaller vocab mass) wins.
+    // Both corpora have 12 tokens, so defaults tie and the label
+    // tiebreak (lexicographically smaller) must decide: 'en'.
+    val novel = Seq((9L, "zzz qqq")).toDF("doc_id", "text")
+    val out = CorpusOps.nbScore(novel, col("doc_id"), col("text"), model)
+      .select("doc_id", "label").as[(Long, String)].collect().toMap
+    assert(out === Map(9L -> "en"))
+  }
+
   test("goldenRecord: each field survives independently, nulls never overwrite") {
     val df = Seq(
       (1L, 1L, 1L, Some("A"), Option.empty[Double]),
