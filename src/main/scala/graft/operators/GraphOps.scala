@@ -699,10 +699,13 @@ object GraphOps {
         // quantize per term, then sum exactly: Σ floor(1e9/ln d + ½)
         sum(col("_term")).as("aa_e9"))
       .filter(col("cn") >= minCommon)
-      // measured and rejected (r11): localCheckpoint-ing the survivors
-      // here cut 9 core-s of re-execution under a caller's orderBy
-      // sampling pass but ADDED 1.7 s of wall (eager materialization
-      // serializes the pipeline) — lazy wins on the clock
+      // Checkpointing the survivors here was measured TWICE and rejected
+      // (r11): a caller's orderBy sampling pass does re-run the ~10M-pair
+      // final aggregate (2×12 core-s of a 63 core-s query), but eager
+      // localCheckpoint costs +1.7 s wall (materialization at
+      // op-construction serializes the pipeline) and lazy costs +2.1 s
+      // (block writes break stage overlap). The recompute is cheaper
+      // than the pin on the clock — keep the pure plan.
       .join(und, col("n1") === col("u") && col("n2") === col("v"),
         "left_anti")
     scored
