@@ -6595,6 +6595,133 @@ object Queries {
       FROM ev WHERE b = 0
       ORDER BY 1"""))
 
+  /** Copy-on-write DELETE ([[graft.sources.TxLog.deleteWhere]]): events
+    * land as three batches split BY TYPE, then `DELETE WHERE
+    * event_type='click' AND value<50` runs — the gate REQUIRES the two
+    * batches holding no clicks survive UNREWRITTEN (file pruning, the
+    * 100 TB property: deleting one tenant rewrites that tenant's files,
+    * not the table), the matched batch is retired, and a repeat delete
+    * is a no-op. Hash-checked output: the post-delete snapshot AND the
+    * pre-delete time-travel snapshot, both recomputed by the oracle from
+    * the raw table (the delete predicate replayed in SQL). */
+  private val qTxlogDelete = QuerySpec(
+    "q_txlog_delete",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_del_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val pClick = TxLog.writeBatch(
+        ev.filter(col("event_type") === "click"), root, "b_click")
+      val pView = TxLog.writeBatch(
+        ev.filter(col("event_type") === "view"), root, "b_view")
+      val pRest = TxLog.writeBatch(
+        ev.filter(!col("event_type").isin("click", "view")), root, "b_rest")
+      TxLog.commit(root, Seq(pClick))
+      TxLog.commit(root, Seq(pView))
+      TxLog.commit(root, Seq(pRest))
+      val pred = col("event_type") === "click" && col("value") < 50.0
+      val vDel = TxLog.deleteWhere(s, root, "del", pred)
+      require(vDel == 4, s"delete must land as ordinary version 4, got $vDel")
+      val live = TxLog.liveFiles(root)
+      require(live.contains(pView) && live.contains(pRest),
+        "file pruning: batches with no matching rows must NOT be rewritten")
+      require(!live.contains(pClick), "the matched batch must be retired")
+      require(TxLog.deleteWhere(s, root, "del2", pred) == 0,
+        "re-deleting already-deleted rows must be a no-op")
+      def agg(df: DataFrame, tag: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+          .withColumn("snapshot", lit(tag))
+      agg(TxLog.read(s, root), "post")
+        .unionByName(agg(TxLog.read(s, root, asOf = 3), "pre"))
+        .select(col("snapshot"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("snapshot", "event_type")
+    },
+    Some("""SELECT 'post' AS snapshot, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE NOT COALESCE(event_type = 'click' AND value < 50.0, FALSE)
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT 'pre', event_type, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM events GROUP BY 1, 2
+      ORDER BY snapshot, event_type"""))
+
+  /** MERGE / upsert ([[graft.sources.TxLog.merge]]): customers land as a
+    * low-key and a high-key batch; the merge source carries balance
+    * UPDATES for every tenth low-range key (matches confined to the low
+    * batch by construction) plus shifted-key INSERTS. The gate REQUIRES
+    * the high batch survives unrewritten (source-key file pruning — a
+    * small upsert into a 100 TB table rewrites the files its keys live
+    * in, not the table) and the matched batch is retired. Hash-checked
+    * output: the post-merge snapshot AND the pre-merge time-travel
+    * snapshot; the oracle replays the full when-matched-update /
+    * when-not-matched-insert semantics in SQL. */
+  private val qTxlogMerge = QuerySpec(
+    "q_txlog_merge",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_merge_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val pLow = TxLog.writeBatch(
+        cust.filter(col("c_custkey") < 750), root, "b_low")
+      val pHigh = TxLog.writeBatch(
+        cust.filter(col("c_custkey") >= 750), root, "b_high")
+      TxLog.commit(root, Seq(pLow))
+      TxLog.commit(root, Seq(pHigh))
+      val updates = cust
+        .filter(col("c_custkey") % 10 === 0 && col("c_custkey") < 750)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      val inserts = cust.filter(col("c_custkey") % 10 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("c_acctbal", col("c_acctbal") * 2.0)
+      val vM = TxLog.merge(s, root, "m", updates.unionByName(inserts),
+        Seq("c_custkey"))
+      require(vM == 3, s"merge must land as ordinary version 3, got $vM")
+      val live = TxLog.liveFiles(root)
+      require(live.contains(pHigh),
+        "file pruning: the batch holding no source keys must NOT be rewritten")
+      require(!live.contains(pLow), "the matched batch must be retired")
+      def agg(df: DataFrame, tag: String) =
+        df.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sumExact(col("c_acctbal")).as("sum_bal"))
+          .withColumn("snapshot", lit(tag))
+      agg(TxLog.read(s, root), "post")
+        .unionByName(agg(TxLog.read(s, root, asOf = 2), "pre"))
+        .select(col("snapshot"), col("c_mktsegment"), col("n"),
+          col("sum_bal"))
+        .orderBy("snapshot", "c_mktsegment")
+    },
+    Some("""WITH src AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0 AND c_custkey < 750
+        UNION ALL
+        SELECT c_custkey + 1000000, c_mktsegment, c_acctbal * 2.0
+        FROM customer WHERE c_custkey % 10 = 3
+      ), merged AS (
+        SELECT c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal FROM src
+      )
+      SELECT 'post' AS snapshot, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      FROM merged GROUP BY 1, 2
+      UNION ALL
+      SELECT 'pre', c_mktsegment, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      FROM customer GROUP BY 1, 2
+      ORDER BY snapshot, c_mktsegment"""))
+
   private val qTxlogZorder = QuerySpec(
     "q_txlog_zorder",
     (s, dir) => {
@@ -10194,7 +10321,7 @@ object Queries {
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
     qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
-    qTxlogZorder, qTxlogRestore,
+    qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

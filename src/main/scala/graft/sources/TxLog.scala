@@ -826,6 +826,139 @@ object TxLog {
     commitRewrite(dir, add, remove)
   }
 
+  /** Scheme-insensitive path identity — manifest paths and
+    * `input_file_name()` URIs must compare equal at the batch-dir grain
+    * regardless of `file:` vs bare-path spelling (same normalization
+    * [[vacuum]] applies). */
+  private def normPath(p: String): String =
+    new Path(p).toUri.getPath.stripSuffix("/")
+
+  /** The batch DIR a parquet part file belongs to: [[writeBatch]] writes
+    * parts directly under its dir, so the part's parent IS the batch. */
+  private def batchDirOf(partFile: String): String =
+    normPath(new Path(partFile).getParent.toString)
+
+  /** Stat-column names recorded in one manifest stats blob. */
+  private def statColsOf(st: Option[String]): Seq[String] =
+    st.toSeq.flatMap(_.split(",")).map(_.split(";", 3)(0)).distinct
+
+  // input_file_name capture column for the touched-file probes below;
+  // prefixed to stay clear of user schemas
+  private val FileCol = "_graft_input_file"
+
+  /** Copy-on-write DELETE — remove every live row satisfying `predicate`
+    * (SQL DELETE semantics: rows where the predicate is NULL are KEPT),
+    * as one atomic commit. The scale property is FILE PRUNING: one scan
+    * with `input_file_name()` finds the batch dirs that actually hold
+    * matching rows (predicate pushdown intact — a manifest-stats-disjoint
+    * or min/max-disjoint file never materializes matches), and ONLY those
+    * dirs are rewritten; a 100 TB table deleting one tenant's rows
+    * rewrites the files that contain that tenant, not the table. Each
+    * rewritten dir keeps its manifest stat columns ([[columnStatsMulti]]
+    * recomputed over the remainder), so [[readPruned]] skipping survives
+    * the delete. Committed via [[commitRewrite]] — a concurrent rewrite
+    * aborts this delete instead of resurrecting rows; time travel to
+    * pre-delete versions is untouched (removed files stay on disk until
+    * [[vacuum]]). Returns the new version, or 0 (no commit) when nothing
+    * matches — idempotence, same contract as [[optimize]]. Use a fresh
+    * `name` per call (writeBatch errors on an existing dir, by design).
+    *
+    * (Public precedent: Delta's DELETE copy-on-write path. Reference
+    * capability analog: rewriting a MapFile without the purged keys —
+    * there is no in-place delete in an immutable-file world.) */
+  def deleteWhere(spark: SparkSession, dir: String, name: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions._
+    val entries = liveEntries(dir)
+    if (entries.isEmpty) return 0
+    val files = entries.map(_._1)
+    val byNorm = files.map(p => normPath(p) -> p).toMap
+    val statsByNorm = entries.map { case (p, st) => normPath(p) -> st }.toMap
+    val touched = spark.read.parquet(files: _*)
+      .withColumn(FileCol, input_file_name())
+      .filter(predicate)
+      .select(FileCol).distinct().collect()
+      .map(r => batchDirOf(r.getString(0))).distinct.sorted.toSeq
+    if (touched.isEmpty) return 0
+    val removes = touched.flatMap(byNorm.get)
+    val adds = removes.zipWithIndex.flatMap { case (p, i) =>
+      // keep = NOT predicate OR predicate-is-null (SQL DELETE keeps
+      // null-predicate rows); per-dir read keeps untouched dirs untouched
+      val remainder = spark.read.parquet(p)
+        .filter(!coalesce(predicate, lit(false)))
+      if (remainder.isEmpty) None
+      else {
+        val statCols = statColsOf(statsByNorm(normPath(p)))
+        val st =
+          if (statCols.isEmpty) None else columnStatsMulti(remainder, statCols)
+        Some(writeBatch(remainder, dir, s"${name}_d$i") -> st)
+      }
+    }
+    commitRewrite(dir, adds, removes)
+  }
+
+  /** MERGE (upsert) `source` into the table on `keys` — target rows whose
+    * key matches a source row are REPLACED by that source row, source
+    * rows with no target match are INSERTED, all in one atomic commit
+    * (the when-matched-update-all / when-not-matched-insert-all core of
+    * the SQL MERGE verb; public precedent: Delta's MERGE copy-on-write
+    * path). Source keys must be unique — a multi-match upsert is
+    * ill-defined and rejected loudly, per the SQL standard's cardinality
+    * violation.
+    *
+    * File pruning, same scale argument as [[deleteWhere]]: one scan
+    * semi-joined against the broadcast source key set finds the batch
+    * dirs holding matched rows; ONLY those are rewritten (their rows
+    * anti-joined on `keys` — null-key target rows never match and are
+    * kept), and the whole source lands as one new file. A merge of a
+    * small batch into a 100 TB table rewrites the files the batch's keys
+    * live in, not the table. Rewritten dirs keep their manifest stat
+    * columns; the source file gets stats over the union of the table's
+    * live stat columns (those present in the source schema), so pruning
+    * survives. Committed via [[commitRewrite]]. Returns the new version,
+    * or 0 when `source` is empty. Fresh `name` per call. */
+  def merge(spark: SparkSession, dir: String, name: String,
+      source: DataFrame, keys: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val entries = liveEntries(dir)
+    require(entries.nonEmpty,
+      s"merge into an empty table $dir: commit the first batch instead")
+    if (source.isEmpty) return 0
+    val dupKeys = source.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
+        "a multi-match upsert is ill-defined; dedupe the source first")
+    val files = entries.map(_._1)
+    val byNorm = files.map(p => normPath(p) -> p).toMap
+    val statsByNorm = entries.map { case (p, st) => normPath(p) -> st }.toMap
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val touched = spark.read.parquet(files: _*)
+      .withColumn(FileCol, input_file_name())
+      .join(broadcast(srcKeys), keys, "left_semi")
+      .select(FileCol).distinct().collect()
+      .map(r => batchDirOf(r.getString(0))).distinct.sorted.toSeq
+    val removes = touched.flatMap(byNorm.get)
+    val rewrites = removes.zipWithIndex.flatMap { case (p, i) =>
+      val remainder = spark.read.parquet(p)
+        .join(broadcast(srcKeys), keys, "left_anti")
+      if (remainder.isEmpty) None
+      else {
+        val statCols = statColsOf(statsByNorm(normPath(p)))
+        val st =
+          if (statCols.isEmpty) None else columnStatsMulti(remainder, statCols)
+        Some(writeBatch(remainder, dir, s"${name}_d$i") -> st)
+      }
+    }
+    val srcStatCols = entries.flatMap(e => statColsOf(e._2)).distinct
+      .filter(source.columns.contains)
+    val srcStats =
+      if (srcStatCols.isEmpty) None else columnStatsMulti(source, srcStatCols)
+    val srcAdd = writeBatch(source, dir, s"${name}_src") -> srcStats
+    commitRewrite(dir, rewrites :+ srcAdd, removes)
+  }
+
   /** Drop the whole table — data files and log. (Test/rebuild helper;
     * production tables are append-only and never need it.) */
   def destroy(dir: String): Unit = {

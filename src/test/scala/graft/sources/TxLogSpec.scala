@@ -349,6 +349,91 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("deleteWhere rewrites only matching files; null predicates keep rows; stats survive") {
+    val dir = freshDir()
+    // b_lo holds x in [0,100), b_hi in [100,200); y is nullable
+    val lo = (0 until 100).map(i => (i, if (i % 10 == 0) None else Some(i)))
+      .toDF("x", "y")
+    val hi = (100 until 200).map(i => (i, Option(i))).toDF("x", "y")
+    TxLog.commitWithStats(dir,
+      Seq(TxLog.writeBatch(lo, dir, "b_lo") -> TxLog.columnStats(lo, "x")))
+    TxLog.commitWithStats(dir,
+      Seq(TxLog.writeBatch(hi, dir, "b_hi") -> TxLog.columnStats(hi, "x")))
+    val hiPath = TxLog.liveFiles(dir).find(_.endsWith("b_hi")).get
+    // DELETE WHERE y < 50: null-y rows (x % 10 == 0) must be KEPT, and
+    // b_hi (no y < 50 anywhere) must not be rewritten
+    val v = TxLog.deleteWhere(spark, dir, "del", col("y") < 50)
+    assert(v === 3, "delete is one ordinary commit")
+    assert(TxLog.liveFiles(dir).contains(hiPath),
+      "a file with no matching rows survives byte-identical")
+    val kept = TxLog.read(spark, dir).select("x").as[Int].collect().sorted
+    val expected = ((0 until 100).filter(i => i % 10 == 0 || i >= 50) ++
+      (100 until 200)).sorted
+    assert(kept.toSeq === expected,
+      "predicate-true rows go, null-predicate rows stay")
+    // time travel to the pre-delete version is untouched
+    assert(TxLog.read(spark, dir, asOf = 2).count() === 200)
+    // the rewritten file re-derived its x stats: a lo-range probe still
+    // prunes b_hi, a hi-range probe still prunes the rewritten file
+    val prunedLo = TxLog.readPruned(spark, dir, "x", 0, 10).get
+    assert(prunedLo.inputFiles.length <
+      TxLog.read(spark, dir).inputFiles.length,
+      "stats survive the delete: disjoint files still skip")
+    assert(TxLog.deleteWhere(spark, dir, "del2", col("y") < 50) === 0,
+      "idempotent: nothing left to delete")
+    TxLog.destroy(dir)
+  }
+
+  test("merge upserts by key, prunes unmatched files, rejects duplicate source keys") {
+    val dir = freshDir()
+    val lo = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val hi = Seq((100, "x", 1.0), (101, "y", 2.0)).toDF("k", "tag", "v")
+    TxLog.commitWithStats(dir,
+      Seq(TxLog.writeBatch(lo, dir, "b_lo") -> TxLog.columnStats(lo, "k")))
+    TxLog.commitWithStats(dir,
+      Seq(TxLog.writeBatch(hi, dir, "b_hi") -> TxLog.columnStats(hi, "k")))
+    val hiPath = TxLog.liveFiles(dir).find(_.endsWith("b_hi")).get
+    // update k=2, insert k=7 — touches only b_lo
+    val src = Seq((2, "B", 200.0), (7, "g", 70.0)).toDF("k", "tag", "v")
+    val v = TxLog.merge(spark, dir, "m", src, Seq("k"))
+    assert(v === 3, "merge is one ordinary commit")
+    assert(TxLog.liveFiles(dir).contains(hiPath),
+      "a file holding none of the source keys survives byte-identical")
+    val after = TxLog.read(spark, dir).as[(Int, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(after === Seq((1, "a", 10.0), (2, "B", 200.0), (3, "c", 30.0),
+      (7, "g", 70.0), (100, "x", 1.0), (101, "y", 2.0)),
+      "matched rows replaced, unmatched inserted, the rest untouched")
+    assert(TxLog.read(spark, dir, asOf = 2)
+      .filter(col("k") === 2).select("v").as[Double].head() === 20.0,
+      "time travel to the pre-merge version is untouched")
+    // the source file carries k stats (union of live stat columns), so
+    // a probe outside every file's range prunes everything
+    assert(TxLog.liveEntries(dir).forall(_._2.exists(_.contains("k;"))),
+      "every post-merge file carries k stats")
+    val dup = Seq((5, "d", 1.0), (5, "e", 2.0)).toDF("k", "tag", "v")
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, "m2", dup, Seq("k"))
+    }
+    assert(TxLog.merge(spark, dir, "m3", src.limit(0), Seq("k")) === 0,
+      "empty source is a no-op")
+    TxLog.destroy(dir)
+  }
+
+  test("merge with no matched keys is a pure insert: nothing rewritten") {
+    val dir = freshDir()
+    val base = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
+    TxLog.commit(dir, Seq(TxLog.writeBatch(base, dir, "b0")))
+    val basePath = TxLog.liveFiles(dir).head
+    val src = Seq((10, 10.0)).toDF("k", "v")
+    assert(TxLog.merge(spark, dir, "m", src, Seq("k")) === 2)
+    assert(TxLog.liveFiles(dir).contains(basePath),
+      "insert-only merge leaves every existing file in place")
+    assert(TxLog.read(spark, dir).count() === 3)
+    TxLog.destroy(dir)
+  }
+
   test("commitRewrite aborts a stale rewrite instead of resurrecting removed rows") {
     val dir = freshDir()
     (1 to 3).foreach { b =>
