@@ -826,12 +826,18 @@ object TxLog {
     commitRewrite(dir, add, remove)
   }
 
-  /** Scheme-insensitive path identity — manifest paths and
-    * `input_file_name()` URIs must compare equal at the batch-dir grain
-    * regardless of `file:` vs bare-path spelling (same normalization
-    * [[vacuum]] applies). */
-  private def normPath(p: String): String =
-    new Path(p).toUri.getPath.stripSuffix("/")
+  /** Scheme- and working-directory-insensitive path identity — manifest
+    * paths (possibly RELATIVE, possibly bare) and `input_file_name()`
+    * URIs (always absolute) must compare equal at the batch-dir grain.
+    * `makeQualified` resolves relative paths against the filesystem's
+    * working directory before the scheme is stripped; without it a table
+    * rooted at a relative path maps NOTHING and a row-level verb would
+    * silently no-op (caught by tools/RowVerbProbe, guarded loudly in
+    * [[deleteWhere]]/[[merge]] besides). */
+  private def normPath(p: String): String = {
+    val path = new Path(p)
+    fsOf(path).makeQualified(path).toUri.getPath.stripSuffix("/")
+  }
 
   /** The batch DIR a parquet part file belongs to: [[writeBatch]] writes
     * parts directly under its dir, so the part's parent IS the batch. */
@@ -881,6 +887,9 @@ object TxLog {
       .map(r => batchDirOf(r.getString(0))).distinct.sorted.toSeq
     if (touched.isEmpty) return 0
     val removes = touched.flatMap(byNorm.get)
+    require(removes.size == touched.size,
+      s"txlog: ${touched.size - removes.size} matched batch dirs did not " +
+        s"map back to a manifest path of $dir — refusing a partial delete")
     val adds = removes.zipWithIndex.flatMap { case (p, i) =>
       // keep = NOT predicate OR predicate-is-null (SQL DELETE keeps
       // null-predicate rows); per-dir read keeps untouched dirs untouched
@@ -940,6 +949,9 @@ object TxLog {
       .select(FileCol).distinct().collect()
       .map(r => batchDirOf(r.getString(0))).distinct.sorted.toSeq
     val removes = touched.flatMap(byNorm.get)
+    require(removes.size == touched.size,
+      s"txlog: ${touched.size - removes.size} matched batch dirs did not " +
+        s"map back to a manifest path of $dir — refusing a partial merge")
     val rewrites = removes.zipWithIndex.flatMap { case (p, i) =>
       val remainder = spark.read.parquet(p)
         .join(broadcast(srcKeys), keys, "left_anti")
