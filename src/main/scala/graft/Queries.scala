@@ -6722,6 +6722,139 @@ object Queries {
       FROM customer GROUP BY 1, 2
       ORDER BY snapshot, c_mktsegment"""))
 
+  /** Additive schema evolution through the log
+    * ([[graft.sources.TxLog.read]] with `mergeSchema`): batch 1 lands
+    * without the `category` column, batch 2 adds it; the evolved read
+    * serves the UNION schema with nulls where the old file predates the
+    * column — the lakehouse answer to "a new pipeline stage started
+    * emitting a field" without rewriting history. The oracle recomputes
+    * the per-category aggregate from the raw table, deriving NULL for
+    * exactly the rows of the pre-evolution batch (the same portable
+    * bucket split). */
+  private val qTxlogEvolve = QuerySpec(
+    "q_txlog_evolve",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_evolve_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 2)
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        ev.filter(b === 0).select(col("event_id"), col("value")),
+        root, "b_old")))
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        ev.filter(b === 1).select(col("event_id"), col("value"),
+          col("event_type").as("category")),
+        root, "b_new")))
+      TxLog.read(s, root, mergeSchema = true)
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+        .orderBy(asc_nulls_first("category"))
+    },
+    Some("""WITH ev AS (SELECT event_type, value,
+          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 2 AS b
+        FROM events WHERE event_id IS NOT NULL)
+      SELECT CASE WHEN b = 1 THEN event_type END AS category,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM ev GROUP BY 1 ORDER BY 1 NULLS FIRST"""))
+
+  /** Streaming CDC upsert into the lakehouse table — foreachBatch +
+    * [[graft.sources.TxLog.merge]], the standard production ingest shape
+    * (public precedent: Structured Streaming foreachBatch feeding
+    * Delta's MERGE): a seeded table takes three REAL micro-batches of
+    * per-user updates (event_id terciles, so batch order is event-time
+    * order); each batch dedupes to its last-per-user row, then upserts
+    * by user_id. Last writer wins END TO END: within a batch via the
+    * row_number dedupe, across batches because a later merge replaces
+    * the key. The oracle replays the whole composition as one window
+    * query — final state per user = the globally-latest event — plus the
+    * untouched shifted-key seeds, proving the stream of merges converges
+    * to exactly the batch answer. */
+  private val qStreamTxlogMerge = QuerySpec(
+    "q_stream_txlog_merge",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_smerge_src_$sfName")
+      val tbl = s"/tmp/graft_smerge_tbl_$sfName"
+      val ckpt = s"/tmp/graft_smerge_ckpt_$sfName"
+      def rmTree(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.delete(q); () })
+        }
+      }
+      Seq(srcDir.toString, tbl, ckpt).foreach(rmTree)
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val bounds = ev.agg(min("event_id"), max("event_id")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val tercile = least(
+        floor((col("event_id") - lo) * 3 / (hi - lo + 1)), lit(2L))
+      (0 until 3).foreach { b =>
+        val tmp = s"$srcDir/_stage_$b"
+        ev.filter(tercile === b.toLong)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dest = srcDir.resolve(s"split_$b.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        // pin arrival order: the file source triggers in mod-time order
+        dest.toFile.setLastModified(1700000000000L + b * 60000L)
+        rmTree(tmp)
+      }
+      // seed the table: every user at a sentinel row, plus shifted-key
+      // seeds no update ever touches (they must survive verbatim)
+      val users = ev.select(col("user_id")).distinct()
+      val seed = users
+        .select(col("user_id"), lit("seed").as("event_type"),
+          lit(0.0).as("value"))
+        .unionByName(users.select((col("user_id") + 100000L).as("user_id"),
+          lit("seed").as("event_type"), lit(0.0).as("value")))
+      TxLog.commit(tbl, Seq(TxLog.writeBatch(seed, tbl, "seed")))
+      val feed = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = pinnedParts(s, 8)(feed.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            val w = Window.partitionBy(col("user_id"))
+              .orderBy(col("event_id").desc)
+            val latest = batch
+              .withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1)
+              .select(col("user_id"), col("event_type"), col("value"))
+            TxLog.merge(s, tbl, s"m$id", latest, Seq("user_id"))
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      q.awaitTermination()
+      require(TxLog.latestVersion(tbl) == 4,
+        "history must be seed + one merge commit per micro-batch = 4")
+      TxLog.read(s, tbl)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH last AS (
+        SELECT user_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+            AS rn
+        FROM events)
+      SELECT user_id, event_type, value FROM last WHERE rn = 1
+      UNION ALL
+      SELECT DISTINCT user_id + 100000, 'seed', 0.0 FROM events
+      ORDER BY user_id"""))
+
   private val qTxlogZorder = QuerySpec(
     "q_txlog_zorder",
     (s, dir) => {
@@ -10321,7 +10454,8 @@ object Queries {
     qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
     qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
-    qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge,
+    qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge, qTxlogEvolve,
+    qStreamTxlogMerge,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

@@ -607,12 +607,22 @@ object TxLog {
 
   /** Snapshot read — all live parquet files as one DataFrame; empty
     * snapshot of a known schema reads as an empty frame of that schema
-    * via the caller providing at least one committed version. */
-  def read(spark: SparkSession, dir: String, asOf: Int = -1): DataFrame = {
+    * via the caller providing at least one committed version.
+    *
+    * `mergeSchema = true` is the SCHEMA-EVOLUTION read (public
+    * precedent: Delta's additive schema evolution; mechanism: parquet's
+    * own mergeSchema footer union): a table whose later batches added
+    * columns serves the UNION schema, with nulls where an old file
+    * predates a column. The default read keeps Spark's single-footer
+    * fast path — a homogeneous table pays nothing for the capability. */
+  def read(spark: SparkSession, dir: String, asOf: Int = -1,
+      mergeSchema: Boolean = false): DataFrame = {
     val files = liveFiles(dir, asOf)
     require(files.nonEmpty,
       s"txlog: snapshot of $dir at asOf=$asOf holds no files")
-    spark.read.parquet(files: _*)
+    val rd = if (mergeSchema) spark.read.option("mergeSchema", "true")
+             else spark.read
+    rd.parquet(files: _*)
   }
 
   /** Bin-pack compaction — the OPTIMIZE verb of the lakehouse surface

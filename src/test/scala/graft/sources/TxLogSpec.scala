@@ -421,6 +421,23 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("mergeSchema read serves the union schema; old files read as nulls") {
+    val dir = freshDir()
+    TxLog.commit(dir,
+      Seq(TxLog.writeBatch(Seq(1, 2).toDF("x"), dir, "b_old")))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((3, "c")).toDF("x", "tag"), dir, "b_new")))
+    val evolved = TxLog.read(spark, dir, mergeSchema = true)
+    assert(evolved.columns.sorted.toSeq === Seq("tag", "x"))
+    assert(evolved.select("x", "tag").as[(Int, Option[String])]
+      .collect().sortBy(_._1).toSeq ===
+      Seq((1, None), (2, None), (3, Some("c"))),
+      "pre-evolution rows read the new column as null")
+    // time travel BEFORE the evolution serves the old schema unchanged
+    assert(TxLog.read(spark, dir, asOf = 1).columns.toSeq === Seq("x"))
+    TxLog.destroy(dir)
+  }
+
   test("merge with no matched keys is a pure insert: nothing rewritten") {
     val dir = freshDir()
     val base = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
