@@ -10310,6 +10310,44 @@ object Queries {
       FROM ds LEFT JOIN ei USING (label) CROSS JOIN m
       ORDER BY label"""))
 
+  /** Community detection by synchronous label propagation
+    * ([[GraphOps.labelPropagation]], two rounds on the co-purchase
+    * graph): deterministic by construction (smallest-label tie-break,
+    * all-nodes-at-once rounds), so the oracle can replay both rounds
+    * exactly — each as a neighbor-label vote with a
+    * count-desc/label-asc argmax window. */
+  private val qLabelProp = QuerySpec(
+    "q_label_prop",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("src"))
+      val b = li.select(col("ok").as("ok2"), col("pk").as("dst"))
+      val edges = a.join(b, col("ok") === col("ok2") && col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      GraphOps.labelPropagation(edges, iters = 2).orderBy("node")
+    },
+    Some("""WITH e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      e AS (SELECT u AS node, v AS nb FROM e0
+        UNION ALL SELECT v, u FROM e0),
+      it1 AS (SELECT node, label FROM (
+          SELECT e.node, l.label,
+            ROW_NUMBER() OVER (PARTITION BY e.node
+              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM e JOIN (SELECT DISTINCT node, node AS label FROM e) l
+            ON l.node = e.nb
+          GROUP BY 1, 2) t WHERE rn = 1),
+      it2 AS (SELECT node, label FROM (
+          SELECT e.node, l.label,
+            ROW_NUMBER() OVER (PARTITION BY e.node
+              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM e JOIN it1 l ON l.node = e.nb
+          GROUP BY 1, 2) t WHERE rn = 1)
+      SELECT node, label FROM it2 ORDER BY node"""))
+
   /** Per-group z-scores ([[StatsOps.zScores]]): every lineitem price
     * standardized against its return flag's exact-moment statistics. */
   private val qZscore = QuerySpec(
@@ -10451,7 +10489,7 @@ object Queries {
     qClusteringCoeff, qHolt, qRandomProjection,
     qKCore, qRendezvous, qZoneMaps, qScd2Asof, qReciprocalNn,
     qInvertedIndex, qRfm, qStreaks, qAssocRules,
-    qModularity, qZscore, qTargetEncode, qSystematicSample, qDhash,
+    qModularity, qLabelProp, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
     qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
     qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge, qTxlogEvolve,

@@ -715,4 +715,53 @@ object GraphOps {
         floor(lit(1e6) * col("cn") / (col("d1") + col("d2") - col("cn"))
           + 0.5).cast("long").as("jaccard_e6"))
   }
+
+  /** Synchronous label propagation — community detection by iterated
+    * neighbor-majority vote (the classic LPA of Raghavan et al. 2007,
+    * as in GraphX's LabelPropagation): every node starts labeled with
+    * its own id; each round it adopts the label most frequent among its
+    * neighbors, ties broken toward the SMALLEST label. The tie-break
+    * plus synchronous (all-nodes-at-once) rounds make a fixed-`iters`
+    * run fully deterministic — the property the oracle cross-check
+    * needs; production callers pick `iters` ~ graph diameter.
+    *
+    * Scale shape, per round: one shuffle joining the undirected edge
+    * list against the O(|V|) label table (label side is the small one —
+    * broadcastable when |V| fits), one partial-aggregated
+    * (node, label) count, and one struct-argmax `max(cnt, −label)`
+    * fold — no window, no driver loop over nodes. Rounds are chained
+    * through eager localCheckpoints with prompt release, the
+    * [[pagerank]] discipline, so `iters` rounds never pin `iters`
+    * copies of the label table. Returns (node, label) over every node
+    * incident to an edge. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"),
+        greatest(col("s"), col("d")).as("v"))
+      .distinct()
+      .select(explode(array(struct(col("u").as("node"), col("v").as("nb")),
+        struct(col("v").as("node"), col("u").as("nb")))).as("e"))
+      .select(col("e.node"), col("e.nb"))
+      .localCheckpoint()
+    var labels = und.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val next = und
+        .join(labels.select(col("node").as("nb"), col("label")), Seq("nb"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      val prev = labels
+      labels = next.localCheckpoint()
+      Checkpoints.release(prev)
+    }
+    Checkpoints.release(und)
+    labels
+  }
 }

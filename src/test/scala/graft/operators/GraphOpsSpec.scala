@@ -232,4 +232,35 @@ class PmiDriftSpec extends AnyFunSuite {
     assert(walks.count() === 8)
     assert(pinnedCount === 1, s"randomWalks residual: $pinnedCount")
   }
+
+  test("labelPropagation: two bridged triangles, hand-traced two rounds") {
+    sweepStorage()
+    // triangles {1,2,3} and {10,11,12}, bridge 3-10; round 1 (all labels
+    // distinct, every count 1) takes each node's MIN neighbor; round 2
+    // votes over those. Hand trace: after r1 labels are
+    // 1->2 2->1 3->1 10->3 11->10 12->10; r2 majorities/tie-breaks give
+    // 1->1 2->1 3->1 (left triangle converged) 10->10 11->3 12->3.
+    val edges = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      10L -> 11L, 11L -> 12L, 10L -> 12L, 3L -> 10L).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, iters = 2)
+    assert(out.as[(Long, Long)].collect().sortBy(_._1).toSeq ===
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 3L, 12L -> 3L))
+    assert(pinnedCount === 1, s"labelPropagation residual: $pinnedCount")
+  }
+
+  test("labelPropagation tie-break is the smallest label; direction and dups don't matter") {
+    sweepStorage()
+    // a 1-2 edge listed both ways and duplicated: one round swaps the
+    // two labels deterministically (min of the single neighbor)
+    val noisy = Seq(1L -> 2L, 2L -> 1L, 1L -> 2L).toDF("src", "dst")
+    val one = GraphOps.labelPropagation(noisy, iters = 1)
+    assert(one.as[(Long, Long)].collect().sortBy(_._1).toSeq ===
+      Seq(1L -> 2L, 2L -> 1L))
+    graft.core.Checkpoints.release(one)
+    // 4-cycle, one round: each node adopts min(two neighbors)
+    val cyc = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L).toDF("src", "dst")
+    val r1 = GraphOps.labelPropagation(cyc, iters = 1)
+    assert(r1.as[(Long, Long)].collect().sortBy(_._1).toSeq ===
+      Seq(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
 }
