@@ -746,10 +746,13 @@ object GraphOps {
         struct(col("v").as("node"), col("u").as("nb")))).as("e"))
       .select(col("e.node"), col("e.nb"))
       .localCheckpoint()
-    var labels = und.select(col("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // round 1 closed form: with self-labels every neighbor label is
+    // distinct (count 1 each), so the count-desc/label-asc argmax IS
+    // min(neighbor) — one aggregation instead of a join + two-level vote
+    var labels = und.groupBy(col("node"))
+      .agg(min(col("nb")).as("label"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (_ <- 2 to iters) {
       val next = und
         .join(labels.select(col("node").as("nb"), col("label")), Seq("nb"))
         .groupBy(col("node"), col("label"))
