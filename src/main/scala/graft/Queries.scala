@@ -6722,6 +6722,70 @@ object Queries {
       FROM customer GROUP BY 1, 2
       ORDER BY snapshot, c_mktsegment"""))
 
+  /** CDC APPLY CHANGES ([[graft.sources.TxLog.applyChanges]]): one
+    * op-tagged feed batch — deletes for every tenth key, balance
+    * updates for another tenth, shifted-key inserts — folds into the
+    * table as ONE atomic commit through the shared merge core. The
+    * oracle replays delete/update/insert semantics in SQL over the raw
+    * table; the pre-change time-travel snapshot proves isolation. */
+  private val qTxlogCdc = QuerySpec(
+    "q_txlog_cdc",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_cdc_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val b = TextFunctions.portableBucket(col("c_custkey"), 2)
+      TxLog.commit(root,
+        Seq(TxLog.writeBatch(cust.filter(b === 0), root, "b0")))
+      TxLog.commit(root,
+        Seq(TxLog.writeBatch(cust.filter(b === 1), root, "b1")))
+      val dels = cust.filter(col("c_custkey") % 10 === 1)
+        .withColumn("op", lit("D"))
+      val ups = cust.filter(col("c_custkey") % 10 === 2)
+        .withColumn("c_acctbal", col("c_acctbal") + 500.0)
+        .withColumn("op", lit("U"))
+      val ins = cust.filter(col("c_custkey") % 10 === 4)
+        .withColumn("c_custkey", col("c_custkey") + 2000000L)
+        .withColumn("c_acctbal", col("c_acctbal") * 3.0)
+        .withColumn("op", lit("U"))
+      val vC = TxLog.applyChanges(s, root, "cdc",
+        dels.unionByName(ups).unionByName(ins), Seq("c_custkey"))
+      require(vC == 3, s"applyChanges must land as version 3, got $vC")
+      require(!TxLog.read(s, root).columns.contains("op"),
+        "the op marker is feed plumbing and must not land in the table")
+      def agg(df: DataFrame, tag: String) =
+        df.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sumExact(col("c_acctbal")).as("sum_bal"))
+          .withColumn("snapshot", lit(tag))
+      agg(TxLog.read(s, root), "post")
+        .unionByName(agg(TxLog.read(s, root, asOf = 2), "pre"))
+        .select(col("snapshot"), col("c_mktsegment"), col("n"),
+          col("sum_bal"))
+        .orderBy("snapshot", "c_mktsegment")
+    },
+    Some("""WITH merged AS (
+        SELECT c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey % 10 <> 1 AND c_custkey % 10 <> 2
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal + 500.0 FROM customer
+        WHERE c_custkey % 10 = 2
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal * 3.0 FROM customer
+        WHERE c_custkey % 10 = 4
+      )
+      SELECT 'post' AS snapshot, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      FROM merged GROUP BY 1, 2
+      UNION ALL
+      SELECT 'pre', c_mktsegment, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      FROM customer GROUP BY 1, 2
+      ORDER BY snapshot, c_mktsegment"""))
+
   /** Additive schema evolution through the log
     * ([[graft.sources.TxLog.read]] with `mergeSchema`): batch 1 lands
     * without the `category` column, batch 2 adds it; the evolved read
@@ -10493,7 +10557,7 @@ object Queries {
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
     qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
     qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge, qTxlogEvolve,
-    qStreamTxlogMerge,
+    qStreamTxlogMerge, qTxlogCdc,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

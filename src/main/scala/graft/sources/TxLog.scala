@@ -937,14 +937,46 @@ object TxLog {
     * survives. Committed via [[commitRewrite]]. Returns the new version,
     * or 0 when `source` is empty. Fresh `name` per call. */
   def merge(spark: SparkSession, dir: String, name: String,
-      source: DataFrame, keys: Seq[String]): Int = {
+      source: DataFrame, keys: Seq[String]): Int =
+    mergeImpl(spark, dir, name, upserts = source, keyed = source, keys)
+
+  /** APPLY CHANGES — fold an op-tagged CDC feed into the table in one
+    * atomic commit (public precedent: Delta Live Tables' APPLY CHANGES
+    * INTO / Delta's `MERGE … WHEN MATCHED AND op='D' THEN DELETE`): rows
+    * of `changes` whose `opCol` equals `deleteOp` DELETE their key from
+    * the table; every other row UPSERTS (with the op column dropped —
+    * the marker is feed plumbing, not data). A delete for an absent key
+    * is a no-op, the standard WHEN-NOT-MATCHED treatment. Keys must be
+    * unique across the WHOLE feed batch — a key carrying both an update
+    * and a delete in one batch is ill-defined; callers fold a raw feed
+    * to its last change per key first (the [[graft.operators]] CDC
+    * consumers all do). File pruning, stats preservation, conflict
+    * handling: exactly [[merge]]. Returns the new version, or 0 when
+    * the batch changes nothing. */
+  def applyChanges(spark: SparkSession, dir: String, name: String,
+      changes: DataFrame, keys: Seq[String], opCol: String = "op",
+      deleteOp: String = "D"): Int = {
+    import org.apache.spark.sql.functions._
+    require(changes.columns.contains(opCol),
+      s"applyChanges: feed has no op column '$opCol' " +
+        s"(columns: ${changes.columns.mkString(", ")})")
+    mergeImpl(spark, dir, name,
+      upserts = changes.filter(col(opCol) =!= deleteOp).drop(opCol),
+      keyed = changes, keys)
+  }
+
+  /** Shared copy-on-write core of [[merge]] and [[applyChanges]]:
+    * `keyed` carries every key leaving the current snapshot (upserted or
+    * deleted); `upserts` is what lands as the new source file. */
+  private def mergeImpl(spark: SparkSession, dir: String, name: String,
+      upserts: DataFrame, keyed: DataFrame, keys: Seq[String]): Int = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val entries = liveEntries(dir)
     require(entries.nonEmpty,
       s"merge into an empty table $dir: commit the first batch instead")
-    if (source.isEmpty) return 0
-    val dupKeys = source.groupBy(keys.map(col): _*)
+    if (keyed.isEmpty) return 0
+    val dupKeys = keyed.groupBy(keys.map(col): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dupKeys == 0,
       s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
@@ -952,7 +984,7 @@ object TxLog {
     val files = entries.map(_._1)
     val byNorm = files.map(p => normPath(p) -> p).toMap
     val statsByNorm = entries.map { case (p, st) => normPath(p) -> st }.toMap
-    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val srcKeys = keyed.select(keys.map(col): _*).distinct()
     val touched = spark.read.parquet(files: _*)
       .withColumn(FileCol, input_file_name())
       .join(broadcast(srcKeys), keys, "left_semi")
@@ -973,12 +1005,20 @@ object TxLog {
         Some(writeBatch(remainder, dir, s"${name}_d$i") -> st)
       }
     }
-    val srcStatCols = entries.flatMap(e => statColsOf(e._2)).distinct
-      .filter(source.columns.contains)
-    val srcStats =
-      if (srcStatCols.isEmpty) None else columnStatsMulti(source, srcStatCols)
-    val srcAdd = writeBatch(source, dir, s"${name}_src") -> srcStats
-    commitRewrite(dir, rewrites :+ srcAdd, removes)
+    val srcAdd =
+      if (upserts.isEmpty) None
+      else {
+        val srcStatCols = entries.flatMap(e => statColsOf(e._2)).distinct
+          .filter(upserts.columns.contains)
+        val srcStats =
+          if (srcStatCols.isEmpty) None
+          else columnStatsMulti(upserts, srcStatCols)
+        Some(writeBatch(upserts, dir, s"${name}_src") -> srcStats)
+      }
+    val adds = rewrites ++ srcAdd
+    // a delete-only feed whose keys touch nothing changes nothing
+    if (adds.isEmpty && removes.isEmpty) return 0
+    commitRewrite(dir, adds, removes)
   }
 
   /** Drop the whole table — data files and log. (Test/rebuild helper;

@@ -438,6 +438,36 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("applyChanges: deletes, updates, inserts, absent-key delete no-op, op dropped") {
+    val dir = freshDir()
+    val base = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v")
+    TxLog.commit(dir, Seq(TxLog.writeBatch(base, dir, "b0")))
+    val feed = Seq((1, 0.0, "D"),   // delete existing
+                   (2, 200.0, "U"), // update
+                   (7, 70.0, "U"),  // insert
+                   (9, 0.0, "D"))   // delete absent key: no-op
+      .toDF("k", "v", "op")
+    assert(TxLog.applyChanges(spark, dir, "c1", feed, Seq("k")) === 2)
+    val snap = TxLog.read(spark, dir)
+    assert(snap.columns.toSeq === Seq("k", "v"), "op marker must not land")
+    assert(snap.as[(Int, Double)].collect().sortBy(_._1).toSeq ===
+      Seq(2 -> 200.0, 3 -> 30.0, 7 -> 70.0))
+    // a key carrying both an update and a delete in one batch is rejected
+    val conflicted = Seq((3, 1.0, "U"), (3, 0.0, "D")).toDF("k", "v", "op")
+    intercept[IllegalArgumentException] {
+      TxLog.applyChanges(spark, dir, "c2", conflicted, Seq("k"))
+    }
+    // a delete-only feed hitting nothing changes nothing
+    val misses = Seq((99, 0.0, "D")).toDF("k", "v", "op")
+    assert(TxLog.applyChanges(spark, dir, "c3", misses, Seq("k")) === 0)
+    // a delete-only feed hitting something is a pure rewrite commit
+    val hit = Seq((2, 0.0, "D")).toDF("k", "v", "op")
+    assert(TxLog.applyChanges(spark, dir, "c4", hit, Seq("k")) === 3)
+    assert(TxLog.read(spark, dir).as[(Int, Double)].collect()
+      .sortBy(_._1).toSeq === Seq(3 -> 30.0, 7 -> 70.0))
+    TxLog.destroy(dir)
+  }
+
   test("merge with no matched keys is a pure insert: nothing rewritten") {
     val dir = freshDir()
     val base = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
