@@ -6786,6 +6786,91 @@ object Queries {
       FROM customer GROUP BY 1, 2
       ORDER BY snapshot, c_mktsegment"""))
 
+  /** Timestamp time travel ([[graft.sources.TxLog.readAsOfTimestamp]]):
+    * the gate captures a wall-clock instant between two commits and
+    * reads the table AS OF that instant — resolution must pick the
+    * first commit (newest at-or-before, the Delta TIMESTAMP AS OF
+    * rule). Hash-checked output: the as-of snapshot and the latest
+    * snapshot, recomputed by the oracle through the same portable
+    * bucket split. */
+  private val qTxlogTimeTravel = QuerySpec(
+    "q_txlog_time_travel",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_ts_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 2)
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 0), root, "b0")))
+      Thread.sleep(15)
+      val tMid = System.currentTimeMillis()
+      Thread.sleep(15)
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 1), root, "b1")))
+      require(TxLog.versionAt(root, tMid) == 1,
+        "the instant between the commits must resolve to version 1")
+      def agg(df: DataFrame, tag: String) =
+        df.agg(count(col("value")).as("cnt"),
+            sumExact(col("value")).as("sum_value"))
+          .select(lit(tag).as("dim"), col("cnt"), col("sum_value"))
+      agg(TxLog.readAsOfTimestamp(s, root, tMid), "at_mid")
+        .unionByName(agg(TxLog.read(s, root), "latest"))
+        .orderBy("dim")
+    },
+    Some("""WITH ev AS (SELECT event_id, value,
+          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 2 AS b
+        FROM events WHERE event_id IS NOT NULL)
+      SELECT 'at_mid' AS dim, CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM ev WHERE b = 0
+      UNION ALL
+      SELECT 'latest', CAST(COUNT(value) AS BIGINT),
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM ev
+      ORDER BY 1"""))
+
+  /** Constraint-enforced ingest ([[graft.sources.TxLog.commitChecked]]):
+    * two clean batches land through CHECK constraints
+    * (value non-negative, event_type present); a third batch with
+    * planted violations is REFUSED atomically — the gate requires the
+    * per-constraint violation report and that the refusal left zero
+    * footprint. Hash-checked output: the final snapshot, which the
+    * oracle recomputes as exactly the full clean table. */
+  private val qTxlogConstraints = QuerySpec(
+    "q_txlog_constraints",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_chk_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 2)
+      val checks = Seq(
+        "value_non_negative" -> (col("value") >= 0.0),
+        "event_type_present" -> col("event_type").isNotNull)
+      TxLog.commitChecked(s, root, "b0", ev.filter(b === 0), checks)
+      TxLog.commitChecked(s, root, "b1", ev.filter(b === 1), checks)
+      val poisoned = ev.filter(b === 0)
+        .withColumn("value",
+          when(col("event_id") % 100 === 0, -col("value") - 1.0)
+            .otherwise(col("value")))
+      val refusal =
+        try { TxLog.commitChecked(s, root, "b_bad", poisoned, checks); "" }
+        catch { case e: IllegalArgumentException => e.getMessage }
+      require(refusal.contains("value_non_negative"),
+        s"the violating batch must be refused by name, got: $refusal")
+      require(TxLog.latestVersion(root) == 2,
+        "a refused batch must commit nothing")
+      TxLog.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   /** Additive schema evolution through the log
     * ([[graft.sources.TxLog.read]] with `mergeSchema`): batch 1 lands
     * without the `category` column, batch 2 adds it; the evolved read
@@ -10557,7 +10642,7 @@ object Queries {
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
     qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
     qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge, qTxlogEvolve,
-    qStreamTxlogMerge, qTxlogCdc,
+    qStreamTxlogMerge, qTxlogCdc, qTxlogTimeTravel, qTxlogConstraints,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

@@ -229,8 +229,9 @@ object TxLog {
     val v = latestVersion(dir) + 1
     val target = manifest(dir, v)
     val tmp = new Path(ld, s".v$v.tmp${System.nanoTime()}")
-    val body = (add.map(p => s"add\t$p") ++ remove.map(p => s"remove\t$p"))
-      .mkString("", "\n", "\n")
+    val body = metaHeader() +
+      (add.map(p => s"add\t$p") ++ remove.map(p => s"remove\t$p"))
+        .mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!claim(fs, tmp, target))
@@ -343,12 +344,55 @@ object TxLog {
         case Array("add", p, st)    => live(p) = Some(st)
         case Array("remove", p)     => live.remove(p)
         case Array("remove", p, _)  => live.remove(p)
+        // commit metadata (e.g. `meta ts <millis>`) is not a file action;
+        // unknown meta keys replay as no-ops so the format stays
+        // forward-extensible without breaking old readers
+        case Array("meta", _*)      =>
         case _ if line.trim.isEmpty =>
         case other =>
           throw new IllegalStateException(
             s"txlog: bad action line '${other.mkString("\t")}' in $what")
       }
     }
+
+  /** Commit-time metadata header every new manifest carries (old
+    * manifests without one still replay — see [[manifestTs]]). */
+  private def metaHeader(): String =
+    s"meta\tts\t${System.currentTimeMillis()}\n"
+
+  /** The commit timestamp of version `v`: the manifest's `meta ts` line
+    * when present, else the manifest FILE's modification time (the
+    * pre-metadata fallback — coarser, but monotone enough for the
+    * resolution rule below on any one store). */
+  def manifestTs(dir: String, v: Int): Long = {
+    val text = readLogFile(dir, manifest(dir, v), s"manifest v$v")
+    text.linesIterator.collectFirst {
+      case l if l.startsWith("meta\tts\t") => l.split("\t", 3)(2).toLong
+    }.getOrElse(fsOf(manifest(dir, v))
+      .getFileStatus(manifest(dir, v)).getModificationTime)
+  }
+
+  /** Timestamp-based time travel resolution (public precedent: Delta's
+    * `TIMESTAMP AS OF`): the newest version whose commit time is at or
+    * before `tsMillis`. Resolution walks the still-present manifests
+    * (expired pre-checkpoint history is not timestamp-resolvable, same
+    * trade [[expireManifests]] documents for versions). Fails loudly
+    * when the timestamp predates the oldest resolvable commit. */
+  def versionAt(dir: String, tsMillis: Long): Int = {
+    val versions = listLog(dir)
+      .collect { case ManifestName(d) => d.toInt }.sorted
+    require(versions.nonEmpty, s"txlog: $dir has no resolvable manifests")
+    val at = versions.takeWhile(v => manifestTs(dir, v) <= tsMillis)
+    require(at.nonEmpty,
+      s"txlog: no commit of $dir at or before ts=$tsMillis " +
+        s"(oldest resolvable: v${versions.head} @ ${manifestTs(dir, versions.head)})")
+    at.last
+  }
+
+  /** [[read]] pinned to the snapshot live at wall-clock `tsMillis`. */
+  def readAsOfTimestamp(spark: SparkSession, dir: String,
+      tsMillis: Long): DataFrame =
+    read(spark, dir, asOf = versionAt(dir, tsMillis))
 
   /** [[commit]] with per-file MANIFEST STATS — the data-skipping half of
     * the lakehouse claim: each added path carries an opaque stats blob
@@ -369,7 +413,7 @@ object TxLog {
     val v = latestVersion(dir) + 1
     val target = manifest(dir, v)
     val tmp = new Path(ld, s".v$v.tmp${System.nanoTime()}")
-    val body = (add.map {
+    val body = metaHeader() + (add.map {
       case (p, Some(st)) => s"add\t$p\t$st"
       case (p, None)     => s"add\t$p"
     } ++ remove.map(p => s"remove\t$p")).mkString("", "\n", "\n")
@@ -1019,6 +1063,38 @@ object TxLog {
     // a delete-only feed whose keys touch nothing changes nothing
     if (adds.isEmpty && removes.isEmpty) return 0
     commitRewrite(dir, adds, removes)
+  }
+
+  /** Constraint-enforced ingest (public precedent: Delta's CHECK
+    * constraints / NOT NULL enforcement): write `df` as a batch and
+    * commit it ONLY if every named constraint holds on every row — the
+    * check runs BEFORE anything is staged, so a rejected batch leaves
+    * zero footprint, and the failure names each violated constraint
+    * with its row count, the report a pipeline operator acts on (the
+    * batch does get computed twice on acceptance: once for the check,
+    * once for the write — pin it upstream if that matters). All
+    * constraints are
+    * evaluated in ONE aggregation pass over the batch (a row violates
+    * `expr` when the expression is false OR null, the CHECK-constraint
+    * convention). Returns the new version. */
+  def commitChecked(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, constraints: Seq[(String, org.apache.spark.sql.Column)],
+      stats: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions._
+    require(constraints.nonEmpty, "commitChecked needs at least one constraint")
+    val aggs = constraints.map { case (n, c) =>
+      sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(n)
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val violated = constraints.zipWithIndex.collect {
+      case ((n, _), i) if !r.isNullAt(i) && r.getLong(i) > 0 =>
+        s"$n (${r.getLong(i)} rows)"
+    }
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"txlog: batch '$name' violates ${violated.size} constraint(s) " +
+          s"of $dir — ${violated.mkString("; ")} — nothing was committed")
+    commitWithStats(dir, Seq(writeBatch(df, dir, name) -> stats))
   }
 
   /** Drop the whole table — data files and log. (Test/rebuild helper;

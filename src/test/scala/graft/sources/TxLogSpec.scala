@@ -468,6 +468,66 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("timestamp time travel resolves the newest commit at or before the instant") {
+    val dir = freshDir()
+    val tBefore = System.currentTimeMillis() - 5
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(1).toDF("x"), dir, "b1")))
+    Thread.sleep(15)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(15)
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(2).toDF("x"), dir, "b2")))
+    assert(TxLog.versionAt(dir, tMid) === 1)
+    assert(TxLog.readAsOfTimestamp(spark, dir, tMid)
+      .as[Int].collect().toSeq === Seq(1))
+    assert(TxLog.versionAt(dir, System.currentTimeMillis()) === 2)
+    intercept[IllegalArgumentException] {
+      TxLog.versionAt(dir, tBefore)
+    }
+    TxLog.destroy(dir)
+  }
+
+  test("pre-metadata manifests replay unchanged and fall back to file mtime") {
+    val dir = freshDir()
+    val p = TxLog.writeBatch(Seq(7).toDF("x"), dir, "legacy")
+    // hand-write a v1 manifest in the OLD format: no meta header at all
+    val ld = java.nio.file.Paths.get(dir, "_txlog")
+    java.nio.file.Files.createDirectories(ld)
+    java.nio.file.Files.write(ld.resolve("v00000001.json"),
+      s"add\t$p\n".getBytes("UTF-8"))
+    assert(TxLog.read(spark, dir).as[Int].collect().toSeq === Seq(7),
+      "old-format manifests must keep replaying")
+    val ts = TxLog.manifestTs(dir, 1)
+    assert(ts > 0 && ts <= System.currentTimeMillis(),
+      "mtime fallback for manifests predating the meta header")
+    // a NEW commit on the same table carries the header and still replays
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(8).toDF("x"), dir, "b2")))
+    assert(TxLog.read(spark, dir).as[Int].collect().sorted.toSeq === Seq(7, 8))
+    TxLog.destroy(dir)
+  }
+
+  test("commitChecked refuses a violating batch with a per-constraint report") {
+    val dir = freshDir()
+    val good = Seq((1, Some(10.0)), (2, Some(20.0))).toDF("k", "v")
+    assert(TxLog.commitChecked(spark, dir, "b1", good, Seq(
+      "k_positive" -> (col("k") > 0),
+      "v_not_null" -> col("v").isNotNull)) === 1)
+    // nulls violate (CHECK convention), and the report counts per name
+    val bad = Seq((3, Some(30.0)), (-1, None), (-2, Some(5.0)))
+      .toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.commitChecked(spark, dir, "b2", bad, Seq(
+        "k_positive" -> (col("k") > 0),
+        "v_not_null" -> col("v").isNotNull))
+    }
+    assert(e.getMessage.contains("k_positive (2 rows)"))
+    assert(e.getMessage.contains("v_not_null (1 rows)"))
+    assert(TxLog.latestVersion(dir) === 1, "rejected batch commits nothing")
+    assert(!new java.io.File(s"$dir/data/b2").exists(),
+      "rejected batch leaves zero footprint")
+    assert(TxLog.read(spark, dir).count() === 2)
+    TxLog.destroy(dir)
+  }
+
   test("merge with no matched keys is a pure insert: nothing rewritten") {
     val dir = freshDir()
     val base = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
