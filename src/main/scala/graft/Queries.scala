@@ -870,6 +870,77 @@ object Queries {
           AS n_tokens
       FROM st ORDER BY doc_id, chunk_id"""))
 
+  /** Content-defined chunking ([[DedupOps.contentDefinedChunks]]):
+    * rolling-hash cut points (window 3, expected length 8 tokens) —
+    * the shift-robust alternative to fixed-offset chunking. The oracle
+    * replays boundary selection and span assembly list-wise, so every
+    * cut point is hash-pinned. */
+  private val qContentChunks = QuerySpec(
+    "q_content_chunks",
+    (s, dir) =>
+      DedupOps.contentDefinedChunks(
+          core.Graft.rebalanceForCompute(t(s, dir, "documents")),
+          col("doc_id"), col("text"), window = 3, modulus = 8)
+        .orderBy("doc_id", "chunk_id"),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents),
+      ok AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+      bn AS (SELECT doc_id, t,
+          list_filter(generate_series(1, n), i ->
+            (CAST('0x' || substr(md5(array_to_string(
+                t[greatest(1, i - 2):i], ' ')), 1, 8) AS BIGINT) % 8 = 0)
+            OR i = n) AS b
+        FROM ok)
+      SELECT doc_id,
+        CAST(unnest(generate_series(1, len(b))) AS BIGINT) AS chunk_id,
+        unnest(list_transform(generate_series(1, len(b)), j ->
+          array_to_string(t[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END):b[j]],
+            ' '))) AS chunk,
+        CAST(unnest(list_transform(generate_series(1, len(b)), j ->
+          b[j] - (CASE WHEN j = 1 THEN 0 ELSE b[j-1] END))) AS BIGINT)
+          AS n_tokens
+      FROM bn ORDER BY doc_id, chunk_id"""))
+
+  /** Chunk-level cross-document dedup — [[DedupOps.contentDefinedChunks]]
+    * followed by one groupBy on the chunk text: sub-document content
+    * shared between documents (boilerplate, copied passages) that
+    * whole-doc hashing misses and fixed offsets would mis-align. The
+    * 100 TB form groups on the chunk digest instead of the text;
+    * the gate groups on the text so the oracle pins exact content. */
+  private val qChunkDedup = QuerySpec(
+    "q_chunk_dedup",
+    (s, dir) =>
+      DedupOps.contentDefinedChunks(
+          core.Graft.rebalanceForCompute(t(s, dir, "documents")),
+          col("doc_id"), col("text"), window = 3, modulus = 8)
+        .groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("chunk"),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents),
+      ok AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+      bn AS (SELECT doc_id, t,
+          list_filter(generate_series(1, n), i ->
+            (CAST('0x' || substr(md5(array_to_string(
+                t[greatest(1, i - 2):i], ' ')), 1, 8) AS BIGINT) % 8 = 0)
+            OR i = n) AS b
+        FROM ok),
+      ch AS (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(b)), j ->
+            array_to_string(
+              t[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END):b[j]], ' ')))
+            AS chunk
+        FROM bn)
+      SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_occ,
+        MIN(doc_id) AS first_doc
+      FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY chunk"""))
+
   /** Deterministic stratified sampling ([[SortOps.stratifiedHashSample]]):
     * per-language keep fractions via portable md5 buckets — downsample the
     * dominant stratum, keep the rare ones. The oracle replays the identical
@@ -10599,6 +10670,7 @@ object Queries {
     qSeqfileRoundtrip, qMapfileRead, qMapfileRoundtrip, qTfileRead,
     qBloomMapfileRead,
     qSeqfileTyped, qAvroRoundtrip, qAvroEvents, qOrcRoundtrip, qChunk,
+    qContentChunks, qChunkDedup,
     qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,

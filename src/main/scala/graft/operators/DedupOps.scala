@@ -974,4 +974,49 @@ object DedupOps {
         floor(coalesce(col("dup_spans"), lit(0L)) * lit(1e6) /
           col("n_spans") + lit(0.5)).as("dup_ratio_e6"))
   }
+
+  /** Content-defined chunking — split each document at ROLLING-HASH cut
+    * points instead of fixed offsets (the Rabin/FastCDC idea behind
+    * storage dedup, applied at token granularity): a chunk boundary
+    * falls after token i whenever the portable hash of the `window`-token
+    * context ending at i lands in bucket 0 of `modulus` (expected chunk
+    * length ≈ `modulus` tokens), plus a forced boundary at end-of-doc.
+    * Because the cut decision depends only on LOCAL content, inserting or
+    * deleting a prefix shifts which chunks exist but leaves every chunk
+    * AFTER the edit byte-identical — the property that lets chunk-level
+    * dedup catch shared sub-document content that whole-doc hashing and
+    * fixed-offset chunking both miss.
+    *
+    * Entirely per-row array expressions (split → boundary filter →
+    * zip_with spans → posexplode): no shuffle, no UDF, codegen-friendly;
+    * the md5-derived boundary hash keeps it engine-reproducible. Returns
+    * (doc_id, chunk_id, chunk, n_tokens); empty/whitespace docs yield no
+    * rows. Chunk-level dedup is then one groupBy on the chunk text (or
+    * its digest at scale). */
+  def contentDefinedChunks(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int, modulus: Long): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(modulus >= 1, s"modulus must be >= 1: $modulus")
+    val base = df
+      .select(idCol.as("doc_id"),
+        filter(split(textCol, "\\s+"), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val n = size(col("toks"))
+    val bnds = filter(sequence(lit(1), n), i => {
+      val start = greatest(lit(1), i - (window - 1))
+      val win = concat_ws(" ", slice(col("toks"), start, i - start + 1))
+      (portableBucket(win, modulus) === 0) || (i === n)
+    })
+    val withB = base.withColumn("bnds", bnds)
+    val prev = concat(array(lit(0)),
+      slice(col("bnds"), lit(1), size(col("bnds")) - 1))
+    val spans = zip_with(prev, col("bnds"), (s, e) => struct(
+      concat_ws(" ", slice(col("toks"), s + 1, e - s)).as("chunk"),
+      (e - s).as("n_tokens")))
+    withB
+      .select(col("doc_id"), posexplode(spans).as(Seq("idx", "c")))
+      .select(col("doc_id"), (col("idx") + 1).cast("long").as("chunk_id"),
+        col("c.chunk").as("chunk"),
+        col("c.n_tokens").cast("long").as("n_tokens"))
+  }
 }

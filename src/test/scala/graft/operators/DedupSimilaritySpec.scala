@@ -376,4 +376,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.size === 1,
       s"nearDupClustersStar residual: ${spark.sparkContext.getPersistentRDDs.size}")
   }
+
+  test("contentDefinedChunks: chunks partition the token stream exactly") {
+    val d = Seq((1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "   "), (3L, "solo")).toDF("id", "text")
+    val out = DedupOps.contentDefinedChunks(d, col("id"), col("text"),
+      window = 3, modulus = 4).collect()
+    // whitespace-only docs vanish; a one-token doc is one chunk
+    assert(!out.exists(_.getLong(0) == 2L))
+    assert(out.filter(_.getLong(0) == 3L).map(r =>
+      (r.getLong(1), r.getString(2), r.getLong(3))).toSeq ===
+      Seq((1L, "solo", 1L)))
+    // chunks of doc 1, in chunk_id order, concatenate back to the doc
+    val c1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(c1.map(_.getString(2)).mkString(" ") ===
+      "a b c d e f g h i j k l m n o p q r s t")
+    assert(c1.map(_.getLong(3)).sum === 20L)
+    assert(c1.map(_.getLong(1)).toSeq === (1L to c1.length).toSeq,
+      "chunk ids are dense from 1")
+  }
+
+  test("contentDefinedChunks is shift-robust: a prefix edit preserves later chunks") {
+    val body = (1 to 60).map(i => s"w${i % 13}x${i % 7}").mkString(" ")
+    val d = Seq((1L, body), (2L, s"inserted prefix tokens $body"))
+      .toDF("id", "text")
+    val out = DedupOps.contentDefinedChunks(d, col("id"), col("text"),
+      window = 3, modulus = 4).collect()
+    def chunksOf(id: Long) = out.filter(_.getLong(0) == id)
+      .sortBy(_.getLong(1)).map(_.getString(2)).toSeq
+    val (c1, c2) = (chunksOf(1L), chunksOf(2L))
+    // every boundary decision is local (window 3), so once the rolling
+    // context re-synchronizes past the edit the chunk streams COINCIDE —
+    // assert an ordered common suffix of at least 3 chunks (fixed-offset
+    // chunking of the same pair would share essentially nothing)
+    val suffix = (1 to math.min(c1.length, c2.length))
+      .takeWhile(k => c1.takeRight(k) == c2.takeRight(k)).lastOption
+    assert(suffix.exists(_ >= 3),
+      s"post-edit chunk streams must re-align, common suffix=$suffix " +
+        s"c1=$c1 c2=$c2")
+  }
 }
