@@ -6857,6 +6857,56 @@ object Queries {
       FROM customer GROUP BY 1, 2
       ORDER BY snapshot, c_mktsegment"""))
 
+  /** Incremental small-file compaction
+    * ([[graft.sources.TxLog.optimizeIncremental]]) — the SCHEDULED
+    * maintenance verb: four tiny ingest batches and one big batch land;
+    * compaction rewrites only the small tail (the gate REQUIRES the big
+    * batch survives byte-identical — cost tracks ingest rate, not table
+    * size, the property a 100 TB table's maintenance loop needs) and is
+    * content-neutral, which the oracle pins by recomputing the final
+    * snapshot from the raw table. */
+  private val qTxlogOptimizeInc = QuerySpec(
+    "q_txlog_optimize_inc",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_optinc_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 16)
+      TxLog.commit(root,
+        Seq(TxLog.writeBatch(ev.filter(b >= 4), root, "big")))
+      (0 until 4).foreach { k =>
+        TxLog.commit(root,
+          Seq(TxLog.writeBatch(ev.filter(b === k), root, s"sm$k")))
+      }
+      val bigPath = TxLog.liveFiles(root).find(_.endsWith("big")).get
+      // scale-robust threshold: each small batch is ~1/12 of the big one
+      // at any sf, so half the big batch's bytes cleanly separates them
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+          else f.length()
+        walk(new java.io.File(p))
+      }
+      val v = TxLog.optimizeIncremental(s, root, "inc",
+        smallBytes = math.max(1L, dirBytes(bigPath) / 2))
+      require(v == 6, s"incremental optimize must land as version 6, got $v")
+      val live = TxLog.liveFiles(root)
+      require(live.contains(bigPath),
+        "the big batch must survive byte-identical — cost tracks the " +
+          "small-file tail, not table size")
+      require(live.size == 2, s"four small files must become one: $live")
+      TxLog.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   /** Timestamp time travel ([[graft.sources.TxLog.readAsOfTimestamp]]):
     * the gate captures a wall-clock instant between two commits and
     * reads the table AS OF that instant — resolution must pick the
@@ -10715,6 +10765,7 @@ object Queries {
     qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
     qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge, qTxlogEvolve,
     qStreamTxlogMerge, qTxlogCdc, qTxlogTimeTravel, qTxlogConstraints,
+    qTxlogOptimizeInc,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

@@ -740,6 +740,41 @@ object TxLog {
     } finally graft.core.Checkpoints.release(compacted)
   }
 
+  /** Incremental OPTIMIZE — compact only the SMALL files (public
+    * precedent: Delta's OPTIMIZE with minFileSize; the real 100 TB
+    * maintenance loop): live batch dirs whose on-disk size is under
+    * `smallBytes` are rewritten into one compacted file; everything
+    * already big stays byte-identical and is never read. Where
+    * [[optimize]] rewrites the whole table (right for a one-off
+    * re-layout), this is the verb a SCHEDULED loop runs after every N
+    * ingest batches — cost tracks the small-file tail, not table size,
+    * so it stays O(ingest rate) forever. Stats preserved the same way
+    * (union of the replaced files' stat columns, re-derived for the
+    * compacted file). Returns the commit version, or 0 when fewer than
+    * two small files exist (nothing to gain — compaction of one file is
+    * a rename in disguise). Fresh `name` per call. */
+  def optimizeIncremental(spark: SparkSession, dir: String, name: String,
+      smallBytes: Long): Int = {
+    require(smallBytes >= 1, s"smallBytes must be >= 1: $smallBytes")
+    val entries = liveEntries(dir)
+    def bytesOf(p: String): Long = {
+      val path = new Path(p)
+      val fs = fsOf(path)
+      try fs.getContentSummary(path).getLength
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    }
+    val small = entries.filter { case (p, _) => bytesOf(p) < smallBytes }
+    if (small.size < 2) return 0
+    val smallPaths = small.map(_._1)
+    val statCols = small.flatMap(_._2).flatMap(_.split(","))
+      .map(_.split(";", 3)(0)).distinct
+    val compacted = spark.read.parquet(smallPaths: _*).coalesce(1)
+    val st =
+      if (statCols.isEmpty) None else columnStatsMulti(compacted, statCols)
+    commitRewrite(dir,
+      Seq(writeBatch(compacted, dir, name) -> st), remove = smallPaths)
+  }
+
   /** OPTIMIZE … ZORDER BY — 2-D layout optimization composed with
     * manifest data skipping (public precedent: Delta's OPTIMIZE ZORDER;
     * the z-value expression is [[graft.functions.ZOrder.zValue]]):
@@ -1029,11 +1064,38 @@ object TxLog {
     val byNorm = files.map(p => normPath(p) -> p).toMap
     val statsByNorm = entries.map { case (p, st) => normPath(p) -> st }.toMap
     val srcKeys = keyed.select(keys.map(col): _*).distinct()
-    val touched = spark.read.parquet(files: _*)
-      .withColumn(FileCol, input_file_name())
-      .join(broadcast(srcKeys), keys, "left_semi")
-      .select(FileCol).distinct().collect()
-      .map(r => batchDirOf(r.getString(0))).distinct.sorted.toSeq
+    // manifest-stats pre-pruning of the probe scan (single numeric key):
+    // a file whose recorded key range is disjoint from the source's key
+    // span cannot hold a match, so it is skipped before any footer is
+    // read — the same trust contract as readPruned (stats are
+    // engine-written at commit time). Files without stats for the key,
+    // non-numeric keys, and multi-column keys probe everything.
+    val probeFiles =
+      if (keys.size != 1) files
+      else {
+        val k = keys.head
+        val b = keyed.agg(min(col(k).cast("double")),
+          max(col(k).cast("double"))).head()
+        if (b.isNullAt(0)) files
+        else {
+          val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+          entries.filter {
+            case (_, None) => true
+            case (_, Some(st)) =>
+              st.split(",").iterator.map(_.split(";", 3)).collectFirst {
+                case Array(c, mn, mx) if c == k =>
+                  !(mx.toDouble < lo || mn.toDouble > hi)
+              }.getOrElse(true)
+          }.map(_._1)
+        }
+      }
+    val touched =
+      if (probeFiles.isEmpty) Seq.empty[String]
+      else spark.read.parquet(probeFiles: _*)
+        .withColumn(FileCol, input_file_name())
+        .join(broadcast(srcKeys), keys, "left_semi")
+        .select(FileCol).distinct().collect()
+        .map(r => batchDirOf(r.getString(0))).distinct.sorted.toSeq
     val removes = touched.flatMap(byNorm.get)
     require(removes.size == touched.size,
       s"txlog: ${touched.size - removes.size} matched batch dirs did not " +

@@ -528,6 +528,52 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("merge pre-prunes the probe scan with manifest key stats (trust contract)") {
+    val dir = freshDir()
+    val lo = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
+    val hi = Seq((100, 10.0), (101, 11.0)).toDF("k", "v")
+    TxLog.commitWithStats(dir,
+      Seq(TxLog.writeBatch(lo, dir, "b_lo") -> TxLog.columnStats(lo, "k")))
+    // plant a DISJOINT stats blob on the hi file: its content (k=100)
+    // would match the source, but stats-pruning must skip the probe
+    // entirely — proving the mechanism runs, and documenting that stats
+    // are trusted exactly as readPruned trusts them
+    TxLog.commitWithStats(dir,
+      Seq(TxLog.writeBatch(hi, dir, "b_hi") -> Some("k;5000.0;6000.0")))
+    val hiPath = TxLog.liveFiles(dir).find(_.endsWith("b_hi")).get
+    val src = Seq((100, 999.0)).toDF("k", "v")
+    TxLog.merge(spark, dir, "m", src, Seq("k"))
+    assert(TxLog.liveFiles(dir).contains(hiPath),
+      "a stats-disjoint file is skipped without probing")
+    // k=100 was NOT replaced (its file was pruned away) — the new row
+    // coexists: lying stats break merge exactly like they break readPruned
+    assert(TxLog.read(spark, dir).filter(col("k") === 100).count() === 2)
+    TxLog.destroy(dir)
+  }
+
+  test("optimizeIncremental compacts only the small-file tail") {
+    val dir = freshDir()
+    val big = (1 to 50000).map(i => (i, i * 2L)).toDF("a", "b")
+    TxLog.commit(dir, Seq(TxLog.writeBatch(big, dir, "big")))
+    (1 to 3).foreach { i =>
+      val sm = Seq((100000 + i, 0L)).toDF("a", "b")
+      TxLog.commitWithStats(dir,
+        Seq(TxLog.writeBatch(sm, dir, s"sm$i") -> TxLog.columnStats(sm, "a")))
+    }
+    val bigPath = TxLog.liveFiles(dir).find(_.endsWith("big")).get
+    val v = TxLog.optimizeIncremental(spark, dir, "inc", smallBytes = 100000)
+    assert(v === 5, "compaction is one ordinary commit")
+    val live = TxLog.liveFiles(dir)
+    assert(live.contains(bigPath), "the big file is never touched")
+    assert(live.size === 2, "three small files became one")
+    assert(TxLog.read(spark, dir).count() === 50003, "content neutral")
+    assert(TxLog.liveEntries(dir).exists(_._2.exists(_.startsWith("a;"))),
+      "the compacted file re-derives the union of its inputs' stat columns")
+    assert(TxLog.optimizeIncremental(spark, dir, "inc2", 100000) === 0,
+      "one remaining small file: nothing to gain, no commit")
+    TxLog.destroy(dir)
+  }
+
   test("merge with no matched keys is a pure insert: nothing rewritten") {
     val dir = freshDir()
     val base = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
