@@ -362,31 +362,40 @@ object TxLog {
 
   /** The commit timestamp of version `v`: the manifest's `meta ts` line
     * when present, else the manifest FILE's modification time (the
-    * pre-metadata fallback — coarser, but monotone enough for the
-    * resolution rule below on any one store). */
+    * pre-metadata fallback). When only the CHECKPOINT of `v` survives
+    * (expired history), its header/mtime stands in, so a maintained log
+    * keeps resolving timestamps. */
   def manifestTs(dir: String, v: Int): Long = {
-    val text = readLogFile(dir, manifest(dir, v), s"manifest v$v")
+    val p =
+      if (listLog(dir).contains(f"v$v%08d.json")) manifest(dir, v)
+      else checkpointFile(dir, v)
+    val text = readLogFile(dir, p, s"manifest v$v")
     text.linesIterator.collectFirst {
       case l if l.startsWith("meta\tts\t") => l.split("\t", 3)(2).toLong
-    }.getOrElse(fsOf(manifest(dir, v))
-      .getFileStatus(manifest(dir, v)).getModificationTime)
+    }.getOrElse(fsOf(p).getFileStatus(p).getModificationTime)
   }
 
   /** Timestamp-based time travel resolution (public precedent: Delta's
     * `TIMESTAMP AS OF`): the newest version whose commit time is at or
-    * before `tsMillis`. Resolution walks the still-present manifests
-    * (expired pre-checkpoint history is not timestamp-resolvable, same
-    * trade [[expireManifests]] documents for versions). Fails loudly
-    * when the timestamp predates the oldest resolvable commit. */
+    * before `tsMillis` — filter + max, NOT a prefix walk, because the
+    * timestamp sequence need not be monotone (multi-writer clock skew; a
+    * migrated table whose legacy-manifest mtimes postdate embedded
+    * headers) and the newest at-or-before version is still well-defined.
+    * Resolution walks the still-present manifests plus checkpoints
+    * (whose own version stays resolvable after [[expireManifests]]);
+    * fully expired history is not timestamp-resolvable, the same trade
+    * [[expireManifests]] documents for versions. Fails loudly when the
+    * timestamp predates the oldest resolvable commit. */
   def versionAt(dir: String, tsMillis: Long): Int = {
-    val versions = listLog(dir)
-      .collect { case ManifestName(d) => d.toInt }.sorted
+    val names = listLog(dir)
+    val versions = (names.collect { case ManifestName(d) => d.toInt } ++
+      names.collect { case CheckpointName(d) => d.toInt }).distinct.sorted
     require(versions.nonEmpty, s"txlog: $dir has no resolvable manifests")
-    val at = versions.takeWhile(v => manifestTs(dir, v) <= tsMillis)
+    val at = versions.filter(v => manifestTs(dir, v) <= tsMillis)
     require(at.nonEmpty,
       s"txlog: no commit of $dir at or before ts=$tsMillis " +
         s"(oldest resolvable: v${versions.head} @ ${manifestTs(dir, versions.head)})")
-    at.last
+    at.max
   }
 
   /** [[read]] pinned to the snapshot live at wall-clock `tsMillis`. */
@@ -475,14 +484,8 @@ object TxLog {
     * pruning. None when every file prunes away. */
   def readPruned(spark: SparkSession, dir: String, column: String,
       lo: Double, hi: Double, asOf: Int = -1): Option[DataFrame] = {
-    val kept = liveEntries(dir, asOf).filter {
-      case (_, None) => true
-      case (_, Some(st)) =>
-        st.split(",").iterator.map(_.split(";", 3)).collectFirst {
-          case Array(c, mn, mx) if c == column =>
-            !(mx.toDouble < lo || mn.toDouble > hi)
-        }.getOrElse(true)
-    }.map(_._1)
+    val kept = liveEntries(dir, asOf)
+      .filter(e => statsOverlap(e._2, column, lo, hi)).map(_._1)
     if (kept.isEmpty) None else Some(spark.read.parquet(kept: _*))
   }
 
@@ -531,7 +534,12 @@ object TxLog {
     val ld = logDir(dir)
     val fs = fsOf(ld)
     val tmp = new Path(ld, s".c$v.tmp${System.nanoTime()}")
-    val body = entries.map {
+    // checkpoints carry the header too (replay-neutral) so a log whose
+    // manifests were expired still timestamp-resolves its own version —
+    // though the checkpoint's WRITE time, not v's original commit time;
+    // mtime would drift the same way, and the resolution rule only
+    // needs at-or-before ordering per store
+    val body = metaHeader() + entries.map {
       case (p, Some(st)) => s"add\t$p\t$st"
       case (p, None)     => s"add\t$p"
     }.mkString("", "\n", "\n")
@@ -709,8 +717,7 @@ object TxLog {
     val files = entries.map(_._1)
     // union of stat columns across the replaced files' blobs — the
     // dimensions someone already paid to make prunable stay prunable
-    val statCols = entries.flatMap(_._2).flatMap(_.split(","))
-      .map(_.split(";", 3)(0)).distinct
+    val statCols = entries.flatMap(e => statColsOf(e._2)).distinct
     val snap = spark.read.parquet(files: _*)
     val compacted = (statCols.headOption match {
       case Some(c) if targetFiles > 1 => snap.repartitionByRange(
@@ -766,8 +773,7 @@ object TxLog {
     val small = entries.filter { case (p, _) => bytesOf(p) < smallBytes }
     if (small.size < 2) return 0
     val smallPaths = small.map(_._1)
-    val statCols = small.flatMap(_._2).flatMap(_.split(","))
-      .map(_.split(";", 3)(0)).distinct
+    val statCols = small.flatMap(e => statColsOf(e._2)).distinct
     val compacted = spark.read.parquet(smallPaths: _*).coalesce(1)
     val st =
       if (statCols.isEmpty) None else columnStatsMulti(compacted, statCols)
@@ -877,11 +883,12 @@ object TxLog {
       try fs.listStatus(dataDir).filter(_.isDirectory).map(_.getPath)
       catch { case _: java.io.FileNotFoundException => Array.empty[Path] }
     // a "file" in the log is a writeBatch DIRECTORY (one parquet dataset
-    // per batch); normalize both sides to the batch-dir grain
-    def norm(p: String): String =
-      new Path(p).toUri.getPath.stripSuffix("/")
-    val keep = reachable.map(norm)
-    val victims = onDisk.filterNot(p => keep.contains(norm(p.toString)))
+    // per batch); normalize both sides to the batch-dir grain through
+    // normPath (makeQualified) — an unqualified comparison on a
+    // RELATIVE-rooted table would match nothing and delete every live
+    // batch (same identity-bug class the row verbs guard against)
+    val keep = reachable.map(normPath)
+    val victims = onDisk.filterNot(p => keep.contains(normPath(p.toString)))
     victims.foreach(p => fs.delete(p, true))
     victims.map(_.toString).toSeq
   }
@@ -937,9 +944,88 @@ object TxLog {
   private def statColsOf(st: Option[String]): Seq[String] =
     st.toSeq.flatMap(_.split(",")).map(_.split(";", 3)(0)).distinct
 
+  /** THE stats-blob overlap rule, shared by [[readPruned]] and the merge
+    * probe pre-pruning (one grammar, one implementation): can a file
+    * with blob `st` hold a `column` value in [lo, hi]? No stats, or no
+    * segment for this column → yes (correctness over skipping). */
+  private def statsOverlap(st: Option[String], column: String,
+      lo: Double, hi: Double): Boolean = st match {
+    case None => true
+    case Some(s) =>
+      s.split(",").iterator.map(_.split(";", 3)).collectFirst {
+        case Array(c, mn, mx) if c == column =>
+          !(mx.toDouble < lo || mn.toDouble > hi)
+      }.getOrElse(true)
+  }
+
   // input_file_name capture column for the touched-file probes below;
   // prefixed to stay clear of user schemas
   private val FileCol = "_graft_input_file"
+
+  /** One probe scan → the batch dirs holding rows the row-level verb
+    * must rewrite: `probe` narrows the tagged snapshot to matching rows
+    * (a filter for DELETE, a key semi-join for MERGE), and the matched
+    * part files collapse to their batch dirs. The collect is bounded by
+    * the number of matched PART FILES — file-count-sized, never
+    * row-sized. */
+  private def probeTouched(spark: SparkSession, probeFiles: Seq[String],
+      probe: DataFrame => DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    if (probeFiles.isEmpty) Seq.empty
+    else probe(spark.read.parquet(probeFiles: _*)
+        .withColumn(FileCol, input_file_name()))
+      .select(FileCol).distinct().collect()
+      .map(r => batchDirOf(r.getString(0))).distinct.sorted.toSeq
+  }
+
+  /** Write one rewrite output, then derive emptiness and fresh manifest
+    * stats from the WRITTEN file (a columnar read of just the stat
+    * columns) instead of recomputing the remainder plan two more times —
+    * each rewritten dir is read once and written once. An empty
+    * remainder leaves no file (and no add). */
+  private def writeRewrite(spark: SparkSession, dir: String, name: String,
+      remainder: DataFrame,
+      statCols: Seq[String]): Option[(String, Option[String])] = {
+    val path = writeBatch(remainder, dir, name)
+    // explicit schema: an all-rows-removed write may hold zero part
+    // files, which schema inference would refuse to read
+    val back = spark.read.schema(remainder.schema).parquet(path)
+    if (back.isEmpty) {
+      val p = new Path(path)
+      fsOf(p).delete(p, true)
+      None
+    } else {
+      val st =
+        if (statCols.isEmpty) None else columnStatsMulti(back, statCols)
+      Some(path -> st)
+    }
+  }
+
+  /** Shared copy-on-write commit scaffolding of [[deleteWhere]] and the
+    * merge family: map touched batch dirs back to their manifest paths
+    * (refusing loudly on any identity failure — a silent partial rewrite
+    * is data loss), rewrite each via `remainderOf` with its original
+    * stat columns re-derived, and swap atomically together with
+    * `extraAdds`. Returns the commit version, or 0 when the verb
+    * changes nothing. */
+  private def rewriteTouched(spark: SparkSession, dir: String, name: String,
+      entries: Seq[(String, Option[String])], touched: Seq[String],
+      remainderOf: String => DataFrame,
+      extraAdds: Seq[(String, Option[String])], what: String): Int = {
+    val byNorm = entries.map(e => normPath(e._1) -> e._1).toMap
+    val statsByNorm = entries.map { case (p, st) => normPath(p) -> st }.toMap
+    val removes = touched.flatMap(byNorm.get)
+    require(removes.size == touched.size,
+      s"txlog: ${touched.size - removes.size} matched batch dirs did not " +
+        s"map back to a manifest path of $dir — refusing a partial $what")
+    val rewrites = removes.zipWithIndex.flatMap { case (p, i) =>
+      writeRewrite(spark, dir, s"${name}_d$i", remainderOf(p),
+        statColsOf(statsByNorm(normPath(p))))
+    }
+    val adds = rewrites ++ extraAdds
+    if (adds.isEmpty && removes.isEmpty) 0
+    else commitRewrite(dir, adds, removes)
+  }
 
   /** Copy-on-write DELETE — remove every live row satisfying `predicate`
     * (SQL DELETE semantics: rows where the predicate is NULL are KEPT),
@@ -966,33 +1052,12 @@ object TxLog {
     import org.apache.spark.sql.functions._
     val entries = liveEntries(dir)
     if (entries.isEmpty) return 0
-    val files = entries.map(_._1)
-    val byNorm = files.map(p => normPath(p) -> p).toMap
-    val statsByNorm = entries.map { case (p, st) => normPath(p) -> st }.toMap
-    val touched = spark.read.parquet(files: _*)
-      .withColumn(FileCol, input_file_name())
-      .filter(predicate)
-      .select(FileCol).distinct().collect()
-      .map(r => batchDirOf(r.getString(0))).distinct.sorted.toSeq
-    if (touched.isEmpty) return 0
-    val removes = touched.flatMap(byNorm.get)
-    require(removes.size == touched.size,
-      s"txlog: ${touched.size - removes.size} matched batch dirs did not " +
-        s"map back to a manifest path of $dir — refusing a partial delete")
-    val adds = removes.zipWithIndex.flatMap { case (p, i) =>
-      // keep = NOT predicate OR predicate-is-null (SQL DELETE keeps
-      // null-predicate rows); per-dir read keeps untouched dirs untouched
-      val remainder = spark.read.parquet(p)
-        .filter(!coalesce(predicate, lit(false)))
-      if (remainder.isEmpty) None
-      else {
-        val statCols = statColsOf(statsByNorm(normPath(p)))
-        val st =
-          if (statCols.isEmpty) None else columnStatsMulti(remainder, statCols)
-        Some(writeBatch(remainder, dir, s"${name}_d$i") -> st)
-      }
-    }
-    commitRewrite(dir, adds, removes)
+    val touched = probeTouched(spark, entries.map(_._1), _.filter(predicate))
+    // keep = NOT predicate OR predicate-is-null (SQL DELETE keeps
+    // null-predicate rows); per-dir read keeps untouched dirs untouched
+    rewriteTouched(spark, dir, name, entries, touched,
+      p => spark.read.parquet(p).filter(!coalesce(predicate, lit(false))),
+      extraAdds = Nil, what = "delete")
   }
 
   /** MERGE (upsert) `source` into the table on `keys` — target rows whose
@@ -1017,7 +1082,7 @@ object TxLog {
     * or 0 when `source` is empty. Fresh `name` per call. */
   def merge(spark: SparkSession, dir: String, name: String,
       source: DataFrame, keys: Seq[String]): Int =
-    mergeImpl(spark, dir, name, upserts = source, keyed = source, keys)
+    mergeImpl(spark, dir, name, identity, source, keys)
 
   /** APPLY CHANGES — fold an op-tagged CDC feed into the table in one
     * atomic commit (public precedent: Delta Live Tables' APPLY CHANGES
@@ -1025,13 +1090,15 @@ object TxLog {
     * of `changes` whose `opCol` equals `deleteOp` DELETE their key from
     * the table; every other row UPSERTS (with the op column dropped —
     * the marker is feed plumbing, not data). A delete for an absent key
-    * is a no-op, the standard WHEN-NOT-MATCHED treatment. Keys must be
-    * unique across the WHOLE feed batch — a key carrying both an update
-    * and a delete in one batch is ill-defined; callers fold a raw feed
-    * to its last change per key first (the [[graft.operators]] CDC
-    * consumers all do). File pruning, stats preservation, conflict
-    * handling: exactly [[merge]]. Returns the new version, or 0 when
-    * the batch changes nothing. */
+    * is a no-op, the standard WHEN-NOT-MATCHED treatment. A NULL op
+    * value is a malformed feed row and rejected loudly — silently
+    * classifying it either way would turn an intended upsert into a
+    * delete (or vice versa). Keys must be unique across the WHOLE feed
+    * batch — a key carrying both an update and a delete in one batch is
+    * ill-defined; callers fold a raw feed to its last change per key
+    * first (the [[graft.operators]] CDC consumers all do). File
+    * pruning, stats preservation, conflict handling: exactly [[merge]].
+    * Returns the new version, or 0 when the batch changes nothing. */
   def applyChanges(spark: SparkSession, dir: String, name: String,
       changes: DataFrame, keys: Seq[String], opCol: String = "op",
       deleteOp: String = "D"): Int = {
@@ -1040,91 +1107,90 @@ object TxLog {
       s"applyChanges: feed has no op column '$opCol' " +
         s"(columns: ${changes.columns.mkString(", ")})")
     mergeImpl(spark, dir, name,
-      upserts = changes.filter(col(opCol) =!= deleteOp).drop(opCol),
-      keyed = changes, keys)
+      k => k.filter(col(opCol) =!= deleteOp).drop(opCol), changes, keys,
+      opNullCheck = Some(opCol))
   }
 
   /** Shared copy-on-write core of [[merge]] and [[applyChanges]]:
-    * `keyed` carries every key leaving the current snapshot (upserted or
-    * deleted); `upserts` is what lands as the new source file. */
+    * `keyedRaw` carries every key leaving the current snapshot (upserted
+    * or deleted); `upsertsOf` derives what lands as the new source file
+    * from the PINNED feed, so the probe, cardinality check, bounds, key
+    * set, stats and source write all consume one materialization instead
+    * of re-running the caller's (possibly expensive) feed plan per
+    * action. */
   private def mergeImpl(spark: SparkSession, dir: String, name: String,
-      upserts: DataFrame, keyed: DataFrame, keys: Seq[String]): Int = {
+      upsertsOf: DataFrame => DataFrame, keyedRaw: DataFrame,
+      keys: Seq[String], opNullCheck: Option[String] = None): Int = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val entries = liveEntries(dir)
     require(entries.nonEmpty,
       s"merge into an empty table $dir: commit the first batch instead")
-    if (keyed.isEmpty) return 0
-    val dupKeys = keyed.groupBy(keys.map(col): _*)
-      .count().filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
-        "a multi-match upsert is ill-defined; dedupe the source first")
-    val files = entries.map(_._1)
-    val byNorm = files.map(p => normPath(p) -> p).toMap
-    val statsByNorm = entries.map { case (p, st) => normPath(p) -> st }.toMap
-    val srcKeys = keyed.select(keys.map(col): _*).distinct()
-    // manifest-stats pre-pruning of the probe scan (single numeric key):
-    // a file whose recorded key range is disjoint from the source's key
-    // span cannot hold a match, so it is skipped before any footer is
-    // read — the same trust contract as readPruned (stats are
-    // engine-written at commit time). Files without stats for the key,
-    // non-numeric keys, and multi-column keys probe everything.
-    val probeFiles =
-      if (keys.size != 1) files
-      else {
-        val k = keys.head
-        val b = keyed.agg(min(col(k).cast("double")),
-          max(col(k).cast("double"))).head()
-        if (b.isNullAt(0)) files
+    val keyed = keyedRaw.localCheckpoint()
+    try {
+      if (keyed.isEmpty) return 0
+      opNullCheck.foreach { oc =>
+        val nulls = keyed.filter(col(oc).isNull).count()
+        require(nulls == 0,
+          s"applyChanges: $nulls feed rows carry a NULL '$oc' — a null op " +
+            "cannot be classified as update or delete; fix the feed")
+      }
+      // cardinality check over NON-NULL keys only: a null key never
+      // equi-matches a target row, so several null-key rows are ordinary
+      // independent inserts, not a multi-match
+      val nonNullKeyed =
+        keyed.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      val dupKeys = nonNullKeyed.groupBy(keys.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dupKeys == 0,
+        s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
+          "a multi-match upsert is ill-defined; dedupe the source first")
+      val upserts = upsertsOf(keyed)
+      // schema drift check: a source missing (or adding) columns would
+      // land a heterogeneous file and make the default read()'s schema
+      // file-order dependent — fail loudly instead (Delta validates the
+      // write schema the same way; use read(mergeSchema) + an explicit
+      // evolved batch commit for intentional evolution)
+      val tableCols = spark.read.parquet(entries.head._1).columns.sorted
+      require(upserts.columns.sorted.sameElements(tableCols),
+        s"merge source schema (${upserts.columns.sorted.mkString(", ")}) " +
+          s"does not match the table (${tableCols.mkString(", ")}) — " +
+          "schema evolution goes through an explicit evolved commit")
+      val srcKeys = nonNullKeyed.select(keys.map(col): _*).distinct()
+      // manifest-stats pre-pruning of the probe scan (single numeric
+      // key): a file whose recorded key range is disjoint from the
+      // source's key span cannot hold a match, so it is skipped before
+      // any footer is read — [[statsOverlap]], the readPruned trust
+      // contract. Files without stats for the key, non-numeric keys,
+      // and multi-column keys probe everything.
+      val probeFiles =
+        if (keys.size != 1) entries.map(_._1)
         else {
-          val (lo, hi) = (b.getDouble(0), b.getDouble(1))
-          entries.filter {
-            case (_, None) => true
-            case (_, Some(st)) =>
-              st.split(",").iterator.map(_.split(";", 3)).collectFirst {
-                case Array(c, mn, mx) if c == k =>
-                  !(mx.toDouble < lo || mn.toDouble > hi)
-              }.getOrElse(true)
-          }.map(_._1)
+          val k = keys.head
+          val b = nonNullKeyed.agg(min(col(k).cast("double")),
+            max(col(k).cast("double"))).head()
+          if (b.isNullAt(0)) entries.map(_._1)
+          else entries
+            .filter(e => statsOverlap(e._2, k, b.getDouble(0), b.getDouble(1)))
+            .map(_._1)
         }
-      }
-    val touched =
-      if (probeFiles.isEmpty) Seq.empty[String]
-      else spark.read.parquet(probeFiles: _*)
-        .withColumn(FileCol, input_file_name())
-        .join(broadcast(srcKeys), keys, "left_semi")
-        .select(FileCol).distinct().collect()
-        .map(r => batchDirOf(r.getString(0))).distinct.sorted.toSeq
-    val removes = touched.flatMap(byNorm.get)
-    require(removes.size == touched.size,
-      s"txlog: ${touched.size - removes.size} matched batch dirs did not " +
-        s"map back to a manifest path of $dir — refusing a partial merge")
-    val rewrites = removes.zipWithIndex.flatMap { case (p, i) =>
-      val remainder = spark.read.parquet(p)
-        .join(broadcast(srcKeys), keys, "left_anti")
-      if (remainder.isEmpty) None
-      else {
-        val statCols = statColsOf(statsByNorm(normPath(p)))
-        val st =
-          if (statCols.isEmpty) None else columnStatsMulti(remainder, statCols)
-        Some(writeBatch(remainder, dir, s"${name}_d$i") -> st)
-      }
-    }
-    val srcAdd =
-      if (upserts.isEmpty) None
-      else {
-        val srcStatCols = entries.flatMap(e => statColsOf(e._2)).distinct
-          .filter(upserts.columns.contains)
-        val srcStats =
-          if (srcStatCols.isEmpty) None
-          else columnStatsMulti(upserts, srcStatCols)
-        Some(writeBatch(upserts, dir, s"${name}_src") -> srcStats)
-      }
-    val adds = rewrites ++ srcAdd
-    // a delete-only feed whose keys touch nothing changes nothing
-    if (adds.isEmpty && removes.isEmpty) return 0
-    commitRewrite(dir, adds, removes)
+      val touched = probeTouched(spark, probeFiles,
+        _.join(broadcast(srcKeys), keys, "left_semi"))
+      val extraAdds =
+        if (upserts.isEmpty) Nil
+        else {
+          val srcStatCols = entries.flatMap(e => statColsOf(e._2)).distinct
+            .filter(upserts.columns.contains)
+          val srcStats =
+            if (srcStatCols.isEmpty) None
+            else columnStatsMulti(upserts, srcStatCols)
+          Seq(writeBatch(upserts, dir, s"${name}_src") -> srcStats)
+        }
+      rewriteTouched(spark, dir, name, entries, touched,
+        p => spark.read.parquet(p)
+          .join(broadcast(srcKeys), keys, "left_anti"),
+        extraAdds, what = "merge")
+    } finally graft.core.Checkpoints.release(keyed)
   }
 
   /** Constraint-enforced ingest (public precedent: Delta's CHECK

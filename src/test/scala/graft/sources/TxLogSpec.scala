@@ -574,6 +574,81 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("applyChanges rejects NULL op values instead of silently deleting") {
+    val dir = freshDir()
+    TxLog.commit(dir,
+      Seq(TxLog.writeBatch(Seq((2, 20.0)).toDF("k", "v"), dir, "b0")))
+    val feed = Seq((2, Some("U"), 200.0), (3, None, 30.0))
+      .toDF("k", "op", "v")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.applyChanges(spark, dir, "c", feed, Seq("k"))
+    }
+    assert(e.getMessage.contains("NULL 'op'"))
+    assert(TxLog.read(spark, dir).count() === 1, "nothing committed")
+    TxLog.destroy(dir)
+  }
+
+  test("merge allows several null-key source rows: they are independent inserts") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((Some(1), 10.0)).toDF("k", "v"), dir, "b0")))
+    val src = Seq((Option.empty[Int], 1.0), (Option.empty[Int], 2.0),
+      (Some(1), 100.0)).toDF("k", "v")
+    assert(TxLog.merge(spark, dir, "m", src, Seq("k")) === 2)
+    val rows = TxLog.read(spark, dir).as[(Option[Int], Double)]
+      .collect().sortBy(_._2).toSeq
+    assert(rows === Seq((None, 1.0), (None, 2.0), (Some(1), 100.0)),
+      "null keys insert without matching; the real key upserts")
+    TxLog.destroy(dir)
+  }
+
+  test("merge rejects a source whose schema drifted from the table") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1, "a", 1.0)).toDF("k", "tag", "v"), dir, "b0")))
+    val narrow = Seq((1, 2.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, "m", narrow, Seq("k"))
+    }
+    assert(e.getMessage.contains("schema"))
+    assert(TxLog.read(spark, dir).count() === 1, "nothing committed")
+    TxLog.destroy(dir)
+  }
+
+  test("vacuum keeps live data of a RELATIVE-rooted table") {
+    val rel = s"target/txlog_relvac_${System.nanoTime()}"
+    TxLog.commit(rel, Seq(TxLog.writeBatch(Seq(1, 2).toDF("x"), rel, "b0")))
+    TxLog.commit(rel, Seq(TxLog.writeBatch(Seq(3).toDF("x"), rel, "b1")))
+    assert(TxLog.vacuum(rel) === Seq.empty,
+      "every batch is reachable — vacuum must delete NOTHING (the " +
+        "unqualified-path identity would have deleted the whole table)")
+    assert(TxLog.read(spark, rel).as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 3))
+    TxLog.destroy(rel)
+  }
+
+  test("versionAt survives non-monotone commit timestamps and expired manifests") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(1).toDF("x"), dir, "b1")))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(Seq(2).toDF("x"), dir, "b2")))
+    // simulate clock skew: rewrite v2's header to PREDATE v1's
+    val ld = java.nio.file.Paths.get(dir, "_txlog")
+    val m2 = ld.resolve("v00000002.json")
+    val t1 = TxLog.manifestTs(dir, 1)
+    val text = new String(java.nio.file.Files.readAllBytes(m2), "UTF-8")
+      .replaceFirst("meta\tts\t\\d+", s"meta\tts\t${t1 - 50}")
+    java.nio.file.Files.write(m2, text.getBytes("UTF-8"))
+    // the newest at-or-before t1 is v2 (ts t1-50 <= t1, version 2 > 1) —
+    // a prefix walk stopping at v1's later ts would under-resolve
+    assert(TxLog.versionAt(dir, t1) === 2)
+    // expired history: only the checkpoint file remains for v2's state
+    TxLog.checkpoint(dir)
+    TxLog.expireManifests(dir)
+    assert(TxLog.versionAt(dir, System.currentTimeMillis()) === 2,
+      "a checkpointed+expired log still timestamp-resolves")
+    TxLog.destroy(dir)
+  }
+
   test("merge with no matched keys is a pure insert: nothing rewritten") {
     val dir = freshDir()
     val base = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
