@@ -6907,6 +6907,42 @@ object Queries {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Manifest-level bloom point-lookup skipping
+    * ([[graft.sources.TxLog.bloomBlob]] / `readPrunedByKey`): events land
+    * as four user-bucketed batches whose blobs carry BOTH l-range stats
+    * and a user_id bloom; a point lookup must skip at least one file on
+    * the bloom alone (no footer reads — the gate REQUIRES the
+    * inputFiles count drops) and lose no rows, which the oracle pins by
+    * recomputing the user's aggregate from the raw table. */
+  private val qTxlogBloomPrune = QuerySpec(
+    "q_txlog_bloom_prune",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_bf_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val b = TextFunctions.portableBucket(col("user_id"), 4)
+      (0 until 4).foreach { k =>
+        val batch = ev.filter(b === k)
+        TxLog.commitWithStats(root,
+          Seq(TxLog.writeBatch(batch, root, s"b$k") ->
+            TxLog.statsWithBloom(batch, Seq("event_id"), "user_id")))
+      }
+      // user 7 exists (user_id 0..149 at every sf); its batch is the one
+      // its hash bucket chose — every other batch must bloom-skip
+      val pruned = TxLog.readPrunedByKey(s, root, "user_id", "7").get
+      require(pruned.inputFiles.length < TxLog.read(s, root).inputFiles.length,
+        "a point lookup must skip files on the manifest bloom alone")
+      pruned.filter(col("user_id") === 7)
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+        .select(lit(7L).as("user_id"), col("n"), col("sum_value"))
+    },
+    Some("""SELECT CAST(7 AS BIGINT) AS user_id,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE user_id = 7"""))
+
   /** Timestamp time travel ([[graft.sources.TxLog.readAsOfTimestamp]]):
     * the gate captures a wall-clock instant between two commits and
     * reads the table AS OF that instant — resolution must pick the
@@ -10765,7 +10801,7 @@ object Queries {
     qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
     qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge, qTxlogEvolve,
     qStreamTxlogMerge, qTxlogCdc, qTxlogTimeTravel, qTxlogConstraints,
-    qTxlogOptimizeInc,
+    qTxlogOptimizeInc, qTxlogBloomPrune,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

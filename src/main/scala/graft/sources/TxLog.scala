@@ -474,6 +474,87 @@ object TxLog {
     if (segs.isEmpty) None else Some(segs.mkString(","))
   }
 
+  /** Manifest-level BLOOM FILTER blob for one column of a batch — the
+    * point-lookup complement to [[columnStats]] ranges (public
+    * precedent: Delta's bloom filter index; here the filter rides in
+    * the MANIFEST, so a snapshot point query skips whole files without
+    * opening even their footers). Two md5-derived probe positions per
+    * distinct value (portable — the same arithmetic every oracle
+    * replays) over a `bits`-wide bitset, base64-encoded into a stats
+    * segment `#bf#col;bits;b64` that composes with range segments in
+    * one comma-joined blob ([[statsWithBloom]]). False positives only
+    * ever cost a read; absence proofs are exact. One aggregation pass;
+    * the collect is bounded by `bits`, not rows. None when the column
+    * is all-null. NOTE: rewrites (optimize / row verbs) re-derive RANGE
+    * stats but drop bloom segments — blooms are per-ingest-batch
+    * artifacts; re-add them on the compacted file if the workload
+    * needs them. */
+  def bloomBlob(df: DataFrame, column: String, bits: Int = 1024): Option[String] = {
+    // named imports: the functions._ wildcard would shadow the `column` param
+    import org.apache.spark.sql.functions.{array, col, concat, explode, lit}
+    require(bits >= 64 && bits <= 65536, s"bits must be in [64,65536]: $bits")
+    require(!column.exists(ch => ch == ';' || ch == ',' || ch == '\t'),
+      s"bloom column name unsupported: $column")
+    val c = col(column)
+    val positions = df.filter(c.isNotNull)
+      .select(explode(array(
+        graft.functions.TextFunctions.portableBucket(c, bits),
+        graft.functions.TextFunctions.portableBucket(
+          concat(lit("bf2|"), c.cast("string")), bits))).as("p"))
+      .distinct().collect().map(_.getLong(0).toInt)
+    if (positions.isEmpty) None
+    else {
+      val bs = new java.util.BitSet(bits)
+      positions.foreach(bs.set)
+      Some(s"#bf#$column;$bits;" +
+        java.util.Base64.getEncoder.encodeToString(bs.toByteArray))
+    }
+  }
+
+  /** [[columnStatsMulti]] range segments + a [[bloomBlob]] segment in
+    * one blob — the full data-skipping kit for a batch commit. */
+  def statsWithBloom(df: DataFrame, rangeCols: Seq[String],
+      bloomCol: String, bits: Int = 1024): Option[String] = {
+    val segs = columnStatsMulti(df, rangeCols).toSeq ++
+      bloomBlob(df, bloomCol, bits)
+    if (segs.isEmpty) None else Some(segs.mkString(","))
+  }
+
+  /** Driver-side replay of the probe arithmetic in [[bloomBlob]]: the
+    * same md5-hex-prefix bucket [[graft.functions.TextFunctions.portableBucket]]
+    * computes, applied to the value's STRING form (pass exactly what
+    * `col.cast("string")` would print). */
+  private def bloomPositions(value: String, bits: Int): Seq[Int] = {
+    def bucket(s: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % bits).toInt
+    }
+    Seq(bucket(value), bucket(s"bf2|$value"))
+  }
+
+  /** Point-lookup file skipping: keep only files whose bloom segment for
+    * `column` might contain `value` (files without one always read —
+    * correctness over skipping, as everywhere in the stats kit). The
+    * caller still applies the row-level equality filter; this prunes
+    * FILES. None when every file proves absence. */
+  def readPrunedByKey(spark: SparkSession, dir: String, column: String,
+      value: String, asOf: Int = -1): Option[DataFrame] = {
+    val kept = liveEntries(dir, asOf).filter { case (_, st) =>
+      st.flatMap(_.split(",").find(_.startsWith(s"#bf#$column;"))) match {
+        case None => true
+        case Some(seg) =>
+          val Array(_, bitsStr, b64) = seg.split(";", 3)
+          val bits = bitsStr.toInt
+          val bs = java.util.BitSet.valueOf(
+            java.util.Base64.getDecoder.decode(b64))
+          bloomPositions(value, bits).forall(bs.get)
+      }
+    }.map(_._1)
+    if (kept.isEmpty) None else Some(spark.read.parquet(kept: _*))
+  }
+
   /** Snapshot read restricted to files whose manifest stats CAN satisfy
     * `column ∈ [lo, hi]` — files with a disjoint [min, max] are skipped
     * without opening them; files without stats (or with stats for a
@@ -940,9 +1021,13 @@ object TxLog {
   private def batchDirOf(partFile: String): String =
     normPath(new Path(partFile).getParent.toString)
 
-  /** Stat-column names recorded in one manifest stats blob. */
+  /** RANGE stat-column names recorded in one manifest stats blob —
+    * bloom segments (`#bf#…`, [[bloomBlob]]) are per-ingest artifacts
+    * and excluded, so a rewrite re-derives ranges without trying to
+    * min/max a bloom. */
   private def statColsOf(st: Option[String]): Seq[String] =
-    st.toSeq.flatMap(_.split(",")).map(_.split(";", 3)(0)).distinct
+    st.toSeq.flatMap(_.split(",")).map(_.split(";", 3)(0))
+      .filterNot(_.startsWith("#bf#")).distinct
 
   /** THE stats-blob overlap rule, shared by [[readPruned]] and the merge
     * probe pre-pruning (one grammar, one implementation): can a file

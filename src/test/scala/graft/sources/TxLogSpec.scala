@@ -649,6 +649,40 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("manifest bloom segment skips point lookups; range stats coexist; rewrites keep ranges") {
+    val dir = freshDir()
+    // two key-disjoint batches, each with range stats on x AND a bloom on k
+    val a = Seq((1, "k_alpha"), (2, "k_beta")).toDF("x", "k")
+    val b = Seq((100, "k_gamma"), (101, "k_delta")).toDF("x", "k")
+    TxLog.commitWithStats(dir, Seq(TxLog.writeBatch(a, dir, "a") ->
+      TxLog.statsWithBloom(a, Seq("x"), "k", bits = 256)))
+    TxLog.commitWithStats(dir, Seq(TxLog.writeBatch(b, dir, "b") ->
+      TxLog.statsWithBloom(b, Seq("x"), "k", bits = 256)))
+    // a point lookup prunes the file that provably lacks the key
+    val hit = TxLog.readPrunedByKey(spark, dir, "k", "k_gamma").get
+    assert(hit.inputFiles.length < TxLog.read(spark, dir).inputFiles.length,
+      "the batch without k_gamma must be skipped via its bloom alone")
+    assert(hit.filter(col("k") === "k_gamma").count() === 1,
+      "skipping loses no rows")
+    // a key in NO batch prunes everything (exact absence proof mod FP)
+    assert(TxLog.readPrunedByKey(spark, dir, "k", "k_nowhere_zzz").isEmpty ||
+      TxLog.readPrunedByKey(spark, dir, "k", "k_nowhere_zzz").get
+        .filter(col("k") === "k_nowhere_zzz").isEmpty)
+    // range stats in the same blob still prune independently (inputFiles
+    // counts PART files, so compare against the full snapshot's count)
+    val ranged = TxLog.readPruned(spark, dir, "x", 0, 10).get
+    assert(ranged.inputFiles.length < TxLog.read(spark, dir).inputFiles.length)
+    assert(ranged.as[(Int, String)].collect().map(_._1).sorted.toSeq ===
+      Seq(1, 2))
+    // a rewrite re-derives ranges and drops blooms without choking
+    assert(TxLog.optimize(spark, dir, "opt", targetFiles = 1) === 3)
+    val st = TxLog.liveEntries(dir).head._2
+    assert(st.exists(_.contains("x;")), "range stats survive the rewrite")
+    assert(!st.exists(_.contains("#bf#")), "blooms are per-ingest artifacts")
+    assert(TxLog.read(spark, dir).count() === 4, "content neutral")
+    TxLog.destroy(dir)
+  }
+
   test("merge with no matched keys is a pure insert: nothing rewritten") {
     val dir = freshDir()
     val base = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
