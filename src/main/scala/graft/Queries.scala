@@ -3886,6 +3886,39 @@ object Queries {
       SELECT source, COUNT(*) AS cnt, MIN(doc_id) AS min_id
       FROM kept GROUP BY 1 ORDER BY 1"""))
 
+  /** Temperature mixture sampling ([[CorpusOps.temperatureMix]],
+    * α = 0.5, target 50%): keep rates derived from the corpus's own
+    * per-language counts by the n^α rule — the dominant language
+    * downsamples hardest, rare languages keep (near-)full rate. The
+    * oracle replays the integer-quantized weight fold and the exact
+    * hash gate, so the kept SET (not just its size) matches. */
+  private val qTemperatureMix = QuerySpec(
+    "q_temperature_mix",
+    (s, dir) =>
+      CorpusOps.temperatureMix(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), alpha = 0.5, targetFraction = 0.5)
+        .groupBy(col("lang"), col("rate_e6"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("lang"),
+    Some("""WITH c AS (SELECT lang AS g, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1),
+      sc AS (SELECT g, n,
+          CAST(FLOOR(sqrt(n) * 1000000.0) AS BIGINT) AS s FROM c),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS cn,
+          CAST(SUM(s) AS BIGINT) AS cw FROM sc),
+      r AS (SELECT g,
+          LEAST(1.0, 0.5 * cn * s / (CAST(cw AS DOUBLE) * n)) AS rate
+        FROM sc CROSS JOIN tot),
+      kept AS (SELECT d.lang, d.doc_id, d.n_chars,
+          CAST(FLOOR(r.rate * 1000000.0) AS BIGINT) AS rate_e6
+        FROM documents d JOIN r ON d.lang = r.g
+        WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 1000000 < FLOOR(r.rate * 1000000.0))
+      SELECT lang, rate_e6, CAST(COUNT(*) AS BIGINT) AS cnt,
+        MIN(doc_id) AS min_id, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM kept GROUP BY 1, 2 ORDER BY 1"""))
+
   /** GPT-style sequence packing ([[CorpusOps.packSequences]]): documents
     * concatenated in deterministic hash order and split into back-to-back
     * 512-token examples (documents straddle boundaries). The oracle replays
@@ -10761,7 +10794,8 @@ object Queries {
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,
     qIncrementalDedup, qEquiDepth, qContamination,
-    qCorpusMix, qPackSequences, qTokenBudget, qZorder, qPartitionPrune,
+    qCorpusMix, qTemperatureMix, qPackSequences, qTokenBudget, qZorder,
+    qPartitionPrune,
     qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin,
     qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,
     qStreamOuterJoin, qPivot, qUnpivot, qCorrelation, qDedupCanonical,

@@ -458,4 +458,43 @@ object CorpusOps {
           .cast("long").as("ttr_e6"),
         floor(col("n_hapax").cast("double") / col("n_types") * 1e6 + 0.5)
           .cast("long").as("hapax_e6"))
+
+  /** Temperature-based mixture sampling — per-group keep rates derived
+    * from the corpus's own counts by the `n^α` rule (the multilingual /
+    * T5 sampling temperature: α < 1 flattens the distribution, keeping
+    * rare groups at full rate while downsampling the head): group i gets
+    * target mass ∝ n_i^α, renormalized to an overall `targetFraction`
+    * of the corpus, capped at rate 1. Selection is the deterministic
+    * portable-hash gate every sampler here shares, so the exact kept
+    * SET is engine-reproducible.
+    *
+    * Bit-determinism discipline (what makes the oracle hash-match):
+    * n_i^α is quantized to an INTEGER `floor(·×10⁶)` before the
+    * order-sensitive Σ, so the weight sum is an exact long fold; the
+    * remaining rate arithmetic is one fixed-shape double expression over
+    * integers, identical in any IEEE engine. α = 0.5 routes through
+    * `sqrt` (correctly-rounded by IEEE mandate) — other α use `pow`,
+    * where last-ulp divergence across libm implementations is possible.
+    *
+    * Scale: two tiny aggregates over group counts + one broadcast join;
+    * the corpus is touched once, no shuffle of the data rows. */
+  def temperatureMix(df: DataFrame, groupCol: Column, idCol: Column,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0,1]: $targetFraction")
+    val counts = df.groupBy(groupCol.as("_g")).agg(count(lit(1)).as("_n"))
+    val weighted = counts.withColumn("_s",
+      floor((if (alpha == 0.5) sqrt(col("_n"))
+             else pow(col("_n"), alpha)) * 1e6).cast("long"))
+    val tot = weighted.agg(sum(col("_n")).as("_cN"), sum(col("_s")).as("_cW"))
+    val rates = weighted.crossJoin(tot).select(col("_g"),
+      least(lit(1.0), lit(targetFraction) * col("_cN") * col("_s") /
+        (col("_cW").cast("double") * col("_n"))).as("_rate"))
+    df.join(broadcast(rates), groupCol === col("_g"))
+      .filter(graft.functions.TextFunctions.portableBucket(idCol, 1000000L) <
+        floor(col("_rate") * 1e6))
+      .withColumn("rate_e6", floor(col("_rate") * 1e6).cast("long"))
+      .drop("_g", "_rate")
+  }
 }

@@ -90,4 +90,27 @@ class RoundSixOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect()
     assert(out.forall(_._3), s"orthogonal vectors must both survive: ${out.toSeq}")
   }
+
+  test("temperatureMix: n^alpha rates — rare groups keep all, the head downsamples") {
+    // A: 100 docs, B: 4 docs, alpha 0.5, target 50%:
+    //   s_A = 10e6, s_B = 2e6, W = 12e6, N = 104
+    //   rate_A = min(1, 0.5*104*10e6 / (12e6*100)) = 0.43333…  -> 433333 e6-floored
+    //   rate_B = min(1, 0.5*104*2e6  / (12e6*4))   = 1.0       -> 1000000
+    val docs = ((1 to 100).map(i => (i.toLong, "A")) ++
+      (201 to 204).map(i => (i.toLong, "B"))).toDF("id", "g")
+    val kept = CorpusOps.temperatureMix(docs, col("g"), col("id"),
+      alpha = 0.5, targetFraction = 0.5)
+    val rates = kept.select(col("g"), col("rate_e6")).distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("A") === 433333L)
+    assert(rates("B") === 1000000L)
+    assert(kept.filter(col("g") === "B").count() === 4,
+      "a rate-1 group keeps every row")
+    val nA = kept.filter(col("g") === "A").count()
+    assert(nA > 20 && nA < 70, s"the head samples at ~43%: $nA")
+    // deterministic: the same call keeps the same exact set
+    val again = CorpusOps.temperatureMix(docs, col("g"), col("id"), 0.5, 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again === kept.select("id").as[Long].collect().sorted.toSeq)
+  }
 }
