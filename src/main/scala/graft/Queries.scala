@@ -6976,6 +6976,134 @@ object Queries {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events WHERE user_id = 7"""))
 
+  /** Exactly-once across a stream RESTART: run one AvailableNow pass
+    * over two staged files into a TxLog sink, STOP, stage a third file,
+    * and start a SECOND query on the SAME checkpoint — the restarted
+    * stream must process only the new file (the checkpoint's file-source
+    * log is the dedup state). The proof is the data itself: the sink is
+    * append-only, so any reprocessing would double rows and break the
+    * hash against the oracle's one-copy aggregate; the gate additionally
+    * REQUIRES the restarted run appended exactly one commit. This is
+    * the recovery contract a production ingest relies on every deploy. */
+  private val qStreamRestart = QuerySpec(
+    "q_stream_restart",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_restart_src_$sfName")
+      val tbl = s"/tmp/graft_restart_tbl_$sfName"
+      val ckpt = s"/tmp/graft_restart_ckpt_$sfName"
+      def rmTree(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.delete(q); () })
+        }
+      }
+      Seq(srcDir.toString, tbl, ckpt).foreach(rmTree)
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 3)
+      def stage(k: Int): Unit = {
+        val tmp = s"$srcDir/_stage_$k"
+        ev.filter(b === k).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          srcDir.resolve(s"split_$k.parquet"))
+        rmTree(tmp)
+      }
+      def runPass(): Unit = {
+        val feed = s.readStream
+          .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+          .parquet(srcDir.toString)
+        val q = pinnedParts(s, 8)(feed.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+              TxLog.commit(tbl,
+                Seq(TxLog.writeBatch(batch.coalesce(1), tbl, s"in_${
+                  TxLog.latestVersion(tbl) + 1}")))
+              ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+        q.awaitTermination()
+      }
+      stage(0); stage(1)
+      runPass()
+      val afterFirst = TxLog.latestVersion(tbl)
+      require(afterFirst >= 1, "the first pass must commit at least once")
+      stage(2)
+      runPass()
+      require(TxLog.latestVersion(tbl) == afterFirst + 1,
+        "the restarted stream must append EXACTLY one commit — the " +
+          "checkpoint's source log already covers the first two files")
+      TxLog.read(s, tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Right-to-be-forgotten composition (DELETE → checkpoint →
+    * expireManifests → VACUUM): one user's rows are deleted and the
+    * maintenance loop then PHYSICALLY reclaims every file that held
+    * them — the gate proves absence by scanning the surviving data
+    * files raw (no manifest mediation) and proves the expired history
+    * is gone loudly, not partially. This is the compliance story a
+    * lakehouse DELETE alone does NOT give (the old file stays on disk
+    * for time travel until vacuum). Hash-checked output: the final
+    * snapshot, which the oracle recomputes as the table minus the
+    * forgotten user. */
+  private val qTxlogForget = QuerySpec(
+    "q_txlog_forget",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_forget_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val b = TextFunctions.portableBucket(col("user_id"), 4)
+      (0 until 4).foreach { k =>
+        TxLog.commit(root,
+          Seq(TxLog.writeBatch(ev.filter(b === k), root, s"b$k")))
+      }
+      val vDel = TxLog.deleteWhere(s, root, "forget", col("user_id") === 7)
+      require(vDel == 5, s"delete must land as version 5, got $vDel")
+      // retire pre-delete history, then reclaim the files it pinned
+      TxLog.checkpoint(root)
+      TxLog.expireManifests(root)
+      val reclaimed = TxLog.vacuum(root)
+      require(reclaimed.nonEmpty,
+        "vacuum must physically reclaim the file that held the user")
+      // absence proof against the RAW surviving files — no manifest in
+      // the loop, so a stale copy would be caught
+      require(s.read.parquet(s"$root/data/*")
+          .filter(col("user_id") === 7).isEmpty,
+        "the forgotten user must not appear in ANY surviving data file")
+      // the pre-delete snapshot is gone LOUDLY, never served partially
+      val expired =
+        try { TxLog.read(s, root, asOf = 4).count(); false }
+        catch { case _: IllegalStateException => true }
+      require(expired, "expired pre-delete history must refuse to resolve")
+      TxLog.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE user_id IS NULL OR user_id <> 7
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Timestamp time travel ([[graft.sources.TxLog.readAsOfTimestamp]]):
     * the gate captures a wall-clock instant between two commits and
     * reads the table AS OF that instant — resolution must pick the
@@ -10835,7 +10963,7 @@ object Queries {
     qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
     qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge, qTxlogEvolve,
     qStreamTxlogMerge, qTxlogCdc, qTxlogTimeTravel, qTxlogConstraints,
-    qTxlogOptimizeInc, qTxlogBloomPrune,
+    qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qStreamRestart,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)
