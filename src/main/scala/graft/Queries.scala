@@ -6890,6 +6890,154 @@ object Queries {
       FROM customer GROUP BY 1, 2
       ORDER BY snapshot, c_mktsegment"""))
 
+  /** Copy-on-write UPDATE ([[graft.sources.TxLog.updateWhere]]) — the
+    * third row-level DML verb: customers land as a low-key and a
+    * high-key batch, then `UPDATE SET c_acctbal = c_acctbal +
+    * c_nationkey, c_nationkey = c_nationkey + 7 WHERE
+    * c_mktsegment='BUILDING' AND c_custkey<750` runs (matches confined
+    * to the low batch by construction). The gate REQUIRES the high
+    * batch survives UNREWRITTEN (file pruning — updating one tenant
+    * rewrites that tenant's files, not the table), the matched batch is
+    * retired, and a no-match update commits nothing. Both SET
+    * right-hand sides read the PRE-update row — the oracle replays them
+    * from the raw table, so chained evaluation (acctbal seeing the
+    * bumped nationkey) would hash-mismatch. Pre-update time travel is
+    * hash-checked too. */
+  private val qTxlogUpdate = QuerySpec(
+    "q_txlog_update",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_upd_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          col("c_acctbal"))
+      val pLow = TxLog.writeBatch(
+        cust.filter(col("c_custkey") < 750), root, "b_low")
+      val pHigh = TxLog.writeBatch(
+        cust.filter(col("c_custkey") >= 750), root, "b_high")
+      TxLog.commit(root, Seq(pLow))
+      TxLog.commit(root, Seq(pHigh))
+      val pred = col("c_mktsegment") === "BUILDING" && col("c_custkey") < 750
+      val vU = TxLog.updateWhere(s, root, "upd", pred, Seq(
+        "c_acctbal" -> (col("c_acctbal") + col("c_nationkey")),
+        "c_nationkey" -> (col("c_nationkey") + lit(7))))
+      require(vU == 3, s"update must land as ordinary version 3, got $vU")
+      val live = TxLog.liveFiles(root)
+      require(live.contains(pHigh),
+        "file pruning: the batch with no matching rows must NOT be rewritten")
+      require(!live.contains(pLow), "the matched batch must be retired")
+      require(TxLog.updateWhere(s, root, "upd2", col("c_custkey") < 0,
+        Seq("c_acctbal" -> lit(0.0))) == 0,
+        "a no-match update must commit nothing")
+      def agg(df: DataFrame, tag: String) =
+        df.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sumExact(col("c_acctbal")).as("sum_bal"),
+            sum(col("c_nationkey")).cast("long").as("sum_nat"))
+          .withColumn("snapshot", lit(tag))
+      agg(TxLog.read(s, root), "post")
+        .unionByName(agg(TxLog.read(s, root, asOf = 2), "pre"))
+        .select(col("snapshot"), col("c_mktsegment"), col("n"),
+          col("sum_bal"), col("sum_nat"))
+        .orderBy("snapshot", "c_mktsegment")
+    },
+    Some("""WITH upd AS (
+        SELECT c_mktsegment,
+          CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey < 750
+               THEN c_acctbal + c_nationkey ELSE c_acctbal END AS bal,
+          CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey < 750
+               THEN c_nationkey + 7 ELSE c_nationkey END AS nat
+        FROM customer)
+      SELECT 'post' AS snapshot, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal,
+        CAST(SUM(nat) AS BIGINT) AS sum_nat
+      FROM upd GROUP BY 1, 2
+      UNION ALL
+      SELECT 'pre', c_mktsegment, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE),
+        CAST(SUM(c_nationkey) AS BIGINT)
+      FROM customer GROUP BY 1, 2
+      ORDER BY snapshot, c_mktsegment"""))
+
+  /** Row-signed CDC ([[graft.sources.TxLog.readChanges]]) composed
+    * ACROSS the row-level DML verbs: a two-batch table takes a DELETE
+    * (every key ≡5 mod 10) then a MERGE (balance updates for keys ≡0,
+    * shifted-key inserts for ≡7), and the change feed for the whole
+    * (v2, v4] window is folded into the pre-verb snapshot — the fold
+    * must reproduce the post-verb table EXACTLY, even though both
+    * commits were copy-on-write rewrites whose files mix kept rows
+    * (+1/−1 cancelling pairs) with genuine changes. The gate emits the
+    * folded aggregate AND the directly-read post snapshot under
+    * different tags; the oracle computes both from the raw table, so
+    * any double-count or loss in the feed hash-mismatches. Also
+    * REQUIRES the feed carries −1 rows (a degenerate append-only feed
+    * would pass the fold trivially). */
+  private val qTxlogRowverbCdc = QuerySpec(
+    "q_txlog_rowverb_cdc",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_rvcdc_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val b = TextFunctions.portableBucket(col("c_custkey"), 2)
+      TxLog.commit(root,
+        Seq(TxLog.writeBatch(cust.filter(b === 0), root, "b0")))
+      TxLog.commit(root,
+        Seq(TxLog.writeBatch(cust.filter(b === 1), root, "b1")))
+      val vD = TxLog.deleteWhere(s, root, "del", col("c_custkey") % 10 === 5)
+      require(vD == 3, s"delete must land as version 3, got $vD")
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      val inserts = cust.filter(col("c_custkey") % 10 === 7)
+        .withColumn("c_custkey", col("c_custkey") + 3000000L)
+        .withColumn("c_acctbal", col("c_acctbal") * 2.0)
+      val vM = TxLog.merge(s, root, "m", updates.unionByName(inserts),
+        Seq("c_custkey"))
+      require(vM == 4, s"merge must land as version 4, got $vM")
+      val feed = TxLog.readChanges(s, root, 2, vM)
+        .getOrElse(sys.error("row verbs changed the table; feed must exist"))
+      require(feed.filter(col("sign") === -1).limit(1).count() == 1,
+        "copy-on-write rewrites must surface -1 rows in the feed")
+      val base = TxLog.read(s, root, asOf = 2).withColumn("sign", lit(1))
+      def agg(df: DataFrame, tag: String) =
+        df.groupBy(col("c_mktsegment"))
+          .agg(sum(col("sign")).cast("long").as("n"),
+            sumExact(col("sign") * col("c_acctbal")).as("sum_bal"))
+          .withColumn("snapshot", lit(tag))
+      agg(base.unionByName(feed), "folded")
+        .unionByName(agg(TxLog.read(s, root).withColumn("sign", lit(1)),
+          "post"))
+        .select(col("snapshot"), col("c_mktsegment"), col("n"),
+          col("sum_bal"))
+        .orderBy("snapshot", "c_mktsegment")
+    },
+    Some("""WITH afterdel AS (
+        SELECT * FROM customer WHERE c_custkey % 10 <> 5
+      ), src AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 3000000, c_mktsegment, c_acctbal * 2.0
+        FROM customer WHERE c_custkey % 10 = 7
+      ), fin AS (
+        SELECT c_mktsegment, c_acctbal FROM afterdel
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal FROM src
+      )
+      SELECT 'folded' AS snapshot, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      FROM fin GROUP BY 1, 2
+      UNION ALL
+      SELECT 'post', c_mktsegment, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      FROM fin GROUP BY 1, 2
+      ORDER BY snapshot, c_mktsegment"""))
+
   /** Incremental small-file compaction
     * ([[graft.sources.TxLog.optimizeIncremental]]) — the SCHEDULED
     * maintenance verb: four tiny ingest batches and one big batch land;
@@ -10964,6 +11112,7 @@ object Queries {
     qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge, qTxlogEvolve,
     qStreamTxlogMerge, qTxlogCdc, qTxlogTimeTravel, qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qStreamRestart,
+    qTxlogUpdate, qTxlogRowverbCdc,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

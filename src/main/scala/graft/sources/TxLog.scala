@@ -1145,6 +1145,61 @@ object TxLog {
       extraAdds = Nil, what = "delete")
   }
 
+  /** Copy-on-write UPDATE — apply the `set` assignments to every live
+    * row satisfying `predicate`, as one atomic commit; completes the
+    * row-level DML triad with [[deleteWhere]] and [[merge]]. SQL UPDATE
+    * semantics throughout: a NULL-predicate row is NOT updated; every
+    * SET right-hand side is evaluated against the PRE-update row (one
+    * `select`, so `SET a = b, b = a` swaps instead of chaining); each
+    * assignment is cast to its column's existing type, so the table
+    * schema is invariant under the verb — a type-changing update is
+    * schema evolution and goes through an explicit evolved commit.
+    *
+    * Same scale shape as [[deleteWhere]]: one `input_file_name()` probe
+    * scan (pushdown intact) finds the batch dirs holding matching rows
+    * and ONLY those rewrite — updating one tenant's rows in a 100 TB
+    * table rewrites that tenant's files, not the table. Manifest stats
+    * are re-derived per rewritten file over its original stat columns
+    * (the update may move a stat column's bounds; stale bounds would
+    * break the [[readPruned]] trust contract). Committed via
+    * [[commitRewrite]] — a concurrent rewrite aborts this update
+    * instead of resurrecting rows. Returns the new version, or 0 (no
+    * commit) when nothing matches. Fresh `name` per call.
+    *
+    * (Public precedent: Delta's UPDATE copy-on-write path. Reference
+    * capability analog: rewriting a MapFile with amended values —
+    * immutable files have no in-place update.) */
+  def updateWhere(spark: SparkSession, dir: String, name: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, "updateWhere needs at least one SET assignment")
+    require(set.map(_._1).distinct.size == set.size,
+      s"updateWhere: a column may appear at most once in SET " +
+        s"(got ${set.map(_._1).mkString(", ")})")
+    val entries = liveEntries(dir)
+    if (entries.isEmpty) return 0
+    val touched = probeTouched(spark, entries.map(_._1), _.filter(predicate))
+    val setByCol = set.toMap
+    val hit = coalesce(predicate, lit(false))
+    rewriteTouched(spark, dir, name, entries, touched,
+      { p =>
+        val df = spark.read.parquet(p)
+        val missing = set.map(_._1).filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"updateWhere: SET targets column(s) absent from the table: " +
+            s"${missing.mkString(", ")}")
+        val types = df.schema.map(f => f.name -> f.dataType).toMap
+        df.select(df.columns.toSeq.map { c =>
+          setByCol.get(c) match {
+            case Some(e) => when(hit, e.cast(types(c))).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }: _*)
+      },
+      extraAdds = Nil, what = "update")
+  }
+
   /** MERGE (upsert) `source` into the table on `keys` — target rows whose
     * key matches a source row are REPLACED by that source row, source
     * rows with no target match are INSERTED, all in one atomic commit

@@ -384,6 +384,75 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("updateWhere: pre-update-row SET semantics, null predicates skip, pruning and stats survive") {
+    val dir = freshDir()
+    // b_lo holds x in [0,100) with y = 2x (nullable), b_hi x in [100,200)
+    val lo = (0 until 100)
+      .map(i => (i, if (i % 10 == 0) None else Some(2 * i))).toDF("x", "y")
+    val hi = (100 until 200).map(i => (i, Option(2 * i))).toDF("x", "y")
+    TxLog.commitWithStats(dir,
+      Seq(TxLog.writeBatch(lo, dir, "b_lo") -> TxLog.columnStats(lo, "x")))
+    TxLog.commitWithStats(dir,
+      Seq(TxLog.writeBatch(hi, dir, "b_hi") -> TxLog.columnStats(hi, "x")))
+    val hiPath = TxLog.liveFiles(dir).find(_.endsWith("b_hi")).get
+    // UPDATE SET x = y, y = x WHERE y < 100: a genuine swap (y = 2x ≠ x)
+    // — both RHS must read the PRE-update row; chained evaluation would
+    // yield (2i, 2i) instead of (2i, i). Null-y rows have a NULL
+    // predicate and are NOT updated (SQL UPDATE); b_hi (y ≥ 200
+    // throughout) must not be rewritten.
+    val v = TxLog.updateWhere(spark, dir, "upd", col("y") < 100,
+      Seq("x" -> col("y"), "y" -> col("x")))
+    assert(v === 3, "update is one ordinary commit")
+    assert(TxLog.liveFiles(dir).contains(hiPath),
+      "a file with no matching rows survives byte-identical")
+    val rows = TxLog.read(spark, dir)
+      .select("x", "y").as[(Int, Option[Int])].collect().toSeq
+    val expected = ((0 until 100 by 10).map(i => (i, None: Option[Int])) ++
+      (1 until 50).filterNot(_ % 10 == 0).map(i => (2 * i, Some(i))) ++
+      (50 until 100).filterNot(_ % 10 == 0).map(i => (i, Some(2 * i))) ++
+      (100 until 200).map(i => (i, Some(2 * i))))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.sortBy(r => (r._1, r._2)) === expected,
+      "matched rows swap against the pre-update row; null-predicate " +
+        "and unmatched rows are untouched")
+    // schema is invariant: the SET cast keeps the column types
+    assert(TxLog.read(spark, dir).schema ===
+      TxLog.read(spark, dir, asOf = 2).schema)
+    // time travel to the pre-update version is untouched
+    assert(TxLog.read(spark, dir, asOf = 2).count() === 200)
+    // the rewritten file re-derived its x stats: disjoint files still skip
+    val prunedLo = TxLog.readPruned(spark, dir, "x", 0, 10).get
+    assert(prunedLo.inputFiles.length <
+      TxLog.read(spark, dir).inputFiles.length,
+      "stats survive the update: disjoint files still skip")
+    assert(TxLog.updateWhere(spark, dir, "u2", col("x") < 0,
+      Seq("y" -> lit(0))) === 0, "a no-match update commits nothing")
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, dir, "u3", col("x") >= 0,
+        Seq("nope" -> lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, dir, "u4", col("x") >= 0,
+        Seq("y" -> lit(1), "y" -> lit(2)))
+    }
+    TxLog.destroy(dir)
+  }
+
+  test("updateWhere casts SET values to the column's existing type") {
+    val dir = freshDir()
+    val b = Seq((1, 10.5), (2, 20.5)).toDF("k", "v")
+    TxLog.commit(dir, Seq(TxLog.writeBatch(b, dir, "b")))
+    // an integer-literal RHS on a double column must land as double
+    assert(TxLog.updateWhere(spark, dir, "u", col("k") === 1,
+      Seq("v" -> lit(99))) === 2)
+    val after = TxLog.read(spark, dir)
+    assert(after.schema("v").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(after.as[(Int, Double)].collect().sortBy(_._1).toSeq ===
+      Seq((1, 99.0), (2, 20.5)))
+    TxLog.destroy(dir)
+  }
+
   test("merge upserts by key, prunes unmatched files, rejects duplicate source keys") {
     val dir = freshDir()
     val lo = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
