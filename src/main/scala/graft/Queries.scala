@@ -7038,6 +7038,62 @@ object Queries {
       FROM fin GROUP BY 1, 2
       ORDER BY snapshot, c_mktsegment"""))
 
+  /** Partitioned ingest ([[graft.sources.TxLog.commitPartitioned]]):
+    * two event batches land PARTITIONED BY event_type — one manifest
+    * entry per (batch, type) leaf whose stats derive from the dirname
+    * alone (exact single-value bloom), so a point probe plans with ZERO
+    * reads: no footers, no stat jobs, just the manifest. The gate
+    * REQUIRES the 'click' probe reads strictly fewer leaves than the
+    * table holds and spans BOTH batches, the partition column is still
+    * served from the data files, and the internal partition copy never
+    * leaks into the schema. Hash-checked: the full per-type aggregate
+    * AND the pruned-read click aggregate (pruning loses no rows). */
+  private val qTxlogPartitioned = QuerySpec(
+    "q_txlog_partitioned",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_part_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 2)
+      require(TxLog.commitPartitioned(s, root, "p0",
+        ev.filter(b === 0), "event_type") == 1)
+      require(TxLog.commitPartitioned(s, root, "p1",
+        ev.filter(b === 1), "event_type") == 2)
+      def leaves(d: DataFrame) =
+        d.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      val full = TxLog.read(s, root)
+      require(!full.columns.contains("__pv"),
+        "the internal partition copy must not leak into the table schema")
+      val pruned = TxLog.readPrunedByKey(s, root, "event_type", "click")
+        .getOrElse(sys.error("the click partition exists; probe must read"))
+      require(leaves(pruned).length < leaves(full).length,
+        "a value probe must skip the other partitions' leaves")
+      require(leaves(pruned).length == 2,
+        "the probe must hit exactly the click leaf of each batch")
+      full.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+        .withColumn("snapshot", lit("full"))
+        .unionByName(
+          pruned.filter(col("event_type") === "click")
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+            .withColumn("snapshot", lit("pruned")))
+        .select(col("snapshot"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("snapshot", "event_type")
+    },
+    Some("""SELECT 'full' AS snapshot, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+      UNION ALL
+      SELECT 'pruned', event_type, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      ORDER BY snapshot, event_type"""))
+
   /** Incremental small-file compaction
     * ([[graft.sources.TxLog.optimizeIncremental]]) — the SCHEDULED
     * maintenance verb: four tiny ingest batches and one big batch land;
@@ -11112,7 +11168,7 @@ object Queries {
     qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge, qTxlogEvolve,
     qStreamTxlogMerge, qTxlogCdc, qTxlogTimeTravel, qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qStreamRestart,
-    qTxlogUpdate, qTxlogRowverbCdc,
+    qTxlogUpdate, qTxlogRowverbCdc, qTxlogPartitioned,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

@@ -967,11 +967,22 @@ object TxLog {
     // per batch); normalize both sides to the batch-dir grain through
     // normPath (makeQualified) — an unqualified comparison on a
     // RELATIVE-rooted table would match nothing and delete every live
-    // batch (same identity-bug class the row verbs guard against)
+    // batch (same identity-bug class the row verbs guard against).
+    // Batch dirs may be NESTED under a shared parent ([[commitPartitioned]]
+    // writes data/<name>/__pv=<v> leaves): a parent holding any reachable
+    // descendant is swept child-by-child instead of wholesale, a parent
+    // whose whole subtree is unreachable goes in one delete.
     val keep = reachable.map(normPath)
-    val victims = onDisk.filterNot(p => keep.contains(normPath(p.toString)))
-    victims.foreach(p => fs.delete(p, true))
-    victims.map(_.toString).toSeq
+    def sweep(p: Path): Seq[Path] = {
+      val n = normPath(p.toString)
+      if (keep.contains(n)) Nil
+      else if (!keep.exists(_.startsWith(n + "/"))) {
+        fs.delete(p, true); Seq(p)
+      } else
+        fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+          .flatMap(sweep).toSeq
+    }
+    onDisk.flatMap(sweep).map(_.toString).toSeq
   }
 
   /** RESTORE the table to the live set of `toVersion` — the rollback verb
@@ -1363,6 +1374,110 @@ object TxLog {
         s"txlog: batch '$name' violates ${violated.size} constraint(s) " +
           s"of $dir — ${violated.mkString("; ")} — nothing was committed")
     commitWithStats(dir, Seq(writeBatch(df, dir, name) -> stats))
+  }
+
+  /** Exact manifest bloom segment for a KNOWN value set, built
+    * driver-side with the same probe arithmetic as [[bloomBlob]] — no
+    * data read at all. The partition-ingest fast path: a partition dir
+    * holds exactly one value, so its "filter" is perfect (false
+    * positives only from 2-position hash collisions). */
+  def bloomBlobOfValues(column: String, values: Seq[String],
+      bits: Int = 1024): Option[String] = {
+    require(bits >= 64 && bits <= 65536, s"bits must be in [64,65536]: $bits")
+    require(!column.exists(ch => ch == ';' || ch == ',' || ch == '\t'),
+      s"bloom column name unsupported: $column")
+    if (values.isEmpty) None
+    else {
+      val bs = new java.util.BitSet(bits)
+      values.foreach(v => bloomPositions(v, bits).foreach(bs.set))
+      Some(s"#bf#$column;$bits;" +
+        java.util.Base64.getEncoder.encodeToString(bs.toByteArray))
+    }
+  }
+
+  /** Hive-style `%XX` partition-dirname unescaping (the inverse of the
+    * escaping Spark's `partitionBy` writer applies to special chars). */
+  private def unescapeHive(s: String): String = {
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
+  private val PartPrefix = "__pv="
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** PARTITIONED ingest — commit `df` split by `partCol` value, ONE
+    * manifest entry per partition, in one atomic commit (public
+    * precedent: Hive/Delta `PARTITIONED BY` table layout, mapped onto
+    * the manifest-stats model instead of a path convention the reader
+    * must trust). One `partitionBy` write produces the per-value leaf
+    * dirs; each leaf becomes an ordinary batch entry whose stats derive
+    * from its DIRNAME alone — min=max range for numeric values, a
+    * single-value (perfect) bloom segment for any value — so
+    * [[readPruned]] and [[readPrunedByKey]] give exact partition
+    * pruning with ZERO planning reads: no footers, no per-partition
+    * stat jobs, nothing but the manifest. The partition column stays IN
+    * the data files (the writer partitions on an internal string copy),
+    * so a pruned read still serves it and row-level exactness is the
+    * caller's filter, as everywhere in the stats kit.
+    *
+    * At 100 TB this is the ingest-side half of data layout: a daily/
+    * tenant/type-partitioned feed lands as value-grained entries that
+    * every downstream verb already understands — row verbs rewrite one
+    * partition's files, [[optimize]] compacts across them,
+    * [[vacuum]] sweeps retired leaves child-by-child (nested-aware),
+    * time travel and CDC are untouched because a partition leaf is just
+    * a batch dir. NULL partition values land under the Hive default
+    * leaf with no stats (always read — correctness over skipping).
+    * `extraStatsCols` appends [[columnStatsMulti]] segments per leaf
+    * (one columnar read each) for secondary-dimension skipping.
+    * Returns the new version. Fresh `name` per call. */
+  def commitPartitioned(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, partCol: String, bloomBits: Int = 1024,
+      extraStatsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions._
+    require(df.columns.contains(partCol),
+      s"commitPartitioned: no such column '$partCol'")
+    require(!df.columns.contains("__pv"),
+      "commitPartitioned: '__pv' is reserved for the internal partition copy")
+    val base = s"$dir/data/$name"
+    df.withColumn("__pv", col(partCol).cast("string"))
+      .write.partitionBy("__pv").mode("errorifexists").parquet(base)
+    val basePath = new Path(base)
+    val fs = fsOf(basePath)
+    val leaves = fs.listStatus(basePath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(PartPrefix))
+      .map(_.getPath).sortBy(_.getName)
+    require(leaves.nonEmpty,
+      s"commitPartitioned: the write produced no partition leaves under $base")
+    val adds = leaves.toSeq.map { leaf =>
+      val raw = unescapeHive(leaf.getName.stripPrefix(PartPrefix))
+      val valueStats =
+        if (raw == HiveDefaultPartition) None
+        else {
+          val range = raw.toDoubleOption.map(v => s"$partCol;$v;$v")
+          val bloom = bloomBlobOfValues(partCol, Seq(raw), bloomBits)
+          val segs = range.toSeq ++ bloom
+          if (segs.isEmpty) None else Some(segs.mkString(","))
+        }
+      val extra =
+        if (extraStatsCols.isEmpty) None
+        else columnStatsMulti(
+          spark.read.parquet(leaf.toString), extraStatsCols)
+      val segs = valueStats.toSeq ++ extra
+      leaf.toString -> (if (segs.isEmpty) None else Some(segs.mkString(",")))
+    }
+    commitWithStats(dir, adds)
   }
 
   /** Drop the whole table — data files and log. (Test/rebuild helper;

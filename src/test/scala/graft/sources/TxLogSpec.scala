@@ -490,6 +490,78 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("commitPartitioned: one manifest entry per value, dirname-derived pruning, nulls always read") {
+    val dir = freshDir()
+    val df = Seq((1, "click", 1.0), (2, "view", 2.0), (3, "click", 3.0),
+      (4, null, 4.0), (5, "buy", 5.0)).toDF("id", "etype", "v")
+    val v = TxLog.commitPartitioned(spark, dir, "p1", df, "etype")
+    assert(v === 1)
+    val entries = TxLog.liveEntries(dir)
+    assert(entries.size === 4, "click, view, buy, null-default leaves")
+    // the partition column survives in the data; the internal copy does not
+    val back = TxLog.read(spark, dir)
+    assert(back.columns.sorted.toSeq === Seq("etype", "id", "v"))
+    assert(back.select("id").as[Int].collect().sorted.toSeq === (1 to 5))
+    // point pruning from the manifest alone: the click probe reads the
+    // click leaf plus the stats-free null leaf (correctness over skipping)
+    val pruned = TxLog.readPrunedByKey(spark, dir, "etype", "click").get
+    assert(pruned.inputFiles.length < back.inputFiles.length,
+      "a value probe must skip other partitions' files")
+    assert(pruned.filter(col("etype") === "click")
+      .select("id").as[Int].collect().sorted.toSeq === Seq(1, 3),
+      "pruning loses no rows")
+    // the null partition carries no stats and is never skipped
+    val nullLeaf = entries.find(_._1.contains("__HIVE_DEFAULT_PARTITION__"))
+    assert(nullLeaf.exists(_._2.isEmpty))
+    assert(pruned.inputFiles.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+    TxLog.destroy(dir)
+  }
+
+  test("commitPartitioned numeric values get exact min=max range stats") {
+    val dir = freshDir()
+    val df = (0 until 30).map(i => (i, i % 3)).toDF("id", "bucket")
+    assert(TxLog.commitPartitioned(spark, dir, "p1", df, "bucket") === 1)
+    assert(TxLog.liveEntries(dir).size === 3)
+    assert(TxLog.liveEntries(dir).forall(_._2.exists(_.contains("bucket;"))),
+      "numeric partition values carry a min=max range segment")
+    def leavesOf(d: org.apache.spark.sql.DataFrame) =
+      d.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    val one = TxLog.readPruned(spark, dir, "bucket", 1, 1).get
+    assert(leavesOf(one).length === 1, "a point range resolves to ONE leaf")
+    assert(one.select("id").as[Int].collect().sorted.toSeq ===
+      (0 until 30).filter(_ % 3 == 1))
+    // a second partitioned batch composes: pruning spans both commits
+    val df2 = (30 until 60).map(i => (i, i % 3)).toDF("id", "bucket")
+    assert(TxLog.commitPartitioned(spark, dir, "p2", df2, "bucket") === 2)
+    val two = TxLog.readPruned(spark, dir, "bucket", 1, 1).get
+    assert(leavesOf(two).length === 2, "one leaf per batch for the value")
+    assert(two.select("id").as[Int].collect().sorted.toSeq ===
+      (0 until 60).filter(_ % 3 == 1))
+    TxLog.destroy(dir)
+  }
+
+  test("vacuum sweeps retired partition leaves child-by-child, never a live sibling") {
+    val dir = freshDir()
+    val df = (0 until 30).map(i => (i, i % 3)).toDF("id", "bucket")
+    TxLog.commitPartitioned(spark, dir, "p1", df, "bucket")
+    // retire exactly the bucket=1 leaf (row verbs see leaves as batch dirs)
+    val vDel = TxLog.deleteWhere(spark, dir, "del", col("bucket") === 1)
+    assert(vDel === 2)
+    assert(TxLog.read(spark, dir).count() === 20)
+    // pre-delete versions still resolve -> nothing is vacuumable yet
+    assert(TxLog.vacuum(dir) === Nil)
+    TxLog.checkpoint(dir)
+    TxLog.expireManifests(dir)
+    val swept = TxLog.vacuum(dir)
+    assert(swept.exists(_.contains("__pv=1")),
+      "the retired bucket=1 leaf is reclaimed")
+    assert(swept.forall(p => !p.contains("__pv=0") && !p.contains("__pv=2")),
+      "live sibling leaves under the same parent survive")
+    assert(TxLog.read(spark, dir).select("id").as[Int].collect().sorted.toSeq
+      === (0 until 30).filterNot(_ % 3 == 1), "content intact after the sweep")
+    TxLog.destroy(dir)
+  }
+
   test("mergeSchema read serves the union schema; old files read as nulls") {
     val dir = freshDir()
     TxLog.commit(dir,
