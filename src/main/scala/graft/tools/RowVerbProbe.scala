@@ -65,15 +65,43 @@ object RowVerbProbe {
       val (vM, tMerge) = timed(TxLog.merge(spark, root, s"m$r",
         src.unionByName(inserts), Seq("l_orderkey")))
       val mergeRewrites = TxLog.liveFiles(root).count(_.contains(s"m${r}_d"))
+      // UPDATE confined to batch 7's key range — same 1/16 claim
+      val (vU, tUpd) = timed(TxLog.updateWhere(spark, root, s"u$r",
+        col("l_orderkey") >= 7 * width && col("l_orderkey") < 8 * width &&
+          col("l_partkey") % 2 === 0,
+        Seq("l_quantity" -> (col("l_quantity") + 1.0))))
+      val updRewrites = TxLog.liveFiles(root).count(_.contains(s"u${r}_d"))
       // contrast: the full-table rewrite the verbs exist to avoid
       val (vO, tOpt) = timed(TxLog.optimize(spark, root, s"opt$r",
         targetFiles = 4))
       println(f"[rowverb] dir=$dir rows=$rows repeat=$r " +
         f"delete_s=$tDel%.2f delete_rewrote=$delRewrites/16 " +
         f"merge_s=$tMerge%.2f merge_rewrote=$mergeRewrites/16 " +
-        f"full_rewrite_s=$tOpt%.2f (versions $vDel/$vM/$vO)")
+        f"update_s=$tUpd%.2f update_rewrote=$updRewrites/16 " +
+        f"full_rewrite_s=$tOpt%.2f (versions $vDel/$vM/$vU/$vO)")
     }
     TxLog.destroy(root)
+
+    // partitioned ingest: point-probe cost should track PARTITION bytes
+    // (one leaf of 16 per batch), full-scan cost tracks table bytes
+    val proot = "target/rowverb_probe_part"
+    (1 to repeat).foreach { r =>
+      TxLog.destroy(proot)
+      val tenant = li.withColumn("tenant", col("l_partkey") % 16)
+      val (_, tIngest) = timed(
+        TxLog.commitPartitioned(spark, proot, "p1", tenant, "tenant"))
+      val (fullN, tFull) = timed(
+        TxLog.read(spark, proot).agg(sum("l_quantity")).head().getDouble(0))
+      val (prunedN, tPoint) = timed(
+        TxLog.readPruned(spark, proot, "tenant", 3, 3).get
+          .filter(col("tenant") === 3)
+          .agg(sum("l_quantity")).head().getDouble(0))
+      val leaves = TxLog.liveFiles(proot).length
+      println(f"[partprobe] dir=$dir rows=$rows repeat=$r leaves=$leaves " +
+        f"ingest_s=$tIngest%.2f full_scan_s=$tFull%.2f " +
+        f"point_probe_s=$tPoint%.2f (sums $fullN%.1f/$prunedN%.1f)")
+    }
+    TxLog.destroy(proot)
     spark.stop()
   }
 }
