@@ -5522,6 +5522,40 @@ object Queries {
       FROM base b LEFT JOIN dup d ON b.doc_id = d.doc_id
       ORDER BY b.doc_id"""))
 
+  /** Span excision ([[DedupOps.removeRepeatedSpans]]) — the TRANSFORM
+    * half of substring dedup: every token covered by an 8-token window
+    * duplicated across ≥2 documents is cut out, and the oracle rebuilds
+    * every cleaned document STRING in SQL (list-lambda replay of the
+    * coverage test), so the hash pins the exact excision boundaries,
+    * not just the counts. */
+  private val qSpanExcision = QuerySpec(
+    "q_span_excision",
+    (s, dir) =>
+      DedupOps.removeRepeatedSpans(t(s, dir, "documents"), col("doc_id"),
+          col("text"), k = 8, minDocs = 2)
+        .orderBy("doc_id"),
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t,
+          len(string_split(text, ' ')) AS n FROM documents),
+      spans AS (SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM base WHERE n >= 8) x),
+      rep AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS c
+              FROM spans GROUP BY 1) r WHERE c >= 2),
+      dup AS (SELECT doc_id, list_sort(list(i)) AS ps FROM spans
+        WHERE h IN (SELECT h FROM rep) GROUP BY 1),
+      kept AS (SELECT b.doc_id, b.t, b.n,
+          CASE WHEN d.ps IS NULL THEN generate_series(1, b.n)
+               ELSE list_filter(generate_series(1, b.n),
+                 j -> len(list_filter(d.ps,
+                        p -> p >= j - 7 AND p <= j)) = 0) END AS ki
+        FROM base b LEFT JOIN dup d USING (doc_id))
+      SELECT doc_id,
+        COALESCE(array_to_string(list_transform(ki, j -> t[j]), ' '), '')
+          AS clean_text,
+        CAST(n AS BIGINT) AS n_tokens,
+        CAST(len(ki) AS BIGINT) AS kept_tokens
+      FROM kept ORDER BY doc_id"""))
+
   /** Snapshot reconciliation ([[QualityOps.snapshotDiff]]): the after
     * snapshot is derived from orders deterministically (keys mod 97
     * removed, prices mod 13 bumped, statuses mod 17 flipped, keys mod 89
@@ -11168,7 +11202,7 @@ object Queries {
     qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge, qTxlogEvolve,
     qStreamTxlogMerge, qTxlogCdc, qTxlogTimeTravel, qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qStreamRestart,
-    qTxlogUpdate, qTxlogRowverbCdc, qTxlogPartitioned,
+    qTxlogUpdate, qTxlogRowverbCdc, qTxlogPartitioned, qSpanExcision,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

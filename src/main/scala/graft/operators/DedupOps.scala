@@ -975,6 +975,54 @@ object DedupOps {
           col("n_spans") + lit(0.5)).as("dup_ratio_e6"))
   }
 
+  /** Span EXCISION — the transform half of [[repeatedSpans]]: rewrite
+    * each document with every cross-document duplicated span REMOVED
+    * (public precedent: exact-substring training-data dedup, Lee et al.
+    * 2022 — arXiv:2107.06499 — which cuts duplicated spans out of the
+    * corpus rather than dropping whole documents). A token is excised
+    * when ANY `k`-token window covering it has an md5 identical to a
+    * window in ≥ `minDocs` DISTINCT documents; all occurrences go (the
+    * conservative boilerplate-removal semantics — keeping one global
+    * copy would need an arbitrary occurrence order; callers who want
+    * that compose this with a keep-first dedup upstream). Documents
+    * shorter than `k` tokens pass through byte-identical. Returns
+    * `(doc_id, clean_text, n_tokens, kept_tokens)`.
+    *
+    * Shape at 100 TB: same two hash shuffles as [[repeatedSpans]]
+    * (distinct-doc counting, then the equi-join back), with positions
+    * riding the span frame; the rebuild is pure per-row array
+    * expressions — the coverage test is `exists` over the doc's own
+    * duplicated-position list, O(tokens × dup-positions) per document
+    * worst case, bounded by the document's own length, never a shuffle.
+    * The span frame feeds both legs, so it is checkpointed once. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: Column, textCol: Column,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"span length must be >= 2 tokens, got $k")
+    val base = docs.select(idCol.as("doc_id"), split(textCol, " ").as("t"))
+      .withColumn("n", size(col("t")))
+    val spans = base.filter(col("n") >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), col("n") - lit(k - 1)),
+        i => struct(i.as("i"),
+          md5(concat_ws(" ", slice(col("t"), i, lit(k)))).as("h")))).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.h").as("h"))
+      .localCheckpoint()
+    val rep = spans.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val dupPos = spans.join(rep.select("h"), Seq("h"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("ps"))
+    val keptIdx = when(col("ps").isNull, sequence(lit(1), col("n")))
+      .otherwise(filter(sequence(lit(1), col("n")),
+        j => !exists(col("ps"), p => p >= j - lit(k - 1) && p <= j)))
+    base.join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ",
+          transform(keptIdx, j => element_at(col("t"), j))).as("clean_text"),
+        col("n").cast("long").as("n_tokens"),
+        size(keptIdx).cast("long").as("kept_tokens"))
+  }
+
   /** Content-defined chunking — split each document at ROLLING-HASH cut
     * points instead of fixed offsets (the Rabin/FastCDC idea behind
     * storage dedup, applied at token granularity): a chunk boundary

@@ -315,6 +315,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (5L, 6L, 0L, 0L, 0L)))
   }
 
+  test("removeRepeatedSpans excises exactly the cross-doc covered tokens") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // "a b c" shared with doc 2 -> a,b,c cut
+      (2L, "x a b c y"),          // the same span mid-doc -> a,b,c cut
+      (3L, "p q r"),              // unique span: untouched
+      (4L, "u v"),                // too short for k=3: byte-identical
+      (5L, "m n o m n o m n")     // repeats only within ONE doc: untouched
+    ).toDF("doc_id", "text")
+    val out = DedupOps.removeRepeatedSpans(docs, col("doc_id"), col("text"),
+        k = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "d e", 5L, 2L),
+      (2L, "x y", 5L, 2L),
+      (3L, "p q r", 3L, 3L),
+      (4L, "u v", 2L, 2L),
+      (5L, "m n o m n o m n", 8L, 8L)))
+  }
+
+  test("removeRepeatedSpans: overlapping duplicated windows merge their coverage") {
+    // "a b c d" appears in both docs as 2 overlapping 3-grams (a b c /
+    // b c d) -> tokens a..d all covered, the rest survives
+    val docs = Seq(
+      (1L, "s a b c d t"),
+      (2L, "a b c d z w q")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.removeRepeatedSpans(docs, col("doc_id"), col("text"),
+        k = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "s t", 6L, 2L),
+      (2L, "z w q", 7L, 3L)))
+  }
+
   test("crossDedupPairs finds only cross-corpus duplicates") {
     val spark2 = graft.TestSpark.spark
     import spark2.implicits._
