@@ -5895,6 +5895,59 @@ object Queries {
         UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3) w
       ORDER BY walk_id, step"""))
 
+  /** Weighted shortest paths ([[GraphOps.shortestPaths]]): four
+    * Bellman-Ford rounds over the part↔supplier graph with a functional
+    * edge weight (1 + ((u+v) mod 97)/97 — symmetric, engine-replayable),
+    * seeded at part keys ≤ 3. The oracle unrolls the same four min-fold
+    * rounds in SQL; MIN over identical IEEE path sums is
+    * order-independent, so distances match bit-for-bit (released as
+    * scaled longs). */
+  private val qSssp = QuerySpec(
+    "q_sssp",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(col("l_partkey").cast("long").as("src"),
+          (lit(1000000000L) + col("l_suppkey")).cast("long").as("dst"))
+        .withColumn("w", lit(1.0) +
+          ((col("src") + col("dst")) % 97).cast("double") / lit(97.0))
+      val seeds = li.filter(col("l_partkey") <= 3)
+        .select(col("l_partkey").as("node")).distinct()
+      GraphOps.shortestPaths(edges, seeds, iters = 4)
+        .select(col("node"),
+          floor(col("dist") * lit(1e6) + lit(0.5)).cast("long").as("dist_e6"))
+        .orderBy("node")
+    },
+    Some("""WITH und AS (
+        SELECT DISTINCT l_partkey AS u, 1000000000 + l_suppkey AS v
+        FROM lineitem),
+      adj0 AS (SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und),
+      adj AS (SELECT u, v,
+          1.0 + CAST((u + v) % 97 AS DOUBLE) / 97.0 AS w FROM adj0),
+      d0 AS (SELECT DISTINCT l_partkey AS node, 0.0 AS dist FROM lineitem
+        WHERE l_partkey <= 3),
+      d1 AS (SELECT node, MIN(dist) AS dist FROM (
+          SELECT node, dist FROM d0
+          UNION ALL
+          SELECT a.v, d.dist + a.w FROM d0 d JOIN adj a ON a.u = d.node) x
+        GROUP BY 1),
+      d2 AS (SELECT node, MIN(dist) AS dist FROM (
+          SELECT node, dist FROM d1
+          UNION ALL
+          SELECT a.v, d.dist + a.w FROM d1 d JOIN adj a ON a.u = d.node) x
+        GROUP BY 1),
+      d3 AS (SELECT node, MIN(dist) AS dist FROM (
+          SELECT node, dist FROM d2
+          UNION ALL
+          SELECT a.v, d.dist + a.w FROM d2 d JOIN adj a ON a.u = d.node) x
+        GROUP BY 1),
+      d4 AS (SELECT node, MIN(dist) AS dist FROM (
+          SELECT node, dist FROM d3
+          UNION ALL
+          SELECT a.v, d.dist + a.w FROM d3 d JOIN adj a ON a.u = d.node) x
+        GROUP BY 1)
+      SELECT node, CAST(floor(dist * 1e6 + 0.5) AS BIGINT) AS dist_e6
+      FROM d4 ORDER BY node"""))
+
   /** t-closeness audit ([[QualityOps.tCloseness]]): per-source sensitive
     * distribution (lang) vs the corpus, one-sided TVD released as exact
     * scaled-long `tvd_e6`, t = 0.05. */
@@ -11203,6 +11256,7 @@ object Queries {
     qStreamTxlogMerge, qTxlogCdc, qTxlogTimeTravel, qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qStreamRestart,
     qTxlogUpdate, qTxlogRowverbCdc, qTxlogPartitioned, qSpanExcision,
+    qSssp,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

@@ -324,6 +324,57 @@ object GraphOps {
     result
   }
 
+  /** Weighted single-source-set shortest distances after EXACTLY `iters`
+    * Bellman-Ford relaxation rounds over an undirected weighted edge
+    * list (`src`, `dst`, `w`): round k holds, for every node, the
+    * minimum total weight over all paths of ≤ k edges from any seed —
+    * exact SSSP whenever `iters` ≥ the weighted-shortest-path hop
+    * diameter, and a well-defined bounded-hop distance otherwise. The
+    * fixed round count (no convergence test) is what makes the result
+    * engine-reproducible: each round's min-fold consumes the previous
+    * round's exact minima, every candidate `dist + w` is the same IEEE
+    * arithmetic in any engine, and MIN (unlike SUM) is order-independent
+    * over doubles, so no quantization is needed (contrast [[pagerank]]'s
+    * scaled-long folds). Negative weights are rejected — on an
+    * undirected graph any negative edge is a negative cycle. Parallel
+    * edges keep their lightest weight. Returns `(node, dist)` for every
+    * node within `iters` hops of a seed.
+    *
+    * Scale design: per round ONE equi-join of the O(|V|) distance table
+    * against the canonicalized adjacency list (localCheckpoint'd once)
+    * plus a min aggregation with map-side partials — per-round shuffle
+    * O(|V|), same asymptotics as [[bfsHops]]; the distance table is
+    * checkpointed per round with release chaining, so the lineage stays
+    * flat and the only storage left on return is the result.
+    * (Reference capability analog: iterative multi-job MapReduce drivers;
+    * each round here is one declarative join+agg pass.) */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val und = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"), col("w").cast("double").as("w"))
+      .filter(col("u") =!= col("v"))
+    val adj = und.unionAll(
+        und.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy("u", "v").agg(min("w").as("w"))
+      .localCheckpoint()
+    require(adj.filter(col("w") < 0 || col("w").isNull).isEmpty,
+      "shortestPaths: negative or null edge weights are not allowed")
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0.0))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val relaxed = dist.join(adj, dist("node") === adj("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionAll(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      Checkpoints.release(dist)
+      dist = next
+    }
+    Checkpoints.release(adj)
+    dist
+  }
+
   /** Deterministic random walks over an undirected edge list — the
     * corpus-prep step for graph embeddings (DeepWalk/node2vec train
     * skip-grams over exactly these walk sequences; to feed [[graft

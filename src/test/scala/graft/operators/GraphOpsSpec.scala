@@ -68,6 +68,35 @@ class PmiDriftSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("shortestPaths: round k is the min over <=k-edge paths; weights beat hops") {
+    // 1 -2.0- 2 -2.0- 3, plus a direct heavy 1 -5.0- 3 and a light long
+    // way around 1 -1.0- 4 -1.0- 5 -1.0- 3. Undirected.
+    val edges = Seq(
+      (1L, 2L, 2.0), (2L, 3L, 2.0), (1L, 3L, 5.0),
+      (1L, 4L, 1.0), (4L, 5L, 1.0), (5L, 3L, 1.0)
+    ).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def at(k: Int): Map[Long, Double] =
+      GraphOps.shortestPaths(edges, seeds, k)
+        .as[(Long, Double)].collect().toMap
+    assert(at(0) === Map(1L -> 0.0))
+    assert(at(1) === Map(1L -> 0.0, 2L -> 2.0, 3L -> 5.0, 4L -> 1.0))
+    // 2 rounds: 3 improves via 1-2-3 (4.0); 5 reached via 4
+    assert(at(2) === Map(1L -> 0.0, 2L -> 2.0, 3L -> 4.0, 4L -> 1.0,
+      5L -> 2.0))
+    // 3 rounds: the light 3-edge path 1-4-5-3 wins (3.0)
+    assert(at(3)(3L) === 3.0)
+    // parallel edges keep the lightest; converged thereafter
+    val dup = edges.unionAll(Seq((1L, 2L, 9.0)).toDF("src", "dst", "w"))
+    val dupDists = GraphOps.shortestPaths(dup, seeds, 4)
+      .as[(Long, Double)].collect().toMap
+    assert(dupDists(2L) === 2.0)
+    intercept[IllegalArgumentException] {
+      GraphOps.shortestPaths(
+        Seq((1L, 2L, -1.0)).toDF("src", "dst", "w"), seeds, 1)
+    }
+  }
+
   test("pmiPairs matches hand-computed lifts") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b c"))
       .toDF("doc_id", "text")
