@@ -7181,6 +7181,96 @@ object Queries {
       FROM events WHERE event_type = 'click' GROUP BY 1, 2
       ORDER BY snapshot, event_type"""))
 
+  /** Materialized-view maintenance over a MUTATING lakehouse table —
+    * the end-to-end IVM composition: a consumer materializes a per-
+    * segment (cnt, exact-sum) view at version 1, then refreshes it
+    * through three [[graft.sources.TxLog.readChanges]] windows — a
+    * plain append, a row-level DELETE, and a window holding BOTH a
+    * MERGE and an OPTIMIZE — folding each signed feed with
+    * [[AggOps.statsDeltaSigned]]. Copy-on-write rewrites fill the feed
+    * with +1/−1 cancelling pairs for kept rows, and the compaction
+    * re-adds every live row under new files; the signed fold must stay
+    * exactly-once through all of it. The gate emits the maintained view
+    * AND a from-scratch recompute of the final snapshot under different
+    * tags; the oracle derives both from the raw table. */
+  private val qTxlogIvm = QuerySpec(
+    "q_txlog_ivm",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_ivm_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val b = TextFunctions.portableBucket(col("c_custkey"), 2)
+      TxLog.commit(root,
+        Seq(TxLog.writeBatch(cust.filter(b === 0), root, "b0")))
+      var state = AggOps.partialStats(TxLog.read(s, root, asOf = 1),
+        Seq(col("c_mktsegment")), col("c_acctbal")).localCheckpoint()
+      var from = 1
+      def refreshTo(to: Int, wantRetractions: Boolean): Unit = {
+        val feed = TxLog.readChanges(s, root, from, to)
+          .getOrElse(sys.error(s"window ($from, $to] changed the table"))
+        if (wantRetractions)
+          require(feed.filter(col("sign") === -1).limit(1).count() == 1,
+            "a rewrite window must carry -1 rows")
+        val next = AggOps.statsDeltaSigned(state, feed,
+          Seq(col("c_mktsegment")), col("c_acctbal"), col("sign"))
+          .localCheckpoint()
+        graft.core.Checkpoints.release(state)
+        state = next
+        from = to
+      }
+      val v2 = TxLog.commit(root,
+        Seq(TxLog.writeBatch(cust.filter(b === 1), root, "b1")))
+      refreshTo(v2, wantRetractions = false)
+      val v3 = TxLog.deleteWhere(s, root, "del", col("c_custkey") % 10 === 5)
+      refreshTo(v3, wantRetractions = true)
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      val inserts = cust.filter(col("c_custkey") % 10 === 7)
+        .withColumn("c_custkey", col("c_custkey") + 3000000L)
+        .withColumn("c_acctbal", col("c_acctbal") * 2.0)
+      val vM = TxLog.merge(s, root, "m", updates.unionByName(inserts),
+        Seq("c_custkey"))
+      require(vM == 4, s"merge must land as version 4, got $vM")
+      val v5 = TxLog.optimize(s, root, "opt", targetFiles = 2)
+      require(v5 == 5,
+        "the compaction must land INSIDE the merge's refresh window")
+      refreshTo(v5, wantRetractions = true)
+      def shape(df: DataFrame, tag: String) = df
+        .select(col("c_mktsegment"), col("cnt"),
+          col("sum_dec").cast("double").as("sum_bal"))
+        .withColumn("view", lit(tag))
+      shape(state, "incremental")
+        .unionByName(shape(AggOps.partialStats(TxLog.read(s, root),
+          Seq(col("c_mktsegment")), col("c_acctbal")), "recompute"))
+        .select(col("view"), col("c_mktsegment"), col("cnt"), col("sum_bal"))
+        .orderBy("view", "c_mktsegment")
+    },
+    Some("""WITH afterdel AS (
+        SELECT * FROM customer WHERE c_custkey % 10 <> 5
+      ), src AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 3000000, c_mktsegment, c_acctbal * 2.0
+        FROM customer WHERE c_custkey % 10 = 7
+      ), fin AS (
+        SELECT c_mktsegment, c_acctbal FROM afterdel
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal FROM src
+      )
+      SELECT 'incremental' AS view, c_mktsegment,
+        CAST(COUNT(c_acctbal) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      FROM fin GROUP BY 1, 2
+      UNION ALL
+      SELECT 'recompute', c_mktsegment, CAST(COUNT(c_acctbal) AS BIGINT),
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      FROM fin GROUP BY 1, 2
+      ORDER BY view, c_mktsegment"""))
+
   /** Incremental small-file compaction
     * ([[graft.sources.TxLog.optimizeIncremental]]) — the SCHEDULED
     * maintenance verb: four tiny ingest batches and one big batch land;
@@ -11256,7 +11346,7 @@ object Queries {
     qStreamTxlogMerge, qTxlogCdc, qTxlogTimeTravel, qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qStreamRestart,
     qTxlogUpdate, qTxlogRowverbCdc, qTxlogPartitioned, qSpanExcision,
-    qSssp,
+    qSssp, qTxlogIvm,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)
