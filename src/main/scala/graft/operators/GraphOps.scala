@@ -350,15 +350,21 @@ object GraphOps {
     * each round here is one declarative join+agg pass.) */
   def shortestPaths(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
-    val und = edges.select(col("src").cast("long").as("u"),
-        col("dst").cast("long").as("v"), col("w").cast("double").as("w"))
-      .filter(col("u") =!= col("v"))
+    val raw = edges.select(col("src").cast("long").as("u"),
+      col("dst").cast("long").as("v"), col("w").cast("double").as("w"))
+    // validate BEFORE the parallel-edge min-fold (which would swallow a
+    // null weight whenever any parallel copy is non-null) and BEFORE the
+    // self-loop filter (whose null-comparison drops null endpoints
+    // silently) — a data-quality bug in the edge feed fails loudly here
+    require(raw.filter(col("w").isNull || col("w") < 0 ||
+        col("u").isNull || col("v").isNull).isEmpty,
+      "shortestPaths: null endpoints and negative or null edge weights " +
+        "are not allowed")
+    val und = raw.filter(col("u") =!= col("v"))
     val adj = und.unionAll(
         und.select(col("v").as("u"), col("u").as("v"), col("w")))
       .groupBy("u", "v").agg(min("w").as("w"))
       .localCheckpoint()
-    require(adj.filter(col("w") < 0 || col("w").isNull).isEmpty,
-      "shortestPaths: negative or null edge weights are not allowed")
     var dist = seeds.select(col("node").cast("long").as("node")).distinct()
       .withColumn("dist", lit(0.0))
       .localCheckpoint()

@@ -502,13 +502,19 @@ object TxLog {
         graft.functions.TextFunctions.portableBucket(
           concat(lit("bf2|"), c.cast("string")), bits))).as("p"))
       .distinct().collect().map(_.getLong(0).toInt)
-    if (positions.isEmpty) None
-    else {
-      val bs = new java.util.BitSet(bits)
-      positions.foreach(bs.set)
-      Some(s"#bf#$column;$bits;" +
-        java.util.Base64.getEncoder.encodeToString(bs.toByteArray))
-    }
+    if (positions.isEmpty) None else Some(bloomSegment(column, bits, positions))
+  }
+
+  /** The one place the `#bf#col;bits;b64` segment grammar is BUILT —
+    * [[bloomBlob]] (data-derived) and [[bloomBlobOfValues]]
+    * (driver-derived) both format through here, and [[readPrunedByKey]]
+    * parses the same shape, so the constructors cannot silently diverge. */
+  private def bloomSegment(column: String, bits: Int,
+      positions: Seq[Int]): String = {
+    val bs = new java.util.BitSet(bits)
+    positions.foreach(bs.set)
+    s"#bf#$column;$bits;" +
+      java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
   }
 
   /** [[columnStatsMulti]] range segments + a [[bloomBlob]] segment in
@@ -1190,16 +1196,21 @@ object TxLog {
         s"(got ${set.map(_._1).mkString(", ")})")
     val entries = liveEntries(dir)
     if (entries.isEmpty) return 0
+    // validate SET columns BEFORE the probe: inside the rewrite lambda the
+    // check would be data-dependent — a typo'd column on a no-match
+    // predicate would return 0 and a scheduled job would report success
+    // forever (one footer read against the snapshot's schema)
+    val tableCols = spark.read.parquet(entries.head._1).columns.toSet
+    val missing = set.map(_._1).filterNot(tableCols)
+    require(missing.isEmpty,
+      s"updateWhere: SET targets column(s) absent from the table: " +
+        s"${missing.mkString(", ")}")
     val touched = probeTouched(spark, entries.map(_._1), _.filter(predicate))
     val setByCol = set.toMap
     val hit = coalesce(predicate, lit(false))
     rewriteTouched(spark, dir, name, entries, touched,
       { p =>
         val df = spark.read.parquet(p)
-        val missing = set.map(_._1).filterNot(df.columns.contains)
-        require(missing.isEmpty,
-          s"updateWhere: SET targets column(s) absent from the table: " +
-            s"${missing.mkString(", ")}")
         val types = df.schema.map(f => f.name -> f.dataType).toMap
         df.select(df.columns.toSeq.map { c =>
           setByCol.get(c) match {
@@ -1387,12 +1398,8 @@ object TxLog {
     require(!column.exists(ch => ch == ';' || ch == ',' || ch == '\t'),
       s"bloom column name unsupported: $column")
     if (values.isEmpty) None
-    else {
-      val bs = new java.util.BitSet(bits)
-      values.foreach(v => bloomPositions(v, bits).foreach(bs.set))
-      Some(s"#bf#$column;$bits;" +
-        java.util.Base64.getEncoder.encodeToString(bs.toByteArray))
-    }
+    else Some(bloomSegment(column, bits,
+      values.flatMap(v => bloomPositions(v, bits))))
   }
 
   /** Hive-style `%XX` partition-dirname unescaping (the inverse of the
@@ -1458,8 +1465,14 @@ object TxLog {
     val leaves = fs.listStatus(basePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(PartPrefix))
       .map(_.getPath).sortBy(_.getName)
-    require(leaves.nonEmpty,
-      s"commitPartitioned: the write produced no partition leaves under $base")
+    if (leaves.isEmpty) {
+      // an empty frame writes only _SUCCESS; leaving the dir behind would
+      // permanently burn the batch name (errorifexists) for nothing
+      fs.delete(basePath, true)
+      throw new IllegalArgumentException(
+        s"commitPartitioned: '$name' produced no partition leaves (empty " +
+          s"input frame?) — nothing committed, $base removed")
+    }
     val adds = leaves.toSeq.map { leaf =>
       val raw = unescapeHive(leaf.getName.stripPrefix(PartPrefix))
       val valueStats =

@@ -95,6 +95,19 @@ class PmiDriftSpec extends AnyFunSuite {
       GraphOps.shortestPaths(
         Seq((1L, 2L, -1.0)).toDF("src", "dst", "w"), seeds, 1)
     }
+    // a null weight must fail loudly even when a parallel copy is
+    // non-null (the min-fold would otherwise swallow it), and so must a
+    // null endpoint (the self-loop filter would otherwise drop it)
+    intercept[IllegalArgumentException] {
+      GraphOps.shortestPaths(
+        Seq((1L, 2L, Some(3.0)), (1L, 2L, None))
+          .toDF("src", "dst", "w"), seeds, 1)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.shortestPaths(
+        Seq((Some(1L), Some(2L), 1.0), (None, Some(2L), 1.0))
+          .toDF("src", "dst", "w"), seeds, 1)
+    }
   }
 
   test("pmiPairs matches hand-computed lifts") {

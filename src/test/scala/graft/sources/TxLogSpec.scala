@@ -431,10 +431,28 @@ class TxLogSpec extends AnyFunSuite {
       TxLog.updateWhere(spark, dir, "u3", col("x") >= 0,
         Seq("nope" -> lit(1)))
     }
+    // the SET-column check must not be data-dependent: a typo'd column
+    // with a NO-MATCH predicate must still fail loudly, not return 0
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, dir, "u3b", col("x") < 0,
+        Seq("nope" -> lit(1)))
+    }
     intercept[IllegalArgumentException] {
       TxLog.updateWhere(spark, dir, "u4", col("x") >= 0,
         Seq("y" -> lit(1), "y" -> lit(2)))
     }
+    TxLog.destroy(dir)
+  }
+
+  test("commitPartitioned refuses an empty frame without burning the batch name") {
+    val dir = freshDir()
+    val df = Seq((1, "a")).toDF("id", "c")
+    intercept[IllegalArgumentException] {
+      TxLog.commitPartitioned(spark, dir, "p1", df.limit(0), "c")
+    }
+    // the failed attempt left no orphan dir: the same name commits fine
+    assert(TxLog.commitPartitioned(spark, dir, "p1", df, "c") === 1)
+    assert(TxLog.read(spark, dir).count() === 1)
     TxLog.destroy(dir)
   }
 
