@@ -7048,6 +7048,216 @@ object Queries {
       FROM customer GROUP BY 1, 2
       ORDER BY snapshot, c_mktsegment"""))
 
+  /** MERGE-ON-READ DELETE via deletion vectors
+    * ([[graft.sources.TxLog.deleteWhereDV]]) — the verb that changes the
+    * 100 TB delete cost model: events land as three by-type batches,
+    * then two DV deletes run against the click batch. The gate REQUIRES
+    * the live data-file set stays BYTE-IDENTICAL through both deletes
+    * (zero rewrite — copy-on-write would retire the click batch), the
+    * two vectors collapse to ONE cumulative binding, and a follow-up
+    * OPTIMIZE materializes the mask (bindings gone, content preserved).
+    * Hash-checked: the masked snapshot, the pre-delete time-travel
+    * snapshot, AND the post-optimize snapshot — the oracle replays both
+    * delete predicates in SQL, so a mask that leaks or over-deletes
+    * mismatches three ways. */
+  private val qTxlogDeleteDv = QuerySpec(
+    "q_txlog_delete_dv",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_dvdel_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        ev.filter(col("event_type") === "click"), root, "b_click")))
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        ev.filter(col("event_type") === "view"), root, "b_view")))
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        ev.filter(!col("event_type").isin("click", "view")), root, "b_rest")))
+      val before = TxLog.liveFiles(root)
+      val pred1 = col("event_type") === "click" && col("value") < 50.0
+      val pred2 = col("event_type") === "click" && col("event_id") % 7 === 0
+      require(TxLog.deleteWhereDV(s, root, "dv1", pred1) == 4,
+        "the DV delete lands as ordinary version 4")
+      require(TxLog.deleteWhereDV(s, root, "dv2", pred2) == 5,
+        "the second DV delete lands as version 5")
+      require(TxLog.liveFiles(root) == before,
+        "merge-on-read: the data-file set must be byte-identical — a " +
+          "rewrite here is the copy-on-write cost model this verb exists " +
+          "to avoid")
+      require(TxLog.liveDvs(root).size == 1,
+        "cumulative vectors: two deletes on one file keep ONE binding")
+      def agg(df: DataFrame, tag: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+          .withColumn("snapshot", lit(tag))
+      val masked = agg(TxLog.read(s, root), "post")
+        .unionByName(agg(TxLog.read(s, root, asOf = 3), "pre"))
+      require(TxLog.optimize(s, root, "opt", targetFiles = 2) == 6,
+        "optimize lands as version 6")
+      require(TxLog.liveDvs(root).isEmpty,
+        "compaction must MATERIALIZE the vectors and retire the sidecars")
+      masked
+        .unionByName(agg(TxLog.read(s, root), "optimized"))
+        .select(col("snapshot"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("snapshot", "event_type")
+    },
+    Some("""WITH kept AS (
+        SELECT event_type, value FROM events
+        WHERE NOT COALESCE(event_type = 'click' AND value < 50.0, FALSE)
+          AND NOT COALESCE(event_type = 'click' AND event_id % 7 = 0, FALSE)
+      )
+      SELECT 'optimized' AS snapshot, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM kept GROUP BY 1, 2
+      UNION ALL
+      SELECT 'post', event_type, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM kept GROUP BY 1, 2
+      UNION ALL
+      SELECT 'pre', event_type, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM events GROUP BY 1, 2
+      ORDER BY snapshot, event_type"""))
+
+  /** MERGE-ON-READ UPDATE ([[graft.sources.TxLog.updateWhereDV]]):
+    * customers land as a low/high key split; the DV update masks the
+    * matched BUILDING rows in place and lands their updated copies as
+    * ONE new file — the gate REQUIRES every original data file survives
+    * byte-identical and exactly one file was added (contrast
+    * q_txlog_update, where the matched batch is retired). SET semantics
+    * are the copy-on-write verb's, pinned by the same oracle shape:
+    * both right-hand sides read the PRE-update row, so chained
+    * evaluation hash-mismatches. Pre-update time travel is checked
+    * too. */
+  private val qTxlogUpdateDv = QuerySpec(
+    "q_txlog_update_dv",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_dvupd_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          col("c_acctbal"))
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        cust.filter(col("c_custkey") < 750), root, "b_low")))
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        cust.filter(col("c_custkey") >= 750), root, "b_high")))
+      val before = TxLog.liveFiles(root)
+      val pred = col("c_mktsegment") === "BUILDING" && col("c_custkey") < 750
+      val vU = TxLog.updateWhereDV(s, root, "upd", pred, Seq(
+        "c_acctbal" -> (col("c_acctbal") + col("c_nationkey")),
+        "c_nationkey" -> (col("c_nationkey") + lit(7))))
+      require(vU == 3, s"the DV update lands as ordinary version 3, got $vU")
+      val live = TxLog.liveFiles(root)
+      require(before.forall(live.contains),
+        "merge-on-read UPDATE removes nothing — originals stay masked")
+      require(live.size == before.size + 1,
+        "the updated copies land as exactly one new file")
+      require(TxLog.liveDvs(root).nonEmpty,
+        "the matched file must carry a deletion-vector binding")
+      require(TxLog.updateWhereDV(s, root, "upd2", col("c_custkey") < 0,
+        Seq("c_acctbal" -> lit(0.0))) == 0,
+        "a no-match DV update must commit nothing")
+      def agg(df: DataFrame, tag: String) =
+        df.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sumExact(col("c_acctbal")).as("sum_bal"),
+            sum(col("c_nationkey")).cast("long").as("sum_nat"))
+          .withColumn("snapshot", lit(tag))
+      agg(TxLog.read(s, root), "post")
+        .unionByName(agg(TxLog.read(s, root, asOf = 2), "pre"))
+        .select(col("snapshot"), col("c_mktsegment"), col("n"),
+          col("sum_bal"), col("sum_nat"))
+        .orderBy("snapshot", "c_mktsegment")
+    },
+    Some("""WITH upd AS (
+        SELECT c_mktsegment,
+          CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey < 750
+               THEN c_acctbal + c_nationkey ELSE c_acctbal END AS bal,
+          CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey < 750
+               THEN c_nationkey + 7 ELSE c_nationkey END AS nat
+        FROM customer)
+      SELECT 'post' AS snapshot, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal,
+        CAST(SUM(nat) AS BIGINT) AS sum_nat
+      FROM upd GROUP BY 1, 2
+      UNION ALL
+      SELECT 'pre', c_mktsegment, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE),
+        CAST(SUM(c_nationkey) AS BIGINT)
+      FROM customer GROUP BY 1, 2
+      ORDER BY snapshot, c_mktsegment"""))
+
+  /** Row-signed CDC across MERGE-ON-READ verbs: a DV DELETE and a DV
+    * UPDATE run back to back, and the [[graft.sources.TxLog.readChanges]]
+    * feed for the whole window folds into the pre-verb snapshot to
+    * reproduce the post-verb table EXACTLY — but unlike
+    * q_txlog_rowverb_cdc, the window removes ZERO files (REQUIREd):
+    * every retraction flows through the deletion-vector DELTA grain
+    * (rows the window's new vectors mask beyond the old ones), the
+    * hardest CDC path because there is no file diff to read it from.
+    * Also REQUIRES the feed carries −1 rows. The oracle computes the
+    * final state from the raw table and emits it under both tags. */
+  private val qTxlogDvCdc = QuerySpec(
+    "q_txlog_dv_cdc",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_dvcdc_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val b = TextFunctions.portableBucket(col("c_custkey"), 2)
+      TxLog.commit(root,
+        Seq(TxLog.writeBatch(cust.filter(b === 0), root, "b0")))
+      TxLog.commit(root,
+        Seq(TxLog.writeBatch(cust.filter(b === 1), root, "b1")))
+      require(TxLog.deleteWhereDV(s, root, "dvd",
+        col("c_custkey") % 10 === 5) == 3, "DV delete lands as version 3")
+      require(TxLog.updateWhereDV(s, root, "dvu",
+        col("c_custkey") % 10 === 2,
+        Seq("c_acctbal" -> (col("c_acctbal") + 500.0))) == 4,
+        "DV update lands as version 4")
+      val (_, removedInWindow) = TxLog.changedFiles(root, 2, 4)
+      require(removedInWindow.isEmpty,
+        "merge-on-read window: retractions must flow through DV deltas, " +
+          "not file removals")
+      val feed = TxLog.readChanges(s, root, 2, 4)
+        .getOrElse(sys.error("DV verbs changed the table; feed must exist"))
+      require(feed.filter(col("sign") === -1).limit(1).count() == 1,
+        "masked rows must surface as -1 in the feed")
+      val base = TxLog.read(s, root, asOf = 2).withColumn("sign", lit(1))
+      def agg(df: DataFrame, tag: String) =
+        df.groupBy(col("c_mktsegment"))
+          .agg(sum(col("sign")).cast("long").as("n"),
+            sumExact(col("sign") * col("c_acctbal")).as("sum_bal"))
+          .withColumn("snapshot", lit(tag))
+      agg(base.unionByName(feed), "folded")
+        .unionByName(agg(TxLog.read(s, root).withColumn("sign", lit(1)),
+          "post"))
+        .select(col("snapshot"), col("c_mktsegment"), col("n"),
+          col("sum_bal"))
+        .orderBy("snapshot", "c_mktsegment")
+    },
+    Some("""WITH fin AS (
+        SELECT c_mktsegment,
+          CASE WHEN c_custkey % 10 = 2 THEN c_acctbal + 500.0
+               ELSE c_acctbal END AS bal
+        FROM customer WHERE c_custkey % 10 <> 5
+      )
+      SELECT 'folded' AS snapshot, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      FROM fin GROUP BY 1, 2
+      UNION ALL
+      SELECT 'post', c_mktsegment, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE)
+      FROM fin GROUP BY 1, 2
+      ORDER BY snapshot, c_mktsegment"""))
+
   /** Row-signed CDC ([[graft.sources.TxLog.readChanges]]) composed
     * ACROSS the row-level DML verbs: a two-batch table takes a DELETE
     * (every key ≡5 mod 10) then a MERGE (balance updates for keys ≡0,
@@ -11346,7 +11556,7 @@ object Queries {
     qStreamTxlogMerge, qTxlogCdc, qTxlogTimeTravel, qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qStreamRestart,
     qTxlogUpdate, qTxlogRowverbCdc, qTxlogPartitioned, qSpanExcision,
-    qSssp, qTxlogIvm,
+    qSssp, qTxlogIvm, qTxlogDeleteDv, qTxlogUpdateDv, qTxlogDvCdc,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

@@ -291,7 +291,9 @@ object TxLog {
     * in `remove`) and cost one retry — the same conflict matrix the
     * Delta protocol documents for compaction vs append. */
   def commitRewrite(dir: String, add: Seq[(String, Option[String])],
-      remove: Seq[String], maxAttempts: Int = 16): Int = {
+      remove: Seq[String], maxAttempts: Int = 16,
+      dvSets: Seq[(String, Option[String])] = Nil,
+      basedOnDvs: Option[Map[String, String]] = None): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     var attempt = 0
     var out = -1
@@ -305,7 +307,26 @@ object TxLog {
             s"this rewrite replaces were already removed by a concurrent " +
             s"commit (first: ${gone.head}); re-run the rewrite against " +
             "the current snapshot")
-      try out = commitWithStats(dir, add, remove)
+      // merge-on-read conflict detection: a verb that REBINDS a deletion
+      // vector computed its cumulative sidecar from the binding it read;
+      // if a concurrent commit touched the bound file (rewrote it, or
+      // rebound its DV), committing the stale sidecar would resurrect or
+      // double-mask rows — abort exactly like a remove-set conflict
+      basedOnDvs.foreach { based =>
+        val nowDvs = liveDvs(dir)
+        val stale = dvSets.collect {
+          case (p, _) if !live.contains(p) =>
+            s"$p (no longer live)"
+          case (p, _) if nowDvs.get(p) != based.get(p) =>
+            s"$p (deletion vector rebound concurrently)"
+        }
+        if (stale.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"txlog: merge-on-read conflict on $dir — ${stale.size} " +
+              s"file(s) this verb masks changed under it (first: " +
+              s"${stale.head}); re-run against the current snapshot")
+      }
+      try out = commitWithStats(dir, add, remove, dvSets)
       catch {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.contains("lost the race") =>
@@ -337,13 +358,23 @@ object TxLog {
 
   private def replayInto(
       live: scala.collection.mutable.LinkedHashMap[String, Option[String]],
-      text: String, what: String): Unit =
+      text: String, what: String,
+      dv: scala.collection.mutable.LinkedHashMap[String, String] =
+        scala.collection.mutable.LinkedHashMap.empty): Unit =
     text.linesIterator.foreach { line =>
       line.split("\t", 3) match {
-        case Array("add", p)        => live(p) = None
-        case Array("add", p, st)    => live(p) = Some(st)
-        case Array("remove", p)     => live.remove(p)
-        case Array("remove", p, _)  => live.remove(p)
+        case Array("add", p)        => live(p) = None;     dv.remove(p)
+        case Array("add", p, st)    => live(p) = Some(st); dv.remove(p)
+        case Array("remove", p)     => live.remove(p);     dv.remove(p)
+        case Array("remove", p, _)  => live.remove(p);     dv.remove(p)
+        // deletion-vector binding: data file p's visible rows are those
+        // NOT listed in the sidecar at dvPath ([[deleteWhereDV]]); a new
+        // binding REPLACES the old (sidecars are cumulative by the write
+        // contract), `-` clears it ([[restore]] rolling a DV back), and
+        // add/remove of the data file itself always resets the binding —
+        // a re-added path is a fresh file
+        case Array("dv", p, "-")    => dv.remove(p)
+        case Array("dv", p, dvPath) => if (live.contains(p)) dv(p) = dvPath
         // commit metadata (e.g. `meta ts <millis>`) is not a file action;
         // unknown meta keys replay as no-ops so the format stays
         // forward-extensible without breaking old readers
@@ -411,7 +442,8 @@ object TxLog {
     * touched. Old two-field manifests and stats-free adds coexist —
     * stats-free files are never pruned (correctness over skipping). */
   def commitWithStats(dir: String, add: Seq[(String, Option[String])],
-      remove: Seq[String] = Nil): Int = {
+      remove: Seq[String] = Nil,
+      dvSets: Seq[(String, Option[String])] = Nil): Int = {
     add.foreach { case (_, st) =>
       require(st.forall(s => !s.exists(c => c == '\t' || c == '\n' || c == '\r')),
         "stats blob must not contain tab/newline")
@@ -425,7 +457,10 @@ object TxLog {
     val body = metaHeader() + (add.map {
       case (p, Some(st)) => s"add\t$p\t$st"
       case (p, None)     => s"add\t$p"
-    } ++ remove.map(p => s"remove\t$p")).mkString("", "\n", "\n")
+    } ++ remove.map(p => s"remove\t$p") ++ dvSets.map {
+      case (p, Some(d)) => s"dv\t$p\t$d"
+      case (p, None)    => s"dv\t$p\t-"
+    }).mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!claim(fs, tmp, target))
@@ -547,7 +582,8 @@ object TxLog {
     * FILES. None when every file proves absence. */
   def readPrunedByKey(spark: SparkSession, dir: String, column: String,
       value: String, asOf: Int = -1): Option[DataFrame] = {
-    val kept = liveEntries(dir, asOf).filter { case (_, st) =>
+    val (entries, dv) = resolveState(dir, asOf)
+    val kept = entries.filter { case (_, st) =>
       st.flatMap(_.split(",").find(_.startsWith(s"#bf#$column;"))) match {
         case None => true
         case Some(seg) =>
@@ -558,7 +594,7 @@ object TxLog {
           bloomPositions(value, bits).forall(bs.get)
       }
     }.map(_._1)
-    if (kept.isEmpty) None else Some(spark.read.parquet(kept: _*))
+    if (kept.isEmpty) None else Some(readMasked(spark, kept, dv.toMap))
   }
 
   /** Snapshot read restricted to files whose manifest stats CAN satisfy
@@ -571,9 +607,10 @@ object TxLog {
     * pruning. None when every file prunes away. */
   def readPruned(spark: SparkSession, dir: String, column: String,
       lo: Double, hi: Double, asOf: Int = -1): Option[DataFrame] = {
-    val kept = liveEntries(dir, asOf)
+    val (entries, dv) = resolveState(dir, asOf)
+    val kept = entries
       .filter(e => statsOverlap(e._2, column, lo, hi)).map(_._1)
-    if (kept.isEmpty) None else Some(spark.read.parquet(kept: _*))
+    if (kept.isEmpty) None else Some(readMasked(spark, kept, dv.toMap))
   }
 
   /** The live file set at `asOf` (latest when <= 0): the newest
@@ -587,24 +624,38 @@ object TxLog {
 
   /** [[liveFiles]] with each file's optional manifest STATS blob (see
     * [[commitWithStats]]) — the input to manifest-level data skipping. */
-  def liveEntries(dir: String, asOf: Int = -1): Seq[(String, Option[String])] = {
+  def liveEntries(dir: String, asOf: Int = -1): Seq[(String, Option[String])] =
+    resolveState(dir, asOf)._1
+
+  /** The live DELETION-VECTOR bindings at `asOf` (latest when <= 0):
+    * data-file path → sidecar dir holding its masked (part-file, row
+    * position) pairs. Empty for a table no merge-on-read verb ever
+    * touched — every reader's fast path is then exactly the pre-DV
+    * plan. */
+  def liveDvs(dir: String, asOf: Int = -1): Map[String, String] =
+    resolveState(dir, asOf)._2.toMap
+
+  private def resolveState(dir: String, asOf: Int): (
+      Seq[(String, Option[String])],
+      scala.collection.mutable.LinkedHashMap[String, String]) = {
     val upTo = if (asOf <= 0) latestVersion(dir) else asOf
     val live = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[String]]
+    val dv = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val from = latestCheckpointVersion(dir, upTo) match {
       case Some(cv) =>
         replayInto(live,
           readLogFile(dir, checkpointFile(dir, cv), f"checkpoint c$cv%08d"),
-          f"checkpoint c$cv%08d")
+          f"checkpoint c$cv%08d", dv)
         cv + 1
       case None => 1
     }
     (from to upTo).foreach { v =>
       replayInto(live,
         readLogFile(dir, manifest(dir, v), s"manifest v$v (asOf=$asOf)"),
-        s"v$v")
+        s"v$v", dv)
     }
-    live.toSeq
+    (live.toSeq, dv)
   }
 
   /** Write a checkpoint of the CURRENT latest version: one file holding
@@ -617,7 +668,7 @@ object TxLog {
   def checkpoint(dir: String): Int = {
     val v = latestVersion(dir)
     if (v == 0) return 0
-    val entries = liveEntries(dir, v)
+    val (entries, dvs) = resolveState(dir, v)
     val ld = logDir(dir)
     val fs = fsOf(ld)
     val tmp = new Path(ld, s".c$v.tmp${System.nanoTime()}")
@@ -625,11 +676,15 @@ object TxLog {
     // manifests were expired still timestamp-resolves its own version —
     // though the checkpoint's WRITE time, not v's original commit time;
     // mtime would drift the same way, and the resolution rule only
-    // needs at-or-before ordering per store
-    val body = metaHeader() + entries.map {
+    // needs at-or-before ordering per store. Deletion-vector bindings
+    // are part of the snapshot state and serialize AFTER the adds (a dv
+    // line only binds to an already-live path).
+    val body = metaHeader() + (entries.map {
       case (p, Some(st)) => s"add\t$p\t$st"
       case (p, None)     => s"add\t$p"
-    }.mkString("", "\n", "\n")
+    } ++ entries.flatMap { case (p, _) =>
+      dvs.get(p).map(d => s"dv\t$p\t$d")
+    }).mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!claim(fs, tmp, checkpointFile(dir, v)))
@@ -692,7 +747,10 @@ object TxLog {
   def readDelta(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Int): Option[DataFrame] = {
     val files = addedFiles(dir, fromVersion, toVersion)
-    if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+    if (files.isEmpty) None
+    // mask with the DVs live at `toVersion`: a file added and then
+    // DV-deleted from inside the window serves its window-end rows
+    else Some(readMasked(spark, files, liveDvs(dir, toVersion)))
   }
 
   /** SNAPSHOT-DIFF change feed for (fromVersion, toVersion] — the
@@ -705,7 +763,11 @@ object TxLog {
     * with the removal of its inputs — exactly the information a signed
     * row feed needs to stay exactly-once. `fromVersion = 0` diffs
     * against the empty table. Cost: two checkpoint-seeded snapshot
-    * resolutions, O(log suffix) each. */
+    * resolutions, O(log suffix) each. NOTE: this is the FILE-grain view
+    * only — a merge-on-read commit ([[deleteWhereDV]] /
+    * [[updateWhereDV]]) changes rows without changing the file set, so
+    * row-level consumers must use [[readChanges]], which adds the
+    * deletion-vector DELTA grain on top of this diff. */
   def changedFiles(dir: String, fromVersion: Int,
       toVersion: Int): (Seq[String], Seq[String]) = {
     require(fromVersion >= 0 && toVersion >= fromVersion,
@@ -730,18 +792,73 @@ object TxLog {
     * column. None when the window changed nothing. */
   def readChanges(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Int, signCol: String = "sign"): Option[DataFrame] = {
-    val (added, removed) = changedFiles(dir, fromVersion, toVersion)
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"bad version window: ($fromVersion, $toVersion]")
     val sign = org.apache.spark.sql.functions.lit _
+    val (beforeEntries, beforeDvM) =
+      if (fromVersion == 0)
+        (Seq.empty[(String, Option[String])], Map.empty[String, String])
+      else { val (e, d) = resolveState(dir, fromVersion); (e, d.toMap) }
+    val (afterEntries, afterDvM) = {
+      val (e, d) = resolveState(dir, toVersion); (e, d.toMap)
+    }
+    val beforeFiles = beforeEntries.map(_._1).toSet
+    val afterFiles = afterEntries.map(_._1).toSet
+    // file-grain diff, each side masked AS OF ITS OWN SNAPSHOT: an added
+    // file contributes its window-end rows, a removed file retracts the
+    // rows that were VISIBLE at window start (retracting rows a DV had
+    // already masked would double-delete them downstream)
+    val added = (afterFiles -- beforeFiles).toSeq.sorted
+    val removed = (beforeFiles -- afterFiles).toSeq.sorted
     val plus =
       if (added.isEmpty) None
-      else Some(spark.read.parquet(added: _*).withColumn(signCol, sign(1)))
+      else Some(readMasked(spark, added, afterDvM)
+        .withColumn(signCol, sign(1)))
     val minus =
       if (removed.isEmpty) None
-      else Some(spark.read.parquet(removed: _*).withColumn(signCol, sign(-1)))
-    (plus, minus) match {
-      case (Some(p), Some(m)) => Some(p.unionByName(m))
-      case (p, m)             => p.orElse(m)
-    }
+      else Some(readMasked(spark, removed, beforeDvM)
+        .withColumn(signCol, sign(-1)))
+    // DV-delta grain: a file live at BOTH ends whose deletion vector
+    // changed inside the window emits the rows the new DV masks beyond
+    // the old one as −1 (a merge-on-read DELETE is row retraction with
+    // zero file churn), and — after a RESTORE rolled a DV back — the
+    // rows the old DV masked but the new one does not as +1. The
+    // semi/anti joins key on (part file, position), so a sidecar's
+    // superset rows for OTHER files are inert
+    val dvChanged = (beforeFiles & afterFiles).toSeq.sorted
+      .filter(f => beforeDvM.get(f) != afterDvM.get(f))
+    val dvDeltas =
+      if (dvChanged.isEmpty) None
+      else {
+        val raw = readMasked(spark, dvChanged, Map.empty, withPos = true)
+        val keys = Seq(DvFileCol, DvPosCol)
+        val afterRows = dvChanged.flatMap(afterDvM.get).distinct match {
+          case Nil => None
+          case ds  => Some(dvRows(spark, ds))
+        }
+        val beforeRows = dvChanged.flatMap(beforeDvM.get).distinct match {
+          case Nil => None
+          case ds  => Some(dvRows(spark, ds))
+        }
+        def strip(df: DataFrame, s: Int) =
+          df.drop(DvFileCol, DvPosCol).withColumn(signCol, sign(s))
+        val newlyMasked = afterRows.map { ar =>
+          val semi = raw.join(ar, keys, "left_semi")
+          strip(beforeRows.fold(semi)(br => semi.join(br, keys, "left_anti")),
+            -1)
+        }
+        val resurrected = beforeRows.map { br =>
+          val semi = raw.join(br, keys, "left_semi")
+          strip(afterRows.fold(semi)(ar => semi.join(ar, keys, "left_anti")),
+            1)
+        }
+        (newlyMasked, resurrected) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b)             => a.orElse(b)
+        }
+      }
+    Seq(plus, minus, dvDeltas).flatten
+      .reduceOption(_ unionByName _)
   }
 
   /** Snapshot read — all live parquet files as one DataFrame; empty
@@ -756,12 +873,66 @@ object TxLog {
     * fast path — a homogeneous table pays nothing for the capability. */
   def read(spark: SparkSession, dir: String, asOf: Int = -1,
       mergeSchema: Boolean = false): DataFrame = {
-    val files = liveFiles(dir, asOf)
+    val (entries, dv) = resolveState(dir, asOf)
+    val files = entries.map(_._1)
     require(files.nonEmpty,
       s"txlog: snapshot of $dir at asOf=$asOf holds no files")
-    val rd = if (mergeSchema) spark.read.option("mergeSchema", "true")
+    readMasked(spark, files, dv.toMap, mergeSchema)
+  }
+
+  // deletion-vector sidecar schema: the PART-file URI (as Spark's
+  // `_metadata.file_path` renders it — writeBatch dirs hold several part
+  // files, and row positions are a per-part-file coordinate) and the
+  // row's position within that part file (`_metadata.row_index`, stable
+  // because committed files are immutable). Prefixed to stay clear of
+  // user schemas, same convention as the probe FileCol.
+  private val DvFileCol = "_graft_dv_file"
+  private val DvPosCol = "_graft_dv_pos"
+
+  private def dvRows(spark: SparkSession, dvDirs: Seq[String]): DataFrame =
+    spark.read.parquet(dvDirs.distinct: _*).select(DvFileCol, DvPosCol)
+
+  /** Read `files` with their deletion vectors applied — THE read core
+    * every snapshot/pruned/delta/rewrite path funnels through. Files
+    * without a DV binding take the untouched fast path (plain parquet
+    * scan, no metadata columns, no join — a table no merge-on-read verb
+    * ever touched pays nothing); bound files anti-join their sidecar
+    * rows on (part file, row position). The anti-join's right side is
+    * deleted-row-count-sized — AQE broadcasts it in the common case —
+    * and masking never rewrites data, which is the whole point: at
+    * 100 TB a DELETE that touches one row per file costs one small
+    * sidecar write instead of a table rewrite ([[deleteWhereDV]]).
+    * `withPos` keeps the (part file, position) coordinate columns for
+    * probe consumers; plain files then carry them too. */
+  private def readMasked(spark: SparkSession, files: Seq[String],
+      dvs: Map[String, String], mergeSchema: Boolean = false,
+      withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def rd = if (mergeSchema) spark.read.option("mergeSchema", "true")
              else spark.read
-    rd.parquet(files: _*)
+    def withMeta(df: DataFrame) = df
+      .withColumn(DvFileCol, col("_metadata.file_path"))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    val (masked, plain) = files.partition(dvs.contains)
+    val plainDf =
+      if (plain.isEmpty) None
+      else {
+        val df = rd.parquet(plain: _*)
+        Some(if (withPos) withMeta(df) else df)
+      }
+    val maskedDf =
+      if (masked.isEmpty) None
+      else {
+        val df = withMeta(rd.parquet(masked: _*))
+          .join(dvRows(spark, masked.map(dvs)),
+            Seq(DvFileCol, DvPosCol), "left_anti")
+        Some(if (withPos) df else df.drop(DvFileCol, DvPosCol))
+      }
+    (plainDf, maskedDf) match {
+      case (Some(p), Some(m)) => p.unionByName(m)
+      case (p, m) => p.orElse(m).getOrElse(
+        throw new IllegalArgumentException("readMasked of zero files"))
+    }
   }
 
   /** Bin-pack compaction — the OPTIMIZE verb of the lakehouse surface
@@ -805,7 +976,10 @@ object TxLog {
     // union of stat columns across the replaced files' blobs — the
     // dimensions someone already paid to make prunable stay prunable
     val statCols = entries.flatMap(e => statColsOf(e._2)).distinct
-    val snap = spark.read.parquet(files: _*)
+    // masked read: compaction MATERIALIZES deletion vectors — the
+    // rewritten files hold only visible rows, and the swap commit's
+    // removes clear the bindings, so sidecars retire with their files
+    val snap = readMasked(spark, files, liveDvs(dir))
     val compacted = (statCols.headOption match {
       case Some(c) if targetFiles > 1 => snap.repartitionByRange(
         targetFiles, org.apache.spark.sql.functions.col(c))
@@ -861,7 +1035,8 @@ object TxLog {
     if (small.size < 2) return 0
     val smallPaths = small.map(_._1)
     val statCols = small.flatMap(e => statColsOf(e._2)).distinct
-    val compacted = spark.read.parquet(smallPaths: _*).coalesce(1)
+    val compacted =
+      readMasked(spark, smallPaths, liveDvs(dir)).coalesce(1)
     val st =
       if (statCols.isEmpty) None else columnStatsMulti(compacted, statCols)
     commitRewrite(dir,
@@ -898,7 +1073,7 @@ object TxLog {
     require(ranks >= 2 && ranks <= 1024, s"ranks must be in [2,1024]: $ranks")
     val files = liveFiles(dir)
     if (files.isEmpty) return 0
-    val snap = spark.read.parquet(files: _*).localCheckpoint()
+    val snap = readMasked(spark, files, liveDvs(dir)).localCheckpoint()
     val withZ =
       try {
         def rankExpr(c: String): org.apache.spark.sql.Column = {
@@ -960,8 +1135,11 @@ object TxLog {
     val names = listLog(dir)
     val versions = (names.collect { case ManifestName(d) => d.toInt } ++
       names.collect { case CheckpointName(d) => d.toInt }).distinct.sorted
+    // a version's reachable footprint is its data files PLUS the
+    // deletion-vector sidecar dirs its bindings reference — a swept
+    // sidecar would silently resurrect deleted rows on the next read
     val reachable = versions.flatMap { v =>
-      try liveFiles(dir, v)
+      try { val (e, d) = resolveState(dir, v); e.map(_._1) ++ d.values }
       catch { case _: IllegalStateException => Nil }
     }.toSet
     val dataDir = new Path(dir, "data")
@@ -1010,14 +1188,25 @@ object TxLog {
     * set — idempotence, same contract as [[optimize]]. */
   def restore(dir: String, toVersion: Int): Int = {
     require(toVersion >= 1, s"toVersion must be >= 1: $toVersion")
-    val target = liveEntries(dir, toVersion)
-    val current = liveEntries(dir)
+    val (target, targetDvM) = resolveState(dir, toVersion)
+    val (current, currentDvM) = resolveState(dir, -1)
+    val targetDv = targetDvM.toMap
+    val currentDv = currentDvM.toMap
     val currentPaths = current.map(_._1).toSet
     val targetPaths = target.map(_._1).toSet
     val add = target.filterNot { case (p, _) => currentPaths(p) }
+    val addSet = add.map(_._1).toSet
     val remove = current.map(_._1).filterNot(targetPaths)
-    if (add.isEmpty && remove.isEmpty) return 0
-    commitRewrite(dir, add, remove)
+    // deletion-vector reconciliation: a file live at the target must end
+    // up bound to the target's sidecar (or unbound, `-`) — replay clears
+    // the binding on re-add, so compare against the post-commit default
+    val dvSets = target.map(_._1).flatMap { p =>
+      val want = targetDv.get(p)
+      val haveAfter = if (addSet(p)) None else currentDv.get(p)
+      if (want == haveAfter) None else Some(p -> want)
+    }
+    if (add.isEmpty && remove.isEmpty && dvSets.isEmpty) return 0
+    commitRewrite(dir, add, remove, dvSets = dvSets)
   }
 
   /** Scheme- and working-directory-insensitive path identity — manifest
@@ -1060,23 +1249,20 @@ object TxLog {
       }.getOrElse(true)
   }
 
-  // input_file_name capture column for the touched-file probes below;
-  // prefixed to stay clear of user schemas
-  private val FileCol = "_graft_input_file"
-
   /** One probe scan → the batch dirs holding rows the row-level verb
     * must rewrite: `probe` narrows the tagged snapshot to matching rows
     * (a filter for DELETE, a key semi-join for MERGE), and the matched
     * part files collapse to their batch dirs. The collect is bounded by
     * the number of matched PART FILES — file-count-sized, never
-    * row-sized. */
+    * row-sized. Deletion vectors apply to the probe ([[readMasked]]
+    * `withPos` tags every row with its part file): an already-masked
+    * row must neither pull its file into a rewrite nor re-match. */
   private def probeTouched(spark: SparkSession, probeFiles: Seq[String],
+      dvs: Map[String, String],
       probe: DataFrame => DataFrame): Seq[String] = {
-    import org.apache.spark.sql.functions._
     if (probeFiles.isEmpty) Seq.empty
-    else probe(spark.read.parquet(probeFiles: _*)
-        .withColumn(FileCol, input_file_name()))
-      .select(FileCol).distinct().collect()
+    else probe(readMasked(spark, probeFiles, dvs, withPos = true))
+      .select(DvFileCol).distinct().collect()
       .map(r => batchDirOf(r.getString(0))).distinct.sorted.toSeq
   }
 
@@ -1152,14 +1338,167 @@ object TxLog {
   def deleteWhere(spark: SparkSession, dir: String, name: String,
       predicate: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions._
-    val entries = liveEntries(dir)
+    val (entries, dvM) = resolveState(dir, -1)
     if (entries.isEmpty) return 0
-    val touched = probeTouched(spark, entries.map(_._1), _.filter(predicate))
+    val dvs = dvM.toMap
+    val touched =
+      probeTouched(spark, entries.map(_._1), dvs, _.filter(predicate))
     // keep = NOT predicate OR predicate-is-null (SQL DELETE keeps
-    // null-predicate rows); per-dir read keeps untouched dirs untouched
+    // null-predicate rows); per-dir read keeps untouched dirs untouched;
+    // a rewrite of a DV-bound dir reads through its mask (materializing
+    // the vector) — raw reads here would resurrect masked rows
     rewriteTouched(spark, dir, name, entries, touched,
-      p => spark.read.parquet(p).filter(!coalesce(predicate, lit(false))),
+      p => readMasked(spark, Seq(p), dvs)
+        .filter(!coalesce(predicate, lit(false))),
       extraAdds = Nil, what = "delete")
+  }
+
+  /** MERGE-ON-READ DELETE via deletion vectors (public precedent:
+    * Delta's deletion vectors / Iceberg v2 position deletes): instead of
+    * rewriting every file that holds a matching row ([[deleteWhere]]'s
+    * copy-on-write path), write ONE small sidecar listing the matched
+    * (part file, row position) coordinates and bind it to the touched
+    * data files in a single commit — the data files stay byte-identical.
+    * Readers apply the mask with a position anti-join ([[readMasked]]).
+    *
+    * This is the verb that changes the 100 TB cost model: a DELETE
+    * matching one row per file costs O(matched rows) sidecar bytes and
+    * zero data rewrite, where copy-on-write would rewrite every touched
+    * file in full — the classic GDPR/right-to-be-forgotten shape (one
+    * tenant's rows smeared across thousands of files). The trade is read
+    * amplification (coordinate columns + one anti-join per scan of a
+    * bound file), paid until a rewrite verb MATERIALIZES the vector:
+    * [[optimize]] / [[optimizeIncremental]] / [[optimizeZOrder]] read
+    * through the mask and retire the sidecar with the files, so the
+    * standard maintenance loop amortizes deletes to zero read cost.
+    *
+    * Semantics are exactly [[deleteWhere]]'s (SQL DELETE: NULL-predicate
+    * rows are KEPT; repeat delete of the same predicate is a no-op
+    * returning 0; time travel to pre-delete versions still serves the
+    * masked rows — sidecars are version-bound state, and [[vacuum]]
+    * keeps every sidecar any resolvable version references). Vectors
+    * are CUMULATIVE: a second delete on an already-bound file writes a
+    * sidecar carrying the union of old and new coordinates and rebinds
+    * (one binding per file, no mask chains to walk at read time — the
+    * superset rows a shared sidecar holds for other files are inert
+    * because masking keys on the part-file coordinate). Committed with
+    * merge-on-read conflict detection: a concurrent rewrite or rebind of
+    * a touched file aborts this delete with
+    * [[java.util.ConcurrentModificationException]] instead of
+    * resurrecting or double-masking rows. Returns the new version, or 0
+    * when nothing matches. Fresh `name` per call.
+    *
+    * (Reference capability analog: none — an immutable-file MapReduce
+    * world rewrites; this is the lakehouse capability the reference's
+    * users would adopt the engine FOR.) */
+  def deleteWhereDV(spark: SparkSession, dir: String, name: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions._
+    val (entries, dvM) = resolveState(dir, -1)
+    if (entries.isEmpty) return 0
+    val dvs = dvM.toMap
+    val matched = readMasked(spark, entries.map(_._1), dvs, withPos = true)
+      .filter(coalesce(predicate, lit(false)))
+      .select(DvFileCol, DvPosCol).localCheckpoint()
+    try {
+      // file-count-sized collect: which part files hold matches
+      val touchedParts = matched.select(DvFileCol).distinct()
+        .collect().map(_.getString(0))
+      if (touchedParts.isEmpty) return 0
+      val byNorm = entries.map(e => normPath(e._1) -> e._1).toMap
+      val touchedDirs =
+        touchedParts.map(batchDirOf).distinct.sorted.toSeq
+      val touched = touchedDirs.flatMap(byNorm.get)
+      require(touched.size == touchedDirs.size,
+        s"txlog: ${touchedDirs.size - touched.size} matched batch dirs " +
+          s"did not map back to a manifest path of $dir — refusing a " +
+          "partial deletion-vector bind")
+      // cumulative sidecar: new coordinates ∪ every coordinate the
+      // touched files' existing sidecars already carry (matched was
+      // computed through the old mask, so the union is disjoint)
+      val existing = touched.flatMap(dvs.get).distinct
+      val combined =
+        if (existing.isEmpty) matched
+        else matched.unionByName(dvRows(spark, existing))
+      val dvPath = writeBatch(combined, dir, name)
+      commitRewrite(dir, Nil, Nil,
+        dvSets = touched.map(_ -> Some(dvPath)), basedOnDvs = Some(dvs))
+    } finally graft.core.Checkpoints.release(matched)
+  }
+
+  /** MERGE-ON-READ UPDATE via deletion vectors — [[updateWhereDV]] is to
+    * [[updateWhere]] what [[deleteWhereDV]] is to [[deleteWhere]]: the
+    * matched rows are MASKED in place (sidecar bind, zero data-file
+    * rewrite) and their updated copies land as ONE new stats-carrying
+    * file, all in a single commit. SQL UPDATE semantics are identical to
+    * the copy-on-write verb: NULL-predicate rows untouched, every SET
+    * right-hand side reads the PRE-update row (one select — swaps work),
+    * assignments cast to the column's existing type so the schema is
+    * invariant. The new file carries [[columnStatsMulti]] bounds over
+    * the touched files' stat-column union, so pruning keeps working on
+    * the updated rows; the masked originals cost one anti-join until a
+    * rewrite verb materializes the vector. Returns the new version, or 0
+    * when nothing matches. Fresh `name` per call. */
+  def updateWhereDV(spark: SparkSession, dir: String, name: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, "updateWhereDV needs at least one SET assignment")
+    require(set.map(_._1).distinct.size == set.size,
+      s"updateWhereDV: a column may appear at most once in SET " +
+        s"(got ${set.map(_._1).mkString(", ")})")
+    val (entries, dvM) = resolveState(dir, -1)
+    if (entries.isEmpty) return 0
+    val dvs = dvM.toMap
+    val tableCols = spark.read.parquet(entries.head._1).columns.toSet
+    val missing = set.map(_._1).filterNot(tableCols)
+    require(missing.isEmpty,
+      s"updateWhereDV: SET targets column(s) absent from the table: " +
+        s"${missing.mkString(", ")}")
+    val matched = readMasked(spark, entries.map(_._1), dvs, withPos = true)
+      .filter(coalesce(predicate, lit(false))).localCheckpoint()
+    try {
+      val touchedParts = matched.select(DvFileCol).distinct()
+        .collect().map(_.getString(0))
+      if (touchedParts.isEmpty) return 0
+      val byNorm = entries.map(e => normPath(e._1) -> e._1).toMap
+      val statsByNorm =
+        entries.map { case (p, st) => normPath(p) -> st }.toMap
+      val touchedDirs =
+        touchedParts.map(batchDirOf).distinct.sorted.toSeq
+      val touched = touchedDirs.flatMap(byNorm.get)
+      require(touched.size == touchedDirs.size,
+        s"txlog: ${touchedDirs.size - touched.size} matched batch dirs " +
+          s"did not map back to a manifest path of $dir — refusing a " +
+          "partial deletion-vector bind")
+      val setByCol = set.toMap
+      val types = matched.schema
+        .map(f => f.name -> f.dataType).toMap
+      val dataCols = matched.columns.toSeq
+        .filterNot(c => c == DvFileCol || c == DvPosCol)
+      // every matched row updates (the predicate already selected them);
+      // one select over the pre-update row, so `SET a = b, b = a` swaps
+      val updated = matched.select(dataCols.map { c =>
+        setByCol.get(c) match {
+          case Some(e) => e.cast(types(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+      val statCols = touched
+        .flatMap(p => statColsOf(statsByNorm(normPath(p)))).distinct
+        .filter(dataCols.contains)
+      val newFile = writeBatch(updated, dir, s"${name}_upd")
+      val st =
+        if (statCols.isEmpty) None else columnStatsMulti(updated, statCols)
+      val existing = touched.flatMap(dvs.get).distinct
+      val coords = matched.select(DvFileCol, DvPosCol)
+      val combined =
+        if (existing.isEmpty) coords
+        else coords.unionByName(dvRows(spark, existing))
+      val dvPath = writeBatch(combined, dir, s"${name}_dv")
+      commitRewrite(dir, Seq(newFile -> st), Nil,
+        dvSets = touched.map(_ -> Some(dvPath)), basedOnDvs = Some(dvs))
+    } finally graft.core.Checkpoints.release(matched)
   }
 
   /** Copy-on-write UPDATE — apply the `set` assignments to every live
@@ -1205,12 +1544,14 @@ object TxLog {
     require(missing.isEmpty,
       s"updateWhere: SET targets column(s) absent from the table: " +
         s"${missing.mkString(", ")}")
-    val touched = probeTouched(spark, entries.map(_._1), _.filter(predicate))
+    val dvs = liveDvs(dir)
+    val touched =
+      probeTouched(spark, entries.map(_._1), dvs, _.filter(predicate))
     val setByCol = set.toMap
     val hit = coalesce(predicate, lit(false))
     rewriteTouched(spark, dir, name, entries, touched,
       { p =>
-        val df = spark.read.parquet(p)
+        val df = readMasked(spark, Seq(p), dvs)
         val types = df.schema.map(f => f.name -> f.dataType).toMap
         df.select(df.columns.toSeq.map { c =>
           setByCol.get(c) match {
@@ -1336,7 +1677,8 @@ object TxLog {
             .filter(e => statsOverlap(e._2, k, b.getDouble(0), b.getDouble(1)))
             .map(_._1)
         }
-      val touched = probeTouched(spark, probeFiles,
+      val dvs = liveDvs(dir)
+      val touched = probeTouched(spark, probeFiles, dvs,
         _.join(broadcast(srcKeys), keys, "left_semi"))
       val extraAdds =
         if (upserts.isEmpty) Nil
@@ -1349,7 +1691,7 @@ object TxLog {
           Seq(writeBatch(upserts, dir, s"${name}_src") -> srcStats)
         }
       rewriteTouched(spark, dir, name, entries, touched,
-        p => spark.read.parquet(p)
+        p => readMasked(spark, Seq(p), dvs)
           .join(broadcast(srcKeys), keys, "left_anti"),
         extraAdds, what = "merge")
     } finally graft.core.Checkpoints.release(keyed)

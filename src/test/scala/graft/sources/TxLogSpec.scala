@@ -1027,4 +1027,183 @@ class TxLogSpec extends AnyFunSuite {
       "a commit that reported success in either process must be visible")
     TxLog.destroy(dir)
   }
+
+  // ---- deletion vectors: merge-on-read DELETE / UPDATE ----
+
+  /** A 3-batch integer table for the DV tests: b1 = 0..9, b2 = 10..19,
+    * b3 = 20..29, with a null-carrying twist column for the SQL
+    * null-semantics checks. */
+  private def dvTable(): (String, Seq[String]) = {
+    val dir = freshDir()
+    val paths = Seq((0, "b1"), (10, "b2"), (20, "b3")).map { case (lo, n) =>
+      val df = (lo until lo + 10)
+        .map(i => (i.toLong, if (i % 7 == 0) None else Some(i.toLong)))
+        .toDF("x", "y")
+      val p = TxLog.writeBatch(df, dir, n)
+      TxLog.commit(dir, Seq(p))
+      p
+    }
+    (dir, paths)
+  }
+
+  test("deleteWhereDV masks rows without touching any data file") {
+    val (dir, paths) = dvTable()
+    val before = TxLog.liveFiles(dir)
+    val v = TxLog.deleteWhereDV(spark, dir, "dv1", col("x") >= 12 && col("x") < 15)
+    assert(v === 4, "the DV delete lands as an ordinary version")
+    assert(TxLog.liveFiles(dir) === before,
+      "merge-on-read: the data file set must be byte-identical")
+    val dvs = TxLog.liveDvs(dir)
+    assert(dvs.keySet === Set(paths(1)), "only the holding batch is bound")
+    assert(TxLog.read(spark, dir).select("x").as[Long].collect().sorted.toSeq
+      === ((0L to 29L).filterNot(x => x >= 12 && x < 15)))
+    // time travel: the pre-delete snapshot still serves the masked rows
+    assert(TxLog.read(spark, dir, asOf = 3).count() === 30)
+    TxLog.destroy(dir)
+  }
+
+  test("deleteWhereDV: SQL semantics — null predicate keeps, no match commits nothing") {
+    val (dir, _) = dvTable()
+    // y is null for multiples of 7; y % 2 = 0 is NULL there -> kept
+    val v = TxLog.deleteWhereDV(spark, dir, "dvn", col("y") % 2 === 0)
+    assert(v === 4)
+    val kept = TxLog.read(spark, dir).select("x").as[Long].collect().sorted.toSeq
+    assert(kept === (0L to 29L).filter(x => x % 7 == 0 || x % 2 == 1),
+      "null-predicate rows are KEPT, even evens")
+    assert(TxLog.deleteWhereDV(spark, dir, "dvn2", col("y") % 2 === 0) === 0,
+      "repeat delete matches nothing through the mask — no commit")
+    assert(TxLog.latestVersion(dir) === 4)
+    TxLog.destroy(dir)
+  }
+
+  test("deletion vectors are cumulative: a rebind unions coordinates") {
+    val (dir, paths) = dvTable()
+    TxLog.deleteWhereDV(spark, dir, "dva", col("x") === 12)
+    TxLog.deleteWhereDV(spark, dir, "dvb", col("x") === 17)
+    assert(TxLog.liveDvs(dir).size === 1, "one binding per file, no chains")
+    assert(TxLog.read(spark, dir).select("x").as[Long].collect().sorted.toSeq
+      === (0L to 29L).filterNot(x => x == 12 || x == 17))
+    // pruned reads apply the mask too
+    val pr = TxLog.readPruned(spark, dir, "x", 10, 19)
+    assert(pr.isEmpty || !pr.get.select("x").as[Long].collect().contains(12L))
+    TxLog.destroy(dir)
+  }
+
+  test("copy-on-write verbs read through the mask: no resurrection") {
+    val (dir, paths) = dvTable()
+    TxLog.deleteWhereDV(spark, dir, "dv1", col("x") === 11)
+    // CoW delete on the SAME file materializes the mask in the rewrite
+    TxLog.deleteWhere(spark, dir, "cow", col("x") === 13)
+    assert(TxLog.liveDvs(dir).isEmpty,
+      "the rewrite retired the bound file, clearing its binding")
+    assert(TxLog.read(spark, dir).select("x").as[Long].collect().sorted.toSeq
+      === (0L to 29L).filterNot(x => x == 11 || x == 13),
+      "the masked row must NOT come back in the rewrite")
+    TxLog.destroy(dir)
+  }
+
+  test("optimize materializes deletion vectors and retires sidecars") {
+    val (dir, _) = dvTable()
+    TxLog.deleteWhereDV(spark, dir, "dv1", col("x") % 10 === 3)
+    assert(TxLog.liveDvs(dir).nonEmpty)
+    assert(TxLog.optimize(spark, dir, "opt") > 0)
+    assert(TxLog.liveDvs(dir).isEmpty, "compaction materializes the mask")
+    assert(TxLog.read(spark, dir).select("x").as[Long].collect().sorted.toSeq
+      === (0L to 29L).filterNot(_ % 10 == 3))
+    // after checkpoint + expire, vacuum reclaims the orphaned sidecar
+    TxLog.checkpoint(dir)
+    TxLog.expireManifests(dir)
+    val swept = TxLog.vacuum(dir)
+    assert(swept.exists(_.contains("dv1")), "orphaned sidecar reclaimed")
+    assert(TxLog.read(spark, dir).count() === 27, "content intact after vacuum")
+    TxLog.destroy(dir)
+  }
+
+  test("vacuum never sweeps a sidecar a resolvable version references") {
+    val (dir, _) = dvTable()
+    TxLog.deleteWhereDV(spark, dir, "dvkeep", col("x") === 5)
+    val swept = TxLog.vacuum(dir)
+    assert(!swept.exists(_.contains("dvkeep")),
+      "the live binding's sidecar must survive vacuum")
+    assert(TxLog.read(spark, dir).count() === 29)
+    TxLog.destroy(dir)
+  }
+
+  test("readChanges across a DV commit emits exactly the masked rows as -1") {
+    val (dir, _) = dvTable()
+    val v0 = TxLog.latestVersion(dir)
+    TxLog.deleteWhereDV(spark, dir, "dvc", col("x").isin(2L, 12L, 22L))
+    val feed = TxLog.readChanges(spark, dir, v0, TxLog.latestVersion(dir)).get
+    val rows = feed.select("x", "sign").as[(Long, Int)].collect().sorted.toSeq
+    assert(rows === Seq((2L, -1), (12L, -1), (22L, -1)),
+      "a merge-on-read delete is pure row retraction: no +1 churn at all")
+    TxLog.destroy(dir)
+  }
+
+  test("updateWhereDV: masked originals + one new file; SET reads the pre-update row") {
+    val (dir, paths) = dvTable()
+    val before = TxLog.liveFiles(dir)
+    // swap-style SET: x <- x + y, y <- x  (both read the PRE-update row)
+    val v = TxLog.updateWhereDV(spark, dir, "u1",
+      col("x") === 22, Seq("x" -> (col("x") + col("y")), "y" -> col("x")))
+    assert(v === 4)
+    val live = TxLog.liveFiles(dir)
+    assert(before.forall(live.contains),
+      "merge-on-read UPDATE removes nothing")
+    assert(live.size === before.size + 1, "updated copies land as one file")
+    val got = TxLog.read(spark, dir).filter(col("y") === 22)
+      .select("x").as[Long].collect().toSeq
+    assert(got === Seq(44L), "x = old x + old y = 44, y = old x = 22")
+    assert(TxLog.read(spark, dir).count() === 30, "row count invariant")
+    // no-match update commits nothing
+    assert(TxLog.updateWhereDV(spark, dir, "u2",
+      col("x") === 999, Seq("x" -> lit(0L))) === 0)
+    TxLog.destroy(dir)
+  }
+
+  test("restore rolls deletion vectors back and forward") {
+    val (dir, _) = dvTable()
+    TxLog.deleteWhereDV(spark, dir, "dvr", col("x") === 7)   // v4
+    val v4 = TxLog.latestVersion(dir)
+    TxLog.deleteWhereDV(spark, dir, "dvr2", col("x") === 8)  // v5
+    assert(TxLog.read(spark, dir).count() === 28)
+    // restore to the one-deletion state: row 8 resurrects, 7 stays masked
+    assert(TxLog.restore(dir, v4) > 0)
+    val xs = TxLog.read(spark, dir).select("x").as[Long].collect().sorted.toSeq
+    assert(xs === (0L to 29L).filterNot(_ == 7))
+    // restore to pre-delete: everything visible again (binding cleared)
+    assert(TxLog.restore(dir, 3) > 0)
+    assert(TxLog.liveDvs(dir).isEmpty)
+    assert(TxLog.read(spark, dir).count() === 30)
+    // the resurrection is visible to CDC as +1 rows
+    val feed = TxLog.readChanges(spark, dir, v4 + 1, TxLog.latestVersion(dir)).get
+    val back = feed.filter(col("sign") === 1).select("x").as[Long]
+      .collect().sorted.toSeq
+    assert(back === Seq(7L, 8L), "rows a restore unmasks flow as +1")
+    TxLog.destroy(dir)
+  }
+
+  test("checkpoint serializes DV bindings; masked reads survive expiry") {
+    val (dir, _) = dvTable()
+    TxLog.deleteWhereDV(spark, dir, "dvck", col("x") < 3)
+    TxLog.checkpoint(dir)
+    TxLog.expireManifests(dir)
+    assert(TxLog.read(spark, dir).select("x").as[Long].collect().sorted.toSeq
+      === (3L to 29L), "the checkpoint-seeded snapshot still masks")
+    assert(TxLog.liveDvs(dir).size === 1)
+    TxLog.destroy(dir)
+  }
+
+  test("merge reads through the mask: a masked key cannot match or resurrect") {
+    val (dir, _) = dvTable()
+    TxLog.deleteWhereDV(spark, dir, "dvm", col("x") === 15)
+    // upsert key 15 back in with a new y: it's an INSERT (no live match),
+    // and the masked original must not reappear alongside it
+    val src = Seq((15L, Some(1000L))).toDF("x", "y")
+    TxLog.merge(spark, dir, "m", src, Seq("x"))
+    val got = TxLog.read(spark, dir).filter(col("x") === 15)
+      .select("y").as[Option[Long]].collect().toSeq
+    assert(got === Seq(Some(1000L)), "exactly the upserted row, once")
+    TxLog.destroy(dir)
+  }
 }
