@@ -3886,6 +3886,197 @@ object Queries {
       SELECT source, COUNT(*) AS cnt, MIN(doc_id) AS min_id
       FROM kept GROUP BY 1 ORDER BY 1"""))
 
+  /** C4-style line-level cleaning ([[CorpusOps.c4LineClean]] — the
+    * T5 paper's web-text filter): documents are reshaped into a
+    * deterministic line structure (8-word lines; suffix cycles
+    * terminal `.` / `?` / no-terminal / a "javascript." tell by
+    * `(doc_id + line) % 4`; every 17th doc gains a `{` line, every
+    * 23rd a "lorem ipsum" line) so every rule has live targets, then
+    * the cleaner runs. The oracle rebuilds the SAME structure with
+    * DuckDB list functions and replays every regex-free predicate —
+    * the full cleaned text of every retained page is hash-pinned, so
+    * one mis-kept or mis-dropped line anywhere mismatches. */
+  private val qC4Clean = QuerySpec(
+    "q_c4_clean",
+    (s, dir) => {
+      val doc = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("_w", split(col("text"), " "))
+      val suffixes =
+        array(lit("."), lit("?"), lit(""), lit(" javascript."))
+      val structured = doc.select(col("doc_id"), concat(
+        array_join(transform(
+          sequence(lit(0), floor((size(col("_w")) - 1) / 8).cast("int")),
+          i => concat(
+            array_join(slice(col("_w"), i * 8 + 1, lit(8)), " "),
+            element_at(suffixes,
+              ((col("doc_id") + i) % 4 + 1).cast("int")))), "\n"),
+        when(col("doc_id") % 17 === 0, "\nconfig {").otherwise(""),
+        when(col("doc_id") % 23 === 0, "\nlorem ipsum dolor.").otherwise("")
+      ).as("text"))
+      CorpusOps.c4LineClean(structured, col("doc_id"), col("text"),
+          minWords = 3, minLines = 3)
+        .orderBy("id")
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), lined AS (
+        SELECT doc_id,
+          array_to_string(list_transform(
+            range(0, CAST(floor((len(w) - 1) / 8) AS BIGINT) + 1),
+            i -> array_to_string(w[i*8+1 : i*8+8], ' ') ||
+              CASE (doc_id + i) % 4 WHEN 0 THEN '.' WHEN 1 THEN '?'
+                   WHEN 2 THEN '' ELSE ' javascript.' END), chr(10)) ||
+          CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'config {'
+               ELSE '' END ||
+          CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'lorem ipsum dolor.'
+               ELSE '' END AS text
+        FROM base
+      ), cleaned AS (
+        SELECT doc_id,
+          list_filter(string_split(text, chr(10)), l ->
+            substr(l, length(l), 1) IN ('.', '!', '?', '"')
+            AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 3
+            AND NOT contains(lower(l), 'javascript')) AS kept,
+          NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{') AS ok
+        FROM lined
+      )
+      SELECT doc_id AS id, CAST(len(kept) AS BIGINT) AS n_lines,
+        array_to_string(kept, chr(10)) AS clean_text
+      FROM cleaned WHERE ok AND len(kept) >= 3 ORDER BY id"""))
+
+  /** Count-min sketch heavy hitters ([[StatsOps.cmsBuild]] /
+    * [[StatsOps.cmsEstimate]]): the corpus token stream folds into a
+    * 3×256 counter grid, and the 20 most frequent tokens are point-
+    * queried against it. The md5-positioned counters are DETERMINISTIC,
+    * so the oracle rebuilds the ENTIRE grid in SQL and replays each
+    * estimate — the gate hash-checks exact counter values, not just the
+    * ε-bound; the CMS guarantee (estimate ≥ truth) is REQUIREd row by
+    * row besides. */
+  private val qCmsTokens = QuerySpec(
+    "q_cms_tokens",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val sketch = StatsOps.cmsBuild(toks, col("tok"),
+        depth = 3, width = 256).localCheckpoint()
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok")).limit(20)
+        .localCheckpoint()
+      val est = StatsOps.cmsEstimate(sketch, top, col("tok"),
+        depth = 3, width = 256)
+      val out = top.join(est, col("tok") === col("key"))
+        .select(col("tok"), col("true_cnt"), col("est"))
+        .localCheckpoint()
+      require(out.filter(col("est") < col("true_cnt")).isEmpty,
+        "count-min NEVER underestimates — an undershoot is a broken grid")
+      out.orderBy("tok")
+    },
+    Some("""WITH toks AS (
+        SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t
+                       FROM documents) WHERE t <> ''
+      ), grid AS (SELECT r FROM range(3) g(r)
+      ), counters AS (
+        SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || t),
+            1, 8) AS BIGINT) % 256 AS pos, COUNT(*) AS cnt
+        FROM toks CROSS JOIN grid GROUP BY 1, 2
+      ), top AS (
+        SELECT t AS tok, COUNT(*) AS true_cnt FROM toks GROUP BY 1
+        ORDER BY 2 DESC, 1 LIMIT 20
+      ), est AS (
+        SELECT top.tok, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+        FROM top CROSS JOIN grid g
+        LEFT JOIN counters c ON c.r = g.r AND c.pos =
+          CAST('0x' || substr(md5(CAST(g.r AS VARCHAR) || '|' || top.tok),
+            1, 8) AS BIGINT) % 256
+        GROUP BY 1
+      )
+      SELECT top.tok, CAST(top.true_cnt AS BIGINT) AS true_cnt, est.est
+      FROM top JOIN est USING (tok) ORDER BY tok"""))
+
+  /** Sketch MAINTENANCE through a merge-on-read window: a count-min
+    * sketch of the corpus token stream is materialized at version 2,
+    * then a deletion-vector DELETE retires every fifth document with
+    * ZERO file churn — and the sketch refreshes by folding the
+    * [[graft.sources.TxLog.readChanges]] feed with `weight = sign`
+    * ([[StatsOps.cmsBuild]]'s linearity). The gate REQUIRES the
+    * maintained grid EQUALS the from-scratch grid of the post-delete
+    * table counter for counter (both directions of `except`), then
+    * emits estimates for the post-table's top tokens; the oracle
+    * rebuilds the same counters over the kept documents. Retraction
+    * flowing through a sublinear summary exactly is the property that
+    * lets a 100 TB profile stay warm under GDPR deletes instead of
+    * re-scanning the corpus. */
+  private val qTxlogCmsIvm = QuerySpec(
+    "q_txlog_cms_ivm",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_cms_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b = TextFunctions.portableBucket(col("doc_id"), 2)
+      TxLog.commit(root,
+        Seq(TxLog.writeBatch(docs.filter(b === 0), root, "b0")))
+      TxLog.commit(root,
+        Seq(TxLog.writeBatch(docs.filter(b === 1), root, "b1")))
+      def tokensOf(df: DataFrame) = df
+        .select(col("sign"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val base = StatsOps.cmsBuild(
+        tokensOf(TxLog.read(s, root).withColumn("sign", lit(1))),
+        col("tok"), depth = 3, width = 256, weight = col("sign"))
+        .localCheckpoint()
+      require(TxLog.deleteWhereDV(s, root, "dv",
+        col("doc_id") % 5 === 0) == 3, "DV delete lands as version 3")
+      require(TxLog.changedFiles(root, 2, 3)._2.isEmpty,
+        "merge-on-read: the sketch refresh must not get a file diff")
+      val feed = TxLog.readChanges(s, root, 2, 3)
+        .getOrElse(sys.error("the delete changed rows; feed must exist"))
+      val delta = StatsOps.cmsBuild(tokensOf(feed), col("tok"),
+        depth = 3, width = 256, weight = col("sign"))
+      val maintained = StatsOps.cmsMerge(base, delta).localCheckpoint()
+      val scratch = StatsOps.cmsBuild(
+        tokensOf(TxLog.read(s, root).withColumn("sign", lit(1))),
+        col("tok"), depth = 3, width = 256, weight = col("sign"))
+        .localCheckpoint()
+      require(maintained.exceptAll(scratch).isEmpty &&
+        scratch.exceptAll(maintained).isEmpty,
+        "signed fold must reproduce the from-scratch grid EXACTLY")
+      val top = tokensOf(TxLog.read(s, root).withColumn("sign", lit(1)))
+        .groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok")).limit(10)
+        .localCheckpoint()
+      StatsOps.cmsEstimate(maintained, top, col("tok"),
+          depth = 3, width = 256)
+        .join(top, col("key") === col("tok"))
+        .select(col("tok"), col("true_cnt"), col("est"))
+        .orderBy("tok")
+    },
+    Some("""WITH kept AS (
+        SELECT text FROM documents WHERE doc_id % 5 <> 0
+      ), toks AS (
+        SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t
+                       FROM kept) WHERE t <> ''
+      ), grid AS (SELECT r FROM range(3) g(r)
+      ), counters AS (
+        SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || t),
+            1, 8) AS BIGINT) % 256 AS pos, COUNT(*) AS cnt
+        FROM toks CROSS JOIN grid GROUP BY 1, 2
+      ), top AS (
+        SELECT t AS tok, COUNT(*) AS true_cnt FROM toks GROUP BY 1
+        ORDER BY 2 DESC, 1 LIMIT 10
+      ), est AS (
+        SELECT top.tok, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+        FROM top CROSS JOIN grid g
+        LEFT JOIN counters c ON c.r = g.r AND c.pos =
+          CAST('0x' || substr(md5(CAST(g.r AS VARCHAR) || '|' || top.tok),
+            1, 8) AS BIGINT) % 256
+        GROUP BY 1
+      )
+      SELECT top.tok, CAST(top.true_cnt AS BIGINT) AS true_cnt, est.est
+      FROM top JOIN est USING (tok) ORDER BY tok"""))
+
   /** Temperature mixture sampling ([[CorpusOps.temperatureMix]],
     * α = 0.5, target 50%): keep rates derived from the corpus's own
     * per-language counts by the n^α rule — the dominant language
@@ -7695,6 +7886,150 @@ object Queries {
       FROM events WHERE user_id IS NULL OR user_id <> 7
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Zero-copy SHALLOW CLONE ([[graft.sources.TxLog.cloneShallow]]):
+    * the table forks into a second log that references the SAME data
+    * files — one manifest write, no byte moved (REQUIREd: no `data/`
+    * dir exists under the clone until its own first rewrite) — and the
+    * two tables then diverge: the clone takes a DV delete plus a
+    * merge-on-read update, the SOURCE takes its own copy-on-write
+    * delete, and neither mutation crosses the fork (immutable files +
+    * sidecar bindings are per-log facts; the clone keeps serving the
+    * source's RETIRED pre-delete file, the retention-window property).
+    * Hash-checked: both post-divergence snapshots, each replayed by the
+    * oracle from the raw table. */
+  private val qTxlogClone = QuerySpec(
+    "q_txlog_clone",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val stem = new java.io.File(dir).getName
+      val src = s"/tmp/graft_txlog_clsrc_$stem"
+      val dst = s"/tmp/graft_txlog_cldst_$stem"
+      TxLog.destroy(src); TxLog.destroy(dst)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val b = TextFunctions.portableBucket(col("c_custkey"), 2)
+      TxLog.commit(src,
+        Seq(TxLog.writeBatch(cust.filter(b === 0), src, "b0")))
+      TxLog.commit(src,
+        Seq(TxLog.writeBatch(cust.filter(b === 1), src, "b1")))
+      require(TxLog.cloneShallow(src, dst) == 1,
+        "the fork is one commit, the clone's version 1")
+      require(!new java.io.File(s"$dst/data").exists(),
+        "shallow: cloning a table must move ZERO data bytes")
+      // diverge the clone (merge-on-read both ways: still zero copies)
+      require(TxLog.deleteWhereDV(s, dst, "cd",
+        col("c_custkey") % 10 === 1) == 2)
+      require(TxLog.updateWhereDV(s, dst, "cu",
+        col("c_custkey") % 10 === 2,
+        Seq("c_acctbal" -> (col("c_acctbal") + 500.0))) == 3)
+      // diverge the source with a copy-on-write delete: the file the
+      // clone references is RETIRED from the source's manifest, but
+      // stays on disk until a source vacuum — the clone keeps reading it
+      require(TxLog.deleteWhere(s, src, "sd",
+        col("c_custkey") % 10 === 3) == 3)
+      def agg(df: DataFrame, tag: String) =
+        df.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sumExact(col("c_acctbal")).as("sum_bal"))
+          .withColumn("snapshot", lit(tag))
+      agg(TxLog.read(s, dst), "clone")
+        .unionByName(agg(TxLog.read(s, src), "src"))
+        .select(col("snapshot"), col("c_mktsegment"), col("n"),
+          col("sum_bal"))
+        .orderBy("snapshot", "c_mktsegment")
+    },
+    Some("""WITH clone AS (
+        SELECT c_mktsegment,
+          CASE WHEN c_custkey % 10 = 2 THEN c_acctbal + 500.0
+               ELSE c_acctbal END AS bal
+        FROM customer WHERE NOT COALESCE(c_custkey % 10 = 1, FALSE)
+      ), src AS (
+        SELECT c_mktsegment, c_acctbal AS bal FROM customer
+        WHERE NOT COALESCE(c_custkey % 10 = 3, FALSE)
+      )
+      SELECT 'clone' AS snapshot, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      FROM clone GROUP BY 1, 2
+      UNION ALL
+      SELECT 'src', c_mktsegment, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE)
+      FROM src GROUP BY 1, 2
+      ORDER BY snapshot, c_mktsegment"""))
+
+  /** Right-to-be-forgotten, MERGE-ON-READ edition (deleteWhereDV →
+    * optimizeDv → checkpoint → expireManifests → vacuum): the user's
+    * rows are masked INSTANTLY with zero data rewrite (the 100 TB
+    * response-time story — q_txlog_forget's copy-on-write path pays the
+    * rewrite up front), and the scheduled maintenance loop then makes
+    * the erasure PHYSICAL. The user's rows live alone in one batch, so
+    * the DV masks 100% of that file and [[graft.sources.TxLog
+    * .optimizeDv]]'s threshold rewrite retires it to NOTHING — while a
+    * second, thinly-masked batch stays under the threshold and keeps
+    * its cheap mask (REQUIREd: still live, still bound). After
+    * vacuum, the gate proves absence against the RAW surviving files
+    * and proves both the retired batch and its orphaned sidecar were
+    * reclaimed. Hash-checked output: the final snapshot, recomputed by
+    * the oracle from the raw table with both delete predicates. */
+  private val qTxlogForgetDv = QuerySpec(
+    "q_txlog_forget_dv",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_fgdv_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        ev.filter(col("user_id") === 7), root, "b_user7")))
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        ev.filter(!(col("user_id") === 7)), root, "b_rest")))
+      val before = TxLog.liveFiles(root)
+      // the forget request: instant logical erasure, zero rewrite
+      require(TxLog.deleteWhereDV(s, root, "fg",
+        col("user_id") === 7) == 3, "the forget masks as version 3")
+      // unrelated thin delete on the other batch — must survive the
+      // threshold materialization as a mask
+      require(TxLog.deleteWhereDV(s, root, "thin",
+        col("event_id") % 31 === 0 && col("user_id") =!= 7) == 4,
+        "the thin delete masks as version 4")
+      require(TxLog.liveFiles(root) == before,
+        "merge-on-read: both deletes rewrite nothing")
+      require(TxLog.read(s, root)
+          .filter(col("user_id") === 7).isEmpty,
+        "the forgotten user is logically gone the instant the mask lands")
+      // maintenance window: materialize ONLY the heavily-masked file
+      require(TxLog.optimizeDv(s, root, "mat", minMaskedFraction = 0.5) == 5,
+        "the threshold rewrite lands as version 5")
+      val live = TxLog.liveFiles(root)
+      require(live.exists(_.endsWith("b_rest")) &&
+        TxLog.liveDvs(root).keySet == Set(live.find(_.endsWith("b_rest")).get),
+        "the thinly-masked batch must stay live AND bound — rewriting it " +
+          "would be the copy-on-write cost the threshold exists to avoid")
+      require(!live.exists(_.endsWith("b_user7")),
+        "the fully-masked batch rewrites to NOTHING")
+      TxLog.checkpoint(root)
+      TxLog.expireManifests(root)
+      val reclaimed = TxLog.vacuum(root)
+      require(reclaimed.exists(_.endsWith("b_user7")),
+        "vacuum must physically reclaim the user's batch")
+      require(reclaimed.exists(_.endsWith("fg")),
+        "vacuum must reclaim the orphaned forget sidecar too")
+      require(s.read.parquet(s"$root/data/b_rest")
+          .filter(col("user_id") === 7).isEmpty,
+        "no surviving data file may hold the forgotten user")
+      TxLog.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE NOT COALESCE(user_id = 7, FALSE)
+        AND NOT COALESCE(event_id % 31 = 0 AND user_id <> 7, FALSE)
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Timestamp time travel ([[graft.sources.TxLog.readAsOfTimestamp]]):
     * the gate captures a wall-clock instant between two commits and
     * reads the table AS OF that instant — resolution must pick the
@@ -7913,6 +8248,98 @@ object Queries {
       SELECT DISTINCT user_id + 100000, 'seed', 0.0 FROM events
       ORDER BY user_id"""))
 
+  /** Streaming right-to-be-forgotten queue — foreachBatch +
+    * [[graft.sources.TxLog.deleteWhereDV]]: three REAL micro-batches of
+    * forget requests (user-id ranges, arrival-ordered files) each fold
+    * into the table as ONE merge-on-read delete commit. The gate
+    * REQUIRES the data-file set is BYTE-IDENTICAL after the whole queue
+    * drains (every retraction lives in sidecar bindings — the
+    * 100 TB compliance-queue shape: requests land in seconds, the
+    * rewrite cost is deferred to the maintenance window) and the
+    * history is exactly seed commits + one version per micro-batch.
+    * Oracle: the final snapshot equals the table minus every requested
+    * user, replayed from the raw events. */
+  private val qStreamForgetDv = QuerySpec(
+    "q_stream_forget_dv",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_sfg_src_$sfName")
+      val tbl = s"/tmp/graft_sfg_tbl_$sfName"
+      val ckpt = s"/tmp/graft_sfg_ckpt_$sfName"
+      def rmTree(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.delete(q); () })
+        }
+      }
+      Seq(srcDir.toString, tbl, ckpt).foreach(rmTree)
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 2)
+      TxLog.commit(tbl, Seq(TxLog.writeBatch(ev.filter(b === 0), tbl, "b0")))
+      TxLog.commit(tbl, Seq(TxLog.writeBatch(ev.filter(b === 1), tbl, "b1")))
+      val before = TxLog.liveFiles(tbl)
+      // the forget queue: users ≡ 0 (mod 7), split into three
+      // arrival-ordered request files by user-id tercile
+      val requests = ev.filter(col("user_id") % 7 === 0)
+        .select(col("user_id")).distinct()
+      val maxU = requests.agg(max("user_id")).head().getLong(0)
+      (0 until 3).foreach { k =>
+        val tmp = s"$srcDir/_stage_$k"
+        requests.filter(least(floor(col("user_id") * 3 / (maxU + 1)),
+            lit(2L)) === k.toLong)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dest = srcDir.resolve(s"req_$k.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(1700000000000L + k * 60000L)
+        rmTree(tmp)
+      }
+      val feed = s.readStream.schema("user_id BIGINT")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = pinnedParts(s, 8)(feed.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            // a compliance batch is driver-small by contract (it is the
+            // queue of explicit requests, not data) — collect the keys
+            // and fold them as ONE masked delete
+            val keys = batch.select(col("user_id")).distinct()
+              .collect().map(_.getLong(0)).sorted
+            if (keys.nonEmpty) {
+              TxLog.deleteWhereDV(s, tbl, s"fg$id",
+                col("user_id").isin(keys.toSeq: _*))
+              ()
+            }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      q.awaitTermination()
+      require(TxLog.liveFiles(tbl) == before,
+        "the whole forget queue must drain with ZERO data-file churn")
+      require(TxLog.latestVersion(tbl) == 5,
+        s"history = 2 seeds + one masked-delete commit per micro-batch, " +
+          s"got v${TxLog.latestVersion(tbl)}")
+      require(TxLog.read(s, tbl)
+          .filter(col("user_id") % 7 === 0).isEmpty,
+        "every requested user is logically gone when its batch commits")
+      TxLog.read(s, tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE NOT COALESCE(user_id % 7 = 0, FALSE)
+      GROUP BY 1 ORDER BY 1"""))
+
   private val qTxlogZorder = QuerySpec(
     "q_txlog_zorder",
     (s, dir) => {
@@ -7949,6 +8376,69 @@ object Queries {
         .orderBy("dim")
     },
     Some("""SELECT 'x_range' AS dim, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_orderkey <= 1000
+      UNION ALL
+      SELECT 'y_range' AS dim, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_partkey <= 150
+      ORDER BY dim"""))
+
+  /** OPTIMIZE … ZORDER BY over THREE dimensions
+    * ([[graft.sources.TxLog.optimizeZOrderN]] /
+    * [[graft.functions.ZOrder.zValueN]]): the full column-list z-order
+    * verb — rank-normalized bits of (l_orderkey, l_partkey, l_suppkey)
+    * interleave at stride 3, every output file carries manifest stats
+    * on ALL THREE columns, and the gate REQUIRES a narrow range on
+    * EACH dimension independently skips at least one file (the
+    * property no single-column sort can give on three axes). Oracle
+    * replays each range over the raw table. */
+  private val qTxlogZorder3 = QuerySpec(
+    "q_txlog_zorder3",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_z3_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      val b = TextFunctions.portableBucket(col("l_orderkey"), 4)
+      (0 until 4).foreach { k =>
+        TxLog.commit(root,
+          Seq(TxLog.writeBatch(li.filter(b === k), root, s"b$k")))
+      }
+      val v = TxLog.optimizeZOrderN(s, root, "z3",
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), targetFiles = 8)
+      require(v == 5, s"3-D zorder must commit as version 5, got $v")
+      require(TxLog.liveFiles(root).size == 8)
+      val full = TxLog.read(s, root)
+      val prunedX = TxLog.readPruned(s, root, "l_orderkey", 0, 1000).get
+      require(prunedX.inputFiles.length < full.inputFiles.length,
+        "an l_orderkey range must skip at least one z3-ordered file")
+      val prunedY = TxLog.readPruned(s, root, "l_partkey", 0, 150).get
+      require(prunedY.inputFiles.length < full.inputFiles.length,
+        "an l_partkey range must skip at least one z3-ordered file")
+      val prunedW = TxLog.readPruned(s, root, "l_suppkey", 0, 20).get
+      require(prunedW.inputFiles.length < full.inputFiles.length,
+        "an l_suppkey range must skip at least one z3-ordered file — " +
+          "the THIRD dimension is what the 2-D verb cannot give")
+      def rangeAgg(src: org.apache.spark.sql.DataFrame, dim: String,
+          cond: Column) =
+        src.filter(cond).agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(20,6)")).cast("double")
+            .as("sum_qty"))
+          .select(lit(dim).as("dim"), col("cnt"), col("sum_qty"))
+      rangeAgg(prunedX, "x_range", col("l_orderkey") <= 1000)
+        .unionByName(rangeAgg(prunedY, "y_range", col("l_partkey") <= 150))
+        .unionByName(rangeAgg(prunedW, "w_range", col("l_suppkey") <= 20))
+        .orderBy("dim")
+    },
+    Some("""SELECT 'w_range' AS dim, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_suppkey <= 20
+      UNION ALL
+      SELECT 'x_range' AS dim, CAST(COUNT(*) AS BIGINT) AS cnt,
         CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
       FROM lineitem WHERE l_orderkey <= 1000
       UNION ALL
@@ -11513,7 +12003,8 @@ object Queries {
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,
     qIncrementalDedup, qEquiDepth, qContamination,
-    qCorpusMix, qTemperatureMix, qPackSequences, qTokenBudget, qZorder,
+    qCorpusMix, qTemperatureMix, qC4Clean, qCmsTokens, qTxlogCmsIvm,
+    qPackSequences, qTokenBudget, qZorder,
     qPartitionPrune,
     qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin,
     qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,
@@ -11552,9 +12043,12 @@ object Queries {
     qModularity, qLabelProp, qZscore, qTargetEncode, qSystematicSample, qDhash,
     qOls2, qNelsonAalen, qPopDeltas, qQuantileTransform, qTxlogSnapshot,
     qTxlogIncremental, qTxlogPruned, qTxlogCompactDelta, qTxlogOptimize,
-    qTxlogZorder, qTxlogRestore, qTxlogDelete, qTxlogMerge, qTxlogEvolve,
-    qStreamTxlogMerge, qTxlogCdc, qTxlogTimeTravel, qTxlogConstraints,
-    qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qStreamRestart,
+    qTxlogZorder, qTxlogZorder3, qTxlogRestore, qTxlogDelete, qTxlogMerge,
+    qTxlogEvolve,
+    qStreamTxlogMerge, qStreamForgetDv, qTxlogCdc, qTxlogTimeTravel,
+    qTxlogConstraints,
+    qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
+    qTxlogClone, qStreamRestart,
     qTxlogUpdate, qTxlogRowverbCdc, qTxlogPartitioned, qSpanExcision,
     qSssp, qTxlogIvm, qTxlogDeleteDv, qTxlogUpdateDv, qTxlogDvCdc,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,

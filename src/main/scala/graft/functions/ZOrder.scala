@@ -34,6 +34,44 @@ object ZOrder {
     }
   }
 
+  /** N-dimensional Morton z-value — [[zValue]] generalized to any number
+    * of dimensions (Delta's `OPTIMIZE … ZORDER BY (a, b, c, …)` takes an
+    * arbitrary column list for the same reason): bit `i` of dimension
+    * `d` lands at interleave position `i * k + d` for `k` dimensions, so
+    * each z-range covers a compact k-orthotope and per-file min/max
+    * stats prune on EVERY listed dimension. Same codegen-only
+    * shift/and/or construction; `k * bits` must fit a signed long.
+    * `zValueN(Seq(x, y), bits)` bit-equals the 2-D [[zValue]]. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.size >= 2, s"zValueN needs >= 2 dimensions: ${dims.size}")
+    require(bits >= 1 && dims.size * bits <= 62,
+      s"${dims.size} dims x $bits bits must fit a long")
+    val k = dims.size
+    val wrapped = dims.map(d => pmod(d.cast("long"), lit(1L << bits)))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      wrapped.zipWithIndex.foldLeft(acc) { case (a, (d, j)) =>
+        a.bitwiseOR(
+          shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), i * k + j))
+      }
+    }
+  }
+
+  /** The DuckDB/ANSI-SQL rendering of [[zValueN]] — same interleave
+    * positions, same non-negative wrap, kept beside the implementation
+    * so oracle SQL and engine can never drift. */
+  def zValueNSql(dims: Seq[String], bits: Int): String = {
+    require(dims.size >= 2 && bits >= 1 && dims.size * bits <= 62)
+    val m = 1L << bits
+    val k = dims.size
+    def wrap(c: String) = s"(((($c) % $m) + $m) % $m)"
+    val terms = (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (c, j) =>
+        s"(((${wrap(c)} >> $i) & 1) << ${i * k + j})"
+      }
+    }
+    terms.mkString("(", " | ", ")")
+  }
+
   /** The DuckDB/ANSI-SQL rendering of [[zValue]] over column names `x`/`y`
     * — kept next to the implementation so oracle SQL and engine can never
     * drift. */

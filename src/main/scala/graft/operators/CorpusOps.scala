@@ -497,4 +497,45 @@ object CorpusOps {
       .withColumn("rate_e6", floor(col("_rate") * 1e6).cast("long"))
       .drop("_g", "_rate")
   }
+
+  /** C4-style line-level corpus cleaning (public precedent: the C4
+    * pipeline of the T5 paper, Raffel et al. 2020 §2.2 — the standard
+    * first-pass web-text filter every large LM corpus since has copied
+    * or tuned): per LINE of each document, keep only lines that
+    *
+    *   1. end in a terminal punctuation mark (`.` `!` `?` `"`),
+    *   2. carry at least `minWords` whitespace-separated words, and
+    *   3. do not mention "javascript" (the boilerplate tell for
+    *      scraped script warnings),
+    *
+    * then drop the whole PAGE when it contains "lorem ipsum" (template
+    * placeholder) or `{` (leaked code/markup), or when fewer than
+    * `minLines` lines survive. Emits one row per RETAINED document:
+    * `(id, n_lines, clean_text)` with the kept lines re-joined by
+    * newline, so the exact excision boundaries are hash-checkable.
+    *
+    * Every predicate is deliberately regex-free (last-character test,
+    * split-on-space word count, lowercase substring containment) so an
+    * independent engine replays it with identical semantics — the same
+    * portability discipline as [[graft.operators.DedupOps
+    * .contentDefinedChunks]]. Scale: pure per-row array expressions
+    * inside whole-stage codegen — no shuffle, no UDF, no state; the verb
+    * streams at scan speed on 100 TB and composes upstream of the dedup
+    * / packing stages ([[packSequences]]). */
+  def c4LineClean(df: DataFrame, idCol: Column, textCol: Column,
+      minWords: Int = 3, minLines: Int = 3): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1: $minWords")
+    require(minLines >= 1, s"minLines must be >= 1: $minLines")
+    val lines = split(textCol, "\n")
+    val keptLines = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(l, " "), w => w =!= "")) >= minWords &&
+        !contains(lower(l), lit("javascript")))
+    val pageOk = !contains(lower(textCol), lit("lorem ipsum")) &&
+      !contains(textCol, lit("{"))
+    df.select(idCol.as("id"), keptLines.as("_kept"), pageOk.as("_ok"))
+      .filter(col("_ok") && size(col("_kept")) >= minLines)
+      .select(col("id"), size(col("_kept")).cast("long").as("n_lines"),
+        array_join(col("_kept"), "\n").as("clean_text"))
+  }
 }

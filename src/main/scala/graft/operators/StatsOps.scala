@@ -967,4 +967,68 @@ object StatsOps {
         floor((col("_st").getField("l") + col("_st").getField("b")) * 1e6
           + 0.5).cast("long").as("forecast_e6"))
   }
+
+  /** Count-min sketch BUILD (public precedent: Cormode & Muthukrishnan
+    * 2005 — the standard mergeable heavy-hitter summary): fold a keyed
+    * stream into a `depth × width` counter grid; row `r`'s counter for a
+    * key sits at the portable md5 bucket of `"r|key"`, so an independent
+    * engine reproduces the grid bit for bit (the
+    * [[graft.functions.TextFunctions.portableBucket]] convention).
+    * Emits the sketch as a TABLE `(r, pos, cnt)` — at most depth×width
+    * rows regardless of stream size, the persistable/broadcastable shape
+    * a 100 TB profile job ships to the driver or stores per shard.
+    *
+    * `weight` makes the sketch LINEAR: per-partition sketches merge by
+    * counter addition ([[cmsMerge]]), and a CDC feed folds with
+    * `weight = sign` — retractions subtract exactly, so a maintained
+    * sketch equals the from-scratch sketch of the final table (the same
+    * signed-delta contract as [[graft.operators.AggOps
+    * .statsDeltaSigned]], extended to a sublinear summary). Scale: one
+    * shuffle of depth×|stream| lightweight rows into ≤ depth×width
+    * groups; partial aggregation absorbs almost all of it map-side. */
+  def cmsBuild(df: DataFrame, keyCol: Column, depth: Int, width: Int,
+      weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    df.select(keyCol.cast("string").as("_k"), weight.as("_w"))
+      .select(col("_k"), col("_w"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r"),
+        graft.functions.TextFunctions.portableBucket(
+          concat_ws("|", col("r"), col("_k")), width).as("pos"))
+      .agg(sum(col("_w")).cast("long").as("cnt"))
+  }
+
+  /** Merge count-min sketches built with the SAME (depth, width):
+    * counter-wise addition — the linearity that makes the sketch
+    * shardable (union per-partition sketches) and maintainable (add a
+    * signed delta sketch). Zero counters need not be materialized;
+    * absent rows are zeros by convention. */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "cmsMerge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("r"), col("pos"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .filter(col("cnt") =!= 0L)
+  }
+
+  /** Point-query a count-min sketch: for each distinct key in `keys`,
+    * the estimate is `min_r counter[r][bucket(r|key)]` (absent counter =
+    * 0). The classic guarantee holds per key: estimate ≥ true count,
+    * with overshoot ≤ ε·N at probability 1−δ for depth ≈ ln(1/δ),
+    * width ≈ e/ε. The probe set is key-count-sized; the join against the
+    * ≤ depth×width sketch broadcasts. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame,
+      keyCol: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    keys.select(keyCol.cast("string").as("key")).distinct()
+      .select(col("key"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("pos", graft.functions.TextFunctions.portableBucket(
+        concat_ws("|", col("r"), col("key")), width))
+      .join(broadcast(sketch), Seq("r", "pos"), "left_outer")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -1067,10 +1067,27 @@ object TxLog {
     * errors on an existing dir, by design). */
   def optimizeZOrder(spark: SparkSession, dir: String, name: String,
       xCol: String, yCol: String, targetFiles: Int,
-      ranks: Int = 16): Int = {
+      ranks: Int = 16): Int =
+    optimizeZOrderN(spark, dir, name, Seq(xCol, yCol), targetFiles, ranks)
+
+  /** [[optimizeZOrder]] over an ARBITRARY dimension list — the full
+    * `OPTIMIZE … ZORDER BY (a, b, c, …)` surface (Delta's verb takes a
+    * column list for exactly this reason): each dimension is
+    * rank-normalized, the k rank streams interleave via
+    * [[graft.functions.ZOrder.zValueN]], and every output file commits
+    * with [[columnStatsMulti]] bounds on ALL k columns, so
+    * [[readPruned]] skips files on any one of them. More dimensions
+    * trade per-dimension tightness for coverage (each file's
+    * k-orthotope side grows as targetFiles^(1/k)) — the standard
+    * z-order dimensioning caveat; 2–4 columns is the practical band. */
+  def optimizeZOrderN(spark: SparkSession, dir: String, name: String,
+      cols: Seq[String], targetFiles: Int, ranks: Int = 16): Int = {
     import org.apache.spark.sql.functions._
     require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
     require(ranks >= 2 && ranks <= 1024, s"ranks must be in [2,1024]: $ranks")
+    require(cols.size >= 2, s"zorder needs >= 2 columns: ${cols.size}")
+    require(cols.distinct.size == cols.size,
+      s"zorder columns must be distinct: ${cols.mkString(", ")}")
     val files = liveFiles(dir)
     if (files.isEmpty) return 0
     val snap = readMasked(spark, files, liveDvs(dir)).localCheckpoint()
@@ -1085,7 +1102,7 @@ object TxLog {
         }
         val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(ranks - 1))
         snap.withColumn("_z", graft.functions.ZOrder
-          .zValue(rankExpr(xCol), rankExpr(yCol), bits).cast("double"))
+          .zValueN(cols.map(rankExpr), bits).cast("double"))
           .localCheckpoint()
       } finally graft.core.Checkpoints.release(snap)
     try {
@@ -1099,7 +1116,7 @@ object TxLog {
             (if (i == targetFiles - 1) lit(true) else col("_z") < zcuts(i))
         val data = withZ.filter(inBucket).drop("_z")
         val path = writeBatch(data, dir, s"${name}_p$i")
-        path -> columnStatsMulti(data, Seq(xCol, yCol))
+        path -> columnStatsMulti(data, cols)
       }
       // commitRewrite, not commitWithStats: a raced loser that re-added
       // its compacted copies after a concurrent rewrite would duplicate
@@ -1424,6 +1441,55 @@ object TxLog {
       commitRewrite(dir, Nil, Nil,
         dvSets = touched.map(_ -> Some(dvPath)), basedOnDvs = Some(dvs))
     } finally graft.core.Checkpoints.release(matched)
+  }
+
+  /** Targeted deletion-vector MATERIALIZATION — the maintenance verb of
+    * the merge-on-read loop (public precedent: Delta's tombstone-ratio
+    * compaction policy): rewrite ONLY the files whose vector masks at
+    * least `minMaskedFraction` of their rows, applying the mask and
+    * retiring their bindings; lightly-masked files keep paying the
+    * (cheap) anti-join instead of a (costly) rewrite. This caps read
+    * amplification where it actually hurts — the measured honest caveat
+    * (BENCH_SCALE `dv_delete_r11`) is that masked-scan cost grows with
+    * masked volume, and the worst files dominate. A file masked in FULL
+    * rewrites to nothing: its remainder is empty, so the commit simply
+    * removes it (the right-to-be-forgotten fast path — mask now,
+    * physically erase at the next maintenance window, `vacuum` reclaims
+    * the bytes AND the orphaned sidecar). Returns the commit version, or
+    * 0 when no bound file crosses the threshold. Fresh `name` per call.
+    *
+    * Cost: one footer-count per bound file + one sidecar group-count per
+    * distinct sidecar (both file-count-sized), then one read+write per
+    * victim — never touches unbound or under-threshold files. */
+  def optimizeDv(spark: SparkSession, dir: String, name: String,
+      minMaskedFraction: Double): Int = {
+    require(minMaskedFraction > 0.0 && minMaskedFraction <= 1.0,
+      s"minMaskedFraction must be in (0,1]: $minMaskedFraction")
+    val (entries, dvM) = resolveState(dir, -1)
+    val dvs = dvM.toMap
+    if (dvs.isEmpty) return 0
+    // masked-row count per batch dir, attributed from each file's OWN
+    // sidecar (bindings are cumulative, so a file's sidecar carries every
+    // coordinate that masks it; superset rows for other files group away)
+    val maskedByDir: Map[String, Map[String, Long]] =
+      dvs.values.toSeq.distinct.map { sc =>
+        sc -> dvRows(spark, Seq(sc)).groupBy(org.apache.spark.sql.functions
+            .col(DvFileCol)).count().collect()
+          .groupBy(r => batchDirOf(r.getString(0)))
+          .map { case (d, rs) => d -> rs.map(_.getLong(1)).sum }
+      }.toMap
+    val victims = entries.collect {
+      case (p, _) if dvs.contains(p) &&
+          maskedByDir(dvs(p)).getOrElse(normPath(p), 0L) > 0L => p
+    }.filter { p =>
+      val total = spark.read.parquet(p).count()
+      val masked = maskedByDir(dvs(p))(normPath(p))
+      total == 0L || masked.toDouble / total >= minMaskedFraction
+    }
+    if (victims.isEmpty) return 0
+    rewriteTouched(spark, dir, name, entries, victims.map(normPath),
+      p => readMasked(spark, Seq(p), dvs), extraAdds = Nil,
+      what = "optimizeDv")
   }
 
   /** MERGE-ON-READ UPDATE via deletion vectors — [[updateWhereDV]] is to
@@ -1837,6 +1903,45 @@ object TxLog {
 
   /** Drop the whole table — data files and log. (Test/rebuild helper;
     * production tables are append-only and never need it.) */
+  /** SHALLOW CLONE — a zero-copy fork of `src`'s current snapshot into a
+    * NEW table at `dst` (public precedent: Delta's SHALLOW CLONE): one
+    * commit whose adds reference `src`'s live data files in place, stats
+    * blobs and deletion-vector bindings carried over. No byte of data
+    * moves, so cloning a 100 TB table costs one manifest write — the
+    * dev/test-branch and what-if-migration primitive. The fork is safe
+    * to MUTATE: files are immutable and every verb is copy-on-write or
+    * sidecar-binding, so writes in either table never reach the other
+    * (a clone-side DV rebind is a clone-manifest fact; the source keeps
+    * its own binding).
+    *
+    * The ONE sharp edge is [[vacuum]], same as the public precedent:
+    * vacuum sweeps `<table>/data`, so a clone vacuum never touches the
+    * source's files (they live under the source's root) — but a SOURCE
+    * vacuum knows nothing about clones and can reclaim files a clone
+    * still references once the source's own history stops naming them.
+    * Operate clones inside the source's retention window, or take a deep
+    * copy ([[optimize]] on the clone rewrites every referenced byte into
+    * the clone's own `data/`, severing the dependency). Returns the
+    * clone's version (always 1). Fails if `dst` already has a log. */
+  def cloneShallow(src: String, dst: String, asOf: Int = -1): Int = {
+    require(latestVersion(dst) == 0,
+      s"txlog: clone target $dst already has a log — clone forks a NEW table")
+    val (entries, dvM) = resolveState(src, asOf)
+    require(entries.nonEmpty,
+      s"txlog: snapshot of $src at asOf=$asOf holds no files")
+    // qualify every referenced path: the clone's manifest lives under a
+    // different root, so a relative source path would resolve wrong
+    def qualify(p: String): String = {
+      val path = new Path(p)
+      fsOf(path).makeQualified(path).toString
+    }
+    commitWithStats(dst,
+      entries.map { case (p, st) => qualify(p) -> st },
+      dvSets = dvM.toMap.toSeq.map { case (p, d) =>
+        qualify(p) -> Some(qualify(d))
+      })
+  }
+
   def destroy(dir: String): Unit = {
     val p = new Path(dir)
     val fs = fsOf(p)

@@ -223,4 +223,35 @@ class GovernanceCorpusSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(out === Seq(("view", 2L)))
   }
+
+  test("c4LineClean keeps exactly the terminal, wordy, non-js lines") {
+    val docs = Seq(
+      // 4 good lines -> kept page
+      (1L, "one two three.\ntwo words.\nfour five six?\nno terminal here\nwarn javascript on.\nseven eight nine.\nten eleven twelve!"),
+      // page poisoned by a brace
+      (2L, "one two three.\nfour five six.\nseven eight nine.\nconfig { done."),
+      // page poisoned by placeholder text (case-insensitive)
+      (3L, "one two three.\nfour five six.\nseven eight nine.\nLorem Ipsum dolor."),
+      // only 2 surviving lines -> below minLines, page dropped
+      (4L, "one two three.\nfour five six.\nnope\nalso nope")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.c4LineClean(docs, col("doc_id"), col("text"),
+        minWords = 3, minLines = 3)
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) === Seq(1L), "only doc 1 survives the page rules")
+    val (_, n, text) = out.head
+    assert(n === 4L)
+    assert(text === "one two three.\nfour five six?\nseven eight nine.\nten eleven twelve!",
+      "2-word, terminal-less, and javascript lines are cut; order kept")
+  }
+
+  test("c4LineClean honors quote terminals and the word floor") {
+    val docs = Seq((9L, "he said \"stop right there\"\na b c d.\nx y.\nw x y z!")).toDF("doc_id", "text")
+    val out = CorpusOps.c4LineClean(docs, col("doc_id"), col("text"),
+        minWords = 4, minLines = 2)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out.map(_._2) === Seq(3L),
+      "quote-terminated line counts; the 3-word line misses the 4-word floor")
+    assert(out.head._3.startsWith("he said"))
+  }
 }

@@ -416,4 +416,27 @@ class RoundFourOpsSpec extends AnyFunSuite {
       "scan touched a non-matching partition directory")
     assert(filtered.count() == 100)
   }
+
+  test("zValueN generalizes zValue: 2-D bit parity, 3-D hand values") {
+    import graft.functions.ZOrder
+    val df = Seq((5L, 9L, 3L), (0L, 0L, 0L), (15L, 1L, 7L), (2L, 13L, 11L))
+      .toDF("x", "y", "w")
+    val parity = df.select(
+      (ZOrder.zValueN(Seq(col("x"), col("y")), 4) ===
+        ZOrder.zValue(col("x"), col("y"), 4)).as("same"))
+      .as[Boolean].collect()
+    assert(parity.forall(identity), "zValueN(Seq(x,y)) must bit-equal zValue")
+    // 3-D by hand, bits=2, positions i*3+d:
+    // (x=1,y=2,w=3): x0=1->bit0, x1=0; y0=0, y1=1->bit4; w0=1->bit2, w1=1->bit5
+    // => 1 + 4? no: bits set {0, 4, 2, 5} = 1+16+4+32 = 53
+    val z3 = Seq((1L, 2L, 3L)).toDF("x", "y", "w")
+      .select(ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), 2))
+      .as[Long].collect().head
+    assert(z3 === 53L)
+    // SQL twin renders the same value in Spark's own SQL dialect
+    val viaSql = Seq((1L, 2L, 3L)).toDF("x", "y", "w")
+      .selectExpr(ZOrder.zValueNSql(Seq("x", "y", "w"), 2))
+      .as[Long].collect().head
+    assert(viaSql === 53L, "the SQL rendering must not drift")
+  }
 }

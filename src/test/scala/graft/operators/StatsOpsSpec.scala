@@ -116,4 +116,39 @@ class StatsOpsSpec extends AnyFunSuite {
       ("removed", 1L, 1L, 0L, 0L),
       ("unchanged", 1L, 2L, 0L, 0L)))
   }
+
+  test("cmsBuild/cmsEstimate: deterministic grid, never underestimates") {
+    val toks = (Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma"))
+      .toDF("tok")
+    val sk = StatsOps.cmsBuild(toks, col("tok"), depth = 3, width = 256)
+    val keys = Seq("alpha", "beta", "gamma", "absent").toDF("tok")
+    val est = StatsOps.cmsEstimate(sk, keys, col("tok"), depth = 3,
+        width = 256)
+      .as[(String, Long)].collect().toMap
+    assert(est("alpha") >= 5L && est("beta") >= 3L && est("gamma") >= 1L)
+    // 4 keys in a 3x256 grid: md5 positions collide with prob ~0 and the
+    // grid is deterministic, so the estimates are exact here
+    assert(est === Map("alpha" -> 5L, "beta" -> 3L, "gamma" -> 1L,
+      "absent" -> 0L))
+  }
+
+  test("cms linearity: a signed retraction delta folds to the from-scratch grid") {
+    val before = Seq("a", "a", "a", "b", "b", "c").toDF("tok")
+      .withColumn("sign", lit(1))
+    val retract = Seq("a", "c").toDF("tok").withColumn("sign", lit(-1))
+    val after = Seq("a", "a", "b", "b").toDF("tok")
+      .withColumn("sign", lit(1))
+    def grid(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.cmsBuild(df, col("tok"), depth = 2, width = 64,
+        weight = col("sign"))
+    val maintained = StatsOps.cmsMerge(grid(before), grid(retract))
+    val scratch = grid(after)
+    assert(maintained.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(maintained).isEmpty,
+      "counter-wise signed fold must equal the rebuild exactly")
+    // c is fully retracted: its counters zeroed and DROPPED by the merge
+    val estC = StatsOps.cmsEstimate(maintained, Seq("c").toDF("tok"),
+      col("tok"), depth = 2, width = 64).as[(String, Long)].collect()
+    assert(estC.toSeq === Seq(("c", 0L)))
+  }
 }

@@ -1206,4 +1206,90 @@ class TxLogSpec extends AnyFunSuite {
     assert(got === Seq(Some(1000L)), "exactly the upserted row, once")
     TxLog.destroy(dir)
   }
+
+  test("optimizeDv rewrites only files past the masked-fraction threshold") {
+    val (dir, paths) = dvTable()
+    // b2 (10..19) fully masked; b3 (20..29) masked one row of ten
+    TxLog.deleteWhereDV(spark, dir, "dvh", col("x") >= 10 && col("x") < 20)
+    TxLog.deleteWhereDV(spark, dir, "dvl", col("x") === 25)
+    assert(TxLog.liveDvs(dir).keySet === Set(paths(1), paths(2)))
+    val v = TxLog.optimizeDv(spark, dir, "mat", minMaskedFraction = 0.5)
+    assert(v > 0)
+    val live = TxLog.liveFiles(dir)
+    assert(!live.contains(paths(1)),
+      "the fully-masked file rewrites to NOTHING: removed, no replacement")
+    assert(live.contains(paths(2)),
+      "the 10%-masked file stays under the threshold — untouched")
+    assert(TxLog.liveDvs(dir).keySet === Set(paths(2)),
+      "the light file keeps its binding; the heavy one retired with its file")
+    assert(TxLog.read(spark, dir).select("x").as[Long].collect().sorted.toSeq
+      === (0L to 29L).filterNot(x => (x >= 10 && x < 20) || x == 25))
+    // threshold crossed later: a second pass materializes the rest
+    assert(TxLog.optimizeDv(spark, dir, "mat2", minMaskedFraction = 0.05) > 0)
+    assert(TxLog.liveDvs(dir).isEmpty)
+    assert(TxLog.optimizeDv(spark, dir, "mat3", 0.05) === 0, "idempotent")
+    TxLog.destroy(dir)
+  }
+
+  test("cloneShallow forks zero-copy; mutations never cross the fork") {
+    val (dir, paths) = dvTable()
+    TxLog.deleteWhereDV(spark, dir, "dvsrc", col("x") === 4)
+    val dst = freshDir()
+    assert(TxLog.cloneShallow(dir, dst) === 1)
+    // the clone serves the source snapshot, mask included, via the
+    // source's files — nothing was copied under the clone's root
+    assert(TxLog.read(spark, dst).select("x").as[Long].collect().sorted.toSeq
+      === (0L to 29L).filterNot(_ == 4))
+    assert(!new java.io.File(s"$dst/data").exists(),
+      "shallow: no data byte lands under the clone")
+    // diverge the clone: DV-delete + CoW update there only
+    TxLog.deleteWhereDV(spark, dst, "dvc", col("x") === 20)
+    TxLog.updateWhere(spark, dst, "uc", col("x") === 0,
+      Seq("y" -> lit(777L)))
+    assert(TxLog.read(spark, dst).select("x").as[Long].collect().sorted.toSeq
+      === (0L to 29L).filterNot(x => x == 4 || x == 20))
+    assert(TxLog.read(spark, dst).filter(col("y") === 777).count() === 1)
+    // the source saw none of it
+    assert(TxLog.read(spark, dir).select("x").as[Long].collect().sorted.toSeq
+      === (0L to 29L).filterNot(_ == 4))
+    assert(TxLog.read(spark, dir).filter(col("y") === 777).count() === 0)
+    assert(TxLog.liveDvs(dir).size === 1, "source bindings untouched")
+    // a clone vacuum sweeps only the clone's own data dir — the
+    // referenced source files are out of its jurisdiction by layout
+    TxLog.checkpoint(dst)
+    TxLog.expireManifests(dst)
+    val swept = TxLog.vacuum(dst)
+    assert(swept.forall(_.startsWith(dst)),
+      "clone vacuum must never name a source path")
+    assert(TxLog.read(spark, dir).count() === 29, "source intact after it")
+    // refuse to clone over an existing table
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.cloneShallow(dir, dst)
+    }
+    assert(ex.getMessage.contains("already has a log"))
+    TxLog.destroy(dst)
+    TxLog.destroy(dir)
+  }
+
+  test("deletion vectors compose with partitioned ingest and bloom pruning") {
+    val dir = freshDir()
+    val df = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd")).toDF("x", "kind")
+    TxLog.commitPartitioned(spark, dir, "p0", df.filter(col("x") < 20),
+      "kind")
+    TxLog.commitPartitioned(spark, dir, "p1", df.filter(col("x") >= 20),
+      "kind")
+    val before = TxLog.liveFiles(dir)
+    // mask three even rows: the touched batch dirs are PARTITION LEAVES
+    TxLog.deleteWhereDV(spark, dir, "dvp", col("x").isin(2L, 4L, 22L))
+    assert(TxLog.liveFiles(dir) === before, "no leaf rewrites")
+    assert(TxLog.liveDvs(dir).size === 2,
+      "one binding per touched even-leaf (both batches)")
+    // the point probe still prunes to the even leaves AND applies masks
+    val probe = TxLog.readPrunedByKey(spark, dir, "kind", "even").get
+    assert(probe.select("x").as[Long].collect().sorted.toSeq ===
+      (0L until 40L).filter(x => x % 2 == 0 && x != 2 && x != 4 && x != 22))
+    assert(TxLog.read(spark, dir).count() === 37)
+    TxLog.destroy(dir)
+  }
 }
