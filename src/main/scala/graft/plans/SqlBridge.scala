@@ -36,6 +36,16 @@ trait ExpectsSingleString
     Seq(org.apache.spark.sql.types.StringType)
 }
 
+/** (string, bigint) variant — the (part-file, row-position) coordinate
+  * signature of the deletion-vector probe. */
+trait ExpectsStringLong
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes
+      : Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.LongType)
+}
+
 /** (array<bigint>, array<bigint>) variant for binary array expressions. */
 trait ExpectsLongArrayPair
     extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {

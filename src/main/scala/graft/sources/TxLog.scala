@@ -892,6 +892,35 @@ object TxLog {
   private def dvRows(spark: SparkSession, dvDirs: Seq[String]): DataFrame =
     spark.read.parquet(dvDirs.distinct: _*).select(DvFileCol, DvPosCol)
 
+  /** Size gate between the two masking regimes, from one file-count-sized
+    * listing (no data read). On-disk parquet under-states in-memory row
+    * size several-fold, so the default is conservative; conf-escapable
+    * (`spark.graft.dvBroadcastBytes`, 0 forces the join regime). */
+  private def dvSidecarBytes(dvDirs: Seq[String]): Long =
+    dvDirs.distinct.map { d =>
+      val p = new Path(d)
+      try fsOf(p).getContentSummary(p).getLength
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue / 4 }
+    }.sum
+
+  /** The small-vector mask as a broadcast (part file → sorted positions)
+    * map for [[graft.plans.DvMaskHit]] — sidecar-row-count sized, built
+    * with one tiny aggregation; `collect_set` because several sidecars
+    * may carry the same coordinate (cumulative supersets). */
+  private def dvMaskMap(spark: SparkSession, dvDirs: Seq[String])
+      : java.util.HashMap[String, Array[Long]] = {
+    import org.apache.spark.sql.functions._
+    val m = new java.util.HashMap[String, Array[Long]]()
+    dvRows(spark, dvDirs)
+      .groupBy(col(DvFileCol))
+      .agg(sort_array(collect_set(col(DvPosCol))).as("_ps"))
+      .collect()
+      .foreach { r =>
+        m.put(r.getString(0), r.getSeq[Long](1).toArray)
+      }
+    m
+  }
+
   /** Read `files` with their deletion vectors applied — THE read core
     * every snapshot/pruned/delta/rewrite path funnels through. Files
     * without a DV binding take the untouched fast path (plain parquet
@@ -923,9 +952,33 @@ object TxLog {
     val maskedDf =
       if (masked.isEmpty) None
       else {
-        val df = withMeta(rd.parquet(masked: _*))
-          .join(dvRows(spark, masked.map(dvs)),
-            Seq(DvFileCol, DvPosCol), "left_anti")
+        val dvDirs = masked.map(dvs)
+        val limit = spark.conf.getOption("spark.graft.dvBroadcastBytes")
+          .map(_.toLong).getOrElse(64L << 20)
+        val base = withMeta(rd.parquet(masked: _*))
+        // two masking regimes, measured at the 60M-row decade point
+        // (BENCH_SCALE dv_delete_r11 x100 arm): a string-keyed hash
+        // anti-join pays a ~150-byte URI hash+probe per ROW (~25x the
+        // underlying column scan), so small vectors mask via the
+        // codegen'd [[graft.plans.DvMaskHit]] predicate instead — the
+        // per-split-constant file string is memoized, leaving one
+        // primitive binary search per row and no exchange at all.
+        // Vectors too large to collect keep the join (the same
+        // broadcast-vs-shuffle split Spark makes for joins; Delta's
+        // analogue is reader-embedded bitmaps vs rewrite)
+        val df =
+          if (dvSidecarBytes(dvDirs) <= limit) {
+            import org.apache.spark.sql.graftbridge.SqlBridge
+            val bc = spark.sparkContext.broadcast(dvMaskMap(spark, dvDirs))
+            base.filter(!SqlBridge.column(graft.plans.DvMaskHit(
+              SqlBridge.expression(org.apache.spark.sql.functions
+                .col(DvFileCol)),
+              SqlBridge.expression(org.apache.spark.sql.functions
+                .col(DvPosCol)),
+              bc)))
+          } else
+            base.join(dvRows(spark, dvDirs),
+              Seq(DvFileCol, DvPosCol), "left_anti")
         Some(if (withPos) df else df.drop(DvFileCol, DvPosCol))
       }
     (plainDf, maskedDf) match {

@@ -1292,4 +1292,20 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, dir).count() === 37)
     TxLog.destroy(dir)
   }
+
+  test("mask regimes agree: native DvMaskHit filter == anti-join fallback") {
+    val (dir, _) = dvTable()
+    TxLog.deleteWhereDV(spark, dir, "dvr1", col("x") % 3 === 1)
+    TxLog.deleteWhereDV(spark, dir, "dvr2", col("x") === 28)
+    def snap() = TxLog.read(spark, dir)
+      .select("x").as[Long].collect().sorted.toSeq
+    val viaExpr = snap()                       // default: broadcast regime
+    spark.conf.set("spark.graft.dvBroadcastBytes", "0")
+    val viaJoin = try snap()                   // forced: anti-join regime
+    finally spark.conf.unset("spark.graft.dvBroadcastBytes")
+    val expect = (0L to 29L).filterNot(x => x % 3 == 1 || x == 28)
+    assert(viaExpr === expect)
+    assert(viaJoin === expect, "both regimes must mask identically")
+    TxLog.destroy(dir)
+  }
 }
