@@ -4077,6 +4077,47 @@ object Queries {
       SELECT top.tok, CAST(top.true_cnt AS BIGINT) AS true_cnt, est.est
       FROM top JOIN est USING (tok) ORDER BY tok"""))
 
+  /** Gopher-rule quality signals ([[CorpusOps.gopherSignals]], Rae et
+    * al. 2021 defaults): word-count bounds, mean word length, alpha
+    * fraction, distinct-stopword floor, top-bigram repetition cap —
+    * every document emitted with all five signals AND the composite
+    * keep decision, each replayed by the oracle, so a drift in any one
+    * rule hash-mismatches. */
+  private val qGopherQuality = QuerySpec(
+    "q_gopher_quality",
+    (s, dir) =>
+      CorpusOps.gopherSignals(t(s, dir, "documents"), col("doc_id"),
+          col("text"))
+        .orderBy("id"),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents),
+      g AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS gr
+        FROM toks WHERE len(t) >= 2),
+      cnt AS (SELECT doc_id, gr, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      rep AS (SELECT doc_id,
+          ROUND(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top2
+        FROM cnt GROUP BY 1),
+      sig AS (SELECT doc_id, len(t) AS n_words,
+          CASE WHEN len(t) > 0 THEN ROUND(CAST(list_sum(list_transform(t,
+            x -> length(x))) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS mlen,
+          CASE WHEN len(t) > 0 THEN ROUND(CAST(len(list_filter(t,
+            x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6)
+            ELSE 0.0 END AS alpha,
+          len(list_intersect(list_distinct(t),
+            ['the', 'a', 'of', 'and', 'to', 'in', 'is'])) AS stops
+        FROM toks)
+      SELECT s.doc_id AS id, CAST(s.n_words AS BIGINT) AS n_words,
+        s.mlen AS mean_word_len, s.alpha AS alpha_frac,
+        CAST(s.stops AS BIGINT) AS n_stop_kinds,
+        COALESCE(r.top2, 0.0) AS top2_ratio,
+        (s.n_words BETWEEN 50 AND 100000
+          AND s.mlen BETWEEN 3.0 AND 10.0 AND s.alpha >= 0.8
+          AND s.stops >= 2 AND COALESCE(r.top2, 0.0) <= 0.2) AS kept
+      FROM sig s LEFT JOIN rep r ON s.doc_id = r.doc_id
+      ORDER BY id"""))
+
   /** Temperature mixture sampling ([[CorpusOps.temperatureMix]],
     * α = 0.5, target 50%): keep rates derived from the corpus's own
     * per-language counts by the n^α rule — the dominant language
@@ -12003,8 +12044,8 @@ object Queries {
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,
     qIncrementalDedup, qEquiDepth, qContamination,
-    qCorpusMix, qTemperatureMix, qC4Clean, qCmsTokens, qTxlogCmsIvm,
-    qPackSequences, qTokenBudget, qZorder,
+    qCorpusMix, qTemperatureMix, qC4Clean, qGopherQuality, qCmsTokens,
+    qTxlogCmsIvm, qPackSequences, qTokenBudget, qZorder,
     qPartitionPrune,
     qWinsorize, qDomainCap, qShardShuffle, qQuantizeInt8, qSqlMultijoin,
     qJsonExtract, qSchemaEvolution, qCsvPermissive, qRollingMedian,

@@ -498,6 +498,64 @@ object CorpusOps {
       .drop("_g", "_rate")
   }
 
+  /** Gopher-rule page-level quality signals (public precedent: the
+    * quality heuristics of Rae et al. 2021 §A1.1, the filter battery
+    * every later corpus — MassiveText, RefinedWeb, Dolma — tuned rather
+    * than replaced): per document, the five classic signals and the
+    * composite keep decision —
+    *
+    *   - `n_words` within [minWords, maxWords]
+    *   - `mean_word_len` within [minMeanLen, maxMeanLen]
+    *   - `alpha_frac` (words containing a letter) ≥ minAlphaFrac
+    *   - `n_stop_kinds` (DISTINCT stopwords present) ≥ minStopKinds
+    *   - `top2_ratio` (most frequent bigram / all bigrams, the
+    *     [[MapOps.repetitionStats]] grain) ≤ maxTop2Ratio
+    *
+    * Emits every document with its signals and `kept` — the signals are
+    * the product (a curation pipeline routes and audits on them), the
+    * flag is the default policy. Page-level twin of the line-level
+    * [[c4LineClean]]; compose them in either order. Scale: one shuffle
+    * (the bigram aggregation); everything else is per-row array
+    * expressions inside codegen. */
+  def gopherSignals(df: DataFrame, idCol: Column, textCol: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopKinds: Int = 2,
+      maxTop2Ratio: Double = 0.2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"bad word bounds: [$minWords, $maxWords]")
+    val stoplist = array(Seq("the", "a", "of", "and", "to", "in", "is")
+      .map(lit): _*)
+    val toks = graft.functions.TextFunctions.tokens(textCol)
+    val rep2 = MapOps.repetitionStats(df, idCol, textCol, n = 2)
+      .select(col("doc_id").as("id"), col("rep_ratio").as("top2_ratio"))
+    val sig = df
+      .select(idCol.as("id"), toks.as("_t"))
+      .withColumn("n_words", size(col("_t")).cast("long"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0, round(
+          aggregate(col("_t"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / col("n_words"), 6)).otherwise(0.0))
+      .withColumn("alpha_frac",
+        when(col("n_words") > 0, round(
+          size(filter(col("_t"), t => t.rlike("[A-Za-z]")))
+            .cast("double") / col("n_words"), 6)).otherwise(0.0))
+      .withColumn("n_stop_kinds",
+        size(array_intersect(array_distinct(col("_t")), stoplist))
+          .cast("long"))
+    sig.join(rep2, Seq("id"), "left")
+      .withColumn("top2_ratio", coalesce(col("top2_ratio"), lit(0.0)))
+      .withColumn("kept",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop_kinds") >= minStopKinds &&
+          col("top2_ratio") <= maxTop2Ratio)
+      .select(col("id"), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("n_stop_kinds"), col("top2_ratio"),
+        col("kept"))
+  }
+
   /** C4-style line-level corpus cleaning (public precedent: the C4
     * pipeline of the T5 paper, Raffel et al. 2020 §2.2 — the standard
     * first-pass web-text filter every large LM corpus since has copied

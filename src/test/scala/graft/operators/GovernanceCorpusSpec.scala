@@ -254,4 +254,29 @@ class GovernanceCorpusSpec extends AnyFunSuite {
       "quote-terminated line counts; the 3-word line misses the 4-word floor")
     assert(out.head._3.startsWith("he said"))
   }
+
+  test("gopherSignals: each rule vetoes independently; signals are exact") {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    // 240 words, unique bigrams, mean length ~4.6, all 7 stopword kinds
+    val base = (1 to 120).map(i =>
+      s"wordy$i ${stops(i % 7)}").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                    // passes everything
+      (2L, "too short the a"),                       // word-count floor
+      (3L, (1 to 60).map(_ => "ab the a x").mkString(" ")), // mean len < 3
+      (4L, (1 to 60).map(i => s"w$i w$i").mkString(" ")),   // no stopwords
+      (5L, ("spam ham " * 80) + "the a end")         // top-bigram cap
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.gopherSignals(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double, Double, Long, Double, Boolean)]
+      .collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._7, "the healthy doc is kept")
+    assert(byId(1L)._2 === 240L)
+    assert(byId(1L)._5 === 7L, "every stopword kind present")
+    assert(!byId(2L)._7 && byId(2L)._2 === 4L)
+    assert(!byId(3L)._7 && byId(3L)._3 < 3.0, "mean word length floor")
+    assert(!byId(4L)._7 && byId(4L)._5 === 0L, "distinct-stopword floor")
+    assert(!byId(5L)._7 && byId(5L)._6 > 0.2, "top-bigram repetition cap")
+  }
 }
