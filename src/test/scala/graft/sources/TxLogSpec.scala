@@ -1308,4 +1308,15 @@ class TxLogSpec extends AnyFunSuite {
     assert(viaJoin === expect, "both regimes must mask identically")
     TxLog.destroy(dir)
   }
+
+  test("masked read plan: the native regime is scan+filter, zero joins/exchanges") {
+    val (dir, _) = dvTable()
+    TxLog.deleteWhereDV(spark, dir, "dvplan", col("x") === 9)
+    val plan = TxLog.read(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("dv_mask_hit"),
+      "small vectors must route through the DvMaskHit predicate")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the mask must not add a join or shuffle to the scan:\n$plan")
+    TxLog.destroy(dir)
+  }
 }
