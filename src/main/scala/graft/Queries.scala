@@ -9478,12 +9478,12 @@ object Queries {
   private val qLinkPrediction = QuerySpec(
     "q_link_prediction",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val a = li.select(col("ok"), col("pk").as("src"))
-      val b = li.select(col("ok").as("ok2"), col("pk").as("dst"))
-      val edges = a.join(b, col("ok") === col("ok2") && col("src") < col("dst"))
-        .select(col("src"), col("dst"))
+      // co-purchase edges via the per-order bucket fan-out (r12: 1.5 s
+      // warm vs 4.2 s for the lineitem self-join + distinct it replaced;
+      // linkPrediction dedups the raw pair stream itself). TPC-H orders
+      // hold ≤ 7 lines, so the 1000-item hub cap excludes nothing.
+      val edges = GraphOps.coOccurrenceEdges(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       GraphOps.linkPrediction(edges, maxDegree = 100, minCommon = 5L)
         .orderBy("n1", "n2")
     },

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.Checkpoints
@@ -480,6 +480,38 @@ object GraphOps {
   def triangleCounts(edges: DataFrame): DataFrame =
     triangleCountsFrom(canonicalUndirected(edges))
 
+  /** Co-occurrence edge stream: one `(src, dst)` row per unordered item
+    * pair sharing a group — the standard market-basket / co-purchase /
+    * co-citation graph builder. Items bucket per group (`collect_set` +
+    * `sort_array`), the quadratic pair fan-out happens post-shuffle via
+    * two codegen'd Generates (the [[linkPrediction]] kernel), and every
+    * emitted pair is already canonical (`src < dst`, no self-pairs) —
+    * output is a raw pair STREAM (duplicates across groups retained) so
+    * downstream operators choose their own dedup/weighting.
+    *
+    * `maxGroup` is the hub cap: a group above it is excluded outright
+    * (its pair fan-out is quadratic, and a 10⁶-item group would hand one
+    * task 10¹² pairs at 100 TB — the same discipline as the LSH bucket
+    * caps). Semantics, not silent truncation: edges are "co-occurrence
+    * within sub-cap groups".
+    *
+    * Scale: one shuffle of the (group, item) rows; fan-out and the
+    * partial-agg of whatever consumer follows both run map-side after it.
+    * Measured r12 (sf0.1 co-purchase, 600k rows → 1.9M pairs): 1.5 s warm
+    * vs 4.2 s for the equivalent self-join + distinct — the join's
+    * broadcast build and the pre-distinct row stream never materialize. */
+  def coOccurrenceEdges(df: DataFrame, group: Column, item: Column,
+      maxGroup: Int = 1000): DataFrame = {
+    require(maxGroup >= 2, s"maxGroup must be >= 2: $maxGroup")
+    df.groupBy(group.as("_g"))
+      .agg(sort_array(collect_set(item.cast("long"))).as("_is"))
+      .filter(size(col("_is")).between(2, maxGroup))
+      .select(col("_is"), posexplode(col("_is")))
+      .select(col("col").as("src"),
+        explode(slice(col("_is"), col("pos") + lit(2),
+          size(col("_is")))).as("dst"))
+  }
+
   /** Distinct undirected (u < v) edge pairs — the shared canonical form
     * every whole-graph operator here starts from. */
   private def canonicalUndirected(edges: DataFrame): DataFrame =
@@ -714,63 +746,85 @@ object GraphOps {
   def linkPrediction(edges: DataFrame, maxDegree: Int = 100,
       minCommon: Long = 2L): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2: $maxDegree")
-    // und feeds four consumers (degree agg, both dir legs, the anti-join).
-    // Measured at sf0.1: an explicit localCheckpoint here is a net LOSS
-    // (5.96s vs 4.51s solo) — the scan+join recompute is cheaper than
-    // materializing 1.2M rows and losing scan pushdown, and the distinct's
-    // Exchange is reused where projections line up. Keep the pure plan.
+    // und feeds SIX consumers (degree agg, both dir legs, the anti-join,
+    // and deg again for each of the d1/d2 joins). r12 plan audit: without
+    // a pin the physical plan holds TWELVE lineitem scans — the consumers
+    // project different columns, Catalyst pushes each projection below
+    // the distinct, and the now-divergent Exchanges defeat ReuseExchange
+    // entirely, so the edge-build (self-join + distinct) ran ~6× and the
+    // degree aggregate 3×. The r10 "checkpoint is a net loss" measurement
+    // predated the d1/d2 re-joins and no longer holds: pinning und
+    // (O(|E|) longs) and deg (O(|V|)) collapses those 12 scans to 1 and
+    // was one of the three r12 changes that together cut the solo sf0.1
+    // min 9.0 → 4.2 s. The result is localCheckpoint'd (it is
+    // O(survivor-pairs), tiny by construction after minCommon) so both
+    // pins release deterministically before return — the kCore contract.
     val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("u"),
         greatest(col("src"), col("dst")).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
     val dir = und.select(col("u").as("w"), col("v").as("n"))
       .unionAll(und.select(col("v").as("w"), col("u").as("n")))
     val ctr = dir.join(
       deg.filter(col("dg") <= maxDegree)
         .select(col("n").as("w"), col("dg")), "w")
-    // r11: per-center bucket pairing instead of the wedge self-join — the
-    // hub cap bounds every neighbor list at maxDegree elements, so the
-    // bucket row is tiny by construction and the quadratic pair fan-out
-    // happens INSIDE one projection (indexed transform, the minhashLsh
-    // bucket idiom) with the partial (n1,n2) aggregate folding map-side.
-    // The self-join shape shuffled the ctr relation twice and wrote the
-    // full wedge stream (147 MB / 26.5 core-s at sf0.1) before the
-    // aggregate could compact it; this emits the same wedges for one
-    // 21 MB shuffle of (center, neighbor) rows. The AA term depends only
-    // on the center, so it is computed once per bucket, not per wedge.
+    // Per-center bucket pairing (not the wedge self-join): the hub cap
+    // bounds every neighbor list at maxDegree elements, so buckets ship
+    // in one small (center, neighbor) shuffle and the quadratic pair
+    // fan-out happens post-shuffle with the partial (n1,n2) aggregate
+    // folding map-side. r12: the fan-out itself is TWO Generate
+    // operators — posexplode picks n1 + its position, explode(slice)
+    // streams the strictly-later tail as n2 — every operator and
+    // expression on the path is whole-stage-codegen'd and every output
+    // column a primitive long. The r11 shape built the same pairs with
+    // nested transform(slice(...)) lambdas allocating a struct per
+    // wedge; higher-order array functions are NOT codegen'd, and the
+    // interpreted eval burned 321–750 core-s in driver-suite conditions
+    // (r11 verdict diag; 9.0 s solo min) vs 46 warm core-s / 4.2 s solo
+    // min for the full r12 shape (REPEAT=3, sf0.1).
+    // The AA term depends only on the center: computed once per bucket.
+    //
+    // The explicit repartition pins fan-out parallelism: the hub cap
+    // makes the bucket relation TINY in bytes (4.4k array rows at
+    // sf0.1), so AQE's byte-based partition coalescing folds it to ~1
+    // partition — and the 17M-wedge Generate plus the 16M-group partial
+    // aggregate downstream then run on one core. AQE sizes on shuffle
+    // bytes and cannot see a quadratic Generate below the read; pinning
+    // width = defaultParallelism costs one shuffle of the 4.4k bucket
+    // rows and cut the warm fan-out+agg 6.1 → 1.9 s (A/B r12, sf0.1).
     val buckets = ctr.groupBy(col("w"), col("dg"))
       .agg(sort_array(collect_list(col("n"))).as("ns"))
-    val pair = explode(flatten(transform(col("ns"), (a, i) =>
-      transform(slice(col("ns"), i + 2, size(col("ns"))),
-        b => struct(a.as("n1"), b.as("n2"))))))
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism)
     val scored = buckets
-      .select(pair.as("p"),
-        floor(lit(1e9) / log(col("dg")) + 0.5).cast("long").as("_term"))
-      .select(col("p.n1").as("n1"), col("p.n2").as("n2"), col("_term"))
+      .select(col("ns"),
+        floor(lit(1e9) / log(col("dg")) + 0.5).cast("long").as("_term"),
+        posexplode(col("ns")))
+      .select(explode(slice(col("ns"), col("pos") + lit(2),
+          size(col("ns")))).as("n2"),
+        col("col").as("n1"), col("_term"))
       .groupBy(col("n1"), col("n2"))
       .agg(count(lit(1)).as("cn"),
         // quantize per term, then sum exactly: Σ floor(1e9/ln d + ½)
         sum(col("_term")).as("aa_e9"))
       .filter(col("cn") >= minCommon)
-      // Checkpointing the survivors here was measured TWICE and rejected
-      // (r11): a caller's orderBy sampling pass does re-run the ~10M-pair
-      // final aggregate (2×12 core-s of a 63 core-s query), but eager
-      // localCheckpoint costs +1.7 s wall (materialization at
-      // op-construction serializes the pipeline) and lazy costs +2.1 s
-      // (block writes break stage overlap). The recompute is cheaper
-      // than the pin on the clock — keep the pure plan.
       .join(und, col("n1") === col("u") && col("n2") === col("v"),
         "left_anti")
-    scored
+    // materialize the O(survivor) result so und/deg release deterministically
+    val result = scored
       .join(deg.select(col("n").as("n1"), col("dg").as("d1")), "n1")
       .join(deg.select(col("n").as("n2"), col("dg").as("d2")), "n2")
       .select(col("n1"), col("n2"), col("cn"), col("aa_e9"),
         floor(lit(1e6) * col("cn") / (col("d1") + col("d2") - col("cn"))
           + 0.5).cast("long").as("jaccard_e6"))
+      .localCheckpoint()
+    Checkpoints.releaseAll(und, deg)
+    result
   }
 
   /** Synchronous label propagation — community detection by iterated
