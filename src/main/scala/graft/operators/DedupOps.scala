@@ -52,10 +52,22 @@ object DedupOps {
       array_min(transform(shinglesCol, s => portableHash(s, i))).as(s"mh_$i")
     }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  // table-driven nibble lookup: the previous per-byte `f"%02x"` allocated
+  // a java.util.Formatter per BYTE — profiled r12 at ~5 CPU-s/repeat in
+  // the signature kernel stage at sf0.1 (3.3M formatter calls), vs noise
+  // for this loop. Output is identical lowercase hex.
   private def toHex(bytes: Array[Byte]): String = {
-    val sb = new StringBuilder(bytes.length * 2)
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = hexDigits(b >>> 4)
+      out(2 * i + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Typed shingle+signature kernel: tokenize, k-shingle, and minhash in one
@@ -536,26 +548,31 @@ object DedupOps {
     // distinct-node init would cost, but it IS the first propagation round —
     // one fewer join+agg+checkpoint cycle every invocation (propagation
     // converges to the component min from any monotone init ≥ it)
-    var labels = und.groupBy(col("x"))
-      .agg(least(min(col("y")), col("x")).as("label"))
-      .select(col("x").as("node"), col("label"))
-      .localCheckpoint()
+    //
     // Convergence check rides on monotonicity: a node's label can only
     // decrease (the groupBy-min includes its old label), so some label
-    // changed iff sum(label) strictly dropped — one cheap agg on the
-    // already-materialized checkpoint instead of a join+count job per round.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // changed iff sum(label) strictly dropped. The sum rides the
+    // checkpoint's OWN materialization job via observe() (r12): a
+    // separate agg-on-checkpoint action cost one extra Spark job per
+    // round — pure scheduling overhead on a converged tiny label table,
+    // ~40 ms/job of driver latency that dominates this loop at small SF.
+    def checkpointWithSum(df: DataFrame): (DataFrame, Any) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs,
+        sum(col("label").cast("decimal(38,0)")).as("s")).localCheckpoint()
+      (ck, obs.get("s"))
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      und.groupBy(col("x"))
+        .agg(least(min(col("y")), col("x")).as("label"))
+        .select(col("x").as("node"), col("label")))
     var converged = false
     while (!converged) {
       val prop = und.alias("e")
         .join(labels.alias("l"), col("e.y") === col("l.node"))
         .select(col("e.x").as("node"), col("l.label").as("label"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val (next, nextSum) = checkpointWithSum(
+        labels.union(prop).groupBy("node").agg(min("label").as("label")))
       converged = nextSum == prevSum
       prevSum = nextSum
       // next is eager: the superseded round's label blocks are dead — free
@@ -653,23 +670,28 @@ object DedupOps {
       pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
     val big = greatest(col("u"), col("v"))
     val small = least(col("u"), col("v"))
-    var edges = pairs
+    // fixpoint detection = (count, keyed sum) signature of the edge set;
+    // it rides each checkpoint's own materialization job via observe()
+    // (r12) instead of a separate agg action — one Spark job per round,
+    // not two (same rationale as [[nearDupClusters]]'s checkpointWithSum)
+    def checkpointWithSig(e: DataFrame): (DataFrame, (Any, Any)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = e.observe(obs, count(lit(1)).as("c"),
+        sum((col("u") * 1000003L + col("v")).cast("decimal(38,0)")).as("s"))
+        .localCheckpoint()
+      (ck, (obs.get("c"), obs.get("s")))
+    }
+    var (edges, sig0) = checkpointWithSig(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(big.as("u"), small.as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     // the original vertex set: star-contraction drops isolated-after-merge
     // nodes from the edge list, but every input node still needs a label
     val nodes = edges.select(col("u").as("doc_id"))
       .union(edges.select(col("v").as("doc_id")))
       .distinct()
       .localCheckpoint()
-    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum((col("u") * 1000003L + col("v")).cast("decimal(38,0)"))).first()
-      (r.getLong(0), r.getDecimal(1))
-    }
     def star(e: DataFrame, largeSide: Boolean): DataFrame = {
       // large-star groups over the SYMMETRIZED adjacency; small-star only
       // over the big->small orientation
@@ -688,11 +710,10 @@ object DedupOps {
         .distinct()
     }
     var converged = false
-    var sig = signature(edges)
+    var sig = sig0
     while (!converged) {
-      val next = star(star(edges, largeSide = true), largeSide = false)
-        .localCheckpoint()
-      val nextSig = signature(next)
+      val (next, nextSig) = checkpointWithSig(
+        star(star(edges, largeSide = true), largeSide = false))
       converged = nextSig == sig
       sig = nextSig
       graft.core.Checkpoints.release(edges)
