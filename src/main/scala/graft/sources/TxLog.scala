@@ -299,7 +299,14 @@ object TxLog {
     var out = -1
     while (out < 0) {
       attempt += 1
-      val live = liveFiles(dir).toSet
+      // pin the version the whole conflict check resolves against, and
+      // claim EXACTLY checkV+1 below (ADVICE r11): re-reading
+      // latestVersion inside commitWithStats opened a TOCTOU window
+      // where a commit landing between check and claim was committed on
+      // top of undetected — now that interleaving makes our claim lose,
+      // which re-runs the check
+      val checkV = latestVersion(dir)
+      val live = liveFiles(dir, checkV).toSet
       val gone = remove.filterNot(live)
       if (gone.nonEmpty)
         throw new java.util.ConcurrentModificationException(
@@ -308,25 +315,33 @@ object TxLog {
             s"commit (first: ${gone.head}); re-run the rewrite against " +
             "the current snapshot")
       // merge-on-read conflict detection: a verb that REBINDS a deletion
-      // vector computed its cumulative sidecar from the binding it read;
-      // if a concurrent commit touched the bound file (rewrote it, or
-      // rebound its DV), committing the stale sidecar would resurrect or
-      // double-mask rows — abort exactly like a remove-set conflict
+      // vector computed its cumulative sidecar from the binding it read,
+      // and a masked REWRITE materialized the binding it read — if a
+      // concurrent commit touched a bound file (rewrote it, or rebound
+      // its DV), committing would resurrect or double-mask rows. Both
+      // the verb's dvSets files AND every removed/rewritten file must
+      // still carry exactly the snapshot's binding (ADVICE r11: checking
+      // only dvSets left compaction-vs-DV-delete unguarded in one
+      // direction — the write-write conflict Delta's matrix documents).
       basedOnDvs.foreach { based =>
-        val nowDvs = liveDvs(dir)
-        val stale = dvSets.collect {
+        val nowDvs = liveDvs(dir, checkV)
+        val stale = (dvSets.collect {
           case (p, _) if !live.contains(p) =>
             s"$p (no longer live)"
           case (p, _) if nowDvs.get(p) != based.get(p) =>
             s"$p (deletion vector rebound concurrently)"
-        }
+        } ++ remove.collect {
+          case p if nowDvs.get(p) != based.get(p) =>
+            s"$p (deletion vector rebound under a masked rewrite)"
+        }).distinct
         if (stale.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"txlog: merge-on-read conflict on $dir — ${stale.size} " +
               s"file(s) this verb masks changed under it (first: " +
               s"${stale.head}); re-run against the current snapshot")
       }
-      try out = commitWithStats(dir, add, remove, dvSets)
+      try out = commitWithStats(dir, add, remove, dvSets,
+        atVersion = checkV + 1)
       catch {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.contains("lost the race") =>
@@ -443,7 +458,8 @@ object TxLog {
     * stats-free files are never pruned (correctness over skipping). */
   def commitWithStats(dir: String, add: Seq[(String, Option[String])],
       remove: Seq[String] = Nil,
-      dvSets: Seq[(String, Option[String])] = Nil): Int = {
+      dvSets: Seq[(String, Option[String])] = Nil,
+      atVersion: Int = -1): Int = {
     add.foreach { case (_, st) =>
       require(st.forall(s => !s.exists(c => c == '\t' || c == '\n' || c == '\r')),
         "stats blob must not contain tab/newline")
@@ -451,7 +467,9 @@ object TxLog {
     val ld = logDir(dir)
     val fs = fsOf(ld)
     fs.mkdirs(ld)
-    val v = latestVersion(dir) + 1
+    // atVersion pins the claim to the slot a caller's conflict check
+    // resolved against (commitRewrite); any other latest is a lost race
+    val v = if (atVersion > 0) atVersion else latestVersion(dir) + 1
     val target = manifest(dir, v)
     val tmp = new Path(ld, s".v$v.tmp${System.nanoTime()}")
     val body = metaHeader() + (add.map {
@@ -982,7 +1000,13 @@ object TxLog {
         Some(if (withPos) df else df.drop(DvFileCol, DvPosCol))
       }
     (plainDf, maskedDf) match {
-      case (Some(p), Some(m)) => p.unionByName(m)
+      // under mergeSchema the plain and masked file groups may have
+      // EVOLVED apart (a DV-bound file predating an added column);
+      // allowMissingColumns keeps the schema-evolution read working
+      // across the plain/masked partition exactly as the old single
+      // multi-file mergeSchema read did (ADVICE r11)
+      case (Some(p), Some(m)) =>
+        p.unionByName(m, allowMissingColumns = mergeSchema)
       case (p, m) => p.orElse(m).getOrElse(
         throw new IllegalArgumentException("readMasked of zero files"))
     }
@@ -1031,8 +1055,12 @@ object TxLog {
     val statCols = entries.flatMap(e => statColsOf(e._2)).distinct
     // masked read: compaction MATERIALIZES deletion vectors — the
     // rewritten files hold only visible rows, and the swap commit's
-    // removes clear the bindings, so sidecars retire with their files
-    val snap = readMasked(spark, files, liveDvs(dir))
+    // removes clear the bindings, so sidecars retire with their files.
+    // The dv snapshot the read went through is threaded into the commit
+    // as basedOnDvs (ADVICE r11): a DV delete landing between this read
+    // and the swap must abort the swap, not be silently materialized away
+    val dvSnap = liveDvs(dir)
+    val snap = readMasked(spark, files, dvSnap)
     val compacted = (statCols.headOption match {
       case Some(c) if targetFiles > 1 => snap.repartitionByRange(
         targetFiles, org.apache.spark.sql.functions.col(c))
@@ -1057,7 +1085,7 @@ object TxLog {
               columnStatsMulti(slice, statCols)
           }
         }
-      commitRewrite(dir, adds, remove = files)
+      commitRewrite(dir, adds, remove = files, basedOnDvs = Some(dvSnap))
     } finally graft.core.Checkpoints.release(compacted)
   }
 
@@ -1088,12 +1116,14 @@ object TxLog {
     if (small.size < 2) return 0
     val smallPaths = small.map(_._1)
     val statCols = small.flatMap(e => statColsOf(e._2)).distinct
+    val dvSnap = liveDvs(dir)
     val compacted =
-      readMasked(spark, smallPaths, liveDvs(dir)).coalesce(1)
+      readMasked(spark, smallPaths, dvSnap).coalesce(1)
     val st =
       if (statCols.isEmpty) None else columnStatsMulti(compacted, statCols)
     commitRewrite(dir,
-      Seq(writeBatch(compacted, dir, name) -> st), remove = smallPaths)
+      Seq(writeBatch(compacted, dir, name) -> st), remove = smallPaths,
+      basedOnDvs = Some(dvSnap))
   }
 
   /** OPTIMIZE … ZORDER BY — 2-D layout optimization composed with
@@ -1143,7 +1173,8 @@ object TxLog {
       s"zorder columns must be distinct: ${cols.mkString(", ")}")
     val files = liveFiles(dir)
     if (files.isEmpty) return 0
-    val snap = readMasked(spark, files, liveDvs(dir)).localCheckpoint()
+    val dvSnap = liveDvs(dir)
+    val snap = readMasked(spark, files, dvSnap).localCheckpoint()
     val withZ =
       try {
         def rankExpr(c: String): org.apache.spark.sql.Column = {
@@ -1174,7 +1205,7 @@ object TxLog {
       // commitRewrite, not commitWithStats: a raced loser that re-added
       // its compacted copies after a concurrent rewrite would duplicate
       // every row (ADVICE r10) — abort and let the caller re-run instead
-      commitRewrite(dir, adds, remove = files)
+      commitRewrite(dir, adds, remove = files, basedOnDvs = Some(dvSnap))
     } finally graft.core.Checkpoints.release(withZ)
   }
 
@@ -1369,7 +1400,8 @@ object TxLog {
   private def rewriteTouched(spark: SparkSession, dir: String, name: String,
       entries: Seq[(String, Option[String])], touched: Seq[String],
       remainderOf: String => DataFrame,
-      extraAdds: Seq[(String, Option[String])], what: String): Int = {
+      extraAdds: Seq[(String, Option[String])], what: String,
+      basedOnDvs: Option[Map[String, String]] = None): Int = {
     val byNorm = entries.map(e => normPath(e._1) -> e._1).toMap
     val statsByNorm = entries.map { case (p, st) => normPath(p) -> st }.toMap
     val removes = touched.flatMap(byNorm.get)
@@ -1382,7 +1414,10 @@ object TxLog {
     }
     val adds = rewrites ++ extraAdds
     if (adds.isEmpty && removes.isEmpty) 0
-    else commitRewrite(dir, adds, removes)
+    // basedOnDvs: the remainderOf closures read each touched dir THROUGH
+    // the dv snapshot the caller resolved — a DV rebind landing between
+    // that masked read and this commit must abort the swap (ADVICE r11)
+    else commitRewrite(dir, adds, removes, basedOnDvs = basedOnDvs)
   }
 
   /** Copy-on-write DELETE — remove every live row satisfying `predicate`
@@ -1420,7 +1455,7 @@ object TxLog {
     rewriteTouched(spark, dir, name, entries, touched,
       p => readMasked(spark, Seq(p), dvs)
         .filter(!coalesce(predicate, lit(false))),
-      extraAdds = Nil, what = "delete")
+      extraAdds = Nil, what = "delete", basedOnDvs = Some(dvs))
   }
 
   /** MERGE-ON-READ DELETE via deletion vectors (public precedent:
@@ -1542,7 +1577,7 @@ object TxLog {
     if (victims.isEmpty) return 0
     rewriteTouched(spark, dir, name, entries, victims.map(normPath),
       p => readMasked(spark, Seq(p), dvs), extraAdds = Nil,
-      what = "optimizeDv")
+      what = "optimizeDv", basedOnDvs = Some(dvs))
   }
 
   /** MERGE-ON-READ UPDATE via deletion vectors — [[updateWhereDV]] is to
@@ -1679,7 +1714,7 @@ object TxLog {
           }
         }: _*)
       },
-      extraAdds = Nil, what = "update")
+      extraAdds = Nil, what = "update", basedOnDvs = Some(dvs))
   }
 
   /** MERGE (upsert) `source` into the table on `keys` — target rows whose
@@ -1812,7 +1847,7 @@ object TxLog {
       rewriteTouched(spark, dir, name, entries, touched,
         p => readMasked(spark, Seq(p), dvs)
           .join(broadcast(srcKeys), keys, "left_anti"),
-        extraAdds, what = "merge")
+        extraAdds, what = "merge", basedOnDvs = Some(dvs))
     } finally graft.core.Checkpoints.release(keyed)
   }
 

@@ -875,6 +875,30 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("a masked rewrite aborts when a DV delete lands between read and commit") {
+    val dir = freshDir()
+    val df = (0L until 20L).toDF("x")
+    TxLog.commit(dir, Seq(TxLog.writeBatch(df, dir, "b0")))
+    // bind a deletion vector, snapshot it, then simulate a slow compactor:
+    // it read THROUGH the old mask, but a second DV delete rebinds the
+    // file before the compactor's swap lands — committing the compacted
+    // copy would resurrect the newly-deleted rows
+    TxLog.deleteWhereDV(spark, dir, "dv1", col("x") === 3L)
+    val staleDvs = TxLog.liveDvs(dir)
+    val staleInputs = TxLog.liveFiles(dir)
+    val compacted = TxLog.writeBatch(
+      TxLog.read(spark, dir).coalesce(1), dir, "slowCompact")
+    TxLog.deleteWhereDV(spark, dir, "dv2", col("x") === 7L)
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commitRewrite(dir, Seq(compacted -> None), remove = staleInputs,
+        basedOnDvs = Some(staleDvs))
+    }
+    assert(TxLog.read(spark, dir).as[Long].collect().sorted.toSeq ===
+      (0L until 20L).filterNot(x => x == 3L || x == 7L),
+      "the aborted rewrite must not resurrect the concurrently-deleted row")
+    TxLog.destroy(dir)
+  }
+
   test("a throwing conditional put does not leak the tmp manifest") {
     FlakyObjectStoreFileSystem.register(spark)
     val local = freshDir()
