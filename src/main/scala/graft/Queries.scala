@@ -8159,6 +8159,61 @@ object Queries {
       FROM ev
       ORDER BY 1"""))
 
+  /** Column mapping ([[graft.sources.TxLog.renameColumn]] /
+    * [[graft.sources.TxLog.dropColumn]] / appendMapped): RENAME and DROP
+    * land as metadata-only commits (zero data files touched — asserted),
+    * an append after the verbs carries logical names into physical
+    * storage, and time travel across the rename resolves the OLD
+    * logical schema. Hash-checked output: the pre-rename snapshot
+    * aggregated under its old name and the post-verb snapshot under the
+    * new one, both recomputed by the oracle via the portable bucket. */
+  private val qTxlogRename = QuerySpec(
+    "q_txlog_rename",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_ren_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 2)
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 0), root, "b0")))
+      val files1 = TxLog.liveFiles(root)
+      TxLog.renameColumn(s, root, "value", "amount")     // v2: metadata only
+      TxLog.dropColumn(s, root, "event_type")            // v3: metadata only
+      require(TxLog.liveFiles(root) == files1,
+        "rename/drop must not touch a single data file")
+      // post-verb append arrives with LOGICAL names; the mapped writer
+      // stores them under the table's physical schema
+      TxLog.appendMapped(s, root,
+        ev.filter(b === 1).select(col("event_id"), col("value").as("amount")),
+        "b1")
+      val pre = TxLog.read(s, root, asOf = 1)
+      require(pre.columns.toSeq == Seq("event_id", "event_type", "value"),
+        s"time travel must serve the old schema: ${pre.columns.mkString(",")}")
+      val post = TxLog.read(s, root, mergeSchema = true)
+      require(post.columns.toSeq == Seq("event_id", "amount"),
+        s"latest must serve the mapped schema: ${post.columns.mkString(",")}")
+      pre.agg(count(col("value")).as("cnt"), sumExact(col("value")).as("total"))
+        .select(lit("pre_rename").as("dim"), col("cnt"), col("total"))
+        .unionByName(post
+          .agg(count(col("amount")).as("cnt"),
+            sumExact(col("amount")).as("total"))
+          .select(lit("post_rename").as("dim"), col("cnt"), col("total")))
+        .orderBy("dim")
+    },
+    Some("""WITH ev AS (SELECT event_id, value,
+          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 2 AS b
+        FROM events WHERE event_id IS NOT NULL)
+      SELECT 'post_rename' AS dim, CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM ev
+      UNION ALL
+      SELECT 'pre_rename', CAST(COUNT(value) AS BIGINT),
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM ev WHERE b = 0
+      ORDER BY 1"""))
+
   /** Constraint-enforced ingest ([[graft.sources.TxLog.commitChecked]]):
     * two clean batches land through CHECK constraints
     * (value non-negative, event_type present); a third batch with
@@ -12131,6 +12186,7 @@ object Queries {
     qTxlogZorder, qTxlogZorder3, qTxlogRestore, qTxlogDelete, qTxlogMerge,
     qTxlogEvolve,
     qStreamTxlogMerge, qStreamForgetDv, qTxlogCdc, qTxlogTimeTravel,
+    qTxlogRename,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

@@ -293,7 +293,8 @@ object TxLog {
   def commitRewrite(dir: String, add: Seq[(String, Option[String])],
       remove: Seq[String], maxAttempts: Int = 16,
       dvSets: Seq[(String, Option[String])] = Nil,
-      basedOnDvs: Option[Map[String, String]] = None): Int = {
+      basedOnDvs: Option[Map[String, String]] = None,
+      colMap: Option[Seq[(String, String)]] = None): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     var attempt = 0
     var out = -1
@@ -341,7 +342,7 @@ object TxLog {
               s"${stale.head}); re-run against the current snapshot")
       }
       try out = commitWithStats(dir, add, remove, dvSets,
-        atVersion = checkV + 1)
+        atVersion = checkV + 1, colMap = colMap)
       catch {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.contains("lost the race") =>
@@ -371,11 +372,39 @@ object TxLog {
     }
   }
 
+  /** Mutable holder for the column-mapping state a replay accumulates —
+    * `None` until the first `colmap` action (identity behavior: tables
+    * never renamed/dropped pay nothing, old logs replay unchanged). */
+  private final class ColMapBox {
+    var m: Option[Seq[(String, String)]] = None
+  }
+
+  // column names percent-encode so ':' ',' and whitespace in a (quoted)
+  // column name can never corrupt the one-line mapping spec
+  private def encCol(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def decCol(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def renderColMap(m: Seq[(String, String)]): String =
+    m.map { case (p, l) => s"${encCol(p)}:${encCol(l)}" }.mkString(",")
+
+  private def parseColMap(spec: String): Seq[(String, String)] =
+    if (spec.trim.isEmpty) Seq.empty
+    else spec.split(",", -1).toSeq.map { kv =>
+      kv.split(":", 2) match {
+        case Array(p, l) => (decCol(p), decCol(l))
+        case _ => throw new IllegalStateException(
+          s"txlog: bad colmap segment '$kv'")
+      }
+    }
+
   private def replayInto(
       live: scala.collection.mutable.LinkedHashMap[String, Option[String]],
       text: String, what: String,
       dv: scala.collection.mutable.LinkedHashMap[String, String] =
-        scala.collection.mutable.LinkedHashMap.empty): Unit =
+        scala.collection.mutable.LinkedHashMap.empty,
+      cm: ColMapBox = new ColMapBox): Unit =
     text.linesIterator.foreach { line =>
       line.split("\t", 3) match {
         case Array("add", p)        => live(p) = None;     dv.remove(p)
@@ -390,6 +419,13 @@ object TxLog {
         // a re-added path is a fresh file
         case Array("dv", p, "-")    => dv.remove(p)
         case Array("dv", p, dvPath) => if (live.contains(p)) dv(p) = dvPath
+        // column mapping (physical↔logical indirection, [[renameColumn]]):
+        // one line carries the WHOLE ordered mapping, so replay is a
+        // plain last-wins replace — rename/drop commits are metadata-only;
+        // `-` clears the mapping back to identity ([[restore]] rolling
+        // past the table's first schema verb)
+        case Array("colmap", "-")   => cm.m = None
+        case Array("colmap", spec)  => cm.m = Some(parseColMap(spec))
         // commit metadata (e.g. `meta ts <millis>`) is not a file action;
         // unknown meta keys replay as no-ops so the format stays
         // forward-extensible without breaking old readers
@@ -459,7 +495,8 @@ object TxLog {
   def commitWithStats(dir: String, add: Seq[(String, Option[String])],
       remove: Seq[String] = Nil,
       dvSets: Seq[(String, Option[String])] = Nil,
-      atVersion: Int = -1): Int = {
+      atVersion: Int = -1,
+      colMap: Option[Seq[(String, String)]] = None): Int = {
     add.foreach { case (_, st) =>
       require(st.forall(s => !s.exists(c => c == '\t' || c == '\n' || c == '\r')),
         "stats blob must not contain tab/newline")
@@ -478,6 +515,9 @@ object TxLog {
     } ++ remove.map(p => s"remove\t$p") ++ dvSets.map {
       case (p, Some(d)) => s"dv\t$p\t$d"
       case (p, None)    => s"dv\t$p\t-"
+    } ++ colMap.map {
+      case m if m.isEmpty => "colmap\t-" // clear-to-identity sentinel
+      case m              => s"colmap\t${renderColMap(m)}"
     }).mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -600,9 +640,12 @@ object TxLog {
     * FILES. None when every file proves absence. */
   def readPrunedByKey(spark: SparkSession, dir: String, column: String,
       value: String, asOf: Int = -1): Option[DataFrame] = {
-    val (entries, dv) = resolveState(dir, asOf)
+    val (entries, dv, cm) = resolveFull(dir, asOf)
+    // callers name LOGICAL columns; stats/bloom blobs carry the names
+    // the files were written with (physical)
+    val physCol = toPhysicalName(cm, column)
     val kept = entries.filter { case (_, st) =>
-      st.flatMap(_.split(",").find(_.startsWith(s"#bf#$column;"))) match {
+      st.flatMap(_.split(",").find(_.startsWith(s"#bf#$physCol;"))) match {
         case None => true
         case Some(seg) =>
           val Array(_, bitsStr, b64) = seg.split(";", 3)
@@ -612,7 +655,8 @@ object TxLog {
           bloomPositions(value, bits).forall(bs.get)
       }
     }.map(_._1)
-    if (kept.isEmpty) None else Some(readMasked(spark, kept, dv.toMap))
+    if (kept.isEmpty) None
+    else Some(applyMapping(readMasked(spark, kept, dv.toMap), cm))
   }
 
   /** Snapshot read restricted to files whose manifest stats CAN satisfy
@@ -625,10 +669,12 @@ object TxLog {
     * pruning. None when every file prunes away. */
   def readPruned(spark: SparkSession, dir: String, column: String,
       lo: Double, hi: Double, asOf: Int = -1): Option[DataFrame] = {
-    val (entries, dv) = resolveState(dir, asOf)
+    val (entries, dv, cm) = resolveFull(dir, asOf)
     val kept = entries
-      .filter(e => statsOverlap(e._2, column, lo, hi)).map(_._1)
-    if (kept.isEmpty) None else Some(readMasked(spark, kept, dv.toMap))
+      .filter(e => statsOverlap(e._2, toPhysicalName(cm, column), lo, hi))
+      .map(_._1)
+    if (kept.isEmpty) None
+    else Some(applyMapping(readMasked(spark, kept, dv.toMap), cm))
   }
 
   /** The live file set at `asOf` (latest when <= 0): the newest
@@ -656,24 +702,187 @@ object TxLog {
   private def resolveState(dir: String, asOf: Int): (
       Seq[(String, Option[String])],
       scala.collection.mutable.LinkedHashMap[String, String]) = {
+    val (e, d, _) = resolveFull(dir, asOf)
+    (e, d)
+  }
+
+  private def resolveFull(dir: String, asOf: Int): (
+      Seq[(String, Option[String])],
+      scala.collection.mutable.LinkedHashMap[String, String],
+      Option[Seq[(String, String)]]) = {
     val upTo = if (asOf <= 0) latestVersion(dir) else asOf
     val live = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[String]]
     val dv = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val cm = new ColMapBox
     val from = latestCheckpointVersion(dir, upTo) match {
       case Some(cv) =>
         replayInto(live,
           readLogFile(dir, checkpointFile(dir, cv), f"checkpoint c$cv%08d"),
-          f"checkpoint c$cv%08d", dv)
+          f"checkpoint c$cv%08d", dv, cm)
         cv + 1
       case None => 1
     }
     (from to upTo).foreach { v =>
       replayInto(live,
         readLogFile(dir, manifest(dir, v), s"manifest v$v (asOf=$asOf)"),
-        s"v$v", dv)
+        s"v$v", dv, cm)
     }
-    (live.toSeq, dv)
+    (live.toSeq, dv, cm.m)
+  }
+
+  /** The column mapping in force at `asOf` (latest when <= 0):
+    * `(physical, logical)` pairs in logical column order, or None for a
+    * table no rename/drop ever touched (identity — every reader then
+    * serves physical names untouched, the pre-mapping fast path). */
+  def columnMapping(dir: String, asOf: Int = -1)
+      : Option[Seq[(String, String)]] =
+    resolveFull(dir, asOf)._3
+
+  /** Project a physically-named frame to its logical schema: mapped
+    * columns rename (in mapping order), unmapped mapped-out columns
+    * disappear (DROP semantics), `keep` columns (feed metadata like a
+    * CDC sign) pass through untouched. */
+  private def applyMapping(df: DataFrame,
+      cm: Option[Seq[(String, String)]],
+      keep: Seq[String] = Nil): DataFrame = cm match {
+    case None => df
+    case Some(m) =>
+      import org.apache.spark.sql.functions.col
+      val present = df.columns.toSet
+      val cols = m.collect { case (phys, log) if present(phys) =>
+        col(phys).as(log)
+      } ++ keep.filter(present).map(col)
+      df.select(cols: _*)
+  }
+
+  /** Logical → physical translation for a caller-named column; identity
+    * without a mapping (and for unknown names — let the downstream read
+    * fail with its own, clearer error). */
+  private def toPhysicalName(cm: Option[Seq[(String, String)]],
+      logical: String): String =
+    cm.flatMap(_.collectFirst { case (p, l) if l == logical => p })
+      .getOrElse(logical)
+
+  /** The mapping to mutate in a rename/drop verb: the committed one, or
+    * an IDENTITY mapping bootstrapped from the live files' parquet union
+    * schema on a table's first schema verb (Delta's analogue: enabling
+    * column mapping stamps every existing column with its own name). */
+  private def currentOrIdentityMapping(spark: SparkSession,
+      dir: String): Seq[(String, String)] =
+    columnMapping(dir).getOrElse {
+      val files = liveFiles(dir)
+      require(files.nonEmpty,
+        s"txlog: cannot derive a column mapping for empty table $dir")
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+        .schema.fieldNames.toSeq.map(n => n -> n)
+    }
+
+  /** Metadata-only colmap commit under optimistic retry. */
+  private def commitColMap(dir: String,
+      mapping: Seq[(String, String)], maxAttempts: Int = 16): Int = {
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      try out = commitWithStats(dir, add = Nil, colMap = Some(mapping))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("lost the race") =>
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(math.min(5L * attempt, 100L))
+      }
+    }
+    out
+  }
+
+  /** RENAME COLUMN as a METADATA-ONLY commit (public precedent: Delta's
+    * column mapping, name mode): the manifest gains a logical↔physical
+    * indirection, data files stay byte-identical and keep serving under
+    * their physical names, readers at this or any later version see the
+    * new logical name, and time travel to pre-rename versions resolves
+    * the OLD name — the property a long-lived 100 TB table needs,
+    * because rewriting every file for a rename is a non-starter.
+    * Returns the commit version.
+    *
+    * Caveats (documented, not hidden): schema verbs assume a single
+    * schema writer at a time (concurrent renames serialize through the
+    * claim, but last-wins on the mapping), and the row-level DML verbs
+    * ([[deleteWhere]]/[[updateWhere]]/[[merge]] and their DV twins)
+    * address the PHYSICAL schema — run them with physical names on a
+    * mapped table, or before schema verbs. Maintenance verbs
+    * ([[optimize]]/[[optimizeZOrderN]]/[[checkpoint]]) are
+    * mapping-transparent: they rewrite physical bytes and the mapping
+    * rides the log untouched. */
+  def renameColumn(spark: SparkSession, dir: String,
+      oldName: String, newName: String): Int = {
+    require(oldName != newName, s"rename to self: $oldName")
+    val m = currentOrIdentityMapping(spark, dir)
+    require(m.exists(_._2 == oldName),
+      s"txlog: no column '$oldName' to rename in $dir " +
+        s"(logical schema: ${m.map(_._2).mkString(", ")})")
+    require(!m.exists(_._2 == newName),
+      s"txlog: rename target '$newName' already exists in $dir")
+    commitColMap(dir, m.map {
+      case (p, l) if l == oldName => (p, newName)
+      case other => other
+    })
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: the column leaves the
+    * logical schema (readers stop projecting its physical storage);
+    * bytes stay in place until files naturally rewrite, and time travel
+    * to pre-drop versions still serves it. Returns the commit version. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
+    val m = currentOrIdentityMapping(spark, dir)
+    require(m.exists(_._2 == name),
+      s"txlog: no column '$name' to drop in $dir " +
+        s"(logical schema: ${m.map(_._2).mkString(", ")})")
+    val next = m.filterNot(_._2 == name)
+    require(next.nonEmpty, s"txlog: dropping the last column of $dir")
+    commitColMap(dir, next)
+  }
+
+  /** Rename a batch's LOGICAL columns to the table's PHYSICAL names —
+    * the write-side half of column mapping, for appends to a mapped
+    * table. Logical columns not yet in the mapping get a FRESH physical
+    * name `c<version>_<logical>` and the extended mapping commits
+    * together with the batch ([[appendMapped]]); this is what makes
+    * DROP x / re-ADD x safe — the re-added column's storage can never
+    * collide with the dropped column's retired bytes (Delta's analogue:
+    * physical ids survive logical churn). */
+  def appendMapped(spark: SparkSession, dir: String, df: DataFrame,
+      name: String): Int = {
+    import org.apache.spark.sql.functions.col
+    columnMapping(dir) match {
+      case None =>
+        // unmapped table: physical == logical, plain append
+        commitWithRetry(dir, Seq(writeBatch(df, dir, name)))
+      case Some(m) =>
+        val nextV = latestVersion(dir) + 1
+        val known = m.map { case (p, l) => l -> p }.toMap
+        val fresh = df.columns.toSeq.filterNot(known.contains)
+          .map(l => l -> s"c${nextV}_$l")
+        val full = known ++ fresh
+        val phys = df.select(df.columns.toSeq.map(c =>
+          col(c).as(full(c))): _*)
+        val path = writeBatch(phys, dir, name)
+        var attempt = 0
+        var out = -1
+        while (out < 0) {
+          attempt += 1
+          try out = commitWithStats(dir, Seq(path -> None),
+            colMap = Some(m ++ fresh.map { case (l, p) => (p, l) }))
+          catch {
+            case e: IllegalStateException
+                if e.getMessage != null &&
+                  e.getMessage.contains("lost the race") =>
+              if (attempt >= 16) throw e
+              Thread.sleep(math.min(5L * attempt, 100L))
+          }
+        }
+        out
+    }
   }
 
   /** Write a checkpoint of the CURRENT latest version: one file holding
@@ -686,7 +895,7 @@ object TxLog {
   def checkpoint(dir: String): Int = {
     val v = latestVersion(dir)
     if (v == 0) return 0
-    val (entries, dvs) = resolveState(dir, v)
+    val (entries, dvs, cmAtV) = resolveFull(dir, v)
     val ld = logDir(dir)
     val fs = fsOf(ld)
     val tmp = new Path(ld, s".c$v.tmp${System.nanoTime()}")
@@ -702,7 +911,8 @@ object TxLog {
       case (p, None)     => s"add\t$p"
     } ++ entries.flatMap { case (p, _) =>
       dvs.get(p).map(d => s"dv\t$p\t$d")
-    }).mkString("", "\n", "\n")
+    } ++ cmAtV.map(m => s"colmap\t${renderColMap(m)}")
+    ).mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!claim(fs, tmp, checkpointFile(dir, v)))
@@ -767,8 +977,10 @@ object TxLog {
     val files = addedFiles(dir, fromVersion, toVersion)
     if (files.isEmpty) None
     // mask with the DVs live at `toVersion`: a file added and then
-    // DV-deleted from inside the window serves its window-end rows
-    else Some(readMasked(spark, files, liveDvs(dir, toVersion)))
+    // DV-deleted from inside the window serves its window-end rows;
+    // logical names resolve at the window END (one schema per feed)
+    else Some(applyMapping(readMasked(spark, files, liveDvs(dir, toVersion)),
+      columnMapping(dir, toVersion)))
   }
 
   /** SNAPSHOT-DIFF change feed for (fromVersion, toVersion] — the
@@ -877,6 +1089,10 @@ object TxLog {
       }
     Seq(plus, minus, dvDeltas).flatten
       .reduceOption(_ unionByName _)
+      // one logical schema per feed, resolved at the window END; the
+      // sign column is feed metadata and passes through the mapping
+      .map(applyMapping(_, columnMapping(dir, toVersion),
+        keep = Seq(signCol)))
   }
 
   /** Snapshot read — all live parquet files as one DataFrame; empty
@@ -891,11 +1107,13 @@ object TxLog {
     * fast path — a homogeneous table pays nothing for the capability. */
   def read(spark: SparkSession, dir: String, asOf: Int = -1,
       mergeSchema: Boolean = false): DataFrame = {
-    val (entries, dv) = resolveState(dir, asOf)
+    val (entries, dv, cm) = resolveFull(dir, asOf)
     val files = entries.map(_._1)
     require(files.nonEmpty,
       s"txlog: snapshot of $dir at asOf=$asOf holds no files")
-    readMasked(spark, files, dv.toMap, mergeSchema)
+    // the mapping resolves AS OF the same snapshot — time travel across
+    // a rename serves that version's own logical names
+    applyMapping(readMasked(spark, files, dv.toMap, mergeSchema), cm)
   }
 
   // deletion-vector sidecar schema: the PART-file URI (as Spark's
@@ -1289,8 +1507,8 @@ object TxLog {
     * set — idempotence, same contract as [[optimize]]. */
   def restore(dir: String, toVersion: Int): Int = {
     require(toVersion >= 1, s"toVersion must be >= 1: $toVersion")
-    val (target, targetDvM) = resolveState(dir, toVersion)
-    val (current, currentDvM) = resolveState(dir, -1)
+    val (target, targetDvM, targetCm) = resolveFull(dir, toVersion)
+    val (current, currentDvM, currentCm) = resolveFull(dir, -1)
     val targetDv = targetDvM.toMap
     val currentDv = currentDvM.toMap
     val currentPaths = current.map(_._1).toSet
@@ -1306,8 +1524,17 @@ object TxLog {
       val haveAfter = if (addSet(p)) None else currentDv.get(p)
       if (want == haveAfter) None else Some(p -> want)
     }
-    if (add.isEmpty && remove.isEmpty && dvSets.isEmpty) return 0
-    commitRewrite(dir, add, remove, dvSets = dvSets)
+    // column-mapping reconciliation: a restore across a rename/drop must
+    // roll the LOGICAL schema back too. colmap is last-wins, so restating
+    // the target's mapping lands it; a pre-mapping target over a
+    // now-mapped table restores identity behavior via the `colmap -`
+    // clear (Some(Seq.empty) is the API sentinel that renders it).
+    val cmSet: Option[Seq[(String, String)]] =
+      if (targetCm == currentCm) None
+      else targetCm.orElse(Some(Seq.empty))
+    if (add.isEmpty && remove.isEmpty && dvSets.isEmpty && cmSet.isEmpty)
+      return 0
+    commitRewrite(dir, add, remove, dvSets = dvSets, colMap = cmSet)
   }
 
   /** Scheme- and working-directory-insensitive path identity — manifest
@@ -2014,7 +2241,7 @@ object TxLog {
   def cloneShallow(src: String, dst: String, asOf: Int = -1): Int = {
     require(latestVersion(dst) == 0,
       s"txlog: clone target $dst already has a log — clone forks a NEW table")
-    val (entries, dvM) = resolveState(src, asOf)
+    val (entries, dvM, cm) = resolveFull(src, asOf)
     require(entries.nonEmpty,
       s"txlog: snapshot of $src at asOf=$asOf holds no files")
     // qualify every referenced path: the clone's manifest lives under a
@@ -2027,7 +2254,8 @@ object TxLog {
       entries.map { case (p, st) => qualify(p) -> st },
       dvSets = dvM.toMap.toSeq.map { case (p, d) =>
         qualify(p) -> Some(qualify(d))
-      })
+      },
+      colMap = cm)
   }
 
   def destroy(dir: String): Unit = {

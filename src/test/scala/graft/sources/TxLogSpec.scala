@@ -899,6 +899,111 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  // ---- column mapping: metadata-only RENAME / DROP ----
+
+  test("renameColumn is metadata-only and time travel resolves old names") {
+    val dir = freshDir()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    TxLog.commit(dir, Seq(TxLog.writeBatch(df, dir, "b0")))
+    val filesBefore = TxLog.liveFiles(dir)
+    val v = TxLog.renameColumn(spark, dir, "tag", "label")
+    assert(v === 2)
+    assert(TxLog.liveFiles(dir) === filesBefore,
+      "rename must not touch a single data file")
+    assert(TxLog.read(spark, dir).columns.toSeq === Seq("id", "label"))
+    assert(TxLog.read(spark, dir).orderBy("id")
+      .select("label").as[String].collect().toSeq === Seq("a", "b"),
+      "data serves unchanged under the new logical name")
+    // time travel BEFORE the rename resolves the old logical schema
+    assert(TxLog.read(spark, dir, asOf = 1).columns.toSeq === Seq("id", "tag"))
+    // rename target collisions and unknown sources fail loudly
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, dir, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, dir, "id", "label")
+    }
+    TxLog.destroy(dir)
+  }
+
+  test("append after a rename writes physical names; optimize stays transparent") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 10.0)).toDF("id", "score"), dir, "b0")))
+    TxLog.renameColumn(spark, dir, "score", "quality")
+    // appends carry LOGICAL names; the mapped writer lands them physical
+    TxLog.appendMapped(spark, dir, Seq((2L, 20.0)).toDF("id", "quality"), "b1")
+    assert(TxLog.read(spark, dir).orderBy("id").select("quality")
+      .as[Double].collect().toSeq === Seq(10.0, 20.0))
+    // compaction rewrites bytes under the mapping without disturbing it
+    TxLog.optimize(spark, dir, "opt", targetFiles = 1)
+    assert(TxLog.read(spark, dir).columns.toSeq === Seq("id", "quality"))
+    assert(TxLog.read(spark, dir).orderBy("id").select("quality")
+      .as[Double].collect().toSeq === Seq(10.0, 20.0))
+    TxLog.destroy(dir)
+  }
+
+  test("drop + re-add same name: retired bytes never resurrect") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, "secret"), (2L, "hidden")).toDF("id", "note"), dir, "b0")))
+    TxLog.dropColumn(spark, dir, "note")
+    assert(TxLog.read(spark, dir).columns.toSeq === Seq("id"))
+    // re-add the SAME logical name via an append: fresh physical storage
+    TxLog.appendMapped(spark, dir, Seq((3L, "new")).toDF("id", "note"), "b1")
+    val rows = TxLog.read(spark, dir, mergeSchema = true).orderBy("id")
+      .select("id", "note").as[(Long, Option[String])].collect().toSeq
+    assert(rows === Seq((1L, None), (2L, None), (3L, Some("new"))),
+      "the dropped column's old values must stay dropped after re-add")
+    // time travel before the drop still serves the original values
+    assert(TxLog.read(spark, dir, asOf = 1).orderBy("id").select("note")
+      .as[String].collect().toSeq === Seq("secret", "hidden"))
+    TxLog.destroy(dir)
+  }
+
+  test("restore across a rename rolls the logical schema back") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 5L)).toDF("id", "n"), dir, "b0")))   // v1, pre-mapping
+    TxLog.renameColumn(spark, dir, "n", "count")     // v2
+    assert(TxLog.read(spark, dir).columns.toSeq === Seq("id", "count"))
+    TxLog.restore(dir, 1)                            // v3: back past the verb
+    assert(TxLog.read(spark, dir).columns.toSeq === Seq("id", "n"),
+      "restore to a pre-mapping version clears the mapping to identity")
+    assert(TxLog.columnMapping(dir).isEmpty)
+    TxLog.destroy(dir)
+  }
+
+  test("checkpoint and shallow clone both carry the column mapping") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, "x")).toDF("id", "tag"), dir, "b0")))
+    TxLog.renameColumn(spark, dir, "tag", "label")
+    TxLog.checkpoint(dir)
+    TxLog.expireManifests(dir)
+    assert(TxLog.read(spark, dir).columns.toSeq === Seq("id", "label"),
+      "a checkpoint-seeded resolution must replay the mapping")
+    val dst = freshDir()
+    TxLog.cloneShallow(dir, dst)
+    assert(TxLog.read(spark, dst).columns.toSeq === Seq("id", "label"),
+      "a shallow clone serves the source's logical schema")
+    TxLog.destroy(dir); TxLog.destroy(dst)
+  }
+
+  test("readPruned translates logical column names to physical stats") {
+    val dir = freshDir()
+    val df = Seq((1L, 10.0), (2L, 99.0)).toDF("id", "v")
+    TxLog.commitWithStats(dir,
+      Seq(TxLog.writeBatch(df, dir, "b0") -> TxLog.columnStats(df, "v")))
+    TxLog.renameColumn(spark, dir, "v", "value")
+    // prune by the NEW logical name against stats recorded physically
+    val hit = TxLog.readPruned(spark, dir, "value", 0.0, 50.0)
+    assert(hit.isDefined && hit.get.columns.toSeq === Seq("id", "value"))
+    val miss = TxLog.readPruned(spark, dir, "value", 1000.0, 2000.0)
+    assert(miss.isEmpty, "disjoint range still prunes after the rename")
+    TxLog.destroy(dir)
+  }
+
   test("a throwing conditional put does not leak the tmp manifest") {
     FlakyObjectStoreFileSystem.register(spark)
     val local = freshDir()
