@@ -7757,6 +7757,87 @@ object Queries {
       FROM fin GROUP BY 1, 2
       ORDER BY view, c_mktsegment"""))
 
+  /** Change-feed SUBSCRIPTION ([[graft.streaming.TxLogChangeStream]]):
+    * the streaming-source half of the lakehouse loop — a consumer
+    * subscribes to a mutating TxLog table and receives every commit as
+    * a signed micro-batch it folds into a maintained view, never naming
+    * a version itself. Three real row-changing micro-batches arrive
+    * (MERGE upsert, deletion-vector DELETE, compaction — the gate
+    * REQUIRES exactly three deliveries at one commit per batch), the
+    * compaction batch's +1/−1 rows must cancel through the signed fold,
+    * and the maintained view must hash-match the direct recompute of
+    * the final table — exactly-once end to end. */
+  private val qStreamTxlogCdc = QuerySpec(
+    "q_stream_txlog_cdc",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_sub_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      TxLog.commit(root, Seq(TxLog.writeBatch(cust, root, "b0")))  // v1
+      // subscribe AFTER the base load; the view seeds from that snapshot
+      var state = AggOps.partialStats(TxLog.read(s, root, asOf = 1),
+        Seq(col("c_mktsegment")), col("c_acctbal")).localCheckpoint()
+      val stream = new graft.streaming.TxLogChangeStream(
+        s, root, startAfter = 1, maxVersionsPerBatch = 1)
+      // the table mutates underneath the subscription: upsert, GDPR
+      // delete (merge-on-read), then a compaction that churns every file
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 500.0)
+      val inserts = cust.filter(col("c_custkey") % 10 === 7)
+        .withColumn("c_custkey", col("c_custkey") + 3000000L)
+        .withColumn("c_acctbal", col("c_acctbal") * 2.0)
+      TxLog.merge(s, root, "m", updates.unionByName(inserts),
+        Seq("c_custkey"))                                          // v2
+      TxLog.deleteWhereDV(s, root, "dv", col("c_custkey") % 7 === 3) // v3
+      TxLog.optimize(s, root, "opt", targetFiles = 1)              // v4
+      val delivered = stream.drain { (feed, _, _) =>
+        val next = AggOps.statsDeltaSigned(state, feed,
+          Seq(col("c_mktsegment")), col("c_acctbal"), col("sign"))
+          .localCheckpoint()
+        graft.core.Checkpoints.release(state)
+        state = next
+      }
+      require(delivered == 3,
+        s"three row-changing commits must arrive as three micro-batches, " +
+          s"got $delivered")
+      require(stream.position == 4,
+        s"the subscription must be caught up at v4, got ${stream.position}")
+      def shape(df: DataFrame, tag: String) = df
+        .select(col("c_mktsegment"), col("cnt"),
+          col("sum_dec").cast("double").as("sum_bal"))
+        .withColumn("view", lit(tag))
+      shape(state, "incremental")
+        .unionByName(shape(AggOps.partialStats(TxLog.read(s, root),
+          Seq(col("c_mktsegment")), col("c_acctbal")), "recompute"))
+        .select(col("view"), col("c_mktsegment"), col("cnt"), col("sum_bal"))
+        .orderBy("view", "c_mktsegment")
+    },
+    Some("""WITH src AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal + 500.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 3000000, c_mktsegment, c_acctbal * 2.0
+        FROM customer WHERE c_custkey % 10 = 7
+      ), merged AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM src
+      ), fin AS (
+        SELECT c_mktsegment, c_acctbal FROM merged WHERE c_custkey % 7 <> 3
+      )
+      SELECT 'incremental' AS view, c_mktsegment,
+        CAST(COUNT(c_acctbal) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      FROM fin GROUP BY 1, 2
+      UNION ALL
+      SELECT 'recompute', c_mktsegment, CAST(COUNT(c_acctbal) AS BIGINT),
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      FROM fin GROUP BY 1, 2
+      ORDER BY view, c_mktsegment"""))
+
   /** Incremental small-file compaction
     * ([[graft.sources.TxLog.optimizeIncremental]]) — the SCHEDULED
     * maintenance verb: four tiny ingest batches and one big batch land;
@@ -12191,7 +12272,8 @@ object Queries {
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,
     qTxlogUpdate, qTxlogRowverbCdc, qTxlogPartitioned, qSpanExcision,
-    qSssp, qTxlogIvm, qTxlogDeleteDv, qTxlogUpdateDv, qTxlogDvCdc,
+    qSssp, qTxlogIvm, qStreamTxlogCdc, qTxlogDeleteDv, qTxlogUpdateDv,
+    qTxlogDvCdc,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)
