@@ -796,11 +796,30 @@ object GraphOps {
     // partition — and the 17M-wedge Generate plus the 16M-group partial
     // aggregate downstream then run on one core. AQE sizes on shuffle
     // bytes and cannot see a quadratic Generate below the read; pinning
-    // width = defaultParallelism costs one shuffle of the 4.4k bucket
-    // rows and cut the warm fan-out+agg 6.1 → 1.9 s (A/B r12, sf0.1).
+    // the width costs one shuffle of the 4.4k bucket rows and cut the
+    // warm fan-out+agg 6.1 → 1.9 s (A/B r12, sf0.1). Width =
+    // spark.sql.shuffle.partitions, NOT defaultParallelism: the fan-out's
+    // output is the (n1,n2) partial aggregate's input, whose hash map is
+    // per-task — at 10× the decade probe measured 18 GB of map-side
+    // spill at a fixed 32-way width, and shuffle.partitions is exactly
+    // the knob a cluster raises with data volume to keep per-task state
+    // in memory (same contract as Bench's SPARK_GRAFT_PARTS).
     val buckets = ctr.groupBy(col("w"), col("dg"))
       .agg(sort_array(collect_list(col("n"))).as("ns"))
-      .repartition(edges.sparkSession.sparkContext.defaultParallelism)
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions)
+    // The explicit KEYED repartition before the pair aggregate pins the
+    // aggregate width the same way (AQE coalesced the 256-way agg input
+    // back to ~34 partitions at the 10× decade — 8.5 MB compressed per
+    // partition looks "small" to the byte heuristic, but every row is a
+    // hash-map entry, and the reduce side spilled 13.6 GB). It also
+    // replaces the map-side partial aggregate: wedge pairs are ~all
+    // distinct (16.3M groups from 17.2M wedges at sf0.1), so the
+    // pre-shuffle hash map compacted nothing and just burned a second
+    // build; with the distribution satisfied by the repartition, the
+    // partial+final pair fuse into one post-shuffle stage. 10× decade
+    // (182M wedges, PARTS=256): 1367 → 623 core-s min, spill 18 GB → 0.
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
     val scored = buckets
       .select(col("ns"),
         floor(lit(1e9) / log(col("dg")) + 0.5).cast("long").as("_term"),
@@ -808,6 +827,7 @@ object GraphOps {
       .select(explode(slice(col("ns"), col("pos") + lit(2),
           size(col("ns")))).as("n2"),
         col("col").as("n1"), col("_term"))
+      .repartition(width, col("n1"), col("n2"))
       .groupBy(col("n1"), col("n2"))
       .agg(count(lit(1)).as("cn"),
         // quantize per term, then sum exactly: Σ floor(1e9/ln d + ½)

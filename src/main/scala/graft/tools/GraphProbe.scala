@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
-    val spark = graft.core.Graft.session("graph-probe")
+    // SPARK_GRAFT_PARTS widens shuffle partitions for the decade points —
+    // fixed 32 understates a real cluster, which raises width with volume
+    // (the Bench contract); per-task aggregate state then stays in memory
+    val spark = graft.core.Graft.session("graph-probe",
+      shufflePartitions =
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", "32").toInt)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Long, Long, Long)]()
@@ -81,9 +86,13 @@ object GraphProbe {
       run("triangles")(
         graft.operators.GraphOps.triangleCounts(edges()).orderBy("node"))
     if (which("link_prediction"))
+      // the gate's r12 edge path: per-order bucket fan-out, no self-join
       run("link_prediction")(
-        graft.operators.GraphOps.linkPrediction(edges(), maxDegree = 100,
-          minCommon = 5L).orderBy("n1", "n2"))
+        graft.operators.GraphOps.linkPrediction(
+          graft.operators.GraphOps.coOccurrenceEdges(
+            graft.core.Graft.table(spark, dir, "lineitem"),
+            col("l_orderkey"), col("l_partkey")),
+          maxDegree = 100, minCommon = 5L).orderBy("n1", "n2"))
     spark.stop()
   }
 }

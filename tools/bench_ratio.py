@@ -3,6 +3,7 @@
 
 Usage:
     python3 tools/bench_ratio.py NEW.json OLD.json [--queries q_a,q_b,...]
+        [--gate=1.5]
 
 Reads two Bench artifacts (the one-line JSON Bench.scala writes to
 BENCH_FULL.json), intersects their query sets (optionally restricted to
@@ -15,7 +16,19 @@ BENCH_FULL.json), intersects their query sets (optionally restricted to
     those queries' single-min comparisons are untrustworthy,
   - the per-query ratio outliers (top 10 regressions / improvements).
 
-Exit code 0 always (reporting tool, not a gate).
+With --gate=R (VERDICT r11 item 8) the tool becomes a GATE: exit 1 when
+any shared query's min regressed more than Rx AND its repeats are stable
+(spread <= 1.5x in both artifacts — an unstable min is noise, not a
+regression), so a real slowdown fails loudly in the round that ships it
+instead of in the next verdict. Without --gate, exit 0 always.
+
+Round workflow: the previous round's full builder artifact is kept as
+BENCH_FULL_r{N}.json; before committing a round-closing BENCH_FULL.json,
+run  python3 tools/bench_ratio.py BENCH_FULL.json BENCH_FULL_r{N}.json
+--gate=1.5  and treat a non-zero exit as a blocker. (Driver
+BENCH_r{N}.json artifacts are LEFT-truncated — the loader recovers what
+survives via the repeats map, but only the full artifacts make a
+complete baseline.)
 """
 import json
 import sys
@@ -23,7 +36,26 @@ import sys
 
 def load(path):
     with open(path) as f:
-        return json.load(f)
+        d = json.load(f)
+    if "queries" in d:
+        return d
+    # driver artifact (BENCH_rNN.json): the Bench line rides in a
+    # possibly-TRUNCATED "tail" string — recover the per-query map (and
+    # repeats, when the map survived truncation) by regex
+    import re
+    tail = d.get("tail", "")
+    q = {k: float(v)
+         for k, v in re.findall(r'"(q[^"]+)":([0-9.]+)', tail)}
+    reps = {}
+    for k, arr in re.findall(r'"(q[^"]+)":\[([0-9.,]+)\]', tail):
+        reps[k] = [float(x) for x in arr.split(",")]
+    # driver tails truncate from the LEFT, often losing the queries map
+    # while the repeats map survives — the min over repeats IS the
+    # reported per-query time, so recover it from there
+    for k, r in reps.items():
+        if k not in q and r:
+            q[k] = min(r)
+    return {"queries": q, "repeats": reps}
 
 
 def main():
@@ -34,9 +66,12 @@ def main():
         sys.exit(1)
     new, old = load(args[0]), load(args[1])
     restrict = None
+    gate = None
     for o in opts:
         if o.startswith("--queries"):
             restrict = set(o.split("=", 1)[1].split(","))
+        if o.startswith("--gate"):
+            gate = float(o.split("=", 1)[1])
     nq, oq = new.get("queries", {}), old.get("queries", {})
     shared = sorted(
         k for k in nq
@@ -76,6 +111,18 @@ def main():
     print("top improvements (new/old):")
     for r, k in ratios[-10:][::-1]:
         print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s ({r:.2f}x)")
+
+    if gate is not None:
+        noisy = {k for _, k, _, _ in flagged}
+        bad = [(r, k) for r, k in ratios
+               if r > gate and k not in noisy and oq[k] > 0.05]
+        if bad:
+            print(f"\nGATE FAILED (--gate={gate}): "
+                  f"{len(bad)} stable-repeat regression(s) above {gate}x:")
+            for r, k in bad:
+                print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s ({r:.2f}x)")
+            sys.exit(1)
+        print(f"\ngate passed: no stable-repeat regression above {gate}x")
 
 
 if __name__ == "__main__":
