@@ -7838,6 +7838,44 @@ object Queries {
       FROM fin GROUP BY 1, 2
       ORDER BY view, c_mktsegment"""))
 
+  /** Commit audit trail ([[graft.sources.TxLog.history]]) — DESCRIBE
+    * HISTORY over a table that exercises every action kind: a 2-file
+    * ingest, a deletion-vector DELETE (zero file churn, one binding), a
+    * metadata-only RENAME, and a compaction (1 added, 2 removed). The
+    * action counts are deterministic given the fixture script, so the
+    * oracle states them as constants — the same contract as
+    * q_distcp_sync's copy/skip counts. */
+  private val qTxlogHistory = QuerySpec(
+    "q_txlog_history",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_hist_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      TxLog.commit(root, Seq(
+        TxLog.writeBatch(n.filter(col("n_nationkey") < 12), root, "b0"),
+        TxLog.writeBatch(n.filter(col("n_nationkey") >= 12), root, "b1")))
+      TxLog.deleteWhereDV(s, root, "dv", col("n_nationkey") === 3)
+      TxLog.renameColumn(s, root, "n_name", "nation_name")
+      TxLog.optimize(s, root, "opt", targetFiles = 1)
+      TxLog.history(s, root)
+        .select(col("version"), col("n_added"), col("n_removed"),
+          col("n_dv_bound"), col("n_dv_cleared"), col("schema_change"))
+        .orderBy("version")
+    },
+    Some("""SELECT * FROM (VALUES
+        (1, CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), false),
+        (2, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(0 AS BIGINT), false),
+        (3, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), true),
+        (4, CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), false))
+      AS t(version, n_added, n_removed, n_dv_bound, n_dv_cleared,
+        schema_change)
+      ORDER BY version"""))
+
   /** Incremental small-file compaction
     * ([[graft.sources.TxLog.optimizeIncremental]]) — the SCHEDULED
     * maintenance verb: four tiny ingest batches and one big batch land;
@@ -12272,8 +12310,8 @@ object Queries {
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,
     qTxlogUpdate, qTxlogRowverbCdc, qTxlogPartitioned, qSpanExcision,
-    qSssp, qTxlogIvm, qStreamTxlogCdc, qTxlogDeleteDv, qTxlogUpdateDv,
-    qTxlogDvCdc,
+    qSssp, qTxlogIvm, qStreamTxlogCdc, qTxlogHistory, qTxlogDeleteDv,
+    qTxlogUpdateDv, qTxlogDvCdc,
     qTopkNative, qJoinDelta, qJoinDeltaSigned, qStatsDeltaSigned, qTpchQ8,
     qTpchQ16, qTpchQ2, qTpchQ11,
     qTpchQ20)

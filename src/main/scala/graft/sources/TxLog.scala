@@ -885,6 +885,35 @@ object TxLog {
     }
   }
 
+  /** DESCRIBE HISTORY — one row per still-resolvable commit (public
+    * precedent: Delta's DESCRIBE HISTORY): version, commit timestamp,
+    * and the manifest's action counts (files added/removed, deletion
+    * vectors bound/cleared, whether the commit carried a column-mapping
+    * change). Resolution is O(retained manifests); expired history is
+    * absent by the same trade [[expireManifests]] documents. The verb a
+    * table owner runs FIRST when auditing what touched a 100 TB table. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = listLog(dir)
+    val versions = names.collect { case ManifestName(d) => d.toInt }.sorted
+    versions.toSeq.map { v =>
+      val text = readLogFile(dir, manifest(dir, v), s"manifest v$v")
+      var (adds, removes, dvSet, dvClear, schema) = (0L, 0L, 0L, 0L, false)
+      text.linesIterator.foreach { line =>
+        line.split("\t", 3) match {
+          case Array("add", _*)       => adds += 1
+          case Array("remove", _*)    => removes += 1
+          case Array("dv", _, "-")    => dvClear += 1
+          case Array("dv", _*)        => dvSet += 1
+          case Array("colmap", _*)    => schema = true
+          case _                      =>
+        }
+      }
+      (v, manifestTs(dir, v), adds, removes, dvSet, dvClear, schema)
+    }.toDF("version", "ts_millis", "n_added", "n_removed",
+      "n_dv_bound", "n_dv_cleared", "schema_change")
+  }
+
   /** Write a checkpoint of the CURRENT latest version: one file holding
     * the full live set, claimed with the same atomic create-if-absent as
     * commits (a losing writer fails; checkpointing is idempotent per
