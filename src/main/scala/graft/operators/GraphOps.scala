@@ -771,8 +771,14 @@ object GraphOps {
       .localCheckpoint()
     val dir = und.select(col("u").as("w"), col("v").as("n"))
       .unionAll(und.select(col("v").as("w"), col("u").as("n")))
+    // dg >= 2: a degree-1 center closes no wedge, and pruning it HERE
+    // (not after the bucket build) keeps its row out of the shuffle AND
+    // keeps the AA term's 1/ln(dg) from ever evaluating at dg = 1 — the
+    // r12 two-Generate fan-out computes the term per bucket row before
+    // the pair stream exists, so an unpruned dg=1 bucket is an ANSI
+    // divide-by-zero (the old nested-lambda shape just never evaluated it)
     val ctr = dir.join(
-      deg.filter(col("dg") <= maxDegree)
+      deg.filter(col("dg").between(2, maxDegree))
         .select(col("n").as("w"), col("dg")), "w")
     // Per-center bucket pairing (not the wedge self-join): the hub cap
     // bounds every neighbor list at maxDegree elements, so buckets ship
