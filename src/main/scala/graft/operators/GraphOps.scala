@@ -476,9 +476,20 @@ object GraphOps {
     * struct per element, no duplicated branch pipeline), and the y-probe
     * is a shuffled-hash join (the build side is one compact row per
     * node — hashing it beats sorting the per-edge array rows). Measured
-    * at sf0.1: 53 → 33 warm core-seconds for clusteringCoefficient. */
-  def triangleCounts(edges: DataFrame): DataFrame =
-    triangleCountsFrom(canonicalUndirected(edges))
+    * at sf0.1: 53 → 33 warm core-seconds for clusteringCoefficient.
+    *
+    * r12: the canonical edge set pins via localCheckpoint and releases
+    * on the O(|V|) result materialization — the r11 "ReuseExchange
+    * dedupes the shared distinct" claim no longer held (the r12 plan
+    * audit counted ~12 lineitem scans in q_triangles: consumer-specific
+    * projections push below the distinct and the divergent Exchanges
+    * never reuse — the same failure linkPrediction had). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges).localCheckpoint()
+    val result = triangleCountsFrom(und)
+    Checkpoints.release(und)
+    result
+  }
 
   /** Co-occurrence edge stream: one `(src, dst)` row per unordered item
     * pair sharing a group — the standard market-basket / co-purchase /
@@ -521,15 +532,20 @@ object GraphOps {
       .filter(col("u") =!= col("v"))
       .distinct()
 
+  /** Contract: `und` must be a PINNED (checkpointed) canonical edge set —
+    * it feeds the degree aggregate, the orientation join, and (via the
+    * caller) clusteringCoefficient's own degree branch; the returned
+    * counts are themselves checkpointed (O(|V|) rows) so every internal
+    * pin releases before return. */
   private def triangleCountsFrom(und: DataFrame): DataFrame = {
-    // the canonicalized edge list feeds both the degree agg and the
-    // orientation join; within ONE call tree the shared distinct
-    // Exchange is deduplicated by ReuseExchange (measured: an explicit
-    // localCheckpoint buys nothing) — callers composing ACROSS call
-    // trees (clusteringCoefficient) pin und themselves
+    // deg is O(|V|) and feeds TWO orientation legs — pinned so the
+    // aggregate runs once (the r12 plan audit showed the du/dv branches
+    // re-deriving it; ReuseExchange does not survive the divergent
+    // post-agg projections)
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val du = deg.select(col("n").as("u"), col("d").as("du"))
     val dv = deg.select(col("n").as("v"), col("d").as("dv"))
     val oriented = und.join(du, "u").join(dv, "v")
@@ -538,8 +554,12 @@ object GraphOps {
           col("u")).otherwise(col("v")).as("x"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("y"))
+    // adj feeds BOTH the x-side explode and the y-probe build — pinned
+    // so the orientation join + adjacency aggregate run once (r12 audit:
+    // unpinned, the whole pipeline above executed once per consumer)
     val adj = oriented.groupBy(col("x").as("n"))
       .agg(sort_array(collect_list(col("y"))).as("nbrs"))
+      .localCheckpoint()
     // (x, xn, y) falls straight out of the adjacency row by exploding its
     // own out-list — the r10 shape joined `oriented` back against adj for
     // the x side, paying a second array-carrying shuffle (150 MB / ~10
@@ -567,12 +587,17 @@ object GraphOps {
     // identical output. The position decides the weight (z slots weigh 1,
     // the two appended endpoint slots weigh |zs|), so the contribution
     // stream never allocates a struct per element.
-    perEdge
+    // counts are O(|V|): materialize them so deg/adj release before
+    // return (the same pin-release contract as linkPrediction)
+    val counts = perEdge
       .select(size(col("zs")).cast("long").as("nz"),
         posexplode(concat(col("zs"), array(col("x"), col("y")))))
       .select(col("col").as("node"),
         when(col("pos") < col("nz"), lit(1L)).otherwise(col("nz")).as("w"))
       .groupBy("node").agg(sum(col("w")).as("n_tri"))
+      .localCheckpoint()
+    Checkpoints.releaseAll(deg, adj)
+    counts
   }
 
   /** Modularity of a node partition — per-community quality terms for a
@@ -685,14 +710,6 @@ object GraphOps {
     * Scale: adds one degree aggregation and one left join on top of
     * triangleCounts; both shuffle on the node key, partials map-side. */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    // shared canonical edge set: the degree branch and the triangle
-    // pipeline deduplicate through ReuseExchange. Measured twice: an
-    // explicit localCheckpoint here was NET NEGATIVE at r6 (6.2 → 7.6 s
-    // at sf0.1) and a WASH at r10 re-measurement under the fixed bench
-    // hygiene (pinned min 6.34 s vs unpinned 6.41 s, REPEAT=5 solo) —
-    // unpinned stays: same speed, and library callers get no pinned
-    // blocks to manage.
-    //
     // r11 root-cause of the driver-run blowups (r9: 12.2 s, r10: 44.9 s
     // in-suite vs 6.4 s solo/builder-suite on the SAME commit): this
     // family was the suite's most CPU-intensive query — 53 warm / 175
@@ -707,11 +724,20 @@ object GraphOps {
     // posexplode contribution stream, hash-instead-of-sort y-probe);
     // Bench's per-repeat diag tuples (core_s vs process cpu_s vs gc_ms)
     // now make any future blowup attributable from the artifact alone.
-    val und = canonicalUndirected(edges)
+    //
+    // r12: und PINS via localCheckpoint. The r6/r10 "checkpoint is a
+    // wash" measurements predated the r11 kernel; the r12 plan audit
+    // counted ~14 lineitem scans in this gate's unpinned plan (the
+    // shared-Exchange reuse the old comment relied on does not survive
+    // consumer-specific projections below the distinct). The triangle
+    // counts come back as a checkpointed O(|V|) table, so everything
+    // releases on the result's own materialization.
+    val und = canonicalUndirected(edges).localCheckpoint()
+    val tri = triangleCountsFrom(und)
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.join(triangleCountsFrom(und), Seq("node"), "left_outer")
+    val result = deg.join(tri, Seq("node"), "left_outer")
       .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
       .withColumn("cc_e6",
         when(col("degree") >= 2L,
@@ -719,6 +745,9 @@ object GraphOps {
             / (col("degree") * (col("degree") - 1L)) * 1e6 + 0.5)
             .cast("long")))
       .select(col("node"), col("degree"), col("n_tri"), col("cc_e6"))
+      .localCheckpoint()
+    Checkpoints.releaseAll(und, tri)
+    result
   }
 
   /** Link prediction over an undirected edge list: scores NON-edges by
