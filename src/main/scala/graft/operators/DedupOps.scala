@@ -283,12 +283,13 @@ object DedupOps {
     // exact agreement with a from-scratch run — capping each side
     // independently diverged precisely at hot-bucket scale (a 6k+6k
     // bucket passed both per-side caps but the union run dropped it).
-    // Doc ids never repeat across seen/new, so union size = sum of sides.
-    val cn = bn.groupBy("bk").agg(count(lit(1)).as("_cn"))
-    val cs = bs.groupBy("bk").agg(count(lit(1)).as("_cs"))
-    val okBk = cn.join(cs, Seq("bk"), "full_outer")
-      .na.fill(0L, Seq("_cn", "_cs"))
-      .filter(col("_cn") + col("_cs") <= maxBucket)
+    // Doc ids never repeat across seen/new, so union size = sum of sides
+    // — which ONE count over the unioned key stream computes directly
+    // (r12: the per-side counts + full-outer reconciliation this
+    // replaces paid three shuffles for the same number).
+    val okBk = bn.select("bk").unionAll(bs.select("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") <= maxBucket)
       .select("bk")
     val bnOk = bn.join(okBk, Seq("bk"), "left_semi")
     val bsOk = bs.join(okBk, Seq("bk"), "left_semi")
