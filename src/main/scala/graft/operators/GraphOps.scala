@@ -675,16 +675,24 @@ object GraphOps {
       dir.join(nodes, Seq("n"), "left_semi")
         .join(nodes.select(col("n").as("m")), Seq("m"), "left_semi")
         .groupBy("n").agg(count(lit(1)).as("degree"))
-    var nodes = dir.select(col("n")).distinct().localCheckpoint()
-    var before = nodes.count()
+    // survivor count rides each checkpoint's own materialization job via
+    // observe() (r12, the nearDupClusters discipline) — the separate
+    // count() action was one extra Spark job per peel round
+    def checkpointWithCount(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("c")).localCheckpoint()
+      (ck, obs.get("c").asInstanceOf[Long])
+    }
+    var (nodes, before) = checkpointWithCount(
+      dir.select(col("n")).distinct())
     var r = 0
     var stable = false
     while (r < rounds && !stable) {
       val prev = nodes
-      nodes = coreDegrees(nodes).filter(col("degree") >= k)
-        .select(col("n")).localCheckpoint()
+      val (next, after) = checkpointWithCount(
+        coreDegrees(nodes).filter(col("degree") >= k).select(col("n")))
+      nodes = next
       Checkpoints.release(prev)
-      val after = nodes.count()
       stable = after == before
       before = after
       r += 1
