@@ -3880,13 +3880,21 @@ object Queries {
     (s, dir) => {
       graft.sources.GraftFileSystem.register(s)
       // catalog DDL is fixture: the measured operator is the read through
-      // the provided-storage location (one registration per dataset)
-      fixtureOnce(s"external_table|$dir") {
-        s.sql("DROP TABLE IF EXISTS graft_ext_supplier")
-        s.sql("CREATE TABLE graft_ext_supplier USING parquet LOCATION '" +
+      // the provided-storage location (one registration per dataset). The
+      // table NAME is per-dataset too — a global name served whichever
+      // dir registered first when a process touches several datasets
+      // (ADVICE r12), so the catalog entry and the memo key coincide.
+      val tbl = "graft_ext_supplier_" + java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(new java.io.File(dir).getCanonicalPath
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      fixtureOnce(s"external_table|$tbl") {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '" +
           graft.sources.GraftFileSystem.uri(s"$dir/supplier.parquet") + "'")
       }
-      s.table("graft_ext_supplier")
+      s.table(tbl)
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n_suppliers"), min(col("s_name")).as("first_name"))
         .orderBy("s_nationkey")

@@ -764,28 +764,37 @@ object TxLog {
     cm.flatMap(_.collectFirst { case (p, l) if l == logical => p })
       .getOrElse(logical)
 
-  /** The mapping to mutate in a rename/drop verb: the committed one, or
-    * an IDENTITY mapping bootstrapped from the live files' parquet union
-    * schema on a table's first schema verb (Delta's analogue: enabling
-    * column mapping stamps every existing column with its own name). */
-  private def currentOrIdentityMapping(spark: SparkSession,
-      dir: String): Seq[(String, String)] =
-    columnMapping(dir).getOrElse {
-      val files = liveFiles(dir)
-      require(files.nonEmpty,
-        s"txlog: cannot derive a column mapping for empty table $dir")
-      spark.read.option("mergeSchema", "true").parquet(files: _*)
-        .schema.fieldNames.toSeq.map(n => n -> n)
-    }
+  /** IDENTITY mapping bootstrapped from the live files' parquet union
+    * schema — what a table's first schema verb mutates (Delta's analogue:
+    * enabling column mapping stamps every existing column with its own
+    * name). */
+  private def identityMappingFromFiles(spark: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val files = liveFiles(dir)
+    require(files.nonEmpty,
+      s"txlog: cannot derive a column mapping for empty table $dir")
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .schema.fieldNames.toSeq.map(n => n -> n)
+  }
 
-  /** Metadata-only colmap commit under optimistic retry. */
+  /** Metadata-only colmap commit under optimistic retry. `mutate` is
+    * re-applied to a FRESH `columnMapping(dir)` read on every attempt
+    * (ADVICE r12): a lost race means another writer committed — possibly
+    * a schema verb — between our read and our claim, and re-stating the
+    * stale snapshot would silently undo that writer's rename/drop. The
+    * verb's own validation reruns against the rebased mapping, so a
+    * genuinely conflicting pair (two renames of one column) still fails
+    * loudly instead of last-wins. */
   private def commitColMap(dir: String,
-      mapping: Seq[(String, String)], maxAttempts: Int = 16): Int = {
+      mutate: Seq[(String, String)] => Seq[(String, String)],
+      bootstrap: () => Seq[(String, String)],
+      maxAttempts: Int = 16): Int = {
     var attempt = 0
     var out = -1
     while (out < 0) {
       attempt += 1
-      try out = commitWithStats(dir, add = Nil, colMap = Some(mapping))
+      val base = columnMapping(dir).getOrElse(bootstrap())
+      try out = commitWithStats(dir, add = Nil, colMap = Some(mutate(base)))
       catch {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.contains("lost the race") =>
@@ -817,31 +826,32 @@ object TxLog {
   def renameColumn(spark: SparkSession, dir: String,
       oldName: String, newName: String): Int = {
     require(oldName != newName, s"rename to self: $oldName")
-    val m = currentOrIdentityMapping(spark, dir)
-    require(m.exists(_._2 == oldName),
-      s"txlog: no column '$oldName' to rename in $dir " +
-        s"(logical schema: ${m.map(_._2).mkString(", ")})")
-    require(!m.exists(_._2 == newName),
-      s"txlog: rename target '$newName' already exists in $dir")
-    commitColMap(dir, m.map {
-      case (p, l) if l == oldName => (p, newName)
-      case other => other
-    })
+    commitColMap(dir, m => {
+      require(m.exists(_._2 == oldName),
+        s"txlog: no column '$oldName' to rename in $dir " +
+          s"(logical schema: ${m.map(_._2).mkString(", ")})")
+      require(!m.exists(_._2 == newName),
+        s"txlog: rename target '$newName' already exists in $dir")
+      m.map {
+        case (p, l) if l == oldName => (p, newName)
+        case other => other
+      }
+    }, () => identityMappingFromFiles(spark, dir))
   }
 
   /** DROP COLUMN as a METADATA-ONLY commit: the column leaves the
     * logical schema (readers stop projecting its physical storage);
     * bytes stay in place until files naturally rewrite, and time travel
     * to pre-drop versions still serves it. Returns the commit version. */
-  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
-    val m = currentOrIdentityMapping(spark, dir)
-    require(m.exists(_._2 == name),
-      s"txlog: no column '$name' to drop in $dir " +
-        s"(logical schema: ${m.map(_._2).mkString(", ")})")
-    val next = m.filterNot(_._2 == name)
-    require(next.nonEmpty, s"txlog: dropping the last column of $dir")
-    commitColMap(dir, next)
-  }
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int =
+    commitColMap(dir, m => {
+      require(m.exists(_._2 == name),
+        s"txlog: no column '$name' to drop in $dir " +
+          s"(logical schema: ${m.map(_._2).mkString(", ")})")
+      val next = m.filterNot(_._2 == name)
+      require(next.nonEmpty, s"txlog: dropping the last column of $dir")
+      next
+    }, () => identityMappingFromFiles(spark, dir))
 
   /** Rename a batch's LOGICAL columns to the table's PHYSICAL names —
     * the write-side half of column mapping, for appends to a mapped
@@ -858,21 +868,40 @@ object TxLog {
       case None =>
         // unmapped table: physical == logical, plain append
         commitWithRetry(dir, Seq(writeBatch(df, dir, name)))
-      case Some(m) =>
-        val nextV = latestVersion(dir) + 1
-        val known = m.map { case (p, l) => l -> p }.toMap
-        val fresh = df.columns.toSeq.filterNot(known.contains)
-          .map(l => l -> s"c${nextV}_$l")
-        val full = known ++ fresh
-        val phys = df.select(df.columns.toSeq.map(c =>
-          col(c).as(full(c))): _*)
-        val path = writeBatch(phys, dir, name)
+      case Some(_) =>
+        // the mapping is re-read on EVERY attempt (ADVICE r12): a lost
+        // race means another commit landed — if it was a schema verb,
+        // re-stating our pre-race snapshot would silently undo it. The
+        // physical batch is (re)written whenever the rebased mapping
+        // demands different physical names, and the commit omits the
+        // colmap line entirely when the batch introduces no new logical
+        // columns — a pure append then can't clobber anyone's mapping.
         var attempt = 0
         var out = -1
+        var written: Option[(Seq[String], String)] = None // (phys names, path)
         while (out < 0) {
           attempt += 1
-          try out = commitWithStats(dir, Seq(path -> None),
-            colMap = Some(m ++ fresh.map { case (l, p) => (p, l) }))
+          val m = columnMapping(dir).getOrElse(
+            identityMappingFromFiles(spark, dir))
+          val nextV = latestVersion(dir) + 1
+          val known = m.map { case (p, l) => l -> p }.toMap
+          val fresh = df.columns.toSeq.filterNot(known.contains)
+            .map(l => l -> s"c${nextV}_$l")
+          val full = known ++ fresh
+          val physNames = df.columns.toSeq.map(full)
+          val path = written match {
+            case Some((names, p)) if names == physNames => p
+            case _ =>
+              val p = writeBatch(df.select(df.columns.toSeq.map(c =>
+                col(c).as(full(c))): _*), dir, name + (
+                  if (attempt == 1) "" else s"_r$attempt"))
+              written = Some((physNames, p))
+              p
+          }
+          val colMap =
+            if (fresh.isEmpty) None
+            else Some(m ++ fresh.map { case (l, p) => (p, l) })
+          try out = commitWithStats(dir, Seq(path -> None), colMap = colMap)
           catch {
             case e: IllegalStateException
                 if e.getMessage != null &&

@@ -22,10 +22,16 @@ any shared query's min regressed more than Rx AND its repeats are stable
 regression), so a real slowdown fails loudly in the round that ships it
 instead of in the next verdict. Without --gate, exit 0 always.
 
+With --watermark=BENCH_r05.json [--watermark-max=1.25] the gate ALSO
+fails when the total over the queries shared with the watermark artifact
+crosses the ceiling — the long-horizon claw-back check (VERDICT r12
+item 6) that a per-round 1.5x gate cannot see.
+
 Round workflow: the previous round's full builder artifact is kept as
 BENCH_FULL_r{N}.json; before committing a round-closing BENCH_FULL.json,
 run  python3 tools/bench_ratio.py BENCH_FULL.json BENCH_FULL_r{N}.json
---gate=1.5  and treat a non-zero exit as a blocker. (Driver
+--gate=1.5 --watermark=BENCH_r05.json  and treat a non-zero exit as a
+blocker. (Driver
 BENCH_r{N}.json artifacts are LEFT-truncated — the loader recovers what
 survives via the repeats map, but only the full artifacts make a
 complete baseline.)
@@ -41,13 +47,38 @@ def load(path):
         return d
     # driver artifact (BENCH_rNN.json): the Bench line rides in a
     # possibly-TRUNCATED "tail" string — recover the per-query map (and
-    # repeats, when the map survived truncation) by regex
+    # repeats, when the map survived truncation) by regex. The per-entry
+    # regexes apply only FROM the '"queries":{' / '"repeats":{' markers
+    # (ADVICE r12): unanchored, they'd also match any other numeric map
+    # keyed by query name riding in the tail (per-query diag counters)
+    # and skew the gate with non-timing values.
     import re
     tail = d.get("tail", "")
+
+    def section(marker):
+        # the slice from the marker to its closing brace (maps are flat —
+        # scalar or array values only, so the first '}' closes the map);
+        # a LEFT-truncated tail may hold the map's suffix without its
+        # marker — fall back to the tail start only when no LATER marker
+        # of another section would be crossed
+        i = tail.find(marker)
+        if i >= 0:
+            j = tail.find("}", i)
+            return tail[i:j if j >= 0 else len(tail)]
+        return ""
+
+    qsec = section('"queries":{')
+    rsec = section('"repeats":{')
+    if not qsec and not rsec:
+        # headless suffix of a left-truncated tail: keep the old permissive
+        # scan but ONLY up to the first '}' (one map's remnant), so later
+        # intact maps (diag counters) cannot contribute entries
+        head = tail[:tail.find("}") + 1 or len(tail)]
+        qsec = rsec = head
     q = {k: float(v)
-         for k, v in re.findall(r'"(q[^"]+)":([0-9.]+)', tail)}
+         for k, v in re.findall(r'"(q[^"]+)":([0-9.]+)', qsec)}
     reps = {}
-    for k, arr in re.findall(r'"(q[^"]+)":\[([0-9.,]+)\]', tail):
+    for k, arr in re.findall(r'"(q[^"]+)":\[([0-9.,]+)\]', rsec):
         reps[k] = [float(x) for x in arr.split(",")]
     # driver tails truncate from the LEFT, often losing the queries map
     # while the repeats map survives — the min over repeats IS the
@@ -127,6 +158,40 @@ def main():
                 print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s ({r:.2f}x)")
             sys.exit(1)
         print(f"\ngate passed: no stable-repeat regression above {gate}x")
+
+    # r5-watermark gate (VERDICT r12 item 6): the long-horizon claw-back
+    # check. Compares NEW against the frozen watermark artifact over their
+    # shared queries and fails when the total ratio crosses the ceiling —
+    # so slow drift that no single round's 1.5x gate catches still fails
+    # the round that lets it accumulate. Box drift alone measured ~1.27x
+    # on the r5 set (WATERMARK_r12.json), hence the default 1.25 applies
+    # to the ratio honestly recomputed per-run, not to a cross-box myth.
+    wm_path, wm_max = None, 1.25
+    for o in opts:
+        if o.startswith("--watermark="):
+            wm_path = o.split("=", 1)[1]
+        if o.startswith("--watermark-max="):
+            wm_max = float(o.split("=", 1)[1])
+    if wm_path:
+        wm = load(wm_path)
+        wq = wm.get("queries", {})
+        wshared = sorted(k for k in nq if k in wq and nq[k] >= 0
+                         and wq[k] >= 0)
+        if not wshared:
+            print("\nwatermark: no shared queries — check the artifact")
+            sys.exit(1)
+        wn = sum(nq[k] for k in wshared)
+        wo = sum(wq[k] for k in wshared)
+        ratio = wn / wo
+        print(f"\nwatermark ({wm_path}): {len(wshared)} shared queries, "
+              f"new {wn:.1f}s vs watermark {wo:.1f}s = {ratio:.3f}x "
+              f"(ceiling {wm_max}x)")
+        if ratio > wm_max:
+            print(f"WATERMARK GATE FAILED: {ratio:.3f}x > {wm_max}x — "
+                  "the r5 set has re-accumulated slowdown; attribute or fix "
+                  "before closing the round")
+            sys.exit(1)
+        print("watermark gate passed")
 
 
 if __name__ == "__main__":
