@@ -8341,6 +8341,98 @@ object Queries {
       FROM ev WHERE b = 0
       ORDER BY 1"""))
 
+  /** Row-level DML on a COLUMN-MAPPED table
+    * ([[graft.sources.TxLog.deleteWhere]]/[[graft.sources.TxLog.updateWhere]]/
+    * [[graft.sources.TxLog.merge]] after
+    * [[graft.sources.TxLog.renameColumn]] — the r12 composition hole):
+    * after `c_acctbal` renames to `balance`, DELETE's predicate,
+    * UPDATE's predicate + SET, and MERGE's keys + source schema all
+    * address the LOGICAL name a user sees, while the data files keep
+    * serving under their physical names untouched by the rename. The
+    * gate also REQUIRES that addressing the retired physical name is
+    * rejected (the silent-stale-match failure mode), and that time
+    * travel to a pre-rename version still serves the old schema.
+    * Hash-checked output: the post-DML snapshot and the pre-rename
+    * time-travel snapshot, both replayed by the oracle in SQL. */
+  private val qTxlogMappedDml = QuerySpec(
+    "q_txlog_mapped_dml",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_mdml_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        cust.filter(col("c_custkey") < 750), root, "b_low")))
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        cust.filter(col("c_custkey") >= 750), root, "b_high")))
+      val filesPre = TxLog.liveFiles(root)
+      TxLog.renameColumn(s, root, "c_acctbal", "balance") // v3: metadata
+      require(TxLog.liveFiles(root) == filesPre,
+        "rename must not touch a single data file")
+      // DML addresses the NEW logical name against physical storage
+      TxLog.deleteWhere(s, root, "d", col("balance") < 0.0)
+      TxLog.updateWhere(s, root, "u", col("c_custkey") % 10 === 0,
+        Seq("balance" -> (col("balance") + lit(1000.0))))
+      TxLog.merge(s, root, "m",
+        cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            (col("c_acctbal") * 2.0).as("balance")),
+        Seq("c_custkey"))
+      // the RETIRED physical name must be rejected, not silently matched
+      val rejected =
+        try { TxLog.deleteWhere(s, root, "bad", col("c_acctbal") < 0.0); "" }
+        catch { case e: IllegalArgumentException => e.getMessage }
+      require(rejected.contains("logical"),
+        s"DML by the retired physical name must be rejected, got: $rejected")
+      val pre = TxLog.read(s, root, asOf = 2)
+      require(pre.columns.toSeq ==
+        Seq("c_custkey", "c_mktsegment", "c_acctbal"),
+        s"time travel must serve the pre-rename schema: " +
+          pre.columns.mkString(","))
+      val post = TxLog.read(s, root)
+      require(post.columns.toSeq ==
+        Seq("c_custkey", "c_mktsegment", "balance"),
+        s"latest must serve the mapped schema: ${post.columns.mkString(",")}")
+      post.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sumExact(col("balance")).as("sum_bal"))
+        .withColumn("snapshot", lit("post"))
+        .unionByName(pre.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sumExact(col("c_acctbal")).as("sum_bal"))
+          .withColumn("snapshot", lit("pre_rename")))
+        .select(col("snapshot"), col("c_mktsegment"), col("n"),
+          col("sum_bal"))
+        .orderBy("snapshot", "c_mktsegment")
+    },
+    Some("""WITH base AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      ), kept AS (
+        SELECT * FROM base WHERE NOT COALESCE(c_acctbal < 0.0, FALSE)
+      ), upd AS (
+        SELECT c_custkey, c_mktsegment,
+          CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+               ELSE c_acctbal END AS bal
+        FROM kept
+      ), src AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal * 2.0 AS bal
+        FROM base WHERE c_custkey % 7 = 0
+      ), merged AS (
+        SELECT c_mktsegment, bal FROM upd
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        UNION ALL
+        SELECT c_mktsegment, bal FROM src
+      )
+      SELECT 'post' AS snapshot, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      FROM merged GROUP BY 1, 2
+      UNION ALL
+      SELECT 'pre_rename', c_mktsegment, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      FROM base GROUP BY 1, 2
+      ORDER BY snapshot, c_mktsegment"""))
+
   /** Constraint-enforced ingest ([[graft.sources.TxLog.commitChecked]]):
     * two clean batches land through CHECK constraints
     * (value non-negative, event_type present); a third batch with
@@ -12313,7 +12405,7 @@ object Queries {
     qTxlogZorder, qTxlogZorder3, qTxlogRestore, qTxlogDelete, qTxlogMerge,
     qTxlogEvolve,
     qStreamTxlogMerge, qStreamForgetDv, qTxlogCdc, qTxlogTimeTravel,
-    qTxlogRename,
+    qTxlogRename, qTxlogMappedDml,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

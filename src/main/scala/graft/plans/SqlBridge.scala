@@ -12,6 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column → Expression conversion. [[expression]] returns a lazy
+    * `ColumnNodeExpression` LEAF that defers ColumnNode conversion to
+    * analysis — a `transform` over it never sees the attribute references
+    * inside. Callers that need to REWRITE a user column (TxLog's
+    * logical→physical DML mapping) must convert the node tree first. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
 
 /** `ExpectsInputTypes.inputTypes` returns `Seq[AbstractDataType]`, and

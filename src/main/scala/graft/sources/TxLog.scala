@@ -764,6 +764,48 @@ object TxLog {
     cm.flatMap(_.collectFirst { case (p, l) if l == logical => p })
       .getOrElse(logical)
 
+  /** STRICT logical → physical translation for the row-level DML verbs
+    * on a column-mapped table: a name outside the logical schema —
+    * including a RETIRED physical name left behind by a rename or drop —
+    * is rejected loudly rather than silently matching stale storage.
+    * (Closes the r12 composition hole: after `renameColumn(value →
+    * amount)`, `deleteWhere(col("amount") < 0)` addresses the column a
+    * user sees, and `col("value")` — the physical name — errors instead
+    * of deleting through the mapping's back door.) */
+  private def dmlPhysicalName(m: Seq[(String, String)], name: String,
+      verb: String): String =
+    m.collectFirst { case (p, l) if l == name => p }.getOrElse {
+      val note = m.collectFirst { case (p, l) if p == name =>
+        s" — '$name' is a PHYSICAL storage name (its logical name is '$l')"
+      }.getOrElse("")
+      throw new IllegalArgumentException(
+        s"txlog: $verb references column '$name', which is not in the " +
+          s"table's logical schema (${m.map(_._2).mkString(", ")}); on a " +
+          s"column-mapped table DML addresses logical names$note")
+    }
+
+  /** Rewrite every column REFERENCE inside a DML argument (predicate or
+    * SET right-hand side) from logical to physical names, strictly
+    * ([[dmlPhysicalName]]). Identity when the table has no mapping.
+    * `passThrough` admits feed-metadata names (applyChanges' op column)
+    * that are deliberately not table columns. */
+  private def dmlColumn(cm: Option[Seq[(String, String)]],
+      c: org.apache.spark.sql.Column, verb: String,
+      passThrough: Set[String] = Set.empty): org.apache.spark.sql.Column =
+    cm match {
+      case None => c
+      case Some(m) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.graftbridge.SqlBridge
+        val mapped = SqlBridge.eagerExpression(c).transform {
+          case ua: UnresolvedAttribute
+              if !passThrough(ua.nameParts.last) =>
+            UnresolvedAttribute(ua.nameParts.init :+
+              dmlPhysicalName(m, ua.nameParts.last, verb))
+        }
+        SqlBridge.column(mapped)
+    }
+
   /** IDENTITY mapping bootstrapped from the live files' parquet union
     * schema — what a table's first schema verb mutates (Delta's analogue:
     * enabling column mapping stamps every existing column with its own
@@ -814,12 +856,16 @@ object TxLog {
     * because rewriting every file for a rename is a non-starter.
     * Returns the commit version.
     *
-    * Caveats (documented, not hidden): schema verbs assume a single
-    * schema writer at a time (concurrent renames serialize through the
-    * claim, but last-wins on the mapping), and the row-level DML verbs
-    * ([[deleteWhere]]/[[updateWhere]]/[[merge]] and their DV twins)
-    * address the PHYSICAL schema — run them with physical names on a
-    * mapped table, or before schema verbs. Maintenance verbs
+    * The row-level DML verbs ([[deleteWhere]]/[[updateWhere]]/[[merge]]
+    * and their DV twins) address the LOGICAL schema on a mapped table —
+    * predicates, SET targets, merge keys and merge-source columns all
+    * name what a reader sees, and naming RETIRED physical storage is
+    * rejected loudly ([[dmlPhysicalName]]). Remaining caveat (documented,
+    * not hidden): schema verbs assume a single schema writer at a time
+    * (a lost claim race re-reads and re-validates against the winner's
+    * mapping, so a concurrent rename is never silently undone, but two
+    * conflicting renames still resolve last-committer-wins at the verb
+    * level). Maintenance verbs
     * ([[optimize]]/[[optimizeZOrderN]]/[[checkpoint]]) are
     * mapping-transparent: they rewrite physical bytes and the mapping
     * rides the log untouched. */
@@ -1726,10 +1772,11 @@ object TxLog {
     * capability analog: rewriting a MapFile without the purged keys —
     * there is no in-place delete in an immutable-file world.) */
   def deleteWhere(spark: SparkSession, dir: String, name: String,
-      predicate: org.apache.spark.sql.Column): Int = {
+      predicate0: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions._
-    val (entries, dvM) = resolveState(dir, -1)
+    val (entries, dvM, cm) = resolveFull(dir, -1)
     if (entries.isEmpty) return 0
+    val predicate = dmlColumn(cm, predicate0, "DELETE")
     val dvs = dvM.toMap
     val touched =
       probeTouched(spark, entries.map(_._1), dvs, _.filter(predicate))
@@ -1782,10 +1829,11 @@ object TxLog {
     * world rewrites; this is the lakehouse capability the reference's
     * users would adopt the engine FOR.) */
   def deleteWhereDV(spark: SparkSession, dir: String, name: String,
-      predicate: org.apache.spark.sql.Column): Int = {
+      predicate0: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions._
-    val (entries, dvM) = resolveState(dir, -1)
+    val (entries, dvM, cm) = resolveFull(dir, -1)
     if (entries.isEmpty) return 0
+    val predicate = dmlColumn(cm, predicate0, "DELETE (DV)")
     val dvs = dvM.toMap
     val matched = readMasked(spark, entries.map(_._1), dvs, withPos = true)
       .filter(coalesce(predicate, lit(false)))
@@ -1879,15 +1927,20 @@ object TxLog {
     * rewrite verb materializes the vector. Returns the new version, or 0
     * when nothing matches. Fresh `name` per call. */
   def updateWhereDV(spark: SparkSession, dir: String, name: String,
-      predicate: org.apache.spark.sql.Column,
-      set: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+      predicate0: org.apache.spark.sql.Column,
+      set0: Seq[(String, org.apache.spark.sql.Column)]): Int = {
     import org.apache.spark.sql.functions._
-    require(set.nonEmpty, "updateWhereDV needs at least one SET assignment")
-    require(set.map(_._1).distinct.size == set.size,
+    require(set0.nonEmpty, "updateWhereDV needs at least one SET assignment")
+    require(set0.map(_._1).distinct.size == set0.size,
       s"updateWhereDV: a column may appear at most once in SET " +
-        s"(got ${set.map(_._1).mkString(", ")})")
-    val (entries, dvM) = resolveState(dir, -1)
+        s"(got ${set0.map(_._1).mkString(", ")})")
+    val (entries, dvM, cm) = resolveFull(dir, -1)
     if (entries.isEmpty) return 0
+    val predicate = dmlColumn(cm, predicate0, "UPDATE (DV)")
+    val set = set0.map { case (n, e) =>
+      cm.fold(n)(dmlPhysicalName(_, n, "UPDATE (DV) SET")) ->
+        dmlColumn(cm, e, "UPDATE (DV) SET")
+    }
     val dvs = dvM.toMap
     val tableCols = spark.read.parquet(entries.head._1).columns.toSet
     val missing = set.map(_._1).filterNot(tableCols)
@@ -1965,15 +2018,20 @@ object TxLog {
     * capability analog: rewriting a MapFile with amended values —
     * immutable files have no in-place update.) */
   def updateWhere(spark: SparkSession, dir: String, name: String,
-      predicate: org.apache.spark.sql.Column,
-      set: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+      predicate0: org.apache.spark.sql.Column,
+      set0: Seq[(String, org.apache.spark.sql.Column)]): Int = {
     import org.apache.spark.sql.functions._
-    require(set.nonEmpty, "updateWhere needs at least one SET assignment")
-    require(set.map(_._1).distinct.size == set.size,
+    require(set0.nonEmpty, "updateWhere needs at least one SET assignment")
+    require(set0.map(_._1).distinct.size == set0.size,
       s"updateWhere: a column may appear at most once in SET " +
-        s"(got ${set.map(_._1).mkString(", ")})")
-    val entries = liveEntries(dir)
+        s"(got ${set0.map(_._1).mkString(", ")})")
+    val (entries, _, cm) = resolveFull(dir, -1)
     if (entries.isEmpty) return 0
+    val predicate = dmlColumn(cm, predicate0, "UPDATE")
+    val set = set0.map { case (n, e) =>
+      cm.fold(n)(dmlPhysicalName(_, n, "UPDATE SET")) ->
+        dmlColumn(cm, e, "UPDATE SET")
+    }
     // validate SET columns BEFORE the probe: inside the rewrite lambda the
     // check would be data-dependent — a typo'd column on a no-match
     // predicate would return 0 and a scheduled job would report success
@@ -2023,8 +2081,39 @@ object TxLog {
     * survives. Committed via [[commitRewrite]]. Returns the new version,
     * or 0 when `source` is empty. Fresh `name` per call. */
   def merge(spark: SparkSession, dir: String, name: String,
-      source: DataFrame, keys: Seq[String]): Int =
-    mergeImpl(spark, dir, name, identity, source, keys)
+      source: DataFrame, keys: Seq[String]): Int = {
+    val cm = columnMapping(dir)
+    val (physSource, physKeys) =
+      sourceToPhysical(cm, source, keys, "MERGE", passCols = Nil)
+    mergeImpl(spark, dir, name, identity, physSource, physKeys, cm = cm)
+  }
+
+  /** The write-side logical→physical half of the DML verbs on a
+    * column-mapped table: validates the source against the LOGICAL
+    * schema (the names a user sees), renames its columns to the physical
+    * storage names, and maps the join keys strictly
+    * ([[dmlPhysicalName]]). `passCols` are feed-metadata columns
+    * (applyChanges' op marker) that ride through unmapped. Identity when
+    * the table has no mapping. */
+  private def sourceToPhysical(cm: Option[Seq[(String, String)]],
+      source: DataFrame, keys: Seq[String], verb: String,
+      passCols: Seq[String]): (DataFrame, Seq[String]) = cm match {
+    case None => (source, keys)
+    case Some(m) =>
+      import org.apache.spark.sql.functions.col
+      val logical = m.map(_._2)
+      val srcData = source.columns.toSeq.filterNot(passCols.contains)
+      require(srcData.sorted == logical.sorted,
+        s"txlog: $verb source schema (${srcData.sorted.mkString(", ")}) " +
+          s"does not match the table's logical schema " +
+          s"(${logical.sorted.mkString(", ")}) — on a column-mapped table " +
+          "the source carries logical names; schema evolution goes " +
+          "through appendMapped")
+      val physSource = source.select(
+        m.map { case (p, l) => col(l).as(p) } ++
+          passCols.filter(source.columns.contains).map(col): _*)
+      (physSource, keys.map(dmlPhysicalName(m, _, s"$verb key")))
+  }
 
   /** APPLY CHANGES — fold an op-tagged CDC feed into the table in one
     * atomic commit (public precedent: Delta Live Tables' APPLY CHANGES
@@ -2048,9 +2137,12 @@ object TxLog {
     require(changes.columns.contains(opCol),
       s"applyChanges: feed has no op column '$opCol' " +
         s"(columns: ${changes.columns.mkString(", ")})")
+    val cm = columnMapping(dir)
+    val (physChanges, physKeys) = sourceToPhysical(cm, changes, keys,
+      "APPLY CHANGES", passCols = Seq(opCol))
     mergeImpl(spark, dir, name,
-      k => k.filter(col(opCol) =!= deleteOp).drop(opCol), changes, keys,
-      opNullCheck = Some(opCol))
+      k => k.filter(col(opCol) =!= deleteOp).drop(opCol), physChanges,
+      physKeys, opNullCheck = Some(opCol), cm = cm)
   }
 
   /** Shared copy-on-write core of [[merge]] and [[applyChanges]]:
@@ -2062,7 +2154,8 @@ object TxLog {
     * action. */
   private def mergeImpl(spark: SparkSession, dir: String, name: String,
       upsertsOf: DataFrame => DataFrame, keyedRaw: DataFrame,
-      keys: Seq[String], opNullCheck: Option[String] = None): Int = {
+      keys: Seq[String], opNullCheck: Option[String] = None,
+      cm: Option[Seq[(String, String)]] = None): Int = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val entries = liveEntries(dir)
@@ -2087,17 +2180,39 @@ object TxLog {
       require(dupKeys == 0,
         s"merge source has duplicate keys on (${keys.mkString(", ")}) — " +
           "a multi-match upsert is ill-defined; dedupe the source first")
-      val upserts = upsertsOf(keyed)
-      // schema drift check: a source missing (or adding) columns would
-      // land a heterogeneous file and make the default read()'s schema
-      // file-order dependent — fail loudly instead (Delta validates the
-      // write schema the same way; use read(mergeSchema) + an explicit
-      // evolved batch commit for intentional evolution)
-      val tableCols = spark.read.parquet(entries.head._1).columns.sorted
-      require(upserts.columns.sorted.sameElements(tableCols),
-        s"merge source schema (${upserts.columns.sorted.mkString(", ")}) " +
-          s"does not match the table (${tableCols.mkString(", ")}) — " +
-          "schema evolution goes through an explicit evolved commit")
+      val upserts0 = upsertsOf(keyed)
+      val headSchema = spark.read.parquet(entries.head._1).schema
+      val upserts = cm match {
+        case None =>
+          // schema drift check: a source missing (or adding) columns would
+          // land a heterogeneous file and make the default read()'s schema
+          // file-order dependent — fail loudly instead (Delta validates the
+          // write schema the same way; use read(mergeSchema) + an explicit
+          // evolved batch commit for intentional evolution)
+          val tableCols = headSchema.fieldNames.sorted
+          require(upserts0.columns.sorted.sameElements(tableCols),
+            s"merge source schema (${upserts0.columns.sorted.mkString(", ")}) " +
+              s"does not match the table (${tableCols.mkString(", ")}) — " +
+              "schema evolution goes through an explicit evolved commit")
+          upserts0
+        case Some(m) =>
+          // mapped table: the source arrived validated against the LOGICAL
+          // schema and renamed to physical ([[sourceToPhysical]]); the new
+          // file matches the probe file's physical layout, null-filling
+          // RETIRED storage columns (dropped from the mapping, still in
+          // old files' bytes — their data is logically gone), and appends
+          // mapped physical columns the probe file predates (fresh columns
+          // from a post-ADD appendMapped)
+          val present = upserts0.columns.toSet
+          val headCols = headSchema.map { f =>
+            if (present(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }
+          val extra = m.map(_._1)
+            .filterNot(headSchema.fieldNames.contains)
+            .filter(present).map(col)
+          upserts0.select(headCols ++ extra: _*)
+      }
       val srcKeys = nonNullKeyed.select(keys.map(col): _*).distinct()
       // manifest-stats pre-pruning of the probe scan (single numeric
       // key): a file whose recorded key range is disjoint from the

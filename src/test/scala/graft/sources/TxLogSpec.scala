@@ -1004,6 +1004,95 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  // ---- column mapping × row-level DML (r12 composition hole) ----
+
+  test("DML verbs address logical names on a renamed table") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "value"),
+      dir, "b0")))
+    TxLog.renameColumn(spark, dir, "value", "amount")
+    // DELETE by the NEW logical name (files store 'value' physically)
+    assert(TxLog.deleteWhere(spark, dir, "d1", col("amount") > 25.0) > 0)
+    assert(TxLog.read(spark, dir).orderBy("id").select("amount")
+      .as[Double].collect().toSeq === Seq(10.0, 20.0))
+    // UPDATE: predicate, SET target and SET right-hand side all logical
+    assert(TxLog.updateWhere(spark, dir, "u1", col("id") === 2L,
+      Seq("amount" -> (col("amount") + lit(5.0)))) > 0)
+    assert(TxLog.read(spark, dir).orderBy("id").select("amount")
+      .as[Double].collect().toSeq === Seq(10.0, 25.0))
+    // MERGE: source carries the LOGICAL schema; keys are logical
+    assert(TxLog.merge(spark, dir, "m1",
+      Seq((2L, 99.0), (4L, 40.0)).toDF("id", "amount"), Seq("id")) > 0)
+    assert(TxLog.read(spark, dir).orderBy("id")
+      .select("id", "amount").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (2L, 99.0), (4L, 40.0)))
+    // time travel ACROSS the rename still serves the old logical schema
+    assert(TxLog.read(spark, dir, asOf = 1).columns.toSeq ===
+      Seq("id", "value"))
+    TxLog.destroy(dir)
+  }
+
+  test("DML by a retired physical name is rejected loudly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 10.0, "x")).toDF("id", "value", "note"), dir, "b0")))
+    TxLog.renameColumn(spark, dir, "value", "amount")
+    TxLog.dropColumn(spark, dir, "note")
+    // the pre-rename physical name: rejected, names the logical twin
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.deleteWhere(spark, dir, "d", col("value") > 0.0)
+    }
+    assert(e1.getMessage.contains("'value'") &&
+      e1.getMessage.contains("amount"),
+      s"rejection must point at the logical name: ${e1.getMessage}")
+    // the dropped column's storage name: rejected as not-in-schema
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, dir, "u", col("note").isNotNull,
+        Seq("amount" -> lit(0.0)))
+    }
+    // a SET target by physical name: rejected too
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, dir, "u2", col("id") === 1L,
+        Seq("value" -> lit(0.0)))
+    }
+    // merge keyed on a physical name: rejected
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, "m",
+        Seq((1L, 1.0)).toDF("id", "amount"), Seq("value"))
+    }
+    TxLog.destroy(dir)
+  }
+
+  test("DV delete/update by logical names; merge null-fills retired storage") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+        .toDF("id", "value", "note"), dir, "b0")))
+    TxLog.renameColumn(spark, dir, "value", "amount")
+    TxLog.dropColumn(spark, dir, "note")   // 'note' bytes stay in b0
+    // merge-on-read verbs resolve logical names the same as copy-on-write
+    assert(TxLog.deleteWhereDV(spark, dir, "dv1", col("amount") === 30.0) > 0)
+    assert(TxLog.updateWhereDV(spark, dir, "dv2", col("id") === 1L,
+      Seq("amount" -> (col("amount") * lit(2.0)))) > 0)
+    assert(TxLog.read(spark, dir).orderBy("id").select("amount")
+      .as[Double].collect().toSeq === Seq(20.0, 20.0))
+    // merge into the table whose live file still CARRIES retired 'note'
+    // bytes: the source (logical schema) lands with note null-filled, and
+    // the merged snapshot never resurrects the dropped values
+    assert(TxLog.merge(spark, dir, "m1",
+      Seq((2L, 22.0), (9L, 90.0)).toDF("id", "amount"), Seq("id")) > 0)
+    assert(TxLog.read(spark, dir, mergeSchema = true).orderBy("id")
+      .select("id", "amount").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 20.0), (2L, 22.0), (9L, 90.0)))
+    assert(!TxLog.read(spark, dir).columns.contains("note"),
+      "the dropped column must stay dropped through DML")
+    TxLog.destroy(dir)
+  }
+
   test("a throwing conditional put does not leak the tmp manifest") {
     FlakyObjectStoreFileSystem.register(spark)
     val local = freshDir()
