@@ -8433,6 +8433,164 @@ object Queries {
       FROM base GROUP BY 1, 2
       ORDER BY snapshot, c_mktsegment"""))
 
+  /** One-time catalog registration for the SQL-surface gates: the graft
+    * [[graft.sources.GraftCatalog]] under the name `graft` with a fixed
+    * warehouse (per-dataset state lives in per-dataset TABLE names, so
+    * the process-wide catalog instance can never serve a stale dir —
+    * the q_external_table lesson). CatalogManager instantiates lazily on
+    * first `graft.` reference and caches; conf set-before-use is the
+    * supported runtime registration path (same as Delta's). */
+  private def sqlCatalog(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", "/tmp/graft_sql_warehouse")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sql")
+  }
+
+  private def dsTag(dir: String): String =
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** SQL MERGE INTO through the DataSourceV2 catalog
+    * ([[graft.sources.GraftCatalog]] +
+    * [[graft.plans.GraftSqlResolution]]): the WHOLE verb is SQL text —
+    * `CREATE TABLE ... USING graft LOCATION`, then `MERGE INTO ... WHEN
+    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, then a
+    * plain SELECT over the table name — exercising name resolution, the
+    * relation→snapshot rewrite, and the MERGE statement→
+    * [[graft.sources.TxLog.merge]] rewrite end to end. The data path is
+    * exactly q_txlog_merge's oracle-gated verb; what this gate proves is
+    * the SQL identity (VERDICT r12 item 1: "the first thing a real user
+    * types"). */
+  private val qSqlMergeInto = QuerySpec(
+    "q_sql_merge_into",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqlmrg_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      TxLog.commit(root, Seq(TxLog.writeBatch(cust, root, "b0")))
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.cust_$tag")
+      s.sql(s"CREATE TABLE graft.sql.cust_$tag USING graft LOCATION '$root'")
+      cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .unionByName(cust.filter(col("c_custkey") % 10 === 3)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("c_acctbal", col("c_acctbal") * 2.0))
+        .createOrReplaceTempView(s"mrg_src_$tag")
+      s.sql(s"""MERGE INTO graft.sql.cust_$tag t USING mrg_src_$tag s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+        FROM graft.sql.cust_$tag
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""WITH src AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_mktsegment, c_acctbal * 2.0
+        FROM customer WHERE c_custkey % 10 = 3
+      ), merged AS (
+        SELECT c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal FROM src
+      )
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      FROM merged GROUP BY 1 ORDER BY 1"""))
+
+  /** SQL time travel through the catalog: the table is CREATEd empty
+    * with a declared schema, populated by two `INSERT INTO ... SELECT`
+    * statements (each one atomic commit via the V1 write fallback →
+    * [[graft.sources.TxLog.appendMapped]]), then queried at
+    * `VERSION AS OF 1` and at latest in one statement — the DSv2
+    * time-travel contract routing through
+    * [[graft.sources.GraftCatalog.loadTable(ident,version)]]. */
+  private val qSqlTimeTravel = QuerySpec(
+    "q_sql_time_travel",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqltt_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 2)
+      ev.filter(b === 0).createOrReplaceTempView(s"tt_b0_$tag")
+      ev.filter(b === 1).createOrReplaceTempView(s"tt_b1_$tag")
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.ev_$tag")
+      s.sql(s"""CREATE TABLE graft.sql.ev_$tag
+        (event_id BIGINT, event_type STRING, value DOUBLE)
+        USING graft LOCATION '$root'""")
+      s.sql(s"INSERT INTO graft.sql.ev_$tag SELECT * FROM tt_b0_$tag")
+      s.sql(s"INSERT INTO graft.sql.ev_$tag SELECT * FROM tt_b1_$tag")
+      s.sql(s"""SELECT 'v1' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM graft.sql.ev_$tag VERSION AS OF 1
+        UNION ALL
+        SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        FROM graft.sql.ev_$tag
+        ORDER BY snapshot""")
+    },
+    Some("""WITH ev AS (SELECT event_id, value,
+          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 2 AS b
+        FROM events WHERE event_id IS NOT NULL)
+      SELECT 'v1' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM ev WHERE b = 0
+      UNION ALL
+      SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM ev
+      ORDER BY snapshot"""))
+
+  /** SQL DELETE + UPDATE statements through the catalog — the row-verb
+    * statements rewriting to [[graft.sources.TxLog.deleteWhere]] /
+    * [[graft.sources.TxLog.updateWhere]] with SQL DELETE/UPDATE
+    * semantics intact (NULL-predicate rows kept / not updated — the
+    * COALESCE in the oracle replays exactly that). */
+  private val qSqlRowDml = QuerySpec(
+    "q_sql_row_dml",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqldml_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev, root, "b0")))
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evdml_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evdml_$tag USING graft LOCATION '$root'")
+      s.sql(s"DELETE FROM graft.sql.evdml_$tag WHERE value < 100.0")
+      s.sql(s"UPDATE graft.sql.evdml_$tag SET value = value * 2.0 " +
+        "WHERE event_id % 7 = 0")
+      s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM graft.sql.evdml_$tag
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""WITH kept AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE NOT COALESCE(value < 100.0, FALSE)
+      ), upd AS (
+        SELECT event_type,
+          CASE WHEN event_id % 7 = 0 THEN value * 2.0 ELSE value END AS value
+        FROM kept
+      )
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM upd GROUP BY 1 ORDER BY 1"""))
+
   /** Constraint-enforced ingest ([[graft.sources.TxLog.commitChecked]]):
     * two clean batches land through CHECK constraints
     * (value non-negative, event_type present); a third batch with
@@ -12406,6 +12564,7 @@ object Queries {
     qTxlogEvolve,
     qStreamTxlogMerge, qStreamForgetDv, qTxlogCdc, qTxlogTimeTravel,
     qTxlogRename, qTxlogMappedDml,
+    qSqlMergeInto, qSqlTimeTravel, qSqlRowDml,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

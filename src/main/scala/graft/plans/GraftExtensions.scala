@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (exprs.length > 1) exprs(1).eval().toString else "NFC")))
     // conf-gated (spark.graft.rangeJoin.bucketWidth); no-op otherwise
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // the SQL surface for TxLog tables: rewrites GraftCatalog relations
+    // into snapshot plans and DELETE/UPDATE/MERGE statements into the
+    // oracle-gated verbs (no-op for every other plan)
+    ext.injectResolutionRule(session => GraftSqlResolution(session))
     // whole-operator custom plan: two-phase bounded-heap top-k per key
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graftbridge.TopKPerKeyStrategy)

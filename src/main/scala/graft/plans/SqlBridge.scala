@@ -20,6 +20,15 @@ object SqlBridge {
     * logical→physical DML mapping) must convert the node tree first. */
   def eagerExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` went
+    * `private[sql]` with the Spark 4 classic split) — the execution-time
+    * re-analysis path of the SQL MERGE command. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
 
 /** `ExpectsInputTypes.inputTypes` returns `Seq[AbstractDataType]`, and

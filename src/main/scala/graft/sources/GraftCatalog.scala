@@ -1,0 +1,375 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A SQL/catalog identity for [[TxLog]] tables — the DataSourceV2
+  * `TableCatalog` that makes the lakehouse surface reachable from plain
+  * SQL text (public precedent: Delta's DeltaCatalog; reference
+  * capability analog: catalog-over-provided-storage,
+  * hadoop-tools/hadoop-fs2img/.../FileSystemImage.java — mounting
+  * pre-existing data into a queryable namespace without copying it):
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /data/warehouse
+  * spark.sql.extensions              = graft.plans.GraftExtensions
+  *
+  * CREATE TABLE graft.db.t USING graft LOCATION '/data/existing_txlog'
+  * SELECT * FROM graft.db.t VERSION AS OF 3
+  * INSERT INTO graft.db.t SELECT ...
+  * INSERT OVERWRITE graft.db.t SELECT ...
+  * DELETE FROM graft.db.t WHERE ...
+  * UPDATE graft.db.t SET ... WHERE ...
+  * MERGE INTO graft.db.t USING src ON t.k = src.k
+  *   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  * ALTER TABLE graft.db.t RENAME COLUMN a TO b
+  * }}}
+  *
+  * Split of responsibilities, by what each Spark seam can express:
+  *  - this catalog owns NAMES: create/load/drop/rename/list, VERSION /
+  *    TIMESTAMP AS OF routing (`loadTable(ident, version)`), and ALTER
+  *    TABLE column verbs (metadata-only [[TxLog.renameColumn]] /
+  *    [[TxLog.dropColumn]] commits);
+  *  - INSERT INTO / INSERT OVERWRITE ride Spark's V1-write fallback
+  *    ([[GraftTable.newWriteBuilder]] → `V1Write` →
+  *    [[TxLog.appendMapped]] / [[TxLog.overwriteAll]]) — no analyzer
+  *    hook needed;
+  *  - SELECT reads and DELETE/UPDATE/MERGE statements resolve through
+  *    [[graft.plans.GraftSqlResolution]] (injected by
+  *    `graft.plans.GraftExtensions`), because a TxLog snapshot is a
+  *    PLAN (deletion-vector anti-join + column mapping projection), not
+  *    a bare file scan a `ScanBuilder` could hand back.
+  *
+  * Catalog metadata is tiny and file-backed: one manifest per table at
+  * `<warehouse>/_catalog/<namespace...>/<table>.meta` (tab-separated
+  * `location` / `external` / `schema` lines), created with the same
+  * atomic create-if-absent claim discipline as TxLog manifests, so two
+  * racing CREATEs resolve to one winner. The DATA never lives in the
+  * catalog — a table is a pointer at a TxLog directory; dropping an
+  * EXTERNAL table removes the pointer only, dropping a MANAGED table
+  * (no LOCATION in its CREATE) destroys its directory too.
+  *
+  * Scale: catalog operations are O(1) metadata-file reads; every data
+  * operation goes through TxLog's checkpoint-seeded snapshot resolution.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  // ---- metadata persistence ----------------------------------------
+
+  private def conf() =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def metaRoot = new Path(warehouse, "_catalog")
+
+  private def nsDir(ns: Array[String]): Path =
+    ns.foldLeft(metaRoot)((p, n) => new Path(p, n))
+
+  private def metaFile(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), s"${ident.name}.meta")
+
+  private def managedDir(ident: Identifier): String =
+    (Seq(warehouse) ++ ident.namespace :+ ident.name).mkString("/")
+
+  private case class TableMeta(location: String, external: Boolean,
+      declared: StructType)
+
+  private def readMeta(ident: Identifier): Option[TableMeta] = {
+    val p = metaFile(ident)
+    val fs = p.getFileSystem(conf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+        new String(bytes.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    var loc = ""; var ext = false; var schema = new StructType()
+    text.linesIterator.foreach(_.split("\t", 2) match {
+      case Array("location", v) => loc = v
+      case Array("external", v) => ext = v.toBoolean
+      case Array("schema", v) if v.nonEmpty =>
+        schema = StructType.fromDDL(v)
+      case _ =>
+    })
+    Some(TableMeta(loc, ext, schema))
+  }
+
+  private def writeMeta(ident: Identifier, meta: TableMeta): Boolean = {
+    val target = metaFile(ident)
+    val fs = target.getFileSystem(conf())
+    fs.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent,
+      s".${ident.name}.tmp${System.nanoTime()}")
+    val body =
+      s"location\t${meta.location}\nexternal\t${meta.external}\n" +
+        s"schema\t${if (meta.declared.isEmpty) "" else meta.declared.toDDL}\n"
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // same atomic create-if-absent claim as a TxLog manifest: one winner
+    TxLog.claimFor(fs, tmp, target)
+  }
+
+  // ---- TableCatalog -------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    val fs = d.getFileSystem(conf())
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    fs.listStatus(d).filter(_.isFile).map(_.getPath.getName)
+      .filter(_.endsWith(".meta"))
+      .map(n => Identifier.of(namespace, n.stripSuffix(".meta")))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, -1)
+
+  /** `VERSION AS OF v` routes here (the DSv2 time-travel contract). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
+      try version.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft: VERSION AS OF takes a commit number, got '$version'") }
+    loadAt(ident, v)
+  }
+
+  /** `TIMESTAMP AS OF ts` routes here with MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val meta = readMeta(ident).getOrElse(
+      throw new NoSuchTableException(ident))
+    loadAt(ident, TxLog.versionAt(meta.location, timestampMicros / 1000L))
+  }
+
+  private def loadAt(ident: Identifier, asOf: Int): Table = {
+    val meta = readMeta(ident).getOrElse(
+      throw new NoSuchTableException(ident))
+    GraftTable(
+      (catalogName +: ident.namespace :+ ident.name).mkString("."),
+      meta.location, asOf, meta.declared)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft: PARTITIONED BY is not supported — TxLog tables partition " +
+        "at the batch level (commitPartitioned) and prune via manifest " +
+        "stats; use OPTIMIZE/ZORDER for layout")
+    val external = properties.containsKey(TableCatalog.PROP_LOCATION)
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .getOrElse(managedDir(ident))
+    if (!writeMeta(ident, TableMeta(location, external, schema)))
+      throw new TableAlreadyExistsException(ident)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val meta = readMeta(ident).getOrElse(
+      throw new NoSuchTableException(ident))
+    val spark = SparkSession.active
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft: nested column rename is not supported")
+        TxLog.renameColumn(spark, meta.location, r.fieldNames.head,
+          r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft: nested column drop is not supported")
+        TxLog.dropColumn(spark, meta.location, d.fieldNames.head)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft: ALTER TABLE change not supported: $other " +
+            "(supported: RENAME COLUMN, DROP COLUMN)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    readMeta(ident) match {
+      case None => false
+      case Some(meta) =>
+        if (!meta.external) TxLog.destroy(meta.location)
+        val p = metaFile(ident)
+        p.getFileSystem(conf()).delete(p, false)
+    }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val meta = readMeta(oldIdent).getOrElse(
+      throw new NoSuchTableException(oldIdent))
+    if (!writeMeta(newIdent, meta))
+      throw new TableAlreadyExistsException(newIdent)
+    val p = metaFile(oldIdent)
+    p.getFileSystem(conf()).delete(p, false)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    readMeta(ident).isDefined
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  // ---- SupportsNamespaces -------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val fs = metaRoot.getFileSystem(conf())
+    if (!fs.exists(metaRoot)) return Array.empty
+    fs.listStatus(metaRoot).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = nsDir(namespace)
+    val fs = d.getFileSystem(conf())
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    fs.listStatus(d).filter(_.isDirectory)
+      .map(s => namespace :+ s.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val d = nsDir(namespace)
+      d.getFileSystem(conf()).exists(d)
+    }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val d = nsDir(namespace)
+    val fs = d.getFileSystem(conf())
+    if (fs.exists(d))
+      throw new NamespaceAlreadyExistsException(
+        (catalogName +: namespace.toSeq).toArray)
+    fs.mkdirs(d)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    val fs = d.getFileSystem(conf())
+    if (!fs.exists(d)) return false
+    if (!cascade && fs.listStatus(d).nonEmpty)
+      throw new IllegalStateException(
+        s"graft: namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(d, cascade)
+  }
+}
+
+/** The DSv2 `Table` a [[GraftCatalog]] serves: a named pointer at a
+  * [[TxLog]] directory, pinned to ONE snapshot version for the life of
+  * the query that loaded it (per-query snapshot isolation — `asOf < 0`
+  * resolves the latest version once, lazily, and both the schema and the
+  * read plan use that same pin). Reads are planned by
+  * [[graft.plans.GraftSqlResolution]]; writes ride the V1 fallback. */
+final case class GraftTable(qualified: String, dir: String, asOf: Int,
+    declared: StructType) extends Table with SupportsRead with SupportsWrite {
+
+  /** The snapshot every consumer of this instance agrees on. */
+  lazy val pinnedVersion: Int =
+    if (asOf > 0) asOf else TxLog.latestVersion(dir)
+
+  override def name(): String = qualified
+
+  override lazy val schema: StructType =
+    if (pinnedVersion == 0 || TxLog.liveFiles(dir, pinnedVersion).isEmpty)
+      declared
+    else TxLog.read(SparkSession.active, dir, pinnedVersion).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] =
+    Map(TableCatalog.PROP_PROVIDER -> "graft",
+      TableCatalog.PROP_LOCATION -> dir).asJava
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  /** Metadata-only ScanBuilder: DESCRIBE TABLE's stats probe builds a
+    * scan just to sniff statistics, so this must not throw — but an
+    * actual read reaching `toBatch` means the session is missing the
+    * extension that plans graft reads, and says so. */
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = schema
+          override def description(): String = s"graft snapshot $qualified"
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new UnsupportedOperationException(
+              s"graft: reading $qualified requires the session extension " +
+                "(spark.sql.extensions=graft.plans.GraftExtensions) — a " +
+                "TxLog snapshot is a plan (deletion-vector mask + column " +
+                "mapping), not a bare file scan, so the extension rewrites " +
+                "the relation instead of this scan running")
+        }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                overwriteFlag: Boolean): Unit = {
+              val spark = data.sparkSession
+              val batch = s"sql_${System.nanoTime()}"
+              if (overwrite || overwriteFlag)
+                TxLog.overwriteAll(spark, dir, data, batch)
+              else
+                TxLog.appendMapped(spark, dir, data, batch)
+            }
+          }
+      }
+    }
+}

@@ -219,6 +219,11 @@ object TxLog {
   private def claim(fs: FileSystem, tmp: Path, target: Path): Boolean =
     claimStore().claim(fs, tmp, target)
 
+  /** The claim primitive for sibling metadata stores ([[GraftCatalog]]'s
+    * table manifests) — same atomicity discipline, same pluggable seam. */
+  private[sources] def claimFor(fs: FileSystem, tmp: Path,
+      target: Path): Boolean = claim(fs, tmp, target)
+
   /** Atomically commit a set of file additions/removals; returns the new
     * version. Fails (IllegalStateException) if another writer won the
     * version — retry with a fresh read of [[latestVersion]]. */
@@ -958,6 +963,34 @@ object TxLog {
         }
         out
     }
+  }
+
+  /** Atomic full REPLACE — one commit lands `df` as the table's entire
+    * content: the new batch in, every live file out (their deletion-vector
+    * bindings die with them — [[replayInto]] clears a binding on remove),
+    * and any column mapping clears back to identity (the frame IS the new
+    * logical=physical schema). The INSERT OVERWRITE verb of the SQL
+    * surface ([[GraftCatalog]]); readers at older versions still time
+    * travel to the replaced content. Returns the commit version. */
+  def overwriteAll(spark: SparkSession, dir: String, df: DataFrame,
+      name: String): Int = {
+    val path = writeBatch(df, dir, name)
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      try out = commitWithStats(dir, Seq(path -> None),
+        remove = liveFiles(dir),
+        colMap = if (columnMapping(dir).isDefined) Some(Nil) else None)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("lost the race") =>
+          if (attempt >= 16) throw e
+          Thread.sleep(math.min(5L * attempt, 100L))
+      }
+    }
+    out
   }
 
   /** DESCRIBE HISTORY — one row per still-resolvable commit (public

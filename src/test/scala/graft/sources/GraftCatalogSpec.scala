@@ -1,0 +1,209 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The SQL surface end-to-end: every statement here is a `spark.sql`
+  * STRING — the catalog ([[GraftCatalog]]) resolves names/DDL/time
+  * travel, the extension rule ([[graft.plans.GraftSqlResolution]])
+  * plans reads and row-level DML, and the V1 write fallback lands
+  * INSERTs — all over the same [[TxLog]] verbs the Scala API gates. */
+class GraftCatalogSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wh = java.nio.file.Files
+    .createTempDirectory("graft-cat-wh").toString
+  spark.conf.set("spark.sql.catalog.cat", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.cat.warehouse", wh)
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-cat-tbl").toString
+
+  test("CREATE TABLE ... USING graft LOCATION mounts an existing txlog table") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+        .toDF("id", "tag", "v"), dir, "b0")))
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS cat.ext")
+    spark.sql(s"CREATE TABLE cat.ext.t USING graft LOCATION '$dir'")
+    val rows = spark.sql(
+      "SELECT tag, count(*) AS n, sum(v) AS s FROM cat.ext.t " +
+        "GROUP BY tag ORDER BY tag")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows === Seq(("a", 2L, 40.0), ("b", 1L, 20.0)))
+    // DROP of an EXTERNAL table removes the name, never the data
+    spark.sql("DROP TABLE cat.ext.t")
+    assert(TxLog.latestVersion(dir) === 1, "external data must survive DROP")
+    intercept[Exception] { spark.sql("SELECT * FROM cat.ext.t").collect() }
+  }
+
+  test("managed table: CREATE + INSERT INTO + INSERT OVERWRITE + DROP") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.db")
+    spark.sql("DROP TABLE IF EXISTS cat.db.m")
+    spark.sql("CREATE TABLE cat.db.m (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO cat.db.m VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("INSERT INTO cat.db.m SELECT 3, 3.5")
+    assert(spark.sql("SELECT * FROM cat.db.m ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // each INSERT is one atomic commit → time travel between them
+    assert(spark.sql("SELECT count(*) FROM cat.db.m VERSION AS OF 1")
+      .as[Long].head() === 2L)
+    spark.sql("INSERT OVERWRITE cat.db.m VALUES (9, 9.0)")
+    assert(spark.sql("SELECT * FROM cat.db.m")
+      .as[(Long, Double)].collect().toSeq === Seq((9L, 9.0)))
+    // overwrite is an ordinary commit: the old content still time travels
+    assert(spark.sql("SELECT count(*) FROM cat.db.m VERSION AS OF 2")
+      .as[Long].head() === 3L)
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED cat.db.m")
+      .filter($"col_name" === "Location").select("data_type")
+      .as[String].head()
+    spark.sql("DROP TABLE cat.db.m")
+    assert(TxLog.latestVersion(loc.stripPrefix("file:")) === 0,
+      "managed DROP must destroy the table directory")
+  }
+
+  test("DELETE / UPDATE / MERGE as plain SQL strings") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+        .toDF("id", "v"), dir, "b0")))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.dml")
+    spark.sql("DROP TABLE IF EXISTS cat.dml.t")
+    spark.sql(s"CREATE TABLE cat.dml.t USING graft LOCATION '$dir'")
+    spark.sql("DELETE FROM cat.dml.t WHERE v > 35.0")
+    assert(spark.sql("SELECT sum(v) FROM cat.dml.t").as[Double].head() === 60.0)
+    spark.sql("UPDATE cat.dml.t SET v = v + 0.5 WHERE id = 2")
+    assert(spark.sql("SELECT v FROM cat.dml.t WHERE id = 2")
+      .as[Double].head() === 20.5)
+    Seq((3L, 333.0), (5L, 50.0)).toDF("id", "v")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql("""MERGE INTO cat.dml.t t USING mrg_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT * FROM cat.dml.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (2L, 20.5), (3L, 333.0), (5L, 50.0)))
+    // every verb was one commit; the pre-DML snapshot still serves
+    assert(spark.sql("SELECT count(*) FROM cat.dml.t VERSION AS OF 1")
+      .as[Long].head() === 4L)
+    // unsupported MERGE shapes fail loudly, not wrongly
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO cat.dml.t t USING mrg_src s ON t.id = s.id
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("supported MERGE shape"))
+    spark.sql("DROP TABLE cat.dml.t")
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN are metadata-only; SQL DML follows the logical name") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 10.0, "x"), (2L, 20.0, "y")).toDF("id", "v", "note"),
+      dir, "b0")))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.sch")
+    spark.sql("DROP TABLE IF EXISTS cat.sch.t")
+    spark.sql(s"CREATE TABLE cat.sch.t USING graft LOCATION '$dir'")
+    val filesBefore = TxLog.liveFiles(dir)
+    spark.sql("ALTER TABLE cat.sch.t RENAME COLUMN v TO amount")
+    spark.sql("ALTER TABLE cat.sch.t DROP COLUMN note")
+    assert(TxLog.liveFiles(dir) === filesBefore,
+      "schema verbs must not touch a single data file")
+    assert(spark.sql("SELECT * FROM cat.sch.t").columns.toSeq ===
+      Seq("id", "amount"))
+    spark.sql("UPDATE cat.sch.t SET amount = amount * 2 WHERE id = 1")
+    assert(spark.sql("SELECT amount FROM cat.sch.t ORDER BY id")
+      .as[Double].collect().toSeq === Seq(20.0, 20.0))
+    // the retired physical name is rejected from SQL too
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM cat.sch.t WHERE v > 0")
+    }
+    assert(e.getMessage.contains("logical"))
+    // time travel across the rename serves the old schema
+    assert(spark.sql("SELECT * FROM cat.sch.t VERSION AS OF 1")
+      .columns.toSeq === Seq("id", "v", "note"))
+    spark.sql("DROP TABLE cat.sch.t")
+  }
+
+  test("snapshot reads keep pushdown: filter reaches the parquet scan") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v"), dir, "b0")))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.pp")
+    spark.sql("DROP TABLE IF EXISTS cat.pp.t")
+    spark.sql(s"CREATE TABLE cat.pp.t USING graft LOCATION '$dir'")
+    val plan = spark.sql("SELECT id FROM cat.pp.t WHERE id = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(id,7"),
+      s"the catalog read must keep parquet pushdown:\n$plan")
+    assert(spark.sql("SELECT id FROM cat.pp.t WHERE id = 7")
+      .as[Long].head() === 7L)
+    spark.sql("DROP TABLE cat.pp.t")
+  }
+
+  test("SHOW TABLES / tableExists / rename / listNamespaces") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.meta")
+    spark.sql("DROP TABLE IF EXISTS cat.meta.a")
+    spark.sql("DROP TABLE IF EXISTS cat.meta.b")
+    spark.sql("CREATE TABLE cat.meta.a (id BIGINT) USING graft")
+    assert(spark.sql("SHOW TABLES IN cat.meta").select("tableName")
+      .as[String].collect().toSeq.contains("a"))
+    spark.sql("ALTER TABLE cat.meta.a RENAME TO meta.b")
+    assert(spark.sql("SHOW TABLES IN cat.meta").select("tableName")
+      .as[String].collect().toSeq.sorted === Seq("b"))
+    assert(spark.sql("SHOW NAMESPACES IN cat").select("namespace")
+      .as[String].collect().toSet.contains("meta"))
+    spark.sql("DROP TABLE cat.meta.b")
+  }
+
+  test("CREATE TABLE AS SELECT lands the query as the first commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.ctas")
+    spark.sql("DROP TABLE IF EXISTS cat.ctas.t")
+    spark.sql(
+      "CREATE TABLE cat.ctas.t USING graft AS " +
+        "SELECT id, CAST(id AS DOUBLE) * 2.0 AS v FROM range(5)")
+    assert(spark.sql("SELECT sum(v) FROM cat.ctas.t").as[Double].head()
+      === 20.0)
+    assert(spark.sql("SELECT * FROM cat.ctas.t").columns.toSeq ===
+      Seq("id", "v"))
+    spark.sql("DROP TABLE cat.ctas.t")
+  }
+
+  test("TIMESTAMP AS OF resolves through commit timestamps") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 1.0)).toDF("id", "v"), dir, "b0")))
+    val tsAfterV1 = java.time.Instant
+      .ofEpochMilli(TxLog.manifestTs(dir, 1) + 1)
+      .toString.replace("T", " ").stripSuffix("Z")
+    Thread.sleep(5)
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((2L, 2.0)).toDF("id", "v"), dir, "b1")))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.tt")
+    spark.sql("DROP TABLE IF EXISTS cat.tt.t")
+    spark.sql(s"CREATE TABLE cat.tt.t USING graft LOCATION '$dir'")
+    assert(spark.sql(
+      s"SELECT count(*) FROM cat.tt.t TIMESTAMP AS OF '$tsAfterV1'")
+      .as[Long].head() === 1L)
+    assert(spark.sql("SELECT count(*) FROM cat.tt.t").as[Long].head() === 2L)
+    spark.sql("DROP TABLE cat.tt.t")
+  }
+
+  test("reads through the catalog see deletion-vector masks") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"), dir, "b0")))
+    TxLog.deleteWhereDV(spark, dir, "dv",
+      org.apache.spark.sql.functions.col("id") === 2L)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.dv")
+    spark.sql("DROP TABLE IF EXISTS cat.dv.t")
+    spark.sql(s"CREATE TABLE cat.dv.t USING graft LOCATION '$dir'")
+    assert(spark.sql("SELECT id FROM cat.dv.t ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L),
+      "a DV-masked row must not leak through the SQL read")
+    spark.sql("DROP TABLE cat.dv.t")
+  }
+}
