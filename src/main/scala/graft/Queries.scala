@@ -8591,6 +8591,89 @@ object Queries {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM upd GROUP BY 1 ORDER BY 1"""))
 
+  /** The change feed as a REAL streaming source
+    * ([[graft.streaming.GraftSourceProvider]] —
+    * `readStream.format("graft")`): offsets are commit versions, so
+    * SPARK'S OWN CHECKPOINT owns the cursor (VERDICT r12 item 3 — the
+    * q_stream_restart discipline applied to the source side). Pass 1
+    * drains two commits as two capped micro-batches into a signed view
+    * table and stops; while the stream is down an append and a
+    * deletion-vector DELETE land; pass 2 on the SAME checkpoint must
+    * deliver exactly the two new windows — the retraction arriving as
+    * sign = −1 rows. The proof is the data: the view is append-only
+    * signed folds, so any window replayed or skipped breaks the hash
+    * against the oracle's one-copy final-state aggregate. */
+  private val qStreamTxlogSource = QuerySpec(
+    "q_stream_txlog_source",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val sfName = new java.io.File(dir).getName
+      val root = s"/tmp/graft_srctbl_$sfName"
+      val view = s"/tmp/graft_srcview_$sfName"
+      val ckpt = s"/tmp/graft_srcckpt_$sfName"
+      TxLog.destroy(root); TxLog.destroy(view)
+      val ckptF = new java.io.File(ckpt)
+      if (ckptF.exists()) {
+        java.nio.file.Files.walk(ckptF.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.delete(q); () })
+      }
+      val ev = t(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 3)
+      val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
+      def runPass(): Unit = {
+        val q = pinnedParts(s, 8)(s.readStream.format("graft")
+          .option("maxVersionsPerBatch", "1")
+          .load(root)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+              val pinned = batch.localCheckpoint()
+              try {
+                if (!pinned.isEmpty) {
+                  delivered.incrementAndGet()
+                  TxLog.commit(view, Seq(TxLog.writeBatch(
+                    pinned.coalesce(1), view,
+                    s"w${TxLog.latestVersion(view) + 1}")))
+                }
+              } finally graft.core.Checkpoints.release(pinned)
+              ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+        q.awaitTermination()
+      }
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 0), root, "b0")))
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 1), root, "b1")))
+      runPass()
+      require(delivered.get == 2,
+        s"pass 1 must deliver one window per commit (cap=1), " +
+          s"got ${delivered.get}")
+      // while the stream is down: an append and a merge-on-read DELETE
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 2), root, "b2")))
+      TxLog.deleteWhereDV(s, root, "dv", col("value") < 10.0)
+      runPass()
+      require(delivered.get == 4,
+        "the restarted stream must deliver EXACTLY the two new windows " +
+          s"(append + DV delete), total ${delivered.get}")
+      val folded = TxLog.read(s, view)
+      require(folded.filter(col("sign") === -1).limit(1).count() == 1,
+        "the DV delete must arrive as signed retractions")
+      folded.groupBy(col("event_type"))
+        .agg(sum(col("sign")).cast("long").as("n"),
+          sumExact(col("value") * col("sign")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE event_id IS NOT NULL AND NOT COALESCE(value < 10.0, FALSE)
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Constraint-enforced ingest ([[graft.sources.TxLog.commitChecked]]):
     * two clean batches land through CHECK constraints
     * (value non-negative, event_type present); a third batch with
@@ -12564,7 +12647,7 @@ object Queries {
     qTxlogEvolve,
     qStreamTxlogMerge, qStreamForgetDv, qTxlogCdc, qTxlogTimeTravel,
     qTxlogRename, qTxlogMappedDml,
-    qSqlMergeInto, qSqlTimeTravel, qSqlRowDml,
+    qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

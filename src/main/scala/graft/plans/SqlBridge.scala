@@ -21,6 +21,22 @@ object SqlBridge {
   def eagerExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Re-tag a BATCH DataFrame as a STREAMING one (`isStreaming = true`)
+    * without changing its rows — the V1 streaming `Source.getBatch`
+    * contract: the engine splices the returned plan into the streaming
+    * query and asserts it is streaming, while a source whose micro-batch
+    * is a real computed plan (graft's change feed: snapshot-diff +
+    * deletion-vector joins) can only build it batch-first. `toRdd` keeps
+    * the computation lazy and fully distributed — nothing is collected.
+    * (`internalCreateDataFrame` is the `private[sql]` seam Spark's own
+    * V1 sources use for exactly this.) */
+  def streamingDf(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the execution-time
     * re-analysis path of the SQL MERGE command. */

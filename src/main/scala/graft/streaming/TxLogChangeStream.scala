@@ -23,26 +23,28 @@ import graft.sources.TxLog
   * into one frame, the same trade a file-stream source makes with
   * maxFilesPerTrigger.
   *
-  * Delivery contract: the cursor advances only AFTER the handler
-  * returns, so a crashed consumer re-receives its last window
-  * (at-least-once); the signed folds are deterministic per window, so a
-  * consumer that checkpoints `position` with its view (the streaming
-  * gates commit both through one TxLog commit) is exactly-once — the
-  * standard source-cursor discipline (public precedent: Delta's
-  * streaming source with its reservoir offsets; reference analog: the
-  * JobControl-chained incremental pipelines,
-  * lib/jobcontrol/JobControl.java:55, which re-ran whole stages instead).
+  * Delivery contract: AT-LEAST-ONCE with deterministic windows. The
+  * cursor advances only AFTER the handler returns, so a crashed
+  * consumer re-receives its last window; `position` is a plain
+  * in-memory cursor — THIS class persists nothing, so a consumer that
+  * needs exactly-once must either (a) commit `position` atomically
+  * WITH its view and pass it back as `startAfter` on resume (what the
+  * streaming gates do — the windows are deterministic, so replaying a
+  * committed window is detectable and skippable), or (b) use the
+  * engine-checkpointed form of the SAME feed:
+  * `spark.readStream.format("graft").load(dir)`
+  * ([[GraftSourceProvider]]), where Spark's offset log owns the cursor
+  * and a restart resumes exactly-once with no hand-carried state.
   *
   * Scale: discovery cost per poll is one log LISTING (no data read, no
   * manifest replay when nothing changed); each delivered window costs
   * two checkpoint-seeded snapshot resolutions plus a read of only the
   * files that changed — O(delta), never O(table).
   *
-  * Deliberately driver-side (the "foreachBatch-driven" shape): a full
-  * DataSourceV2 MicroBatchStream would buy trigger integration at the
-  * cost of ~10x the surface; the semantics — windowed, signed,
-  * cursor-resumable — are identical, and the synchronous `drain()` is
-  * what makes the oracle gate deterministic.
+  * Kept alongside the streaming source as the driver-side synchronous
+  * shape: `drain()` delivers inline on the calling thread with no query
+  * lifecycle, which is what embedding in a batch job (and the oracle
+  * gate) wants.
   */
 final class TxLogChangeStream(
     spark: SparkSession, dir: String, startAfter: Int = 0,
