@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_REPEAT=n to run each query n times (min time reported,
   * separating JVM/codegen warmup from steady-state). */
 object Bench {
+  /** The suite's CPU-ceiling family: gates whose repeats carry the
+    * recurring JIT re-tier episode (see the warmup note in the repeat
+    * loop). Membership = the graph gates whose diag shows core≈cpu at
+    * 100+ core-seconds. */
+  val CpuFamilyWarmup: Set[String] = Set(
+    "q_triangles", "q_clustering_coeff", "q_link_prediction",
+    "q_k_core", "q_graph_profile", "q_modularity")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -85,6 +93,22 @@ object Bench {
             errors(q.name) = s"stage: ${e.getClass.getSimpleName}: ${
               Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)}"
         }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
+      // CPU-family warmup (VERDICT r12 item 7, recording WHICH remedy):
+      // the triangle family recurrently shows one JIT re-tier/GC episode
+      // per suite run (r10–r12: a single repeat at 2–8× its min with ~4×
+      // the gc and core≈cpu — in-JVM degradation, not a plan change). One
+      // UNTIMED run of the same plan absorbs the C2 tier-up and its
+      // deopt/recompile churn BEFORE the timed window; the repeats map
+      // then measures the operator, not the compiler. Untimed cost ≈ one
+      // extra run per family gate per suite.
+      val warmed = Bench.CpuFamilyWarmup(q.name) && !errors.contains(q.name)
+      if (warmed) {
+        try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () } // the timed loop reports errors
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         System.gc()
