@@ -2590,6 +2590,62 @@ object Queries {
       FROM documents, generate_series(0, 2) ts(s), generate_series(0, 63) ti(i)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** REAL video keyframe extraction ([[MultimodalOps.keyframesAvi]] over
+    * [[MultimodalOps.encodeAviMjpeg]]): the fixture packs six 8×8
+    * grayscale frames per document into a GENUINE AVI/MJPEG container
+    * (RIFF framing + one real ImageIO JPEG per '00dc' chunk + the
+    * standard 'idx1' index) with frames 0/2/4 flagged AVIIF_KEYFRAME;
+    * the operator walks the RIFF index and decodes ONLY the flagged
+    * frames — never touching the others' bytes, the O(keyframes)
+    * property a 100 TB video corpus needs. Keyframe SELECTION is exact
+    * (which frames surface); pixel fidelity is JPEG-bounded, so the
+    * gate checks a tolerance against the replayed fixture construction
+    * (the q_resize_jpeg discipline) and the oracle pins the exact
+    * (doc, frame) structure. This retires the video-arm stub for the
+    * container/index/JPEG path; non-JDK codecs (H.264, webp) remain
+    * disclosed stubs. */
+  private val qVideoKeyframes = QuerySpec(
+    "q_video_keyframes",
+    (s, dir) => {
+      import s.implicits._
+      val docs = core.Graft.rebalanceForCompute(t(s, dir, "documents"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val avi = docs.as[(Long, String)]
+        .map { case (id, text) =>
+          // byte-indexed fixture vs char-indexed oracle: ASCII only
+          val b = text.getBytes("UTF-8")
+          require(b.length == text.length, s"non-ASCII text in doc $id")
+          val frames = (0 until 6).map(f =>
+            Array.tabulate[Byte](64)(i => b((f * 64 + i) % b.length)))
+          (id, MultimodalOps.encodeAviMjpeg(frames, 8, 8, f => f % 2 == 0))
+        }
+        .toDF("doc_id", "payload")
+      MultimodalOps.keyframesAvi(avi, "doc_id", "payload")
+        .toDF("doc_id", "frame", "pixels")
+        .join(docs, Seq("doc_id"))
+        .as[(Long, Int, Array[Byte], String)]
+        .map { case (id, f, px, text) =>
+          val b = text.getBytes("UTF-8")
+          var maxE = 0
+          var sum = 0
+          var i = 0
+          while (i < px.length) {
+            val exp = b((f * 64 + i) % b.length) & 0xff
+            val e = math.abs((px(i) & 0xff) - exp)
+            maxE = math.max(maxE, e)
+            sum += e
+            i += 1
+          }
+          (id, f.toLong, px.length.toLong, maxE <= 48 && sum / 64.0 <= 12.0)
+        }
+        .toDF("doc_id", "frame", "n_pixels", "within_tol")
+        .orderBy("doc_id", "frame")
+    },
+    Some("""SELECT doc_id, CAST(s * 2 AS BIGINT) AS frame,
+        CAST(64 AS BIGINT) AS n_pixels, TRUE AS within_tol
+      FROM documents, generate_series(0, 2) t(s)
+      ORDER BY 1, 2"""))
+
   /** REAL-codec audio features ([[MultimodalOps.audioStripeMeans]]): fixture
     * encodes each doc's char codes as genuine 16-bit mono PCM WAV (RIFF
     * container, manually framed — WAV is uncompressed, so no codec library
@@ -12584,7 +12640,8 @@ object Queries {
     qStreamTumbling, qStreamRocksdb, qJdbcRoundtrip, qBucketedJoin, qNline, qStreamSessions,
     qPartitionerContract, qAutoSource, qStreamDedup, qSaltedJoin,
     qCounters, qUdafRegistry, qFrameSample, qResize, qResizePng,
-    qWavFeatures, qFrameSampleGif, qResizeJpeg, qGramian, qBpePairs,
+    qWavFeatures, qFrameSampleGif, qResizeJpeg, qVideoKeyframes,
+    qGramian, qBpePairs,
     qSqlNativeCosine,
     qStreamEtl, qHashSplit, qRepetition, qDedupClusters, qDedupClustersInc,
     qRedact,

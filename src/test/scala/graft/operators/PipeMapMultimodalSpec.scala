@@ -173,6 +173,32 @@ class PipeMapMultimodalSpec extends AnyFunSuite {
     assert(new String(stub(0), "UTF-8") == "abc")
   }
 
+  test("keyframesAvi: real RIFF index walk, only flagged frames decode") {
+    // 6 smooth-gradient frames (JPEG-friendly), keyframes at 0/2/4
+    val frames = (0 until 6).map(f =>
+      Array.tabulate[Byte](64)(i => (f * 30 + i * 2).toByte))
+    val avi = MultimodalOps.encodeAviMjpeg(frames, 8, 8, f => f % 2 == 0)
+    assert(avi.take(4).map(_.toChar).mkString == "RIFF" &&
+      new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val df = Seq((9L, avi)).toDF("doc_id", "payload")
+    val out = MultimodalOps.keyframesAvi(df, "doc_id", "payload")
+      .collect().map(r => r.getInt(1) -> r.getAs[Array[Byte]](2)).toMap
+    assert(out.keySet == Set(0, 2, 4),
+      s"only AVIIF_KEYFRAME entries must surface: ${out.keySet}")
+    out.foreach { case (f, px) =>
+      assert(px.length == 64)
+      val errs = (0 until 64).map(i =>
+        math.abs((px(i) & 0xff) - (frames(f)(i) & 0xff)))
+      assert(errs.max <= 24 && errs.sum / 64.0 <= 6.0,
+        s"frame $f JPEG drift: max=${errs.max} mean=${errs.sum / 64.0}")
+    }
+    // non-AVI payload keeps the deterministic stub shape
+    val stub = MultimodalOps.keyframesAvi(
+      Seq((7L, "abcdef".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+      "doc_id", "payload").collect()
+    assert(stub.length == 1 && stub.head.getInt(1) == 0)
+  }
+
   test("binaryMeta computes byte length and md5 over the payload") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val row = MultimodalOps.binaryMeta(
