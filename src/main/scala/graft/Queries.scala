@@ -8730,6 +8730,58 @@ object Queries {
       WHERE event_id IS NOT NULL AND NOT COALESCE(value < 10.0, FALSE)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** SQL MAINTENANCE statements ([[graft.plans.GraftSqlParser]] —
+    * `OPTIMIZE` / `DESCRIBE HISTORY` / `VACUUM` as plain SQL text, the
+    * statements standard SQL has no grammar for, injected as a
+    * delegating parser): four small batches land, `OPTIMIZE … TARGET 1`
+    * bin-packs them (REQUIREd: one live batch dir after), `DESCRIBE
+    * HISTORY` returns one row per commit (REQUIREd: 5), a pre-expiry
+    * `VACUUM` reclaims NOTHING (every version still resolvable — the
+    * time-travel safety contract), and after checkpoint+expire the same
+    * statement reclaims exactly the four retired dirs. Hash-checked
+    * output: the post-optimize snapshot read back through the catalog
+    * (content-neutrality, the compaction contract). */
+  private val qSqlMaintenance = QuerySpec(
+    "q_sql_maintenance",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqlmaint_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 4)
+      (0 until 4).foreach { k =>
+        TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === k),
+          root, s"b$k")))
+      }
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.maint_$tag")
+      s.sql(s"CREATE TABLE graft.sql.maint_$tag USING graft LOCATION '$root'")
+      val vOpt = s.sql(s"OPTIMIZE graft.sql.maint_$tag TARGET 1")
+        .head().getInt(0)
+      require(vOpt == 5, s"OPTIMIZE must land as ordinary version 5: $vOpt")
+      require(TxLog.liveFiles(root).size == 1,
+        "OPTIMIZE TARGET 1 must bin-pack to one batch dir")
+      val hist = s.sql(s"DESCRIBE HISTORY graft.sql.maint_$tag").collect()
+      require(hist.length == 5,
+        s"DESCRIBE HISTORY must show 5 commits, got ${hist.length}")
+      require(s.sql(s"VACUUM graft.sql.maint_$tag").count() == 0,
+        "VACUUM must reclaim nothing while every version is resolvable")
+      TxLog.checkpoint(root); TxLog.expireManifests(root)
+      val reclaimed = s.sql(s"VACUUM graft.sql.maint_$tag").count()
+      require(reclaimed == 4,
+        s"post-expiry VACUUM must reclaim the 4 retired dirs: $reclaimed")
+      s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM graft.sql.maint_$tag
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Constraint-enforced ingest ([[graft.sources.TxLog.commitChecked]]):
     * two clean batches land through CHECK constraints
     * (value non-negative, event_type present); a third batch with
@@ -12705,6 +12757,7 @@ object Queries {
     qStreamTxlogMerge, qStreamForgetDv, qTxlogCdc, qTxlogTimeTravel,
     qTxlogRename, qTxlogMappedDml,
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
+    qSqlMaintenance,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

@@ -632,6 +632,10 @@ object MultimodalOps {
           Iterator.single((id, 0,
             bytes.slice(0, math.max(1, bytes.length / 6))))
         } else {
+          // keep ImageIO off its disk-backed stream cache (same hygiene
+          // as the GIF arms): per-frame temp files would charge the
+          // decode kernel for file I/O
+          javax.imageio.ImageIO.setUseCache(false)
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           def fourcc(pos: Int): String =

@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // into snapshot plans and DELETE/UPDATE/MERGE statements into the
     // oracle-gated verbs (no-op for every other plan)
     ext.injectResolutionRule(session => GraftSqlResolution(session))
+    // maintenance statements standard SQL has no grammar for:
+    // OPTIMIZE [TARGET n | ZORDER BY (...)], VACUUM, DESCRIBE HISTORY —
+    // a strict-superset delegating parser (Delta's own pattern)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     // whole-operator custom plan: two-phase bounded-heap top-k per key
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graftbridge.TopKPerKeyStrategy)

@@ -1,0 +1,149 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types._
+
+import graft.sources.{GraftTable, TxLog}
+
+/** The MAINTENANCE half of the SQL surface — statements standard SQL has
+  * no grammar for, injected as a delegating parser ([[GraftExtensions]],
+  * the public pattern Delta uses for its own `OPTIMIZE`/`VACUUM`):
+  *
+  * {{{
+  * OPTIMIZE graft.db.t                        -- bin-pack small files
+  * OPTIMIZE graft.db.t TARGET 8               -- explicit output width
+  * OPTIMIZE graft.db.t ZORDER BY (a, b, c)    -- multi-dimension cluster
+  * VACUUM graft.db.t                          -- reclaim unreachable files
+  * DESCRIBE HISTORY graft.db.t                -- per-commit audit rows
+  * }}}
+  *
+  * Everything else — including every statement the session would parse
+  * without this extension — passes through to the delegate untouched, so
+  * the parser is a strict superset. Table names resolve at EXECUTION
+  * time through the session's catalog manager to a [[GraftTable]] (loud
+  * error for non-graft tables), and the verbs are the existing
+  * oracle-gated ones: [[TxLog.optimize]] / [[TxLog.optimizeZOrderN]] /
+  * [[TxLog.vacuum]] / [[TxLog.history]]. */
+final class GraftSqlParser(delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeZOrderRe(name, cols) =>
+      GraftOptimizeCommand(parts(name),
+        zorderCols = cols.split(",").map(stripQuotes).toSeq
+          .filter(_.nonEmpty))
+    case OptimizeRe(name, target) =>
+      GraftOptimizeCommand(parts(name), zorderCols = Nil,
+        targetFiles = Option(target).map(_.trim.toInt))
+    case VacuumRe(name) => GraftVacuumCommand(parts(name))
+    case HistoryRe(name) => GraftHistoryCommand(parts(name))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftSqlParser {
+  // IDENT: dotted, each part optionally backticked (dots inside backticks
+  // unsupported — a parse-time limitation, not a data one)
+  private val Ident = """((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))+)"""
+  private[plans] val OptimizeZOrderRe =
+    ("""(?is)\s*OPTIMIZE\s+""" + Ident +
+      """\s+ZORDER\s+BY\s*\(([^)]*)\)\s*;?\s*""").r
+  private[plans] val OptimizeRe =
+    ("""(?is)\s*OPTIMIZE\s+""" + Ident +
+      """(?:\s+TARGET\s+(\d+))?\s*;?\s*""").r
+  private[plans] val VacuumRe =
+    ("""(?is)\s*VACUUM\s+""" + Ident + """\s*;?\s*""").r
+  private[plans] val HistoryRe =
+    ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*""").r
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("`") && t.endsWith("`") && t.length >= 2)
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  private def parts(name: String): Seq[String] =
+    name.split("\\.").map(stripQuotes).toSeq
+
+  /** Execution-time resolution: the named table must be a graft table. */
+  private[plans] def dirOf(session: SparkSession,
+      nameParts: Seq[String]): String =
+    SqlBridge.loadCatalogTable(session, nameParts) match {
+      case g: GraftTable => g.dir
+      case other => throw new IllegalArgumentException(
+        s"graft: ${nameParts.mkString(".")} is not a graft table " +
+          s"(provider: ${other.properties.get("provider")})")
+    }
+}
+
+/** `OPTIMIZE t [TARGET n | ZORDER BY (cols)]` → [[TxLog.optimize]] /
+  * [[TxLog.optimizeZOrderN]]; returns the commit version (0 = no-op). */
+final case class GraftOptimizeCommand(nameParts: Seq[String],
+    zorderCols: Seq[String], targetFiles: Option[Int] = None)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.dirOf(session, nameParts)
+    val batch = s"sqlopt_${System.nanoTime()}"
+    val v =
+      if (zorderCols.nonEmpty)
+        TxLog.optimizeZOrderN(session, dir, batch, zorderCols,
+          targetFiles = targetFiles.getOrElse(
+            math.max(1, TxLog.liveFiles(dir).size / 2)))
+      else TxLog.optimize(session, dir, batch,
+        targetFiles = targetFiles.getOrElse(1))
+    Seq(Row(v))
+  }
+}
+
+/** `VACUUM t` → [[TxLog.vacuum]]; one row per reclaimed path. */
+final case class GraftVacuumCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    TxLog.vacuum(GraftSqlParser.dirOf(session, nameParts)).map(Row(_))
+}
+
+/** `DESCRIBE HISTORY t` → [[TxLog.history]] rows. */
+final case class GraftHistoryCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("ts_millis", LongType, nullable = false)(),
+    AttributeReference("n_added", LongType, nullable = false)(),
+    AttributeReference("n_removed", LongType, nullable = false)(),
+    AttributeReference("n_dv_bound", LongType, nullable = false)(),
+    AttributeReference("n_dv_cleared", LongType, nullable = false)(),
+    AttributeReference("schema_change", BooleanType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    TxLog.history(session,
+      GraftSqlParser.dirOf(session, nameParts)).collect().toSeq
+}

@@ -37,6 +37,26 @@ object SqlBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Resolve a multipart SQL name against the session's catalog manager
+    * (private[sql] in Spark 4) to the DSv2 table it names — the
+    * execution-time half of the maintenance-statement parser
+    * ([[graft.plans.GraftSqlParser]]). The name must be
+    * catalog-qualified (`cat.ns….table`). */
+  def loadCatalogTable(spark: org.apache.spark.sql.SparkSession,
+      parts: Seq[String]): org.apache.spark.sql.connector.catalog.Table = {
+    require(parts.length >= 2,
+      s"expected a catalog-qualified table name, got ${parts.mkString(".")}")
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager
+    require(cm.isCatalogRegistered(parts.head),
+      s"'${parts.head}' is not a registered catalog " +
+        s"(set spark.sql.catalog.${parts.head})")
+    val cat = cm.catalog(parts.head)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      parts.tail.init.toArray, parts.last))
+  }
+
   /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the execution-time
     * re-analysis path of the SQL MERGE command. */

@@ -192,6 +192,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.tt.t")
   }
 
+  test("OPTIMIZE / VACUUM / DESCRIBE HISTORY parse as SQL and run the verbs") {
+    val dir = freshDir()
+    (0 until 3).foreach { k =>
+      TxLog.commit(dir, Seq(TxLog.writeBatch(
+        Seq((k.toLong, k * 1.0)).toDF("id", "v"), dir, s"b$k")))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.mnt")
+    spark.sql("DROP TABLE IF EXISTS cat.mnt.t")
+    spark.sql(s"CREATE TABLE cat.mnt.t USING graft LOCATION '$dir'")
+    assert(spark.sql("OPTIMIZE cat.mnt.t TARGET 1").head().getInt(0) === 4)
+    assert(TxLog.liveFiles(dir).size === 1)
+    assert(spark.sql("DESCRIBE HISTORY cat.mnt.t").count() === 4)
+    // time-travel safety: nothing reclaims while versions resolve
+    assert(spark.sql("VACUUM cat.mnt.t").count() === 0)
+    TxLog.checkpoint(dir); TxLog.expireManifests(dir)
+    assert(spark.sql("VACUUM cat.mnt.t").count() === 3)
+    // content survived the whole maintenance loop
+    assert(spark.sql("SELECT sum(v) FROM cat.mnt.t").as[Double].head() === 3.0)
+    // the ZORDER form parses and commits
+    assert(spark.sql("OPTIMIZE cat.mnt.t ZORDER BY (id, v)")
+      .head().getInt(0) > 4)
+    // the delegate still owns everything else
+    assert(spark.sql("SELECT 1 AS one").as[Int].head() === 1)
+    // a non-graft name fails loudly at execution
+    val e = intercept[Exception] { spark.sql("VACUUM spark_catalog.default.nope").collect() }
+    assert(e.getMessage != null)
+    spark.sql("DROP TABLE cat.mnt.t")
+  }
+
   test("reads through the catalog see deletion-vector masks") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(
