@@ -8730,6 +8730,69 @@ object Queries {
       WHERE event_id IS NOT NULL AND NOT COALESCE(value < 10.0, FALSE)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Engine-owned INCREMENTAL TABLE REPLICATION —
+    * `readStream.format("graft")` → `writeStream.format("graft")`
+    * ([[graft.streaming.GraftSink]]): the whole pipeline is Spark
+    * machinery — the source's offsets are the upstream table's commit
+    * versions, the sink lands one atomic TxLog commit per micro-batch
+    * under a batchId-deterministic name, and Spark's checkpoint +
+    * that name give exactly-once with ZERO foreachBatch plumbing. The
+    * gate runs the q_stream_restart discipline: replicate two commits,
+    * stop, land a third upstream, restart on the SAME checkpoint —
+    * REQUIREd to append exactly one replica commit — and hash-checks the
+    * replica snapshot (any replayed or skipped batch breaks it). */
+  private val qStreamTxlogSink = QuerySpec(
+    "q_stream_txlog_sink",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val sfName = new java.io.File(dir).getName
+      val src = s"/tmp/graft_sinksrc_$sfName"
+      val dst = s"/tmp/graft_sinkdst_$sfName"
+      val ckpt = s"/tmp/graft_sinkckpt_$sfName"
+      TxLog.destroy(src); TxLog.destroy(dst)
+      val ckptF = new java.io.File(ckpt)
+      if (ckptF.exists()) {
+        java.nio.file.Files.walk(ckptF.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.delete(q); () })
+      }
+      val ev = t(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 3)
+      def replicate(): Unit = {
+        val q = pinnedParts(s, 8)(s.readStream.format("graft")
+          .option("maxVersionsPerBatch", "1").load(src)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .writeStream.format("graft")
+          .option("path", dst)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+        q.awaitTermination()
+      }
+      TxLog.commit(src, Seq(TxLog.writeBatch(ev.filter(b === 0), src, "b0")))
+      TxLog.commit(src, Seq(TxLog.writeBatch(ev.filter(b === 1), src, "b1")))
+      replicate()
+      val afterFirst = TxLog.latestVersion(dst)
+      require(afterFirst == 2,
+        s"cap=1 must replicate one commit per upstream commit: $afterFirst")
+      TxLog.commit(src, Seq(TxLog.writeBatch(ev.filter(b === 2), src, "b2")))
+      replicate()
+      require(TxLog.latestVersion(dst) == 3,
+        "the restarted pipeline must append EXACTLY one replica commit — " +
+          "Spark's checkpoint plus the batchId-deterministic sink name " +
+          "already cover the first two")
+      TxLog.read(s, dst)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** SQL MAINTENANCE statements ([[graft.plans.GraftSqlParser]] —
     * `OPTIMIZE` / `DESCRIBE HISTORY` / `VACUUM` as plain SQL text, the
     * statements standard SQL has no grammar for, injected as a
@@ -12757,7 +12820,7 @@ object Queries {
     qStreamTxlogMerge, qStreamForgetDv, qTxlogCdc, qTxlogTimeTravel,
     qTxlogRename, qTxlogMappedDml,
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
-    qSqlMaintenance,
+    qSqlMaintenance, qStreamTxlogSink,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

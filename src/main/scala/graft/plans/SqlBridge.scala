@@ -37,6 +37,19 @@ object SqlBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse re-tag for a V1 streaming SINK: `Sink.addBatch` hands a
+    * frame backed by the micro-batch's incremental execution — calling
+    * `.write` on it directly would plan a NEW query and re-read the
+    * source from scratch (or refuse outright). Re-wrapping its `toRdd`
+    * as a plain batch frame keeps the engine's incremental plan and
+    * makes it writable — the documented custom-Sink discipline. */
+  def batchDf(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Resolve a multipart SQL name against the session's catalog manager
     * (private[sql] in Spark 4) to the DSv2 table it names — the
     * execution-time half of the maintenance-statement parser

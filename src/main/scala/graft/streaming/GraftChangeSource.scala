@@ -52,9 +52,30 @@ import graft.sources.TxLog
   * pipelines, lib/jobcontrol/JobControl.java:55, which re-ran whole
   * stages instead.) */
 final class GraftSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `writeStream.format("graft")` — the sink half: every micro-batch
+    * lands as ONE atomic TxLog commit whose batch-dir name encodes the
+    * engine's batchId (`sink_b<id>`), which is what makes replay after
+    * a restart IDEMPOTENT: a re-delivered batch is already live in the
+    * snapshot and skips — Spark's checkpoint + the deterministic name
+    * give exactly-once end to end with zero hand-written foreachBatch
+    * plumbing. Append output mode only (a TxLog table is an append/
+    * commit log; Update/Complete semantics live in the row verbs). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft sink: partitionBy is not supported — use " +
+        "TxLog.commitPartitioned for partition-grained ingest")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink: only Append output mode is supported, got $outputMode")
+    new GraftSink(sqlContext.sparkSession, tableDir(parameters))
+  }
 
   private def tableDir(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -85,6 +106,37 @@ final class GraftSourceProvider extends StreamSourceProvider
       maxPerBatch = parameters.get("maxversionsperbatch")
         .map(_.toInt).getOrElse(Int.MaxValue))
   }
+}
+
+/** The V1 streaming sink behind `writeStream.format("graft")`: one
+  * micro-batch = one atomic commit, idempotent under engine replay.
+  * See [[GraftSourceProvider.createSink]]. */
+private[streaming] final class GraftSink(spark: SparkSession, dir: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.Dataset[Row]): Unit = {
+    val name = s"sink_b$batchId"
+    val suffix = s"/data/$name"
+    // engine replay after a restart: the batch already committed — skip
+    // (ANY committed batch dir for this id counts, incl. appendMapped's
+    // retry-suffixed names)
+    if (TxLog.liveFiles(dir).exists(p =>
+        p.endsWith(suffix) || p.contains(suffix + "_r"))) return
+    // crash window: data written but the commit lost — clear the orphan
+    // so the deterministic name can re-land (errorifexists write)
+    val p = new Path(s"$dir$suffix")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    // re-tag the engine's incremental frame as a writable batch frame,
+    // then commit through the mapped writer (a renamed/dropped table
+    // keeps taking the stream under its logical names)
+    TxLog.appendMapped(spark,
+      dir, SqlBridge.batchDf(spark, data.toDF()), name)
+    ()
+  }
+
+  override def toString: String = s"GraftSink[$dir]"
 }
 
 private[streaming] final class GraftChangeSource(spark: SparkSession,
