@@ -8560,6 +8560,54 @@ object Queries {
         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
       FROM merged GROUP BY 1 ORDER BY 1"""))
 
+  /** The key-set DELETE shape of SQL MERGE
+    * (`WHEN MATCHED THEN DELETE` alone → [[graft.sources.TxLog.deleteByKeys]]):
+    * the source carries ONLY key columns (no full schema — the shape
+    * [[graft.sources.TxLog.merge]] cannot express), matched keys leave
+    * the table, unmatched source keys are ignored, and file pruning is
+    * REQUIREd — the batch holding no matched key survives unrewritten
+    * (the GDPR "forget this key list" scale shape). */
+  private val qSqlMergeDelete = QuerySpec(
+    "q_sql_merge_delete",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqlmdel_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val pLow = TxLog.writeBatch(
+        cust.filter(col("c_custkey") < 750), root, "b_low")
+      val pHigh = TxLog.writeBatch(
+        cust.filter(col("c_custkey") >= 750), root, "b_high")
+      TxLog.commit(root, Seq(pLow)); TxLog.commit(root, Seq(pHigh))
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.cdel_$tag")
+      s.sql(s"CREATE TABLE graft.sql.cdel_$tag USING graft LOCATION '$root'")
+      // key-only source, confined to the low batch (+ absent keys)
+      cust.filter(col("c_custkey") % 13 === 0 && col("c_custkey") < 750)
+        .select(col("c_custkey"))
+        .unionByName(cust.select((col("c_custkey") + 5000000L)
+          .as("c_custkey")).limit(5))
+        .createOrReplaceTempView(s"del_src_$tag")
+      s.sql(s"""MERGE INTO graft.sql.cdel_$tag t USING del_src_$tag s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN DELETE""")
+      require(TxLog.liveFiles(root).contains(pHigh),
+        "file pruning: the batch holding no matched key must survive")
+      require(!TxLog.liveFiles(root).contains(pLow),
+        "the matched batch must be rewritten")
+      s.sql(s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+        FROM graft.sql.cdel_$tag
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      FROM customer
+      WHERE NOT (c_custkey % 13 = 0 AND c_custkey < 750)
+      GROUP BY 1 ORDER BY 1"""))
+
   /** SQL time travel through the catalog: the table is CREATEd empty
     * with a declared schema, populated by two `INSERT INTO ... SELECT`
     * statements (each one atomic commit via the V1 write fallback →
@@ -12820,7 +12868,7 @@ object Queries {
     qStreamTxlogMerge, qStreamForgetDv, qTxlogCdc, qTxlogTimeTravel,
     qTxlogRename, qTxlogMappedDml,
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
-    qSqlMaintenance, qStreamTxlogSink,
+    qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

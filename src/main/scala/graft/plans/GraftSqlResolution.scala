@@ -93,19 +93,34 @@ final case class GraftSqlResolution(spark: SparkSession)
           s"got: ${other.sql}")
     }
 
+  /** A DML predicate/assignment re-evaluates as a Column over the TxLog
+    * snapshot frame, where a subquery cannot resolve — reject it loudly
+    * with the rewrite a user actually wants, instead of letting an
+    * unresolvable plan surface as an obscure analysis error later. */
+  private def noSubquery(e: Expression, where: String): Expression = {
+    if (e.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        s"graft: a subquery in $where is not supported — rewrite as " +
+          "MERGE INTO … WHEN MATCHED THEN DELETE (key-set deletes) or " +
+          "join the subquery into the source")
+    e
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
       case DeleteFromTable(GraftRel(t), condition) =>
-        GraftDeleteCommand(t.dir, recolumn(condition))
+        GraftDeleteCommand(t.dir,
+          recolumn(noSubquery(condition, "DELETE WHERE")))
 
       case UpdateTable(GraftRel(t), assignments, condition) =>
         val set = assignments.map { a =>
           attrName(a.key).getOrElse(throw new UnsupportedOperationException(
             s"graft: UPDATE SET target must be a column: ${a.key.sql}")) ->
-            recolumn(a.value)
+            recolumn(noSubquery(a.value, "UPDATE SET"))
         }
         GraftUpdateCommand(t.dir,
-          condition.map(recolumn)
+          condition.map(c => recolumn(noSubquery(c, "UPDATE WHERE")))
             .getOrElse(org.apache.spark.sql.functions.lit(true)),
           set)
 
@@ -120,7 +135,7 @@ final case class GraftSqlResolution(spark: SparkSession)
             case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
             case _ => false
           })
-        val shapeOk = (matched, notMatched) match {
+        val upsertShape = (matched, notMatched) match {
           case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)))
               if notMatchedBySource.isEmpty && !withSchemaEvolution => true
           case (Seq(u: UpdateAction), Seq(i: InsertAction))
@@ -130,12 +145,21 @@ final case class GraftSqlResolution(spark: SparkSession)
                 notMatchedBySource.isEmpty && !withSchemaEvolution => true
           case _ => false
         }
-        if (!shapeOk) throw new UnsupportedOperationException(
-          "graft: supported MERGE shape is WHEN MATCHED THEN UPDATE SET * " +
-            "WHEN NOT MATCHED THEN INSERT * (no action conditions, no " +
-            "NOT MATCHED BY SOURCE, no schema evolution); got: " +
-            m.simpleString(5))
-        GraftMergeCommand(t.dir, source, mergeKeys(cond))
+        val deleteShape = (matched, notMatched) match {
+          case (Seq(DeleteAction(None)), Seq())
+              if notMatchedBySource.isEmpty && !withSchemaEvolution => true
+          case _ => false
+        }
+        if (upsertShape)
+          GraftMergeCommand(t.dir, source, mergeKeys(cond))
+        else if (deleteShape)
+          GraftMergeDeleteCommand(t.dir, source, mergeKeys(cond))
+        else throw new UnsupportedOperationException(
+          "graft: supported MERGE shapes are WHEN MATCHED THEN UPDATE " +
+            "SET * WHEN NOT MATCHED THEN INSERT * (upsert) and WHEN " +
+            "MATCHED THEN DELETE alone (key-set delete) — no action " +
+            "conditions, no NOT MATCHED BY SOURCE, no schema evolution; " +
+            "got: " + m.simpleString(5))
 
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
@@ -186,6 +210,20 @@ final case class GraftMergeCommand(dir: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     TxLog.merge(session, dir, s"sqlmrg_${System.nanoTime()}",
+      SqlBridge.ofRows(session, source), keys)
+    Nil
+  }
+}
+
+/** `MERGE INTO t USING src ON keys WHEN MATCHED THEN DELETE` (alone) —
+  * the key-set delete: rows whose key appears in the source leave the
+  * table ([[TxLog.deleteByKeys]]); not-matched source rows are ignored,
+  * per the statement's (absent) NOT MATCHED clause. */
+final case class GraftMergeDeleteCommand(dir: String, source: LogicalPlan,
+    keys: Seq[String]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    TxLog.deleteByKeys(session, dir, s"sqlmrgdel_${System.nanoTime()}",
       SqlBridge.ofRows(session, source), keys)
     Nil
   }

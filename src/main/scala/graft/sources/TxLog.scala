@@ -2093,6 +2093,38 @@ object TxLog {
       extraAdds = Nil, what = "update", basedOnDvs = Some(dvs))
   }
 
+  /** DELETE BY KEY SET — remove every live row whose key tuple appears
+    * in `source` (the `MERGE … WHEN MATCHED THEN DELETE` core, and the
+    * GDPR "forget this key list" shape): one broadcast semi-join probe
+    * finds the batch dirs holding matches, ONLY those rewrite with the
+    * keys anti-joined away. Null-key source rows never match (SQL join
+    * semantics) and the source needs ONLY its key columns — unlike
+    * [[merge]], no full-schema source is required. Logical names on a
+    * column-mapped table, same as every DML verb. Returns the new
+    * version, or 0 when nothing matches. Fresh `name` per call. */
+  def deleteByKeys(spark: SparkSession, dir: String, name: String,
+      source: DataFrame, keys: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "deleteByKeys needs at least one key column")
+    val (entries, dvM, cm) = resolveFull(dir, -1)
+    if (entries.isEmpty) return 0
+    val physKeys = keys.map(k =>
+      cm.fold(k)(dmlPhysicalName(_, k, "MERGE DELETE key")))
+    val srcKeys = source
+      .select(keys.zip(physKeys).map { case (l, p) => col(l).as(p) }: _*)
+      .na.drop("any").distinct().localCheckpoint()
+    try {
+      if (srcKeys.isEmpty) return 0
+      val dvs = dvM.toMap
+      val touched = probeTouched(spark, entries.map(_._1), dvs,
+        _.join(broadcast(srcKeys), physKeys, "left_semi"))
+      rewriteTouched(spark, dir, name, entries, touched,
+        p => readMasked(spark, Seq(p), dvs)
+          .join(broadcast(srcKeys), physKeys, "left_anti"),
+        extraAdds = Nil, what = "deleteByKeys", basedOnDvs = Some(dvs))
+    } finally graft.core.Checkpoints.release(srcKeys)
+  }
+
   /** MERGE (upsert) `source` into the table on `keys` — target rows whose
     * key matches a source row are REPLACED by that source row, source
     * rows with no target match are INSERTED, all in one atomic commit

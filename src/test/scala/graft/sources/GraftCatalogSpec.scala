@@ -89,12 +89,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     // every verb was one commit; the pre-DML snapshot still serves
     assert(spark.sql("SELECT count(*) FROM cat.dml.t VERSION AS OF 1")
       .as[Long].head() === 4L)
+    // the key-set delete shape: WHEN MATCHED THEN DELETE alone
+    spark.sql("""MERGE INTO cat.dml.t t USING mrg_src s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT * FROM cat.dml.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 10.0), (2L, 20.5)),
+      "matched keys must leave; unmatched source keys are ignored")
     // unsupported MERGE shapes fail loudly, not wrongly
     val e = intercept[Exception] {
       spark.sql("""MERGE INTO cat.dml.t t USING mrg_src s ON t.id = s.id
-        WHEN MATCHED THEN DELETE""")
+        WHEN MATCHED AND s.v > 0 THEN DELETE""")
     }
     assert(e.getMessage.contains("supported MERGE shape"))
+    // subqueries in row-DML predicates are rejected with the rewrite hint
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM cat.dml.t WHERE id IN (SELECT id FROM mrg_src)")
+    }
+    assert(e2.getMessage.contains("subquery"))
     spark.sql("DROP TABLE cat.dml.t")
   }
 
@@ -124,6 +135,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     // time travel across the rename serves the old schema
     assert(spark.sql("SELECT * FROM cat.sch.t VERSION AS OF 1")
       .columns.toSeq === Seq("id", "v", "note"))
+    // INSERT after the rename lands by the NEW logical name (the V1
+    // write fallback routes through the mapped writer)
+    spark.sql("INSERT INTO cat.sch.t VALUES (3, 30.0)")
+    assert(spark.sql("SELECT amount FROM cat.sch.t WHERE id = 3")
+      .as[Double].head() === 30.0)
     spark.sql("DROP TABLE cat.sch.t")
   }
 

@@ -1004,6 +1004,37 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("deleteByKeys: key-set delete with pruning, null keys inert, logical names") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir()
+    val pLow = TxLog.writeBatch(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), dir, "low")
+    val pHigh = TxLog.writeBatch(
+      Seq((10L, 10.0), (11L, 11.0)).toDF("id", "v"), dir, "high")
+    TxLog.commit(dir, Seq(pLow)); TxLog.commit(dir, Seq(pHigh))
+    // keys 2 (present, low batch) + null (inert) + 99 (absent, ignored)
+    val keys = Seq(Option(2L), None, Option(99L)).toDF("id")
+    assert(TxLog.deleteByKeys(spark, dir, "d1", keys, Seq("id")) === 3)
+    val live = TxLog.liveFiles(dir)
+    assert(live.contains(pHigh) && !live.contains(pLow),
+      "only the batch holding a matched key may rewrite")
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 1.0), (10L, 10.0), (11L, 11.0)))
+    // no-match delete commits nothing
+    assert(TxLog.deleteByKeys(spark, dir, "d2",
+      Seq(500L).toDF("id"), Seq("id")) === 0)
+    // logical key names on a mapped table; retired name rejected
+    TxLog.renameColumn(spark, dir, "id", "key_id")
+    assert(TxLog.deleteByKeys(spark, dir, "d3",
+      Seq(10L).toDF("key_id"), Seq("key_id")) > 0)
+    assert(TxLog.read(spark, dir).orderBy("key_id").select("v")
+      .as[Double].collect().toSeq === Seq(1.0, 11.0))
+    intercept[IllegalArgumentException] {
+      TxLog.deleteByKeys(spark, dir, "d4", Seq(1L).toDF("id"), Seq("id"))
+    }
+    TxLog.destroy(dir)
+  }
+
   // ---- column mapping × row-level DML (r12 composition hole) ----
 
   test("DML verbs address logical names on a renamed table") {
