@@ -8608,6 +8608,55 @@ object Queries {
       WHERE NOT (c_custkey % 13 = 0 AND c_custkey < 750)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Zero-copy CONVERT of a plain parquet directory into a TxLog table
+    * ([[graft.sources.TxLog.convertParquet]], surfaced as the
+    * `CONVERT TO GRAFT '<dir>' STATS (…)` SQL statement — Delta's
+    * CONVERT TO DELTA analog; reference: fs2img provided storage): the
+    * directory's part files MOVE (rename, no bytes copied — REQUIREd:
+    * the exact part-file names survive into the batch dir) into the
+    * first commit, manifest stats derive in one pass, and the full
+    * lakehouse surface works from that moment — proven by running a
+    * SQL DELETE through the catalog on the converted table before the
+    * hash-checked read. */
+  private val qTxlogConvert = QuerySpec(
+    "q_txlog_convert",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_convert_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("overwrite").parquet(root)
+      val partsBefore = new java.io.File(root).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+      require(partsBefore.nonEmpty, "fixture must land plain part files")
+      val v = s.sql(s"CONVERT TO GRAFT '$root' STATS (s_suppkey)")
+        .head().getInt(0)
+      require(v == 1, s"convert must seed version 1: $v")
+      require(TxLog.liveFiles(root) == Seq(s"$root/data/b_convert0"),
+        "convert must commit exactly the moved batch dir")
+      val partsAfter = new java.io.File(s"$root/data/b_convert0")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+      require(partsAfter == partsBefore,
+        "zero copy: the exact part-file names must survive the move")
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.conv_$tag")
+      s.sql(s"CREATE TABLE graft.sql.conv_$tag USING graft LOCATION '$root'")
+      // the full verb surface works from the seed commit on
+      s.sql(s"DELETE FROM graft.sql.conv_$tag WHERE s_acctbal < 0.0")
+      s.sql(s"""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+        FROM graft.sql.conv_$tag
+        GROUP BY s_nationkey ORDER BY s_nationkey""")
+    },
+    Some("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      FROM supplier WHERE NOT COALESCE(s_acctbal < 0.0, FALSE)
+      GROUP BY 1 ORDER BY 1"""))
+
   /** SQL time travel through the catalog: the table is CREATEd empty
     * with a declared schema, populated by two `INSERT INTO ... SELECT`
     * statements (each one atomic commit via the V1 write fallback →
@@ -12868,7 +12917,7 @@ object Queries {
     qStreamTxlogMerge, qStreamForgetDv, qTxlogCdc, qTxlogTimeTravel,
     qTxlogRename, qTxlogMappedDml,
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
-    qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete,
+    qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete, qTxlogConvert,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

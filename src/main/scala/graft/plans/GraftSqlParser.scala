@@ -21,6 +21,7 @@ import graft.sources.{GraftTable, TxLog}
   * OPTIMIZE graft.db.t ZORDER BY (a, b, c)    -- multi-dimension cluster
   * VACUUM graft.db.t                          -- reclaim unreachable files
   * DESCRIBE HISTORY graft.db.t                -- per-commit audit rows
+  * CONVERT TO GRAFT '/path' [STATS (a, b)]    -- zero-copy parquet import
   * }}}
   *
   * Everything else — including every statement the session would parse
@@ -45,6 +46,10 @@ final class GraftSqlParser(delegate: ParserInterface)
         targetFiles = Option(target).map(_.trim.toInt))
     case VacuumRe(name) => GraftVacuumCommand(parts(name))
     case HistoryRe(name) => GraftHistoryCommand(parts(name))
+    case ConvertRe(path, cols) =>
+      GraftConvertCommand(path,
+        Option(cols).toSeq.flatMap(_.split(",").map(stripQuotes))
+          .filter(_.nonEmpty))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -80,6 +85,9 @@ object GraftSqlParser {
     ("""(?is)\s*VACUUM\s+""" + Ident + """\s*;?\s*""").r
   private[plans] val HistoryRe =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*""").r
+  private[plans] val ConvertRe =
+    ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
+      """(?:\s+STATS\s*\(([^)]*)\))?\s*;?\s*""").r
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -130,6 +138,17 @@ final case class GraftVacuumCommand(nameParts: Seq[String])
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     TxLog.vacuum(GraftSqlParser.dirOf(session, nameParts)).map(Row(_))
+}
+
+/** `CONVERT TO GRAFT '<dir>' [STATS (c1, c2, …)]` →
+  * [[TxLog.convertParquet]]; returns the seed commit version. Pair with
+  * `CREATE TABLE … USING graft LOCATION '<dir>'` for the catalog name. */
+final case class GraftConvertCommand(path: String, statsCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.convertParquet(session, path, statsCols)))
 }
 
 /** `DESCRIBE HISTORY t` → [[TxLog.history]] rows. */

@@ -2093,6 +2093,56 @@ object TxLog {
       extraAdds = Nil, what = "update", basedOnDvs = Some(dvs))
   }
 
+  /** CONVERT an existing plain-parquet directory into a TxLog table,
+    * ZERO COPY (public precedent: Delta's CONVERT TO DELTA; reference
+    * capability analog: fs2img mounting pre-existing storage,
+    * hadoop-tools/hadoop-fs2img/.../ImageWriter.java): the directory's
+    * top-level parquet part files RENAME — a metadata move, no bytes
+    * copied — into the table's first batch dir (`data/b_convert0`),
+    * which ONE commit then adds; every lakehouse verb (DML, deletion
+    * vectors, time travel, OPTIMIZE, the SQL surface via `CREATE TABLE
+    * … USING graft LOCATION`) works from that commit on, because the
+    * table has the exact dir-grain batch layout native ingest produces.
+    * Optional `statsCols` derives manifest min/max stats in one pass so
+    * [[readPruned]] skips from day one. Refuses a directory that is
+    * already a table and one with no parquet files. After conversion
+    * the directory is TxLog-owned: external readers of the OLD paths
+    * must re-point at the table (same ownership contract as Delta's
+    * convert). Returns version 1. */
+  def convertParquet(spark: SparkSession, dir: String,
+      statsCols: Seq[String] = Nil): Int = {
+    require(latestVersion(dir) == 0,
+      s"txlog: $dir is already a TxLog table (convert seeds only)")
+    val root = new Path(dir)
+    val fs = fsOf(root)
+    val listed =
+      try fs.listStatus(root)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"txlog: nothing to convert — $dir does not exist")
+      }
+    val parts = listed.filter(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet") &&
+      !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith("."))
+    require(parts.nonEmpty,
+      s"txlog: no top-level parquet part files to convert at $dir")
+    val batch = new Path(new Path(root, "data"), "b_convert0")
+    fs.mkdirs(batch)
+    parts.foreach { p =>
+      require(fs.rename(p.getPath, new Path(batch, p.getPath.getName)),
+        s"txlog: convert could not move ${p.getPath} — aborting before " +
+          "any commit (moved files stay in the batch dir; re-run after " +
+          "fixing permissions)")
+    }
+    val batchStr = s"$dir/data/b_convert0"
+    val st =
+      if (statsCols.isEmpty) None
+      else columnStatsMulti(spark.read.parquet(batchStr), statsCols)
+    commitWithStats(dir, Seq(batchStr -> st))
+  }
+
   /** DELETE BY KEY SET — remove every live row whose key tuple appears
     * in `source` (the `MERGE … WHEN MATCHED THEN DELETE` core, and the
     * GDPR "forget this key list" shape): one broadcast semi-join probe

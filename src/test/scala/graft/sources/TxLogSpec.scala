@@ -1035,6 +1035,35 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("convertParquet: zero-copy seed, refusals, verbs compose after") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir()
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    val names = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(TxLog.convertParquet(spark, dir, Seq("id")) === 1)
+    assert(new java.io.File(s"$dir/data/b_convert0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet === names,
+      "part files move, never copy")
+    // already-a-table refusal
+    intercept[IllegalArgumentException] {
+      TxLog.convertParquet(spark, dir)
+    }
+    // stats landed: a disjoint range prunes without opening files
+    assert(TxLog.readPruned(spark, dir, "id", 100.0, 200.0).isEmpty)
+    // the verb surface works from the seed commit on
+    TxLog.deleteWhere(spark, dir, "d", col("v") > 2.5)
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 1.0), (2L, 2.0)))
+    // nothing-to-convert refusal
+    val empty = freshDir()
+    intercept[IllegalArgumentException] {
+      TxLog.convertParquet(spark, empty)
+    }
+    TxLog.destroy(dir)
+  }
+
   // ---- column mapping × row-level DML (r12 composition hole) ----
 
   test("DML verbs address logical names on a renamed table") {
