@@ -22,6 +22,12 @@ object Graft {
       .builder()
       .master(master)
       .appName(appName)
+      // the library's own extensions are part of its session contract:
+      // native functions, the range-join rule, the TopK strategy, and
+      // the SQL surface (catalog relation rewrites + maintenance
+      // statements) all ride spark.sql.extensions — a session without
+      // them sees a different analyzer than Verify/Bench do
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // Always-on from construction (not per-query) so results cannot become
       // order-dependent within a session: the driver's events.parquet stores

@@ -237,6 +237,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.mnt.t")
   }
 
+  test("racing CREATEs resolve to one winner (the manifest claim discipline)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.race")
+    spark.sql("DROP TABLE IF EXISTS cat.race.t")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futs = (1 to 8).map { i =>
+      scala.concurrent.Future {
+        gate.await()
+        try {
+          spark.sql(s"CREATE TABLE cat.race.t (id BIGINT) USING graft " +
+            s"LOCATION '/tmp/graft_race_loc_$i'")
+          Right(i)
+        } catch { case e: Exception => Left(e.getClass.getSimpleName) }
+      }
+    }
+    gate.countDown()
+    val results = futs.map(f => scala.concurrent.Await.result(
+      f, scala.concurrent.duration.Duration(60, "s"))).toList
+    pool.shutdown()
+    assert(results.count(_.isRight) === 1,
+      s"exactly one CREATE must win the claim: $results")
+    // the surviving pointer is the winner's, consistently readable
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED cat.race.t")
+      .filter($"col_name" === "Location").select("data_type")
+      .as[String].head()
+    val winner = results.collectFirst { case Right(i) => i }.get
+    assert(loc.endsWith(s"graft_race_loc_$winner"),
+      s"the catalog must serve the winner's location: $loc vs $winner")
+    spark.sql("DROP TABLE cat.race.t")
+  }
+
   test("reads through the catalog see deletion-vector masks") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(
