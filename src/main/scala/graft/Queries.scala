@@ -8657,6 +8657,66 @@ object Queries {
       FROM supplier WHERE NOT COALESCE(s_acctbal < 0.0, FALSE)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** SQL RESTORE + SHALLOW CLONE ([[graft.plans.GraftSqlParser]] →
+    * [[graft.sources.TxLog.restore]]/[[graft.sources.TxLog.cloneShallow]]):
+    * a table forks zero-copy at version 1 into a MANAGED catalog table
+    * (REQUIREd: no data directory under the clone at fork time), the
+    * source then ROLLS BACK to version 1 as one ordinary commit — and
+    * the pre-restore snapshot still time-travels. Hash-checked output:
+    * the clone, the restored source, and the pre-restore source, all
+    * read back through catalog names. */
+  private val qSqlRestoreClone = QuerySpec(
+    "q_sql_restore_clone",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqlrc_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = TextFunctions.portableBucket(col("event_id"), 2)
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 0), root, "b0")))
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 1), root, "b1")))
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.rc_$tag")
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.rcc_$tag") // managed: data too
+      s.sql(s"CREATE TABLE graft.sql.rc_$tag USING graft LOCATION '$root'")
+      val cloneDir = s.sql(
+        s"CREATE TABLE graft.sql.rcc_$tag SHALLOW CLONE graft.sql.rc_$tag " +
+          "VERSION AS OF 1").head().getString(0)
+      require(!new java.io.File(s"$cloneDir/data").exists(),
+        "a shallow clone must hold no data directory at fork time")
+      require(s.sql(s"RESTORE graft.sql.rc_$tag TO VERSION AS OF 1")
+        .head().getInt(0) == 3,
+        "the restore must land as ordinary version 3")
+      def agg(table: String, dim: String, extra: String = "") =
+        s"""SELECT '$dim' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          FROM $table $extra"""
+      s.sql(agg(s"graft.sql.rcc_$tag", "clone") +
+        " UNION ALL " + agg(s"graft.sql.rc_$tag", "src_restored") +
+        " UNION ALL " + agg(s"graft.sql.rc_$tag", "src_prerestore",
+          "VERSION AS OF 2") +
+        " ORDER BY dim")
+    },
+    Some("""WITH ev AS (SELECT event_id, value,
+          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 2 AS b
+        FROM events WHERE event_id IS NOT NULL)
+      SELECT 'clone' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM ev WHERE b = 0
+      UNION ALL
+      SELECT 'src_prerestore', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM ev
+      UNION ALL
+      SELECT 'src_restored', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM ev WHERE b = 0
+      ORDER BY dim"""))
+
   /** SQL time travel through the catalog: the table is CREATEd empty
     * with a declared schema, populated by two `INSERT INTO ... SELECT`
     * statements (each one atomic commit via the V1 write fallback →
@@ -12918,6 +12978,7 @@ object Queries {
     qTxlogRename, qTxlogMappedDml,
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
     qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete, qTxlogConvert,
+    qSqlRestoreClone,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

@@ -22,6 +22,8 @@ import graft.sources.{GraftTable, TxLog}
   * VACUUM graft.db.t                          -- reclaim unreachable files
   * DESCRIBE HISTORY graft.db.t                -- per-commit audit rows
   * CONVERT TO GRAFT '/path' [STATS (a, b)]    -- zero-copy parquet import
+  * RESTORE graft.db.t TO VERSION AS OF 3      -- snapshot-diff rollback
+  * CREATE TABLE graft.db.t2 SHALLOW CLONE graft.db.t [VERSION AS OF 3]
   * }}}
   *
   * Everything else — including every statement the session would parse
@@ -50,6 +52,11 @@ final class GraftSqlParser(delegate: ParserInterface)
       GraftConvertCommand(path,
         Option(cols).toSeq.flatMap(_.split(",").map(stripQuotes))
           .filter(_.nonEmpty))
+    case RestoreRe(name, version) =>
+      GraftRestoreCommand(parts(name), version.trim.toInt)
+    case CloneRe(dst, src, version) =>
+      GraftCloneCommand(parts(dst), parts(src),
+        Option(version).map(_.trim.toInt).getOrElse(-1))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -88,6 +95,13 @@ object GraftSqlParser {
   private[plans] val ConvertRe =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
       """(?:\s+STATS\s*\(([^)]*)\))?\s*;?\s*""").r
+  private[plans] val RestoreRe =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + Ident +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private[plans] val CloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+""" + Ident +
+      """\s+SHALLOW\s+CLONE\s+""" + Ident +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -149,6 +163,45 @@ final case class GraftConvertCommand(path: String, statsCols: Seq[String])
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(TxLog.convertParquet(session, path, statsCols)))
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n` → [[TxLog.restore]]: one
+  * snapshot-diff commit back to any resolvable version (ordinary
+  * history — the restore itself can be time-traveled across). */
+final case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.restore(
+      GraftSqlParser.dirOf(session, nameParts), toVersion)))
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` — zero-copy
+  * fork ([[TxLog.cloneShallow]]): the destination registers as a MANAGED
+  * catalog table whose one manifest commit references the source's live
+  * files in place; mutations never cross the fork. */
+final case class GraftCloneCommand(dstParts: Seq[String],
+    srcParts: Seq[String], asOf: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("location", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val srcDir = GraftSqlParser.dirOf(session, srcParts)
+    val catalog = SqlBridge.tableCatalog(session, dstParts.head)
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      dstParts.tail.init.toArray, dstParts.last)
+    // register first (managed location, atomic one-winner claim), then
+    // fork into the assigned directory; a failed fork drops the entry
+    catalog.createTable(ident, new StructType(),
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    val dstDir = catalog.loadTable(ident)
+      .properties().get(org.apache.spark.sql.connector.catalog
+        .TableCatalog.PROP_LOCATION)
+    try TxLog.cloneShallow(srcDir, dstDir, asOf)
+    catch { case e: Throwable => catalog.dropTable(ident); throw e }
+    Seq(Row(dstDir))
+  }
 }
 
 /** `DESCRIBE HISTORY t` → [[TxLog.history]] rows. */

@@ -70,6 +70,20 @@ object SqlBridge {
       parts.tail.init.toArray, parts.last))
   }
 
+  /** The TableCatalog a multipart name addresses (for statements that
+    * CREATE entries, e.g. SHALLOW CLONE's destination). */
+  def tableCatalog(spark: org.apache.spark.sql.SparkSession,
+      catalogName: String)
+      : org.apache.spark.sql.connector.catalog.TableCatalog = {
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager
+    require(cm.isCatalogRegistered(catalogName),
+      s"'$catalogName' is not a registered catalog " +
+        s"(set spark.sql.catalog.$catalogName)")
+    cm.catalog(catalogName)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+  }
+
   /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the execution-time
     * re-analysis path of the SQL MERGE command. */

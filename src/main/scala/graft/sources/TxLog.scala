@@ -2166,7 +2166,8 @@ object TxLog {
     try {
       if (srcKeys.isEmpty) return 0
       val dvs = dvM.toMap
-      val touched = probeTouched(spark, entries.map(_._1), dvs,
+      val touched = probeTouched(spark,
+        keyPrunedProbeFiles(entries, srcKeys, physKeys), dvs,
         _.join(broadcast(srcKeys), physKeys, "left_semi"))
       rewriteTouched(spark, dir, name, entries, touched,
         p => readMasked(spark, Seq(p), dvs)
@@ -2260,6 +2261,31 @@ object TxLog {
       physKeys, opNullCheck = Some(opCol), cm = cm)
   }
 
+  /** Manifest-stats pre-pruning of a key-probe scan ([[merge]],
+    * [[applyChanges]], [[deleteByKeys]]): a file whose recorded range on
+    * ANY key column is disjoint from the source's span on that column
+    * cannot hold an all-keys-equal match — it is skipped before any
+    * footer is read ([[statsOverlap]], the readPruned trust contract).
+    * ONE aggregation derives every key's bounds; non-numeric keys and
+    * files without stats for a column prune nothing on that column
+    * (conservative). At a merge of a small batch into a 100 TB table,
+    * this is what keeps even the PROBE from touching disjoint files. */
+  private def keyPrunedProbeFiles(entries: Seq[(String, Option[String])],
+      nonNullKeyed: DataFrame, keys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val aggs = keys.flatMap(k => Seq(min(col(k).cast("double")),
+      max(col(k).cast("double"))))
+    val r = nonNullKeyed.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = keys.zipWithIndex.flatMap { case (k, i) =>
+      if (r.isNullAt(2 * i)) None
+      else Some((k, r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    }
+    if (bounds.isEmpty) entries.map(_._1)
+    else entries.filter(e => bounds.forall { case (k, lo, hi) =>
+      statsOverlap(e._2, k, lo, hi)
+    }).map(_._1)
+  }
+
   /** Shared copy-on-write core of [[merge]] and [[applyChanges]]:
     * `keyedRaw` carries every key leaving the current snapshot (upserted
     * or deleted); `upsertsOf` derives what lands as the new source file
@@ -2329,23 +2355,7 @@ object TxLog {
           upserts0.select(headCols ++ extra: _*)
       }
       val srcKeys = nonNullKeyed.select(keys.map(col): _*).distinct()
-      // manifest-stats pre-pruning of the probe scan (single numeric
-      // key): a file whose recorded key range is disjoint from the
-      // source's key span cannot hold a match, so it is skipped before
-      // any footer is read — [[statsOverlap]], the readPruned trust
-      // contract. Files without stats for the key, non-numeric keys,
-      // and multi-column keys probe everything.
-      val probeFiles =
-        if (keys.size != 1) entries.map(_._1)
-        else {
-          val k = keys.head
-          val b = nonNullKeyed.agg(min(col(k).cast("double")),
-            max(col(k).cast("double"))).head()
-          if (b.isNullAt(0)) entries.map(_._1)
-          else entries
-            .filter(e => statsOverlap(e._2, k, b.getDouble(0), b.getDouble(1)))
-            .map(_._1)
-        }
+      val probeFiles = keyPrunedProbeFiles(entries, nonNullKeyed, keys)
       val dvs = liveDvs(dir)
       val touched = probeTouched(spark, probeFiles, dvs,
         _.join(broadcast(srcKeys), keys, "left_semi"))

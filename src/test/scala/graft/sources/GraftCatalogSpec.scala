@@ -270,6 +270,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.race.t")
   }
 
+  test("RESTORE and SHALLOW CLONE as SQL statements") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 1.0)).toDF("id", "v"), dir, "b0")))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((2L, 2.0)).toDF("id", "v"), dir, "b1")))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.rc")
+    spark.sql("DROP TABLE IF EXISTS cat.rc.t")
+    spark.sql("DROP TABLE IF EXISTS cat.rc.t2")
+    spark.sql(s"CREATE TABLE cat.rc.t USING graft LOCATION '$dir'")
+    // zero-copy fork at version 1, registered as a managed table
+    spark.sql("CREATE TABLE cat.rc.t2 SHALLOW CLONE cat.rc.t VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) FROM cat.rc.t2").as[Long].head() === 1L)
+    // the clone diverges independently of the source
+    spark.sql("INSERT INTO cat.rc.t2 VALUES (9, 9.0)")
+    assert(spark.sql("SELECT count(*) FROM cat.rc.t").as[Long].head() === 2L)
+    // rollback the SOURCE to v1 via SQL; the restore is ordinary history
+    assert(spark.sql("RESTORE cat.rc.t TO VERSION AS OF 1")
+      .head().getInt(0) === 3)
+    assert(spark.sql("SELECT count(*) FROM cat.rc.t").as[Long].head() === 1L)
+    assert(spark.sql("SELECT count(*) FROM cat.rc.t VERSION AS OF 2")
+      .as[Long].head() === 2L, "the pre-restore snapshot still serves")
+    spark.sql("DROP TABLE cat.rc.t")
+    spark.sql("DROP TABLE cat.rc.t2")
+  }
+
   test("reads through the catalog see deletion-vector masks") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(
