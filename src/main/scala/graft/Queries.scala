@@ -8988,7 +8988,11 @@ object Queries {
         s"DESCRIBE HISTORY must show 5 commits, got ${hist.length}")
       require(s.sql(s"VACUUM graft.sql.maint_$tag").count() == 0,
         "VACUUM must reclaim nothing while every version is resolvable")
-      TxLog.checkpoint(root); TxLog.expireManifests(root)
+      // the retention half of the loop is SQL too
+      require(s.sql(s"CHECKPOINT graft.sql.maint_$tag").head().getInt(0) == 5,
+        "CHECKPOINT must seed at the latest version")
+      require(s.sql(s"EXPIRE HISTORY graft.sql.maint_$tag")
+        .head().getInt(0) > 0, "EXPIRE HISTORY must retire manifests")
       val reclaimed = s.sql(s"VACUUM graft.sql.maint_$tag").count()
       require(reclaimed == 4,
         s"post-expiry VACUUM must reclaim the 4 retired dirs: $reclaimed")

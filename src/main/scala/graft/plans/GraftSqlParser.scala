@@ -22,6 +22,8 @@ import graft.sources.{GraftTable, TxLog}
   * VACUUM graft.db.t                          -- reclaim unreachable files
   * DESCRIBE HISTORY graft.db.t                -- per-commit audit rows
   * CONVERT TO GRAFT '/path' [STATS (a, b)]    -- zero-copy parquet import
+  * CHECKPOINT graft.db.t                      -- seed log resolution
+  * EXPIRE HISTORY graft.db.t                  -- retire covered manifests
   * RESTORE graft.db.t TO VERSION AS OF 3      -- snapshot-diff rollback
   * CREATE TABLE graft.db.t2 SHALLOW CLONE graft.db.t [VERSION AS OF 3]
   * }}}
@@ -52,6 +54,8 @@ final class GraftSqlParser(delegate: ParserInterface)
       GraftConvertCommand(path,
         Option(cols).toSeq.flatMap(_.split(",").map(stripQuotes))
           .filter(_.nonEmpty))
+    case CheckpointRe(name) => GraftCheckpointCommand(parts(name))
+    case ExpireRe(name) => GraftExpireCommand(parts(name))
     case RestoreRe(name, version) =>
       GraftRestoreCommand(parts(name), version.trim.toInt)
     case CloneRe(dst, src, version) =>
@@ -95,6 +99,10 @@ object GraftSqlParser {
   private[plans] val ConvertRe =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
       """(?:\s+STATS\s*\(([^)]*)\))?\s*;?\s*""").r
+  private[plans] val CheckpointRe =
+    ("""(?is)\s*CHECKPOINT\s+""" + Ident + """\s*;?\s*""").r
+  private[plans] val ExpireRe =
+    ("""(?is)\s*EXPIRE\s+HISTORY\s+""" + Ident + """\s*;?\s*""").r
   private[plans] val RestoreRe =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -163,6 +171,29 @@ final case class GraftConvertCommand(path: String, statsCols: Seq[String])
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(TxLog.convertParquet(session, path, statsCols)))
+}
+
+/** `CHECKPOINT t` → [[TxLog.checkpoint]]: collapse the live set into one
+  * seed file so snapshot resolution reads the manifest SUFFIX only (the
+  * other half of log retention, paired with `EXPIRE HISTORY`). */
+final case class GraftCheckpointCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.checkpoint(GraftSqlParser.dirOf(session, nameParts))))
+}
+
+/** `EXPIRE HISTORY t` → [[TxLog.expireManifests]]: retire manifests a
+  * checkpoint already covers — time travel BEFORE the checkpoint ends
+  * (loudly), VACUUM can then reclaim their unreferenced files. */
+final case class GraftExpireCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("n_expired", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.expireManifests(
+      GraftSqlParser.dirOf(session, nameParts))))
 }
 
 /** `RESTORE [TABLE] t TO VERSION AS OF n` → [[TxLog.restore]]: one
