@@ -74,7 +74,11 @@ final class GraftSourceProvider extends StreamSourceProvider
         "TxLog.commitPartitioned for partition-grained ingest")
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft sink: only Append output mode is supported, got $outputMode")
-    new GraftSink(sqlContext.sparkSession, tableDir(parameters))
+    // `appId` namespaces the idempotence key: TWO pipelines feeding one
+    // table would otherwise skip each other's batchIds (the same
+    // disambiguator Delta's V1 sink takes via txnAppId)
+    new GraftSink(sqlContext.sparkSession, tableDir(parameters),
+      parameters.getOrElse("appid", ""))
   }
 
   private def tableDir(parameters: Map[String, String]): String =
@@ -111,12 +115,15 @@ final class GraftSourceProvider extends StreamSourceProvider
 /** The V1 streaming sink behind `writeStream.format("graft")`: one
   * micro-batch = one atomic commit, idempotent under engine replay.
   * See [[GraftSourceProvider.createSink]]. */
-private[streaming] final class GraftSink(spark: SparkSession, dir: String)
+private[streaming] final class GraftSink(spark: SparkSession, dir: String,
+    appId: String = "")
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
       data: org.apache.spark.sql.Dataset[Row]): Unit = {
-    val name = s"sink_b$batchId"
+    val name =
+      if (appId.isEmpty) s"sink_b$batchId"
+      else s"sink_${appId.replaceAll("[^A-Za-z0-9_]", "_")}_b$batchId"
     val suffix = s"/data/$name"
     // engine replay after a restart: the batch already committed — skip
     // (ANY committed batch dir for this id counts, incl. appendMapped's

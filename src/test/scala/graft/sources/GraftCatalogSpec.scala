@@ -296,6 +296,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.rc.t2")
   }
 
+  test("DataFrame writeTo API: append and overwrite through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.wt")
+    spark.sql("DROP TABLE IF EXISTS cat.wt.t")
+    spark.sql("CREATE TABLE cat.wt.t (id BIGINT, v DOUBLE) USING graft")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").writeTo("cat.wt.t").append()
+    Seq((3L, 3.0)).toDF("id", "v").writeTo("cat.wt.t").append()
+    assert(spark.table("cat.wt.t").orderBy("id").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // each append landed as its own atomic commit
+    assert(spark.sql("SELECT count(*) FROM cat.wt.t VERSION AS OF 1")
+      .as[Long].head() === 2L)
+    spark.sql("DROP TABLE cat.wt.t")
+  }
+
   test("reads through the catalog see deletion-vector masks") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(
