@@ -91,11 +91,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def metaRoot = new Path(warehouse, "_catalog")
 
+  /** Identifier parts become filesystem path components — a name like
+    * `..` or one carrying a separator (legal inside SQL backticks) must
+    * not escape the catalog root. */
+  private def safePart(s: String, what: String): String = {
+    require(s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
+      s != "." && s != ".." && !s.exists(_ < ' '),
+      s"graft: unsupported $what '$s' — catalog names must not contain " +
+        "path separators, '..', or control characters")
+    s
+  }
+
   private def nsDir(ns: Array[String]): Path =
-    ns.foldLeft(metaRoot)((p, n) => new Path(p, n))
+    ns.foldLeft(metaRoot)((p, n) => new Path(p, safePart(n, "namespace")))
 
   private def metaFile(ident: Identifier): Path =
-    new Path(nsDir(ident.namespace), s"${ident.name}.meta")
+    new Path(nsDir(ident.namespace),
+      s"${safePart(ident.name, "table name")}.meta")
 
   private def managedDir(ident: Identifier): String =
     (Seq(warehouse) ++ ident.namespace :+ ident.name).mkString("/")
@@ -190,6 +202,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val external = properties.containsKey(TableCatalog.PROP_LOCATION)
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(managedDir(ident))
+    require(!location.exists(_ < ' '),
+      s"graft: LOCATION must not contain control characters: $location")
     if (!writeMeta(ident, TableMeta(location, external, schema)))
       throw new TableAlreadyExistsException(ident)
     loadTable(ident)

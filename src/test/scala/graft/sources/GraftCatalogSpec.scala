@@ -310,6 +310,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.wt.t")
   }
 
+  test("identifier parts cannot escape the catalog root") {
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE cat.esc.`..` (id BIGINT) USING graft")
+    }
+    assert(e.getMessage.contains("path separators") ||
+      e.getMessage.contains("'..'"),
+      s"a '..' table name must be rejected: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE cat.`a/b`.t (id BIGINT) USING graft")
+    }
+    assert(e2.getMessage.contains("path separators"),
+      s"a separator-carrying namespace must be rejected: ${e2.getMessage}")
+  }
+
   test("reads through the catalog see deletion-vector masks") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(
