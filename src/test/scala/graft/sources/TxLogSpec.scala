@@ -1064,6 +1064,24 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("overwriteAll replaces content atomically and clears the mapping") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 1.0)).toDF("id", "v"), dir, "b0")))
+    TxLog.renameColumn(spark, dir, "v", "amount")
+    val v = TxLog.overwriteAll(spark, dir,
+      Seq((9L, "x")).toDF("k", "tag"), "ow")
+    assert(v === 3)
+    // the new frame IS the schema: logical == physical again
+    assert(TxLog.read(spark, dir).columns.toSeq === Seq("k", "tag"))
+    assert(TxLog.columnMapping(dir).isEmpty,
+      "a full replace must clear the mapping back to identity")
+    // the replaced content still time travels under its OWN schema
+    assert(TxLog.read(spark, dir, asOf = 2).columns.toSeq ===
+      Seq("id", "amount"))
+    TxLog.destroy(dir)
+  }
+
   // ---- column mapping × row-level DML (r12 composition hole) ----
 
   test("DML verbs address logical names on a renamed table") {

@@ -152,6 +152,35 @@ class GraftChangeSourceSpec extends AnyFunSuite {
       "the replica must converge to the source snapshot")
   }
 
+  test("a column-mapped table streams under its LOGICAL schema") {
+    val dir = freshDir("graft-src-mapped")
+    val ckpt = freshDir("graft-src-mapped-ckpt")
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 1.0)).toDF("id", "v"), dir, "b0")))
+    TxLog.renameColumn(spark, dir, "v", "amount")
+    TxLog.appendMapped(spark, dir, Seq((2L, 2.0)).toDF("id", "amount"), "b1")
+    val batches = new ConcurrentLinkedQueue[Seq[(Long, Double, Int)]]()
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          assert(df.columns.toSeq === Seq("id", "amount", "sign"),
+            "the feed must carry the logical schema, not physical names")
+          val rows = df.select(col("id"), col("amount"), col("sign"))
+            .as[(Long, Double, Int)].collect().toSeq
+          if (rows.nonEmpty) batches.add(rows)
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(signedFold(batches.asScala.toSeq) ===
+      Map(1L -> 1.0, 2L -> 2.0))
+  }
+
   test("startAfter tails only post-cursor commits") {
     val dir = freshDir("graft-src-tail")
     val ckpt = freshDir("graft-src-tail-ckpt")
