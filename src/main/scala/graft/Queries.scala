@@ -8804,6 +8804,68 @@ object Queries {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM upd GROUP BY 1 ORDER BY 1"""))
 
+  /** SQL ALTER TABLE ADD COLUMN through the catalog
+    * ([[graft.sources.TxLog.addColumn]] — a METADATA-ONLY commit, the
+    * Delta ADD COLUMNS analogue): the new column appears typed and
+    * null-filled over every pre-add file (REQUIREd zero data files
+    * touched), is a legal UPDATE SET target BEFORE any file carries it,
+    * fills from INSERT from there on, and time travel to the pre-add
+    * version does not show it. The final aggregate mixes null-filled,
+    * UPDATE-materialized, and INSERT-supplied values of the column —
+    * any wrong null-fill or lost evolution breaks the hash. */
+  private val qSqlAddColumn = QuerySpec(
+    "q_sql_add_column",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqladdc_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      TxLog.commit(root, Seq(TxLog.writeBatch(ev, root, "b0")))
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evadd_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evadd_$tag USING graft LOCATION '$root'")
+      val filesPre = TxLog.liveFiles(root)
+      s.sql(s"ALTER TABLE graft.sql.evadd_$tag ADD COLUMN bonus DOUBLE")
+      require(TxLog.liveFiles(root) == filesPre,
+        "ADD COLUMN must not write or touch a single data file")
+      require(s.sql(s"SELECT * FROM graft.sql.evadd_$tag VERSION AS OF 1")
+        .columns.toSeq == Seq("event_id", "event_type", "value"),
+        "time travel must serve the pre-add schema")
+      // SET the added column before any data file carries it
+      s.sql(s"UPDATE graft.sql.evadd_$tag SET bonus = value * 0.1 " +
+        "WHERE event_id % 5 = 0")
+      // INSERT supplies it (reading the pre-update snapshot, so the
+      // oracle replays from the source table alone)
+      s.sql(s"INSERT INTO graft.sql.evadd_$tag " +
+        "SELECT event_id + 1000000, event_type, value * 2.0, value " +
+        s"FROM graft.sql.evadd_$tag VERSION AS OF 1 WHERE event_id % 11 = 0")
+      s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(bonus) AS BIGINT) AS n_bonus,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        CAST(SUM(CAST(bonus AS DECIMAL(18,6))) AS DOUBLE) AS sum_bonus
+        FROM graft.sql.evadd_$tag
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""WITH base AS (
+        SELECT event_id, event_type, value FROM events
+      ), upd AS (
+        SELECT event_type, value,
+          CASE WHEN event_id % 5 = 0 THEN value * 0.1 ELSE NULL END AS bonus
+        FROM base
+      ), ins AS (
+        SELECT event_type, value * 2.0 AS value, value AS bonus
+        FROM base WHERE event_id % 11 = 0
+      ), allr AS (
+        SELECT * FROM upd UNION ALL SELECT * FROM ins
+      )
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(bonus) AS BIGINT) AS n_bonus,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        CAST(SUM(CAST(bonus AS DECIMAL(18,6))) AS DOUBLE) AS sum_bonus
+      FROM allr GROUP BY 1 ORDER BY 1"""))
+
   /** The change feed as a REAL streaming source
     * ([[graft.streaming.GraftSourceProvider]] —
     * `readStream.format("graft")`): offsets are commit versions, so
@@ -9457,6 +9519,62 @@ object Queries {
     Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events WHERE value >= 30.0 AND value <= 45.0
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Manifest-stats FILE SKIPPING at scan planning
+    * ([[graft.sources.TxLog]] read paths over the stats-aware
+    * GraftStatsFileIndex — Delta's TahoeFileIndex pattern): unlike
+    * q_txlog_pruned, NO explicit readPruned call — the gate filters a
+    * plain `TxLog.read` snapshot and a plain SQL `WHERE`, and the scan
+    * itself must plan ONE of the four range-banded files (REQUIREd by
+    * interrogating the physical scan's FileIndex with its own pushed
+    * filters — zero jobs). This is the 100 TB planning story: any
+    * predicate a user writes skips stats-disjoint files before a single
+    * parquet footer is opened, on every read path. Result hash-checked
+    * against the oracle's full-table filter. */
+  private val qTxlogScanPrune = QuerySpec(
+    "q_txlog_scan_prune",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_txlog_sp_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val bands = Seq((0.0, 25.0), (25.0, 50.0), (50.0, 75.0), (75.0, 1e9))
+      bands.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val b = ev.filter(col("value") >= lo && col("value") < hi).coalesce(1)
+        val p = TxLog.writeBatch(b, root, s"band$i")
+        TxLog.commitWithStats(root, Seq((p, TxLog.columnStats(b, "value"))))
+      }
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val api = TxLog.read(s, root)
+        .filter(col("value") >= 55.0 && col("value") <= 70.0)
+      require(plannedFiles(api) == 1,
+        s"API filter must plan exactly the one in-range band file, " +
+          s"planned ${plannedFiles(api)} of 4")
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evsp_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evsp_$tag USING graft LOCATION '$root'")
+      val viaSql = s.sql(s"SELECT event_type, value FROM graft.sql.evsp_$tag " +
+        "WHERE value >= 55.0 AND value <= 70.0")
+      require(plannedFiles(viaSql) == 1,
+        s"SQL filter must plan exactly the one in-range band file, " +
+          s"planned ${plannedFiles(viaSql)} of 4")
+      viaSql.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE value >= 55.0 AND value <= 70.0
       GROUP BY 1 ORDER BY 1"""))
 
   /** Native top-k-per-key ([[SortOps.topKPerKey]] → the custom
@@ -12982,6 +13100,7 @@ object Queries {
     qTxlogRename, qTxlogMappedDml,
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
     qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete, qTxlogConvert,
+    qSqlAddColumn, qTxlogScanPrune,
     qSqlRestoreClone,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,

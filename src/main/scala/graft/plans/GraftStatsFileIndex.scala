@@ -1,0 +1,180 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, Cast, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{
+  FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{NumericType, StructType}
+
+/** Manifest-stats FILE SKIPPING at scan-planning time — the TxLog
+  * snapshot scan's [[FileIndex]] (public precedent: Delta's
+  * TahoeFileIndex; reference capability analog: BloomMapFile skipping
+  * negative members before any data read, COMMON-IO/BloomMapFile.java).
+  *
+  * Spark hands every file-source scan's PUSHED data filters to its
+  * FileIndex (`FileSourceScanExec.selectedPartitions` →
+  * `listFiles(partitionFilters, dataFilters)`); the built-in
+  * InMemoryFileIndex ignores them. This index instead folds each
+  * numeric conjunct into a per-column [lo, hi] requirement and drops
+  * every batch dir whose MANIFEST stats blob proves disjointness —
+  * before a single parquet footer is opened. At 100 TB that is the
+  * decisive scan optimization: a `WHERE id = 7` over a range-clustered
+  * table plans O(matching files) instead of opening every footer, with
+  * zero API change — any filter a user writes over `TxLog.read` or a
+  * SQL catalog table prunes automatically, not just calls routed
+  * through the explicit `readPruned` verb.
+  *
+  * Correctness contract is exactly `TxLog.statsOverlap`'s (threaded in
+  * as `overlap` so there is ONE overlap grammar): no stats, no segment
+  * for the column, or a non-numeric comparison → the file reads.
+  * Unknown filter shapes contribute no bound (prune nothing). Strict
+  * inequalities use closed bounds — conservative, never wrong. */
+private[graftbridge] final class GraftStatsFileIndex(
+    dirs: Seq[(Path, Array[FileStatus], Option[String])],
+    overlap: (Option[String], String, Double, Double) => Boolean)
+    extends FileIndex {
+
+  override def rootPaths: Seq[Path] = dirs.map(_._1)
+  override def partitionSchema: StructType = StructType(Nil)
+  override def refresh(): Unit = ()
+  override def inputFiles: Array[String] =
+    dirs.iterator.flatMap(_._2.iterator.map(_.getPath.toString)).toArray
+  override def sizeInBytes: Long =
+    dirs.iterator.flatMap(_._2.iterator.map(_.getLen)).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = dataFilters.flatMap(GraftStatsFileIndex.boundsOf)
+    val kept =
+      if (bounds.isEmpty) dirs
+      else dirs.filter { case (_, _, blob) =>
+        bounds.forall { case (c, lo, hi) => overlap(blob, c, lo, hi) }
+      }
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.iterator.flatMap(_._2).toArray))
+  }
+}
+
+private[graftbridge] object GraftStatsFileIndex {
+  private def litDouble(l: Literal): Option[Double] = l.value match {
+    case null => None
+    case n: java.lang.Number => Some(n.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  /** The column name under a numeric-to-numeric cast (the analyzer
+    * promotes `int_col = 7.5` to `cast(int_col as double) = 7.5`;
+    * numeric widening is monotone, so the bound transfers). */
+  private def attr(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case c: Cast if c.dataType.isInstanceOf[NumericType] =>
+      c.child match {
+        case a: AttributeReference
+            if a.dataType.isInstanceOf[NumericType] => Some(a.name)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** One pushed conjunct → the per-column closed [lo, hi] requirements
+    * it implies; Nil for shapes the stats grammar cannot use. */
+  def boundsOf(e: Expression): Seq[(String, Double, Double)] = e match {
+    case And(l, r) => boundsOf(l) ++ boundsOf(r)
+    case EqualTo(x, l: Literal) =>
+      (attr(x), litDouble(l)) match {
+        case (Some(c), Some(v)) => Seq((c, v, v)); case _ => Nil
+      }
+    case EqualTo(l: Literal, x) =>
+      (attr(x), litDouble(l)) match {
+        case (Some(c), Some(v)) => Seq((c, v, v)); case _ => Nil
+      }
+    case GreaterThan(x, l: Literal) =>
+      (attr(x), litDouble(l)) match {
+        case (Some(c), Some(v)) =>
+          Seq((c, v, Double.PositiveInfinity)); case _ => Nil
+      }
+    case GreaterThanOrEqual(x, l: Literal) =>
+      (attr(x), litDouble(l)) match {
+        case (Some(c), Some(v)) =>
+          Seq((c, v, Double.PositiveInfinity)); case _ => Nil
+      }
+    case LessThan(x, l: Literal) =>
+      (attr(x), litDouble(l)) match {
+        case (Some(c), Some(v)) =>
+          Seq((c, Double.NegativeInfinity, v)); case _ => Nil
+      }
+    case LessThanOrEqual(x, l: Literal) =>
+      (attr(x), litDouble(l)) match {
+        case (Some(c), Some(v)) =>
+          Seq((c, Double.NegativeInfinity, v)); case _ => Nil
+      }
+    case GreaterThan(l: Literal, x) => boundsOf(LessThan(x, l))
+    case GreaterThanOrEqual(l: Literal, x) => boundsOf(LessThanOrEqual(x, l))
+    case LessThan(l: Literal, x) => boundsOf(GreaterThan(x, l))
+    case LessThanOrEqual(l: Literal, x) => boundsOf(GreaterThanOrEqual(x, l))
+    case In(x, elems) if elems.nonEmpty &&
+        elems.forall(_.isInstanceOf[Literal]) =>
+      val vs = elems.map(e => litDouble(e.asInstanceOf[Literal]))
+      (attr(x), if (vs.forall(_.isDefined)) Some(vs.flatten) else None) match {
+        case (Some(c), Some(ds)) if ds.nonEmpty => Seq((c, ds.min, ds.max))
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** The builder half: assemble a parquet scan over explicit batch dirs
+  * whose [[FileIndex]] is stats-aware. Lives in the bridge package for
+  * `Dataset.ofRows` (`private[sql]`), the same seam every Spark
+  * connector library uses. */
+object GraftScanBridge {
+  /** A DataFrame over `dirEntries` (TxLog batch dirs or bare files,
+    * each with its optional manifest stats blob) that SKIPS
+    * stats-disjoint files at scan planning. `overlap` is the one shared
+    * stats-blob grammar (TxLog.statsOverlap). `mergeSchema` unions the
+    * footers (the addColumn / schema-evolution read). */
+  def statsPrunedParquet(spark: SparkSession,
+      dirEntries: Seq[(String, Option[String])],
+      overlap: (Option[String], String, Double, Double) => Boolean,
+      mergeSchema: Boolean = false): DataFrame = {
+    val classic =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val hconf = classic.sessionState.newHadoopConf()
+    val dirs = dirEntries.map { case (d, blob) =>
+      val p = new Path(d)
+      val fs = p.getFileSystem(hconf)
+      val st = fs.getFileStatus(p)
+      val parts =
+        if (st.isDirectory)
+          fs.listStatus(p).filter(s => s.isFile && {
+            val n = s.getPath.getName
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          })
+        else Array(st)
+      (p, parts, blob)
+    }
+    val fmt = new ParquetFileFormat
+    val allParts = dirs.flatMap(_._2.toSeq)
+    val options = Map("mergeSchema" -> mergeSchema.toString)
+    // schema from the footers we already listed (one footer on the
+    // default path, a distributed union under mergeSchema) — no second
+    // listing job
+    val schema = fmt.inferSchema(classic, options,
+      if (mergeSchema) allParts else allParts.take(1)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: could not infer a parquet schema over " +
+          s"${dirEntries.size} batch dirs (first: " +
+          s"${dirEntries.headOption.map(_._1).getOrElse("-")})"))
+    val index = new GraftStatsFileIndex(dirs, overlap)
+    val relation = HadoopFsRelation(index, StructType(Nil), schema,
+      None, fmt, options)(classic)
+    org.apache.spark.sql.classic.Dataset.ofRows(classic,
+      LogicalRelation(relation, isStreaming = false))
+  }
+}

@@ -224,10 +224,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(d.fieldNames.length == 1,
           "graft: nested column drop is not supported")
         TxLog.dropColumn(spark, meta.location, d.fieldNames.head)
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft: nested column add is not supported")
+        require(a.isNullable,
+          "graft: ADD COLUMN null-fills existing rows, so the column " +
+            "must be nullable")
+        require(a.position() == null,
+          "graft: ADD COLUMN position (FIRST/AFTER) is not supported — " +
+            "added columns append to the logical schema")
+        require(a.defaultValue() == null,
+          "graft: ADD COLUMN DEFAULT is not supported — existing rows " +
+            "null-fill")
+        // comment is accepted and dropped: the log records name + type;
+        // a comment registry would be catalog metadata, not table state
+        TxLog.addColumn(spark, meta.location, a.fieldNames.head,
+          a.dataType().catalogString)
       case other =>
         throw new UnsupportedOperationException(
           s"graft: ALTER TABLE change not supported: $other " +
-            "(supported: RENAME COLUMN, DROP COLUMN)")
+            "(supported: ADD COLUMN, RENAME COLUMN, DROP COLUMN)")
     }
     loadTable(ident)
   }

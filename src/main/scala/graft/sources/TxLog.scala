@@ -299,7 +299,8 @@ object TxLog {
       remove: Seq[String], maxAttempts: Int = 16,
       dvSets: Seq[(String, Option[String])] = Nil,
       basedOnDvs: Option[Map[String, String]] = None,
-      colMap: Option[Seq[(String, String)]] = None): Int = {
+      colMap: Option[Seq[(String, String)]] = None,
+      colTypes: Seq[(String, Option[String])] = Nil): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     var attempt = 0
     var out = -1
@@ -347,7 +348,7 @@ object TxLog {
               s"${stale.head}); re-run against the current snapshot")
       }
       try out = commitWithStats(dir, add, remove, dvSets,
-        atVersion = checkV + 1, colMap = colMap)
+        atVersion = checkV + 1, colMap = colMap, colTypes = colTypes)
       catch {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.contains("lost the race") =>
@@ -379,9 +380,16 @@ object TxLog {
 
   /** Mutable holder for the column-mapping state a replay accumulates —
     * `None` until the first `colmap` action (identity behavior: tables
-    * never renamed/dropped pay nothing, old logs replay unchanged). */
+    * never renamed/dropped pay nothing, old logs replay unchanged).
+    * `types` is the [[addColumn]] registry: physical name → type DDL for
+    * mapped columns that may exist in NO data file yet — the read path
+    * null-fills them ([[readMasked]] `nullFill`). Types are meaningful
+    * only for physes in the current mapping: any `colmap` restate prunes
+    * entries whose phys left the mapping (a DROP retires the null-fill
+    * with the column; [[overwriteAll]]'s clear-to-identity drops all). */
   private final class ColMapBox {
     var m: Option[Seq[(String, String)]] = None
+    val types = scala.collection.mutable.LinkedHashMap.empty[String, String]
   }
 
   // column names percent-encode so ':' ',' and whitespace in a (quoted)
@@ -429,8 +437,16 @@ object TxLog {
         // plain last-wins replace — rename/drop commits are metadata-only;
         // `-` clears the mapping back to identity ([[restore]] rolling
         // past the table's first schema verb)
-        case Array("colmap", "-")   => cm.m = None
-        case Array("colmap", spec)  => cm.m = Some(parseColMap(spec))
+        case Array("colmap", "-")   => cm.m = None; cm.types.clear()
+        case Array("colmap", spec)  =>
+          cm.m = Some(parseColMap(spec))
+          val phys = cm.m.get.iterator.map(_._1).toSet
+          cm.types.filterInPlace((p, _) => phys(p))
+        // typed metadata-only ADD COLUMN ([[addColumn]]): phys → type DDL,
+        // last-wins per phys; pruned by any colmap restate that retires
+        // the phys (so drop/overwrite/restore reconcile for free)
+        case Array("coltype", p, "-") => cm.types.remove(decCol(p))
+        case Array("coltype", p, t)   => cm.types(decCol(p)) = decCol(t)
         // commit metadata (e.g. `meta ts <millis>`) is not a file action;
         // unknown meta keys replay as no-ops so the format stays
         // forward-extensible without breaking old readers
@@ -501,7 +517,8 @@ object TxLog {
       remove: Seq[String] = Nil,
       dvSets: Seq[(String, Option[String])] = Nil,
       atVersion: Int = -1,
-      colMap: Option[Seq[(String, String)]] = None): Int = {
+      colMap: Option[Seq[(String, String)]] = None,
+      colTypes: Seq[(String, Option[String])] = Nil): Int = {
     add.foreach { case (_, st) =>
       require(st.forall(s => !s.exists(c => c == '\t' || c == '\n' || c == '\r')),
         "stats blob must not contain tab/newline")
@@ -523,6 +540,9 @@ object TxLog {
     } ++ colMap.map {
       case m if m.isEmpty => "colmap\t-" // clear-to-identity sentinel
       case m              => s"colmap\t${renderColMap(m)}"
+    } ++ colTypes.map { // after colmap: a same-commit restate prunes first
+      case (p, Some(t)) => s"coltype\t${encCol(p)}\t${encCol(t)}"
+      case (p, None)    => s"coltype\t${encCol(p)}\t-"
     }).mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -645,7 +665,8 @@ object TxLog {
     * FILES. None when every file proves absence. */
   def readPrunedByKey(spark: SparkSession, dir: String, column: String,
       value: String, asOf: Int = -1): Option[DataFrame] = {
-    val (entries, dv, cm) = resolveFull(dir, asOf)
+    val (entries, dv, cmb) = resolveFull(dir, asOf)
+    val cm = cmb.m
     // callers name LOGICAL columns; stats/bloom blobs carry the names
     // the files were written with (physical)
     val physCol = toPhysicalName(cm, column)
@@ -661,7 +682,8 @@ object TxLog {
       }
     }.map(_._1)
     if (kept.isEmpty) None
-    else Some(applyMapping(readMasked(spark, kept, dv.toMap), cm))
+    else Some(applyMapping(readMasked(spark, kept, dv.toMap,
+      nullFill = cmb.types.toSeq), cm))
   }
 
   /** Snapshot read restricted to files whose manifest stats CAN satisfy
@@ -674,12 +696,14 @@ object TxLog {
     * pruning. None when every file prunes away. */
   def readPruned(spark: SparkSession, dir: String, column: String,
       lo: Double, hi: Double, asOf: Int = -1): Option[DataFrame] = {
-    val (entries, dv, cm) = resolveFull(dir, asOf)
+    val (entries, dv, cmb) = resolveFull(dir, asOf)
+    val cm = cmb.m
     val kept = entries
       .filter(e => statsOverlap(e._2, toPhysicalName(cm, column), lo, hi))
       .map(_._1)
     if (kept.isEmpty) None
-    else Some(applyMapping(readMasked(spark, kept, dv.toMap), cm))
+    else Some(applyMapping(readMasked(spark, kept, dv.toMap,
+      nullFill = cmb.types.toSeq), cm))
   }
 
   /** The live file set at `asOf` (latest when <= 0): the newest
@@ -714,7 +738,7 @@ object TxLog {
   private def resolveFull(dir: String, asOf: Int): (
       Seq[(String, Option[String])],
       scala.collection.mutable.LinkedHashMap[String, String],
-      Option[Seq[(String, String)]]) = {
+      ColMapBox) = {
     val upTo = if (asOf <= 0) latestVersion(dir) else asOf
     val live = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[String]]
@@ -733,7 +757,7 @@ object TxLog {
         readLogFile(dir, manifest(dir, v), s"manifest v$v (asOf=$asOf)"),
         s"v$v", dv, cm)
     }
-    (live.toSeq, dv, cm.m)
+    (live.toSeq, dv, cm)
   }
 
   /** The column mapping in force at `asOf` (latest when <= 0):
@@ -742,7 +766,15 @@ object TxLog {
     * serves physical names untouched, the pre-mapping fast path). */
   def columnMapping(dir: String, asOf: Int = -1)
       : Option[Seq[(String, String)]] =
-    resolveFull(dir, asOf)._3
+    resolveFull(dir, asOf)._3.m
+
+  /** The [[addColumn]] type registry in force at `asOf` (latest when
+    * <= 0): physical name → type DDL for mapped columns the read path
+    * must null-fill when a file predates them. Empty for tables ADD
+    * COLUMN never touched — every such read keeps its untyped fast
+    * path. */
+  def columnTypes(dir: String, asOf: Int = -1): Seq[(String, String)] =
+    resolveFull(dir, asOf)._3.types.toSeq
 
   /** Project a physically-named frame to its logical schema: mapped
     * columns rename (in mapping order), unmapped mapped-out columns
@@ -890,6 +922,52 @@ object TxLog {
     }, () => identityMappingFromFiles(spark, dir))
   }
 
+  /** ADD COLUMN as a METADATA-ONLY commit (public precedent: Delta's
+    * ALTER TABLE ADD COLUMNS — a log entry, zero data rewrite): the
+    * logical schema gains `name` with a FRESH physical name
+    * (`c<version>_<name>`, the [[appendMapped]] scheme, so a dropped
+    * column's retired bytes can never resurrect through a re-add), and
+    * a `coltype` manifest action records the column's type DDL. No data
+    * file is written or touched — the property a 100 TB table needs,
+    * because rewriting every file to append a null column is a
+    * non-starter. Readers null-fill the column for every file that
+    * predates it ([[readMasked]] `nullFill`); subsequent
+    * [[appendMapped]]/[[merge]]/INSERT writes fill it with real values;
+    * [[updateWhere]]/[[updateWhereDV]] accept it as a SET target
+    * immediately; time travel to pre-add versions does not show it.
+    * Honest cost: reads of a table ADD COLUMN ever touched plan with
+    * parquet's footer-union (mergeSchema) instead of the single-footer
+    * fast path — files genuinely may disagree on schema from this
+    * commit forward. Returns the commit version. */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      typeDdl: String): Int = {
+    // validate the DDL up front: a bad type must fail THIS verb, not
+    // every future read of the table
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      val base = columnMapping(dir).getOrElse(
+        identityMappingFromFiles(spark, dir))
+      require(!base.exists(_._2 == name),
+        s"txlog: column '$name' already exists in $dir " +
+          s"(logical schema: ${base.map(_._2).mkString(", ")})")
+      val phys = s"c${latestVersion(dir) + 1}_$name"
+      try out = commitWithStats(dir, add = Nil,
+        colMap = Some(base :+ (phys -> name)),
+        colTypes = Seq(phys -> Some(dt.catalogString)))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("lost the race") =>
+          if (attempt >= 16) throw e
+          Thread.sleep(math.min(5L * attempt, 100L))
+      }
+    }
+    out
+  }
+
   /** DROP COLUMN as a METADATA-ONLY commit: the column leaves the
     * logical schema (readers stop projecting its physical storage);
     * bytes stay in place until files naturally rewrite, and time travel
@@ -1014,6 +1092,7 @@ object TxLog {
           case Array("dv", _, "-")    => dvClear += 1
           case Array("dv", _*)        => dvSet += 1
           case Array("colmap", _*)    => schema = true
+          case Array("coltype", _*)   => schema = true
           case _                      =>
         }
       }
@@ -1048,7 +1127,10 @@ object TxLog {
       case (p, None)     => s"add\t$p"
     } ++ entries.flatMap { case (p, _) =>
       dvs.get(p).map(d => s"dv\t$p\t$d")
-    } ++ cmAtV.map(m => s"colmap\t${renderColMap(m)}")
+    } ++ cmAtV.m.map(m => s"colmap\t${renderColMap(m)}")
+      ++ cmAtV.types.toSeq.map { case (p, t) =>
+        s"coltype\t${encCol(p)}\t${encCol(t)}" // addColumn registry rides
+      }                                        // checkpoints like colmap
     ).mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -1115,9 +1197,13 @@ object TxLog {
     if (files.isEmpty) None
     // mask with the DVs live at `toVersion`: a file added and then
     // DV-deleted from inside the window serves its window-end rows;
-    // logical names resolve at the window END (one schema per feed)
-    else Some(applyMapping(readMasked(spark, files, liveDvs(dir, toVersion)),
-      columnMapping(dir, toVersion)))
+    // logical names (and typed null-fill adds) resolve at the window
+    // END (one schema per feed)
+    else {
+      val cmb = resolveFull(dir, toVersion)._3
+      Some(applyMapping(readMasked(spark, files, liveDvs(dir, toVersion),
+        nullFill = cmb.types.toSeq), cmb.m))
+    }
   }
 
   /** SNAPSHOT-DIFF change feed for (fromVersion, toVersion] — the
@@ -1177,13 +1263,17 @@ object TxLog {
     // already masked would double-delete them downstream)
     val added = (afterFiles -- beforeFiles).toSeq.sorted
     val removed = (beforeFiles -- afterFiles).toSeq.sorted
+    // typed null-fill adds resolve at the window END on every leg — the
+    // feed's one logical schema; a removed (pre-add) file's retractions
+    // null-fill the added column exactly like its snapshot read would
+    val nf = resolveFull(dir, toVersion)._3.types.toSeq
     val plus =
       if (added.isEmpty) None
-      else Some(readMasked(spark, added, afterDvM)
+      else Some(readMasked(spark, added, afterDvM, nullFill = nf)
         .withColumn(signCol, sign(1)))
     val minus =
       if (removed.isEmpty) None
-      else Some(readMasked(spark, removed, beforeDvM)
+      else Some(readMasked(spark, removed, beforeDvM, nullFill = nf)
         .withColumn(signCol, sign(-1)))
     // DV-delta grain: a file live at BOTH ends whose deletion vector
     // changed inside the window emits the rows the new DV masks beyond
@@ -1197,7 +1287,8 @@ object TxLog {
     val dvDeltas =
       if (dvChanged.isEmpty) None
       else {
-        val raw = readMasked(spark, dvChanged, Map.empty, withPos = true)
+        val raw = readMasked(spark, dvChanged, Map.empty, withPos = true,
+          nullFill = nf)
         val keys = Seq(DvFileCol, DvPosCol)
         val afterRows = dvChanged.flatMap(afterDvM.get).distinct match {
           case Nil => None
@@ -1244,13 +1335,16 @@ object TxLog {
     * fast path — a homogeneous table pays nothing for the capability. */
   def read(spark: SparkSession, dir: String, asOf: Int = -1,
       mergeSchema: Boolean = false): DataFrame = {
-    val (entries, dv, cm) = resolveFull(dir, asOf)
+    val (entries, dv, cmb) = resolveFull(dir, asOf)
     val files = entries.map(_._1)
     require(files.nonEmpty,
       s"txlog: snapshot of $dir at asOf=$asOf holds no files")
     // the mapping resolves AS OF the same snapshot — time travel across
-    // a rename serves that version's own logical names
-    applyMapping(readMasked(spark, files, dv.toMap, mergeSchema), cm)
+    // a rename serves that version's own logical names; typed metadata
+    // adds ([[addColumn]]) null-fill as of the same version; manifest
+    // stats ride into the scan so pushed filters SKIP files at planning
+    applyMapping(readMasked(spark, files, dv.toMap, mergeSchema,
+      nullFill = cmb.types.toSeq, stats = entries.toMap), cmb.m)
   }
 
   // deletion-vector sidecar schema: the PART-file URI (as Spark's
@@ -1308,10 +1402,34 @@ object TxLog {
     * probe consumers; plain files then carry them too. */
   private def readMasked(spark: SparkSession, files: Seq[String],
       dvs: Map[String, String], mergeSchema: Boolean = false,
-      withPos: Boolean = false): DataFrame = {
+      withPos: Boolean = false,
+      nullFill: Seq[(String, String)] = Nil,
+      stats: Map[String, Option[String]] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.col
-    def rd = if (mergeSchema) spark.read.option("mergeSchema", "true")
+    // nullFill (phys → type DDL, [[addColumn]]): the table's schema can
+    // no longer be trusted to ONE footer — files may predate an added
+    // column — so the scan unions footers (mergeSchema; parquet
+    // null-fills a per-file-missing column natively) and any column
+    // present in NO file yet projects as a typed null below. Tables ADD
+    // COLUMN never touched pass Nil and keep the single-footer fast path.
+    val ms = mergeSchema || nullFill.nonEmpty
+    def rd = if (ms) spark.read.option("mergeSchema", "true")
              else spark.read
+    // stats (batch dir → manifest blob): when the caller's snapshot
+    // carries manifest stats, the scan plans over a stats-aware
+    // FileIndex ([[graft.plans]]' GraftStatsFileIndex) that SKIPS
+    // stats-disjoint batch dirs for any pushed numeric filter — every
+    // read path (API and SQL) gets readPruned's file skipping
+    // automatically, before a single footer is opened. Tables without
+    // stats (and `spark.graft.scanPrune=false`) keep the plain path.
+    def scan(group: Seq[String]): DataFrame =
+      if (group.exists(p => stats.get(p).exists(_.isDefined)) &&
+          spark.conf.getOption("spark.graft.scanPrune")
+            .forall(_ != "false"))
+        org.apache.spark.sql.graftbridge.GraftScanBridge.statsPrunedParquet(
+          spark, group.map(p => p -> stats.getOrElse(p, None)),
+          statsOverlap, ms)
+      else rd.parquet(group: _*)
     def withMeta(df: DataFrame) = df
       .withColumn(DvFileCol, col("_metadata.file_path"))
       .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -1319,7 +1437,7 @@ object TxLog {
     val plainDf =
       if (plain.isEmpty) None
       else {
-        val df = rd.parquet(plain: _*)
+        val df = scan(plain)
         Some(if (withPos) withMeta(df) else df)
       }
     val maskedDf =
@@ -1328,7 +1446,9 @@ object TxLog {
         val dvDirs = masked.map(dvs)
         val limit = spark.conf.getOption("spark.graft.dvBroadcastBytes")
           .map(_.toLong).getOrElse(64L << 20)
-        val base = withMeta(rd.parquet(masked: _*))
+        // stats skipping is mask-sound: the mask only REMOVES rows, so a
+        // stats-disjoint file contributes nothing either way
+        val base = withMeta(scan(masked))
         // two masking regimes, measured at the 60M-row decade point
         // (BENCH_SCALE dv_delete_r11 x100 arm): a string-keyed hash
         // anti-join pays a ~150-byte URI hash+probe per ROW (~25x the
@@ -1354,16 +1474,25 @@ object TxLog {
               Seq(DvFileCol, DvPosCol), "left_anti")
         Some(if (withPos) df else df.drop(DvFileCol, DvPosCol))
       }
-    (plainDf, maskedDf) match {
+    val joined = (plainDf, maskedDf) match {
       // under mergeSchema the plain and masked file groups may have
       // EVOLVED apart (a DV-bound file predating an added column);
       // allowMissingColumns keeps the schema-evolution read working
       // across the plain/masked partition exactly as the old single
       // multi-file mergeSchema read did (ADVICE r11)
       case (Some(p), Some(m)) =>
-        p.unionByName(m, allowMissingColumns = mergeSchema)
+        p.unionByName(m, allowMissingColumns = ms)
       case (p, m) => p.orElse(m).getOrElse(
         throw new IllegalArgumentException("readMasked of zero files"))
+    }
+    if (nullFill.isEmpty) joined
+    else {
+      import org.apache.spark.sql.functions.lit
+      val present = joined.columns.toSet
+      nullFill.filterNot { case (p, _) => present(p) }
+        .foldLeft(joined) { case (df, (p, t)) =>
+          df.withColumn(p, lit(null).cast(t))
+        }
     }
   }
 
@@ -1415,7 +1544,10 @@ object TxLog {
     // as basedOnDvs (ADVICE r11): a DV delete landing between this read
     // and the swap must abort the swap, not be silently materialized away
     val dvSnap = liveDvs(dir)
-    val snap = readMasked(spark, files, dvSnap)
+    // nullFill: a compaction of files that evolved apart (post-addColumn
+    // inserts) must union their schemas, not inherit one footer's —
+    // dropping the evolved column here would be silent data loss
+    val snap = readMasked(spark, files, dvSnap, nullFill = columnTypes(dir))
     val compacted = (statCols.headOption match {
       case Some(c) if targetFiles > 1 => snap.repartitionByRange(
         targetFiles, org.apache.spark.sql.functions.col(c))
@@ -1473,7 +1605,8 @@ object TxLog {
     val statCols = small.flatMap(e => statColsOf(e._2)).distinct
     val dvSnap = liveDvs(dir)
     val compacted =
-      readMasked(spark, smallPaths, dvSnap).coalesce(1)
+      readMasked(spark, smallPaths, dvSnap,
+        nullFill = columnTypes(dir)).coalesce(1)
     val st =
       if (statCols.isEmpty) None else columnStatsMulti(compacted, statCols)
     commitRewrite(dir,
@@ -1529,7 +1662,8 @@ object TxLog {
     val files = liveFiles(dir)
     if (files.isEmpty) return 0
     val dvSnap = liveDvs(dir)
-    val snap = readMasked(spark, files, dvSnap).localCheckpoint()
+    val snap = readMasked(spark, files, dvSnap,
+      nullFill = columnTypes(dir)).localCheckpoint()
     val withZ =
       try {
         def rankExpr(c: String): org.apache.spark.sql.Column = {
@@ -1667,11 +1801,20 @@ object TxLog {
     // now-mapped table restores identity behavior via the `colmap -`
     // clear (Some(Seq.empty) is the API sentinel that renders it).
     val cmSet: Option[Seq[(String, String)]] =
-      if (targetCm == currentCm) None
-      else targetCm.orElse(Some(Seq.empty))
+      if (targetCm.m == currentCm.m) None
+      else targetCm.m.orElse(Some(Seq.empty))
+    // addColumn type registry rolls back with the mapping: the restated
+    // colmap line prunes types whose phys leaves the mapping, and the
+    // target's own types restate explicitly — covering a drop BETWEEN
+    // target and now that pruned a type the target mapping still needs
+    // (a phys's type never changes, so restating is always safe)
+    val typeSet: Seq[(String, Option[String])] =
+      if (cmSet.isEmpty) Nil
+      else targetCm.types.toSeq.map { case (p, t) => (p, Some(t)) }
     if (add.isEmpty && remove.isEmpty && dvSets.isEmpty && cmSet.isEmpty)
       return 0
-    commitRewrite(dir, add, remove, dvSets = dvSets, colMap = cmSet)
+    commitRewrite(dir, add, remove, dvSets = dvSets, colMap = cmSet,
+      colTypes = typeSet)
   }
 
   /** Scheme- and working-directory-insensitive path identity — manifest
@@ -1724,9 +1867,12 @@ object TxLog {
     * row must neither pull its file into a rewrite nor re-match. */
   private def probeTouched(spark: SparkSession, probeFiles: Seq[String],
       dvs: Map[String, String],
-      probe: DataFrame => DataFrame): Seq[String] = {
+      probe: DataFrame => DataFrame,
+      nullFill: Seq[(String, String)] = Nil,
+      stats: Map[String, Option[String]] = Map.empty): Seq[String] = {
     if (probeFiles.isEmpty) Seq.empty
-    else probe(readMasked(spark, probeFiles, dvs, withPos = true))
+    else probe(readMasked(spark, probeFiles, dvs, withPos = true,
+      nullFill = nullFill, stats = stats))
       .select(DvFileCol).distinct().collect()
       .map(r => batchDirOf(r.getString(0))).distinct.sorted.toSeq
   }
@@ -1807,18 +1953,21 @@ object TxLog {
   def deleteWhere(spark: SparkSession, dir: String, name: String,
       predicate0: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions._
-    val (entries, dvM, cm) = resolveFull(dir, -1)
+    val (entries, dvM, cmb) = resolveFull(dir, -1)
     if (entries.isEmpty) return 0
-    val predicate = dmlColumn(cm, predicate0, "DELETE")
+    val nf = cmb.types.toSeq
+    val predicate = dmlColumn(cmb.m, predicate0, "DELETE")
     val dvs = dvM.toMap
-    val touched =
-      probeTouched(spark, entries.map(_._1), dvs, _.filter(predicate))
+    // the probe scan's pushed predicate skips stats-disjoint files at
+    // planning (the readPruned trust contract, applied to DML probes)
+    val touched = probeTouched(spark, entries.map(_._1), dvs,
+      _.filter(predicate), nullFill = nf, stats = entries.toMap)
     // keep = NOT predicate OR predicate-is-null (SQL DELETE keeps
     // null-predicate rows); per-dir read keeps untouched dirs untouched;
     // a rewrite of a DV-bound dir reads through its mask (materializing
     // the vector) — raw reads here would resurrect masked rows
     rewriteTouched(spark, dir, name, entries, touched,
-      p => readMasked(spark, Seq(p), dvs)
+      p => readMasked(spark, Seq(p), dvs, nullFill = nf)
         .filter(!coalesce(predicate, lit(false))),
       extraAdds = Nil, what = "delete", basedOnDvs = Some(dvs))
   }
@@ -1864,11 +2013,12 @@ object TxLog {
   def deleteWhereDV(spark: SparkSession, dir: String, name: String,
       predicate0: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions._
-    val (entries, dvM, cm) = resolveFull(dir, -1)
+    val (entries, dvM, cmb) = resolveFull(dir, -1)
     if (entries.isEmpty) return 0
-    val predicate = dmlColumn(cm, predicate0, "DELETE (DV)")
+    val predicate = dmlColumn(cmb.m, predicate0, "DELETE (DV)")
     val dvs = dvM.toMap
-    val matched = readMasked(spark, entries.map(_._1), dvs, withPos = true)
+    val matched = readMasked(spark, entries.map(_._1), dvs, withPos = true,
+        nullFill = cmb.types.toSeq, stats = entries.toMap)
       .filter(coalesce(predicate, lit(false)))
       .select(DvFileCol, DvPosCol).localCheckpoint()
     try {
@@ -1941,9 +2091,10 @@ object TxLog {
       total == 0L || masked.toDouble / total >= minMaskedFraction
     }
     if (victims.isEmpty) return 0
+    val nf = columnTypes(dir)
     rewriteTouched(spark, dir, name, entries, victims.map(normPath),
-      p => readMasked(spark, Seq(p), dvs), extraAdds = Nil,
-      what = "optimizeDv", basedOnDvs = Some(dvs))
+      p => readMasked(spark, Seq(p), dvs, nullFill = nf),
+      extraAdds = Nil, what = "optimizeDv", basedOnDvs = Some(dvs))
   }
 
   /** MERGE-ON-READ UPDATE via deletion vectors — [[updateWhereDV]] is to
@@ -1967,20 +2118,26 @@ object TxLog {
     require(set0.map(_._1).distinct.size == set0.size,
       s"updateWhereDV: a column may appear at most once in SET " +
         s"(got ${set0.map(_._1).mkString(", ")})")
-    val (entries, dvM, cm) = resolveFull(dir, -1)
+    val (entries, dvM, cmb) = resolveFull(dir, -1)
     if (entries.isEmpty) return 0
+    val cm = cmb.m
+    val nf = cmb.types.toSeq
     val predicate = dmlColumn(cm, predicate0, "UPDATE (DV)")
     val set = set0.map { case (n, e) =>
       cm.fold(n)(dmlPhysicalName(_, n, "UPDATE (DV) SET")) ->
         dmlColumn(cm, e, "UPDATE (DV) SET")
     }
     val dvs = dvM.toMap
-    val tableCols = spark.read.parquet(entries.head._1).columns.toSet
+    // head-file columns plus typed metadata adds (a just-added column is
+    // a legal SET target even before any file carries it)
+    val tableCols =
+      spark.read.parquet(entries.head._1).columns.toSet ++ nf.map(_._1)
     val missing = set.map(_._1).filterNot(tableCols)
     require(missing.isEmpty,
       s"updateWhereDV: SET targets column(s) absent from the table: " +
         s"${missing.mkString(", ")}")
-    val matched = readMasked(spark, entries.map(_._1), dvs, withPos = true)
+    val matched = readMasked(spark, entries.map(_._1), dvs, withPos = true,
+        nullFill = nf, stats = entries.toMap)
       .filter(coalesce(predicate, lit(false))).localCheckpoint()
     try {
       val touchedParts = matched.select(DvFileCol).distinct()
@@ -2058,8 +2215,10 @@ object TxLog {
     require(set0.map(_._1).distinct.size == set0.size,
       s"updateWhere: a column may appear at most once in SET " +
         s"(got ${set0.map(_._1).mkString(", ")})")
-    val (entries, _, cm) = resolveFull(dir, -1)
+    val (entries, dvM, cmb) = resolveFull(dir, -1)
     if (entries.isEmpty) return 0
+    val cm = cmb.m
+    val nf = cmb.types.toSeq
     val predicate = dmlColumn(cm, predicate0, "UPDATE")
     val set = set0.map { case (n, e) =>
       cm.fold(n)(dmlPhysicalName(_, n, "UPDATE SET")) ->
@@ -2068,20 +2227,22 @@ object TxLog {
     // validate SET columns BEFORE the probe: inside the rewrite lambda the
     // check would be data-dependent — a typo'd column on a no-match
     // predicate would return 0 and a scheduled job would report success
-    // forever (one footer read against the snapshot's schema)
-    val tableCols = spark.read.parquet(entries.head._1).columns.toSet
+    // forever (one footer read against the snapshot's schema; typed
+    // metadata adds are legal SET targets before any file carries them)
+    val tableCols =
+      spark.read.parquet(entries.head._1).columns.toSet ++ nf.map(_._1)
     val missing = set.map(_._1).filterNot(tableCols)
     require(missing.isEmpty,
       s"updateWhere: SET targets column(s) absent from the table: " +
         s"${missing.mkString(", ")}")
-    val dvs = liveDvs(dir)
-    val touched =
-      probeTouched(spark, entries.map(_._1), dvs, _.filter(predicate))
+    val dvs = dvM.toMap
+    val touched = probeTouched(spark, entries.map(_._1), dvs,
+      _.filter(predicate), nullFill = nf, stats = entries.toMap)
     val setByCol = set.toMap
     val hit = coalesce(predicate, lit(false))
     rewriteTouched(spark, dir, name, entries, touched,
       { p =>
-        val df = readMasked(spark, Seq(p), dvs)
+        val df = readMasked(spark, Seq(p), dvs, nullFill = nf)
         val types = df.schema.map(f => f.name -> f.dataType).toMap
         df.select(df.columns.toSeq.map { c =>
           setByCol.get(c) match {
@@ -2156,8 +2317,10 @@ object TxLog {
       source: DataFrame, keys: Seq[String]): Int = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "deleteByKeys needs at least one key column")
-    val (entries, dvM, cm) = resolveFull(dir, -1)
+    val (entries, dvM, cmb) = resolveFull(dir, -1)
     if (entries.isEmpty) return 0
+    val cm = cmb.m
+    val nf = cmb.types.toSeq
     val physKeys = keys.map(k =>
       cm.fold(k)(dmlPhysicalName(_, k, "MERGE DELETE key")))
     val srcKeys = source
@@ -2168,9 +2331,9 @@ object TxLog {
       val dvs = dvM.toMap
       val touched = probeTouched(spark,
         keyPrunedProbeFiles(entries, srcKeys, physKeys), dvs,
-        _.join(broadcast(srcKeys), physKeys, "left_semi"))
+        _.join(broadcast(srcKeys), physKeys, "left_semi"), nullFill = nf)
       rewriteTouched(spark, dir, name, entries, touched,
-        p => readMasked(spark, Seq(p), dvs)
+        p => readMasked(spark, Seq(p), dvs, nullFill = nf)
           .join(broadcast(srcKeys), physKeys, "left_anti"),
         extraAdds = Nil, what = "deleteByKeys", basedOnDvs = Some(dvs))
     } finally graft.core.Checkpoints.release(srcKeys)
@@ -2357,8 +2520,11 @@ object TxLog {
       val srcKeys = nonNullKeyed.select(keys.map(col): _*).distinct()
       val probeFiles = keyPrunedProbeFiles(entries, nonNullKeyed, keys)
       val dvs = liveDvs(dir)
+      // typed metadata adds null-fill the probe/rewrite reads (a merge
+      // KEYED on a just-added column is degenerate but must not crash)
+      val nf = if (cm.isEmpty) Nil else columnTypes(dir)
       val touched = probeTouched(spark, probeFiles, dvs,
-        _.join(broadcast(srcKeys), keys, "left_semi"))
+        _.join(broadcast(srcKeys), keys, "left_semi"), nullFill = nf)
       val extraAdds =
         if (upserts.isEmpty) Nil
         else {
@@ -2370,7 +2536,7 @@ object TxLog {
           Seq(writeBatch(upserts, dir, s"${name}_src") -> srcStats)
         }
       rewriteTouched(spark, dir, name, entries, touched,
-        p => readMasked(spark, Seq(p), dvs)
+        p => readMasked(spark, Seq(p), dvs, nullFill = nf)
           .join(broadcast(srcKeys), keys, "left_anti"),
         extraAdds, what = "merge", basedOnDvs = Some(dvs))
     } finally graft.core.Checkpoints.release(keyed)
@@ -2539,7 +2705,7 @@ object TxLog {
   def cloneShallow(src: String, dst: String, asOf: Int = -1): Int = {
     require(latestVersion(dst) == 0,
       s"txlog: clone target $dst already has a log — clone forks a NEW table")
-    val (entries, dvM, cm) = resolveFull(src, asOf)
+    val (entries, dvM, cmb) = resolveFull(src, asOf)
     require(entries.nonEmpty,
       s"txlog: snapshot of $src at asOf=$asOf holds no files")
     // qualify every referenced path: the clone's manifest lives under a
@@ -2553,7 +2719,10 @@ object TxLog {
       dvSets = dvM.toMap.toSeq.map { case (p, d) =>
         qualify(p) -> Some(qualify(d))
       },
-      colMap = cm)
+      colMap = cmb.m,
+      // the addColumn type registry is snapshot state too — a clone of
+      // a table with a never-written added column must null-fill it
+      colTypes = cmb.types.toSeq.map { case (p, t) => (p, Some(t)) })
   }
 
   def destroy(dir: String): Unit = {

@@ -143,6 +143,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.sch.t")
   }
 
+  test("ALTER TABLE ADD COLUMN is metadata-only; SQL UPDATE/INSERT fill it") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dir, "b0")))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.addc")
+    spark.sql("DROP TABLE IF EXISTS cat.addc.t")
+    spark.sql(s"CREATE TABLE cat.addc.t USING graft LOCATION '$dir'")
+    val filesBefore = TxLog.liveFiles(dir)
+    spark.sql("ALTER TABLE cat.addc.t ADD COLUMN score DOUBLE")
+    assert(TxLog.liveFiles(dir) === filesBefore,
+      "ADD COLUMN must not touch a single data file")
+    // pre-add rows null-fill under the typed column
+    assert(spark.sql("SELECT * FROM cat.addc.t").columns.toSeq ===
+      Seq("id", "tag", "score"))
+    assert(spark.sql(
+      "SELECT count(*) FROM cat.addc.t WHERE score IS NULL")
+      .as[Long].head() === 2L)
+    // SET the added column before any file carries it, then INSERT with it
+    spark.sql("UPDATE cat.addc.t SET score = 9.5 WHERE id = 1")
+    spark.sql("INSERT INTO cat.addc.t VALUES (3, 'c', 7.0)")
+    assert(spark.sql("SELECT score FROM cat.addc.t ORDER BY id")
+      .as[Option[Double]].collect().toSeq ===
+      Seq(Some(9.5), None, Some(7.0)))
+    // time travel BEFORE the add does not show the column
+    assert(spark.sql("SELECT * FROM cat.addc.t VERSION AS OF 1")
+      .columns.toSeq === Seq("id", "tag"))
+    // unsupported shapes are rejected loudly, not silently narrowed
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cat.addc.t ADD COLUMN p DOUBLE FIRST")
+    }
+    spark.sql("DROP TABLE cat.addc.t")
+  }
+
   test("snapshot reads keep pushdown: filter reaches the parquet scan") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(

@@ -705,8 +705,14 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.liveFiles(dir).contains(hiPath),
       "a stats-disjoint file is skipped without probing")
     // k=100 was NOT replaced (its file was pruned away) — the new row
-    // coexists: lying stats break merge exactly like they break readPruned
-    assert(TxLog.read(spark, dir).filter(col("k") === 100).count() === 2)
+    // coexists: lying stats break merge exactly like they break
+    // readPruned. The UNFILTERED read (no pushed bound, nothing prunes)
+    // shows both copies; a FILTERED scan trusts the same lying blob and
+    // skips the file — the one trust contract, applied everywhere
+    assert(TxLog.read(spark, dir).collect()
+      .count(_.getAs[Int]("k") == 100) === 2)
+    assert(TxLog.read(spark, dir).filter(col("k") === 100).count() === 1,
+      "scan-level skipping trusts stats exactly like the probe did")
     TxLog.destroy(dir)
   }
 
@@ -1001,6 +1007,162 @@ class TxLogSpec extends AnyFunSuite {
     assert(hit.isDefined && hit.get.columns.toSeq === Seq("id", "value"))
     val miss = TxLog.readPruned(spark, dir, "value", 1000.0, 2000.0)
     assert(miss.isEmpty, "disjoint range still prunes after the rename")
+    TxLog.destroy(dir)
+  }
+
+  // ---- column mapping: metadata-only typed ADD COLUMN ----
+
+  test("addColumn is metadata-only: null-fill, time travel, writes fill it") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dir, "b0")))
+    val filesBefore = TxLog.liveFiles(dir)
+    val v = TxLog.addColumn(spark, dir, "score", "double")
+    assert(v === 2)
+    assert(TxLog.liveFiles(dir) === filesBefore,
+      "add must not write or touch a single data file")
+    // every pre-add row serves a typed null under the new column
+    assert(TxLog.read(spark, dir).columns.toSeq === Seq("id", "tag", "score"))
+    assert(TxLog.read(spark, dir).schema("score").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(TxLog.read(spark, dir).filter(col("score").isNull).count() === 2)
+    // time travel BEFORE the add does not show the column
+    assert(TxLog.read(spark, dir, asOf = 1).columns.toSeq === Seq("id", "tag"))
+    // an UPDATE may SET the added column before any file carries it
+    TxLog.updateWhere(spark, dir, "u0", col("id") === 1L,
+      Seq("score" -> org.apache.spark.sql.functions.lit(9.5)))
+    // appends carry the column under its logical name from here on
+    TxLog.appendMapped(spark, dir,
+      Seq((3L, "c", 7.0)).toDF("id", "tag", "score"), "b1")
+    assert(TxLog.read(spark, dir).orderBy("id")
+      .select("score").as[Option[Double]].collect().toSeq ===
+      Seq(Some(9.5), None, Some(7.0)))
+    // DELETE by a predicate on the added column (mixed files: one has
+    // the column physically, one null-fills)
+    TxLog.deleteWhere(spark, dir, "d0", col("score") > 8.0)
+    assert(TxLog.read(spark, dir).orderBy("id")
+      .select("id").as[Long].collect().toSeq === Seq(2L, 3L))
+    // duplicate add and malformed type DDL fail loudly
+    intercept[IllegalArgumentException] {
+      TxLog.addColumn(spark, dir, "score", "double")
+    }
+    intercept[Exception] { TxLog.addColumn(spark, dir, "x", "no-such-type") }
+    TxLog.destroy(dir)
+  }
+
+  test("addColumn survives optimize (mixed schemas), checkpoint, clone, restore") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 10.0)).toDF("id", "v"), dir, "b0")))     // v1
+    TxLog.addColumn(spark, dir, "w", "bigint")           // v2
+    TxLog.appendMapped(spark, dir,
+      Seq((2L, 20.0, 5L)).toDF("id", "v", "w"), "b1")    // v3: file HAS w
+    // compaction of files that evolved apart must keep the column
+    TxLog.optimize(spark, dir, "opt", targetFiles = 1)   // v4
+    assert(TxLog.read(spark, dir).orderBy("id")
+      .select("w").as[Option[Long]].collect().toSeq === Seq(None, Some(5L)),
+      "optimize across mixed schemas must not drop the evolved column")
+    // checkpoint-seeded resolution replays the type registry
+    TxLog.checkpoint(dir)
+    TxLog.expireManifests(dir)
+    assert(TxLog.read(spark, dir).columns.toSeq === Seq("id", "v", "w"))
+    // a shallow clone serves the added column too
+    val dst = freshDir()
+    TxLog.cloneShallow(dir, dst)
+    assert(TxLog.read(spark, dst).columns.toSeq === Seq("id", "v", "w"))
+    TxLog.destroy(dst)
+    // drop, then restore to a post-add version: the type registry is
+    // restated so a never-written add would still null-fill (here the
+    // compacted file carries w physically; the schema must come back)
+    TxLog.dropColumn(spark, dir, "w")
+    assert(TxLog.read(spark, dir).columns.toSeq === Seq("id", "v"))
+    TxLog.restore(dir, 4)
+    assert(TxLog.read(spark, dir).columns.toSeq === Seq("id", "v", "w"),
+      "restore across a drop brings the added column back")
+    TxLog.destroy(dir)
+  }
+
+  // ---- manifest-stats file skipping at scan planning ----
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+  }
+
+  test("snapshot scans skip stats-disjoint files for pushed filters") {
+    val dir = freshDir()
+    // three batches with DISJOINT id ranges, each with manifest stats
+    Seq((1L, 100L), (101L, 200L), (201L, 300L)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        val df = (lo to hi).map(x => (x, x * 2.0)).toDF("id", "v").coalesce(1)
+        TxLog.commitWithStats(dir, Seq(
+          TxLog.writeBatch(df, dir, s"b$i") -> TxLog.columnStats(df, "id")))
+    }
+    val snap = TxLog.read(spark, dir)
+    // an unfiltered read scans everything
+    assert(scannedFiles(snap.select("id")) >= 3L)
+    // a pushed point filter plans ONE batch dir — skipped before any
+    // footer is opened (the FileIndex dropped them at listFiles time)
+    val one = snap.filter(col("id") === 150L)
+    assert(scannedFiles(one) === 1L,
+      "a point filter over disjoint-stat batches must scan one file")
+    assert(one.select("v").as[Double].collect().toSeq === Seq(300.0))
+    // range filters prune too, and answers stay exact
+    val range = snap.filter(col("id") >= 250L)
+    assert(scannedFiles(range) === 1L)
+    assert(range.count() === 51L)
+    // a filter on a stat-less column scans everything (correctness
+    // over skipping)
+    assert(scannedFiles(snap.filter(col("v") === 300.0)) >= 3L)
+    // kill switch restores the plain path (evaluated when the snapshot
+    // is BUILT, so re-read after setting it)
+    spark.conf.set("spark.graft.scanPrune", "false")
+    try assert(scannedFiles(
+      TxLog.read(spark, dir).filter(col("id") === 150L)) >= 3L)
+    finally spark.conf.unset("spark.graft.scanPrune")
+    TxLog.destroy(dir)
+  }
+
+  test("stats skipping composes with DV masks and column mapping") {
+    val dir = freshDir()
+    Seq((1L, 100L), (101L, 200L)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        val df = (lo to hi).map(x => (x, x * 2.0)).toDF("id", "v").coalesce(1)
+        TxLog.commitWithStats(dir, Seq(
+          TxLog.writeBatch(df, dir, s"b$i") -> TxLog.columnStats(df, "id")))
+    }
+    // DV-delete one row in the low batch; rename v → value
+    TxLog.deleteWhereDV(spark, dir, "dv", col("id") === 50L)
+    TxLog.renameColumn(spark, dir, "v", "value")
+    val snap = TxLog.read(spark, dir)
+    // the masked batch still skips when the filter excludes it
+    val high = snap.filter(col("id") === 150L)
+    assert(scannedFiles(high) === 1L,
+      "a DV-bound low batch must skip for a high-range filter")
+    assert(high.select("value").as[Double].collect().toSeq === Seq(300.0))
+    // and the mask applies when the filter lands on the masked batch
+    assert(snap.filter(col("id").between(49L, 51L))
+      .select("id").as[Long].collect().sorted.toSeq === Seq(49L, 51L))
+    TxLog.destroy(dir)
+  }
+
+  test("addColumn then drop: never-written storage stays dropped through re-add") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, "x")).toDF("id", "tag"), dir, "b0")))
+    TxLog.addColumn(spark, dir, "note", "string")
+    TxLog.appendMapped(spark, dir,
+      Seq((2L, "y", "secret")).toDF("id", "tag", "note"), "b1")
+    TxLog.dropColumn(spark, dir, "note")
+    // re-ADD the same logical name: fresh physical storage, old bytes inert
+    TxLog.addColumn(spark, dir, "note", "string")
+    assert(TxLog.read(spark, dir).orderBy("id")
+      .select("note").as[Option[String]].collect().toSeq === Seq(None, None),
+      "the re-added column must not resurrect the dropped column's bytes")
     TxLog.destroy(dir)
   }
 
