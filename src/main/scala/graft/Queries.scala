@@ -9577,6 +9577,65 @@ object Queries {
       FROM events WHERE value >= 55.0 AND value <= 70.0
       GROUP BY 1 ORDER BY 1"""))
 
+  /** PARTITIONED catalog tables end-to-end in SQL
+    * ([[graft.sources.GraftCatalog]] PARTITIONED BY →
+    * [[graft.sources.TxLog.commitPartitioned]] value-grain ingest):
+    * CREATE TABLE … PARTITIONED BY (bucket), INSERT INTO … SELECT, and
+    * the scan-planning FileIndex prunes a partition-valued filter to
+    * exactly ONE of the four value leaves (REQUIREd with zero jobs) —
+    * partition pruning with no directory listing, straight off the
+    * manifest's per-value stats. The filtered aggregate is
+    * hash-checked; a second INSERT proves leaves accumulate per commit
+    * and still prune. */
+  private val qSqlPartitioned = QuerySpec(
+    "q_sql_partitioned",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqlpart_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("value"))
+        .filter(col("event_id").isNotNull)
+        .createOrReplaceTempView(s"ev_src_$tag")
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evpart_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evpart_$tag " +
+        "(event_id BIGINT, event_type STRING, value DOUBLE, bucket INT) " +
+        "USING graft PARTITIONED BY (bucket)")
+      s.sql(s"INSERT INTO graft.sql.evpart_$tag " +
+        "SELECT event_id, event_type, value, " +
+        s"CAST(pmod(event_id, 4) AS INT) FROM ev_src_$tag " +
+        "WHERE event_id % 2 = 0")
+      s.sql(s"INSERT INTO graft.sql.evpart_$tag " +
+        "SELECT event_id, event_type, value, " +
+        s"CAST(pmod(event_id, 4) AS INT) FROM ev_src_$tag " +
+        "WHERE event_id % 2 = 1")
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val filtered = s.sql(
+        s"SELECT event_type, value FROM graft.sql.evpart_$tag " +
+          "WHERE bucket = 2")
+      // commit 1 wrote buckets {0,2} (even ids), commit 2 {1,3} (odd):
+      // 4 one-file leaves total, and bucket=2 plans exactly one
+      require(plannedFiles(filtered) == 1,
+        s"bucket=2 must plan 1 of the 4 value leaves, " +
+          s"planned ${plannedFiles(filtered)}")
+      filtered.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id IS NOT NULL AND event_id % 4 = 2
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Native top-k-per-key ([[SortOps.topKPerKey]] → the custom
     * TopKPerKey SparkStrategy/SparkPlan pair): the 3 cheapest lineitems
     * per return flag, selected by two-phase bounded heaps instead of a
@@ -13100,7 +13159,7 @@ object Queries {
     qTxlogRename, qTxlogMappedDml,
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
     qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete, qTxlogConvert,
-    qSqlAddColumn, qTxlogScanPrune,
+    qSqlAddColumn, qTxlogScanPrune, qSqlPartitioned,
     qSqlRestoreClone,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,

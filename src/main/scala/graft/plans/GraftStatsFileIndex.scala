@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.{NumericType, StructType}
   * inequalities use closed bounds — conservative, never wrong. */
 private[graftbridge] final class GraftStatsFileIndex(
     dirs: Seq[(Path, Array[FileStatus], Option[String])],
-    overlap: (Option[String], String, Double, Double) => Boolean)
+    overlap: (Option[String], String, Double, Double) => Boolean,
+    mayContain: (Option[String], String, String) => Boolean)
     extends FileIndex {
 
   override def rootPaths: Seq[Path] = dirs.map(_._1)
@@ -50,10 +51,17 @@ private[graftbridge] final class GraftStatsFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = dataFilters.flatMap(GraftStatsFileIndex.boundsOf)
+    // string point predicates check the blob's BLOOM segment (the
+    // partitioned-ingest per-value blobs and statsWithBloom commits);
+    // an IN-list keeps the file if ANY listed value may be present
+    val strEqs = dataFilters.flatMap(GraftStatsFileIndex.strEqsOf)
     val kept =
-      if (bounds.isEmpty) dirs
+      if (bounds.isEmpty && strEqs.isEmpty) dirs
       else dirs.filter { case (_, _, blob) =>
-        bounds.forall { case (c, lo, hi) => overlap(blob, c, lo, hi) }
+        bounds.forall { case (c, lo, hi) => overlap(blob, c, lo, hi) } &&
+          strEqs.forall { case (c, vs) =>
+            vs.exists(v => mayContain(blob, c, v))
+          }
       }
     Seq(PartitionDirectory(InternalRow.empty,
       kept.iterator.flatMap(_._2).toArray))
@@ -127,6 +135,31 @@ private[graftbridge] object GraftStatsFileIndex {
       }
     case _ => Nil
   }
+
+  /** STRING literal of a pushed predicate, rendered exactly as the blob
+    * writers rendered values (`col.cast("string")` — for a string
+    * column that is the value itself). Non-string literals return None:
+    * guessing a numeric's string rendering risks a false SKIP, and
+    * numerics already prune through range bounds. */
+  private def litString(l: Literal): Option[String] = l.value match {
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case _ => None
+  }
+
+  /** One pushed conjunct → per-column string point-membership
+    * requirements (col, candidate values); Nil for non-string shapes. */
+  def strEqsOf(e: Expression): Seq[(String, Seq[String])] = e match {
+    case And(l, r) => strEqsOf(l) ++ strEqsOf(r)
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      litString(l).map(v => (a.name, Seq(v))).toSeq
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      litString(l).map(v => (a.name, Seq(v))).toSeq
+    case In(a: AttributeReference, elems) if elems.nonEmpty &&
+        elems.forall(_.isInstanceOf[Literal]) =>
+      val vs = elems.map(e => litString(e.asInstanceOf[Literal]))
+      if (vs.forall(_.isDefined)) Seq((a.name, vs.flatten)) else Nil
+    case _ => Nil
+  }
 }
 
 /** The builder half: assemble a parquet scan over explicit batch dirs
@@ -142,6 +175,7 @@ object GraftScanBridge {
   def statsPrunedParquet(spark: SparkSession,
       dirEntries: Seq[(String, Option[String])],
       overlap: (Option[String], String, Double, Double) => Boolean,
+      mayContain: (Option[String], String, String) => Boolean,
       mergeSchema: Boolean = false): DataFrame = {
     val classic =
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -171,7 +205,7 @@ object GraftScanBridge {
         s"graft: could not infer a parquet schema over " +
           s"${dirEntries.size} batch dirs (first: " +
           s"${dirEntries.headOption.map(_._1).getOrElse("-")})"))
-    val index = new GraftStatsFileIndex(dirs, overlap)
+    val index = new GraftStatsFileIndex(dirs, overlap, mayContain)
     val relation = HadoopFsRelation(index, StructType(Nil), schema,
       None, fmt, options)(classic)
     org.apache.spark.sql.classic.Dataset.ofRows(classic,

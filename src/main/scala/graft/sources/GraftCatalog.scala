@@ -113,7 +113,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (Seq(warehouse) ++ ident.namespace :+ ident.name).mkString("/")
 
   private case class TableMeta(location: String, external: Boolean,
-      declared: StructType)
+      declared: StructType, partCol: Option[String] = None)
 
   private def readMeta(ident: Identifier): Option[TableMeta] = {
     val p = metaFile(ident)
@@ -127,14 +127,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         new String(bytes.toByteArray, StandardCharsets.UTF_8)
       } finally in.close()
     var loc = ""; var ext = false; var schema = new StructType()
+    var pc: Option[String] = None
     text.linesIterator.foreach(_.split("\t", 2) match {
       case Array("location", v) => loc = v
       case Array("external", v) => ext = v.toBoolean
       case Array("schema", v) if v.nonEmpty =>
         schema = StructType.fromDDL(v)
+      case Array("partcol", v) if v.nonEmpty => pc = Some(v)
       case _ =>
     })
-    Some(TableMeta(loc, ext, schema))
+    Some(TableMeta(loc, ext, schema, pc))
   }
 
   private def writeMeta(ident: Identifier, meta: TableMeta): Boolean = {
@@ -145,7 +147,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s".${ident.name}.tmp${System.nanoTime()}")
     val body =
       s"location\t${meta.location}\nexternal\t${meta.external}\n" +
-        s"schema\t${if (meta.declared.isEmpty) "" else meta.declared.toDDL}\n"
+        s"schema\t${if (meta.declared.isEmpty) "" else meta.declared.toDDL}\n" +
+        meta.partCol.fold("")(c => s"partcol\t$c\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     // same atomic create-if-absent claim as a TxLog manifest: one winner
@@ -189,22 +192,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident))
     GraftTable(
       (catalogName +: ident.namespace :+ ident.name).mkString("."),
-      meta.location, asOf, meta.declared)
+      meta.location, asOf, meta.declared, meta.partCol)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft: PARTITIONED BY is not supported — TxLog tables partition " +
-        "at the batch level (commitPartitioned) and prune via manifest " +
-        "stats; use OPTIMIZE/ZORDER for layout")
+    // PARTITIONED BY (c): exactly one identity transform over a
+    // top-level column — every INSERT then routes through the
+    // partitioned ingest (one manifest entry per value with exact
+    // min=max + one-value bloom stats), and the scan-planning FileIndex
+    // prunes partition-valued filters with ZERO planning reads. Bucket/
+    // days/etc. transforms have no per-value manifest grain and are
+    // rejected loudly rather than silently degraded.
+    val partCol = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        val c = t.references.head.fieldNames.head
+        require(schema.isEmpty || schema.fieldNames.contains(c),
+          s"graft: PARTITIONED BY column '$c' is not in the table schema")
+        Some(c)
+      case other => throw new UnsupportedOperationException(
+        "graft: PARTITIONED BY supports exactly one top-level identity " +
+          s"column, got: ${other.mkString(", ")}")
+    }
     val external = properties.containsKey(TableCatalog.PROP_LOCATION)
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(managedDir(ident))
     require(!location.exists(_ < ' '),
       s"graft: LOCATION must not contain control characters: $location")
-    if (!writeMeta(ident, TableMeta(location, external, schema)))
+    if (!writeMeta(ident, TableMeta(location, external, schema, partCol)))
       throw new TableAlreadyExistsException(ident)
     loadTable(ident)
   }
@@ -213,6 +231,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       changes: TableChange*): Table = {
     val meta = readMeta(ident).getOrElse(
       throw new NoSuchTableException(ident))
+    require(meta.partCol.isEmpty,
+      "graft: column schema verbs are not supported on a PARTITIONED " +
+        "table — the partitioned ingest writes storage under the " +
+        "declared column names, which a column mapping would break; " +
+        "recreate the table to change its schema")
     val spark = SparkSession.active
     changes.foreach {
       case r: TableChange.RenameColumn =>
@@ -339,7 +362,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * read plan use that same pin). Reads are planned by
   * [[graft.plans.GraftSqlResolution]]; writes ride the V1 fallback. */
 final case class GraftTable(qualified: String, dir: String, asOf: Int,
-    declared: StructType) extends Table with SupportsRead with SupportsWrite {
+    declared: StructType, partCol: Option[String] = None)
+    extends Table with SupportsRead with SupportsWrite {
 
   /** The snapshot every consumer of this instance agrees on. */
   lazy val pinnedVersion: Int =
@@ -360,7 +384,8 @@ final case class GraftTable(qualified: String, dir: String, asOf: Int,
     Map(TableCatalog.PROP_PROVIDER -> "graft",
       TableCatalog.PROP_LOCATION -> dir).asJava
 
-  override def partitioning(): Array[Transform] = Array.empty
+  override def partitioning(): Array[Transform] = partCol.toArray.map(c =>
+    org.apache.spark.sql.connector.expressions.Expressions.identity(c))
 
   /** Metadata-only ScanBuilder: DESCRIBE TABLE's stats probe builds a
     * scan just to sniff statistics, so this must not throw — but an
@@ -394,10 +419,32 @@ final case class GraftTable(qualified: String, dir: String, asOf: Int,
                 overwriteFlag: Boolean): Unit = {
               val spark = data.sparkSession
               val batch = s"sql_${System.nanoTime()}"
-              if (overwrite || overwriteFlag)
-                TxLog.overwriteAll(spark, dir, data, batch)
-              else
-                TxLog.appendMapped(spark, dir, data, batch)
+              partCol match {
+                case Some(pc) =>
+                  // pin once: the zero-row probe and the write must not
+                  // recompute the source query
+                  val pinned = data.localCheckpoint()
+                  try {
+                    // partitioned ingest: one task per value keeps one
+                    // file per leaf (a raw partitionBy write would emit
+                    // tasks×values small files); heavily skewed
+                    // partition values trade shuffle balance for that
+                    // layout — the standard partitioned-table write
+                    val clustered = pinned.repartition(
+                      org.apache.spark.sql.functions.col(pc))
+                    if (overwrite || overwriteFlag)
+                      TxLog.overwritePartitioned(spark, dir, batch,
+                        clustered, pc)
+                    else if (pinned.isEmpty) () // zero-row INSERT: no-op
+                    else TxLog.commitPartitioned(spark, dir, batch,
+                      clustered, pc)
+                  } finally graft.core.Checkpoints.release(pinned)
+                case None =>
+                  if (overwrite || overwriteFlag)
+                    TxLog.overwriteAll(spark, dir, data, batch)
+                  else
+                    TxLog.appendMapped(spark, dir, data, batch)
+              }
             }
           }
       }

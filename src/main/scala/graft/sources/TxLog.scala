@@ -658,6 +658,23 @@ object TxLog {
     Seq(bucket(value), bucket(s"bf2|$value"))
   }
 
+  /** THE bloom-segment membership rule, shared by [[readPrunedByKey]]
+    * and the scan-planning FileIndex's string-equality skipping (one
+    * grammar, one implementation, like [[statsOverlap]]): can a file
+    * with blob `st` contain `value` in `column`? No blob, or no bloom
+    * segment for this column → yes (correctness over skipping). */
+  private def bloomMayContain(st: Option[String], column: String,
+      value: String): Boolean =
+    st.flatMap(_.split(",").find(_.startsWith(s"#bf#$column;"))) match {
+      case None => true
+      case Some(seg) =>
+        val Array(_, bitsStr, b64) = seg.split(";", 3)
+        val bits = bitsStr.toInt
+        val bs = java.util.BitSet.valueOf(
+          java.util.Base64.getDecoder.decode(b64))
+        bloomPositions(value, bits).forall(bs.get)
+    }
+
   /** Point-lookup file skipping: keep only files whose bloom segment for
     * `column` might contain `value` (files without one always read —
     * correctness over skipping, as everywhere in the stats kit). The
@@ -670,17 +687,8 @@ object TxLog {
     // callers name LOGICAL columns; stats/bloom blobs carry the names
     // the files were written with (physical)
     val physCol = toPhysicalName(cm, column)
-    val kept = entries.filter { case (_, st) =>
-      st.flatMap(_.split(",").find(_.startsWith(s"#bf#$physCol;"))) match {
-        case None => true
-        case Some(seg) =>
-          val Array(_, bitsStr, b64) = seg.split(";", 3)
-          val bits = bitsStr.toInt
-          val bs = java.util.BitSet.valueOf(
-            java.util.Base64.getDecoder.decode(b64))
-          bloomPositions(value, bits).forall(bs.get)
-      }
-    }.map(_._1)
+    val kept = entries.filter(e => bloomMayContain(e._2, physCol, value))
+      .map(_._1)
     if (kept.isEmpty) None
     else Some(applyMapping(readMasked(spark, kept, dv.toMap,
       nullFill = cmb.types.toSeq), cm))
@@ -1428,7 +1436,7 @@ object TxLog {
             .forall(_ != "false"))
         org.apache.spark.sql.graftbridge.GraftScanBridge.statsPrunedParquet(
           spark, group.map(p => p -> stats.getOrElse(p, None)),
-          statsOverlap, ms)
+          statsOverlap, bloomMayContain, ms)
       else rd.parquet(group: _*)
     def withMeta(df: DataFrame) = df
       .withColumn(DvFileCol, col("_metadata.file_path"))
@@ -2638,7 +2646,48 @@ object TxLog {
     * Returns the new version. Fresh `name` per call. */
   def commitPartitioned(spark: SparkSession, dir: String, name: String,
       df: DataFrame, partCol: String, bloomBits: Int = 1024,
+      extraStatsCols: Seq[String] = Nil): Int =
+    commitWithStats(dir, writePartitionLeaves(spark, dir, name, df,
+      partCol, bloomBits, extraStatsCols))
+
+  /** Atomic partitioned full REPLACE — [[overwriteAll]]'s semantics at
+    * the [[commitPartitioned]] value grain: one commit lands `df`'s
+    * per-value leaves as the table's entire content and removes every
+    * live file (DV bindings die with them), so the INSERT OVERWRITE of
+    * a PARTITIONED catalog table keeps exact per-value stats instead of
+    * collapsing to one unprunable batch. Time travel to the replaced
+    * content is untouched. Returns the commit version. */
+  def overwritePartitioned(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, partCol: String, bloomBits: Int = 1024,
       extraStatsCols: Seq[String] = Nil): Int = {
+    val adds = writePartitionLeaves(spark, dir, name, df, partCol,
+      bloomBits, extraStatsCols)
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      try out = commitWithStats(dir, adds, remove = liveFiles(dir))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("lost the race") =>
+          if (attempt >= 16) throw e
+          Thread.sleep(math.min(5L * attempt, 100L))
+      }
+    }
+    out
+  }
+
+  /** The shared leaf writer of [[commitPartitioned]] and
+    * [[overwritePartitioned]]: one `partitionBy` write on an internal
+    * string copy of the partition column (the column itself stays IN
+    * the data files), then one manifest add per value-leaf dir with
+    * exact min=max range stats (numeric values) plus a one-value bloom
+    * segment — the blobs the scan-planning FileIndex and
+    * [[readPrunedByKey]] prune on. */
+  private def writePartitionLeaves(spark: SparkSession, dir: String,
+      name: String, df: DataFrame, partCol: String, bloomBits: Int,
+      extraStatsCols: Seq[String]): Seq[(String, Option[String])] = {
     import org.apache.spark.sql.functions._
     require(df.columns.contains(partCol),
       s"commitPartitioned: no such column '$partCol'")
@@ -2660,7 +2709,7 @@ object TxLog {
         s"commitPartitioned: '$name' produced no partition leaves (empty " +
           s"input frame?) — nothing committed, $base removed")
     }
-    val adds = leaves.toSeq.map { leaf =>
+    leaves.toSeq.map { leaf =>
       val raw = unescapeHive(leaf.getName.stripPrefix(PartPrefix))
       val valueStats =
         if (raw == HiveDefaultPartition) None
@@ -2677,7 +2726,6 @@ object TxLog {
       val segs = valueStats.toSeq ++ extra
       leaf.toString -> (if (segs.isEmpty) None else Some(segs.mkString(",")))
     }
-    commitWithStats(dir, adds)
   }
 
   /** Drop the whole table — data files and log. (Test/rebuild helper;

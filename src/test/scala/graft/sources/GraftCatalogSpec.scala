@@ -176,6 +176,57 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.addc.t")
   }
 
+  test("PARTITIONED BY: value-grain ingest, planning-time pruning, overwrite") {
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size).sum
+      }.sum
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.pt")
+    spark.sql("DROP TABLE IF EXISTS cat.pt.t")
+    spark.sql("CREATE TABLE cat.pt.t (id BIGINT, tag STRING) USING graft " +
+      "PARTITIONED BY (tag)")
+    spark.sql("INSERT INTO cat.pt.t VALUES (1, 'a'), (2, 'b'), (3, 'c'), " +
+      "(4, 'a')")
+    // one leaf file per value; a point filter on the partition column
+    // plans exactly one of them (bloom segment consulted at listFiles)
+    val all = spark.sql("SELECT * FROM cat.pt.t")
+    assert(plannedFiles(all) === 3)
+    val one = spark.sql("SELECT id FROM cat.pt.t WHERE tag = 'a'")
+    assert(plannedFiles(one) === 1,
+      "a partition-value filter must plan exactly one leaf")
+    assert(one.as[Long].collect().sorted.toSeq === Seq(1L, 4L))
+    // IN-lists keep every candidate leaf, no more
+    assert(plannedFiles(spark.sql(
+      "SELECT * FROM cat.pt.t WHERE tag IN ('a', 'c')")) === 2)
+    // a second INSERT adds new leaves; pruning still holds per commit
+    spark.sql("INSERT INTO cat.pt.t VALUES (5, 'a')")
+    val after = spark.sql("SELECT id FROM cat.pt.t WHERE tag = 'a'")
+    assert(plannedFiles(after) === 2)
+    assert(after.as[Long].collect().sorted.toSeq === Seq(1L, 4L, 5L))
+    // INSERT OVERWRITE replaces atomically, keeping the value grain
+    spark.sql("INSERT OVERWRITE cat.pt.t VALUES (9, 'z'), (10, 'y')")
+    assert(spark.sql("SELECT * FROM cat.pt.t").count() === 2)
+    assert(plannedFiles(spark.sql(
+      "SELECT * FROM cat.pt.t WHERE tag = 'z'")) === 1)
+    // pre-overwrite content still time travels
+    assert(spark.sql("SELECT count(*) FROM cat.pt.t VERSION AS OF 2")
+      .as[Long].head() === 5L)
+    // schema verbs are refused on a partitioned table (the ingest
+    // writes storage under declared names; a mapping would break it)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE cat.pt.t RENAME COLUMN id TO key")
+    }
+    assert(e.getMessage.contains("PARTITIONED"))
+    // non-identity transforms are rejected loudly at CREATE
+    intercept[Exception] {
+      spark.sql("CREATE TABLE cat.pt.bad (id BIGINT, ts TIMESTAMP) " +
+        "USING graft PARTITIONED BY (days(ts))")
+    }
+    spark.sql("DROP TABLE cat.pt.t")
+  }
+
   test("snapshot reads keep pushdown: filter reaches the parquet scan") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(
