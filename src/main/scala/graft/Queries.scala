@@ -9636,6 +9636,71 @@ object Queries {
       FROM events WHERE event_id IS NOT NULL AND event_id % 4 = 2
       GROUP BY 1 ORDER BY 1"""))
 
+  /** `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS (…)` →
+    * [[graft.sources.TxLog.analyze]]: a table ingested WITHOUT stats
+    * (plain commits — REQUIREd unprunable first) gains manifest range
+    * stats in one METADATA-ONLY commit (REQUIREd zero data files
+    * touched), after which the same filter plans 1 of 4 band files
+    * (REQUIREd). A deletion-vector delete lands BEFORE the analyze, so
+    * the hash also proves the stats restate preserved the binding —
+    * the one correctness trap of the add-replaces-entry mechanism. */
+  private val qSqlAnalyze = QuerySpec(
+    "q_sql_analyze",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqlana_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val bands = Seq((0.0, 25.0), (25.0, 50.0), (50.0, 75.0), (75.0, 1e9))
+      bands.zipWithIndex.foreach { case ((lo, hi), i) =>
+        // PLAIN commits: no stats — the shape every pre-stats ingest has
+        TxLog.commit(root, Seq(TxLog.writeBatch(
+          ev.filter(col("value") >= lo && col("value") < hi).coalesce(1),
+          root, s"band$i")))
+      }
+      // merge-on-read delete BEFORE analyze, INSIDE the later filter
+      // window: if the stats restate dropped the binding, the
+      // resurrected rows would inflate the aggregate and break the hash
+      TxLog.deleteWhereDV(s, root, "dv",
+        col("value") >= 56.0 && col("value") < 57.0)
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evana_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evana_$tag USING graft LOCATION '$root'")
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      def filtered = s.sql(
+        s"SELECT event_type, value FROM graft.sql.evana_$tag " +
+          "WHERE value >= 55.0 AND value <= 70.0")
+      require(plannedFiles(filtered) == 4,
+        s"a stats-less table must plan every file, " +
+          s"planned ${plannedFiles(filtered)}")
+      val filesPre = TxLog.liveFiles(root)
+      s.sql(s"ANALYZE TABLE graft.sql.evana_$tag " +
+        "COMPUTE STATISTICS FOR COLUMNS (value)")
+      require(TxLog.liveFiles(root) == filesPre,
+        "ANALYZE must not write or touch a single data file")
+      require(plannedFiles(filtered) == 1,
+        s"the analyzed table must plan exactly the in-range band, " +
+          s"planned ${plannedFiles(filtered)}")
+      filtered.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE value >= 55.0 AND value <= 70.0
+        AND NOT (value >= 56.0 AND value < 57.0)
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Native top-k-per-key ([[SortOps.topKPerKey]] → the custom
     * TopKPerKey SparkStrategy/SparkPlan pair): the 3 cheapest lineitems
     * per return flag, selected by two-phase bounded heaps instead of a
@@ -13159,7 +13224,7 @@ object Queries {
     qTxlogRename, qTxlogMappedDml,
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
     qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete, qTxlogConvert,
-    qSqlAddColumn, qTxlogScanPrune, qSqlPartitioned,
+    qSqlAddColumn, qTxlogScanPrune, qSqlPartitioned, qSqlAnalyze,
     qSqlRestoreClone,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,

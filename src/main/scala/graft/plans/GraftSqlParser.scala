@@ -26,6 +26,7 @@ import graft.sources.{GraftTable, TxLog}
   * EXPIRE HISTORY graft.db.t                  -- retire covered manifests
   * RESTORE graft.db.t TO VERSION AS OF 3      -- snapshot-diff rollback
   * CREATE TABLE graft.db.t2 SHALLOW CLONE graft.db.t [VERSION AS OF 3]
+  * ANALYZE [TABLE] graft.db.t COMPUTE STATISTICS FOR COLUMNS (a, b)
   * }}}
   *
   * Everything else — including every statement the session would parse
@@ -61,6 +62,9 @@ final class GraftSqlParser(delegate: ParserInterface)
     case CloneRe(dst, src, version) =>
       GraftCloneCommand(parts(dst), parts(src),
         Option(version).map(_.trim.toInt).getOrElse(-1))
+    case AnalyzeRe(name, cols) =>
+      GraftAnalyzeCommand(parts(name),
+        cols.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -110,6 +114,12 @@ object GraftSqlParser {
     ("""(?is)\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  // the PARENTHESIZED column list distinguishes the graft form from
+  // Spark's native `... FOR COLUMNS a, b` (which stays delegated)
+  private[plans] val AnalyzeRe =
+    ("""(?is)\s*ANALYZE\s+(?:TABLE\s+)?""" + Ident +
+      """\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s*\(([^)]*)\)""" +
+      """\s*;?\s*""").r
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -249,4 +259,21 @@ final case class GraftHistoryCommand(nameParts: Seq[String])
   override def run(session: SparkSession): Seq[Row] =
     TxLog.history(session,
       GraftSqlParser.dirOf(session, nameParts)).collect().toSeq
+}
+
+/** `ANALYZE [TABLE] t COMPUTE STATISTICS FOR COLUMNS (a, b)` →
+  * [[TxLog.analyze]]: retro-fit manifest range stats onto every live
+  * file in one metadata-only commit, so a table ingested without stats
+  * starts pruning (scan-planning FileIndex + readPruned) after the
+  * fact. Returns the commit version. */
+final case class GraftAnalyzeCommand(nameParts: Seq[String],
+    columns: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(columns.nonEmpty,
+      "graft: ANALYZE needs at least one column in FOR COLUMNS (...)")
+    val dir = GraftSqlParser.dirOf(session, nameParts)
+    Seq(Row(TxLog.analyze(session, dir, columns)))
+  }
 }

@@ -2728,6 +2728,90 @@ object TxLog {
     }
   }
 
+  /** ANALYZE — retro-fit manifest RANGE stats onto a table's live files
+    * as one METADATA-ONLY commit (public precedent: Delta's ANALYZE /
+    * stats recompute; the capability that makes a table ingested
+    * without stats — plain commits, [[convertParquet]] without STATS —
+    * prunable after the fact). ONE distributed pass derives per-file
+    * min/max for every requested column (grouped by `_metadata`-grade
+    * file identity, collected at part-file count, never row count);
+    * each live entry then re-ADDS with its fresh blob — replay's
+    * add-replaces-entry rule makes that a pure stats swap, no data
+    * file touched. Because a re-add also RESETS a deletion-vector
+    * binding, the snapshot's bindings restate in the same commit, and
+    * the whole derivation pins to one version (`atVersion`) so a
+    * concurrent rewrite retries the analysis instead of restating a
+    * stale live set.
+    *
+    * Stats are computed over RAW file content, not the masked view: a
+    * blob must bound everything a scan can produce, and [[restore]]
+    * can roll a deletion vector back — visible-only bounds would then
+    * under-cover resurrected rows. Existing bloom segments (per-ingest
+    * artifacts this verb cannot re-derive) are PRESERVED. Columns that
+    * cast to no numeric value in a file contribute no segment there
+    * (that file never prunes on them — [[columnStatsMulti]]'s rule).
+    * Callers name LOGICAL columns on a mapped table. Returns the
+    * commit version. */
+  def analyze(spark: SparkSession, dir: String,
+      columns0: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    require(columns0.nonEmpty, "analyze needs at least one column")
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      val checkV = latestVersion(dir)
+      val (entries, dvM, cmb) = resolveFull(dir, checkV)
+      require(entries.nonEmpty, s"txlog: analyze of empty table $dir")
+      val columns = columns0.map(c =>
+        cmb.m.fold(c)(dmlPhysicalName(_, c, "ANALYZE")))
+      columns.foreach(c => require(
+        !c.exists(ch => ch == ';' || ch == ',' || ch == '\t' || ch == '\n'),
+        s"stats column name unsupported: $c"))
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(entries.map(_._1): _*)
+      val missing = columns.filterNot(raw.columns.contains)
+      require(missing.isEmpty,
+        s"analyze: no such column(s): ${missing.mkString(", ")} " +
+          s"(table columns: ${raw.columns.mkString(", ")})")
+      val aggs = columns.flatMap(c =>
+        Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+      val perPart = raw
+        .withColumn("__f", input_file_name())
+        .groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val byDir = perPart.groupBy(r => batchDirOf(r.getString(0)))
+      val adds = entries.map { case (p, oldSt) =>
+        val rows = byDir.getOrElse(normPath(p), Array.empty)
+        val segs = columns.zipWithIndex.flatMap { case (c, i) =>
+          val mns = rows.collect {
+            case r if !r.isNullAt(1 + 2 * i) => r.getDouble(1 + 2 * i) }
+          val mxs = rows.collect {
+            case r if !r.isNullAt(2 + 2 * i) => r.getDouble(2 + 2 * i) }
+          if (mns.isEmpty) None else Some(s"$c;${mns.min};${mxs.max}")
+        }
+        // preserve blooms AND other columns' range segments — analyze of
+        // column a must not destroy column b's pruning
+        val kept = oldSt.toSeq.flatMap(_.split(",")).filter { seg =>
+          seg.startsWith("#bf#") || !columns.contains(seg.split(";", 2)(0))
+        }
+        val all = segs ++ kept
+        p -> (if (all.isEmpty) None else Some(all.mkString(",")))
+      }
+      try out = commitWithStats(dir, adds,
+        dvSets = dvM.toMap.toSeq.map { case (p, d) => p -> Some(d) },
+        atVersion = checkV + 1)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("lost the race") =>
+          if (attempt >= 16) throw e
+          Thread.sleep(math.min(5L * attempt, 100L))
+      }
+    }
+    out
+  }
+
   /** Drop the whole table — data files and log. (Test/rebuild helper;
     * production tables are append-only and never need it.) */
   /** SHALLOW CLONE — a zero-copy fork of `src`'s current snapshot into a

@@ -1150,6 +1150,60 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("analyze retro-fits range stats metadata-only, preserving blooms and DVs") {
+    val dir = freshDir()
+    // batch 0: committed with a BLOOM blob only (no ranges)
+    val b0 = Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "v", "tag")
+      .coalesce(1)
+    TxLog.commitWithStats(dir, Seq(TxLog.writeBatch(b0, dir, "b0") ->
+      TxLog.bloomBlob(b0, "tag")))
+    // batch 1: plain commit, no stats at all
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((3L, 100.0, "c"), (4L, 200.0, "d")).toDF("id", "v", "tag")
+        .coalesce(1), dir, "b1")))
+    // a DV delete BEFORE analyze: the restate must keep the binding
+    TxLog.deleteWhereDV(spark, dir, "dv", col("id") === 3L)
+    val filesPre = TxLog.liveFiles(dir)
+    val v = TxLog.analyze(spark, dir, Seq("v"))
+    assert(TxLog.liveFiles(dir) === filesPre,
+      "analyze must not write or touch a single data file")
+    // fresh ranges prune; the bloom segment survived alongside them
+    assert(scannedFiles(TxLog.read(spark, dir)
+      .filter(col("v") === 150.0)) === 1L)
+    assert(TxLog.readPrunedByKey(spark, dir, "tag", "zzz").isDefined ===
+      true) // b1 has no bloom -> always reads; b0's bloom proves absence
+    assert(TxLog.liveEntries(dir).exists(_._2.exists(_.contains("#bf#tag"))),
+      "analyze must preserve the pre-existing bloom segment")
+    // the deletion-vector binding survived the restate
+    assert(TxLog.read(spark, dir).orderBy("id")
+      .select("id").as[Long].collect().toSeq === Seq(1L, 2L, 4L))
+    // time travel to the pre-analyze version still works
+    assert(TxLog.read(spark, dir, asOf = v - 1).count() === 3L)
+    // unknown columns fail loudly
+    intercept[IllegalArgumentException] {
+      TxLog.analyze(spark, dir, Seq("nope"))
+    }
+    TxLog.destroy(dir)
+  }
+
+  test("analyze resolves logical names on a mapped table") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 10.0)).toDF("id", "score").coalesce(1), dir, "b0")))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((2L, 99.0)).toDF("id", "score").coalesce(1), dir, "b1")))
+    TxLog.renameColumn(spark, dir, "score", "quality")
+    TxLog.analyze(spark, dir, Seq("quality"))
+    // stats landed under the PHYSICAL name; pruning by the logical one
+    assert(TxLog.readPruned(spark, dir, "quality", 0.0, 50.0)
+      .get.count() === 1L)
+    // the retired physical name is rejected, like every verb
+    intercept[IllegalArgumentException] {
+      TxLog.analyze(spark, dir, Seq("score"))
+    }
+    TxLog.destroy(dir)
+  }
+
   test("addColumn then drop: never-written storage stays dropped through re-add") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(
