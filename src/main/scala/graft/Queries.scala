@@ -9701,6 +9701,37 @@ object Queries {
         AND NOT (value >= 56.0 AND value < 57.0)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** `SHOW PARTITIONS t` over a PARTITIONED BY catalog table
+    * ([[graft.sources.TxLog.partitionValues]]): the live value set read
+    * straight off the manifest's leaf dirnames — zero data reads for a
+    * purely-ingest-fed table (REQUIREd by interrogating nothing but the
+    * statement's own output against the oracle's distinct). */
+  private val qSqlShowPartitions = QuerySpec(
+    "q_sql_show_partitions",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqlshowp_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      t(s, dir, "events").select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+        .createOrReplaceTempView(s"ev_sp_$tag")
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evshowp_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evshowp_$tag " +
+        "(event_id BIGINT, value DOUBLE, bucket INT) " +
+        "USING graft PARTITIONED BY (bucket)")
+      s.sql(s"INSERT INTO graft.sql.evshowp_$tag " +
+        "SELECT event_id, value, CAST(pmod(event_id, 7) AS INT) " +
+        s"FROM ev_sp_$tag")
+      s.sql(s"SHOW PARTITIONS graft.sql.evshowp_$tag")
+        .orderBy("partition")
+    },
+    Some("""SELECT DISTINCT 'bucket=' || CAST(event_id % 7 AS VARCHAR)
+        AS partition
+      FROM events WHERE event_id IS NOT NULL
+      ORDER BY 1"""))
+
   /** Native top-k-per-key ([[SortOps.topKPerKey]] → the custom
     * TopKPerKey SparkStrategy/SparkPlan pair): the 3 cheapest lineitems
     * per return flag, selected by two-phase bounded heaps instead of a
@@ -13225,6 +13256,7 @@ object Queries {
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
     qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete, qTxlogConvert,
     qSqlAddColumn, qTxlogScanPrune, qSqlPartitioned, qSqlAnalyze,
+    qSqlShowPartitions,
     qSqlRestoreClone,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,

@@ -27,6 +27,7 @@ import graft.sources.{GraftTable, TxLog}
   * RESTORE graft.db.t TO VERSION AS OF 3      -- snapshot-diff rollback
   * CREATE TABLE graft.db.t2 SHALLOW CLONE graft.db.t [VERSION AS OF 3]
   * ANALYZE [TABLE] graft.db.t COMPUTE STATISTICS FOR COLUMNS (a, b)
+  * SHOW PARTITIONS graft.db.t                 -- live partition values
   * }}}
   *
   * Everything else — including every statement the session would parse
@@ -65,6 +66,7 @@ final class GraftSqlParser(delegate: ParserInterface)
     case AnalyzeRe(name, cols) =>
       GraftAnalyzeCommand(parts(name),
         cols.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty))
+    case ShowPartitionsRe(name) => GraftShowPartitionsCommand(parts(name))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -120,6 +122,8 @@ object GraftSqlParser {
     ("""(?is)\s*ANALYZE\s+(?:TABLE\s+)?""" + Ident +
       """\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s*\(([^)]*)\)""" +
       """\s*;?\s*""").r
+  private[plans] val ShowPartitionsRe =
+    ("""(?is)\s*SHOW\s+PARTITIONS\s+""" + Ident + """\s*;?\s*""").r
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -275,5 +279,30 @@ final case class GraftAnalyzeCommand(nameParts: Seq[String],
       "graft: ANALYZE needs at least one column in FOR COLUMNS (...)")
     val dir = GraftSqlParser.dirOf(session, nameParts)
     Seq(Row(TxLog.analyze(session, dir, columns)))
+  }
+}
+
+/** `SHOW PARTITIONS t` → [[TxLog.partitionValues]]: one `col=value` row
+  * per live partition value of a PARTITIONED BY catalog table (the
+  * Hive/Delta output shape). Zero data reads while every live file is a
+  * value leaf; exact via one narrow distinct scan otherwise. */
+final case class GraftShowPartitionsCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val g = SqlBridge.loadCatalogTable(session, nameParts) match {
+      case g: GraftTable => g
+      case other => throw new IllegalArgumentException(
+        s"graft: ${nameParts.mkString(".")} is not a graft table " +
+          s"(provider: ${other.properties.get("provider")})")
+    }
+    val pc = g.partCol.getOrElse(throw new IllegalArgumentException(
+      s"graft: SHOW PARTITIONS on ${nameParts.mkString(".")}, which is " +
+        "not a partitioned table (CREATE ... PARTITIONED BY (c))"))
+    TxLog.partitionValues(session, g.dir, pc).map {
+      case Some(v) => s"$pc=$v"
+      case None    => s"$pc=__HIVE_DEFAULT_PARTITION__"
+    }.sorted.map(Row(_))
   }
 }

@@ -2618,6 +2618,29 @@ object TxLog {
   private val PartPrefix = "__pv="
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** The DISTINCT partition values of a [[commitPartitioned]]-fed table
+    * (SHOW PARTITIONS): when every live file is a value leaf the
+    * answer reads straight off the manifest dirnames — ZERO data reads,
+    * the fast path a purely-ingest-fed table always hits; a table whose
+    * leaves were rewritten (row-level DML outputs lose the `__pv=`
+    * naming) falls back to one narrow distinct scan of the partition
+    * column — exact either way. A NULL partition surfaces as None. */
+  def partitionValues(spark: SparkSession, dir: String,
+      partCol: String): Seq[Option[String]] = {
+    val files = liveFiles(dir)
+    require(files.nonEmpty, s"txlog: $dir holds no files")
+    val names = files.map(p => new Path(p).getName)
+    if (names.forall(_.startsWith(PartPrefix)))
+      names.map(n => unescapeHive(n.stripPrefix(PartPrefix)))
+        .distinct.map(v =>
+          if (v == HiveDefaultPartition) None else Some(v))
+    else
+      read(spark, dir).select(
+          org.apache.spark.sql.functions.col(partCol).cast("string"))
+        .distinct().collect().map(r =>
+          if (r.isNullAt(0)) None else Some(r.getString(0))).toSeq
+  }
+
   /** PARTITIONED ingest — commit `df` split by `partCol` value, ONE
     * manifest entry per partition, in one atomic commit (public
     * precedent: Hive/Delta `PARTITIONED BY` table layout, mapped onto

@@ -224,6 +224,24 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("CREATE TABLE cat.pt.bad (id BIGINT, ts TIMESTAMP) " +
         "USING graft PARTITIONED BY (days(ts))")
     }
+    // SHOW PARTITIONS reads the live values off the manifest dirnames
+    assert(spark.sql("SHOW PARTITIONS cat.pt.t")
+      .as[String].collect().toSeq === Seq("tag=y", "tag=z"))
+    // ... and on a non-partitioned table fails loudly
+    spark.sql("DROP TABLE IF EXISTS cat.pt.flat")
+    spark.sql("CREATE TABLE cat.pt.flat (id BIGINT) USING graft")
+    spark.sql("INSERT INTO cat.pt.flat VALUES (1)")
+    val sp = intercept[Exception] {
+      spark.sql("SHOW PARTITIONS cat.pt.flat").collect()
+    }
+    assert(sp.getMessage.contains("not a partitioned table"))
+    spark.sql("DROP TABLE cat.pt.flat")
+    // a row-level DELETE rewrites a leaf (losing the __pv dirname), so
+    // SHOW PARTITIONS falls back to the exact distinct scan: the
+    // emptied value disappears instead of lingering as a stale dirname
+    spark.sql("DELETE FROM cat.pt.t WHERE id = 9")
+    assert(spark.sql("SHOW PARTITIONS cat.pt.t")
+      .as[String].collect().toSeq === Seq("tag=y"))
     spark.sql("DROP TABLE cat.pt.t")
   }
 
