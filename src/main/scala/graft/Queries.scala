@@ -9732,6 +9732,77 @@ object Queries {
       FROM events WHERE event_id IS NOT NULL
       ORDER BY 1"""))
 
+  /** OPTIMIZE on a PARTITIONED table
+    * ([[graft.sources.TxLog.optimizePartitioned]] via the SQL
+    * statement): two INSERT commits give every bucket two leaves; a
+    * row-level DELETE then rewrites touched leaves into un-grained
+    * residue — the failure mode this verb exists for — and one SQL
+    * OPTIMIZE restores PURE value grain (REQUIREd: every live file a
+    * `__pv=` leaf, exactly one per value, and a bucket filter plans
+    * exactly 1 file again; second run REQUIREd a no-op). The surviving
+    * rows hash-check against the oracle's replay of insert + delete. */
+  private val qSqlOptimizePart = QuerySpec(
+    "q_sql_optimize_part",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqloptp_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("value"))
+        .filter(col("event_id").isNotNull)
+        .createOrReplaceTempView(s"ev_op_$tag")
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evoptp_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evoptp_$tag " +
+        "(event_id BIGINT, event_type STRING, value DOUBLE, bucket INT) " +
+        s"USING graft PARTITIONED BY (bucket) LOCATION '$root'")
+      // both halves span every bucket → every value holds two leaves
+      s.sql(s"INSERT INTO graft.sql.evoptp_$tag " +
+        "SELECT event_id, event_type, value, " +
+        s"CAST(pmod(event_id, 4) AS INT) FROM ev_op_$tag " +
+        "WHERE value < 50.0 OR value IS NULL")
+      s.sql(s"INSERT INTO graft.sql.evoptp_$tag " +
+        "SELECT event_id, event_type, value, " +
+        s"CAST(pmod(event_id, 4) AS INT) FROM ev_op_$tag " +
+        "WHERE value >= 50.0")
+      // the DELETE rewrites touched leaves into un-grained residue
+      s.sql(s"DELETE FROM graft.sql.evoptp_$tag " +
+        "WHERE value >= 40.0 AND value < 60.0")
+      def leafNames = TxLog.liveFiles(root)
+        .map(p => new org.apache.hadoop.fs.Path(p).getName)
+      require(leafNames.exists(!_.startsWith("__pv=")),
+        "the DELETE must have produced residue files")
+      s.sql(s"OPTIMIZE graft.sql.evoptp_$tag")
+      require(leafNames.sorted ==
+        Seq("__pv=0", "__pv=1", "__pv=2", "__pv=3"),
+        s"optimize must restore one leaf per value, got $leafNames")
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val filtered = s.sql(
+        s"SELECT event_type, value FROM graft.sql.evoptp_$tag " +
+          "WHERE bucket = 2")
+      require(plannedFiles(filtered) == 1,
+        s"the restored grain must plan 1 leaf, got ${plannedFiles(filtered)}")
+      require(s.sql(s"OPTIMIZE graft.sql.evoptp_$tag")
+        .head().getInt(0) == 0, "a second optimize must be a no-op")
+      filtered.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE event_id IS NOT NULL AND event_id % 4 = 2
+        AND NOT COALESCE(value >= 40.0 AND value < 60.0, FALSE)
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Native top-k-per-key ([[SortOps.topKPerKey]] → the custom
     * TopKPerKey SparkStrategy/SparkPlan pair): the 3 cheapest lineitems
     * per return flag, selected by two-phase bounded heaps instead of a
@@ -13256,7 +13327,7 @@ object Queries {
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
     qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete, qTxlogConvert,
     qSqlAddColumn, qTxlogScanPrune, qSqlPartitioned, qSqlAnalyze,
-    qSqlShowPartitions,
+    qSqlShowPartitions, qSqlOptimizePart,
     qSqlRestoreClone,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,

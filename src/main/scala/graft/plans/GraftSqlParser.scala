@@ -154,15 +154,35 @@ final case class GraftOptimizeCommand(nameParts: Seq[String],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
-    val dir = GraftSqlParser.dirOf(session, nameParts)
+    val g = SqlBridge.loadCatalogTable(session, nameParts) match {
+      case g: GraftTable => g
+      case other => throw new IllegalArgumentException(
+        s"graft: ${nameParts.mkString(".")} is not a graft table " +
+          s"(provider: ${other.properties.get("provider")})")
+    }
     val batch = s"sqlopt_${System.nanoTime()}"
-    val v =
-      if (zorderCols.nonEmpty)
-        TxLog.optimizeZOrderN(session, dir, batch, zorderCols,
-          targetFiles = targetFiles.getOrElse(
-            math.max(1, TxLog.liveFiles(dir).size / 2)))
-      else TxLog.optimize(session, dir, batch,
-        targetFiles = targetFiles.getOrElse(1))
+    val v = g.partCol match {
+      case Some(pc) =>
+        // a partitioned table's grain IS its pruning: plain bin-packing
+        // or a z-order rewrite would collapse the value leaves into
+        // unprunable batches, so OPTIMIZE routes to the grain-preserving
+        // (and grain-RESTORING) per-value compaction instead
+        require(zorderCols.isEmpty,
+          s"graft: OPTIMIZE ZORDER is not supported on a PARTITIONED " +
+            s"table — z-ordering would collapse the '$pc' value leaves " +
+            "partition pruning depends on")
+        require(targetFiles.isEmpty,
+          "graft: OPTIMIZE TARGET is not supported on a PARTITIONED " +
+            "table — the output width is one file per live value")
+        TxLog.optimizePartitioned(session, g.dir, batch, pc)
+      case None =>
+        if (zorderCols.nonEmpty)
+          TxLog.optimizeZOrderN(session, g.dir, batch, zorderCols,
+            targetFiles = targetFiles.getOrElse(
+              math.max(1, TxLog.liveFiles(g.dir).size / 2)))
+        else TxLog.optimize(session, g.dir, batch,
+          targetFiles = targetFiles.getOrElse(1))
+    }
     Seq(Row(v))
   }
 }

@@ -2751,6 +2751,56 @@ object TxLog {
     }
   }
 
+  /** OPTIMIZE for a PARTITIONED table — compaction that PRESERVES (and
+    * RESTORES) the per-value manifest grain partition pruning depends
+    * on, where plain [[optimize]] would collapse every leaf into one
+    * unprunable batch. Victims, in one pass: (a) residue files — DML
+    * rewrite outputs that lost their `__pv=` leaf naming (their rows may
+    * span values); (b) every leaf of a value the residue touches (one
+    * narrow distinct scan of the residue's partition column finds
+    * them); (c) multi-file values (several ingests of one value). All
+    * victims read through their deletion-vector masks (materializing
+    * them, like every rewrite verb) and land as fresh one-file-per-value
+    * leaves with the standard per-value stats, in one atomic
+    * [[commitRewrite]] swap. Untouched single-leaf values never
+    * rewrite. Returns the commit version, or 0 when the table is
+    * already in pure value grain — the [[optimize]] idempotence
+    * contract, so a scheduled loop converges. */
+  def optimizePartitioned(spark: SparkSession, dir: String, name: String,
+      partCol: String, bloomBits: Int = 1024): Int = {
+    import org.apache.spark.sql.functions._
+    val entries = liveEntries(dir)
+    if (entries.isEmpty) return 0
+    val named = entries.map { case (p, st) => (p, st, new Path(p).getName) }
+    val residue = named.filterNot(_._3.startsWith(PartPrefix)).map(_._1)
+    val byValue = named.filter(_._3.startsWith(PartPrefix))
+      .groupBy(e => unescapeHive(e._3.stripPrefix(PartPrefix)))
+    val dvSnap = liveDvs(dir)
+    val nf = columnTypes(dir)
+    val resVals: Set[Option[String]] =
+      if (residue.isEmpty) Set.empty
+      else readMasked(spark, residue, dvSnap, nullFill = nf)
+        .select(col(partCol).cast("string")).distinct().collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getString(0))).toSet
+    val touchedLeaves = byValue.collect {
+      case (v, es) if es.size > 1 ||
+          resVals.contains(
+            if (v == HiveDefaultPartition) None else Some(v)) =>
+        es.map(_._1)
+    }.flatten.toSeq
+    val victims = residue ++ touchedLeaves
+    if (victims.isEmpty) return 0
+    val snap = readMasked(spark, victims, dvSnap, nullFill = nf)
+      .repartition(col(partCol))
+    // every victim row may be deletion-vector-masked away: then the
+    // rewrite is a pure drop of dead files, no leaves to write
+    val adds =
+      if (snap.isEmpty) Nil
+      else writePartitionLeaves(spark, dir, name, snap, partCol,
+        bloomBits, extraStatsCols = Nil)
+    commitRewrite(dir, adds, victims, basedOnDvs = Some(dvSnap))
+  }
+
   /** ANALYZE — retro-fit manifest RANGE stats onto a table's live files
     * as one METADATA-ONLY commit (public precedent: Delta's ANALYZE /
     * stats recompute; the capability that makes a table ingested

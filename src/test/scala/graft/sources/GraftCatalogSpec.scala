@@ -245,6 +245,42 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.pt.t")
   }
 
+  test("OPTIMIZE on a partitioned table restores the value grain") {
+    def leafNames(dir: String): Seq[String] =
+      TxLog.liveFiles(dir).map(p => new org.apache.hadoop.fs.Path(p).getName)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.po")
+    spark.sql("DROP TABLE IF EXISTS cat.po.t")
+    spark.sql("CREATE TABLE cat.po.t (id BIGINT, tag STRING) USING graft " +
+      "PARTITIONED BY (tag)")
+    // two inserts → every value holds two leaves
+    spark.sql("INSERT INTO cat.po.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO cat.po.t VALUES (3, 'a'), (4, 'b'), (5, 'a')")
+    val dir = spark.sql("DESCRIBE TABLE EXTENDED cat.po.t")
+      .filter($"col_name" === "Location").select("data_type").as[String]
+      .head()
+    // a row-level DELETE rewrites a multi-row leaf into un-grained
+    // residue (the remainder keeps id=5)
+    spark.sql("DELETE FROM cat.po.t WHERE id = 3")
+    assert(leafNames(dir).exists(!_.startsWith("__pv=")),
+      "the DELETE must have produced a residue file for this test")
+    spark.sql("OPTIMIZE cat.po.t")
+    // pure value grain again: every live file is a leaf, one per value
+    assert(leafNames(dir).sorted === Seq("__pv=a", "__pv=b"),
+      s"optimize must restore one leaf per value, got ${leafNames(dir)}")
+    assert(spark.sql("SELECT id FROM cat.po.t ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 4L, 5L))
+    // idempotence: a second run is a no-op
+    assert(spark.sql("OPTIMIZE cat.po.t").as[Int].head() === 0)
+    // grain-destroying forms are rejected loudly
+    assert(intercept[Exception] {
+      spark.sql("OPTIMIZE cat.po.t ZORDER BY (id, tag)")
+    }.getMessage.contains("PARTITIONED"))
+    assert(intercept[Exception] {
+      spark.sql("OPTIMIZE cat.po.t TARGET 1")
+    }.getMessage.contains("PARTITIONED"))
+    spark.sql("DROP TABLE cat.po.t")
+  }
+
   test("snapshot reads keep pushdown: filter reaches the parquet scan") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(
