@@ -9803,6 +9803,61 @@ object Queries {
         AND NOT COALESCE(value >= 40.0 AND value < 60.0, FALSE)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** STATS-ON-WRITE for the SQL surface ([[graft.sources.TxLog]]
+    * `autoStatsFor` via the catalog's V1 insert path): plain INSERT
+    * INTO statements — no ANALYZE, no explicit stats API — leave each
+    * batch carrying range stats for its numeric columns, so a later
+    * filter plans only the overlapping batches (REQUIREd: a filter
+    * inside the second insert's value range plans exactly that one
+    * batch of three). The filtered aggregate hash-checks against the
+    * oracle's full-table replay. */
+  private val qSqlAutoStats = QuerySpec(
+    "q_sql_auto_stats",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqlauto_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("value"))
+        .filter(col("event_id").isNotNull && col("value").isNotNull)
+        .createOrReplaceTempView(s"ev_as_$tag")
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evauto_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evauto_$tag " +
+        "(event_id BIGINT, event_type STRING, value DOUBLE) " +
+        s"USING graft LOCATION '$root'")
+      // three range-banded inserts, NOTHING but plain SQL
+      Seq((0.0, 30.0), (30.0, 60.0), (60.0, 1e9)).foreach { case (lo, hi) =>
+        s.sql(s"INSERT INTO graft.sql.evauto_$tag " +
+          s"SELECT event_id, event_type, value FROM ev_as_$tag " +
+          s"WHERE value >= $lo AND value < $hi")
+      }
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val all = s.sql(s"SELECT value FROM graft.sql.evauto_$tag")
+      val filtered = s.sql(
+        s"SELECT event_type, value FROM graft.sql.evauto_$tag " +
+          "WHERE value >= 35.0 AND value <= 55.0")
+      require(plannedFiles(filtered) * 3 <= plannedFiles(all),
+        s"stats-on-write must let the filter plan one band of three, " +
+          s"planned ${plannedFiles(filtered)} of ${plannedFiles(all)}")
+      filtered.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE event_id IS NOT NULL AND value >= 35.0 AND value <= 55.0
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Native top-k-per-key ([[SortOps.topKPerKey]] → the custom
     * TopKPerKey SparkStrategy/SparkPlan pair): the 3 cheapest lineitems
     * per return flag, selected by two-phase bounded heaps instead of a
@@ -13327,7 +13382,7 @@ object Queries {
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
     qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete, qTxlogConvert,
     qSqlAddColumn, qTxlogScanPrune, qSqlPartitioned, qSqlAnalyze,
-    qSqlShowPartitions, qSqlOptimizePart,
+    qSqlShowPartitions, qSqlOptimizePart, qSqlAutoStats,
     qSqlRestoreClone,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,

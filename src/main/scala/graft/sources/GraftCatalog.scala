@@ -440,10 +440,20 @@ final case class GraftTable(qualified: String, dir: String, asOf: Int,
                       clustered, pc)
                   } finally graft.core.Checkpoints.release(pinned)
                 case None =>
+                  // stats-on-write (Delta's default): every SQL ingest
+                  // derives range stats for up to 8 numeric columns from
+                  // the written batch, so catalog tables prune from day
+                  // one without an ANALYZE; spark.graft.autoStats=false
+                  // opts out
+                  val autoCols =
+                    if (spark.conf.getOption("spark.graft.autoStats")
+                        .forall(_ != "false")) 8 else 0
                   if (overwrite || overwriteFlag)
-                    TxLog.overwriteAll(spark, dir, data, batch)
+                    TxLog.overwriteAll(spark, dir, data, batch,
+                      autoStatsCols = autoCols)
                   else
-                    TxLog.appendMapped(spark, dir, data, batch)
+                    TxLog.appendMapped(spark, dir, data, batch,
+                      autoStatsCols = autoCols)
               }
             }
           }

@@ -999,12 +999,31 @@ object TxLog {
     * collide with the dropped column's retired bytes (Delta's analogue:
     * physical ids survive logical churn). */
   def appendMapped(spark: SparkSession, dir: String, df: DataFrame,
-      name: String): Int = {
+      name: String, autoStatsCols: Int = 0): Int = {
     import org.apache.spark.sql.functions.col
+    def autoStats(path: String): Option[String] =
+      autoStatsFor(spark, path, autoStatsCols)
+    def commitOne(path: String): Int = {
+      var attempt = 0
+      var out = -1
+      val st = autoStats(path)
+      while (out < 0) {
+        attempt += 1
+        try out = commitWithStats(dir, Seq(path -> st))
+        catch {
+          case e: IllegalStateException
+              if e.getMessage != null &&
+                e.getMessage.contains("lost the race") =>
+            if (attempt >= 16) throw e
+            Thread.sleep(math.min(5L * attempt, 100L))
+        }
+      }
+      out
+    }
     columnMapping(dir) match {
       case None =>
         // unmapped table: physical == logical, plain append
-        commitWithRetry(dir, Seq(writeBatch(df, dir, name)))
+        commitOne(writeBatch(df, dir, name))
       case Some(_) =>
         // the mapping is re-read on EVERY attempt (ADVICE r12): a lost
         // race means another commit landed — if it was a schema verb,
@@ -1016,6 +1035,7 @@ object TxLog {
         var attempt = 0
         var out = -1
         var written: Option[(Seq[String], String)] = None // (phys names, path)
+        var writtenStats: Option[String] = None
         while (out < 0) {
           attempt += 1
           val m = columnMapping(dir).getOrElse(
@@ -1033,12 +1053,14 @@ object TxLog {
                 col(c).as(full(c))): _*), dir, name + (
                   if (attempt == 1) "" else s"_r$attempt"))
               written = Some((physNames, p))
+              writtenStats = autoStats(p) // physical names, as blobs carry
               p
           }
           val colMap =
             if (fresh.isEmpty) None
             else Some(m ++ fresh.map { case (l, p) => (p, l) })
-          try out = commitWithStats(dir, Seq(path -> None), colMap = colMap)
+          try out = commitWithStats(dir, Seq(path -> writtenStats),
+            colMap = colMap)
           catch {
             case e: IllegalStateException
                 if e.getMessage != null &&
@@ -1051,6 +1073,30 @@ object TxLog {
     }
   }
 
+  /** STATS-ON-WRITE (Delta's default analogue): derive a manifest range
+    * blob for up to `n` numeric columns of a just-written batch — one
+    * cheap columnar read-back of only those columns — so the commit
+    * prunes ([[readPruned]] / the scan-planning FileIndex) from day one
+    * without an ANALYZE. Best-effort by contract: an empty batch (no
+    * part files to infer from) yields None, never an error, because
+    * stats only ever ADD skipping. The SQL catalog passes n = 8 by
+    * default (`spark.graft.autoStats=false` opts out); API callers opt
+    * in per call. */
+  private def autoStatsFor(spark: SparkSession, path: String,
+      n: Int): Option[String] =
+    if (n <= 0) None
+    else
+      try {
+        val back = spark.read.parquet(path)
+        val numeric = back.schema.fields
+          .filter(_.dataType.isInstanceOf[
+            org.apache.spark.sql.types.NumericType])
+          .map(_.name).take(n).toSeq
+        if (numeric.isEmpty) None else columnStatsMulti(back, numeric)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+
   /** Atomic full REPLACE — one commit lands `df` as the table's entire
     * content: the new batch in, every live file out (their deletion-vector
     * bindings die with them — [[replayInto]] clears a binding on remove),
@@ -1059,13 +1105,14 @@ object TxLog {
     * surface ([[GraftCatalog]]); readers at older versions still time
     * travel to the replaced content. Returns the commit version. */
   def overwriteAll(spark: SparkSession, dir: String, df: DataFrame,
-      name: String): Int = {
+      name: String, autoStatsCols: Int = 0): Int = {
     val path = writeBatch(df, dir, name)
+    val st = autoStatsFor(spark, path, autoStatsCols)
     var attempt = 0
     var out = -1
     while (out < 0) {
       attempt += 1
-      try out = commitWithStats(dir, Seq(path -> None),
+      try out = commitWithStats(dir, Seq(path -> st),
         remove = liveFiles(dir),
         colMap = if (columnMapping(dir).isDefined) Some(Nil) else None)
       catch {

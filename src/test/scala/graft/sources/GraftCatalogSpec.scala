@@ -281,6 +281,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.po.t")
   }
 
+  test("stats-on-write: plain INSERTs prune; the conf opts out") {
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size).sum
+      }.sum
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.as")
+    spark.sql("DROP TABLE IF EXISTS cat.as.t")
+    spark.sql("CREATE TABLE cat.as.t (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO cat.as.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO cat.as.t VALUES (100, 10.0), (200, 20.0)")
+    // range stats landed with each insert: a disjoint filter plans only
+    // the one matching batch's part files (each insert may write several)
+    val all = plannedFiles(spark.sql("SELECT * FROM cat.as.t"))
+    val hi = plannedFiles(spark.sql(
+      "SELECT * FROM cat.as.t WHERE id >= 100"))
+    assert(hi >= 1 && hi * 2 <= all,
+      s"the high batch alone must plan, got $hi of $all")
+    assert(spark.sql("SELECT sum(v) FROM cat.as.t WHERE id >= 100")
+      .as[Double].head() === 30.0)
+    // INSERT OVERWRITE keeps the behavior
+    spark.sql("INSERT OVERWRITE cat.as.t VALUES (5, 5.0)")
+    spark.sql("INSERT INTO cat.as.t VALUES (500, 50.0)")
+    val all2 = plannedFiles(spark.sql("SELECT * FROM cat.as.t"))
+    val lo = plannedFiles(spark.sql(
+      "SELECT * FROM cat.as.t WHERE id <= 10"))
+    assert(lo >= 1 && lo * 2 <= all2,
+      s"the overwrite batch alone must plan, got $lo of $all2")
+    // the opt-out writes stat-less batches that never prune
+    spark.conf.set("spark.graft.autoStats", "false")
+    try {
+      spark.sql("DROP TABLE IF EXISTS cat.as.off")
+      spark.sql("CREATE TABLE cat.as.off (id BIGINT) USING graft")
+      spark.sql("INSERT INTO cat.as.off VALUES (1)")
+      spark.sql("INSERT INTO cat.as.off VALUES (100)")
+      assert(plannedFiles(spark.sql(
+        "SELECT * FROM cat.as.off WHERE id >= 100")) === 2)
+      spark.sql("DROP TABLE cat.as.off")
+    } finally spark.conf.unset("spark.graft.autoStats")
+    spark.sql("DROP TABLE cat.as.t")
+  }
+
   test("snapshot reads keep pushdown: filter reaches the parquet scan") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(
