@@ -69,16 +69,20 @@ final class GraftSourceProvider extends StreamSourceProvider
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    require(partitionColumns.isEmpty,
-      "graft sink: partitionBy is not supported — use " +
-        "TxLog.commitPartitioned for partition-grained ingest")
+    // `.partitionBy(c)` routes every micro-batch through the value-grain
+    // partitioned ingest (one manifest entry per value with exact
+    // min=max + bloom stats), so a streamed table prunes exactly like a
+    // batch-ingested one; one column, the commitPartitioned contract
+    require(partitionColumns.size <= 1,
+      "graft sink: partitionBy takes exactly one column " +
+        s"(got ${partitionColumns.mkString(", ")})")
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft sink: only Append output mode is supported, got $outputMode")
     // `appId` namespaces the idempotence key: TWO pipelines feeding one
     // table would otherwise skip each other's batchIds (the same
     // disambiguator Delta's V1 sink takes via txnAppId)
     new GraftSink(sqlContext.sparkSession, tableDir(parameters),
-      parameters.getOrElse("appid", ""))
+      parameters.getOrElse("appid", ""), partitionColumns.headOption)
   }
 
   private def tableDir(parameters: Map[String, String]): String =
@@ -116,7 +120,7 @@ final class GraftSourceProvider extends StreamSourceProvider
   * micro-batch = one atomic commit, idempotent under engine replay.
   * See [[GraftSourceProvider.createSink]]. */
 private[streaming] final class GraftSink(spark: SparkSession, dir: String,
-    appId: String = "")
+    appId: String = "", partCol: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
@@ -126,10 +130,11 @@ private[streaming] final class GraftSink(spark: SparkSession, dir: String,
       else s"sink_${appId.replaceAll("[^A-Za-z0-9_]", "_")}_b$batchId"
     val suffix = s"/data/$name"
     // engine replay after a restart: the batch already committed — skip
-    // (ANY committed batch dir for this id counts, incl. appendMapped's
-    // retry-suffixed names)
+    // (ANY committed batch dir for this id counts: appendMapped's
+    // retry-suffixed names AND a partitioned batch's value leaves)
     if (TxLog.liveFiles(dir).exists(p =>
-        p.endsWith(suffix) || p.contains(suffix + "_r"))) return
+        p.endsWith(suffix) || p.contains(suffix + "_r") ||
+          p.contains(suffix + "/"))) return
     // crash window: data written but the commit lost — clear the orphan
     // so the deterministic name can re-land (errorifexists write)
     val p = new Path(s"$dir$suffix")
@@ -137,9 +142,21 @@ private[streaming] final class GraftSink(spark: SparkSession, dir: String,
     if (fs.exists(p)) fs.delete(p, true)
     // re-tag the engine's incremental frame as a writable batch frame,
     // then commit through the mapped writer (a renamed/dropped table
-    // keeps taking the stream under its logical names)
-    TxLog.appendMapped(spark,
-      dir, SqlBridge.batchDf(spark, data.toDF()), name)
+    // keeps taking the stream under its logical names) — or, under
+    // `.partitionBy(c)`, through the value-grain partitioned ingest
+    val batch = SqlBridge.batchDf(spark, data.toDF())
+    partCol match {
+      case Some(pc) =>
+        import org.apache.spark.sql.functions.col
+        val pinned = batch.localCheckpoint()
+        try {
+          if (!pinned.isEmpty)
+            TxLog.commitPartitioned(spark, dir, name,
+              pinned.repartition(col(pc)), pc)
+        } finally graft.core.Checkpoints.release(pinned)
+      case None =>
+        TxLog.appendMapped(spark, dir, batch, name)
+    }
     ()
   }
 

@@ -117,6 +117,28 @@ class GraftChangeSourceSpec extends AnyFunSuite {
       .as[Double].collect().toSeq === Seq(1.0, 2.0, 3.0, 4.0))
   }
 
+  test("GraftSink partitionBy: value-grain streamed ingest, idempotent replay") {
+    val dir = freshDir("graft-sink-part")
+    val sink = new GraftSink(spark, dir, partCol = Some("tag"))
+    sink.addBatch(0, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    def names = TxLog.liveFiles(dir)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
+    assert(names === Seq("__pv=a", "__pv=b"),
+      "a partitioned sink batch must land as value leaves")
+    // the engine re-delivers batch 0 after a restart: must be a no-op
+    sink.addBatch(0, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    assert(TxLog.latestVersion(dir) === 1,
+      "a replayed batchId must not double-commit its leaves")
+    sink.addBatch(1, Seq((3L, "a")).toDF("id", "tag"))
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "a")))
+    // per-value bloom stats landed: an absent key proves absence
+    assert(TxLog.readPrunedByKey(spark, dir, "tag", "zzz").isEmpty)
+    // an empty micro-batch commits nothing
+    sink.addBatch(2, Seq.empty[(Long, String)].toDF("id", "tag"))
+    assert(TxLog.latestVersion(dir) === 2)
+  }
+
   test("source -> sink: an engine-owned incremental table replication") {
     val src = freshDir("graft-repl-src")
     val dst = freshDir("graft-repl-dst") + "/t"
