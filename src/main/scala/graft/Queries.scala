@@ -9858,6 +9858,65 @@ object Queries {
       WHERE event_id IS NOT NULL AND value >= 35.0 AND value <= 55.0
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Persistent CHECK constraints as SQL
+    * ([[graft.sources.TxLog.addConstraint]] via `ALTER TABLE … ADD
+    * CONSTRAINT … CHECK (…)`): the rule is TABLE state in the manifest
+    * log, and every subsequent write verb rejects a violating batch
+    * with zero footprint — REQUIREd here for INSERT and UPDATE, with
+    * the file set and version pinned unchanged across both rejections.
+    * Valid writes pass; the final aggregate hash-checks that exactly
+    * the accepted rows (and none of the rejected ones) landed. */
+  private val qSqlConstraint = QuerySpec(
+    "q_sql_constraint",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqlck_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("event_id").isNotNull)
+      ev.createOrReplaceTempView(s"ev_ck_$tag")
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        ev.filter(col("event_id") % 2 === 0), root, "b0")))
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evck_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evck_$tag USING graft LOCATION '$root'")
+      s.sql(s"ALTER TABLE graft.sql.evck_$tag " +
+        "ADD CONSTRAINT id_present CHECK (event_id IS NOT NULL)")
+      val vPre = TxLog.latestVersion(root)
+      val filesPre = TxLog.liveFiles(root)
+      // a violating INSERT must be rejected with zero footprint
+      val ins =
+        try { s.sql(s"INSERT INTO graft.sql.evck_$tag " +
+          "VALUES (CAST(NULL AS BIGINT), 'bad', 1.0)"); "" }
+        catch { case e: Exception => e.getMessage }
+      require(ins.contains("id_present"),
+        s"a violating INSERT must name the constraint, got: $ins")
+      // a violating UPDATE too (post-SET rows are what is checked)
+      val upd =
+        try { s.sql(s"UPDATE graft.sql.evck_$tag " +
+          "SET event_id = NULL WHERE event_id % 10 = 0"); "" }
+        catch { case e: Exception => e.getMessage }
+      require(upd.contains("id_present"),
+        s"a violating UPDATE must name the constraint, got: $upd")
+      require(TxLog.latestVersion(root) == vPre &&
+        TxLog.liveFiles(root) == filesPre,
+        "rejected writes must leave no commit behind")
+      // the valid half of the table lands fine
+      s.sql(s"INSERT INTO graft.sql.evck_$tag " +
+        s"SELECT event_id, event_type, value FROM ev_ck_$tag " +
+        "WHERE event_id % 2 = 1")
+      s.sql(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM graft.sql.evck_$tag
+        GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Native top-k-per-key ([[SortOps.topKPerKey]] → the custom
     * TopKPerKey SparkStrategy/SparkPlan pair): the 3 cheapest lineitems
     * per return flag, selected by two-phase bounded heaps instead of a
@@ -13382,7 +13441,7 @@ object Queries {
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
     qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete, qTxlogConvert,
     qSqlAddColumn, qTxlogScanPrune, qSqlPartitioned, qSqlAnalyze,
-    qSqlShowPartitions, qSqlOptimizePart, qSqlAutoStats,
+    qSqlShowPartitions, qSqlOptimizePart, qSqlAutoStats, qSqlConstraint,
     qSqlRestoreClone,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,

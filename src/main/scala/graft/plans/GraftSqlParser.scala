@@ -28,6 +28,8 @@ import graft.sources.{GraftTable, TxLog}
   * CREATE TABLE graft.db.t2 SHALLOW CLONE graft.db.t [VERSION AS OF 3]
   * ANALYZE [TABLE] graft.db.t COMPUTE STATISTICS FOR COLUMNS (a, b)
   * SHOW PARTITIONS graft.db.t                 -- live partition values
+  * ALTER TABLE graft.db.t ADD CONSTRAINT nm CHECK (expr)  -- write guard
+  * ALTER TABLE graft.db.t DROP CONSTRAINT nm
   * }}}
   *
   * Everything else — including every statement the session would parse
@@ -67,6 +69,10 @@ final class GraftSqlParser(delegate: ParserInterface)
       GraftAnalyzeCommand(parts(name),
         cols.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty))
     case ShowPartitionsRe(name) => GraftShowPartitionsCommand(parts(name))
+    case AddConstraintRe(name, cname, chk) =>
+      GraftAddConstraintCommand(parts(name), cname, chk.trim)
+    case DropConstraintRe(name, cname) =>
+      GraftDropConstraintCommand(parts(name), cname)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -124,6 +130,15 @@ object GraftSqlParser {
       """\s*;?\s*""").r
   private[plans] val ShowPartitionsRe =
     ("""(?is)\s*SHOW\s+PARTITIONS\s+""" + Ident + """\s*;?\s*""").r
+  // greedy body capture: the CHECK expression runs to the LAST ')', so
+  // nested parens (e.g. coalesce(x, 0) > 0) parse whole
+  private[plans] val AddConstraintRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s+CHECK\s*\((.*)\)""" +
+      """\s*;?\s*""").r
+  private[plans] val DropConstraintRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s*;?\s*""").r
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -325,4 +340,27 @@ final case class GraftShowPartitionsCommand(nameParts: Seq[String])
       case None    => s"$pc=__HIVE_DEFAULT_PARTITION__"
     }.sorted.map(Row(_))
   }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` →
+  * [[TxLog.addConstraint]]: a persistent table CHECK rule, enforced on
+  * every write verb from this commit on; fails if existing rows violate
+  * it (Delta's semantics). Returns the commit version. */
+final case class GraftAddConstraintCommand(nameParts: Seq[String],
+    cname: String, check: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.addConstraint(session,
+      GraftSqlParser.dirOf(session, nameParts), cname, check)))
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` → [[TxLog.dropConstraint]]. */
+final case class GraftDropConstraintCommand(nameParts: Seq[String],
+    cname: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.dropConstraint(
+      GraftSqlParser.dirOf(session, nameParts), cname)))
 }

@@ -300,7 +300,8 @@ object TxLog {
       dvSets: Seq[(String, Option[String])] = Nil,
       basedOnDvs: Option[Map[String, String]] = None,
       colMap: Option[Seq[(String, String)]] = None,
-      colTypes: Seq[(String, Option[String])] = Nil): Int = {
+      colTypes: Seq[(String, Option[String])] = Nil,
+      checkSets: Seq[(String, Option[String])] = Nil): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     var attempt = 0
     var out = -1
@@ -348,7 +349,8 @@ object TxLog {
               s"${stale.head}); re-run against the current snapshot")
       }
       try out = commitWithStats(dir, add, remove, dvSets,
-        atVersion = checkV + 1, colMap = colMap, colTypes = colTypes)
+        atVersion = checkV + 1, colMap = colMap, colTypes = colTypes,
+        checkSets = checkSets)
       catch {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.contains("lost the race") =>
@@ -390,6 +392,9 @@ object TxLog {
   private final class ColMapBox {
     var m: Option[Seq[(String, String)]] = None
     val types = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // persistent CHECK constraints ([[addConstraint]]): name → SQL expr,
+    // last-wins per name, `-` drops — independent of the mapping
+    val checks = scala.collection.mutable.LinkedHashMap.empty[String, String]
   }
 
   // column names percent-encode so ':' ',' and whitespace in a (quoted)
@@ -447,6 +452,9 @@ object TxLog {
         // the phys (so drop/overwrite/restore reconcile for free)
         case Array("coltype", p, "-") => cm.types.remove(decCol(p))
         case Array("coltype", p, t)   => cm.types(decCol(p)) = decCol(t)
+        // persistent CHECK constraint ([[addConstraint]]/[[dropConstraint]])
+        case Array("constraint", n, "-") => cm.checks.remove(decCol(n))
+        case Array("constraint", n, e)   => cm.checks(decCol(n)) = decCol(e)
         // commit metadata (e.g. `meta ts <millis>`) is not a file action;
         // unknown meta keys replay as no-ops so the format stays
         // forward-extensible without breaking old readers
@@ -518,7 +526,8 @@ object TxLog {
       dvSets: Seq[(String, Option[String])] = Nil,
       atVersion: Int = -1,
       colMap: Option[Seq[(String, String)]] = None,
-      colTypes: Seq[(String, Option[String])] = Nil): Int = {
+      colTypes: Seq[(String, Option[String])] = Nil,
+      checkSets: Seq[(String, Option[String])] = Nil): Int = {
     add.foreach { case (_, st) =>
       require(st.forall(s => !s.exists(c => c == '\t' || c == '\n' || c == '\r')),
         "stats blob must not contain tab/newline")
@@ -543,6 +552,9 @@ object TxLog {
     } ++ colTypes.map { // after colmap: a same-commit restate prunes first
       case (p, Some(t)) => s"coltype\t${encCol(p)}\t${encCol(t)}"
       case (p, None)    => s"coltype\t${encCol(p)}\t-"
+    } ++ checkSets.map {
+      case (n, Some(e)) => s"constraint\t${encCol(n)}\t${encCol(e)}"
+      case (n, None)    => s"constraint\t${encCol(n)}\t-"
     }).mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -976,6 +988,94 @@ object TxLog {
     out
   }
 
+  /** The persistent CHECK constraints in force at `asOf` (latest when
+    * <= 0): name → SQL expression. Empty for tables [[addConstraint]]
+    * never touched — every such write keeps its unchecked fast path. */
+  def constraintsOf(dir: String, asOf: Int = -1): Seq[(String, String)] =
+    resolveFull(dir, asOf)._3.checks.toSeq
+
+  /** ADD CONSTRAINT — attach a persistent CHECK rule to the table as a
+    * METADATA-ONLY commit (public precedent: Delta's CHECK
+    * constraints): from this version on, every write verb REJECTS a
+    * batch carrying a violating row before anything commits
+    * ([[enforceChecks]] — appends, overwrites, partitioned ingest,
+    * merge/applyChanges sources, and UPDATE's post-SET rows), and like
+    * Delta the verb itself fails if EXISTING data violates the rule —
+    * a constraint that is born broken guards nothing. The rule is
+    * table state: it rides time travel, [[restore]] reconciles it with
+    * the snapshot, [[cloneShallow]] carries it, and [[checkpoint]]
+    * restates it. A row violates when the expression is false OR null
+    * (the CHECK-constraint convention, [[commitChecked]]'s rule).
+    * Returns the commit version. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      exprSql: String): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
+    require(name.nonEmpty && exprSql.nonEmpty,
+      "addConstraint needs a name and a CHECK expression")
+    val c = expr(exprSql) // malformed SQL fails HERE, not on every write
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      val existing = resolveFull(dir, -1)._3.checks
+      require(!existing.contains(name),
+        s"txlog: constraint '$name' already exists on $dir " +
+          s"(CHECK (${existing.getOrElse(name, "")}))")
+      if (liveFiles(dir).nonEmpty) {
+        val bad = read(spark, dir)
+          .agg(sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)))
+          .head().getLong(0)
+        require(bad == 0L,
+          s"txlog: cannot add constraint '$name' CHECK ($exprSql) — " +
+            s"$bad existing row(s) violate it; fix the data first")
+      }
+      try out = commitWithStats(dir, add = Nil,
+        checkSets = Seq(name -> Some(exprSql)))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("lost the race") =>
+          if (attempt >= 16) throw e
+          Thread.sleep(math.min(5L * attempt, 100L))
+      }
+    }
+    out
+  }
+
+  /** DROP CONSTRAINT — the rule leaves the table as a metadata-only
+    * commit; time travel to earlier versions still enforces nothing
+    * (enforcement is write-time, and writes resolve the LATEST set). */
+  def dropConstraint(dir: String, name: String): Int = {
+    val existing = resolveFull(dir, -1)._3.checks
+    require(existing.contains(name),
+      s"txlog: no constraint '$name' on $dir " +
+        s"(constraints: ${existing.keys.mkString(", ")})")
+    commitWithStats(dir, add = Nil, checkSets = Seq(name -> None))
+  }
+
+  /** Write-time CHECK enforcement — ONE aggregation pass over the batch
+    * (all constraints together, [[commitChecked]]'s shape) naming every
+    * violated rule with its row count; zero cost for tables without
+    * constraints. `rows` carries the LOGICAL schema (constraints name
+    * the columns users see). */
+  private def enforceChecks(spark: SparkSession, dir: String,
+      rows: DataFrame, verb: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val checks = resolveFull(dir, -1)._3.checks.toSeq
+    if (checks.isEmpty) return
+    val aggs = checks.map { case (n, e) =>
+      sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)).as(n)
+    }
+    val r = rows.agg(aggs.head, aggs.tail: _*).head()
+    val violated = checks.zipWithIndex.collect {
+      case ((n, e), i) if !r.isNullAt(i) && r.getLong(i) > 0 =>
+        s"'$n' CHECK ($e): ${r.getLong(i)} row(s)"
+    }
+    require(violated.isEmpty,
+      s"txlog: $verb into $dir violates table constraint(s) — " +
+        s"${violated.mkString("; ")}; nothing committed")
+  }
+
   /** DROP COLUMN as a METADATA-ONLY commit: the column leaves the
     * logical schema (readers stop projecting its physical storage);
     * bytes stay in place until files naturally rewrite, and time travel
@@ -1001,6 +1101,7 @@ object TxLog {
   def appendMapped(spark: SparkSession, dir: String, df: DataFrame,
       name: String, autoStatsCols: Int = 0): Int = {
     import org.apache.spark.sql.functions.col
+    enforceChecks(spark, dir, df, "append") // logical rows, pre-rename
     def autoStats(path: String): Option[String] =
       autoStatsFor(spark, path, autoStatsCols)
     def commitOne(path: String): Int = {
@@ -1106,6 +1207,7 @@ object TxLog {
     * travel to the replaced content. Returns the commit version. */
   def overwriteAll(spark: SparkSession, dir: String, df: DataFrame,
       name: String, autoStatsCols: Int = 0): Int = {
+    enforceChecks(spark, dir, df, "overwrite")
     val path = writeBatch(df, dir, name)
     val st = autoStatsFor(spark, path, autoStatsCols)
     var attempt = 0
@@ -1186,6 +1288,9 @@ object TxLog {
       ++ cmAtV.types.toSeq.map { case (p, t) =>
         s"coltype\t${encCol(p)}\t${encCol(t)}" // addColumn registry rides
       }                                        // checkpoints like colmap
+      ++ cmAtV.checks.toSeq.map { case (n, e) =>
+        s"constraint\t${encCol(n)}\t${encCol(e)}"
+      }
     ).mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -1866,10 +1971,18 @@ object TxLog {
     val typeSet: Seq[(String, Option[String])] =
       if (cmSet.isEmpty) Nil
       else targetCm.types.toSeq.map { case (p, t) => (p, Some(t)) }
-    if (add.isEmpty && remove.isEmpty && dvSets.isEmpty && cmSet.isEmpty)
+    // CHECK constraints roll back with the snapshot: restate the
+    // target's set, drop names only the current version has
+    val checkSet: Seq[(String, Option[String])] =
+      if (targetCm.checks == currentCm.checks) Nil
+      else targetCm.checks.toSeq.map { case (n, e) => (n, Some(e)) } ++
+        currentCm.checks.keys.filterNot(targetCm.checks.contains)
+          .map(n => (n, None: Option[String])).toSeq
+    if (add.isEmpty && remove.isEmpty && dvSets.isEmpty && cmSet.isEmpty
+        && checkSet.isEmpty)
       return 0
     commitRewrite(dir, add, remove, dvSets = dvSets, colMap = cmSet,
-      colTypes = typeSet)
+      colTypes = typeSet, checkSets = checkSet)
   }
 
   /** Scheme- and working-directory-insensitive path identity — manifest
@@ -2221,6 +2334,8 @@ object TxLog {
           case None    => col(c)
         }
       }: _*)
+      // table constraints see the POST-SET rows, under logical names
+      enforceChecks(spark, dir, applyMapping(updated, cm), "UPDATE (DV)")
       val statCols = touched
         .flatMap(p => statColsOf(statsByNorm(normPath(p)))).distinct
         .filter(dataCols.contains)
@@ -2295,6 +2410,21 @@ object TxLog {
       _.filter(predicate), nullFill = nf, stats = entries.toMap)
     val setByCol = set.toMap
     val hit = coalesce(predicate, lit(false))
+    // table constraints see the POST-SET matched rows under logical
+    // names — one extra scan of the touched files, paid only when the
+    // table carries constraints
+    if (touched.nonEmpty && cmb.checks.nonEmpty) {
+      val m = readMasked(spark, entries.map(_._1), dvs, nullFill = nf,
+        stats = entries.toMap).filter(hit)
+      val tps = m.schema.map(f => f.name -> f.dataType).toMap
+      val preview = m.select(m.columns.toSeq.map { c =>
+        setByCol.get(c) match {
+          case Some(e) => e.cast(tps(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+      enforceChecks(spark, dir, applyMapping(preview, cm), "UPDATE")
+    }
     rewriteTouched(spark, dir, name, entries, touched,
       { p =>
         val df = readMasked(spark, Seq(p), dvs, nullFill = nf)
@@ -2416,6 +2546,7 @@ object TxLog {
     * or 0 when `source` is empty. Fresh `name` per call. */
   def merge(spark: SparkSession, dir: String, name: String,
       source: DataFrame, keys: Seq[String]): Int = {
+    enforceChecks(spark, dir, source, "MERGE") // logical source rows
     val cm = columnMapping(dir)
     val (physSource, physKeys) =
       sourceToPhysical(cm, source, keys, "MERGE", passCols = Nil)
@@ -2471,6 +2602,10 @@ object TxLog {
     require(changes.columns.contains(opCol),
       s"applyChanges: feed has no op column '$opCol' " +
         s"(columns: ${changes.columns.mkString(", ")})")
+    // table constraints check the rows that will LAND (upserts); a
+    // delete marker removes data and cannot violate a CHECK
+    enforceChecks(spark, dir,
+      changes.filter(col(opCol) =!= deleteOp).drop(opCol), "APPLY CHANGES")
     val cm = columnMapping(dir)
     val (physChanges, physKeys) = sourceToPhysical(cm, changes, keys,
       "APPLY CHANGES", passCols = Seq(opCol))
@@ -2716,9 +2851,11 @@ object TxLog {
     * Returns the new version. Fresh `name` per call. */
   def commitPartitioned(spark: SparkSession, dir: String, name: String,
       df: DataFrame, partCol: String, bloomBits: Int = 1024,
-      extraStatsCols: Seq[String] = Nil): Int =
+      extraStatsCols: Seq[String] = Nil): Int = {
+    enforceChecks(spark, dir, df, "partitioned append")
     commitWithStats(dir, writePartitionLeaves(spark, dir, name, df,
       partCol, bloomBits, extraStatsCols))
+  }
 
   /** Atomic partitioned full REPLACE — [[overwriteAll]]'s semantics at
     * the [[commitPartitioned]] value grain: one commit lands `df`'s
@@ -2730,6 +2867,7 @@ object TxLog {
   def overwritePartitioned(spark: SparkSession, dir: String, name: String,
       df: DataFrame, partCol: String, bloomBits: Int = 1024,
       extraStatsCols: Seq[String] = Nil): Int = {
+    enforceChecks(spark, dir, df, "partitioned overwrite")
     val adds = writePartitionLeaves(spark, dir, name, df, partCol,
       bloomBits, extraStatsCols)
     var attempt = 0
@@ -2974,7 +3112,9 @@ object TxLog {
       colMap = cmb.m,
       // the addColumn type registry is snapshot state too — a clone of
       // a table with a never-written added column must null-fill it
-      colTypes = cmb.types.toSeq.map { case (p, t) => (p, Some(t)) })
+      colTypes = cmb.types.toSeq.map { case (p, t) => (p, Some(t)) },
+      // CHECK constraints are table rules and travel with the fork
+      checkSets = cmb.checks.toSeq.map { case (n, e) => (n, Some(e)) })
   }
 
   def destroy(dir: String): Unit = {

@@ -1186,6 +1186,65 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("persistent CHECK constraints guard every write verb") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), dir, "b0")))
+    // adding a rule existing data violates is refused
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, dir, "v_big", "v > 15.0")
+    }
+    val v = TxLog.addConstraint(spark, dir, "v_pos", "v > 0.0")
+    assert(TxLog.constraintsOf(dir) === Seq("v_pos" -> "v > 0.0"))
+    val filesPre = TxLog.liveFiles(dir)
+    // a violating append/merge/update is rejected loudly, zero footprint
+    val e = intercept[IllegalArgumentException] {
+      TxLog.appendMapped(spark, dir, Seq((3L, -1.0)).toDF("id", "v"), "bad")
+    }
+    assert(e.getMessage.contains("v_pos") && e.getMessage.contains("CHECK"))
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, "badm", Seq((2L, -5.0)).toDF("id", "v"),
+        Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, dir, "badu", col("id") === 1L,
+        Seq("v" -> lit(-9.0)))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhereDV(spark, dir, "badud", col("id") === 1L,
+        Seq("v" -> lit(-9.0)))
+    }
+    assert(TxLog.liveFiles(dir) === filesPre &&
+      TxLog.latestVersion(dir) === v,
+      "a rejected write must leave no commit behind")
+    // valid writes pass; a DELETE cannot violate
+    TxLog.appendMapped(spark, dir, Seq((3L, 30.0)).toDF("id", "v"), "b1")
+    TxLog.deleteWhere(spark, dir, "d0", col("id") === 2L)
+    assert(TxLog.read(spark, dir).orderBy("id").select("v")
+      .as[Double].collect().toSeq === Seq(10.0, 30.0))
+    // the rule travels with a clone, and restore rolls it back
+    val dst = freshDir()
+    TxLog.cloneShallow(dir, dst)
+    assert(TxLog.constraintsOf(dst) === Seq("v_pos" -> "v > 0.0"))
+    TxLog.destroy(dst)
+    TxLog.restore(dir, 1) // pre-constraint version
+    assert(TxLog.constraintsOf(dir).isEmpty,
+      "restore across ADD CONSTRAINT must roll the rule back")
+    // re-add, checkpoint, expire: the rule survives log retention
+    TxLog.addConstraint(spark, dir, "v_pos", "v > 0.0")
+    TxLog.checkpoint(dir)
+    TxLog.expireManifests(dir)
+    intercept[IllegalArgumentException] {
+      TxLog.appendMapped(spark, dir, Seq((9L, -1.0)).toDF("id", "v"), "b9")
+    }
+    // drop releases the guard
+    TxLog.dropConstraint(dir, "v_pos")
+    TxLog.appendMapped(spark, dir, Seq((9L, -1.0)).toDF("id", "v"), "b9")
+    assert(TxLog.read(spark, dir).count() === 3L)
+    TxLog.destroy(dir)
+  }
+
   test("analyze resolves logical names on a mapped table") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(
