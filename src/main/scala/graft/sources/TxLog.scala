@@ -1006,7 +1006,16 @@ object TxLog {
     * the snapshot, [[cloneShallow]] carries it, and [[checkpoint]]
     * restates it. A row violates when the expression is false OR null
     * (the CHECK-constraint convention, [[commitChecked]]'s rule).
-    * Returns the commit version. */
+    *
+    * Concurrency boundary, stated honestly: every constraint add bumps
+    * the version, so an INGEST racing it loses its claim and
+    * re-validates on retry (the append/overwrite loops re-run
+    * [[enforceChecks]] after a lost race — their window is closed); a
+    * racing ROW-LEVEL rewrite (merge/update) validated against the
+    * rules it saw and its [[commitRewrite]] retry re-claims without
+    * re-reading them — the one interleaving where a rule can miss a
+    * same-instant write, the metadata-vs-rewrite conflict Delta's
+    * transaction matrix also documents. Returns the commit version. */
   def addConstraint(spark: SparkSession, dir: String, name: String,
       exprSql: String): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
@@ -1116,6 +1125,12 @@ object TxLog {
               if e.getMessage != null &&
                 e.getMessage.contains("lost the race") =>
             if (attempt >= 16) throw e
+            // the race loser re-validates: the winning commit may have
+            // been an [[addConstraint]], and an append that raced it
+            // must not land unvalidated (every constraint add bumps the
+            // version, so a concurrent append ALWAYS loses its claim
+            // and passes back through here — the window is closed)
+            enforceChecks(spark, dir, df, "append")
             Thread.sleep(math.min(5L * attempt, 100L))
         }
       }
@@ -1167,6 +1182,7 @@ object TxLog {
                 if e.getMessage != null &&
                   e.getMessage.contains("lost the race") =>
               if (attempt >= 16) throw e
+              enforceChecks(spark, dir, df, "append") // re-validate (race)
               Thread.sleep(math.min(5L * attempt, 100L))
           }
         }
@@ -1222,6 +1238,7 @@ object TxLog {
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
           if (attempt >= 16) throw e
+          enforceChecks(spark, dir, df, "overwrite") // re-validate (race)
           Thread.sleep(math.min(5L * attempt, 100L))
       }
     }
@@ -2880,6 +2897,8 @@ object TxLog {
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
           if (attempt >= 16) throw e
+          enforceChecks(spark, dir, df, // re-validate (race)
+            "partitioned overwrite")
           Thread.sleep(math.min(5L * attempt, 100L))
       }
     }
