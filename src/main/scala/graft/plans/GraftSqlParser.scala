@@ -68,7 +68,13 @@ final class GraftSqlParser(delegate: ParserInterface)
     case AnalyzeRe(name, cols) =>
       GraftAnalyzeCommand(parts(name),
         cols.split(",").map(stripQuotes).toSeq.filter(_.nonEmpty))
-    case ShowPartitionsRe(name) => GraftShowPartitionsCommand(parts(name))
+    case ShowPartitionsRe(name) =>
+      // SHOW PARTITIONS is native Spark grammar (unlike OPTIMIZE etc.),
+      // so the command keeps the delegate's plan as a thunk and runs it
+      // whenever the name does NOT resolve to a graft table — installing
+      // this parser must not break hive/parquet SHOW PARTITIONS
+      GraftShowPartitionsCommand(parts(name),
+        () => delegate.parsePlan(sqlText))
     case AddConstraintRe(name, cname, chk) =>
       GraftAddConstraintCommand(parts(name), cname, chk.trim)
     case DropConstraintRe(name, cname) =>
@@ -320,25 +326,37 @@ final case class GraftAnalyzeCommand(nameParts: Seq[String],
 /** `SHOW PARTITIONS t` → [[TxLog.partitionValues]]: one `col=value` row
   * per live partition value of a PARTITIONED BY catalog table (the
   * Hive/Delta output shape). Zero data reads while every live file is a
-  * value leaf; exact via one narrow distinct scan otherwise. */
-final case class GraftShowPartitionsCommand(nameParts: Seq[String])
-    extends LeafRunnableCommand {
+  * value leaf; exact via one narrow distinct scan otherwise. Because
+  * SHOW PARTITIONS is native Spark grammar, a name that does NOT
+  * resolve to a graft table runs the DELEGATE's plan instead (`native`,
+  * parsed lazily) — hive/parquet tables keep their built-in semantics
+  * with this parser installed (ADVICE r13). */
+final case class GraftShowPartitionsCommand(nameParts: Seq[String],
+    native: () => LogicalPlan) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("partition", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
-    val g = SqlBridge.loadCatalogTable(session, nameParts) match {
-      case g: GraftTable => g
-      case other => throw new IllegalArgumentException(
-        s"graft: ${nameParts.mkString(".")} is not a graft table " +
-          s"(provider: ${other.properties.get("provider")})")
+    val graftTable =
+      try SqlBridge.loadCatalogTable(session, nameParts) match {
+        case g: GraftTable => Some(g)
+        case _ => None // a DSv2 table of another provider → native path
+      } catch {
+        // head part is not a registered catalog (hive `db.t`) or the
+        // graft catalog has no such table → native path owns the name
+        case _: Exception => None
+      }
+    graftTable match {
+      case Some(g) =>
+        val pc = g.partCol.getOrElse(throw new IllegalArgumentException(
+          s"graft: SHOW PARTITIONS on ${nameParts.mkString(".")}, which " +
+            "is not a partitioned table (CREATE ... PARTITIONED BY (c))"))
+        TxLog.partitionValues(session, g.dir, pc).map {
+          case Some(v) => s"$pc=$v"
+          case None    => s"$pc=__HIVE_DEFAULT_PARTITION__"
+        }.sorted.map(Row(_))
+      case None =>
+        SqlBridge.ofRows(session, native()).collect().toSeq
     }
-    val pc = g.partCol.getOrElse(throw new IllegalArgumentException(
-      s"graft: SHOW PARTITIONS on ${nameParts.mkString(".")}, which is " +
-        "not a partitioned table (CREATE ... PARTITIONED BY (c))"))
-    TxLog.partitionValues(session, g.dir, pc).map {
-      case Some(v) => s"$pc=$v"
-      case None    => s"$pc=__HIVE_DEFAULT_PARTITION__"
-    }.sorted.map(Row(_))
   }
 }
 

@@ -76,15 +76,23 @@ private[graftbridge] object GraftStatsFileIndex {
     case _ => None
   }
 
-  /** The column name under a numeric-to-numeric cast (the analyzer
-    * promotes `int_col = 7.5` to `cast(int_col as double) = 7.5`;
-    * numeric widening is monotone, so the bound transfers). */
+  /** The column name under a numeric-to-numeric cast — but ONLY when
+    * the cast is a loss-free WIDENING (`Cast.canUpCast`): the analyzer
+    * promotes `int_col = 7.5` to `cast(int_col as double) = 7.5`, and a
+    * widening cast is monotone, so the bound transfers to the stored
+    * values. A NARROWING or overflowing cast (`cast(v as int) = 7` over
+    * v ∈ [7.5, 7.9] matches every row after truncation) would make a
+    * "disjoint" verdict a silent wrong answer — those shapes contribute
+    * no bound and the file reads. Spark's UnwrapCastInBinaryComparison
+    * strips most safe widenings before pushdown, so the casts that DO
+    * reach the FileIndex are disproportionately the unsafe ones. */
   private def attr(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case c: Cast if c.dataType.isInstanceOf[NumericType] =>
       c.child match {
         case a: AttributeReference
-            if a.dataType.isInstanceOf[NumericType] => Some(a.name)
+            if a.dataType.isInstanceOf[NumericType] &&
+              Cast.canUpCast(a.dataType, c.dataType) => Some(a.name)
         case _ => None
       }
     case _ => None

@@ -432,9 +432,15 @@ final case class GraftTable(qualified: String, dir: String, asOf: Int,
                     // layout — the standard partitioned-table write
                     val clustered = pinned.repartition(
                       org.apache.spark.sql.functions.col(pc))
-                    if (overwrite || overwriteFlag)
-                      TxLog.overwritePartitioned(spark, dir, batch,
+                    if (overwrite || overwriteFlag) {
+                      // empty source: standard SQL truncates — there are
+                      // no leaves to write, so route to the adds-empty
+                      // remove-all commit instead of the leaf writer
+                      // (which REQUIREs non-empty input; ADVICE r13)
+                      if (pinned.isEmpty) TxLog.truncate(dir)
+                      else TxLog.overwritePartitioned(spark, dir, batch,
                         clustered, pc)
+                    }
                     else if (pinned.isEmpty) () // zero-row INSERT: no-op
                     else TxLog.commitPartitioned(spark, dir, batch,
                       clustered, pc)

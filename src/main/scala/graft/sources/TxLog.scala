@@ -1007,10 +1007,14 @@ object TxLog {
     * restates it. A row violates when the expression is false OR null
     * (the CHECK-constraint convention, [[commitChecked]]'s rule).
     *
-    * Concurrency boundary, stated honestly: every constraint add bumps
-    * the version, so an INGEST racing it loses its claim and
-    * re-validates on retry (the append/overwrite loops re-run
-    * [[enforceChecks]] after a lost race — their window is closed); a
+    * Concurrency boundary, stated honestly: the existing-data scan PINS
+    * its version and the commit claims exactly that slot (atVersion,
+    * the [[analyze]] discipline — ADVICE r13), so a write landing
+    * between the scan and the commit forces THIS verb back through
+    * validation against the new rows; in the other interleaving every
+    * constraint add bumps the version, so an INGEST racing it loses its
+    * claim and re-validates on retry (the append/overwrite loops re-run
+    * [[enforceChecks]] after a lost race) — both windows are closed; a
     * racing ROW-LEVEL rewrite (merge/update) validated against the
     * rules it saw and its [[commitRewrite]] retry re-claims without
     * re-reading them — the one interleaving where a rule can miss a
@@ -1026,12 +1030,19 @@ object TxLog {
     var out = -1
     while (out < 0) {
       attempt += 1
-      val existing = resolveFull(dir, -1)._3.checks
+      // pin the claim to the version the existing-data scan validated
+      // (the analyze() discipline, ADVICE r13): a write that commits
+      // between the scan and this commit takes the claimed slot, so WE
+      // lose the race and re-validate against ITS rows — without the
+      // pin, neither side would see the other and a constraint could be
+      // born violated.
+      val checkV = latestVersion(dir)
+      val existing = resolveFull(dir, checkV)._3.checks
       require(!existing.contains(name),
         s"txlog: constraint '$name' already exists on $dir " +
           s"(CHECK (${existing.getOrElse(name, "")}))")
-      if (liveFiles(dir).nonEmpty) {
-        val bad = read(spark, dir)
+      if (liveFiles(dir, checkV).nonEmpty) {
+        val bad = read(spark, dir, checkV)
           .agg(sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)))
           .head().getLong(0)
         require(bad == 0L,
@@ -1039,7 +1050,7 @@ object TxLog {
             s"$bad existing row(s) violate it; fix the data first")
       }
       try out = commitWithStats(dir, add = Nil,
-        checkSets = Seq(name -> Some(exprSql)))
+        checkSets = Seq(name -> Some(exprSql)), atVersion = checkV + 1)
       catch {
         case e: IllegalStateException
             if e.getMessage != null &&
@@ -2891,7 +2902,12 @@ object TxLog {
     var out = -1
     while (out < 0) {
       attempt += 1
-      try out = commitWithStats(dir, adds, remove = liveFiles(dir))
+      // like overwriteAll: a full replace on a MAPPED table restates the
+      // colmap to identity (Some(Nil)) — the new leaves carry logical
+      // names, and a stale mapping left in force would project wrong or
+      // missing columns on every subsequent read (ADVICE r13)
+      try out = commitWithStats(dir, adds, remove = liveFiles(dir),
+        colMap = if (columnMapping(dir).isDefined) Some(Nil) else None)
       catch {
         case e: IllegalStateException
             if e.getMessage != null &&
@@ -2899,6 +2915,33 @@ object TxLog {
           if (attempt >= 16) throw e
           enforceChecks(spark, dir, df, // re-validate (race)
             "partitioned overwrite")
+          Thread.sleep(math.min(5L * attempt, 100L))
+      }
+    }
+    out
+  }
+
+  /** TRUNCATE — one adds-empty remove-all commit: the table becomes
+    * empty at the new version, time travel to the removed content is
+    * untouched, and a mapped table's colmap restates to identity (the
+    * [[overwriteAll]] rule — the next append starts clean). This is the
+    * INSERT OVERWRITE ... <empty source> shape on BOTH table layouts
+    * (standard SQL truncates; a partitioned table has no leaves to
+    * write, so the leaf writer can't express it — ADVICE r13). Returns
+    * the commit version; a no-op (already empty, no mapping) still
+    * commits so the verb is always visible in history. */
+  def truncate(dir: String): Int = {
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      try out = commitWithStats(dir, add = Nil, remove = liveFiles(dir),
+        colMap = if (columnMapping(dir).isDefined) Some(Nil) else None)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("lost the race") =>
+          if (attempt >= 16) throw e
           Thread.sleep(math.min(5L * attempt, 100L))
       }
     }

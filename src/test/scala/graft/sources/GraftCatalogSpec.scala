@@ -245,6 +245,47 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.pt.t")
   }
 
+  test("SHOW PARTITIONS on a non-graft table delegates to Spark's native plan") {
+    // SHOW PARTITIONS is native grammar; installing the graft parser
+    // must not break it for hive/parquet tables (ADVICE r13)
+    spark.sql("DROP TABLE IF EXISTS spark_catalog.default.natp")
+    spark.sql("CREATE TABLE spark_catalog.default.natp (id INT, p STRING) " +
+      "USING parquet PARTITIONED BY (p)")
+    spark.sql("INSERT INTO spark_catalog.default.natp VALUES (1, 'x'), (2, 'y')")
+    assert(spark.sql("SHOW PARTITIONS spark_catalog.default.natp")
+      .as[String].collect().sorted.toSeq === Seq("p=x", "p=y"))
+    // the 2-part spelling resolves through the session catalog too
+    assert(spark.sql("SHOW PARTITIONS default.natp")
+      .as[String].collect().sorted.toSeq === Seq("p=x", "p=y"))
+    // a missing table still raises the native error, not a graft one
+    val e = intercept[Exception] {
+      spark.sql("SHOW PARTITIONS default.no_such_tbl").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"))
+    spark.sql("DROP TABLE spark_catalog.default.natp")
+  }
+
+  test("INSERT OVERWRITE with an empty source truncates a partitioned table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.tr")
+    spark.sql("DROP TABLE IF EXISTS cat.tr.t")
+    spark.sql("CREATE TABLE cat.tr.t (id BIGINT, tag STRING) USING graft " +
+      "PARTITIONED BY (tag)")
+    spark.sql("INSERT INTO cat.tr.t VALUES (1, 'a'), (2, 'b')")
+    // standard SQL semantics: an empty overwrite source empties the
+    // table (the non-partitioned overwriteAll already does; ADVICE r13)
+    spark.sql(
+      "INSERT OVERWRITE cat.tr.t SELECT id, tag FROM cat.tr.t WHERE false")
+    assert(spark.sql("SELECT count(*) FROM cat.tr.t").as[Long].head() === 0L)
+    // the truncation is ordinary history: the old content time travels
+    assert(spark.sql("SELECT count(*) FROM cat.tr.t VERSION AS OF 1")
+      .as[Long].head() === 2L)
+    // the table keeps working at the value grain afterwards
+    spark.sql("INSERT INTO cat.tr.t VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM cat.tr.t WHERE tag = 'z'")
+      .as[Long].head() === 9L)
+    spark.sql("DROP TABLE cat.tr.t")
+  }
+
   test("OPTIMIZE on a partitioned table restores the value grain") {
     def leafNames(dir: String): Seq[String] =
       TxLog.liveFiles(dir).map(p => new org.apache.hadoop.fs.Path(p).getName)

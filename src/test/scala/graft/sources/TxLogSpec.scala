@@ -1245,6 +1245,82 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("addConstraint races a violating append: exactly one side wins") {
+    // the ADVICE r13 window: without pinning the existing-data scan's
+    // version (atVersion), an append committing between the scan and
+    // the constraint commit is seen by NEITHER side — the constraint is
+    // born violated. With the pin, every interleaving resolves to
+    // exactly one winner: constraint first → the append re-validates on
+    // its lost-race retry and is rejected; append first → the
+    // constraint's retry re-scans and refuses the rule.
+    (1 to 6).foreach { round =>
+      val dir = freshDir()
+      TxLog.commit(dir, Seq(TxLog.writeBatch(
+        Seq((1L, 10.0)).toDF("id", "v"), dir, "b0")))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      def run(body: => Unit): java.util.concurrent.Future[Boolean] =
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = {
+            gate.await()
+            try { body; true }
+            catch { case _: IllegalArgumentException => false }
+          }
+        })
+      val bad = Seq((2L, -5.0)).toDF("id", "v")
+      val fAppend = run(TxLog.appendMapped(spark, dir, bad, s"bad$round"))
+      val fRule = run(TxLog.addConstraint(spark, dir, "v_pos", "v > 0.0"))
+      gate.countDown()
+      val (appended, ruled) = (fAppend.get(), fRule.get())
+      pool.shutdown()
+      assert(appended ^ ruled,
+        s"round $round: exactly one of (append=$appended, rule=$ruled) " +
+          "must win — both succeeding means a constraint born violated")
+      if (ruled) {
+        import org.apache.spark.sql.functions.col
+        assert(TxLog.read(spark, dir).filter(col("v") <= 0.0).count() === 0,
+          s"round $round: the committed constraint must guard a clean table")
+      }
+      TxLog.destroy(dir)
+    }
+  }
+
+  test("overwritePartitioned on a mapped table restates the colmap") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 10.0, "a")).toDF("id", "score", "part"), dir, "b0")))
+    TxLog.renameColumn(spark, dir, "score", "quality")
+    assert(TxLog.columnMapping(dir).isDefined)
+    // the partitioned full replace writes LOGICAL-named leaves; leaving
+    // the stale mapping in force would project the renamed column away
+    // from the new files (ADVICE r13)
+    TxLog.overwritePartitioned(spark, dir, "ow",
+      Seq((2L, 20.0, "b"), (3L, 30.0, "c")).toDF("id", "quality", "part"),
+      partCol = "part")
+    assert(TxLog.columnMapping(dir).isEmpty,
+      "a full replace must clear the mapping to identity")
+    assert(TxLog.read(spark, dir).orderBy("id")
+      .as[(Long, Double, String)].collect().toSeq ===
+      Seq((2L, 20.0, "b"), (3L, 30.0, "c")))
+    // time travel across the replace still serves the mapped schema
+    assert(TxLog.read(spark, dir, asOf = 2).columns.toSeq ===
+      Seq("id", "quality", "part"))
+    TxLog.destroy(dir)
+  }
+
+  test("truncate empties the table, restates the colmap, keeps history") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 1.0)).toDF("id", "score"), dir, "b0")))
+    TxLog.renameColumn(spark, dir, "score", "quality")
+    val v = TxLog.truncate(dir)
+    assert(TxLog.liveFiles(dir).isEmpty)
+    assert(TxLog.columnMapping(dir).isEmpty)
+    assert(TxLog.read(spark, dir, asOf = v - 1).count() === 1L,
+      "the truncated content must still time travel")
+    TxLog.destroy(dir)
+  }
+
   test("analyze resolves logical names on a mapped table") {
     val dir = freshDir()
     TxLog.commit(dir, Seq(TxLog.writeBatch(
