@@ -9636,6 +9636,186 @@ object Queries {
       FROM events WHERE event_id IS NOT NULL AND event_id % 4 = 2
       GROUP BY 1 ORDER BY 1"""))
 
+  /** COMPOSITE `PARTITIONED BY (a, b)` catalog table
+    * ([[graft.sources.TxLog.commitPartitionedCols]]): nested value
+    * leaves (`__pv=a/__pv1=b`), one manifest entry per value
+    * COMBINATION with per-level range+bloom stats. REQUIREd: a
+    * two-predicate filter plans exactly ONE of the six tuple leaves,
+    * and a filter on the SECOND column alone prunes too — per-level
+    * stats, not a path-prefix convention (reference capability analog:
+    * MultipleOutputs' multi-level dynamic paths,
+    * MR-CORE/mapreduce/lib/output/MultipleOutputs.java:179). The
+    * filtered aggregate is hash-checked. */
+  private val qSqlPartitioned2 = QuerySpec(
+    "q_sql_partitioned2",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evpart2_$tag")
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("value"))
+        .filter(col("event_id").isNotNull)
+        .createOrReplaceTempView(s"ev2_src_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evpart2_$tag " +
+        "(event_id BIGINT, event_type STRING, value DOUBLE, " +
+        "b1 INT, b2 INT) USING graft PARTITIONED BY (b1, b2)")
+      // even ids land b1=0, odd ids b1=1 — two inserts, three b2 values
+      // each: 6 one-file tuple leaves total
+      Seq(0, 1).foreach { parity =>
+        s.sql(s"INSERT INTO graft.sql.evpart2_$tag " +
+          "SELECT event_id, event_type, value, " +
+          "CAST(pmod(event_id, 2) AS INT), CAST(pmod(event_id, 3) AS INT) " +
+          s"FROM ev2_src_$tag WHERE event_id % 2 = $parity")
+      }
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val filtered = s.sql(
+        s"SELECT event_type, value FROM graft.sql.evpart2_$tag " +
+          "WHERE b1 = 1 AND b2 = 2")
+      require(plannedFiles(filtered) == 1,
+        s"b1=1 AND b2=2 must plan 1 of the 6 tuple leaves, " +
+          s"planned ${plannedFiles(filtered)}")
+      val second = s.sql(
+        s"SELECT event_type FROM graft.sql.evpart2_$tag WHERE b2 = 0")
+      require(plannedFiles(second) == 2,
+        s"b2=0 alone must plan its 2 leaves (per-level stats), " +
+          s"planned ${plannedFiles(second)}")
+      filtered.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id IS NOT NULL
+        AND event_id % 2 = 1 AND event_id % 3 = 2
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** ADD COLUMN on a PARTITIONED catalog table — the additive verb is
+    * MAPPING-FREE ([[graft.sources.TxLog.addColumn]] commits one
+    * `coltype` line, physical = logical name), so it composes with the
+    * value-grain leaves the partitioned ingest writes under declared
+    * names. REQUIREd: the add touches ZERO data files, a later INSERT
+    * fills the column while pre-add leaves null-fill, partition pruning
+    * still plans exactly the value's leaves, and the mapping-creating
+    * verbs (RENAME) stay refused. Hash: per-type counts + the filled
+    * column's sum with pre-add rows contributing NULL. */
+  private val qSqlPartAddColumn = QuerySpec(
+    "q_sql_part_add_column",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evpac_$tag")
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("value"))
+        .filter(col("event_id").isNotNull)
+        .createOrReplaceTempView(s"evpac_src_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evpac_$tag " +
+        "(event_id BIGINT, event_type STRING, bucket INT) " +
+        "USING graft PARTITIONED BY (bucket)")
+      s.sql(s"INSERT INTO graft.sql.evpac_$tag " +
+        "SELECT event_id, event_type, CAST(pmod(event_id, 4) AS INT) " +
+        s"FROM evpac_src_$tag WHERE event_id % 2 = 0")
+      val loc = s.sql(s"DESCRIBE TABLE EXTENDED graft.sql.evpac_$tag")
+        .filter(col("col_name") === "Location").select("data_type")
+        .collect().head.getString(0)
+      val filesPre = TxLog.liveFiles(loc)
+      s.sql(s"ALTER TABLE graft.sql.evpac_$tag ADD COLUMN score DOUBLE")
+      require(TxLog.liveFiles(loc) == filesPre,
+        "ADD COLUMN on a partitioned table must touch zero data files")
+      s.sql(s"INSERT INTO graft.sql.evpac_$tag " +
+        "SELECT event_id, event_type, CAST(pmod(event_id, 4) AS INT), " +
+        s"value FROM evpac_src_$tag WHERE event_id % 2 = 1")
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      // even ids fill buckets {0,2}, odd ids {1,3}: 6 leaves live, and
+      // a bucket filter still plans only that value's single leaf
+      val pruned = s.sql(
+        s"SELECT event_id FROM graft.sql.evpac_$tag WHERE bucket = 3")
+      require(plannedFiles(pruned) == 1,
+        s"bucket=3 must plan 1 of the 6 leaves after ADD COLUMN, " +
+          s"planned ${plannedFiles(pruned)}")
+      val renamed =
+        try { s.sql(s"ALTER TABLE graft.sql.evpac_$tag " +
+          "RENAME COLUMN event_id TO eid"); true }
+        catch { case _: Exception => false }
+      require(!renamed,
+        "RENAME COLUMN must stay refused on a partitioned table")
+      s.sql(s"SELECT event_type, event_id, score FROM graft.sql.evpac_$tag")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("score")).as("n_scored"),
+          AggOps.sumExact(coalesce(col("score"), lit(0.0))).as("sum_score"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN value END) AS BIGINT)
+          AS n_scored,
+        CAST(SUM(CAST(CASE WHEN event_id % 2 = 1 THEN value ELSE 0.0 END
+          AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+      FROM events WHERE event_id IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** `DESCRIBE DETAIL t` — the operator-facing metadata loop in one
+    * statement (Delta's DESCRIBE DETAIL analogue): after a
+    * rename + ADD CONSTRAINT + ADD COLUMN + DV-delete + OPTIMIZE
+    * sequence, the detail row's version / file count / DV-binding
+    * count / constraint set / mapping state / type registry are all
+    * hash-pinned against literals — every field deterministic from the
+    * verb sequence alone (location and size_bytes, the two
+    * box-dependent fields, are projected out). */
+  private val qSqlDescribeDetail = QuerySpec(
+    "q_sql_describe_detail",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      val root = s"/tmp/graft_sqldd_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("event_id").isNotNull)
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        ev.filter(col("event_id") % 2 === 0).coalesce(1), root, "b0")))
+      TxLog.commit(root, Seq(TxLog.writeBatch(
+        ev.filter(col("event_id") % 2 === 1).coalesce(1), root, "b1")))
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evdd_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evdd_$tag USING graft LOCATION '$root'")
+      s.sql(s"ALTER TABLE graft.sql.evdd_$tag RENAME COLUMN value TO amount")
+      s.sql(s"ALTER TABLE graft.sql.evdd_$tag " +
+        "ADD CONSTRAINT has_id CHECK (event_id IS NOT NULL)")
+      s.sql(s"ALTER TABLE graft.sql.evdd_$tag ADD COLUMN note STRING")
+      // a DV-masked delete BEFORE the optimize: the pre-optimize detail
+      // row shows the binding, the post-optimize one shows it
+      // materialized away
+      TxLog.deleteWhereDV(s, root, "dv", col("event_id") % 1000 === 7)
+      val pre = s.sql(s"DESCRIBE DETAIL graft.sql.evdd_$tag")
+        .select("version", "n_files", "n_dv_bound").collect().head
+      require(pre.getInt(0) == 6 && pre.getInt(1) == 2 && pre.getInt(2) == 1,
+        s"pre-optimize detail must read (v6, 2 files, 1 dv binding), got $pre")
+      s.sql(s"OPTIMIZE graft.sql.evdd_$tag TARGET 1")
+      s.sql(s"DESCRIBE DETAIL graft.sql.evdd_$tag")
+        .select(col("version"), col("n_files"), col("n_dv_bound"),
+          col("partition_columns"), col("constraints"),
+          col("column_mapped"), col("added_columns"))
+    },
+    Some("""SELECT CAST(7 AS INT) AS version, CAST(1 AS INT) AS n_files,
+        CAST(0 AS INT) AS n_dv_bound, '' AS partition_columns,
+        'has_id CHECK (event_id IS NOT NULL)' AS constraints,
+        TRUE AS column_mapped, 'c5_note string' AS added_columns"""))
+
   /** `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS (…)` →
     * [[graft.sources.TxLog.analyze]]: a table ingested WITHOUT stats
     * (plain commits — REQUIREd unprunable first) gains manifest range
@@ -13442,7 +13622,8 @@ object Queries {
     qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete, qTxlogConvert,
     qSqlAddColumn, qTxlogScanPrune, qSqlPartitioned, qSqlAnalyze,
     qSqlShowPartitions, qSqlOptimizePart, qSqlAutoStats, qSqlConstraint,
-    qSqlRestoreClone,
+    qSqlRestoreClone, qSqlPartitioned2, qSqlPartAddColumn,
+    qSqlDescribeDetail,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

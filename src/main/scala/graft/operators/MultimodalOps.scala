@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  // JVM-wide, once, at first touch of ANY multimodal op (driver and
+  // executor JVMs both initialize this object when a closure referencing
+  // it loads): ImageIO defaults to DISK-backed stream caches — a temp
+  // FILE created and deleted per encode/decode. For the 16x16-image
+  // payloads these operators process that is pure blocking I/O (the r13
+  // closing artifact's codec-family diag showed the signature exactly:
+  // core_s 3-5x the healthy value with cpu_s UNCHANGED — tasks parked on
+  // file I/O, not computing). Individual mapPartitions bodies also set
+  // this (belt and braces for executor JVMs that somehow skip object
+  // init), but the object initializer makes the hygiene independent of
+  // which operator happens to run first.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Attach a binary payload column (here: utf-8 bytes of a text column; in
     * production: the raw media bytes read via `binaryFile`). */
   def withBinaryPayload(df: DataFrame, srcCol: String, payloadCol: String = "payload"): DataFrame =

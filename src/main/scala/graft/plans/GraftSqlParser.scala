@@ -21,6 +21,7 @@ import graft.sources.{GraftTable, TxLog}
   * OPTIMIZE graft.db.t ZORDER BY (a, b, c)    -- multi-dimension cluster
   * VACUUM graft.db.t                          -- reclaim unreachable files
   * DESCRIBE HISTORY graft.db.t                -- per-commit audit rows
+  * DESCRIBE DETAIL graft.db.t                 -- one-row table metadata
   * CONVERT TO GRAFT '/path' [STATS (a, b)]    -- zero-copy parquet import
   * CHECKPOINT graft.db.t                      -- seed log resolution
   * EXPIRE HISTORY graft.db.t                  -- retire covered manifests
@@ -53,6 +54,7 @@ final class GraftSqlParser(delegate: ParserInterface)
       GraftOptimizeCommand(parts(name), zorderCols = Nil,
         targetFiles = Option(target).map(_.trim.toInt))
     case VacuumRe(name) => GraftVacuumCommand(parts(name))
+    case DetailRe(name) => GraftDescribeDetailCommand(parts(name))
     case HistoryRe(name) => GraftHistoryCommand(parts(name))
     case ConvertRe(path, cols) =>
       GraftConvertCommand(path,
@@ -114,6 +116,8 @@ object GraftSqlParser {
     ("""(?is)\s*VACUUM\s+""" + Ident + """\s*;?\s*""").r
   private[plans] val HistoryRe =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*""").r
+  private[plans] val DetailRe =
+    ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + Ident + """\s*;?\s*""").r
   private[plans] val ConvertRe =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
       """(?:\s+STATS\s*\(([^)]*)\))?\s*;?\s*""").r
@@ -182,21 +186,22 @@ final case class GraftOptimizeCommand(nameParts: Seq[String],
           s"(provider: ${other.properties.get("provider")})")
     }
     val batch = s"sqlopt_${System.nanoTime()}"
-    val v = g.partCol match {
-      case Some(pc) =>
+    val v = g.partCols match {
+      case pcs if pcs.nonEmpty =>
         // a partitioned table's grain IS its pruning: plain bin-packing
         // or a z-order rewrite would collapse the value leaves into
         // unprunable batches, so OPTIMIZE routes to the grain-preserving
         // (and grain-RESTORING) per-value compaction instead
         require(zorderCols.isEmpty,
           s"graft: OPTIMIZE ZORDER is not supported on a PARTITIONED " +
-            s"table — z-ordering would collapse the '$pc' value leaves " +
-            "partition pruning depends on")
+            s"table — z-ordering would collapse the " +
+            s"'${pcs.mkString(", ")}' value leaves partition pruning " +
+            "depends on")
         require(targetFiles.isEmpty,
           "graft: OPTIMIZE TARGET is not supported on a PARTITIONED " +
             "table — the output width is one file per live value")
-        TxLog.optimizePartitioned(session, g.dir, batch, pc)
-      case None =>
+        TxLog.optimizePartitionedCols(session, g.dir, batch, pcs)
+      case _ =>
         if (zorderCols.nonEmpty)
           TxLog.optimizeZOrderN(session, g.dir, batch, zorderCols,
             targetFiles = targetFiles.getOrElse(
@@ -290,6 +295,51 @@ final case class GraftCloneCommand(dstParts: Seq[String],
   }
 }
 
+/** `DESCRIBE DETAIL t` — the operator-facing metadata loop in ONE
+  * statement (public precedent: Delta's DESCRIBE DETAIL): location,
+  * current version, live file count and bytes, partition columns,
+  * persistent constraints, column-mapping state, and the added-column
+  * type registry. Everything reads off the manifest (one snapshot
+  * resolution) except `size_bytes`, which stats the live files — the
+  * one honestly O(files) field, same as Delta's. */
+final case class GraftDescribeDetailCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("n_dv_bound", IntegerType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("column_mapped", BooleanType, nullable = false)(),
+    AttributeReference("added_columns", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val g = SqlBridge.loadCatalogTable(session, nameParts) match {
+      case g: GraftTable => g
+      case other => throw new IllegalArgumentException(
+        s"graft: ${nameParts.mkString(".")} is not a graft table " +
+          s"(provider: ${other.properties.get("provider")})")
+    }
+    val v = TxLog.latestVersion(g.dir)
+    val files = TxLog.liveFiles(g.dir)
+    val conf = session.sparkContext.hadoopConfiguration
+    val size = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(conf)
+      try fs.getContentSummary(p).getLength catch { case _: Exception => 0L }
+    }.sum
+    Seq(Row(
+      g.dir, v, files.size, size, TxLog.liveDvs(g.dir).size,
+      g.partCols.mkString(","),
+      TxLog.constraintsOf(g.dir)
+        .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; "),
+      TxLog.columnMapping(g.dir).isDefined,
+      TxLog.columnTypes(g.dir)
+        .map { case (c, t) => s"$c $t" }.mkString(", ")))
+  }
+}
+
 /** `DESCRIBE HISTORY t` → [[TxLog.history]] rows. */
 final case class GraftHistoryCommand(nameParts: Seq[String])
     extends LeafRunnableCommand {
@@ -347,13 +397,15 @@ final case class GraftShowPartitionsCommand(nameParts: Seq[String],
       }
     graftTable match {
       case Some(g) =>
-        val pc = g.partCol.getOrElse(throw new IllegalArgumentException(
+        val pcs = g.partCols
+        require(pcs.nonEmpty,
           s"graft: SHOW PARTITIONS on ${nameParts.mkString(".")}, which " +
-            "is not a partitioned table (CREATE ... PARTITIONED BY (c))"))
-        TxLog.partitionValues(session, g.dir, pc).map {
-          case Some(v) => s"$pc=$v"
-          case None    => s"$pc=__HIVE_DEFAULT_PARTITION__"
-        }.sorted.map(Row(_))
+            "is not a partitioned table (CREATE ... PARTITIONED BY (c))")
+        TxLog.partitionTuples(session, g.dir, pcs).map(t =>
+          pcs.zip(t).map {
+            case (pc, Some(v)) => s"$pc=$v"
+            case (pc, None)    => s"$pc=__HIVE_DEFAULT_PARTITION__"
+          }.mkString("/")).sorted.map(Row(_))
       case None =>
         SqlBridge.ofRows(session, native()).collect().toSeq
     }

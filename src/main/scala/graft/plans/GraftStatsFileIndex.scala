@@ -207,12 +207,17 @@ object GraftScanBridge {
     // schema from the footers we already listed (one footer on the
     // default path, a distributed union under mergeSchema) — no second
     // listing job
+    // asNullable — the same normalization Spark's DataSource.resolveRelation
+    // applies to every file-source schema: a footer written from a
+    // non-null frame marks its fields REQUIRED, and under a mergeSchema
+    // union the vectorized reader would then REFUSE files that predate
+    // such a column instead of null-filling it
     val schema = fmt.inferSchema(classic, options,
       if (mergeSchema) allParts else allParts.take(1)).getOrElse(
       throw new IllegalArgumentException(
         s"graft: could not infer a parquet schema over " +
           s"${dirEntries.size} batch dirs (first: " +
-          s"${dirEntries.headOption.map(_._1).getOrElse("-")})"))
+          s"${dirEntries.headOption.map(_._1).getOrElse("-")})")).asNullable
     val index = new GraftStatsFileIndex(dirs, overlap, mayContain)
     val relation = HadoopFsRelation(index, StructType(Nil), schema,
       None, fmt, options)(classic)

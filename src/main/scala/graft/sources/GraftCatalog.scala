@@ -113,7 +113,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (Seq(warehouse) ++ ident.namespace :+ ident.name).mkString("/")
 
   private case class TableMeta(location: String, external: Boolean,
-      declared: StructType, partCol: Option[String] = None)
+      declared: StructType, partCols: Seq[String] = Nil)
 
   private def readMeta(ident: Identifier): Option[TableMeta] = {
     val p = metaFile(ident)
@@ -127,16 +127,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         new String(bytes.toByteArray, StandardCharsets.UTF_8)
       } finally in.close()
     var loc = ""; var ext = false; var schema = new StructType()
-    var pc: Option[String] = None
+    var pcs: Seq[String] = Nil
     text.linesIterator.foreach(_.split("\t", 2) match {
       case Array("location", v) => loc = v
       case Array("external", v) => ext = v.toBoolean
       case Array("schema", v) if v.nonEmpty =>
         schema = StructType.fromDDL(v)
-      case Array("partcol", v) if v.nonEmpty => pc = Some(v)
+      // comma-joined for composite specs; a pre-composite meta holds one
+      case Array("partcol", v) if v.nonEmpty =>
+        pcs = v.split(",").toSeq.filter(_.nonEmpty)
       case _ =>
     })
-    Some(TableMeta(loc, ext, schema, pc))
+    Some(TableMeta(loc, ext, schema, pcs))
   }
 
   private def writeMeta(ident: Identifier, meta: TableMeta): Boolean = {
@@ -148,7 +150,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val body =
       s"location\t${meta.location}\nexternal\t${meta.external}\n" +
         s"schema\t${if (meta.declared.isEmpty) "" else meta.declared.toDDL}\n" +
-        meta.partCol.fold("")(c => s"partcol\t$c\n")
+        (if (meta.partCols.isEmpty) ""
+         else s"partcol\t${meta.partCols.mkString(",")}\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     // same atomic create-if-absent claim as a TxLog manifest: one winner
@@ -192,37 +195,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident))
     GraftTable(
       (catalogName +: ident.namespace :+ ident.name).mkString("."),
-      meta.location, asOf, meta.declared, meta.partCol)
+      meta.location, asOf, meta.declared, meta.partCols)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // PARTITIONED BY (c): exactly one identity transform over a
-    // top-level column — every INSERT then routes through the
-    // partitioned ingest (one manifest entry per value with exact
+    // PARTITIONED BY (a, b, …): identity transforms over top-level
+    // columns — every INSERT then routes through the partitioned ingest
+    // (one manifest entry per value COMBINATION with per-level exact
     // min=max + one-value bloom stats), and the scan-planning FileIndex
-    // prunes partition-valued filters with ZERO planning reads. Bucket/
-    // days/etc. transforms have no per-value manifest grain and are
-    // rejected loudly rather than silently degraded.
-    val partCol = partitions.toSeq match {
-      case Nil => None
-      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+    // prunes a filter on ANY partition column with ZERO planning reads.
+    // Bucket/days/etc. transforms have no per-value manifest grain and
+    // are rejected loudly rather than silently degraded.
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         val c = t.references.head.fieldNames.head
         require(schema.isEmpty || schema.fieldNames.contains(c),
           s"graft: PARTITIONED BY column '$c' is not in the table schema")
-        Some(c)
+        require(!c.contains(","),
+          s"graft: partition column name must not contain ',': $c")
+        c
       case other => throw new UnsupportedOperationException(
-        "graft: PARTITIONED BY supports exactly one top-level identity " +
-          s"column, got: ${other.mkString(", ")}")
+        "graft: PARTITIONED BY supports top-level identity columns " +
+          s"only, got: $other")
     }
+    require(partCols.distinct == partCols,
+      s"graft: duplicate PARTITIONED BY columns: ${partCols.mkString(", ")}")
     val external = properties.containsKey(TableCatalog.PROP_LOCATION)
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(managedDir(ident))
     require(!location.exists(_ < ' '),
       s"graft: LOCATION must not contain control characters: $location")
-    if (!writeMeta(ident, TableMeta(location, external, schema, partCol)))
+    if (!writeMeta(ident, TableMeta(location, external, schema, partCols)))
       throw new TableAlreadyExistsException(ident)
     loadTable(ident)
   }
@@ -231,13 +237,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       changes: TableChange*): Table = {
     val meta = readMeta(ident).getOrElse(
       throw new NoSuchTableException(ident))
-    require(meta.partCol.isEmpty,
-      "graft: column schema verbs are not supported on a PARTITIONED " +
-        "table — the partitioned ingest writes storage under the " +
-        "declared column names, which a column mapping would break; " +
-        "recreate the table to change its schema")
     val spark = SparkSession.active
     changes.foreach {
+      // ADD COLUMN composes with a partitioned layout: it is
+      // metadata-only and MAPPING-FREE (a `coltype` registry line, no
+      // colmap), so the value-grain leaves keep their declared-name
+      // storage; only the mapping-creating verbs below stay refused
+      case c if meta.partCols.nonEmpty &&
+          !c.isInstanceOf[TableChange.AddColumn] =>
+        throw new UnsupportedOperationException(
+          "graft: RENAME/DROP COLUMN are not supported on a PARTITIONED " +
+            "table — the partitioned ingest writes storage under the " +
+            "declared column names, which a column mapping would break; " +
+            "ADD COLUMN is supported (mapping-free)")
+      case p: TableChange.AddColumn if meta.partCols.nonEmpty &&
+          meta.partCols.contains(p.fieldNames.headOption.getOrElse("")) =>
+        throw new UnsupportedOperationException(
+          "graft: ADD COLUMN must not shadow a partition column")
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft: nested column rename is not supported")
@@ -362,8 +378,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * read plan use that same pin). Reads are planned by
   * [[graft.plans.GraftSqlResolution]]; writes ride the V1 fallback. */
 final case class GraftTable(qualified: String, dir: String, asOf: Int,
-    declared: StructType, partCol: Option[String] = None)
+    declared: StructType, partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
+
+  /** Single-column convenience view of the partition spec. */
+  def partCol: Option[String] = partCols.headOption
 
   /** The snapshot every consumer of this instance agrees on. */
   lazy val pinnedVersion: Int =
@@ -384,7 +403,7 @@ final case class GraftTable(qualified: String, dir: String, asOf: Int,
     Map(TableCatalog.PROP_PROVIDER -> "graft",
       TableCatalog.PROP_LOCATION -> dir).asJava
 
-  override def partitioning(): Array[Transform] = partCol.toArray.map(c =>
+  override def partitioning(): Array[Transform] = partCols.toArray.map(c =>
     org.apache.spark.sql.connector.expressions.Expressions.identity(c))
 
   /** Metadata-only ScanBuilder: DESCRIBE TABLE's stats probe builds a
@@ -419,33 +438,33 @@ final case class GraftTable(qualified: String, dir: String, asOf: Int,
                 overwriteFlag: Boolean): Unit = {
               val spark = data.sparkSession
               val batch = s"sql_${System.nanoTime()}"
-              partCol match {
-                case Some(pc) =>
+              partCols match {
+                case pcs if pcs.nonEmpty =>
                   // pin once: the zero-row probe and the write must not
                   // recompute the source query
                   val pinned = data.localCheckpoint()
                   try {
-                    // partitioned ingest: one task per value keeps one
-                    // file per leaf (a raw partitionBy write would emit
-                    // tasks×values small files); heavily skewed
-                    // partition values trade shuffle balance for that
-                    // layout — the standard partitioned-table write
+                    // partitioned ingest: one task per value combination
+                    // keeps one file per leaf (a raw partitionBy write
+                    // would emit tasks×values small files); heavily
+                    // skewed partition values trade shuffle balance for
+                    // that layout — the standard partitioned-table write
                     val clustered = pinned.repartition(
-                      org.apache.spark.sql.functions.col(pc))
+                      pcs.map(org.apache.spark.sql.functions.col): _*)
                     if (overwrite || overwriteFlag) {
                       // empty source: standard SQL truncates — there are
                       // no leaves to write, so route to the adds-empty
                       // remove-all commit instead of the leaf writer
                       // (which REQUIREs non-empty input; ADVICE r13)
                       if (pinned.isEmpty) TxLog.truncate(dir)
-                      else TxLog.overwritePartitioned(spark, dir, batch,
-                        clustered, pc)
+                      else TxLog.overwritePartitionedCols(spark, dir,
+                        batch, clustered, pcs)
                     }
                     else if (pinned.isEmpty) () // zero-row INSERT: no-op
-                    else TxLog.commitPartitioned(spark, dir, batch,
-                      clustered, pc)
+                    else TxLog.commitPartitionedCols(spark, dir, batch,
+                      clustered, pcs)
                   } finally graft.core.Checkpoints.release(pinned)
-                case None =>
+                case _ =>
                   // stats-on-write (Delta's default): every SQL ingest
                   // derives range stats for up to 8 numeric columns from
                   // the written batch, so catalog tables prune from day

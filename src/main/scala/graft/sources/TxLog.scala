@@ -395,6 +395,11 @@ object TxLog {
     // persistent CHECK constraints ([[addConstraint]]): name → SQL expr,
     // last-wins per name, `-` drops — independent of the mapping
     val checks = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // idempotent-writer transaction marks (Delta's txnAppId/txnVersion
+    // analogue): app key → high-water batch id, last-wins per app. A
+    // streaming sink reads ONE value to decide replay-skip instead of
+    // scanning the live file set (O(1) per trigger at any table size).
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
   }
 
   // column names percent-encode so ':' ',' and whitespace in a (quoted)
@@ -455,6 +460,14 @@ object TxLog {
         // persistent CHECK constraint ([[addConstraint]]/[[dropConstraint]])
         case Array("constraint", n, "-") => cm.checks.remove(decCol(n))
         case Array("constraint", n, e)   => cm.checks(decCol(n)) = decCol(e)
+        // idempotent-writer mark: `meta txn <app> <batchId>` — rides the
+        // forward-extensible meta channel, so pre-mark readers replay it
+        // as a no-op (their generic meta case below)
+        case Array("meta", "txn", rest) => rest.split("\t", 2) match {
+          case Array(app, id) => cm.txns(decCol(app)) = id.toLong
+          case _ => throw new IllegalStateException(
+            s"txlog: bad txn mark 'meta\ttxn\t$rest' in $what")
+        }
         // commit metadata (e.g. `meta ts <millis>`) is not a file action;
         // unknown meta keys replay as no-ops so the format stays
         // forward-extensible without breaking old readers
@@ -527,7 +540,8 @@ object TxLog {
       atVersion: Int = -1,
       colMap: Option[Seq[(String, String)]] = None,
       colTypes: Seq[(String, Option[String])] = Nil,
-      checkSets: Seq[(String, Option[String])] = Nil): Int = {
+      checkSets: Seq[(String, Option[String])] = Nil,
+      txn: Option[(String, Long)] = None): Int = {
     add.foreach { case (_, st) =>
       require(st.forall(s => !s.exists(c => c == '\t' || c == '\n' || c == '\r')),
         "stats blob must not contain tab/newline")
@@ -555,7 +569,8 @@ object TxLog {
     } ++ checkSets.map {
       case (n, Some(e)) => s"constraint\t${encCol(n)}\t${encCol(e)}"
       case (n, None)    => s"constraint\t${encCol(n)}\t-"
-    }).mkString("", "\n", "\n")
+    } ++ txn.map { case (app, id) => s"meta\ttxn\t${encCol(app)}\t$id" })
+      .mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!claim(fs, tmp, target))
@@ -872,8 +887,14 @@ object TxLog {
     val files = liveFiles(dir)
     require(files.nonEmpty,
       s"txlog: cannot derive a column mapping for empty table $dir")
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
-      .schema.fieldNames.toSeq.map(n => n -> n)
+    val fromFiles = spark.read.option("mergeSchema", "true")
+      .parquet(files: _*).schema.fieldNames.toSeq
+    // a MAPPING-FREE [[addColumn]] registers a column no file carries
+    // yet; the first schema verb's identity bootstrap must keep it, or
+    // the rename/drop would silently lose the declared column
+    val registryOnly = resolveFull(dir, -1)._3.types.keys.toSeq
+      .filterNot(fromFiles.contains)
+    (fromFiles ++ registryOnly).map(n => n -> n)
   }
 
   /** Metadata-only colmap commit under optimistic retry. `mutate` is
@@ -943,11 +964,8 @@ object TxLog {
   }
 
   /** ADD COLUMN as a METADATA-ONLY commit (public precedent: Delta's
-    * ALTER TABLE ADD COLUMNS — a log entry, zero data rewrite): the
-    * logical schema gains `name` with a FRESH physical name
-    * (`c<version>_<name>`, the [[appendMapped]] scheme, so a dropped
-    * column's retired bytes can never resurrect through a re-add), and
-    * a `coltype` manifest action records the column's type DDL. No data
+    * ALTER TABLE ADD COLUMNS — a log entry, zero data rewrite): a
+    * `coltype` manifest action records the column's type DDL. No data
     * file is written or touched — the property a 100 TB table needs,
     * because rewriting every file to append a null column is a
     * non-starter. Readers null-fill the column for every file that
@@ -958,7 +976,19 @@ object TxLog {
     * Honest cost: reads of a table ADD COLUMN ever touched plan with
     * parquet's footer-union (mergeSchema) instead of the single-footer
     * fast path — files genuinely may disagree on schema from this
-    * commit forward. Returns the commit version. */
+    * commit forward.
+    *
+    * Physical naming, by table state: on an UNMAPPED table the verb is
+    * MAPPING-FREE — physical name = logical name, one coltype line, no
+    * colmap — so writers that address storage by declared names (the
+    * value-grain partitioned ingest above all) keep composing, and the
+    * duplicate guard is the union FILE schema + registry (a name some
+    * live file already carries is refused, so dormant bytes can never
+    * surface through this verb). On a MAPPED table (some rename/drop
+    * happened) the column gets a FRESH physical name
+    * (`c<version>_<name>`, the [[appendMapped]] scheme) so a dropped
+    * column's retired bytes can never resurrect through a re-add.
+    * Returns the commit version. */
   def addColumn(spark: SparkSession, dir: String, name: String,
       typeDdl: String): Int = {
     // validate the DDL up front: a bad type must fail THIS verb, not
@@ -968,15 +998,25 @@ object TxLog {
     var out = -1
     while (out < 0) {
       attempt += 1
-      val base = columnMapping(dir).getOrElse(
-        identityMappingFromFiles(spark, dir))
-      require(!base.exists(_._2 == name),
-        s"txlog: column '$name' already exists in $dir " +
-          s"(logical schema: ${base.map(_._2).mkString(", ")})")
-      val phys = s"c${latestVersion(dir) + 1}_$name"
-      try out = commitWithStats(dir, add = Nil,
-        colMap = Some(base :+ (phys -> name)),
-        colTypes = Seq(phys -> Some(dt.catalogString)))
+      try out = columnMapping(dir) match {
+        case None =>
+          val fileCols = identityMappingFromFiles(spark, dir).map(_._2)
+          val registered = resolveFull(dir, -1)._3.types.keys.toSeq
+          require(!fileCols.contains(name) && !registered.contains(name),
+            s"txlog: column '$name' already exists in $dir " +
+              s"(logical schema: ${(fileCols ++ registered).distinct
+                .mkString(", ")})")
+          commitWithStats(dir, add = Nil,
+            colTypes = Seq(name -> Some(dt.catalogString)))
+        case Some(base) =>
+          require(!base.exists(_._2 == name),
+            s"txlog: column '$name' already exists in $dir " +
+              s"(logical schema: ${base.map(_._2).mkString(", ")})")
+          val phys = s"c${latestVersion(dir) + 1}_$name"
+          commitWithStats(dir, add = Nil,
+            colMap = Some(base :+ (phys -> name)),
+            colTypes = Seq(phys -> Some(dt.catalogString)))
+      }
       catch {
         case e: IllegalStateException
             if e.getMessage != null &&
@@ -993,6 +1033,41 @@ object TxLog {
     * never touched — every such write keeps its unchecked fast path. */
   def constraintsOf(dir: String, asOf: Int = -1): Seq[(String, String)] =
     resolveFull(dir, asOf)._3.checks.toSeq
+
+  /** The high-water transaction mark an idempotent writer (`app`) last
+    * committed with (Delta's txnVersion analogue). Marks are never
+    * cleared by any action, so "the newest mark at the latest version"
+    * is found by walking manifests BACKWARD from the head and stopping
+    * at the first hit (checkpoints restate all marks, so the walk never
+    * crosses one): in a steady sink loop the PREVIOUS trigger's commit
+    * carries the mark, making this ONE small manifest read per trigger —
+    * O(1) in live-file count and in table size, where a full snapshot
+    * resolution (or the old path scan) would be O(live files). None for
+    * writers that never marked. Marks survive manifest expiry (restated
+    * in checkpoints) and deliberately survive RESTORE — a rolled-back
+    * table must not re-apply batches the pipeline already delivered. */
+  def txnVersion(dir: String, app: String): Option[Long] = {
+    val key = s"meta\ttxn\t${encCol(app)}\t"
+    def markIn(text: String): Option[Long] = {
+      var out: Option[Long] = None // last-wins within one file
+      text.linesIterator.foreach { l =>
+        if (l.startsWith(key)) out = Some(l.substring(key.length).toLong)
+      }
+      out
+    }
+    val names = listLog(dir)
+    val latestCp = names.collect { case CheckpointName(d) => d.toInt }
+      .sorted.lastOption
+    val floor = latestCp.getOrElse(0)
+    val newestFirst = names.collect { case ManifestName(d) => d.toInt }
+      .filter(_ > floor).sorted.reverse
+    newestFirst.iterator
+      .flatMap(v => markIn(readLogFile(dir, manifest(dir, v),
+        s"manifest v$v")))
+      .nextOption()
+      .orElse(latestCp.flatMap(cv => markIn(
+        readLogFile(dir, checkpointFile(dir, cv), f"checkpoint c$cv%08d"))))
+  }
 
   /** ADD CONSTRAINT — attach a persistent CHECK rule to the table as a
     * METADATA-ONLY commit (public precedent: Delta's CHECK
@@ -1119,7 +1194,8 @@ object TxLog {
     * collide with the dropped column's retired bytes (Delta's analogue:
     * physical ids survive logical churn). */
   def appendMapped(spark: SparkSession, dir: String, df: DataFrame,
-      name: String, autoStatsCols: Int = 0): Int = {
+      name: String, autoStatsCols: Int = 0,
+      txn: Option[(String, Long)] = None): Int = {
     import org.apache.spark.sql.functions.col
     enforceChecks(spark, dir, df, "append") // logical rows, pre-rename
     def autoStats(path: String): Option[String] =
@@ -1130,7 +1206,7 @@ object TxLog {
       val st = autoStats(path)
       while (out < 0) {
         attempt += 1
-        try out = commitWithStats(dir, Seq(path -> st))
+        try out = commitWithStats(dir, Seq(path -> st), txn = txn)
         catch {
           case e: IllegalStateException
               if e.getMessage != null &&
@@ -1187,7 +1263,7 @@ object TxLog {
             if (fresh.isEmpty) None
             else Some(m ++ fresh.map { case (l, p) => (p, l) })
           try out = commitWithStats(dir, Seq(path -> writtenStats),
-            colMap = colMap)
+            colMap = colMap, txn = txn)
           catch {
             case e: IllegalStateException
                 if e.getMessage != null &&
@@ -1319,6 +1395,9 @@ object TxLog {
       ++ cmAtV.checks.toSeq.map { case (n, e) =>
         s"constraint\t${encCol(n)}\t${encCol(e)}"
       }
+      ++ cmAtV.txns.toSeq.map { case (a, id) =>
+        s"meta\ttxn\t${encCol(a)}\t$id" // idempotence marks survive
+      }                                 // log retention
     ).mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -1991,14 +2070,19 @@ object TxLog {
     val cmSet: Option[Seq[(String, String)]] =
       if (targetCm.m == currentCm.m) None
       else targetCm.m.orElse(Some(Seq.empty))
-    // addColumn type registry rolls back with the mapping: the restated
-    // colmap line prunes types whose phys leaves the mapping, and the
-    // target's own types restate explicitly — covering a drop BETWEEN
-    // target and now that pruned a type the target mapping still needs
-    // (a phys's type never changes, so restating is always safe)
+    // addColumn type registry reconciles INDEPENDENTLY of the mapping
+    // (a mapping-free addColumn on an unmapped table carries no colmap
+    // at all): restate the target's registry and explicitly drop
+    // entries only the current version has. When a colmap also
+    // restates, its line lands FIRST in the commit body (it prunes),
+    // then these explicit lines apply — covering a drop BETWEEN target
+    // and now that pruned a type the target still needs (a phys's type
+    // never changes, so restating is always safe).
     val typeSet: Seq[(String, Option[String])] =
-      if (cmSet.isEmpty) Nil
-      else targetCm.types.toSeq.map { case (p, t) => (p, Some(t)) }
+      if (targetCm.types == currentCm.types && cmSet.isEmpty) Nil
+      else targetCm.types.toSeq.map { case (p, t) => (p, Some(t)) } ++
+        currentCm.types.keys.filterNot(targetCm.types.contains)
+          .map(p => (p, None: Option[String])).toSeq
     // CHECK constraints roll back with the snapshot: restate the
     // target's set, drop names only the current version has
     val checkSet: Seq[(String, Option[String])] =
@@ -2007,7 +2091,7 @@ object TxLog {
         currentCm.checks.keys.filterNot(targetCm.checks.contains)
           .map(n => (n, None: Option[String])).toSeq
     if (add.isEmpty && remove.isEmpty && dvSets.isEmpty && cmSet.isEmpty
-        && checkSet.isEmpty)
+        && typeSet.isEmpty && checkSet.isEmpty)
       return 0
     commitRewrite(dir, add, remove, dvSets = dvSets, colMap = cmSet,
       colTypes = typeSet, checkSets = checkSet)
@@ -2825,7 +2909,6 @@ object TxLog {
     }
   }
 
-  private val PartPrefix = "__pv="
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** The DISTINCT partition values of a [[commitPartitioned]]-fed table
@@ -2836,19 +2919,27 @@ object TxLog {
     * naming) falls back to one narrow distinct scan of the partition
     * column — exact either way. A NULL partition surfaces as None. */
   def partitionValues(spark: SparkSession, dir: String,
-      partCol: String): Seq[Option[String]] = {
+      partCol: String): Seq[Option[String]] =
+    partitionTuples(spark, dir, Seq(partCol)).map(_.head)
+
+  /** [[partitionValues]] for a composite spec: the DISTINCT value
+    * TUPLES, manifest-dirname fast path when every live file is a
+    * nested value leaf, one narrow distinct scan otherwise. */
+  def partitionTuples(spark: SparkSession, dir: String,
+      partCols: Seq[String]): Seq[Seq[Option[String]]] = {
     val files = liveFiles(dir)
     require(files.nonEmpty, s"txlog: $dir holds no files")
-    val names = files.map(p => new Path(p).getName)
-    if (names.forall(_.startsWith(PartPrefix)))
-      names.map(n => unescapeHive(n.stripPrefix(PartPrefix)))
-        .distinct.map(v =>
-          if (v == HiveDefaultPartition) None else Some(v))
+    val n = partCols.length
+    val parsed = files.map(p => leafTuple(p, n))
+    if (parsed.forall(_.isDefined))
+      parsed.flatten.distinct.map(_.map(v =>
+        if (v == HiveDefaultPartition) None else Some(v)))
     else
-      read(spark, dir).select(
-          org.apache.spark.sql.functions.col(partCol).cast("string"))
+      read(spark, dir).select(partCols.map(c =>
+          org.apache.spark.sql.functions.col(c).cast("string")): _*)
         .distinct().collect().map(r =>
-          if (r.isNullAt(0)) None else Some(r.getString(0))).toSeq
+          partCols.indices.map(i =>
+            if (r.isNullAt(i)) None else Some(r.getString(i))).toSeq).toSeq
   }
 
   /** PARTITIONED ingest — commit `df` split by `partCol` value, ONE
@@ -2879,10 +2970,22 @@ object TxLog {
     * Returns the new version. Fresh `name` per call. */
   def commitPartitioned(spark: SparkSession, dir: String, name: String,
       df: DataFrame, partCol: String, bloomBits: Int = 1024,
-      extraStatsCols: Seq[String] = Nil): Int = {
+      extraStatsCols: Seq[String] = Nil): Int =
+    commitPartitionedCols(spark, dir, name, df, Seq(partCol), bloomBits,
+      extraStatsCols)
+
+  /** [[commitPartitioned]] over a COMPOSITE partition spec
+    * (`PARTITIONED BY (a, b, …)`): nested value leaves
+    * (`__pv=a/__pv1=b`), one manifest entry per value COMBINATION, with
+    * per-level range+bloom stats so a filter on ANY partition column
+    * prunes — not just a prefix of the spec. */
+  def commitPartitionedCols(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, partCols: Seq[String], bloomBits: Int = 1024,
+      extraStatsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Int = {
     enforceChecks(spark, dir, df, "partitioned append")
     commitWithStats(dir, writePartitionLeaves(spark, dir, name, df,
-      partCol, bloomBits, extraStatsCols))
+      partCols, bloomBits, extraStatsCols), txn = txn)
   }
 
   /** Atomic partitioned full REPLACE — [[overwriteAll]]'s semantics at
@@ -2894,9 +2997,16 @@ object TxLog {
     * content is untouched. Returns the commit version. */
   def overwritePartitioned(spark: SparkSession, dir: String, name: String,
       df: DataFrame, partCol: String, bloomBits: Int = 1024,
-      extraStatsCols: Seq[String] = Nil): Int = {
+      extraStatsCols: Seq[String] = Nil): Int =
+    overwritePartitionedCols(spark, dir, name, df, Seq(partCol), bloomBits,
+      extraStatsCols)
+
+  /** [[overwritePartitioned]] over a composite partition spec. */
+  def overwritePartitionedCols(spark: SparkSession, dir: String,
+      name: String, df: DataFrame, partCols: Seq[String],
+      bloomBits: Int = 1024, extraStatsCols: Seq[String] = Nil): Int = {
     enforceChecks(spark, dir, df, "partitioned overwrite")
-    val adds = writePartitionLeaves(spark, dir, name, df, partCol,
+    val adds = writePartitionLeaves(spark, dir, name, df, partCols,
       bloomBits, extraStatsCols)
     var attempt = 0
     var out = -1
@@ -2948,29 +3058,69 @@ object TxLog {
     out
   }
 
+  /** The internal partition-copy column name for level `i` of a
+    * partitioned ingest: `__pv` for the first (the historical
+    * single-column layout, unchanged on disk), `__pv1`, `__pv2`, … for
+    * deeper levels of a composite `PARTITIONED BY (a, b, …)`. */
+  private def pvName(i: Int): String = if (i == 0) "__pv" else s"__pv$i"
+
+  /** Parse a live-entry path as a VALUE LEAF of an `nLevels`-column
+    * partitioned table: the trailing `nLevels` path segments must each
+    * carry their level's `__pv…=` prefix. Returns the per-level raw
+    * values (Hive-unescaped; the NULL leaf surfaces as
+    * [[HiveDefaultPartition]]), or None for residue files — DML rewrite
+    * outputs that lost the leaf naming. */
+  private def leafTuple(p: String, nLevels: Int): Option[Seq[String]] = {
+    var cur = new Path(p)
+    val vals = new Array[String](nLevels)
+    var i = nLevels - 1
+    while (i >= 0) {
+      val pref = pvName(i) + "="
+      if (cur == null || !cur.getName.startsWith(pref)) return None
+      vals(i) = unescapeHive(cur.getName.stripPrefix(pref))
+      cur = cur.getParent
+      i -= 1
+    }
+    Some(vals.toSeq)
+  }
+
   /** The shared leaf writer of [[commitPartitioned]] and
-    * [[overwritePartitioned]]: one `partitionBy` write on an internal
-    * string copy of the partition column (the column itself stays IN
-    * the data files), then one manifest add per value-leaf dir with
-    * exact min=max range stats (numeric values) plus a one-value bloom
-    * segment — the blobs the scan-planning FileIndex and
-    * [[readPrunedByKey]] prune on. */
+    * [[overwritePartitioned]]: one `partitionBy` write on internal
+    * string copies of the partition columns (the columns themselves
+    * stay IN the data files), then one manifest add per value-leaf dir
+    * with exact min=max range stats (numeric values) plus a one-value
+    * bloom segment PER LEVEL — so a filter on ANY partition column
+    * (not just a prefix) prunes at scan planning with zero reads. A
+    * composite spec nests leaves (`__pv=a/__pv1=b`), the multi-level
+    * dynamic-output layout (reference analog:
+    * MR-CORE/mapreduce/lib/output/MultipleOutputs.java:179 multi-level
+    * named paths). */
   private def writePartitionLeaves(spark: SparkSession, dir: String,
-      name: String, df: DataFrame, partCol: String, bloomBits: Int,
+      name: String, df: DataFrame, partCols: Seq[String], bloomBits: Int,
       extraStatsCols: Seq[String]): Seq[(String, Option[String])] = {
     import org.apache.spark.sql.functions._
-    require(df.columns.contains(partCol),
-      s"commitPartitioned: no such column '$partCol'")
-    require(!df.columns.contains("__pv"),
-      "commitPartitioned: '__pv' is reserved for the internal partition copy")
+    require(partCols.nonEmpty, "commitPartitioned: no partition columns")
+    require(partCols.distinct == partCols,
+      s"commitPartitioned: duplicate partition columns: $partCols")
+    partCols.foreach(pc => require(df.columns.contains(pc),
+      s"commitPartitioned: no such column '$pc'"))
+    val pvs = partCols.indices.map(pvName)
+    pvs.foreach(pv => require(!df.columns.contains(pv),
+      s"commitPartitioned: '$pv' is reserved for the internal partition copy"))
     val base = s"$dir/data/$name"
-    df.withColumn("__pv", col(partCol).cast("string"))
-      .write.partitionBy("__pv").mode("errorifexists").parquet(base)
+    partCols.zip(pvs).foldLeft(df) { case (d, (pc, pv)) =>
+      d.withColumn(pv, col(pc).cast("string"))
+    }.write.partitionBy(pvs: _*).mode("errorifexists").parquet(base)
     val basePath = new Path(base)
     val fs = fsOf(basePath)
-    val leaves = fs.listStatus(basePath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(PartPrefix))
-      .map(_.getPath).sortBy(_.getName)
+    def walk(p: Path, level: Int): Seq[Path] =
+      if (level == partCols.length) Seq(p)
+      else fs.listStatus(p)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(pvName(level) + "="))
+        .map(_.getPath).sortBy(_.getName).toSeq
+        .flatMap(walk(_, level + 1))
+    val leaves = walk(basePath, 0)
     if (leaves.isEmpty) {
       // an empty frame writes only _SUCCESS; leaving the dir behind would
       // permanently burn the batch name (errorifexists) for nothing
@@ -2979,21 +3129,20 @@ object TxLog {
         s"commitPartitioned: '$name' produced no partition leaves (empty " +
           s"input frame?) — nothing committed, $base removed")
     }
-    leaves.toSeq.map { leaf =>
-      val raw = unescapeHive(leaf.getName.stripPrefix(PartPrefix))
-      val valueStats =
-        if (raw == HiveDefaultPartition) None
+    leaves.map { leaf =>
+      val raws = leafTuple(leaf.toString, partCols.length).get
+      val valueSegs = partCols.zip(raws).flatMap { case (pc, raw) =>
+        if (raw == HiveDefaultPartition) Nil // null leaf: no stats, always read
         else {
-          val range = raw.toDoubleOption.map(v => s"$partCol;$v;$v")
-          val bloom = bloomBlobOfValues(partCol, Seq(raw), bloomBits)
-          val segs = range.toSeq ++ bloom
-          if (segs.isEmpty) None else Some(segs.mkString(","))
+          val range = raw.toDoubleOption.map(v => s"$pc;$v;$v")
+          range.toSeq ++ bloomBlobOfValues(pc, Seq(raw), bloomBits)
         }
+      }
       val extra =
         if (extraStatsCols.isEmpty) None
         else columnStatsMulti(
           spark.read.parquet(leaf.toString), extraStatsCols)
-      val segs = valueStats.toSeq ++ extra
+      val segs = valueSegs ++ extra
       leaf.toString -> (if (segs.isEmpty) None else Some(segs.mkString(",")))
     }
   }
@@ -3014,36 +3163,48 @@ object TxLog {
     * already in pure value grain — the [[optimize]] idempotence
     * contract, so a scheduled loop converges. */
   def optimizePartitioned(spark: SparkSession, dir: String, name: String,
-      partCol: String, bloomBits: Int = 1024): Int = {
+      partCol: String, bloomBits: Int = 1024): Int =
+    optimizePartitionedCols(spark, dir, name, Seq(partCol), bloomBits)
+
+  /** [[optimizePartitioned]] over a composite partition spec: the value
+    * grain is the TUPLE of partition values, so residue re-clusters
+    * into nested leaves and untouched single-leaf tuples never
+    * rewrite. */
+  def optimizePartitionedCols(spark: SparkSession, dir: String,
+      name: String, partCols: Seq[String], bloomBits: Int = 1024): Int = {
     import org.apache.spark.sql.functions._
     val entries = liveEntries(dir)
     if (entries.isEmpty) return 0
-    val named = entries.map { case (p, st) => (p, st, new Path(p).getName) }
-    val residue = named.filterNot(_._3.startsWith(PartPrefix)).map(_._1)
-    val byValue = named.filter(_._3.startsWith(PartPrefix))
-      .groupBy(e => unescapeHive(e._3.stripPrefix(PartPrefix)))
+    val n = partCols.length
+    val parsed = entries.map { case (p, _) => (p, leafTuple(p, n)) }
+    val residue = parsed.collect { case (p, None) => p }
+    val byValue = parsed.collect { case (p, Some(t)) => (p, t) }
+      .groupBy(_._2)
     val dvSnap = liveDvs(dir)
     val nf = columnTypes(dir)
-    val resVals: Set[Option[String]] =
+    def toTuple(r: org.apache.spark.sql.Row): Seq[Option[String]] =
+      partCols.indices.map(i =>
+        if (r.isNullAt(i)) None else Some(r.getString(i)))
+    val resVals: Set[Seq[Option[String]]] =
       if (residue.isEmpty) Set.empty
       else readMasked(spark, residue, dvSnap, nullFill = nf)
-        .select(col(partCol).cast("string")).distinct().collect()
-        .map(r => if (r.isNullAt(0)) None else Some(r.getString(0))).toSet
+        .select(partCols.map(c => col(c).cast("string")): _*)
+        .distinct().collect().map(toTuple).toSet
+    def asOpt(t: Seq[String]): Seq[Option[String]] =
+      t.map(v => if (v == HiveDefaultPartition) None else Some(v))
     val touchedLeaves = byValue.collect {
-      case (v, es) if es.size > 1 ||
-          resVals.contains(
-            if (v == HiveDefaultPartition) None else Some(v)) =>
+      case (t, es) if es.size > 1 || resVals.contains(asOpt(t)) =>
         es.map(_._1)
     }.flatten.toSeq
     val victims = residue ++ touchedLeaves
     if (victims.isEmpty) return 0
     val snap = readMasked(spark, victims, dvSnap, nullFill = nf)
-      .repartition(col(partCol))
+      .repartition(partCols.map(col): _*)
     // every victim row may be deletion-vector-masked away: then the
     // rewrite is a pure drop of dead files, no leaves to write
     val adds =
       if (snap.isEmpty) Nil
-      else writePartitionLeaves(spark, dir, name, snap, partCol,
+      else writePartitionLeaves(spark, dir, name, snap, partCols,
         bloomBits, extraStatsCols = Nil)
     commitRewrite(dir, adds, victims, basedOnDvs = Some(dvSnap))
   }

@@ -245,6 +245,125 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.pt.t")
   }
 
+  test("PARTITIONED BY (a, b): composite value grain, pruning on any column") {
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size).sum
+      }.sum
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.pt2")
+    spark.sql("DROP TABLE IF EXISTS cat.pt2.t")
+    spark.sql("CREATE TABLE cat.pt2.t (id BIGINT, day STRING, region STRING) " +
+      "USING graft PARTITIONED BY (day, region)")
+    spark.sql("INSERT INTO cat.pt2.t VALUES " +
+      "(1, 'd1', 'eu'), (2, 'd1', 'us'), (3, 'd2', 'eu'), (4, 'd2', 'us')")
+    // one nested leaf per (day, region) combination
+    assert(plannedFiles(spark.sql("SELECT * FROM cat.pt2.t")) === 4)
+    // a two-predicate filter plans exactly its leaf
+    val one = spark.sql(
+      "SELECT id FROM cat.pt2.t WHERE day = 'd2' AND region = 'eu'")
+    assert(plannedFiles(one) === 1,
+      "a full partition-tuple filter must plan exactly one leaf")
+    assert(one.as[Long].head() === 3L)
+    // a PREFIX filter (first column only) prunes to its slice
+    assert(plannedFiles(spark.sql(
+      "SELECT * FROM cat.pt2.t WHERE day = 'd1'")) === 2)
+    // a NON-prefix filter (second column alone) prunes too — per-level
+    // stats, not a path-prefix convention
+    assert(plannedFiles(spark.sql(
+      "SELECT * FROM cat.pt2.t WHERE region = 'us'")) === 2)
+    // SHOW PARTITIONS lists value tuples in the hive shape
+    assert(spark.sql("SHOW PARTITIONS cat.pt2.t")
+      .as[String].collect().toSeq ===
+      Seq("day=d1/region=eu", "day=d1/region=us",
+        "day=d2/region=eu", "day=d2/region=us"))
+    // INSERT OVERWRITE replaces atomically at the same grain
+    spark.sql("INSERT OVERWRITE cat.pt2.t VALUES (9, 'd9', 'eu')")
+    assert(plannedFiles(spark.sql(
+      "SELECT * FROM cat.pt2.t WHERE region = 'eu'")) === 1)
+    assert(spark.sql("SELECT count(*) FROM cat.pt2.t VERSION AS OF 1")
+      .as[Long].head() === 4L)
+    spark.sql("DROP TABLE cat.pt2.t")
+  }
+
+  test("composite-partitioned OPTIMIZE restores the tuple grain") {
+    def leafish(dir: String): Seq[String] =
+      TxLog.liveFiles(dir).map { p =>
+        val h = new org.apache.hadoop.fs.Path(p)
+        s"${h.getParent.getName}/${h.getName}"
+      }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.po2")
+    spark.sql("DROP TABLE IF EXISTS cat.po2.t")
+    spark.sql("CREATE TABLE cat.po2.t (id BIGINT, a STRING, b STRING) " +
+      "USING graft PARTITIONED BY (a, b)")
+    // ids 1 and 4 share the (x, p) leaf so a single-row DELETE leaves a
+    // remainder rewrite — the residue this test needs
+    spark.sql("INSERT INTO cat.po2.t VALUES " +
+      "(1, 'x', 'p'), (4, 'x', 'p'), (2, 'x', 'q'), (3, 'y', 'p')")
+    val dir = spark.sql("DESCRIBE TABLE EXTENDED cat.po2.t")
+      .filter($"col_name" === "Location").select("data_type").as[String]
+      .head()
+    // a row-level DELETE leaves residue that lost the leaf naming
+    spark.sql("DELETE FROM cat.po2.t WHERE id = 1")
+    assert(leafish(dir).exists(!_.contains("__pv")),
+      "the DELETE must have produced a residue file for this test")
+    spark.sql("OPTIMIZE cat.po2.t")
+    assert(leafish(dir).sorted ===
+      Seq("__pv=x/__pv1=p", "__pv=x/__pv1=q", "__pv=y/__pv1=p"),
+      s"optimize must restore one leaf per tuple, got ${leafish(dir)}")
+    assert(spark.sql("SELECT id FROM cat.po2.t ORDER BY id")
+      .as[Long].collect().toSeq === Seq(2L, 3L, 4L))
+    // idempotence: a second run is a no-op
+    assert(spark.sql("OPTIMIZE cat.po2.t").as[Int].head() === 0)
+    spark.sql("DROP TABLE cat.po2.t")
+  }
+
+  test("ADD COLUMN on a partitioned table: metadata-only, pruning kept") {
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size).sum
+      }.sum
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.pac")
+    spark.sql("DROP TABLE IF EXISTS cat.pac.t")
+    spark.sql("CREATE TABLE cat.pac.t (id BIGINT, tag STRING) USING graft " +
+      "PARTITIONED BY (tag)")
+    spark.sql("INSERT INTO cat.pac.t VALUES (1, 'a'), (2, 'b')")
+    val dir = spark.sql("DESCRIBE TABLE EXTENDED cat.pac.t")
+      .filter($"col_name" === "Location").select("data_type").as[String]
+      .head()
+    val filesBefore = TxLog.liveFiles(dir)
+    // the additive verb is mapping-free and composes with the leaves
+    spark.sql("ALTER TABLE cat.pac.t ADD COLUMN score DOUBLE")
+    assert(TxLog.liveFiles(dir) === filesBefore,
+      "ADD COLUMN must not touch a single data file")
+    // pre-add leaves null-fill; INSERT fills the column
+    assert(spark.sql("SELECT count(*) FROM cat.pac.t WHERE score IS NULL")
+      .as[Long].head() === 2L)
+    spark.sql("INSERT INTO cat.pac.t VALUES (3, 'c', 7.5)")
+    assert(spark.sql("SELECT score FROM cat.pac.t ORDER BY id")
+      .as[Option[Double]].collect().toSeq ===
+      Seq(None, None, Some(7.5)))
+    // partition pruning still plans exactly one leaf
+    assert(plannedFiles(spark.sql(
+      "SELECT * FROM cat.pac.t WHERE tag = 'c'")) === 1)
+    // the mapping-creating verbs stay refused with the documented reason
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE cat.pac.t RENAME COLUMN id TO key")
+    }
+    assert(e.getMessage.contains("PARTITIONED"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cat.pac.t DROP COLUMN score")
+    }
+    // adding a column that shadows the partition column is refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE cat.pac.t ADD COLUMN tag STRING")
+    }
+    spark.sql("DROP TABLE cat.pac.t")
+  }
+
   test("SHOW PARTITIONS on a non-graft table delegates to Spark's native plan") {
     // SHOW PARTITIONS is native grammar; installing the graft parser
     // must not break it for hive/parquet tables (ADVICE r13)

@@ -27,6 +27,15 @@ fails when the total over the queries shared with the watermark artifact
 crosses the ceiling — the long-horizon claw-back check (VERDICT r12
 item 6) that a per-round 1.5x gate cannot see.
 
+With --attribution=ATTRIBUTION_r{N}.json (VERDICT r13 item 6) the gate
+consumes the round's committed attribution file: a stable-repeat
+regression whose query appears in that file's top-level "attributed" map
+(query name -> one-line reason, backed by the file's same-box A/B
+evidence sections) is reported but does NOT fail the gate — so "gate
+failed + side JSON" stops being a normal round close, while an
+UNATTRIBUTED flag still exits non-zero. The map must be explicit: the
+gate never infers attribution from evidence sections.
+
 Round workflow: the previous round's full builder artifact is kept as
 BENCH_FULL_r{N}.json; before committing a round-closing BENCH_FULL.json,
 run  python3 tools/bench_ratio.py BENCH_FULL.json BENCH_FULL_r{N}.json
@@ -143,21 +152,45 @@ def main():
     for r, k in ratios[-10:][::-1]:
         print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s ({r:.2f}x)")
 
+    # committed attribution (VERDICT r13 item 6): an explicit
+    # query -> reason map inside the round's ATTRIBUTION file; only
+    # queries listed there are excused from the gate, and the excusal
+    # is printed so the round close stays auditable
+    attributed = {}
+    for o in opts:
+        if o.startswith("--attribution="):
+            with open(o.split("=", 1)[1]) as f:
+                attributed = json.load(f).get("attributed", {})
+            if not isinstance(attributed, dict):
+                print("--attribution: the file's 'attributed' key must be "
+                      "a {query: reason} map")
+                sys.exit(1)
+
     if gate is not None:
         noisy = {k for _, k, _, _ in flagged}
         # absolute-delta floor: a 1.6x ratio on a 0.2s query is timer
         # granularity, not a shipped regression — require the slowdown
         # to also cost real wall time before failing the round
-        bad = [(r, k) for r, k in ratios
-               if r > gate and k not in noisy and oq[k] > 0.05
-               and nq[k] - oq[k] > 0.5]
+        over = [(r, k) for r, k in ratios
+                if r > gate and k not in noisy and oq[k] > 0.05
+                and nq[k] - oq[k] > 0.5]
+        excused = [(r, k) for r, k in over if k in attributed]
+        bad = [(r, k) for r, k in over if k not in attributed]
+        if excused:
+            print(f"\nattributed regressions ({len(excused)}, gate-excused "
+                  "by the committed attribution file):")
+            for r, k in excused:
+                print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s ({r:.2f}x) — "
+                      f"{attributed[k]}")
         if bad:
             print(f"\nGATE FAILED (--gate={gate}): "
-                  f"{len(bad)} stable-repeat regression(s) above {gate}x:")
+                  f"{len(bad)} UNATTRIBUTED stable-repeat regression(s) "
+                  f"above {gate}x:")
             for r, k in bad:
                 print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s ({r:.2f}x)")
             sys.exit(1)
-        print(f"\ngate passed: no stable-repeat regression above {gate}x")
+        print(f"\ngate passed: no unattributed stable-repeat regression "
+              f"above {gate}x")
 
     # r5-watermark gate (VERDICT r12 item 6): the long-horizon claw-back
     # check. Compares NEW against the frozen watermark artifact over their
