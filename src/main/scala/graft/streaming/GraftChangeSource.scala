@@ -77,31 +77,30 @@ final class GraftSourceProvider extends StreamSourceProvider
   override def shortName(): String = "graft"
 
   /** `writeStream.format("graft")` — the sink half: every micro-batch
-    * lands as ONE atomic TxLog commit whose batch-dir name encodes the
-    * engine's batchId (`sink_b<id>`), which is what makes replay after
-    * a restart IDEMPOTENT: a re-delivered batch is already live in the
-    * snapshot and skips — Spark's checkpoint + the deterministic name
-    * give exactly-once end to end with zero hand-written foreachBatch
-    * plumbing. Append output mode only (a TxLog table is an append/
-    * commit log; Update/Complete semantics live in the row verbs). */
+    * lands as ONE atomic TxLog commit that CARRIES its own idempotence
+    * mark (`meta txn <app> <batchId>`, Delta's txnAppId/txnVersion
+    * analogue), so replay after a restart skips on one backward
+    * manifest read — O(1) in live-file count (VERDICT r13 item 4) —
+    * and Spark's checkpoint + the mark give exactly-once end to end
+    * with zero hand-written foreachBatch plumbing. Append output mode
+    * only (a TxLog table is an append/commit log; Update/Complete
+    * semantics live in the row verbs). */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    // `.partitionBy(c)` routes every micro-batch through the value-grain
-    // partitioned ingest (one manifest entry per value with exact
-    // min=max + bloom stats), so a streamed table prunes exactly like a
-    // batch-ingested one; one column, the commitPartitioned contract
-    require(partitionColumns.size <= 1,
-      "graft sink: partitionBy takes exactly one column " +
-        s"(got ${partitionColumns.mkString(", ")})")
+    // `.partitionBy(c, ...)` routes every micro-batch through the
+    // value-grain partitioned ingest (one manifest entry per value
+    // combination with exact min=max + bloom stats), so a streamed
+    // table prunes exactly like a batch-ingested one — composite specs
+    // land as nested leaves (the commitPartitionedCols contract)
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft sink: only Append output mode is supported, got $outputMode")
     // `appId` namespaces the idempotence key: TWO pipelines feeding one
     // table would otherwise skip each other's batchIds (the same
     // disambiguator Delta's V1 sink takes via txnAppId)
     new GraftSink(sqlContext.sparkSession, tableDir(parameters),
-      parameters.getOrElse("appid", ""), partitionColumns.headOption)
+      parameters.getOrElse("appid", ""), partitionColumns)
   }
 
   private def tableDir(parameters: Map[String, String]): String =
@@ -139,7 +138,7 @@ final class GraftSourceProvider extends StreamSourceProvider
   * micro-batch = one atomic commit, idempotent under engine replay.
   * See [[GraftSourceProvider.createSink]]. */
 final class GraftSink(spark: SparkSession, dir: String,
-    appId: String = "", partCol: Option[String] = None)
+    appId: String = "", partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
@@ -177,17 +176,17 @@ final class GraftSink(spark: SparkSession, dir: String,
     val batch = SqlBridge.batchDf(spark, data.toDF())
     // the commit carries its own idempotence mark — the batch and the
     // high-water batchId land in ONE atomic manifest
-    partCol match {
-      case Some(pc) =>
+    partCols match {
+      case pcs if pcs.nonEmpty =>
         import org.apache.spark.sql.functions.col
         val pinned = batch.localCheckpoint()
         try {
           if (!pinned.isEmpty)
             TxLog.commitPartitionedCols(spark, dir, name,
-              pinned.repartition(col(pc)), Seq(pc),
+              pinned.repartition(pcs.map(col): _*), pcs,
               txn = Some(txnApp -> batchId))
         } finally graft.core.Checkpoints.release(pinned)
-      case None =>
+      case _ =>
         TxLog.appendMapped(spark, dir, batch, name,
           txn = Some(txnApp -> batchId))
     }

@@ -119,7 +119,7 @@ class GraftChangeSourceSpec extends AnyFunSuite {
 
   test("GraftSink partitionBy: value-grain streamed ingest, idempotent replay") {
     val dir = freshDir("graft-sink-part")
-    val sink = new GraftSink(spark, dir, partCol = Some("tag"))
+    val sink = new GraftSink(spark, dir, partCols = Seq("tag"))
     sink.addBatch(0, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
     def names = TxLog.liveFiles(dir)
       .map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
@@ -137,6 +137,24 @@ class GraftChangeSourceSpec extends AnyFunSuite {
     // an empty micro-batch commits nothing
     sink.addBatch(2, Seq.empty[(Long, String)].toDF("id", "tag"))
     assert(TxLog.latestVersion(dir) === 2)
+  }
+
+  test("GraftSink composite partitionBy lands nested tuple leaves") {
+    val dir = freshDir("graft-sink-part2")
+    val sink = new GraftSink(spark, dir, partCols = Seq("a", "b"))
+    sink.addBatch(0, Seq((1L, "x", "p"), (2L, "x", "q"), (3L, "y", "p"))
+      .toDF("id", "a", "b"))
+    def leafish = TxLog.liveFiles(dir).map { p =>
+      val h = new org.apache.hadoop.fs.Path(p)
+      s"${h.getParent.getName}/${h.getName}"
+    }.sorted
+    assert(leafish === Seq("__pv=x/__pv1=p", "__pv=x/__pv1=q",
+      "__pv=y/__pv1=p"),
+      "a composite-partitioned sink batch must land as nested leaves")
+    // replay still skips on the txn mark
+    sink.addBatch(0, Seq((1L, "x", "p")).toDF("id", "a", "b"))
+    assert(TxLog.latestVersion(dir) === 1)
+    assert(TxLog.read(spark, dir).count() === 3)
   }
 
   test("GraftSink idempotence probe is a txn mark: survives restart, retention, restore") {
