@@ -9768,6 +9768,69 @@ object Queries {
       FROM events WHERE event_id IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** REPLACE WHERE ([[graft.sources.TxLog.replaceWhere]], Delta's
+    * replaceWhere analogue — the static-partition-overwrite workhorse):
+    * one atomic commit swaps every row in a value window for fresh
+    * content. REQUIREd: the swap is exactly ONE version; stats-disjoint
+    * band files never rewrite (file pruning on the delete side); the
+    * containment guard rejects a source row outside the window. Hash:
+    * the table after the swap — rows outside the window untouched,
+    * inside replaced by the uppercased reload. */
+  private val qTxlogReplaceWhere = QuerySpec(
+    "q_txlog_replace_where",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_replw_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("value").isNotNull && col("event_id").isNotNull)
+      val bands = Seq((0.0, 25.0), (25.0, 50.0), (50.0, 75.0), (75.0, 1e18))
+      bands.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val b = ev.filter(col("value") >= lo && col("value") < hi).coalesce(1)
+        TxLog.commitWithStats(root, Seq(
+          TxLog.writeBatch(b, root, s"band$i") -> TxLog.columnStats(b, "value")))
+      }
+      val before = TxLog.liveFiles(root)
+      val vBefore = TxLog.latestVersion(root)
+      // the reload: the [25,50) window re-lands with uppercased types
+      val window = col("value") >= 25.0 && col("value") < 50.0
+      val fresh = ev.filter(window)
+        .select(col("event_id"), upper(col("event_type")).as("event_type"),
+          col("value"))
+      val v = TxLog.replaceWhere(s, root, "reload", fresh, window)
+      require(v == vBefore + 1,
+        s"replaceWhere must be ONE atomic commit, got v$v after v$vBefore")
+      val after = TxLog.liveFiles(root)
+      Seq(0, 2, 3).foreach { i =>
+        require(after.exists(_.endsWith(s"/band$i")) &&
+          before.exists(_.endsWith(s"/band$i")),
+          s"stats-disjoint band$i must not rewrite")
+      }
+      require(!after.exists(_.endsWith("/band1")),
+        "the matching band must have been replaced")
+      // containment guard: a source row outside the window is rejected
+      val rejected =
+        try { TxLog.replaceWhere(s, root, "bad",
+          ev.filter(col("value") >= 60.0 && col("value") < 61.0),
+          window); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected, "out-of-window source rows must be rejected")
+      TxLog.read(s, root).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH src AS (
+        SELECT event_id,
+          CASE WHEN value >= 25.0 AND value < 50.0
+               THEN upper(event_type) ELSE event_type END AS event_type,
+          value
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM src GROUP BY 1 ORDER BY 1"""))
+
   /** `DESCRIBE DETAIL t` — the operator-facing metadata loop in one
     * statement (Delta's DESCRIBE DETAIL analogue): after a
     * rename + ADD CONSTRAINT + ADD COLUMN + DV-delete + OPTIMIZE
@@ -13623,7 +13686,7 @@ object Queries {
     qSqlAddColumn, qTxlogScanPrune, qSqlPartitioned, qSqlAnalyze,
     qSqlShowPartitions, qSqlOptimizePart, qSqlAutoStats, qSqlConstraint,
     qSqlRestoreClone, qSqlPartitioned2, qSqlPartAddColumn,
-    qSqlDescribeDetail,
+    qSqlDescribeDetail, qTxlogReplaceWhere,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

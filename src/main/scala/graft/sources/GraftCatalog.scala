@@ -379,10 +379,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * [[graft.plans.GraftSqlResolution]]; writes ride the V1 fallback. */
 final case class GraftTable(qualified: String, dir: String, asOf: Int,
     declared: StructType, partCols: Seq[String] = Nil)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with TruncatableTable {
 
   /** Single-column convenience view of the partition spec. */
   def partCol: Option[String] = partCols.headOption
+
+  /** Native `TRUNCATE TABLE t` (the DSv2 TruncatableTable seam): one
+    * adds-empty remove-all commit — the truncated content still time
+    * travels, a mapped table's colmap restates to identity. */
+  override def truncateTable(): Boolean = { TxLog.truncate(dir); true }
 
   /** The snapshot every consumer of this instance agrees on. */
   lazy val pinnedVersion: Int =

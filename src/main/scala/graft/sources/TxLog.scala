@@ -2252,6 +2252,88 @@ object TxLog {
       extraAdds = Nil, what = "delete", basedOnDvs = Some(dvs))
   }
 
+  /** REPLACE WHERE — atomically swap every live row satisfying
+    * `predicate` for the rows of `df`, in ONE commit (public precedent:
+    * Delta's `replaceWhere` overwrite; the static-partition-overwrite
+    * workhorse: reloading one day/tenant/partition of a 100 TB table
+    * without touching the rest). Semantics and guards:
+    *
+    *  - SOURCE CONTAINMENT (Delta's contract): every incoming row must
+    *    itself satisfy the predicate — rejected loudly otherwise,
+    *    because a "replace" that writes outside its own window silently
+    *    corrupts neighboring partitions. One aggregation pass.
+    *  - FILE PRUNING, both sides: the delete probe plans only files
+    *    whose manifest stats may hold matching rows (the [[deleteWhere]]
+    *    machinery — untouched files never rewrite), and the new batch
+    *    lands with optional stats-on-write so it prunes from day one.
+    *  - Atomicity: remainder rewrites + removals + the new batch are one
+    *    [[commitRewrite]] swap — readers see the old window or the new
+    *    one, never a mix; a concurrent rewrite aborts this verb.
+    *  - CHECK constraints validate the source; column-mapped tables
+    *    resolve the predicate against LOGICAL names and land the batch
+    *    under physical names; time travel to the replaced content is
+    *    untouched.
+    *
+    * An empty `df` degrades to [[deleteWhere]] semantics; an empty
+    * table degrades to an append. Returns the new version, or 0 when
+    * nothing matches and nothing lands. Fresh `name` per call. */
+  def replaceWhere(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, predicate0: org.apache.spark.sql.Column,
+      autoStatsCols: Int = 0): Int = {
+    import org.apache.spark.sql.functions._
+    val pinned = df.localCheckpoint() // 3 consumers: guard, checks, write
+    try {
+      val (entries, dvM, cmb) = resolveFull(dir, -1)
+      val nf = cmb.types.toSeq
+      val dvs = dvM.toMap
+      // validate the predicate against the table's LOGICAL schema first
+      // (the dmlColumn discipline: a retired physical name gets the
+      // instructive error, not an unresolved-column analysis failure)
+      val predicate = dmlColumn(cmb.m, predicate0, "REPLACE WHERE")
+      val bad = pinned
+        .agg(sum(when(coalesce(predicate0, lit(false)), 0L).otherwise(1L)))
+        .head()
+      val outside = if (bad.isNullAt(0)) 0L else bad.getLong(0)
+      require(outside == 0L,
+        s"txlog: replaceWhere source carries $outside row(s) that do NOT " +
+          "satisfy the predicate — a replace must stay inside its own " +
+          "window; nothing committed")
+      enforceChecks(spark, dir, pinned, "replaceWhere")
+      // batch lands under PHYSICAL names on a mapped table (the
+      // appendMapped translation, minus fresh-column extension: a
+      // replace must match the logical schema it replaces into)
+      val physDf = cmb.m match {
+        case None => pinned
+        case Some(m) =>
+          val known = m.map { case (p, l) => l -> p }.toMap
+          val unknown = pinned.columns.filterNot(known.contains)
+          require(unknown.isEmpty,
+            s"txlog: replaceWhere source columns not in the logical " +
+              s"schema: ${unknown.mkString(", ")}")
+          pinned.select(pinned.columns.toSeq.map(c =>
+            col(c).as(known(c))): _*)
+      }
+      val extraAdds =
+        if (pinned.isEmpty) Nil
+        else {
+          val p = writeBatch(physDf, dir, name)
+          Seq(p -> autoStatsFor(spark, p, autoStatsCols))
+        }
+      if (entries.isEmpty) {
+        if (extraAdds.isEmpty) return 0
+        return commitWithStats(dir, extraAdds)
+      }
+      val touched = probeTouched(spark, entries.map(_._1), dvs,
+        _.filter(predicate), nullFill = nf, stats = entries.toMap)
+      if (touched.isEmpty && extraAdds.isEmpty) return 0
+      rewriteTouched(spark, dir, s"${name}_rw", entries, touched,
+        p => readMasked(spark, Seq(p), dvs, nullFill = nf)
+          .filter(!coalesce(predicate, lit(false))),
+        extraAdds = extraAdds, what = "replaceWhere",
+        basedOnDvs = Some(dvs))
+    } finally graft.core.Checkpoints.release(pinned)
+  }
+
   /** MERGE-ON-READ DELETE via deletion vectors (public precedent:
     * Delta's deletion vectors / Iceberg v2 position deletes): instead of
     * rewriting every file that holds a matching row ([[deleteWhere]]'s

@@ -364,6 +364,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.pac.t")
   }
 
+  test("TRUNCATE TABLE empties the table as ordinary history") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.trc")
+    spark.sql("DROP TABLE IF EXISTS cat.trc.t")
+    spark.sql("CREATE TABLE cat.trc.t (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO cat.trc.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("TRUNCATE TABLE cat.trc.t")
+    assert(spark.sql("SELECT count(*) FROM cat.trc.t").as[Long].head() === 0L)
+    // the truncated content still time travels, and the table keeps working
+    assert(spark.sql("SELECT count(*) FROM cat.trc.t VERSION AS OF 1")
+      .as[Long].head() === 2L)
+    spark.sql("INSERT INTO cat.trc.t VALUES (9, 9.0)")
+    assert(spark.sql("SELECT v FROM cat.trc.t").as[Double].head() === 9.0)
+    spark.sql("DROP TABLE cat.trc.t")
+  }
+
   test("SHOW PARTITIONS on a non-graft table delegates to Spark's native plan") {
     // SHOW PARTITIONS is native grammar; installing the graft parser
     // must not break it for hive/parquet tables (ADVICE r13)

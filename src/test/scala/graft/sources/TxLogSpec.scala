@@ -1245,6 +1245,77 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("replaceWhere: atomic window swap with containment and pruning") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = freshDir()
+    val pLow = TxLog.writeBatch(
+      Seq((1L, "d1", 1.0), (2L, "d1", 2.0)).toDF("id", "day", "v"),
+      dir, "low")
+    val pHigh = TxLog.writeBatch(
+      Seq((10L, "d2", 10.0)).toDF("id", "day", "v"), dir, "high")
+    TxLog.commitWithStats(dir, Seq(pLow -> TxLog.columnStats(
+      Seq((1L, "d1", 1.0), (2L, "d1", 2.0)).toDF("id", "day", "v"), "id")))
+    TxLog.commitWithStats(dir, Seq(pHigh -> TxLog.columnStats(
+      Seq((10L, "d2", 10.0)).toDF("id", "day", "v"), "id")))
+    // the reload: day d1 gets fresh content in ONE commit
+    val v = TxLog.replaceWhere(spark, dir, "r1",
+      Seq((3L, "d1", 3.0), (4L, "d1", 4.0), (5L, "d1", 5.0))
+        .toDF("id", "day", "v"),
+      col("day") === "d1")
+    assert(v === 3, "swap must be one atomic commit")
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String, Double)]
+      .collect().toSeq === Seq((3L, "d1", 3.0), (4L, "d1", 4.0),
+        (5L, "d1", 5.0), (10L, "d2", 10.0)))
+    // the untouched window's file never rewrote
+    assert(TxLog.liveFiles(dir).contains(pHigh),
+      "a file with no matching rows must not rewrite")
+    // time travel to the replaced content still serves
+    assert(TxLog.read(spark, dir, asOf = 2).count() === 3)
+    // source containment: a row outside the window is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      TxLog.replaceWhere(spark, dir, "r2",
+        Seq((6L, "d9", 6.0)).toDF("id", "day", "v"), col("day") === "d1")
+    }
+    assert(e.getMessage.contains("satisfy the predicate"))
+    // empty source = delete-the-window semantics
+    TxLog.replaceWhere(spark, dir, "r3",
+      Seq.empty[(Long, String, Double)].toDF("id", "day", "v"),
+      col("day") === "d1")
+    assert(TxLog.read(spark, dir).as[(Long, String, Double)]
+      .collect().toSeq === Seq((10L, "d2", 10.0)))
+    // no-match + empty source commits nothing
+    assert(TxLog.replaceWhere(spark, dir, "r4",
+      Seq.empty[(Long, String, Double)].toDF("id", "day", "v"),
+      col("day") === "d1") === 0)
+    TxLog.destroy(dir)
+  }
+
+  test("replaceWhere resolves logical names and reads through DV masks") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (10L, "d2", 10.0))
+        .toDF("id", "day", "score"), dir, "b0")))
+    // a DV delete masks id=2 BEFORE the replace: the remainder rewrite
+    // must not resurrect it into the d2 window it keeps
+    TxLog.deleteWhereDV(spark, dir, "dv", col("id") === 10L)
+    TxLog.renameColumn(spark, dir, "score", "quality")
+    val v = TxLog.replaceWhere(spark, dir, "r1",
+      Seq((3L, "d1", 3.0)).toDF("id", "day", "quality"),
+      col("day") === "d1")
+    assert(v > 0)
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String, Double)]
+      .collect().toSeq === Seq((3L, "d1", 3.0)),
+      "the DV-masked row must stay deleted and the window must swap")
+    // a retired physical name in the predicate is rejected loudly
+    intercept[IllegalArgumentException] {
+      TxLog.replaceWhere(spark, dir, "r2",
+        Seq((4L, "d1", 4.0)).toDF("id", "day", "quality"),
+        col("score") > 0)
+    }
+    TxLog.destroy(dir)
+  }
+
   test("addConstraint races a violating append: exactly one side wins") {
     // the ADVICE r13 window: without pinning the existing-data scan's
     // version (atVersion), an append committing between the scan and
