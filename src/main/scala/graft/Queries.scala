@@ -9768,6 +9768,65 @@ object Queries {
       FROM events WHERE event_id IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Time-bucketed partitioning — `PARTITIONED BY (days(ts))` (public
+    * precedent: Iceberg's partition transforms): the ingest clusters
+    * rows into one leaf per UTC day, each leaf's manifest blob carries
+    * TRUE min/max of the source `ts` (one columnar read per leaf), so a
+    * RAW ts-range predicate — the query never names the transform —
+    * prunes to exactly its day's leaf at scan planning (REQUIREd
+    * 1-of-N). Hash: per-day counts and value sums over the whole
+    * table, day = epoch-micros div 86400e6 on both sides. */
+  private val qSqlPartitionedDays = QuerySpec(
+    "q_sql_partitioned_days",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evdays_$tag")
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .createOrReplaceTempView(s"evdays_src_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evdays_$tag " +
+        "(event_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP) " +
+        "USING graft PARTITIONED BY (days(ts))")
+      s.sql(s"INSERT INTO graft.sql.evdays_$tag " +
+        s"SELECT event_id, event_type, value, ts FROM evdays_src_$tag")
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val total = plannedFiles(s.sql(s"SELECT * FROM graft.sql.evdays_$tag"))
+      require(total >= 2, s"the events span must yield multiple day " +
+        s"leaves, got $total")
+      // the first day's window, derived from the data itself
+      val d0 = s.sql(s"SELECT min(unix_micros(ts)) div 86400000000 " +
+        s"FROM evdays_src_$tag").collect().head.getLong(0)
+      val (lo, hi) = (d0 * 86400000000L, (d0 + 1) * 86400000000L)
+      val oneDay = s.sql(
+        s"SELECT event_id FROM graft.sql.evdays_$tag " +
+          s"WHERE ts >= timestamp_micros(${lo}L) " +
+          s"AND ts < timestamp_micros(${hi}L)")
+      require(plannedFiles(oneDay) == 1,
+        s"a one-day raw-ts window must plan exactly 1 of $total day " +
+          s"leaves, planned ${plannedFiles(oneDay)}")
+      s.sql(s"SELECT unix_micros(ts) div 86400000000 AS day_num, value " +
+          s"FROM graft.sql.evdays_$tag")
+        .groupBy(col("day_num"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(coalesce(col("value"), lit(0.0))).as("sum_value"))
+        .orderBy("day_num")
+    },
+    Some("""SELECT epoch_us(ts) // 86400000000 AS day_num,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+          AS sum_value
+      FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** REPLACE WHERE ([[graft.sources.TxLog.replaceWhere]], Delta's
     * replaceWhere analogue — the static-partition-overwrite workhorse):
     * one atomic commit swaps every row in a value window for fresh
@@ -13686,7 +13745,7 @@ object Queries {
     qSqlAddColumn, qTxlogScanPrune, qSqlPartitioned, qSqlAnalyze,
     qSqlShowPartitions, qSqlOptimizePart, qSqlAutoStats, qSqlConstraint,
     qSqlRestoreClone, qSqlPartitioned2, qSqlPartAddColumn,
-    qSqlDescribeDetail, qTxlogReplaceWhere,
+    qSqlDescribeDetail, qTxlogReplaceWhere, qSqlPartitionedDays,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

@@ -71,6 +71,20 @@ private[graftbridge] final class GraftStatsFileIndex(
 private[graftbridge] object GraftStatsFileIndex {
   private def litDouble(l: Literal): Option[Double] = l.value match {
     case null => None
+    // TIMESTAMP literals carry MICROseconds; the stats blobs store
+    // `cast(col AS double)` = SECONDS since epoch — convert here or a
+    // pushed ts filter would compare 1e15-scale micros against
+    // 1e9-scale second stats and prove false disjointness (a silent
+    // wrong skip). DATE literals (day counts) stay un-derived: date
+    // columns cast to no double, so their files carry no range segment
+    // and never prune — deriving a day-count bound against an absent
+    // segment is moot, and against a future convention it would be
+    // wrong.
+    case n: java.lang.Number
+        if l.dataType == org.apache.spark.sql.types.TimestampType ||
+          l.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+      Some(n.doubleValue() / 1e6)
+    case _ if l.dataType == org.apache.spark.sql.types.DateType => None
     case n: java.lang.Number => Some(n.doubleValue())
     case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
     case _ => None

@@ -202,24 +202,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     // PARTITIONED BY (a, b, …): identity transforms over top-level
-    // columns — every INSERT then routes through the partitioned ingest
-    // (one manifest entry per value COMBINATION with per-level exact
-    // min=max + one-value bloom stats), and the scan-planning FileIndex
-    // prunes a filter on ANY partition column with ZERO planning reads.
-    // Bucket/days/etc. transforms have no per-value manifest grain and
-    // are rejected loudly rather than silently degraded.
+    // columns, plus the TIME-BUCKETING transforms days/months/years/
+    // hours(ts) (Iceberg's partition-transform surface) — every INSERT
+    // then routes through the partitioned ingest (one manifest entry
+    // per value COMBINATION; identity levels carry exact min=max +
+    // one-value bloom stats from their dirname, transform levels carry
+    // true per-leaf min/max on the SOURCE column so raw `ts` predicates
+    // prune day leaves), and the scan-planning FileIndex prunes a
+    // filter on ANY partition column. Bucket/truncate transforms have
+    // no per-value pruning story here and are rejected loudly rather
+    // than silently degraded.
+    val timeFns = Set("days", "months", "years", "hours")
     val partCols = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 &&
+      case t if (t.name == "identity" || timeFns(t.name)) &&
+          t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         val c = t.references.head.fieldNames.head
         require(schema.isEmpty || schema.fieldNames.contains(c),
           s"graft: PARTITIONED BY column '$c' is not in the table schema")
-        require(!c.contains(","),
-          s"graft: partition column name must not contain ',': $c")
-        c
+        require(!c.contains(",") && !c.contains("(") && !c.contains(")"),
+          s"graft: unsupported characters in partition column name: $c")
+        if (t.name == "identity") c else s"${t.name}($c)"
       case other => throw new UnsupportedOperationException(
-        "graft: PARTITIONED BY supports top-level identity columns " +
-          s"only, got: $other")
+        "graft: PARTITIONED BY supports top-level identity columns and " +
+          s"days/months/years/hours(col), got: $other")
     }
     require(partCols.distinct == partCols,
       s"graft: duplicate PARTITIONED BY columns: ${partCols.mkString(", ")}")
@@ -251,7 +257,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "declared column names, which a column mapping would break; " +
             "ADD COLUMN is supported (mapping-free)")
       case p: TableChange.AddColumn if meta.partCols.nonEmpty &&
-          meta.partCols.contains(p.fieldNames.headOption.getOrElse("")) =>
+          meta.partCols.exists(spec =>
+            spec == p.fieldNames.headOption.getOrElse("") ||
+              spec.endsWith(s"(${p.fieldNames.headOption.getOrElse("")})")) =>
         throw new UnsupportedOperationException(
           "graft: ADD COLUMN must not shadow a partition column")
       case r: TableChange.RenameColumn =>
@@ -409,8 +417,15 @@ final case class GraftTable(qualified: String, dir: String, asOf: Int,
     Map(TableCatalog.PROP_PROVIDER -> "graft",
       TableCatalog.PROP_LOCATION -> dir).asJava
 
-  override def partitioning(): Array[Transform] = partCols.toArray.map(c =>
-    org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+  override def partitioning(): Array[Transform] = partCols.toArray.map {
+    case s if s.endsWith(")") && s.contains("(") =>
+      val fn = s.takeWhile(_ != '(')
+      val c = s.drop(fn.length + 1).dropRight(1)
+      org.apache.spark.sql.connector.expressions.Expressions.apply(
+        fn, org.apache.spark.sql.connector.expressions.Expressions.column(c))
+    case c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+  }
 
   /** Metadata-only ScanBuilder: DESCRIBE TABLE's stats probe builds a
     * scan just to sniff statistics, so this must not throw — but an
@@ -456,7 +471,7 @@ final case class GraftTable(qualified: String, dir: String, asOf: Int,
                     // skewed partition values trade shuffle balance for
                     // that layout — the standard partitioned-table write
                     val clustered = pinned.repartition(
-                      pcs.map(org.apache.spark.sql.functions.col): _*)
+                      pcs.map(TxLog.parsePartSpec(_).derive): _*)
                     if (overwrite || overwriteFlag) {
                       // empty source: standard SQL truncates — there are
                       // no leaves to write, so route to the adds-empty

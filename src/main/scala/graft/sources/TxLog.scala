@@ -3017,8 +3017,8 @@ object TxLog {
       parsed.flatten.distinct.map(_.map(v =>
         if (v == HiveDefaultPartition) None else Some(v)))
     else
-      read(spark, dir).select(partCols.map(c =>
-          org.apache.spark.sql.functions.col(c).cast("string")): _*)
+      read(spark, dir)
+        .select(partCols.map(c => parsePartSpec(c).derive): _*)
         .distinct().collect().map(r =>
           partCols.indices.map(i =>
             if (r.isNullAt(i)) None else Some(r.getString(i))).toSeq).toSeq
@@ -3146,6 +3146,49 @@ object TxLog {
     * deeper levels of a composite `PARTITIONED BY (a, b, …)`. */
   private def pvName(i: Int): String = if (i == 0) "__pv" else s"__pv$i"
 
+  /** One level of a partition spec. `spec` is the canonical rendering
+    * ("region" / "days(ts)"), `source` the table column the value
+    * derives from, `deriveSql` the string-valued derivation, and
+    * `dirnameStats` whether the leaf DIRNAME itself yields exact
+    * min=max/bloom stats (true for identity values; a TRANSFORM level
+    * gets its skipping from per-leaf stats on the SOURCE column
+    * instead — one columnar read per leaf, so a raw `ts` predicate
+    * prunes day leaves without the query ever naming the transform). */
+  private[sources] final case class PartSpec(spec: String, source: String,
+      deriveSql: String, dirnameStats: Boolean) {
+    def derive: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.expr(deriveSql)
+  }
+
+  private val TransformSpecRe = """^(\w+)\(([^()]+)\)$""".r
+
+  /** Parse one PARTITIONED BY entry: a bare column name (identity) or a
+    * time-bucketing transform `days|months|years|hours(col)` (public
+    * precedent: Iceberg's partition transforms / Delta's
+    * generated-column date partitioning). */
+  private[sources] def parsePartSpec(s0: String): PartSpec = {
+    val s = s0.trim
+    s match {
+      case TransformSpecRe(fn, c0) =>
+        val c = c0.trim
+        val fmt = fn.toLowerCase match {
+          case "days"   => "yyyy-MM-dd"
+          case "months" => "yyyy-MM"
+          case "years"  => "yyyy"
+          case "hours"  => "yyyy-MM-dd-HH"
+          case other => throw new IllegalArgumentException(
+            s"txlog: unsupported partition transform '$other' " +
+              "(supported: identity columns, days, months, years, hours)")
+        }
+        PartSpec(s"${fn.toLowerCase}($c)", c,
+          s"date_format(`$c`, '$fmt')", dirnameStats = false)
+      case c =>
+        require(!c.contains("(") && !c.contains(")"),
+          s"txlog: malformed partition spec '$c'")
+        PartSpec(c, c, s"CAST(`$c` AS STRING)", dirnameStats = true)
+    }
+  }
+
   /** Parse a live-entry path as a VALUE LEAF of an `nLevels`-column
     * partitioned table: the trailing `nLevels` path segments must each
     * carry their level's `__pv…=` prefix. Returns the per-level raw
@@ -3180,23 +3223,29 @@ object TxLog {
   private def writePartitionLeaves(spark: SparkSession, dir: String,
       name: String, df: DataFrame, partCols: Seq[String], bloomBits: Int,
       extraStatsCols: Seq[String]): Seq[(String, Option[String])] = {
-    import org.apache.spark.sql.functions._
     require(partCols.nonEmpty, "commitPartitioned: no partition columns")
-    require(partCols.distinct == partCols,
-      s"commitPartitioned: duplicate partition columns: $partCols")
-    partCols.foreach(pc => require(df.columns.contains(pc),
-      s"commitPartitioned: no such column '$pc'"))
-    val pvs = partCols.indices.map(pvName)
+    val specs = partCols.map(parsePartSpec)
+    require(specs.map(_.spec).distinct == specs.map(_.spec),
+      s"commitPartitioned: duplicate partition specs: $partCols")
+    specs.foreach(sp => require(df.columns.contains(sp.source),
+      s"commitPartitioned: no such column '${sp.source}'"))
+    val pvs = specs.indices.map(pvName)
     pvs.foreach(pv => require(!df.columns.contains(pv),
       s"commitPartitioned: '$pv' is reserved for the internal partition copy"))
+    // TRANSFORM levels get no stats from their dirname (a day string is
+    // not what queries filter on) — their skipping comes from true
+    // per-leaf min/max on the SOURCE column, folded into the per-leaf
+    // stats read below, so raw `ts` predicates prune day leaves
+    val statsCols = (extraStatsCols ++
+      specs.filterNot(_.dirnameStats).map(_.source)).distinct
     val base = s"$dir/data/$name"
-    partCols.zip(pvs).foldLeft(df) { case (d, (pc, pv)) =>
-      d.withColumn(pv, col(pc).cast("string"))
+    specs.zip(pvs).foldLeft(df) { case (d, (sp, pv)) =>
+      d.withColumn(pv, sp.derive)
     }.write.partitionBy(pvs: _*).mode("errorifexists").parquet(base)
     val basePath = new Path(base)
     val fs = fsOf(basePath)
     def walk(p: Path, level: Int): Seq[Path] =
-      if (level == partCols.length) Seq(p)
+      if (level == specs.length) Seq(p)
       else fs.listStatus(p)
         .filter(s => s.isDirectory &&
           s.getPath.getName.startsWith(pvName(level) + "="))
@@ -3212,18 +3261,18 @@ object TxLog {
           s"input frame?) — nothing committed, $base removed")
     }
     leaves.map { leaf =>
-      val raws = leafTuple(leaf.toString, partCols.length).get
-      val valueSegs = partCols.zip(raws).flatMap { case (pc, raw) =>
-        if (raw == HiveDefaultPartition) Nil // null leaf: no stats, always read
+      val raws = leafTuple(leaf.toString, specs.length).get
+      val valueSegs = specs.zip(raws).flatMap { case (sp, raw) =>
+        if (!sp.dirnameStats || raw == HiveDefaultPartition) Nil
         else {
-          val range = raw.toDoubleOption.map(v => s"$pc;$v;$v")
-          range.toSeq ++ bloomBlobOfValues(pc, Seq(raw), bloomBits)
+          val range = raw.toDoubleOption.map(v => s"${sp.source};$v;$v")
+          range.toSeq ++ bloomBlobOfValues(sp.source, Seq(raw), bloomBits)
         }
       }
       val extra =
-        if (extraStatsCols.isEmpty) None
+        if (statsCols.isEmpty) None
         else columnStatsMulti(
-          spark.read.parquet(leaf.toString), extraStatsCols)
+          spark.read.parquet(leaf.toString), statsCols)
       val segs = valueSegs ++ extra
       leaf.toString -> (if (segs.isEmpty) None else Some(segs.mkString(",")))
     }
@@ -3254,9 +3303,9 @@ object TxLog {
     * rewrite. */
   def optimizePartitionedCols(spark: SparkSession, dir: String,
       name: String, partCols: Seq[String], bloomBits: Int = 1024): Int = {
-    import org.apache.spark.sql.functions._
     val entries = liveEntries(dir)
     if (entries.isEmpty) return 0
+    val specs = partCols.map(parsePartSpec)
     val n = partCols.length
     val parsed = entries.map { case (p, _) => (p, leafTuple(p, n)) }
     val residue = parsed.collect { case (p, None) => p }
@@ -3270,7 +3319,7 @@ object TxLog {
     val resVals: Set[Seq[Option[String]]] =
       if (residue.isEmpty) Set.empty
       else readMasked(spark, residue, dvSnap, nullFill = nf)
-        .select(partCols.map(c => col(c).cast("string")): _*)
+        .select(specs.map(_.derive): _*)
         .distinct().collect().map(toTuple).toSet
     def asOpt(t: Seq[String]): Seq[Option[String]] =
       t.map(v => if (v == HiveDefaultPartition) None else Some(v))
@@ -3281,7 +3330,7 @@ object TxLog {
     val victims = residue ++ touchedLeaves
     if (victims.isEmpty) return 0
     val snap = readMasked(spark, victims, dvSnap, nullFill = nf)
-      .repartition(partCols.map(col): _*)
+      .repartition(specs.map(_.derive): _*)
     // every victim row may be deletion-vector-masked away: then the
     // rewrite is a pure drop of dead files, no leaves to write
     val adds =

@@ -219,10 +219,12 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE cat.pt.t RENAME COLUMN id TO key")
     }
     assert(e.getMessage.contains("PARTITIONED"))
-    // non-identity transforms are rejected loudly at CREATE
+    // transforms with no per-value pruning story are rejected loudly at
+    // CREATE (days/months/years/hours are supported — see the days(ts)
+    // test below)
     intercept[Exception] {
       spark.sql("CREATE TABLE cat.pt.bad (id BIGINT, ts TIMESTAMP) " +
-        "USING graft PARTITIONED BY (days(ts))")
+        "USING graft PARTITIONED BY (bucket(4, id))")
     }
     // SHOW PARTITIONS reads the live values off the manifest dirnames
     assert(spark.sql("SHOW PARTITIONS cat.pt.t")
@@ -317,6 +319,56 @@ class GraftCatalogSpec extends AnyFunSuite {
     // idempotence: a second run is a no-op
     assert(spark.sql("OPTIMIZE cat.po2.t").as[Int].head() === 0)
     spark.sql("DROP TABLE cat.po2.t")
+  }
+
+  test("PARTITIONED BY (days(ts)): time-bucketed leaves, raw ts predicates prune") {
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size).sum
+      }.sum
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.dts")
+    spark.sql("DROP TABLE IF EXISTS cat.dts.t")
+    spark.sql("CREATE TABLE cat.dts.t (id BIGINT, ts TIMESTAMP) " +
+      "USING graft PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO cat.dts.t VALUES " +
+      "(1, TIMESTAMP '2024-01-01 03:00:00'), " +
+      "(2, TIMESTAMP '2024-01-01 20:00:00'), " +
+      "(3, TIMESTAMP '2024-01-02 10:00:00'), " +
+      "(4, TIMESTAMP '2024-01-03 10:00:00')")
+    // one leaf per day
+    val dir = spark.sql("DESCRIBE TABLE EXTENDED cat.dts.t")
+      .filter($"col_name" === "Location").select("data_type").as[String]
+      .head()
+    assert(TxLog.liveFiles(dir)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).sorted ===
+      Seq("__pv=2024-01-01", "__pv=2024-01-02", "__pv=2024-01-03"))
+    // a RAW ts predicate (never naming the transform) prunes to its day
+    // via the per-leaf ts min/max stats
+    val one = spark.sql("SELECT id FROM cat.dts.t " +
+      "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-01-03 00:00:00'")
+    assert(plannedFiles(one) === 1,
+      "a one-day ts window must plan exactly that day's leaf")
+    assert(one.as[Long].collect().toSeq === Seq(3L))
+    // SHOW PARTITIONS lists the day values under the transform spec
+    assert(spark.sql("SHOW PARTITIONS cat.dts.t").as[String]
+      .collect().toSeq === Seq("days(ts)=2024-01-01",
+        "days(ts)=2024-01-02", "days(ts)=2024-01-03"))
+    // a DELETE's residue re-clusters back into day leaves via OPTIMIZE
+    spark.sql("DELETE FROM cat.dts.t WHERE id = 1")
+    spark.sql("OPTIMIZE cat.dts.t")
+    assert(TxLog.liveFiles(dir)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).sorted ===
+      Seq("__pv=2024-01-01", "__pv=2024-01-02", "__pv=2024-01-03"))
+    assert(spark.sql("SELECT count(*) FROM cat.dts.t").as[Long].head() === 3L)
+    // bucket/truncate transforms stay rejected loudly
+    intercept[Exception] {
+      spark.sql("CREATE TABLE cat.dts.bad (id BIGINT) USING graft " +
+        "PARTITIONED BY (bucket(4, id))")
+    }
+    spark.sql("DROP TABLE cat.dts.t")
   }
 
   test("ADD COLUMN on a partitioned table: metadata-only, pruning kept") {
