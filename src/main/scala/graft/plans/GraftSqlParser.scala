@@ -19,7 +19,9 @@ import graft.sources.{GraftTable, TxLog}
   * OPTIMIZE graft.db.t                        -- bin-pack small files
   * OPTIMIZE graft.db.t TARGET 8               -- explicit output width
   * OPTIMIZE graft.db.t ZORDER BY (a, b, c)    -- multi-dimension cluster
-  * VACUUM graft.db.t                          -- reclaim unreachable files
+  * VACUUM graft.db.t [DRY RUN]                -- reclaim unreachable files
+  * INSERT INTO graft.db.t REPLACE WHERE day = 'd1' SELECT ...
+  *                                            -- atomic window reload
   * DESCRIBE HISTORY graft.db.t                -- per-commit audit rows
   * DESCRIBE DETAIL graft.db.t                 -- one-row table metadata
   * CONVERT TO GRAFT '/path' [STATS (a, b)]    -- zero-copy parquet import
@@ -53,8 +55,15 @@ final class GraftSqlParser(delegate: ParserInterface)
     case OptimizeRe(name, target) =>
       GraftOptimizeCommand(parts(name), zorderCols = Nil,
         targetFiles = Option(target).map(_.trim.toInt))
-    case VacuumRe(name) => GraftVacuumCommand(parts(name))
+    case VacuumRe(name, dry) =>
+      GraftVacuumCommand(parts(name), dryRun = dry != null)
     case DetailRe(name) => GraftDescribeDetailCommand(parts(name))
+    case ReplaceWhereRe(name, cond, select) =>
+      // the SELECT parses through the DELEGATE (full standard grammar);
+      // the condition parses at execution as an expression over the
+      // table's logical schema
+      GraftReplaceWhereCommand(parts(name), cond.trim,
+        delegate.parsePlan(select))
     case HistoryRe(name) => GraftHistoryCommand(parts(name))
     case ConvertRe(path, cols) =>
       GraftConvertCommand(path,
@@ -113,7 +122,15 @@ object GraftSqlParser {
     ("""(?is)\s*OPTIMIZE\s+""" + Ident +
       """(?:\s+TARGET\s+(\d+))?\s*;?\s*""").r
   private[plans] val VacuumRe =
-    ("""(?is)\s*VACUUM\s+""" + Ident + """\s*;?\s*""").r
+    ("""(?is)\s*VACUUM\s+""" + Ident +
+      """(\s+DRY\s+RUN)?\s*;?\s*""").r
+  // Delta's partition-reload syntax: the condition is the text between
+  // REPLACE WHERE and the first SELECT (lazy match; a subquery in the
+  // condition mis-splits and fails loudly at expression parse — DML
+  // predicates reject subqueries project-wide anyway)
+  private[plans] val ReplaceWhereRe =
+    ("""(?is)\s*INSERT\s+INTO\s+""" + Ident +
+      """\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.*?)\s*;?\s*""").r
   private[plans] val HistoryRe =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*""").r
   private[plans] val DetailRe =
@@ -213,13 +230,48 @@ final case class GraftOptimizeCommand(nameParts: Seq[String],
   }
 }
 
-/** `VACUUM t` → [[TxLog.vacuum]]; one row per reclaimed path. */
-final case class GraftVacuumCommand(nameParts: Seq[String])
-    extends LeafRunnableCommand {
+/** `VACUUM t [DRY RUN]` → [[TxLog.vacuum]]; one row per reclaimed (or,
+  * under DRY RUN, reclaimable-but-kept) path. */
+final case class GraftVacuumCommand(nameParts: Seq[String],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
-    TxLog.vacuum(GraftSqlParser.dirOf(session, nameParts)).map(Row(_))
+    TxLog.vacuum(GraftSqlParser.dirOf(session, nameParts), dryRun)
+      .map(Row(_))
+}
+
+/** `INSERT INTO t REPLACE WHERE cond SELECT …` →
+  * [[TxLog.replaceWhere]] (Delta's partition-reload syntax): the
+  * window swap as ONE SQL statement. The source aligns to the table's
+  * logical schema BY POSITION with a cast (standard INSERT semantics);
+  * containment, pruning, and atomicity are the verb's own. */
+final case class GraftReplaceWhereCommand(nameParts: Seq[String],
+    condSql: String, source: LogicalPlan) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val g = SqlBridge.loadCatalogTable(session, nameParts) match {
+      case g: GraftTable => g
+      case other => throw new IllegalArgumentException(
+        s"graft: ${nameParts.mkString(".")} is not a graft table " +
+          s"(provider: ${other.properties.get("provider")})")
+    }
+    val df = SqlBridge.ofRows(session, source)
+    val target = g.schema
+    require(df.columns.length == target.length,
+      s"graft: REPLACE WHERE source has ${df.columns.length} column(s), " +
+        s"table ${nameParts.mkString(".")} has ${target.length}")
+    val aligned = df.select(df.columns.toSeq.zip(target).map {
+      case (c, f) => col(c).cast(f.dataType).as(f.name)
+    }: _*)
+    Seq(Row(TxLog.replaceWhere(session, g.dir,
+      s"sqlrw_${System.nanoTime()}", aligned, expr(condSql),
+      autoStatsCols =
+        if (session.conf.getOption("spark.graft.autoStats")
+            .forall(_ != "false")) 8 else 0)))
+  }
 }
 
 /** `CONVERT TO GRAFT '<dir>' [STATS (c1, c2, …)]` →

@@ -1982,7 +1982,13 @@ object TxLog {
     * concurrent writer holds an uncommitted [[writeBatch]] under this
     * table while vacuum runs (run it in the maintenance window, after a
     * checkpoint). */
-  def vacuum(dir: String): Seq[String] = {
+  def vacuum(dir: String): Seq[String] = vacuum(dir, dryRun = false)
+
+  /** [[vacuum]] with a DRY RUN arm (Delta's `VACUUM … DRY RUN`): the
+    * same reachability walk, returning what WOULD be reclaimed without
+    * deleting anything — the operator's pre-flight check before giving
+    * up pre-checkpoint time travel's leftovers. */
+  def vacuum(dir: String, dryRun: Boolean): Seq[String] = {
     val latest = latestVersion(dir)
     if (latest == 0) return Nil
     // every version a reader could still resolve: one live-set resolution
@@ -2018,7 +2024,8 @@ object TxLog {
       val n = normPath(p.toString)
       if (keep.contains(n)) Nil
       else if (!keep.exists(_.startsWith(n + "/"))) {
-        fs.delete(p, true); Seq(p)
+        if (!dryRun) fs.delete(p, true)
+        Seq(p)
       } else
         fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
           .flatMap(sweep).toSeq

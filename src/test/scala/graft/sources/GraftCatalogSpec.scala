@@ -416,6 +416,53 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.pac.t")
   }
 
+  test("INSERT INTO ... REPLACE WHERE swaps the window as one SQL statement") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (10L, "d2", 10.0))
+        .toDF("id", "day", "v"), dir, "b0")))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.rw")
+    spark.sql("DROP TABLE IF EXISTS cat.rw.t")
+    spark.sql(s"CREATE TABLE cat.rw.t USING graft LOCATION '$dir'")
+    spark.sql("INSERT INTO cat.rw.t REPLACE WHERE day = 'd1' " +
+      "SELECT * FROM VALUES (3, 'd1', 3.0), (4, 'd1', 4.0)")
+    assert(spark.sql("SELECT * FROM cat.rw.t ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((3L, "d1", 3.0), (4L, "d1", 4.0), (10L, "d2", 10.0)))
+    // one atomic commit: the old window still time travels
+    assert(spark.sql("SELECT count(*) FROM cat.rw.t VERSION AS OF 1")
+      .as[Long].head() === 3L)
+    // containment: an out-of-window source row fails the statement
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO cat.rw.t REPLACE WHERE day = 'd1' " +
+        "SELECT * FROM VALUES (5, 'd9', 5.0)")
+    }
+    assert(e.getMessage.contains("satisfy the predicate"))
+    // a plain INSERT INTO still routes through the ordinary write path
+    spark.sql("INSERT INTO cat.rw.t VALUES (20, 'd3', 20.0)")
+    assert(spark.sql("SELECT count(*) FROM cat.rw.t").as[Long].head() === 4L)
+    spark.sql("DROP TABLE cat.rw.t")
+  }
+
+  test("VACUUM DRY RUN lists reclaimable paths without deleting") {
+    val dir = freshDir()
+    (0 until 2).foreach { k =>
+      TxLog.commit(dir, Seq(TxLog.writeBatch(
+        Seq((k.toLong, k * 1.0)).toDF("id", "v"), dir, s"b$k")))
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.vd")
+    spark.sql("DROP TABLE IF EXISTS cat.vd.t")
+    spark.sql(s"CREATE TABLE cat.vd.t USING graft LOCATION '$dir'")
+    spark.sql("OPTIMIZE cat.vd.t TARGET 1")
+    TxLog.checkpoint(dir); TxLog.expireManifests(dir)
+    val dry = spark.sql("VACUUM cat.vd.t DRY RUN").as[String].collect()
+    assert(dry.length === 2, s"dry run must list the 2 retired batches: ${dry.toSeq}")
+    // nothing was deleted: the real vacuum still reclaims them
+    assert(spark.sql("VACUUM cat.vd.t").count() === 2)
+    assert(spark.sql("SELECT count(*) FROM cat.vd.t").as[Long].head() === 2L)
+    spark.sql("DROP TABLE cat.vd.t")
+  }
+
   test("TRUNCATE TABLE empties the table as ordinary history") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.trc")
     spark.sql("DROP TABLE IF EXISTS cat.trc.t")
