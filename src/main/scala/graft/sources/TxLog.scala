@@ -3073,8 +3073,26 @@ object TxLog {
       extraStatsCols: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): Int = {
     enforceChecks(spark, dir, df, "partitioned append")
-    commitWithStats(dir, writePartitionLeaves(spark, dir, name, df,
-      partCols, bloomBits, extraStatsCols), txn = txn)
+    val adds = writePartitionLeaves(spark, dir, name, df,
+      partCols, bloomBits, extraStatsCols)
+    // the append retry discipline: a lost version race re-validates
+    // (the winning commit may have been an addConstraint) and re-claims
+    // — the leaves are already written, only the manifest line retries
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      try out = commitWithStats(dir, adds, txn = txn)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("lost the race") =>
+          if (attempt >= 16) throw e
+          enforceChecks(spark, dir, df, "partitioned append")
+          Thread.sleep(math.min(5L * attempt, 100L))
+      }
+    }
+    out
   }
 
   /** Atomic partitioned full REPLACE — [[overwriteAll]]'s semantics at

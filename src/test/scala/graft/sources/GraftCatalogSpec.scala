@@ -363,11 +363,24 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(p => new org.apache.hadoop.fs.Path(p).getName).sorted ===
       Seq("__pv=2024-01-01", "__pv=2024-01-02", "__pv=2024-01-03"))
     assert(spark.sql("SELECT count(*) FROM cat.dts.t").as[Long].head() === 3L)
+    // DESCRIBE DETAIL renders the transform spec as the partition column
+    assert(spark.sql("DESCRIBE DETAIL cat.dts.t")
+      .select("partition_columns").as[String].head() === "days(ts)")
     // bucket/truncate transforms stay rejected loudly
     intercept[Exception] {
       spark.sql("CREATE TABLE cat.dts.bad (id BIGINT) USING graft " +
         "PARTITIONED BY (bucket(4, id))")
     }
+    // the months() sibling buckets by calendar month
+    spark.sql("DROP TABLE IF EXISTS cat.dts.m")
+    spark.sql("CREATE TABLE cat.dts.m (id BIGINT, ts TIMESTAMP) " +
+      "USING graft PARTITIONED BY (months(ts))")
+    spark.sql("INSERT INTO cat.dts.m VALUES " +
+      "(1, TIMESTAMP '2024-01-05 00:00:00'), " +
+      "(2, TIMESTAMP '2024-02-05 00:00:00')")
+    assert(spark.sql("SHOW PARTITIONS cat.dts.m").as[String]
+      .collect().toSeq === Seq("months(ts)=2024-01", "months(ts)=2024-02"))
+    spark.sql("DROP TABLE cat.dts.m")
     spark.sql("DROP TABLE cat.dts.t")
   }
 

@@ -1245,6 +1245,31 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.destroy(dir)
   }
 
+  test("racing partitioned ingests both land (lost-race retry)") {
+    val dir = freshDir()
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((0L, "z")).toDF("id", "tag"), dir, "seed")))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def run(name: String, rows: Seq[(Long, String)]) =
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        override def call(): Int = {
+          gate.await()
+          TxLog.commitPartitionedCols(spark, dir, name,
+            rows.toDF("id", "tag"), Seq("tag"))
+        }
+      })
+    val f1 = run("pa", Seq((1L, "a")))
+    val f2 = run("pb", Seq((2L, "b")))
+    gate.countDown()
+    val (v1, v2) = (f1.get(), f2.get())
+    pool.shutdown()
+    assert(Set(v1, v2) === Set(2, 3),
+      s"both racing ingests must land as consecutive versions, got $v1/$v2")
+    assert(TxLog.read(spark, dir).count() === 3)
+    TxLog.destroy(dir)
+  }
+
   test("replaceWhere: atomic window swap with containment and pruning") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = freshDir()
