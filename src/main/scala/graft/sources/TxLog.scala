@@ -3285,6 +3285,38 @@ object TxLog {
         s"commitPartitioned: '$name' produced no partition leaves (empty " +
           s"input frame?) — nothing committed, $base removed")
     }
+    // per-leaf stats for the non-dirname columns in ONE distributed pass
+    // (the [[analyze]] shape: group by file identity, collect at
+    // part-file count) — a per-leaf read loop would cost one Spark job
+    // PER LEAF, a driver-side O(leaves) tax that dominates wide
+    // partitioned ingests (a 10k-day table would pay 10k jobs)
+    import org.apache.spark.sql.functions.{col => fcol, input_file_name, max => fmax, min => fmin}
+    val extraByLeaf: Map[String, Seq[String]] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(leaves.map(_.toString): _*)
+        val present = statsCols.filter(raw.columns.contains)
+        if (present.isEmpty) Map.empty
+        else {
+          val aggs = present.flatMap(c =>
+            Seq(fmin(fcol(c).cast("double")), fmax(fcol(c).cast("double"))))
+          val per = raw.withColumn("__f", input_file_name())
+            .groupBy(fcol("__f")).agg(aggs.head, aggs.tail: _*).collect()
+          val byDir = per.groupBy(r => batchDirOf(r.getString(0)))
+          leaves.map { leaf =>
+            val rows = byDir.getOrElse(normPath(leaf.toString), Array.empty)
+            val segs = present.zipWithIndex.flatMap { case (c, i) =>
+              val mns = rows.collect {
+                case r if !r.isNullAt(1 + 2 * i) => r.getDouble(1 + 2 * i) }
+              val mxs = rows.collect {
+                case r if !r.isNullAt(2 + 2 * i) => r.getDouble(2 + 2 * i) }
+              if (mns.isEmpty) None else Some(s"$c;${mns.min};${mxs.max}")
+            }
+            leaf.toString -> segs
+          }.toMap
+        }
+      }
     leaves.map { leaf =>
       val raws = leafTuple(leaf.toString, specs.length).get
       val valueSegs = specs.zip(raws).flatMap { case (sp, raw) =>
@@ -3294,11 +3326,7 @@ object TxLog {
           range.toSeq ++ bloomBlobOfValues(sp.source, Seq(raw), bloomBits)
         }
       }
-      val extra =
-        if (statsCols.isEmpty) None
-        else columnStatsMulti(
-          spark.read.parquet(leaf.toString), statsCols)
-      val segs = valueSegs ++ extra
+      val segs = valueSegs ++ extraByLeaf.getOrElse(leaf.toString, Nil)
       leaf.toString -> (if (segs.isEmpty) None else Some(segs.mkString(",")))
     }
   }
