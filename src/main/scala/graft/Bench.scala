@@ -77,6 +77,23 @@ object Bench {
     // query isn't charged for them; touches no query-specific plan
     spark.range(1000000).selectExpr("sum(id) s", "count(*) c")
       .write.mode("overwrite").format("noop").save()
+    // box_health preamble (VERDICT r14 item 6): same-code drift across bench
+    // windows (1.16x r14, 1.27x floor in ATTRIBUTION_r13) is the dominant
+    // noise; this fixed ~8s probe stamps the MACHINE's state into the
+    // artifact so a degraded window is visible without a judge/builder
+    // adjudication round-trip. Five fixed workloads, constants never scaled
+    // by env, so any two artifacts' fields are directly comparable:
+    //   cpu_st_s    one thread, 1.5e9 xorshift steps (pure ALU)
+    //   cpu_mt_s    the SAME work per thread on `cpus` threads — on an
+    //               uncontended box ≈ cpu_st_s (independent cores); excess
+    //               = external machine contention / descheduling
+    //   io_w_mbps / io_r_mbps   256 MiB tmp-file write+fsync / read
+    //   gc_probe_ms collector time for a fixed 2 GiB small-array churn
+    //   shuffle_s   a fixed spark shuffle (range→repartition→agg)
+    // tools/bench_ratio.py prints the new/old ratio of each field next to
+    // the total ratio, so "the box was 1.3x slower" is machine-readable.
+    val boxHealth = BoxHealth.probe(spark, cpus.toInt)
+    System.err.println(s"[bench] box_health $boxHealth")
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // per query: one [core_s, cpu_s, gc_ms, spill_mb] tuple per repeat
     val diags = scala.collection.mutable.LinkedHashMap
@@ -181,7 +198,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v.min >= 0 => v.min }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"diag":$diagJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","box_health":$boxHealth,"queries":$qs,"repeats":$reps,"diag":$diagJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the LAST 2000 chars of stdout: the full
     // 152-query line above is head-truncated there (it survives intact in

@@ -95,7 +95,13 @@ def load(path):
     for k, r in reps.items():
         if k not in q and r:
             q[k] = min(r)
-    return {"queries": q, "repeats": reps}
+    # box_health rides near the head of the line, so a left-truncated
+    # driver tail usually loses it — recover when its marker survived
+    bh = {}
+    bsec = section('"box_health":{')
+    for k, v in re.findall(r'"([a-z_]+)":([0-9.]+)', bsec):
+        bh[k] = float(v)
+    return {"queries": q, "repeats": reps, "box_health": bh}
 
 
 def main():
@@ -125,6 +131,26 @@ def main():
     print(f"shared queries: {len(shared)}")
     print(f"new total {tn:.1f}s  old total {to:.1f}s  "
           f"ratio new/old = {tn / to:.3f}x")
+
+    # box_health (VERDICT r14 item 6): each artifact carries a fixed-work
+    # machine probe (BoxHealth.scala); print per-field new/old ratios next
+    # to the total so "the window was degraded, not the code" is visible
+    # IN the artifacts — contention shows as cpu_mt_s ratio >> cpu_st_s
+    # ratio (same fixed work, only the box changed).
+    nb, ob = new.get("box_health") or {}, old.get("box_health") or {}
+    if nb and ob:
+        print("box_health new/old (ratio >1 = new window slower; for "
+              "*_mbps, <1 = slower):")
+        for fld in ("cpu_st_s", "cpu_mt_s", "io_w_mbps", "io_r_mbps",
+                    "gc_probe_ms", "shuffle_s"):
+            a, b = nb.get(fld), ob.get(fld)
+            if a is not None and b and float(b) > 0:
+                print(f"  {fld}: {float(a):.3f} vs {float(b):.3f} "
+                      f"({float(a) / float(b):.2f}x)")
+    elif nb or ob:
+        which = "old" if nb else "new"
+        print(f"box_health: only one artifact carries the probe "
+              f"({which} artifact predates it)")
 
     # repeat spread: flags the queries whose min is not a stable statistic
     flagged = []
