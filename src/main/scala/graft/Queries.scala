@@ -9827,6 +9827,73 @@ object Queries {
       FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** `PARTITIONED BY (months(ts))` — the coarser time-bucket transform
+    * (VERDICT r14 item 3: only days(ts) was hash-gated; months/years/
+    * hours shared the code path but not the oracle). The events span is
+    * a single month, so the gate widens it DETERMINISTICALLY first:
+    * ts2 = ts + (event_id % 5)·31 days, exact epoch-micros arithmetic
+    * replayable by the oracle. REQUIREd like the days gate: the ingest
+    * yields multiple month leaves, and a raw one-month ts window — the
+    * query never names the transform — plans exactly 1 leaf via the
+    * per-leaf TRUE min/max stats on the source column. Hash: per-month
+    * counts and value sums, month = UTC yyyy-MM of ts2 on both sides. */
+  private val qSqlPartitionedMonths = QuerySpec(
+    "q_sql_partitioned_months",
+    (s, dir) => {
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evmon_$tag")
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          timestamp_micros(unix_micros(col("ts")) +
+            pmod(col("event_id"), lit(5)) * lit(2678400000000L)).as("ts"))
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .createOrReplaceTempView(s"evmon_src_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evmon_$tag " +
+        "(event_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP) " +
+        "USING graft PARTITIONED BY (months(ts))")
+      s.sql(s"INSERT INTO graft.sql.evmon_$tag " +
+        s"SELECT event_id, event_type, value, ts FROM evmon_src_$tag")
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val total = plannedFiles(s.sql(s"SELECT * FROM graft.sql.evmon_$tag"))
+      require(total >= 3, s"the widened events span must yield multiple " +
+        s"month leaves, got $total")
+      // the first month's window, derived from the data itself (UTC)
+      val minUs = s.sql(s"SELECT min(unix_micros(ts)) FROM evmon_src_$tag")
+        .collect().head.getLong(0)
+      val m0 = java.time.Instant.ofEpochSecond(minUs / 1000000)
+        .atZone(java.time.ZoneOffset.UTC)
+        .withDayOfMonth(1).truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+      val lo = m0.toInstant.getEpochSecond * 1000000L
+      val hi = m0.plusMonths(1).toInstant.getEpochSecond * 1000000L
+      val oneMonth = s.sql(
+        s"SELECT event_id FROM graft.sql.evmon_$tag " +
+          s"WHERE ts >= timestamp_micros(${lo}L) " +
+          s"AND ts < timestamp_micros(${hi}L)")
+      require(plannedFiles(oneMonth) == 1,
+        s"a one-month raw-ts window must plan exactly 1 of $total month " +
+          s"leaves, planned ${plannedFiles(oneMonth)}")
+      s.sql(s"SELECT date_format(ts, 'yyyy-MM') AS month, value " +
+          s"FROM graft.sql.evmon_$tag")
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(coalesce(col("value"), lit(0.0))).as("sum_value"))
+        .orderBy("month")
+    },
+    Some("""SELECT strftime(make_timestamp(epoch_us(ts)
+          + (event_id % 5) * 2678400000000), '%Y-%m') AS month,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+          AS sum_value
+      FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** REPLACE WHERE ([[graft.sources.TxLog.replaceWhere]], Delta's
     * replaceWhere analogue — the static-partition-overwrite workhorse):
     * one atomic commit swaps every row in a value window for fresh
@@ -13746,6 +13813,7 @@ object Queries {
     qSqlShowPartitions, qSqlOptimizePart, qSqlAutoStats, qSqlConstraint,
     qSqlRestoreClone, qSqlPartitioned2, qSqlPartAddColumn,
     qSqlDescribeDetail, qTxlogReplaceWhere, qSqlPartitionedDays,
+    qSqlPartitionedMonths,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,
