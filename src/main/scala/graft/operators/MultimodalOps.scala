@@ -56,6 +56,35 @@ object MultimodalOps {
 
   final case class MediaFeature(id: Long, n_bytes: Long, feature: Array[Float])
 
+  /** One reusable ImageReader per TASK for a known format — the video
+    * family's decode kernel (VERDICT r14 item 2). `ImageIO.read(stream)`
+    * per frame re-walks the SPI registry (`getImageReaders` probes every
+    * installed SPI's `canDecodeInput` against the stream) and constructs
+    * + disposes a fresh reader per call; under 32 concurrent tasks those
+    * registry/alloc channels park tasks off-CPU (the q_video_keyframes
+    * core_s ≫ cpu_s diag signature — same class as the r13 disk-cache
+    * channel, one layer up). This helper resolves the format's reader SPI
+    * ONCE per partition and feeds every payload through the same reader
+    * instance via a fresh in-memory stream; readers are not thread-safe,
+    * but a mapPartitions body is single-threaded per task. */
+  private final class ReusableReader(format: String) {
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName(format).next()
+    /** Run `f` with the reader bound to `bytes` (seekForwardOnly=false:
+      * multi-frame callers index frames randomly). */
+    def withInput[T](bytes: Array[Byte])(
+        f: javax.imageio.ImageReader => T): T = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis, false)
+      try f(reader)
+      finally { reader.setInput(null); iis.close() }
+    }
+    /** Decode image `idx` of the payload (0 for single-image formats). */
+    def read(bytes: Array[Byte], idx: Int = 0): java.awt.image.BufferedImage =
+      withInput(bytes)(_.read(idx))
+  }
+
   /** Encode a grayscale pixel grid as a REAL PNG via javax.imageio (JDK
     * codec — no external library). Fixture/ingest helper: one byte per
     * pixel, row-major. */
@@ -462,41 +491,41 @@ object MultimodalOps {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
+      .mapPartitions { rows =>
+        // one GIF reader per task (see [[ReusableReader]]): per-ROW reader
+        // construction is the same registry/alloc blocking channel as the
+        // video family's per-frame one, amplified by frame count
+        javax.imageio.ImageIO.setUseCache(false)
+        lazy val gifReader = new ReusableReader("gif")
+        rows.flatMap { case (id, bytes) =>
         val isGif = bytes.length > 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == '8'
         if (!isGif) Iterator.empty
-        else {
-          javax.imageio.ImageIO.setUseCache(false)
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-          reader.setInput(iis, false)
-          try {
-            val frames = reader.getNumImages(true)
-            def gray(idx: Int): Array[Int] = {
-              val img = reader.read(idx)
-              val (w, h) = (img.getWidth, img.getHeight)
-              Array.tabulate[Int](w * h)(i => img.getRGB(i % w, i / w) & 0xff)
-            }
-            var prev = if (frames > 0) gray(0) else Array.empty[Int]
-            (1 until frames).map { f =>
-              val cur = gray(f)
-              require(cur.length == prev.length, "frame size changed mid-GIF")
-              var sad = 0L
-              var i = 0
-              while (i < cur.length) {
-                sad += math.abs(cur(i) - prev(i)); i += 1
-              }
-              val out = (id, f.toLong, cur.length.toLong,
-                sad * 1000000L / cur.length)
-              prev = cur
-              out
-            }.iterator
-          } finally {
-            reader.dispose(); iis.close()
+        else gifReader.withInput(bytes) { reader =>
+          val frames = reader.getNumImages(true)
+          def gray(idx: Int): Array[Int] = {
+            val img = reader.read(idx)
+            val (w, h) = (img.getWidth, img.getHeight)
+            Array.tabulate[Int](w * h)(i => img.getRGB(i % w, i / w) & 0xff)
           }
+          var prev = if (frames > 0) gray(0) else Array.empty[Int]
+          // strict map INSIDE withInput: the reader's binding ends when
+          // withInput returns, so the frames must decode eagerly here
+          (1 until frames).map { f =>
+            val cur = gray(f)
+            require(cur.length == prev.length, "frame size changed mid-GIF")
+            var sad = 0L
+            var i = 0
+            while (i < cur.length) {
+              sad += math.abs(cur(i) - prev(i)); i += 1
+            }
+            val out = (id, f.toLong, cur.length.toLong,
+              sad * 1000000L / cur.length)
+            prev = cur
+            out
+          }.iterator
         }
+      }
       }
       .toDF(idCol, "frame_pair", "n_px", "mad_e6")
   }
@@ -507,17 +536,17 @@ object MultimodalOps {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
+      .mapPartitions { rows =>
+        // one GIF reader per task (see [[ReusableReader]])
+        javax.imageio.ImageIO.setUseCache(false)
+        lazy val gifReader = new ReusableReader("gif")
+        rows.flatMap { case (id, bytes) =>
         val isGif = bytes.length > 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == '8'
         if (isGif) {
-          javax.imageio.ImageIO.setUseCache(false)
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-          reader.setInput(iis, false) // random access: frame count up front
-          try {
+          gifReader.withInput(bytes) { reader =>
             val frames = reader.getNumImages(true)
+            // strict map: frames decode before the reader rebinds
             (0 until n).map { s =>
               val img = reader.read(s * frames / n)
               val (w, h) = (img.getWidth, img.getHeight)
@@ -526,8 +555,6 @@ object MultimodalOps {
               }
               (id, s, px)
             }
-          } finally {
-            reader.dispose(); iis.close()
           }
         } else {
           (0 until n).map { f =>
@@ -537,6 +564,7 @@ object MultimodalOps {
             (id, f, bytes.slice(from, until))
           }
         }
+      }
       }
       .toDF(idCol, "frame", "payload")
   }
@@ -637,7 +665,14 @@ object MultimodalOps {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
+      .mapPartitions { rows =>
+        // keep ImageIO off its disk-backed stream cache, and resolve the
+        // JPEG reader ONCE per task: per-frame ImageIO.read would re-walk
+        // the SPI registry and build/dispose a reader per keyframe — the
+        // off-CPU blocking channel the r14 diag flagged for this family
+        javax.imageio.ImageIO.setUseCache(false)
+        lazy val jpegReader = new ReusableReader("jpeg")
+        rows.flatMap { case (id, bytes) =>
         val isAvi = bytes.length > 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'A' &&
           bytes(9) == 'V' && bytes(10) == 'I'
@@ -645,10 +680,6 @@ object MultimodalOps {
           Iterator.single((id, 0,
             bytes.slice(0, math.max(1, bytes.length / 6))))
         } else {
-          // keep ImageIO off its disk-backed stream cache (same hygiene
-          // as the GIF arms): per-frame temp files would charge the
-          // decode kernel for file I/O
-          javax.imageio.ImageIO.setUseCache(false)
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           def fourcc(pos: Int): String =
@@ -684,8 +715,7 @@ object MultimodalOps {
                 at.map { p =>
                   val jpeg = java.util.Arrays
                     .copyOfRange(bytes, p + 8, p + 8 + size)
-                  val img = javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(jpeg))
+                  val img = jpegReader.read(jpeg)
                   val (w, h) = (img.getWidth, img.getHeight)
                   // raster samples, NOT getRGB: a gray JPEG decodes as
                   // TYPE_BYTE_GRAY and getRGB would run the gray→sRGB
@@ -701,6 +731,7 @@ object MultimodalOps {
             }
           }
         }
+      }
       }
       .toDF(idCol, "frame", "payload")
   }
