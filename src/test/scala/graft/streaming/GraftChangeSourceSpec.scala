@@ -267,4 +267,77 @@ class GraftChangeSourceSpec extends AnyFunSuite {
     assert(batches.flatten.map(_._1) === Seq(2L),
       "the backfilled prefix must not replay")
   }
+
+  /** SEAM CANARY (VERDICT r14 item 4): the source rides the V1
+    * `execution.streaming.Source` seam through the private graftbridge
+    * namespace — a considered decision (class doc in
+    * GraftChangeSource.scala), whose fragility trade this test ENFORCES
+    * mechanically instead of remembering. It fails loudly if a Spark
+    * upgrade drifts any piece of the contract the source depends on:
+    *  (1) getBatch must accept the RECOVERY offset type — the engine
+    *      re-hydrates checkpointed offsets as `SerializedOffset(json)`,
+    *      never the LongOffset the source emitted, so `o.json.trim.toInt`
+    *      is the real wire contract;
+    *  (2) the frame getBatch returns must be tagged streaming
+    *      (SqlBridge.streamingDf's private re-tag — MicroBatchExecution
+    *      rejects a batch-tagged frame);
+    *  (3) the on-disk offset log must round-trip the version LITERALLY:
+    *      the last line of `<ckpt>/offsets/<batch>` is exactly the
+    *      version int the source offered (what a restarted query feeds
+    *      back through (1));
+    *  (4) provider resolution: `format("graft")` must keep resolving to
+    *      GraftSourceProvider via DataSourceRegister. */
+  test("seam canary: V1 Source contract, SerializedOffset, offset-log round-trip") {
+    val dir = freshDir("graft-src-canary")
+    val ckpt = freshDir("graft-src-canary-ckpt")
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), dir, "b0")))
+    TxLog.commit(dir, Seq(TxLog.writeBatch(
+      Seq((3L, 3.0)).toDF("id", "v"), dir, "b1")))
+
+    // (4) registry: the short name resolves to OUR provider class
+    val providerClass = org.apache.spark.sql.execution.datasources.DataSource
+      .lookupDataSource("graft", spark.sessionState.conf)
+    assert(providerClass === classOf[GraftSourceProvider],
+      s"format(\"graft\") resolved to $providerClass")
+
+    // drive the seam exactly as MicroBatchExecution does: createSource,
+    // offer an offset, then hand getBatch a SerializedOffset — the type
+    // every RECOVERED offset arrives as (HDFSMetadataLog stores json text;
+    // the engine never reconstructs the source's own Offset subclass)
+    val provider = new GraftSourceProvider
+    val src = provider.createSource(spark.sqlContext,
+      freshDir("graft-src-canary-meta"), None, "graft", Map("path" -> dir))
+    val offered = src.getOffset
+    assert(offered.nonEmpty, "a table with commits must offer an offset")
+    assert(offered.get.json.trim.toInt === TxLog.latestVersion(dir),
+      s"offsets ARE versions: ${offered.get.json}")
+    val recovered =
+      org.apache.spark.sql.execution.streaming.runtime.SerializedOffset("1")
+    val w1 = src.getBatch(None, recovered) // (0, 1]: the first commit only
+    // (2) the returned frame must carry the streaming tag
+    assert(w1.isStreaming,
+      "getBatch must return a streaming-tagged frame (SqlBridge.streamingDf)")
+    // count the window through a fresh BATCH read of the same versions
+    // (a streaming-tagged frame can't collect directly)
+    val w1Rows = TxLog.readChanges(spark, dir, 0, 1).get.count()
+    assert(w1Rows === 2, s"window (0,1] must hold the 2 first-commit rows")
+    val w2 = src.getBatch(Some(recovered),
+      org.apache.spark.sql.execution.streaming.runtime.SerializedOffset("2"))
+    assert(w2.isStreaming && w2.schema.fieldNames.contains("sign"))
+    src.stop()
+
+    // (3) offset-log round-trip through a REAL query: after an
+    // AvailableNow drain, the newest offsets file's last line must be
+    // the bare version literal the source offered
+    val batches = drain(dir, ckpt)
+    assert(batches.flatten.map(_._1).sorted === Seq(1L, 2L, 3L))
+    val offDir = new java.io.File(ckpt, "offsets")
+    val newest = offDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    val lines = java.nio.file.Files.readAllLines(newest.toPath)
+    assert(lines.get(lines.size - 1).trim ===
+      TxLog.latestVersion(dir).toString,
+      s"offset log must store the bare version literal, got: $lines")
+  }
 }
