@@ -202,7 +202,9 @@ object GraftScanBridge {
     val classic =
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val hconf = classic.sessionState.newHadoopConf()
-    val dirs = dirEntries.map { case (d, blob) =>
+    def listOne(entry: (String, Option[String]))
+        : (Path, Array[FileStatus], Option[String]) = {
+      val (d, blob) = entry
       val p = new Path(d)
       val fs = p.getFileSystem(hconf)
       val st = fs.getFileStatus(p)
@@ -215,6 +217,17 @@ object GraftScanBridge {
         else Array(st)
       (p, parts, blob)
     }
+    // parallel listing above a small-table threshold (VERDICT r14 item 1
+    // watch item): one getFileStatus + listStatus PER batch dir serially
+    // on the driver is the scan-planning bottleneck of a many-leaf table
+    // (10⁴–10⁶ dirs × an object-store round-trip each); Spark's own
+    // InMemoryFileIndex parallelizes the identical loop above
+    // `listingParallelismThreshold`. 16 threads: FS clients are cached
+    // per scheme, listStatus is I/O-bound, driver CPU stays marginal.
+    val dirs =
+      if (dirEntries.size <= 64) dirEntries.map(listOne)
+      else org.apache.spark.util.ThreadUtils.parmap(
+        dirEntries.toSeq, "graft-scan-listing", 16)(listOne)
     val fmt = new ParquetFileFormat
     val allParts = dirs.flatMap(_._2.toSeq)
     val options = Map("mergeSchema" -> mergeSchema.toString)

@@ -380,6 +380,28 @@ object TxLog {
     }
   }
 
+  /** Stream a log file's lines through `f` WITHOUT materializing the
+    * file as one String (VERDICT r14 item 1): at the million-file
+    * regime a checkpoint is ~100 MB of text, and the transient
+    * byte[]+String+linesIterator copies of [[readLogFile]] would triple
+    * the driver's replay footprint and stress the collector right when
+    * the live map is growing. Commit-sized manifests keep using
+    * [[readLogFile]] — for them the copy is noise. */
+  private def logLines[T](dir: String, p: Path, what: String)(
+      f: Iterator[String] => T): T = {
+    val fs = fsOf(p)
+    val in =
+      try fs.open(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(s"txlog: missing $what of $dir")
+      }
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, StandardCharsets.UTF_8), 1 << 16)
+    try f(Iterator.continually(rd.readLine()).takeWhile(_ != null))
+    finally rd.close()
+  }
+
   /** Mutable holder for the column-mapping state a replay accumulates —
     * `None` until the first `colmap` action (identity behavior: tables
     * never renamed/dropped pay nothing, old logs replay unchanged).
@@ -424,11 +446,11 @@ object TxLog {
 
   private def replayInto(
       live: scala.collection.mutable.LinkedHashMap[String, Option[String]],
-      text: String, what: String,
+      lines: Iterator[String], what: String,
       dv: scala.collection.mutable.LinkedHashMap[String, String] =
         scala.collection.mutable.LinkedHashMap.empty,
       cm: ColMapBox = new ColMapBox): Unit =
-    text.linesIterator.foreach { line =>
+    lines.foreach { line =>
       line.split("\t", 3) match {
         case Array("add", p)        => live(p) = None;     dv.remove(p)
         case Array("add", p, st)    => live(p) = Some(st); dv.remove(p)
@@ -493,10 +515,11 @@ object TxLog {
     val p =
       if (listLog(dir).contains(f"v$v%08d.json")) manifest(dir, v)
       else checkpointFile(dir, v)
-    val text = readLogFile(dir, p, s"manifest v$v")
-    text.linesIterator.collectFirst {
+    // streamed with early exit: the header is the first line, so a
+    // million-entry checkpoint's timestamp costs one buffered read
+    logLines(dir, p, s"manifest v$v")(_.collectFirst {
       case l if l.startsWith("meta\tts\t") => l.split("\t", 3)(2).toLong
-    }.getOrElse(fsOf(p).getFileStatus(p).getModificationTime)
+    }).getOrElse(fsOf(p).getFileStatus(p).getModificationTime)
   }
 
   /** Timestamp-based time travel resolution (public precedent: Delta's
@@ -781,16 +804,14 @@ object TxLog {
     val cm = new ColMapBox
     val from = latestCheckpointVersion(dir, upTo) match {
       case Some(cv) =>
-        replayInto(live,
-          readLogFile(dir, checkpointFile(dir, cv), f"checkpoint c$cv%08d"),
-          f"checkpoint c$cv%08d", dv, cm)
+        logLines(dir, checkpointFile(dir, cv), f"checkpoint c$cv%08d")(
+          replayInto(live, _, f"checkpoint c$cv%08d", dv, cm))
         cv + 1
       case None => 1
     }
     (from to upTo).foreach { v =>
-      replayInto(live,
-        readLogFile(dir, manifest(dir, v), s"manifest v$v (asOf=$asOf)"),
-        s"v$v", dv, cm)
+      logLines(dir, manifest(dir, v), s"manifest v$v (asOf=$asOf)")(
+        replayInto(live, _, s"v$v", dv, cm))
     }
     (live.toSeq, dv, cm)
   }
@@ -1048,9 +1069,11 @@ object TxLog {
     * table must not re-apply batches the pipeline already delivered. */
   def txnVersion(dir: String, app: String): Option[Long] = {
     val key = s"meta\ttxn\t${encCol(app)}\t"
-    def markIn(text: String): Option[Long] = {
+    // streamed (logLines), not materialized: the checkpoint fallback
+    // reads the FULL live set's file at the million-file regime
+    def markIn(lines: Iterator[String]): Option[Long] = {
       var out: Option[Long] = None // last-wins within one file
-      text.linesIterator.foreach { l =>
+      lines.foreach { l =>
         if (l.startsWith(key)) out = Some(l.substring(key.length).toLong)
       }
       out
@@ -1062,11 +1085,10 @@ object TxLog {
     val newestFirst = names.collect { case ManifestName(d) => d.toInt }
       .filter(_ > floor).sorted.reverse
     newestFirst.iterator
-      .flatMap(v => markIn(readLogFile(dir, manifest(dir, v),
-        s"manifest v$v")))
+      .flatMap(v => logLines(dir, manifest(dir, v), s"manifest v$v")(markIn))
       .nextOption()
-      .orElse(latestCp.flatMap(cv => markIn(
-        readLogFile(dir, checkpointFile(dir, cv), f"checkpoint c$cv%08d"))))
+      .orElse(latestCp.flatMap(cv => logLines(dir,
+        checkpointFile(dir, cv), f"checkpoint c$cv%08d")(markIn)))
   }
 
   /** ADD CONSTRAINT — attach a persistent CHECK rule to the table as a
@@ -1383,24 +1405,33 @@ object TxLog {
     // needs at-or-before ordering per store. Deletion-vector bindings
     // are part of the snapshot state and serialize AFTER the adds (a dv
     // line only binds to an already-live path).
-    val body = metaHeader() + (entries.map {
-      case (p, Some(st)) => s"add\t$p\t$st"
-      case (p, None)     => s"add\t$p"
-    } ++ entries.flatMap { case (p, _) =>
-      dvs.get(p).map(d => s"dv\t$p\t$d")
-    } ++ cmAtV.m.map(m => s"colmap\t${renderColMap(m)}")
-      ++ cmAtV.types.toSeq.map { case (p, t) =>
-        s"coltype\t${encCol(p)}\t${encCol(t)}" // addColumn registry rides
-      }                                        // checkpoints like colmap
-      ++ cmAtV.checks.toSeq.map { case (n, e) =>
-        s"constraint\t${encCol(n)}\t${encCol(e)}"
-      }
-      ++ cmAtV.txns.toSeq.map { case (a, id) =>
-        s"meta\ttxn\t${encCol(a)}\t$id" // idempotence marks survive
-      }                                 // log retention
-    ).mkString("", "\n", "\n")
+    // STREAMED write (VERDICT r14 item 1): at 10⁶ live files the body is
+    // ~100 MB of text — mkString + getBytes would hold body AND bytes on
+    // the driver at once; line-at-a-time through a buffered writer keeps
+    // the write O(1) in memory regardless of live-set size
     val out = fs.create(tmp, false)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8), 1 << 16)
+    try {
+      w.write(metaHeader())
+      entries.foreach {
+        case (p, Some(st)) => w.write(s"add\t$p\t$st\n")
+        case (p, None)     => w.write(s"add\t$p\n")
+      }
+      entries.foreach { case (p, _) =>
+        dvs.get(p).foreach(d => w.write(s"dv\t$p\t$d\n"))
+      }
+      cmAtV.m.foreach(m => w.write(s"colmap\t${renderColMap(m)}\n"))
+      cmAtV.types.foreach { case (p, t) =>
+        w.write(s"coltype\t${encCol(p)}\t${encCol(t)}\n") // addColumn
+      }                                  // registry rides checkpoints
+      cmAtV.checks.foreach { case (n, e) =>
+        w.write(s"constraint\t${encCol(n)}\t${encCol(e)}\n")
+      }
+      cmAtV.txns.foreach { case (a, id) =>
+        w.write(s"meta\ttxn\t${encCol(a)}\t$id\n") // idempotence marks
+      }                                            // survive retention
+    } finally w.close()
     if (!claim(fs, tmp, checkpointFile(dir, v)))
       throw new IllegalStateException(
         s"txlog: checkpoint race for version $v of $dir — already written")
@@ -1448,8 +1479,8 @@ object TxLog {
     val added = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[String]]
     ((fromVersion + 1) to toVersion).foreach { v =>
-      replayInto(added,
-        readLogFile(dir, manifest(dir, v), s"manifest v$v"), s"v$v")
+      logLines(dir, manifest(dir, v), s"manifest v$v")(
+        replayInto(added, _, s"v$v"))
     }
     added.keys.toSeq
   }
