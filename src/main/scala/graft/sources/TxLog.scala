@@ -73,6 +73,27 @@ object TxLog {
 
   private def logDir(dir: String) = new Path(dir, "_txlog")
 
+  /** Lost-race backoff: RANDOMIZED up to a linear-in-attempt cap.
+    * Deterministic sleeps phase-lock contending writers — they wake
+    * together, race for the same version slot, and the same loser can
+    * lose many straight rounds (tools/MultiWriterProbe measured blind
+    * appends exhausting a 16-attempt bound at 4 writers + a compactor
+    * under the old `sleep(min(5·attempt, 100))`); the jitter
+    * decorrelates wake times so every writer lands within a few
+    * attempts (the standard randomized-backoff result). */
+  private def raceBackoff(attempt: Int): Unit = {
+    val cap = math.min(5L * attempt, 100L)
+    Thread.sleep(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(1, cap + 1))
+  }
+
+  /** Default lost-race attempt bound. 64, not 16: a blind append always
+    * succeeds eventually (no conflict to re-validate), and the r15
+    * multi-writer probe showed 16 is reachable under modest contention;
+    * at 64 with jittered backoff the worst case is a few seconds of
+    * waiting, far preferable to failing a correct write. */
+  private val MaxCommitAttempts = 64
+
   private def manifest(dir: String, v: Int) =
     new Path(logDir(dir), f"v$v%08d.json")
 
@@ -254,7 +275,7 @@ object TxLog {
     * This is the helper every multi-writer caller was hand-rolling;
     * single-writer paths can keep calling [[commit]] directly. */
   def commitWithRetry(dir: String, add: Seq[String],
-      remove: Seq[String] = Nil, maxAttempts: Int = 16): Int = {
+      remove: Seq[String] = Nil, maxAttempts: Int = MaxCommitAttempts): Int = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     var attempt = 0
     var out = -1
@@ -268,7 +289,7 @@ object TxLog {
             throw new IllegalStateException(
               s"txlog: still losing the version race after $maxAttempts " +
                 s"attempts on $dir — writer contention needs backpressure", e)
-          Thread.sleep(math.min(5L * attempt, 100L))
+          raceBackoff(attempt)
       }
     }
     out
@@ -296,7 +317,7 @@ object TxLog {
     * in `remove`) and cost one retry — the same conflict matrix the
     * Delta protocol documents for compaction vs append. */
   def commitRewrite(dir: String, add: Seq[(String, Option[String])],
-      remove: Seq[String], maxAttempts: Int = 16,
+      remove: Seq[String], maxAttempts: Int = MaxCommitAttempts,
       dvSets: Seq[(String, Option[String])] = Nil,
       basedOnDvs: Option[Map[String, String]] = None,
       colMap: Option[Seq[(String, String)]] = None,
@@ -358,7 +379,7 @@ object TxLog {
             throw new IllegalStateException(
               s"txlog: still losing the version race after $maxAttempts " +
                 s"attempts on $dir — writer contention needs backpressure", e)
-          Thread.sleep(math.min(5L * attempt, 100L))
+          raceBackoff(attempt)
       }
     }
     out
@@ -929,7 +950,7 @@ object TxLog {
   private def commitColMap(dir: String,
       mutate: Seq[(String, String)] => Seq[(String, String)],
       bootstrap: () => Seq[(String, String)],
-      maxAttempts: Int = 16): Int = {
+      maxAttempts: Int = MaxCommitAttempts): Int = {
     var attempt = 0
     var out = -1
     while (out < 0) {
@@ -940,7 +961,7 @@ object TxLog {
         case e: IllegalStateException
             if e.getMessage != null && e.getMessage.contains("lost the race") =>
           if (attempt >= maxAttempts) throw e
-          Thread.sleep(math.min(5L * attempt, 100L))
+          raceBackoff(attempt)
       }
     }
     out
@@ -1042,8 +1063,8 @@ object TxLog {
         case e: IllegalStateException
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
-          if (attempt >= 16) throw e
-          Thread.sleep(math.min(5L * attempt, 100L))
+          if (attempt >= MaxCommitAttempts) throw e
+          raceBackoff(attempt)
       }
     }
     out
@@ -1152,8 +1173,8 @@ object TxLog {
         case e: IllegalStateException
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
-          if (attempt >= 16) throw e
-          Thread.sleep(math.min(5L * attempt, 100L))
+          if (attempt >= MaxCommitAttempts) throw e
+          raceBackoff(attempt)
       }
     }
     out
@@ -1233,14 +1254,14 @@ object TxLog {
           case e: IllegalStateException
               if e.getMessage != null &&
                 e.getMessage.contains("lost the race") =>
-            if (attempt >= 16) throw e
+            if (attempt >= MaxCommitAttempts) throw e
             // the race loser re-validates: the winning commit may have
             // been an [[addConstraint]], and an append that raced it
             // must not land unvalidated (every constraint add bumps the
             // version, so a concurrent append ALWAYS loses its claim
             // and passes back through here — the window is closed)
             enforceChecks(spark, dir, df, "append")
-            Thread.sleep(math.min(5L * attempt, 100L))
+            raceBackoff(attempt)
         }
       }
       out
@@ -1290,9 +1311,9 @@ object TxLog {
             case e: IllegalStateException
                 if e.getMessage != null &&
                   e.getMessage.contains("lost the race") =>
-              if (attempt >= 16) throw e
+              if (attempt >= MaxCommitAttempts) throw e
               enforceChecks(spark, dir, df, "append") // re-validate (race)
-              Thread.sleep(math.min(5L * attempt, 100L))
+              raceBackoff(attempt)
           }
         }
         out
@@ -1346,9 +1367,9 @@ object TxLog {
         case e: IllegalStateException
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
-          if (attempt >= 16) throw e
+          if (attempt >= MaxCommitAttempts) throw e
           enforceChecks(spark, dir, df, "overwrite") // re-validate (race)
-          Thread.sleep(math.min(5L * attempt, 100L))
+          raceBackoff(attempt)
       }
     }
     out
@@ -3118,9 +3139,9 @@ object TxLog {
         case e: IllegalStateException
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
-          if (attempt >= 16) throw e
+          if (attempt >= MaxCommitAttempts) throw e
           enforceChecks(spark, dir, df, "partitioned append")
-          Thread.sleep(math.min(5L * attempt, 100L))
+          raceBackoff(attempt)
       }
     }
     out
@@ -3160,10 +3181,10 @@ object TxLog {
         case e: IllegalStateException
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
-          if (attempt >= 16) throw e
+          if (attempt >= MaxCommitAttempts) throw e
           enforceChecks(spark, dir, df, // re-validate (race)
             "partitioned overwrite")
-          Thread.sleep(math.min(5L * attempt, 100L))
+          raceBackoff(attempt)
       }
     }
     out
@@ -3189,8 +3210,8 @@ object TxLog {
         case e: IllegalStateException
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
-          if (attempt >= 16) throw e
-          Thread.sleep(math.min(5L * attempt, 100L))
+          if (attempt >= MaxCommitAttempts) throw e
+          raceBackoff(attempt)
       }
     }
     out
@@ -3501,8 +3522,8 @@ object TxLog {
         case e: IllegalStateException
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
-          if (attempt >= 16) throw e
-          Thread.sleep(math.min(5L * attempt, 100L))
+          if (attempt >= MaxCommitAttempts) throw e
+          raceBackoff(attempt)
       }
     }
     out
