@@ -3287,6 +3287,44 @@ object Queries {
       COUNT(*) AS cnt, MIN(doc_id) AS min_id
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
+  /** Video-container ROUTING ([[MultimodalOps.routeKeyframes]], VERDICT
+    * r14 item 8): payloads built with REAL published magics — ISO-BMFF
+    * `ftyp` (mp4), RIFF/WEBP, EBML (webm), plus a neutral byte — all
+    * route to the EXPLICIT documented-refusal stub arm (no JDK codec
+    * for those bitstreams; `decoded = false`, format kept, payload =
+    * the deterministic first-⌊n/6⌋ slice). The AVI arm's REAL decode is
+    * gated separately (q_video_keyframes). Spark derives format and
+    * stub size FROM THE BYTES; the oracle replays the construction
+    * rule — matching proves sniff AND slice arithmetic. */
+  private val qVideoRoute = QuerySpec(
+    "q_video_route",
+    (s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      val magic = when(m === 0, concat(
+          lit(Array[Byte](0, 0, 0, 32)), lit("ftypisom".getBytes("UTF-8"))))
+        .when(m === 1, concat(lit("RIFF".getBytes("UTF-8")),
+          lit(Array[Byte](0, 0, 0, 0)), lit("WEBP".getBytes("UTF-8"))))
+        .when(m === 2, lit(Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte)))
+        .otherwise(lit(Array[Byte](0x00)))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(magic, encode(col("text"), "utf-8")).as("payload"))
+      MultimodalOps.routeKeyframes(docs, "doc_id", "payload")
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(length(col("payload"))).as("stub_bytes"),
+          every(!col("decoded")).as("all_stub"))
+        .orderBy("format")
+    },
+    Some("""SELECT CASE doc_id % 4 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webp'
+        WHEN 2 THEN 'webm' ELSE 'unknown' END AS format,
+      COUNT(*) AS cnt,
+      CAST(SUM(GREATEST(1, (CASE doc_id % 4 WHEN 0 THEN 12 WHEN 1 THEN 12
+          WHEN 2 THEN 4 ELSE 1 END + octet_length(encode(text))) // 6))
+        AS BIGINT) AS stub_bytes,
+      TRUE AS all_stub
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
   /** Ingestion-time dedup ([[DedupOps.incrementalExactDedup]]): the second
     * half of the corpus arrives as a batch and drops anything whose content
     * hash is already in the first half (or duplicated within the batch —
@@ -13762,6 +13800,7 @@ object Queries {
     qStratifiedSample, qVocab,
     qClassWeights, qDedupClustersStar, qAnnRecall, qApproxPercentile,
     qBloomJoin, qSurprisal, qCogroup, qStreamJdbc, qSniffFormat,
+    qVideoRoute,
     qIncrementalDedup, qEquiDepth, qContamination,
     qCorpusMix, qTemperatureMix, qC4Clean, qGopherQuality, qCmsTokens,
     qTxlogCmsIvm, qPackSequences, qTokenBudget, qZorder,
