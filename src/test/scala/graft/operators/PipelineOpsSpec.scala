@@ -95,16 +95,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 13, 10, 26, 10)), // png
       (2L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte, 0, 1)), // jpeg (any 4th byte)
       (3L, "RIFF1234WAVEfmt ".getBytes("UTF-8")), // wav
-      (4L, "RIFF1234AVI LIST".getBytes("UTF-8")), // riff but NOT wave
+      (4L, "RIFF1234AVI LIST".getBytes("UTF-8")), // riff AVI subtype (r15)
       (5L, Array[Byte](0x89.toByte, 0x50)), // truncated magic
       (6L, Array.empty[Byte]),
-      (7L, "%PDF-1.7".getBytes("UTF-8"))
+      (7L, "%PDF-1.7".getBytes("UTF-8")),
+      (8L, Array[Byte](0, 0, 0, 32) ++ "ftypisom".getBytes("UTF-8")), // mp4
+      (9L, "RIFF1234WEBPVP8 ".getBytes("UTF-8")), // webp
+      (10L, Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte)), // webm/EBML
+      (11L, "RIFF1234MIDI".getBytes("UTF-8")) // riff, unknown subtype
     ).toDF("id", "payload")
     val got = rows.select(col("id"),
       MultimodalOps.sniffFormat(col("payload")).as("f"))
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "wav",
-      4L -> "unknown", 5L -> "unknown", 6L -> "unknown", 7L -> "pdf"))
+      4L -> "avi", 5L -> "unknown", 6L -> "unknown", 7L -> "pdf",
+      8L -> "mp4", 9L -> "webp", 10L -> "webm", 11L -> "unknown"))
   }
 
   test("incrementalExactDedup: seen dropped, in-batch dupes first-wins") {
