@@ -9932,6 +9932,66 @@ object Queries {
       FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** `PARTITIONED BY (bucket(8, c_name))` — the HASH-BUCKET partition
+    * transform (Iceberg's bucket transform; r15): the ingest clusters
+    * rows into one leaf per portable-bucket value, each leaf's manifest
+    * blob carries an EXACT `#bk#` membership segment (the literal's
+    * bucket is recomputed at plan time — O(1) per leaf, never
+    * saturating like a data bloom would at high per-leaf cardinality),
+    * so a point predicate on the 1500-distinct-value key — the query
+    * never names the transform — prunes to exactly its bucket's leaf.
+    * REQUIREd: 8 leaves, 1-of-8 for the point query. Hash: per-bucket
+    * counts and balance sums, the bucket arithmetic replayed by the
+    * oracle through the md5 twin. */
+  private val qSqlPartitionedBucket = QuerySpec(
+    "q_sql_partitioned_bucket",
+    (s, dir) => {
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.custbk_$tag")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .filter(col("c_name").isNotNull)
+        .createOrReplaceTempView(s"custbk_src_$tag")
+      s.sql(s"CREATE TABLE graft.sql.custbk_$tag " +
+        "(c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE) " +
+        "USING graft PARTITIONED BY (bucket(8, c_name))")
+      s.sql(s"INSERT INTO graft.sql.custbk_$tag " +
+        s"SELECT c_custkey, c_name, c_acctbal FROM custbk_src_$tag")
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val total = plannedFiles(s.sql(s"SELECT * FROM graft.sql.custbk_$tag"))
+      require(total == 8, s"bucket(8, c_name) over 1500 distinct names " +
+        s"must land 8 leaves, got $total")
+      val probe = s.sql(s"SELECT min(c_name) FROM custbk_src_$tag")
+        .collect().head.getString(0)
+      val one = s.sql(s"SELECT c_custkey FROM graft.sql.custbk_$tag " +
+        s"WHERE c_name = '$probe'")
+      require(plannedFiles(one) == 1,
+        s"a c_name point predicate must plan exactly 1 of 8 bucket " +
+          s"leaves (#bk# exact membership), planned ${plannedFiles(one)}")
+      s.sql(s"SELECT pmod(CAST(conv(substr(md5(c_name), 1, 8), 16, 10) " +
+          s"AS BIGINT), 8) AS bucket, c_acctbal " +
+          s"FROM graft.sql.custbk_$tag")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(coalesce(col("c_acctbal"), lit(0.0)))
+            .as("sum_bal"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT CAST('0x' || substr(md5(c_name), 1, 8) AS BIGINT) % 8
+        AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(COALESCE(c_acctbal, 0.0) AS DECIMAL(18,6)))
+        AS DOUBLE) AS sum_bal
+      FROM customer WHERE c_name IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** REPLACE WHERE ([[graft.sources.TxLog.replaceWhere]], Delta's
     * replaceWhere analogue — the static-partition-overwrite workhorse):
     * one atomic commit swaps every row in a value window for fresh
@@ -13852,7 +13912,7 @@ object Queries {
     qSqlShowPartitions, qSqlOptimizePart, qSqlAutoStats, qSqlConstraint,
     qSqlRestoreClone, qSqlPartitioned2, qSqlPartAddColumn,
     qSqlDescribeDetail, qTxlogReplaceWhere, qSqlPartitionedDays,
-    qSqlPartitionedMonths,
+    qSqlPartitionedMonths, qSqlPartitionedBucket,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

@@ -158,13 +158,21 @@ private[graftbridge] object GraftStatsFileIndex {
     case _ => Nil
   }
 
-  /** STRING literal of a pushed predicate, rendered exactly as the blob
-    * writers rendered values (`col.cast("string")` — for a string
-    * column that is the value itself). Non-string literals return None:
-    * guessing a numeric's string rendering risks a false SKIP, and
-    * numerics already prune through range bounds. */
+  /** STRING rendering of a pushed predicate's literal, exactly as the
+    * blob writers rendered values (`col.cast("string")` — for a string
+    * column the value itself; for an INTEGRAL column the decimal
+    * digits, which cast-to-string renders identically on every engine,
+    * so bucket/bloom segments on integer keys prune too). Fractional /
+    * decimal / temporal literals return None: their string renderings
+    * are engine- and scale-dependent ("7.0" vs "7"), and guessing
+    * risks a false SKIP — those columns already prune through range
+    * bounds. */
   private def litString(l: Literal): Option[String] = l.value match {
     case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case (_: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+          _: java.lang.Byte)
+        if l.dataType.isInstanceOf[org.apache.spark.sql.types.IntegralType] =>
+      Some(l.value.toString)
     case _ => None
   }
 

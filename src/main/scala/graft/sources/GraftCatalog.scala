@@ -133,9 +133,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case Array("external", v) => ext = v.toBoolean
       case Array("schema", v) if v.nonEmpty =>
         schema = StructType.fromDDL(v)
-      // comma-joined for composite specs; a pre-composite meta holds one
+      // comma-joined for composite specs; each spec percent-encoded so
+      // a bucket(n,col) spec's own comma survives the join (decoding is
+      // the identity on legacy plain-column entries — identifiers never
+      // contain '%')
       case Array("partcol", v) if v.nonEmpty =>
         pcs = v.split(",").toSeq.filter(_.nonEmpty)
+          .map(java.net.URLDecoder.decode(_, "UTF-8"))
       case _ =>
     })
     Some(TableMeta(loc, ext, schema, pcs))
@@ -151,7 +155,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"location\t${meta.location}\nexternal\t${meta.external}\n" +
         s"schema\t${if (meta.declared.isEmpty) "" else meta.declared.toDDL}\n" +
         (if (meta.partCols.isEmpty) ""
-         else s"partcol\t${meta.partCols.mkString(",")}\n")
+         else "partcol\t" + meta.partCols
+           .map(java.net.URLEncoder.encode(_, "UTF-8"))
+           .mkString(",") + "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     // same atomic create-if-absent claim as a TxLog manifest: one winner
@@ -202,16 +208,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     // PARTITIONED BY (a, b, …): identity transforms over top-level
-    // columns, plus the TIME-BUCKETING transforms days/months/years/
-    // hours(ts) (Iceberg's partition-transform surface) — every INSERT
-    // then routes through the partitioned ingest (one manifest entry
-    // per value COMBINATION; identity levels carry exact min=max +
-    // one-value bloom stats from their dirname, transform levels carry
-    // true per-leaf min/max on the SOURCE column so raw `ts` predicates
-    // prune day leaves), and the scan-planning FileIndex prunes a
-    // filter on ANY partition column. Bucket/truncate transforms have
-    // no per-value pruning story here and are rejected loudly rather
-    // than silently degraded.
+    // columns, the TIME-BUCKETING transforms days/months/years/
+    // hours(ts), and hash buckets bucket(n, col) (Iceberg's
+    // partition-transform surface) — every INSERT then routes through
+    // the partitioned ingest (one manifest entry per value COMBINATION;
+    // identity levels carry exact min=max + one-value bloom stats from
+    // their dirname, time levels carry true per-leaf min/max on the
+    // SOURCE column so raw `ts` predicates prune day leaves, bucket
+    // levels carry an exact `#bk#` membership segment so a point
+    // predicate prunes to 1 of n leaves), and the scan-planning
+    // FileIndex prunes a filter on ANY partition column. The truncate
+    // transform has no pruning story here and stays rejected loudly
+    // rather than silently degraded.
     val timeFns = Set("days", "months", "years", "hours")
     val partCols = partitions.toSeq.map {
       case t if (t.name == "identity" || timeFns(t.name)) &&
@@ -223,9 +231,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(!c.contains(",") && !c.contains("(") && !c.contains(")"),
           s"graft: unsupported characters in partition column name: $c")
         if (t.name == "identity") c else s"${t.name}($c)"
+      case t if t.name == "bucket" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        val c = t.references.head.fieldNames.head
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Number] =>
+            l.value.asInstanceOf[Number].intValue()
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"graft: bucket transform needs a literal modulus, got: $t"))
+        require(schema.isEmpty || schema.fieldNames.contains(c),
+          s"graft: PARTITIONED BY column '$c' is not in the table schema")
+        require(!c.contains(",") && !c.contains("(") && !c.contains(")"),
+          s"graft: unsupported characters in partition column name: $c")
+        s"bucket($n,$c)"
       case other => throw new UnsupportedOperationException(
-        "graft: PARTITIONED BY supports top-level identity columns and " +
-          s"days/months/years/hours(col), got: $other")
+        "graft: PARTITIONED BY supports top-level identity columns, " +
+          s"days/months/years/hours(col), and bucket(n, col), got: $other")
     }
     require(partCols.distinct == partCols,
       s"graft: duplicate PARTITIONED BY columns: ${partCols.mkString(", ")}")
@@ -259,7 +281,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case p: TableChange.AddColumn if meta.partCols.nonEmpty &&
           meta.partCols.exists(spec =>
             spec == p.fieldNames.headOption.getOrElse("") ||
-              spec.endsWith(s"(${p.fieldNames.headOption.getOrElse("")})")) =>
+              spec.endsWith(s"(${p.fieldNames.headOption.getOrElse("")})") ||
+              spec.endsWith(s",${p.fieldNames.headOption.getOrElse("")})")) =>
         throw new UnsupportedOperationException(
           "graft: ADD COLUMN must not shadow a partition column")
       case r: TableChange.RenameColumn =>
@@ -418,6 +441,11 @@ final case class GraftTable(qualified: String, dir: String, asOf: Int,
       TableCatalog.PROP_LOCATION -> dir).asJava
 
   override def partitioning(): Array[Transform] = partCols.toArray.map {
+    case s if s.startsWith("bucket(") && s.endsWith(")") =>
+      val Array(n, c) = s.stripPrefix("bucket(").stripSuffix(")")
+        .split(",", 2)
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(
+        n.trim.toInt, c.trim)
     case s if s.endsWith(")") && s.contains("(") =>
       val fn = s.takeWhile(_ != '(')
       val c = s.drop(fn.length + 1).dropRight(1)

@@ -715,28 +715,43 @@ object TxLog {
     if (segs.isEmpty) None else Some(segs.mkString(","))
   }
 
-  /** Driver-side replay of the probe arithmetic in [[bloomBlob]]: the
-    * same md5-hex-prefix bucket [[graft.functions.TextFunctions.portableBucket]]
-    * computes, applied to the value's STRING form (pass exactly what
-    * `col.cast("string")` would print). */
-  private def bloomPositions(value: String, bits: Int): Seq[Int] = {
-    def bucket(s: String): Int = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes(StandardCharsets.UTF_8))
-        .take(4).map(b => f"$b%02x").mkString
-      (java.lang.Long.parseLong(hex, 16) % bits).toInt
-    }
-    Seq(bucket(value), bucket(s"bf2|$value"))
+  /** Driver-side replay of THE portable bucket
+    * ([[graft.functions.TextFunctions.portableBucket]]): first 8 md5
+    * hex of the value's STRING form (pass exactly what
+    * `col.cast("string")` would print), mod `mod`. */
+  private def portableBucketOf(value: String, mod: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes(StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % mod
   }
 
-  /** THE bloom-segment membership rule, shared by [[readPrunedByKey]]
-    * and the scan-planning FileIndex's string-equality skipping (one
-    * grammar, one implementation, like [[statsOverlap]]): can a file
-    * with blob `st` contain `value` in `column`? No blob, or no bloom
-    * segment for this column → yes (correctness over skipping). */
+  /** Probe positions of [[bloomBlob]]'s arithmetic for one value. */
+  private def bloomPositions(value: String, bits: Int): Seq[Int] =
+    Seq(portableBucketOf(value, bits).toInt,
+      portableBucketOf(s"bf2|$value", bits).toInt)
+
+  /** THE point-membership rule, shared by [[readPrunedByKey]] and the
+    * scan-planning FileIndex's string-equality skipping (one grammar,
+    * one implementation, like [[statsOverlap]]): can a file with blob
+    * `st` contain `value` in `column`? Consults BOTH the bloom segment
+    * (`#bf#col;bits;b64` — probabilistic, absence proofs exact) and a
+    * bucket-transform segment (`#bk#col;n;v`, written by the
+    * partitioned ingest's bucket levels — EXACT: the value's portable
+    * bucket must equal the leaf's). No blob, or no segment for this
+    * column → yes (correctness over skipping). */
   private def bloomMayContain(st: Option[String], column: String,
-      value: String): Boolean =
-    st.flatMap(_.split(",").find(_.startsWith(s"#bf#$column;"))) match {
+      value: String): Boolean = {
+    val segs = st.toSeq.flatMap(_.split(","))
+    // all-null marker: a non-null equality can never match
+    if (segs.contains(s"#nn#$column")) return false
+    val bucketOk = segs.find(_.startsWith(s"#bk#$column;")) match {
+      case None => true
+      case Some(seg) =>
+        val Array(_, nStr, vStr) = seg.split(";", 3)
+        portableBucketOf(value, nStr.toLong) == vStr.toLong
+    }
+    bucketOk && (segs.find(_.startsWith(s"#bf#$column;")) match {
       case None => true
       case Some(seg) =>
         val Array(_, bitsStr, b64) = seg.split(";", 3)
@@ -744,7 +759,8 @@ object TxLog {
         val bs = java.util.BitSet.valueOf(
           java.util.Base64.getDecoder.decode(b64))
         bloomPositions(value, bits).forall(bs.get)
-    }
+    })
+  }
 
   /** Point-lookup file skipping: keep only files whose bloom segment for
     * `column` might contain `value` (files without one always read —
@@ -2180,7 +2196,9 @@ object TxLog {
     * min/max a bloom. */
   private def statColsOf(st: Option[String]): Seq[String] =
     st.toSeq.flatMap(_.split(",")).map(_.split(";", 3)(0))
-      .filterNot(_.startsWith("#bf#")).distinct
+      .filterNot(s => s.startsWith("#bf#") || s.startsWith("#bk#") ||
+        s.startsWith("#nn#"))
+      .distinct
 
   /** THE stats-blob overlap rule, shared by [[readPruned]] and the merge
     * probe pre-pruning (one grammar, one implementation): can a file
@@ -2190,7 +2208,10 @@ object TxLog {
       lo: Double, hi: Double): Boolean = st match {
     case None => true
     case Some(s) =>
-      s.split(",").iterator.map(_.split(";", 3)).collectFirst {
+      // the all-null marker (`#nn#col`, transform default leaves) is
+      // exact: no non-null value exists, so no range can overlap
+      if (s.split(",").contains(s"#nn#$column")) false
+      else s.split(",").iterator.map(_.split(";", 3)).collectFirst {
         case Array(c, mn, mx) if c == column =>
           !(mx.toDouble < lo || mn.toDouble > hi)
       }.getOrElse(true)
@@ -3224,28 +3245,60 @@ object TxLog {
   private def pvName(i: Int): String = if (i == 0) "__pv" else s"__pv$i"
 
   /** One level of a partition spec. `spec` is the canonical rendering
-    * ("region" / "days(ts)"), `source` the table column the value
-    * derives from, `deriveSql` the string-valued derivation, and
+    * ("region" / "days(ts)" / "bucket(8,k)"), `source` the table column
+    * the value derives from, `deriveSql` the string-valued derivation,
     * `dirnameStats` whether the leaf DIRNAME itself yields exact
-    * min=max/bloom stats (true for identity values; a TRANSFORM level
-    * gets its skipping from per-leaf stats on the SOURCE column
+    * min=max/bloom stats (true for identity values; a TIME transform
+    * level gets its skipping from per-leaf stats on the SOURCE column
     * instead — one columnar read per leaf, so a raw `ts` predicate
-    * prunes day leaves without the query ever naming the transform). */
+    * prunes day leaves without the query ever naming the transform),
+    * and `bucketMod` the modulus of a `bucket(n, col)` level — whose
+    * skipping is EXACT and O(1): the leaf carries a `#bk#col;n;v`
+    * segment and the membership rule recomputes the literal's bucket at
+    * plan time (Iceberg's transform-aware pruning), so a point
+    * predicate prunes to 1 of n leaves regardless of per-leaf value
+    * cardinality (a data bloom would saturate). */
   private[sources] final case class PartSpec(spec: String, source: String,
-      deriveSql: String, dirnameStats: Boolean) {
+      deriveSql: String, dirnameStats: Boolean,
+      bucketMod: Option[Int] = None) {
     def derive: org.apache.spark.sql.Column =
       org.apache.spark.sql.functions.expr(deriveSql)
   }
 
   private val TransformSpecRe = """^(\w+)\(([^()]+)\)$""".r
 
-  /** Parse one PARTITIONED BY entry: a bare column name (identity) or a
-    * time-bucketing transform `days|months|years|hours(col)` (public
-    * precedent: Iceberg's partition transforms / Delta's
-    * generated-column date partitioning). */
+  /** Parse one PARTITIONED BY entry: a bare column name (identity), a
+    * time-bucketing transform `days|months|years|hours(col)`, or a hash
+    * bucket `bucket(n, col)` (public precedent: Iceberg's partition
+    * transforms / Delta's generated-column date partitioning). The
+    * bucket function is THE portable bucket every split/shard operator
+    * shares ([[graft.functions.TextFunctions.portableBucket]]: first 8
+    * md5 hex of the value's string form, mod n — oracle-replayable). */
   private[sources] def parsePartSpec(s0: String): PartSpec = {
     val s = s0.trim
     s match {
+      case TransformSpecRe(fn, c0) if fn.equalsIgnoreCase("bucket") =>
+        c0.split(",", 2) match {
+          case Array(nStr, cRaw) =>
+            val c = cRaw.trim
+            val n = try nStr.trim.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"txlog: bucket(n, col) needs an integer modulus, " +
+                    s"got '${nStr.trim}' in '$s'")
+            }
+            require(n >= 2 && n <= (1 << 20),
+              s"txlog: bucket modulus must be in [2, 2^20]: $n")
+            require(c.nonEmpty && !c.contains("(") && !c.contains(")"),
+              s"txlog: malformed bucket column in '$s'")
+            PartSpec(s"bucket($n,$c)", c,
+              s"CAST(pmod(CAST(conv(substr(md5(CAST(`$c` AS STRING)), " +
+                s"1, 8), 16, 10) AS BIGINT), $n) AS STRING)",
+              dirnameStats = false, bucketMod = Some(n))
+          case _ => throw new IllegalArgumentException(
+            s"txlog: bucket transform needs two arguments " +
+              s"bucket(n, col), got '$s'")
+        }
       case TransformSpecRe(fn, c0) =>
         val c = c0.trim
         val fmt = fn.toLowerCase match {
@@ -3255,7 +3308,8 @@ object TxLog {
           case "hours"  => "yyyy-MM-dd-HH"
           case other => throw new IllegalArgumentException(
             s"txlog: unsupported partition transform '$other' " +
-              "(supported: identity columns, days, months, years, hours)")
+              "(supported: identity columns, days, months, years, " +
+              "hours, bucket)")
         }
         PartSpec(s"${fn.toLowerCase}($c)", c,
           s"date_format(`$c`, '$fmt')", dirnameStats = false)
@@ -3309,12 +3363,17 @@ object TxLog {
     val pvs = specs.indices.map(pvName)
     pvs.foreach(pv => require(!df.columns.contains(pv),
       s"commitPartitioned: '$pv' is reserved for the internal partition copy"))
-    // TRANSFORM levels get no stats from their dirname (a day string is
-    // not what queries filter on) — their skipping comes from true
-    // per-leaf min/max on the SOURCE column, folded into the per-leaf
-    // stats read below, so raw `ts` predicates prune day leaves
-    val statsCols = (extraStatsCols ++
-      specs.filterNot(_.dirnameStats).map(_.source)).distinct
+    // TIME-transform levels get no stats from their dirname (a day
+    // string is not what queries filter on) — their skipping comes from
+    // true per-leaf min/max on the SOURCE column, folded into the
+    // per-leaf stats read below, so raw `ts` predicates prune day
+    // leaves. BUCKET levels are excluded: their source is typically a
+    // string (no double cast), hash scatter makes a range segment
+    // useless anyway, and their skipping is the exact #bk# membership
+    // segment below.
+    val statsCols = (extraStatsCols ++ specs
+      .filterNot(sp => sp.dirnameStats || sp.bucketMod.isDefined)
+      .map(_.source)).distinct
     val base = s"$dir/data/$name"
     specs.zip(pvs).foldLeft(df) { case (d, (sp, pv)) =>
       d.withColumn(pv, sp.derive)
@@ -3372,7 +3431,21 @@ object TxLog {
     leaves.map { leaf =>
       val raws = leafTuple(leaf.toString, specs.length).get
       val valueSegs = specs.zip(raws).flatMap { case (sp, raw) =>
-        if (!sp.dirnameStats || raw == HiveDefaultPartition) Nil
+        if (raw == HiveDefaultPartition) {
+          // a TRANSFORM level's default leaf holds ONLY source-null rows
+          // (its derivation is null iff the source is — bucket digits
+          // and date_format strings are never empty), so an exact
+          // all-null marker lets any point or range predicate on the
+          // source column prune it. Identity levels get NO marker:
+          // Hive's default partition also swallows empty-STRING values
+          // there, and `c = ''` must still read that leaf.
+          if (sp.dirnameStats) Nil else Seq(s"#nn#${sp.source}")
+        } else if (sp.bucketMod.isDefined)
+          // exact O(1) bucket membership: the point-predicate rule
+          // recomputes the literal's bucket against this (bloom-free,
+          // so it never saturates at any per-leaf cardinality)
+          Seq(s"#bk#${sp.source};${sp.bucketMod.get};$raw")
+        else if (!sp.dirnameStats) Nil
         else {
           val range = raw.toDoubleOption.map(v => s"${sp.source};$v;$v")
           range.toSeq ++ bloomBlobOfValues(sp.source, Seq(raw), bloomBits)

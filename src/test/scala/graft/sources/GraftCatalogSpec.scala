@@ -219,12 +219,12 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE cat.pt.t RENAME COLUMN id TO key")
     }
     assert(e.getMessage.contains("PARTITIONED"))
-    // transforms with no per-value pruning story are rejected loudly at
-    // CREATE (days/months/years/hours are supported — see the days(ts)
-    // test below)
+    // transforms with no pruning story are rejected loudly at CREATE
+    // (days/months/years/hours and bucket(n, col) are supported — see
+    // the dedicated tests below)
     intercept[Exception] {
-      spark.sql("CREATE TABLE cat.pt.bad (id BIGINT, ts TIMESTAMP) " +
-        "USING graft PARTITIONED BY (bucket(4, id))")
+      spark.sql("CREATE TABLE cat.pt.bad (id BIGINT, s STRING) " +
+        "USING graft PARTITIONED BY (truncate(4, s))")
     }
     // SHOW PARTITIONS reads the live values off the manifest dirnames
     assert(spark.sql("SHOW PARTITIONS cat.pt.t")
@@ -366,10 +366,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     // DESCRIBE DETAIL renders the transform spec as the partition column
     assert(spark.sql("DESCRIBE DETAIL cat.dts.t")
       .select("partition_columns").as[String].head() === "days(ts)")
-    // bucket/truncate transforms stay rejected loudly
+    // the truncate transform stays rejected loudly (bucket is supported
+    // since r15 — see the bucket test below)
     intercept[Exception] {
-      spark.sql("CREATE TABLE cat.dts.bad (id BIGINT) USING graft " +
-        "PARTITIONED BY (bucket(4, id))")
+      spark.sql("CREATE TABLE cat.dts.bad (id BIGINT, s STRING) " +
+        "USING graft PARTITIONED BY (truncate(4, s))")
     }
     // the months() sibling buckets by calendar month
     spark.sql("DROP TABLE IF EXISTS cat.dts.m")
@@ -382,6 +383,59 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().toSeq === Seq("months(ts)=2024-01", "months(ts)=2024-02"))
     spark.sql("DROP TABLE cat.dts.m")
     spark.sql("DROP TABLE cat.dts.t")
+  }
+
+  test("PARTITIONED BY (bucket(n, col)): exact #bk# pruning, nulls, DML") {
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size).sum
+      }.sum
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.bk")
+    spark.sql("DROP TABLE IF EXISTS cat.bk.t")
+    spark.sql("CREATE TABLE cat.bk.t (id BIGINT, name STRING, v DOUBLE) " +
+      "USING graft PARTITIONED BY (bucket(4, name))")
+    // 40 distinct names + one NULL row; the meta round-trip must survive
+    // the spec's own comma (percent-encoded partcol serialization)
+    (0 until 40).map(i => (i.toLong, s"user_$i", i * 1.5))
+      .toDF("id", "name", "v").createOrReplaceTempView("bk_src")
+    spark.sql("INSERT INTO cat.bk.t SELECT id, name, v FROM bk_src")
+    spark.sql("INSERT INTO cat.bk.t VALUES (99, NULL, 0.5)")
+    val dir = spark.sql("DESCRIBE TABLE EXTENDED cat.bk.t")
+      .filter($"col_name" === "Location").select("data_type").as[String]
+      .head()
+    // a point predicate prunes to exactly ONE of the 4 bucket leaves
+    // (plus nothing else: #bk# membership is exact, not a bloom), and
+    // the null row's default leaf carries no segment so IS NULL reads
+    val one = spark.sql("SELECT id FROM cat.bk.t WHERE name = 'user_7'")
+    assert(plannedFiles(one) === 1,
+      "a name point predicate must plan exactly 1 of the 4 bucket leaves")
+    assert(one.as[Long].collect().toSeq === Seq(7L))
+    assert(spark.sql("SELECT id FROM cat.bk.t WHERE name IS NULL")
+      .as[Long].collect().toSeq === Seq(99L))
+    // the derived bucket matches THE portable bucket every shard/split
+    // operator shares (the md5 twin)
+    val leafOfUser7 = spark.sql(
+      "SELECT pmod(CAST(conv(substr(md5('user_7'), 1, 8), 16, 10) " +
+        "AS BIGINT), 4)")
+      .as[Long].head()
+    val leaves = TxLog.liveFiles(dir)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+    assert(leaves.contains(s"__pv=$leafOfUser7"))
+    // Transform round-trip: partitioning() re-renders the bucket spec
+    assert(spark.sql("DESCRIBE DETAIL cat.bk.t")
+      .select("partition_columns").as[String].head() === "bucket(4,name)")
+    // a DELETE's residue loses the #bk# grain (reads stay correct),
+    // OPTIMIZE restores it and the point plan is 1 leaf again
+    spark.sql("DELETE FROM cat.bk.t WHERE id = 0")
+    assert(spark.sql("SELECT count(*) FROM cat.bk.t").as[Long].head() === 40L)
+    spark.sql("OPTIMIZE cat.bk.t")
+    val afterOpt = spark.sql("SELECT id FROM cat.bk.t WHERE name = 'user_7'")
+    assert(plannedFiles(afterOpt) === 1 &&
+      afterOpt.as[Long].collect().toSeq === Seq(7L),
+      "OPTIMIZE must restore the exact bucket grain")
+    spark.sql("DROP TABLE cat.bk.t")
   }
 
   test("ADD COLUMN on a partitioned table: metadata-only, pruning kept") {
