@@ -9992,6 +9992,60 @@ object Queries {
       FROM customer WHERE c_name IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** `PARTITIONED BY (truncate(1, lang))` — the STRING-PREFIX partition
+    * transform (Iceberg's truncate on strings; r15): one leaf per
+    * 1-char prefix, so `en` and `es` SHARE the `e` leaf (the grouping
+    * property), and each leaf's manifest blob carries an EXACT
+    * `#tp#` prefix-membership segment — a point predicate on the raw
+    * column prunes to its prefix's leaf at plan time, O(1) per leaf at
+    * any cardinality. REQUIREd: 4 leaves (d/e/f/z over the 5 langs),
+    * 1-of-4 for both a sole-occupant (`fr`) and a shared (`en`) point
+    * predicate. Hash: per-prefix counts and char sums, the prefix
+    * arithmetic replayed by the oracle. */
+  private val qSqlPartitionedTruncate = QuerySpec(
+    "q_sql_partitioned_truncate",
+    (s, dir) => {
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.doctr_$tag")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("lang").isNotNull)
+        .createOrReplaceTempView(s"doctr_src_$tag")
+      s.sql(s"CREATE TABLE graft.sql.doctr_$tag " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+        "USING graft PARTITIONED BY (truncate(1, lang))")
+      s.sql(s"INSERT INTO graft.sql.doctr_$tag " +
+        s"SELECT doc_id, lang, n_chars FROM doctr_src_$tag")
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val total = plannedFiles(s.sql(s"SELECT * FROM graft.sql.doctr_$tag"))
+      require(total == 4, s"truncate(1, lang) over {de,en,es,fr,zh} " +
+        s"must land 4 prefix leaves, got $total")
+      Seq("fr", "en").foreach { l =>
+        val one = s.sql(s"SELECT doc_id FROM graft.sql.doctr_$tag " +
+          s"WHERE lang = '$l'")
+        require(plannedFiles(one) == 1,
+          s"lang = '$l' must plan exactly 1 of 4 prefix leaves " +
+            s"(#tp# exact membership), planned ${plannedFiles(one)}")
+      }
+      s.sql(s"SELECT substr(lang, 1, 1) AS pfx, n_chars " +
+          s"FROM graft.sql.doctr_$tag")
+        .groupBy(col("pfx"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("pfx")
+    },
+    Some("""SELECT substr(lang, 1, 1) AS pfx,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE lang IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** REPLACE WHERE ([[graft.sources.TxLog.replaceWhere]], Delta's
     * replaceWhere analogue — the static-partition-overwrite workhorse):
     * one atomic commit swaps every row in a value window for fresh
@@ -13912,7 +13966,7 @@ object Queries {
     qSqlShowPartitions, qSqlOptimizePart, qSqlAutoStats, qSqlConstraint,
     qSqlRestoreClone, qSqlPartitioned2, qSqlPartAddColumn,
     qSqlDescribeDetail, qTxlogReplaceWhere, qSqlPartitionedDays,
-    qSqlPartitionedMonths, qSqlPartitionedBucket,
+    qSqlPartitionedMonths, qSqlPartitionedBucket, qSqlPartitionedTruncate,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

@@ -231,7 +231,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(!c.contains(",") && !c.contains("(") && !c.contains(")"),
           s"graft: unsupported characters in partition column name: $c")
         if (t.name == "identity") c else s"${t.name}($c)"
-      case t if t.name == "bucket" && t.references.length == 1 &&
+      case t if (t.name == "bucket" || t.name == "truncate") &&
+          t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         val c = t.references.head.fieldNames.head
         val n = t.arguments.collectFirst {
@@ -239,15 +240,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               if l.value.isInstanceOf[Number] =>
             l.value.asInstanceOf[Number].intValue()
         }.getOrElse(throw new UnsupportedOperationException(
-          s"graft: bucket transform needs a literal modulus, got: $t"))
+          s"graft: ${t.name} transform needs a literal parameter, got: $t"))
         require(schema.isEmpty || schema.fieldNames.contains(c),
           s"graft: PARTITIONED BY column '$c' is not in the table schema")
         require(!c.contains(",") && !c.contains("(") && !c.contains(")"),
           s"graft: unsupported characters in partition column name: $c")
-        s"bucket($n,$c)"
+        s"${t.name}($n,$c)"
       case other => throw new UnsupportedOperationException(
         "graft: PARTITIONED BY supports top-level identity columns, " +
-          s"days/months/years/hours(col), and bucket(n, col), got: $other")
+          "days/months/years/hours(col), bucket(n, col), and " +
+          s"truncate(w, col), got: $other")
     }
     require(partCols.distinct == partCols,
       s"graft: duplicate PARTITIONED BY columns: ${partCols.mkString(", ")}")
@@ -446,6 +448,15 @@ final case class GraftTable(qualified: String, dir: String, asOf: Int,
         .split(",", 2)
       org.apache.spark.sql.connector.expressions.Expressions.bucket(
         n.trim.toInt, c.trim)
+    case s if s.startsWith("truncate(") && s.endsWith(")") =>
+      val Array(w, c) = s.stripPrefix("truncate(").stripSuffix(")")
+        .split(",", 2)
+      org.apache.spark.sql.connector.expressions.Expressions.apply(
+        "truncate",
+        org.apache.spark.sql.connector.expressions.Expressions.literal(
+          w.trim.toInt),
+        org.apache.spark.sql.connector.expressions.Expressions.column(
+          c.trim))
     case s if s.endsWith(")") && s.contains("(") =>
       val fn = s.takeWhile(_ != '(')
       val c = s.drop(fn.length + 1).dropRight(1)

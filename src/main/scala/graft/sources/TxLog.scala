@@ -745,13 +745,28 @@ object TxLog {
     val segs = st.toSeq.flatMap(_.split(","))
     // all-null marker: a non-null equality can never match
     if (segs.contains(s"#nn#$column")) return false
+    // null-or-empty marker (default leaves of identity/truncate
+    // levels): only the '' literal can match
+    if (segs.contains(s"#te#$column")) return value == ""
     val bucketOk = segs.find(_.startsWith(s"#bk#$column;")) match {
       case None => true
       case Some(seg) =>
         val Array(_, nStr, vStr) = seg.split(";", 3)
         portableBucketOf(value, nStr.toLong) == vStr.toLong
     }
-    bucketOk && (segs.find(_.startsWith(s"#bf#$column;")) match {
+    // truncate-transform membership: the value's first w chars must
+    // equal this leaf's prefix (exact — substr is what the ingest
+    // derived the dirname with)
+    val prefixOk = segs.find(_.startsWith(s"#tp#$column;")) match {
+      case None => true
+      case Some(seg) =>
+        val Array(_, wStr, pEnc) = seg.split(";", 3)
+        // code-point prefix, not UTF-16 units: Spark's substr counts
+        // characters, and String.take would split a surrogate pair
+        val cps = value.codePoints().limit(wStr.toInt).toArray
+        new String(cps, 0, cps.length) == decCol(pEnc)
+    }
+    bucketOk && prefixOk && (segs.find(_.startsWith(s"#bf#$column;")) match {
       case None => true
       case Some(seg) =>
         val Array(_, bitsStr, b64) = seg.split(";", 3)
@@ -2197,7 +2212,8 @@ object TxLog {
   private def statColsOf(st: Option[String]): Seq[String] =
     st.toSeq.flatMap(_.split(",")).map(_.split(";", 3)(0))
       .filterNot(s => s.startsWith("#bf#") || s.startsWith("#bk#") ||
-        s.startsWith("#nn#"))
+        s.startsWith("#nn#") || s.startsWith("#tp#") ||
+        s.startsWith("#te#"))
       .distinct
 
   /** THE stats-blob overlap rule, shared by [[readPruned]] and the merge
@@ -2208,9 +2224,11 @@ object TxLog {
       lo: Double, hi: Double): Boolean = st match {
     case None => true
     case Some(s) =>
-      // the all-null marker (`#nn#col`, transform default leaves) is
-      // exact: no non-null value exists, so no range can overlap
-      if (s.split(",").contains(s"#nn#$column")) false
+      // the all-null (`#nn#col`) and null-or-empty (`#te#col`) default-
+      // leaf markers are exact for ranges: neither null nor '' ever
+      // satisfies a numeric bound, so no range can overlap
+      if (s.split(",").contains(s"#nn#$column") ||
+          s.split(",").contains(s"#te#$column")) false
       else s.split(",").iterator.map(_.split(";", 3)).collectFirst {
         case Array(c, mn, mx) if c == column =>
           !(mx.toDouble < lo || mn.toDouble > hi)
@@ -3252,15 +3270,16 @@ object TxLog {
     * level gets its skipping from per-leaf stats on the SOURCE column
     * instead — one columnar read per leaf, so a raw `ts` predicate
     * prunes day leaves without the query ever naming the transform),
-    * and `bucketMod` the modulus of a `bucket(n, col)` level — whose
-    * skipping is EXACT and O(1): the leaf carries a `#bk#col;n;v`
-    * segment and the membership rule recomputes the literal's bucket at
-    * plan time (Iceberg's transform-aware pruning), so a point
-    * predicate prunes to 1 of n leaves regardless of per-leaf value
+    * and `bucketMod` / `truncWidth` the parameter of a
+    * `bucket(n, col)` / `truncate(w, col)` level — whose skipping is
+    * EXACT and O(1): the leaf carries a `#bk#col;n;v` / `#tp#col;w;p`
+    * segment and the membership rule recomputes the literal's bucket /
+    * prefix at plan time (Iceberg's transform-aware pruning), so a
+    * point predicate prunes to its leaf regardless of per-leaf value
     * cardinality (a data bloom would saturate). */
   private[sources] final case class PartSpec(spec: String, source: String,
       deriveSql: String, dirnameStats: Boolean,
-      bucketMod: Option[Int] = None) {
+      bucketMod: Option[Int] = None, truncWidth: Option[Int] = None) {
     def derive: org.apache.spark.sql.Column =
       org.apache.spark.sql.functions.expr(deriveSql)
   }
@@ -3298,6 +3317,32 @@ object TxLog {
           case _ => throw new IllegalArgumentException(
             s"txlog: bucket transform needs two arguments " +
               s"bucket(n, col), got '$s'")
+        }
+      case TransformSpecRe(fn, c0) if fn.equalsIgnoreCase("truncate") =>
+        // STRING prefix truncation (Iceberg's truncate on strings): one
+        // leaf per w-char prefix — the URL/path-prefix clustering shape
+        // of a web corpus. Numeric truncate is deliberately absent: its
+        // job (range clustering) is served by range/zorder OPTIMIZE and
+        // plain min/max stats.
+        c0.split(",", 2) match {
+          case Array(wStr, cRaw) =>
+            val c = cRaw.trim
+            val w = try wStr.trim.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"txlog: truncate(w, col) needs an integer width, " +
+                    s"got '${wStr.trim}' in '$s'")
+            }
+            require(w >= 1 && w <= 1024,
+              s"txlog: truncate width must be in [1, 1024]: $w")
+            require(c.nonEmpty && !c.contains("(") && !c.contains(")"),
+              s"txlog: malformed truncate column in '$s'")
+            PartSpec(s"truncate($w,$c)", c,
+              s"substr(CAST(`$c` AS STRING), 1, $w)",
+              dirnameStats = false, truncWidth = Some(w))
+          case _ => throw new IllegalArgumentException(
+            s"txlog: truncate transform needs two arguments " +
+              s"truncate(w, col), got '$s'")
         }
       case TransformSpecRe(fn, c0) =>
         val c = c0.trim
@@ -3372,7 +3417,8 @@ object TxLog {
     // useless anyway, and their skipping is the exact #bk# membership
     // segment below.
     val statsCols = (extraStatsCols ++ specs
-      .filterNot(sp => sp.dirnameStats || sp.bucketMod.isDefined)
+      .filterNot(sp => sp.dirnameStats || sp.bucketMod.isDefined ||
+        sp.truncWidth.isDefined)
       .map(_.source)).distinct
     val base = s"$dir/data/$name"
     specs.zip(pvs).foldLeft(df) { case (d, (sp, pv)) =>
@@ -3432,19 +3478,29 @@ object TxLog {
       val raws = leafTuple(leaf.toString, specs.length).get
       val valueSegs = specs.zip(raws).flatMap { case (sp, raw) =>
         if (raw == HiveDefaultPartition) {
-          // a TRANSFORM level's default leaf holds ONLY source-null rows
-          // (its derivation is null iff the source is — bucket digits
-          // and date_format strings are never empty), so an exact
-          // all-null marker lets any point or range predicate on the
-          // source column prune it. Identity levels get NO marker:
-          // Hive's default partition also swallows empty-STRING values
-          // there, and `c = ''` must still read that leaf.
-          if (sp.dirnameStats) Nil else Seq(s"#nn#${sp.source}")
+          // a BUCKET/TIME level's default leaf holds ONLY source-null
+          // rows (its derivation is null iff the source is — bucket
+          // digits and date_format strings are never empty), so an
+          // exact all-null marker lets any point or range predicate on
+          // the source column prune it. TRUNCATE and IDENTITY levels'
+          // default leaves instead hold exactly the null-OR-EMPTY
+          // sources (Hive's default partition swallows '' too, and
+          // substr('',1,w) = ''), so their marker (#te#) admits only
+          // the '' literal — still exact, just one value wider.
+          if (sp.bucketMod.isEmpty && sp.truncWidth.isEmpty &&
+              !sp.dirnameStats) Seq(s"#nn#${sp.source}")
+          else if (sp.bucketMod.isDefined) Seq(s"#nn#${sp.source}")
+          else Seq(s"#te#${sp.source}")
         } else if (sp.bucketMod.isDefined)
           // exact O(1) bucket membership: the point-predicate rule
           // recomputes the literal's bucket against this (bloom-free,
           // so it never saturates at any per-leaf cardinality)
           Seq(s"#bk#${sp.source};${sp.bucketMod.get};$raw")
+        else if (sp.truncWidth.isDefined)
+          // exact O(1) prefix membership: a point predicate prunes to
+          // the leaf whose prefix its first w chars equal (prefix
+          // percent-encoded — it is user data and may carry ';'/',')
+          Seq(s"#tp#${sp.source};${sp.truncWidth.get};${encCol(raw)}")
         else if (!sp.dirnameStats) Nil
         else {
           val range = raw.toDoubleOption.map(v => s"${sp.source};$v;$v")

@@ -219,12 +219,12 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE cat.pt.t RENAME COLUMN id TO key")
     }
     assert(e.getMessage.contains("PARTITIONED"))
-    // transforms with no pruning story are rejected loudly at CREATE
-    // (days/months/years/hours and bucket(n, col) are supported — see
-    // the dedicated tests below)
+    // unknown transforms are rejected loudly at CREATE
+    // (days/months/years/hours, bucket(n, col), and truncate(w, col)
+    // are supported — see the dedicated tests below)
     intercept[Exception] {
       spark.sql("CREATE TABLE cat.pt.bad (id BIGINT, s STRING) " +
-        "USING graft PARTITIONED BY (truncate(4, s))")
+        "USING graft PARTITIONED BY (foo(s))")
     }
     // SHOW PARTITIONS reads the live values off the manifest dirnames
     assert(spark.sql("SHOW PARTITIONS cat.pt.t")
@@ -366,11 +366,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     // DESCRIBE DETAIL renders the transform spec as the partition column
     assert(spark.sql("DESCRIBE DETAIL cat.dts.t")
       .select("partition_columns").as[String].head() === "days(ts)")
-    // the truncate transform stays rejected loudly (bucket is supported
-    // since r15 — see the bucket test below)
+    // unknown transforms stay rejected loudly (bucket and truncate are
+    // supported since r15 — see their tests)
     intercept[Exception] {
       spark.sql("CREATE TABLE cat.dts.bad (id BIGINT, s STRING) " +
-        "USING graft PARTITIONED BY (truncate(4, s))")
+        "USING graft PARTITIONED BY (foo(s))")
     }
     // the months() sibling buckets by calendar month
     spark.sql("DROP TABLE IF EXISTS cat.dts.m")
@@ -436,6 +436,41 @@ class GraftCatalogSpec extends AnyFunSuite {
       afterOpt.as[Long].collect().toSeq === Seq(7L),
       "OPTIMIZE must restore the exact bucket grain")
     spark.sql("DROP TABLE cat.bk.t")
+  }
+
+  test("PARTITIONED BY (truncate(w, col)): exact prefix pruning, ''/null routing") {
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size).sum
+      }.sum
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.tr")
+    spark.sql("DROP TABLE IF EXISTS cat.tr.t")
+    spark.sql("CREATE TABLE cat.tr.t (id BIGINT, path STRING, v DOUBLE) " +
+      "USING graft PARTITIONED BY (truncate(2, path))")
+    spark.sql("INSERT INTO cat.tr.t VALUES " +
+      "(1, 'aa/x', 1.0), (2, 'aa/y', 2.0), (3, 'ab/z', 3.0), " +
+      "(4, 'zz/q', 4.0), (5, '', 5.0), (6, NULL, 6.0)")
+    // leaves: aa, ab, zz + the default leaf holding '' AND NULL
+    val one = spark.sql("SELECT id FROM cat.tr.t WHERE path = 'aa/x'")
+    assert(plannedFiles(one) === 1,
+      "a path point predicate must plan exactly its prefix's leaf " +
+        "(#tp# exact membership; the ''/null default leaf prunes via #te#)")
+    assert(one.as[Long].collect().toSeq === Seq(1L))
+    // the '' literal reads ONLY the default leaf (its #te# marker
+    // admits it; every #tp# prefix leaf rejects it)
+    val empty = spark.sql("SELECT id FROM cat.tr.t WHERE path = ''")
+    assert(plannedFiles(empty) === 1 &&
+      empty.as[Long].collect().toSeq === Seq(5L))
+    assert(spark.sql("SELECT id FROM cat.tr.t WHERE path IS NULL")
+      .as[Long].collect().toSeq === Seq(6L))
+    // prefix grouping: aa/x and aa/y share one leaf
+    assert(spark.sql("SELECT count(*) FROM cat.tr.t WHERE path = 'aa/y'")
+      .as[Long].head() === 1L)
+    assert(spark.sql("DESCRIBE DETAIL cat.tr.t")
+      .select("partition_columns").as[String].head() === "truncate(2,path)")
+    spark.sql("DROP TABLE cat.tr.t")
   }
 
   test("ADD COLUMN on a partitioned table: metadata-only, pruning kept") {

@@ -521,17 +521,24 @@ class TxLogSpec extends AnyFunSuite {
     assert(back.columns.sorted.toSeq === Seq("etype", "id", "v"))
     assert(back.select("id").as[Int].collect().sorted.toSeq === (1 to 5))
     // point pruning from the manifest alone: the click probe reads the
-    // click leaf plus the stats-free null leaf (correctness over skipping)
+    // click leaf ONLY — the default leaf holds exactly the null/''
+    // sources and carries the exact #te# marker (r15), so a non-empty
+    // point probe skips it too
     val pruned = TxLog.readPrunedByKey(spark, dir, "etype", "click").get
     assert(pruned.inputFiles.length < back.inputFiles.length,
       "a value probe must skip other partitions' files")
     assert(pruned.filter(col("etype") === "click")
       .select("id").as[Int].collect().sorted.toSeq === Seq(1, 3),
       "pruning loses no rows")
-    // the null partition carries no stats and is never skipped
     val nullLeaf = entries.find(_._1.contains("__HIVE_DEFAULT_PARTITION__"))
-    assert(nullLeaf.exists(_._2.isEmpty))
-    assert(pruned.inputFiles.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+    assert(nullLeaf.exists(_._2.exists(_ == "#te#etype")),
+      "the default leaf carries the exact null-or-empty marker")
+    assert(!pruned.inputFiles.exists(_.contains("__HIVE_DEFAULT_PARTITION__")),
+      "'click' can never live in the null/'' leaf — exact skip")
+    // the '' probe reads ONLY the default leaf (its #te# admits it)
+    val emptyProbe = TxLog.readPrunedByKey(spark, dir, "etype", "").get
+    assert(emptyProbe.inputFiles.forall(
+      _.contains("__HIVE_DEFAULT_PARTITION__")))
     TxLog.destroy(dir)
   }
 
