@@ -10046,6 +10046,101 @@ object Queries {
       FROM documents WHERE lang IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** PARTITION-SPEC EVOLUTION (`ALTER TABLE … SET PARTITIONED BY`,
+    * Iceberg's spec evolution; r15): a table ingested under
+    * `PARTITIONED BY (event_type)` evolves to `days(ts)` in ONE
+    * metadata-only commit (REQUIREd: zero data files touched), the
+    * second half of the data lands as day leaves, and the mixed-grain
+    * era prunes each epoch by its own self-describing segments
+    * (REQUIREd exactly: a one-day window plans K_old + 1 — every other
+    * NEW day leaf pruned, pre-evolution leaves conservative-read; a
+    * type point predicate plans 1 + D_new symmetrical). OPTIMIZE then
+    * migrates lazily — pre-evolution leaves are residue under the
+    * current spec (their `#sp#` tag says which spec wrote them) and
+    * re-cluster into pure day grain (REQUIREd: one leaf per day
+    * overall, then the window plans exactly 1). Hash: per-day counts
+    * and value sums over the final table. */
+  private val qSqlPartitionEvolution = QuerySpec(
+    "q_sql_partition_evolution",
+    (s, dir) => {
+      import graft.sources.TxLog
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evolve_$tag")
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+        .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .createOrReplaceTempView(s"evolve_src_$tag")
+      val midUs = 1705363200000000L // 2024-01-16 00:00:00 UTC
+      s.sql(s"CREATE TABLE graft.sql.evolve_$tag " +
+        "(event_id BIGINT, event_type STRING, value DOUBLE, " +
+        "ts TIMESTAMP) USING graft PARTITIONED BY (event_type)")
+      s.sql(s"INSERT INTO graft.sql.evolve_$tag " +
+        s"SELECT event_id, event_type, value, ts FROM evolve_src_$tag " +
+        s"WHERE unix_micros(ts) < ${midUs}L")
+      val loc = s.sql(s"DESCRIBE TABLE EXTENDED graft.sql.evolve_$tag")
+        .filter(col("col_name") === "Location").select("data_type")
+        .collect().head.getString(0)
+      val kOld = TxLog.liveFiles(loc).size
+      val filesPre = TxLog.liveFiles(loc)
+      s.sql(s"ALTER TABLE graft.sql.evolve_$tag " +
+        "SET PARTITIONED BY (days(ts))")
+      require(TxLog.liveFiles(loc) == filesPre,
+        "spec evolution must touch zero data files")
+      s.sql(s"INSERT INTO graft.sql.evolve_$tag " +
+        s"SELECT event_id, event_type, value, ts FROM evolve_src_$tag " +
+        s"WHERE unix_micros(ts) >= ${midUs}L")
+      val dNew = TxLog.liveFiles(loc).size - kOld
+      require(kOld >= 2 && dNew >= 2,
+        s"need a real mixed-grain era, got $kOld old + $dNew new leaves")
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val (lo, hi) = (midUs, midUs + 86400000000L) // the first new day
+      val window = s"ts >= timestamp_micros(${lo}L) AND " +
+        s"ts < timestamp_micros(${hi}L)"
+      val oneDay = s.sql(
+        s"SELECT event_id FROM graft.sql.evolve_$tag WHERE $window")
+      require(plannedFiles(oneDay) == kOld + 1,
+        s"mixed grain: a one-day window must plan kOld+1 = ${kOld + 1} " +
+          s"leaves (new days prune, old leaves read), " +
+          s"planned ${plannedFiles(oneDay)}")
+      val typeOf = s.sql(s"SELECT min(event_type) FROM evolve_src_$tag")
+        .collect().head.getString(0)
+      val oneType = s.sql(s"SELECT event_id FROM graft.sql.evolve_$tag " +
+        s"WHERE event_type = '$typeOf'")
+      require(plannedFiles(oneType) == 1 + dNew,
+        s"mixed grain: a type point predicate must plan 1+dNew = " +
+          s"${1 + dNew} leaves, planned ${plannedFiles(oneType)}")
+      s.sql(s"OPTIMIZE graft.sql.evolve_$tag")
+      val days = s.sql(s"SELECT count(DISTINCT unix_micros(ts) div " +
+        s"86400000000) FROM evolve_src_$tag").collect().head.getLong(0)
+      require(TxLog.liveFiles(loc).size == days,
+        s"OPTIMIZE must migrate to pure day grain ($days leaves), " +
+          s"got ${TxLog.liveFiles(loc).size}")
+      require(plannedFiles(s.sql(
+        s"SELECT event_id FROM graft.sql.evolve_$tag WHERE $window")) == 1,
+        "after migration the one-day window must plan exactly 1 leaf")
+      s.sql(s"SELECT unix_micros(ts) div 86400000000 AS day_num, value " +
+          s"FROM graft.sql.evolve_$tag")
+        .groupBy(col("day_num"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(coalesce(col("value"), lit(0.0))).as("sum_value"))
+        .orderBy("day_num")
+    },
+    Some("""SELECT epoch_us(ts) // 86400000000 AS day_num,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+          AS sum_value
+      FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** REPLACE WHERE ([[graft.sources.TxLog.replaceWhere]], Delta's
     * replaceWhere analogue — the static-partition-overwrite workhorse):
     * one atomic commit swaps every row in a value window for fresh
@@ -13967,6 +14062,7 @@ object Queries {
     qSqlRestoreClone, qSqlPartitioned2, qSqlPartAddColumn,
     qSqlDescribeDetail, qTxlogReplaceWhere, qSqlPartitionedDays,
     qSqlPartitionedMonths, qSqlPartitionedBucket, qSqlPartitionedTruncate,
+    qSqlPartitionEvolution,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
     qTxlogClone, qStreamRestart,

@@ -90,6 +90,9 @@ final class GraftSqlParser(delegate: ParserInterface)
       GraftAddConstraintCommand(parts(name), cname, chk.trim)
     case DropConstraintRe(name, cname) =>
       GraftDropConstraintCommand(parts(name), cname)
+    case SetPartSpecRe(name, body) =>
+      GraftSetPartitionSpecCommand(parts(name),
+        GraftSqlParser.splitSpecs(body).map(stripQuotes))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -166,6 +169,27 @@ object GraftSqlParser {
   private[plans] val DropConstraintRe =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s*;?\s*""").r
+  // greedy body: a bucket(8, c) spec carries nested parens, so the
+  // list runs to the LAST ')'; an empty list evolves to unpartitioned
+  private[plans] val SetPartSpecRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*;?\s*""").r
+
+  /** Split a PARTITIONED BY list on TOP-LEVEL commas only (a
+    * bucket/truncate spec's own comma sits inside its parens). */
+  private[plans] def splitSpecs(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    body.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -306,6 +330,22 @@ final case class GraftExpireCommand(nameParts: Seq[String])
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(TxLog.expireManifests(
       GraftSqlParser.dirOf(session, nameParts))))
+}
+
+/** `ALTER TABLE t SET PARTITIONED BY (specs)` →
+  * [[TxLog.setPartitionSpec]] — PARTITION-SPEC EVOLUTION (Iceberg's
+  * spec evolution as one statement): a metadata-only commit changes
+  * the spec future INSERTs cluster by; existing leaves stay as
+  * written, keep pruning via their self-describing segments, and
+  * lazily migrate to the new grain on the next OPTIMIZE. An empty
+  * list evolves to unpartitioned. */
+final case class GraftSetPartitionSpecCommand(nameParts: Seq[String],
+    specs: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.setPartitionSpec(
+      GraftSqlParser.dirOf(session, nameParts), specs)))
 }
 
 /** `RESTORE [TABLE] t TO VERSION AS OF n` → [[TxLog.restore]]: one

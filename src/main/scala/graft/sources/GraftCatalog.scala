@@ -199,9 +199,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def loadAt(ident: Identifier, asOf: Int): Table = {
     val meta = readMeta(ident).getOrElse(
       throw new NoSuchTableException(ident))
+    // partition-spec EVOLUTION lives in the table's own log (Delta's
+    // metadata partitionColumns pattern): an ALTER ... SET PARTITIONED
+    // BY commit overrides the CREATE-time spec for future ingest
     GraftTable(
       (catalogName +: ident.namespace :+ ident.name).mkString("."),
-      meta.location, asOf, meta.declared, meta.partCols)
+      meta.location, asOf, meta.declared,
+      TxLog.partitionSpec(meta.location).getOrElse(meta.partCols))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -268,20 +272,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val meta = readMeta(ident).getOrElse(
       throw new NoSuchTableException(ident))
     val spark = SparkSession.active
+    // guards consult the EFFECTIVE spec (an evolved table's log
+    // overrides the CREATE-time meta)
+    val effPartCols = TxLog.partitionSpec(meta.location)
+      .getOrElse(meta.partCols)
     changes.foreach {
       // ADD COLUMN composes with a partitioned layout: it is
       // metadata-only and MAPPING-FREE (a `coltype` registry line, no
       // colmap), so the value-grain leaves keep their declared-name
       // storage; only the mapping-creating verbs below stay refused
-      case c if meta.partCols.nonEmpty &&
+      case c if effPartCols.nonEmpty &&
           !c.isInstanceOf[TableChange.AddColumn] =>
         throw new UnsupportedOperationException(
           "graft: RENAME/DROP COLUMN are not supported on a PARTITIONED " +
             "table — the partitioned ingest writes storage under the " +
             "declared column names, which a column mapping would break; " +
             "ADD COLUMN is supported (mapping-free)")
-      case p: TableChange.AddColumn if meta.partCols.nonEmpty &&
-          meta.partCols.exists(spec =>
+      case p: TableChange.AddColumn if effPartCols.nonEmpty &&
+          effPartCols.exists(spec =>
             spec == p.fieldNames.headOption.getOrElse("") ||
               spec.endsWith(s"(${p.fieldNames.headOption.getOrElse("")})") ||
               spec.endsWith(s",${p.fieldNames.headOption.getOrElse("")})")) =>

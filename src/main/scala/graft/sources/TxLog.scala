@@ -443,6 +443,12 @@ object TxLog {
     // streaming sink reads ONE value to decide replay-skip instead of
     // scanning the live file set (O(1) per trigger at any table size).
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // PARTITION-SPEC EVOLUTION ([[setPartitionSpec]], Iceberg's spec
+    // evolution / Delta's metadata partitionColumns): None until the
+    // table ever evolves (the catalog then uses its CREATE-time spec);
+    // Some(specs) = the spec in force for FUTURE ingest; Some(Nil) =
+    // evolved to unpartitioned. Last-wins, rides checkpoints.
+    var partSpec: Option[Seq[String]] = None
   }
 
   // column names percent-encode so ':' ',' and whitespace in a (quoted)
@@ -511,6 +517,14 @@ object TxLog {
           case _ => throw new IllegalStateException(
             s"txlog: bad txn mark 'meta\ttxn\t$rest' in $what")
         }
+        // partition-spec evolution mark: `-` = unpartitioned, else the
+        // percent-encoded specs joined by ',' (encoding protects a
+        // bucket spec's own comma); last-wins; pre-evolution readers
+        // replay it as a generic-meta no-op
+        case Array("meta", "partspec", rest) =>
+          cm.partSpec =
+            if (rest == "-") Some(Nil)
+            else Some(rest.split(",").toSeq.filter(_.nonEmpty).map(decCol))
         // commit metadata (e.g. `meta ts <millis>`) is not a file action;
         // unknown meta keys replay as no-ops so the format stays
         // forward-extensible without breaking old readers
@@ -585,7 +599,8 @@ object TxLog {
       colMap: Option[Seq[(String, String)]] = None,
       colTypes: Seq[(String, Option[String])] = Nil,
       checkSets: Seq[(String, Option[String])] = Nil,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      partSpecSet: Option[Seq[String]] = None): Int = {
     add.foreach { case (_, st) =>
       require(st.forall(s => !s.exists(c => c == '\t' || c == '\n' || c == '\r')),
         "stats blob must not contain tab/newline")
@@ -613,8 +628,11 @@ object TxLog {
     } ++ checkSets.map {
       case (n, Some(e)) => s"constraint\t${encCol(n)}\t${encCol(e)}"
       case (n, None)    => s"constraint\t${encCol(n)}\t-"
-    } ++ txn.map { case (app, id) => s"meta\ttxn\t${encCol(app)}\t$id" })
-      .mkString("", "\n", "\n")
+    } ++ txn.map { case (app, id) => s"meta\ttxn\t${encCol(app)}\t$id" }
+      ++ partSpecSet.map {
+        case Nil => "meta\tpartspec\t-"
+        case sp  => s"meta\tpartspec\t${sp.map(encCol).mkString(",")}"
+      }).mkString("", "\n", "\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!claim(fs, tmp, target))
@@ -883,6 +901,51 @@ object TxLog {
     * path. */
   def columnTypes(dir: String, asOf: Int = -1): Seq[(String, String)] =
     resolveFull(dir, asOf)._3.types.toSeq
+
+  /** The EVOLVED partition spec in force at `asOf` (latest when <= 0):
+    * None for a table [[setPartitionSpec]] never touched (the catalog
+    * then uses its CREATE-time spec), Some(specs) after an evolution,
+    * Some(Nil) after evolving to unpartitioned. */
+  def partitionSpec(dir: String, asOf: Int = -1): Option[Seq[String]] =
+    resolveFull(dir, asOf)._3.partSpec
+
+  /** PARTITION-SPEC EVOLUTION (public precedent: Iceberg's partition
+    * spec evolution; Delta's metadata partitionColumns): one
+    * METADATA-ONLY commit changes the spec FUTURE ingest clusters by —
+    * zero data files touched. Existing leaves stay exactly as written
+    * and keep pruning by their own self-describing stats segments;
+    * they also carry the spec that WROTE them (`#sp#`), so
+    * [[optimizePartitionedCols]] under the new spec treats them as
+    * residue and lazily migrates the table to the new grain, and
+    * [[partitionTuples]] falls back to the exact distinct scan while
+    * grains are mixed. Refused on column-mapped tables (the
+    * partitioned ingest writes declared names). `Nil` evolves to
+    * unpartitioned. Survives RESTORE (like txn marks): the spec
+    * governs future ingest, which a data rollback does not undo. */
+  def setPartitionSpec(dir: String, specs: Seq[String]): Int = {
+    specs.foreach(parsePartSpec) // validate each spec's grammar
+    require(specs.map(s => parsePartSpec(s).spec).distinct.size ==
+      specs.size, s"txlog: duplicate partition specs: $specs")
+    require(columnMapping(dir).isEmpty,
+      "txlog: partition-spec evolution is not supported on a " +
+        "column-mapped table — the partitioned ingest writes storage " +
+        "under declared names")
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      try out = commitWithStats(dir, Nil,
+        partSpecSet = Some(specs.map(s => parsePartSpec(s).spec)))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("lost the race") =>
+          if (attempt >= MaxCommitAttempts) throw e
+          raceBackoff(attempt)
+      }
+    }
+    out
+  }
 
   /** Project a physically-named frame to its logical schema: mapped
     * columns rename (in mapping order), unmapped mapped-out columns
@@ -1483,6 +1546,11 @@ object TxLog {
       cmAtV.txns.foreach { case (a, id) =>
         w.write(s"meta\ttxn\t${encCol(a)}\t$id\n") // idempotence marks
       }                                            // survive retention
+      cmAtV.partSpec.foreach { // spec evolution rides checkpoints too
+        case Nil => w.write("meta\tpartspec\t-\n")
+        case sp  =>
+          w.write(s"meta\tpartspec\t${sp.map(encCol).mkString(",")}\n")
+      }
     } finally w.close()
     if (!claim(fs, tmp, checkpointFile(dir, v)))
       throw new IllegalStateException(
@@ -2213,7 +2281,7 @@ object TxLog {
     st.toSeq.flatMap(_.split(",")).map(_.split(";", 3)(0))
       .filterNot(s => s.startsWith("#bf#") || s.startsWith("#bk#") ||
         s.startsWith("#nn#") || s.startsWith("#tp#") ||
-        s.startsWith("#te#"))
+        s.startsWith("#te#") || s.startsWith("#sp#"))
       .distinct
 
   /** THE stats-blob overlap rule, shared by [[readPruned]] and the merge
@@ -3107,11 +3175,16 @@ object TxLog {
     * nested value leaf, one narrow distinct scan otherwise. */
   def partitionTuples(spark: SparkSession, dir: String,
       partCols: Seq[String]): Seq[Seq[Option[String]]] = {
-    val files = liveFiles(dir)
-    require(files.nonEmpty, s"txlog: $dir holds no files")
+    val entries = liveEntries(dir)
+    require(entries.nonEmpty, s"txlog: $dir holds no files")
     val n = partCols.length
-    val parsed = files.map(p => leafTuple(p, n))
-    if (parsed.forall(_.isDefined))
+    val canonical = partCols.map(c => parsePartSpec(c).spec).mkString(",")
+    val parsed = entries.map(e => leafTuple(e._1, n))
+    // dirname fast path only when every leaf parses AND was written by
+    // the CURRENT spec (a pre-evolution "__pv=click" leaf is
+    // structurally identical to a days leaf; its #sp# tag says which)
+    if (parsed.forall(_.isDefined) &&
+        entries.forall(e => leafSpecOf(e._2).forall(_ == canonical)))
       parsed.flatten.distinct.map(_.map(v =>
         if (v == HiveDefaultPartition) None else Some(v)))
     else
@@ -3507,10 +3580,25 @@ object TxLog {
           range.toSeq ++ bloomBlobOfValues(sp.source, Seq(raw), bloomBits)
         }
       }
-      val segs = valueSegs ++ extraByLeaf.getOrElse(leaf.toString, Nil)
-      leaf.toString -> (if (segs.isEmpty) None else Some(segs.mkString(",")))
+      // spec-identity segment: which PARTITION SPEC wrote this leaf —
+      // the discriminator [[setPartitionSpec]]'s mixed-grain era needs
+      // (an old identity leaf "__pv=click" is structurally identical to
+      // a new days leaf; only the spec tag can tell OPTIMIZE / SHOW
+      // PARTITIONS it is residue under the evolved spec)
+      val specSeg = s"#sp#${encCol(specs.map(_.spec).mkString(","))}"
+      val segs = valueSegs ++ extraByLeaf.getOrElse(leaf.toString, Nil) :+
+        specSeg
+      leaf.toString -> Some(segs.mkString(","))
     }
   }
+
+  /** The `#sp#` spec tag of a leaf's blob: the canonical spec string of
+    * the ingest that wrote it, None for pre-tag (or rewritten) files —
+    * which are treated as CURRENT-spec leaves when parseable
+    * (backward compatibility over forced migration). */
+  private def leafSpecOf(st: Option[String]): Option[String] =
+    st.flatMap(_.split(",").find(_.startsWith("#sp#")))
+      .map(s => decCol(s.stripPrefix("#sp#")))
 
   /** OPTIMIZE for a PARTITIONED table — compaction that PRESERVES (and
     * RESTORES) the per-value manifest grain partition pruning depends
@@ -3541,7 +3629,14 @@ object TxLog {
     if (entries.isEmpty) return 0
     val specs = partCols.map(parsePartSpec)
     val n = partCols.length
-    val parsed = entries.map { case (p, _) => (p, leafTuple(p, n)) }
+    val canonical = specs.map(_.spec).mkString(",")
+    // residue = files with no leaf naming AND pre-evolution leaves (a
+    // #sp# tag from a different spec): both re-cluster into the CURRENT
+    // grain, which is how an evolved table lazily migrates
+    val parsed = entries.map { case (p, st) =>
+      (p, leafTuple(p, n).filter(_ =>
+        leafSpecOf(st).forall(_ == canonical)))
+    }
     val residue = parsed.collect { case (p, None) => p }
     val byValue = parsed.collect { case (p, Some(t)) => (p, t) }
       .groupBy(_._2)

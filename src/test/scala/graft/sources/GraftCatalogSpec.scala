@@ -473,6 +473,75 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.tr.t")
   }
 
+  test("ALTER TABLE SET PARTITIONED BY: spec evolution, lazy migration") {
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .map(_.files.size).sum
+      }.sum
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.ev")
+    spark.sql("DROP TABLE IF EXISTS cat.ev.t")
+    spark.sql("CREATE TABLE cat.ev.t (id BIGINT, etype STRING, " +
+      "ts TIMESTAMP) USING graft PARTITIONED BY (etype)")
+    spark.sql("INSERT INTO cat.ev.t VALUES " +
+      "(1, 'click', TIMESTAMP '2024-01-01 03:00:00'), " +
+      "(2, 'view',  TIMESTAMP '2024-01-02 04:00:00')")
+    val dir = spark.sql("DESCRIBE TABLE EXTENDED cat.ev.t")
+      .filter($"col_name" === "Location").select("data_type").as[String]
+      .head()
+    val filesBefore = TxLog.liveFiles(dir)
+    // the evolution statement: one metadata-only commit
+    val v = spark.sql(
+      "ALTER TABLE cat.ev.t SET PARTITIONED BY (days(ts))")
+      .as[Int].head()
+    assert(v === TxLog.latestVersion(dir))
+    assert(TxLog.liveFiles(dir) === filesBefore,
+      "spec evolution must touch zero data files")
+    assert(TxLog.partitionSpec(dir) === Some(Seq("days(ts)")))
+    // future INSERTs cluster by the NEW spec
+    spark.sql("INSERT INTO cat.ev.t VALUES " +
+      "(3, 'click', TIMESTAMP '2024-01-03 05:00:00'), " +
+      "(4, 'view',  TIMESTAMP '2024-01-04 06:00:00')")
+    val names = TxLog.liveFiles(dir)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
+    assert(names === Seq("__pv=2024-01-03", "__pv=2024-01-04",
+      "__pv=click", "__pv=view"),
+      s"old value leaves stay; new rows land as day leaves: $names")
+    // mixed-grain pruning, each epoch by its own segments: a one-day
+    // window prunes the OTHER day leaf exactly; pre-evolution leaves
+    // carry no ts segment and read conservatively
+    val day3 = spark.sql("SELECT id FROM cat.ev.t " +
+      "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-01-04 00:00:00'")
+    assert(plannedFiles(day3) === 3 &&
+      day3.as[Long].collect().toSeq === Seq(3L),
+      "the day-4 leaf must prune; the two pre-evolution leaves read")
+    // SHOW PARTITIONS under mixed grain: the dirname fast path would
+    // mislabel "click" as a day — the #sp# tag forces the exact
+    // distinct scan, which derives days for ALL rows
+    assert(spark.sql("SHOW PARTITIONS cat.ev.t").as[String]
+      .collect().sorted.toSeq === Seq("days(ts)=2024-01-01",
+        "days(ts)=2024-01-02", "days(ts)=2024-01-03",
+        "days(ts)=2024-01-04"))
+    // OPTIMIZE migrates lazily: pre-evolution leaves are residue under
+    // the current spec and re-cluster into pure day grain
+    spark.sql("OPTIMIZE cat.ev.t")
+    val migrated = TxLog.liveFiles(dir)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).sorted
+    assert(migrated === Seq("__pv=2024-01-01", "__pv=2024-01-02",
+      "__pv=2024-01-03", "__pv=2024-01-04"),
+      s"OPTIMIZE must migrate the table to the evolved grain: $migrated")
+    val day3After = spark.sql("SELECT id FROM cat.ev.t " +
+      "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-01-04 00:00:00'")
+    assert(plannedFiles(day3After) === 1 &&
+      day3After.as[Long].collect().toSeq === Seq(3L),
+      "after migration a one-day window plans exactly 1 of 4 leaves")
+    assert(spark.sql("SELECT count(*) FROM cat.ev.t").as[Long].head() === 4L)
+    spark.sql("DROP TABLE cat.ev.t")
+  }
+
   test("ADD COLUMN on a partitioned table: metadata-only, pruning kept") {
     def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collectLeaves().collect {
