@@ -531,7 +531,7 @@ class TxLogSpec extends AnyFunSuite {
       .select("id").as[Int].collect().sorted.toSeq === Seq(1, 3),
       "pruning loses no rows")
     val nullLeaf = entries.find(_._1.contains("__HIVE_DEFAULT_PARTITION__"))
-    assert(nullLeaf.exists(_._2.exists(_ == "#te#etype")),
+    assert(nullLeaf.exists(_._2.exists(_.contains("#te#etype"))),
       "the default leaf carries the exact null-or-empty marker")
     assert(!pruned.inputFiles.exists(_.contains("__HIVE_DEFAULT_PARTITION__")),
       "'click' can never live in the null/'' leaf — exact skip")
