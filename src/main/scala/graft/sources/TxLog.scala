@@ -905,9 +905,48 @@ object TxLog {
   /** The EVOLVED partition spec in force at `asOf` (latest when <= 0):
     * None for a table [[setPartitionSpec]] never touched (the catalog
     * then uses its CREATE-time spec), Some(specs) after an evolution,
-    * Some(Nil) after evolving to unpartitioned. */
-  def partitionSpec(dir: String, asOf: Int = -1): Option[Seq[String]] =
-    resolveFull(dir, asOf)._3.partSpec
+    * Some(Nil) after evolving to unpartitioned.
+    *
+    * Resolution is the [[txnVersion]] BACKWARD-WALK shape, not a full
+    * snapshot replay: the catalog consults this on EVERY table load,
+    * and a million-file table's full resolution costs ~0.8 s
+    * (manifest_state_r15) — a 2× planning tax per query. Partspec
+    * lines are last-wins and checkpoints restate them in the HEADER
+    * (before the adds), so the walk reads newest-first post-checkpoint
+    * manifests (commit-sized) and then at most the checkpoint's header
+    * block — O(post-checkpoint manifests), O(1) in live files. */
+  def partitionSpec(dir: String, asOf: Int = -1): Option[Seq[String]] = {
+    def parse(rest: String): Option[Seq[String]] =
+      if (rest == "-") Some(Nil)
+      else Some(rest.split(",").toSeq.filter(_.nonEmpty).map(decCol))
+    // last partspec line of one file; stopAtAdd bounds the checkpoint
+    // scan to its header block (partspec precedes the adds there)
+    def specIn(lines: Iterator[String],
+        stopAtAdd: Boolean): Option[Option[Seq[String]]] = {
+      var out: Option[Option[Seq[String]]] = None
+      val it = if (stopAtAdd) lines.takeWhile(l => !l.startsWith("add\t"))
+               else lines
+      it.foreach { l =>
+        if (l.startsWith("meta\tpartspec\t"))
+          out = Some(parse(l.substring("meta\tpartspec\t".length)))
+      }
+      out
+    }
+    val upTo = if (asOf <= 0) latestVersion(dir) else asOf
+    val names = listLog(dir)
+    val floor = names.collect { case CheckpointName(d) => d.toInt }
+      .filter(_ <= upTo).sorted.lastOption
+    val newestFirst = names.collect { case ManifestName(d) => d.toInt }
+      .filter(v => v <= upTo && v > floor.getOrElse(0)).sorted.reverse
+    newestFirst.iterator
+      .flatMap(v => specIn(
+        readLogFile(dir, manifest(dir, v), s"manifest v$v").linesIterator,
+        stopAtAdd = false))
+      .nextOption()
+      .orElse(floor.flatMap(cv => logLines(dir, checkpointFile(dir, cv),
+        f"checkpoint c$cv%08d")(specIn(_, stopAtAdd = true))))
+      .flatten
+  }
 
   /** PARTITION-SPEC EVOLUTION (public precedent: Iceberg's partition
     * spec evolution; Delta's metadata partitionColumns): one
@@ -1529,6 +1568,15 @@ object TxLog {
       new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8), 1 << 16)
     try {
       w.write(metaHeader())
+      // partspec rides the HEADER (before the adds): [[partitionSpec]]
+      // walks manifests backward and, on reaching a checkpoint, must
+      // not stream a million add lines to learn the spec — it stops at
+      // the first add (replay itself is order-insensitive for meta)
+      cmAtV.partSpec.foreach {
+        case Nil => w.write("meta\tpartspec\t-\n")
+        case sp  =>
+          w.write(s"meta\tpartspec\t${sp.map(encCol).mkString(",")}\n")
+      }
       entries.foreach {
         case (p, Some(st)) => w.write(s"add\t$p\t$st\n")
         case (p, None)     => w.write(s"add\t$p\n")
@@ -1546,11 +1594,6 @@ object TxLog {
       cmAtV.txns.foreach { case (a, id) =>
         w.write(s"meta\ttxn\t${encCol(a)}\t$id\n") // idempotence marks
       }                                            // survive retention
-      cmAtV.partSpec.foreach { // spec evolution rides checkpoints too
-        case Nil => w.write("meta\tpartspec\t-\n")
-        case sp  =>
-          w.write(s"meta\tpartspec\t${sp.map(encCol).mkString(",")}\n")
-      }
     } finally w.close()
     if (!claim(fs, tmp, checkpointFile(dir, v)))
       throw new IllegalStateException(

@@ -78,6 +78,11 @@ object ManifestProbe {
         timed(TxLog.commitWithStats(root,
           Seq(s"$root/data/extra_$r" -> Some(s"value;-1.0;-0.5"))))
       }.min
+      // the catalog consults the evolved spec on EVERY table load: its
+      // backward-walk resolution must stay O(1) in live files (vs the
+      // full resolve_s above)
+      val partspecS = (1 to repeat).map(_ =>
+        timed(TxLog.partitionSpec(root))).min
       val before = settledUsed()
       var held: Seq[(String, Option[String])] = TxLog.liveEntries(root)
       require(held.size >= n)
@@ -89,6 +94,7 @@ object ManifestProbe {
         "checkpoint_s" -> math.round(checkpointS * 1000) / 1000.0,
         "resolve_s" -> math.round(resolveS * 1000) / 1000.0,
         "commit_s" -> math.round(commitS * 100000) / 100000.0,
+        "partspec_s" -> math.round(partspecS * 100000) / 100000.0,
         "heap_mb" -> math.round(heapMb * 10) / 10.0,
         "bytes_per_entry" -> math.round((after - before).toDouble / n))
       println(s"POINT $row")
