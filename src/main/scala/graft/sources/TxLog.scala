@@ -1262,15 +1262,18 @@ object TxLog {
     * its version and the commit claims exactly that slot (atVersion,
     * the [[analyze]] discipline — ADVICE r13), so a write landing
     * between the scan and the commit forces THIS verb back through
-    * validation against the new rows; in the other interleaving every
-    * constraint add bumps the version, so an INGEST racing it loses its
-    * claim and re-validates on retry (the append/overwrite loops re-run
-    * [[enforceChecks]] after a lost race) — both windows are closed; a
-    * racing ROW-LEVEL rewrite (merge/update) validated against the
-    * rules it saw and its [[commitRewrite]] retry re-claims without
-    * re-reading them — the one interleaving where a rule can miss a
-    * same-instant write, the metadata-vs-rewrite conflict Delta's
-    * transaction matrix also documents. Returns the commit version. */
+    * validation against the new rows; in the other interleaving the
+    * INGEST verbs pin symmetrically — each validates at a version and
+    * claims exactly that version + 1, re-validating whenever the log
+    * moved (the r15 race spec caught the pre-pin hole: an append whose
+    * batch write overlapped the constraint commit could claim the NEXT
+    * free slot without ever losing a race, landing unvalidated) — both
+    * windows are closed; a racing ROW-LEVEL rewrite (merge/update)
+    * validated against the rules it saw and its [[commitRewrite]] retry
+    * re-claims without re-reading them — the one interleaving where a
+    * rule can miss a same-instant write, the metadata-vs-rewrite
+    * conflict Delta's transaction matrix also documents. Returns the
+    * commit version. */
   def addConstraint(spark: SparkSession, dir: String, name: String,
       exprSql: String): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
@@ -1373,27 +1376,42 @@ object TxLog {
       name: String, autoStatsCols: Int = 0,
       txn: Option[(String, Long)] = None): Int = {
     import org.apache.spark.sql.functions.col
+    // PIN the validation version (the addConstraint discipline, applied
+    // symmetrically — the r15 race spec caught the hole the old
+    // "a concurrent append always loses its claim" argument missed: an
+    // append whose BATCH WRITE overlaps a constraint commit computes
+    // latestVersion AFTER that commit, claims the NEXT free slot
+    // without ever losing a race, and lands unvalidated. Claiming
+    // exactly validatedV+1 makes any interleaving commit force this
+    // writer through a lost race and a re-validation.)
+    var validatedV = latestVersion(dir)
     enforceChecks(spark, dir, df, "append") // logical rows, pre-rename
     def autoStats(path: String): Option[String] =
       autoStatsFor(spark, path, autoStatsCols)
+    // re-validate iff the log moved past the pinned version (covers
+    // both the lost-race retry and the batch-write window)
+    def revalidate(verb: String): Int = {
+      val v = latestVersion(dir)
+      if (v != validatedV) {
+        enforceChecks(spark, dir, df, verb)
+        validatedV = v
+      }
+      v
+    }
     def commitOne(path: String): Int = {
       var attempt = 0
       var out = -1
       val st = autoStats(path)
       while (out < 0) {
         attempt += 1
-        try out = commitWithStats(dir, Seq(path -> st), txn = txn)
+        val v = revalidate("append")
+        try out = commitWithStats(dir, Seq(path -> st), txn = txn,
+          atVersion = v + 1)
         catch {
           case e: IllegalStateException
               if e.getMessage != null &&
                 e.getMessage.contains("lost the race") =>
             if (attempt >= MaxCommitAttempts) throw e
-            // the race loser re-validates: the winning commit may have
-            // been an [[addConstraint]], and an append that raced it
-            // must not land unvalidated (every constraint add bumps the
-            // version, so a concurrent append ALWAYS loses its claim
-            // and passes back through here — the window is closed)
-            enforceChecks(spark, dir, df, "append")
             raceBackoff(attempt)
         }
       }
@@ -1417,9 +1435,10 @@ object TxLog {
         var writtenStats: Option[String] = None
         while (out < 0) {
           attempt += 1
-          val m = columnMapping(dir).getOrElse(
+          val v = revalidate("append") // pin: see commitOne
+          val m = columnMapping(dir, v).getOrElse(
             identityMappingFromFiles(spark, dir))
-          val nextV = latestVersion(dir) + 1
+          val nextV = v + 1
           val known = m.map { case (p, l) => l -> p }.toMap
           val fresh = df.columns.toSeq.filterNot(known.contains)
             .map(l => l -> s"c${nextV}_$l")
@@ -1439,14 +1458,13 @@ object TxLog {
             if (fresh.isEmpty) None
             else Some(m ++ fresh.map { case (l, p) => (p, l) })
           try out = commitWithStats(dir, Seq(path -> writtenStats),
-            colMap = colMap, txn = txn)
+            colMap = colMap, txn = txn, atVersion = nextV)
           catch {
             case e: IllegalStateException
                 if e.getMessage != null &&
                   e.getMessage.contains("lost the race") =>
               if (attempt >= MaxCommitAttempts) throw e
-              enforceChecks(spark, dir, df, "append") // re-validate (race)
-              raceBackoff(attempt)
+              raceBackoff(attempt) // loop head re-validates + re-pins
           }
         }
         out
@@ -1486,6 +1504,9 @@ object TxLog {
     * travel to the replaced content. Returns the commit version. */
   def overwriteAll(spark: SparkSession, dir: String, df: DataFrame,
       name: String, autoStatsCols: Int = 0): Int = {
+    // pinned-claim discipline (see appendMapped): validate at a version,
+    // claim exactly that version + 1, re-validate whenever the log moved
+    var validatedV = latestVersion(dir)
     enforceChecks(spark, dir, df, "overwrite")
     val path = writeBatch(df, dir, name)
     val st = autoStatsFor(spark, path, autoStatsCols)
@@ -1493,16 +1514,21 @@ object TxLog {
     var out = -1
     while (out < 0) {
       attempt += 1
+      val v = latestVersion(dir)
+      if (v != validatedV) {
+        enforceChecks(spark, dir, df, "overwrite")
+        validatedV = v
+      }
       try out = commitWithStats(dir, Seq(path -> st),
-        remove = liveFiles(dir),
-        colMap = if (columnMapping(dir).isDefined) Some(Nil) else None)
+        remove = liveFiles(dir, v),
+        colMap = if (columnMapping(dir, v).isDefined) Some(Nil) else None,
+        atVersion = v + 1)
       catch {
         case e: IllegalStateException
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
           if (attempt >= MaxCommitAttempts) throw e
-          enforceChecks(spark, dir, df, "overwrite") // re-validate (race)
-          raceBackoff(attempt)
+          raceBackoff(attempt) // loop head re-validates + re-pins
       }
     }
     out
@@ -3279,24 +3305,29 @@ object TxLog {
       df: DataFrame, partCols: Seq[String], bloomBits: Int = 1024,
       extraStatsCols: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): Int = {
+    // pinned-claim discipline (see appendMapped): validate at a version,
+    // claim exactly that version + 1 — the leaves are already written,
+    // only the manifest line retries
+    var validatedV = latestVersion(dir)
     enforceChecks(spark, dir, df, "partitioned append")
     val adds = writePartitionLeaves(spark, dir, name, df,
       partCols, bloomBits, extraStatsCols)
-    // the append retry discipline: a lost version race re-validates
-    // (the winning commit may have been an addConstraint) and re-claims
-    // — the leaves are already written, only the manifest line retries
     var attempt = 0
     var out = -1
     while (out < 0) {
       attempt += 1
-      try out = commitWithStats(dir, adds, txn = txn)
+      val v = latestVersion(dir)
+      if (v != validatedV) {
+        enforceChecks(spark, dir, df, "partitioned append")
+        validatedV = v
+      }
+      try out = commitWithStats(dir, adds, txn = txn, atVersion = v + 1)
       catch {
         case e: IllegalStateException
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
           if (attempt >= MaxCommitAttempts) throw e
-          enforceChecks(spark, dir, df, "partitioned append")
-          raceBackoff(attempt)
+          raceBackoff(attempt) // loop head re-validates + re-pins
       }
     }
     out
@@ -3319,6 +3350,8 @@ object TxLog {
   def overwritePartitionedCols(spark: SparkSession, dir: String,
       name: String, df: DataFrame, partCols: Seq[String],
       bloomBits: Int = 1024, extraStatsCols: Seq[String] = Nil): Int = {
+    // pinned-claim discipline (see appendMapped)
+    var validatedV = latestVersion(dir)
     enforceChecks(spark, dir, df, "partitioned overwrite")
     val adds = writePartitionLeaves(spark, dir, name, df, partCols,
       bloomBits, extraStatsCols)
@@ -3326,20 +3359,24 @@ object TxLog {
     var out = -1
     while (out < 0) {
       attempt += 1
+      val v = latestVersion(dir)
+      if (v != validatedV) {
+        enforceChecks(spark, dir, df, "partitioned overwrite")
+        validatedV = v
+      }
       // like overwriteAll: a full replace on a MAPPED table restates the
       // colmap to identity (Some(Nil)) — the new leaves carry logical
       // names, and a stale mapping left in force would project wrong or
       // missing columns on every subsequent read (ADVICE r13)
-      try out = commitWithStats(dir, adds, remove = liveFiles(dir),
-        colMap = if (columnMapping(dir).isDefined) Some(Nil) else None)
+      try out = commitWithStats(dir, adds, remove = liveFiles(dir, v),
+        colMap = if (columnMapping(dir, v).isDefined) Some(Nil) else None,
+        atVersion = v + 1)
       catch {
         case e: IllegalStateException
             if e.getMessage != null &&
               e.getMessage.contains("lost the race") =>
           if (attempt >= MaxCommitAttempts) throw e
-          enforceChecks(spark, dir, df, // re-validate (race)
-            "partitioned overwrite")
-          raceBackoff(attempt)
+          raceBackoff(attempt) // loop head re-validates + re-pins
       }
     }
     out
