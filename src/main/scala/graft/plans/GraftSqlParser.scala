@@ -343,9 +343,22 @@ final case class GraftSetPartitionSpecCommand(nameParts: Seq[String],
     specs: Seq[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
-  override def run(session: SparkSession): Seq[Row] =
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = SqlBridge.loadCatalogTable(session, nameParts)
+    // the CREATE path validates spec sources against the declared
+    // schema; the evolution path must too, or `SET PARTITIONED BY
+    // (days(typo_col))` commits fine and every later INSERT fails at
+    // derive time until re-evolved (an empty schema — a table no
+    // write ever reached — has nothing to validate against yet)
+    val declared = table.columns().map(_.name).toSet
+    if (declared.nonEmpty) TxLog.partSpecSources(specs).foreach { c =>
+      require(declared.contains(c),
+        s"graft: SET PARTITIONED BY references column '$c', which is " +
+          s"not in the table schema (${declared.mkString(", ")})")
+    }
     Seq(Row(TxLog.setPartitionSpec(
       GraftSqlParser.dirOf(session, nameParts), specs)))
+  }
 }
 
 /** `RESTORE [TABLE] t TO VERSION AS OF n` → [[TxLog.restore]]: one

@@ -201,11 +201,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident))
     // partition-spec EVOLUTION lives in the table's own log (Delta's
     // metadata partitionColumns pattern): an ALTER ... SET PARTITIONED
-    // BY commit overrides the CREATE-time spec for future ingest
+    // BY commit overrides the CREATE-time spec for future ingest; a
+    // VERSION/TIMESTAMP AS OF load resolves the spec in force AT that
+    // version, so partitioning()/SHOW PARTITIONS label the snapshot
+    // the reader actually sees
     GraftTable(
       (catalogName +: ident.namespace :+ ident.name).mkString("."),
       meta.location, asOf, meta.declared,
-      TxLog.partitionSpec(meta.location).getOrElse(meta.partCols))
+      TxLog.partitionSpec(meta.location, asOf).getOrElse(meta.partCols))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -220,10 +223,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // their dirname, time levels carry true per-leaf min/max on the
     // SOURCE column so raw `ts` predicates prune day leaves, bucket
     // levels carry an exact `#bk#` membership segment so a point
-    // predicate prunes to 1 of n leaves), and the scan-planning
-    // FileIndex prunes a filter on ANY partition column. The truncate
-    // transform has no pruning story here and stays rejected loudly
-    // rather than silently degraded.
+    // predicate prunes to 1 of n leaves, truncate levels carry an
+    // exact `#tp#` prefix segment so equality literals prune by their
+    // code-point prefix), and the scan-planning FileIndex prunes a
+    // filter on ANY partition column.
     val timeFns = Set("days", "months", "years", "hours")
     val partCols = partitions.toSeq.map {
       case t if (t.name == "identity" || timeFns(t.name)) &&

@@ -914,7 +914,18 @@ object TxLog {
     * lines are last-wins and checkpoints restate them in the HEADER
     * (before the adds), so the walk reads newest-first post-checkpoint
     * manifests (commit-sized) and then at most the checkpoint's header
-    * block — O(post-checkpoint manifests), O(1) in live files. */
+    * block — O(post-checkpoint manifests), O(1) in live files.
+    *
+    * The walk is additionally MEMOIZED per directory (latest-version
+    * resolutions only): without a checkpoint, a never-evolved table's
+    * walk finds no partspec line and reads EVERY manifest — an
+    * O(#commits) planning tax per load for exactly the common
+    * unmaintained case. The cache stores (version, spec-at-version);
+    * a later load only scans manifests NEWER than the cached version
+    * (checkpoints merely restate the line, so they can never change
+    * the answer between two resolved versions). Per-process, like
+    * Delta's DeltaLog cache; [[destroy]] invalidates, so a
+    * re-created table at the same path never serves a stale spec. */
   def partitionSpec(dir: String, asOf: Int = -1): Option[Seq[String]] = {
     def parse(rest: String): Option[Seq[String]] =
       if (rest == "-") Some(Nil)
@@ -933,19 +944,58 @@ object TxLog {
       out
     }
     val upTo = if (asOf <= 0) latestVersion(dir) else asOf
-    val names = listLog(dir)
-    val floor = names.collect { case CheckpointName(d) => d.toInt }
-      .filter(_ <= upTo).sorted.lastOption
-    val newestFirst = names.collect { case ManifestName(d) => d.toInt }
-      .filter(v => v <= upTo && v > floor.getOrElse(0)).sorted.reverse
-    newestFirst.iterator
-      .flatMap(v => specIn(
-        readLogFile(dir, manifest(dir, v), s"manifest v$v").linesIterator,
-        stopAtAdd = false))
-      .nextOption()
-      .orElse(floor.flatMap(cv => logLines(dir, checkpointFile(dir, cv),
-        f"checkpoint c$cv%08d")(specIn(_, stopAtAdd = true))))
-      .flatten
+    val cached = Option(partSpecCache.get(dir))
+    cached match {
+      case Some((v0, spec0)) if asOf <= 0 && upTo == v0 => spec0
+      case Some((v0, spec0)) if asOf <= 0 && upTo > v0 &&
+          !listLog(dir).exists {
+            case CheckpointName(d) => d.toInt > v0; case _ => false
+          } =>
+        // incremental: only manifests in (v0, upTo] can change the
+        // answer (a checkpoint restates, never originates) — and with
+        // no checkpoint NEWER than v0 none of that window can have
+        // been expired out from under the scan
+        val delta = listLog(dir)
+          .collect { case ManifestName(d) => d.toInt }
+          .filter(v => v <= upTo && v > v0).sorted.reverse
+        val out = delta.iterator
+          .flatMap(v => specIn(
+            readLogFile(dir, manifest(dir, v), s"manifest v$v")
+              .linesIterator, stopAtAdd = false))
+          .nextOption().getOrElse(spec0)
+        cachePartSpec(dir, upTo, out)
+        out
+      case _ =>
+        val names = listLog(dir)
+        val floor = names.collect { case CheckpointName(d) => d.toInt }
+          .filter(_ <= upTo).sorted.lastOption
+        val newestFirst = names.collect { case ManifestName(d) => d.toInt }
+          .filter(v => v <= upTo && v > floor.getOrElse(0)).sorted.reverse
+        val out = newestFirst.iterator
+          .flatMap(v => specIn(
+            readLogFile(dir, manifest(dir, v), s"manifest v$v")
+              .linesIterator, stopAtAdd = false))
+          .nextOption()
+          .orElse(floor.flatMap(cv => logLines(dir, checkpointFile(dir, cv),
+            f"checkpoint c$cv%08d")(specIn(_, stopAtAdd = true))))
+          .flatten
+        if (asOf <= 0) cachePartSpec(dir, upTo, out)
+        out
+    }
+  }
+
+  /** [[partitionSpec]] memo: dir → (resolved version, spec at it).
+    * Monotone merge (never regress the resolved version); bounded by a
+    * cheap clear — the working set is live tables, and a full clear
+    * only costs re-resolution. */
+  private val partSpecCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Option[Seq[String]])]
+  private def cachePartSpec(dir: String, v: Int,
+      spec: Option[Seq[String]]): Unit = {
+    if (partSpecCache.size > 4096) partSpecCache.clear()
+    partSpecCache.merge(dir, (v, spec),
+      (old, nw) => if (nw._1 >= old._1) nw else old)
+    ()
   }
 
   /** PARTITION-SPEC EVOLUTION (public precedent: Iceberg's partition
@@ -961,6 +1011,13 @@ object TxLog {
     * partitioned ingest writes declared names). `Nil` evolves to
     * unpartitioned. Survives RESTORE (like txn marks): the spec
     * governs future ingest, which a data rollback does not undo. */
+  /** The SOURCE column each PARTITIONED BY entry derives from (the
+    * bare column of an identity spec, the argument of a transform) —
+    * what a caller validates against the table schema before
+    * committing an evolution. Parse errors surface here too. */
+  def partSpecSources(specs: Seq[String]): Seq[String] =
+    specs.map(s => parsePartSpec(s).source)
+
   def setPartitionSpec(dir: String, specs: Seq[String]): Int = {
     specs.foreach(parsePartSpec) // validate each spec's grammar
     require(specs.map(s => parsePartSpec(s).spec).distinct.size ==
@@ -983,6 +1040,7 @@ object TxLog {
           raceBackoff(attempt)
       }
     }
+    cachePartSpec(dir, out, Some(specs.map(s => parsePartSpec(s).spec)))
     out
   }
 
@@ -3885,6 +3943,9 @@ object TxLog {
     val fs = fsOf(p)
     try fs.delete(p, true)
     catch { case _: java.io.FileNotFoundException => () }
+    // a re-created table at this path starts from version 1 again — a
+    // stale memoized spec must never survive the teardown
+    partSpecCache.remove(dir)
     ()
   }
 

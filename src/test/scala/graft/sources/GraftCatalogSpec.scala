@@ -542,6 +542,51 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.ev.t")
   }
 
+  test("SET PARTITIONED BY: typo refusal, asOf spec labeling, memo coherence") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.ev2")
+    spark.sql("DROP TABLE IF EXISTS cat.ev2.t")
+    spark.sql("CREATE TABLE cat.ev2.t (id BIGINT, etype STRING, " +
+      "ts TIMESTAMP) USING graft PARTITIONED BY (etype)")
+    spark.sql("INSERT INTO cat.ev2.t VALUES " +
+      "(1, 'click', TIMESTAMP '2024-01-01 03:00:00')")
+    // a spec naming a column the table never declared is refused at the
+    // statement, not at the next INSERT's derive
+    val e = intercept[Exception] { spark.sql(
+      "ALTER TABLE cat.ev2.t SET PARTITIONED BY (days(typo_col))") }
+    assert(e.getMessage.contains("typo_col"))
+    val dir = spark.sql("DESCRIBE TABLE EXTENDED cat.ev2.t")
+      .filter($"col_name" === "Location").select("data_type").as[String]
+      .head()
+    val vPre = TxLog.latestVersion(dir)
+    spark.sql("ALTER TABLE cat.ev2.t SET PARTITIONED BY (days(ts))")
+    // resolution honors asOf: the spec IN FORCE at a version, not the
+    // latest
+    assert(TxLog.partitionSpec(dir, vPre) === None)
+    assert(TxLog.partitionSpec(dir) === Some(Seq("days(ts)")))
+    // ... and a VERSION AS OF table load labels its own snapshot
+    val cat = spark.sessionState.catalogManager.catalog("cat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("ev2"), "t")
+    assert(cat.loadTable(ident, vPre.toString).asInstanceOf[GraftTable]
+      .partCols === Seq("etype"))
+    assert(cat.loadTable(ident).asInstanceOf[GraftTable]
+      .partCols === Seq("days(ts)"))
+    spark.sql("DROP TABLE cat.ev2.t")
+    // memoized resolution stays coherent across destroy + re-create at
+    // the SAME path reaching the SAME version count (the one shape a
+    // version-keyed cache cannot distinguish without invalidation)
+    val d2 = freshDir() + "/memo"
+    def land(name: String): Unit = { TxLog.commit(d2, Seq(TxLog.writeBatch(
+      Seq((1L, "a")).toDF("id", "tag"), d2, name))); () }
+    land("b0")
+    TxLog.setPartitionSpec(d2, Seq("tag"))
+    assert(TxLog.partitionSpec(d2) === Some(Seq("tag")))
+    TxLog.destroy(d2)
+    land("b0"); land("b1") // back to version 2, never evolved this life
+    assert(TxLog.partitionSpec(d2) === None)
+  }
+
   test("ADD COLUMN on a partitioned table: metadata-only, pruning kept") {
     def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collectLeaves().collect {
