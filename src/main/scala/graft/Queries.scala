@@ -9932,6 +9932,138 @@ object Queries {
       FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** `PARTITIONED BY (years(ts))` — the coarsest time-bucket transform
+    * (VERDICT r15 missing item 3: years/hours shared the days/months
+    * code path but not the oracle). The events span is one month, so
+    * the gate widens it to ~4 years DETERMINISTICALLY first:
+    * ts2 = ts + (event_id % 4)·366 days, exact epoch-micros arithmetic
+    * replayable by the oracle. REQUIREd like the months gate: multiple
+    * year leaves, and a raw one-year ts window — the query never names
+    * the transform — plans exactly 1 leaf via the per-leaf TRUE min/max
+    * stats on the source column. Hash: per-year counts and value sums,
+    * year = UTC yyyy of ts2 on both sides. */
+  private val qSqlPartitionedYears = QuerySpec(
+    "q_sql_partitioned_years",
+    (s, dir) => {
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evyr_$tag")
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          timestamp_micros(unix_micros(col("ts")) +
+            pmod(col("event_id"), lit(4)) * lit(31622400000000L)).as("ts"))
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .createOrReplaceTempView(s"evyr_src_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evyr_$tag " +
+        "(event_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP) " +
+        "USING graft PARTITIONED BY (years(ts))")
+      s.sql(s"INSERT INTO graft.sql.evyr_$tag " +
+        s"SELECT event_id, event_type, value, ts FROM evyr_src_$tag")
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val total = plannedFiles(s.sql(s"SELECT * FROM graft.sql.evyr_$tag"))
+      require(total >= 3, s"the widened events span must yield multiple " +
+        s"year leaves, got $total")
+      // the first year's window, derived from the data itself (UTC)
+      val minUs = s.sql(s"SELECT min(unix_micros(ts)) FROM evyr_src_$tag")
+        .collect().head.getLong(0)
+      val y0 = java.time.Instant.ofEpochSecond(minUs / 1000000)
+        .atZone(java.time.ZoneOffset.UTC).withDayOfYear(1)
+        .truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+      val lo = y0.toInstant.getEpochSecond * 1000000L
+      val hi = y0.plusYears(1).toInstant.getEpochSecond * 1000000L
+      val oneYear = s.sql(
+        s"SELECT event_id FROM graft.sql.evyr_$tag " +
+          s"WHERE ts >= timestamp_micros(${lo}L) " +
+          s"AND ts < timestamp_micros(${hi}L)")
+      require(plannedFiles(oneYear) == 1,
+        s"a one-year raw-ts window must plan exactly 1 of $total year " +
+          s"leaves, planned ${plannedFiles(oneYear)}")
+      s.sql(s"SELECT date_format(ts, 'yyyy') AS year, value " +
+          s"FROM graft.sql.evyr_$tag")
+        .groupBy(col("year"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(coalesce(col("value"), lit(0.0))).as("sum_value"))
+        .orderBy("year")
+    },
+    Some("""SELECT strftime(make_timestamp(epoch_us(ts)
+          + (event_id % 4) * 31622400000000), '%Y') AS year,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+          AS sum_value
+      FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** `PARTITIONED BY (hours(ts))` — the finest time-bucket transform
+    * (VERDICT r15 missing item 3's other half). Raw events span a
+    * month — ~720 hour leaves, a pathological grain for a gate — so
+    * the construction REBASES deterministically onto six hours of one
+    * UTC day: ts2 = 2024-01-01T00Z + (event_id % 6)·1h + (ts's
+    * sub-hour offset), exact epoch-micros arithmetic the oracle
+    * replays. REQUIREd: multiple hour leaves, and a raw one-hour ts
+    * window plans exactly 1 leaf via the per-leaf TRUE min/max stats.
+    * Hash: per-hour counts and value sums, hour = epoch-micros div
+    * 3600e6 on both sides (timezone-free, the days-gate shape). */
+  private val qSqlPartitionedHours = QuerySpec(
+    "q_sql_partitioned_hours",
+    (s, dir) => {
+      sqlCatalog(s)
+      val tag = dsTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS graft.sql.evhr_$tag")
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          timestamp_micros(lit(1704067200000000L) +
+            pmod(col("event_id"), lit(6)) * lit(3600000000L) +
+            pmod(unix_micros(col("ts")), lit(3600000000L))).as("ts"))
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .createOrReplaceTempView(s"evhr_src_$tag")
+      s.sql(s"CREATE TABLE graft.sql.evhr_$tag " +
+        "(event_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP) " +
+        "USING graft PARTITIONED BY (hours(ts))")
+      s.sql(s"INSERT INTO graft.sql.evhr_$tag " +
+        s"SELECT event_id, event_type, value, ts FROM evhr_src_$tag")
+      def plannedFiles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.size).sum
+        }.sum
+      val total = plannedFiles(s.sql(s"SELECT * FROM graft.sql.evhr_$tag"))
+      require(total >= 3, s"the rebased events span must yield multiple " +
+        s"hour leaves, got $total")
+      // the first hour's window, derived from the data itself
+      val minUs = s.sql(s"SELECT min(unix_micros(ts)) FROM evhr_src_$tag")
+        .collect().head.getLong(0)
+      val lo = (minUs / 3600000000L) * 3600000000L
+      val hi = lo + 3600000000L
+      val oneHour = s.sql(
+        s"SELECT event_id FROM graft.sql.evhr_$tag " +
+          s"WHERE ts >= timestamp_micros(${lo}L) " +
+          s"AND ts < timestamp_micros(${hi}L)")
+      require(plannedFiles(oneHour) == 1,
+        s"a one-hour raw-ts window must plan exactly 1 of $total hour " +
+          s"leaves, planned ${plannedFiles(oneHour)}")
+      s.sql(s"SELECT unix_micros(ts) div 3600000000 AS hour_num, value " +
+          s"FROM graft.sql.evhr_$tag")
+        .groupBy(col("hour_num"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(coalesce(col("value"), lit(0.0))).as("sum_value"))
+        .orderBy("hour_num")
+    },
+    Some("""SELECT (1704067200000000 + (event_id % 6) * 3600000000
+          + epoch_us(ts) % 3600000000) // 3600000000 AS hour_num,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+          AS sum_value
+      FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   /** `PARTITIONED BY (bucket(8, c_name))` — the HASH-BUCKET partition
     * transform (Iceberg's bucket transform; r15): the ingest clusters
     * rows into one leaf per portable-bucket value, each leaf's manifest
@@ -14061,7 +14193,8 @@ object Queries {
     qSqlShowPartitions, qSqlOptimizePart, qSqlAutoStats, qSqlConstraint,
     qSqlRestoreClone, qSqlPartitioned2, qSqlPartAddColumn,
     qSqlDescribeDetail, qTxlogReplaceWhere, qSqlPartitionedDays,
-    qSqlPartitionedMonths, qSqlPartitionedBucket, qSqlPartitionedTruncate,
+    qSqlPartitionedMonths, qSqlPartitionedYears, qSqlPartitionedHours,
+    qSqlPartitionedBucket, qSqlPartitionedTruncate,
     qSqlPartitionEvolution,
     qTxlogConstraints,
     qTxlogOptimizeInc, qTxlogBloomPrune, qTxlogForget, qTxlogForgetDv,
