@@ -5082,18 +5082,21 @@ object Queries {
       HAVING COUNT(*) * 30 > n.c ORDER BY word"""))
 
   /** Product-quantization ANN ([[SimilarityOps.pqCodebook]]/[[SimilarityOps.pqTopK]]):
-    * 64-dim vectors → 4 subspaces × 8 codewords (codebook seeded from
-    * vec_id < 8), corpus encoded to 4 small codes each, queries ranked by
-    * squared-L2 reconstruction distance. The oracle re-derives codebook,
-    * argmin encoding, and reconstruction ranking in SQL — both engines
-    * compute ‖x‖²−2x·c+‖c‖² with sequential-fold dots and 6-dp rounding,
+    * 64-dim vectors → 4 subspaces × 8 codewords (codebook SAMPLED from
+    * the whole corpus by portable-hash order — the 8 smallest
+    * (md5(vec_id), vec_id) rows, unbiased by construction where the
+    * r15 lowest-id draw was ingest-order-correlated), corpus encoded to
+    * 4 small codes each, queries ranked by squared-L2 reconstruction
+    * distance. The oracle re-derives the sampled codebook, argmin
+    * encoding, and reconstruction ranking in SQL — both engines compute
+    * ‖x‖²−2x·c+‖c‖² with sequential-fold dots and 6-dp rounding,
     * lowest-id tiebreaks, so the approximate result is deterministic and
     * hash-comparable. */
   private val qAnnPq = QuerySpec(
     "q_ann_pq",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cb = SimilarityOps.pqCodebook(emb.filter(col("vec_id") < 8), m = 4, k = 8)
+      val cb = SimilarityOps.pqCodebook(emb, m = 4, k = 8)
       SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, cb)
         .select(col("query_id"), col("nbr_id"), col("dist"),
           col("rank").cast("long").as("rank"))
@@ -5103,7 +5106,9 @@ object Queries {
       sp AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(s)),
       cb AS (SELECT c.vec_id AS cid, s.s,
           list_slice(c.v, s.s*16+1, s.s*16+16) AS cw
-        FROM e c CROSS JOIN sp s WHERE c.vec_id < 8),
+        FROM (SELECT vec_id, v FROM e
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8) c
+        CROSS JOIN sp s),
       codes AS (
         SELECT vec_id, s, cid FROM (
           SELECT e.vec_id, cb.s, cb.cid,

@@ -580,17 +580,28 @@ object SimilarityOps {
 
   /** Product-quantization codebook: split each d-dim vector into `m`
     * subvectors of d/m dims; per subspace the codebook is the matching
-    * subvectors of the `k` lowest-id training rows (deterministic seeding —
-    * refine per subspace with [[kmeansStep]]-style Lloyd rounds for real
-    * deployments; the seeded book already exercises the full encode/search
-    * contract). Driver-sized by construction: m·k·(d/m) = k·d doubles
-    * regardless of corpus size — collect is bounded by `k`, never the
-    * corpus. Returns codebook(s)(j) = j-th codeword of subspace s. */
+    * subvectors of `k` training rows drawn by PORTABLE-HASH order —
+    * the k smallest `(md5(id), id)` rows, the same md5 arithmetic every
+    * split/shard/sample operator here shares, so the draw is an
+    * unbiased-by-construction sample an oracle can replay exactly. (The
+    * r15 cut took the k smallest ids — deterministic but id-CORRELATED:
+    * on a corpus where ingest order tracks content, e.g. crawl date or
+    * source, the codebook only ever saw the oldest slice. Refine per
+    * subspace with [[kmeansStep]]-style Lloyd rounds for real
+    * deployments; the seeded book already exercises the full
+    * encode/search contract.) Driver-sized by construction:
+    * m·k·(d/m) = k·d doubles regardless of corpus size — the top-k is a
+    * distributed TakeOrdered, and the collect is bounded by `k`, never
+    * the corpus. Returns codebook(s)(j) = j-th codeword of subspace s. */
   def pqCodebook(train: DataFrame, m: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
     val rows = train
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-      .orderBy("id").limit(k).collect()
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(k).collect()
+      // the DRAW is hash-ordered; the codeword INDEX order stays id
+      // order, so encode's position tiebreak matches an oracle's
+      // lowest-codeword-id tiebreak
+      .sortBy(_.getLong(0))
     require(rows.length == k, s"need $k training vectors, got ${rows.length}")
     val vecs = rows.map(_.getSeq[Double](1).toArray)
     val d = vecs.head.length

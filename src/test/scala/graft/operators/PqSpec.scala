@@ -21,15 +21,31 @@ class PqSpec extends AnyFunSuite {
     (4L, Array(0f, 0f, 0.9f, 0.1f, 0.1f, 0.9f, 0f, 0f))
   ).toDF("vec_id", "embedding")
 
-  test("codebook splits the k lowest-id training vectors into m subspaces") {
-    val cb = SimilarityOps.pqCodebook(base, m = 2, k = 2)
+  // an exactly-k training frame is draw-order-invariant: the codebook is
+  // those k rows, indexed in id order, regardless of the sampling hash
+  private val train01 = base.filter(col("vec_id") < 2)
+
+  test("codebook splits the k training vectors into m subspaces, id-indexed") {
+    val cb = SimilarityOps.pqCodebook(train01, m = 2, k = 2)
     assert(cb.length == 2 && cb.forall(_.length == 2))
     assert(cb(0)(0).toSeq == Seq(1.0, 0.0, 0.0, 0.0)) // vec 0, first half
     assert(cb(1)(1).toSeq == Seq(0.0, 0.0, 0.0, 1.0)) // vec 1, second half
   }
 
-  test("encode maps each subvector to its nearest codeword, 1-based") {
+  test("oversized training draws by portable-hash order, indexes by id") {
+    // md5("4") < md5("1") < md5("2") < md5("0") < md5("3"), so k=2 over
+    // the full frame samples {1, 4} — NOT the two lowest ids — and the
+    // codeword index order is id order (1 before 4) for the encode-side
+    // position tiebreak
     val cb = SimilarityOps.pqCodebook(base, m = 2, k = 2)
+    assert(cb(0)(0).toSeq == Seq(0.0, 0.0, 1.0, 0.0)) // vec 1, first half
+    assert(cb(1)(0).toSeq == Seq(0.0, 0.0, 0.0, 1.0)) // vec 1, second half
+    assert(cb(0)(1).toSeq ==
+      Array(0f, 0f, 0.9f, 0.1f).map(_.toDouble).toSeq) // vec 4, first half
+  }
+
+  test("encode maps each subvector to its nearest codeword, 1-based") {
+    val cb = SimilarityOps.pqCodebook(train01, m = 2, k = 2)
     val codes = SimilarityOps.pqEncode(base, cb)
       .as[(Long, Seq[Int])].collect().toMap
     assert(codes(0L) == Seq(1, 1) && codes(1L) == Seq(2, 2))
@@ -41,7 +57,7 @@ class PqSpec extends AnyFunSuite {
   test("a codeword-exact vector reconstructs at distance zero and ranks first") {
     val out = SimilarityOps.pqTopK(
         base, base.filter(col("vec_id") === 2), k = 3,
-        SimilarityOps.pqCodebook(base, m = 2, k = 2))
+        SimilarityOps.pqCodebook(train01, m = 2, k = 2))
       .select("nbr_id", "dist", "rank")
       .as[(Long, Double, Int)].collect().sortBy(_._3)
     // vecs 2 and 3 share codes (1,2): both reconstruct to vec 2's exact
