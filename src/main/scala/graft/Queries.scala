@@ -1813,6 +1813,54 @@ object Queries {
           % 1000000007) % 1000000007 AS BIGINT) AS checksum
       FROM recs"""))
 
+  /** BIT-PARITY TeraGen ([[graft.sources.Tera.genSort]], VERDICT r15
+    * item 4): the reference's 128-bit LCG + binary record format
+    * reimplemented from the published algorithm, so generated data is
+    * byte-identical to Hadoop TeraGen / gensort output — a migration
+    * user can cross-validate against an existing Gray-sort dataset.
+    * The gate generates 1000 records across 8 tasks (pinning the
+    * skip-ahead at 7 non-zero task offsets through the sum), REQUIREs
+    * the full gensort -c checksum (sum of per-record CRC32s) equals the
+    * reference generator's own 0x1f9ffe645ec, and hash-pins the first
+    * 20 rows' key bytes + CRC32 against reference-derived constants
+    * (row 0's key spells "JimGrayRIP" — the LCG's c constant). */
+  private val qTeraGensort = QuerySpec(
+    "q_tera_gensort",
+    (s, _) => {
+      val df = graft.sources.Tera.genSort(s, 1000, 8)
+      val total = df
+        .agg(sum(col("crc32").cast("decimal(38,0)")).as("t"))
+        .collect().head.getDecimal(0).toBigInteger
+      require(total == new java.math.BigInteger("1f9ffe645ec", 16),
+        s"gensort -c checksum mismatch vs the reference generator: $total")
+      df.filter(col("row_id") < 20)
+        .select(col("row_id"), lower(hex(col("key"))).as("key_hex"),
+          col("crc32"))
+        .orderBy("row_id")
+    },
+    Some("""SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT),'4a696d47726179524950',CAST(2538618403 AS BIGINT)),
+        (1,'95e0e48262b3edfe0447',2783534542),
+        (2,'45979353dbed5329365c',3270607765),
+        (3,'882a02c315362b60765f',1362613206),
+        (4,'5c90ab38ae52896215d7',3388001003),
+        (5,'72dc0ca51e333f324b7a',3726105948),
+        (6,'10431af6a0d847b8c55f',2139828976),
+        (7,'5efc4abfaca23e8ca8ed',356461577),
+        (8,'44f78c8b40bf1ce19a82',2067648582),
+        (9,'84c0992f3b94fd25acb0',2841475179),
+        (10,'b3e9689de16ba4f5afb6',2967250429),
+        (11,'f8f64263fd0b05159f85',2867403047),
+        (12,'da7a45a182deb6fea6ed',3747750003),
+        (13,'9b6b4825e251bd9e6deb',3172571401),
+        (14,'dc682a00647e19d9b29b',2878421272),
+        (15,'f25bd15439d16af594c1',2410657969),
+        (16,'f2fa42ed187287498d57',1789544397),
+        (17,'6a59451be8d01de23326',3680876452),
+        (18,'2729b97714710007f616',3754641643),
+        (19,'879b2fb7bb3526d62ac8',4041529187)
+      ) t(row_id, key_hex, crc32) ORDER BY row_id"""))
+
   // --------------------------------- round 2: io round-trips, chain, stream
 
   /** ChainMapper/ChainReducer parity as a gate query: a named multi-stage
@@ -14118,7 +14166,7 @@ object Queries {
     qUnionTagged, qIntersect, qExcept, qPipeWc, qDedupExact, qDedupMinhash,
     qDedupIncrementalLsh,
     qSimhash, qNgramJaccard, qFingerprint, qTextQuality, qAnnCosine,
-    qMultimodalMeta, qTeraValidate, qValueAgg, qJoinExpr, qCube,
+    qMultimodalMeta, qTeraValidate, qTeraGensort, qValueAgg, qJoinExpr, qCube,
     qSortedGroups, qSaltedAgg, qFixedWidth, qEventWindow,
     qMultimodalFeatures, qAnnLsh, qTextgenWc, qAsofJoin, qTokenCount,
     qDedupEmbedding, qAnnIvf, qAnnIvfInc, qWindowLag, qSessionWindow,

@@ -66,6 +66,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(v.getLong(1) > 0L)
   }
 
+  test("genSort is bit-parity with the reference Gray-sort generator") {
+    def hexOf(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    // row 0's key is the LCG's c constant — "JimGrayRIP" in ASCII
+    val rows = Tera.genSort(spark, 10, 3)
+      .orderBy("row_id").collect()
+    assert(hexOf(rows(0).getAs[Array[Byte]]("key")) ==
+      "4a696d47726179524950")
+    assert(new String(rows(0).getAs[Array[Byte]]("key"), "US-ASCII") ==
+      "JimGrayRIP")
+    // reference-derived pins (compiled reference generator, rows 1-4)
+    assert(hexOf(rows(1).getAs[Array[Byte]]("key")) ==
+      "95e0e48262b3edfe0447" && rows(1).getAs[Long]("crc32") == 2783534542L)
+    assert(hexOf(rows(4).getAs[Array[Byte]]("key")) ==
+      "5c90ab38ae52896215d7" && rows(4).getAs[Long]("crc32") == 3388001003L)
+    // record structure: value = bytes 10..99 of the reference format
+    val v0 = rows(0).getAs[Array[Byte]]("value")
+    assert(v0.length == 90)
+    assert((v0(0), v0(1)) == (0x00.toByte, 0x11.toByte)) // break
+    assert(new String(v0.slice(2, 34), "US-ASCII") == "0" * 32) // row 0 hex
+    assert(v0.slice(34, 38).toSeq ==
+      Seq(0x88.toByte, 0x99.toByte, 0xAA.toByte, 0xBB.toByte))
+    assert(v0.slice(86, 90).toSeq ==
+      Seq(0xCC.toByte, 0xDD.toByte, 0xEE.toByte, 0xFF.toByte))
+    // a task seeded mid-stream (skipAhead) produces the same records as
+    // the sequential stream: rows 500+ pinned from the reference run
+    val off = Tera.genSort(spark, 505, 1).filter(col("row_id") >= 500)
+      .orderBy("row_id").collect()
+    val off2 = Tera.genSort(spark, 505, 101).filter(col("row_id") >= 500)
+      .orderBy("row_id").collect()
+    assert(hexOf(off(0).getAs[Array[Byte]]("key")) ==
+      "adb0a4c39ab062df7d86" && off(0).getAs[Long]("crc32") == 158706916L)
+    assert(hexOf(off(3).getAs[Array[Byte]]("key")) ==
+      "7b6c3300257104664435" && off(3).getAs[Long]("crc32") == 391932298L)
+    assert(off.map(r => hexOf(r.getAs[Array[Byte]]("key"))).toSeq ==
+      off2.map(r => hexOf(r.getAs[Array[Byte]]("key"))).toSeq)
+  }
+
   test("fixed-width records slice correctly") {
     val dir = tmpDir()
     val payload = (0 until 10).map(i => f"k$i%03d${"v" * 6}").mkString // 10-byte records
