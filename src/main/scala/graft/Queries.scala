@@ -3993,6 +3993,82 @@ object Queries {
       CAST(5 AS BIGINT) AS skipped_second,
       COUNT(*) AS n_rows FROM events"""))
 
+  /** DistCp -diff + -atomic parity ([[sources.Compact.syncDiff]] /
+    * [[sources.Compact.syncAtomic]], VERDICT r15 item 6): the changed-set
+    * sync applies only the diff between a recorded from-snapshot and the
+    * live source listing — created/modified copy, deleted delete,
+    * untouched files never touched at the target (REQUIREd by mtime) —
+    * with the reference's preSyncCheck fallback: a target that drifted
+    * from the from-snapshot routes to the full -update compare. The
+    * atomic arm stages the whole tree and publishes it with ONE rename,
+    * refusing an existing target. Hash row: the operation counters plus
+    * both targets' total line counts. */
+  private val qDistcpDiff = QuerySpec(
+    "q_distcp_diff",
+    (s, dir) => {
+      import s.implicits._
+      val sfName = new java.io.File(dir).getName
+      val root = s"/tmp/graft_diffsync_$sfName"
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val src = s"$root/src"
+      val dst = s"$root/dst"
+      val snap = s"$root/snap.lst"
+      def put(name: String, n: Int): Unit = {
+        val out = hfs.create(
+          new org.apache.hadoop.fs.Path(s"$src/$name"), true)
+        try out.write(((0 until n).map(i => s"$name:$i")
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      put("a.txt", 10); put("b.txt", 10); put("c.txt", 10); put("d.txt", 10)
+      // baseline -update sync, then the from-snapshot
+      sources.Compact.sync(s, src, dst)
+      sources.Compact.snapshot(s, src, snap)
+      // mutate the source: modify b, create e, delete c
+      put("b.txt", 15); put("e.txt", 10)
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$src/c.txt"), false)
+      val aP = new org.apache.hadoop.fs.Path(s"$dst/a.txt")
+      val aMtimeBefore = hfs.getFileStatus(aP).getModificationTime
+      val (c1, d1, k1, fb1) = sources.Compact.syncDiff(s, src, dst, snap)
+      require(!fb1, "a clean target must take the diff path, not fallback")
+      require(c1 == 2 && d1 == 1 && k1 == 2,
+        s"diff counts copied/deleted/skipped: $c1/$d1/$k1")
+      require(hfs.getFileStatus(aP).getModificationTime == aMtimeBefore,
+        "-diff must never copy (or even rewrite) an untouched file")
+      require(!hfs.exists(new org.apache.hadoop.fs.Path(s"$dst/c.txt")),
+        "-diff must propagate the deletion")
+      // replaying the STALE snapshot over the now-applied target is
+      // drift (preSyncCheck fails at the touched names) -> full-compare
+      // fallback, which finds nothing left to copy
+      val (c2, _, _, fb2) = sources.Compact.syncDiff(s, src, dst, snap)
+      require(fb2, "a drifted target must fall back to the full compare")
+      require(c2 == 0, s"fallback over an applied target copied $c2")
+      // -atomic: stage + one publishing rename, create-only
+      val dst2 = s"$root/atomic"
+      val cA = sources.Compact.syncAtomic(s, src, dst2)
+      val refused =
+        try { sources.Compact.syncAtomic(s, src, dst2); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "-atomic must refuse an existing target")
+      require(!hfs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .exists(_.getPath.getName.contains("__staging")),
+        "no staging dir may survive the atomic publish")
+      val nDst = s.read.textFile(dst).count()
+      val nAtomic = s.read.textFile(dst2).count()
+      Seq((c1, d1, k1, c2, cA, nDst, nAtomic)).toDF(
+        "copied_diff", "deleted_diff", "skipped_diff", "copied_fallback",
+        "copied_atomic", "n_lines_dst", "n_lines_atomic")
+    },
+    Some("""SELECT CAST(2 AS BIGINT) AS copied_diff,
+      CAST(1 AS BIGINT) AS deleted_diff,
+      CAST(2 AS BIGINT) AS skipped_diff,
+      CAST(0 AS BIGINT) AS copied_fallback,
+      CAST(4 AS BIGINT) AS copied_atomic,
+      CAST(45 AS BIGINT) AS n_lines_dst,
+      CAST(45 AS BIGINT) AS n_lines_atomic"""))
+
   // ----------------------------------------------------------------- export
 
   /** Read through a registered non-`file:` FileSystem scheme
@@ -14186,7 +14262,8 @@ object Queries {
     qApproxDistinct, qStreamStaticJoin, qStreamStreamJoin, qSimhashPairs,
     qKmeansStep, qCorpusFilter, qBucketLookup, qIvfRefined,
     qSlidingWindow, qPercentileExact, qJsonRoundtrip, qRangeJoinAuto,
-    qDistcpSync, qFsScheme, qExternalTable, qJdbcPartitioned, qPipeBinary,
+    qDistcpSync, qDistcpDiff, qFsScheme, qExternalTable, qJdbcPartitioned,
+    qPipeBinary,
     qSeqfileRoundtrip, qMapfileRead, qMapfileRoundtrip, qTfileRead,
     qBloomMapfileRead,
     qSeqfileTyped, qAvroRoundtrip, qAvroEvents, qOrcRoundtrip, qChunk,

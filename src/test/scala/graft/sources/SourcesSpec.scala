@@ -160,6 +160,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 1000)
   }
 
+  test("syncDiff catches a same-length modification -update would skip") {
+    val root = tmpDir()
+    val (src, dst, snap) = (s"$root/src", s"$root/dst", s"$root/snap.lst")
+    def put(name: String, body: String, mtime: Long = -1): Unit = {
+      val f = new java.io.File(src, name)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+      if (mtime > 0) { f.setLastModified(mtime); () }
+    }
+    put("x.txt", "aaaa\n")
+    put("y.txt", "bbbb\n")
+    Compact.sync(spark, src, dst)
+    Compact.snapshot(spark, src, snap)
+    // same LENGTH, different content + mtime: the size-only -update
+    // compare is blind to this; the snapshot diff sees the mtime move
+    put("x.txt", "cccc\n", mtime = System.currentTimeMillis() + 5000)
+    val (cu, _) = Compact.sync(spark, src, dst)
+    assert(cu == 0, "-update (size compare) is expected to miss this")
+    val (cd, dd, kd, fb) = Compact.syncDiff(spark, src, dst, snap)
+    assert((cd, dd, kd, fb) == ((1L, 0L, 1L, false)))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dst, "x.txt").toPath), "UTF-8") == "cccc\n")
+  }
+
+  test("syncAtomic is all-or-nothing and create-only") {
+    val root = tmpDir()
+    val (src, dst) = (s"$root/src", s"$root/dst")
+    new java.io.File(src).mkdirs()
+    java.nio.file.Files.write(new java.io.File(src, "a.txt").toPath,
+      "1\n2\n".getBytes("UTF-8"))
+    assert(Compact.syncAtomic(spark, src, dst) == 1L)
+    assert(spark.read.textFile(dst).count() == 2L)
+    intercept[IllegalArgumentException] {
+      Compact.syncAtomic(spark, src, dst)
+    }
+    // no staging residue next to the target
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.contains("__staging")))
+  }
+
   test("partitionBy sink writes MultipleOutputs-style dynamic paths") {
     val dir = tmpDir() + "/out"
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "grp")
