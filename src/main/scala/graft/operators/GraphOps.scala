@@ -181,18 +181,25 @@ object GraphOps {
       .distinct()
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("dg"))
-    val dirEnds = und.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
-      .join(deg.select(col("n").as("a"), col("dg").as("x")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("dg").as("y")), Seq("b"))
+    // assortativity folds the DIRECTED-ends multiset {(deg(a),deg(b))
+    // for both orientations of every edge} — but the multiset is
+    // symmetric, so one degree-annotated pass over the |E| undirected
+    // edges carries the whole thing: Σx = Σy = Σ(du+dv),
+    // Σxy = 2·Σ du·dv, Σx² = Σy² = Σ(du²+dv²), n = 2|E|. (The r15 cut
+    // materialized the 2|E|-row orientation union and degree-joined
+    // THAT — twice the shuffled rows of this shape for the same exact
+    // decimal sums.)
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
     val dec = "decimal(38,6)"
-    val corr = dirEnds.agg(
-      count(lit(1)).cast("double").as("_n"),
-      sum(col("x").cast(dec)).cast("double").as("_sx"),
-      sum(col("y").cast(dec)).cast("double").as("_sy"),
-      sum((col("x") * col("y")).cast(dec)).cast("double").as("_sxy"),
-      sum((col("x") * col("x")).cast(dec)).cast("double").as("_sxx"),
-      sum((col("y") * col("y")).cast(dec)).cast("double").as("_syy"))
+    val corr = withDeg.agg(
+      (count(lit(1)) * 2).cast("double").as("_n"),
+      sum((col("du") + col("dv")).cast(dec)).cast("double").as("_sx"),
+      (sum((col("du") * col("dv")).cast(dec)) * 2).cast("double")
+        .as("_sxy"),
+      sum((col("du") * col("du")).cast(dec)
+        + (col("dv") * col("dv")).cast(dec)).cast("double").as("_sxx"))
     val counts = und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
         max(col("dg")).as("max_degree")))
@@ -200,9 +207,13 @@ object GraphOps {
       .select(col("n_nodes"), col("n_edges"), col("max_degree"),
         floor(col("n_edges") * lit(2.0) / col("n_nodes") * 1e6 + 0.5)
           .cast("long").as("avg_degree_e6"),
-        floor((col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+        // denominator stays sqrt(A)·sqrt(A), NOT A: an oracle that
+        // computes the two standard deviations separately lands on
+        // sqrt(A)² which can differ from A by an ulp — and this number
+        // gets floor(·1e6+0.5)'d
+        floor((col("_n") * col("_sxy") - col("_sx") * col("_sx"))
           / (sqrt(col("_n") * col("_sxx") - col("_sx") * col("_sx"))
-            * sqrt(col("_n") * col("_syy") - col("_sy") * col("_sy")))
+            * sqrt(col("_n") * col("_sxx") - col("_sx") * col("_sx")))
           * 1e6 + 0.5).cast("long").as("assortativity_e6"))
   }
 
