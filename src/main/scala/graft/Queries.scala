@@ -9688,6 +9688,63 @@ object Queries {
       FROM events WHERE value >= 30.0 AND value <= 45.0
       GROUP BY 1 ORDER BY 1"""))
 
+  /** The PARQUET CHECKPOINT TWIN (Delta's checkpoint.parquet analogue,
+    * VERDICT r15 item 3): [[graft.sources.TxLog.checkpoint]] writes the
+    * resolved (path, stats, dv) entry state as a columnar twin beside
+    * the authoritative text checkpoint, and the pruned read verbs then
+    * resolve SURVIVORS through a DISTRIBUTED filter over that entry
+    * table — at the 10⁷-file regime the driver collects the files that
+    * match, never the live set. The gate: band-committed events table →
+    * checkpoint (REQUIRE the twin path engages and its distributed
+    * state equals the driver replay exactly) → post-checkpoint delta
+    * (a fourth band + a merge-on-read DV delete inside the filter
+    * window, both riding ON TOP of the twin) → readPruned through the
+    * twin (REQUIRE exactly 1 surviving band dir) → hash the masked
+    * filtered aggregate vs the oracle. */
+  private val qTxlogCheckpointParquet = QuerySpec(
+    "q_txlog_checkpoint_parquet",
+    (s, dir) => {
+      import graft.sources.TxLog
+      val root = s"/tmp/graft_txlog_cpq_${new java.io.File(dir).getName}"
+      TxLog.destroy(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("value").isNotNull && col("event_id").isNotNull)
+      val bands = Seq((0.0, 25.0), (25.0, 50.0), (50.0, 75.0))
+      bands.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val b = ev.filter(col("value") >= lo && col("value") < hi).coalesce(1)
+        val p = TxLog.writeBatch(b, root, s"band$i")
+        TxLog.commitWithStats(root, Seq((p, TxLog.columnStats(b, "value"))))
+      }
+      TxLog.checkpoint(root)
+      val twin = TxLog.scanEntriesCollected(s, root)
+      require(twin.isDefined,
+        "a checkpointed table must expose the parquet-twin path")
+      require(twin.get.map(_._1).toSet == TxLog.liveFiles(root).toSet,
+        "distributed twin state must equal the driver replay")
+      val b3 = ev.filter(col("value") >= 75.0).coalesce(1)
+      val p3 = TxLog.writeBatch(b3, root, "band3")
+      TxLog.commitWithStats(root, Seq((p3, TxLog.columnStats(b3, "value"))))
+      TxLog.deleteWhereDV(s, root, "cpq",
+        col("value") >= 30.0 && col("value") <= 45.0 &&
+          pmod(col("event_id"), lit(2)) === 0)
+      val pruned = TxLog.readPruned(s, root, "value", 30.0, 45.0).get
+      require(pruned.inputFiles
+        .map(f => new java.io.File(f).getParentFile.getName)
+        .distinct.length == 1,
+        "the twin-backed pruned read must collect exactly 1 band dir")
+      pruned.filter(col("value") >= 30.0 && col("value") <= 45.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          AggOps.sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE value >= 30.0 AND value <= 45.0
+        AND event_id IS NOT NULL AND event_id % 2 = 1
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Manifest-stats FILE SKIPPING at scan planning
     * ([[graft.sources.TxLog]] read paths over the stats-aware
     * GraftStatsFileIndex — Delta's TahoeFileIndex pattern): unlike
@@ -14319,7 +14376,8 @@ object Queries {
     qTxlogRename, qTxlogMappedDml,
     qSqlMergeInto, qSqlTimeTravel, qSqlRowDml, qStreamTxlogSource,
     qSqlMaintenance, qStreamTxlogSink, qSqlMergeDelete, qTxlogConvert,
-    qSqlAddColumn, qTxlogScanPrune, qSqlPartitioned, qSqlAnalyze,
+    qSqlAddColumn, qTxlogScanPrune, qTxlogCheckpointParquet,
+    qSqlPartitioned, qSqlAnalyze,
     qSqlShowPartitions, qSqlOptimizePart, qSqlAutoStats, qSqlConstraint,
     qSqlRestoreClone, qSqlPartitioned2, qSqlPartAddColumn,
     qSqlDescribeDetail, qTxlogReplaceWhere, qSqlPartitionedDays,

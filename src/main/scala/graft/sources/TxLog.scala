@@ -801,18 +801,45 @@ object TxLog {
     * caller still applies the row-level equality filter; this prunes
     * FILES. None when every file proves absence. */
   def readPrunedByKey(spark: SparkSession, dir: String, column: String,
-      value: String, asOf: Int = -1): Option[DataFrame] = {
-    val (entries, dv, cmb) = resolveFull(dir, asOf)
-    val cm = cmb.m
-    // callers name LOGICAL columns; stats/bloom blobs carry the names
-    // the files were written with (physical)
-    val physCol = toPhysicalName(cm, column)
-    val kept = entries.filter(e => bloomMayContain(e._2, physCol, value))
-      .map(_._1)
-    if (kept.isEmpty) None
-    else Some(applyMapping(readMasked(spark, kept, dv.toMap,
-      nullFill = cmb.types.toSeq), cm))
-  }
+      value: String, asOf: Int = -1): Option[DataFrame] =
+    scanEntries(spark, dir, asOf) match {
+      case Some((df, cmb)) =>
+        // twin fast path: survivor selection runs as a DISTRIBUTED
+        // filter over the checkpoint's entry table — the driver
+        // collects only the files the bloom could not disprove
+        val physCol = toPhysicalName(cmb.m, column)
+        val v = value
+        val keep = org.apache.spark.sql.functions.udf(
+          (st: String) => bloomMayContain(Option(st), physCol, v))
+        prunedFromEntryRows(spark,
+          df.filter(keep(org.apache.spark.sql.functions.col("stats")))
+            .select("path", "dv").collect(), cmb)
+      case None =>
+        val (entries, dv, cmb) = resolveFull(dir, asOf)
+        val cm = cmb.m
+        // callers name LOGICAL columns; stats/bloom blobs carry the
+        // names the files were written with (physical)
+        val physCol = toPhysicalName(cm, column)
+        val kept = entries.filter(e => bloomMayContain(e._2, physCol, value))
+          .map(_._1)
+        if (kept.isEmpty) None
+        else Some(applyMapping(readMasked(spark, kept, dv.toMap,
+          nullFill = cmb.types.toSeq), cm))
+    }
+
+  /** Shared tail of the twin fast path: collected survivor (path, dv)
+    * rows → the masked, mapped read. */
+  private def prunedFromEntryRows(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      cmb: ColMapBox): Option[DataFrame] =
+    if (rows.isEmpty) None
+    else {
+      val kept = rows.map(_.getString(0)).toSeq
+      val dvs = rows.flatMap(r =>
+        Option(r.getString(1)).map(d => r.getString(0) -> d)).toMap
+      Some(applyMapping(readMasked(spark, kept, dvs,
+        nullFill = cmb.types.toSeq), cmb.m))
+    }
 
   /** Snapshot read restricted to files whose manifest stats CAN satisfy
     * `column ∈ [lo, hi]` — files with a disjoint [min, max] are skipped
@@ -823,16 +850,28 @@ object TxLog {
     * caller's filter — this prunes FILES, exactly like partition
     * pruning. None when every file prunes away. */
   def readPruned(spark: SparkSession, dir: String, column: String,
-      lo: Double, hi: Double, asOf: Int = -1): Option[DataFrame] = {
-    val (entries, dv, cmb) = resolveFull(dir, asOf)
-    val cm = cmb.m
-    val kept = entries
-      .filter(e => statsOverlap(e._2, toPhysicalName(cm, column), lo, hi))
-      .map(_._1)
-    if (kept.isEmpty) None
-    else Some(applyMapping(readMasked(spark, kept, dv.toMap,
-      nullFill = cmb.types.toSeq), cm))
-  }
+      lo: Double, hi: Double, asOf: Int = -1): Option[DataFrame] =
+    scanEntries(spark, dir, asOf) match {
+      case Some((df, cmb)) =>
+        // twin fast path (see [[readPrunedByKey]]): disjointness runs
+        // distributed; the driver sees survivors, not the live set
+        val physCol = toPhysicalName(cmb.m, column)
+        val (l, h) = (lo, hi)
+        val keep = org.apache.spark.sql.functions.udf(
+          (st: String) => statsOverlap(Option(st), physCol, l, h))
+        prunedFromEntryRows(spark,
+          df.filter(keep(org.apache.spark.sql.functions.col("stats")))
+            .select("path", "dv").collect(), cmb)
+      case None =>
+        val (entries, dv, cmb) = resolveFull(dir, asOf)
+        val cm = cmb.m
+        val kept = entries
+          .filter(e => statsOverlap(e._2, toPhysicalName(cm, column), lo, hi))
+          .map(_._1)
+        if (kept.isEmpty) None
+        else Some(applyMapping(readMasked(spark, kept, dv.toMap,
+          nullFill = cmb.types.toSeq), cm))
+    }
 
   /** The live file set at `asOf` (latest when <= 0): the newest
     * CHECKPOINT at or below the version seeds the set, then the manifest
@@ -1652,21 +1691,22 @@ object TxLog {
       new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8), 1 << 16)
     try {
       w.write(metaHeader())
-      // partspec rides the HEADER (before the adds): [[partitionSpec]]
-      // walks manifests backward and, on reaching a checkpoint, must
-      // not stream a million add lines to learn the spec — it stops at
-      // the first add (replay itself is order-insensitive for meta)
+      // layout 2 (r16): EVERY non-file action rides the HEADER, before
+      // the adds — [[partitionSpec]] already relied on that for the
+      // partspec line, and the checkpoint-twin fast path
+      // ([[checkpointHeaderBox]]) extends it to the whole ColMapBox: a
+      // header-only stream (stop at the first add/dv) recovers
+      // colmap/types/constraints/txns without walking a million add
+      // lines. Replay is order-insensitive for all of these (colmap ↔
+      // coltype relative order preserved; only dv-after-add matters,
+      // and dvs still serialize last). Old tail-layout checkpoints
+      // replay identically; they just lack the marker and never take
+      // the header-only fast path.
+      w.write("meta\tlayout\t2\n")
       cmAtV.partSpec.foreach {
         case Nil => w.write("meta\tpartspec\t-\n")
         case sp  =>
           w.write(s"meta\tpartspec\t${sp.map(encCol).mkString(",")}\n")
-      }
-      entries.foreach {
-        case (p, Some(st)) => w.write(s"add\t$p\t$st\n")
-        case (p, None)     => w.write(s"add\t$p\n")
-      }
-      entries.foreach { case (p, _) =>
-        dvs.get(p).foreach(d => w.write(s"dv\t$p\t$d\n"))
       }
       cmAtV.m.foreach(m => w.write(s"colmap\t${renderColMap(m)}\n"))
       cmAtV.types.foreach { case (p, t) =>
@@ -1678,11 +1718,205 @@ object TxLog {
       cmAtV.txns.foreach { case (a, id) =>
         w.write(s"meta\ttxn\t${encCol(a)}\t$id\n") // idempotence marks
       }                                            // survive retention
+      entries.foreach {
+        case (p, Some(st)) => w.write(s"add\t$p\t$st\n")
+        case (p, None)     => w.write(s"add\t$p\n")
+      }
+      entries.foreach { case (p, _) =>
+        dvs.get(p).foreach(d => w.write(s"dv\t$p\t$d\n"))
+      }
     } finally w.close()
     if (!claim(fs, tmp, checkpointFile(dir, v)))
       throw new IllegalStateException(
         s"txlog: checkpoint race for version $v of $dir — already written")
+    writeCheckpointTwin(dir, v, entries, dvs)
     v
+  }
+
+  /** The columnar TWIN of a text checkpoint (Delta's checkpoint.parquet
+    * analogue): the resolved (path, stats, dv) entry state as parquet,
+    * written best-effort AFTER the text checkpoint's claim lands — the
+    * text file stays the authoritative, atomically-claimed artifact,
+    * and the twin derives deterministically from it, so a missing or
+    * half-written twin only costs the fast path, never correctness.
+    * The twin is what lets scan-time pruning run as a DISTRIBUTED
+    * filter over the entry table ([[readPruned]]) instead of a
+    * driver-resident walk of every live file — at the 10⁷-file regime
+    * the driver collects survivors, not the world. */
+  private def twinPath(dir: String, v: Int): Path =
+    new Path(logDir(dir), f"c$v%08d.entries.parquet")
+
+  private def writeCheckpointTwin(dir: String, v: Int,
+      entries: Seq[(String, Option[String])],
+      dvs: scala.collection.Map[String, String]): Unit =
+    SparkSession.getActiveSession.foreach { spark =>
+      try {
+        val target = twinPath(dir, v)
+        val fs = fsOf(target)
+        if (!fs.exists(target)) {
+          val rows = entries.map { case (p, st) =>
+            (p, st.orNull, dvs.get(p).orNull)
+          }
+          val slices = math.max(1, math.min(rows.size / 262144 + 1, 32))
+          val tmp = new Path(logDir(dir),
+            s".c$v.entries.tmp${System.nanoTime()}")
+          spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, slices))
+            .toDF("path", "stats", "dv")
+            .write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(tmp, target)) fs.delete(tmp, true)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // best-effort acceleration artifact: readers fall back to the
+          // text checkpoint; surface the miss, don't fail the claim
+          System.err.println(
+            s"[txlog] checkpoint twin write skipped for $dir v$v: $e")
+      }
+    }
+
+  /** Header-only ColMapBox of a LAYOUT-2 checkpoint: stream until the
+    * first file action (the layout guarantees every non-file action
+    * precedes the adds), replay just that buffer. None for a
+    * pre-layout-2 checkpoint — callers then pay the full replay. */
+  private def checkpointHeaderBox(dir: String, cv: Int): Option[ColMapBox] =
+    logLines(dir, checkpointFile(dir, cv), f"checkpoint c$cv%08d") { lines =>
+      val header = lines.takeWhile(l =>
+        !(l.startsWith("add\t") || l.startsWith("dv\t"))).toVector
+      if (!header.contains("meta\tlayout\t2")) None
+      else {
+        val cm = new ColMapBox
+        replayInto(scala.collection.mutable.LinkedHashMap.empty,
+          header.iterator, f"checkpoint c$cv%08d header",
+          scala.collection.mutable.LinkedHashMap.empty, cm)
+        Some(cm)
+      }
+    }
+
+  /** Post-checkpoint DELTA of the live-file state — the override
+    * structures the twin-based distributed resolution applies on top of
+    * the checkpoint's entry table, instead of replaying into a full
+    * live map. Precedence for a path's final state: `adds`/`removed`
+    * replace the twin row outright; for untouched twin rows,
+    * `dvSet` > `dvCleared` > the twin's own dv column. */
+  private final class DeltaBox {
+    val adds = scala.collection.mutable
+      .LinkedHashMap.empty[String, Option[String]]
+    val removed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val dvSet = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val dvCleared = scala.collection.mutable.LinkedHashSet.empty[String]
+    def touched: Seq[String] = (adds.keySet ++ removed).toSeq
+  }
+
+  /** File actions only — every other action replays through the
+    * standard [[replayInto]] over the same (commit-sized) line buffer,
+    * so the meta/colmap/constraint grammar lives in exactly one place. */
+  private def replayDelta(box: DeltaBox, lines: Iterator[String]): Unit =
+    lines.foreach { line =>
+      line.split("\t", 3) match {
+        case Array("add", p) =>
+          box.adds(p) = None; box.removed -= p
+          box.dvSet -= p; box.dvCleared += p
+        case Array("add", p, st) =>
+          box.adds(p) = Some(st); box.removed -= p
+          box.dvSet -= p; box.dvCleared += p
+        case Array("remove", p) =>
+          box.removed += p; box.adds -= p
+          box.dvSet -= p; box.dvCleared += p
+        case Array("remove", p, _) =>
+          box.removed += p; box.adds -= p
+          box.dvSet -= p; box.dvCleared += p
+        case Array("dv", p, "-") =>
+          box.dvSet -= p; box.dvCleared += p
+        case Array("dv", p, d) =>
+          if (!box.removed(p)) { box.dvSet(p) = d }
+        case _ => // header/meta actions: handled by the replayInto pass
+      }
+    }
+
+  /** The live entry state at `asOf` as a DISTRIBUTED DataFrame
+    * (path, stats, dv) plus the resolved header box — the twin-backed
+    * resolution path. None when the snapshot has no layout-2 checkpoint
+    * with a twin at or below the version, or when the post-checkpoint
+    * delta is too large to plan as literals (an unmaintained table —
+    * the driver replay is the right tool there). Correctness contract:
+    * the returned frame holds EXACTLY the rows
+    * `resolveFull(dir, asOf)` would produce (spec-pinned). */
+  /** Probe surface of the twin path: the (path, stats, dv) entry rows
+    * the distributed resolution produces, or None when no twin fast
+    * path is eligible — specs and the gate pin this EQUAL to the
+    * driver-resident resolution. */
+  def scanEntriesCollected(spark: SparkSession, dir: String,
+      asOf: Int = -1): Option[Seq[(String, Option[String], Option[String])]] =
+    scanEntries(spark, dir, asOf).map { case (df, _) =>
+      df.collect().map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2)))).toSeq
+    }
+
+  /** Probe surface: the twin-backed survivor COUNT for a stats window —
+    * exactly the distributed selection [[readPruned]] runs, without
+    * constructing the read (a log-only probe table's entries need not
+    * exist as files). None when the twin path is ineligible. */
+  def prunedEntryCount(spark: SparkSession, dir: String, column: String,
+      lo: Double, hi: Double, asOf: Int = -1): Option[Long] =
+    scanEntries(spark, dir, asOf).map { case (df, cmb) =>
+      val physCol = toPhysicalName(cmb.m, column)
+      val (l, h) = (lo, hi)
+      val keep = org.apache.spark.sql.functions.udf(
+        (st: String) => statsOverlap(Option(st), physCol, l, h))
+      df.filter(keep(org.apache.spark.sql.functions.col("stats"))).count()
+    }
+
+  private def scanEntries(spark: SparkSession, dir: String,
+      asOf: Int = -1): Option[(DataFrame, ColMapBox)] = {
+    import org.apache.spark.sql.functions._
+    val upTo = if (asOf <= 0) latestVersion(dir) else asOf
+    latestCheckpointVersion(dir, upTo).flatMap { cv =>
+      val twin = twinPath(dir, cv)
+      val fs = fsOf(twin)
+      if (!fs.exists(new Path(twin, "_SUCCESS"))) None
+      else checkpointHeaderBox(dir, cv).flatMap { cm =>
+        val delta = new DeltaBox
+        (cv + 1 to upTo).foreach { v =>
+          val buf = logLines(dir, manifest(dir, v),
+            s"manifest v$v (asOf=$asOf)")(_.toVector)
+          replayInto(scala.collection.mutable.LinkedHashMap.empty,
+            buf.iterator, s"v$v",
+            scala.collection.mutable.LinkedHashMap.empty, cm)
+          replayDelta(delta, buf.iterator)
+        }
+        if (delta.touched.size + delta.dvSet.size +
+            delta.dvCleared.size > 100000) None
+        else {
+          val twinDf = spark.read.parquet(twin.toString)
+          val base =
+            if (delta.touched.isEmpty) twinDf
+            else twinDf.filter(!col("path").isin(delta.touched: _*))
+          val dvM = delta.dvSet.toMap
+          val dvAdj =
+            if (dvM.isEmpty && delta.dvCleared.isEmpty) base
+            else {
+              val set =
+                if (dvM.isEmpty) lit(null).cast("string")
+                else element_at(typedlit(dvM), col("path"))
+              val cleared =
+                if (delta.dvCleared.isEmpty) lit(false)
+                else col("path").isin(delta.dvCleared.toSeq: _*)
+              base.withColumn("dv",
+                when(set.isNotNull, set)
+                  .when(cleared, lit(null).cast("string"))
+                  .otherwise(col("dv")))
+            }
+          val out =
+            if (delta.adds.isEmpty) dvAdj
+            else dvAdj.unionByName(spark.createDataFrame(
+              delta.adds.toSeq.map { case (p, st) =>
+                (p, st.orNull, delta.dvSet.get(p).orNull)
+              }).toDF("path", "stats", "dv"))
+          Some((out, cm))
+        }
+      }
+    }
   }
 
   /** Retention: delete manifests at or before the newest checkpoint —

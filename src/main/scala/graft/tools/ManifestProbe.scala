@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.sources.TxLog
 
-/** r15 probe: the driver-resident TxLog snapshot state measured across a
+/** r15/r16 probe: the driver-resident TxLog snapshot state measured across a
   * LIVE-FILE decade into the million-file regime — the numbers behind
   * the BENCH_SCALE `manifest_state_r15` row (VERDICT r14 item 1, the
   * round's highest-leverage unknown: [[TxLog.replayInto]] accumulates
@@ -64,16 +64,32 @@ object ManifestProbe {
         }.toSeq)
       }
       val checkpointS = (1 to repeat).map { _ =>
-        // idempotent per version: drop the file so the claim can re-land
+        // idempotent per version: drop BOTH artifacts so the claim and
+        // the parquet twin (r16) re-land — checkpoint_s is the honest
+        // full checkpoint cost, resolve + text + twin write
+        val v = TxLog.latestVersion(root)
         val cp = new org.apache.hadoop.fs.Path(
-          s"$root/_txlog", f"c${TxLog.latestVersion(root)}%08d.json")
-        cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(cp, false)
+          s"$root/_txlog", f"c$v%08d.json")
+        val tw = new org.apache.hadoop.fs.Path(
+          s"$root/_txlog", f"c$v%08d.entries.parquet")
+        val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(cp, false)
+        fs.delete(tw, true)
         timed(TxLog.checkpoint(root))
       }.min
       TxLog.expireManifests(root) // the maintained-table steady state
       val resolveS = (1 to repeat).map(_ =>
         timed(require(TxLog.liveEntries(root).size == n))).min
+      // the r16 twin path: scan-time survivor selection as a
+      // DISTRIBUTED filter over the checkpoint's parquet entry table —
+      // the driver collects matches (a ~2-entry stats window here),
+      // never the live set. This is the planning number that must stay
+      // near-flat while the driver-resident resolve_s grows linearly.
+      val twinPruneS = (1 to repeat).map(_ => timed {
+        val hits = TxLog.prunedEntryCount(spark, root, "value", 8.0, 9.0)
+        require(hits.exists(h => h >= 1 && h <= 4),
+          s"twin survivor selection off: $hits")
+      }).min
       val commitS = (1 to repeat).map { r =>
         timed(TxLog.commitWithStats(root,
           Seq(s"$root/data/extra_$r" -> Some(s"value;-1.0;-0.5"))))
@@ -93,6 +109,7 @@ object ManifestProbe {
         "live_files" -> n,
         "checkpoint_s" -> math.round(checkpointS * 1000) / 1000.0,
         "resolve_s" -> math.round(resolveS * 1000) / 1000.0,
+        "twin_prune_s" -> math.round(twinPruneS * 1000) / 1000.0,
         "commit_s" -> math.round(commitS * 100000) / 100000.0,
         "partspec_s" -> math.round(partspecS * 100000) / 100000.0,
         "heap_mb" -> math.round(heapMb * 10) / 10.0,
@@ -104,7 +121,7 @@ object ManifestProbe {
     val json = points.map(p => p.map { case (k, v) =>
       s""""$k": $v""" }.mkString("   {", ", ", "}"))
       .mkString("[\n", ",\n", "\n  ]")
-    println("MANIFEST_STATE_R15 " + json)
+    println("MANIFEST_STATE_R16 " + json)
     spark.stop()
   }
 }

@@ -32,6 +32,25 @@ import graft.sources.TxLog
   * Usage: SPARK_GRAFT_WRITERS=2,4,8 SPARK_GRAFT_COMMITS=50 \
   *   sbt -batch "runMain graft.tools.MultiWriterProbe"
   */
+/** Injected-latency [[TxLog.ClaimStore]] (r16, VERDICT r15 item 8): the
+  * local scheme claim is ~12 ms end-to-end, but a real S3/GCS/ABFS
+  * conditional put is a 30–100 ms round-trip — contention behavior
+  * (retry budget, p99, phase-lock risk) scales with that latency, so
+  * the probe gets an arm that sleeps a configured delay inside every
+  * claim attempt before delegating to the real primitive. Installed via
+  * `graft.txlog.claim=<this class>` (the production extension seam, no
+  * probe-only hooks) + `SPARK_GRAFT_CLAIM_MS`. */
+final class LatencyClaim extends TxLog.ClaimStore {
+  private val delayMs =
+    sys.env.getOrElse("SPARK_GRAFT_CLAIM_MS", "40").toLong
+  def claim(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path): Boolean = {
+    Thread.sleep(delayMs) // the store round-trip
+    TxLog.SchemeClaim.claim(fs, tmp, target)
+  }
+}
+
 object MultiWriterProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Graft.session("multi-writer-probe")
@@ -39,6 +58,13 @@ object MultiWriterProbe {
     val writerCounts = sys.env.getOrElse("SPARK_GRAFT_WRITERS", "2,4,8")
       .split(",").map(_.trim.toInt).toSeq
     val commitsPer = sys.env.getOrElse("SPARK_GRAFT_COMMITS", "50").toInt
+    // latency arm: install the injected-latency claim through the
+    // production conf seam; unset = the local scheme claim as before
+    sys.env.get("SPARK_GRAFT_CLAIM_MS").foreach { ms =>
+      spark.sparkContext.hadoopConfiguration
+        .set("graft.txlog.claim", classOf[LatencyClaim].getName)
+      println(s"[probe] latency arm: +${ms}ms per claim attempt")
+    }
 
     val points = writerCounts.map { n =>
       val root = s"/tmp/graft_mwprobe_$n"

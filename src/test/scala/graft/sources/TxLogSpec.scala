@@ -2069,4 +2069,83 @@ class TxLogSpec extends AnyFunSuite {
       s"the mask must not add a join or shuffle to the scan:\n$plan")
     TxLog.destroy(dir)
   }
+
+  /** The twin-path contract: scanEntries == resolveFull, exactly. */
+  private def entriesViaDriver(dir: String)
+      : Set[(String, Option[String], Option[String])] = {
+    val dvs = TxLog.liveDvs(dir)
+    TxLog.liveEntries(dir)
+      .map { case (p, st) => (p, st, dvs.get(p)) }.toSet
+  }
+
+  test("checkpoint twin: distributed resolution equals the driver replay") {
+    val dir = freshDir()
+    // log-only entries with stats — the probe shape; no twin yet
+    TxLog.commitWithStats(dir, (0 until 6).map(i =>
+      s"$dir/data/b$i" -> Some(s"v;${i * 10}.0;${i * 10 + 9}.0")))
+    assert(TxLog.scanEntriesCollected(spark, dir).isEmpty,
+      "no checkpoint -> no twin fast path")
+    TxLog.checkpoint(dir)
+    val atCp = TxLog.scanEntriesCollected(spark, dir)
+    assert(atCp.isDefined, "a checkpointed table must expose the twin path")
+    assert(atCp.get.toSet === entriesViaDriver(dir))
+    // post-checkpoint delta: add, replace-add (stats change), remove,
+    // dv bind, dv rebind, dv clear — every override branch
+    TxLog.commitWithStats(dir,
+      Seq(s"$dir/data/b9" -> Some("v;90.0;99.0"),
+          s"$dir/data/b1" -> Some("v;500.0;509.0")), // re-add: new stats
+      remove = Seq(s"$dir/data/b2"))
+    TxLog.commitWithStats(dir, Nil,
+      dvSets = Seq(s"$dir/data/b3" -> Some(s"$dir/dv/m3"),
+                   s"$dir/data/b4" -> Some(s"$dir/dv/m4")))
+    TxLog.commitWithStats(dir, Nil,
+      dvSets = Seq(s"$dir/data/b3" -> Some(s"$dir/dv/m3b"), // rebind
+                   s"$dir/data/b4" -> None))                // clear
+    val afterDelta = TxLog.scanEntriesCollected(spark, dir)
+    assert(afterDelta.isDefined)
+    assert(afterDelta.get.toSet === entriesViaDriver(dir),
+      "twin + delta must replay to exactly the driver state")
+    // asOf resolution through the twin pins the intermediate version
+    val vMid = 2 // checkpoint at 1, first delta commit at 2
+    assert(TxLog.scanEntriesCollected(spark, dir, asOf = vMid).get.toSet ===
+      TxLog.liveEntries(dir, asOf = vMid).map { case (p, st) =>
+        (p, st, TxLog.liveDvs(dir, asOf = vMid).get(p)) }.toSet)
+    // a SECOND checkpoint folds the delta in; twin follows
+    TxLog.checkpoint(dir)
+    TxLog.expireManifests(dir)
+    assert(TxLog.scanEntriesCollected(spark, dir).get.toSet ===
+      entriesViaDriver(dir))
+    TxLog.destroy(dir)
+  }
+
+  test("readPruned takes the twin path and still prunes exactly") {
+    val dir = freshDir()
+    (0 until 4).foreach { i =>
+      val p = TxLog.writeBatch(
+        Seq(i * 10, i * 10 + 9).toDF("x"), dir, s"band$i")
+      TxLog.commitWithStats(dir,
+        Seq(p -> Some(s"x;${i * 10}.0;${i * 10 + 9}.0")))
+    }
+    val before = TxLog.readPruned(spark, dir, "x", 20.0, 25.0)
+    assert(before.isDefined &&
+      before.get.as[Int].collect().sorted.toSeq === Seq(20, 29))
+    TxLog.checkpoint(dir)
+    assert(TxLog.scanEntriesCollected(spark, dir).isDefined)
+    // the twin-backed pruned read must keep exactly the one band file
+    val after = TxLog.readPruned(spark, dir, "x", 20.0, 25.0)
+    assert(after.isDefined &&
+      after.get.as[Int].collect().sorted.toSeq === Seq(20, 29))
+    assert(after.get.inputFiles
+      .map(f => new java.io.File(f).getParentFile.getName)
+      .distinct.length === 1,
+      "the distributed survivor selection must keep exactly 1 band dir")
+    // fully-disjoint window prunes to None on both paths
+    assert(TxLog.readPruned(spark, dir, "x", 500.0, 600.0).isEmpty)
+    // a DV delete after the checkpoint still masks through the twin path
+    TxLog.deleteWhereDV(spark, dir, "tw", col("x") === 20)
+    val masked = TxLog.readPruned(spark, dir, "x", 20.0, 25.0)
+    assert(masked.isDefined &&
+      masked.get.as[Int].collect().sorted.toSeq === Seq(29))
+    TxLog.destroy(dir)
+  }
 }

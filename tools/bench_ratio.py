@@ -40,7 +40,13 @@ Round workflow: the previous round's full builder artifact is kept as
 BENCH_FULL_r{N}.json; before committing a round-closing BENCH_FULL.json,
 run  python3 tools/bench_ratio.py BENCH_FULL.json BENCH_FULL_r{N}.json
 --gate=1.5 --watermark=BENCH_r05.json  and treat a non-zero exit as a
-blocker. (Driver
+blocker. THEN (VERDICT r15 item 9) run the same gate with the previous
+round's DRIVER artifact as OLD:
+  python3 tools/bench_ratio.py BENCH_FULL.json BENCH_r{N}.json \
+      --gate=1.5 --attribution=ATTRIBUTION_r{N+1}.json
+— the driver's re-run is the artifact of record the judge grades, so
+what IT flags needs an attribution entry (or a fix) in the SAME round,
+not the next one. (Driver
 BENCH_r{N}.json artifacts are LEFT-truncated — the loader recovers what
 survives via the repeats map, but only the full artifacts make a
 complete baseline.)
