@@ -251,10 +251,44 @@ def main():
         print(f"\nwatermark ({wm_path}): {len(wshared)} shared queries, "
               f"new {wn:.1f}s vs watermark {wo:.1f}s = {ratio:.3f}x "
               f"(ceiling {wm_max}x)")
-        if ratio > wm_max:
-            print(f"WATERMARK GATE FAILED: {ratio:.3f}x > {wm_max}x — "
-                  "the r5 set has re-accumulated slowdown; attribute or fix "
-                  "before closing the round")
+        # box_health-NORMALIZED watermark (VERDICT r15 item 2): the r5
+        # artifact predates the probe, so box drift between ITS window
+        # and the current one is invisible to the raw ratio — suite
+        # growth and box state erode the gate's meaning. Normalization:
+        # WATERMARK_REF.json freezes a committed healthy-window probe
+        # (provenance inside the file); the scale is the LEAST-degraded
+        # of the fixed-work probe fields (min of cpu_st_s and shuffle_s
+        # ratios — min excuses the least), clamped to [1.0, 1.25] (a
+        # fast box never helps the score; a wild probe can't excuse
+        # everything). BOTH numbers always print; the gate passes if
+        # EITHER clears the ceiling, and the raw ratio stays the only
+        # one a SURVEY claim may cite without also citing the scale.
+        norm_ratio, scale = None, 1.0
+        try:
+            import os
+            ref_path = os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "..", "WATERMARK_REF.json")
+            ref = json.load(open(ref_path)).get("box_health", {})
+            bh = new.get("box_health") or {}
+            if ref and bh:
+                field_ratios = [bh[f] / ref[f]
+                                for f in ("cpu_st_s", "shuffle_s")
+                                if f in bh and f in ref and ref[f] > 0]
+                if field_ratios:
+                    scale = max(1.0, min(min(field_ratios), 1.25))
+                    norm_ratio = ratio / scale
+                    print(f"watermark normalized: {norm_ratio:.3f}x "
+                          f"(box scale {scale:.3f} = min of probe-field "
+                          f"ratios vs WATERMARK_REF, clamped [1, 1.25])")
+        except FileNotFoundError:
+            pass
+        effective = min(ratio, norm_ratio) if norm_ratio else ratio
+        if effective > wm_max:
+            print(f"WATERMARK GATE FAILED: raw {ratio:.3f}x"
+                  + (f" / normalized {norm_ratio:.3f}x" if norm_ratio
+                     else "")
+                  + f" > {wm_max}x — the r5 set has re-accumulated "
+                  "slowdown; attribute or fix before closing the round")
             sys.exit(1)
         print("watermark gate passed")
 
