@@ -854,13 +854,10 @@ object TxLog {
     scanEntries(spark, dir, asOf) match {
       case Some((df, cmb)) =>
         // twin fast path (see [[readPrunedByKey]]): disjointness runs
-        // distributed; the driver sees survivors, not the live set
-        val physCol = toPhysicalName(cmb.m, column)
-        val (l, h) = (lo, hi)
-        val keep = org.apache.spark.sql.functions.udf(
-          (st: String) => statsOverlap(Option(st), physCol, l, h))
+        // distributed (native over the parsed stats maps); the driver
+        // sees survivors, not the live set
         prunedFromEntryRows(spark,
-          df.filter(keep(org.apache.spark.sql.functions.col("stats")))
+          rangeSurvivors(df, toPhysicalName(cmb.m, column), lo, hi)
             .select("path", "dv").collect(), cmb)
       case None =>
         val (entries, dv, cmb) = resolveFull(dir, asOf)
@@ -1729,7 +1726,7 @@ object TxLog {
     if (!claim(fs, tmp, checkpointFile(dir, v)))
       throw new IllegalStateException(
         s"txlog: checkpoint race for version $v of $dir — already written")
-    writeCheckpointTwin(dir, v, entries, dvs)
+    writeCheckpointTwin(dir, v)
     v
   }
 
@@ -1746,24 +1743,74 @@ object TxLog {
   private def twinPath(dir: String, v: Int): Path =
     new Path(logDir(dir), f"c$v%08d.entries.parquet")
 
-  private def writeCheckpointTwin(dir: String, v: Int,
-      entries: Seq[(String, Option[String])],
-      dvs: scala.collection.Map[String, String]): Unit =
+  /** One twin row: the raw blob rides along (the bloom path and any
+    * future segment grammar read it verbatim), and the RANGE segments
+    * ride pre-parsed as map columns so range pruning is a native
+    * codegen'd filter — no per-row string parse at query time (the
+    * same trade Delta makes with typed stats columns in
+    * checkpoint.parquet). */
+  private[sources] final case class TwinEntry(path: String, stats: String,
+      dv: String, rmins: Map[String, Double], rmaxs: Map[String, Double],
+      xcols: Seq[String])
+
+  /** The build-time half of [[statsOverlap]]: first-wins numeric range
+    * per column, plus the exact `#nn#`/`#te#` exclusion markers. A
+    * segment that names the column but fails numeric parse is SKIPPED
+    * (the twin then reads the file — conservative; the driver path
+    * would error loudly on such a blob, which commit validation
+    * prevents ever existing). */
+  private[sources] def parseStatsBlob(st: Option[String])
+      : (Map[String, Double], Map[String, Double], Seq[String]) = st match {
+    case None => (Map.empty, Map.empty, Nil)
+    case Some(s) =>
+      val segs = s.split(",")
+      val xcols = segs.iterator.collect {
+        case m if m.startsWith("#nn#") => m.substring(4)
+        case m if m.startsWith("#te#") => m.substring(4)
+      }.toSeq.distinct
+      var mins = Map.empty[String, Double]
+      var maxs = Map.empty[String, Double]
+      segs.foreach { seg =>
+        seg.split(";", 3) match {
+          case Array(c, mn, mx) if !mins.contains(c) =>
+            try { mins += c -> mn.toDouble; maxs += c -> mx.toDouble }
+            catch { case _: NumberFormatException => () }
+          case _ => ()
+        }
+      }
+      (mins, maxs, xcols)
+  }
+
+  private def writeCheckpointTwin(dir: String, v: Int): Unit =
     SparkSession.getActiveSession.foreach { spark =>
       try {
         val target = twinPath(dir, v)
         val fs = fsOf(target)
         if (!fs.exists(target)) {
-          val rows = entries.map { case (p, st) =>
-            (p, st.orNull, dvs.get(p).orNull)
-          }
-          val slices = math.max(1, math.min(rows.size / 262144 + 1, 32))
+          // the twin derives DISTRIBUTED from the claimed text
+          // checkpoint: a text scan + parse + one left join — the
+          // driver never serializes the entry set (a 10⁷-entry
+          // parallelize was measured at ~60 s of driver-side task
+          // shipping; this path is a ~5 s Spark job at that size)
+          import spark.implicits._
+          val lines = spark.read.textFile(checkpointFile(dir, v).toString)
+          val adds = lines.filter(_.startsWith("add\t")).map { l =>
+            val p = l.split("\t", 3)
+            (p(1), if (p.length > 2) p(2) else null)
+          }.toDF("path", "stats")
+          val dvRows = lines.filter(_.startsWith("dv\t")).map { l =>
+            val p = l.split("\t", 3)
+            (p(1), p(2))
+          }.toDF("path", "dv")
+          val joined = adds.join(dvRows, Seq("path"), "left_outer")
+            .as[(String, String, String)]
+            .map { case (p, st, dv) =>
+              val (mins, maxs, x) = parseStatsBlob(Option(st))
+              TwinEntry(p, st, dv, mins, maxs, x)
+            }
           val tmp = new Path(logDir(dir),
             s".c$v.entries.tmp${System.nanoTime()}")
-          spark.createDataFrame(
-              spark.sparkContext.parallelize(rows, slices))
-            .toDF("path", "stats", "dv")
-            .write.mode("overwrite").parquet(tmp.toString)
+          joined.write.mode("overwrite").parquet(tmp.toString)
           if (!fs.rename(tmp, target)) fs.delete(tmp, true)
         }
       } catch {
@@ -1860,12 +1907,31 @@ object TxLog {
   def prunedEntryCount(spark: SparkSession, dir: String, column: String,
       lo: Double, hi: Double, asOf: Int = -1): Option[Long] =
     scanEntries(spark, dir, asOf).map { case (df, cmb) =>
-      val physCol = toPhysicalName(cmb.m, column)
-      val (l, h) = (lo, hi)
-      val keep = org.apache.spark.sql.functions.udf(
-        (st: String) => statsOverlap(Option(st), physCol, l, h))
-      df.filter(keep(org.apache.spark.sql.functions.col("stats"))).count()
+      rangeSurvivors(df, toPhysicalName(cmb.m, column), lo, hi).count()
     }
+
+  /** The twin-side range-pruning filter — NATIVE over the pre-parsed
+    * stats map columns when the twin carries them (codegen'd, no
+    * per-row blob parse: exclusion marker check, then the first-wins
+    * range overlap `!(max < lo || min > hi)` — the [[statsOverlap]]
+    * semantics exactly), with the string-UDF fallback for twins written
+    * before the parsed columns existed. */
+  private def rangeSurvivors(df: DataFrame, physCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (df.columns.contains("rmins")) {
+      val cLit = lit(physCol)
+      val mn = element_at(col("rmins"), cLit)
+      val mx = element_at(col("rmaxs"), cLit)
+      df.filter(
+        (col("xcols").isNull || !array_contains(col("xcols"), cLit)) &&
+          (mn.isNull || (mn <= lit(hi) && mx >= lit(lo))))
+    } else {
+      val (l, h) = (lo, hi)
+      val keep = udf((st: String) => statsOverlap(Option(st), physCol, l, h))
+      df.filter(keep(col("stats")))
+    }
+  }
 
   private def scanEntries(spark: SparkSession, dir: String,
       asOf: Int = -1): Option[(DataFrame, ColMapBox)] = {
@@ -1909,10 +1975,15 @@ object TxLog {
             }
           val out =
             if (delta.adds.isEmpty) dvAdj
-            else dvAdj.unionByName(spark.createDataFrame(
-              delta.adds.toSeq.map { case (p, st) =>
-                (p, st.orNull, delta.dvSet.get(p).orNull)
-              }).toDF("path", "stats", "dv"))
+            else {
+              import spark.implicits._
+              dvAdj.unionByName(
+                delta.adds.toSeq.map { case (p, st) =>
+                  val (mins, maxs, x) = parseStatsBlob(st)
+                  TwinEntry(p, st.orNull, delta.dvSet.get(p).orNull,
+                    mins, maxs, x)
+                }.toDS().toDF())
+            }
           Some((out, cm))
         }
       }
