@@ -175,6 +175,88 @@ object Graft {
     } finally cached.unpersist()
   }
 
+  /** [[namedSinks]] with the reference's SINGLE-COMMIT semantics
+    * (MultipleOutputs.java:179 under one FileOutputCommitter job
+    * commit): every named output stages under one hidden job dir, then
+    * the publish renames each into place and writes ONE
+    * `_GRAFT_MULTI_SUCCESS` marker naming every output LAST — the
+    * commit signal, exactly Hadoop's _SUCCESS discipline (the
+    * reference's "single transaction" is likewise a single commitJob
+    * call, not multi-dir atomicity — no plain filesystem has that). An
+    * observer honoring the marker ([[readNamed]]) sees all outputs or
+    * none: a crash before the marker leaves only invisible staging
+    * (swept by the next attempt); a re-publish retracts the marker
+    * first, so a half-swapped republish reads as uncommitted, never as
+    * a mix. */
+  def namedSinksAtomic(
+      df: DataFrame, base: String,
+      outputs: Map[String, org.apache.spark.sql.Column],
+      format: String = "parquet"): Unit = {
+    require(outputs.nonEmpty, "namedSinksAtomic needs at least one output")
+    outputs.keys.foreach(n => require(
+      !n.startsWith(".") && !n.startsWith("_") && !n.contains("/"),
+      s"named output '$n' must be a plain visible dirname"))
+    val spark = df.sparkSession
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    // sweep dead staging from crashed prior attempts
+    fs.listStatus(basePath)
+      .filter(_.getPath.getName.startsWith(".staging_"))
+      .foreach(s => fs.delete(s.getPath, true))
+    val staging = new org.apache.hadoop.fs.Path(base,
+      s".staging_${System.nanoTime()}")
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_MULTI_SUCCESS")
+    val cached = df.persist()
+    try {
+      cached.count() // materialize once before the N filtered writes
+      outputs.foreach { case (name, pred) =>
+        sink(cached.filter(pred), s"$staging/$name", format)
+      }
+      // publish: retract the marker (un-commit), swap every output,
+      // then the marker lands last with the committed name list
+      fs.delete(marker, false)
+      outputs.keys.foreach { name =>
+        val dst = new org.apache.hadoop.fs.Path(base, name)
+        fs.delete(dst, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(staging, name), dst),
+          s"multi-output publish failed renaming '$name' into place")
+      }
+      val out = fs.create(marker, true)
+      try out.write((outputs.keys.toSeq.sorted.mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(staging, true)
+      ()
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Read one output of a [[namedSinksAtomic]] job, honoring the commit
+    * marker: a missing marker (crashed publish, mid-republish) or an
+    * unlisted name refuses loudly instead of serving a torn view. */
+  def readNamed(spark: SparkSession, base: String, name: String,
+      format: String = "parquet"): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(base, "_GRAFT_MULTI_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      try {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSet
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"graft: $base has no committed multi-output marker — the " +
+              "job never published (or is republishing); refusing a " +
+              "torn read")
+      }
+    require(committed.contains(name),
+      s"graft: '$name' is not in $base's committed output set " +
+        s"(${committed.toSeq.sorted.mkString(", ")})")
+    source(spark, s"$base/$name", format)
+  }
+
   /** Sorted bucketed table sink (MapFileOutputFormat parity, reference:
     * hadoop-mapreduce-client-core .../lib/output/MapFileOutputFormat.java:49
     * — sorted output + index for key lookup): bucket pruning serves the
