@@ -15,7 +15,7 @@ import graft.sources.TxLog
   * rewrite commits pinned at a resolved version + periodic checkpoint —
   * the OPTIMIZE pattern) until the appenders finish. Appends and the
   * compactor both use the production retry discipline (retry on "lost
-  * the race", 5·attempt ms backoff capped at 100). Commits are log-only
+  * the race", randomized exponential backoff capped at 1.6 s — an A/B against a 0.8 s cap at N=32 zero-think-time contention measured 4/1600 exhaustions at 0.8 s vs zero at 1.6 s: the wider window thins straggler arrival rate more than it costs in parking). Commits are log-only
   * (synthetic batch paths): data-file writes land in DISTINCT dirs and
   * never contend — the claim file is the only shared resource, so the
   * log is the honest surface of the contract being measured.
@@ -77,8 +77,8 @@ object MultiWriterProbe {
       val failed = new AtomicLong
 
       /** The production retry discipline around one claim attempt
-        * (mirrors TxLog.raceBackoff / MaxCommitAttempts: jittered
-        * linear-capped backoff, 64-attempt bound — the first probe run
+        * (mirrors TxLog.raceBackoff / MaxCommitAttempts: randomized
+        * exponential backoff, 64-attempt bound — the first probe run
         * showed the OLD deterministic 16-attempt discipline exhausting
         * at N=4, which is what motivated the production change). */
       def retrying(what: String)(attemptOnce: () => Unit): Unit = {
@@ -96,7 +96,11 @@ object MultiWriterProbe {
               retries.incrementAndGet()
               if (attempt >= 64) { failed.incrementAndGet(); done = true }
               else {
-                val cap = math.min(5L * attempt, 100L)
+                // mirrors production raceBackoff: randomized
+                // exponential, window doubling to a 1.6 s cap (the r16
+                // straggler-starvation fix this probe's own N=16 run
+                // motivated — 7/800 exhaustions under the linear cap)
+                val cap = math.min(5L << math.min(attempt, 9), 1600L)
                 Thread.sleep(java.util.concurrent.ThreadLocalRandom
                   .current().nextLong(1, cap + 1))
               }
