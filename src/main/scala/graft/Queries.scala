@@ -9782,7 +9782,12 @@ object Queries {
         val p = TxLog.writeBatch(b, root, s"band$i")
         TxLog.commitWithStats(root, Seq((p, TxLog.columnStats(b, "value"))))
       }
-      TxLog.checkpoint(root)
+      // the twin defaults on only at scale (>= twinMinEntries live
+      // files); force it for this gate's small fixture, restore after
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.setInt("graft.txlog.twinMinEntries", 0)
+      try TxLog.checkpoint(root)
+      finally hc.unset("graft.txlog.twinMinEntries")
       val twin = TxLog.scanEntriesCollected(s, root)
       require(twin.isDefined,
         "a checkpointed table must expose the parquet-twin path")

@@ -1736,7 +1736,7 @@ object TxLog {
     if (!claim(fs, tmp, checkpointFile(dir, v)))
       throw new IllegalStateException(
         s"txlog: checkpoint race for version $v of $dir — already written")
-    writeCheckpointTwin(dir, v)
+    writeCheckpointTwin(dir, v, entries.size)
     v
   }
 
@@ -1791,12 +1791,19 @@ object TxLog {
       (mins, maxs, xcols)
   }
 
-  private def writeCheckpointTwin(dir: String, v: Int): Unit =
+  private def writeCheckpointTwin(dir: String, v: Int,
+      entryCount: Int): Unit =
     SparkSession.getActiveSession.foreach { spark =>
       try {
+        // the twin earns its Spark job only at scale: below the
+        // threshold the driver replay resolves in single-digit ms and
+        // a per-checkpoint job would tax every steady sink/maintenance
+        // loop on a modest table (conf-escapable; 0 forces the twin —
+        // the gate and specs use that)
+        val minEntries = conf().getInt("graft.txlog.twinMinEntries", 4096)
         val target = twinPath(dir, v)
         val fs = fsOf(target)
-        if (!fs.exists(target)) {
+        if (entryCount >= minEntries && !fs.exists(target)) {
           // the twin derives DISTRIBUTED from the claimed text
           // checkpoint: a text scan + parse + one left join — the
           // driver never serializes the entry set (a 10⁷-entry

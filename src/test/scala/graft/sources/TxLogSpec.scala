@@ -2080,6 +2080,8 @@ class TxLogSpec extends AnyFunSuite {
 
   test("checkpoint twin: distributed resolution equals the driver replay") {
     val dir = freshDir()
+    spark.sparkContext.hadoopConfiguration
+      .setInt("graft.txlog.twinMinEntries", 0) // force the twin at toy size
     // log-only entries with stats — the probe shape; no twin yet
     TxLog.commitWithStats(dir, (0 until 6).map(i =>
       s"$dir/data/b$i" -> Some(s"v;${i * 10}.0;${i * 10 + 9}.0")))
@@ -2115,11 +2117,15 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.expireManifests(dir)
     assert(TxLog.scanEntriesCollected(spark, dir).get.toSet ===
       entriesViaDriver(dir))
+    spark.sparkContext.hadoopConfiguration
+      .unset("graft.txlog.twinMinEntries")
     TxLog.destroy(dir)
   }
 
   test("readPruned takes the twin path and still prunes exactly") {
     val dir = freshDir()
+    spark.sparkContext.hadoopConfiguration
+      .setInt("graft.txlog.twinMinEntries", 0) // force the twin at toy size
     (0 until 4).foreach { i =>
       val p = TxLog.writeBatch(
         Seq(i * 10, i * 10 + 9).toDF("x"), dir, s"band$i")
@@ -2146,6 +2152,15 @@ class TxLogSpec extends AnyFunSuite {
     val masked = TxLog.readPruned(spark, dir, "x", 20.0, 25.0)
     assert(masked.isDefined &&
       masked.get.as[Int].collect().sorted.toSeq === Seq(29))
+    spark.sparkContext.hadoopConfiguration
+      .unset("graft.txlog.twinMinEntries")
+    // below the default threshold no twin lands: the driver path serves
+    val d2 = freshDir()
+    TxLog.commit(d2, Seq(TxLog.writeBatch(Seq(1).toDF("x"), d2, "a")))
+    TxLog.checkpoint(d2)
+    assert(TxLog.scanEntriesCollected(spark, d2).isEmpty,
+      "a toy table must not pay a per-checkpoint twin Spark job")
+    TxLog.destroy(d2)
     TxLog.destroy(dir)
   }
 }
