@@ -517,11 +517,14 @@ object SimilarityOps {
   def gramian(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // InternalRow aggregate: getArray(0).toDoubleArray() unpacks the vector
+    // as one primitive copy, where the Seq[Double] encoder path boxed every
+    // element through an external-Row conversion first (guide §4)
     val acc = emb.select(col(vecCol).cast("array<double>"))
-      .as[Seq[Double]]
-      .rdd
+      .queryExecution.toRdd
       .treeAggregate(null: Array[Long])(
-        seqOp = { (a, v) =>
+        seqOp = { (a, r) =>
+          val v = r.getArray(0).toDoubleArray()
           val d = v.length
           val g = if (a == null) new Array[Long](d * d) else a
           var i = 0

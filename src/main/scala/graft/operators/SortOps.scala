@@ -98,17 +98,28 @@ object SortOps {
   def globalRowNumber(df: DataFrame, order: Seq[Column], rnCol: String = "rn"): DataFrame = {
     val sorted = pinnedRangeSort(df, order)
     val spark = df.sparkSession
-    val counts = sorted.rdd
+    // Both passes run on InternalRow (queryExecution.toRdd over the pinned
+    // blocks): the external-Row detour (`.rdd` + `createDataFrame`) paid
+    // THREE full per-row conversion passes per template call — Catalyst→Row
+    // for the counts pass, Catalyst→Row + Row→Catalyst around the offset
+    // map — all pure overhead at the scan grain (guide §4: no non-codegen
+    // row work in the hot path). Offsets and partition order are unchanged.
+    val counts = sorted.queryExecution.toRdd
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
       .collect()
       .sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
     val schema = StructType(sorted.schema.fields :+ StructField(rnCol, LongType, nullable = false))
-    val withRn = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+    val withRn = sorted.queryExecution.toRdd.mapPartitionsWithIndex { case (i, it) =>
       var rn = offsets(i)
-      it.map { row => rn += 1; Row.fromSeq(row.toSeq :+ rn) }
+      // reused JoinedRow view: the scan node re-projects to UnsafeRow per
+      // row (RDDScanExec contract), so no per-row allocation is needed here
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      it.map { row => rn += 1; extra.update(0, rn)
+        joined(row, extra): org.apache.spark.sql.catalyst.InternalRow }
     }
-    spark.createDataFrame(withRn, schema)
+    org.apache.spark.sql.graftbridge.SqlBridge.internalDf(spark, withRn, schema)
   }
 
   /** Top-k by order — Spark plans per-partition top-k then a k-merge
@@ -171,7 +182,9 @@ object SortOps {
     val withV = df.withColumn("_gcs_v", coalesce(valueCol.cast("long"), lit(0L)))
     val sorted = pinnedRangeSort(withV, order)
     val vIdx = sorted.schema.fieldIndex("_gcs_v")
-    val sums = sorted.rdd
+    // InternalRow passes over the pinned blocks — see [[globalRowNumber]]
+    // for why the external-Row detour was three wasted conversion passes
+    val sums = sorted.queryExecution.toRdd
       .mapPartitionsWithIndex { case (i, it) =>
         var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
       }
@@ -180,11 +193,15 @@ object SortOps {
     val offsets = sums.map(_._2).scanLeft(0L)(_ + _)
     val schema = StructType(
       sorted.schema.fields :+ StructField(cumCol, LongType, nullable = false))
-    val withCum = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+    val withCum = sorted.queryExecution.toRdd.mapPartitionsWithIndex { case (i, it) =>
       var c = offsets(i)
-      it.map { row => c += row.getLong(vIdx); Row.fromSeq(row.toSeq :+ c) }
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      it.map { row => c += row.getLong(vIdx); extra.update(0, c)
+        joined(row, extra): org.apache.spark.sql.catalyst.InternalRow }
     }
-    df.sparkSession.createDataFrame(withCum, schema).drop("_gcs_v")
+    org.apache.spark.sql.graftbridge.SqlBridge
+      .internalDf(df.sparkSession, withCum, schema).drop("_gcs_v")
   }
 
   /** [[globalCumSum]] generalized to SEVERAL value columns sharing ONE
@@ -205,7 +222,8 @@ object SortOps {
     }
     val sorted = pinnedRangeSort(withV, order)
     val vIdx = tmpNames.map(sorted.schema.fieldIndex)
-    val sums = sorted.rdd
+    // InternalRow passes over the pinned blocks — see [[globalRowNumber]]
+    val sums = sorted.queryExecution.toRdd
       .mapPartitionsWithIndex { case (i, it) =>
         val s = new Array[Long](k)
         it.foreach { r => var j = 0; while (j < k) { s(j) += r.getLong(vIdx(j)); j += 1 } }
@@ -218,16 +236,20 @@ object SortOps {
     }
     val schema = StructType(sorted.schema.fields ++
       cumCols.map(StructField(_, LongType, nullable = false)))
-    val withCum = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+    val withCum = sorted.queryExecution.toRdd.mapPartitionsWithIndex { case (i, it) =>
       val c = offsets(i).clone()
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(k)
       it.map { row =>
         var j = 0
-        while (j < k) { c(j) += row.getLong(vIdx(j)); j += 1 }
-        // c keeps mutating across rows — snapshot it per emitted row
-        Row.fromSeq(row.toSeq ++ c.toVector)
+        while (j < k) { c(j) += row.getLong(vIdx(j)); extra.update(j, c(j)); j += 1 }
+        // the scan node materializes each emitted view to UnsafeRow before
+        // the next row mutates c/extra (RDDScanExec re-projection contract)
+        joined(row, extra): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    df.sparkSession.createDataFrame(withCum, schema).drop(tmpNames: _*)
+    org.apache.spark.sql.graftbridge.SqlBridge
+      .internalDf(df.sparkSession, withCum, schema).drop(tmpNames: _*)
   }
 
   /** Exact PER-GROUP running minimum of a long column in a total order,
@@ -265,7 +287,19 @@ object SortOps {
     val gIdx = groupNames.map(sorted.schema.fieldIndex)
     val vIdx = sorted.schema.fieldIndex("_grm_v")
     val vType = sorted.schema(vIdx).dataType
-    def keyOf(r: Row): Seq[Any] = gIdx.map(r.get)
+    val gTypes = gIdx.map(sorted.schema(_).dataType)
+    // InternalRow passes over the pinned blocks (see [[globalRowNumber]]);
+    // group keys surface as UTF8String/Long/… — content-equality types, so
+    // the Seq comparison semantics are unchanged from the external-Row days
+    def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Seq[Any] =
+      gIdx.zip(gTypes).map { case (i, dt) => r.get(i, dt) }
+    // rows from toRdd may be a REUSED projection buffer (RDDScanExec), so a
+    // key held ACROSS rows must own its bytes — UTF8String is a view into
+    // the row; primitives/Decimal arrive as fresh boxes and need no copy
+    def ownKey(k: Seq[Any]): Seq[Any] = k.map {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+      case other => other
+    }
     // running minima carry as Comparable; null = "no value yet" (+inf)
     def lessThan(a: Comparable[Any], b: Comparable[Any]): Boolean =
       b == null || a.compareTo(b) < 0
@@ -273,7 +307,7 @@ object SortOps {
     // below only ever consumes LAST-group minima (a group spanning
     // partitions is, by contiguity, the last group of every partition it
     // enters except possibly the one it ends in)
-    val summaries = sorted.rdd
+    val summaries = sorted.queryExecution.toRdd
       .mapPartitionsWithIndex { case (i, it) =>
         if (!it.hasNext) Iterator.empty
         else {
@@ -282,14 +316,14 @@ object SortOps {
           var curMin: Comparable[Any] = null
           it.foreach { r =>
             val k = keyOf(r)
-            if (curKey == null) { firstKey = k; curKey = k }
-            else if (k != curKey) { curKey = k; curMin = null }
+            if (curKey == null) { firstKey = ownKey(k); curKey = firstKey }
+            else if (k != curKey) { curKey = ownKey(k); curMin = null }
             // non-null contract enforced here (pass 1 sees every row first):
             // a null has no place in a running MIN, and silently skipping or
             // zeroing it would corrupt excursions — fail with the operator name
             if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
               s"groupedRunningMin: null value for group $k — the value column must be non-null (pre-filter or coalesce upstream)")
-            val v = r.get(vIdx).asInstanceOf[Comparable[Any]]
+            val v = r.get(vIdx, vType).asInstanceOf[Comparable[Any]]
             if (lessThan(v, curMin)) curMin = v
           }
           Iterator((i, firstKey, curKey, curMin))
@@ -314,20 +348,24 @@ object SortOps {
     val bc = df.sparkSession.sparkContext.broadcast(seeds.toMap)
     val schema = StructType(sorted.schema.fields :+
       StructField(outCol, vType, nullable = false))
-    val withMin = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+    val withMin = sorted.queryExecution.toRdd.mapPartitionsWithIndex { case (i, it) =>
       val seed = bc.value.getOrElse(i, null)
       var curKey: Seq[Any] = null
       var curMin: Comparable[Any] = null
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       it.map { r =>
         val k = keyOf(r)
-        if (curKey == null) { curKey = k; curMin = seed }
-        else if (k != curKey) { curKey = k; curMin = null }
-        val v = r.get(vIdx).asInstanceOf[Comparable[Any]]
+        if (curKey == null) { curKey = ownKey(k); curMin = seed }
+        else if (k != curKey) { curKey = ownKey(k); curMin = null }
+        val v = r.get(vIdx, vType).asInstanceOf[Comparable[Any]]
         if (lessThan(v, curMin)) curMin = v
-        Row.fromSeq(r.toSeq :+ curMin)
+        extra.update(0, curMin)
+        joined(r, extra): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    df.sparkSession.createDataFrame(withMin, schema).drop("_grm_v")
+    org.apache.spark.sql.graftbridge.SqlBridge
+      .internalDf(df.sparkSession, withMin, schema).drop("_grm_v")
   }
 
   /** Exact top-k rows per key through the engine's CUSTOM PHYSICAL

@@ -84,6 +84,21 @@ object SqlBridge {
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
   }
 
+  /** Wrap an RDD of InternalRow as a batch DataFrame without the
+    * external-Row round-trip `SparkSession.createDataFrame(RDD[Row], _)`
+    * pays (per-row CatalystTypeConverters both ways). This is the seam
+    * the two-level sort templates ([[graft.operators.SortOps]]) use: their
+    * offset-seeded second pass maps pinned UnsafeRows to UnsafeRows, so
+    * converting through `Row.fromSeq(row.toSeq :+ x)` was pure overhead —
+    * three full conversion passes per template call at the scan grain. */
+  def internalDf(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` went
     * `private[sql]` with the Spark 4 classic split) — the execution-time
     * re-analysis path of the SQL MERGE command. */
