@@ -7256,11 +7256,22 @@ object Queries {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
       val b = TextFunctions.portableBucket(col("l_orderkey"), 4)
+      // the four ingest batches are independent jobs: their writes overlap
+      // (guide §2.6) and their manifest stats come from ONE grouped agg
+      // over the source instead of one full-scan agg per batch — commits
+      // stay sequential, so versions and table state are unchanged
+      val statRows = li.groupBy(b.as("_bk"))
+        .agg(min(col("l_orderkey").cast("double")).as("_mn"),
+          max(col("l_orderkey").cast("double")).as("_mx")).collect()
+      val statByK = statRows.map(r => r.getLong(0).toInt ->
+        (if (r.isNullAt(1)) None
+         else Some(s"l_orderkey;${r.getDouble(1)};${r.getDouble(2)}"))).toMap
+      val paths = core.Graft.overlapJobs((0 until 4).map { k => () =>
+        TxLog.writeBatch(li.filter(b === k), root, s"b$k")
+      })
       (0 until 4).foreach { k =>
-        val batch = li.filter(b === k)
         TxLog.commitWithStats(root,
-          Seq(TxLog.writeBatch(batch, root, s"b$k") ->
-            TxLog.columnStats(batch, "l_orderkey")))
+          Seq(paths(k) -> statByK.getOrElse(k, None)))
       }
       val vOpt = TxLog.optimize(s, root, "opt", targetFiles = 2)
       require(vOpt == 5, s"optimize must commit as version 5, got $vOpt")
@@ -9576,10 +9587,12 @@ object Queries {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
       val b = TextFunctions.portableBucket(col("l_orderkey"), 4)
-      (0 until 4).foreach { k =>
-        TxLog.commit(root,
-          Seq(TxLog.writeBatch(li.filter(b === k), root, s"b$k")))
-      }
+      // independent batch writes overlap (guide §2.6); sequential commits
+      // keep the version history identical
+      val paths = core.Graft.overlapJobs((0 until 4).map { k => () =>
+        TxLog.writeBatch(li.filter(b === k), root, s"b$k")
+      })
+      paths.foreach(p => TxLog.commit(root, Seq(p)))
       val v = TxLog.optimizeZOrder(s, root, "z",
         "l_orderkey", "l_partkey", targetFiles = 4)
       require(v == 5, s"zorder optimize must commit as version 5, got $v")
@@ -9630,10 +9643,12 @@ object Queries {
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"))
       val b = TextFunctions.portableBucket(col("l_orderkey"), 4)
-      (0 until 4).foreach { k =>
-        TxLog.commit(root,
-          Seq(TxLog.writeBatch(li.filter(b === k), root, s"b$k")))
-      }
+      // independent batch writes overlap (guide §2.6); sequential commits
+      // keep the version history identical
+      val paths = core.Graft.overlapJobs((0 until 4).map { k => () =>
+        TxLog.writeBatch(li.filter(b === k), root, s"b$k")
+      })
+      paths.foreach(p => TxLog.commit(root, Seq(p)))
       val v = TxLog.optimizeZOrderN(s, root, "z3",
         Seq("l_orderkey", "l_partkey", "l_suppkey"), targetFiles = 8)
       require(v == 5, s"3-D zorder must commit as version 5, got $v")

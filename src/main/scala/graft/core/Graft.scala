@@ -107,6 +107,33 @@ object Graft {
     if (estimated * 2 <= cores) ds.repartition(cores) else ds
   }
 
+  /** Run independent Spark ACTIONS concurrently from a bounded pool and
+    * return their results in input order (guide §2.6 "overlap independent
+    * jobs"): the scheduler happily runs several jobs at once — a serial
+    * loop of small write/agg jobs leaves the cluster idle through every
+    * job's scheduling latency and straggler tail, while 2–4 in flight
+    * back-fill each other. The cap stays small on purpose (enough to fill
+    * the tail, not enough to fight for executors); at cluster scale the
+    * same bound applies unchanged. Failures propagate after the pool
+    * drains (the first cause, unwrapped). Single action short-circuits. */
+  def overlapJobs[T](work: Seq[() => T], threads: Int = 4): Seq[T] =
+    if (work.sizeIs <= 1) work.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(threads, work.size))
+      try {
+        val futs = work.map(w => pool.submit(
+          new java.util.concurrent.Callable[T] { def call(): T = w() }))
+        futs.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      } finally pool.shutdown()
+    }
+
   /** Generic source facade covering the reference's input formats (SURVEY §2.2):
     * text lines, tab-separated KV text, parquet (canonical binary KV), fixed-length
     * binary via binaryFile. Compression is transparent as in the reference.

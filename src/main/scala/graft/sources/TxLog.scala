@@ -691,6 +691,31 @@ object TxLog {
     if (segs.isEmpty) None else Some(segs.mkString(","))
   }
 
+  /** [[columnStatsMulti]] for EVERY group of an int key column in ONE
+    * aggregation job: the per-output-file stats loops in [[optimize]] /
+    * [[optimizeZOrderN]] used to run one full-scan agg per file (k files
+    * = k scans of the pinned snapshot, serially); a single groupBy
+    * computes identical `col;min;max` segments for all of them. Groups
+    * absent from the result (empty slices) simply have no entry — the
+    * caller's getOrElse(None) matches columnStatsMulti's all-null None. */
+  private def columnStatsByKey(df: DataFrame, keyCol: String,
+      columns: Seq[String]): Map[Int, Option[String]] = {
+    require(columns.nonEmpty, "need at least one stats column")
+    columns.foreach(c => require(
+      !c.exists(ch => ch == ';' || ch == ',' || ch == '\t' || ch == '\n'),
+      s"stats column name unsupported: $c"))
+    import org.apache.spark.sql.functions.{col, min, max}
+    val aggs = columns.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*).collect().map { r =>
+      val segs = columns.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(1 + 2 * i)) None
+        else Some(s"$c;${r.getDouble(1 + 2 * i)};${r.getDouble(2 + 2 * i)}")
+      }
+      r.getInt(0) -> (if (segs.isEmpty) None else Some(segs.mkString(",")))
+    }.toMap
+  }
+
   /** Manifest-level BLOOM FILTER blob for one column of a batch — the
     * point-lookup complement to [[columnStats]] ranges (public
     * precedent: Delta's bloom filter index; here the filter rides in
@@ -2428,16 +2453,21 @@ object TxLog {
             columnStatsMulti(compacted, statCols))
         else {
           // per-file stats need per-partition frames; spark_partition_id
-          // slices the SAME pinned frame the writer consumed
+          // slices the SAME pinned frame the writer consumed. Stats for
+          // ALL slices come from ONE groupBy job (was one full-scan agg
+          // per slice), and the slice writes — independent single-task
+          // jobs over the pinned blocks — overlap (guide §2.6)
           val withPid = compacted.withColumn("_pid",
             org.apache.spark.sql.functions.spark_partition_id())
-          (0 until targetFiles).map { i =>
-            val slice = withPid
-              .filter(org.apache.spark.sql.functions.col("_pid") === i)
-              .drop("_pid").coalesce(1)
-            writeBatch(slice, dir, s"${name}_p$i") ->
-              columnStatsMulti(slice, statCols)
-          }
+          val statsByPid = columnStatsByKey(withPid, "_pid", statCols)
+          val paths = graft.core.Graft.overlapJobs(
+            (0 until targetFiles).map { i => () =>
+              writeBatch(withPid
+                .filter(org.apache.spark.sql.functions.col("_pid") === i)
+                .drop("_pid").coalesce(1), dir, s"${name}_p$i")
+            })
+          (0 until targetFiles).map(i =>
+            paths(i) -> statsByPid.getOrElse(i, None))
         }
       commitRewrite(dir, adds, remove = files, basedOnDvs = Some(dvSnap))
     } finally graft.core.Checkpoints.release(compacted)
@@ -2533,16 +2563,18 @@ object TxLog {
       nullFill = columnTypes(dir)).localCheckpoint()
     val withZ =
       try {
-        def rankExpr(c: String): org.apache.spark.sql.Column = {
-          val cuts = snap.stat.approxQuantile(c,
-            (1 until ranks).map(_.toDouble / ranks).toArray, 0.001)
-          cuts.foldLeft(lit(0): org.apache.spark.sql.Column) { (acc, cut) =>
-            acc + when(col(c) > cut, 1).otherwise(0)
+        // ONE quantile job for every dimension (the multi-column
+        // approxQuantile overload shares the pass; the single-column
+        // form is defined as its head, so the cuts are identical)
+        val probs = (1 until ranks).map(_.toDouble / ranks).toArray
+        val allCuts = snap.stat.approxQuantile(cols.toArray, probs, 0.001)
+        def rankExpr(ci: Int): org.apache.spark.sql.Column =
+          allCuts(ci).foldLeft(lit(0): org.apache.spark.sql.Column) {
+            (acc, cut) => acc + when(col(cols(ci)) > cut, 1).otherwise(0)
           }
-        }
         val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(ranks - 1))
         snap.withColumn("_z", graft.functions.ZOrder
-          .zValueN(cols.map(rankExpr), bits).cast("double"))
+          .zValueN(cols.indices.map(rankExpr), bits).cast("double"))
           .localCheckpoint()
       } finally graft.core.Checkpoints.release(snap)
     try {
@@ -2550,14 +2582,23 @@ object TxLog {
         if (targetFiles == 1) Array.empty[Double]
         else withZ.stat.approxQuantile("_z",
           (1 until targetFiles).map(_.toDouble / targetFiles).toArray, 0.0)
-      val adds = (0 until targetFiles).map { i =>
-        val inBucket =
-          (if (i == 0) lit(true) else col("_z") >= zcuts(i - 1)) &&
-            (if (i == targetFiles - 1) lit(true) else col("_z") < zcuts(i))
-        val data = withZ.filter(inBucket).drop("_z")
-        val path = writeBatch(data, dir, s"${name}_p$i")
-        path -> columnStatsMulti(data, cols)
+      // file index as a column: Σ when(z >= cut) assigns exactly the
+      // [zcuts(i-1), zcuts(i)) bucket the per-file filters selected —
+      // so the per-file STATS come from one groupBy job instead of one
+      // full-scan agg per file, and the file writes (independent jobs
+      // over the pinned blocks) overlap (guide §2.6)
+      val fileIdx = zcuts.foldLeft(lit(0): org.apache.spark.sql.Column) {
+        (acc, cut) => acc + when(col("_z") >= cut, 1).otherwise(0)
       }
+      val withB = withZ.withColumn("_fb", fileIdx.cast("int"))
+      val statsByFile = columnStatsByKey(withB, "_fb", cols)
+      val paths = graft.core.Graft.overlapJobs(
+        (0 until targetFiles).map { i => () =>
+          writeBatch(withB.filter(col("_fb") === i).drop("_fb", "_z"),
+            dir, s"${name}_p$i")
+        })
+      val adds = (0 until targetFiles).map(i =>
+        paths(i) -> statsByFile.getOrElse(i, None))
       // commitRewrite, not commitWithStats: a raced loser that re-added
       // its compacted copies after a concurrent rewrite would duplicate
       // every row (ADVICE r10) — abort and let the caller re-run instead
