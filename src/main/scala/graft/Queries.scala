@@ -72,6 +72,42 @@ object Queries {
   private def fixtureOnce(key: String)(body: => Unit): Unit =
     if (fixtureMemo.add(key)) body
 
+  private def rmTreeQ(p: String): Unit = {
+    val f = new java.io.File(p)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { java.nio.file.Files.delete(q); () })
+    }
+  }
+
+  /** Build a deterministic file-stream SOURCE DIRECTORY once per process —
+    * fixture prep in the [[QuerySpec.stage]] sense (VERDICT r10 finding 2:
+    * rebuilding a gate's persisted input inside the timed body charges the
+    * operator under test for scaffolding). The split files are a pure
+    * function of the immutable test tables, so the build memoizes per
+    * process; a fresh process (Verify, the driver) rebuilds on first
+    * touch. `put(df, name, mtime)` writes one coalesced split and pins its
+    * mod-time — file sources trigger in mtime order, so arrival order is
+    * part of the fixture, not an accident of staging speed. */
+  private def stageSplitDir(key: String, srcDir: java.nio.file.Path)(
+      build: ((DataFrame, String, Long) => Unit) => Unit): Unit =
+    fixtureOnce(key) {
+      rmTreeQ(srcDir.toString)
+      java.nio.file.Files.createDirectories(srcDir)
+      def put(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$srcDir/_stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dest = srcDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dest)
+        if (mtime > 0) { dest.toFile.setLastModified(mtime); () }
+        rmTreeQ(tmp)
+      }
+      build(put)
+    }
+
   private def eventsTsIsRawNanos(s: SparkSession, dir: String): Boolean = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tsGenMemo.computeIfAbsent(dir, _ =>
@@ -9412,35 +9448,10 @@ object Queries {
       val srcDir = java.nio.file.Paths.get(s"/tmp/graft_smerge_src_$sfName")
       val tbl = s"/tmp/graft_smerge_tbl_$sfName"
       val ckpt = s"/tmp/graft_smerge_ckpt_$sfName"
-      def rmTree(p: String): Unit = {
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          java.nio.file.Files.walk(f.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => { java.nio.file.Files.delete(q); () })
-        }
-      }
-      Seq(srcDir.toString, tbl, ckpt).foreach(rmTree)
-      java.nio.file.Files.createDirectories(srcDir)
+      Seq(tbl, ckpt).foreach(rmTreeQ)
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
-      val bounds = ev.agg(min("event_id"), max("event_id")).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val tercile = least(
-        floor((col("event_id") - lo) * 3 / (hi - lo + 1)), lit(2L))
-      (0 until 3).foreach { b =>
-        val tmp = s"$srcDir/_stage_$b"
-        ev.filter(tercile === b.toLong)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dest = srcDir.resolve(s"split_$b.parquet")
-        java.nio.file.Files.move(part.toPath, dest)
-        // pin arrival order: the file source triggers in mod-time order
-        dest.toFile.setLastModified(1700000000000L + b * 60000L)
-        rmTree(tmp)
-      }
       // seed the table: every user at a sentinel row, plus shifted-key
       // seeds no update ever touches (they must survive verbatim)
       val users = ev.select(col("user_id")).distinct()
@@ -9484,7 +9495,25 @@ object Queries {
       SELECT user_id, event_type, value FROM last WHERE rn = 1
       UNION ALL
       SELECT DISTINCT user_id + 100000, 'seed', 0.0 FROM events
-      ORDER BY user_id"""))
+      ORDER BY user_id"""),
+    stage = Some((s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_smerge_src_$sfName")
+      stageSplitDir(s"smerge_src_$dir", srcDir) { put =>
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val bounds = ev.agg(min("event_id"), max("event_id")).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val tercile = least(
+          floor((col("event_id") - lo) * 3 / (hi - lo + 1)), lit(2L))
+        (0 until 3).foreach { b =>
+          // pin arrival order: the file source triggers in mod-time order
+          put(ev.filter(tercile === b.toLong), s"split_$b.parquet",
+            1700000000000L + b * 60000L)
+        }
+      }
+    }))
 
   /** Streaming right-to-be-forgotten queue — foreachBatch +
     * [[graft.sources.TxLog.deleteWhereDV]]: three REAL micro-batches of
@@ -9505,40 +9534,18 @@ object Queries {
       val srcDir = java.nio.file.Paths.get(s"/tmp/graft_sfg_src_$sfName")
       val tbl = s"/tmp/graft_sfg_tbl_$sfName"
       val ckpt = s"/tmp/graft_sfg_ckpt_$sfName"
-      def rmTree(p: String): Unit = {
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          java.nio.file.Files.walk(f.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => { java.nio.file.Files.delete(q); () })
-        }
-      }
-      Seq(srcDir.toString, tbl, ckpt).foreach(rmTree)
-      java.nio.file.Files.createDirectories(srcDir)
+      Seq(tbl, ckpt).foreach(rmTreeQ)
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
       val b = TextFunctions.portableBucket(col("event_id"), 2)
-      TxLog.commit(tbl, Seq(TxLog.writeBatch(ev.filter(b === 0), tbl, "b0")))
-      TxLog.commit(tbl, Seq(TxLog.writeBatch(ev.filter(b === 1), tbl, "b1")))
+      // the two seed batches are independent writes — overlap them
+      // (guide §2.6); sequential commits keep the history identical
+      val seedPaths = core.Graft.overlapJobs(Seq(
+        () => TxLog.writeBatch(ev.filter(b === 0), tbl, "b0"),
+        () => TxLog.writeBatch(ev.filter(b === 1), tbl, "b1")))
+      seedPaths.foreach(p => TxLog.commit(tbl, Seq(p)))
       val before = TxLog.liveFiles(tbl)
-      // the forget queue: users ≡ 0 (mod 7), split into three
-      // arrival-ordered request files by user-id tercile
-      val requests = ev.filter(col("user_id") % 7 === 0)
-        .select(col("user_id")).distinct()
-      val maxU = requests.agg(max("user_id")).head().getLong(0)
-      (0 until 3).foreach { k =>
-        val tmp = s"$srcDir/_stage_$k"
-        requests.filter(least(floor(col("user_id") * 3 / (maxU + 1)),
-            lit(2L)) === k.toLong)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        val dest = srcDir.resolve(s"req_$k.parquet")
-        java.nio.file.Files.move(part.toPath, dest)
-        dest.toFile.setLastModified(1700000000000L + k * 60000L)
-        rmTree(tmp)
-      }
       val feed = s.readStream.schema("user_id BIGINT")
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       val q = pinnedParts(s, 8)(feed.writeStream
@@ -9576,7 +9583,24 @@ object Queries {
     Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events WHERE NOT COALESCE(user_id % 7 = 0, FALSE)
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1"""),
+    stage = Some((s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_sfg_src_$sfName")
+      stageSplitDir(s"sfg_src_$dir", srcDir) { put =>
+        // the forget queue: users ≡ 0 (mod 7), split into three
+        // arrival-ordered request files by user-id tercile
+        val requests = t(s, dir, "events")
+          .filter(col("user_id") % 7 === 0)
+          .select(col("user_id")).distinct()
+        val maxU = requests.agg(max("user_id")).head().getLong(0)
+        (0 until 3).foreach { k =>
+          put(requests.filter(least(floor(col("user_id") * 3 / (maxU + 1)),
+              lit(2L)) === k.toLong), s"req_$k.parquet",
+            1700000000000L + k * 60000L)
+        }
+      }
+    }))
 
   private val qTxlogZorder = QuerySpec(
     "q_txlog_zorder",
@@ -11153,34 +11177,9 @@ object Queries {
       val srcDir = java.nio.file.Paths.get(s"/tmp/graft_cdc_src_$sfName")
       val stateDir = s"/tmp/graft_cdc_state_$sfName"
       val ckpt = s"/tmp/graft_cdc_ckpt_$sfName"
-      def rmTree(p: String): Unit = {
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          java.nio.file.Files.walk(f.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => { java.nio.file.Files.delete(q); () })
-        }
-      }
-      Seq(srcDir.toString, stateDir, ckpt).foreach(rmTree)
-      java.nio.file.Files.createDirectories(srcDir)
+      Seq(stateDir, ckpt).foreach(rmTreeQ)
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
-      val b10 = TextFunctions.portableBucket(col("event_id"), 10)
-      val b13 = TextFunctions.portableBucket(col("event_id"), 13)
-      val batches = Seq(
-        ev.filter(b10 < 7).withColumn("sign", lit(1)),
-        ev.filter(b10 >= 7).withColumn("sign", lit(1)),
-        ev.filter(b10 < 7).filter(b13 === 0).withColumn("sign", lit(-1)))
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val tmp = s"$srcDir/_stage_$i"
-        b.select("event_type", "value", "sign")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          srcDir.resolve(s"change_$i.parquet"))
-        rmTree(tmp)
-      }
       // empty seed state with the (keys, cnt, sum_dec) shape
       AggOps.partialStats(ev.limit(0), Seq(col("event_type")), col("value"))
         .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/state_seed")
@@ -11221,7 +11220,25 @@ object Queries {
       SELECT event_type, CAST(3 AS BIGINT) AS n_batches,
         CAST(COUNT(value) AS BIGINT) AS cnt,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      FROM nb GROUP BY 1 ORDER BY 1"""))
+      FROM nb GROUP BY 1 ORDER BY 1"""),
+    stage = Some((s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_cdc_src_$sfName")
+      stageSplitDir(s"cdc_src_$dir", srcDir) { put =>
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val b10 = TextFunctions.portableBucket(col("event_id"), 10)
+        val b13 = TextFunctions.portableBucket(col("event_id"), 13)
+        val batches = Seq(
+          ev.filter(b10 < 7).withColumn("sign", lit(1)),
+          ev.filter(b10 >= 7).withColumn("sign", lit(1)),
+          ev.filter(b10 < 7).filter(b13 === 0).withColumn("sign", lit(-1)))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          put(b.select("event_type", "value", "sign"),
+            s"change_$i.parquet", 1700000000000L + i * 60000L)
+        }
+      }
+    }))
 
   /** Streaming incremental aggregation: the [[AggOps.partialStats]] /
     * [[AggOps.mergeStats]] state discipline driven by a REAL streaming
@@ -11239,31 +11256,9 @@ object Queries {
       val srcDir = java.nio.file.Paths.get(s"/tmp/graft_incr_src_$sfName")
       val stateDir = s"/tmp/graft_incr_state_$sfName"
       val ckpt = s"/tmp/graft_incr_ckpt_$sfName"
-      // fresh fixture + state per run (a reused checkpoint would skip the
+      // fresh state per run (a reused checkpoint would skip the
       // batches and leave no states)
-      def rmTree(p: String): Unit = {
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          java.nio.file.Files.walk(f.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => { java.nio.file.Files.delete(q); () })
-        }
-      }
-      Seq(srcDir.toString, stateDir, ckpt).foreach(rmTree)
-      java.nio.file.Files.createDirectories(srcDir)
-      val ev = t(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("value"))
-      (0 until 3).foreach { b =>
-        val tmp = s"$srcDir/_stage_$b"
-        ev.filter(TextFunctions.portableBucket(col("event_id"), 3) === b)
-          .select("event_type", "value")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          srcDir.resolve(s"split_$b.parquet"))
-        rmTree(tmp)
-      }
+      Seq(stateDir, ckpt).foreach(rmTreeQ)
       val feed = s.readStream.schema("event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       val q = pinnedParts(s, 8)(feed.writeStream
@@ -11296,7 +11291,20 @@ object Queries {
         MIN(value) AS min_value, MAX(value) AS max_value,
         round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
           / COUNT(value), 6) AS avg_value
-      FROM events GROUP BY 1 ORDER BY 1"""))
+      FROM events GROUP BY 1 ORDER BY 1"""),
+    stage = Some((s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_incr_src_$sfName")
+      stageSplitDir(s"incr_src_$dir", srcDir) { put =>
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        (0 until 3).foreach { b =>
+          put(ev.filter(TextFunctions.portableBucket(col("event_id"), 3) === b)
+              .select("event_type", "value"),
+            s"split_$b.parquet", 1700000000000L + b * 60000L)
+        }
+      }
+    }))
 
   /** STREAMING ingestion near-dup dedup — the production ingest shape for
     * [[DedupOps.incrementalMinhashLsh]], driven by a REAL streaming query:
@@ -11329,27 +11337,7 @@ object Queries {
       val sigStore = s"/tmp/graft_lsh_sigs_$sfName"
       val pairStore = s"/tmp/graft_lsh_pairs_$sfName"
       val ckpt = s"/tmp/graft_lsh_ckpt_$sfName"
-      def rmTree(p: String): Unit = {
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          java.nio.file.Files.walk(f.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => { java.nio.file.Files.delete(q); () })
-        }
-      }
-      Seq(srcDir.toString, sigStore, pairStore, ckpt).foreach(rmTree)
-      java.nio.file.Files.createDirectories(srcDir)
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      (0 until 3).foreach { b =>
-        val tmp = s"$srcDir/_stage_$b"
-        docs.filter(TextFunctions.portableBucket(col("doc_id"), 3) === b)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          srcDir.resolve(s"split_$b.parquet"))
-        rmTree(tmp)
-      }
+      Seq(sigStore, pairStore, ckpt).foreach(rmTreeQ)
       import graft.sources.TxLog
       val emptySigs = s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -11443,7 +11431,19 @@ object Queries {
                 len(list_distinct(list_concat(da.shingles, db.shingles))), 6) AS jaccard
         FROM pairs p JOIN docs da ON p.a = da.doc_id
                      JOIN docs db ON p.b = db.doc_id) v
-      WHERE jaccard >= 0.2 ORDER BY a, b"""))
+      WHERE jaccard >= 0.2 ORDER BY a, b"""),
+    stage = Some((s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_lsh_src_$sfName")
+      stageSplitDir(s"lsh_src_$dir", srcDir) { put =>
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        (0 until 3).foreach { b =>
+          put(docs.filter(
+              TextFunctions.portableBucket(col("doc_id"), 3) === b),
+            s"split_$b.parquet", 1700000000000L + b * 60000L)
+        }
+      }
+    }))
 
   /** OHLC resampling ([[AnalyticsOps.ohlcResample]]): hourly bars per
     * event type over the events stream, id-tiebroken first/last, exact
@@ -12853,30 +12853,7 @@ object Queries {
       val srcDir = java.nio.file.Paths.get(s"/tmp/graft_anom_src_$sfName")
       val outDir = s"/tmp/graft_anom_out_$sfName"
       val ckpt = s"/tmp/graft_anom_ckpt_$sfName"
-      def rmTree(p: String): Unit = {
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          java.nio.file.Files.walk(f.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => { java.nio.file.Files.delete(q); () })
-        }
-      }
-      Seq(srcDir.toString, outDir, ckpt).foreach(rmTree)
-      java.nio.file.Files.createDirectories(srcDir)
-      val ev = t(s, dir, "events")
-        .filter(col("value").isNotNull && col("event_type").isNotNull &&
-          col("event_id").isNotNull)
-        .select(col("event_type"), col("event_id"), col("value"))
-      (0 until 3).foreach { b =>
-        val tmp = s"$srcDir/_stage_$b"
-        ev.filter(TextFunctions.portableBucket(col("event_id"), 3) === b)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          srcDir.resolve(s"split_$b.parquet"))
-        rmTree(tmp)
-      }
+      Seq(outDir, ckpt).foreach(rmTreeQ)
       val feed = s.readStream
         .schema("event_type STRING, event_id BIGINT, value DOUBLE")
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
@@ -12930,7 +12907,21 @@ object Queries {
       SELECT k AS event_type, CAST(COUNT(*) AS BIGINT) AS n_seen,
         CAST(SUM(sc) AS BIGINT) AS n_scored,
         CAST(SUM(fl) AS BIGINT) AS n_flagged
-      FROM f GROUP BY 1 ORDER BY 1"""))
+      FROM f GROUP BY 1 ORDER BY 1"""),
+    stage = Some((s, dir) => {
+      val sfName = new java.io.File(dir).getName
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_anom_src_$sfName")
+      stageSplitDir(s"anom_src_$dir", srcDir) { put =>
+        val ev = t(s, dir, "events")
+          .filter(col("value").isNotNull && col("event_type").isNotNull &&
+            col("event_id").isNotNull)
+          .select(col("event_type"), col("event_id"), col("value"))
+        (0 until 3).foreach { b =>
+          put(ev.filter(TextFunctions.portableBucket(col("event_id"), 3) === b),
+            s"split_$b.parquet", 1700000000000L + b * 60000L)
+        }
+      }
+    }))
 
   /** Ratio-to-parent ([[AnalyticsOps.shareOfTotal]]): revenue share of
     * each (returnflag, linestatus) cell within flag and overall. */
