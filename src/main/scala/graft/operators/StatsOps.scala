@@ -46,7 +46,11 @@ object StatsOps {
       gNames.map(col) :+ col("_x"), "_rn")
     val gBase = ranked.groupBy(gNames.map(col): _*)
       .agg(min(col("_rn")).as("_g0"))
-    ranked.join(gBase, gNames.toSeq)
+    // shuffle_hash: the group-base table is O(groups) — hash-building it
+    // per partition skips the sort both SMJ sides would pay (the ranked
+    // side is a LogicalRDD with unknown stats, so the planner can never
+    // see this on its own); guide §3.1
+    ranked.join(gBase.hint("shuffle_hash"), gNames.toSeq)
       .withColumn("_i", col("_rn") - col("_g0") + 1L)
       .groupBy(gNames.map(col): _*)
       .agg(
@@ -268,10 +272,14 @@ object StatsOps {
     val gBase = ranked.groupBy(g: _*).agg(min(col("_rn")).as("_g0"))
     val mr = ranked.groupBy(g :+ col("_x"): _*)
       .agg(min(col("_rn")).as("_v0"), count(lit(1)).as("_ties"))
-      .join(gBase, gNames.toSeq)
+      .join(gBase.hint("shuffle_hash"), gNames.toSeq)
       .select(g ++ Seq(col("_x"),
         (lit(2L) * (col("_v0") - col("_g0") + 1L) + col("_ties") - 1L)
           .as("_mr2"), col("_ties")): _*)
+    // NO hash hint here: the midrank map collapses by VALUE, and this
+    // operator's typical value column (a continuous measurement) barely
+    // collapses — the map is probe-sized, and an A/B showed hash-building
+    // it losing to the sort (1.18x); SMJ stays
     keyed
       .join(mr, gNames.toSeq :+ "_x")
       .groupBy(g: _*)
@@ -391,7 +399,8 @@ object StatsOps {
     val ranked = SortOps.globalRowNumber(keyed, g :+ col("_x"), "_grn")
     val gBase = ranked.groupBy(g: _*)
       .agg(min(col("_grn")).as("_g0"), count(lit(1)).as("_n"))
-    ranked.join(gBase, gNames.toSeq)
+    // shuffle_hash on the O(groups) base table — see [[gini]]
+    ranked.join(gBase.hint("shuffle_hash"), gNames.toSeq)
       .withColumn("_rn", col("_grn") - col("_g0") + 1L)
       .withColumn("_cut", ceil(col("_n") * trim).cast("long"))
       .filter(col("_rn") > col("_cut") && col("_rn") <= col("_n") - col("_cut"))
@@ -527,7 +536,7 @@ object StatsOps {
       .agg(min(col("_gca") - col("_ia")).as("_a0"),
         min(col("_gcb") - col("_ib")).as("_b0"),
         sum(col("_ia")).as("_na"), sum(col("_ib")).as("_nb"))
-    cum.join(gBase, gNames.toSeq)
+    cum.join(gBase.hint("shuffle_hash"), gNames.toSeq)
       .filter(col("_na") > 0 && col("_nb") > 0)
       .withColumn("_ca", col("_gca") - col("_a0"))
       .withColumn("_cb", col("_gcb") - col("_b0"))
@@ -617,7 +626,7 @@ object StatsOps {
     val gBase = cum.groupBy(g: _*)
       .agg(min(col("_gcw") - col("_wv_e6")).as("_g0"),
         sum(col("_wv_e6")).as("_tw_e6"))
-    cum.join(gBase, gNames.toSeq)
+    cum.join(gBase.hint("shuffle_hash"), gNames.toSeq)
       .withColumn("_cw_e6", col("_gcw") - col("_g0"))
       .filter(col("_cw_e6").cast("double") / 1e6
         >= col("_tw_e6").cast("double") / 1e6 * q)
@@ -662,14 +671,16 @@ object StatsOps {
       val gBase = ranked.groupBy(g: _*).agg(min(col("_rn")).as("_g0"))
       ranked.groupBy(g :+ col("_v"): _*)
         .agg(min(col("_rn")).as("_v0"), count(lit(1)).as("_t"))
-        .join(gBase, gNames.toSeq)
+        .join(gBase.hint("shuffle_hash"), gNames.toSeq)
         .select(g ++ Seq(col("_v").as(c),
           (lit(2L) * (col("_v0") - col("_g0") + 1L) + col("_t") - 1L)
             .as(out)): _*)
     }
+    // shuffle_hash on the value-collapsed midrank maps — see
+    // [[mannWhitneyU]]; both joins lose two sorts each
     keyed
-      .join(mr2Map("_x", "_rx"), gNames.toSeq :+ "_x")
-      .join(mr2Map("_y", "_ry"), gNames.toSeq :+ "_y")
+      .join(mr2Map("_x", "_rx").hint("shuffle_hash"), gNames.toSeq :+ "_x")
+      .join(mr2Map("_y", "_ry").hint("shuffle_hash"), gNames.toSeq :+ "_y")
       .groupBy(g: _*)
       // per-row squares stay in longs (mr2 ≤ 2n — safe to n ~ 1e9 rows);
       // the cross-group moments go through decimal(38) so n·Σr² cannot
@@ -851,9 +862,11 @@ object StatsOps {
       .agg(min(col("_rn")).as("_g0"), count(lit(1)).as("_gn"))
     val vBase = ranked.groupBy(g :+ col("x"): _*)
       .agg(min(col("_rn")).as("_v0"))
+    // vBase is value-grain (probe-sized on continuous data — SMJ, see
+    // [[mannWhitneyU]]); gBase is O(groups) and hash-builds
     ranked
       .join(vBase, gNames.toSeq :+ "x")
-      .join(gBase, gNames.toSeq)
+      .join(gBase.hint("shuffle_hash"), gNames.toSeq)
       .withColumn("pr_e6",
         when(col("_gn") > 1L,
           floor((col("_v0") - col("_g0")).cast("double")
