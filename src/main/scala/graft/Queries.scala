@@ -8237,12 +8237,14 @@ object Queries {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
       val b = TextFunctions.portableBucket(col("event_id"), 16)
-      TxLog.commit(root,
-        Seq(TxLog.writeBatch(ev.filter(b >= 4), root, "big")))
-      (0 until 4).foreach { k =>
-        TxLog.commit(root,
-          Seq(TxLog.writeBatch(ev.filter(b === k), root, s"sm$k")))
-      }
+      // the five ingest writes are independent — overlap them (guide
+      // §2.6); commits stay sequential, so the version history and the
+      // big-then-small layout are unchanged
+      val paths = core.Graft.overlapJobs(
+        (() => TxLog.writeBatch(ev.filter(b >= 4), root, "big")) +:
+        (0 until 4).map(k =>
+          () => TxLog.writeBatch(ev.filter(b === k), root, s"sm$k")))
+      paths.foreach(p => TxLog.commit(root, Seq(p)))
       val bigPath = TxLog.liveFiles(root).find(_.endsWith("big")).get
       // scale-robust threshold: each small batch is ~1/12 of the big one
       // at any sf, so half the big batch's bytes cleanly separates them
@@ -8286,12 +8288,15 @@ object Queries {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"))
       val b = TextFunctions.portableBucket(col("user_id"), 4)
-      (0 until 4).foreach { k =>
-        val batch = ev.filter(b === k)
-        TxLog.commitWithStats(root,
-          Seq(TxLog.writeBatch(batch, root, s"b$k") ->
-            TxLog.statsWithBloom(batch, Seq("event_id"), "user_id")))
-      }
+      // each batch's write + bloom-stats derivation is an independent
+      // two-job chain — overlap the chains (guide §2.6); sequential
+      // commits keep the history identical
+      core.Graft.overlapJobs((0 until 4).map { k => () =>
+          val batch = ev.filter(b === k)
+          TxLog.writeBatch(batch, root, s"b$k") ->
+            TxLog.statsWithBloom(batch, Seq("event_id"), "user_id")
+        })
+        .foreach(a => TxLog.commitWithStats(root, Seq(a)))
       // user 7 exists (user_id 0..149 at every sf); its batch is the one
       // its hash bucket chose — every other batch must bloom-skip
       val pruned = TxLog.readPrunedByKey(s, root, "user_id", "7").get
