@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as one JSON object
+// (PERF_r15/r16 came back `parsed: null` two rounds running because sbt
+// wrapped the summary in "[info] " and appended a "[success]" footer).
+// Raw pass-through for forked `run` output and no success footer keep the
+// bench's compact summary as the final, undecorated stdout line. Command
+// success stays detectable via the exit code (the driver records rc).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

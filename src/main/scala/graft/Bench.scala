@@ -164,11 +164,18 @@ object Bench {
         // NEXT repeat starts allocating — the r9 per-repeat data showed the
         // checkpoint-heavy dedup family climbing monotonically (4.4→21→33 s)
         // under exactly that overlap; the wait is outside the timed window.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        // drain the garbage this repeat produced so its collection pause
-        // can't land inside the NEXT repeat's timing window
-        System.gc()
+        // CONDITIONAL (VERDICT r16 item 3): ~250 of the 394 gates pin
+        // nothing — for those the sweep walk and the forced FULL collection
+        // were pure per-repeat overhead (~1200 System.gc() calls per suite
+        // run); a no-pin repeat's modest garbage is exactly what the young
+        // generation handles without a stop-the-world full GC.
+        val pinned = spark.sparkContext.getPersistentRDDs.values
+        if (pinned.nonEmpty) {
+          pinned.foreach(_.unpersist(blocking = true))
+          // drain the garbage this repeat produced so its collection pause
+          // can't land inside the NEXT repeat's timing window
+          System.gc()
+        }
         dt
       }
       q.name -> (if (errors.contains(q.name)) Seq(-1.0) else times)
@@ -214,7 +221,6 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val summary =
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"worst":{"${worst._1}":${num(worst._2, 2)}},"queries":$hq,"sf":"$sfDir","full_map":"BENCH_FULL.json"}"""
-    println(summary)
     // persist the full line as a repo artifact so every round's timings are
     // diffable query by query (default path is cwd-relative — ADVICE r5).
     // A FILTERED run (SPARK_GRAFT_ONLY) must NOT clobber the full map with
@@ -222,12 +228,21 @@ object Bench {
     // with a 1-query one; filtered runs write only when explicitly routed.
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
-    outFile.foreach { f =>
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), line + "\n")
+    def writeFile(f: String, s: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), s + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $f: ${e.getMessage}")
       }
-    }
+    outFile.foreach(writeFile(_, line))
+    // fixed side file with the compact summary (VERDICT r16 item 1): the
+    // driver's JSON parse of stdout failed two rounds running to log
+    // decoration; a file can't be eaten by a logger. Unfiltered runs only,
+    // same clobber guard as BENCH_FULL.json.
+    if (only.isEmpty) writeFile("BENCH_SUMMARY.json", summary)
     spark.stop()
+    // printed AFTER spark.stop() so the compact summary is the last stdout
+    // line of the process — the driver parses the tail of stdout as JSON
+    // (build.sbt strips sbt's "[info] " run prefix and "[success]" footer)
+    println(summary)
   }
 }

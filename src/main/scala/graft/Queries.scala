@@ -70,7 +70,15 @@ object Queries {
     * the operator under test, while a fresh process (Verify, the driver)
     * still builds everything it needs on first touch. */
   private def fixtureOnce(key: String)(body: => Unit): Unit =
-    if (fixtureMemo.add(key)) body
+    if (fixtureMemo.add(key)) {
+      // un-mark on failure (ADVICE r16): the key lands BEFORE the build as
+      // the concurrency guard, but a build that dies mid-way (one split
+      // written, the next throws) must not leave the memo claiming the
+      // fixture exists — a same-process retry would then silently read a
+      // partial directory instead of rebuilding
+      try body
+      catch { case e: Throwable => fixtureMemo.remove(key); throw e }
+    }
 
   private def rmTreeQ(p: String): Unit = {
     val f = new java.io.File(p)
@@ -9207,14 +9215,28 @@ object Queries {
           .start())
         q.awaitTermination()
       }
-      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 0), root, "b0")))
-      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 1), root, "b1")))
+      // §2.6 overlap (VERDICT r16 item 7): the two fixture batches' data
+      // files are independent writes — only the COMMITS are ordered (b0 =
+      // version 1, b1 = version 2), so the stream sees identical windows
+      val Seq(p0, p1) = graft.core.Graft.overlapJobs(Seq(
+        () => TxLog.writeBatch(ev.filter(b === 0), root, "b0"),
+        () => TxLog.writeBatch(ev.filter(b === 1), root, "b1")))
+      TxLog.commit(root, Seq(p0))
+      TxLog.commit(root, Seq(p1))
+      // b2's data files are invisible to the log until committed, so the
+      // write itself runs BEHIND pass 1 (back-filling cores the driver-bound
+      // micro-batch machinery leaves idle); the commit stays strictly after
+      // pass 1 so the restarted stream — not pass 1 — delivers that window
+      val p2 = new java.util.concurrent.FutureTask[String](
+        () => TxLog.writeBatch(ev.filter(b === 2), root, "b2"))
+      val p2t = new Thread(p2, "graft-b2-stage"); p2t.setDaemon(true)
+      p2t.start()
       runPass()
       require(delivered.get == 2,
         s"pass 1 must deliver one window per commit (cap=1), " +
           s"got ${delivered.get}")
       // while the stream is down: an append and a merge-on-read DELETE
-      TxLog.commit(root, Seq(TxLog.writeBatch(ev.filter(b === 2), root, "b2")))
+      TxLog.commit(root, Seq(p2.get()))
       TxLog.deleteWhereDV(s, root, "dv", col("value") < 10.0)
       runPass()
       require(delivered.get == 4,
@@ -11054,16 +11076,30 @@ object Queries {
         col("o_orderpriority"))
       val l = t(s, dir, "lineitem").select(col("l_orderkey").as("key"),
         col("l_returnflag"))
-      val ob = TextFunctions.portableBucket(col("key"), 10)
-      val od = TextFunctions.portableBucket(col("key"), 13)
-      val lb = TextFunctions.portableBucket(col("key"), 7)
-      val ld = TextFunctions.portableBucket(col("key"), 11)
-      val aOld = o.filter(ob < 9)
-      val aDelta = o.filter(ob >= 9).withColumn("sign", lit(1))
-        .unionByName(aOld.filter(od === 0).withColumn("sign", lit(-1)))
-      val bOld = l.filter(lb < 6)
-      val bDelta = l.filter(lb >= 6).withColumn("sign", lit(1))
-        .unionByName(bOld.filter(ld === 0).withColumn("sign", lit(-1)))
+      // pin each base WITH its md5 buckets computed once: the old/delta
+      // splits feed five consumers each across the three IVM legs plus
+      // the old-view join, and every unpinned consumer re-ran the
+      // md5-per-row bucketing over the full table (~5 bucketing passes
+      // per side measured in the r16 diag as 13–18 core-s; §2.4 don't
+      // recompute). Filters over the pinned long columns are cheap.
+      val o2 = o.withColumn("_b10", TextFunctions.portableBucket(col("key"), 10))
+        .withColumn("_b13", TextFunctions.portableBucket(col("key"), 13))
+        .localCheckpoint()
+      val l2 = l.withColumn("_b7", TextFunctions.portableBucket(col("key"), 7))
+        .withColumn("_b11", TextFunctions.portableBucket(col("key"), 11))
+        .localCheckpoint()
+      val oCols = Seq(col("key"), col("o_orderpriority"))
+      val lCols = Seq(col("key"), col("l_returnflag"))
+      val aOld = o2.filter(col("_b10") < 9).select(oCols: _*)
+      val aDelta = o2.filter(col("_b10") >= 9).select(oCols: _*)
+        .withColumn("sign", lit(1))
+        .unionByName(o2.filter(col("_b10") < 9 && col("_b13") === 0)
+          .select(oCols: _*).withColumn("sign", lit(-1)))
+      val bOld = l2.filter(col("_b7") < 6).select(lCols: _*)
+      val bDelta = l2.filter(col("_b7") >= 6).select(lCols: _*)
+        .withColumn("sign", lit(1))
+        .unionByName(l2.filter(col("_b7") < 6 && col("_b11") === 0)
+          .select(lCols: _*).withColumn("sign", lit(-1)))
       val delta = JoinOps.joinDeltaSigned(aOld, aDelta, bOld, bDelta,
         Seq("key"))
       aOld.join(bOld, Seq("key"))

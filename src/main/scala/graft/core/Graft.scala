@@ -124,13 +124,22 @@ object Graft {
       try {
         val futs = work.map(w => pool.submit(
           new java.util.concurrent.Callable[T] { def call(): T = w() }))
-        futs.map { f =>
-          try f.get()
+        // Drain EVERY future before propagating the first failure (ADVICE
+        // r16): rethrowing at the first failed get() would return control
+        // to the caller — whose `finally` typically releases the shared
+        // pinned inputs — while later-submitted jobs are still scanning
+        // them, turning one real failure into a cascade of spurious
+        // background failures and orphan files racing cleanup.
+        val results = futs.map { f =>
+          try Right(f.get())
           catch {
             case e: java.util.concurrent.ExecutionException =>
-              throw Option(e.getCause).getOrElse(e)
+              Left(Option(e.getCause).getOrElse(e))
+            case e: Throwable => Left(e)
           }
         }
+        results.collectFirst { case Left(e) => e }.foreach(throw _)
+        results.collect { case Right(v) => v }
       } finally pool.shutdown()
     }
 

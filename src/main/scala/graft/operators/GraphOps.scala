@@ -43,53 +43,73 @@ object GraphOps {
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("id"))
+    // r17 iteration-constant cut (VERDICT r16 item 2): the out-degree is
+    // STATIC, so it is joined into the node table ONCE — each power
+    // iteration used to pay a ranks⋈deg join (a broadcast build per
+    // iteration) just to re-discover it. |V| and the dangling-node count
+    // ride the checkpoint's own materialization job via observe() (the
+    // kCore discipline), so the old standalone nodes-checkpoint + count()
+    // jobs disappear too: setup is now two jobs (e, nodesD), and each
+    // iteration consumes the rank state exactly once.
+    val nObs = org.apache.spark.sql.Observation()
+    val nodesD = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
+      .join(e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).cast("double").as("deg")), Seq("id"), "left_outer")
+      .observe(nObs, count(lit(1)).as("n"),
+        sum(when(col("deg").isNull, 1L).otherwise(0L)).as("n_dangling"))
       .localCheckpoint()
-    val n = nodes.count().toDouble
-    val deg = e.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("deg"))
-      .localCheckpoint()
-
-    var ranks = nodes.select(col("id"), (lit(1.0) / lit(n)).as("r"))
-    for (_ <- 1 to iters) {
-      val withDeg = ranks
-        .join(deg, ranks("id") === deg("src"), "left_outer")
-        .select(col("id"), col("r"), col("deg"))
-      // dangling mass: exact scaled-long fold of ranks with no out-edges,
-      // kept in-plan as a 1-row crossJoin so the whole iteration (dangling
-      // fold + contribution join + blend) materializes as ONE Spark job via
-      // the eager checkpoint — no per-iteration driver round-trip
-      val danglingDf = withDeg.filter(col("deg").isNull)
-        .agg((coalesce(sum(floor(col("r") * lit(1e15) + lit(0.5))), lit(0L))
+    val n = nObs.get("n").asInstanceOf[Long].toDouble
+    val nDangling = nObs.get("n_dangling").asInstanceOf[Long]
+    // dangling mass of the UNIFORM initial vector, computed in the driver
+    // with the same IEEE ops the in-plan fold would use: every dangling row
+    // contributes floor((1/n)·1e15 + 0.5) — identical terms, exact sum
+    var dm = nDangling * math.floor(1.0 / n * 1e15 + 0.5) / 1e15
+    // dangling mass of each NEW rank vector rides its checkpoint job as an
+    // observed exact scaled-long fold — no second consumption of the state
+    // and no per-iteration 1-row crossJoin; the double crosses the driver
+    // losslessly (a long quotient by 1e15), so the blend arithmetic is
+    // bit-identical to the in-plan form
+    def ckptWithDm(df: DataFrame): (DataFrame, Double) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs,
+        (coalesce(sum(when(col("deg").isNull,
+          floor(col("r") * lit(1e15) + lit(0.5)))), lit(0L))
           .cast("double") / lit(1e15)).as("dm"))
+        .localCheckpoint()
+      (ck, { val d = obs.get("dm").asInstanceOf[Double]; d })
+    }
+    var ranks = nodesD.select(col("id"), col("deg"), (lit(1.0) / lit(n)).as("r"))
+    for (_ <- 1 to iters) {
       val contribs = e
-        .join(
-          withDeg.filter(col("deg").isNotNull).withColumnRenamed("id", "src"),
-          Seq("src"))
+        .join(ranks.filter(col("deg").isNotNull)
+          .select(col("id").as("src"), col("r"), col("deg")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg((sum(floor(col("r") / col("deg") * lit(1e15) + lit(0.5))).cast("double")
           / lit(1e15)).as("contrib"))
-      val next = nodes
+      val next = nodesD
         .join(contribs, Seq("id"), "left_outer")
-        .crossJoin(danglingDf)
-        .select(col("id"),
+        .select(col("id"), col("deg"),
           ((lit(1.0) - lit(damping)) / lit(n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)))
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm) / lit(n)))
             .as("r"))
       val prev = ranks
-      ranks = next.localCheckpoint()
+      val (ck, dmNext) = ckptWithDm(next)
+      ranks = ck
+      dm = dmNext
       // the new checkpoint is eager (fully materialized), so the superseded
       // round's blocks are dead — free them now instead of waiting for a GC
       // to reach the ContextCleaner (20 iterations would otherwise pin 20
-      // copies of the rank table in executor storage)
+      // copies of the rank table in executor storage). Release is a no-op
+      // on round 1's lazy init projection by design.
       Checkpoints.release(prev)
     }
-    // the final ranks checkpoint is self-contained: the shared inputs are
-    // no longer reachable from the returned plan
-    if (iters > 0) Checkpoints.releaseAll(e, nodes, deg)
-    ranks
+    // the final ranks frame is self-contained once iterated: the shared
+    // inputs are no longer reachable from the returned plan. At iters = 0
+    // the returned projection still reads nodesD, which then stays pinned.
+    if (iters > 0) Checkpoints.releaseAll(e, nodesD)
+    ranks.select(col("id"), col("r"))
   }
 
   /** Personalized PageRank — [[pagerank]] with the restart vector
@@ -102,7 +122,7 @@ object GraphOps {
     * Same execution discipline as [[pagerank]]: one Spark job per power
     * iteration via eager checkpoint, contribution folds quantized to
     * 1e-15 scaled longs (bit-portable across engines and partition
-    * orders), dangling fold as an in-plan 1-row crossJoin. Nodes
+    * orders), dangling fold observed on the checkpoint job. Nodes
     * unreachable from the seeds report rank 0 — they ARE the answer's
     * complement, not noise. */
   def personalizedPagerank(edges: DataFrame, seeds: DataFrame, iters: Int,
@@ -110,52 +130,69 @@ object GraphOps {
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("id"))
+    val seedSet = seeds.select(col("id").cast("long").as("id")).distinct()
+    // r17 iteration-constant cut — the [[pagerank]] shape: static degree
+    // and seed flag joined into ONE node table up front (the per-iteration
+    // ranks⋈deg join disappears), seed/dangling counts observed on its own
+    // materialization job, and each new rank vector's dangling mass
+    // observed on ITS checkpoint job — the state is consumed once per
+    // iteration and the 1-row crossJoin is gone.
+    val nObs = org.apache.spark.sql.Observation()
+    val nodesD = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint()
-    val deg = e.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("deg"))
-      .localCheckpoint()
-    val seedSet = seeds.select(col("id").cast("long").as("id")).distinct()
-    // seed flag joined once onto the node table; restart math reuses it
-    val flagged = nodes
+      .join(e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).cast("double").as("deg")), Seq("id"), "left_outer")
       .join(seedSet.withColumn("_isSeed", lit(true)), Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("_isSeed"), lit(false)).as("is_seed"))
+      .select(col("id"), col("deg"),
+        coalesce(col("_isSeed"), lit(false)).as("is_seed"))
+      .observe(nObs,
+        sum(when(col("is_seed"), 1L).otherwise(0L)).as("ns"),
+        sum(when(col("is_seed") && col("deg").isNull, 1L).otherwise(0L))
+          .as("ns_dangling"))
       .localCheckpoint()
-    val ns = flagged.filter(col("is_seed")).count().toDouble
-    require(ns > 0, "personalizedPagerank needs at least one seed in the graph")
-    val restart = when(col("is_seed"), lit(1.0) / lit(ns)).otherwise(lit(0.0))
-
-    var ranks = flagged.select(col("id"), col("is_seed"), restart.as("r"))
-    for (_ <- 1 to iters) {
-      val withDeg = ranks
-        .join(deg, ranks("id") === deg("src"), "left_outer")
-        .select(col("id"), col("r"), col("deg"))
-      val danglingDf = withDeg.filter(col("deg").isNull)
-        .agg((coalesce(sum(floor(col("r") * lit(1e15) + lit(0.5))), lit(0L))
+    val nsL = nObs.get("ns").asInstanceOf[Long]
+    require(nsL > 0, "personalizedPagerank needs at least one seed in the graph")
+    val ns = nsL.toDouble
+    // initial vector: 1/ns on seeds, 0 elsewhere — its dangling mass is
+    // (dangling seeds)·floor((1/ns)·1e15 + 0.5) exactly (zero rows fold to
+    // floor(0.5) = 0), replicated in the driver with the same IEEE ops
+    var dm = nObs.get("ns_dangling").asInstanceOf[Long] *
+      math.floor(1.0 / ns * 1e15 + 0.5) / 1e15
+    def ckptWithDm(df: DataFrame): (DataFrame, Double) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs,
+        (coalesce(sum(when(col("deg").isNull,
+          floor(col("r") * lit(1e15) + lit(0.5)))), lit(0L))
           .cast("double") / lit(1e15)).as("dm"))
+        .localCheckpoint()
+      (ck, obs.get("dm").asInstanceOf[Double])
+    }
+    val restart = when(col("is_seed"), lit(1.0) / lit(ns)).otherwise(lit(0.0))
+    var ranks = nodesD.select(col("id"), col("deg"), col("is_seed"),
+      restart.as("r"))
+    for (_ <- 1 to iters) {
       val contribs = e
-        .join(
-          withDeg.filter(col("deg").isNotNull).withColumnRenamed("id", "src"),
-          Seq("src"))
+        .join(ranks.filter(col("deg").isNotNull)
+          .select(col("id").as("src"), col("r"), col("deg")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg((sum(floor(col("r") / col("deg") * lit(1e15) + lit(0.5))).cast("double")
           / lit(1e15)).as("contrib"))
-      val next = flagged
+      val next = nodesD
         .join(contribs, Seq("id"), "left_outer")
-        .crossJoin(danglingDf)
-        .select(col("id"), col("is_seed"),
+        .select(col("id"), col("deg"), col("is_seed"),
           (when(col("is_seed"), (lit(1.0) - lit(damping)) / lit(ns))
             .otherwise(lit(0.0)) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              when(col("is_seed"), col("dm") / lit(ns)).otherwise(lit(0.0))))
+              when(col("is_seed"), lit(dm) / lit(ns)).otherwise(lit(0.0))))
             .as("r"))
       val prev = ranks
-      ranks = next.localCheckpoint()
+      val (ck, dmNext) = ckptWithDm(next)
+      ranks = ck
+      dm = dmNext
       Checkpoints.release(prev)
     }
-    if (iters > 0) Checkpoints.releaseAll(e, nodes, deg, flagged)
+    if (iters > 0) Checkpoints.releaseAll(e, nodesD)
     ranks.select(col("id"), col("r"))
   }
 

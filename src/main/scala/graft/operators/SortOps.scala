@@ -300,6 +300,17 @@ object SortOps {
       case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
       case other => other
     }
+    // the running-min VALUE is held across rows (and, via pass 1's summary,
+    // across the driver-side seed chain) exactly like the keys — a
+    // UTF8String value would otherwise be a live view into the reused
+    // projection buffer and silently corrupt the carried minimum
+    // (ADVICE r16). Primitives/Decimal arrive as fresh boxes; only
+    // buffer-backed types need ownership.
+    def ownVal(v: Comparable[Any]): Comparable[Any] = (v: Any) match {
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        u.copy().asInstanceOf[Comparable[Any]]
+      case _ => v
+    }
     // running minima carry as Comparable; null = "no value yet" (+inf)
     def lessThan(a: Comparable[Any], b: Comparable[Any]): Boolean =
       b == null || a.compareTo(b) < 0
@@ -324,7 +335,7 @@ object SortOps {
             if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
               s"groupedRunningMin: null value for group $k — the value column must be non-null (pre-filter or coalesce upstream)")
             val v = r.get(vIdx, vType).asInstanceOf[Comparable[Any]]
-            if (lessThan(v, curMin)) curMin = v
+            if (lessThan(v, curMin)) curMin = ownVal(v)
           }
           Iterator((i, firstKey, curKey, curMin))
         }
@@ -359,7 +370,7 @@ object SortOps {
         if (curKey == null) { curKey = ownKey(k); curMin = seed }
         else if (k != curKey) { curKey = ownKey(k); curMin = null }
         val v = r.get(vIdx, vType).asInstanceOf[Comparable[Any]]
-        if (lessThan(v, curMin)) curMin = v
+        if (lessThan(v, curMin)) curMin = ownVal(v)
         extra.update(0, curMin)
         joined(r, extra): org.apache.spark.sql.catalyst.InternalRow
       }

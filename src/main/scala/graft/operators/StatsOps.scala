@@ -267,14 +267,19 @@ object StatsOps {
       .filter(col("_x").isNotNull && col("_a").isNotNull)
     val gNames = keyed.columns.dropRight(2)
     val g = gNames.map(col)
-    val ranked = SortOps.globalRowNumber(
-      keyed.select(g :+ col("_x"): _*), g :+ col("_x"), "_rn")
-    val gBase = ranked.groupBy(g: _*).agg(min(col("_rn")).as("_g0"))
-    val mr = ranked.groupBy(g :+ col("_x"): _*)
-      .agg(min(col("_rn")).as("_v0"), count(lit(1)).as("_ties"))
-      .join(gBase.hint("shuffle_hash"), gNames.toSeq)
+    // value-collapsed midrank build (the [[spearman]] mr2Map identity):
+    // counts collapse to (group, value) BEFORE the range sort — the pinned
+    // sort holds one row per distinct value and the old post-sort
+    // row-grain collapse shuffle disappears; 2p + t − 1 = 2(S − B) − t + 1
+    // with S the (g,x)-ordered inclusive count cumsum and B the group's
+    // prior-row count (min of S − t). Exact longs, same values.
+    val cnt = keyed.groupBy(g :+ col("_x"): _*)
+      .agg(count(lit(1)).as("_ties"))
+    val cum = SortOps.globalCumSum(cnt, g :+ col("_x"), col("_ties"), "_s")
+    val gBase = cum.groupBy(g: _*).agg(min(col("_s") - col("_ties")).as("_b"))
+    val mr = cum.join(gBase.hint("shuffle_hash"), gNames.toSeq)
       .select(g ++ Seq(col("_x"),
-        (lit(2L) * (col("_v0") - col("_g0") + 1L) + col("_ties") - 1L)
+        (lit(2L) * (col("_s") - col("_b")) - col("_ties") + lit(1L))
           .as("_mr2"), col("_ties")): _*)
     // NO hash hint here: the midrank map collapses by VALUE, and this
     // operator's typical value column (a continuous measurement) barely
@@ -396,6 +401,11 @@ object StatsOps {
     // single task. Tie order inside equal x is arbitrary in both
     // formulations and immaterial: tied rows carry equal values, so WHICH
     // of them the cut drops cannot change the kept multiset.
+    // (r17 note: the [[spearman]]-style value-collapsed build was A/B'd
+    // and measured 1.19x SLOWER here — this operator's typical value
+    // column is a near-unique continuous measurement (l_extendedprice:
+    // 97% distinct), so the collapse compacts nothing and its extra
+    // full-table hash aggregation is pure cost. Row grain stays.)
     val ranked = SortOps.globalRowNumber(keyed, g :+ col("_x"), "_grn")
     val gBase = ranked.groupBy(g: _*)
       .agg(min(col("_grn")).as("_g0"), count(lit(1)).as("_n"))
@@ -613,12 +623,17 @@ object StatsOps {
       .filter(col("_x").isNotNull && col("_w") > 0)
     val gNames = keyed.columns.dropRight(2)
     val g = gNames.map(col)
-    // per-ROW grain is safe here (unlike [[ksTest]]): within a tie block
-    // the running sum only differs mid-block, and if any mid-block row
-    // crosses the threshold its block-end row (same x) crosses too, so
-    // the min-x over crossing rows is invariant — no collapse needed
+    // collapse to the (group, value) grain BEFORE the range sort (the
+    // [[ksTest]] shape): within a tie block the running sum only differs
+    // mid-block, and if any mid-block row crosses the threshold its
+    // block-end row (same x) crosses too, so the min-x over crossing
+    // rows — and the released quantile — is invariant under summing the
+    // block's weights into one row. The pinned sort then holds one row
+    // per distinct value instead of one per input row (§2.3).
     val rows = keyed
       .withColumn("_wv_e6", (col("_w") * lit(1000000)).cast("long"))
+      .groupBy(g :+ col("_x"): _*)
+      .agg(sum(col("_wv_e6")).as("_wv_e6"))
     val cum = SortOps.globalCumSum(rows, g :+ col("_x"),
       col("_wv_e6"), "_gcw")
     // weights are strictly positive, so the global cumsum is increasing
@@ -665,15 +680,23 @@ object StatsOps {
     val gNames = keyed.columns.dropRight(2)
     val g = gNames.map(col)
     def mr2Map(c: String, out: String): DataFrame = {
-      val ranked = SortOps.globalRowNumber(
-        keyed.select(gNames.map(col) :+ col(c).as("_v"): _*),
-        g :+ col("_v"), "_rn")
-      val gBase = ranked.groupBy(g: _*).agg(min(col("_rn")).as("_g0"))
-      ranked.groupBy(g :+ col("_v"): _*)
-        .agg(min(col("_rn")).as("_v0"), count(lit(1)).as("_t"))
-        .join(gBase.hint("shuffle_hash"), gNames.toSeq)
+      // value-collapsed build (VERDICT r16 item 5): counts collapse to the
+      // (group, value) grain BEFORE the range sort, so the pinned sort and
+      // its checkpoint hold one row per DISTINCT value, not one per input
+      // row (§2.3 shuffle fewer bytes — l_quantity repeats ~50×), and the
+      // old post-sort row-grain collapse shuffle disappears entirely.
+      // Identity: with S = inclusive cumsum of t in (g, v) order and
+      // B = rows before the group (min over the group of S − t), the
+      // block's first in-group rank is p = S − t − B + 1, so the doubled
+      // midrank 2p + t − 1 = 2(S − B) − t + 1 — exact long math, same
+      // values as the row-grain row_number formulation.
+      val cnt = keyed.select(gNames.map(col) :+ col(c).as("_v"): _*)
+        .groupBy(g :+ col("_v"): _*).agg(count(lit(1)).as("_t"))
+      val cum = SortOps.globalCumSum(cnt, g :+ col("_v"), col("_t"), "_s")
+      val gBase = cum.groupBy(g: _*).agg(min(col("_s") - col("_t")).as("_b"))
+      cum.join(gBase.hint("shuffle_hash"), gNames.toSeq)
         .select(g ++ Seq(col("_v").as(c),
-          (lit(2L) * (col("_v0") - col("_g0") + 1L) + col("_t") - 1L)
+          (lit(2L) * (col("_s") - col("_b")) - col("_t") + lit(1L))
             .as(out)): _*)
     }
     // shuffle_hash on the value-collapsed midrank maps — see
@@ -844,11 +867,11 @@ object StatsOps {
     * common case: 5 event types over 10⁹ rows) a windowed rank sorts
     * each group in ONE task, and the op measured ~linear decade factors
     * exactly that way (0.84 s → 2.5 s → 21.9 s at 1×/10×/100×). Instead:
-    * one RANGE-partitioned total order over (group, x, id) via
-    * [[SortOps.globalRowNumber]] — intra-group parallelism — then the
-    * min-rank of each (group, x) value block and the group's base rank
-    * reconstruct `percent_rank` arithmetically:
-    * `pr = (min_rn(g,x) − min_rn(g)) / (n_g − 1)`. */
+    * one RANGE-partitioned total order over the VALUE-COLLAPSED
+    * (group, x) counts via [[SortOps.globalCumSum]] — intra-group
+    * parallel, and the sort never holds the full table — then the block
+    * min-rank and the group's base reconstruct `percent_rank`
+    * arithmetically: `pr = (min_rn(g,x) − min_rn(g)) / (n_g − 1)`. */
   def quantileTransform(df: DataFrame, groupCols: Seq[Column], id: Column,
       value: Column): DataFrame = {
     val keyed = df.select(groupCols ++ Seq(id.as("id"),
@@ -856,22 +879,27 @@ object StatsOps {
       .filter(col("x").isNotNull)
     val gNames = keyed.columns.dropRight(2)
     val g = gNames.map(col)
-    val ranked = SortOps.globalRowNumber(keyed,
-      g ++ Seq(col("x"), col("id")), "_rn")
-    val gBase = ranked.groupBy(g: _*)
-      .agg(min(col("_rn")).as("_g0"), count(lit(1)).as("_gn"))
-    val vBase = ranked.groupBy(g :+ col("x"): _*)
-      .agg(min(col("_rn")).as("_v0"))
-    // vBase is value-grain (probe-sized on continuous data — SMJ, see
-    // [[mannWhitneyU]]); gBase is O(groups) and hash-builds
-    ranked
-      .join(vBase, gNames.toSeq :+ "x")
-      .join(gBase.hint("shuffle_hash"), gNames.toSeq)
-      .withColumn("pr_e6",
+    // value-collapsed rank map (the [[spearman]] mr2Map identity): the
+    // percent-rank depends only on (group, x) — min-rank of the value
+    // block and the group size — so counts collapse to that grain BEFORE
+    // the range sort. The full table is never range-sorted or pinned at
+    // all: `_v0 − _g0` = rows before the block within the group =
+    // S − t − B (S the (g,x)-ordered inclusive count cumsum, B the
+    // group's prior-row count, min of S − t). Rows then join their
+    // (g, x) percent-rank back — the same value-grain SMJ the old vBase
+    // join paid, but the ranked-row sort, its checkpoint, and one of the
+    // two row-grain joins are gone.
+    val cnt = keyed.groupBy(g :+ col("x"): _*).agg(count(lit(1)).as("_t"))
+    val cum = SortOps.globalCumSum(cnt, g :+ col("x"), col("_t"), "_s")
+    val gBase = cum.groupBy(g: _*)
+      .agg(min(col("_s") - col("_t")).as("_b"), sum(col("_t")).as("_gn"))
+    val pr = cum.join(gBase.hint("shuffle_hash"), gNames.toSeq)
+      .select(g ++ Seq(col("x"),
         when(col("_gn") > 1L,
-          floor((col("_v0") - col("_g0")).cast("double")
+          floor((col("_s") - col("_t") - col("_b")).cast("double")
             / (col("_gn") - lit(1L)) * 1e6 + 0.5).cast("long"))
-          .otherwise(lit(0L)))
+          .otherwise(lit(0L)).as("pr_e6")): _*)
+    keyed.join(pr, gNames.toSeq :+ "x")
       .select(g ++ Seq(col("id"), col("x"), col("pr_e6")): _*)
   }
 

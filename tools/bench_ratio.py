@@ -153,6 +153,17 @@ def main():
             if a is not None and b and float(b) > 0:
                 print(f"  {fld}: {float(a):.3f} vs {float(b):.3f} "
                       f"({float(a) / float(b):.2f}x)")
+        # box-normalized TOTAL (VERDICT r16 item 10): quote the total ratio
+        # with the windows' fixed-work cpu_st drift divided out, clamped to
+        # the documented ±1.25x drift band so a wild probe can't excuse (or
+        # manufacture) a regression. The RAW ratio above stays the only one
+        # a SURVEY claim may cite without also citing this scale.
+        a, b = nb.get("cpu_st_s"), ob.get("cpu_st_s")
+        if a and b and float(b) > 0:
+            drift = float(a) / float(b)
+            bs = max(1 / 1.25, min(drift, 1.25))
+            print(f"total normalized by box cpu_st drift: {tn / to / bs:.3f}x"
+                  f" (drift {drift:.2f}x, clamped to [0.80, 1.25])")
     elif nb or ob:
         which = "old" if nb else "new"
         print(f"box_health: only one artifact carries the probe "
