@@ -2022,7 +2022,7 @@ object Queries {
         .withColumn("value_dec", col("value").cast("decimal(18,6)"))
       val agg = graft.streaming.StreamOps.windowedAgg(
         stream, "event_time", "event_type", "value_dec", "1 hour", "1 hour")
-      val q = pinnedParts(s, 8)(agg.writeStream
+      val q = pinnedParts(s, 4)(agg.writeStream
         .format("memory").queryName("graft_stream_tumbling")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2056,7 +2056,7 @@ object Queries {
           .withWatermark("event_time", "1 hour")
           .groupBy(window(col("event_time"), "1 hour"), col("user_id"))
           .agg(count(lit(1)).as("cnt"))
-        val q = pinnedParts(s, 8)(agg.writeStream
+        val q = pinnedParts(s, 4)(agg.writeStream
           .format("memory").queryName("graft_stream_rocksdb")
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2151,7 +2151,7 @@ object Queries {
         .as[graft.streaming.StreamOps.SessionEvent]
       val closed = graft.streaming.StreamOps.closedSessions(
         events, gapMicros = 1800000000L, watermarkDelay = "36500 days")
-      val q = pinnedParts(s, 8)(closed.toDF().writeStream
+      val q = pinnedParts(s, 4)(closed.toDF().writeStream
         .format("memory").queryName("graft_stream_sessions")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2433,7 +2433,7 @@ object Queries {
         java.nio.file.Files.createSymbolicLink(
           link, java.nio.file.Paths.get(s"$dir/events.parquet"))
       val out = s"/tmp/graft_stream_etl_$sfName"
-      val q = pinnedParts(s, 8)(s.readStream.schema(schema)
+      val q = pinnedParts(s, 4)(s.readStream.schema(schema)
         .parquet(streamDir.toString)
         .select(col("event_id"), col("event_type"), col("value"))
         .writeStream.format("parquet")
@@ -2879,7 +2879,7 @@ object Queries {
         .select(md5(col("text")).as("content_hash"), col("doc_id"))
         .groupBy("content_hash")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      val q = pinnedParts(s, 8)(agg.writeStream
+      val q = pinnedParts(s, 4)(agg.writeStream
         .format("memory").queryName("graft_stream_dedup")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -3567,7 +3567,7 @@ object Queries {
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       val feed = s.readStream.schema(schema).parquet(streamDir.toString)
         .select(col("event_type"), col("value"))
-      val q = pinnedParts(s, 8)(feed.writeStream
+      val q = pinnedParts(s, 4)(feed.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val agg = batch.groupBy("event_type")
             .agg(count(lit(1)).as("cnt"), sumExact(col("value")).as("sum_value"))
@@ -3707,7 +3707,7 @@ object Queries {
         .join(broadcast(dim), Seq("event_type"))
       val agg = stream.groupBy("category")
         .agg(count(lit(1)).as("cnt"), sum(col("value_dec")).as("sum_dec"))
-      val q = pinnedParts(s, 8)(agg.writeStream
+      val q = pinnedParts(s, 4)(agg.writeStream
         .format("memory").queryName("graft_stream_static")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -3754,7 +3754,7 @@ object Queries {
       // side; at this feed size the state machinery dominates, so pin the
       // query to few state partitions (saved/restored — the setting is baked
       // into the query at start, batch queries after restore are unaffected)
-      val q = pinnedParts(s, 8)(joined
+      val q = pinnedParts(s, 4)(joined
         .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
         .writeStream
         .format("memory").queryName("graft_stream_stream")
@@ -8362,7 +8362,7 @@ object Queries {
         val feed = s.readStream
           .schema("event_id BIGINT, event_type STRING, value DOUBLE")
           .parquet(srcDir.toString)
-        val q = pinnedParts(s, 8)(feed.writeStream
+        val q = pinnedParts(s, 4)(feed.writeStream
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
              id: Long) =>
@@ -9192,7 +9192,7 @@ object Queries {
       val b = TextFunctions.portableBucket(col("event_id"), 3)
       val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
       def runPass(): Unit = {
-        val q = pinnedParts(s, 8)(s.readStream.format("graft")
+        val q = pinnedParts(s, 4)(s.readStream.format("graft")
           .option("maxVersionsPerBatch", "1")
           .load(root)
           .writeStream
@@ -9287,7 +9287,7 @@ object Queries {
         .select(col("event_id"), col("event_type"), col("value"))
       val b = TextFunctions.portableBucket(col("event_id"), 3)
       def replicate(): Unit = {
-        val q = pinnedParts(s, 8)(s.readStream.format("graft")
+        val q = pinnedParts(s, 4)(s.readStream.format("graft")
           .option("maxVersionsPerBatch", "1").load(src)
           .select(col("event_id"), col("event_type"), col("value"))
           .writeStream.format("graft")
@@ -9491,7 +9491,7 @@ object Queries {
       val feed = s.readStream
         .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      val q = pinnedParts(s, 8)(feed.writeStream
+      val q = pinnedParts(s, 4)(feed.writeStream
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>
@@ -9575,7 +9575,7 @@ object Queries {
       val before = TxLog.liveFiles(tbl)
       val feed = s.readStream.schema("user_id BIGINT")
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      val q = pinnedParts(s, 8)(feed.writeStream
+      val q = pinnedParts(s, 4)(feed.writeStream
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>
@@ -11227,7 +11227,7 @@ object Queries {
       val feed = s.readStream
         .schema("event_type STRING, value DOUBLE, sign INT")
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      val q = pinnedParts(s, 8)(feed.writeStream
+      val q = pinnedParts(s, 4)(feed.writeStream
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>
@@ -11302,7 +11302,7 @@ object Queries {
       Seq(stateDir, ckpt).foreach(rmTreeQ)
       val feed = s.readStream.schema("event_type STRING, value DOUBLE")
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      val q = pinnedParts(s, 8)(feed.writeStream
+      val q = pinnedParts(s, 4)(feed.writeStream
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>
@@ -11393,7 +11393,7 @@ object Queries {
               org.apache.spark.sql.types.StringType)))))
       val feed = s.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      val q = pinnedParts(s, 8)(feed.writeStream
+      val q = pinnedParts(s, 4)(feed.writeStream
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>
@@ -12903,7 +12903,7 @@ object Queries {
         .as[graft.streaming.StreamOps.AnomEvent]
       val updates = graft.streaming.StreamOps.anomalyCounts(feed,
         minPrior = 20L, threshold = 3L)
-      val q = pinnedParts(s, 8)(updates.toDF().writeStream
+      val q = pinnedParts(s, 4)(updates.toDF().writeStream
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>

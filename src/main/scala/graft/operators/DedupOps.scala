@@ -871,8 +871,14 @@ object DedupOps {
     kept.select(col("h"), col("s").as("a"))
       .join(kept.select(col("h"), col("s").as("b")), Seq("h"))
       .filter(col("a") < col("b"))
-      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
-      .filter(col("dist") <= 1)
+      // bounded edit distance (r17): the threshold form early-exits the
+      // DP at band width 1 — O(len) per candidate instead of O(len²), and
+      // the candidate set here is ~65x the surviving pairs. Returns -1
+      // above the bound, so the filter keeps exactly the old dist <= 1
+      // rows (dist = 0 is impossible: a < b are distinct strings).
+      // Interleaved A/B on the gate: 3.07 -> 2.41 s solo min.
+      .withColumn("dist", levenshtein(col("a"), col("b"), 1).cast("long"))
+      .filter(col("dist") >= 0)
       // dedup AFTER the verify: a surviving pair repeats only when it
       // shares several variants (~2% here), so the distinct exchange
       // moves 4x fewer rows than deduping the raw candidate set — at the
