@@ -8042,6 +8042,14 @@ object Queries {
       val b = TextFunctions.portableBucket(col("c_custkey"), 2)
       TxLog.commit(root,
         Seq(TxLog.writeBatch(cust.filter(b === 0), root, "b0")))
+      // §2.6 overlap (the q_stream_txlog_source shape): b1's data files
+      // are invisible to the log until committed, so its write runs
+      // behind the view's initial materialization; only the commit is
+      // ordered after it (the v1 snapshot read must not see b1)
+      val b1 = new java.util.concurrent.FutureTask[String](
+        () => TxLog.writeBatch(cust.filter(b === 1), root, "b1"))
+      val b1t = new Thread(b1, "graft-ivm-b1"); b1t.setDaemon(true)
+      b1t.start()
       var state = AggOps.partialStats(TxLog.read(s, root, asOf = 1),
         Seq(col("c_mktsegment")), col("c_acctbal")).localCheckpoint()
       var from = 1
@@ -8058,8 +8066,7 @@ object Queries {
         state = next
         from = to
       }
-      val v2 = TxLog.commit(root,
-        Seq(TxLog.writeBatch(cust.filter(b === 1), root, "b1")))
+      val v2 = TxLog.commit(root, Seq(b1.get()))
       refreshTo(v2, wantRetractions = false)
       val v3 = TxLog.deleteWhere(s, root, "del", col("c_custkey") % 10 === 5)
       refreshTo(v3, wantRetractions = true)
