@@ -19,6 +19,9 @@ run / fork := true
 // success stays detectable via the exit code (the driver records rc).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — exclude
+// it from the unused-key lint so every sbt invocation stays warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
